@@ -20,3 +20,17 @@ Nothing in this package calls ``ray.init()``; the caller owns the session.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+from pathlib import Path as _Path
+
+REPO_ROOT = str(_Path(__file__).resolve().parent.parent)
+
+
+def runtime_env() -> dict:
+    """Runtime env ensuring Ray workers can import this package even when
+    the driver's cwd / sys.path doesn't include the repo root (the package
+    is path-imported, not pip-installed)."""
+    existing = _os.environ.get("PYTHONPATH", "")
+    path = REPO_ROOT if not existing else f"{REPO_ROOT}:{existing}"
+    return {"env_vars": {"PYTHONPATH": path}}

@@ -1,0 +1,73 @@
+"""Layered configuration: defaults → YAML → env → explicit overrides.
+
+Mirrors the reference's AppConfig layering (config.py:83-123) minus the
+live-Tor fields, plus engine-specific knobs (shard counts, batch sizes).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, fields, replace
+from pathlib import Path
+from typing import List, Optional
+
+try:
+    import yaml
+except ImportError:  # pragma: no cover
+    yaml = None
+
+
+@dataclass(frozen=True)
+class CrawlSettings:
+    """Crawl behavior settings (reference CrawlerConfig, config.py:34-50)."""
+
+    max_depth: int = 2
+    max_pages: int = 20
+    crawl_delay: float = 7.0        # virtual seconds between fetches per seed
+    request_timeout: int = 30
+    retry_count: int = 3
+    backoff_factor: float = 4.0     # sleep = backoff * 2^(attempt-1)
+    renew_circuit_every: int = 10   # identity-epoch cadence (tor_manager.py:131-171)
+    renew_pause: float = 5.0        # virtual pause per renewal (tor_manager.py:161)
+    blacklist_paths: List[str] = field(
+        default_factory=lambda: ["/register", "/login", "/signup", "/auth"]
+    )
+
+    # ── engine knobs (no reference equivalent — Ray-scale parameters) ──────
+    seen_shards: int = 4            # seen-set actor shards; O(cores/4) on a cluster
+    seen_mode: str = "exact"        # "exact" | "cuckoo" (10^10-scale path)
+    extract_batch_size: int = 128   # pages per Arrow batch in the extract stage
+    extract_concurrency: Optional[int] = None  # None → Ray decides (task pool)
+
+
+def load_settings(
+    config_path: Optional[str] = None, **overrides
+) -> CrawlSettings:
+    """defaults → YAML ``crawler:`` section → env DWH_* → overrides."""
+    cfg = CrawlSettings()
+    valid = {f.name for f in fields(CrawlSettings)}
+
+    if config_path and yaml is not None:
+        path = Path(config_path)
+        if path.exists():
+            with open(path, encoding="utf-8") as fh:
+                data = yaml.safe_load(fh) or {}
+            section = data.get("crawler", data)
+            cfg = replace(cfg, **{k: v for k, v in section.items() if k in valid})
+
+    env_map = {
+        "DWH_MAX_DEPTH": ("max_depth", int),
+        "DWH_MAX_PAGES": ("max_pages", int),
+        "DWH_CRAWL_DELAY": ("crawl_delay", float),
+        "DWH_SEEN_SHARDS": ("seen_shards", int),
+        "DWH_SEEN_MODE": ("seen_mode", str),
+    }
+    env_overrides = {}
+    for env, (name, cast) in env_map.items():
+        if os.getenv(env):
+            env_overrides[name] = cast(os.environ[env])
+    if env_overrides:
+        cfg = replace(cfg, **env_overrides)
+
+    if overrides:
+        cfg = replace(cfg, **{k: v for k, v in overrides.items() if k in valid})
+    return cfg

@@ -49,8 +49,17 @@ LINK_OFFSETS = (1, 17, 64)
 DUP_MOD = 10
 DUP_REMAINDER = 7
 BASE_TS = datetime(2024, 1, 1, tzinfo=timezone.utc)
+FORMAT_VERSION = 2      # bump to invalidate /tmp corpus caches
 
 _CORPUS_CACHE = Path(os.environ.get("DWH_CORPUS_CACHE", "/tmp/dwh_corpus"))
+
+
+def host_bucket_of(host: str) -> int:
+    """Partition bucket for a host string — computable by any consumer
+    (the fetch stage prunes its corpus read to the frontier's buckets)."""
+    from .urlops import url_hash64
+
+    return url_hash64(host) % N_BUCKETS
 
 
 def host_name(idx: int) -> str:
@@ -159,7 +168,7 @@ def build_pages_table(texts: Sequence[str], langs: Sequence[str] | None = None) 
         tss.append(base_us + d * 1_000_000)
         htmls.append(page_html(d, n, texts[eff]).encode("utf-8"))
         out_texts.append(texts[eff])
-        buckets.append((d % HOSTS) % N_BUCKETS)
+        buckets.append(host_bucket_of(host_of(d)))
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -209,7 +218,7 @@ def corpus_from_documents(sf_dir: str, factor: int = 1) -> str:
     Returns the corpus directory path (partitioned Parquet dataset).
     """
     sf_name = Path(sf_dir).name or "sf"
-    out_dir = _CORPUS_CACHE / f"{sf_name}_x{factor}"
+    out_dir = _CORPUS_CACHE / f"{sf_name}_x{factor}_v{FORMAT_VERSION}"
     if (out_dir / "_SUCCESS").exists():
         return str(out_dir)
     docs = _read_documents(sf_dir)

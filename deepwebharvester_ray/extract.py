@@ -29,6 +29,7 @@ throughput comes from Ray fanning batches across cores.
 from __future__ import annotations
 
 import re
+import time
 from html.parser import HTMLParser
 from typing import Dict, List, Tuple
 from urllib.parse import urljoin
@@ -205,8 +206,12 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     hashes: List[str] = []
     links_col: List[List[str]] = []
     sites: List[str] = []
+    crawl_times: List[float] = []
+    clock = time.monotonic
     for url, html in zip(urls, htmls):
+        t0 = clock()
         title, text, chash, links = extract_content(html, url)
+        crawl_times.append(clock() - t0)
         titles.append(title)
         texts.append(text)
         hashes.append(chash)
@@ -221,6 +226,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         "content_hash": pa.array(hashes, pa.string()),
         "links": pa.array(links_col, pa.large_list(pa.string())),
         "links_found": pa.array([len(l) for l in links_col], pa.int32()),
+        "crawl_time": pa.array(crawl_times, pa.float64()),
     }
     # Pass through any extra frontier columns (depth, seed_id, …).
     for name in batch.column_names:

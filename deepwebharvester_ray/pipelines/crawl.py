@@ -1,0 +1,417 @@
+"""The generation-loop BFS crawl pipeline (SURVEY §7.2 M4).
+
+Data plane (Ray Data, fully parallel per generation):
+
+    read_parquet(corpus buckets of the frontier's hosts)   ← pruned read
+      → map_batches(FetchExtract actor pool)               ← url∈frontier filter + HTML extract
+      → write_parquet(run_dir/results/gen=K)               ← accepted pages (+ optional intel)
+
+Control plane (driver + actors, cheap metadata only):
+
+    frontier candidates → seen-set pool contains() →
+    sequential replay of the reference control flow (state.scheduler) →
+    marks/hashes insert() → next-generation frontier
+
+"Fetch" is a partition-pruned lookup join of the scheduled frontier
+against the page corpus (SURVEY §2.4 J3): the frontier's URL set is
+broadcast once per generation via ``ray.put`` and read once per fetch
+actor in ``__init__`` — never re-shipped per batch.  A URL absent from
+the corpus is a fetch failure and is charged the reference's full
+retry/backoff cost in virtual time (crawler.py:123-153).
+
+Checkpoint/resume (SURVEY §7.2 M7): every generation writes results +
+next frontier + seen-set snapshots + scheduler state + a lineage manifest
+entry; ``resume=True`` restores the newest complete generation and
+continues without re-fetching any URL.
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import logging
+import shutil
+import time
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import runtime_env
+from ..config import CrawlSettings
+from ..corpus import host_bucket_of
+from ..extract import extract_batch
+from ..intelligence import intelligence_batch
+from ..state.scheduler import (
+    Candidate,
+    ReplayResult,
+    SeedState,
+    replay_generation,
+)
+from ..state.seen import SeenSetPool
+from ..urlops import (
+    get_host,
+    is_blacklisted,
+    is_valid_onion_url,
+    normalize_blacklist,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def _mark_key(seed_id: int, url: str) -> str:
+    return f"{seed_id}|{url}"
+
+
+class FetchExtract:
+    """Actor-pool stage: corpus lookup ("fetch") + HTML extraction.
+
+    The frontier URL set is fetched from the object store ONCE per actor
+    (broadcast join, small side pinned with ray.put); each ``__call__``
+    filters its Arrow batch to frontier hits and extracts them.  Stateful
+    setup in ``__init__``, per-batch work in ``__call__`` — the Ray Data
+    actor-pool pattern (reference analogue: one requests.Session per site
+    thread, tor_manager.py:88-129).
+    """
+
+    def __init__(self, urls_ref) -> None:
+        import ray
+
+        self._urls: frozenset = ray.get(urls_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        urls = batch.column("url").to_pylist()
+        mask = [u in self._urls for u in urls]
+        if not any(mask):
+            return extract_batch(batch.slice(0, 0))
+        hit = batch.filter(pa.array(mask))
+        return extract_batch(hit)
+
+
+@dataclass
+class GenerationMetrics:
+    generation: int
+    candidates: int = 0
+    fetched: int = 0
+    success: int = 0
+    failed: int = 0
+    blacklisted: int = 0
+    dup: int = 0
+    abandoned: int = 0
+    already: int = 0
+    wall_time_s: float = 0.0
+
+    def as_dict(self) -> dict:
+        return asdict(self)
+
+
+@dataclass
+class CrawlRun:
+    """Handle over a finished (or resumed) crawl."""
+
+    run_dir: str
+    results_path: str
+    stats: Dict[str, int]
+    states: Dict[int, SeedState]
+    metrics: List[GenerationMetrics]
+    generations: int
+    fetched_urls_per_gen: List[Set[str]] = field(default_factory=list)
+
+    def results_dataset(self):
+        """The crawl results as a streaming Ray Dataset."""
+        import ray
+
+        if not any(Path(self.results_path).rglob("*.parquet")):
+            return ray.data.from_arrow(_empty_results_table())
+        return ray.data.read_parquet(self.results_path)
+
+    def results_table(self) -> pa.Table:
+        files = sorted(str(p) for p in Path(self.results_path).rglob("*.parquet"))
+        if not files:
+            return _empty_results_table()
+        return pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+
+
+def _empty_results_table() -> pa.Table:
+    return pa.table(
+        {
+            "url": pa.array([], pa.string()),
+            "site": pa.array([], pa.string()),
+            "title": pa.array([], pa.string()),
+            "text": pa.array([], pa.large_string()),
+            "content_hash": pa.array([], pa.string()),
+            "links_found": pa.array([], pa.int32()),
+            "crawl_time": pa.array([], pa.float64()),
+            "depth": pa.array([], pa.int32()),
+            "seed_id": pa.array([], pa.int32()),
+        }
+    )
+
+
+def _config_digest(cfg: CrawlSettings, seeds: Sequence[str]) -> str:
+    payload = json.dumps({"cfg": asdict(cfg), "seeds": list(seeds)}, sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _corpus_paths_for_hosts(corpus_dir: str, hosts: Set[str]) -> List[str]:
+    """Partition pruning: only the buckets holding the frontier's hosts."""
+    buckets = sorted({host_bucket_of(h) for h in hosts})
+    paths: List[str] = []
+    for b in buckets:
+        p = Path(corpus_dir) / f"host_bucket={b}"
+        if p.exists():
+            paths.extend(sorted(str(f) for f in p.rglob("*.parquet")))
+    return paths
+
+
+def run_crawl(
+    corpus_dir: str,
+    seed_urls: Sequence[str],
+    cfg: Optional[CrawlSettings] = None,
+    run_dir: Optional[str] = None,
+    resume: bool = False,
+    with_intel: bool = False,
+) -> CrawlRun:
+    """Run (or resume) the full BFS crawl over *corpus_dir*.
+
+    Ray must already be initialised by the caller.
+    """
+    import ray
+
+    cfg = cfg or CrawlSettings()
+    run_dir = run_dir or f"/tmp/dwh_run_{int(time.time() * 1e6)}"
+    run_path = Path(run_dir)
+    results_root = run_path / "results"
+    state_root = run_path / "state"
+    results_root.mkdir(parents=True, exist_ok=True)
+    state_root.mkdir(parents=True, exist_ok=True)
+
+    blacklist = normalize_blacklist(cfg.blacklist_paths)
+    digest = _config_digest(cfg, seed_urls)
+
+    # seed validation (crawler.py:293-299); invalid seeds logged, not marked
+    valid_seeds = [u for u in seed_urls if is_valid_onion_url(u)]
+    dropped = [u for u in seed_urls if u not in set(valid_seeds)]
+    if dropped:
+        logger.warning("Dropping %d invalid seed URL(s): %s", len(dropped), dropped[:3])
+
+    marks_pool = SeenSetPool(cfg.seen_shards, cfg.seen_mode)
+    hash_pool = SeenSetPool(cfg.seen_shards, cfg.seen_mode)
+    states: Dict[int, SeedState] = {
+        sid: SeedState(seed_id=sid, seed_url=u) for sid, u in enumerate(valid_seeds)
+    }
+    metrics: List[GenerationMetrics] = []
+    fetched_urls_per_gen: List[Set[str]] = []
+
+    manifest_path = run_path / "manifest.json"
+    start_gen = 0
+    frontier: List[Tuple[int, str]] = sorted(
+        {(sid, u) for sid, u in enumerate(valid_seeds)}
+    )
+
+    if resume and manifest_path.exists():
+        manifest = json.loads(manifest_path.read_text())
+        if manifest.get("config_digest") != digest:
+            raise ValueError("resume config/seeds mismatch with checkpoint manifest")
+        complete = [g for g in manifest["generations"] if g.get("complete")]
+        if complete:
+            last = complete[-1]
+            start_gen = last["generation"] + 1
+            marks_pool.restore_parquet(str(state_root / f"marks_gen{last['generation']}.parquet"))
+            hash_pool.restore_parquet(str(state_root / f"hashes_gen{last['generation']}.parquet"))
+            states = {
+                int(k): SeedState.from_dict(v)
+                for k, v in last["seed_states"].items()
+            }
+            frontier = [tuple(x) for x in last["next_frontier"]]
+            metrics = [GenerationMetrics(**m) for m in manifest.get("metrics", [])]
+            logger.info("Resuming from generation %d (%d frontier entries)", start_gen, len(frontier))
+    else:
+        manifest = {
+            "config_digest": digest,
+            "corpus_dir": corpus_dir,
+            "generations": [],
+            "metrics": [],
+        }
+
+    gen = start_gen
+    while frontier and gen <= cfg.max_depth:
+        t_gen = time.monotonic()
+        gm = GenerationMetrics(generation=gen)
+
+        # ── control plane: prior-mark filter (pop-check, crawler.py:240) ──
+        keys = [_mark_key(sid, u) for sid, u in frontier]
+        marked = marks_pool.contains(keys)
+        gm.already = int(marked.sum())
+        cands_meta = [fr for fr, m in zip(frontier, marked) if not m]
+
+        # exhausted seeds' candidates never fetch (their replay abandons them)
+        active = [
+            (sid, u)
+            for sid, u in cands_meta
+            if not states[sid].exhausted and states[sid].pages < cfg.max_pages
+        ]
+        aband_pre = [x for x in cands_meta if x not in set(active)]
+        black = {u for _, u in active if is_blacklisted(u, blacklist)}
+        fetch_urls = sorted({u for _, u in active if u not in black})
+        gm.candidates = len(cands_meta)
+
+        # ── data plane: pruned corpus read → broadcast-filter → extract ──
+        extracted: Dict[str, dict] = {}
+        gen_results_dir = results_root / f"gen={gen}"
+        if gen_results_dir.exists():
+            shutil.rmtree(gen_results_dir)  # idempotent partition overwrite
+        if fetch_urls:
+            hosts = {get_host(u) for u in fetch_urls}
+            paths = _corpus_paths_for_hosts(corpus_dir, hosts)
+            if paths:
+                urls_ref = ray.put(frozenset(fetch_urls))
+                n_cpus = int(ray.cluster_resources().get("CPU", 4))
+                # leave headroom for the read tasks so the actor pool can't
+                # starve its own upstream (deadlock on small CPU counts)
+                pool = cfg.extract_concurrency or max(1, min(n_cpus - 1, 16))
+                ds = ray.data.read_parquet(paths, columns=["url", "html"])
+                fetched_ds = ds.map_batches(
+                    FetchExtract,
+                    fn_constructor_args=(urls_ref,),
+                    batch_format="pyarrow",
+                    batch_size=cfg.extract_batch_size,
+                    concurrency=(1, pool),
+                    runtime_env=runtime_env(),
+                ).materialize()
+                # control-plane metadata pull: url → hash/links (NOT text/html)
+                meta = fetched_ds.select_columns(
+                    ["url", "content_hash", "links"]
+                ).take_all()
+                extracted = {
+                    r["url"]: {"content_hash": r["content_hash"], "links": list(r["links"])}
+                    for r in meta
+                }
+            else:
+                fetched_ds = None
+        else:
+            fetched_ds = None
+        gm.fetched = len(extracted)
+        fetched_urls_per_gen.append(set(extracted))
+
+        # ── replay the reference control flow in canonical order ──────────
+        candidates = [
+            Candidate(
+                seed_id=sid,
+                url=u,
+                depth=gen,
+                blacklisted=u in black,
+                fetched=u in extracted,
+                content_hash=extracted[u]["content_hash"] if u in extracted else None,
+            )
+            for sid, u in active
+        ]
+        cand_hashes = sorted({c.content_hash for c in candidates if c.content_hash})
+        known = hash_pool.contains(cand_hashes)
+        known_hashes = {h for h, k in zip(cand_hashes, known) if k}
+        replay: ReplayResult = replay_generation(candidates, states, known_hashes, cfg)
+        gm.abandoned = replay.status.count("abandoned") + len(aband_pre)
+        gm.success = replay.status.count("success")
+        gm.failed = replay.status.count("failed")
+        gm.blacklisted = replay.status.count("blacklisted")
+        gm.dup = replay.status.count("dup")
+
+        marks_pool.insert([_mark_key(s, u) for s, u in replay.new_marks])
+        hash_pool.insert(replay.new_hashes)
+
+        # ── persist accepted results (partitioned per generation) ─────────
+        accepted_by_url = {u: sid for sid, u in replay.accepted}
+        if accepted_by_url and fetched_ds is not None:
+            acc_ref = ray.put(accepted_by_url)
+
+            def _finalize(batch: pa.Table, *, _gen=gen, _ref=acc_ref) -> pa.Table:
+                amap = ray.get(_ref)
+                urls = batch.column("url").to_pylist()
+                mask = [u in amap for u in urls]
+                if not any(mask):
+                    return batch.slice(0, 0).drop_columns(["links"]).append_column(
+                        "depth", pa.array([], pa.int32())
+                    ).append_column("seed_id", pa.array([], pa.int32()))
+                kept = batch.filter(pa.array(mask))
+                kurls = kept.column("url").to_pylist()
+                kept = kept.drop_columns(["links"])
+                kept = kept.append_column(
+                    "depth", pa.array([_gen] * len(kurls), pa.int32())
+                )
+                kept = kept.append_column(
+                    "seed_id", pa.array([amap[u] for u in kurls], pa.int32())
+                )
+                return kept
+
+            out_ds = fetched_ds.map_batches(
+                _finalize,
+                batch_format="pyarrow",
+                batch_size=cfg.extract_batch_size,
+                runtime_env=runtime_env(),
+            )
+            if with_intel:
+                out_ds = out_ds.map_batches(
+                    intelligence_batch,
+                    batch_format="pyarrow",
+                    batch_size=cfg.extract_batch_size,
+                    runtime_env=runtime_env(),
+                )
+            out_ds.write_parquet(str(gen_results_dir))
+
+        # ── next-generation frontier (enqueue guard depth < max_depth) ────
+        next_frontier: List[Tuple[int, str]] = []
+        if gen < cfg.max_depth:
+            seen_pairs: Set[Tuple[int, str]] = set()
+            for sid, u in sorted(replay.propagate):
+                for link in extracted[u]["links"]:
+                    pair = (sid, link)
+                    if pair not in seen_pairs:
+                        seen_pairs.add(pair)
+                        next_frontier.append(pair)
+            next_frontier.sort()
+        gm.wall_time_s = time.monotonic() - t_gen
+        metrics.append(gm)
+
+        # ── checkpoint: state snapshots + lineage manifest entry ──────────
+        marks_pool.snapshot_parquet(str(state_root / f"marks_gen{gen}.parquet"))
+        hash_pool.snapshot_parquet(str(state_root / f"hashes_gen{gen}.parquet"))
+        manifest["generations"] = [
+            g for g in manifest["generations"] if g["generation"] < gen
+        ]
+        manifest["generations"].append(
+            {
+                "generation": gen,
+                "complete": True,
+                "counts": gm.as_dict(),
+                "seed_states": {str(k): v.as_dict() for k, v in states.items()},
+                "next_frontier": [list(x) for x in next_frontier],
+            }
+        )
+        manifest["metrics"] = [m.as_dict() for m in metrics]
+        tmp = manifest_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(manifest, indent=1))
+        tmp.rename(manifest_path)
+
+        frontier = next_frontier
+        gen += 1
+
+    stats = {
+        "sites_crawled": len(states),
+        "pages_crawled": sum(s.crawled for s in states.values()),
+        "pages_failed": sum(s.failed for s in states.values()),
+        "pages_skipped": sum(s.skipped for s in states.values()),
+        "pages_deduplicated": sum(s.deduplicated for s in states.values()),
+        "generations": gen,
+    }
+    return CrawlRun(
+        run_dir=run_dir,
+        results_path=str(results_root),
+        stats=stats,
+        states=states,
+        metrics=metrics,
+        generations=gen,
+        fetched_urls_per_gen=fetched_urls_per_gen,
+    )

@@ -1,0 +1,126 @@
+"""A compact cuckoo filter for the 10^10-entry URL-seen set.
+
+Replaces the reference's in-memory Python sets (``Crawler._global_hashes``,
+crawler.py:111; per-site ``crawled``, crawler.py:230) with an
+approximate-membership structure at ~2 bytes/key/shard: a Python set of
+10^10 URL strings needs ~1 TB of RAM, a cuckoo filter shard fits the same
+keys in a few GB across actors (SURVEY §4 scale ceiling).
+
+Standard design (Fan et al., "Cuckoo Filter: Practically Better Than
+Bloom", CoNLL'14 — public): 4-slot buckets, 16-bit fingerprints,
+partial-key cuckoo hashing with bounded eviction.  False-positive rate
+≈ 2·4/2^16 ≈ 0.012% — positives can be confirmed against an exact
+per-shard spill set when exactness is required (SURVEY §7.5 hard part 4).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+_SLOTS = 4
+_MAX_KICKS = 500
+_FP_BITS = 16
+_FP_MASK = (1 << _FP_BITS) - 1
+
+
+def _mix(h: np.uint64 | int) -> int:
+    """64-bit finalizer (splitmix64-style) for deriving independent hashes."""
+    h = int(h) & 0xFFFFFFFFFFFFFFFF
+    h ^= h >> 33
+    h = (h * 0xFF51AFD7ED558CCD) & 0xFFFFFFFFFFFFFFFF
+    h ^= h >> 33
+    h = (h * 0xC4CEB9FE1A85EC53) & 0xFFFFFFFFFFFFFFFF
+    h ^= h >> 33
+    return h
+
+
+class CuckooFilter:
+    """Approximate membership over 64-bit keys."""
+
+    def __init__(self, capacity: int = 1 << 20) -> None:
+        # Size to ~95% max load: buckets = next pow2 ≥ capacity / (slots * 0.95)
+        nb = 1
+        while nb * _SLOTS * 0.95 < capacity:
+            nb <<= 1
+        self._nb = nb
+        self._table = np.zeros((nb, _SLOTS), dtype=np.uint16)
+        self._count = 0
+        self._rng = np.random.default_rng(0xC0FFEE)  # deterministic evictions
+
+    def __len__(self) -> int:
+        return self._count
+
+    @property
+    def load_factor(self) -> float:
+        return self._count / (self._nb * _SLOTS)
+
+    def _fingerprint(self, key: int) -> int:
+        fp = _mix(key) & _FP_MASK
+        return fp or 1  # 0 means empty slot
+
+    def _index1(self, key: int) -> int:
+        return (int(key) >> 32) & (self._nb - 1)
+
+    def _alt_index(self, idx: int, fp: int) -> int:
+        return (idx ^ _mix(fp)) & (self._nb - 1)
+
+    def add(self, key: int) -> bool:
+        """Insert *key*; False if the filter is too full (caller should
+        spill to the exact set / grow the shard count)."""
+        fp = self._fingerprint(key)
+        i1 = self._index1(key)
+        i2 = self._alt_index(i1, fp)
+        for idx in (i1, i2):
+            row = self._table[idx]
+            empty = np.nonzero(row == 0)[0]
+            if empty.size:
+                row[empty[0]] = fp
+                self._count += 1
+                return True
+        # Evict: bounded random-walk cuckoo kicks.
+        idx = i1 if (self._rng.integers(2)) else i2
+        for _ in range(_MAX_KICKS):
+            slot = int(self._rng.integers(_SLOTS))
+            fp, self._table[idx, slot] = int(self._table[idx, slot]), fp
+            idx = self._alt_index(idx, fp)
+            row = self._table[idx]
+            empty = np.nonzero(row == 0)[0]
+            if empty.size:
+                row[empty[0]] = fp
+                self._count += 1
+                return True
+        return False
+
+    def contains(self, key: int) -> bool:
+        fp = self._fingerprint(key)
+        i1 = self._index1(key)
+        if fp in self._table[i1]:
+            return True
+        i2 = self._alt_index(i1, fp)
+        return fp in self._table[i2]
+
+    def contains_batch(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized-ish membership for a uint64 key array."""
+        out = np.empty(len(keys), dtype=bool)
+        for i, k in enumerate(keys):
+            out[i] = self.contains(int(k))
+        return out
+
+    def delete(self, key: int) -> bool:
+        fp = self._fingerprint(key)
+        for idx in (self._index1(key), self._alt_index(self._index1(key), fp)):
+            row = self._table[idx]
+            hit = np.nonzero(row == fp)[0]
+            if hit.size:
+                row[hit[0]] = 0
+                self._count -= 1
+                return True
+        return False
+
+    # -- snapshot ------------------------------------------------------------
+    def state(self) -> dict:
+        return {"table": self._table.copy(), "count": self._count}
+
+    def restore(self, state: dict) -> None:
+        self._table = state["table"].copy()
+        self._nb = self._table.shape[0]
+        self._count = int(state["count"])

@@ -1,0 +1,199 @@
+"""Sharded seen-set: the crawl's cross-generation membership state.
+
+Replaces the reference's lock-guarded in-process sets
+(``Crawler._global_hashes`` crawler.py:111-112 for content dedup,
+per-site ``crawled`` crawler.py:230 for URL marks) with a pool of Ray
+actors sharded by a stable 64-bit key hash.  All calls are **batched**:
+the driver groups a generation's keys by shard and issues one RPC per
+shard (SURVEY §2.3 ST1/ST2).
+
+Modes:
+
+* ``exact``  — per-shard Python set of keys (strings).  Used for
+  conformance runs; memory O(keys).
+* ``cuckoo`` — per-shard :class:`CuckooFilter` over 64-bit key hashes +
+  an exact confirm set for keys that the filter reports present at insert
+  time (bounds false-positive URL loss; SURVEY §7.5 hard part 4).  This is
+  the 10^10-scale path: ~2 bytes/key instead of ~100.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..urlops import url_hash64
+from .cuckoo import CuckooFilter
+
+
+class SeenShard:
+    """One shard's membership state (plain class; wrapped as a Ray actor)."""
+
+    def __init__(self, mode: str = "exact", capacity: int = 1 << 20) -> None:
+        assert mode in ("exact", "cuckoo")
+        self.mode = mode
+        self._exact: set = set()
+        self._cuckoo = CuckooFilter(capacity) if mode == "cuckoo" else None
+
+    # keys arrive as a list of strings (urls / hex hashes / scoped keys)
+    def contains(self, keys: List[str]) -> List[bool]:
+        if self.mode == "exact":
+            s = self._exact
+            return [k in s for k in keys]
+        out = []
+        for k in keys:
+            h = url_hash64(k)
+            out.append(self._cuckoo.contains(h) or k in self._exact)
+        return out
+
+    def insert(self, keys: List[str]) -> int:
+        """Insert keys; returns number newly inserted (exact mode)."""
+        if self.mode == "exact":
+            before = len(self._exact)
+            self._exact.update(keys)
+            return len(self._exact) - before
+        n = 0
+        for k in keys:
+            h = url_hash64(k)
+            if not self._cuckoo.contains(h):
+                if not self._cuckoo.add(h):
+                    self._exact.add(k)  # filter full → exact spill
+                n += 1
+        return n
+
+    def check_and_insert(self, keys: List[str]) -> List[bool]:
+        """Atomic membership-test-then-insert; True where the key was NEW.
+
+        Duplicate keys within the batch: first occurrence wins (matches the
+        reference's sequential check-then-add under lock, crawler.py:184-191).
+        """
+        out = []
+        if self.mode == "exact":
+            s = self._exact
+            for k in keys:
+                if k in s:
+                    out.append(False)
+                else:
+                    s.add(k)
+                    out.append(True)
+            return out
+        for k in keys:
+            h = url_hash64(k)
+            if self._cuckoo.contains(h) or k in self._exact:
+                out.append(False)
+            else:
+                if not self._cuckoo.add(h):
+                    self._exact.add(k)
+                out.append(True)
+        return out
+
+    def size(self) -> int:
+        if self.mode == "exact":
+            return len(self._exact)
+        return len(self._cuckoo) + len(self._exact)
+
+    # -- snapshot / restore (checkpointing) ---------------------------------
+    def snapshot_keys(self) -> List[str]:
+        """Exact keys (exact mode only — cuckoo state snapshots via state())."""
+        return sorted(self._exact)
+
+    def restore_keys(self, keys: List[str]) -> None:
+        self._exact.update(keys)
+        if self.mode == "cuckoo":
+            for k in keys:
+                self._cuckoo.add(url_hash64(k))
+
+
+class SeenSetPool:
+    """Driver-side handle over N SeenShard actors, routed by key hash.
+
+    ``num_shards`` should be O(cluster cores / 4) on a real cluster so no
+    single actor bottlenecks an all-to-all generation barrier; each RPC
+    carries that shard's whole key batch.
+    """
+
+    def __init__(self, num_shards: int = 4, mode: str = "exact") -> None:
+        import ray
+
+        from .. import runtime_env
+
+        self._n = num_shards
+        actor_cls = ray.remote(num_cpus=0.5, runtime_env=runtime_env())(SeenShard)
+        self._shards = [actor_cls.remote(mode) for _ in range(num_shards)]
+
+    def _route(self, keys: Sequence[str]) -> Dict[int, List[int]]:
+        groups: Dict[int, List[int]] = {}
+        for i, k in enumerate(keys):
+            groups.setdefault(url_hash64(k) % self._n, []).append(i)
+        return groups
+
+    def _scatter_gather(self, method: str, keys: Sequence[str]) -> List:
+        import ray
+
+        groups = self._route(keys)
+        futs = {
+            shard: getattr(self._shards[shard], method).remote([keys[i] for i in idxs])
+            for shard, idxs in groups.items()
+        }
+        out = [None] * len(keys)
+        for shard, fut in futs.items():
+            res = ray.get(fut)
+            if isinstance(res, list):
+                for i, v in zip(groups[shard], res):
+                    out[i] = v
+        return out
+
+    def contains(self, keys: Sequence[str]) -> np.ndarray:
+        if not len(keys):
+            return np.zeros(0, dtype=bool)
+        return np.array(self._scatter_gather("contains", list(keys)), dtype=bool)
+
+    def check_and_insert(self, keys: Sequence[str]) -> np.ndarray:
+        if not len(keys):
+            return np.zeros(0, dtype=bool)
+        return np.array(self._scatter_gather("check_and_insert", list(keys)), dtype=bool)
+
+    def insert(self, keys: Sequence[str]) -> None:
+        import ray
+
+        if not len(keys):
+            return
+        keys = list(keys)
+        groups = self._route(keys)
+        ray.get(
+            [
+                self._shards[s].insert.remote([keys[i] for i in idxs])
+                for s, idxs in groups.items()
+            ]
+        )
+
+    def size(self) -> int:
+        import ray
+
+        return sum(ray.get([s.size.remote() for s in self._shards]))
+
+    # -- checkpoint ----------------------------------------------------------
+    def snapshot_parquet(self, path: str) -> None:
+        """Write all shard keys as one sorted parquet file (exact mode)."""
+        import ray
+
+        keys: List[str] = []
+        for shard_keys in ray.get([s.snapshot_keys.remote() for s in self._shards]):
+            keys.extend(shard_keys)
+        keys.sort()
+        pq.write_table(pa.table({"key": pa.array(keys, pa.string())}), path)
+
+    def restore_parquet(self, path: str) -> int:
+        import ray
+
+        keys = pq.read_table(path).column("key").to_pylist()
+        groups = self._route(keys)
+        ray.get(
+            [
+                self._shards[s].restore_keys.remote([keys[i] for i in idxs])
+                for s, idxs in groups.items()
+            ]
+        )
+        return len(keys)

@@ -1,0 +1,143 @@
+"""Crawl-trace conformance: distributed pipeline vs single-process oracle.
+
+The oracle (deepwebharvester_ray.oracle) is a direct transcription of the
+reference BFS loop (crawler.py:214-273).  The engine must reproduce its
+results rows, per-status url sets, counters, virtual clocks and epochs
+exactly — including budget cutoffs and cross-seed content dedup.
+"""
+import pytest
+
+from deepwebharvester_ray import corpus, oracle
+from deepwebharvester_ray.config import CrawlSettings
+from deepwebharvester_ray.pipelines.crawl import run_crawl
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _compare(run, trace):
+    # stats counters (CrawlStats analog)
+    assert run.stats["pages_crawled"] == trace.stats["crawled"]
+    assert run.stats["pages_failed"] == trace.stats["failed"]
+    assert run.stats["pages_skipped"] == trace.stats["skipped"]
+    assert run.stats["pages_deduplicated"] == trace.stats["deduplicated"]
+
+    # results rows: url/seed/depth/hash/title/links_found must match exactly
+    t = run.results_table()
+    engine_rows = {
+        (r["seed_id"], r["url"]): (r["depth"], r["content_hash"], r["title"], r["links_found"])
+        for r in t.to_pylist()
+    }
+    oracle_rows = {
+        (r.seed_id, r.url): (r.depth, r.content_hash, r.title, r.links_found)
+        for r in trace.results
+    }
+    assert engine_rows == oracle_rows
+
+    # text byte-identity per url
+    engine_text = {r["url"]: r["text"] for r in t.to_pylist()}
+    for r in trace.results:
+        assert engine_text[r.url] == r.text
+
+    # virtual politeness clocks + renewal epochs per seed
+    for sid, st in run.states.items():
+        assert st.vclock == pytest.approx(trace.vclock[sid]), sid
+        assert st.renew_epochs == trace.epochs[sid], sid
+
+
+def test_conformance_default_budget(smoke_corpus, tmp_path):
+    """Depth-2 crawl, budget never binds (≤13 pages/seed < 20)."""
+    seeds = corpus.seed_urls(6)
+    cfg = CrawlSettings(max_depth=2, seen_shards=2)
+    run = run_crawl(smoke_corpus, seeds, cfg, run_dir=str(tmp_path / "run"))
+    trace = oracle.crawl_oracle(oracle.load_corpus_map(smoke_corpus), seeds, cfg)
+    assert run.stats["pages_crawled"] > 0
+    _compare(run, trace)
+
+
+def test_conformance_budget_binds(smoke_corpus, tmp_path):
+    """Small max_pages + depth 3 → budget cuts seeds off mid-generation."""
+    seeds = corpus.seed_urls(5)
+    cfg = CrawlSettings(max_depth=3, max_pages=6, seen_shards=2)
+    run = run_crawl(smoke_corpus, seeds, cfg, run_dir=str(tmp_path / "run"))
+    trace = oracle.crawl_oracle(oracle.load_corpus_map(smoke_corpus), seeds, cfg)
+    # budget must actually bind for this test to mean anything
+    assert any(s.exhausted for s in run.states.values())
+    _compare(run, trace)
+
+
+def test_conformance_cross_seed_dedup(smoke_corpus, tmp_path):
+    """Seeds 7 is a mirror page (content of 6) → cross-seed dup handling."""
+    seeds = [corpus.doc_url(6), corpus.doc_url(7)]
+    cfg = CrawlSettings(max_depth=1, seen_shards=2)
+    run = run_crawl(smoke_corpus, seeds, cfg, run_dir=str(tmp_path / "run"))
+    trace = oracle.crawl_oracle(oracle.load_corpus_map(smoke_corpus), seeds, cfg)
+    assert run.stats["pages_deduplicated"] > 0
+    _compare(run, trace)
+
+
+def test_invalid_seeds_dropped(smoke_corpus, tmp_path):
+    seeds = ["http://example.com/x", "not-a-url", corpus.doc_url(0)]
+    cfg = CrawlSettings(max_depth=0, seen_shards=1)
+    run = run_crawl(smoke_corpus, seeds, cfg, run_dir=str(tmp_path / "run"))
+    assert run.stats["sites_crawled"] == 1
+    assert run.stats["pages_crawled"] == 1
+
+
+def test_failed_and_blacklisted_counted(smoke_corpus, tmp_path):
+    """Every page links to /missing/... (failure) and /login (blacklist)."""
+    seeds = corpus.seed_urls(2)
+    cfg = CrawlSettings(max_depth=1, seen_shards=2)
+    run = run_crawl(smoke_corpus, seeds, cfg, run_dir=str(tmp_path / "run"))
+    assert run.stats["pages_failed"] > 0
+    assert run.stats["pages_skipped"] > 0
+
+
+def test_resume_no_refetch(smoke_corpus, tmp_path):
+    """Kill after generation 1, resume, trace identical, zero re-fetches."""
+    seeds = corpus.seed_urls(4)
+    cfg = CrawlSettings(max_depth=2, seen_shards=2)
+
+    full = run_crawl(smoke_corpus, seeds, cfg, run_dir=str(tmp_path / "full"))
+
+    # interrupted run: max_depth=1 writes gens 0-1 checkpoints, then we
+    # resume the SAME run_dir with the full config… config digest includes
+    # max_depth, so instead simulate a crash by truncating the manifest.
+    part_dir = str(tmp_path / "part")
+    run_crawl(smoke_corpus, seeds, cfg, run_dir=part_dir)
+    import json
+    from pathlib import Path
+
+    mpath = Path(part_dir) / "manifest.json"
+    manifest = json.loads(mpath.read_text())
+    manifest["generations"] = [g for g in manifest["generations"] if g["generation"] <= 0]
+    mpath.write_text(json.dumps(manifest))
+    # remove the gen>=1 results to prove they are rebuilt
+    import shutil
+
+    for p in Path(part_dir, "results").glob("gen=*"):
+        if int(p.name.split("=")[1]) >= 1:
+            shutil.rmtree(p)
+
+    resumed = run_crawl(smoke_corpus, seeds, cfg, run_dir=part_dir, resume=True)
+    # the resumed run re-fetches exactly the uninterrupted run's gens >= 1
+    # (same urls may appear across gens for different seeds — reference
+    # semantics scope URL marks per seed, crawler.py:230)
+    assert resumed.fetched_urls_per_gen == full.fetched_urls_per_gen[1:]
+
+    # final state identical to the uninterrupted run
+    assert resumed.stats == full.stats
+    t_full = {r["url"]: r["content_hash"] for r in full.results_table().to_pylist()}
+    t_res = {r["url"]: r["content_hash"] for r in resumed.results_table().to_pylist()}
+    assert t_full == t_res
+
+
+def test_resume_config_mismatch_rejected(smoke_corpus, tmp_path):
+    seeds = corpus.seed_urls(2)
+    cfg = CrawlSettings(max_depth=1, seen_shards=1)
+    rd = str(tmp_path / "run")
+    run_crawl(smoke_corpus, seeds, cfg, run_dir=rd)
+    with pytest.raises(ValueError, match="mismatch"):
+        run_crawl(
+            smoke_corpus, seeds, CrawlSettings(max_depth=2, seen_shards=1),
+            run_dir=rd, resume=True,
+        )

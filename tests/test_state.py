@@ -1,0 +1,81 @@
+"""Cuckoo filter + sharded seen-set pool."""
+import numpy as np
+import pytest
+
+from deepwebharvester_ray.state.cuckoo import CuckooFilter
+from deepwebharvester_ray.state.seen import SeenShard
+
+
+def test_cuckoo_basic():
+    cf = CuckooFilter(capacity=10_000)
+    keys = list(range(100, 5000, 7))
+    for k in keys:
+        assert cf.add(k)
+    assert all(cf.contains(k) for k in keys)
+    assert len(cf) == len(keys)
+
+
+def test_cuckoo_fp_rate():
+    rng = np.random.default_rng(7)
+    cf = CuckooFilter(capacity=50_000)
+    present = rng.integers(0, 2**63, 40_000, dtype=np.uint64)
+    for k in present:
+        cf.add(int(k))
+    absent = rng.integers(0, 2**63, 20_000, dtype=np.uint64)
+    present_set = set(int(x) for x in present)
+    fps = sum(
+        1 for k in absent if int(k) not in present_set and cf.contains(int(k))
+    )
+    # 16-bit fingerprints, 4 slots → expected fp ≈ 0.012%; allow 10x slack
+    assert fps / len(absent) < 0.005
+
+
+def test_cuckoo_delete_and_snapshot():
+    cf = CuckooFilter(capacity=1000)
+    cf.add(42)
+    assert cf.contains(42)
+    st = cf.state()
+    assert cf.delete(42)
+    assert not cf.contains(42)
+    cf.restore(st)
+    assert cf.contains(42)
+
+
+def test_seen_shard_exact():
+    s = SeenShard("exact")
+    mask = s.check_and_insert(["a", "b", "a", "c"])
+    assert mask == [True, True, False, True]
+    assert s.contains(["a", "d"]) == [True, False]
+    s.insert(["d"])
+    assert s.size() == 4
+    assert s.snapshot_keys() == ["a", "b", "c", "d"]
+
+
+def test_seen_shard_cuckoo():
+    s = SeenShard("cuckoo", capacity=10_000)
+    keys = [f"url-{i}" for i in range(2000)]
+    mask = s.check_and_insert(keys)
+    assert all(mask)
+    assert all(s.contains(keys))
+    mask2 = s.check_and_insert(keys[:100])
+    assert not any(mask2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seen_pool_sharded(tmp_path):
+    from deepwebharvester_ray.state.seen import SeenSetPool
+
+    pool = SeenSetPool(num_shards=3, mode="exact")
+    keys = [f"k{i}" for i in range(500)]
+    mask = pool.check_and_insert(keys)
+    assert mask.all()
+    mask2 = pool.check_and_insert(keys + ["new1", "new2"])
+    assert mask2.sum() == 2
+    assert pool.size() == 502
+    # snapshot / restore round-trip
+    snap = tmp_path / "snap.parquet"
+    pool.snapshot_parquet(str(snap))
+    pool2 = SeenSetPool(num_shards=2, mode="exact")  # different shard count OK
+    n = pool2.restore_parquet(str(snap))
+    assert n == 502
+    assert pool2.contains(["k0", "new1", "absent"]).tolist() == [True, True, False]
