@@ -1,0 +1,210 @@
+"""Result sinks: partitioned Parquet (primary) + JSON/CSV/SQLite parity.
+
+The reference persists to JSON + CSV + SQLite simultaneously
+(storage.py:236-261).  At 100 TB the primary store is partitioned Parquet
+written by the crawl pipeline itself (one directory per generation —
+pipelines/crawl.py); these writers exist for small-scale parity and for
+the same downstream consumers the reference serves:
+
+* JSON — array of 8 projected fields, crawl_time rounded to 3 dp
+  (storage.py:175-187)
+* CSV — fixed header, newlines scrubbed from text (storage.py:218-228)
+* SQLite — ``crawl_results`` schema with URL uniqueness + ioc_data JSON
+  (storage.py:25-41, 107-154); powers ``get_known_urls`` resume parity
+  (storage.py:94-105)
+
+All writers stream ``iter_batches`` off the Dataset — results are
+append-serialised without materialising the full dataset in driver memory.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import sqlite3
+from datetime import datetime, timezone
+from pathlib import Path
+from typing import Dict, Optional, Set
+
+import pyarrow as pa
+
+from .intelligence import IOC_FIELDS
+
+logger = logging.getLogger(__name__)
+
+_SQLITE_SCHEMA = """
+CREATE TABLE IF NOT EXISTS crawl_results (
+    id            INTEGER PRIMARY KEY AUTOINCREMENT,
+    url           TEXT    UNIQUE NOT NULL,
+    title         TEXT,
+    text          TEXT,
+    content_hash  TEXT,
+    depth         INTEGER,
+    crawl_time    REAL,
+    links_found   INTEGER,
+    site          TEXT,
+    ioc_data      TEXT,
+    crawled_at    TEXT    NOT NULL DEFAULT (strftime('%Y-%m-%dT%H:%M:%SZ', 'now'))
+);
+CREATE INDEX IF NOT EXISTS idx_site ON crawl_results(site);
+CREATE INDEX IF NOT EXISTS idx_hash ON crawl_results(content_hash);
+"""
+
+_JSON_FIELDS = [
+    "url", "site", "title", "depth", "crawl_time_s", "links_found",
+    "content_hash", "text",
+]
+
+_CSV_HEADER = [
+    "URL", "Site", "Title", "Depth", "CrawlTime(s)", "LinksFound",
+    "ContentHash", "Text",
+]
+
+
+def _timestamped(prefix: str, suffix: str, filename: Optional[str]) -> str:
+    if filename:
+        return filename
+    ts = datetime.now(tz=timezone.utc).strftime("%Y%m%d_%H%M%S")
+    return f"{prefix}_{ts}.{suffix}"
+
+
+def _iter_batches(results) -> "iter":
+    """Yield pyarrow record batches from a Dataset or a pyarrow Table."""
+    if isinstance(results, pa.Table):
+        yield from results.to_batches(max_chunksize=4096)
+        return
+    for batch in results.iter_batches(batch_format="pyarrow", batch_size=4096):
+        yield from batch.to_batches()
+
+
+def save_to_json(results, output_dir: str, filename: Optional[str] = None) -> Path:
+    """JSON array of the reference's 8 projected fields (storage.py:158-194)."""
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    path = out / _timestamped("results", "json", filename)
+    n = 0
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("[")
+        first = True
+        for batch in _iter_batches(results):
+            cols = {c: batch.column(c).to_pylist() for c in
+                    ("url", "site", "title", "depth", "crawl_time", "links_found",
+                     "content_hash", "text")}
+            for i in range(batch.num_rows):
+                rec = {
+                    "url": cols["url"][i],
+                    "site": cols["site"][i],
+                    "title": cols["title"][i],
+                    "depth": cols["depth"][i],
+                    "crawl_time_s": round(cols["crawl_time"][i], 3),
+                    "links_found": cols["links_found"][i],
+                    "content_hash": cols["content_hash"][i],
+                    "text": cols["text"][i],
+                }
+                fh.write(("" if first else ",") + "\n  ")
+                json.dump(rec, fh, ensure_ascii=False)
+                first = False
+                n += 1
+        fh.write("\n]")
+    logger.info("JSON: %d result(s) → %s", n, path)
+    return path
+
+
+def save_to_csv(results, output_dir: str, filename: Optional[str] = None) -> Path:
+    """CSV with the reference header; newlines scrubbed (storage.py:198-232)."""
+    import csv
+
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    path = out / _timestamped("results", "csv", filename)
+    n = 0
+    with open(path, "w", newline="", encoding="utf-8") as fh:
+        writer = csv.writer(fh)
+        writer.writerow(_CSV_HEADER)
+        for batch in _iter_batches(results):
+            cols = {c: batch.column(c).to_pylist() for c in
+                    ("url", "site", "title", "depth", "crawl_time", "links_found",
+                     "content_hash", "text")}
+            for i in range(batch.num_rows):
+                clean = cols["text"][i].replace("\n", " ").replace("\r", " ")
+                writer.writerow(
+                    [cols["url"][i], cols["site"][i], cols["title"][i],
+                     cols["depth"][i], round(cols["crawl_time"][i], 3),
+                     cols["links_found"][i], cols["content_hash"][i], clean]
+                )
+                n += 1
+    logger.info("CSV: %d result(s) → %s", n, path)
+    return path
+
+
+def _ioc_json_from_batch(batch: pa.RecordBatch, i: int) -> Optional[str]:
+    """Serialize a row's IOC columns like the reference IOCs.as_dict
+    (intelligence.py:164-179: urls capped at 20 in serialized output)."""
+    if "ioc_total" not in batch.schema.names:
+        return None
+    d = {}
+    for f in IOC_FIELDS:
+        vals = batch.column(f)[i].as_py()
+        d[f] = vals[:20] if f == "urls" else vals
+    d["pgp_present"] = batch.column("pgp_present")[i].as_py()
+    d["total"] = batch.column("ioc_total")[i].as_py()
+    return json.dumps(d)
+
+
+def save_to_sqlite(
+    results, output_dir: str, db_name: str = "deepwebharvester.db"
+) -> int:
+    """INSERT OR IGNORE into the reference schema; returns rows inserted."""
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    db_path = out / db_name
+    inserted = 0
+    with sqlite3.connect(db_path, timeout=10.0) as conn:
+        conn.executescript(_SQLITE_SCHEMA)
+        for batch in _iter_batches(results):
+            cols = {c: batch.column(c).to_pylist() for c in
+                    ("url", "title", "text", "content_hash", "depth",
+                     "crawl_time", "links_found", "site")}
+            for i in range(batch.num_rows):
+                cur = conn.execute(
+                    "INSERT OR IGNORE INTO crawl_results"
+                    " (url, title, text, content_hash, depth, crawl_time,"
+                    "  links_found, site, ioc_data)"
+                    " VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)",
+                    (cols["url"][i], cols["title"][i], cols["text"][i],
+                     cols["content_hash"][i], cols["depth"][i],
+                     cols["crawl_time"][i], cols["links_found"][i],
+                     cols["site"][i], _ioc_json_from_batch(batch, i)),
+                )
+                inserted += cur.rowcount if cur.rowcount > 0 else 0
+        conn.commit()
+    logger.info("SQLite: %d new row(s) → %s", inserted, db_path)
+    return inserted
+
+
+def get_known_urls(output_dir: str, db_name: str = "deepwebharvester.db") -> Set[str]:
+    """Resume-parity source (storage.py:94-105)."""
+    db_path = Path(output_dir) / db_name
+    if not db_path.exists():
+        return set()
+    with sqlite3.connect(db_path, timeout=10.0) as conn:
+        rows = conn.execute("SELECT url FROM crawl_results").fetchall()
+    return {r[0] for r in rows}
+
+
+def save_all(
+    results,
+    output_dir: str,
+    json_output: bool = True,
+    csv_output: bool = True,
+    sqlite_output: bool = True,
+) -> Dict[str, Path]:
+    """Fan-out to all enabled sinks (storage.py:236-261)."""
+    paths: Dict[str, Path] = {}
+    if sqlite_output:
+        save_to_sqlite(results, output_dir)
+        paths["sqlite"] = Path(output_dir) / "deepwebharvester.db"
+    if json_output:
+        paths["json"] = save_to_json(results, output_dir)
+    if csv_output:
+        paths["csv"] = save_to_csv(results, output_dir)
+    return paths

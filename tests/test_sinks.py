@@ -1,0 +1,88 @@
+"""Sink round-trips + report aggregates (reference storage.py / report.py)."""
+import csv
+import json
+import sqlite3
+
+import pytest
+
+from deepwebharvester_ray import corpus, report, sinks
+from deepwebharvester_ray.config import CrawlSettings
+from deepwebharvester_ray.pipelines.crawl import run_crawl
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture(scope="module")
+def crawl_run(smoke_corpus, tmp_path_factory):
+    cfg = CrawlSettings(max_depth=2, seen_shards=2)
+    return run_crawl(
+        smoke_corpus,
+        corpus.seed_urls(4),
+        cfg,
+        run_dir=str(tmp_path_factory.mktemp("sinkrun")),
+        with_intel=True,
+    )
+
+
+def test_json_sink(crawl_run, tmp_path):
+    path = sinks.save_to_json(crawl_run.results_table(), str(tmp_path), "r.json")
+    data = json.loads(path.read_text())
+    assert len(data) == crawl_run.stats["pages_crawled"]
+    assert set(data[0]) == {
+        "url", "site", "title", "depth", "crawl_time_s", "links_found",
+        "content_hash", "text",
+    }
+    assert isinstance(data[0]["crawl_time_s"], float)
+
+
+def test_csv_sink_scrubs_newlines(crawl_run, tmp_path):
+    path = sinks.save_to_csv(crawl_run.results_table(), str(tmp_path), "r.csv")
+    with open(path, newline="") as fh:
+        rows = list(csv.reader(fh))
+    assert rows[0] == ["URL", "Site", "Title", "Depth", "CrawlTime(s)",
+                       "LinksFound", "ContentHash", "Text"]
+    assert len(rows) == 1 + crawl_run.stats["pages_crawled"]
+    for row in rows[1:]:
+        assert "\n" not in row[7] and "\r" not in row[7]
+
+
+def test_sqlite_sink_url_unique_and_resume(crawl_run, tmp_path):
+    t = crawl_run.results_table()
+    n = sinks.save_to_sqlite(t, str(tmp_path))
+    assert n == t.num_rows
+    # duplicate insert ignored
+    n2 = sinks.save_to_sqlite(t, str(tmp_path))
+    assert n2 == 0
+    known = sinks.get_known_urls(str(tmp_path))
+    assert known == set(t.column("url").to_pylist())
+    # ioc_data JSON present and well-formed
+    with sqlite3.connect(tmp_path / "deepwebharvester.db") as conn:
+        ioc = conn.execute("SELECT ioc_data FROM crawl_results LIMIT 1").fetchone()[0]
+    d = json.loads(ioc)
+    assert "total" in d and "urls" in d
+
+
+def test_save_all(crawl_run, tmp_path):
+    paths = sinks.save_all(crawl_run.results_table(), str(tmp_path))
+    assert set(paths) == {"sqlite", "json", "csv"}
+    for p in paths.values():
+        assert p.exists()
+
+
+def test_report_aggregates_and_html(crawl_run, tmp_path):
+    ds = crawl_run.results_dataset()
+    stats = report.aggregate_report_stats(ds)
+    assert stats["totals"]["pages"] == crawl_run.stats["pages_crawled"]
+    assert sum(stats["risk_hist"].values()) == stats["totals"]["pages"]
+    assert len(stats["sites"]) <= crawl_run.stats["sites_crawled"] + 10
+    assert stats["top_risk"] and stats["top_risk"][0]["risk_score"] == max(
+        r["risk_score"] for r in stats["top_risk"]
+    )
+    path = report.generate(ds, str(tmp_path), "rep.html")
+    html = path.read_text()
+    assert "Executive summary" in html and "Risk distribution" in html
+    assert "<script" not in html  # no JS, reference test_report.py parity
+
+
+def test_graph_png_gated(crawl_run, tmp_path):
+    assert report.save_graph_png(crawl_run.results_dataset(), str(tmp_path)) is None
