@@ -1,0 +1,184 @@
+"""Training-data ops: text analysis, dedup family, ANN, multimodal."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from deepwebharvester_ray.functions import ann, dedup, multimodal, textops
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _docs_ds(texts):
+    import ray
+
+    return ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+
+
+# ── textops ──────────────────────────────────────────────────────────────────
+
+
+def test_token_count():
+    t = pa.table({"text": ["a bb  ccc", "", "one-two 3"]})
+    out = textops.token_count_batch(t)
+    assert out.column("n_tokens").to_pylist() == [3, 0, 2]
+    # BPE-ish: one|-|two|3
+    assert out.column("n_bpe_tokens").to_pylist() == [3, 0, 4]
+
+
+def test_quality():
+    t = pa.table({"text": ["ab cd!", ""]})
+    out = textops.quality_batch(t)
+    assert out.column("n_chars").to_pylist() == [6, 0]
+    assert out.column("mean_token_len").to_pylist()[0] == pytest.approx(5 / 2)
+    assert out.column("alnum_ratio").to_pylist()[0] == pytest.approx(4 / 6)
+
+
+def test_lang_id():
+    t = pa.table({"text": [
+        "the cat and the dog of a house",
+        "der hund und die katze ist nicht da",
+        "xyzzy qwerty",
+    ]})
+    out = textops.lang_id_batch(t)
+    assert out.column("pred_lang").to_pylist() == ["en", "de", "und"]
+
+
+def test_fingerprint_deterministic():
+    t = pa.table({"text": ["one two three four five six seven"] * 2 + ["different words here"]})
+    out = textops.fingerprint_batch(t)
+    fps = out.column("fingerprint").to_pylist()
+    assert fps[0] == fps[1] != fps[2]
+
+
+# ── dedup ────────────────────────────────────────────────────────────────────
+
+
+def test_exact_dedup():
+    texts = ["same text", "unique one", "same text", "unique two", "same text"]
+    out = dedup.exact_dedup(_docs_ds(texts)).take_all()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [0, 1, 3]
+
+
+def test_minhash_finds_planted_neardups():
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango")
+    texts = [f"doc {i} " + " ".join(f"w{i}x{j}" for j in range(30)) for i in range(20)]
+    texts.append(base)                       # 20
+    texts.append(base + " uniform victor")   # 21: near-dup of 20
+    out = dedup.minhash_lsh_pairs(_docs_ds(texts), threshold=0.5).take_all()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (20, 21) in pairs
+    for a, b in pairs:
+        assert not (a < 20 and b < 20)  # unrelated docs must not pair
+
+
+def test_jaccard_exact_pairs():
+    texts = ["a b c d e", "a b c d f", "x y z w v"]
+    out = dedup.jaccard_pairs_exact(_docs_ds(texts), threshold=0.6).take_all()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] == pytest.approx(4 / 6)
+
+
+def test_simhash_pairs():
+    words = [f"tok{i}" for i in range(60)]
+    a = " ".join(words)
+    b = " ".join(words[:-1] + ["changed"])   # 1 token differs → small hamming
+    texts = [a, b, "totally different content entirely unrelated stuff"]
+    out = dedup.simhash_pairs(_docs_ds(texts), max_hamming=8).take_all()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_embedding_neardup():
+    import ray
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    vecs = [base, base + rng.standard_normal(16) * 0.01, rng.standard_normal(16)]
+    ds = ray.data.from_arrow(
+        pa.table({
+            "vec_id": [0, 1, 2],
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        })
+    )
+    out = dedup.embedding_neardup_pairs(ds, threshold=0.99).take_all()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
+
+
+# ── ANN ──────────────────────────────────────────────────────────────────────
+
+
+@pytest.fixture(scope="module")
+def emb_ds():
+    import ray
+
+    return ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_brute_topk(emb_ds):
+    rows = emb_ds.take(1)
+    q = np.array(rows[0]["embedding"], dtype=np.float64)
+    out = ann.brute_topk(emb_ds, q, k=5)
+    assert out.num_rows == 5
+    ranks = out.column("rank").to_pylist()
+    assert ranks == [1, 2, 3, 4, 5]
+    assert out.column("id").to_pylist()[0] == rows[0]["vec_id"]  # self is NN
+    scores = out.column("score").to_pylist()
+    assert scores == sorted(scores, reverse=True)
+    assert scores[0] == pytest.approx(1.0)
+
+
+def test_lsh_topk_recall(emb_ds):
+    rows = emb_ds.take(1)
+    q = np.array(rows[0]["embedding"], dtype=np.float64)
+    exact = set(ann.brute_topk(emb_ds, q, k=10).column("id").to_pylist())
+    approx = set(
+        ann.lsh_topk(emb_ds, q, k=10, n_bits=6, n_probe=8).column("id").to_pylist()
+    )
+    # multi-probe over most buckets → decent recall on 500 vectors
+    assert len(exact & approx) >= 5
+
+
+# ── multimodal ───────────────────────────────────────────────────────────────
+
+
+def test_binary_metadata():
+    t = pa.table({
+        "id": [1, 2, 3],
+        "payload": pa.array([b"\x89PNG\r\n", b"\xff\xd8\xff\xe0xx", b"plain"], pa.binary()),
+    })
+    out = multimodal.binary_metadata_batch(t)
+    assert out.column("sniffed_type").to_pylist() == [
+        "image/png", "image/jpeg", "application/octet-stream"
+    ]
+    assert out.column("n_bytes").to_pylist() == [6, 6, 5]
+
+
+def test_decode_fake_features():
+    import ray
+
+    t = pa.table({"id": [1, 2], "payload": pa.array([b"\x00" * 64, bytes(range(64))], pa.binary())})
+    out = multimodal.decode_features(
+        ray.data.from_arrow(t), fake=True, batch_size=8
+    ).take_all()
+    f0 = out[0]["features"]
+    assert len(f0) == multimodal.N_FEATURES
+    assert f0[0] == pytest.approx(1.0)  # all zero bytes → first bin
+    assert sum(out[1]["features"]) == pytest.approx(1.0)
+
+
+def test_decode_stub_raises():
+    stage = multimodal.DecodeStage()
+    with pytest.raises(NotImplementedError):
+        stage(pa.table({"payload": pa.array([b"x"], pa.binary())}))
+
+
+def test_frame_sample_stub():
+    stage = multimodal.frame_sample_stub(4)
+    with pytest.raises(NotImplementedError):
+        stage(pa.table({"video": pa.array([b"x"], pa.binary())}))
