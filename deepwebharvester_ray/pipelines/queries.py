@@ -1,0 +1,906 @@
+"""Driver-facing query catalog: every implemented operator/pipeline from
+SURVEY.md §2 (plus the training-data ops) as a callable over an ``sf_dir``
+of driver Parquet tables, with a matching ANSI-SQL oracle for everything
+SQL-expressible.
+
+Design rules (driver contract):
+
+* Each callable takes ``sf_dir`` and returns a Dataset / pyarrow Table /
+  pandas DataFrame.  Ray is already initialised by the caller.
+* Column NAMES and dtypes match between the Ray result and the DuckDB
+  oracle (the driver sorts columns by name and value-hashes).
+* Floating-point outputs are either (a) exact rationals computed with the
+  identical IEEE expression order on both sides, or (b) converted to
+  deterministic integers (``floor(x*100)`` cents) — never raw
+  order-dependent float sums.
+* Queries with no SQL oracle (BFS crawl replay, MinHash/SimHash/LSH
+  approximations, rolling-hash fingerprints, multimodal stubs) are listed
+  in :data:`ROWS_ONLY` and get the driver's weaker rows-only check.
+
+The synthetic page corpus used by the extraction/crawl queries is derived
+deterministically from the ``documents`` table (corpus.py) with
+SQL-expressible formulas, so the extraction oracle reconstructs the
+expected title/text/content-hash from ``documents`` alone.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, Dict, List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import runtime_env
+from ..config import CrawlSettings
+from ..corpus import DUP_MOD, DUP_REMAINDER, LINK_OFFSETS, corpus_from_documents, seed_urls
+from ..extract import extract_batch
+from ..functions.ann import brute_topk, lsh_topk
+from ..functions.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard_pairs_exact,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from ..functions.multimodal import binary_metadata_batch
+from ..functions.textops import (
+    LANG_ORDER,
+    LANG_STOPWORDS,
+    fingerprint_batch,
+    lang_id_batch,
+    quality_batch,
+    token_count_batch,
+)
+from ..intelligence import CATEGORIES, CATEGORY_RISK, extract_iocs, intelligence_batch
+from ..urlops import canonicalize_url
+from .crawl import run_crawl
+
+# Thresholds chosen with a verified numeric gap to the nearest similarity
+# value at sf0.01 (no pair sits within 1e-3 of the cut → float32/float64
+# discrepancies between numpy and DuckDB cannot flip membership).
+EMB_NEARDUP_THRESHOLD = 0.45
+JACCARD_THRESHOLD = 0.85
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray
+
+    return ray.data.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"), columns=columns
+    )
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray
+
+    return ray.data.read_parquet(
+        str(Path(sf_dir) / f"{table}.parquet"), columns=columns
+    )
+
+
+def _rename(ds, mapping: Dict[str, str]):
+    def fix(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [mapping.get(n, n) for n in batch.column_names]
+        )
+
+    return ds.map_batches(fix, batch_format="pyarrow", runtime_env=runtime_env())
+
+
+# ── IOC augmentation (identical expression on both sides) ───────────────────
+
+
+def _augment_ioc_py(doc_id: int, text: str) -> str:
+    aug = (
+        f"{text} ping 203.0.113.{doc_id % 250} and 10.0.0.{doc_id % 250}"
+        f" mail user{doc_id}@mail{doc_id % 20}.com"
+    )
+    if doc_id % 4 == 0:
+        aug += f" CVE-2023-{1000 + doc_id % 8999}"
+    return aug
+
+
+_AUG_SQL = (
+    "text || ' ping 203.0.113.' || (doc_id % 250) || ' and 10.0.0.' || "
+    "(doc_id % 250) || ' mail user' || doc_id || '@mail' || (doc_id % 20) || "
+    "'.com' || CASE WHEN doc_id % 4 = 0 THEN ' CVE-2023-' || "
+    "(1000 + doc_id % 8999) ELSE '' END"
+)
+
+_THREAT_AUG_PY = {
+    0: " malware exploit payload",
+    1: " password leaked breach account",
+}
+
+_THREAT_AUG_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' malware exploit payload' "
+    "WHEN doc_id % 3 = 1 THEN text || ' password leaked breach account' "
+    "ELSE text END"
+)
+
+
+# ── queries ──────────────────────────────────────────────────────────────────
+
+
+def q_extract_pages(sf_dir: str):
+    """M1 extract slice: pruned corpus read → extract_batch actor stage →
+    (doc_id, title, content_hash, links_found).  content_hash covers the
+    byte-identical-text invariant (reference extractor.py:95-133)."""
+    import ray
+
+    corpus = corpus_from_documents(sf_dir)
+    ds = ray.data.read_parquet(corpus, columns=["url", "html"])
+    ext = ds.map_batches(
+        extract_batch, batch_format="pyarrow", batch_size=256,
+        runtime_env=runtime_env(),
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        doc_ids = [int(u.rsplit("/", 1)[1]) for u in batch.column("url").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "title": batch.column("title"),
+                "content_hash": batch.column("content_hash"),
+                "links_found": batch.column("links_found"),
+            }
+        )
+
+    return ext.map_batches(project, batch_format="pyarrow", runtime_env=runtime_env())
+
+
+def _sql_extract_pages() -> str:
+    t1, t2, t3 = LINK_OFFSETS
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+e AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id > 0 AND d.doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN d.doc_id - 1 ELSE d.doc_id END AS eff
+  FROM documents d
+),
+x AS (
+  SELECT e.doc_id, e.eff, trim(t.text) AS body,
+         (e.eff + {t1}) % n.c AS t1, (e.eff + {t2}) % n.c AS t2,
+         (e.eff + {t3}) % n.c AS t3
+  FROM e JOIN documents t ON t.doc_id = e.eff CROSS JOIN n
+)
+SELECT doc_id,
+       'Doc ' || eff AS title,
+       sha256('Doc ' || eff || chr(10) || body || chr(10) ||
+              'L' || t1 || chr(10) || 'F' || t1 || chr(10) ||
+              'L' || t2 || chr(10) || 'L' || t3 || chr(10) ||
+              'M' || eff || chr(10) || 'LOGIN' || chr(10) || 'JS' || chr(10) ||
+              'MAIL' || chr(10) || 'TOP' || chr(10) || 'EXT') AS content_hash,
+       CAST(5 AS INTEGER) AS links_found
+FROM x
+ORDER BY doc_id
+"""
+
+
+def q_exact_dedup(sf_dir: str):
+    """D1 exact dedup: documents ∪ re-keyed mirror copy → hash-partitioned
+    groupby(content_hash) keep-min-id (crawler.py:184-191 semantics)."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    n = pq.ParquetFile(str(Path(sf_dir) / "documents.parquet")).metadata.num_rows
+
+    def shift(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(batch.column("doc_id"), n),
+        )
+
+    mirror = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        shift, batch_format="pyarrow", runtime_env=runtime_env()
+    )
+    deduped = exact_dedup(docs.union(mirror), id_column="doc_id", text_column="text")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["content_hash", "doc_id"])
+
+    return deduped.map_batches(project, batch_format="pyarrow", runtime_env=runtime_env())
+
+
+_SQL_EXACT_DEDUP = """
+WITH n AS (SELECT count(*) AS c FROM documents),
+u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT d.doc_id + n.c, d.text FROM documents d CROSS JOIN n
+)
+SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id
+FROM u GROUP BY sha256(text) ORDER BY doc_id
+"""
+
+
+def q_token_counts(sf_dir: str):
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(token_count_batch, batch_format="pyarrow",
+                         runtime_env=runtime_env())
+    return out.select_columns(["doc_id", "n_tokens", "n_bpe_tokens"])
+
+
+_SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_quality(sf_dir: str):
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(quality_batch, batch_format="pyarrow",
+                         runtime_env=runtime_env())
+    return out.select_columns(
+        ["doc_id", "n_chars", "n_tokens", "mean_token_len", "alnum_ratio"]
+    )
+
+
+_SQL_QUALITY = r"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS nonspace,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]')) AS BIGINT) AS alnum
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       CASE WHEN n_tokens > 0 THEN nonspace / CAST(n_tokens AS DOUBLE)
+            ELSE 0.0 END AS mean_token_len,
+       CASE WHEN n_chars > 0 THEN alnum / CAST(n_chars AS DOUBLE)
+            ELSE 0.0 END AS alnum_ratio
+FROM q ORDER BY doc_id
+"""
+
+
+def q_lang_id(sf_dir: str):
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "text"])
+    out = ds.map_batches(lang_id_batch, batch_format="pyarrow",
+                         runtime_env=runtime_env())
+    return out.select_columns(["doc_id", "lang", "pred_lang"])
+
+
+def _sql_lang_id() -> str:
+    score_cols = []
+    for lang in LANG_ORDER:
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(ws, w -> w IN ({words}))) AS s_{lang}"
+        )
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+s AS (SELECT doc_id, lang, {", ".join(score_cols)} FROM d)
+SELECT doc_id, lang,
+  CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_es >= s_fr THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM s ORDER BY doc_id
+"""
+
+
+def q_langid_confusion(sf_dir: str):
+    """A3-style aggregate: (actual lang, predicted lang) → count."""
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "text"])
+    out = ds.map_batches(lang_id_batch, batch_format="pyarrow",
+                         runtime_env=runtime_env())
+    agg = out.groupby(["lang", "pred_lang"]).count()
+    return _rename(agg, {"count()": "n_docs"})
+
+
+def _sql_langid_confusion() -> str:
+    inner = _sql_lang_id().replace("ORDER BY doc_id", "")
+    return f"""
+WITH pred AS ({inner})
+SELECT lang, pred_lang, count(*) AS n_docs
+FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+"""
+
+
+def q_ioc_counts(sf_dir: str):
+    """M7 IOC extraction over deterministically IOC-augmented text
+    (private-IP exclusion + per-field dedupe, intelligence.py:239-271)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        rows = {
+            "doc_id": doc_ids,
+            "n_ipv4": [], "n_emails": [], "n_cves": [],
+            "n_domains": [], "n_onion": [], "pgp_present": [], "ioc_total": [],
+        }
+        for d, t in zip(doc_ids, texts):
+            iocs = extract_iocs(_augment_ioc_py(d, t or ""))
+            rows["n_ipv4"].append(len(iocs["ipv4"]))
+            rows["n_emails"].append(len(iocs["emails"]))
+            rows["n_cves"].append(len(iocs["cves"]))
+            rows["n_domains"].append(len(iocs["domains"]))
+            rows["n_onion"].append(len(iocs["onion_addresses"]))
+            rows["pgp_present"].append(bool(iocs["pgp_present"]))
+            rows["ioc_total"].append(int(iocs["ioc_total"]))
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.int64()),
+                "n_ipv4": pa.array(rows["n_ipv4"], pa.int64()),
+                "n_emails": pa.array(rows["n_emails"], pa.int64()),
+                "n_cves": pa.array(rows["n_cves"], pa.int64()),
+                "n_domains": pa.array(rows["n_domains"], pa.int64()),
+                "n_onion": pa.array(rows["n_onion"], pa.int64()),
+                "pgp_present": pa.array(rows["pgp_present"], pa.bool_()),
+                "ioc_total": pa.array(rows["ioc_total"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", runtime_env=runtime_env())
+
+
+_SQL_IOC_COUNTS = rf"""
+WITH a AS (SELECT doc_id, {_AUG_SQL} AS t FROM documents),
+c AS (
+  SELECT doc_id,
+    list_filter(
+      list_distinct(regexp_extract_all(t,
+        '\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){{3}}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b')),
+      ip -> NOT (ip LIKE '127.%' OR ip LIKE '10.%' OR ip LIKE '192.168.%'
+                 OR ip LIKE '169.254.%')) AS ipv4,
+    list_distinct(regexp_extract_all(t,
+      '\b[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{{2,}}\b')) AS emails,
+    list_distinct(list_transform(regexp_extract_all(t,
+      '(?i)\bCVE-[0-9]{{4}}-[0-9]{{4,7}}\b'), x -> upper(x))) AS cves,
+    list_distinct(regexp_extract_all(t,
+      '(?i)\b(?:[a-z0-9](?:[a-z0-9\-]{{0,61}}[a-z0-9])?\.)+(?:com|net|org|io|ru|cn|de|uk|fr|it|es|gov|edu|mil|co)\b')) AS domains,
+    list_distinct(regexp_extract_all(t, '(?i)\b[a-z2-7]{{56}}\.onion\b')) AS onions
+  FROM a
+)
+SELECT doc_id,
+       CAST(len(ipv4) AS BIGINT) AS n_ipv4,
+       CAST(len(emails) AS BIGINT) AS n_emails,
+       CAST(len(cves) AS BIGINT) AS n_cves,
+       CAST(len(domains) AS BIGINT) AS n_domains,
+       CAST(len(onions) AS BIGINT) AS n_onion,
+       false AS pgp_present,
+       CAST(len(ipv4) + len(emails) + len(cves) + len(domains) + len(onions)
+            AS BIGINT) AS ioc_total
+FROM c ORDER BY doc_id
+"""
+
+
+def q_threat_scores(sf_dir: str):
+    """M8 keyword-density threat scoring over augmented text
+    (intelligence.py:275-337)."""
+    from ..intelligence import classify_threat
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        scores, labels = [], []
+        for d, t in zip(doc_ids, texts):
+            aug = (t or "") + _THREAT_AUG_PY.get(d % 3, "")
+            th = classify_threat(aug)
+            scores.append(th["risk_score"])
+            labels.append(th["risk_label"])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "risk_score": pa.array(scores, pa.float64()),
+                "risk_label": pa.array(labels, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", runtime_env=runtime_env())
+
+
+def _sql_threat_scores() -> str:
+    kb_rows = []
+    for cat, kws in CATEGORIES.items():
+        w = CATEGORY_RISK[cat]
+        for kw in kws:
+            kw_sql = kw.lower().replace("'", "''")
+            kb_rows.append(f"('{kw_sql}', {w!r})")
+    kb = ",\n    ".join(kb_rows)
+    return rf"""
+WITH kb(kw, weight) AS (VALUES
+    {kb}),
+d AS (SELECT doc_id, lower({_THREAT_AUG_SQL}) AS t FROM documents),
+w AS (
+  SELECT doc_id,
+         greatest(len(regexp_extract_all(t, '\S+')), 1) AS words
+  FROM d
+),
+h AS (
+  SELECT d.doc_id, kb.weight,
+         (length(d.t) - length(replace(d.t, kb.kw, ''))) // length(kb.kw) AS hits
+  FROM d CROSS JOIN kb
+),
+s AS (
+  SELECT h.doc_id,
+         (least(hits / (words / 1000.0), 1.0) * weight) * 10.0 AS score
+  FROM h JOIN w USING (doc_id) WHERE hits > 0
+),
+r AS (SELECT doc_id, max(score) AS raw FROM s GROUP BY doc_id),
+f AS (
+  SELECT w.doc_id,
+         round(least(coalesce(r.raw, 0.0), 10.0), 2) AS risk_score
+  FROM w LEFT JOIN r USING (doc_id)
+)
+SELECT doc_id, risk_score,
+       CASE WHEN risk_score >= 9.0 THEN 'Critical'
+            WHEN risk_score >= 7.0 THEN 'High'
+            WHEN risk_score >= 4.0 THEN 'Medium'
+            ELSE 'Low' END AS risk_label
+FROM f ORDER BY doc_id
+"""
+
+
+def q_url_canonicalize(sf_dir: str):
+    """M4 URL canonicalization over SQL-constructible messy URLs
+    (extractor.py:51-70 semantics)."""
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        urls = []
+        for d in doc_ids:
+            host = f"h{d % 64}.example.onion"
+            if d % 3 == 0:
+                u = f"HTTP://{host.upper()}/p/{d}/?b=2&a=1&empty="
+            elif d % 3 == 1:
+                u = f"http://{host}/p/{d}#frag"
+            else:
+                u = f"http://{host}/p/{d}"
+            urls.append(u)
+        canon = [canonicalize_url(u) for u in urls]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "canonical_url": pa.array(canon, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", runtime_env=runtime_env())
+
+
+_SQL_URL_CANON = """
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0
+       THEN 'http://h' || (doc_id % 64) || '.example.onion/p/' || doc_id || '?a=1&b=2'
+       ELSE 'http://h' || (doc_id % 64) || '.example.onion/p/' || doc_id
+  END AS canonical_url
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for queries = embeddings of vec_id 0..2."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = pq.read_table(
+        str(Path(sf_dir) / "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    import pyarrow.compute as pc
+
+    mask = pc.less(qt.column("vec_id"), 3)
+    qrows = qt.filter(mask).sort_by("vec_id")
+    queries = np.array([list(v) for v in qrows.column("embedding").to_pylist()],
+                       dtype=np.float64)
+    res = brute_topk(ds, queries, k=10)
+    return pa.table(
+        {
+            "query_idx": res.column("query_idx").cast(pa.int64()),
+            "rank": res.column("rank").cast(pa.int64()),
+            "id": res.column("id").cast(pa.int64()),
+        }
+    )
+
+
+_SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+s AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e
+),
+r AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+  FROM s
+)
+SELECT CAST(qid AS BIGINT) AS query_idx, CAST(rnk AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS id
+FROM r WHERE rnk <= 10 ORDER BY query_idx, rank
+"""
+
+
+def q_neardup_embeddings(sf_dir: str):
+    """Embedding-cosine near-dup pairs (threshold with verified margin)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(ds, threshold=EMB_NEARDUP_THRESHOLD)
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+_SQL_NEARDUP_EMB = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding, b.embedding) >= {EMB_NEARDUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """Exact token-set Jaccard near-dup pairs (broadcast small side)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    pairs = jaccard_pairs_exact(ds, threshold=JACCARD_THRESHOLD)
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+_SQL_JACCARD_PAIRS = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM t a CROSS JOIN t b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.tok, b.tok)) /
+      CAST(len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+def q_events_by_type(sf_dir: str):
+    """A1/A3 analogue: per-event-type count + deterministic cents sum."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(batch.column("value").to_pylist(), dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    import ray.data.aggregate as agg_mod
+
+    agg = (
+        ds.map_batches(to_cents, batch_format="pyarrow", runtime_env=runtime_env())
+        .groupby("event_type")
+        .aggregate(agg_mod.Count(), agg_mod.Sum("cents"))
+    )
+    return _rename(agg, {"count()": "n_events", "sum(cents)": "total_cents"})
+
+
+_SQL_EVENTS_BY_TYPE = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_top_users(sf_dir: str):
+    """O2 analogue: top-5 users by event count (groupby → sort → limit)."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    agg = ds.groupby("user_id").count()
+    agg = _rename(agg, {"count()": "n_events"})
+    return agg.sort(["n_events", "user_id"], descending=[True, False]).limit(5)
+
+
+_SQL_TOP_USERS = """
+SELECT user_id, count(*) AS n_events
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC LIMIT 5
+"""
+
+
+def q_event_sessions(sf_dir: str):
+    """Windowed/sessionized aggregate: sessions = gaps > 30 virtual minutes
+    within a user's time-ordered events (custom operator via
+    groupby().map_groups — Ray Data has no native window op)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sess(group: "object") -> "object":
+        import pandas as pd
+
+        g = group.sort_values("ts")
+        gaps = g["ts"].diff().dt.total_seconds().fillna(1e18)
+        n_sessions = int((gaps > 1800.0).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(
+        sess, batch_format="pandas", runtime_env=runtime_env()
+    )
+
+
+_SQL_EVENT_SESSIONS = """
+WITH x AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CASE WHEN pts IS NULL
+                 OR date_diff('second', pts, ts) > 1800 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sessions
+FROM x GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_orders_by_segment(sf_dir: str):
+    """J1-style broadcast join (customer is the small side, ray.put once)
+    + per-segment rollup."""
+    import ray
+
+    cust = pq.read_table(
+        str(Path(sf_dir) / "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_map_ref = ray.put(
+        dict(
+            zip(
+                cust.column("c_custkey").to_pylist(),
+                cust.column("c_mktsegment").to_pylist(),
+            )
+        )
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    class SegmentJoin:
+        def __init__(self, ref) -> None:
+            self._m = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("o_custkey").to_pylist()
+            segs = [self._m.get(k) for k in keys]
+            cents = np.floor(
+                np.asarray(batch.column("o_totalprice").to_pylist(), dtype=np.float64)
+                * 100.0
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(segs, pa.string()),
+                    "cents": pa.array(cents, pa.int64()),
+                }
+            )
+
+    import ray.data.aggregate as agg_mod
+
+    joined = orders.map_batches(
+        SegmentJoin,
+        fn_constructor_args=(seg_map_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        runtime_env=runtime_env(),
+    )
+    agg = joined.groupby("c_mktsegment").aggregate(agg_mod.Count(), agg_mod.Sum("cents"))
+    return _rename(agg, {"count()": "n_orders", "sum(cents)": "total_cents"})
+
+
+_SQL_ORDERS_BY_SEGMENT = """
+SELECT c.c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-flavored wide aggregate with deterministic cents math."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        ],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ep = np.asarray(batch.column("l_extendedprice").to_pylist(), dtype=np.float64)
+        disc = np.asarray(batch.column("l_discount").to_pylist(), dtype=np.float64)
+        tax = np.asarray(batch.column("l_tax").to_pylist(), dtype=np.float64)
+        qty = np.asarray(batch.column("l_quantity").to_pylist(), dtype=np.float64)
+        charge_cents = np.floor(((ep * (1.0 - disc)) * (1.0 + tax)) * 100.0).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": pa.array(qty.astype(np.int64), pa.int64()),
+                "charge_cents": pa.array(charge_cents, pa.int64()),
+            }
+        )
+
+    import ray.data.aggregate as agg_mod
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", runtime_env=runtime_env())
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(agg_mod.Count(), agg_mod.Sum("qty"), agg_mod.Sum("charge_cents"))
+    )
+    return _rename(
+        agg,
+        {
+            "count()": "n_items",
+            "sum(qty)": "sum_qty",
+            "sum(charge_cents)": "sum_charge_cents",
+        },
+    )
+
+
+_SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(((l_extendedprice * (1.0 - l_discount)) *
+                            (1.0 + l_tax)) * 100.0) AS BIGINT)) AS BIGINT)
+           AS sum_charge_cents
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ── rows-only queries (no SQL oracle; driver records weaker check) ──────────
+
+
+def _crawl_cfg() -> CrawlSettings:
+    return CrawlSettings(max_depth=2, max_pages=10, seen_shards=2)
+
+
+def q_crawl_bfs(sf_dir: str):
+    """The flagship generation-loop BFS crawl (rows-only: the budgeted BFS
+    replay is not SQL-expressible; conformance vs the reference-semantics
+    oracle is covered in tests/test_crawl.py)."""
+    corpus = corpus_from_documents(sf_dir)
+    run = run_crawl(corpus, seed_urls(4), cfg=_crawl_cfg())
+    tbl = run.results_table()
+    return tbl.select(
+        ["url", "site", "title", "content_hash", "links_found", "depth", "seed_id"]
+    ).sort_by([("url", "ascending")])
+
+
+def q_crawl_intel(sf_dir: str):
+    """Crawl + per-page intelligence columns (M5 stage fused into the
+    extract pipeline), projected to scalar columns."""
+    corpus = corpus_from_documents(sf_dir)
+    run = run_crawl(corpus, seed_urls(4), cfg=_crawl_cfg(), with_intel=True)
+    tbl = run.results_table()
+    return tbl.select(
+        ["url", "depth", "ioc_total", "risk_score", "risk_label", "pgp_present"]
+    ).sort_by([("url", "ascending")])
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidates verified by exact shingle Jaccard
+    (rows-only: banding is approximate)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, threshold=0.6)
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash hamming≤3 near-dup pairs via 16-bit chunk banding."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+def q_fingerprints(sf_dir: str):
+    """Winnowing-style rolling-hash document fingerprints."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(fingerprint_batch, batch_format="pyarrow",
+                         runtime_env=runtime_env())
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
+def q_ann_lsh(sf_dir: str):
+    """Hyperplane-LSH bucketed ANN (approximate; rows-only)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = pq.read_table(
+        str(Path(sf_dir) / "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    import pyarrow.compute as pc
+
+    qrows = qt.filter(pc.less(qt.column("vec_id"), 3)).sort_by("vec_id")
+    queries = np.array([list(v) for v in qrows.column("embedding").to_pylist()],
+                       dtype=np.float64)
+    return lsh_topk(ds, queries, k=10)
+
+
+def q_binary_metadata(sf_dir: str):
+    """Multimodal plumbing: opaque-binary metadata over the corpus html
+    column (byte length, sha256 prefix, magic sniff)."""
+    import ray
+
+    corpus = corpus_from_documents(sf_dir)
+    ds = ray.data.read_parquet(corpus, columns=["url", "html"])
+    out = ds.map_batches(
+        lambda b: binary_metadata_batch(b, binary_column="html"),
+        batch_format="pyarrow",
+        runtime_env=runtime_env(),
+    )
+    keep = [c for c in out.schema().names if c != "html"]
+    return out.select_columns(keep)
+
+
+# ── registry ─────────────────────────────────────────────────────────────────
+
+
+def build_queries() -> Dict[str, Callable[[str], object]]:
+    return {
+        "extract_pages": q_extract_pages,
+        "exact_dedup": q_exact_dedup,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality,
+        "lang_id": q_lang_id,
+        "langid_confusion": q_langid_confusion,
+        "ioc_counts": q_ioc_counts,
+        "threat_scores": q_threat_scores,
+        "url_canonicalize": q_url_canonicalize,
+        "ann_topk": q_ann_topk,
+        "neardup_embeddings": q_neardup_embeddings,
+        "jaccard_pairs": q_jaccard_pairs,
+        "events_by_type": q_events_by_type,
+        "top_users": q_top_users,
+        "event_sessions": q_event_sessions,
+        "orders_by_segment": q_orders_by_segment,
+        "lineitem_pricing": q_lineitem_pricing,
+        # rows-only
+        "crawl_bfs": q_crawl_bfs,
+        "crawl_intel": q_crawl_intel,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "fingerprints": q_fingerprints,
+        "ann_lsh": q_ann_lsh,
+        "binary_metadata": q_binary_metadata,
+    }
+
+
+def build_oracle_sql() -> Dict[str, str]:
+    return {
+        "extract_pages": _sql_extract_pages(),
+        "exact_dedup": _SQL_EXACT_DEDUP,
+        "token_counts": _SQL_TOKEN_COUNTS,
+        "quality_scores": _SQL_QUALITY,
+        "lang_id": _sql_lang_id(),
+        "langid_confusion": _sql_langid_confusion(),
+        "ioc_counts": _SQL_IOC_COUNTS,
+        "threat_scores": _sql_threat_scores(),
+        "url_canonicalize": _SQL_URL_CANON,
+        "ann_topk": _SQL_ANN_TOPK,
+        "neardup_embeddings": _SQL_NEARDUP_EMB,
+        "jaccard_pairs": _SQL_JACCARD_PAIRS,
+        "events_by_type": _SQL_EVENTS_BY_TYPE,
+        "top_users": _SQL_TOP_USERS,
+        "event_sessions": _SQL_EVENT_SESSIONS,
+        "orders_by_segment": _SQL_ORDERS_BY_SEGMENT,
+        "lineitem_pricing": _SQL_LINEITEM_PRICING,
+    }
+
+
+ROWS_ONLY: List[str] = [
+    "crawl_bfs", "crawl_intel", "minhash_pairs", "simhash_pairs",
+    "fingerprints", "ann_lsh", "binary_metadata",
+]
