@@ -1,0 +1,213 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline fetch+extract+intelligence pipeline plus a
+representative query suite over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "pages": P,
+     "pages_per_sec": R}
+
+``--scaling``: run the headline pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input and report both
+throughputs plus scaling efficiency = T32 / (4 * T8)  (throughput-based,
+the sandbox evidence for the N → 4N-node cluster criterion).
+
+The headline models the reference's crawl hot loop (fetch → extract →
+intelligence, crawler.py:155-203) as the streaming data plane: pruned
+Parquet read → broadcast-frontier lookup filter (the "fetch" join) →
+HTML extract → IOC/threat stage → partitioned Parquet write.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+METRIC = "sustained URLs fetched+extracted/sec (corpus fetch-lookup + extract + intel)"
+
+# Corpus expansion factor for the headline (sf0.1 documents × factor pages).
+FACTOR = int(os.environ.get("DWH_BENCH_FACTOR", "4"))
+
+BENCH_QUERIES = [
+    "extract_pages",
+    "exact_dedup",
+    "token_counts",
+    "quality_scores",
+    "lang_id",
+    "ioc_counts",
+    "threat_scores",
+    "minhash_pairs",
+    "simhash_pairs",
+    "neardup_embeddings",
+    "ann_topk",
+    "events_by_type",
+    "event_sessions",
+    "orders_by_segment",
+    "lineitem_pricing",
+    "crawl_bfs",
+]
+
+
+def run_headline(sf_dir: str, trials: int = 1) -> dict:
+    """Fetch+extract+intel over the full expanded corpus; returns timings.
+
+    The pipeline is the crawl hot loop's data plane: pruned columnar read →
+    broadcast frontier-hash membership filter (vectorized searchsorted over
+    a sorted uint64 array, the 10^10-scale frontier representation) →
+    fused HTML extract + IOC/threat stage → partitioned Parquet write.
+    """
+    import ray
+
+    from deepwebharvester_ray import runtime_env
+    from deepwebharvester_ray.corpus import corpus_from_documents
+    from deepwebharvester_ray.pipelines.crawl import (
+        broadcast_frontier_hashes,
+        fetch_extract_task,
+    )
+
+    corpus_dir = corpus_from_documents(sf_dir, factor=FACTOR)
+
+    # Frontier = every corpus URL (the full-coverage fetch join); reading
+    # just the url column is the cheap side of the broadcast.
+    urls_ds = ray.data.read_parquet(corpus_dir, columns=["url"])
+    all_urls = [r["url"] for r in urls_ds.take_all()]
+    # fixed partitioning by data size (~1250 pages/block), independent of
+    # the CPU count under test
+    n_blocks = max(32, min(512, len(all_urls) // 1250))
+
+    best = None
+    for trial in range(trials):
+        out_dir = f"/tmp/dwh_bench_out_{os.getpid()}_{trial}"
+        if Path(out_dir).exists():
+            shutil.rmtree(out_dir)
+        t0 = time.monotonic()
+        hashes_ref = broadcast_frontier_hashes(all_urls)
+        ds = ray.data.read_parquet(
+            corpus_dir, columns=["url", "html"], override_num_blocks=n_blocks
+        )
+        out = ds.map_batches(
+            fetch_extract_task,
+            fn_kwargs={"hashes_ref": hashes_ref, "with_intel": True},
+            batch_format="pyarrow",
+            batch_size=1024,
+            runtime_env=runtime_env(),
+        ).map_batches(
+            lambda b: b.drop_columns(["links"]),
+            batch_format="pyarrow",
+            runtime_env=runtime_env(),
+        )
+        out.write_parquet(out_dir)
+        wall = time.monotonic() - t0
+
+        import pyarrow.parquet as pq
+
+        pages = sum(
+            pq.ParquetFile(str(f)).metadata.num_rows
+            for f in Path(out_dir).rglob("*.parquet")
+        )
+        shutil.rmtree(out_dir, ignore_errors=True)
+        if best is None or wall < best["wall_s"]:
+            best = {"wall_s": wall, "pages": pages, "pages_per_sec": pages / wall}
+    return best
+
+
+def run_queries(sf_dir: str) -> dict:
+    from deepwebharvester_ray.pipelines.queries import build_queries
+
+    qs = build_queries()
+    timings = {}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        res = qs[name](sf_dir)
+        # consume lazily-built Datasets so the timing covers execution
+        if hasattr(res, "materialize"):
+            res.materialize()
+        timings[name] = round(time.monotonic() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--scaling", action="store_true")
+    parser.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
+    parser.add_argument("--cpus", type=int, default=None)
+    parser.add_argument("--trials", type=int, default=1)
+    parser.add_argument("--headline-only", action="store_true")
+    args = parser.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        # Same job, fresh ray.init process per parallelism level, best of 2
+        # trials each.  Two N→4N pairs are reported: 4→16 (primary — on a
+        # single box this pair is free of the memory-bandwidth saturation
+        # that a real 4N-node cluster would not share) and 8→32.
+        results = {}
+        child_env = os.environ.copy()
+        # a larger corpus for the scaling run so per-CPU compute dominates
+        # the fixed session/startup overhead (what a real multi-node run
+        # would look like: minutes of work, seconds of setup)
+        child_env.setdefault("DWH_BENCH_FACTOR", "64")
+        for cpus in (4, 8, 16, 32):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--child", "--headline-only",
+                 "--trials", "2", "--cpus", str(cpus)],
+                capture_output=True, text=True, env=child_env,
+                timeout=3600,
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if not line:
+                print(proc.stdout, file=sys.stderr)
+                print(proc.stderr[-4000:], file=sys.stderr)
+                raise RuntimeError(f"child bench with {cpus} cpus failed")
+            results[cpus] = json.loads(line[-1])
+        rate = {c: results[c]["pages_per_sec"] for c in results}
+        eff_4_16 = rate[16] / (4.0 * rate[4])
+        eff_8_32 = rate[32] / (4.0 * rate[8])
+        print(json.dumps({
+            "metric": "throughput scaling efficiency 8→32 CPUs (N→4N, fresh sessions, same input)",
+            "value": round(eff_8_32, 4),
+            "unit": "efficiency",
+            "sf": sf_dir,
+            "pages": results[32]["pages"],
+            "efficiency_4_to_16": round(eff_4_16, 4),
+            "efficiency_8_to_32": round(eff_8_32, 4),
+            "pages_per_sec": {str(c): round(rate[c], 2) for c in sorted(rate)},
+            "headline_sec": {str(c): round(results[c]["value"], 3) for c in sorted(results)},
+        }))
+        return
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR", log_to_driver=False)
+    try:
+        head = run_headline(sf_dir, trials=args.trials)
+        timings = {} if args.headline_only else run_queries(sf_dir)
+    finally:
+        ray.shutdown()
+
+    print(json.dumps({
+        "metric": METRIC,
+        "value": round(head["wall_s"], 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "pages": head["pages"],
+        "pages_per_sec": round(head["pages_per_sec"], 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
