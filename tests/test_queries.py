@@ -1,0 +1,121 @@
+"""Driver-contract tests: queries() / oracle_sql() consistency plus
+spot-checks of representative queries against their DuckDB oracles at
+sf0.001 (the full sweep runs via tools/check_oracle.py at sf0.01)."""
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+import pytest
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+SPOT_CHECKED = [
+    "extract_pages", "exact_dedup", "token_counts", "threat_scores",
+    "lang_id", "events_by_type", "event_sessions", "ann_topk",
+]
+
+
+def _norm(v):
+    import numpy as np
+
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        return float(v)
+    if isinstance(v, np.bool_):
+        return bool(v)
+    return v
+
+
+def _value_hash(df) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = sorted(
+        repr(tuple(_norm(v) for v in tup)) for tup in df.itertuples(index=False)
+    )
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+def _to_pandas(res):
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __ray_entry__
+
+    return __ray_entry__
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(SF_SMOKE) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def test_registry_consistency(entrymod):
+    from deepwebharvester_ray.pipelines.queries import ROWS_ONLY
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert set(qs) == set(oracles) | set(ROWS_ONLY)
+    assert not (set(oracles) & set(ROWS_ONLY))
+
+
+@pytest.mark.parametrize("name", SPOT_CHECKED)
+def test_query_matches_oracle(ray_session, entrymod, duck, name):
+    qs = entrymod.queries()
+    mine = _to_pandas(qs[name](SF_SMOKE))
+    theirs = duck.sql(entrymod.oracle_sql()[name]).df()
+    assert len(mine) == len(theirs), f"{name}: {len(mine)} vs {len(theirs)} rows"
+    assert sorted(mine.columns) == sorted(theirs.columns)
+    assert _value_hash(mine) == _value_hash(theirs), f"{name}: value mismatch"
+
+
+def test_entry_smoke(ray_session, entrymod):
+    res = entrymod.entry()
+    assert res.num_rows >= 0
+    assert "url" in res.column_names
+
+
+def test_fetch_extract_task_empty_frontier(ray_session):
+    import pyarrow as pa
+
+    from deepwebharvester_ray.pipelines.crawl import (
+        broadcast_frontier_hashes,
+        fetch_extract_task,
+    )
+
+    batch = pa.table(
+        {
+            "url": ["http://x.onion/d/1"],
+            "html": [b"<html><title>T</title><body>hi</body></html>"],
+        }
+    )
+    out = fetch_extract_task(batch, hashes_ref=broadcast_frontier_hashes([]))
+    assert out.num_rows == 0
+
+    hit = fetch_extract_task(
+        batch, hashes_ref=broadcast_frontier_hashes(["http://x.onion/d/1"])
+    )
+    assert hit.num_rows == 1
+    assert hit.column("title")[0].as_py() == "T"
