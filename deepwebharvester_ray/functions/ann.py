@@ -7,16 +7,22 @@
 * :func:`lsh_topk` — the scale path: random-hyperplane signatures bucket
   the corpus (one shuffle on the bucket key); queries probe their own
   bucket plus ``n_probe`` nearest buckets by signature hamming distance.
+
+Both run as plain map TASKS with the worker-local broadcast cache
+(``broadcast.cached_get``) — no actor ramp-up cost; vectors are pulled
+out of Arrow list columns via flatten().to_numpy() (no per-row Python
+lists).
 """
 from __future__ import annotations
 
 import heapq
-from typing import List, Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import pyarrow as pa
 
 from .. import runtime_env
+from ..broadcast import cached_get
 
 _HYPERPLANE_SEED = 0xA11CE
 
@@ -25,41 +31,47 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=-1, keepdims=True), 1e-12)
 
 
-class BruteScore:
-    """Actor-pool stage: cosine scores of each row against broadcast queries,
-    emitting only the per-batch top-k (combiner before the global merge)."""
+def _vec_matrix(col) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow list<float> column, vectorized."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, -1)
 
-    def __init__(self, query_ref, k: int, id_column: str, vec_column: str) -> None:
-        import ray
 
-        q = ray.get(query_ref)
-        self._q = _normalize(np.asarray(q, dtype=np.float64))
-        self._k = k
-        self._id = id_column
-        self._vec = vec_column
+def _ids_array(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False).astype(np.int64)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(self._id).to_pylist(), dtype=np.int64)
-        mat = np.asarray(
-            [list(v) for v in batch.column(self._vec).to_pylist()], dtype=np.float64
-        )
-        mat = _normalize(mat)
-        sims = mat @ self._q.T  # (batch, n_queries)
-        out_q, out_id, out_s = [], [], []
-        for qi in range(sims.shape[1]):
-            col = sims[:, qi]
-            top = np.argsort(-col, kind="stable")[: self._k]
-            for t in top:
-                out_q.append(qi)
-                out_id.append(int(ids[t]))
-                out_s.append(float(col[t]))
-        return pa.table(
-            {
-                "query_idx": pa.array(out_q, pa.int32()),
-                "id": pa.array(out_id, pa.int64()),
-                "score": pa.array(out_s, pa.float64()),
-            }
-        )
+
+def brute_score_task(
+    batch: pa.Table, query_ref=None, k: int = 10,
+    id_column: str = "vec_id", vec_column: str = "embedding",
+) -> pa.Table:
+    """Per-batch cosine scores against broadcast queries, emitting only the
+    per-batch top-k (combiner before the tiny global merge)."""
+    q = _normalize(np.asarray(cached_get(query_ref), dtype=np.float64))
+    ids = _ids_array(batch.column(id_column))
+    mat = _normalize(_vec_matrix(batch.column(vec_column)))
+    sims = mat @ q.T  # (batch, n_queries)
+    out_q, out_id, out_s = [], [], []
+    for qi in range(sims.shape[1]):
+        col = sims[:, qi]
+        top = np.argsort(-col, kind="stable")[:k]
+        out_q.extend([qi] * len(top))
+        out_id.extend(int(ids[t]) for t in top)
+        out_s.extend(float(col[t]) for t in top)
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, pa.int32()),
+            "id": pa.array(out_id, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )
 
 
 def brute_topk(
@@ -78,10 +90,10 @@ def brute_topk(
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     qref = ray.put(queries)
     partials = ds.map_batches(
-        BruteScore,
-        fn_constructor_args=(qref, k, id_column, vec_column),
+        brute_score_task,
+        fn_kwargs={"query_ref": qref, "k": k, "id_column": id_column,
+                   "vec_column": vec_column},
         batch_format="pyarrow",
-        concurrency=(1, 8),
         runtime_env=runtime_env(),
     ).take_all()
 
@@ -105,10 +117,40 @@ def brute_topk(
 
 def _signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     bits = (mat @ planes.T) > 0
-    sig = np.zeros(len(mat), dtype=np.int64)
-    for b in range(planes.shape[0]):
-        sig |= bits[:, b].astype(np.int64) << b
-    return sig
+    return (bits.astype(np.int64) << np.arange(planes.shape[0], dtype=np.int64)).sum(
+        axis=1
+    )
+
+
+def _probe_score_task(
+    batch: pa.Table, wanted_ref=None, qref=None, k: int = 10,
+    vec_column: str = "embedding",
+) -> pa.Table:
+    wanted = cached_get(wanted_ref)
+    q = _normalize(np.asarray(cached_get(qref), dtype=np.float64))
+    ids = _ids_array(batch.column("id"))
+    buckets = batch.column("bucket").to_pylist()
+    mat = _normalize(_vec_matrix(batch.column(vec_column)))
+    out_q, out_id, out_s = [], [], []
+    for qi in range(len(q)):
+        mask = np.fromiter(
+            (qi in wanted.get(b, ()) for b in buckets), dtype=bool, count=len(buckets)
+        )
+        if not mask.any():
+            continue
+        sims = mat[mask] @ q[qi]
+        sel_ids = ids[mask]
+        top = np.argsort(-sims, kind="stable")[:k]
+        out_q.extend([qi] * len(top))
+        out_id.extend(int(sel_ids[t]) for t in top)
+        out_s.extend(float(sims[t]) for t in top)
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, pa.int32()),
+            "id": pa.array(out_id, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )
 
 
 def lsh_topk(
@@ -135,10 +177,8 @@ def lsh_topk(
     planes_ref = ray.put(planes)
 
     def sig_batch(batch: pa.Table) -> pa.Table:
-        pl = ray.get(planes_ref)
-        mat = np.asarray(
-            [list(v) for v in batch.column(vec_column).to_pylist()], dtype=np.float64
-        )
+        pl = cached_get(planes_ref)
+        mat = _vec_matrix(batch.column(vec_column))
         sig = _signatures(_normalize(mat), pl)
         return pa.table(
             {
@@ -161,50 +201,15 @@ def lsh_topk(
             key=lambda b: (bin(b ^ int(qs)).count("1"), b),
         )[:n_probe]
         for b in cand:
-            wanted.setdefault(b, []).append(qi)
+            wanted.setdefault(b, set()).add(qi)
     wanted_ref = ray.put(wanted)
     qref = ray.put(queries)
 
-    class ProbeScore:
-        def __init__(self, wanted_ref, qref, k):
-            self._wanted = ray.get(wanted_ref)
-            self._q = _normalize(np.asarray(ray.get(qref), dtype=np.float64))
-            self._k = k
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch.column("id").to_pylist(), dtype=np.int64)
-            buckets = batch.column("bucket").to_pylist()
-            mat = _normalize(
-                np.asarray(
-                    [list(v) for v in batch.column(vec_column).to_pylist()],
-                    dtype=np.float64,
-                )
-            )
-            out_q, out_id, out_s = [], [], []
-            for qi in range(len(self._q)):
-                mask = np.array([qi in self._wanted.get(b, ()) for b in buckets])
-                if not mask.any():
-                    continue
-                sims = mat[mask] @ self._q[qi]
-                sel_ids = ids[mask]
-                top = np.argsort(-sims, kind="stable")[: self._k]
-                for t in top:
-                    out_q.append(qi)
-                    out_id.append(int(sel_ids[t]))
-                    out_s.append(float(sims[t]))
-            return pa.table(
-                {
-                    "query_idx": pa.array(out_q, pa.int32()),
-                    "id": pa.array(out_id, pa.int64()),
-                    "score": pa.array(out_s, pa.float64()),
-                }
-            )
-
     partials = bucketed.map_batches(
-        ProbeScore,
-        fn_constructor_args=(wanted_ref, qref, k),
+        _probe_score_task,
+        fn_kwargs={"wanted_ref": wanted_ref, "qref": qref, "k": k,
+                   "vec_column": vec_column},
         batch_format="pyarrow",
-        concurrency=(1, 8),
         runtime_env=runtime_env(),
     ).take_all()
 

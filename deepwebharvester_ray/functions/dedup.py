@@ -3,35 +3,58 @@ embedding-cosine near-dup.
 
 Scale notes (these run against 100 TB corpora):
 
-* **exact_dedup** — hash-partitioned ``groupby(content_hash)`` + first-wins
-  per group; the only all-to-all is on the 64-char hash key.
+* **exact_dedup / exact_dedup_ids** — hash-partitioned groupby on the
+  64-char content hash; the only all-to-all is on that key.  The *_ids
+  variant is a pure native aggregate (min doc_id per hash) with no
+  per-group Python.
 * **minhash_lsh_pairs** — shingle→minhash→band; the shuffle key is
   ``(band_id, band_hash)`` so only near-identical docs co-locate; candidate
   verification is per-bucket.
 * **token-set Jaccard / embedding near-dup** — implemented here with the
-  broadcast-small-side pattern (``ray.put`` the comparison side once, read
-  per actor in ``__init__``): exact and cheap when one side fits memory.
-  For large×large, switch to the inverted-index join with hot-token
-  salting (the minhash path above is the recommended approximation).
+  broadcast-small-side pattern (``ray.put`` the comparison side once; the
+  worker-local ``broadcast.cached_get`` deserializes once per worker):
+  exact and cheap when one side fits memory.  For large×large, switch to
+  the inverted-index join with hot-token salting (the minhash path above
+  is the recommended approximation).
+
+All similarity kernels are vectorized numpy (no per-word Python bit
+loops); all broadcast stages are plain map TASKS (warm workers, no actor
+ramp-up).
 """
 from __future__ import annotations
 
 import hashlib
 import re
-from typing import List, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 import pyarrow as pa
 
 from .. import runtime_env
+from ..broadcast import cached_get
 
 WORD_RE = re.compile(r"[a-z0-9]+")
 
 _MERSENNE = (1 << 61) - 1
+_POLY = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
+
+
+_WORD_HASH_MEMO: Dict[str, int] = {}
 
 
 def _word_hash64(w: str) -> int:
-    return int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+    h = _WORD_HASH_MEMO.get(w)
+    if h is None:
+        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        if len(_WORD_HASH_MEMO) > 1_000_000:  # bound worker memory
+            _WORD_HASH_MEMO.clear()
+        _WORD_HASH_MEMO[w] = h
+    return h
+
+
+def _word_hashes(words: List[str]) -> np.ndarray:
+    return np.fromiter((_word_hash64(w) for w in words), dtype=np.uint64,
+                       count=len(words))
 
 
 def token_set(text: str) -> List[str]:
@@ -39,11 +62,21 @@ def token_set(text: str) -> List[str]:
 
 
 def shingle_set(text: str, k: int = 3) -> List[int]:
-    """Hashed word k-gram shingles."""
+    """Hashed word k-gram shingles (vectorized rolling polynomial hash)."""
     words = WORD_RE.findall((text or "").lower())
+    if not words:
+        return []
+    h = _word_hashes(words)
     if len(words) < k:
-        return [_word_hash64(" ".join(words))] if words else []
-    return sorted({_word_hash64(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)})
+        acc = h[0]
+        for j in range(1, len(h)):
+            acc = acc * _POLY + h[j]
+        return [int(acc)]
+    n_out = len(words) - k + 1
+    acc = h[:n_out].copy()
+    for j in range(1, k):
+        acc = acc * _POLY + h[j : n_out + j]
+    return sorted(int(x) for x in np.unique(acc))
 
 
 def jaccard(a: set, b: set) -> float:
@@ -56,31 +89,57 @@ def jaccard(a: set, b: set) -> float:
 # ── exact dedup ──────────────────────────────────────────────────────────────
 
 
+def add_content_hash(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    hashes = [
+        hashlib.sha256((t or "").encode("utf-8", errors="replace")).hexdigest()
+        for t in batch.column(text_column).to_pylist()
+    ]
+    return batch.append_column("content_hash", pa.array(hashes, pa.string()))
+
+
 def exact_dedup(ds, id_column: str = "doc_id", text_column: str = "text"):
     """Keep the minimum-id row per sha256(text): hash-partitioned groupby +
     per-group first-wins (the Ray-native form of the reference's global
-    content-hash set, crawler.py:184-191)."""
-
-    def add_hash(batch: pa.Table) -> pa.Table:
-        hashes = [
-            hashlib.sha256((t or "").encode("utf-8", errors="replace")).hexdigest()
-            for t in batch.column(text_column).to_pylist()
-        ]
-        return batch.append_column("content_hash", pa.array(hashes, pa.string()))
+    content-hash set, crawler.py:184-191).  Returns full rows."""
 
     def keep_min(group: pa.Table) -> pa.Table:
-        ids = group.column(id_column)
         import pyarrow.compute as pc
 
+        ids = group.column(id_column)
         idx = pc.index(ids, pc.min(ids)).as_py()
         return group.slice(idx, 1)
 
     hashed = ds.map_batches(
-        add_hash, batch_format="pyarrow", runtime_env=runtime_env()
+        lambda b: add_content_hash(b, text_column),
+        batch_format="pyarrow", runtime_env=runtime_env(),
     )
     return hashed.groupby("content_hash").map_groups(
         keep_min, batch_format="pyarrow", runtime_env=runtime_env()
     )
+
+
+def exact_dedup_ids(ds, id_column: str = "doc_id", text_column: str = "text"):
+    """(content_hash, doc_id=min id per hash) via a native aggregate —
+    no per-group Python, one shuffle on the hash key (the scale path)."""
+    import ray.data.aggregate as agg_mod
+
+    hashed = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "content_hash": add_content_hash(b, text_column).column("content_hash"),
+                id_column: b.column(id_column),
+            }
+        ),
+        batch_format="pyarrow", runtime_env=runtime_env(),
+    )
+    agg = hashed.groupby("content_hash").aggregate(agg_mod.Min(id_column))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [id_column if c == f"min({id_column})" else c for c in batch.column_names]
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", runtime_env=runtime_env())
 
 
 # ── MinHash + LSH ────────────────────────────────────────────────────────────
@@ -103,17 +162,31 @@ def _perm_params(num_perm: int = NUM_PERM) -> Tuple[np.ndarray, np.ndarray]:
 def minhash_signature(shingles: List[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """K minhashes via universal hashing (a*x+b mod Mersenne prime),
     fully vectorized: one (K, n_shingles) uint64 matrix per document."""
-    if not shingles:
+    if not len(shingles):
         return np.zeros(len(a), dtype=np.uint64)
-    x = (np.array(shingles, dtype=np.uint64) & np.uint64(0xFFFFFFFF))
+    x = np.asarray(shingles, dtype=np.uint64) & np.uint64(0xFFFFFFFF)
     m = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MERSENNE)
     return m.min(axis=1)
 
 
-class MinHashStage:
-    """Actor-pool stage: text → minhash signature + LSH band keys.
+def _band_hashes(sig: np.ndarray) -> np.ndarray:
+    """Fold each band's rows into one 64-bit key (vectorized mix)."""
+    chunks = sig.reshape(BANDS, ROWS_PER_BAND)
+    acc = chunks[:, 0].copy()
+    for j in range(1, ROWS_PER_BAND):
+        acc = (acc * _POLY) ^ chunks[:, j]
+    # splitmix-style finalizer to spread the fold
+    acc ^= acc >> np.uint64(31)
+    acc *= np.uint64(0xBF58476D1CE4E5B9)
+    acc ^= acc >> np.uint64(27)
+    return acc
 
-    Permutation parameters are built once per actor in ``__init__``."""
+
+class MinHashStage:
+    """Batch stage: text → minhash signature + LSH band keys.
+
+    Permutation parameters are module-computable, so this also works as a
+    plain task fn; kept as a callable class for signature compatibility."""
 
     def __init__(self, id_column: str = "doc_id", text_column: str = "text",
                  shingle_k: int = 3) -> None:
@@ -124,16 +197,15 @@ class MinHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, bands, band_hashes = [], [], []
+        band_range = list(range(BANDS))
         for rid, text in zip(
             batch.column(self._id).to_pylist(), batch.column(self._text).to_pylist()
         ):
             sig = minhash_signature(shingle_set(text, self._k), self._a, self._b)
-            for band in range(BANDS):
-                chunk = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                ids.append(rid)
-                bands.append(band)
-                band_hashes.append(int.from_bytes(h, "big"))
+            bh = _band_hashes(sig)
+            ids.extend([rid] * BANDS)
+            bands.extend(band_range)
+            band_hashes.extend(int(x) for x in bh)
         return pa.table(
             {
                 "id": pa.array(ids, pa.int64()),
@@ -158,12 +230,9 @@ def minhash_lsh_pairs(
     """
     import ray
 
+    stage = MinHashStage(id_column, text_column, shingle_k)
     sig_ds = ds.map_batches(
-        MinHashStage,
-        fn_constructor_args=(id_column, text_column, shingle_k),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-        runtime_env=runtime_env(),
+        lambda b, _s=stage: _s(b), batch_format="pyarrow", runtime_env=runtime_env()
     )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
@@ -203,35 +272,27 @@ def minhash_lsh_pairs(
     ).take_all()
     sh_map_ref = ray.put({r["id"]: set(r["sh"]) for r in sh_tbl})
 
-    class Verify:
-        def __init__(self, ref, thr):
-            self._m = ray.get(ref)
-            self._thr = thr
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a_ids = batch.column("id_a").to_pylist()
-            b_ids = batch.column("id_b").to_pylist()
-            keep_a, keep_b, jac = [], [], []
-            for a_id, b_id in zip(a_ids, b_ids):
-                j = jaccard(self._m.get(a_id, set()), self._m.get(b_id, set()))
-                if j >= self._thr:
-                    keep_a.append(a_id)
-                    keep_b.append(b_id)
-                    jac.append(j)
-            return pa.table(
-                {
-                    "id_a": pa.array(keep_a, pa.int64()),
-                    "id_b": pa.array(keep_b, pa.int64()),
-                    "jaccard": pa.array(jac, pa.float64()),
-                }
-            )
+    def verify(batch: pa.Table, ref=sh_map_ref, thr=threshold) -> pa.Table:
+        m = cached_get(ref)
+        a_ids = batch.column("id_a").to_pylist()
+        b_ids = batch.column("id_b").to_pylist()
+        keep_a, keep_b, jac = [], [], []
+        for a_id, b_id in zip(a_ids, b_ids):
+            j = jaccard(m.get(a_id, set()), m.get(b_id, set()))
+            if j >= thr:
+                keep_a.append(a_id)
+                keep_b.append(b_id)
+                jac.append(j)
+        return pa.table(
+            {
+                "id_a": pa.array(keep_a, pa.int64()),
+                "id_b": pa.array(keep_b, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
 
     return cand.map_batches(
-        Verify,
-        fn_constructor_args=(sh_map_ref, threshold),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-        runtime_env=runtime_env(),
+        verify, batch_format="pyarrow", runtime_env=runtime_env()
     )
 
 
@@ -264,57 +325,49 @@ def jaccard_pairs_exact(
     ).take_all()
     tok_ref = ray.put([(r["id"], frozenset(r["tok"])) for r in tok_tbl])
 
-    class PairScan:
-        def __init__(self, ref, thr):
-            self._all = ray.get(ref)
-            self._thr = thr
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a_out, b_out, jac = [], [], []
-            ids = batch.column(id_column).to_pylist()
-            texts = batch.column(text_column).to_pylist()
-            for rid, text in zip(ids, texts):
-                mine = frozenset(token_set(text))
-                for oid, other in self._all:
-                    if oid <= rid:
-                        continue
-                    j = jaccard(mine, other)
-                    if j >= self._thr:
-                        a_out.append(rid)
-                        b_out.append(oid)
-                        jac.append(j)
-            return pa.table(
-                {
-                    "id_a": pa.array(a_out, pa.int64()),
-                    "id_b": pa.array(b_out, pa.int64()),
-                    "jaccard": pa.array(jac, pa.float64()),
-                }
-            )
+    def pair_scan(batch: pa.Table, ref=tok_ref, thr=threshold) -> pa.Table:
+        all_toks = cached_get(ref)
+        a_out, b_out, jac = [], [], []
+        ids = batch.column(id_column).to_pylist()
+        texts = batch.column(text_column).to_pylist()
+        for rid, text in zip(ids, texts):
+            mine = frozenset(token_set(text))
+            for oid, other in all_toks:
+                if oid <= rid:
+                    continue
+                j = jaccard(mine, other)
+                if j >= thr:
+                    a_out.append(rid)
+                    b_out.append(oid)
+                    jac.append(j)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
 
     return ds.map_batches(
-        PairScan,
-        fn_constructor_args=(tok_ref, threshold),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-        runtime_env=runtime_env(),
+        pair_scan, batch_format="pyarrow", runtime_env=runtime_env()
     )
 
 
 # ── SimHash ──────────────────────────────────────────────────────────────────
 
+_BIT_RANGE = np.arange(64, dtype=np.uint64)
+
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (Charikar 2002, public)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for w in set(WORD_RE.findall((text or "").lower())):
-        h = _word_hash64(w)
-        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-        acc += bits * 2 - 1
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    """64-bit SimHash over word tokens (Charikar 2002, public) —
+    vectorized: one (n_words × 64) bit matrix per document."""
+    words = set(WORD_RE.findall((text or "").lower()))
+    if not words:
+        return 0
+    hs = _word_hashes(sorted(words))
+    bits = ((hs[:, None] >> _BIT_RANGE) & np.uint64(1)).astype(np.int64)
+    acc = (bits * 2 - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << _BIT_RANGE).sum())
 
 
 def simhash_pairs(
@@ -390,44 +443,34 @@ def embedding_neardup_pairs(
     path buckets by LSH hyperplane signature first (see functions.ann)."""
     import ray
 
+    from .ann import _ids_array, _normalize, _vec_matrix
+
     rows = ds.select_columns([id_column, vec_column]).take_all()
     ids = np.array([r[id_column] for r in rows], dtype=np.int64)
-    mat = np.array([r[vec_column] for r in rows], dtype=np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    mat = _normalize(np.array([np.asarray(r[vec_column]) for r in rows],
+                              dtype=np.float64))
     ref = ray.put((ids, mat))
 
-    class NearDup:
-        def __init__(self, ref, thr):
-            self._ids, self._mat = ray.get(ref)
-            self._thr = thr
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = np.array(batch.column(id_column).to_pylist(), dtype=np.int64)
-            bm = np.array(
-                [list(v) for v in batch.column(vec_column).to_pylist()],
-                dtype=np.float64,
-            )
-            bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
-            sims = bm @ self._mat.T
-            a_out, b_out, cs = [], [], []
-            for i, rid in enumerate(bids):
-                hits = np.nonzero((sims[i] >= self._thr) & (self._ids > rid))[0]
-                for h in hits:
-                    a_out.append(int(rid))
-                    b_out.append(int(self._ids[h]))
-                    cs.append(float(sims[i, h]))
-            return pa.table(
-                {
-                    "id_a": pa.array(a_out, pa.int64()),
-                    "id_b": pa.array(b_out, pa.int64()),
-                    "cosine": pa.array(cs, pa.float64()),
-                }
-            )
+    def near_dup(batch: pa.Table, _ref=ref, thr=threshold) -> pa.Table:
+        all_ids, all_mat = cached_get(_ref)
+        bids = _ids_array(batch.column(id_column))
+        bm = _normalize(_vec_matrix(batch.column(vec_column)))
+        sims = bm @ all_mat.T
+        a_out, b_out, cs = [], [], []
+        for i, rid in enumerate(bids):
+            hits = np.nonzero((sims[i] >= thr) & (all_ids > rid))[0]
+            for h in hits:
+                a_out.append(int(rid))
+                b_out.append(int(all_ids[h]))
+                cs.append(float(sims[i, h]))
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+                "cosine": pa.array(cs, pa.float64()),
+            }
+        )
 
     return ds.map_batches(
-        NearDup,
-        fn_constructor_args=(ref, threshold),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-        runtime_env=runtime_env(),
+        near_dup, batch_format="pyarrow", runtime_env=runtime_env()
     )

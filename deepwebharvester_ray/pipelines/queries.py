@@ -38,7 +38,7 @@ from ..extract import extract_batch
 from ..functions.ann import brute_topk, lsh_topk
 from ..functions.dedup import (
     embedding_neardup_pairs,
-    exact_dedup,
+    exact_dedup_ids,
     jaccard_pairs_exact,
     minhash_lsh_pairs,
     simhash_pairs,
@@ -197,12 +197,7 @@ def q_exact_dedup(sf_dir: str):
     mirror = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         shift, batch_format="pyarrow", runtime_env=runtime_env()
     )
-    deduped = exact_dedup(docs.union(mirror), id_column="doc_id", text_column="text")
-
-    def project(batch: pa.Table) -> pa.Table:
-        return batch.select(["content_hash", "doc_id"])
-
-    return deduped.map_batches(project, batch_format="pyarrow", runtime_env=runtime_env())
+    return exact_dedup_ids(docs.union(mirror), id_column="doc_id", text_column="text")
 
 
 _SQL_EXACT_DEDUP = """
@@ -569,7 +564,7 @@ def q_events_by_type(sf_dir: str):
 
     def to_cents(batch: pa.Table) -> pa.Table:
         cents = np.floor(
-            np.asarray(batch.column("value").to_pylist(), dtype=np.float64) * 100.0
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
         return pa.table(
             {
@@ -667,32 +662,26 @@ def q_orders_by_segment(sf_dir: str):
     )
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
-    class SegmentJoin:
-        def __init__(self, ref) -> None:
-            self._m = ray.get(ref)
+    def segment_join(batch: pa.Table, ref=seg_map_ref) -> pa.Table:
+        from ..broadcast import cached_get
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("o_custkey").to_pylist()
-            segs = [self._m.get(k) for k in keys]
-            cents = np.floor(
-                np.asarray(batch.column("o_totalprice").to_pylist(), dtype=np.float64)
-                * 100.0
-            ).astype(np.int64)
-            return pa.table(
-                {
-                    "c_mktsegment": pa.array(segs, pa.string()),
-                    "cents": pa.array(cents, pa.int64()),
-                }
-            )
+        m = cached_get(ref)
+        keys = batch.column("o_custkey").to_pylist()
+        segs = [m.get(k) for k in keys]
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(segs, pa.string()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
 
     import ray.data.aggregate as agg_mod
 
     joined = orders.map_batches(
-        SegmentJoin,
-        fn_constructor_args=(seg_map_ref,),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-        runtime_env=runtime_env(),
+        segment_join, batch_format="pyarrow", runtime_env=runtime_env()
     )
     agg = joined.groupby("c_mktsegment").aggregate(agg_mod.Count(), agg_mod.Sum("cents"))
     return _rename(agg, {"count()": "n_orders", "sum(cents)": "total_cents"})
@@ -719,10 +708,10 @@ def q_lineitem_pricing(sf_dir: str):
     )
 
     def prep(batch: pa.Table) -> pa.Table:
-        ep = np.asarray(batch.column("l_extendedprice").to_pylist(), dtype=np.float64)
-        disc = np.asarray(batch.column("l_discount").to_pylist(), dtype=np.float64)
-        tax = np.asarray(batch.column("l_tax").to_pylist(), dtype=np.float64)
-        qty = np.asarray(batch.column("l_quantity").to_pylist(), dtype=np.float64)
+        ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        tax = batch.column("l_tax").to_numpy(zero_copy_only=False)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
         charge_cents = np.floor(((ep * (1.0 - disc)) * (1.0 + tax)) * 100.0).astype(
             np.int64
         )
