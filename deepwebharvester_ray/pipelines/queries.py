@@ -752,6 +752,131 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_risk_histogram(sf_dir: str):
+    """A3 report aggregate: pages per risk label (report.py:315-320)."""
+    scored = q_threat_scores(sf_dir)
+    agg = scored.groupby("risk_label").count()
+    return _rename(agg, {"count()": "n_docs"})
+
+
+def _sql_risk_histogram() -> str:
+    inner = _sql_threat_scores().replace("ORDER BY doc_id", "")
+    return f"""
+WITH scored AS ({inner})
+SELECT risk_label, count(*) AS n_docs
+FROM scored GROUP BY risk_label ORDER BY risk_label
+"""
+
+
+def q_top_risk(sf_dir: str):
+    """O1: top-50 highest-risk docs, deterministic tie-break
+    (report.py:322-326, cap report.py:529)."""
+    scored = q_threat_scores(sf_dir)
+    return scored.sort(["risk_score", "doc_id"], descending=[True, False]).limit(50)
+
+
+def _sql_top_risk() -> str:
+    inner = _sql_threat_scores().replace("ORDER BY doc_id", "")
+    return f"""
+WITH scored AS ({inner})
+SELECT doc_id, risk_score, risk_label
+FROM scored ORDER BY risk_score DESC, doc_id ASC LIMIT 50
+"""
+
+
+def q_ioc_registry(sf_dir: str):
+    """A5 global IOC registry: per-type distinct value set across all docs
+    (report.py:470-476) — explode list columns → distinct pairs."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        types, values = [], []
+        for d, t in zip(doc_ids, texts):
+            iocs = extract_iocs(_augment_ioc_py(d, t or ""))
+            for field in ("ipv4", "emails", "cves", "domains"):
+                for v in iocs[field]:
+                    types.append(field)
+                    values.append(v)
+        return pa.table(
+            {
+                "ioc_type": pa.array(types, pa.string()),
+                "value": pa.array(values, pa.string()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", runtime_env=runtime_env())
+    distinct = exploded.groupby(["ioc_type", "value"]).count()
+    return distinct.select_columns(["ioc_type", "value"])
+
+
+_SQL_IOC_REGISTRY = rf"""
+WITH a AS (SELECT doc_id, {_AUG_SQL} AS t FROM documents),
+x AS (
+  SELECT 'ipv4' AS ioc_type,
+         unnest(list_filter(
+           list_distinct(regexp_extract_all(t,
+             '\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){{3}}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b')),
+           ip -> NOT (ip LIKE '127.%' OR ip LIKE '10.%' OR ip LIKE '192.168.%'
+                      OR ip LIKE '169.254.%'))) AS value
+  FROM a
+  UNION ALL
+  SELECT 'emails', unnest(regexp_extract_all(t,
+    '\b[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{{2,}}\b')) FROM a
+  UNION ALL
+  SELECT 'cves', unnest(list_transform(regexp_extract_all(t,
+    '(?i)\bCVE-[0-9]{{4}}-[0-9]{{4,7}}\b'), v -> upper(v))) FROM a
+  UNION ALL
+  SELECT 'domains', unnest(regexp_extract_all(t,
+    '(?i)\b(?:[a-z0-9](?:[a-z0-9\-]{{0,61}}[a-z0-9])?\.)+(?:com|net|org|io|ru|cn|de|uk|fr|it|es|gov|edu|mil|co)\b')) FROM a
+)
+SELECT DISTINCT ioc_type, value FROM x ORDER BY ioc_type, value
+"""
+
+
+def q_props_k_stats(sf_dir: str):
+    """Scalar-function demo: extract int field k from the JSON props column,
+    aggregate per event_type (deterministic integer sums)."""
+    import re as _re
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+    k_re = _re.compile(r'"k": (\d+)')
+
+    def extract_k(batch: pa.Table) -> pa.Table:
+        ks = []
+        for p in batch.column("props").to_pylist():
+            m = k_re.search(p or "")
+            ks.append(int(m.group(1)) if m else 0)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "k": pa.array(ks, pa.int64()),
+            }
+        )
+
+    import ray.data.aggregate as agg_mod
+
+    agg = (
+        ds.map_batches(extract_k, batch_format="pyarrow", runtime_env=runtime_env())
+        .groupby("event_type")
+        .aggregate(agg_mod.Count(), agg_mod.Sum("k"), agg_mod.Max("k"))
+    )
+    return _rename(
+        agg, {"count()": "n_events", "sum(k)": "sum_k", "max(k)": "max_k"}
+    )
+
+
+_SQL_PROPS_K = r"""
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(coalesce(regexp_extract(props, '"k": ([0-9]+)', 1), '0')
+                     AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(coalesce(regexp_extract(props, '"k": ([0-9]+)', 1), '0')
+                     AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ── rows-only queries (no SQL oracle; driver records weaker check) ──────────
 
 
@@ -856,6 +981,10 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "event_sessions": q_event_sessions,
         "orders_by_segment": q_orders_by_segment,
         "lineitem_pricing": q_lineitem_pricing,
+        "risk_histogram": q_risk_histogram,
+        "top_risk": q_top_risk,
+        "ioc_registry": q_ioc_registry,
+        "props_k_stats": q_props_k_stats,
         # rows-only
         "crawl_bfs": q_crawl_bfs,
         "crawl_intel": q_crawl_intel,
@@ -886,6 +1015,10 @@ def build_oracle_sql() -> Dict[str, str]:
         "event_sessions": _SQL_EVENT_SESSIONS,
         "orders_by_segment": _SQL_ORDERS_BY_SEGMENT,
         "lineitem_pricing": _SQL_LINEITEM_PRICING,
+        "risk_histogram": _sql_risk_histogram(),
+        "top_risk": _sql_top_risk(),
+        "ioc_registry": _SQL_IOC_REGISTRY,
+        "props_k_stats": _SQL_PROPS_K,
     }
 
 
