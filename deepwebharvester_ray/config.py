@@ -8,7 +8,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field, fields, replace
 from pathlib import Path
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 try:
     import yaml
@@ -31,6 +31,12 @@ class CrawlSettings:
     blacklist_paths: List[str] = field(
         default_factory=lambda: ["/register", "/login", "/signup", "/auth"]
     )
+    # Per-host robots.txt bodies (host → robots.txt text).  Parsed into a
+    # RobotsTable (state/robots.py): Allow/Disallow longest-match rules and
+    # Crawl-delay politeness overrides.  None → no robots restrictions
+    # (reference behavior; its only robots-like rule is blacklist_paths,
+    # extractor.py:40-43).
+    robots_rules: Optional[Dict[str, str]] = None
 
     # ── engine knobs (no reference equivalent — Ray-scale parameters) ──────
     seen_shards: int = 4            # seen-set actor shards; O(cores/4) on a cluster

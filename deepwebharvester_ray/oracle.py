@@ -75,6 +75,13 @@ def crawl_oracle(
     """Replay the reference crawl over *corpus* in canonical order."""
     cfg = cfg or CrawlSettings()
     blacklist = normalize_blacklist(cfg.blacklist_paths)
+    from .state.robots import RobotsTable
+
+    robots = (
+        RobotsTable.from_texts(cfg.robots_rules)
+        if cfg.robots_rules
+        else RobotsTable()
+    )
     trace = OracleTrace()
     stats = {"crawled": 0, "failed": 0, "skipped": 0, "deduplicated": 0, "sites": 0}
     global_hashes: Set[str] = set()
@@ -83,11 +90,14 @@ def crawl_oracle(
     valid_seeds = [u for u in seed_urls if is_valid_onion_url(u)]  # crawler.py:293
 
     # Per-seed BFS state; processed depth-synchronously in canonical order.
+    from .urlops import get_host as _gh
+
     seeds = []
     for sid, seed in enumerate(valid_seeds):
         seeds.append(
             {
                 "sid": sid,
+                "delay": robots.crawl_delay_for(_gh(seed), cfg.crawl_delay),
                 "crawled": set(),        # per-seed marks (crawler.py:230)
                 "queue": [(seed, 0)],    # FIFO (deque) — kept as list
                 "pages": 0,
@@ -128,7 +138,8 @@ def crawl_oracle(
             trace.marks.add((sid, url))
 
             links: List[str] = []
-            if is_blacklisted(url, blacklist):          # crawler.py:167-171
+            if is_blacklisted(url, blacklist) or not robots.is_allowed(url):
+                # blacklist: crawler.py:167-171; robots: engine extension
                 stats["skipped"] += 1
                 trace.add_status("blacklisted", sid, url)
             elif url not in corpus:                     # fetch failure
@@ -165,7 +176,9 @@ def crawl_oracle(
                     if link not in s["crawled"]:
                         s["queue"].append((link, depth + 1))
 
-            s["vclock"] += cfg.crawl_delay              # crawler.py:264
+            # crawler.py:264; robots Crawl-delay overrides per SEED host
+            # (the reference's delay is per site thread, crawler.py:229-264)
+            s["vclock"] += s["delay"]
             if s["pages"] > 0 and s["pages"] % cfg.renew_circuit_every == 0:
                 s["epochs"] += 1                        # crawler.py:205-210 quirk
                 s["vclock"] += cfg.renew_pause

@@ -49,6 +49,7 @@ from ..state.scheduler import (
     SeedState,
     replay_generation,
 )
+from ..state.robots import RobotsTable
 from ..state.seen import SeenSetPool
 from ..urlops import (
     get_host,
@@ -162,6 +163,7 @@ class GenerationMetrics:
     failed: int = 0
     blacklisted: int = 0
     dup: int = 0
+    robots_blocked: int = 0
     abandoned: int = 0
     already: int = 0
     wall_time_s: float = 0.0
@@ -252,6 +254,11 @@ def run_crawl(
     state_root.mkdir(parents=True, exist_ok=True)
 
     blacklist = normalize_blacklist(cfg.blacklist_paths)
+    robots = (
+        RobotsTable.from_texts(cfg.robots_rules)
+        if cfg.robots_rules
+        else RobotsTable()
+    )
     digest = _config_digest(cfg, seed_urls)
 
     # seed validation (crawler.py:293-299); invalid seeds logged, not marked
@@ -260,6 +267,11 @@ def run_crawl(
     if dropped:
         logger.warning("Dropping %d invalid seed URL(s): %s", len(dropped), dropped[:3])
 
+    # robots Crawl-delay overrides politeness per seed host
+    seed_delays = {
+        sid: robots.crawl_delay_for(get_host(u), cfg.crawl_delay)
+        for sid, u in enumerate(valid_seeds)
+    }
     marks_pool = SeenSetPool(cfg.seen_shards, cfg.seen_mode)
     hash_pool = SeenSetPool(cfg.seen_shards, cfg.seen_mode)
     states: Dict[int, SeedState] = {
@@ -318,6 +330,11 @@ def run_crawl(
         ]
         aband_pre = [x for x in cands_meta if x not in set(active)]
         black = {u for _, u in active if is_blacklisted(u, blacklist)}
+        robots_hits = robots.blocked_set(
+            {u for _, u in active if u not in black}
+        )
+        gm.robots_blocked = len(robots_hits)
+        black |= robots_hits
         fetch_urls = sorted({u for _, u in active if u not in black})
         gm.candidates = len(cands_meta)
 
@@ -369,7 +386,9 @@ def run_crawl(
         cand_hashes = sorted({c.content_hash for c in candidates if c.content_hash})
         known = hash_pool.contains(cand_hashes)
         known_hashes = {h for h, k in zip(cand_hashes, known) if k}
-        replay: ReplayResult = replay_generation(candidates, states, known_hashes, cfg)
+        replay: ReplayResult = replay_generation(
+            candidates, states, known_hashes, cfg, seed_delays=seed_delays
+        )
         gm.abandoned = replay.status.count("abandoned") + len(aband_pre)
         gm.success = replay.status.count("success")
         gm.failed = replay.status.count("failed")

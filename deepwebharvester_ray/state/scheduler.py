@@ -109,6 +109,7 @@ def replay_generation(
     states: Dict[int, SeedState],
     known_hashes: Set[str],
     cfg: CrawlSettings,
+    seed_delays: Optional[Dict[int, float]] = None,
 ) -> ReplayResult:
     """Sequentially replay one generation's control flow in canonical order.
 
@@ -159,8 +160,13 @@ def replay_generation(
             propagate.add((cand.seed_id, cand.url))
             status.append(SUCCESS)
 
-        # politeness sleep after every processed pop (crawler.py:264)
-        st.vclock += cfg.crawl_delay
+        # politeness sleep after every processed pop (crawler.py:264);
+        # robots Crawl-delay overrides the default per seed host
+        st.vclock += (
+            seed_delays.get(cand.seed_id, cfg.crawl_delay)
+            if seed_delays
+            else cfg.crawl_delay
+        )
 
         # circuit-renewal cadence incl. the reference's re-fire quirk
         # (crawler.py:205-210: fires on every processed pop while the page
