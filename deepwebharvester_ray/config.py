@@ -41,6 +41,14 @@ class CrawlSettings:
     # ── engine knobs (no reference equivalent — Ray-scale parameters) ──────
     seen_shards: int = 4            # seen-set actor shards; O(cores/4) on a cluster
     seen_mode: str = "exact"        # "exact" | "cuckoo" (10^10-scale path)
+    # Priority-queue frontier (state/pqueue.py).  max_fetch_per_gen caps how
+    # many URLs each seed schedules per generation (politeness pacing);
+    # overflow DEFERS to later generations instead of the reference's
+    # abandon-at-budget.  None → schedule everything (reference semantics).
+    max_fetch_per_gen: Optional[int] = None
+    # Bounded per-seed frontier capacity; worst-first deterministic drops,
+    # counted in queue.dropped.  None → unbounded (reference deque).
+    frontier_max_per_seed: Optional[int] = None
     extract_batch_size: int = 128   # pages per Arrow batch in the extract stage
     extract_concurrency: Optional[int] = None  # None → Ray decides (task pool)
 

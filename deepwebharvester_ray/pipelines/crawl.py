@@ -49,6 +49,7 @@ from ..state.scheduler import (
     SeedState,
     replay_generation,
 )
+from ..state.pqueue import FrontierQueue
 from ..state.robots import RobotsTable
 from ..state.seen import SeenSetPool
 from ..urlops import (
@@ -164,6 +165,7 @@ class GenerationMetrics:
     blacklisted: int = 0
     dup: int = 0
     robots_blocked: int = 0
+    deferred: int = 0
     abandoned: int = 0
     already: int = 0
     wall_time_s: float = 0.0
@@ -238,10 +240,17 @@ def run_crawl(
     run_dir: Optional[str] = None,
     resume: bool = False,
     with_intel: bool = False,
+    on_page_crawled=None,
 ) -> CrawlRun:
     """Run (or resume) the full BFS crawl over *corpus_dir*.
 
     Ray must already be initialised by the caller.
+
+    *on_page_crawled* mirrors the reference's per-record callback hook
+    (crawler.py:96, fired crawler.py:252-253): called once per ACCEPTED
+    page with a dict ``{url, seed_id, depth, content_hash}``, in canonical
+    (seed_id, url) order within each generation.  Driver-side and
+    metadata-only — the page body stays in the data plane.
     """
     import ray
 
@@ -282,9 +291,8 @@ def run_crawl(
 
     manifest_path = run_path / "manifest.json"
     start_gen = 0
-    frontier: List[Tuple[int, str]] = sorted(
-        {(sid, u) for sid, u in enumerate(valid_seeds)}
-    )
+    frontier = FrontierQueue(max_per_seed=cfg.frontier_max_per_seed)
+    frontier.push((sid, 0, u) for sid, u in enumerate(valid_seeds))
 
     if resume and manifest_path.exists():
         manifest = json.loads(manifest_path.read_text())
@@ -300,7 +308,7 @@ def run_crawl(
                 int(k): SeedState.from_dict(v)
                 for k, v in last["seed_states"].items()
             }
-            frontier = [tuple(x) for x in last["next_frontier"]]
+            frontier.restore_list(tuple(x) for x in last["next_frontier"])
             metrics = [GenerationMetrics(**m) for m in manifest.get("metrics", [])]
             logger.info("Resuming from generation %d (%d frontier entries)", start_gen, len(frontier))
     else:
@@ -311,31 +319,38 @@ def run_crawl(
             "metrics": [],
         }
 
+    # Without a per-generation fetch budget, generation index == BFS depth
+    # and the loop ends at max_depth exactly as the reference does; with a
+    # budget, deferred entries extend the run (hard safety cap only).
+    gen_cap = cfg.max_depth if cfg.max_fetch_per_gen is None else 1_000_000
     gen = start_gen
-    while frontier and gen <= cfg.max_depth:
+    while len(frontier) and gen <= gen_cap:
         t_gen = time.monotonic()
         gm = GenerationMetrics(generation=gen)
 
-        # ── control plane: prior-mark filter (pop-check, crawler.py:240) ──
-        keys = [_mark_key(sid, u) for sid, u in frontier]
+        # ── control plane: budgeted pop from the priority-queue frontier ──
+        popped = frontier.pop_budget(cfg.max_fetch_per_gen)
+
+        # prior-mark filter (pop-check, crawler.py:240)
+        keys = [_mark_key(sid, u) for sid, _, u in popped]
         marked = marks_pool.contains(keys)
         gm.already = int(marked.sum())
-        cands_meta = [fr for fr, m in zip(frontier, marked) if not m]
+        cands_meta = [fr for fr, m in zip(popped, marked) if not m]
 
         # exhausted seeds' candidates never fetch (their replay abandons them)
         active = [
-            (sid, u)
-            for sid, u in cands_meta
+            (sid, d, u)
+            for sid, d, u in cands_meta
             if not states[sid].exhausted and states[sid].pages < cfg.max_pages
         ]
         aband_pre = [x for x in cands_meta if x not in set(active)]
-        black = {u for _, u in active if is_blacklisted(u, blacklist)}
+        black = {u for _, _, u in active if is_blacklisted(u, blacklist)}
         robots_hits = robots.blocked_set(
-            {u for _, u in active if u not in black}
+            {u for _, _, u in active if u not in black}
         )
         gm.robots_blocked = len(robots_hits)
         black |= robots_hits
-        fetch_urls = sorted({u for _, u in active if u not in black})
+        fetch_urls = sorted({u for _, _, u in active if u not in black})
         gm.candidates = len(cands_meta)
 
         # ── data plane: pruned corpus read → broadcast-filter → extract ──
@@ -376,13 +391,14 @@ def run_crawl(
             Candidate(
                 seed_id=sid,
                 url=u,
-                depth=gen,
+                depth=d,
                 blacklisted=u in black,
                 fetched=u in extracted,
                 content_hash=extracted[u]["content_hash"] if u in extracted else None,
             )
-            for sid, u in active
+            for sid, d, u in active
         ]
+        cand_depth = {(sid, u): d for sid, d, u in active}
         cand_hashes = sorted({c.content_hash for c in candidates if c.content_hash})
         known = hash_pool.contains(cand_hashes)
         known_hashes = {h for h, k in zip(cand_hashes, known) if k}
@@ -399,11 +415,24 @@ def run_crawl(
         hash_pool.insert(replay.new_hashes)
 
         # ── persist accepted results (partitioned per generation) ─────────
-        accepted_by_url = {u: sid for sid, u in replay.accepted}
+        if on_page_crawled is not None:
+            for sid, u in sorted(replay.accepted):
+                on_page_crawled(
+                    {
+                        "url": u,
+                        "seed_id": sid,
+                        "depth": cand_depth[(sid, u)],
+                        "content_hash": extracted[u]["content_hash"],
+                    }
+                )
+
+        accepted_by_url = {
+            u: (sid, cand_depth[(sid, u)]) for sid, u in replay.accepted
+        }
         if accepted_by_url and fetched_ds is not None:
             acc_ref = ray.put(accepted_by_url)
 
-            def _finalize(batch: pa.Table, *, _gen=gen, _ref=acc_ref) -> pa.Table:
+            def _finalize(batch: pa.Table, *, _ref=acc_ref) -> pa.Table:
                 amap = ray.get(_ref)
                 urls = batch.column("url").to_pylist()
                 mask = [u in amap for u in urls]
@@ -415,10 +444,10 @@ def run_crawl(
                 kurls = kept.column("url").to_pylist()
                 kept = kept.drop_columns(["links"])
                 kept = kept.append_column(
-                    "depth", pa.array([_gen] * len(kurls), pa.int32())
+                    "depth", pa.array([amap[u][1] for u in kurls], pa.int32())
                 )
                 kept = kept.append_column(
-                    "seed_id", pa.array([amap[u] for u in kurls], pa.int32())
+                    "seed_id", pa.array([amap[u][0] for u in kurls], pa.int32())
                 )
                 return kept
 
@@ -438,16 +467,13 @@ def run_crawl(
             out_ds.write_parquet(str(gen_results_dir))
 
         # ── next-generation frontier (enqueue guard depth < max_depth) ────
-        next_frontier: List[Tuple[int, str]] = []
-        if gen < cfg.max_depth:
-            seen_pairs: Set[Tuple[int, str]] = set()
-            for sid, u in sorted(replay.propagate):
-                for link in extracted[u]["links"]:
-                    pair = (sid, link)
-                    if pair not in seen_pairs:
-                        seen_pairs.add(pair)
-                        next_frontier.append(pair)
-            next_frontier.sort()
+        for sid, u in sorted(replay.propagate):
+            d = cand_depth[(sid, u)]
+            if d < cfg.max_depth:
+                frontier.push(
+                    (sid, d + 1, link) for link in extracted[u]["links"]
+                )
+        gm.deferred = len(frontier)
         gm.wall_time_s = time.monotonic() - t_gen
         metrics.append(gm)
 
@@ -463,7 +489,7 @@ def run_crawl(
                 "complete": True,
                 "counts": gm.as_dict(),
                 "seed_states": {str(k): v.as_dict() for k, v in states.items()},
-                "next_frontier": [list(x) for x in next_frontier],
+                "next_frontier": [list(x) for x in frontier.snapshot_list()],
             }
         )
         manifest["metrics"] = [m.as_dict() for m in metrics]
@@ -471,7 +497,6 @@ def run_crawl(
         tmp.write_text(json.dumps(manifest, indent=1))
         tmp.rename(manifest_path)
 
-        frontier = next_frontier
         gen += 1
 
     stats = {
@@ -480,6 +505,7 @@ def run_crawl(
         "pages_failed": sum(s.failed for s in states.values()),
         "pages_skipped": sum(s.skipped for s in states.values()),
         "pages_deduplicated": sum(s.deduplicated for s in states.values()),
+        "frontier_dropped": frontier.dropped,
         "generations": gen,
     }
     return CrawlRun(

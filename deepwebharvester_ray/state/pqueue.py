@@ -1,0 +1,200 @@
+"""Frontier priority queue (north-rule component: "priority queue").
+
+Holds not-yet-scheduled frontier entries ``(seed_id, depth, url)`` with
+deterministic priority ``(depth, url)`` per seed — BFS order first, then
+lexicographic URL (the engine's canonical order, SURVEY §2.9).  Supports
+
+* per-seed **budgeted pops** (politeness: schedule at most k URLs per seed
+  per generation, defer the rest — the reference instead abandons overflow
+  at the ``max_pages`` cutoff, crawler.py:237),
+* **bounded capacity** per seed with deterministic worst-first overflow
+  drops (bounded per-actor queues from the north star; drops are counted,
+  never silent),
+* **snapshot / restore** for checkpointing alongside the seen-set shards.
+
+``FrontierQueue`` is the single-process core; ``ShardedFrontierQueue``
+wraps it in a Ray actor pool sharded by ``seed_id`` (at 10^10-frontier
+scale: by ``hash(host)``, co-partitioned with the corpus buckets so a
+shard's pops feed its own fetch partition — SURVEY §7.4).
+"""
+from __future__ import annotations
+
+import heapq
+from typing import Dict, Iterable, List, Optional, Set, Tuple
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+Entry = Tuple[int, int, str]  # (seed_id, depth, url)
+
+
+class FrontierQueue:
+    """Deterministic per-seed priority queue over frontier entries."""
+
+    def __init__(self, max_per_seed: Optional[int] = None) -> None:
+        self._heaps: Dict[int, List[Tuple[int, str]]] = {}
+        self._members: Set[Tuple[int, str]] = set()
+        self._max = max_per_seed
+        self.dropped = 0
+
+    def __len__(self) -> int:
+        return sum(len(h) for h in self._heaps.values())
+
+    def push(self, entries: Iterable[Entry]) -> None:
+        for sid, depth, url in entries:
+            key = (sid, url)
+            if key in self._members:
+                continue  # frontier dedup: first push wins (lowest depth)
+            heap = self._heaps.setdefault(sid, [])
+            heapq.heappush(heap, (depth, url))
+            self._members.add(key)
+            if self._max is not None and len(heap) > self._max:
+                # drop the WORST entry (deepest, then lexicographically
+                # last) — deterministic, counted
+                worst_i = max(range(len(heap)), key=lambda i: heap[i])
+                worst = heap[worst_i]
+                heap[worst_i] = heap[-1]
+                heap.pop()
+                heapq.heapify(heap)
+                self._members.discard((sid, worst[1]))
+                self.dropped += 1
+
+    def pop_budget(self, budget_per_seed: Optional[int] = None) -> List[Entry]:
+        """Pop up to *budget_per_seed* entries per seed (all if None), in
+        canonical (seed_id, depth, url) order."""
+        out: List[Entry] = []
+        for sid in sorted(self._heaps):
+            heap = self._heaps[sid]
+            n = len(heap) if budget_per_seed is None else min(budget_per_seed, len(heap))
+            for _ in range(n):
+                depth, url = heapq.heappop(heap)
+                self._members.discard((sid, url))
+                out.append((sid, depth, url))
+            if not heap:
+                del self._heaps[sid]
+        out.sort()
+        return out
+
+    def snapshot_list(self) -> List[Entry]:
+        out: List[Entry] = []
+        for sid, heap in self._heaps.items():
+            out.extend((sid, d, u) for d, u in heap)
+        out.sort()
+        return out
+
+    def restore_list(self, entries: Iterable[Entry]) -> None:
+        self._heaps.clear()
+        self._members.clear()
+        self.push([tuple(e) for e in entries])
+
+    def snapshot_parquet(self, path: str) -> None:
+        rows = self.snapshot_list()
+        pq.write_table(
+            pa.table(
+                {
+                    "seed_id": pa.array([r[0] for r in rows], pa.int32()),
+                    "depth": pa.array([r[1] for r in rows], pa.int32()),
+                    "url": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            path,
+        )
+
+    def restore_parquet(self, path: str) -> None:
+        t = pq.read_table(path)
+        self.restore_list(
+            zip(
+                t.column("seed_id").to_pylist(),
+                t.column("depth").to_pylist(),
+                t.column("url").to_pylist(),
+            )
+        )
+
+
+class ShardedFrontierQueue:
+    """Ray-actor shard pool over :class:`FrontierQueue` (cluster path).
+
+    Sharded by ``seed_id % n_shards`` (single-node tests) — at full scale
+    the shard key is ``hash(host)`` so each shard co-locates with its
+    corpus partition.  All actor calls are batched; pops merge-sort across
+    shards deterministically.
+    """
+
+    def __init__(self, n_shards: int = 2, max_per_seed: Optional[int] = None) -> None:
+        import ray
+
+        @ray.remote(num_cpus=0)
+        class _Shard:
+            def __init__(self, max_per_seed):
+                self._q = FrontierQueue(max_per_seed)
+
+            def push(self, entries):
+                self._q.push(entries)
+                return len(self._q)
+
+            def pop_budget(self, budget):
+                return self._q.pop_budget(budget)
+
+            def size(self):
+                return len(self._q)
+
+            def dropped(self):
+                return self._q.dropped
+
+            def snapshot(self):
+                return self._q.snapshot_list()
+
+            def restore(self, entries):
+                self._q.restore_list(entries)
+                return len(self._q)
+
+        self._n = n_shards
+        self._shards = [_Shard.remote(max_per_seed) for _ in range(n_shards)]
+
+    def _route(self, entries: Iterable[Entry]) -> Dict[int, List[Entry]]:
+        routed: Dict[int, List[Entry]] = {}
+        for e in entries:
+            routed.setdefault(e[0] % self._n, []).append(e)
+        return routed
+
+    def push(self, entries: Iterable[Entry]) -> None:
+        import ray
+
+        routed = self._route(entries)
+        ray.get([self._shards[i].push.remote(es) for i, es in routed.items()])
+
+    def pop_budget(self, budget_per_seed: Optional[int] = None) -> List[Entry]:
+        import ray
+
+        parts = ray.get(
+            [s.pop_budget.remote(budget_per_seed) for s in self._shards]
+        )
+        out = [tuple(e) for part in parts for e in part]
+        out.sort()
+        return out
+
+    def __len__(self) -> int:
+        import ray
+
+        return sum(ray.get([s.size.remote() for s in self._shards]))
+
+    def dropped(self) -> int:
+        import ray
+
+        return sum(ray.get([s.dropped.remote() for s in self._shards]))
+
+    def snapshot_list(self) -> List[Entry]:
+        import ray
+
+        parts = ray.get([s.snapshot.remote() for s in self._shards])
+        out = [tuple(e) for part in parts for e in part]
+        out.sort()
+        return out
+
+    def restore_list(self, entries: Iterable[Entry]) -> None:
+        import ray
+
+        routed = self._route(entries)
+        ray.get(
+            [self._shards[i].restore.remote(es) for i, es in routed.items()]
+        )

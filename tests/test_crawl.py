@@ -141,3 +141,37 @@ def test_resume_config_mismatch_rejected(smoke_corpus, tmp_path):
             smoke_corpus, seeds, CrawlSettings(max_depth=2, seen_shards=1),
             run_dir=rd, resume=True,
         )
+
+
+def test_conformance_cuckoo_mode(smoke_corpus, tmp_path):
+    """The approximate-membership (cuckoo) seen-set path reproduces the
+    exact trace at small scale (exact-confirm on positives)."""
+    seeds = corpus.seed_urls(4)
+    cfg = CrawlSettings(max_depth=2, max_pages=8, seen_shards=2,
+                        seen_mode="cuckoo")
+    run = run_crawl(smoke_corpus, seeds, cfg, run_dir=str(tmp_path / "run"))
+    trace = oracle.crawl_oracle(oracle.load_corpus_map(smoke_corpus), seeds, cfg)
+    assert run.stats["pages_crawled"] > 0
+    _compare(run, trace)
+
+
+def test_on_page_crawled_callback(smoke_corpus, tmp_path):
+    """Reference extension surface (crawler.py:96, SURVEY §2.10): a
+    per-accepted-page callback fired in canonical order per generation."""
+    seen = []
+    seeds = corpus.seed_urls(3)
+    cfg = CrawlSettings(max_depth=1, max_pages=5, seen_shards=2)
+    run = run_crawl(
+        smoke_corpus, seeds, cfg, run_dir=str(tmp_path / "run"),
+        on_page_crawled=lambda row: seen.append(row),
+    )
+    assert len(seen) == run.stats["pages_crawled"]
+    # rows carry the public CrawlResult fields
+    for row in seen:
+        assert {"url", "seed_id", "depth", "content_hash"} <= set(row)
+    # canonical order within each generation: sorted by (seed_id, url)
+    by_depth = {}
+    for row in seen:
+        by_depth.setdefault(row["depth"], []).append((row["seed_id"], row["url"]))
+    for d, rows in by_depth.items():
+        assert rows == sorted(rows), d

@@ -1,0 +1,97 @@
+"""Frontier priority-queue tests: determinism, budgeted pops, bounded
+overflow, snapshot/restore, sharded actor pool, and budget-mode crawl."""
+from __future__ import annotations
+
+import pytest
+
+from deepwebharvester_ray.state.pqueue import FrontierQueue, ShardedFrontierQueue
+
+
+def test_bfs_priority_and_dedup():
+    q = FrontierQueue()
+    q.push([(0, 2, "http://h/z"), (0, 1, "http://h/b"), (0, 1, "http://h/a")])
+    q.push([(0, 3, "http://h/a")])  # dup (seed, url) → first push wins
+    assert len(q) == 3
+    assert q.pop_budget() == [
+        (0, 1, "http://h/a"),
+        (0, 1, "http://h/b"),
+        (0, 2, "http://h/z"),
+    ]
+    assert len(q) == 0
+
+
+def test_budgeted_pop_defers():
+    q = FrontierQueue()
+    q.push([(0, 1, f"http://h/{i}") for i in range(5)])
+    q.push([(1, 1, "http://h/x")])
+    first = q.pop_budget(2)
+    assert [e for e in first if e[0] == 0] == [(0, 1, "http://h/0"), (0, 1, "http://h/1")]
+    assert (1, 1, "http://h/x") in first
+    assert len(q) == 3  # seed 0's overflow deferred, not dropped
+    assert q.dropped == 0
+
+
+def test_bounded_overflow_drops_worst():
+    q = FrontierQueue(max_per_seed=2)
+    q.push([(0, 1, "http://h/a"), (0, 2, "http://h/z"), (0, 1, "http://h/b")])
+    assert q.dropped == 1
+    assert q.pop_budget() == [(0, 1, "http://h/a"), (0, 1, "http://h/b")]
+
+
+def test_snapshot_restore_roundtrip(tmp_path):
+    q = FrontierQueue()
+    q.push([(1, 2, "http://h/c"), (0, 1, "http://h/a")])
+    path = str(tmp_path / "fq.parquet")
+    q.snapshot_parquet(path)
+    q2 = FrontierQueue()
+    q2.restore_parquet(path)
+    assert q2.snapshot_list() == q.snapshot_list()
+    assert q2.pop_budget() == [(0, 1, "http://h/a"), (1, 2, "http://h/c")]
+
+
+def test_sharded_queue(ray_session):
+    q = ShardedFrontierQueue(n_shards=2)
+    entries = [(sid, 1, f"http://h/{sid}-{i}") for sid in range(4) for i in range(3)]
+    q.push(entries)
+    assert len(q) == 12
+    popped = q.pop_budget(1)
+    assert len(popped) == 4 and popped == sorted(popped)
+    assert len(q) == 8
+    snap = q.snapshot_list()
+    q2 = ShardedFrontierQueue(n_shards=3)
+    q2.restore_list(snap)
+    assert q2.snapshot_list() == snap
+    assert q.dropped() == 0
+
+
+def test_crawl_budget_mode_defers_not_abandons(ray_session, smoke_corpus, tmp_path):
+    """With max_fetch_per_gen set, a seed schedules ≤ k URLs per generation
+    and catches up over extra generations: the final results equal the
+    unbudgeted run's results (same pages, later generations)."""
+    from deepwebharvester_ray.config import CrawlSettings
+    from deepwebharvester_ray.corpus import seed_urls
+    from deepwebharvester_ray.pipelines.crawl import run_crawl
+
+    seeds = seed_urls(2)
+    base = CrawlSettings(max_depth=2, max_pages=20, seen_shards=2)
+    paced = CrawlSettings(max_depth=2, max_pages=20, seen_shards=2,
+                          max_fetch_per_gen=3)
+
+    ref = run_crawl(smoke_corpus, seeds, base, run_dir=str(tmp_path / "ref"))
+    got = run_crawl(smoke_corpus, seeds, paced, run_dir=str(tmp_path / "paced"))
+
+    ref_rows = {
+        (r["seed_id"], r["url"], r["content_hash"])
+        for r in ref.results_table().select(["seed_id", "url", "content_hash"]).to_pylist()
+    }
+    got_rows = {
+        (r["seed_id"], r["url"], r["content_hash"])
+        for r in got.results_table().select(["seed_id", "url", "content_hash"]).to_pylist()
+    }
+    assert got_rows == ref_rows
+    assert got.generations > ref.generations  # pacing stretched the run
+    # per-generation fetch cap respected
+    for m in got.metrics:
+        per_seed = {}
+        # candidates per generation per seed ≤ budget (use metrics proxy)
+        assert m.candidates <= 3 * 2  # ≤ budget × seeds
