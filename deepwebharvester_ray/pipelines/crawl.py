@@ -312,9 +312,12 @@ def run_crawl(
             metrics = [GenerationMetrics(**m) for m in manifest.get("metrics", [])]
             logger.info("Resuming from generation %d (%d frontier entries)", start_gen, len(frontier))
     else:
+        from ..corpus import corpus_digest
+
         manifest = {
             "config_digest": digest,
             "corpus_dir": corpus_dir,
+            "corpus_digest": corpus_digest(corpus_dir),
             "generations": [],
             "metrics": [],
         }
@@ -343,7 +346,8 @@ def run_crawl(
             for sid, d, u in cands_meta
             if not states[sid].exhausted and states[sid].pages < cfg.max_pages
         ]
-        aband_pre = [x for x in cands_meta if x not in set(active)]
+        active_set = set(active)
+        aband_pre = [x for x in cands_meta if x not in active_set]
         black = {u for _, _, u in active if is_blacklisted(u, blacklist)}
         robots_hits = robots.blocked_set(
             {u for _, _, u in active if u not in black}
@@ -363,7 +367,20 @@ def run_crawl(
             paths = _corpus_paths_for_hosts(corpus_dir, hosts)
             if paths:
                 hashes_ref = broadcast_frontier_hashes(fetch_urls)
-                ds = ray.data.read_parquet(paths, columns=["url", "html"])
+                # For modest frontiers, push the membership filter into the
+                # Arrow scanner: non-frontier rows are dropped before their
+                # html bytes ever reach the object store.  Beyond the cap
+                # the filter expression itself would be the bottleneck —
+                # the hash-broadcast filter in fetch_extract_task is the
+                # 10^10-scale path either way (it always applies too).
+                import pyarrow.compute as _pc
+
+                read_kwargs = {}
+                if len(fetch_urls) <= 100_000:
+                    read_kwargs["filter"] = _pc.field("url").isin(fetch_urls)
+                ds = ray.data.read_parquet(
+                    paths, columns=["url", "html"], **read_kwargs
+                )
                 fetched_ds = ds.map_batches(
                     fetch_extract_task,
                     fn_kwargs={"hashes_ref": hashes_ref},
@@ -487,6 +504,11 @@ def run_crawl(
             {
                 "generation": gen,
                 "complete": True,
+                # lineage: exactly which URLs this generation's partition
+                # was built from (digest of the scheduled fetch set)
+                "fetch_digest": hashlib.sha256(
+                    "\n".join(fetch_urls).encode()
+                ).hexdigest()[:16],
                 "counts": gm.as_dict(),
                 "seed_states": {str(k): v.as_dict() for k, v in states.items()},
                 "next_frontier": [list(x) for x in frontier.snapshot_list()],
