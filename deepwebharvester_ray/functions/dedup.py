@@ -250,10 +250,12 @@ def minhash_lsh_pairs(
         bucket_pairs, batch_format="pyarrow",
         runtime_env=runtime_env(),
     )
-    # distinct candidate pairs (a second small shuffle on the pair key)
-    cand = cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow",
-        runtime_env=runtime_env(),
+    # distinct candidate pairs: native count aggregate (no per-group
+    # Python) then drop the count column
+    cand = (
+        cand.groupby(["id_a", "id_b"])
+        .count()
+        .select_columns(["id_a", "id_b"])
     )
 
     # broadcast shingle sets for exact verification
@@ -423,10 +425,18 @@ def simhash_pairs(
         bucket_pairs, batch_format="pyarrow",
         runtime_env=runtime_env(),
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow",
-        runtime_env=runtime_env(),
-    )
+    # distinct (id_a, id_b, hamming) via native aggregate — hamming is a
+    # function of the pair, so Min(hamming) == the pair's hamming
+    import ray.data.aggregate as agg_mod
+
+    agg = pairs.groupby(["id_a", "id_b"]).aggregate(agg_mod.Min("hamming"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["hamming" if c == "min(hamming)" else c for c in batch.column_names]
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", runtime_env=runtime_env())
 
 
 # ── embedding near-dup ───────────────────────────────────────────────────────

@@ -877,7 +877,79 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: events per (hour, event_type) with
+    deterministic integer window keys (epoch-ms of the hour)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour_ms = (us // 3_600_000_000) * 3_600_000
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "hour_ms": pa.array(hour_ms, pa.int64()),
+                "event_type": batch.column("event_type"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    import ray.data.aggregate as agg_mod
+
+    agg = (
+        ds.map_batches(bucket, batch_format="pyarrow", runtime_env=runtime_env())
+        .groupby(["hour_ms", "event_type"])
+        .aggregate(agg_mod.Count(), agg_mod.Sum("cents"))
+    )
+    return _rename(agg, {"count()": "n_events", "sum(cents)": "total_cents"})
+
+
+_SQL_EVENTS_HOURLY = """
+SELECT CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) * 3600000 AS hour_ms,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ── rows-only queries (no SQL oracle; driver records weaker check) ──────────
+
+
+def q_multimodal_features(sf_dir: str):
+    """Actor-pool multimodal decode plumbing over the corpus html binary
+    (deterministic fake decoder — the real codec is stubbed, rows-only):
+    per-payload 16-bin byte-histogram features, reduced to scalars."""
+    import ray
+
+    from ..functions.multimodal import decode_features
+
+    corpus = corpus_from_documents(sf_dir)
+    ds = ray.data.read_parquet(corpus, columns=["url", "html"])
+    feats = decode_features(ds, binary_column="html", fake=True, batch_size=64)
+
+    def reduce_feats(batch: pa.Table) -> pa.Table:
+        doc_ids = [int(u.rsplit("/", 1)[1]) for u in batch.column("url").to_pylist()]
+        col = batch.column("features")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(len(batch), -1)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "feat_argmax": pa.array(mat.argmax(axis=1).astype(np.int64), pa.int64()),
+                "feat_nonzero": pa.array(
+                    (mat > 0).sum(axis=1).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return feats.map_batches(reduce_feats, batch_format="pyarrow",
+                             runtime_env=runtime_env())
 
 
 def _crawl_cfg() -> CrawlSettings:
@@ -985,7 +1057,9 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "top_risk": q_top_risk,
         "ioc_registry": q_ioc_registry,
         "props_k_stats": q_props_k_stats,
+        "events_hourly": q_events_hourly,
         # rows-only
+        "multimodal_features": q_multimodal_features,
         "crawl_bfs": q_crawl_bfs,
         "crawl_intel": q_crawl_intel,
         "minhash_pairs": q_minhash_pairs,
@@ -1019,10 +1093,11 @@ def build_oracle_sql() -> Dict[str, str]:
         "top_risk": _sql_top_risk(),
         "ioc_registry": _SQL_IOC_REGISTRY,
         "props_k_stats": _SQL_PROPS_K,
+        "events_hourly": _SQL_EVENTS_HOURLY,
     }
 
 
 ROWS_ONLY: List[str] = [
     "crawl_bfs", "crawl_intel", "minhash_pairs", "simhash_pairs",
-    "fingerprints", "ann_lsh", "binary_metadata",
+    "fingerprints", "ann_lsh", "binary_metadata", "multimodal_features",
 ]
