@@ -175,3 +175,46 @@ def test_on_page_crawled_callback(smoke_corpus, tmp_path):
         by_depth.setdefault(row["depth"], []).append((row["seed_id"], row["url"]))
     for d, rows in by_depth.items():
         assert rows == sorted(rows), d
+
+
+def test_resume_after_midgeneration_crash(smoke_corpus, tmp_path):
+    """A crash mid-generation leaves a PARTIAL results dir and no manifest
+    entry for it; resume must overwrite the partial partition idempotently
+    and converge to the uninterrupted run."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    seeds = corpus.seed_urls(3)
+    cfg = CrawlSettings(max_depth=2, seen_shards=2)
+
+    full = run_crawl(smoke_corpus, seeds, cfg, run_dir=str(tmp_path / "full"))
+
+    part_dir = str(tmp_path / "part")
+    run_crawl(smoke_corpus, seeds, cfg, run_dir=part_dir)
+    mpath = Path(part_dir) / "manifest.json"
+    manifest = json.loads(mpath.read_text())
+    # crash during generation 1: manifest only records gen 0 complete…
+    manifest["generations"] = [
+        g for g in manifest["generations"] if g["generation"] <= 0
+    ]
+    mpath.write_text(json.dumps(manifest))
+    # …but a half-written gen=1 partition is on disk (simulate by keeping
+    # only SOME of its files and corrupting nothing else)
+    gen1 = Path(part_dir, "results", "gen=1")
+    files = sorted(gen1.rglob("*.parquet"))
+    for f in files[1:]:
+        f.unlink()
+    shutil.rmtree(Path(part_dir, "results", "gen=2"), ignore_errors=True)
+
+    resumed = run_crawl(smoke_corpus, seeds, cfg, run_dir=part_dir, resume=True)
+    assert resumed.stats == full.stats
+    t_full = sorted(
+        (r["seed_id"], r["url"], r["content_hash"])
+        for r in full.results_table().to_pylist()
+    )
+    t_res = sorted(
+        (r["seed_id"], r["url"], r["content_hash"])
+        for r in resumed.results_table().to_pylist()
+    )
+    assert t_full == t_res

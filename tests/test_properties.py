@@ -1,0 +1,114 @@
+"""Property-based robustness tests (hypothesis) for the pure-Python
+kernels: canonicalization idempotence, extraction determinism, similarity
+bounds, membership-structure guarantees.  No Ray needed."""
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from deepwebharvester_ray.extract import extract_content
+from deepwebharvester_ray.functions.dedup import (
+    jaccard,
+    shingle_set,
+    simhash64,
+    token_set,
+)
+from deepwebharvester_ray.intelligence import classify_threat, extract_iocs
+from deepwebharvester_ray.state.cuckoo import CuckooFilter
+from deepwebharvester_ray.urlops import canonicalize_url, url_hash64
+
+URLS = st.builds(
+    lambda scheme, host, path, q, frag: f"{scheme}://{host}{path}{q}{frag}",
+    scheme=st.sampled_from(["http", "HTTP", "https"]),
+    host=st.from_regex(r"[A-Za-z0-9.\-]{1,30}", fullmatch=True),
+    path=st.from_regex(r"(/[A-Za-z0-9._~%\-]{0,10}){0,4}/?", fullmatch=True),
+    q=st.sampled_from(["", "?a=1", "?b=2&a=1", "?x=&a=1", "?a=1&a=2"]),
+    frag=st.sampled_from(["", "#f", "#frag ment"]),
+)
+
+TEXTS = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(URLS)
+def test_canonicalize_idempotent(url):
+    c1 = canonicalize_url(url)
+    assert canonicalize_url(c1) == c1
+
+
+@settings(max_examples=100, deadline=None)
+@given(URLS)
+def test_url_hash_stable_and_64bit(url):
+    h = url_hash64(url)
+    assert h == url_hash64(url)
+    assert 0 <= h < (1 << 64)
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXTS)
+def test_extract_deterministic_and_total(text):
+    """extract_content never raises on arbitrary 'HTML' and is
+    deterministic (title/text/hash/links)."""
+    html = f"<html><title>t</title><body><p>{text}</p></body></html>"
+    a = extract_content(html, "http://x.onion/p")
+    b = extract_content(html, "http://x.onion/p")
+    assert a == b
+    assert len(a[2]) == 64  # sha256 hex
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXTS)
+def test_extract_arbitrary_bytes_no_crash(text):
+    # malformed markup, stray brackets, partial tags
+    a = extract_content(text + "<a href='", "http://x.onion/")
+    assert isinstance(a[0], str) and isinstance(a[1], str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXTS, TEXTS)
+def test_jaccard_bounds_and_symmetry(t1, t2):
+    a, b = set(token_set(t1)), set(token_set(t2))
+    j = jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert j == jaccard(b, a)
+    assert jaccard(a, a) == 1.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXTS)
+def test_shingles_sorted_unique(text):
+    sh = shingle_set(text, k=3)
+    assert sh == sorted(set(sh))
+    assert all(0 <= x < (1 << 64) for x in sh)
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXTS)
+def test_simhash_in_range_and_deterministic(text):
+    s = simhash64(text)
+    assert 0 <= s < (1 << 64)
+    assert s == simhash64(text)
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXTS)
+def test_intelligence_total_functions(text):
+    iocs = extract_iocs(text)
+    assert iocs["ioc_total"] >= 0
+    assert len(iocs["urls"]) <= 50
+    th = classify_threat(text)
+    assert 0.0 <= th["risk_score"] <= 10.0
+    assert th["risk_label"] in {"Low", "Medium", "High", "Critical"}
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=30), min_size=1, max_size=200,
+                unique=True))
+def test_cuckoo_no_false_negatives(keys):
+    f = CuckooFilter(capacity=4096)
+    hashes = [url_hash64(k) for k in keys]
+    for h in hashes:
+        assert f.add(h)
+    assert all(f.contains(h) for h in hashes)
