@@ -1,0 +1,93 @@
+"""Skew handling: salted repartitioning for hot keys.
+
+North-star requirement: "skew from mega-hosts is handled by salted
+repartitioning of the frontier and bounded per-actor queues".  Bounded
+queues live in state/pqueue.py; this module provides the salting side.
+
+The pattern: a handful of keys (mega-hosts) dominate row counts, so any
+key-partitioned stage (per-host fetch gateways, per-host politeness
+scheduling, a key-grouped aggregate) would serialize on them.  Salting
+splits each hot key's rows across ``n_salts`` sub-partitions via a stable
+per-row hash; downstream stages key on ``(key, salt)`` instead of ``key``
+alone.  Per-host ORDERING guarantees are preserved by keeping salting off
+the control-plane scheduler (which stays strictly per-host) and applying
+it only to order-free stages (fetch/extract/aggregate) — SURVEY §4 skew
+row.
+"""
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from .. import runtime_env
+from ..broadcast import cached_get
+from ..urlops import batch_url_hash64
+
+
+def add_salt_column(
+    batch: pa.Table,
+    key_column: str,
+    hot_keys_ref=None,
+    hot_keys: Optional[frozenset] = None,
+    salt_column: str = "salt",
+    n_salts: int = 8,
+    row_id_column: Optional[str] = None,
+) -> pa.Table:
+    """Append ``salt`` ∈ [0, n_salts): stable per-row hash for hot keys,
+    0 for everything else (cold keys keep a single partition)."""
+    hot = hot_keys if hot_keys is not None else (
+        cached_get(hot_keys_ref) if hot_keys_ref is not None else frozenset()
+    )
+    keys = batch.column(key_column).to_pylist()
+    if row_id_column is not None:
+        # stable per-row identity (e.g. url) → globally uniform salts
+        basis = [str(x) for x in batch.column(row_id_column).to_pylist()]
+    else:
+        # fallback: per-batch index.  Only uniform when blocks are large;
+        # pass row_id_column whenever a natural row id exists.
+        basis = [f"{k}#{i}" for i, k in enumerate(keys)]
+    hashes = batch_url_hash64(basis)
+    salts = (hashes % np.uint64(n_salts)).astype(np.int32)
+    is_hot = np.fromiter((k in hot for k in keys), dtype=bool, count=len(keys))
+    salts = np.where(is_hot, salts, 0).astype(np.int32)
+    return batch.append_column(salt_column, pa.array(salts, pa.int32()))
+
+
+def detect_hot_keys(ds, key_column: str, threshold_fraction: float = 0.05):
+    """Keys holding more than *threshold_fraction* of all rows (one small
+    count aggregate — the driver-side 'hot key census')."""
+    counts = ds.groupby(key_column).count().take_all()
+    total = sum(r["count()"] for r in counts)
+    if total == 0:
+        return frozenset()
+    return frozenset(
+        r[key_column]
+        for r in counts
+        if r["count()"] / total > threshold_fraction
+    )
+
+
+def salted_repartition(
+    ds,
+    key_column: str,
+    hot_keys: Iterable[str],
+    n_salts: int = 8,
+    row_id_column: Optional[str] = None,
+):
+    """Repartition *ds* by ``(key, salt)`` so each hot key spreads across
+    ``n_salts`` partitions.  Returns the salted Dataset (with the salt
+    column kept for downstream ``groupby([key, salt])`` stages)."""
+    import ray
+
+    hot_ref = ray.put(frozenset(hot_keys))
+    salted = ds.map_batches(
+        lambda b: add_salt_column(
+            b, key_column, hot_keys_ref=hot_ref, n_salts=n_salts,
+            row_id_column=row_id_column,
+        ),
+        batch_format="pyarrow",
+        runtime_env=runtime_env(),
+    )
+    return salted

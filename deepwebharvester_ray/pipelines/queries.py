@@ -696,6 +696,38 @@ GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 """
 
 
+def q_orders_join_native(sf_dir: str):
+    """J1 via Ray Data's native hash-shuffle join (both sides exchange on
+    the key — the large×large path; the broadcast variant above is the
+    small-side path).  Same rollup as orders_by_segment."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = orders.join(
+        cust, "inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    import ray.data.aggregate as agg_mod
+
+    agg = (
+        joined.map_batches(to_cents, batch_format="pyarrow", runtime_env=runtime_env())
+        .groupby("c_mktsegment")
+        .aggregate(agg_mod.Count(), agg_mod.Sum("cents"))
+    )
+    return _rename(agg, {"count()": "n_orders", "sum(cents)": "total_cents"})
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-flavored wide aggregate with deterministic cents math."""
     ds = _read(
@@ -1052,6 +1084,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "top_users": q_top_users,
         "event_sessions": q_event_sessions,
         "orders_by_segment": q_orders_by_segment,
+        "orders_join_native": q_orders_join_native,
         "lineitem_pricing": q_lineitem_pricing,
         "risk_histogram": q_risk_histogram,
         "top_risk": q_top_risk,
@@ -1088,6 +1121,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "top_users": _SQL_TOP_USERS,
         "event_sessions": _SQL_EVENT_SESSIONS,
         "orders_by_segment": _SQL_ORDERS_BY_SEGMENT,
+        "orders_join_native": _SQL_ORDERS_BY_SEGMENT,
         "lineitem_pricing": _SQL_LINEITEM_PRICING,
         "risk_histogram": _sql_risk_histogram(),
         "top_risk": _sql_top_risk(),

@@ -182,3 +182,37 @@ def test_frame_sample_stub():
     stage = multimodal.frame_sample_stub(4)
     with pytest.raises(NotImplementedError):
         stage(pa.table({"video": pa.array([b"x"], pa.binary())}))
+
+
+def test_salted_repartition_spreads_hot_key(ray_session):
+    """A mega-host's rows spread across n_salts sub-keys; cold hosts keep
+    salt 0 (single partition each)."""
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.partition import (
+        detect_hot_keys,
+        salted_repartition,
+    )
+
+    rows = [{"host": "mega.onion", "url": f"http://mega.onion/p/{i}"} for i in range(900)]
+    rows += [{"host": f"h{i}.onion", "url": f"http://h{i}.onion/p"} for i in range(30)]
+    ds = ray.data.from_items(rows)
+
+    hot = detect_hot_keys(ds, "host", threshold_fraction=0.1)
+    assert hot == frozenset({"mega.onion"})
+
+    salted = salted_repartition(
+        ds, "host", hot, n_salts=8, row_id_column="url"
+    ).take_all()
+    mega_salts = {r["salt"] for r in salted if r["host"] == "mega.onion"}
+    cold_salts = {r["salt"] for r in salted if r["host"] != "mega.onion"}
+    assert len(mega_salts) == 8          # hot key spread across all salts
+    assert cold_salts == {0}             # cold keys unsalted
+    # deterministic: same input → same salts
+    again = salted_repartition(
+        ds, "host", hot, n_salts=8, row_id_column="url"
+    ).take_all()
+    assert sorted((r["url"], r["salt"]) for r in salted) == sorted(
+        (r["url"], r["salt"]) for r in again
+    )
