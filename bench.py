@@ -51,7 +51,9 @@ BENCH_QUERIES = [
     "ann_topk",
     "events_by_type",
     "event_sessions",
+    "events_hourly",
     "orders_by_segment",
+    "orders_join_native",
     "lineitem_pricing",
     "crawl_bfs",
 ]
