@@ -49,6 +49,10 @@ class CrawlSettings:
     # Bounded per-seed frontier capacity; worst-first deterministic drops,
     # counted in queue.dropped.  None → unbounded (reference deque).
     frontier_max_per_seed: Optional[int] = None
+    # Control-plane replay sharding: None → sequential driver replay;
+    # N → seed-sharded Ray-actor claims chain (state/scheduler.py,
+    # bit-identical output — the cluster path).
+    replay_shards: Optional[int] = None
     extract_batch_size: int = 128   # pages per Arrow batch in the extract stage
     extract_concurrency: Optional[int] = None  # None → Ray decides (task pool)
 

@@ -48,6 +48,7 @@ from ..state.scheduler import (
     ReplayResult,
     SeedState,
     replay_generation,
+    replay_generation_sharded,
 )
 from ..state.pqueue import FrontierQueue
 from ..state.robots import RobotsTable
@@ -419,9 +420,15 @@ def run_crawl(
         cand_hashes = sorted({c.content_hash for c in candidates if c.content_hash})
         known = hash_pool.contains(cand_hashes)
         known_hashes = {h for h, k in zip(cand_hashes, known) if k}
-        replay: ReplayResult = replay_generation(
-            candidates, states, known_hashes, cfg, seed_delays=seed_delays
-        )
+        if cfg.replay_shards:
+            replay: ReplayResult = replay_generation_sharded(
+                candidates, states, known_hashes, cfg,
+                seed_delays=seed_delays, n_shards=cfg.replay_shards,
+            )
+        else:
+            replay = replay_generation(
+                candidates, states, known_hashes, cfg, seed_delays=seed_delays
+            )
         gm.abandoned = replay.status.count("abandoned") + len(aband_pre)
         gm.success = replay.status.count("success")
         gm.failed = replay.status.count("failed")

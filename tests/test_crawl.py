@@ -218,3 +218,17 @@ def test_resume_after_midgeneration_crash(smoke_corpus, tmp_path):
         for r in resumed.results_table().to_pylist()
     )
     assert t_full == t_res
+
+
+def test_conformance_sharded_replay(smoke_corpus, tmp_path):
+    """replay_shards=2 (actor claims chain) reproduces the oracle trace."""
+    seeds = corpus.seed_urls(5)
+    cfg = CrawlSettings(max_depth=2, max_pages=6, seen_shards=2,
+                        replay_shards=2)
+    run = run_crawl(smoke_corpus, seeds, cfg, run_dir=str(tmp_path / "run"))
+    oracle_cfg = CrawlSettings(max_depth=2, max_pages=6, seen_shards=2)
+    trace = oracle.crawl_oracle(
+        oracle.load_corpus_map(smoke_corpus), seeds, oracle_cfg
+    )
+    assert run.stats["pages_crawled"] > 0
+    _compare(run, trace)
