@@ -98,13 +98,10 @@ def run_headline(sf_dir: str, trials: int = 1) -> dict:
         )
         out = ds.map_batches(
             fetch_extract_task,
-            fn_kwargs={"hashes_ref": hashes_ref, "with_intel": True},
+            fn_kwargs={"hashes_ref": hashes_ref, "with_intel": True,
+                       "drop_links": True},
             batch_format="pyarrow",
             batch_size=1024,
-            runtime_env=runtime_env(),
-        ).map_batches(
-            lambda b: b.drop_columns(["links"]),
-            batch_format="pyarrow",
             runtime_env=runtime_env(),
         )
         out.write_parquet(out_dir)
@@ -169,14 +166,53 @@ def run_queries(sf_dir: str) -> dict:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--scaling", action="store_true")
+    parser.add_argument("--scaling-nodes", action="store_true",
+                        help="N vs 4N simulated NODES (ray.cluster_utils)")
     parser.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
     parser.add_argument("--cpus", type=int, default=None)
+    parser.add_argument("--nodes", type=int, default=0,
+                        help=argparse.SUPPRESS)
     parser.add_argument("--trials", type=int, default=1)
     parser.add_argument("--headline-only", action="store_true")
     args = parser.parse_args()
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling_nodes:
+        # The literal north-rule shape: the SAME job on an N-node and a
+        # 4N-node cluster (simulated multi-node via ray.cluster_utils —
+        # each node gets its own raylet + object store, so cross-node
+        # object transfer is exercised; only the network is loopback).
+        results = {}
+        child_env = os.environ.copy()
+        child_env.setdefault("DWH_BENCH_FACTOR", "64")
+        for nodes in (1, 4):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--child", "--headline-only",
+                 "--trials", "2", "--nodes", str(nodes), "--cpus", "8"],
+                capture_output=True, text=True, env=child_env,
+                timeout=3600,
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if not line:
+                print(proc.stdout, file=sys.stderr)
+                print(proc.stderr[-4000:], file=sys.stderr)
+                raise RuntimeError(f"child bench with {nodes} nodes failed")
+            results[nodes] = json.loads(line[-1])
+        r1 = results[1]["pages_per_sec"]
+        r4 = results[4]["pages_per_sec"]
+        print(json.dumps({
+            "metric": "throughput scaling efficiency 1→4 nodes × 8 CPUs (N→4N nodes, simulated cluster)",
+            "value": round(r4 / (4.0 * r1), 4),
+            "unit": "efficiency",
+            "sf": sf_dir,
+            "pages": results[4]["pages"],
+            "pages_per_sec": {"1node": round(r1, 2), "4node": round(r4, 2)},
+            "headline_sec": {"1node": round(results[1]["value"], 3),
+                             "4node": round(results[4]["value"], 3)},
+        }))
+        return
 
     if args.scaling:
         # Same job, fresh ray.init process per parallelism level, best of 2
@@ -220,14 +256,31 @@ def main() -> None:
 
     import ray
 
-    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             logging_level="ERROR", log_to_driver=False)
+    cluster = None
+    if args.nodes > 0:
+        from ray.cluster_utils import Cluster
+
+        store = 4 * 1024**3
+        cluster = Cluster(
+            initialize_head=True,
+            head_node_args={"num_cpus": num_cpus, "object_store_memory": store},
+        )
+        for _ in range(args.nodes - 1):
+            cluster.add_node(num_cpus=num_cpus, object_store_memory=store)
+        ray.init(address=cluster.address, include_dashboard=False,
+                 logging_level="ERROR", log_to_driver=False)
+        num_cpus = num_cpus * args.nodes
+    else:
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR", log_to_driver=False)
     try:
         head = run_headline(sf_dir, trials=args.trials)
         crawl = None if args.headline_only else run_wide_crawl(sf_dir)
         timings = {} if args.headline_only else run_queries(sf_dir)
     finally:
         ray.shutdown()
+        if cluster is not None:
+            cluster.shutdown()
 
     out = {
         "metric": METRIC,

@@ -130,7 +130,8 @@ def _frontier_hashes(hashes_ref):
 
 
 def fetch_extract_task(
-    batch: pa.Table, hashes_ref=None, with_intel: bool = False
+    batch: pa.Table, hashes_ref=None, with_intel: bool = False,
+    drop_links: bool = False,
 ) -> pa.Table:
     """Fused task-pool fetch → extract (→ intelligence) stage.
 
@@ -138,6 +139,9 @@ def fetch_extract_task(
     extraction (and optionally the IOC/threat stage) without intermediate
     Arrow materialization between stages (same semantics as
     :class:`FetchExtract` + ``intelligence_batch`` chained).
+    ``drop_links=True`` drops the link-list column in-task (saves an
+    inter-stage — potentially cross-node — block handoff when the caller
+    doesn't need the frontier expansion).
     """
     import numpy as np
 
@@ -153,6 +157,8 @@ def fetch_extract_task(
     out = extract_batch(batch)
     if with_intel:
         out = intelligence_batch(out)
+    if drop_links:
+        out = out.drop_columns(["links"])
     return out
 
 
