@@ -120,7 +120,11 @@ class SeenSetPool:
         from .. import runtime_env
 
         self._n = num_shards
-        actor_cls = ray.remote(num_cpus=0.5, runtime_env=runtime_env())(SeenShard)
+        # num_cpus=0: these are tiny metadata actors (a hash set + filter); a
+        # fractional CPU reservation can consume the whole logical-CPU
+        # budget on small clusters and DEADLOCK the data plane (read tasks
+        # never schedule).  Control plane must never starve the data plane.
+        actor_cls = ray.remote(num_cpus=0, runtime_env=runtime_env())(SeenShard)
         self._shards = [actor_cls.remote(mode) for _ in range(num_shards)]
 
     def _route(self, keys: Sequence[str]) -> Dict[int, List[int]]:

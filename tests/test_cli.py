@@ -1,0 +1,52 @@
+"""CLI tests (reference tests/test_cli.py analog): exit codes, flag
+overrides, sink outputs, report generation, resume wiring."""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from deepwebharvester_ray import corpus
+from deepwebharvester_ray.cli import main
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def test_missing_corpus_exits_2(tmp_path, capsys):
+    assert main(["--corpus", str(tmp_path / "nope"), "--url", "http://x"]) == 2
+
+
+def test_no_seeds_exits_2(smoke_corpus):
+    assert main(["--corpus", smoke_corpus]) == 2
+
+
+def test_invalid_seeds_exit_2(smoke_corpus):
+    assert main(["--corpus", smoke_corpus, "--url", "https://clearweb.com"]) == 2
+
+
+def test_end_to_end_with_report(smoke_corpus, tmp_path, capsys):
+    seeds = corpus.seed_urls(2)
+    rc = main(
+        ["--corpus", smoke_corpus, "--output-dir", str(tmp_path)]
+        + [x for u in seeds for x in ("--url", u)]
+        + ["--max-depth", "1", "--max-pages", "5", "--report"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "CRAWL SUMMARY" in out
+    assert (tmp_path / "deepwebharvester.db").exists()
+    jsons = list(tmp_path.glob("results_*.json"))
+    csvs = list(tmp_path.glob("results_*.csv"))
+    reports = list(tmp_path.glob("report_*.html"))
+    assert jsons and csvs and reports
+    rows = json.loads(jsons[0].read_text())
+    assert rows and {"url", "content_hash", "site"} <= set(rows[0])
+    # checkpoint manifest written → resume works with identical flags
+    assert (tmp_path / "run" / "manifest.json").exists()
+    rc2 = main(
+        ["--corpus", smoke_corpus, "--output-dir", str(tmp_path)]
+        + [x for u in seeds for x in ("--url", u)]
+        + ["--max-depth", "1", "--max-pages", "5", "--resume"]
+    )
+    assert rc2 == 0
