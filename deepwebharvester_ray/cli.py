@@ -10,13 +10,17 @@ print.  This CLI does the same with the live Tor network replaced by a
         --url http://<56-char-v3>.onion/d/0 --url ... \
         --output-dir /tmp/out --max-depth 2 --max-pages 20 --report
 
-Exit codes mirror the reference (cli.py:108-152): 0 success, 2 bad
-arguments / no valid seeds, 1 runtime failure.
+Exit codes: 0 success (including interrupted-but-persisted runs — the
+reference also persists partial results on Ctrl-C, cli.py:294-295), 2 bad
+arguments / no valid seeds, 1 crawl runtime failure.  Sink/report errors
+after a successful crawl are logged, not fatal (reference
+storage.py:150-151, cli.py:330-354 behavior).
 """
 from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 from pathlib import Path
 from typing import List, Optional
@@ -48,31 +52,75 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-json", action="store_true")
     p.add_argument("--no-csv", action="store_true")
     p.add_argument("--no-sqlite", action="store_true")
+    p.add_argument("--no-intel", action="store_true",
+                   help="skip the IOC/threat intelligence stage")
     p.add_argument("--report", action="store_true", help="write HTML report")
-    p.add_argument("--intel", action="store_true", default=True,
-                   help="run IOC/threat intelligence (default on)")
     p.add_argument("--verbose", "-v", action="store_true")
     return p
 
 
-def _print_summary(run, out) -> None:
-    """Reference cli.py:54-81 summary block."""
-    s = run.stats
+def _print_summary(stats: dict, results, out) -> None:
+    """Reference cli.py:54-81 summary incl. the intelligence block."""
     lines = [
         "=" * 60,
         "CRAWL SUMMARY",
         "=" * 60,
-        f"  Sites (seeds):       {s['sites_crawled']}",
-        f"  Pages crawled:       {s['pages_crawled']}",
-        f"  Pages failed:        {s['pages_failed']}",
-        f"  Pages skipped:       {s['pages_skipped']}",
-        f"  Pages deduplicated:  {s['pages_deduplicated']}",
-        f"  Generations:         {s['generations']}",
+        f"  Sites (seeds):       {stats.get('sites_crawled', '?')}",
+        f"  Pages crawled:       {stats.get('pages_crawled', '?')}",
+        f"  Pages failed:        {stats.get('pages_failed', '?')}",
+        f"  Pages skipped:       {stats.get('pages_skipped', '?')}",
+        f"  Pages deduplicated:  {stats.get('pages_deduplicated', '?')}",
+        f"  Generations:         {stats.get('generations', '?')}",
     ]
+    if results is not None and "risk_label" in results.schema.names:
+        import pyarrow.compute as pc
+
+        labels = results.column("risk_label").to_pylist()
+        high = sum(1 for x in labels if x in ("High", "Critical"))
+        total_iocs = (
+            pc.sum(results.column("ioc_total")).as_py() if len(results) else 0
+        )
+        lines += [
+            "-" * 60,
+            "INTELLIGENCE",
+            f"  Total IOCs:          {total_iocs or 0}",
+            f"  High/Critical pages: {high}",
+        ]
     for fmt, path in out.items():
         lines.append(f"  {fmt.upper():<6} output:       {path}")
     lines.append("=" * 60)
     print("\n".join(lines))
+
+
+def _persist_and_report(results, run_stats, args, out_dir: Path,
+                        results_ds=None) -> int:
+    """Sink fan-out + report + summary; errors logged, never fatal
+    (reference storage.py:150-151 pattern)."""
+    from . import report as report_mod
+    from . import sinks
+
+    out = {}
+    try:
+        out = sinks.save_all(
+            results, str(out_dir),
+            json_output=not args.no_json,
+            csv_output=not args.no_csv,
+            sqlite_output=not args.no_sqlite,
+        )
+    except Exception:  # noqa: BLE001
+        logger.exception("sink fan-out failed; results remain in the "
+                         "checkpoint parquet under the run dir")
+    if args.report:
+        try:
+            if results_ds is None:
+                import ray
+
+                results_ds = ray.data.from_arrow(results)
+            out["report"] = report_mod.generate(results_ds, str(out_dir))
+        except Exception:  # noqa: BLE001
+            logger.exception("report generation failed")
+    _print_summary(run_stats, results, out)
+    return 0
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -82,7 +130,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
 
-    if not Path(args.corpus).exists():
+    if not Path(args.corpus).is_dir():
         print(f"error: corpus directory not found: {args.corpus}", file=sys.stderr)
         return 2
 
@@ -109,11 +157,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
+        # honor an externally provided cluster address (RAY_ADDRESS);
+        # fall back to a fresh local session
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False,
                  logging_level="ERROR", log_to_driver=args.verbose)
 
-    from . import report as report_mod
-    from . import sinks
     from .pipelines.crawl import run_crawl
 
     out_dir = Path(args.output_dir)
@@ -123,30 +172,34 @@ def main(argv: Optional[List[str]] = None) -> int:
     try:
         run = run_crawl(
             args.corpus, seeds, cfg=cfg, run_dir=run_dir,
-            resume=args.resume, with_intel=args.intel,
+            resume=args.resume, with_intel=not args.no_intel,
         )
     except KeyboardInterrupt:
-        # reference cli.py:294-295: partial results still persist — the
-        # checkpoint manifest holds every complete generation
-        print("interrupted — checkpoint retained; re-run with --resume",
-              file=sys.stderr)
-        return 1
-    except Exception as exc:  # noqa: BLE001
-        logger.error("crawl failed: %s", exc)
+        # reference cli.py:294-295: partial results still persist — every
+        # COMPLETE generation is already on disk under the run dir; save
+        # sinks from it and exit 0
+        print("interrupted — persisting completed generations "
+              "(re-run with --resume to continue)", file=sys.stderr)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files = sorted(Path(run_dir, "results").rglob("*.parquet"))
+        partial = (
+            pa.concat_tables([pq.read_table(str(f)) for f in files],
+                             promote_options="default")
+            if files else None
+        )
+        if partial is None:
+            return 0
+        return _persist_and_report(partial, {}, args, out_dir)
+    except Exception:  # noqa: BLE001
+        logger.exception("crawl failed")
         return 1
 
-    results = run.results_table()
-    out = sinks.save_all(
-        results, str(out_dir),
-        json_output=not args.no_json,
-        csv_output=not args.no_csv,
-        sqlite_output=not args.no_sqlite,
+    return _persist_and_report(
+        run.results_table(), run.stats, args, out_dir,
+        results_ds=run.results_dataset(),
     )
-    if args.report:
-        out["report"] = report_mod.generate(run.results_dataset(), str(out_dir))
-
-    _print_summary(run, out)
-    return 0
 
 
 if __name__ == "__main__":

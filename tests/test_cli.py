@@ -50,3 +50,23 @@ def test_end_to_end_with_report(smoke_corpus, tmp_path, capsys):
         + ["--max-depth", "1", "--max-pages", "5", "--resume"]
     )
     assert rc2 == 0
+
+
+def test_no_intel_flag(smoke_corpus, tmp_path, capsys):
+    seeds = corpus.seed_urls(1)
+    rc = main(
+        ["--corpus", smoke_corpus, "--output-dir", str(tmp_path),
+         "--url", seeds[0], "--max-depth", "0", "--no-intel", "--no-csv",
+         "--no-sqlite"]
+    )
+    assert rc == 0
+    rows = json.loads(next(tmp_path.glob("results_*.json")).read_text())
+    assert rows
+    out = capsys.readouterr().out
+    assert "INTELLIGENCE" not in out  # intel block only when intel ran
+
+
+def test_corpus_is_file_exits_2(tmp_path):
+    f = tmp_path / "corpus.parquet"
+    f.write_bytes(b"x")
+    assert main(["--corpus", str(f), "--url", "http://x"]) == 2
