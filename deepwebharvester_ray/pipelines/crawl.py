@@ -3,7 +3,7 @@
 Data plane (Ray Data, fully parallel per generation):
 
     read_parquet(corpus buckets of the frontier's hosts)   ← pruned read
-      → map_batches(FetchExtract actor pool)               ← url∈frontier filter + HTML extract
+      → map_batches(fetch_extract_task pool)               ← url∈frontier filter + HTML extract
       → write_parquet(run_dir/results/gen=K)               ← accepted pages (+ optional intel)
 
 Control plane (driver + actors, cheap metadata only):
@@ -13,10 +13,10 @@ Control plane (driver + actors, cheap metadata only):
     marks/hashes insert() → next-generation frontier
 
 "Fetch" is a partition-pruned lookup join of the scheduled frontier
-against the page corpus (SURVEY §2.4 J3): the frontier's URL set is
-broadcast once per generation via ``ray.put`` and read once per fetch
-actor in ``__init__`` — never re-shipped per batch.  A URL absent from
-the corpus is a fetch failure and is charged the reference's full
+against the page corpus (SURVEY §2.4 J3): the frontier's sorted hash
+array is broadcast once per generation via ``ray.put`` and deserialized
+once per worker — never re-shipped per batch.  A URL absent from the
+corpus is a fetch failure and is charged the reference's full
 retry/backoff cost in virtual time (crawler.py:123-153).
 
 Checkpoint/resume (SURVEY §7.2 M7): every generation writes results +
@@ -67,31 +67,6 @@ def _mark_key(seed_id: int, url: str) -> str:
     return f"{seed_id}|{url}"
 
 
-class FetchExtract:
-    """Actor-pool stage: corpus lookup ("fetch") + HTML extraction.
-
-    The frontier URL set is fetched from the object store ONCE per actor
-    (broadcast join, small side pinned with ray.put); each ``__call__``
-    filters its Arrow batch to frontier hits and extracts them.  Stateful
-    setup in ``__init__``, per-batch work in ``__call__`` — the Ray Data
-    actor-pool pattern (reference analogue: one requests.Session per site
-    thread, tor_manager.py:88-129).
-    """
-
-    def __init__(self, urls_ref) -> None:
-        import ray
-
-        self._urls: frozenset = ray.get(urls_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        mask = [u in self._urls for u in urls]
-        if not any(mask):
-            return extract_batch(batch.slice(0, 0))
-        hit = batch.filter(pa.array(mask))
-        return extract_batch(hit)
-
-
 # Worker-process-local cache of the broadcast frontier: the ObjectRef is
 # shipped per task (tiny), but the payload is fetched from the object store
 # only once per worker process.  Keeping the fetch stage a plain TASK pool
@@ -137,8 +112,8 @@ def fetch_extract_task(
 
     Single pass per batch: vectorized frontier-membership filter, then HTML
     extraction (and optionally the IOC/threat stage) without intermediate
-    Arrow materialization between stages (same semantics as
-    :class:`FetchExtract` + ``intelligence_batch`` chained).
+    Arrow materialization between stages (extract_batch +
+    intelligence_batch semantics, fused).
     ``drop_links=True`` drops the link-list column in-task (saves an
     inter-stage — potentially cross-node — block handoff when the caller
     doesn't need the frontier expansion).
@@ -316,9 +291,20 @@ def run_crawl(
                 for k, v in last["seed_states"].items()
             }
             frontier.restore_list(tuple(x) for x in last["next_frontier"])
+            frontier.dropped = int(last.get("frontier_dropped", 0))
             metrics = [GenerationMetrics(**m) for m in manifest.get("metrics", [])]
             logger.info("Resuming from generation %d (%d frontier entries)", start_gen, len(frontier))
     else:
+        # fresh run: purge stale partitions/state a previous (longer or
+        # differently-configured) run may have left in this run_dir —
+        # results_table() globs every gen=* dir, so leftovers would
+        # silently contaminate the output
+        if results_root.exists():
+            shutil.rmtree(results_root)
+            results_root.mkdir(parents=True)
+        if state_root.exists():
+            shutil.rmtree(state_root)
+            state_root.mkdir(parents=True)
         from ..corpus import corpus_digest
 
         manifest = {
@@ -463,7 +449,9 @@ def run_crawl(
             acc_ref = ray.put(accepted_by_url)
 
             def _finalize(batch: pa.Table, *, _ref=acc_ref) -> pa.Table:
-                amap = ray.get(_ref)
+                from ..broadcast import cached_get
+
+                amap = cached_get(_ref)
                 urls = batch.column("url").to_pylist()
                 mask = [u in amap for u in urls]
                 if not any(mask):
@@ -525,6 +513,7 @@ def run_crawl(
                 "counts": gm.as_dict(),
                 "seed_states": {str(k): v.as_dict() for k, v in states.items()},
                 "next_frontier": [list(x) for x in frontier.snapshot_list()],
+                "frontier_dropped": frontier.dropped,
             }
         )
         manifest["metrics"] = [m.as_dict() for m in metrics]

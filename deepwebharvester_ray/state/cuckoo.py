@@ -20,6 +20,7 @@ _SLOTS = 4
 _MAX_KICKS = 500
 _FP_BITS = 16
 _FP_MASK = (1 << _FP_BITS) - 1
+_MAX_STASH = 1024  # kick-failure victim stash bound per filter
 
 
 def _mix(h: np.uint64 | int) -> int:
@@ -44,10 +45,15 @@ class CuckooFilter:
         self._nb = nb
         self._table = np.zeros((nb, _SLOTS), dtype=np.uint16)
         self._count = 0
+        # Victim stash: (bucket_idx, fp) pairs displaced by a failed kick
+        # loop.  Without it a failed eviction would silently DROP another
+        # key's fingerprint → false negatives, which the filter must never
+        # produce.  Checked by contains(); bounded by _MAX_STASH.
+        self._stash: set = set()
         self._rng = np.random.default_rng(0xC0FFEE)  # deterministic evictions
 
     def __len__(self) -> int:
-        return self._count
+        return self._count + len(self._stash)
 
     @property
     def load_factor(self) -> float:
@@ -76,7 +82,11 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self._count += 1
                 return True
-        # Evict: bounded random-walk cuckoo kicks.
+        # Evict: bounded random-walk cuckoo kicks.  If the stash is full,
+        # refuse WITHOUT displacing anything (caller spills the new key
+        # exactly; no resident key may ever be lost).
+        if len(self._stash) >= _MAX_STASH:
+            return False
         idx = i1 if (self._rng.integers(2)) else i2
         for _ in range(_MAX_KICKS):
             slot = int(self._rng.integers(_SLOTS))
@@ -88,7 +98,12 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self._count += 1
                 return True
-        return False
+        # Kick budget exhausted: the NEW key was swapped into the table on
+        # the first kick; stash the final displaced victim so its key still
+        # answers contains() == True.
+        self._stash.add((int(idx), int(fp)))
+        self._count += 1
+        return True
 
     def contains(self, key: int) -> bool:
         fp = self._fingerprint(key)
@@ -96,7 +111,11 @@ class CuckooFilter:
         if fp in self._table[i1]:
             return True
         i2 = self._alt_index(i1, fp)
-        return fp in self._table[i2]
+        if fp in self._table[i2]:
+            return True
+        return bool(self._stash) and (
+            (i1, fp) in self._stash or (i2, fp) in self._stash
+        )
 
     def contains_batch(self, keys: np.ndarray) -> np.ndarray:
         """Vectorized-ish membership for a uint64 key array."""
@@ -107,20 +126,30 @@ class CuckooFilter:
 
     def delete(self, key: int) -> bool:
         fp = self._fingerprint(key)
-        for idx in (self._index1(key), self._alt_index(self._index1(key), fp)):
+        i1 = self._index1(key)
+        for idx in (i1, self._alt_index(i1, fp)):
             row = self._table[idx]
             hit = np.nonzero(row == fp)[0]
             if hit.size:
                 row[hit[0]] = 0
                 self._count -= 1
                 return True
+            if (idx, fp) in self._stash:
+                self._stash.discard((idx, fp))
+                self._count -= 1
+                return True
         return False
 
     # -- snapshot ------------------------------------------------------------
     def state(self) -> dict:
-        return {"table": self._table.copy(), "count": self._count}
+        return {
+            "table": self._table.copy(),
+            "count": self._count,
+            "stash": sorted(self._stash),
+        }
 
     def restore(self, state: dict) -> None:
-        self._table = state["table"].copy()
+        self._table = np.asarray(state["table"], dtype=np.uint16).copy()
         self._nb = self._table.shape[0]
         self._count = int(state["count"])
+        self._stash = {tuple(int(v) for v in x) for x in state.get("stash", [])}

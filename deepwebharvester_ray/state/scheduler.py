@@ -11,10 +11,13 @@ expensive part — stays fully parallel; only the cheap per-candidate
 decision loop is sequential.
 
 Canonical order: within a generation, candidates sorted by
-``(seed_id, url)``.  The reference's own within-generation order is
-nondeterministic (links pass through a Python set, extractor.py:85 —
-SURVEY §2.9), so the engine and its oracle both define this sorted order
-as canonical.
+``(seed_id, depth, url)`` — depth is uniform in reference-conformance
+mode (no fetch budget), where this reduces to the oracle's
+``(seed_id, url)``; in budget mode (cfg.max_fetch_per_gen) deferred
+entries mix depths and BFS-first is the defined order.  The reference's
+own within-generation order is nondeterministic (links pass through a
+Python set, extractor.py:85 — SURVEY §2.9), so the engine and its oracle
+both define this sorted order as canonical.
 
 Scale note (10^10 frontier): this replay is O(candidates) pure-Python with
 no data access — per-seed state is independent except the global

@@ -11,10 +11,14 @@ Modes:
 
 * ``exact``  — per-shard Python set of keys (strings).  Used for
   conformance runs; memory O(keys).
-* ``cuckoo`` — per-shard :class:`CuckooFilter` over 64-bit key hashes +
-  an exact confirm set for keys that the filter reports present at insert
-  time (bounds false-positive URL loss; SURVEY §7.5 hard part 4).  This is
-  the 10^10-scale path: ~2 bytes/key instead of ~100.
+* ``cuckoo`` — per-shard :class:`CuckooFilter` over 64-bit key hashes,
+  with an exact spill set for keys the filter cannot place (filter-full).
+  Approximate-membership semantics (SURVEY §7.5 hard part 4, quantified
+  alternative): a false positive (rate ≈ 0.012%, tests/test_state.py
+  measures it) makes the engine treat an unseen URL as seen and skip it —
+  a bounded, quantified URL-loss rate.  False NEGATIVES never occur (the
+  filter stashes kick-failure victims).  This is the 10^10-scale path:
+  ~2 bytes/key instead of ~100.
 """
 from __future__ import annotations
 
@@ -96,7 +100,7 @@ class SeenShard:
 
     # -- snapshot / restore (checkpointing) ---------------------------------
     def snapshot_keys(self) -> List[str]:
-        """Exact keys (exact mode only — cuckoo state snapshots via state())."""
+        """Exact-set keys only (full state incl. filter: snapshot_state)."""
         return sorted(self._exact)
 
     def restore_keys(self, keys: List[str]) -> None:
@@ -104,6 +108,18 @@ class SeenShard:
         if self.mode == "cuckoo":
             for k in keys:
                 self._cuckoo.add(url_hash64(k))
+
+    def snapshot_state(self) -> dict:
+        """Complete shard state: exact keys + (cuckoo mode) filter state."""
+        return {
+            "exact": sorted(self._exact),
+            "cuckoo": self._cuckoo.state() if self._cuckoo is not None else None,
+        }
+
+    def restore_state(self, state: dict) -> None:
+        self._exact = set(state["exact"])
+        if self.mode == "cuckoo" and state.get("cuckoo") is not None:
+            self._cuckoo.restore(state["cuckoo"])
 
 
 class SeenSetPool:
@@ -180,19 +196,57 @@ class SeenSetPool:
 
     # -- checkpoint ----------------------------------------------------------
     def snapshot_parquet(self, path: str) -> None:
-        """Write all shard keys as one sorted parquet file (exact mode)."""
+        """Write complete pool state: exact keys in the parquet, plus (in
+        cuckoo mode) a per-shard filter-state sidecar ``<path>.cuckoo.npz``
+        — without the sidecar the filter contents (where nearly every key
+        lives) would be lost across resume."""
         import ray
 
+        states = ray.get([s.snapshot_state.remote() for s in self._shards])
         keys: List[str] = []
-        for shard_keys in ray.get([s.snapshot_keys.remote() for s in self._shards]):
-            keys.extend(shard_keys)
+        for st in states:
+            keys.extend(st["exact"])
         keys.sort()
         pq.write_table(pa.table({"key": pa.array(keys, pa.string())}), path)
+        if any(st["cuckoo"] is not None for st in states):
+            arrays: Dict[str, np.ndarray] = {"n_shards": np.array([self._n])}
+            for i, st in enumerate(states):
+                cs = st["cuckoo"]
+                arrays[f"table_{i}"] = cs["table"]
+                arrays[f"count_{i}"] = np.array([cs["count"]])
+                arrays[f"stash_{i}"] = np.array(
+                    cs["stash"], dtype=np.int64
+                ).reshape(-1, 2)
+            np.savez_compressed(path + ".cuckoo.npz", **arrays)
 
     def restore_parquet(self, path: str) -> int:
+        import os
+
         import ray
 
         keys = pq.read_table(path).column("key").to_pylist()
+        sidecar = path + ".cuckoo.npz"
+        if os.path.exists(sidecar):
+            data = np.load(sidecar)
+            if int(data["n_shards"][0]) != self._n:
+                raise ValueError(
+                    "seen-set shard count changed across resume; "
+                    "cannot restore cuckoo filter state"
+                )
+            groups = self._route(keys)
+            futs = []
+            for i in range(self._n):
+                state = {
+                    "exact": [keys[j] for j in groups.get(i, [])],
+                    "cuckoo": {
+                        "table": data[f"table_{i}"],
+                        "count": int(data[f"count_{i}"][0]),
+                        "stash": data[f"stash_{i}"].tolist(),
+                    },
+                }
+                futs.append(self._shards[i].restore_state.remote(state))
+            ray.get(futs)
+            return len(keys)
         groups = self._route(keys)
         ray.get(
             [

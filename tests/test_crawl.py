@@ -232,3 +232,19 @@ def test_conformance_sharded_replay(smoke_corpus, tmp_path):
     )
     assert run.stats["pages_crawled"] > 0
     _compare(run, trace)
+
+
+def test_fresh_run_clears_stale_partitions(smoke_corpus, tmp_path):
+    """Re-running (non-resume) into an existing run_dir must not leak a
+    previous longer run's gen=K partitions into the results."""
+    seeds = corpus.seed_urls(2)
+    run_dir = str(tmp_path / "run")
+    deep = run_crawl(smoke_corpus, seeds,
+                     CrawlSettings(max_depth=2, seen_shards=2), run_dir=run_dir)
+    assert deep.generations >= 2
+    shallow = run_crawl(smoke_corpus, seeds,
+                        CrawlSettings(max_depth=0, seen_shards=2),
+                        run_dir=run_dir)
+    tbl = shallow.results_table()
+    assert set(tbl.column("depth").to_pylist()) <= {0}
+    assert tbl.num_rows == shallow.stats["pages_crawled"]

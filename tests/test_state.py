@@ -123,3 +123,42 @@ def test_sharded_replay_matches_sequential(ray_session):
     assert {k: v.as_dict() for k, v in st_b.items()} == {
         k: v.as_dict() for k, v in st_a.items()
     }
+
+
+def test_cuckoo_overfill_no_false_negatives():
+    """Kick-loop failures must never drop a resident key (victim stash)."""
+    from deepwebharvester_ray.state.cuckoo import CuckooFilter
+    from deepwebharvester_ray.urlops import url_hash64
+
+    f = CuckooFilter(capacity=256)
+    accepted = []
+    for i in range(2000):  # way past capacity → forces kick failures
+        h = url_hash64(f"key-{i}")
+        if f.add(h):
+            accepted.append(h)
+    assert len(accepted) > 256  # some inserts landed via stash
+    missing = [h for h in accepted if not f.contains(h)]
+    assert missing == []
+
+
+def test_seen_pool_cuckoo_snapshot_restores_filter(ray_session, tmp_path):
+    """Cuckoo-mode checkpoint must carry the FILTER contents, not just the
+    exact spill set (resume would otherwise re-fetch nearly everything)."""
+    from deepwebharvester_ray.state.seen import SeenSetPool
+
+    pool = SeenSetPool(num_shards=2, mode="cuckoo")
+    keys = [f"http://h{i % 7}.onion/p/{i}" for i in range(5000)]
+    pool.insert(keys)
+    path = str(tmp_path / "seen.parquet")
+    pool.snapshot_parquet(path)
+
+    restored = SeenSetPool(num_shards=2, mode="cuckoo")
+    restored.restore_parquet(path)
+    assert restored.contains(keys).all()
+
+    # shard-count change across resume is rejected, not silently wrong
+    import pytest as _pytest
+
+    other = SeenSetPool(num_shards=3, mode="cuckoo")
+    with _pytest.raises(ValueError):
+        other.restore_parquet(path)
