@@ -188,12 +188,15 @@ def seed_urls(n_seeds: int) -> List[str]:
 
 def _write_corpus(table: pa.Table, out_dir: Path) -> None:
     """Write the corpus partitioned by host_bucket (resumable layout)."""
+    import shutil
+
     tmp = out_dir.with_suffix(".tmp")
     if tmp.exists():
-        import shutil
-
         shutil.rmtree(tmp)
     pq.write_to_dataset(table, root_path=str(tmp), partition_cols=["host_bucket"])
+    if out_dir.exists():
+        # stale partial cache (crashed before _SUCCESS): replace it
+        shutil.rmtree(out_dir)
     tmp.rename(out_dir)
 
 
@@ -218,7 +221,15 @@ def corpus_from_documents(sf_dir: str, factor: int = 1) -> str:
     Returns the corpus directory path (partitioned Parquet dataset).
     """
     sf_name = Path(sf_dir).name or "sf"
-    out_dir = _CORPUS_CACHE / f"{sf_name}_x{factor}_v{FORMAT_VERSION}"
+    # cache key includes a digest of the SOURCE file identity (abs path +
+    # size + mtime) so a different dataset with the same basename — or a
+    # regenerated documents.parquet — never reuses a stale corpus
+    src = Path(sf_dir) / "documents.parquet"
+    st = src.stat()
+    src_digest = hashlib.blake2b(
+        f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}".encode(), digest_size=6
+    ).hexdigest()
+    out_dir = _CORPUS_CACHE / f"{sf_name}_x{factor}_v{FORMAT_VERSION}_{src_digest}"
     if (out_dir / "_SUCCESS").exists():
         return str(out_dir)
     docs = _read_documents(sf_dir)

@@ -100,9 +100,16 @@ class _PageParser(HTMLParser):
                     break
 
     def handle_startendtag(self, tag: str, attrs) -> None:
+        # a self-closing tag opens AND closes: undo any state the start
+        # handler toggled (noise depth, title capture) or the rest of the
+        # page would be swallowed into the wrong buffer
         self.handle_starttag(tag, attrs)
         if tag not in _VOID and tag in _NOISE_CONTAINERS:
             self._noise -= 1
+        if tag == "title" and self._in_title:
+            self._in_title = False
+            if self.title is None:
+                self.title = "".join(self._title_buf)
 
     def handle_endtag(self, tag: str) -> None:
         self._flush()
@@ -170,19 +177,6 @@ def extract_content(html: str, url: str) -> Tuple[str, str, str, List[str]]:
 
 
 # ── Ray Data batch stage ─────────────────────────────────────────────────────
-
-_OUT_SCHEMA = pa.schema(
-    [
-        ("url", pa.string()),
-        ("site", pa.string()),
-        ("title", pa.string()),
-        ("text", pa.large_string()),
-        ("content_hash", pa.string()),
-        ("links", pa.large_list(pa.string())),
-        ("links_found", pa.int32()),
-    ]
-)
-
 
 def extract_batch(batch: pa.Table) -> pa.Table:
     """map_batches fn: ``(url, html[, …])`` → extracted page columns.

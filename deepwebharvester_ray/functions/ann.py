@@ -48,12 +48,24 @@ def _ids_array(col) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
+def _empty_scores() -> pa.Table:
+    return pa.table(
+        {
+            "query_idx": pa.array([], pa.int32()),
+            "id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+
+
 def brute_score_task(
     batch: pa.Table, query_ref=None, k: int = 10,
     id_column: str = "vec_id", vec_column: str = "embedding",
 ) -> pa.Table:
     """Per-batch cosine scores against broadcast queries, emitting only the
     per-batch top-k (combiner before the tiny global merge)."""
+    if len(batch) == 0:
+        return _empty_scores()
     q = _normalize(np.asarray(cached_get(query_ref), dtype=np.float64))
     ids = _ids_array(batch.column(id_column))
     mat = _normalize(_vec_matrix(batch.column(vec_column)))
@@ -61,7 +73,9 @@ def brute_score_task(
     out_q, out_id, out_s = [], [], []
     for qi in range(sims.shape[1]):
         col = sims[:, qi]
-        top = np.argsort(-col, kind="stable")[:k]
+        # deterministic (-score, id) ordering INSIDE the partial too, so a
+        # tied smaller id is never cut at the per-batch k boundary
+        top = np.lexsort((ids, -col))[:k]
         out_q.extend([qi] * len(top))
         out_id.extend(int(ids[t]) for t in top)
         out_s.extend(float(col[t]) for t in top)
@@ -126,6 +140,8 @@ def _probe_score_task(
     batch: pa.Table, wanted_ref=None, qref=None, k: int = 10,
     vec_column: str = "embedding",
 ) -> pa.Table:
+    if len(batch) == 0:
+        return _empty_scores()
     wanted = cached_get(wanted_ref)
     q = _normalize(np.asarray(cached_get(qref), dtype=np.float64))
     ids = _ids_array(batch.column("id"))
@@ -140,7 +156,7 @@ def _probe_score_task(
             continue
         sims = mat[mask] @ q[qi]
         sel_ids = ids[mask]
-        top = np.argsort(-sims, kind="stable")[:k]
+        top = np.lexsort((sel_ids, -sims))[:k]
         out_q.extend([qi] * len(top))
         out_id.extend(int(sel_ids[t]) for t in top)
         out_s.extend(float(sims[t]) for t in top)
@@ -177,6 +193,14 @@ def lsh_topk(
     planes_ref = ray.put(planes)
 
     def sig_batch(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "id": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    vec_column: pa.array([], pa.large_list(pa.float32())),
+                }
+            )
         pl = cached_get(planes_ref)
         mat = _vec_matrix(batch.column(vec_column))
         sig = _signatures(_normalize(mat), pl)

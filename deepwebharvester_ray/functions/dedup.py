@@ -24,7 +24,6 @@ ramp-up).
 from __future__ import annotations
 
 import hashlib
-import re
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -32,8 +31,8 @@ import pyarrow as pa
 
 from .. import runtime_env
 from ..broadcast import cached_get
-
-WORD_RE = re.compile(r"[a-z0-9]+")
+from ..urlops import content_hash_hex
+from .textops import WORD_RE  # single canonical word-token rule
 
 _MERSENNE = (1 << 61) - 1
 _POLY = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
@@ -90,10 +89,9 @@ def jaccard(a: set, b: set) -> float:
 
 
 def add_content_hash(batch: pa.Table, text_column: str = "text") -> pa.Table:
-    hashes = [
-        hashlib.sha256((t or "").encode("utf-8", errors="replace")).hexdigest()
-        for t in batch.column(text_column).to_pylist()
-    ]
+    # the ONE canonical content hash (urlops.content_hash_hex — also used
+    # by the extract stage, so dedup joins against crawl results hold)
+    hashes = [content_hash_hex(t or "") for t in batch.column(text_column).to_pylist()]
     return batch.append_column("content_hash", pa.array(hashes, pa.string()))
 
 
@@ -329,11 +327,12 @@ def jaccard_pairs_exact(
 
     def pair_scan(batch: pa.Table, ref=tok_ref, thr=threshold) -> pa.Table:
         all_toks = cached_get(ref)
+        tok_map = dict(all_toks)
         a_out, b_out, jac = [], [], []
         ids = batch.column(id_column).to_pylist()
-        texts = batch.column(text_column).to_pylist()
-        for rid, text in zip(ids, texts):
-            mine = frozenset(token_set(text))
+        for rid in ids:
+            # token sets were computed ONCE in the broadcast pass
+            mine = tok_map.get(rid, frozenset())
             for oid, other in all_toks:
                 if oid <= rid:
                     continue

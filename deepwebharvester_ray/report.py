@@ -49,7 +49,14 @@ def aggregate_report_stats(ds) -> Dict[str, object]:
             Mean("risk_score", alias_name="mean_risk"),
             Max("risk_score", alias_name="max_risk"),
         )
-        totals.update({k: agg[k] for k in ("total_iocs", "mean_risk", "max_risk")})
+        # Ray returns None aggregates on an empty dataset → zero-fill so
+        # render_html's numeric formatting never sees None
+        totals.update(
+            {
+                k: (agg[k] if agg[k] is not None else 0.0)
+                for k in ("total_iocs", "mean_risk", "max_risk")
+            }
+        )
 
         # A3 risk histogram
         risk_hist = {
@@ -90,8 +97,11 @@ def aggregate_report_stats(ds) -> Dict[str, object]:
                 out[f] = [json.dumps(sorted(vals))]
             return pa.table(out)
 
+        from . import runtime_env
+
         partials = ds.map_batches(
-            _partial_sets, batch_format="pyarrow", batch_size=4096
+            _partial_sets, batch_format="pyarrow", batch_size=4096,
+            runtime_env=runtime_env(),
         ).take_all()
         for f in IOC_FIELDS:
             u = set()

@@ -110,3 +110,23 @@ def test_malformed_html_no_crash():
     for bad in ["", "<", "<<<>>>", "<a href=", "<html><body><p>x", "\x00\x01"]:
         title, text, chash, links = extract_content(bad, BASE)
         assert isinstance(text, str) and len(chash) == 64
+
+
+def test_self_closing_title_does_not_swallow_body():
+    from deepwebharvester_ray.extract import extract_content
+
+    title, text, _, _ = extract_content(
+        "<html><head><title/></head><body><p>Hello world body</p></body></html>",
+        "http://x.onion/",
+    )
+    assert text == "Hello world body"
+    assert title == "No Title"
+
+
+def test_self_closing_noise_tag_does_not_mute_page():
+    from deepwebharvester_ray.extract import extract_content
+
+    _, text, _, _ = extract_content(
+        "<html><body><script/><p>visible</p></body></html>", "http://x.onion/"
+    )
+    assert "visible" in text
