@@ -120,10 +120,10 @@ def run_headline(sf_dir: str, trials: int = 1) -> dict:
 
 
 def run_wide_crawl(sf_dir: str) -> dict:
-    """Exhaustive BFS crawl over the factor-4 corpus: 64 seeds (one per
-    host), effectively unbounded budgets — measures the full generation
-    loop (frontier queue, seen-set, replay, pruned fetch, checkpointing),
-    not just the data plane."""
+    """Exhaustive BFS crawl over the expanded corpus: 2 000 seeds spread
+    across the 64 hosts, effectively unbounded budgets — measures the full
+    generation loop (frontier queue, seen-set, replay, pruned fetch,
+    checkpointing), not just the data plane."""
     from deepwebharvester_ray.config import CrawlSettings
     from deepwebharvester_ray.corpus import corpus_from_documents, seed_urls
     from deepwebharvester_ray.pipelines.crawl import run_crawl

@@ -64,13 +64,22 @@ def load_settings(
     cfg = CrawlSettings()
     valid = {f.name for f in fields(CrawlSettings)}
 
-    if config_path and yaml is not None:
+    if config_path:
         path = Path(config_path)
-        if path.exists():
-            with open(path, encoding="utf-8") as fh:
-                data = yaml.safe_load(fh) or {}
-            section = data.get("crawler", data)
-            cfg = replace(cfg, **{k: v for k, v in section.items() if k in valid})
+        if yaml is None:
+            raise RuntimeError(
+                f"config file given ({config_path}) but PyYAML is not installed"
+            )
+        if not path.exists():
+            raise FileNotFoundError(f"config file not found: {config_path}")
+        with open(path, encoding="utf-8") as fh:
+            data = yaml.safe_load(fh) or {}
+        if not isinstance(data, dict):
+            raise ValueError(f"config file must be a YAML mapping: {config_path}")
+        section = data.get("crawler", data) or {}
+        if not isinstance(section, dict):
+            raise ValueError(f"'crawler:' section must be a mapping: {config_path}")
+        cfg = replace(cfg, **{k: v for k, v in section.items() if k in valid})
 
     env_map = {
         "DWH_MAX_DEPTH": ("max_depth", int),

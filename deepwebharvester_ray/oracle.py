@@ -45,7 +45,7 @@ class OracleResult:
 @dataclass
 class OracleTrace:
     results: List[OracleResult] = field(default_factory=list)
-    # per-depth per-seed sets of urls processed with each status
+    # status → {(seed_id, url)} across the whole crawl (not per-depth)
     by_status: Dict[str, Set[Tuple[int, str]]] = field(default_factory=dict)
     marks: Set[Tuple[int, str]] = field(default_factory=set)
     stats: Dict[str, int] = field(default_factory=dict)
@@ -63,6 +63,8 @@ def load_corpus_map(corpus_dir: str) -> Dict[str, bytes]:
     import pyarrow as pa
 
     files = sorted(str(p) for p in Path(corpus_dir).rglob("*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under corpus dir: {corpus_dir}")
     t = pa.concat_tables(pq.read_table(f, columns=["url", "html"]) for f in files)
     return dict(zip(t.column("url").to_pylist(), t.column("html").to_pylist()))
 

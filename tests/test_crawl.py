@@ -248,3 +248,22 @@ def test_fresh_run_clears_stale_partitions(smoke_corpus, tmp_path):
     tbl = shallow.results_table()
     assert set(tbl.column("depth").to_pylist()) <= {0}
     assert tbl.num_rows == shallow.stats["pages_crawled"]
+
+
+def test_load_settings_rejects_bad_config(tmp_path):
+    import pytest as _pytest
+
+    from deepwebharvester_ray.config import load_settings
+
+    empty = tmp_path / "empty.yaml"
+    empty.write_text("crawler:\n# nothing\n")
+    cfg = load_settings(str(empty))
+    assert cfg.max_depth == 2  # defaults, no crash on null section
+
+    with _pytest.raises(FileNotFoundError):
+        load_settings(str(tmp_path / "nope.yaml"))
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("- just\n- a list\n")
+    with _pytest.raises(ValueError):
+        load_settings(str(bad))

@@ -25,9 +25,7 @@ def to_pandas(res):
 
     if isinstance(res, pd.DataFrame):
         return res
-    if isinstance(res, pa.Table):
-        return res.to_pandas()
-    return res.to_pandas()  # ray Dataset
+    return res.to_pandas()  # pyarrow Table or ray Dataset
 
 
 def value_hash(df) -> str:
@@ -74,6 +72,10 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        return 1
 
     con = duckdb.connect()
     for t in TABLES:
@@ -114,8 +116,6 @@ def main() -> int:
                 problems.append(f"value-hash {h1} vs {h2}")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} ({dt:.1f}s)")
-            if len(mine) and not only:
-                pass
             n_fail += 1
         else:
             print(f"PASS {name}: {len(mine)} rows ({dt:.1f}s)")
