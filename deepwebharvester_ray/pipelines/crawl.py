@@ -67,6 +67,14 @@ def _mark_key(seed_id: int, url: str) -> str:
     return f"{seed_id}|{url}"
 
 
+def _write_delta(path: str, keys: List[str]) -> None:
+    pq.write_table(pa.table({"key": pa.array(sorted(keys), pa.string())}), path)
+
+
+def _read_delta(path: str) -> List[str]:
+    return pq.read_table(path).column("key").to_pylist()
+
+
 # Worker-process-local cache of the broadcast frontier: the ObjectRef is
 # shipped per task (tiny), but the payload is fetched from the object store
 # only once per worker process.  Keeping the fetch stage a plain TASK pool
@@ -284,13 +292,22 @@ def run_crawl(
         if complete:
             last = complete[-1]
             start_gen = last["generation"] + 1
-            marks_pool.restore_parquet(str(state_root / f"marks_gen{last['generation']}.parquet"))
-            hash_pool.restore_parquet(str(state_root / f"hashes_gen{last['generation']}.parquet"))
+            # replay per-generation seen-set deltas 0..last (O(total keys)
+            # once at resume, O(delta) per checkpoint during the run)
+            for g in range(start_gen):
+                marks_pool.insert(
+                    _read_delta(str(state_root / f"marks_delta_gen{g}.parquet"))
+                )
+                hash_pool.insert(
+                    _read_delta(str(state_root / f"hashes_delta_gen{g}.parquet"))
+                )
             states = {
                 int(k): SeedState.from_dict(v)
                 for k, v in last["seed_states"].items()
             }
-            frontier.restore_list(tuple(x) for x in last["next_frontier"])
+            frontier.restore_parquet(
+                str(state_root / f"frontier_gen{last['generation']}.parquet")
+            )
             frontier.dropped = int(last.get("frontier_dropped", 0))
             metrics = [GenerationMetrics(**m) for m in manifest.get("metrics", [])]
             logger.info("Resuming from generation %d (%d frontier entries)", start_gen, len(frontier))
@@ -495,9 +512,23 @@ def run_crawl(
         gm.wall_time_s = time.monotonic() - t_gen
         metrics.append(gm)
 
-        # ── checkpoint: state snapshots + lineage manifest entry ──────────
-        marks_pool.snapshot_parquet(str(state_root / f"marks_gen{gen}.parquet"))
-        hash_pool.snapshot_parquet(str(state_root / f"hashes_gen{gen}.parquet"))
+        # ── checkpoint: O(generation-delta) state + lineage manifest ──────
+        # Seen-set DELTAS: the driver already knows exactly which keys this
+        # generation added (replay.new_marks / new_hashes), so checkpoint
+        # I/O is O(new keys) per generation, not O(all keys) — at a 10^10
+        # frontier a full-set snapshot per generation would be the
+        # dominant cost.  Resume replays deltas 0..K into the pools.
+        _write_delta(
+            str(state_root / f"marks_delta_gen{gen}.parquet"),
+            [_mark_key(s_, u_) for s_, u_ in replay.new_marks],
+        )
+        _write_delta(
+            str(state_root / f"hashes_delta_gen{gen}.parquet"),
+            list(replay.new_hashes),
+        )
+        # Frontier snapshot as parquet (columnar, O(frontier)); the JSON
+        # manifest stays O(1) per generation.
+        frontier.snapshot_parquet(str(state_root / f"frontier_gen{gen}.parquet"))
         manifest["generations"] = [
             g for g in manifest["generations"] if g["generation"] < gen
         ]
@@ -512,7 +543,7 @@ def run_crawl(
                 ).hexdigest()[:16],
                 "counts": gm.as_dict(),
                 "seed_states": {str(k): v.as_dict() for k, v in states.items()},
-                "next_frontier": [list(x) for x in frontier.snapshot_list()],
+                "frontier_size": len(frontier),
                 "frontier_dropped": frontier.dropped,
             }
         )
