@@ -372,11 +372,18 @@ def simhash64(text: str) -> int:
 
 
 def simhash_pairs(
-    ds, id_column: str = "doc_id", text_column: str = "text", max_hamming: int = 3
+    ds, id_column: str = "doc_id", text_column: str = "text",
+    max_hamming: int = 3, max_bucket: int = 512,
 ):
     """Near-dup pairs by SimHash: band on 4×16-bit chunks (any pair within
     hamming ≤ 3 of a 64-bit hash shares at least one exact 16-bit chunk —
-    pigeonhole), verify hamming distance in-bucket."""
+    pigeonhole), verify hamming distance in-bucket.
+
+    Buckets larger than ``max_bucket`` are skipped entirely (hot-bucket
+    guard: a 16-bit chunk shared by thousands of docs is a weak signal,
+    and enumerating its O(B²) pairs dominates the stage on
+    near-homogeneous corpora).  Deterministic, documented cap — a pair is
+    missed only if EVERY chunk it shares is over-populated."""
 
     def sig_batch(batch: pa.Table) -> pa.Table:
         ids, chunk_ids, chunk_vals, sigs = [], [], [], []
@@ -403,6 +410,8 @@ def simhash_pairs(
             {(i, s) for i, s in zip(group.column("id").to_pylist(),
                                     group.column("sig").to_pylist())}
         )
+        if len(rows) > max_bucket:  # hot-bucket guard (see docstring)
+            rows = []
         a_out, b_out, ham = [], [], []
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):
