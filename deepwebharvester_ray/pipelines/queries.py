@@ -949,6 +949,77 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_corpus_prep(sf_dir: str):
+    """Composed training-data prep pipeline (the operators chained the way
+    a real corpus build chains them): documents ∪ mirrored copy →
+    token counting → language ID → quality/lang filter
+    (n_tokens ≥ 40 AND pred_lang = 'en') → exact dedup (min doc_id per
+    content hash).  Fully SQL-checkable end-to-end."""
+    import ray.data.aggregate as agg_mod
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    n = pq.ParquetFile(str(Path(sf_dir) / "documents.parquet")).metadata.num_rows
+
+    def shift(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(batch.column("doc_id"), n),
+        )
+
+    mirror = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        shift, batch_format="pyarrow", runtime_env=runtime_env()
+    )
+    union = docs.union(mirror)
+
+    from ..functions.dedup import add_content_hash
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = token_count_batch(batch)
+        batch = lang_id_batch(batch)
+        keep = pc.and_(
+            pc.greater_equal(batch.column("n_tokens"), 40),
+            pc.equal(batch.column("pred_lang"), "en"),
+        )
+        batch = batch.filter(keep)
+        batch = add_content_hash(batch)
+        return batch.select(["content_hash", "doc_id", "n_tokens"])
+
+    filtered = union.map_batches(prep, batch_format="pyarrow",
+                                 runtime_env=runtime_env())
+    agg = filtered.groupby("content_hash").aggregate(
+        agg_mod.Min("doc_id"), agg_mod.Min("n_tokens")
+    )
+    return _rename(agg, {"min(doc_id)": "doc_id", "min(n_tokens)": "n_tokens"})
+
+
+def _sql_corpus_prep() -> str:
+    lang_inner = _sql_lang_id().replace("ORDER BY doc_id", "")
+    return rf"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+langs AS ({lang_inner}),
+u AS (
+  SELECT d.doc_id, d.text, l.pred_lang FROM documents d
+  JOIN langs l USING (doc_id)
+  UNION ALL
+  SELECT d.doc_id + n.c, d.text, l.pred_lang FROM documents d
+  JOIN langs l USING (doc_id) CROSS JOIN n
+),
+f AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM u
+  WHERE len(regexp_extract_all(text, '\S+')) >= 40 AND pred_lang = 'en'
+)
+SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id,
+       min(n_tokens) AS n_tokens
+FROM f GROUP BY sha256(text) ORDER BY doc_id
+"""
+
+
 # ── rows-only queries (no SQL oracle; driver records weaker check) ──────────
 
 
@@ -1091,6 +1162,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "ioc_registry": q_ioc_registry,
         "props_k_stats": q_props_k_stats,
         "events_hourly": q_events_hourly,
+        "corpus_prep": q_corpus_prep,
         # rows-only
         "multimodal_features": q_multimodal_features,
         "crawl_bfs": q_crawl_bfs,
@@ -1128,6 +1200,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "ioc_registry": _SQL_IOC_REGISTRY,
         "props_k_stats": _SQL_PROPS_K,
         "events_hourly": _SQL_EVENTS_HOURLY,
+        "corpus_prep": _sql_corpus_prep(),
     }
 
 
