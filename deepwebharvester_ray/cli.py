@@ -177,20 +177,37 @@ def main(argv: Optional[List[str]] = None) -> int:
     except KeyboardInterrupt:
         # reference cli.py:294-295: partial results still persist — every
         # COMPLETE generation is already on disk under the run dir; save
-        # sinks from it and exit 0
+        # sinks from those and exit 0.  The generation being written when
+        # Ctrl-C landed may have truncated parquet files, so only manifest-
+        # complete generations are read, each file defensively.
         print("interrupted — persisting completed generations "
               "(re-run with --resume to continue)", file=sys.stderr)
+        import json as _json
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        files = sorted(Path(run_dir, "results").rglob("*.parquet"))
-        partial = (
-            pa.concat_tables([pq.read_table(str(f)) for f in files],
-                             promote_options="default")
-            if files else None
-        )
-        if partial is None:
+        complete_gens: set = set()
+        mpath = Path(run_dir, "manifest.json")
+        if mpath.exists():
+            try:
+                man = _json.loads(mpath.read_text())
+                complete_gens = {
+                    g["generation"] for g in man.get("generations", [])
+                    if g.get("complete")
+                }
+            except Exception:  # noqa: BLE001
+                logger.exception("could not read checkpoint manifest")
+        tables = []
+        for gen in sorted(complete_gens):
+            for f in sorted(Path(run_dir, "results", f"gen={gen}").rglob("*.parquet")):
+                try:
+                    tables.append(pq.read_table(str(f)))
+                except Exception:  # noqa: BLE001
+                    logger.warning("skipping unreadable partition file %s", f)
+        if not tables:
             return 0
+        partial = pa.concat_tables(tables, promote_options="default")
         return _persist_and_report(partial, {}, args, out_dir)
     except Exception:  # noqa: BLE001
         logger.exception("crawl failed")

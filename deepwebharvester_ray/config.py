@@ -41,6 +41,9 @@ class CrawlSettings:
     # ── engine knobs (no reference equivalent — Ray-scale parameters) ──────
     seen_shards: int = 4            # seen-set actor shards; O(cores/4) on a cluster
     seen_mode: str = "exact"        # "exact" | "cuckoo" (10^10-scale path)
+    seen_capacity: int = 1 << 20    # cuckoo filter capacity PER SHARD — size
+                                    # to expected_keys/shards or the filter
+                                    # saturates and spills to exact sets
     # Priority-queue frontier (state/pqueue.py).  max_fetch_per_gen caps how
     # many URLs each seed schedules per generation (politeness pacing);
     # overflow DEFERS to later generations instead of the reference's

@@ -75,19 +75,16 @@ def _read_delta(path: str) -> List[str]:
     return pq.read_table(path).column("key").to_pylist()
 
 
-# Worker-process-local cache of the broadcast frontier: the ObjectRef is
-# shipped per task (tiny), but the payload is fetched from the object store
-# only once per worker process.  Keeping the fetch stage a plain TASK pool
-# (no actor ramp-up; Ray reuses warm workers) measures ~5s faster per
-# generation than an actor pool on a fresh session.
-#
 # The frontier is broadcast as a SORTED uint64 array of url_hash64 values
 # (columnar, ~8 bytes/URL — the 10^10-frontier representation from SURVEY
-# §4: "frontier kept columnar, never a Python set").  Membership is a
-# vectorized np.searchsorted per batch.  A 64-bit hash collision can only
-# admit an extra corpus row into the fetch (harmless: the control-plane
-# replay consumes only scheduled URLs), never drop a scheduled one.
-_BROADCAST_CACHE: Dict[str, "object"] = {}
+# §4: "frontier kept columnar, never a Python set"); the task ships only
+# the ObjectRef and the worker-local broadcast cache (broadcast.cached_get)
+# deserializes it once per worker.  Plain TASK pool (no actor ramp-up;
+# warm workers) measures ~5s faster per generation than an actor pool on a
+# fresh session.  Membership is a vectorized np.searchsorted per batch.  A
+# 64-bit hash collision can only admit an extra corpus row into the fetch
+# (harmless: the control-plane replay consumes only scheduled URLs), never
+# drop a scheduled one.
 
 
 def broadcast_frontier_hashes(urls) -> "object":
@@ -98,18 +95,6 @@ def broadcast_frontier_hashes(urls) -> "object":
     from ..urlops import batch_url_hash64
 
     return ray.put(np.sort(batch_url_hash64(list(urls))))
-
-
-def _frontier_hashes(hashes_ref):
-    import ray
-
-    key = hashes_ref.hex() if hasattr(hashes_ref, "hex") else str(hashes_ref)
-    h = _BROADCAST_CACHE.get(key)
-    if h is None:
-        h = ray.get(hashes_ref)
-        _BROADCAST_CACHE.clear()  # one live frontier per worker
-        _BROADCAST_CACHE[key] = h
-    return h
 
 
 def fetch_extract_task(
@@ -130,7 +115,9 @@ def fetch_extract_task(
 
     from ..urlops import batch_url_hash64
 
-    h = _frontier_hashes(hashes_ref)
+    from ..broadcast import cached_get
+
+    h = cached_get(hashes_ref)
     bh = batch_url_hash64(batch.column("url").to_pylist())
     idx = np.searchsorted(h, bh)
     idx[idx >= len(h)] = max(len(h) - 1, 0)
@@ -231,6 +218,7 @@ def run_crawl(
     resume: bool = False,
     with_intel: bool = False,
     on_page_crawled=None,
+    track_fetched_urls: bool = False,
 ) -> CrawlRun:
     """Run (or resume) the full BFS crawl over *corpus_dir*.
 
@@ -262,7 +250,7 @@ def run_crawl(
 
     # seed validation (crawler.py:293-299); invalid seeds logged, not marked
     valid_seeds = [u for u in seed_urls if is_valid_onion_url(u)]
-    dropped = [u for u in seed_urls if u not in set(valid_seeds)]
+    dropped = [u for u in seed_urls if not is_valid_onion_url(u)]
     if dropped:
         logger.warning("Dropping %d invalid seed URL(s): %s", len(dropped), dropped[:3])
 
@@ -271,8 +259,8 @@ def run_crawl(
         sid: robots.crawl_delay_for(get_host(u), cfg.crawl_delay)
         for sid, u in enumerate(valid_seeds)
     }
-    marks_pool = SeenSetPool(cfg.seen_shards, cfg.seen_mode)
-    hash_pool = SeenSetPool(cfg.seen_shards, cfg.seen_mode)
+    marks_pool = SeenSetPool(cfg.seen_shards, cfg.seen_mode, cfg.seen_capacity)
+    hash_pool = SeenSetPool(cfg.seen_shards, cfg.seen_mode, cfg.seen_capacity)
     states: Dict[int, SeedState] = {
         sid: SeedState(seed_id=sid, seed_url=u) for sid, u in enumerate(valid_seeds)
     }
@@ -285,9 +273,16 @@ def run_crawl(
     frontier.push((sid, 0, u) for sid, u in enumerate(valid_seeds))
 
     if resume and manifest_path.exists():
+        from ..corpus import corpus_digest as _cdigest
+
         manifest = json.loads(manifest_path.read_text())
         if manifest.get("config_digest") != digest:
             raise ValueError("resume config/seeds mismatch with checkpoint manifest")
+        if manifest.get("corpus_digest") and manifest["corpus_digest"] != _cdigest(corpus_dir):
+            raise ValueError(
+                "resume corpus mismatch: checkpoint was built from a "
+                "different corpus than the one supplied"
+            )
         complete = [g for g in manifest["generations"] if g.get("complete")]
         if complete:
             last = complete[-1]
@@ -362,7 +357,6 @@ def run_crawl(
         robots_hits = robots.blocked_set(
             {u for _, _, u in active if u not in black}
         )
-        gm.robots_blocked = len(robots_hits)
         black |= robots_hits
         fetch_urls = sorted({u for _, _, u in active if u not in black})
         gm.candidates = len(cands_meta)
@@ -411,7 +405,9 @@ def run_crawl(
         else:
             fetched_ds = None
         gm.fetched = len(extracted)
-        fetched_urls_per_gen.append(set(extracted))
+        if track_fetched_urls:
+            # O(total pages) driver memory — conformance/test aid only
+            fetched_urls_per_gen.append(set(extracted))
 
         # ── replay the reference control flow in canonical order ──────────
         candidates = [
@@ -441,8 +437,15 @@ def run_crawl(
         gm.abandoned = replay.status.count("abandoned") + len(aband_pre)
         gm.success = replay.status.count("success")
         gm.failed = replay.status.count("failed")
-        gm.blacklisted = replay.status.count("blacklisted")
         gm.dup = replay.status.count("dup")
+        # split the skip reason: robots_blocked counts pops skipped by a
+        # robots rule, blacklisted counts path-blacklist skips — disjoint
+        gm.robots_blocked = sum(
+            1
+            for c, st_ in zip(candidates, replay.status)
+            if st_ == "blacklisted" and c.url in robots_hits
+        )
+        gm.blacklisted = replay.status.count("blacklisted") - gm.robots_blocked
 
         marks_pool.insert([_mark_key(s, u) for s, u in replay.new_marks])
         hash_pool.insert(replay.new_hashes)

@@ -100,9 +100,9 @@ class CuckooFilter:
                 return True
         # Kick budget exhausted: the NEW key was swapped into the table on
         # the first kick; stash the final displaced victim so its key still
-        # answers contains() == True.
+        # answers contains() == True.  _count tracks TABLE slots only (the
+        # new key occupies the victim's slot); the stash adds via __len__.
         self._stash.add((int(idx), int(fp)))
-        self._count += 1
         return True
 
     def contains(self, key: int) -> bool:
@@ -136,7 +136,6 @@ class CuckooFilter:
                 return True
             if (idx, fp) in self._stash:
                 self._stash.discard((idx, fp))
-                self._count -= 1
                 return True
         return False
 

@@ -104,10 +104,14 @@ class SeenShard:
         return sorted(self._exact)
 
     def restore_keys(self, keys: List[str]) -> None:
-        self._exact.update(keys)
-        if self.mode == "cuckoo":
-            for k in keys:
-                self._cuckoo.add(url_hash64(k))
+        if self.mode == "exact":
+            self._exact.update(keys)
+            return
+        # cuckoo mode: keys live in the FILTER (that is the memory bound);
+        # only filter-full overflow spills to the exact set
+        for k in keys:
+            if not self._cuckoo.add(url_hash64(k)):
+                self._exact.add(k)
 
     def snapshot_state(self) -> dict:
         """Complete shard state: exact keys + (cuckoo mode) filter state."""
@@ -130,7 +134,8 @@ class SeenSetPool:
     carries that shard's whole key batch.
     """
 
-    def __init__(self, num_shards: int = 4, mode: str = "exact") -> None:
+    def __init__(self, num_shards: int = 4, mode: str = "exact",
+                 capacity_per_shard: int = 1 << 20) -> None:
         import ray
 
         from .. import runtime_env
@@ -141,7 +146,9 @@ class SeenSetPool:
         # budget on small clusters and DEADLOCK the data plane (read tasks
         # never schedule).  Control plane must never starve the data plane.
         actor_cls = ray.remote(num_cpus=0, runtime_env=runtime_env())(SeenShard)
-        self._shards = [actor_cls.remote(mode) for _ in range(num_shards)]
+        self._shards = [
+            actor_cls.remote(mode, capacity_per_shard) for _ in range(num_shards)
+        ]
 
     def _route(self, keys: Sequence[str]) -> Dict[int, List[int]]:
         groups: Dict[int, List[int]] = {}

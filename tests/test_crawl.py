@@ -97,7 +97,8 @@ def test_resume_no_refetch(smoke_corpus, tmp_path):
     seeds = corpus.seed_urls(4)
     cfg = CrawlSettings(max_depth=2, seen_shards=2)
 
-    full = run_crawl(smoke_corpus, seeds, cfg, run_dir=str(tmp_path / "full"))
+    full = run_crawl(smoke_corpus, seeds, cfg, run_dir=str(tmp_path / "full"),
+                     track_fetched_urls=True)
 
     # interrupted run: max_depth=1 writes gens 0-1 checkpoints, then we
     # resume the SAME run_dir with the full config… config digest includes
@@ -118,7 +119,8 @@ def test_resume_no_refetch(smoke_corpus, tmp_path):
         if int(p.name.split("=")[1]) >= 1:
             shutil.rmtree(p)
 
-    resumed = run_crawl(smoke_corpus, seeds, cfg, run_dir=part_dir, resume=True)
+    resumed = run_crawl(smoke_corpus, seeds, cfg, run_dir=part_dir, resume=True,
+                        track_fetched_urls=True)
     # the resumed run re-fetches exactly the uninterrupted run's gens >= 1
     # (same urls may appear across gens for different seeds — reference
     # semantics scope URL marks per seed, crawler.py:230)
