@@ -183,6 +183,14 @@ def _band_hashes(sig: np.ndarray) -> np.ndarray:
 class MinHashStage:
     """Batch stage: text → minhash signature + LSH band keys.
 
+    Each document explodes to BANDS rows ``(id, band, band_hash, bands)``
+    where ``bands`` is the document's FULL band-hash vector
+    (fixed_size_list<uint64, BANDS>).  Carrying the vector costs
+    BANDS×8 bytes per exploded row but lets the bucket stage emit every
+    candidate pair exactly once — from the FIRST band on which the two
+    documents collide — eliminating the global distinct-pairs shuffle
+    that a naive emit-per-band plan needs.
+
     Permutation parameters are module-computable, so this also works as a
     plain task fn; kept as a callable class for signature compatibility."""
 
@@ -194,23 +202,46 @@ class MinHashStage:
         self._k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, bands, band_hashes = [], [], []
-        band_range = list(range(BANDS))
-        for rid, text in zip(
-            batch.column(self._id).to_pylist(), batch.column(self._text).to_pylist()
-        ):
+        n = batch.num_rows
+        ids_in = batch.column(self._id).to_pylist()
+        texts = batch.column(self._text).to_pylist()
+        bh_mat = np.empty((n, BANDS), dtype=np.uint64)
+        for i, text in enumerate(texts):
             sig = minhash_signature(shingle_set(text, self._k), self._a, self._b)
-            bh = _band_hashes(sig)
-            ids.extend([rid] * BANDS)
-            bands.extend(band_range)
-            band_hashes.extend(int(x) for x in bh)
+            bh_mat[i] = _band_hashes(sig)
+        ids = np.repeat(np.asarray(ids_in, dtype=np.int64), BANDS)
+        bands = np.tile(np.arange(BANDS, dtype=np.int32), n)
+        vec = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.repeat(bh_mat, BANDS, axis=0).reshape(-1), pa.uint64()),
+            BANDS,
+        )
         return pa.table(
             {
                 "id": pa.array(ids, pa.int64()),
                 "band": pa.array(bands, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.uint64()),
+                "band_hash": pa.array(bh_mat.reshape(-1), pa.uint64()),
+                "bands": vec,
             }
         )
+
+
+def _run_bounds(*key_arrays: np.ndarray):
+    """Start/end offsets of equal-key runs in arrays sorted by the keys."""
+    n = len(key_arrays[0])
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in key_arrays:
+        change[1:] |= k[1:] != k[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    return starts, ends
+
+
+_EMPTY_PAIRS = pa.table(
+    {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+)
 
 
 def minhash_lsh_pairs(
@@ -219,9 +250,21 @@ def minhash_lsh_pairs(
     text_column: str = "text",
     threshold: float = 0.8,
     shingle_k: int = 3,
+    shuffle_partitions: int | None = None,
 ):
     """Near-duplicate candidate pairs via MinHash banding, verified with
     exact shingle Jaccard.  Returns a Dataset of (id_a, id_b, jaccard).
+
+    One shuffle total: sort on ``(band, band_hash)`` co-locates each LSH
+    bucket in one block (the same guarantee groupby().map_groups relies
+    on), then a VECTORIZED block pass emits each candidate pair exactly
+    once — from the first band on which the pair collides (every later
+    colliding band sees the earlier match in the carried band vectors and
+    skips the pair) — so no global distinct-pairs aggregate is needed.
+    ``shuffle_partitions`` optionally coalesces the signature table before
+    the sort (the sig table is ~BANDS×24B+vec per doc, far smaller than
+    the corpus; at small scale the read's block count would otherwise make
+    the sort scheduling-bound).
 
     The broadcast verification side is the (id → shingles) map — fine while
     candidates' docs fit memory; at larger scale verify per-bucket instead.
@@ -232,28 +275,48 @@ def minhash_lsh_pairs(
     sig_ds = ds.map_batches(
         lambda b, _s=stage: _s(b), batch_format="pyarrow", runtime_env=runtime_env()
     )
+    if shuffle_partitions:
+        sig_ds = sig_ds.repartition(shuffle_partitions)
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("id").to_pylist()))
-        a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_PAIRS
+        band = batch.column("band").combine_chunks().to_numpy(zero_copy_only=False)
+        bh = batch.column("band_hash").combine_chunks().to_numpy(zero_copy_only=False)
+        ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        vec = batch.column("bands")
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        bands_mat = vec.flatten().to_numpy(zero_copy_only=False).reshape(-1, BANDS)
+        starts, ends = _run_bounds(band, bh)
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            m = int(e - s)
+            if m < 2:
+                continue
+            order = np.argsort(ids[s:e], kind="stable")
+            seg_ids = ids[s:e][order]
+            seg_bands = bands_mat[s:e][order]
+            k = int(band[s])
+            ii, jj = np.triu_indices(m, 1)
+            if k > 0:
+                prev_eq = (seg_bands[ii][:, :k] == seg_bands[jj][:, :k]).any(axis=1)
+                ii, jj = ii[~prev_eq], jj[~prev_eq]
+            neq = seg_ids[ii] != seg_ids[jj]
+            out_a.append(seg_ids[ii][neq])
+            out_b.append(seg_ids[jj][neq])
+        if not out_a:
+            return _EMPTY_PAIRS
         return pa.table(
-            {"id_a": pa.array(a_out, pa.int64()), "id_b": pa.array(b_out, pa.int64())}
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
         )
 
-    cand = sig_ds.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow",
+    cand = sig_ds.sort(["band", "band_hash"]).map_batches(
+        block_pairs, batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
-    )
-    # distinct candidate pairs: native count aggregate (no per-group
-    # Python) then drop the count column
-    cand = (
-        cand.groupby(["id_a", "id_b"])
-        .count()
-        .select_columns(["id_a", "id_b"])
     )
 
     # broadcast shingle sets for exact verification
@@ -371,80 +434,120 @@ def simhash64(text: str) -> int:
     return int(((acc > 0).astype(np.uint64) << _BIT_RANGE).sum())
 
 
+# 16-bit popcount table (64 KB, built once per worker process import)
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def _hamming64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of uint64 xor values via 4×16-bit table lookups."""
+    lo = (x & np.uint64(0xFFFF)).astype(np.int64)
+    m1 = ((x >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.int64)
+    m2 = ((x >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.int64)
+    hi = (x >> np.uint64(48)).astype(np.int64)
+    return (
+        _POP16[lo].astype(np.int32) + _POP16[m1] + _POP16[m2] + _POP16[hi]
+    )
+
+
 def simhash_pairs(
     ds, id_column: str = "doc_id", text_column: str = "text",
     max_hamming: int = 3, max_bucket: int = 512,
+    shuffle_partitions: int | None = None,
 ):
     """Near-dup pairs by SimHash: band on 4×16-bit chunks (any pair within
     hamming ≤ 3 of a 64-bit hash shares at least one exact 16-bit chunk —
     pigeonhole), verify hamming distance in-bucket.
 
+    One shuffle total: sort on ``(chunk, chunk_val)`` co-locates each
+    bucket in one block, then a vectorized block pass emits each pair
+    exactly once — from the FIRST chunk on which the two signatures agree
+    (later agreeing chunks recompute the earlier match from the carried
+    sig and skip) — so no distinct-pairs aggregate is needed.
+
     Buckets larger than ``max_bucket`` are skipped entirely (hot-bucket
     guard: a 16-bit chunk shared by thousands of docs is a weak signal,
     and enumerating its O(B²) pairs dominates the stage on
-    near-homogeneous corpora).  Deterministic, documented cap — a pair is
-    missed only if EVERY chunk it shares is over-populated."""
+    near-homogeneous corpora).  Deterministic, documented cap.  With
+    first-match emission the guard is slightly stricter than the old
+    emit-everywhere+distinct plan: a pair is missed if its FIRST shared
+    chunk's bucket is over-populated (previously: only if EVERY shared
+    chunk was) — the trade buys the removal of a full all-to-all."""
 
     def sig_batch(batch: pa.Table) -> pa.Table:
-        ids, chunk_ids, chunk_vals, sigs = [], [], [], []
-        for rid, text in zip(
-            batch.column(id_column).to_pylist(), batch.column(text_column).to_pylist()
-        ):
-            s = simhash64(text)
-            for c in range(4):
-                ids.append(rid)
-                chunk_ids.append(c)
-                chunk_vals.append((s >> (16 * c)) & 0xFFFF)
-                sigs.append(s)
+        ids_in = batch.column(id_column).to_pylist()
+        texts = batch.column(text_column).to_pylist()
+        n = len(ids_in)
+        sigs = np.fromiter(
+            (simhash64(t) for t in texts), dtype=np.uint64, count=n
+        )
+        ids = np.repeat(np.asarray(ids_in, dtype=np.int64), 4)
+        chunks = np.tile(np.arange(4, dtype=np.int32), n)
+        sig_rep = np.repeat(sigs, 4)
+        shifts = (chunks.astype(np.uint64)) * np.uint64(16)
+        chunk_vals = ((sig_rep >> shifts) & np.uint64(0xFFFF)).astype(np.int32)
         return pa.table(
             {
                 "id": pa.array(ids, pa.int64()),
-                "chunk": pa.array(chunk_ids, pa.int32()),
+                "chunk": pa.array(chunks, pa.int32()),
                 "chunk_val": pa.array(chunk_vals, pa.int32()),
-                "sig": pa.array(sigs, pa.uint64()),
+                "sig": pa.array(sig_rep, pa.uint64()),
             }
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            {(i, s) for i, s in zip(group.column("id").to_pylist(),
-                                    group.column("sig").to_pylist())}
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int32()),
+            }
         )
-        if len(rows) > max_bucket:  # hot-bucket guard (see docstring)
-            rows = []
-        a_out, b_out, ham = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = bin(int(rows[i][1]) ^ int(rows[j][1])).count("1")
-                if d <= max_hamming:
-                    a_out.append(rows[i][0])
-                    b_out.append(rows[j][0])
-                    ham.append(d)
+        if batch.num_rows == 0:
+            return empty
+        chunk = batch.column("chunk").combine_chunks().to_numpy(zero_copy_only=False)
+        cval = batch.column("chunk_val").combine_chunks().to_numpy(zero_copy_only=False)
+        ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        sigs = batch.column("sig").combine_chunks().to_numpy(zero_copy_only=False)
+        starts, ends = _run_bounds(chunk, cval)
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            m = int(e - s)
+            if m < 2 or m > max_bucket:  # hot-bucket guard (see docstring)
+                continue
+            order = np.argsort(ids[s:e], kind="stable")
+            seg_ids = ids[s:e][order]
+            seg_sigs = sigs[s:e][order]
+            c = int(chunk[s])
+            ii, jj = np.triu_indices(m, 1)
+            xor = seg_sigs[ii] ^ seg_sigs[jj]
+            keep = np.ones(len(ii), dtype=bool)
+            for j in range(c):  # first-match: skip if an earlier chunk agrees
+                keep &= ((xor >> np.uint64(16 * j)) & np.uint64(0xFFFF)) != 0
+            ham = _hamming64(xor)
+            keep &= ham <= max_hamming
+            keep &= seg_ids[ii] != seg_ids[jj]
+            out_a.append(seg_ids[ii][keep])
+            out_b.append(seg_ids[jj][keep])
+            out_h.append(ham[keep])
+        if not out_a:
+            return empty
         return pa.table(
             {
-                "id_a": pa.array(a_out, pa.int64()),
-                "id_b": pa.array(b_out, pa.int64()),
-                "hamming": pa.array(ham, pa.int32()),
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "hamming": pa.array(
+                    np.concatenate(out_h).astype(np.int32), pa.int32()
+                ),
             }
         )
 
     sig = ds.map_batches(sig_batch, batch_format="pyarrow", runtime_env=runtime_env())
-    pairs = sig.groupby(["chunk", "chunk_val"]).map_groups(
-        bucket_pairs, batch_format="pyarrow",
+    if shuffle_partitions:
+        sig = sig.repartition(shuffle_partitions)
+    return sig.sort(["chunk", "chunk_val"]).map_batches(
+        block_pairs, batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
     )
-    # distinct (id_a, id_b, hamming) via native aggregate — hamming is a
-    # function of the pair, so Min(hamming) == the pair's hamming
-    import ray.data.aggregate as agg_mod
-
-    agg = pairs.groupby(["id_a", "id_b"]).aggregate(agg_mod.Min("hamming"))
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(
-            ["hamming" if c == "min(hamming)" else c for c in batch.column_names]
-        )
-
-    return agg.map_batches(rename, batch_format="pyarrow", runtime_env=runtime_env())
 
 
 # ── embedding near-dup ───────────────────────────────────────────────────────

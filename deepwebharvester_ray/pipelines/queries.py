@@ -35,6 +35,7 @@ from .. import runtime_env
 from ..config import CrawlSettings
 from ..corpus import DUP_MOD, DUP_REMAINDER, LINK_OFFSETS, corpus_from_documents, seed_urls
 from ..extract import extract_batch
+from ..functions.agg import grouped_agg
 from ..functions.ann import brute_topk, lsh_topk
 from ..functions.dedup import (
     embedding_neardup_pairs,
@@ -290,8 +291,7 @@ def q_langid_confusion(sf_dir: str):
     ds = _docs(sf_dir, columns=["doc_id", "lang", "text"])
     out = ds.map_batches(lang_id_batch, batch_format="pyarrow",
                          runtime_env=runtime_env())
-    agg = out.groupby(["lang", "pred_lang"]).count()
-    return _rename(agg, {"count()": "n_docs"})
+    return grouped_agg(out, ["lang", "pred_lang"], [("n_docs", "", "count")])
 
 
 def _sql_langid_confusion() -> str:
@@ -573,14 +573,12 @@ def q_events_by_type(sf_dir: str):
             }
         )
 
-    import ray.data.aggregate as agg_mod
-
-    agg = (
-        ds.map_batches(to_cents, batch_format="pyarrow", runtime_env=runtime_env())
-        .groupby("event_type")
-        .aggregate(agg_mod.Count(), agg_mod.Sum("cents"))
+    cents = ds.map_batches(to_cents, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+    return grouped_agg(
+        cents, ["event_type"],
+        [("n_events", "", "count"), ("total_cents", "cents", "sum")],
     )
-    return _rename(agg, {"count()": "n_events", "sum(cents)": "total_cents"})
 
 
 _SQL_EVENTS_BY_TYPE = """
@@ -593,8 +591,7 @@ FROM events GROUP BY event_type ORDER BY event_type
 def q_top_users(sf_dir: str):
     """O2 analogue: top-5 users by event count (groupby → sort → limit)."""
     ds = _read(sf_dir, "events", columns=["user_id"])
-    agg = ds.groupby("user_id").count()
-    agg = _rename(agg, {"count()": "n_events"})
+    agg = grouped_agg(ds, ["user_id"], [("n_events", "", "count")])
     return agg.sort(["n_events", "user_id"], descending=[True, False]).limit(5)
 
 
@@ -607,26 +604,51 @@ ORDER BY n_events DESC, user_id ASC LIMIT 5
 
 def q_event_sessions(sf_dir: str):
     """Windowed/sessionized aggregate: sessions = gaps > 30 virtual minutes
-    within a user's time-ordered events (custom operator via
-    groupby().map_groups — Ray Data has no native window op)."""
+    within a user's time-ordered events.  Custom operator (Ray Data has no
+    native window op): sort co-locates and orders each user's rows in one
+    block — the same guarantee groupby().map_groups builds on — then ONE
+    vectorized pass per block marks session starts and reduces them per
+    user run (np.add.reduceat), with zero per-group Python calls."""
+    from ..functions.dedup import _run_bounds
+
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
-    def sess(group: "object") -> "object":
-        import pandas as pd
-
-        g = group.sort_values("ts")
-        gaps = g["ts"].diff().dt.total_seconds().fillna(1e18)
-        n_sessions = int((gaps > 1800.0).sum())
-        return pd.DataFrame(
+    def sess_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                }
+            )
+        uids = batch.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts_col = batch.column("ts")
+        if isinstance(ts_col, pa.ChunkedArray):
+            ts_col = ts_col.combine_chunks()
+        ts_us = ts_col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # sort only co-locates users (range boundaries on a composite key
+        # could split a user mid-run); order (user, ts) within the block
+        order = np.lexsort((ts_us, uids))
+        uids, ts_us = uids[order], ts_us[order]
+        starts, ends = _run_bounds(uids)
+        new_sess = np.ones(len(uids), dtype=np.int64)
+        if len(uids) > 1:
+            same_user = uids[1:] == uids[:-1]
+            gap_ok = (ts_us[1:] - ts_us[:-1]) <= 1800 * 1_000_000
+            new_sess[1:] = (~(same_user & gap_ok)).astype(np.int64)
+        n_sessions = np.add.reduceat(new_sess, starts)
+        return pa.table(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [n_sessions],
+                "user_id": pa.array(uids[starts], pa.int64()),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "n_sessions": pa.array(n_sessions, pa.int64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(
-        sess, batch_format="pandas", runtime_env=runtime_env()
+    return ds.sort("user_id").map_batches(
+        sess_block, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
     )
 
 
@@ -678,13 +700,13 @@ def q_orders_by_segment(sf_dir: str):
             }
         )
 
-    import ray.data.aggregate as agg_mod
-
     joined = orders.map_batches(
         segment_join, batch_format="pyarrow", runtime_env=runtime_env()
     )
-    agg = joined.groupby("c_mktsegment").aggregate(agg_mod.Count(), agg_mod.Sum("cents"))
-    return _rename(agg, {"count()": "n_orders", "sum(cents)": "total_cents"})
+    return grouped_agg(
+        joined, ["c_mktsegment"],
+        [("n_orders", "", "count"), ("total_cents", "cents", "sum")],
+    )
 
 
 _SQL_ORDERS_BY_SEGMENT = """
@@ -718,14 +740,12 @@ def q_orders_join_native(sf_dir: str):
             }
         )
 
-    import ray.data.aggregate as agg_mod
-
-    agg = (
-        joined.map_batches(to_cents, batch_format="pyarrow", runtime_env=runtime_env())
-        .groupby("c_mktsegment")
-        .aggregate(agg_mod.Count(), agg_mod.Sum("cents"))
+    cents = joined.map_batches(to_cents, batch_format="pyarrow",
+                               runtime_env=runtime_env())
+    return grouped_agg(
+        cents, ["c_mktsegment"],
+        [("n_orders", "", "count"), ("total_cents", "cents", "sum")],
     )
-    return _rename(agg, {"count()": "n_orders", "sum(cents)": "total_cents"})
 
 
 def q_lineitem_pricing(sf_dir: str):
@@ -756,20 +776,15 @@ def q_lineitem_pricing(sf_dir: str):
             }
         )
 
-    import ray.data.aggregate as agg_mod
-
-    agg = (
-        ds.map_batches(prep, batch_format="pyarrow", runtime_env=runtime_env())
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(agg_mod.Count(), agg_mod.Sum("qty"), agg_mod.Sum("charge_cents"))
-    )
-    return _rename(
-        agg,
-        {
-            "count()": "n_items",
-            "sum(qty)": "sum_qty",
-            "sum(charge_cents)": "sum_charge_cents",
-        },
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             runtime_env=runtime_env())
+    return grouped_agg(
+        prepped, ["l_returnflag", "l_linestatus"],
+        [
+            ("n_items", "", "count"),
+            ("sum_qty", "qty", "sum"),
+            ("sum_charge_cents", "charge_cents", "sum"),
+        ],
     )
 
 
@@ -787,8 +802,7 @@ ORDER BY l_returnflag, l_linestatus
 def q_risk_histogram(sf_dir: str):
     """A3 report aggregate: pages per risk label (report.py:315-320)."""
     scored = q_threat_scores(sf_dir)
-    agg = scored.groupby("risk_label").count()
-    return _rename(agg, {"count()": "n_docs"})
+    return grouped_agg(scored, ["risk_label"], [("n_docs", "", "count")])
 
 
 def _sql_risk_histogram() -> str:
@@ -839,7 +853,9 @@ def q_ioc_registry(sf_dir: str):
         )
 
     exploded = ds.map_batches(explode, batch_format="pyarrow", runtime_env=runtime_env())
-    distinct = exploded.groupby(["ioc_type", "value"]).count()
+    # distinct via the combiner (registry cardinality == the output itself,
+    # which is driver-consumable by definition — report.py:470-476)
+    distinct = grouped_agg(exploded, ["ioc_type", "value"], [("n", "", "count")])
     return distinct.select_columns(["ioc_type", "value"])
 
 
@@ -887,15 +903,11 @@ def q_props_k_stats(sf_dir: str):
             }
         )
 
-    import ray.data.aggregate as agg_mod
-
-    agg = (
-        ds.map_batches(extract_k, batch_format="pyarrow", runtime_env=runtime_env())
-        .groupby("event_type")
-        .aggregate(agg_mod.Count(), agg_mod.Sum("k"), agg_mod.Max("k"))
-    )
-    return _rename(
-        agg, {"count()": "n_events", "sum(k)": "sum_k", "max(k)": "max_k"}
+    ks = ds.map_batches(extract_k, batch_format="pyarrow",
+                        runtime_env=runtime_env())
+    return grouped_agg(
+        ks, ["event_type"],
+        [("n_events", "", "count"), ("sum_k", "k", "sum"), ("max_k", "k", "max")],
     )
 
 
@@ -931,14 +943,12 @@ def q_events_hourly(sf_dir: str):
             }
         )
 
-    import ray.data.aggregate as agg_mod
-
-    agg = (
-        ds.map_batches(bucket, batch_format="pyarrow", runtime_env=runtime_env())
-        .groupby(["hour_ms", "event_type"])
-        .aggregate(agg_mod.Count(), agg_mod.Sum("cents"))
+    bucketed = ds.map_batches(bucket, batch_format="pyarrow",
+                              runtime_env=runtime_env())
+    return grouped_agg(
+        bucketed, ["hour_ms", "event_type"],
+        [("n_events", "", "count"), ("total_cents", "cents", "sum")],
     )
-    return _rename(agg, {"count()": "n_events", "sum(cents)": "total_cents"})
 
 
 _SQL_EVENTS_HOURLY = """
@@ -1082,18 +1092,37 @@ def q_crawl_intel(sf_dir: str):
     ).sort_by([("url", "ascending")])
 
 
+def _shuffle_parts(sf_dir: str, table: str = "documents") -> int:
+    """Shuffle width for derived signature tables: ~32 MB of source data
+    per partition, clamped to [2, 2×CPUs].  At small scale this keeps the
+    sort from being scheduling-bound on dozens of tiny read blocks; at
+    100 TB the byte-based term dominates and the cluster-size cap is the
+    real config knob."""
+    import os
+
+    import ray
+
+    sz = os.path.getsize(Path(sf_dir) / f"{table}.parquet")
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return int(max(2, min(cpus * 2, sz // (32 << 20) + 2)))
+
+
 def q_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidates verified by exact shingle Jaccard
     (rows-only: banding is approximate)."""
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    pairs = minhash_lsh_pairs(ds, threshold=0.6)
+    pairs = minhash_lsh_pairs(
+        ds, threshold=0.6, shuffle_partitions=_shuffle_parts(sf_dir)
+    )
     return pairs.select_columns(["id_a", "id_b"])
 
 
 def q_simhash_pairs(sf_dir: str):
     """SimHash hamming≤3 near-dup pairs via 16-bit chunk banding."""
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    return simhash_pairs(ds, max_hamming=3)
+    return simhash_pairs(
+        ds, max_hamming=3, shuffle_partitions=_shuffle_parts(sf_dir)
+    )
 
 
 def q_fingerprints(sf_dir: str):
