@@ -271,12 +271,59 @@ def minhash_lsh_pairs(
     """
     import ray
 
-    stage = MinHashStage(id_column, text_column, shingle_k)
-    sig_ds = ds.map_batches(
-        lambda b, _s=stage: _s(b), batch_format="pyarrow", runtime_env=runtime_env()
+    a_perm, b_perm = _perm_params()
+
+    def shingles_batch(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": batch.column(id_column),
+                "sh": pa.array(
+                    [shingle_set(t, shingle_k)
+                     for t in batch.column(text_column).to_pylist()],
+                    pa.large_list(pa.uint64()),
+                ),
+            }
+        )
+
+    # shingles are computed ONCE and reused by both the signature stage and
+    # the verification broadcast (previously two full passes over the text)
+    sh_ds = ds.map_batches(
+        shingles_batch, batch_format="pyarrow", runtime_env=runtime_env()
     )
     if shuffle_partitions:
-        sig_ds = sig_ds.repartition(shuffle_partitions)
+        sh_ds = sh_ds.repartition(shuffle_partitions)
+    sh_ds = sh_ds.materialize()
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids_in = batch.column("id").to_numpy(zero_copy_only=False)
+        col = batch.column("sh")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        values = col.values.to_numpy(zero_copy_only=False)
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        bh_mat = np.empty((n, BANDS), dtype=np.uint64)
+        for i in range(n):
+            sh = values[offsets[i]:offsets[i + 1]]
+            bh_mat[i] = _band_hashes(minhash_signature(sh, a_perm, b_perm))
+        ids = np.repeat(ids_in.astype(np.int64), BANDS)
+        bands = np.tile(np.arange(BANDS, dtype=np.int32), n)
+        vec = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.repeat(bh_mat, BANDS, axis=0).reshape(-1), pa.uint64()),
+            BANDS,
+        )
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "band": pa.array(bands, pa.int32()),
+                "band_hash": pa.array(bh_mat.reshape(-1), pa.uint64()),
+                "bands": vec,
+            }
+        )
+
+    sig_ds = sh_ds.map_batches(
+        sig_batch, batch_format="pyarrow", runtime_env=runtime_env()
+    )
 
     def block_pairs(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -319,21 +366,13 @@ def minhash_lsh_pairs(
         runtime_env=runtime_env(),
     )
 
-    # broadcast shingle sets for exact verification
-    sh_tbl = ds.map_batches(
-        lambda b: pa.table(
-            {
-                "id": b.column(id_column),
-                "sh": pa.array(
-                    [shingle_set(t, shingle_k) for t in b.column(text_column).to_pylist()],
-                    pa.large_list(pa.uint64()),
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-        runtime_env=runtime_env(),
-    ).take_all()
-    sh_map_ref = ray.put({r["id"]: set(r["sh"]) for r in sh_tbl})
+    # broadcast shingle arrays (already materialized above) for exact
+    # verification; shingle_set output is sorted+unique, so jaccard is a
+    # sorted-array intersection (np.intersect1d, no Python sets)
+    sh_map_ref = ray.put(
+        {r["id"]: np.asarray(r["sh"], dtype=np.uint64) for r in sh_ds.take_all()}
+    )
+    _empty_u64 = np.empty(0, dtype=np.uint64)
 
     def verify(batch: pa.Table, ref=sh_map_ref, thr=threshold) -> pa.Table:
         m = cached_get(ref)
@@ -341,7 +380,13 @@ def minhash_lsh_pairs(
         b_ids = batch.column("id_b").to_pylist()
         keep_a, keep_b, jac = [], [], []
         for a_id, b_id in zip(a_ids, b_ids):
-            j = jaccard(m.get(a_id, set()), m.get(b_id, set()))
+            sa = m.get(a_id, _empty_u64)
+            sb = m.get(b_id, _empty_u64)
+            if not len(sa) and not len(sb):
+                j = 1.0
+            else:
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                j = inter / (len(sa) + len(sb) - inter)
             if j >= thr:
                 keep_a.append(a_id)
                 keep_b.append(b_id)

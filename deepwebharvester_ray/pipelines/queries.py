@@ -64,19 +64,21 @@ EMB_NEARDUP_THRESHOLD = 0.45
 JACCARD_THRESHOLD = 0.85
 
 
-def _docs(sf_dir: str, columns=None):
+def _docs(sf_dir: str, columns=None, override_num_blocks=None):
     import ray
 
     return ray.data.read_parquet(
-        str(Path(sf_dir) / "documents.parquet"), columns=columns
+        str(Path(sf_dir) / "documents.parquet"), columns=columns,
+        override_num_blocks=override_num_blocks,
     )
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, override_num_blocks=None):
     import ray
 
     return ray.data.read_parquet(
-        str(Path(sf_dir) / f"{table}.parquet"), columns=columns
+        str(Path(sf_dir) / f"{table}.parquet"), columns=columns,
+        override_num_blocks=override_num_blocks,
     )
 
 
@@ -1109,20 +1111,20 @@ def _shuffle_parts(sf_dir: str, table: str = "documents") -> int:
 
 def q_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidates verified by exact shingle Jaccard
-    (rows-only: banding is approximate)."""
-    ds = _docs(sf_dir, columns=["doc_id", "text"])
-    pairs = minhash_lsh_pairs(
-        ds, threshold=0.6, shuffle_partitions=_shuffle_parts(sf_dir)
-    )
+    (rows-only: banding is approximate).  The read width is sized to the
+    data (32 MB/block) so the bucket sort isn't scheduling-bound on tiny
+    blocks — no separate repartition needed."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    pairs = minhash_lsh_pairs(ds, threshold=0.6)
     return pairs.select_columns(["id_a", "id_b"])
 
 
 def q_simhash_pairs(sf_dir: str):
     """SimHash hamming≤3 near-dup pairs via 16-bit chunk banding."""
-    ds = _docs(sf_dir, columns=["doc_id", "text"])
-    return simhash_pairs(
-        ds, max_hamming=3, shuffle_partitions=_shuffle_parts(sf_dir)
-    )
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    return simhash_pairs(ds, max_hamming=3)
 
 
 def q_fingerprints(sf_dir: str):
