@@ -118,17 +118,35 @@ def exact_dedup(ds, id_column: str = "doc_id", text_column: str = "text"):
 
 def exact_dedup_ids(ds, id_column: str = "doc_id", text_column: str = "text"):
     """(content_hash, doc_id=min id per hash) via a native aggregate —
-    no per-group Python, one shuffle on the hash key (the scale path)."""
+    no per-group Python, one shuffle on the hash key (the scale path).
+
+    Each batch is pre-combined locally (min id per hash within the batch)
+    before the shuffle, so on duplicate-heavy corpora only one row per
+    distinct hash per block crosses the wire; the hash itself (32 bytes)
+    replaces the text, so shuffle volume is O(distinct-per-block), not
+    O(text bytes)."""
     import ray.data.aggregate as agg_mod
 
-    hashed = ds.map_batches(
-        lambda b: pa.table(
+    def hash_and_combine(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pa.table(
             {
                 "content_hash": add_content_hash(b, text_column).column("content_hash"),
                 id_column: b.column(id_column),
             }
-        ),
-        batch_format="pyarrow", runtime_env=runtime_env(),
+        )
+        # local combiner: first row per hash after sort(hash, id) = min id
+        t = t.sort_by([("content_hash", "ascending"), (id_column, "ascending")])
+        keys = t.column("content_hash")
+        first = np.ones(len(keys), dtype=bool)
+        if len(keys) > 1:
+            eq = pc.equal(keys.slice(1), keys.slice(0, len(keys) - 1))
+            first[1:] = ~eq.combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(first))
+
+    hashed = ds.map_batches(
+        hash_and_combine, batch_format="pyarrow", runtime_env=runtime_env()
     )
     agg = hashed.groupby("content_hash").aggregate(agg_mod.Min(id_column))
 

@@ -185,7 +185,8 @@ ORDER BY doc_id
 def q_exact_dedup(sf_dir: str):
     """D1 exact dedup: documents ∪ re-keyed mirror copy → hash-partitioned
     groupby(content_hash) keep-min-id (crawler.py:184-191 semantics)."""
-    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    nblocks = _shuffle_parts(sf_dir)
+    docs = _docs(sf_dir, columns=["doc_id", "text"], override_num_blocks=nblocks)
     n = pq.ParquetFile(str(Path(sf_dir) / "documents.parquet")).metadata.num_rows
 
     def shift(batch: pa.Table) -> pa.Table:
@@ -197,9 +198,9 @@ def q_exact_dedup(sf_dir: str):
             pc.add(batch.column("doc_id"), n),
         )
 
-    mirror = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-        shift, batch_format="pyarrow", runtime_env=runtime_env()
-    )
+    mirror = _docs(
+        sf_dir, columns=["doc_id", "text"], override_num_blocks=nblocks
+    ).map_batches(shift, batch_format="pyarrow", runtime_env=runtime_env())
     return exact_dedup_ids(docs.union(mirror), id_column="doc_id", text_column="text")
 
 
