@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "threat_scores",
     "minhash_pairs",
     "simhash_pairs",
+    "ngram_overlap",
     "neardup_embeddings",
     "ann_topk",
     "events_by_type",

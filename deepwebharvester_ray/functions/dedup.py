@@ -658,3 +658,138 @@ def embedding_neardup_pairs(
     return ds.map_batches(
         near_dup, batch_format="pyarrow", runtime_env=runtime_env()
     )
+
+
+# ── exact k-token-window (passage) overlap ───────────────────────────────────
+#
+# Document pairs sharing at least one EXACT k-token window — the
+# passage-level form of exact substring dedup used for training corpora
+# (cf. "Deduplicating Training Data Makes Language Models Better"; the
+# reference engine has only whole-page content-hash dedup,
+# crawler.py:184-191 — this is the finer-grained extension).
+#
+# Scale shape: one map emits 128-bit window keys (two independent rolling
+# polynomial hashes over per-token blake2b ids — collision odds ~2^-128,
+# so no verification pass is needed), one all-to-all on the key
+# co-locates buckets, one vectorized block pass emits per-bucket pairs,
+# and a final sort on (id_a, id_b) dedupes pairs that share several
+# windows.  Shuffle volume is O(windows) 24-byte rows, never text.
+
+_GRAM_P2 = np.uint64(0xC6A4A7935BD1E995)  # second, independent multiplier
+_TOKID2_MIX = np.uint64(0xD6E8FEB86659FD93)  # odd → bijective token remap
+
+
+def _gram_keys(tok1: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Unique (h1, h2) 64-bit key pairs for every k-token window."""
+    n_out = len(tok1) - k + 1
+    if n_out <= 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    tok2 = tok1 * _TOKID2_MIX
+    h1 = tok1[:n_out].copy()
+    h2 = tok2[:n_out].copy()
+    for j in range(1, k):
+        h1 = h1 * _POLY + tok1[j : n_out + j]
+        h2 = h2 * _GRAM_P2 + tok2[j : n_out + j]
+    order = np.lexsort((h2, h1))
+    h1, h2 = h1[order], h2[order]
+    keep = np.ones(n_out, dtype=bool)
+    keep[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+    return h1[keep], h2[keep]
+
+
+def ngram_overlap_pairs(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    k: int = 8,
+    max_bucket: int = 10_000,
+):
+    """All (id_a < id_b) pairs of docs sharing ≥1 exact k-token window.
+
+    Tokens are whitespace runs (``\\S+`` — same rule as token_counts), so
+    the DuckDB oracle is a plain list-slice self-join.  ``max_bucket``
+    guards a boilerplate window shared by ~everything from an O(m²) pair
+    blowup (guard is deterministic and logged in the docstring contract;
+    set it above the corpus size for exact-oracle runs).
+    """
+    from .textops import TOKEN_RE
+
+    def keys_batch(batch: pa.Table) -> pa.Table:
+        ids_in = batch.column(id_column).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_column).to_pylist()
+        h1s, h2s, ids = [], [], []
+        for i, t in enumerate(texts):
+            u1 = _word_hashes(TOKEN_RE.findall(t or ""))
+            with np.errstate(over="ignore"):
+                h1, h2 = _gram_keys(u1, k)
+            if len(h1):
+                h1s.append(h1)
+                h2s.append(h2)
+                ids.append(np.full(len(h1), ids_in[i], np.int64))
+        if not h1s:
+            return pa.table(
+                {
+                    "h1": pa.array([], pa.uint64()),
+                    "h2": pa.array([], pa.uint64()),
+                    "id": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "h1": pa.array(np.concatenate(h1s), pa.uint64()),
+                "h2": pa.array(np.concatenate(h2s), pa.uint64()),
+                "id": pa.array(np.concatenate(ids), pa.int64()),
+            }
+        )
+
+    _empty_pairs = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_pairs
+        h1 = batch.column("h1").combine_chunks().to_numpy(zero_copy_only=False)
+        h2 = batch.column("h2").combine_chunks().to_numpy(zero_copy_only=False)
+        ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        starts, ends = _run_bounds(h1, h2)
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            m = int(e - s)
+            if m < 2 or m > max_bucket:
+                continue
+            seg = np.sort(ids[s:e])
+            ii, jj = np.triu_indices(m, 1)
+            out_a.append(seg[ii])
+            out_b.append(seg[jj])
+        if not out_a:
+            return _empty_pairs
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        # input sorted by (id_a, id_b); equal keys co-locate per sort
+        # partition, so first-of-run per block is globally distinct
+        if batch.num_rows == 0:
+            return _empty_pairs
+        a = batch.column("id_a").combine_chunks().to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").combine_chunks().to_numpy(zero_copy_only=False)
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return batch.filter(pa.array(keep))
+
+    keyed = ds.map_batches(
+        keys_batch, batch_format="pyarrow", runtime_env=runtime_env()
+    )
+    pairs = keyed.sort(["h1", "h2"]).map_batches(
+        bucket_pairs, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )
+    return pairs.sort(["id_a", "id_b"]).map_batches(
+        distinct_pairs, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )

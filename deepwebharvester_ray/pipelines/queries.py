@@ -42,6 +42,7 @@ from ..functions.dedup import (
     exact_dedup_ids,
     jaccard_pairs_exact,
     minhash_lsh_pairs,
+    ngram_overlap_pairs,
     simhash_pairs,
 )
 from ..functions.multimodal import binary_metadata_batch
@@ -1136,6 +1137,31 @@ def q_fingerprints(sf_dir: str):
     return out.select_columns(["doc_id", "fingerprint"])
 
 
+def q_ngram_overlap(sf_dir: str):
+    """Exact k-token-window (passage) overlap pairs — doc pairs sharing at
+    least one exact 8-token window (the passage-level extension of the
+    reference's whole-page content-hash dedup, crawler.py:184-191)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    # max_bucket above any corpus used here → exact, SQL-checkable
+    return ngram_overlap_pairs(ds, k=8, max_bucket=1_000_000)
+
+
+_SQL_NGRAM_OVERLAP = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g(i)
+  WHERE len(t) >= 8
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
 def q_ann_lsh(sf_dir: str):
     """Hyperplane-LSH bucketed ANN (approximate; rows-only)."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -1183,6 +1209,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "ann_topk": q_ann_topk,
         "neardup_embeddings": q_neardup_embeddings,
         "jaccard_pairs": q_jaccard_pairs,
+        "ngram_overlap": q_ngram_overlap,
         "events_by_type": q_events_by_type,
         "top_users": q_top_users,
         "event_sessions": q_event_sessions,
@@ -1221,6 +1248,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "ann_topk": _SQL_ANN_TOPK,
         "neardup_embeddings": _SQL_NEARDUP_EMB,
         "jaccard_pairs": _SQL_JACCARD_PAIRS,
+        "ngram_overlap": _SQL_NGRAM_OVERLAP,
         "events_by_type": _SQL_EVENTS_BY_TYPE,
         "top_users": _SQL_TOP_USERS,
         "event_sessions": _SQL_EVENT_SESSIONS,

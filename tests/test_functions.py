@@ -216,3 +216,25 @@ def test_salted_repartition_spreads_hot_key(ray_session):
     assert sorted((r["url"], r["salt"]) for r in salted) == sorted(
         (r["url"], r["salt"]) for r in again
     )
+
+
+def test_ngram_overlap_pairs():
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    texts = [
+        f"pre{i} {shared} post{i} " + " ".join(f"u{i}v{j}" for j in range(10))
+        for i in range(3)
+    ]  # docs 0,1,2 share one exact 8-token window
+    texts.append(" ".join(f"solo{j}" for j in range(20)))  # 3: no overlap
+    texts.append("short doc")                              # 4: < k tokens
+    out = dedup.ngram_overlap_pairs(_docs_ds(texts), k=8).take_all()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
+    # pairs are distinct even when docs share multiple windows
+    assert len(out) == len(pairs)
+
+
+def test_ngram_overlap_hot_bucket_guard():
+    shared = "a b c d e f g h"
+    texts = [f"x{i} {shared}" for i in range(6)]
+    out = dedup.ngram_overlap_pairs(_docs_ds(texts), k=8, max_bucket=3).take_all()
+    assert out == []  # bucket of 6 docs exceeds the guard → skipped
