@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "simhash_pairs",
     "ngram_overlap",
+    "price_quantiles",
     "neardup_embeddings",
     "ann_topk",
     "events_by_type",

@@ -78,3 +78,68 @@ def grouped_agg(ds, keys: Sequence[str], specs: Sequence[AggSpec]):
     return partials.repartition(1).map_batches(
         final, batch_format="pyarrow", batch_size=None, runtime_env=runtime_env()
     )
+
+
+def grouped_quantiles(
+    ds,
+    key: str,
+    value_col: str,
+    ps: Sequence[float],
+    out_cols: Sequence[str],
+):
+    """Exact per-group discrete quantiles (``percentile_disc`` semantics:
+    smallest value whose cumulative fraction ≥ p) over an integer value
+    column, without ever collecting a group's raw rows.
+
+    Scale shape: the combiner collapses each batch to a (key, value,
+    count) histogram, the single shuffled merge is bounded by the VALUE
+    DOMAIN (distinct (key, value) pairs — e.g. prices in cents), not the
+    row count, and the quantile pick is one cumsum + searchsorted per
+    group.  Cumulative fractions are compared as IEEE doubles
+    (``count/n >= p``), matching DuckDB's ``cume_dist`` rule exactly.
+    """
+    import numpy as np
+
+    assert len(ps) == len(out_cols)
+
+    hist = grouped_agg(ds, [key, value_col], [("__n", "", "count")])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        # input sorted by (key, value) — grouped_agg's deterministic order
+        keys_arr = batch.column(key).combine_chunks()
+        vals = batch.column(value_col).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        cnts = batch.column("__n").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        n_rows = len(vals)
+        if n_rows == 0:
+            return pa.table(
+                {key: keys_arr}
+                | {c: pa.array([], pa.int64()) for c in out_cols}
+            )
+        change = np.ones(n_rows, dtype=bool)
+        change[1:] = np.asarray(
+            pa.compute.not_equal(
+                keys_arr.slice(1), keys_arr.slice(0, n_rows - 1)
+            )
+        )
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n_rows)
+        out_keys = keys_arr.take(pa.array(starts))
+        cols = {c: [] for c in out_cols}
+        for s, e in zip(starts, ends):
+            cum = np.cumsum(cnts[s:e], dtype=np.float64)
+            frac = cum / cum[-1]
+            for p, c in zip(ps, out_cols):
+                i = int(np.searchsorted(frac, p, side="left"))
+                cols[c].append(int(vals[s:e][min(i, e - s - 1)]))
+        return pa.table(
+            {key: out_keys}
+            | {c: pa.array(v, pa.int64()) for c, v in cols.items()}
+        )
+
+    return hist.map_batches(
+        pick, batch_format="pyarrow", batch_size=None, runtime_env=runtime_env()
+    )

@@ -1137,6 +1137,48 @@ def q_fingerprints(sf_dir: str):
     return out.select_columns(["doc_id", "fingerprint"])
 
 
+def q_price_quantiles(sf_dir: str):
+    """Exact distributed per-group quantiles (percentile_disc semantics)
+    of order price cents per priority — histogram combiner, shuffle
+    bounded by the value domain, never collects a group's raw rows."""
+    from ..functions.agg import grouped_quantiles
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+    return grouped_quantiles(
+        cents, "o_orderpriority", "cents",
+        ps=[0.5, 0.9, 0.99],
+        out_cols=["p50_cents", "p90_cents", "p99_cents"],
+    )
+
+
+_SQL_PRICE_QUANTILES = """
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderpriority,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS p50_cents,
+       percentile_disc(0.9) WITHIN GROUP (ORDER BY cents) AS p90_cents,
+       percentile_disc(0.99) WITHIN GROUP (ORDER BY cents) AS p99_cents
+FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def q_ngram_overlap(sf_dir: str):
     """Exact k-token-window (passage) overlap pairs — doc pairs sharing at
     least one exact 8-token window (the passage-level extension of the
@@ -1210,6 +1252,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "neardup_embeddings": q_neardup_embeddings,
         "jaccard_pairs": q_jaccard_pairs,
         "ngram_overlap": q_ngram_overlap,
+        "price_quantiles": q_price_quantiles,
         "events_by_type": q_events_by_type,
         "top_users": q_top_users,
         "event_sessions": q_event_sessions,
@@ -1249,6 +1292,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "neardup_embeddings": _SQL_NEARDUP_EMB,
         "jaccard_pairs": _SQL_JACCARD_PAIRS,
         "ngram_overlap": _SQL_NGRAM_OVERLAP,
+        "price_quantiles": _SQL_PRICE_QUANTILES,
         "events_by_type": _SQL_EVENTS_BY_TYPE,
         "top_users": _SQL_TOP_USERS,
         "event_sessions": _SQL_EVENT_SESSIONS,

@@ -238,3 +238,24 @@ def test_ngram_overlap_hot_bucket_guard():
     texts = [f"x{i} {shared}" for i in range(6)]
     out = dedup.ngram_overlap_pairs(_docs_ds(texts), k=8, max_bucket=3).take_all()
     assert out == []  # bucket of 6 docs exceeds the guard → skipped
+
+
+def test_grouped_quantiles_percentile_disc_semantics():
+    import ray
+
+    from deepwebharvester_ray.functions.agg import grouped_quantiles
+
+    rows = [{"k": "a", "v": i} for i in range(1, 5)]      # 1..4 (even n)
+    rows += [{"k": "b", "v": i * 10} for i in range(1, 4)]  # 10,20,30 (odd n)
+    rows += [{"k": "c", "v": 7}, {"k": "c", "v": 7}, {"k": "c", "v": 9}]  # ties
+    ds = ray.data.from_items(rows)
+    out = {
+        r["k"]: r
+        for r in grouped_quantiles(
+            ds, "k", "v", ps=[0.5, 0.99], out_cols=["p50", "p99"]
+        ).take_all()
+    }
+    # percentile_disc(0.5): smallest v with cume_dist >= 0.5
+    assert out["a"]["p50"] == 2 and out["a"]["p99"] == 4
+    assert out["b"]["p50"] == 20 and out["b"]["p99"] == 30
+    assert out["c"]["p50"] == 7 and out["c"]["p99"] == 9
