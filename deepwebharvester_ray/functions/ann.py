@@ -253,3 +253,114 @@ def lsh_topk(
             "score": pa.array(out_s, pa.float64()),
         }
     )
+
+
+# ── IVF (inverted-file) ANN ──────────────────────────────────────────────────
+
+_IVF_SEED = 0x1FF
+
+
+def _spherical_kmeans(sample: np.ndarray, n_cells: int, n_iters: int = 10):
+    """Deterministic spherical k-means on a driver-side sample (the coarse
+    quantizer is tiny — centroids, not data, are what the cluster shares)."""
+    sample = _normalize(sample)
+    rng = np.random.default_rng(_IVF_SEED)
+    cents = sample[rng.choice(len(sample), size=min(n_cells, len(sample)),
+                              replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.sum(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+) -> pa.Table:
+    """IVF ANN: spherical-k-means coarse quantizer; each vector is assigned
+    to its nearest centroid cell, each query scans only its ``n_probe``
+    nearest cells.
+
+    Scale shape: training touches a driver-side sample only; assignment is
+    one matmul per batch against the broadcast centroids; probing reuses
+    the same filtered-scan task as LSH.  On a real deployment the assign
+    stage writes parquet partitioned by ``cell`` so query time prunes
+    whole partitions at the read (documented partitioning assumption);
+    here cells are carried as a column and filtered per batch.
+    """
+    import ray
+
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    sample_rows = ds.limit(train_sample).take_all()
+    sample = np.asarray([list(r[vec_column]) for r in sample_rows],
+                        dtype=np.float64)
+    cents = _spherical_kmeans(sample, n_cells)
+    cents_ref = ray.put(cents)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "id": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    vec_column: pa.array([], pa.large_list(pa.float32())),
+                }
+            )
+        c = cached_get(cents_ref)
+        mat = _normalize(_vec_matrix(batch.column(vec_column)))
+        cell = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "id": batch.column(id_column),
+                "bucket": pa.array(cell, pa.int64()),
+                vec_column: batch.column(vec_column),
+            }
+        )
+
+    assigned = ds.map_batches(
+        assign_batch, batch_format="pyarrow", runtime_env=runtime_env()
+    )
+
+    qn = _normalize(queries)
+    qcells = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]
+    wanted: dict = {}
+    for qi in range(len(queries)):
+        for b in qcells[qi]:
+            wanted.setdefault(int(b), set()).add(qi)
+    wanted_ref = ray.put(wanted)
+    qref = ray.put(queries)
+
+    partials = assigned.map_batches(
+        _probe_score_task,
+        fn_kwargs={"wanted_ref": wanted_ref, "qref": qref, "k": k,
+                   "vec_column": vec_column},
+        batch_format="pyarrow",
+        runtime_env=runtime_env(),
+    ).take_all()
+
+    out_q, out_rank, out_id, out_s = [], [], [], []
+    for qi in range(len(queries)):
+        rows = [(-(r["score"]), r["id"]) for r in partials if r["query_idx"] == qi]
+        for rank, (neg_s, rid) in enumerate(heapq.nsmallest(k, rows)):
+            out_q.append(qi)
+            out_rank.append(rank + 1)
+            out_id.append(rid)
+            out_s.append(-neg_s)
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, pa.int32()),
+            "rank": pa.array(out_rank, pa.int32()),
+            "id": pa.array(out_id, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )

@@ -36,7 +36,7 @@ from ..config import CrawlSettings
 from ..corpus import DUP_MOD, DUP_REMAINDER, LINK_OFFSETS, corpus_from_documents, seed_urls
 from ..extract import extract_batch
 from ..functions.agg import grouped_agg
-from ..functions.ann import brute_topk, lsh_topk
+from ..functions.ann import brute_topk, ivf_topk, lsh_topk
 from ..functions.dedup import (
     embedding_neardup_pairs,
     exact_dedup_ids,
@@ -1204,6 +1204,21 @@ ORDER BY id_a, id_b
 """
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF ANN (spherical-k-means coarse quantizer + n_probe cell scan;
+    approximate; rows-only)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = pq.read_table(
+        str(Path(sf_dir) / "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    import pyarrow.compute as pc
+
+    qrows = qt.filter(pc.less(qt.column("vec_id"), 3)).sort_by("vec_id")
+    queries = np.array([list(v) for v in qrows.column("embedding").to_pylist()],
+                       dtype=np.float64)
+    return ivf_topk(ds, queries, k=10, n_cells=16, n_probe=4)
+
+
 def q_ann_lsh(sf_dir: str):
     """Hyperplane-LSH bucketed ANN (approximate; rows-only)."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -1273,6 +1288,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "simhash_pairs": q_simhash_pairs,
         "fingerprints": q_fingerprints,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "binary_metadata": q_binary_metadata,
     }
 
@@ -1310,5 +1326,6 @@ def build_oracle_sql() -> Dict[str, str]:
 
 ROWS_ONLY: List[str] = [
     "crawl_bfs", "crawl_intel", "minhash_pairs", "simhash_pairs",
-    "fingerprints", "ann_lsh", "binary_metadata", "multimodal_features",
+    "fingerprints", "ann_lsh", "ann_ivf", "binary_metadata",
+    "multimodal_features",
 ]

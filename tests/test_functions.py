@@ -144,6 +144,19 @@ def test_lsh_topk_recall(emb_ds):
     assert len(exact & approx) >= 5
 
 
+def test_ivf_topk_recall(emb_ds):
+    rows = emb_ds.take(1)
+    q = np.array(rows[0]["embedding"], dtype=np.float64)
+    exact = set(ann.brute_topk(emb_ds, q, k=10).column("id").to_pylist())
+    out = ann.ivf_topk(emb_ds, q, k=10, n_cells=8, n_probe=4)
+    approx = set(out.column("id").to_pylist())
+    assert len(exact & approx) >= 5      # probes half the cells → good recall
+    assert rows[0]["vec_id"] in approx   # self always lands in the top cell
+    # deterministic: same seed/sample → identical result
+    again = ann.ivf_topk(emb_ds, q, k=10, n_cells=8, n_probe=4)
+    assert out.equals(again)
+
+
 # ── multimodal ───────────────────────────────────────────────────────────────
 
 
