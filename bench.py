@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "ngram_overlap",
     "price_quantiles",
+    "clicks_asof_views",
     "neardup_embeddings",
     "ann_topk",
     "events_by_type",

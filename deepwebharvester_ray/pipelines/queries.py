@@ -1137,6 +1137,47 @@ def q_fingerprints(sf_dir: str):
     return out.select_columns(["doc_id", "fingerprint"])
 
 
+def q_clicks_asof_views(sf_dir: str):
+    """As-of join (custom operator — Ray Data has no native one): each
+    click event matched to the user's most recent view at-or-before it.
+    Sort-merge form: ONE all-to-all on (key, ts, side), then a vectorized
+    forward-fill block pass."""
+    from ..functions.asof import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "event_type"])
+    import pyarrow.compute as pc
+
+    def only(kind):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.equal(batch.column("event_type"), kind)
+            ).drop_columns(["event_type"])
+
+        return fn
+
+    clicks = ev.map_batches(only("click"), batch_format="pyarrow",
+                            runtime_env=runtime_env())
+    views = ev.map_batches(only("view"), batch_format="pyarrow",
+                           runtime_env=runtime_env())
+    out = asof_join(clicks, views.select_columns(["user_id", "ts"]),
+                    key="user_id", ts="ts", left_cols=["event_id"])
+    return _rename(out, {"prev_ts": "prev_view_ts"}).drop_columns(["ts"])
+
+
+_SQL_CLICKS_ASOF_VIEWS = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+views AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+SELECT c.event_id, c.user_id, v.ts AS prev_view_ts,
+       date_diff('microsecond', v.ts, c.ts) AS gap_us
+FROM clicks c ASOF JOIN views v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+ORDER BY event_id
+"""
+
+
 def q_price_quantiles(sf_dir: str):
     """Exact distributed per-group quantiles (percentile_disc semantics)
     of order price cents per priority — histogram combiner, shuffle
@@ -1268,6 +1309,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "jaccard_pairs": q_jaccard_pairs,
         "ngram_overlap": q_ngram_overlap,
         "price_quantiles": q_price_quantiles,
+        "clicks_asof_views": q_clicks_asof_views,
         "events_by_type": q_events_by_type,
         "top_users": q_top_users,
         "event_sessions": q_event_sessions,
@@ -1309,6 +1351,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "jaccard_pairs": _SQL_JACCARD_PAIRS,
         "ngram_overlap": _SQL_NGRAM_OVERLAP,
         "price_quantiles": _SQL_PRICE_QUANTILES,
+        "clicks_asof_views": _SQL_CLICKS_ASOF_VIEWS,
         "events_by_type": _SQL_EVENTS_BY_TYPE,
         "top_users": _SQL_TOP_USERS,
         "event_sessions": _SQL_EVENT_SESSIONS,

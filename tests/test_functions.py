@@ -272,3 +272,38 @@ def test_grouped_quantiles_percentile_disc_semantics():
     assert out["a"]["p50"] == 2 and out["a"]["p99"] == 4
     assert out["b"]["p50"] == 20 and out["b"]["p99"] == 30
     assert out["c"]["p50"] == 7 and out["c"]["p99"] == 9
+
+
+def test_asof_join_semantics():
+    import datetime as dt
+
+    import ray
+
+    from deepwebharvester_ray.functions.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = ray.data.from_items([
+        {"eid": 1, "k": 1, "ts": ts(10)},   # matches right@5
+        {"eid": 2, "k": 1, "ts": ts(20)},   # matches right@20 (inclusive tie)
+        {"eid": 3, "k": 2, "ts": ts(3)},    # no preceding right → dropped
+        {"eid": 4, "k": 2, "ts": ts(99)},   # matches right@50
+        {"eid": 5, "k": 3, "ts": ts(7)},    # key with no right rows → dropped
+    ])
+    right = ray.data.from_items([
+        {"k": 1, "ts": ts(5)},
+        {"k": 1, "ts": ts(20)},
+        {"k": 2, "ts": ts(50)},
+    ])
+    out = {
+        r["eid"]: r
+        for r in asof_join(left, right, key="k", ts="ts",
+                           left_cols=["eid"]).take_all()
+    }
+    assert set(out) == {1, 2, 4}
+    assert out[1]["prev_ts"] == ts(5) and out[1]["gap_us"] == 5_000_000
+    assert out[2]["prev_ts"] == ts(20) and out[2]["gap_us"] == 0
+    assert out[4]["prev_ts"] == ts(50) and out[4]["gap_us"] == 49_000_000

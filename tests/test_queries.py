@@ -20,6 +20,7 @@ SPOT_CHECKED = [
     "lang_id", "events_by_type", "event_sessions", "ann_topk",
     "ngram_overlap",
     "price_quantiles",
+    "clicks_asof_views",
 ]
 
 
