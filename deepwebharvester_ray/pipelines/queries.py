@@ -615,7 +615,8 @@ def q_event_sessions(sf_dir: str):
     user run (np.add.reduceat), with zero per-group Python calls."""
     from ..functions.dedup import _run_bounds
 
-    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
 
     def sess_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -1145,7 +1146,8 @@ def q_clicks_asof_views(sf_dir: str):
     from ..functions.asof import asof_join
 
     ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
-                                          "event_type"])
+                                          "event_type"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
     import pyarrow.compute as pc
 
     def only(kind):
