@@ -66,15 +66,16 @@ def shingle_set(text: str, k: int = 3) -> List[int]:
     if not words:
         return []
     h = _word_hashes(words)
-    if len(words) < k:
-        acc = h[0]
-        for j in range(1, len(h)):
-            acc = acc * _POLY + h[j]
-        return [int(acc)]
-    n_out = len(words) - k + 1
-    acc = h[:n_out].copy()
-    for j in range(1, k):
-        acc = acc * _POLY + h[j : n_out + j]
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        if len(words) < k:
+            acc = h[0]
+            for j in range(1, len(h)):
+                acc = acc * _POLY + h[j]
+            return [int(acc)]
+        n_out = len(words) - k + 1
+        acc = h[:n_out].copy()
+        for j in range(1, k):
+            acc = acc * _POLY + h[j : n_out + j]
     return sorted(int(x) for x in np.unique(acc))
 
 
@@ -284,8 +285,10 @@ def minhash_lsh_pairs(
     the corpus; at small scale the read's block count would otherwise make
     the sort scheduling-bound).
 
-    The broadcast verification side is the (id → shingles) map — fine while
-    candidates' docs fit memory; at larger scale verify per-bucket instead.
+    The broadcast verification side is the (id → shingles) map restricted
+    to docs that appear in a candidate pair — O(candidates) driver/worker
+    memory, not O(corpus); near-dup candidates are a vanishing fraction of
+    a deduplicated corpus by construction.
     """
     import ray
 
@@ -382,13 +385,38 @@ def minhash_lsh_pairs(
     cand = sig_ds.sort(["band", "band_hash"]).map_batches(
         block_pairs, batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
-    )
+    ).materialize()
 
-    # broadcast shingle arrays (already materialized above) for exact
-    # verification; shingle_set output is sorted+unique, so jaccard is a
-    # sorted-array intersection (np.intersect1d, no Python sets)
+    # broadcast shingle arrays for exact verification — restricted to docs
+    # that actually appear in a candidate pair, so the driver-side map is
+    # O(candidates), not O(corpus); shingle_set output is sorted+unique,
+    # so jaccard is a sorted-array intersection (np.intersect1d)
+    cand_rows = cand.take_all()
+    cand_ids = np.unique(
+        np.fromiter(
+            (i for r in cand_rows for i in (r["id_a"], r["id_b"])),
+            dtype=np.int64, count=2 * len(cand_rows),
+        )
+    )
+    cand_ids_ref = ray.put(cand_ids)
+
+    def only_candidates(batch: pa.Table, ref=cand_ids_ref) -> pa.Table:
+        wanted = cached_get(ref)
+        ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(wanted):
+            return batch.filter(pa.array(np.zeros(len(ids), dtype=bool)))
+        pos = np.searchsorted(wanted, ids)
+        pos[pos >= len(wanted)] = 0
+        return batch.filter(pa.array(wanted[pos] == ids))
+
     sh_map_ref = ray.put(
-        {r["id"]: np.asarray(r["sh"], dtype=np.uint64) for r in sh_ds.take_all()}
+        {
+            r["id"]: np.asarray(r["sh"], dtype=np.uint64)
+            for r in sh_ds.map_batches(
+                only_candidates, batch_format="pyarrow",
+                runtime_env=runtime_env(),
+            ).take_all()
+        }
     )
     _empty_u64 = np.empty(0, dtype=np.uint64)
 
