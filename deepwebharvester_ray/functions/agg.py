@@ -119,14 +119,11 @@ def grouped_quantiles(
                 {key: keys_arr}
                 | {c: pa.array([], pa.int64()) for c in out_cols}
             )
-        change = np.ones(n_rows, dtype=bool)
-        change[1:] = np.asarray(
-            pa.compute.not_equal(
-                keys_arr.slice(1), keys_arr.slice(0, n_rows - 1)
-            )
+        from .dedup import _run_bounds
+
+        starts, ends = _run_bounds(
+            keys_arr.to_numpy(zero_copy_only=False)
         )
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], n_rows)
         out_keys = keys_arr.take(pa.array(starts))
         cols = {c: [] for c in out_cols}
         for s, e in zip(starts, ends):

@@ -58,6 +58,29 @@ def _empty_scores() -> pa.Table:
     )
 
 
+def _merge_topk(partials, n_queries: int, k: int) -> pa.Table:
+    """Merge per-batch partial top-k rows into the global (query_idx, rank,
+    id, score) table with the deterministic (-score, id) tie-break."""
+    by_q: dict = {qi: [] for qi in range(n_queries)}
+    for r in partials:
+        by_q[r["query_idx"]].append((-(r["score"]), r["id"]))
+    out_q, out_rank, out_id, out_s = [], [], [], []
+    for qi in range(n_queries):
+        for rank, (neg_s, rid) in enumerate(heapq.nsmallest(k, by_q[qi])):
+            out_q.append(qi)
+            out_rank.append(rank + 1)
+            out_id.append(rid)
+            out_s.append(-neg_s)
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, pa.int32()),
+            "rank": pa.array(out_rank, pa.int32()),
+            "id": pa.array(out_id, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
 def brute_score_task(
     batch: pa.Table, query_ref=None, k: int = 10,
     id_column: str = "vec_id", vec_column: str = "embedding",
@@ -111,22 +134,7 @@ def brute_topk(
         runtime_env=runtime_env(),
     ).take_all()
 
-    out_q, out_rank, out_id, out_s = [], [], [], []
-    for qi in range(len(queries)):
-        rows = [(-(r["score"]), r["id"]) for r in partials if r["query_idx"] == qi]
-        for rank, (neg_s, rid) in enumerate(heapq.nsmallest(k, rows)):
-            out_q.append(qi)
-            out_rank.append(rank + 1)
-            out_id.append(rid)
-            out_s.append(-neg_s)
-    return pa.table(
-        {
-            "query_idx": pa.array(out_q, pa.int32()),
-            "rank": pa.array(out_rank, pa.int32()),
-            "id": pa.array(out_id, pa.int64()),
-            "score": pa.array(out_s, pa.float64()),
-        }
-    )
+    return _merge_topk(partials, len(queries), k)
 
 
 def _signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -198,7 +206,9 @@ def lsh_topk(
                 {
                     "id": pa.array([], pa.int64()),
                     "bucket": pa.array([], pa.int64()),
-                    vec_column: pa.array([], pa.large_list(pa.float32())),
+                    vec_column: pa.array(
+                        [], batch.schema.field(vec_column).type
+                    ),
                 }
             )
         pl = cached_get(planes_ref)
@@ -237,22 +247,7 @@ def lsh_topk(
         runtime_env=runtime_env(),
     ).take_all()
 
-    out_q, out_rank, out_id, out_s = [], [], [], []
-    for qi in range(len(queries)):
-        rows = [(-(r["score"]), r["id"]) for r in partials if r["query_idx"] == qi]
-        for rank, (neg_s, rid) in enumerate(heapq.nsmallest(k, rows)):
-            out_q.append(qi)
-            out_rank.append(rank + 1)
-            out_id.append(rid)
-            out_s.append(-neg_s)
-    return pa.table(
-        {
-            "query_idx": pa.array(out_q, pa.int32()),
-            "rank": pa.array(out_rank, pa.int32()),
-            "id": pa.array(out_id, pa.int64()),
-            "score": pa.array(out_s, pa.float64()),
-        }
-    )
+    return _merge_topk(partials, len(queries), k)
 
 
 # ── IVF (inverted-file) ANN ──────────────────────────────────────────────────
@@ -313,7 +308,9 @@ def ivf_topk(
                 {
                     "id": pa.array([], pa.int64()),
                     "bucket": pa.array([], pa.int64()),
-                    vec_column: pa.array([], pa.large_list(pa.float32())),
+                    vec_column: pa.array(
+                        [], batch.schema.field(vec_column).type
+                    ),
                 }
             )
         c = cached_get(cents_ref)
@@ -348,19 +345,4 @@ def ivf_topk(
         runtime_env=runtime_env(),
     ).take_all()
 
-    out_q, out_rank, out_id, out_s = [], [], [], []
-    for qi in range(len(queries)):
-        rows = [(-(r["score"]), r["id"]) for r in partials if r["query_idx"] == qi]
-        for rank, (neg_s, rid) in enumerate(heapq.nsmallest(k, rows)):
-            out_q.append(qi)
-            out_rank.append(rank + 1)
-            out_id.append(rid)
-            out_s.append(-neg_s)
-    return pa.table(
-        {
-            "query_idx": pa.array(out_q, pa.int32()),
-            "rank": pa.array(out_rank, pa.int32()),
-            "id": pa.array(out_id, pa.int64()),
-            "score": pa.array(out_s, pa.float64()),
-        }
-    )
+    return _merge_topk(partials, len(queries), k)

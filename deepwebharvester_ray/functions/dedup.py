@@ -199,51 +199,6 @@ def _band_hashes(sig: np.ndarray) -> np.ndarray:
     return acc
 
 
-class MinHashStage:
-    """Batch stage: text → minhash signature + LSH band keys.
-
-    Each document explodes to BANDS rows ``(id, band, band_hash, bands)``
-    where ``bands`` is the document's FULL band-hash vector
-    (fixed_size_list<uint64, BANDS>).  Carrying the vector costs
-    BANDS×8 bytes per exploded row but lets the bucket stage emit every
-    candidate pair exactly once — from the FIRST band on which the two
-    documents collide — eliminating the global distinct-pairs shuffle
-    that a naive emit-per-band plan needs.
-
-    Permutation parameters are module-computable, so this also works as a
-    plain task fn; kept as a callable class for signature compatibility."""
-
-    def __init__(self, id_column: str = "doc_id", text_column: str = "text",
-                 shingle_k: int = 3) -> None:
-        self._a, self._b = _perm_params()
-        self._id = id_column
-        self._text = text_column
-        self._k = shingle_k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        ids_in = batch.column(self._id).to_pylist()
-        texts = batch.column(self._text).to_pylist()
-        bh_mat = np.empty((n, BANDS), dtype=np.uint64)
-        for i, text in enumerate(texts):
-            sig = minhash_signature(shingle_set(text, self._k), self._a, self._b)
-            bh_mat[i] = _band_hashes(sig)
-        ids = np.repeat(np.asarray(ids_in, dtype=np.int64), BANDS)
-        bands = np.tile(np.arange(BANDS, dtype=np.int32), n)
-        vec = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.repeat(bh_mat, BANDS, axis=0).reshape(-1), pa.uint64()),
-            BANDS,
-        )
-        return pa.table(
-            {
-                "id": pa.array(ids, pa.int64()),
-                "band": pa.array(bands, pa.int32()),
-                "band_hash": pa.array(bh_mat.reshape(-1), pa.uint64()),
-                "bands": vec,
-            }
-        )
-
-
 def _run_bounds(*key_arrays: np.ndarray):
     """Start/end offsets of equal-key runs in arrays sorted by the keys."""
     n = len(key_arrays[0])
@@ -730,7 +685,7 @@ def ngram_overlap_pairs(
     id_column: str = "doc_id",
     text_column: str = "text",
     k: int = 8,
-    max_bucket: int = 10_000,
+    max_bucket: int = 1024,
 ):
     """All (id_a < id_b) pairs of docs sharing ≥1 exact k-token window.
 

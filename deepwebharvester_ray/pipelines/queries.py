@@ -483,18 +483,22 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _embedding_queries(sf_dir: str, n: int = 3) -> np.ndarray:
+    """Query matrix = embeddings of vec_id 0..n-1 (row-group filter pushed
+    into the parquet read — never the whole file for 3 vectors)."""
+    qt = pq.read_table(
+        str(Path(sf_dir) / "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n)],
+    ).sort_by("vec_id")
+    return np.array([list(v) for v in qt.column("embedding").to_pylist()],
+                    dtype=np.float64)
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 for queries = embeddings of vec_id 0..2."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qt = pq.read_table(
-        str(Path(sf_dir) / "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    import pyarrow.compute as pc
-
-    mask = pc.less(qt.column("vec_id"), 3)
-    qrows = qt.filter(mask).sort_by("vec_id")
-    queries = np.array([list(v) for v in qrows.column("embedding").to_pylist()],
-                       dtype=np.float64)
+    queries = _embedding_queries(sf_dir)
     res = brute_topk(ds, queries, k=10)
     return pa.table(
         {
@@ -1228,8 +1232,11 @@ def q_ngram_overlap(sf_dir: str):
     reference's whole-page content-hash dedup, crawler.py:184-191)."""
     ds = _docs(sf_dir, columns=["doc_id", "text"],
                override_num_blocks=_shuffle_parts(sf_dir))
-    # max_bucket above any corpus used here → exact, SQL-checkable
-    return ngram_overlap_pairs(ds, k=8, max_bucket=1_000_000)
+    # guard bounds per-bucket pair blowup to ~0.5M pairs (docs sharing a
+    # boilerplate window beyond that trip the documented cap); far above
+    # any bucket in these corpora (max 3 docs/window), so still exact vs
+    # the SQL oracle
+    return ngram_overlap_pairs(ds, k=8, max_bucket=1024)
 
 
 _SQL_NGRAM_OVERLAP = r"""
@@ -1251,29 +1258,13 @@ def q_ann_ivf(sf_dir: str):
     """IVF ANN (spherical-k-means coarse quantizer + n_probe cell scan;
     approximate; rows-only)."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qt = pq.read_table(
-        str(Path(sf_dir) / "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    import pyarrow.compute as pc
-
-    qrows = qt.filter(pc.less(qt.column("vec_id"), 3)).sort_by("vec_id")
-    queries = np.array([list(v) for v in qrows.column("embedding").to_pylist()],
-                       dtype=np.float64)
-    return ivf_topk(ds, queries, k=10, n_cells=16, n_probe=4)
+    return ivf_topk(ds, _embedding_queries(sf_dir), k=10, n_cells=16, n_probe=4)
 
 
 def q_ann_lsh(sf_dir: str):
     """Hyperplane-LSH bucketed ANN (approximate; rows-only)."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qt = pq.read_table(
-        str(Path(sf_dir) / "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    import pyarrow.compute as pc
-
-    qrows = qt.filter(pc.less(qt.column("vec_id"), 3)).sort_by("vec_id")
-    queries = np.array([list(v) for v in qrows.column("embedding").to_pylist()],
-                       dtype=np.float64)
-    return lsh_topk(ds, queries, k=10)
+    return lsh_topk(ds, _embedding_queries(sf_dir), k=10)
 
 
 def q_binary_metadata(sf_dir: str):
