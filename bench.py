@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "ngram_overlap",
     "price_quantiles",
     "clicks_asof_views",
+    "split_assign",
+    "token_packing",
     "neardup_embeddings",
     "ann_topk",
     "events_by_type",

@@ -1226,6 +1226,84 @@ FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+_SPLIT_MULT = 0x9E3779B97F4A7C15          # odd → bijective mod 2^64
+_SPLIT_TRAIN_CUT = ((1 << 64) * 4) // 5   # exact 80 %
+_SPLIT_VAL_CUT = ((1 << 64) * 9) // 10    # exact 90 %
+
+
+def q_split_assign(sf_dir: str):
+    """Deterministic train/val/test split: 64-bit multiplicative hash of
+    doc_id against exact integer cutoffs — stable under reshards/resume
+    (membership depends only on the id), the standard corpus-split rule."""
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(_SPLIT_MULT)
+        split = np.where(
+            h < np.uint64(_SPLIT_TRAIN_CUT), "train",
+            np.where(h < np.uint64(_SPLIT_VAL_CUT), "val", "test"),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          runtime_env=runtime_env())
+
+
+_SQL_SPLIT_ASSIGN = f"""
+WITH h AS (
+  SELECT doc_id,
+         (CAST(doc_id AS HUGEINT) * {_SPLIT_MULT}) %
+             CAST('18446744073709551616' AS HUGEINT) AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN hv < CAST('{_SPLIT_TRAIN_CUT}' AS HUGEINT) THEN 'train'
+            WHEN hv < CAST('{_SPLIT_VAL_CUT}' AS HUGEINT) THEN 'val'
+            ELSE 'test' END AS split
+FROM h ORDER BY doc_id
+"""
+
+
+PACK_CAPACITY = 2048
+
+
+def q_token_packing(sf_dir: str):
+    """Sequence packing for training contexts: docs in doc_id order laid
+    head-to-tail and cut into PACK_CAPACITY-token bins via ONE distributed
+    prefix-scan (per-block totals to the driver, offsets broadcast back —
+    no second shuffle, O(#blocks) driver state)."""
+    from ..functions.scan import pack_sequences
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    tok = ds.map_batches(token_count_batch, batch_format="pyarrow",
+                         runtime_env=runtime_env()).select_columns(
+        ["doc_id", "n_tokens"]
+    )
+    return pack_sequences(tok, key="doc_id", tokens_col="n_tokens",
+                          capacity=PACK_CAPACITY)
+
+
+_SQL_TOKEN_PACKING = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+                  / {PACK_CAPACITY}) AS BIGINT) AS bin_id
+FROM t ORDER BY doc_id
+"""
+
+
 def q_ngram_overlap(sf_dir: str):
     """Exact k-token-window (passage) overlap pairs — doc pairs sharing at
     least one exact 8-token window (the passage-level extension of the
@@ -1303,6 +1381,8 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "ngram_overlap": q_ngram_overlap,
         "price_quantiles": q_price_quantiles,
         "clicks_asof_views": q_clicks_asof_views,
+        "split_assign": q_split_assign,
+        "token_packing": q_token_packing,
         "events_by_type": q_events_by_type,
         "top_users": q_top_users,
         "event_sessions": q_event_sessions,
@@ -1345,6 +1425,8 @@ def build_oracle_sql() -> Dict[str, str]:
         "ngram_overlap": _SQL_NGRAM_OVERLAP,
         "price_quantiles": _SQL_PRICE_QUANTILES,
         "clicks_asof_views": _SQL_CLICKS_ASOF_VIEWS,
+        "split_assign": _SQL_SPLIT_ASSIGN,
+        "token_packing": _SQL_TOKEN_PACKING,
         "events_by_type": _SQL_EVENTS_BY_TYPE,
         "top_users": _SQL_TOP_USERS,
         "event_sessions": _SQL_EVENT_SESSIONS,

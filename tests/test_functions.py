@@ -307,3 +307,28 @@ def test_asof_join_semantics():
     assert out[1]["prev_ts"] == ts(5) and out[1]["gap_us"] == 5_000_000
     assert out[2]["prev_ts"] == ts(20) and out[2]["gap_us"] == 0
     assert out[4]["prev_ts"] == ts(50) and out[4]["gap_us"] == 49_000_000
+
+
+def test_prefix_scan_and_packing_multiblock():
+    import ray
+
+    from deepwebharvester_ray.functions.scan import pack_sequences, prefix_scan
+
+    # 40 docs across several blocks; tokens 1..40 → running sums known
+    ds = ray.data.from_items(
+        [{"doc_id": i, "n": i + 1} for i in range(40)]
+    ).repartition(8)
+    out = {r["doc_id"]: r["running"]
+           for r in prefix_scan(ds, "doc_id", "n").take_all()}
+    acc = 0
+    for i in range(40):
+        acc += i + 1
+        assert out[i] == acc
+
+    packed = {r["doc_id"]: r["bin_id"]
+              for r in pack_sequences(ds, "doc_id", "n", capacity=50).take_all()}
+    # doc's bin = exclusive prefix // 50
+    acc = 0
+    for i in range(40):
+        assert packed[i] == acc // 50
+        acc += i + 1

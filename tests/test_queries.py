@@ -21,6 +21,8 @@ SPOT_CHECKED = [
     "ngram_overlap",
     "price_quantiles",
     "clicks_asof_views",
+    "split_assign",
+    "token_packing",
 ]
 
 
