@@ -734,7 +734,7 @@ def q_orders_join_native(sf_dir: str):
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     joined = orders.join(
-        cust, "inner", num_partitions=8,
+        cust, "inner", num_partitions=_shuffle_parts(sf_dir, "orders"),
         on=("o_custkey",), right_on=("c_custkey",),
     )
 
