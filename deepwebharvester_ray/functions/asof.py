@@ -53,9 +53,19 @@ def asof_join(
 
     # carry left payload columns through the union; right contributes none
     payload = [c for c in left_cols if c not in (key, ts)]
-    left_schema = left_ds.schema().base_schema  # plain pyarrow.Schema
-    ptypes = {c: left_schema.field(c).type for c in payload}
-    ktype = left_schema.field(key).type
+    wrapper = left_ds.schema()
+    types = dict(zip(wrapper.names, wrapper.types))
+
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:  # pandas-block datasets report numpy dtypes
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, pa.ArrowInvalid, TypeError):
+            return pa.string()  # object dtype → string payload
+
+    ptypes = {c: _pa_type(types[c]) for c in payload}
+    ktype = _pa_type(types[key])
     l_tagged = left_ds.map_batches(
         tag(1, [key, ts] + payload), batch_format="pyarrow",
         runtime_env=runtime_env(),

@@ -332,3 +332,41 @@ def test_prefix_scan_and_packing_multiblock():
     for i in range(40):
         assert packed[i] == acc // 50
         acc += i + 1
+
+
+def test_asof_join_matches_pandas_merge_asof():
+    import datetime as dt
+
+    import pandas as pd
+    import ray
+
+    rng = np.random.default_rng(11)
+    t0 = dt.datetime(2024, 1, 1)
+    n_l, n_r, n_keys = 600, 400, 40
+    lk = rng.integers(0, n_keys, n_l)
+    rk = rng.integers(0, n_keys, n_r)
+    lts = [t0 + dt.timedelta(seconds=int(s)) for s in
+           rng.choice(10_000, n_l, replace=False)]
+    rts = [t0 + dt.timedelta(seconds=int(s)) for s in
+           rng.choice(10_000, n_r, replace=False)]
+    left = pd.DataFrame({"eid": np.arange(n_l), "k": lk, "ts": lts})
+    right = pd.DataFrame({"k": rk, "ts": rts})
+
+    lds = ray.data.from_pandas(left).repartition(16)
+    rds = ray.data.from_pandas(right).repartition(16)
+
+    from deepwebharvester_ray.functions.asof import asof_join
+
+    mine = {r["eid"]: r["prev_ts"]
+            for r in asof_join(lds, rds, key="k", ts="ts",
+                               left_cols=["eid"]).take_all()}
+
+    ref = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts").rename(
+            columns={"ts": "rts"}).assign(ts=lambda d: d["rts"]),
+        on="ts", by="k", direction="backward",
+    )
+    ref = ref.dropna(subset=["rts"])
+    assert len(mine) == len(ref)
+    for _, row in ref.iterrows():
+        assert mine[row["eid"]] == row["rts"].to_pydatetime()
