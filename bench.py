@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "price_quantiles",
     "clicks_asof_views",
     "split_assign",
+    "top_tokens",
+    "vocab_hll",
     "token_packing",
     "neardup_embeddings",
     "ann_topk",

@@ -1,0 +1,83 @@
+"""Mergeable cardinality sketch (HyperLogLog) for distinct counts at
+scales where an exact ``unique()`` shuffle is off the table (10^10 URLs,
+10^9-token vocabularies).
+
+Shape: each batch collapses to a fixed 2^p-byte register array (one
+vectorized pass — blake2b-hashed values, register = top ``p`` hash bits,
+rho = leading-zero count of the rest); partials are element-wise-max
+merged.  One 4 KiB row per block reaches the driver — the same
+O(#blocks) driver-state bound as the prefix-scan — and the estimator is
+the standard HLL with linear-counting fallback for the small range.
+Relative error ≈ 1.04/sqrt(2^p) (~1.6 % at p=12).
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable
+
+import numpy as np
+import pyarrow as pa
+
+from .. import runtime_env
+
+HLL_P = 12
+_M = 1 << HLL_P
+
+
+def _hash64(values: Iterable[str]) -> np.ndarray:
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(v.encode(), digest_size=8).digest(), "big"
+            )
+            for v in values
+        ),
+        dtype=np.uint64,
+    )
+
+
+def hll_registers(hashes: np.ndarray) -> np.ndarray:
+    """(2^p,) uint8 register array from 64-bit hashes, vectorized."""
+    regs = np.zeros(_M, dtype=np.uint8)
+    if not len(hashes):
+        return regs
+    idx = (hashes >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = (hashes << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
+    # rho = leading zeros of the remaining bits + 1
+    rho = np.zeros(len(hashes), dtype=np.uint8)
+    cur = rest
+    for shift in (32, 16, 8, 4, 2, 1):  # branchless clz on uint64 lanes
+        mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+        rho[mask] += shift
+        cur = np.where(mask, cur << np.uint64(shift), cur)
+    rho += 1
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = float(_M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)  # linear counting, small range
+    return float(est)
+
+
+def hll_distinct(ds, extract, label: str = "n_distinct_est") -> pa.Table:
+    """Approximate distinct count of ``extract(batch) -> Iterable[str]``
+    over the whole dataset; returns a one-row table {label: int64}."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = hll_registers(_hash64(extract(batch)))
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    rows = ds.map_batches(
+        partial, batch_format="pyarrow", runtime_env=runtime_env()
+    ).take_all()  # one 2^p-byte row per block
+    merged = np.zeros(_M, dtype=np.uint8)
+    for r in rows:
+        merged = np.maximum(merged, np.frombuffer(r["regs"], dtype=np.uint8))
+    return pa.table({label: pa.array([int(round(hll_estimate(merged)))],
+                                     pa.int64())})

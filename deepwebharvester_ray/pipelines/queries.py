@@ -1231,6 +1231,70 @@ _SPLIT_TRAIN_CUT = ((1 << 64) * 4) // 5   # exact 80 %
 _SPLIT_VAL_CUT = ((1 << 64) * 9) // 10    # exact 90 %
 
 
+TOP_TOKENS_K = 50
+
+
+def q_top_tokens(sf_dir: str):
+    """Exact corpus heavy-hitters: top-50 word tokens by frequency.
+    Combiner shape: each batch collapses to its LOCAL (token, n) counts
+    via np.unique (shuffle volume = per-block vocabulary, not tokens),
+    then one bounded-key merge + deterministic (-n, token) top-k.  Beyond
+    ~10^7 distinct tokens switch the final merge to the native groupby
+    (see functions/agg.py module docstring)."""
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        toks: List[str] = []
+        for t in batch.column("text").to_pylist():
+            toks.extend(WORD_RE.findall((t or "").lower()))
+        if not toks:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                 return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(uniq.tolist(), pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(local_counts, batch_format="pyarrow",
+                              runtime_env=runtime_env())
+    merged = grouped_agg(partials, ["token"], [("n", "n", "sum")])
+
+    def topk(batch: pa.Table) -> pa.Table:
+        nvals = batch.column("n").combine_chunks().to_numpy(zero_copy_only=False)
+        toks = np.asarray(batch.column("token").to_pylist(), dtype=object)
+        order = np.lexsort((toks, -nvals))[:TOP_TOKENS_K]
+        return pa.table(
+            {
+                "token": pa.array(toks[order].tolist(), pa.string()),
+                "n": pa.array(nvals[order], pa.int64()),
+            }
+        )
+
+    return merged.map_batches(topk, batch_format="pyarrow", batch_size=None,
+                              runtime_env=runtime_env())
+
+
+_SQL_TOP_TOKENS = rf"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS n
+FROM tok GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT {TOP_TOKENS_K}
+"""
+
+
 def q_split_assign(sf_dir: str):
     """Deterministic train/val/test split: 64-bit multiplicative hash of
     doc_id against exact integer cutoffs — stable under reshards/resume
@@ -1302,6 +1366,27 @@ SELECT doc_id, n_tokens,
                   / {PACK_CAPACITY}) AS BIGINT) AS bin_id
 FROM t ORDER BY doc_id
 """
+
+
+def q_vocab_hll(sf_dir: str):
+    """Approximate vocabulary size via a mergeable HyperLogLog sketch
+    (p=12, ~1.6 % rel. error) — the distinct-count path for cardinalities
+    where an exact unique() shuffle is off the table.  Deterministic
+    (hash-based); accuracy asserted against the exact count in tests
+    (rows-only entry: the estimate is intentionally approximate)."""
+    from ..functions.sketch import hll_distinct
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def tokens(batch: pa.Table):
+        out = []
+        for t in batch.column("text").to_pylist():
+            out.extend(WORD_RE.findall((t or "").lower()))
+        return out
+
+    return hll_distinct(ds, tokens, label="n_distinct_est")
 
 
 def q_ngram_overlap(sf_dir: str):
@@ -1382,6 +1467,8 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "price_quantiles": q_price_quantiles,
         "clicks_asof_views": q_clicks_asof_views,
         "split_assign": q_split_assign,
+        "top_tokens": q_top_tokens,
+        "vocab_hll": q_vocab_hll,
         "token_packing": q_token_packing,
         "events_by_type": q_events_by_type,
         "top_users": q_top_users,
@@ -1426,6 +1513,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "price_quantiles": _SQL_PRICE_QUANTILES,
         "clicks_asof_views": _SQL_CLICKS_ASOF_VIEWS,
         "split_assign": _SQL_SPLIT_ASSIGN,
+        "top_tokens": _SQL_TOP_TOKENS,
         "token_packing": _SQL_TOKEN_PACKING,
         "events_by_type": _SQL_EVENTS_BY_TYPE,
         "top_users": _SQL_TOP_USERS,
@@ -1445,5 +1533,5 @@ def build_oracle_sql() -> Dict[str, str]:
 ROWS_ONLY: List[str] = [
     "crawl_bfs", "crawl_intel", "minhash_pairs", "simhash_pairs",
     "fingerprints", "ann_lsh", "ann_ivf", "binary_metadata",
-    "multimodal_features",
+    "multimodal_features", "vocab_hll",
 ]

@@ -370,3 +370,24 @@ def test_asof_join_matches_pandas_merge_asof():
     assert len(mine) == len(ref)
     for _, row in ref.iterrows():
         assert mine[row["eid"]] == row["rts"].to_pydatetime()
+
+
+def test_hll_distinct_accuracy_and_merge():
+    import ray
+
+    from deepwebharvester_ray.functions import sketch
+
+    # accuracy on 50k distinct values, split across blocks
+    vals = [f"v{i}" for i in range(50_000)] * 2  # every value twice
+    ds = ray.data.from_items([{"s": v} for v in vals]).repartition(16)
+    est = sketch.hll_distinct(
+        ds, lambda b: b.column("s").to_pylist()
+    ).column("n_distinct_est")[0].as_py()
+    assert abs(est - 50_000) / 50_000 < 0.05
+
+    # partial merge == whole-stream registers (mergeability)
+    h = sketch._hash64([f"x{i}" for i in range(10_000)])
+    whole = sketch.hll_registers(h)
+    merged = np.maximum(sketch.hll_registers(h[:3000]),
+                        sketch.hll_registers(h[3000:]))
+    assert np.array_equal(whole, merged)
