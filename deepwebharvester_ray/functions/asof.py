@@ -127,11 +127,14 @@ def asof_join(
         jj = j[ok]
         prev = tvals[jj]
         taken = batch.take(pa.array(order[sel]))  # map back to input order
+        # canonical output schema for EVERY block (a pandas-block input can
+        # surface int64+null payloads as float64 and ts as timestamp[ns];
+        # an empty block emits the `empty` types — cast so all agree)
         return pa.table(
-            {c: taken.column(c) for c in payload}
+            {c: taken.column(c).cast(ptypes[c]) for c in payload}
             | {
-                key: taken.column(key),
-                ts: taken.column(ts),
+                key: taken.column(key).cast(ktype),
+                ts: taken.column(ts).cast(pa.timestamp("us")),
                 "prev_ts": pa.array(prev, pa.int64()).cast(pa.timestamp("us")),
                 "gap_us": pa.array(tvals[sel] - prev, pa.int64()),
             }

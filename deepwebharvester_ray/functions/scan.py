@@ -27,16 +27,17 @@ from ..broadcast import cached_get
 def prefix_scan(ds, key: str, value_col: str, out_col: str = "running"):
     """Add ``out_col`` = inclusive running sum of ``value_col`` in global
     ``key`` order.  ``key`` values must be unique (they define the scan
-    order); ``value_col`` must be integral."""
+    order, any orderable Arrow type); ``value_col`` must be integral."""
     import ray
 
     srt = ds.sort(key).materialize()
 
     def block_stats(batch: pa.Table) -> pa.Table:
+        ktype = batch.schema.field(key).type
         if batch.num_rows == 0:
             return pa.table(
                 {
-                    "first_key": pa.array([], pa.int64()),
+                    "first_key": pa.array([], ktype),
                     "total": pa.array([], pa.int64()),
                 }
             )
@@ -46,7 +47,7 @@ def prefix_scan(ds, key: str, value_col: str, out_col: str = "running"):
         )
         return pa.table(
             {
-                "first_key": pa.array([keys[0].as_py()], pa.int64()),
+                "first_key": pa.array([keys[0].as_py()], ktype),
                 "total": pa.array([int(vals.sum())], pa.int64()),
             }
         )

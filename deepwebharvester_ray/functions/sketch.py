@@ -12,28 +12,20 @@ Relative error ≈ 1.04/sqrt(2^p) (~1.6 % at p=12).
 """
 from __future__ import annotations
 
-import hashlib
 from typing import Iterable
 
 import numpy as np
 import pyarrow as pa
 
 from .. import runtime_env
+from .dedup import _word_hashes  # canonical blake2b->uint64 (memoized)
 
 HLL_P = 12
 _M = 1 << HLL_P
 
 
 def _hash64(values: Iterable[str]) -> np.ndarray:
-    return np.fromiter(
-        (
-            int.from_bytes(
-                hashlib.blake2b(v.encode(), digest_size=8).digest(), "big"
-            )
-            for v in values
-        ),
-        dtype=np.uint64,
-    )
+    return _word_hashes(list(values))
 
 
 def hll_registers(hashes: np.ndarray) -> np.ndarray:
@@ -70,7 +62,10 @@ def hll_distinct(ds, extract, label: str = "n_distinct_est") -> pa.Table:
     over the whole dataset; returns a one-row table {label: int64}."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        regs = hll_registers(_hash64(extract(batch)))
+        # registers depend only on DISTINCT values (max is idempotent) —
+        # dedupe before hashing so cost is per-batch vocabulary, not
+        # occurrences
+        regs = hll_registers(_hash64(set(extract(batch))))
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
     rows = ds.map_batches(

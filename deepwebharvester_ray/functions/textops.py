@@ -30,6 +30,16 @@ LANG_STOPWORDS: Dict[str, List[str]] = {
 LANG_ORDER = ["en", "de", "es", "fr"]  # tie-break: first in this order wins
 
 
+def batch_word_tokens(batch: pa.Table, text_column: str = "text"):
+    """All lowercased word tokens of a batch, flattened (the ONE
+    canonical WORD_RE rule — keep in sync with the SQL oracles'
+    regexp_extract_all(lower(text), '[a-z0-9]+'))."""
+    out = []
+    for t in batch.column(text_column).to_pylist():
+        out.extend(WORD_RE.findall((t or "").lower()))
+    return out
+
+
 def token_count_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
     """Whitespace tokens + BPE-ish subword token counts per row."""
     texts = batch.column(text_column).to_pylist()

@@ -1241,15 +1241,13 @@ def q_top_tokens(sf_dir: str):
     then one bounded-key merge + deterministic (-n, token) top-k.  Beyond
     ~10^7 distinct tokens switch the final merge to the native groupby
     (see functions/agg.py module docstring)."""
-    from ..functions.textops import WORD_RE
+    from ..functions.textops import batch_word_tokens
 
     ds = _docs(sf_dir, columns=["text"],
                override_num_blocks=_shuffle_parts(sf_dir))
 
     def local_counts(batch: pa.Table) -> pa.Table:
-        toks: List[str] = []
-        for t in batch.column("text").to_pylist():
-            toks.extend(WORD_RE.findall((t or "").lower()))
+        toks = batch_word_tokens(batch)
         if not toks:
             return pa.table(
                 {"token": pa.array([], pa.string()),
@@ -1375,18 +1373,12 @@ def q_vocab_hll(sf_dir: str):
     (hash-based); accuracy asserted against the exact count in tests
     (rows-only entry: the estimate is intentionally approximate)."""
     from ..functions.sketch import hll_distinct
-    from ..functions.textops import WORD_RE
+    from ..functions.textops import batch_word_tokens
 
     ds = _docs(sf_dir, columns=["text"],
                override_num_blocks=_shuffle_parts(sf_dir))
 
-    def tokens(batch: pa.Table):
-        out = []
-        for t in batch.column("text").to_pylist():
-            out.extend(WORD_RE.findall((t or "").lower()))
-        return out
-
-    return hll_distinct(ds, tokens, label="n_distinct_est")
+    return hll_distinct(ds, batch_word_tokens, label="n_distinct_est")
 
 
 def q_ngram_overlap(sf_dir: str):
