@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "events_by_type",
     "event_sessions",
     "events_hourly",
+    "events_hopping",
     "orders_by_segment",
     "orders_join_native",
     "lineitem_pricing",

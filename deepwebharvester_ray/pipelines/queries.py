@@ -1366,6 +1366,60 @@ FROM t ORDER BY doc_id
 """
 
 
+HOP_MS = 900_000           # 15-min hop
+HOPS_PER_WINDOW = 4        # 1-hour window = 4 hops
+
+
+def q_events_hopping(sf_dir: str):
+    """Hopping (overlapping sliding) window aggregate: events per
+    (1-hour window starting every 15 min, event_type).  Window = exact
+    multiple of hop, so each event expands to exactly HOPS_PER_WINDOW
+    (window_start, ...) rows inside the batch (vectorized np.repeat/tile
+    flat-map) and the rest is the same combiner-grouped count as the
+    tumbling case — no per-event Python, shuffle = distinct windows."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hop_idx = us // (HOP_MS * 1000)
+        n = len(hop_idx)
+        ks = np.tile(np.arange(HOPS_PER_WINDOW, dtype=np.int64), n)
+        win_ms = (np.repeat(hop_idx, HOPS_PER_WINDOW) - ks) * HOP_MS
+        etypes = batch.column("event_type").combine_chunks()
+        return pa.table(
+            {
+                "win_ms": pa.array(win_ms, pa.int64()),
+                "event_type": etypes.take(
+                    pa.array(np.repeat(np.arange(n), HOPS_PER_WINDOW))
+                ),
+            }
+        )
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow",
+                              runtime_env=runtime_env())
+    return grouped_agg(
+        expanded, ["win_ms", "event_type"], [("n_events", "", "count")]
+    )
+
+
+_SQL_EVENTS_HOPPING = f"""
+WITH e AS (
+  SELECT CAST(floor(epoch_ms(ts) / {HOP_MS}) AS BIGINT) AS hop_idx,
+         event_type
+  FROM events
+),
+k AS (SELECT unnest([0, 1, 2, 3]) AS k)
+SELECT (e.hop_idx - k.k) * {HOP_MS} AS win_ms, event_type,
+       count(*) AS n_events
+FROM e CROSS JOIN k
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_vocab_hll(sf_dir: str):
     """Approximate vocabulary size via a mergeable HyperLogLog sketch
     (p=12, ~1.6 % rel. error) — the distinct-count path for cardinalities
@@ -1461,6 +1515,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "split_assign": q_split_assign,
         "top_tokens": q_top_tokens,
         "vocab_hll": q_vocab_hll,
+        "events_hopping": q_events_hopping,
         "token_packing": q_token_packing,
         "events_by_type": q_events_by_type,
         "top_users": q_top_users,
@@ -1506,6 +1561,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "clicks_asof_views": _SQL_CLICKS_ASOF_VIEWS,
         "split_assign": _SQL_SPLIT_ASSIGN,
         "top_tokens": _SQL_TOP_TOKENS,
+        "events_hopping": _SQL_EVENTS_HOPPING,
         "token_packing": _SQL_TOKEN_PACKING,
         "events_by_type": _SQL_EVENTS_BY_TYPE,
         "top_users": _SQL_TOP_USERS,
