@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "event_sessions",
     "events_hourly",
     "events_hopping",
+    "neardup_clusters",
     "orders_by_segment",
     "orders_join_native",
     "lineitem_pricing",

@@ -1,0 +1,102 @@
+"""Connected components over a pair graph — the clustering step of
+near-duplicate dedup (group mutually-similar docs, keep one
+representative per cluster).
+
+Iterative dataflow (Ray Data has no loop operator, so the driver drives
+the fixpoint — the same pattern as the BFS generation loop):
+
+* state = labels dataset ``(id, label)``, label starts as the id;
+* one round = hash-join edges with labels on the source endpoint,
+  re-key the propagated label to the destination, union with the
+  current labels, and take the native grouped MIN — labels only ever
+  decrease toward the component's minimum id;
+* convergence check = ``sum(label)``: strictly decreasing while any
+  label changes (integer, monotone), so fixpoint == unchanged sum —
+  an O(1)-row aggregate per round, no driver pass over the labels.
+
+Each round is one shuffle join + one grouped aggregate; rounds needed =
+graph diameter (near-dup clusters are shallow — a handful of rounds).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import runtime_env
+
+
+def connected_components(pairs_ds, max_rounds: int = 50):
+    """(id, cluster_id=min id in component) for every id appearing in the
+    ``(id_a, id_b)`` pair dataset."""
+    import ray.data.aggregate as agg_mod
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").combine_chunks().to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b]), pa.int64()),
+                "v": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs_ds.map_batches(
+        to_edges, batch_format="pyarrow", runtime_env=runtime_env()
+    ).materialize()
+
+    def min_by_id(ds, id_col: str, val_col: str):
+        agg = ds.groupby(id_col).aggregate(agg_mod.Min(val_col))
+        mapping = {id_col: "id", f"min({val_col})": "label"}
+
+        def rename(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [mapping.get(c, c) for c in batch.column_names]
+            )
+
+        return agg.map_batches(
+            rename, batch_format="pyarrow", runtime_env=runtime_env()
+        )
+
+    # labels0: every endpoint labeled with itself (u covers both
+    # directions since edges are symmetric)
+    labels = min_by_id(
+        edges.map_batches(
+            lambda b: pa.table({"id": b.column("u"), "lbl": b.column("u")}),
+            batch_format="pyarrow", runtime_env=runtime_env(),
+        ),
+        "id", "lbl",
+    ).materialize()
+    prev_sum = labels.sum("label")
+
+    for _ in range(max_rounds):
+        # propagate: neighbor candidates (v, label(u)) via join on u
+        prop = edges.join(
+            labels, "inner", num_partitions=max(2, edges.num_blocks() // 4),
+            on=("u",), right_on=("id",),
+        ).map_batches(
+            lambda b: pa.table(
+                {"id": b.column("v"), "lbl": b.column("label")}
+            ),
+            batch_format="pyarrow", runtime_env=runtime_env(),
+        )
+        current = labels.map_batches(
+            lambda b: pa.table({"id": b.column("id"), "lbl": b.column("label")}),
+            batch_format="pyarrow", runtime_env=runtime_env(),
+        )
+        labels = min_by_id(current.union(prop), "id", "lbl").materialize()
+        new_sum = labels.sum("label")
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("id"),
+                "cluster_id": batch.column("label"),
+            }
+        )
+
+    return labels.map_batches(
+        out, batch_format="pyarrow", runtime_env=runtime_env()
+    )

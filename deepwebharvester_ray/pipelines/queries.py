@@ -1370,6 +1370,47 @@ HOP_MS = 900_000           # 15-min hop
 HOPS_PER_WINDOW = 4        # 1-hour window = 4 hops
 
 
+def q_neardup_clusters(sf_dir: str):
+    """Dedup clustering: connected components over the exact
+    k-token-window overlap graph — each doc in a pair labeled with the
+    min doc_id of its component (the canonical representative).  The
+    driver-side fixpoint loop of shuffle-join + grouped-min rounds is the
+    iterative-dataflow pattern (see functions/graph.py)."""
+    from ..functions.graph import connected_components
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    pairs = ngram_overlap_pairs(ds, k=8, max_bucket=1024)
+    return connected_components(pairs)
+
+
+_SQL_NEARDUP_CLUSTERS = r"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g(i)
+  WHERE len(t) >= 8
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
 def q_events_hopping(sf_dir: str):
     """Hopping (overlapping sliding) window aggregate: events per
     (1-hour window starting every 15 min, event_type).  Window = exact
@@ -1516,6 +1557,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "top_tokens": q_top_tokens,
         "vocab_hll": q_vocab_hll,
         "events_hopping": q_events_hopping,
+        "neardup_clusters": q_neardup_clusters,
         "token_packing": q_token_packing,
         "events_by_type": q_events_by_type,
         "top_users": q_top_users,
@@ -1562,6 +1604,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "split_assign": _SQL_SPLIT_ASSIGN,
         "top_tokens": _SQL_TOP_TOKENS,
         "events_hopping": _SQL_EVENTS_HOPPING,
+        "neardup_clusters": _SQL_NEARDUP_CLUSTERS,
         "token_packing": _SQL_TOKEN_PACKING,
         "events_by_type": _SQL_EVENTS_BY_TYPE,
         "top_users": _SQL_TOP_USERS,

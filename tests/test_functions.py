@@ -391,3 +391,21 @@ def test_hll_distinct_accuracy_and_merge():
     merged = np.maximum(sketch.hll_registers(h[:3000]),
                         sketch.hll_registers(h[3000:]))
     assert np.array_equal(whole, merged)
+
+
+def test_connected_components():
+    import ray
+
+    from deepwebharvester_ray.functions.graph import connected_components
+
+    # components: {1,2,3,9} (chain), {5,7}, {10,11}
+    pairs = ray.data.from_items([
+        {"id_a": 2, "id_b": 3},
+        {"id_a": 1, "id_b": 2},
+        {"id_a": 3, "id_b": 9},
+        {"id_a": 5, "id_b": 7},
+        {"id_a": 10, "id_b": 11},
+    ])
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(pairs).take_all()}
+    assert out == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5, 10: 10, 11: 10}
