@@ -44,13 +44,14 @@ def connected_components(pairs_ds, max_rounds: int = 50):
         to_edges, batch_format="pyarrow", runtime_env=runtime_env()
     ).materialize()
 
-    def min_by_id(ds, id_col: str, val_col: str):
-        agg = ds.groupby(id_col).aggregate(agg_mod.Min(val_col))
-        mapping = {id_col: "id", f"min({val_col})": "label"}
+    def min_labels(ds):
+        # (id, label) -> one row per id with the min label; only the
+        # aggregate column needs renaming back
+        agg = ds.groupby("id").aggregate(agg_mod.Min("label"))
 
         def rename(batch: pa.Table) -> pa.Table:
             return batch.rename_columns(
-                [mapping.get(c, c) for c in batch.column_names]
+                ["label" if c == "min(label)" else c for c in batch.column_names]
             )
 
         return agg.map_batches(
@@ -59,15 +60,15 @@ def connected_components(pairs_ds, max_rounds: int = 50):
 
     # labels0: every endpoint labeled with itself (u covers both
     # directions since edges are symmetric)
-    labels = min_by_id(
+    labels = min_labels(
         edges.map_batches(
-            lambda b: pa.table({"id": b.column("u"), "lbl": b.column("u")}),
+            lambda b: pa.table({"id": b.column("u"), "label": b.column("u")}),
             batch_format="pyarrow", runtime_env=runtime_env(),
-        ),
-        "id", "lbl",
+        )
     ).materialize()
     prev_sum = labels.sum("label")
 
+    converged = False
     for _ in range(max_rounds):
         # propagate: neighbor candidates (v, label(u)) via join on u
         prop = edges.join(
@@ -75,19 +76,21 @@ def connected_components(pairs_ds, max_rounds: int = 50):
             on=("u",), right_on=("id",),
         ).map_batches(
             lambda b: pa.table(
-                {"id": b.column("v"), "lbl": b.column("label")}
+                {"id": b.column("v"), "label": b.column("label")}
             ),
             batch_format="pyarrow", runtime_env=runtime_env(),
         )
-        current = labels.map_batches(
-            lambda b: pa.table({"id": b.column("id"), "lbl": b.column("label")}),
-            batch_format="pyarrow", runtime_env=runtime_env(),
-        )
-        labels = min_by_id(current.union(prop), "id", "lbl").materialize()
+        labels = min_labels(labels.union(prop)).materialize()
         new_sum = labels.sum("label")
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds (component diameter exceeds the bound); raise max_rounds"
+        )
 
     def out(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -1370,6 +1370,20 @@ HOP_MS = 900_000           # 15-min hop
 HOPS_PER_WINDOW = 4        # 1-hour window = 4 hops
 
 
+_SQL_GRAM_PAIRS_CTE = r"""
+toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g(i)
+  WHERE len(t) >= 8
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+)"""
+
 def q_neardup_clusters(sf_dir: str):
     """Dedup clustering: connected components over the exact
     k-token-window overlap graph — each doc in a pair labeled with the
@@ -1384,18 +1398,8 @@ def q_neardup_clusters(sf_dir: str):
     return connected_components(pairs)
 
 
-_SQL_NEARDUP_CLUSTERS = r"""
-WITH RECURSIVE
-toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
-grams AS (
-  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
-  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g(i)
-  WHERE len(t) >= 8
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-),
+_SQL_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_GRAM_PAIRS_CTE},
 edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION SELECT id_b, id_a FROM pairs
@@ -1453,7 +1457,7 @@ WITH e AS (
          event_type
   FROM events
 ),
-k AS (SELECT unnest([0, 1, 2, 3]) AS k)
+k AS (SELECT unnest({list(range(HOPS_PER_WINDOW))}) AS k)
 SELECT (e.hop_idx - k.k) * {HOP_MS} AS win_ms, event_type,
        count(*) AS n_events
 FROM e CROSS JOIN k
@@ -1489,18 +1493,9 @@ def q_ngram_overlap(sf_dir: str):
     return ngram_overlap_pairs(ds, k=8, max_bucket=1024)
 
 
-_SQL_NGRAM_OVERLAP = r"""
-WITH toks AS (
-  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
-),
-grams AS (
-  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
-  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g(i)
-  WHERE len(t) >= 8
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-ORDER BY id_a, id_b
+_SQL_NGRAM_OVERLAP = f"""
+WITH {_SQL_GRAM_PAIRS_CTE}
+SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b
 """
 
 

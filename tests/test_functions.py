@@ -409,3 +409,18 @@ def test_connected_components():
     out = {r["doc_id"]: r["cluster_id"]
            for r in connected_components(pairs).take_all()}
     assert out == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5, 10: 10, 11: 10}
+
+
+def test_connected_components_nonconvergence_raises():
+    import ray
+
+    from deepwebharvester_ray.functions.graph import connected_components
+
+    chain = ray.data.from_items(
+        [{"id_a": i, "id_b": i + 1} for i in range(4)]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_rounds=1)
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(chain, max_rounds=10).take_all()}
+    assert set(out.values()) == {0}
