@@ -25,10 +25,21 @@ import pyarrow as pa
 from .. import runtime_env
 
 
-def connected_components(pairs_ds, max_rounds: int = 50):
+def connected_components(
+    pairs_ds, max_rounds: int = 50, broadcast_below: int = 2_000_000
+):
     """(id, cluster_id=min id in component) for every id appearing in the
-    ``(id_a, id_b)`` pair dataset."""
+    ``(id_a, id_b)`` pair dataset.
+
+    When the label table is small (< ``broadcast_below`` nodes — the
+    common case: near-dup graphs are a sliver of the corpus), each round
+    propagates via a broadcast (id → label) lookup inside ``map_batches``
+    over the distributed edges — no join shuffle at all.  Larger graphs
+    fall back to the native hash-shuffle join per round."""
+    import ray
     import ray.data.aggregate as agg_mod
+
+    from ..broadcast import cached_get
 
     def to_edges(batch: pa.Table) -> pa.Table:
         a = batch.column("id_a").combine_chunks().to_numpy(zero_copy_only=False)
@@ -68,19 +79,46 @@ def connected_components(pairs_ds, max_rounds: int = 50):
     ).materialize()
     prev_sum = labels.sum("label")
 
+    small = labels.count() < broadcast_below
+
+    def propagate(labels_ds):
+        if not small:
+            # large-graph path: hash-shuffle join per round
+            return edges.join(
+                labels_ds, "inner",
+                num_partitions=max(2, edges.num_blocks() // 4),
+                on=("u",), right_on=("id",),
+            ).map_batches(
+                lambda b: pa.table(
+                    {"id": b.column("v"), "label": b.column("label")}
+                ),
+                batch_format="pyarrow", runtime_env=runtime_env(),
+            )
+        rows = labels_ds.take_all()
+        ids = np.fromiter((r["id"] for r in rows), np.int64, len(rows))
+        lbl = np.fromiter((r["label"] for r in rows), np.int64, len(rows))
+        order = np.argsort(ids)
+        ref = ray.put((ids[order], lbl[order]))
+
+        def lookup(batch: pa.Table, _ref=ref) -> pa.Table:
+            sids, slbl = cached_get(_ref)
+            u = batch.column("u").combine_chunks().to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(sids, u)  # every u is in the label table
+            return pa.table(
+                {
+                    "id": batch.column("v"),
+                    "label": pa.array(slbl[pos], pa.int64()),
+                }
+            )
+
+        return edges.map_batches(
+            lookup, batch_format="pyarrow", runtime_env=runtime_env()
+        )
+
     converged = False
     for _ in range(max_rounds):
-        # propagate: neighbor candidates (v, label(u)) via join on u
-        prop = edges.join(
-            labels, "inner", num_partitions=max(2, edges.num_blocks() // 4),
-            on=("u",), right_on=("id",),
-        ).map_batches(
-            lambda b: pa.table(
-                {"id": b.column("v"), "label": b.column("label")}
-            ),
-            batch_format="pyarrow", runtime_env=runtime_env(),
-        )
-        labels = min_labels(labels.union(prop)).materialize()
+        # propagate: neighbor candidates (v, label(u))
+        labels = min_labels(labels.union(propagate(labels))).materialize()
         new_sum = labels.sum("label")
         if new_sum == prev_sum:
             converged = True
