@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_hopping",
     "neardup_clusters",
+    "latest_events",
     "orders_by_segment",
     "orders_join_native",
     "lineitem_pricing",

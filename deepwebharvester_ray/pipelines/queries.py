@@ -1384,6 +1384,55 @@ pairs AS (
   FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
 )"""
 
+def q_latest_events(sf_dir: str):
+    """Per-group top-N: each user's 3 most recent events.  Single-key
+    sort co-locates a user's rows in one block (the event_sessions /
+    asof guarantee); one vectorized lexsort + run-mask takes the first N
+    per user — no per-group Python, no row_number materialization."""
+    N = 3
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def top_n(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        uids = batch.column("user_id").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        ts_us = (
+            batch.column("ts").combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        eids = batch.column("event_id").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((-eids, -ts_us, uids))
+        suid = uids[order]
+        # rank within each user run (0-based), vectorized
+        starts = np.flatnonzero(
+            np.concatenate(([True], suid[1:] != suid[:-1]))
+        )
+        rank = np.arange(len(suid)) - np.repeat(
+            starts, np.diff(np.append(starts, len(suid)))
+        )
+        keep = order[rank < N]
+        return batch.take(pa.array(np.sort(keep)))
+
+    return ds.sort("user_id").map_batches(
+        top_n, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )
+
+
+_SQL_LATEST_EVENTS = """
+SELECT event_id, user_id, ts
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) <= 3
+ORDER BY event_id
+"""
+
+
 def q_neardup_clusters(sf_dir: str):
     """Dedup clustering: connected components over the exact
     k-token-window overlap graph — each doc in a pair labeled with the
@@ -1553,6 +1602,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "vocab_hll": q_vocab_hll,
         "events_hopping": q_events_hopping,
         "neardup_clusters": q_neardup_clusters,
+        "latest_events": q_latest_events,
         "token_packing": q_token_packing,
         "events_by_type": q_events_by_type,
         "top_users": q_top_users,
@@ -1600,6 +1650,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "top_tokens": _SQL_TOP_TOKENS,
         "events_hopping": _SQL_EVENTS_HOPPING,
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,
+        "latest_events": _SQL_LATEST_EVENTS,
         "token_packing": _SQL_TOKEN_PACKING,
         "events_by_type": _SQL_EVENTS_BY_TYPE,
         "top_users": _SQL_TOP_USERS,
