@@ -112,3 +112,40 @@ def test_cuckoo_no_false_negatives(keys):
     for h in hashes:
         assert f.add(h)
     assert all(f.contains(h) for h in hashes)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=8), max_size=200),
+       st.integers(min_value=0, max_value=199))
+def test_hll_merge_property(values, split):
+    import numpy as np
+
+    from deepwebharvester_ray.functions import sketch
+
+    h = sketch._hash64(values)
+    whole = sketch.hll_registers(h)
+    split = min(split, len(h))
+    merged = np.maximum(sketch.hll_registers(h[:split]),
+                        sketch.hll_registers(h[split:]))
+    assert np.array_equal(whole, merged)
+    assert sketch.hll_estimate(whole) >= 0.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet="ab", min_size=1, max_size=3),
+                max_size=30))
+def test_gram_keys_unique_and_deterministic(words):
+    import numpy as np
+
+    from deepwebharvester_ray.functions.dedup import _gram_keys, _word_hashes
+
+    u1 = _word_hashes(words)
+    with np.errstate(over="ignore"):
+        h1a, h2a = _gram_keys(u1, 4)
+        h1b, h2b = _gram_keys(u1, 4)
+    assert np.array_equal(h1a, h1b) and np.array_equal(h2a, h2b)
+    n_windows = max(0, len(words) - 3)
+    assert len(h1a) <= n_windows
+    # (h1, h2) pairs are unique within a doc
+    pairs = set(zip(h1a.tolist(), h2a.tolist()))
+    assert len(pairs) == len(h1a)
