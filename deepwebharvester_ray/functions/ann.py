@@ -296,7 +296,15 @@ def ivf_topk(
     import ray
 
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
-    sample_rows = ds.limit(train_sample).take_all()
+    # seeded RANDOM sample — a storage-order prefix would train a
+    # degenerate quantizer on clustered/sorted inputs
+    n_rows = ds.count()
+    frac = min(1.0, (train_sample * 1.5) / max(1, n_rows))
+    sample_rows = (
+        ds.random_sample(frac, seed=_IVF_SEED).limit(train_sample).take_all()
+    )
+    if not sample_rows:  # tiny dataset edge: fall back to everything
+        sample_rows = ds.limit(train_sample).take_all()
     sample = np.asarray([list(r[vec_column]) for r in sample_rows],
                         dtype=np.float64)
     cents = _spherical_kmeans(sample, n_cells)

@@ -38,11 +38,23 @@ def asof_join(
     the same ``key``.  Returns ``left_cols + [key, ts, prev_ts, gap_us]``
     for left rows that matched (inner as-of semantics).
 
-    ``ts`` must be an Arrow timestamp[us] column on both sides.
+    ``ts`` must be an Arrow timestamp column on both sides (normalized
+    to microseconds internally); rows with a null key or ts are dropped
+    on both sides — they cannot participate in a point-in-time match.
     """
 
     def tag(side: int, cols: List[str]):
         def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # rows with a null key or ts can't participate in a
+            # point-in-time match — drop them (documented contract)
+            batch = batch.filter(
+                pc.and_(
+                    pc.is_valid(batch.column(key)),
+                    pc.is_valid(batch.column(ts)),
+                )
+            )
             out = {c: batch.column(c) for c in cols}
             out["__side"] = pa.array(
                 np.full(batch.num_rows, side, dtype=np.int8), pa.int8()
@@ -72,6 +84,14 @@ def asof_join(
     )
 
     def tag_right(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column(key)),
+                pc.is_valid(batch.column(ts)),
+            )
+        )
         out = {key: batch.column(key), ts: batch.column(ts)}
         for c in payload:  # null-typed filler so union schemas align
             out[c] = pa.nulls(batch.num_rows, ptypes[c])

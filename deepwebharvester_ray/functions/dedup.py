@@ -147,7 +147,8 @@ def exact_dedup_ids(ds, id_column: str = "doc_id", text_column: str = "text"):
         return t.filter(pa.array(first))
 
     hashed = ds.map_batches(
-        hash_and_combine, batch_format="pyarrow", runtime_env=runtime_env()
+        hash_and_combine, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
     )
     agg = hashed.groupby("content_hash").aggregate(agg_mod.Min(id_column))
 

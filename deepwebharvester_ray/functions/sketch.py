@@ -69,7 +69,8 @@ def hll_distinct(ds, extract, label: str = "n_distinct_est") -> pa.Table:
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
     rows = ds.map_batches(
-        partial, batch_format="pyarrow", runtime_env=runtime_env()
+        partial, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
     ).take_all()  # one 2^p-byte row per block
     merged = np.zeros(_M, dtype=np.uint8)
     for r in rows:

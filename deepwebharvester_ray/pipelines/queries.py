@@ -1149,9 +1149,11 @@ def q_clicks_asof_views(sf_dir: str):
     forward-fill block pass."""
     from ..functions.asof import asof_join
 
+    # materialized once: the clicks and views branches would otherwise
+    # each re-execute the read, and asof_join's schema probe a third time
     ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
                                           "event_type"],
-               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+               override_num_blocks=_shuffle_parts(sf_dir, "events")).materialize()
     import pyarrow.compute as pc
 
     def only(kind):
@@ -1263,7 +1265,7 @@ def q_top_tokens(sf_dir: str):
         )
 
     partials = ds.map_batches(local_counts, batch_format="pyarrow",
-                              runtime_env=runtime_env())
+                              batch_size=None, runtime_env=runtime_env())
     merged = grouped_agg(partials, ["token"], [("n", "n", "sum")])
 
     def topk(batch: pa.Table) -> pa.Table:
