@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "events_hopping",
     "neardup_clusters",
     "latest_events",
+    "stratified_sample",
     "orders_by_segment",
     "orders_join_native",
     "lineitem_pricing",

@@ -1386,6 +1386,39 @@ pairs AS (
   FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
 )"""
 
+SAMPLE_RATE_CUT = ((1 << 64) * 1) // 10   # exact 10 %
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: ~10 % of each event_type,
+    membership decided by a 64-bit multiplicative hash of the row id —
+    stable under reshards/resume (no RNG state), the standard
+    subsampling rule for corpus ablations.  Pure map, no shuffle."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(_SPLIT_MULT)
+        return batch.filter(pa.array(h < np.uint64(SAMPLE_RATE_CUT)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env())
+
+
+_SQL_STRATIFIED_SAMPLE = f"""
+SELECT event_id, event_type
+FROM events
+WHERE (CAST(event_id AS HUGEINT) * {_SPLIT_MULT}) %
+          CAST('18446744073709551616' AS HUGEINT)
+      < CAST('{SAMPLE_RATE_CUT}' AS HUGEINT)
+ORDER BY event_id
+"""
+
+
 def q_latest_events(sf_dir: str):
     """Per-group top-N: each user's 3 most recent events.  Single-key
     sort co-locates a user's rows in one block (the event_sessions /
@@ -1605,6 +1638,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "events_hopping": q_events_hopping,
         "neardup_clusters": q_neardup_clusters,
         "latest_events": q_latest_events,
+        "stratified_sample": q_stratified_sample,
         "token_packing": q_token_packing,
         "events_by_type": q_events_by_type,
         "top_users": q_top_users,
@@ -1653,6 +1687,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "events_hopping": _SQL_EVENTS_HOPPING,
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,
         "latest_events": _SQL_LATEST_EVENTS,
+        "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "token_packing": _SQL_TOKEN_PACKING,
         "events_by_type": _SQL_EVENTS_BY_TYPE,
         "top_users": _SQL_TOP_USERS,
