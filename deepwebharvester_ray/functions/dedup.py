@@ -313,11 +313,11 @@ def minhash_lsh_pairs(
             vec = vec.combine_chunks()
         bands_mat = vec.flatten().to_numpy(zero_copy_only=False).reshape(-1, BANDS)
         starts, ends = _run_bounds(band, bh)
+        sizes = ends - starts
+        sel = sizes >= 2  # skip singleton runs OUTSIDE the Python loop
         out_a, out_b = [], []
-        for s, e in zip(starts, ends):
+        for s, e in zip(starts[sel], ends[sel]):
             m = int(e - s)
-            if m < 2:
-                continue
             order = np.argsort(ids[s:e], kind="stable")
             seg_ids = ids[s:e][order]
             seg_bands = bands_mat[s:e][order]
@@ -556,11 +556,12 @@ def simhash_pairs(
         ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
         sigs = batch.column("sig").combine_chunks().to_numpy(zero_copy_only=False)
         starts, ends = _run_bounds(chunk, cval)
+        sizes = ends - starts
+        # hot-bucket guard (see docstring) + singleton skip, vectorized
+        sel = (sizes >= 2) & (sizes <= max_bucket)
         out_a, out_b, out_h = [], [], []
-        for s, e in zip(starts, ends):
+        for s, e in zip(starts[sel], ends[sel]):
             m = int(e - s)
-            if m < 2 or m > max_bucket:  # hot-bucket guard (see docstring)
-                continue
             order = np.argsort(ids[s:e], kind="stable")
             seg_ids = ids[s:e][order]
             seg_sigs = sigs[s:e][order]
@@ -687,6 +688,7 @@ def ngram_overlap_pairs(
     text_column: str = "text",
     k: int = 8,
     max_bucket: int = 1024,
+    shuffle_partitions: int = None,
 ):
     """All (id_a < id_b) pairs of docs sharing ≥1 exact k-token window.
 
@@ -737,15 +739,21 @@ def ngram_overlap_pairs(
         h2 = batch.column("h2").combine_chunks().to_numpy(zero_copy_only=False)
         ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
         starts, ends = _run_bounds(h1, h2)
+        sizes = ends - starts
+        sel = (sizes >= 2) & (sizes <= max_bucket)
+        starts, sizes = starts[sel], sizes[sel]
+        # fully vectorized pair emission, grouped by bucket size: all
+        # same-size buckets become one (R, m) id matrix, row-sorted, and
+        # one triu gather — zero per-bucket Python (a duplicated corpus
+        # has millions of small buckets; a run loop would dominate)
         out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            m = int(e - s)
-            if m < 2 or m > max_bucket:
-                continue
-            seg = np.sort(ids[s:e])
+        for m in np.unique(sizes):
+            m = int(m)
+            s_m = starts[sizes == m]
+            mat = np.sort(ids[s_m[:, None] + np.arange(m)[None, :]], axis=1)
             ii, jj = np.triu_indices(m, 1)
-            out_a.append(seg[ii])
-            out_b.append(seg[jj])
+            out_a.append(mat[:, ii].ravel())
+            out_b.append(mat[:, jj].ravel())
         if not out_a:
             return _empty_pairs
         return pa.table(
@@ -769,10 +777,17 @@ def ngram_overlap_pairs(
     keyed = ds.map_batches(
         keys_batch, batch_format="pyarrow", runtime_env=runtime_env()
     )
+    if shuffle_partitions:
+        # the sort is O(partitions^2) block exchanges — coalesce a
+        # many-tiny-block input before it (the window-key table is ~5x
+        # smaller than the text it came from)
+        keyed = keyed.repartition(shuffle_partitions)
     pairs = keyed.sort(["h1", "h2"]).map_batches(
         bucket_pairs, batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
     )
+    if shuffle_partitions:
+        pairs = pairs.repartition(max(2, shuffle_partitions // 4))
     return pairs.sort(["id_a", "id_b"]).map_batches(
         distinct_pairs, batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
