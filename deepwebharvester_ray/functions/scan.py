@@ -24,12 +24,17 @@ from .. import runtime_env
 from ..broadcast import cached_get
 
 
-def prefix_scan(ds, key: str, value_col: str, out_col: str = "running"):
+def prefix_scan(ds, key: str, value_col: str, out_col: str = "running",
+                shuffle_partitions: int = None):
     """Add ``out_col`` = inclusive running sum of ``value_col`` in global
     ``key`` order.  ``key`` values must be unique (they define the scan
-    order, any orderable Arrow type); ``value_col`` must be integral."""
+    order, any orderable Arrow type); ``value_col`` must be integral.
+    ``shuffle_partitions`` coalesces a many-tiny-block input before the
+    sort (which is O(partitions²) block exchanges)."""
     import ray
 
+    if shuffle_partitions:
+        ds = ds.repartition(shuffle_partitions)
     srt = ds.sort(key).materialize()
 
     def block_stats(batch: pa.Table) -> pa.Table:
@@ -86,6 +91,7 @@ def pack_sequences(
     tokens_col: str,
     capacity: int,
     bin_col: str = "bin_id",
+    shuffle_partitions: int = None,
 ):
     """Sequential sequence packing: documents in global ``key`` order are
     laid head-to-tail and cut into fixed-``capacity`` token bins; a doc's
@@ -93,7 +99,8 @@ def pack_sequences(
     capacity)``) — the deterministic streaming form of training-corpus
     context packing, computed with ONE distributed prefix-scan."""
 
-    scanned = prefix_scan(ds, key, tokens_col, out_col="__incl")
+    scanned = prefix_scan(ds, key, tokens_col, out_col="__incl",
+                          shuffle_partitions=shuffle_partitions)
 
     def to_bin(batch: pa.Table) -> pa.Table:
         incl = batch.column("__incl").combine_chunks().to_numpy(
