@@ -33,6 +33,7 @@ def asof_join(
     key: str,
     ts: str,
     left_cols: List[str],
+    shuffle_partitions: int = None,
 ):
     """For each left row, find the greatest ``right.ts <= left.ts`` within
     the same ``key``.  Returns ``left_cols + [key, ts, prev_ts, gap_us]``
@@ -108,7 +109,12 @@ def asof_join(
     # partitioner), so a key's whole timeline is in one block — a composite
     # (key, ts) sort would let a range boundary split a timeline mid-run.
     # (ts, side) ordering happens vectorized inside the block.
-    merged = l_tagged.union(r_tagged).sort(key)
+    merged = l_tagged.union(r_tagged)
+    if shuffle_partitions:
+        # the sort is O(partitions²) block exchanges — coalesce
+        # many-tiny-block inputs (e.g. a union of wide reads) first
+        merged = merged.repartition(shuffle_partitions)
+    merged = merged.sort(key)
 
     def fill_block(batch: pa.Table) -> pa.Table:
         empty = pa.table(

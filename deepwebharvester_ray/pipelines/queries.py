@@ -1169,7 +1169,8 @@ def q_clicks_asof_views(sf_dir: str):
     views = ev.map_batches(only("view"), batch_format="pyarrow",
                            runtime_env=runtime_env())
     out = asof_join(clicks, views.select_columns(["user_id", "ts"]),
-                    key="user_id", ts="ts", left_cols=["event_id"])
+                    key="user_id", ts="ts", left_cols=["event_id"],
+                    shuffle_partitions=_shuffle_parts(sf_dir, "events"))
     return _rename(out, {"prev_ts": "prev_view_ts"}).drop_columns(["ts"])
 
 
