@@ -117,7 +117,8 @@ def exact_dedup(ds, id_column: str = "doc_id", text_column: str = "text"):
     )
 
 
-def exact_dedup_ids(ds, id_column: str = "doc_id", text_column: str = "text"):
+def exact_dedup_ids(ds, id_column: str = "doc_id", text_column: str = "text",
+                    shuffle_partitions: int = None):
     """(content_hash, doc_id=min id per hash) via a native aggregate —
     no per-group Python, one shuffle on the hash key (the scale path).
 
@@ -150,6 +151,10 @@ def exact_dedup_ids(ds, id_column: str = "doc_id", text_column: str = "text"):
         hash_and_combine, batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
     )
+    if shuffle_partitions:
+        # combined rows are tiny (hash + id); coalesce many-tiny-block
+        # inputs before the O(partitions²) groupby sort shuffle
+        hashed = hashed.repartition(shuffle_partitions)
     agg = hashed.groupby("content_hash").aggregate(agg_mod.Min(id_column))
 
     def rename(batch: pa.Table) -> pa.Table:
