@@ -752,9 +752,15 @@ def ngram_overlap_pairs(
         # one triu gather — zero per-bucket Python (a duplicated corpus
         # has millions of small buckets; a run loop would dominate)
         out_a, out_b = [], []
-        for m in np.unique(sizes):
-            m = int(m)
-            s_m = starts[sizes == m]
+        # group runs by size with ONE argsort (an np.unique + boolean-mask
+        # scan per distinct size would rescan sizes O(distinct) times)
+        size_order = np.argsort(sizes, kind="stable")
+        s_sorted = starts[size_order]
+        sz_sorted = sizes[size_order]
+        g_starts, g_ends = _run_bounds(sz_sorted)
+        for gs, ge in zip(g_starts, g_ends):  # one slice per distinct size
+            m = int(sz_sorted[gs])
+            s_m = s_sorted[gs:ge]
             mat = np.sort(ids[s_m[:, None] + np.arange(m)[None, :]], axis=1)
             ii, jj = np.triu_indices(m, 1)
             out_a.append(mat[:, ii].ravel())

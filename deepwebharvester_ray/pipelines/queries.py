@@ -202,7 +202,8 @@ def q_exact_dedup(sf_dir: str):
     mirror = _docs(
         sf_dir, columns=["doc_id", "text"], override_num_blocks=nblocks
     ).map_batches(shift, batch_format="pyarrow", runtime_env=runtime_env())
-    return exact_dedup_ids(docs.union(mirror), id_column="doc_id", text_column="text")
+    return exact_dedup_ids(docs.union(mirror), id_column="doc_id",
+                           text_column="text", shuffle_partitions=nblocks)
 
 
 _SQL_EXACT_DEDUP = """
@@ -1353,7 +1354,8 @@ def q_token_packing(sf_dir: str):
         ["doc_id", "n_tokens"]
     )
     return pack_sequences(tok, key="doc_id", tokens_col="n_tokens",
-                          capacity=PACK_CAPACITY)
+                          capacity=PACK_CAPACITY,
+                          shuffle_partitions=_shuffle_parts(sf_dir))
 
 
 _SQL_TOKEN_PACKING = rf"""
@@ -1391,31 +1393,51 @@ SAMPLE_RATE_CUT = ((1 << 64) * 1) // 10   # exact 10 %
 
 
 def q_stratified_sample(sf_dir: str):
-    """Deterministic stratified sampling: ~10 % of each event_type,
-    membership decided by a 64-bit multiplicative hash of the row id —
-    stable under reshards/resume (no RNG state), the standard
-    subsampling rule for corpus ablations.  Pure map, no shuffle."""
+    """TRUE stratified sampling: exactly ceil(10 % of EACH event_type),
+    members chosen by 64-bit hash rank within the stratum (deterministic,
+    stable under reshard).  The single-key sort co-locates a whole
+    stratum in one block, so the quota (ceil(0.1·n_g)) comes from the
+    run length in-block — no separate count pass or broadcast."""
     ds = _read(sf_dir, "events", columns=["event_id", "event_type"],
                override_num_blocks=_shuffle_parts(sf_dir, "events"))
 
-    def keep(batch: pa.Table) -> pa.Table:
+    def take_quota(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
         ids = batch.column("event_id").combine_chunks().to_numpy(
             zero_copy_only=False
         )
+        types = np.asarray(batch.column("event_type").to_pylist(),
+                           dtype=object)
         with np.errstate(over="ignore"):
-            h = ids.astype(np.uint64) * np.uint64(_SPLIT_MULT)
-        return batch.filter(pa.array(h < np.uint64(SAMPLE_RATE_CUT)))
+            hv = ids.astype(np.uint64) * np.uint64(_SPLIT_MULT)
+        order = np.lexsort((ids, hv, types))
+        st = types[order]
+        starts = np.flatnonzero(np.concatenate(([True], st[1:] != st[:-1])))
+        lens = np.diff(np.append(starts, len(st)))
+        rank = np.arange(len(st)) - np.repeat(starts, lens)
+        quota = np.repeat(-(-lens // 10), lens)  # ceil(n_g / 10)
+        keep = order[rank < quota]
+        return batch.take(pa.array(np.sort(keep)))
 
-    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None,
-                          runtime_env=runtime_env())
+    return ds.sort("event_type").map_batches(
+        take_quota, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )
 
 
 _SQL_STRATIFIED_SAMPLE = f"""
+WITH h AS (
+  SELECT event_id, event_type,
+         (CAST(event_id AS HUGEINT) * {_SPLIT_MULT}) %
+             CAST('18446744073709551616' AS HUGEINT) AS hv
+  FROM events
+)
 SELECT event_id, event_type
-FROM events
-WHERE (CAST(event_id AS HUGEINT) * {_SPLIT_MULT}) %
-          CAST('18446744073709551616' AS HUGEINT)
-      < CAST('{SAMPLE_RATE_CUT}' AS HUGEINT)
+FROM h
+QUALIFY row_number() OVER (
+    PARTITION BY event_type ORDER BY hv, event_id)
+  <= CAST(ceiling(count(*) OVER (PARTITION BY event_type) / 10.0) AS BIGINT)
 ORDER BY event_id
 """
 
@@ -1479,7 +1501,8 @@ def q_neardup_clusters(sf_dir: str):
 
     ds = _docs(sf_dir, columns=["doc_id", "text"],
                override_num_blocks=_shuffle_parts(sf_dir))
-    pairs = ngram_overlap_pairs(ds, k=8, max_bucket=1024)
+    pairs = ngram_overlap_pairs(ds, k=8, max_bucket=1024,
+                                shuffle_partitions=_shuffle_parts(sf_dir))
     return connected_components(pairs)
 
 
@@ -1575,7 +1598,8 @@ def q_ngram_overlap(sf_dir: str):
     # boilerplate window beyond that trip the documented cap); far above
     # any bucket in these corpora (max 3 docs/window), so still exact vs
     # the SQL oracle
-    return ngram_overlap_pairs(ds, k=8, max_bucket=1024)
+    return ngram_overlap_pairs(ds, k=8, max_bucket=1024,
+                               shuffle_partitions=_shuffle_parts(sf_dir))
 
 
 _SQL_NGRAM_OVERLAP = f"""
