@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "neardup_clusters",
     "latest_events",
     "stratified_sample",
+    "top_terms_tfidf",
     "orders_by_segment",
     "orders_join_native",
     "lineitem_pricing",

@@ -1442,6 +1442,120 @@ ORDER BY event_id
 """
 
 
+TFIDF_SCALE = 1_000_000
+
+
+def q_top_terms_tfidf(sf_dir: str):
+    """Top-3 terms per document by tf-idf, with the idf integer-scaled
+    (``tf * ((N * 1e6) // df)``) so both sides rank with EXACT integers —
+    float log() differs in the last ulp between engines and can flip
+    ranks.  Shape: per-block (doc, term, tf) counts, a bounded-key
+    grouped df, the tiny df table broadcast back, and the per-doc top-3
+    taken inside the block that produced the doc's rows (no shuffle of
+    the term table)."""
+    import ray
+
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    n_docs = pq.ParquetFile(
+        str(Path(sf_dir) / "documents.parquet")
+    ).metadata.num_rows
+
+    def doc_terms(batch: pa.Table) -> pa.Table:
+        ids_in = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_tok, out_tf = [], [], []
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            toks = WORD_RE.findall((t or "").lower())
+            if not toks:
+                continue
+            uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                     return_counts=True)
+            out_id.append(np.full(len(uniq), ids_in[i], np.int64))
+            out_tok.extend(uniq.tolist())
+            out_tf.append(counts.astype(np.int64))
+        if not out_id:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "token": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "token": pa.array(out_tok, pa.string()),
+                "tf": pa.array(np.concatenate(out_tf), pa.int64()),
+            }
+        )
+
+    terms = ds.map_batches(doc_terms, batch_format="pyarrow",
+                           batch_size=None, runtime_env=runtime_env()
+                           ).materialize()
+    # df = docs containing the token: one row per (doc, token) upstream,
+    # so a plain grouped count; the df table is vocabulary-sized
+    df_tbl = grouped_agg(terms, ["token"], [("df", "", "count")]).take_all()
+    df_ref = ray.put({r["token"]: r["df"] for r in df_tbl})
+
+    def top3(batch: pa.Table) -> pa.Table:
+        from ..broadcast import cached_get
+
+        dfm = cached_get(df_ref)
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        toks = np.asarray(batch.column("token").to_pylist(), dtype=object)
+        tf = batch.column("tf").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        idf = np.fromiter(
+            ((n_docs * TFIDF_SCALE) // dfm[t] for t in toks),
+            np.int64, len(toks),
+        )
+        score = tf * idf
+        order = np.lexsort((toks, -score, ids))
+        sid = ids[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], sid[1:] != sid[:-1]))
+        )
+        rank = np.arange(len(sid)) - np.repeat(
+            starts, np.diff(np.append(starts, len(sid)))
+        )
+        keep = order[rank < 3]
+        keep = keep[np.argsort(keep, kind="stable")]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "token": pa.array(toks[keep].tolist(), pa.string()),
+                "score": pa.array(score[keep], pa.int64()),
+            }
+        )
+
+    return terms.map_batches(top3, batch_format="pyarrow", batch_size=None,
+                             runtime_env=runtime_env())
+
+
+_SQL_TOP_TERMS_TFIDF = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * ((n.n * {TFIDF_SCALE}) // df.df) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, score FROM s
+QUALIFY row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token) <= 3
+ORDER BY doc_id, score DESC, token
+"""
+
+
 def q_latest_events(sf_dir: str):
     """Per-group top-N: each user's 3 most recent events.  Single-key
     sort co-locates a user's rows in one block (the event_sessions /
@@ -1664,6 +1778,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "neardup_clusters": q_neardup_clusters,
         "latest_events": q_latest_events,
         "stratified_sample": q_stratified_sample,
+        "top_terms_tfidf": q_top_terms_tfidf,
         "token_packing": q_token_packing,
         "events_by_type": q_events_by_type,
         "top_users": q_top_users,
@@ -1713,6 +1828,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,
         "latest_events": _SQL_LATEST_EVENTS,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+        "top_terms_tfidf": _SQL_TOP_TERMS_TFIDF,
         "token_packing": _SQL_TOKEN_PACKING,
         "events_by_type": _SQL_EVENTS_BY_TYPE,
         "top_users": _SQL_TOP_USERS,
