@@ -296,17 +296,41 @@ def ivf_topk(
     import ray
 
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
-    # seeded RANDOM sample — a storage-order prefix would train a
-    # degenerate quantizer on clustered/sorted inputs
-    n_rows = ds.count()
-    frac = min(1.0, (train_sample * 1.5) / max(1, n_rows))
-    sample_rows = (
-        ds.random_sample(frac, seed=_IVF_SEED).limit(train_sample).take_all()
+
+    # training sample = rows with the train_sample SMALLEST id hashes —
+    # deterministic, order-free, and unbiased by storage layout (a
+    # storage-order prefix, or random_sample followed by a positional
+    # limit, excludes the dataset tail and trains a degenerate quantizer
+    # on clustered/sorted inputs).  Per-block partial top-k keeps the
+    # driver pull at O(blocks x train_sample).
+    def hash_candidates(batch: pa.Table, k=train_sample) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {"h": pa.array([], pa.uint64()),
+                 vec_column: pa.array(
+                     [], batch.schema.field(vec_column).type)}
+            )
+        ids = _ids_array(batch.column(id_column))
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        top = np.argsort(h, kind="stable")[:k]
+        return pa.table(
+            {
+                "h": pa.array(h[top], pa.uint64()),
+                vec_column: batch.column(vec_column).combine_chunks().take(
+                    pa.array(top)
+                ),
+            }
+        )
+
+    cand = ds.map_batches(
+        hash_candidates, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    ).take_all()
+    cand.sort(key=lambda r: r["h"])
+    sample = np.asarray(
+        [list(r[vec_column]) for r in cand[:train_sample]], dtype=np.float64
     )
-    if not sample_rows:  # tiny dataset edge: fall back to everything
-        sample_rows = ds.limit(train_sample).take_all()
-    sample = np.asarray([list(r[vec_column]) for r in sample_rows],
-                        dtype=np.float64)
     cents = _spherical_kmeans(sample, n_cells)
     cents_ref = ray.put(cents)
 

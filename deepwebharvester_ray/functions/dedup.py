@@ -224,6 +224,20 @@ _EMPTY_PAIRS = pa.table(
 )
 
 
+def run_rank(sorted_keys: np.ndarray) -> np.ndarray:
+    """0-based rank of each element within its equal-key run (input must
+    be sorted by the key).  Companion to :func:`_run_bounds`."""
+    n = len(sorted_keys)
+    if n == 0:
+        return np.empty(0, np.int64)
+    starts = np.flatnonzero(
+        np.concatenate(([True], sorted_keys[1:] != sorted_keys[:-1]))
+    )
+    return np.arange(n, dtype=np.int64) - np.repeat(
+        starts, np.diff(np.append(starts, n))
+    )
+
+
 def minhash_lsh_pairs(
     ds,
     id_column: str = "doc_id",

@@ -1389,9 +1389,6 @@ pairs AS (
   FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
 )"""
 
-SAMPLE_RATE_CUT = ((1 << 64) * 1) // 10   # exact 10 %
-
-
 def q_stratified_sample(sf_dir: str):
     """TRUE stratified sampling: exactly ceil(10 % of EACH event_type),
     members chosen by 64-bit hash rank within the stratum (deterministic,
@@ -1411,11 +1408,13 @@ def q_stratified_sample(sf_dir: str):
                            dtype=object)
         with np.errstate(over="ignore"):
             hv = ids.astype(np.uint64) * np.uint64(_SPLIT_MULT)
+        from ..functions.dedup import _run_bounds, run_rank
+
         order = np.lexsort((ids, hv, types))
         st = types[order]
-        starts = np.flatnonzero(np.concatenate(([True], st[1:] != st[:-1])))
-        lens = np.diff(np.append(starts, len(st)))
-        rank = np.arange(len(st)) - np.repeat(starts, lens)
+        starts, ends = _run_bounds(st)
+        lens = ends - starts
+        rank = run_rank(st)
         quota = np.repeat(-(-lens // 10), lens)  # ceil(n_g / 10)
         keep = order[rank < quota]
         return batch.take(pa.array(np.sort(keep)))
@@ -1449,10 +1448,11 @@ def q_top_terms_tfidf(sf_dir: str):
     """Top-3 terms per document by tf-idf, with the idf integer-scaled
     (``tf * ((N * 1e6) // df)``) so both sides rank with EXACT integers —
     float log() differs in the last ulp between engines and can flip
-    ranks.  Shape: per-block (doc, term, tf) counts, a bounded-key
-    grouped df, the tiny df table broadcast back, and the per-doc top-3
-    taken inside the block that produced the doc's rows (no shuffle of
-    the term table)."""
+    ranks.  Shape: per-block (doc, term, tf) counts feed a bounded-key
+    grouped df; the vocabulary-sized df table is broadcast back and the
+    per-doc top-3 is computed in a second pass over the DOCS dataset
+    (each doc scored within the row that carries it — no reliance on the
+    term table's block boundaries, which Ray may split mid-doc)."""
     import ray
 
     from ..functions.textops import WORD_RE
@@ -1490,8 +1490,7 @@ def q_top_terms_tfidf(sf_dir: str):
         )
 
     terms = ds.map_batches(doc_terms, batch_format="pyarrow",
-                           batch_size=None, runtime_env=runtime_env()
-                           ).materialize()
+                           batch_size=None, runtime_env=runtime_env())
     # df = docs containing the token: one row per (doc, token) upstream,
     # so a plain grouped count; the df table is vocabulary-sized
     df_tbl = grouped_agg(terms, ["token"], [("df", "", "count")]).take_all()
@@ -1501,38 +1500,40 @@ def q_top_terms_tfidf(sf_dir: str):
         from ..broadcast import cached_get
 
         dfm = cached_get(df_ref)
-        ids = batch.column("doc_id").combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
-        toks = np.asarray(batch.column("token").to_pylist(), dtype=object)
-        tf = batch.column("tf").combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
-        idf = np.fromiter(
-            ((n_docs * TFIDF_SCALE) // dfm[t] for t in toks),
-            np.int64, len(toks),
-        )
-        score = tf * idf
-        order = np.lexsort((toks, -score, ids))
-        sid = ids[order]
-        starts = np.flatnonzero(
-            np.concatenate(([True], sid[1:] != sid[:-1]))
-        )
-        rank = np.arange(len(sid)) - np.repeat(
-            starts, np.diff(np.append(starts, len(sid)))
-        )
-        keep = order[rank < 3]
-        keep = keep[np.argsort(keep, kind="stable")]
+        ids_in = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_tok, out_sc = [], [], []
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            toks = WORD_RE.findall((t or "").lower())
+            if not toks:
+                continue
+            uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                     return_counts=True)
+            idf = np.fromiter(
+                ((n_docs * TFIDF_SCALE) // dfm[t2] for t2 in uniq),
+                np.int64, len(uniq),
+            )
+            score = counts.astype(np.int64) * idf
+            top = np.lexsort((uniq, -score))[:3]
+            top = top[np.argsort(uniq[top], kind="stable")]
+            out_id.append(np.full(len(top), ids_in[i], np.int64))
+            out_tok.extend(uniq[top].tolist())
+            out_sc.append(score[top])
+        if not out_id:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "token": pa.array([], pa.string()),
+                 "score": pa.array([], pa.int64())}
+            )
         return pa.table(
             {
-                "doc_id": pa.array(ids[keep], pa.int64()),
-                "token": pa.array(toks[keep].tolist(), pa.string()),
-                "score": pa.array(score[keep], pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "token": pa.array(out_tok, pa.string()),
+                "score": pa.array(np.concatenate(out_sc), pa.int64()),
             }
         )
 
-    return terms.map_batches(top3, batch_format="pyarrow", batch_size=None,
-                             runtime_env=runtime_env())
+    return ds.map_batches(top3, batch_format="pyarrow",
+                          runtime_env=runtime_env())
 
 
 _SQL_TOP_TERMS_TFIDF = rf"""
@@ -1578,16 +1579,10 @@ def q_latest_events(sf_dir: str):
         eids = batch.column("event_id").combine_chunks().to_numpy(
             zero_copy_only=False
         )
+        from ..functions.dedup import run_rank
+
         order = np.lexsort((-eids, -ts_us, uids))
-        suid = uids[order]
-        # rank within each user run (0-based), vectorized
-        starts = np.flatnonzero(
-            np.concatenate(([True], suid[1:] != suid[:-1]))
-        )
-        rank = np.arange(len(suid)) - np.repeat(
-            starts, np.diff(np.append(starts, len(suid)))
-        )
-        keep = order[rank < N]
+        keep = order[run_rank(uids[order]) < N]
         return batch.take(pa.array(np.sort(keep)))
 
     return ds.sort("user_id").map_batches(
