@@ -18,9 +18,14 @@ plan is the classic combiner:
 Shuffle volume drops from O(rows) to O(blocks × distinct_keys).  The
 single-block final is valid while distinct keys fit one block (≲10⁷ —
 true for every report/rollup aggregate here even at 100 TB input, where
-keys are enums/hours/users).  For genuinely high-cardinality keys
-(content_hash exact dedup, candidate pairs) use the native groupby — a
-combiner cannot shrink those.
+keys are enums/hours/users).  For genuinely high-cardinality keys the
+final merge AUTO-SWITCHES to Ray's native hash-shuffle groupby over the
+(already combined) partials: :func:`grouped_agg` counts the partial rows
+(that count IS the size the single merged block would be) and, above
+``SINGLE_BLOCK_CUTOFF``, runs the distributed final instead — same
+result, sorted by keys either way.  Callers whose downstream pass needs
+the one-block guarantee (grouped_quantiles' per-group cumsum) pin
+``final_mode="single"``.
 """
 from __future__ import annotations
 
@@ -38,19 +43,43 @@ _FINAL_KIND = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
 def _apply(batch: pa.Table, keys: Sequence[str], aggs, out_names) -> pa.Table:
-    """One vectorized hash-aggregation pass; output = out_names + keys."""
+    """One vectorized hash-aggregation pass; output = keys + out_names."""
     res = batch.group_by(list(keys)).aggregate(aggs)
-    # pyarrow returns key columns first, then aggregates in request order
+    # select columns BY NAME (pyarrow's documented "{col}_{kind}" naming),
+    # not positionally — the key/aggregate column order has differed across
+    # pyarrow versions, and a positional rename would silently mislabel
+    # keys as aggregate values while keeping oracle-matching names
+    agg_names = [
+        kind if col == [] else f"{col}_{kind}" for (col, kind) in aggs
+    ]
+    res = res.select(list(keys) + agg_names)
     return res.rename_columns(list(keys) + list(out_names))
 
 
-def grouped_agg(ds, keys: Sequence[str], specs: Sequence[AggSpec]):
+# Above this many partial rows the single merged final block would be too
+# large (10⁷ keys × ~50 B ≈ 500 MB); the final merge switches to the
+# native hash-shuffle groupby over the partials instead.
+SINGLE_BLOCK_CUTOFF = 4_000_000
+
+
+def grouped_agg(ds, keys: Sequence[str], specs: Sequence[AggSpec],
+                final_mode: str = "auto"):
     """ds.groupby(keys).aggregate(...) with partial (per-batch) combining.
 
     Returns a Dataset with columns ``keys + [out for out, _, _ in specs]``,
-    sorted by ``keys`` (deterministic output order).  The final merge runs
-    in ONE block — see module docstring for the cardinality cutoff (a
-    multi-block final would split keys across blocks and double-count).
+    sorted by ``keys`` (deterministic output order).
+
+    ``final_mode``:
+
+    * ``"single"`` — merge all partials in ONE block (valid while partial
+      rows fit one block; required by downstream passes that assume the
+      whole result is one key-sorted batch, e.g. grouped_quantiles).
+    * ``"native"`` — Ray's hash-shuffle groupby over the partials (the
+      high-cardinality path; shuffle volume is the combined partials, not
+      the input rows).
+    * ``"auto"`` (default) — materialize the (tiny) partials, count their
+      rows — that count is exactly the single merged block's size — and
+      pick ``single`` below :data:`SINGLE_BLOCK_CUTOFF`, else ``native``.
     """
     keys = list(keys)
     part_cols = [f"__p{i}" for i in range(len(specs))]
@@ -73,11 +102,43 @@ def grouped_agg(ds, keys: Sequence[str], specs: Sequence[AggSpec]):
         return merged.select(keys + out_cols)
 
     partials = ds.map_batches(
-        partial, batch_format="pyarrow", runtime_env=runtime_env()
+        partial, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
     )
-    return partials.repartition(1).map_batches(
-        final, batch_format="pyarrow", batch_size=None, runtime_env=runtime_env()
-    )
+
+    mode = final_mode
+    if mode == "auto":
+        # partials are O(blocks × keys-per-block) — tiny vs the input —
+        # so materializing them to learn the merge size is cheap, and the
+        # single-block path re-reads them from the object store for free
+        partials = partials.materialize()
+        mode = "single" if partials.count() <= SINGLE_BLOCK_CUTOFF else "native"
+
+    if mode == "single":
+        return partials.repartition(1).map_batches(
+            final, batch_format="pyarrow", batch_size=None,
+            runtime_env=runtime_env(),
+        )
+
+    # native final: hash-shuffle groupby over the combined partials, then a
+    # rename (Ray names outputs "sum(__p0)") and a key sort for the same
+    # deterministic order as the single-block path
+    import ray.data.aggregate as ray_agg
+
+    _CLS = {"sum": ray_agg.Sum, "min": ray_agg.Min, "max": ray_agg.Max}
+    native_aggs = [_CLS[fk](p) for (p, fk) in final_aggs]
+    res = partials.groupby(keys).aggregate(*native_aggs)
+    ray_names = [f"{fk}({p})" for (p, fk) in final_aggs]
+
+    def rename(batch: pa.Table) -> pa.Table:
+        m = dict(zip(ray_names, out_cols))
+        return batch.rename_columns(
+            [m.get(c, c) for c in batch.column_names]
+        ).select(keys + out_cols)
+
+    return res.map_batches(
+        rename, batch_format="pyarrow", runtime_env=runtime_env()
+    ).sort(keys)
 
 
 def grouped_quantiles(
@@ -102,7 +163,10 @@ def grouped_quantiles(
 
     assert len(ps) == len(out_cols)
 
-    hist = grouped_agg(ds, [key, value_col], [("__n", "", "count")])
+    # "single" pinned: pick() needs the whole key-sorted histogram in ONE
+    # block (the value-domain bound is this operator's documented contract)
+    hist = grouped_agg(ds, [key, value_col], [("__n", "", "count")],
+                       final_mode="single")
 
     def pick(batch: pa.Table) -> pa.Table:
         # input sorted by (key, value) — grouped_agg's deterministic order

@@ -257,17 +257,31 @@ _IVF_SEED = 0x1FF
 
 def _spherical_kmeans(sample: np.ndarray, n_cells: int, n_iters: int = 10):
     """Deterministic spherical k-means on a driver-side sample (the coarse
-    quantizer is tiny — centroids, not data, are what the cluster shares)."""
+    quantizer is tiny — centroids, not data, are what the cluster shares).
+
+    A cell that empties during iteration is RESEEDED to the sample point
+    worst-served by the current centroids (largest distance to its nearest
+    centroid) — deterministic, and avoids carrying a stale/duplicate
+    centroid that would waste a probe cell."""
     sample = _normalize(sample)
     rng = np.random.default_rng(_IVF_SEED)
     cents = sample[rng.choice(len(sample), size=min(n_cells, len(sample)),
                               replace=False)]
     for _ in range(n_iters):
-        assign = np.argmax(sample @ cents.T, axis=1)
+        sims = sample @ cents.T
+        assign = np.argmax(sims, axis=1)
+        empties = []
         for c in range(len(cents)):
             members = sample[assign == c]
             if len(members):
                 cents[c] = members.sum(axis=0)
+            else:
+                empties.append(c)
+        if empties:
+            # worst-served points first; ties broken by index (determinism)
+            worst = np.argsort(sims.max(axis=1), kind="stable")
+            for c, p in zip(empties, worst[: len(empties)]):
+                cents[c] = sample[p]
         cents = _normalize(cents)
     return cents
 
@@ -327,6 +341,8 @@ def ivf_topk(
         hash_candidates, batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
     ).take_all()
+    if not cand:  # empty / fully-filtered dataset: empty result, not a crash
+        return _merge_topk([], len(queries), k)
     cand.sort(key=lambda r: r["h"])
     sample = np.asarray(
         [list(r[vec_column]) for r in cand[:train_sample]], dtype=np.float64

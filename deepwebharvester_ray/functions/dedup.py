@@ -245,38 +245,51 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     shingle_k: int = 3,
     shuffle_partitions: int | None = None,
+    max_bucket: int = 4096,
 ):
     """Near-duplicate candidate pairs via MinHash banding, verified with
     exact shingle Jaccard.  Returns a Dataset of (id_a, id_b, jaccard).
 
-    One shuffle total: sort on ``(band, band_hash)`` co-locates each LSH
-    bucket in one block (the same guarantee groupby().map_groups relies
-    on), then a VECTORIZED block pass emits each candidate pair exactly
-    once — from the first band on which the pair collides (every later
-    colliding band sees the earlier match in the carried band vectors and
-    skips the pair) — so no global distinct-pairs aggregate is needed.
-    ``shuffle_partitions`` optionally coalesces the signature table before
-    the sort (the sig table is ~BANDS×24B+vec per doc, far smaller than
-    the corpus; at small scale the read's block count would otherwise make
-    the sort scheduling-bound).
+    Candidate generation is one shuffle: sort on ``(band, band_hash)``
+    co-locates each LSH bucket in one block (the same guarantee
+    groupby().map_groups relies on), then a VECTORIZED block pass emits
+    each candidate pair exactly once — from the first band on which the
+    pair collides (every later colliding band sees the earlier match in
+    the carried band vectors and skips the pair) — so no global
+    distinct-pairs aggregate is needed.  ``shuffle_partitions`` optionally
+    coalesces the signature table before the sort (the sig table is
+    ~BANDS×24B+vec per doc, far smaller than the corpus; at small scale
+    the read's block count would otherwise make the sort
+    scheduling-bound).  Buckets larger than ``max_bucket`` are skipped
+    (hot-bucket guard, same contract as simhash_pairs: a band hash shared
+    by thousands of docs — e.g. the constant signature of empty/boilerplate
+    pages — would allocate O(m²) pair indices in one block; with
+    first-match emission a pair is missed only if its FIRST shared band's
+    bucket is over-populated).
 
-    The broadcast verification side is the (id → shingles) map restricted
-    to docs that appear in a candidate pair — O(candidates) driver/worker
-    memory, not O(corpus); near-dup candidates are a vanishing fraction of
-    a deduplicated corpus by construction.
+    Verification is fully DISTRIBUTED: candidate pairs hash-join the
+    (id → shingles) table twice (on id_a, then id_b), so shingles of
+    candidate docs travel the wire per pair but never all land on the
+    driver — on a dup-heavy raw crawl the candidate set is O(dups), and
+    driver memory stays O(1).  Each joined row carries both shingle
+    arrays; exact Jaccard is a sorted-array intersection per pair.
     """
-    import ray
-
     a_perm, b_perm = _perm_params()
 
     def shingles_batch(batch: pa.Table) -> pa.Table:
+        # shingles as raw uint64 little-endian bytes (large_binary): Arrow's
+        # acero hash join rejects nested (list) payload columns, and a
+        # binary blob ships/joins just as zero-copy
         return pa.table(
             {
                 "id": batch.column(id_column),
                 "sh": pa.array(
-                    [shingle_set(t, shingle_k)
-                     for t in batch.column(text_column).to_pylist()],
-                    pa.large_list(pa.uint64()),
+                    [
+                        np.asarray(shingle_set(t, shingle_k),
+                                   np.uint64).tobytes()
+                        for t in batch.column(text_column).to_pylist()
+                    ],
+                    pa.large_binary(),
                 ),
             }
         )
@@ -293,14 +306,10 @@ def minhash_lsh_pairs(
     def sig_batch(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         ids_in = batch.column("id").to_numpy(zero_copy_only=False)
-        col = batch.column("sh")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        values = col.values.to_numpy(zero_copy_only=False)
-        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        blobs = batch.column("sh").to_pylist()
         bh_mat = np.empty((n, BANDS), dtype=np.uint64)
         for i in range(n):
-            sh = values[offsets[i]:offsets[i + 1]]
+            sh = np.frombuffer(blobs[i], dtype=np.uint64)
             bh_mat[i] = _band_hashes(minhash_signature(sh, a_perm, b_perm))
         ids = np.repeat(ids_in.astype(np.int64), BANDS)
         bands = np.tile(np.arange(BANDS, dtype=np.int32), n)
@@ -333,7 +342,8 @@ def minhash_lsh_pairs(
         bands_mat = vec.flatten().to_numpy(zero_copy_only=False).reshape(-1, BANDS)
         starts, ends = _run_bounds(band, bh)
         sizes = ends - starts
-        sel = sizes >= 2  # skip singleton runs OUTSIDE the Python loop
+        # singleton skip + hot-bucket guard, both OUTSIDE the Python loop
+        sel = (sizes >= 2) & (sizes <= max_bucket)
         out_a, out_b = [], []
         for s, e in zip(starts[sel], ends[sel]):
             m = int(e - s)
@@ -360,58 +370,44 @@ def minhash_lsh_pairs(
     cand = sig_ds.sort(["band", "band_hash"]).map_batches(
         block_pairs, batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
-    ).materialize()
-
-    # broadcast shingle arrays for exact verification — restricted to docs
-    # that actually appear in a candidate pair, so the driver-side map is
-    # O(candidates), not O(corpus); shingle_set output is sorted+unique,
-    # so jaccard is a sorted-array intersection (np.intersect1d)
-    cand_rows = cand.take_all()
-    cand_ids = np.unique(
-        np.fromiter(
-            (i for r in cand_rows for i in (r["id_a"], r["id_b"])),
-            dtype=np.int64, count=2 * len(cand_rows),
-        )
     )
-    cand_ids_ref = ray.put(cand_ids)
 
-    def only_candidates(batch: pa.Table, ref=cand_ids_ref) -> pa.Table:
-        wanted = cached_get(ref)
-        ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
-        if not len(wanted):
-            return batch.filter(pa.array(np.zeros(len(ids), dtype=bool)))
-        pos = np.searchsorted(wanted, ids)
-        pos[pos >= len(wanted)] = 0
-        return batch.filter(pa.array(wanted[pos] == ids))
-
-    sh_map_ref = ray.put(
-        {
-            r["id"]: np.asarray(r["sh"], dtype=np.uint64)
-            for r in sh_ds.map_batches(
-                only_candidates, batch_format="pyarrow",
-                runtime_env=runtime_env(),
-            ).take_all()
-        }
+    # distributed exact verification: double hash-join pairs → shingles
+    # (the join drops the right "id" key and suffixes the colliding
+    # payload column → id_a, id_b, sh, sh_b).  The join's all-to-all
+    # moves only candidate docs' shingle blobs (inner join restricts
+    # implicitly); no take_all, no driver dict.
+    n_parts = max(2, shuffle_partitions or 8)
+    j1 = cand.join(
+        sh_ds, "inner", num_partitions=n_parts,
+        on=("id_a",), right_on=("id",),
     )
-    _empty_u64 = np.empty(0, dtype=np.uint64)
+    j2 = j1.join(
+        sh_ds, "inner", num_partitions=n_parts,
+        on=("id_b",), right_on=("id",), right_suffix="_b",
+    )
 
-    def verify(batch: pa.Table, ref=sh_map_ref, thr=threshold) -> pa.Table:
-        m = cached_get(ref)
-        a_ids = batch.column("id_a").to_pylist()
-        b_ids = batch.column("id_b").to_pylist()
+    def verify(batch: pa.Table, thr=threshold) -> pa.Table:
         keep_a, keep_b, jac = [], [], []
-        for a_id, b_id in zip(a_ids, b_ids):
-            sa = m.get(a_id, _empty_u64)
-            sb = m.get(b_id, _empty_u64)
-            if not len(sa) and not len(sb):
-                j = 1.0
-            else:
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                j = inter / (len(sa) + len(sb) - inter)
-            if j >= thr:
-                keep_a.append(a_id)
-                keep_b.append(b_id)
-                jac.append(j)
+        if batch.num_rows:
+            a_ids = batch.column("id_a").to_pylist()
+            b_ids = batch.column("id_b").to_pylist()
+            blobs_a = batch.column("sh").to_pylist()
+            blobs_b = batch.column("sh_b").to_pylist()
+            for a_id, b_id, ba, bb in zip(a_ids, b_ids, blobs_a, blobs_b):
+                sa = np.frombuffer(ba, dtype=np.uint64)
+                sb = np.frombuffer(bb, dtype=np.uint64)
+                if not len(sa) and not len(sb):
+                    j = 1.0
+                else:
+                    # shingle_set output is sorted+unique → sorted-array
+                    # intersection
+                    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                    j = inter / (len(sa) + len(sb) - inter)
+                if j >= thr:
+                    keep_a.append(a_id)
+                    keep_b.append(b_id)
+                    jac.append(j)
         return pa.table(
             {
                 "id_a": pa.array(keep_a, pa.int64()),
@@ -420,7 +416,7 @@ def minhash_lsh_pairs(
             }
         )
 
-    return cand.map_batches(
+    return j2.map_batches(
         verify, batch_format="pyarrow", runtime_env=runtime_env()
     )
 
@@ -622,45 +618,91 @@ def simhash_pairs(
 
 def embedding_neardup_pairs(
     ds, id_column: str = "vec_id", vec_column: str = "embedding",
-    threshold: float = 0.95,
+    threshold: float = 0.95, target_block_bytes: int = 64 << 20,
 ):
-    """Pairs with cosine ≥ threshold (exact, broadcast matmul).
+    """ALL pairs with cosine ≥ threshold — EXACT, via distributed blocked
+    pairwise matmul.
 
-    The normalized embedding matrix is broadcast once; each batch computes
-    a (batch × all) matmul in numpy — the brute-force baseline.  The scale
-    path buckets by LSH hyperplane signature first (see functions.ann)."""
+    Exact all-pairs similarity is inherently O(n²) similarity evaluations;
+    the scale question is *where* that work runs.  Shape: the (id, vec)
+    projection is materialized into object-store blocks, and one Ray task
+    per (block_i, block_j) pair (i ≤ j) pulls exactly TWO blocks and
+    computes their cross matmul — per-task memory is two blocks, the
+    driver holds only block refs, and the K(K+1)/2 tasks stream through
+    the task pool with full parallelism.  Each unordered doc pair lives in
+    exactly one block pair, so no dedup pass is needed.  (For corpus-scale
+    near-dup where approximation is acceptable, minhash_lsh_pairs /
+    simhash_pairs are the sub-quadratic paths.)"""
     import ray
 
     from .ann import _ids_array, _normalize, _vec_matrix
 
-    rows = ds.select_columns([id_column, vec_column]).take_all()
-    ids = np.array([r[id_column] for r in rows], dtype=np.int64)
-    mat = _normalize(np.array([np.asarray(r[vec_column]) for r in rows],
-                              dtype=np.float64))
-    ref = ray.put((ids, mat))
+    proj = ds.select_columns([id_column, vec_column]).materialize()
+    # coalesce to ~target_block_bytes chunks: the task count is
+    # K(K+1)/2, so tiny input blocks would drown the matmuls in
+    # scheduling overhead (a small-sf read yields 16 ~8 KB blocks)
+    n_chunks = max(1, -(-proj.size_bytes() // target_block_bytes))
+    if n_chunks < proj.num_blocks():
+        proj = proj.repartition(n_chunks).materialize()
+    blocks = proj.to_arrow_refs()
+    k_blocks = len(blocks)
+    refs_ref = ray.put(blocks)
+    idx_ds = ray.data.from_items(
+        [{"i": i, "j": j} for i in range(k_blocks) for j in range(i, k_blocks)]
+    )
 
-    def near_dup(batch: pa.Table, _ref=ref, thr=threshold) -> pa.Table:
-        all_ids, all_mat = cached_get(_ref)
-        bids = _ids_array(batch.column(id_column))
-        bm = _normalize(_vec_matrix(batch.column(vec_column)))
-        sims = bm @ all_mat.T
+    def chunk_pairs(batch: pa.Table, thr=threshold) -> pa.Table:
+        refs = cached_get(refs_ref)
         a_out, b_out, cs = [], [], []
-        for i, rid in enumerate(bids):
-            hits = np.nonzero((sims[i] >= thr) & (all_ids > rid))[0]
-            for h in hits:
-                a_out.append(int(rid))
-                b_out.append(int(all_ids[h]))
-                cs.append(float(sims[i, h]))
+        for i, j in zip(batch.column("i").to_pylist(),
+                        batch.column("j").to_pylist()):
+            ta = ray.get(refs[i])
+            ids_a = _ids_array(ta.column(id_column))
+            ma = _normalize(_vec_matrix(ta.column(vec_column)))
+            if i == j:
+                ids_b, mb = ids_a, ma
+            else:
+                tb = ray.get(refs[j])
+                ids_b = _ids_array(tb.column(id_column))
+                mb = _normalize(_vec_matrix(tb.column(vec_column)))
+            if not len(ids_a) or not len(ids_b):
+                continue
+            sims = ma @ mb.T
+            if i == j:
+                # within-block: strict upper triangle by id (no self/dup)
+                ii, jj = np.nonzero(
+                    (sims >= thr) & (ids_a[:, None] < ids_b[None, :])
+                )
+                a_ids, b_ids = ids_a[ii], ids_b[jj]
+            else:
+                # cross-block: ids interleave — emit every hit once,
+                # normalized to (min, max)
+                ii, jj = np.nonzero(sims >= thr)
+                a_ids = np.minimum(ids_a[ii], ids_b[jj])
+                b_ids = np.maximum(ids_a[ii], ids_b[jj])
+            a_out.append(a_ids)
+            b_out.append(b_ids)
+            cs.append(sims[ii, jj])
+        if not a_out:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         return pa.table(
             {
-                "id_a": pa.array(a_out, pa.int64()),
-                "id_b": pa.array(b_out, pa.int64()),
-                "cosine": pa.array(cs, pa.float64()),
+                "id_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "id_b": pa.array(np.concatenate(b_out), pa.int64()),
+                "cosine": pa.array(np.concatenate(cs), pa.float64()),
             }
         )
 
-    return ds.map_batches(
-        near_dup, batch_format="pyarrow", runtime_env=runtime_env()
+    # batch_size=1 → one task per block pair (each task is one matmul)
+    return idx_ds.map_batches(
+        chunk_pairs, batch_format="pyarrow", batch_size=1,
+        runtime_env=runtime_env(),
     )
 
 

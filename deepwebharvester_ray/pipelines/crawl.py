@@ -466,26 +466,45 @@ def run_crawl(
             u: (sid, cand_depth[(sid, u)]) for sid, u in replay.accepted
         }
         if accepted_by_url and fetched_ds is not None:
-            acc_ref = ray.put(accepted_by_url)
+            # broadcast as PARALLEL ARRAYS sorted by url hash — membership
+            # and (seed_id, depth) lookup are one vectorized searchsorted
+            # per batch (same idiom as fetch_extract_task; a 64-bit hash
+            # collision between a fetched-but-rejected and an accepted URL
+            # is the only way to misroute a row — negligible and bounded)
+            from ..urlops import batch_url_hash64 as _bh64
+            import numpy as _np
+
+            _acc_urls = sorted(accepted_by_url)
+            _h = _bh64(_acc_urls)
+            _order = _np.argsort(_h)
+            acc_ref = ray.put(
+                (
+                    _h[_order],
+                    _np.array([accepted_by_url[u][0] for u in _acc_urls],
+                              _np.int32)[_order],
+                    _np.array([accepted_by_url[u][1] for u in _acc_urls],
+                              _np.int32)[_order],
+                )
+            )
 
             def _finalize(batch: pa.Table, *, _ref=acc_ref) -> pa.Table:
-                from ..broadcast import cached_get
+                import numpy as np
 
-                amap = cached_get(_ref)
-                urls = batch.column("url").to_pylist()
-                mask = [u in amap for u in urls]
-                if not any(mask):
-                    return batch.slice(0, 0).drop_columns(["links"]).append_column(
-                        "depth", pa.array([], pa.int32())
-                    ).append_column("seed_id", pa.array([], pa.int32()))
-                kept = batch.filter(pa.array(mask))
-                kurls = kept.column("url").to_pylist()
-                kept = kept.drop_columns(["links"])
+                from ..broadcast import cached_get
+                from ..urlops import batch_url_hash64
+
+                h, sids, depths = cached_get(_ref)
+                bh = batch_url_hash64(batch.column("url").to_pylist())
+                idx = np.searchsorted(h, bh)
+                idx[idx >= len(h)] = max(len(h) - 1, 0)
+                mask = (h[idx] == bh) if len(h) else np.zeros(len(bh), bool)
+                kept = batch.filter(pa.array(mask)).drop_columns(["links"])
+                sel = idx[mask]
                 kept = kept.append_column(
-                    "depth", pa.array([amap[u][1] for u in kurls], pa.int32())
+                    "depth", pa.array(depths[sel], pa.int32())
                 )
                 kept = kept.append_column(
-                    "seed_id", pa.array([amap[u][0] for u in kurls], pa.int32())
+                    "seed_id", pa.array(sids[sel], pa.int32())
                 )
                 return kept
 

@@ -684,28 +684,30 @@ def q_orders_by_segment(sf_dir: str):
     cust = pq.read_table(
         str(Path(sf_dir) / "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )
-    seg_map_ref = ray.put(
-        dict(
-            zip(
-                cust.column("c_custkey").to_pylist(),
-                cust.column("c_mktsegment").to_pylist(),
-            )
-        )
-    )
+    # broadcast sorted parallel arrays; the per-batch lookup is one
+    # vectorized searchsorted (no per-row dict.get)
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    segs_all = np.asarray(cust.column("c_mktsegment").to_pylist(), dtype=object)
+    order = np.argsort(ck)
+    seg_map_ref = ray.put((ck[order], segs_all[order]))
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def segment_join(batch: pa.Table, ref=seg_map_ref) -> pa.Table:
         from ..broadcast import cached_get
 
-        m = cached_get(ref)
-        keys = batch.column("o_custkey").to_pylist()
-        segs = [m.get(k) for k in keys]
+        ck, segs = cached_get(ref)
+        keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ck, keys)
+        idx[idx >= len(ck)] = max(len(ck) - 1, 0)
+        hit = (ck[idx] == keys) if len(ck) else np.zeros(len(keys), bool)
+        out = segs[idx]
+        out[~hit] = None  # unmatched custkey → NULL (same as dict.get)
         cents = np.floor(
             batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
         return pa.table(
             {
-                "c_mktsegment": pa.array(segs, pa.string()),
+                "c_mktsegment": pa.array(out.tolist(), pa.string()),
                 "cents": pa.array(cents, pa.int64()),
             }
         )
@@ -1242,9 +1244,11 @@ def q_top_tokens(sf_dir: str):
     """Exact corpus heavy-hitters: top-50 word tokens by frequency.
     Combiner shape: each batch collapses to its LOCAL (token, n) counts
     via np.unique (shuffle volume = per-block vocabulary, not tokens),
-    then one bounded-key merge + deterministic (-n, token) top-k.  Beyond
-    ~10^7 distinct tokens switch the final merge to the native groupby
-    (see functions/agg.py module docstring)."""
+    then the grouped merge (which auto-switches to the native groupby
+    beyond ~10^6 distinct tokens — functions/agg.py) and a TWO-LEVEL
+    deterministic (-n, token) top-k: per-block partial top-k (≤K rows per
+    block) then one tiny global merge — correct for both the single-block
+    and the multi-block (native) merge output."""
     from ..functions.textops import batch_word_tokens
 
     ds = _docs(sf_dir, columns=["text"],
@@ -1281,8 +1285,12 @@ def q_top_tokens(sf_dir: str):
             }
         )
 
-    return merged.map_batches(topk, batch_format="pyarrow", batch_size=None,
+    part = merged.map_batches(topk, batch_format="pyarrow", batch_size=None,
                               runtime_env=runtime_env())
+    return part.repartition(1).map_batches(
+        topk, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )
 
 
 _SQL_TOP_TOKENS = rf"""
@@ -1389,40 +1397,124 @@ pairs AS (
   FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
 )"""
 
+_STRAT_BUCKET_SHIFT = np.uint64(52)  # 4096 hash-prefix buckets
+
+
+def _strat_hv(batch: pa.Table):
+    """(hv, event_type-object-array) for a batch; hv = bijective 64-bit
+    multiplicative hash of event_id → UNIQUE per row, so rank by
+    (hv, event_id) == rank by hv alone."""
+    ids = batch.column("event_id").combine_chunks().to_numpy(
+        zero_copy_only=False
+    )
+    with np.errstate(over="ignore"):
+        hv = ids.astype(np.uint64) * np.uint64(_SPLIT_MULT)
+    types = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+    return hv, types
+
+
 def q_stratified_sample(sf_dir: str):
     """TRUE stratified sampling: exactly ceil(10 % of EACH event_type),
-    members chosen by 64-bit hash rank within the stratum (deterministic,
-    stable under reshard).  The single-key sort co-locates a whole
-    stratum in one block, so the quota (ceil(0.1·n_g)) comes from the
-    run length in-block — no separate count pass or broadcast."""
+    members = the quota smallest 64-bit hash values within the stratum
+    (deterministic, stable under reshard).
+
+    Scale-safe shape — NO sort on the ~5-value stratum key (which would
+    put a whole 20-TB stratum in one block).  Three streaming passes over
+    a materialized 2-column projection:
+
+    1. per-block grouped (stratum, hash-prefix-bucket) counts → a tiny
+       (strata × 4096) histogram on the driver ⇒ per-stratum total n_g,
+       quota q_g = ceil(n_g/10), and the boundary bucket holding the
+       q_g-th smallest hash;
+    2. pull ONLY the boundary bucket's hashes (≈ n_g/4096 rows) and read
+       off the exact per-stratum cutoff hash;
+    3. pure map filter: keep iff hv ≤ cutoff[stratum].
+
+    Driver memory is O(strata × 4096 + n/4096); shuffle volume is zero.
+    """
+    import ray
+
     ds = _read(sf_dir, "events", columns=["event_id", "event_type"],
                override_num_blocks=_shuffle_parts(sf_dir, "events"))
+    ds = ds.materialize()  # three cheap passes over the 2-column table
 
-    def take_quota(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        ids = batch.column("event_id").combine_chunks().to_numpy(
-            zero_copy_only=False
+    def hist(batch: pa.Table) -> pa.Table:
+        hv, _ = _strat_hv(batch)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "bucket": pa.array(
+                    (hv >> _STRAT_BUCKET_SHIFT).astype(np.int64), pa.int64()
+                ),
+            }
         )
-        types = np.asarray(batch.column("event_type").to_pylist(),
-                           dtype=object)
-        with np.errstate(over="ignore"):
-            hv = ids.astype(np.uint64) * np.uint64(_SPLIT_MULT)
-        from ..functions.dedup import _run_bounds, run_rank
 
-        order = np.lexsort((ids, hv, types))
-        st = types[order]
-        starts, ends = _run_bounds(st)
-        lens = ends - starts
-        rank = run_rank(st)
-        quota = np.repeat(-(-lens // 10), lens)  # ceil(n_g / 10)
-        keep = order[rank < quota]
-        return batch.take(pa.array(np.sort(keep)))
+    bucketed = ds.map_batches(hist, batch_format="pyarrow", batch_size=None,
+                              runtime_env=runtime_env())
+    hist_rows = grouped_agg(
+        bucketed, ["event_type", "bucket"], [("n", "", "count")],
+        final_mode="single",
+    ).take_all()
 
-    return ds.sort("event_type").map_batches(
-        take_quota, batch_format="pyarrow", batch_size=None,
-        runtime_env=runtime_env(),
-    )
+    # per stratum: total, quota, boundary bucket, rows strictly below it
+    per_type: Dict[str, List] = {}
+    for r in hist_rows:
+        per_type.setdefault(r["event_type"], []).append((r["bucket"], r["n"]))
+    boundary: Dict[str, int] = {}
+    rank_in_boundary: Dict[str, int] = {}
+    for t, rows in per_type.items():
+        rows.sort()
+        total = sum(n for _, n in rows)
+        quota = -(-total // 10)  # ceil(n_g / 10)
+        cum = 0
+        for b, n in rows:
+            if cum + n >= quota:
+                boundary[t] = b
+                rank_in_boundary[t] = quota - cum  # 1-based within bucket
+                break
+            cum += n
+
+    bref = ray.put(boundary)
+
+    def boundary_hashes(batch: pa.Table) -> pa.Table:
+        from ..broadcast import cached_get
+
+        bmap = cached_get(bref)
+        hv, types = _strat_hv(batch)
+        bucket = (hv >> _STRAT_BUCKET_SHIFT).astype(np.int64)
+        mask = np.zeros(len(hv), dtype=bool)
+        for t, b in bmap.items():
+            mask |= (types == t) & (bucket == b)
+        return pa.table(
+            {
+                "event_type": pa.array(types[mask].tolist(), pa.string()),
+                "hv": pa.array(hv[mask], pa.uint64()),
+            }
+        )
+
+    edge = ds.map_batches(boundary_hashes, batch_format="pyarrow",
+                          batch_size=None, runtime_env=runtime_env()).take_all()
+    edge_by_type: Dict[str, List[int]] = {}
+    for r in edge:
+        edge_by_type.setdefault(r["event_type"], []).append(r["hv"])
+    cutoff = {
+        t: int(np.sort(np.asarray(vals, np.uint64))[rank_in_boundary[t] - 1])
+        for t, vals in edge_by_type.items()
+    }
+    cref = ray.put(cutoff)
+
+    def select(batch: pa.Table) -> pa.Table:
+        from ..broadcast import cached_get
+
+        cmap = cached_get(cref)
+        hv, types = _strat_hv(batch)
+        mask = np.zeros(len(hv), dtype=bool)
+        for t, c in cmap.items():
+            mask |= (types == t) & (hv <= np.uint64(c))
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(select, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env())
 
 
 _SQL_STRATIFIED_SAMPLE = f"""
@@ -1448,13 +1540,17 @@ def q_top_terms_tfidf(sf_dir: str):
     """Top-3 terms per document by tf-idf, with the idf integer-scaled
     (``tf * ((N * 1e6) // df)``) so both sides rank with EXACT integers —
     float log() differs in the last ulp between engines and can flip
-    ranks.  Shape: per-block (doc, term, tf) counts feed a bounded-key
-    grouped df; the vocabulary-sized df table is broadcast back and the
-    per-doc top-3 is computed in a second pass over the DOCS dataset
-    (each doc scored within the row that carries it — no reliance on the
-    term table's block boundaries, which Ray may split mid-doc)."""
-    import ray
+    ranks.
 
+    Fully distributed shape (no vocabulary on the driver): the (doc,
+    term, tf) table is materialized ONCE (tokenization is the expensive
+    pass — reused by both consumers), df comes from the grouped count
+    (auto-switching to the native merge beyond the single-block
+    cardinality cutoff), and term→df attach is a native hash-shuffle
+    JOIN on token.  The per-doc top-3 is then a single-key sort on
+    doc_id (high-cardinality → no skew) + one vectorized run-rank pass
+    per block — the same co-location guarantee latest_events uses."""
+    from ..functions.dedup import run_rank
     from ..functions.textops import WORD_RE
 
     ds = _docs(sf_dir, columns=["doc_id", "text"],
@@ -1489,51 +1585,52 @@ def q_top_terms_tfidf(sf_dir: str):
             }
         )
 
+    # tokenization runs ONCE; the term table feeds both the df count and
+    # the join's left side (object-store reuse, spills if large)
     terms = ds.map_batches(doc_terms, batch_format="pyarrow",
-                           batch_size=None, runtime_env=runtime_env())
+                           batch_size=None,
+                           runtime_env=runtime_env()).materialize()
     # df = docs containing the token: one row per (doc, token) upstream,
-    # so a plain grouped count; the df table is vocabulary-sized
-    df_tbl = grouped_agg(terms, ["token"], [("df", "", "count")]).take_all()
-    df_ref = ray.put({r["token"]: r["df"] for r in df_tbl})
+    # so a plain grouped count — stays DISTRIBUTED (no take_all)
+    df_ds = grouped_agg(terms, ["token"], [("df", "", "count")])
 
-    def top3(batch: pa.Table) -> pa.Table:
-        from ..broadcast import cached_get
+    n_parts = max(2, _shuffle_parts(sf_dir))
+    joined = terms.join(df_ds, "inner", num_partitions=n_parts,
+                        on=("token",))
 
-        dfm = cached_get(df_ref)
-        ids_in = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        out_id, out_tok, out_sc = [], [], []
-        for i, t in enumerate(batch.column("text").to_pylist()):
-            toks = WORD_RE.findall((t or "").lower())
-            if not toks:
-                continue
-            uniq, counts = np.unique(np.asarray(toks, dtype=object),
-                                     return_counts=True)
-            idf = np.fromiter(
-                ((n_docs * TFIDF_SCALE) // dfm[t2] for t2 in uniq),
-                np.int64, len(uniq),
-            )
-            score = counts.astype(np.int64) * idf
-            top = np.lexsort((uniq, -score))[:3]
-            top = top[np.argsort(uniq[top], kind="stable")]
-            out_id.append(np.full(len(top), ids_in[i], np.int64))
-            out_tok.extend(uniq[top].tolist())
-            out_sc.append(score[top])
-        if not out_id:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()),
-                 "token": pa.array([], pa.string()),
-                 "score": pa.array([], pa.int64())}
-            )
+    def score_batch(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").combine_chunks().to_numpy(zero_copy_only=False)
+        df = batch.column("df").combine_chunks().to_numpy(zero_copy_only=False)
+        score = tf.astype(np.int64) * ((n_docs * TFIDF_SCALE) // df)
         return pa.table(
             {
-                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
-                "token": pa.array(out_tok, pa.string()),
-                "score": pa.array(np.concatenate(out_sc), pa.int64()),
+                "doc_id": batch.column("doc_id"),
+                "token": batch.column("token"),
+                "score": pa.array(score, pa.int64()),
             }
         )
 
-    return ds.map_batches(top3, batch_format="pyarrow",
-                          runtime_env=runtime_env())
+    scored = joined.map_batches(score_batch, batch_format="pyarrow",
+                                runtime_env=runtime_env())
+
+    def top3_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        toks = np.asarray(batch.column("token").to_pylist(), dtype=object)
+        score = batch.column("score").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((toks, -score, ids))
+        keep = order[run_rank(ids[order]) < 3]
+        return batch.take(pa.array(np.sort(keep)))
+
+    return scored.sort("doc_id").map_batches(
+        top3_block, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )
 
 
 _SQL_TOP_TERMS_TFIDF = rf"""
