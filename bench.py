@@ -66,7 +66,9 @@ BENCH_QUERIES = [
     "top_terms_tfidf",
     "orders_by_segment",
     "orders_join_native",
+    "lineitem_orders_join",
     "lineitem_pricing",
+    "ann_ivf",
     "crawl_bfs",
 ]
 

@@ -145,21 +145,23 @@ def _signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 
 def _probe_score_task(
-    batch: pa.Table, wanted_ref=None, qref=None, k: int = 10,
+    batch: pa.Table, qbuckets_ref=None, qref=None, k: int = 10,
     vec_column: str = "embedding",
 ) -> pa.Table:
+    """Score a bucketed batch against every query probing one of its
+    buckets.  Membership is a vectorized ``np.isin`` of the batch's bucket
+    array against the query's (tiny, sorted) probe list — no per-row
+    Python."""
     if len(batch) == 0:
         return _empty_scores()
-    wanted = cached_get(wanted_ref)
+    qbuckets = cached_get(qbuckets_ref)  # list of sorted int64 arrays
     q = _normalize(np.asarray(cached_get(qref), dtype=np.float64))
     ids = _ids_array(batch.column("id"))
-    buckets = batch.column("bucket").to_pylist()
+    buckets = _ids_array(batch.column("bucket"))
     mat = _normalize(_vec_matrix(batch.column(vec_column)))
     out_q, out_id, out_s = [], [], []
     for qi in range(len(q)):
-        mask = np.fromiter(
-            (qi in wanted.get(b, ()) for b in buckets), dtype=bool, count=len(buckets)
-        )
+        mask = np.isin(buckets, qbuckets[qi])
         if not mask.any():
             continue
         sims = mat[mask] @ q[qi]
@@ -186,11 +188,15 @@ def lsh_topk(
     id_column: str = "vec_id",
     vec_column: str = "embedding",
     dim: Optional[int] = None,
+    index_dir: Optional[str] = None,
 ) -> pa.Table:
     """Approximate top-k: random-hyperplane LSH buckets + multi-probe.
 
-    One shuffle (groupby bucket); each query searches only the vectors in
-    its ``n_probe`` nearest buckets by signature hamming distance.
+    Each query searches only the vectors in its ``n_probe`` nearest
+    buckets by signature hamming distance.  With ``index_dir`` the bucket
+    assignment is materialized hive-partitioned by bucket and query time
+    reads only probed buckets' partitions (physical pruning — same layout
+    as :func:`ivf_topk`); without it the probe is a single filtered scan.
     """
     import ray
 
@@ -227,21 +233,42 @@ def lsh_topk(
     )
 
     qsigs = _signatures(_normalize(queries), planes)
-    # nearest buckets by hamming distance, deterministic
-    wanted: dict = {}
-    for qi, qs in enumerate(qsigs):
-        cand = sorted(
-            range(1 << n_bits),
-            key=lambda b: (bin(b ^ int(qs)).count("1"), b),
-        )[:n_probe]
-        for b in cand:
-            wanted.setdefault(b, set()).add(qi)
-    wanted_ref = ray.put(wanted)
+    # per-query probe list: n_probe nearest buckets by hamming distance,
+    # deterministic tie-break on bucket id
+    qbuckets = [
+        np.sort(
+            np.asarray(
+                sorted(
+                    range(1 << n_bits),
+                    key=lambda b: (bin(b ^ int(qs)).count("1"), b),
+                )[:n_probe],
+                dtype=np.int64,
+            )
+        )
+        for qs in qsigs
+    ]
+
+    if index_dir is not None:
+        from pathlib import Path
+
+        def with_cell(batch: pa.Table) -> pa.Table:
+            return batch.append_column("cell", batch.column("bucket"))
+
+        bucketed.map_batches(
+            with_cell, batch_format="pyarrow", runtime_env=runtime_env()
+        ).write_parquet(index_dir, partition_cols=["cell"])
+        np.savez(str(Path(index_dir) / "planes.npz"), planes=planes)
+        paths = _cell_paths(index_dir, np.concatenate(qbuckets))
+        if not paths:
+            return _merge_topk([], len(queries), k)
+        bucketed = ray.data.read_parquet(paths)
+
+    qbuckets_ref = ray.put(qbuckets)
     qref = ray.put(queries)
 
     partials = bucketed.map_batches(
         _probe_score_task,
-        fn_kwargs={"wanted_ref": wanted_ref, "qref": qref, "k": k,
+        fn_kwargs={"qbuckets_ref": qbuckets_ref, "qref": qref, "k": k,
                    "vec_column": vec_column},
         batch_format="pyarrow",
         runtime_env=runtime_env(),
@@ -286,6 +313,21 @@ def _spherical_kmeans(sample: np.ndarray, n_cells: int, n_iters: int = 10):
     return cents
 
 
+def _cell_paths(index_dir: str, cells) -> list:
+    """Parquet files of the probed cells' hive partitions ONLY (the
+    physical pruning step: non-probed cells never leave storage).
+    File-level paths because read_parquet does not expand directories
+    inside a multi-path list."""
+    from pathlib import Path
+
+    paths = []
+    for c in sorted({int(c) for c in cells}):
+        p = Path(index_dir) / f"cell={c}"
+        if p.exists():
+            paths.extend(sorted(str(f) for f in p.glob("*.parquet")))
+    return paths
+
+
 def ivf_topk(
     ds,
     queries: np.ndarray,
@@ -295,17 +337,20 @@ def ivf_topk(
     train_sample: int = 2048,
     id_column: str = "vec_id",
     vec_column: str = "embedding",
+    index_dir: Optional[str] = None,
 ) -> pa.Table:
     """IVF ANN: spherical-k-means coarse quantizer; each vector is assigned
     to its nearest centroid cell, each query scans only its ``n_probe``
     nearest cells.
 
     Scale shape: training touches a driver-side sample only; assignment is
-    one matmul per batch against the broadcast centroids; probing reuses
-    the same filtered-scan task as LSH.  On a real deployment the assign
-    stage writes parquet partitioned by ``cell`` so query time prunes
-    whole partitions at the read (documented partitioning assumption);
-    here cells are carried as a column and filtered per batch.
+    one matmul per batch against the broadcast centroids.  With
+    ``index_dir`` set, the assignment is materialized as parquet
+    partitioned by ``cell`` (hive layout) and query time reads ONLY the
+    probed cells' partitions — non-probed data never leaves storage
+    (:func:`_cell_paths` is the pruning step).  Without it, cells are
+    carried as a column and filtered per batch (single-shot mode: the
+    corpus is scanned once but only probed rows are scored).
     """
     import ray
 
@@ -378,16 +423,36 @@ def ivf_topk(
 
     qn = _normalize(queries)
     qcells = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]
-    wanted: dict = {}
-    for qi in range(len(queries)):
-        for b in qcells[qi]:
-            wanted.setdefault(int(b), set()).add(qi)
-    wanted_ref = ray.put(wanted)
+    qbuckets = [np.sort(qcells[qi].astype(np.int64))
+                for qi in range(len(queries))]
+
+    if index_dir is not None:
+        from pathlib import Path
+
+        # build: hive-partitioned materialization of the cell assignment
+        # ("cell" duplicates "bucket" because partition_cols strips the
+        # partition column from the data files); centroids persist beside
+        # it so a later session can probe without re-training
+        def with_cell(batch: pa.Table) -> pa.Table:
+            return batch.append_column("cell", batch.column("bucket"))
+
+        assigned.map_batches(
+            with_cell, batch_format="pyarrow", runtime_env=runtime_env()
+        ).write_parquet(index_dir, partition_cols=["cell"])
+        np.savez(str(Path(index_dir) / "centroids.npz"), cents=cents)
+
+        # query: read ONLY the probed cells' partitions
+        paths = _cell_paths(index_dir, np.concatenate(qbuckets))
+        if not paths:
+            return _merge_topk([], len(queries), k)
+        assigned = ray.data.read_parquet(paths)
+
+    qbuckets_ref = ray.put(qbuckets)
     qref = ray.put(queries)
 
     partials = assigned.map_batches(
         _probe_score_task,
-        fn_kwargs={"wanted_ref": wanted_ref, "qref": qref, "k": k,
+        fn_kwargs={"qbuckets_ref": qbuckets_ref, "qref": qref, "k": k,
                    "vec_column": vec_column},
         batch_format="pyarrow",
         runtime_env=runtime_env(),

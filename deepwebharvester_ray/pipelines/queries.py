@@ -800,6 +800,49 @@ def q_lineitem_pricing(sf_dir: str):
     )
 
 
+def q_lineitem_orders_join(sf_dir: str):
+    """The LARGE×LARGE native hash-shuffle join: lineitem (6×) ⋈ orders on
+    the orderkey — both sides exchange on the key, partitions sized from
+    the bigger side's bytes (unlike orders_join_native, whose build side
+    is the 1,500-row customer table, this actually stresses the shuffle
+    path).  Rollup: revenue cents per order priority."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = li.join(
+        orders, "inner",
+        num_partitions=_shuffle_parts(sf_dir, "lineitem"),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor((ep * (1.0 - disc)) * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    cents = joined.map_batches(to_cents, batch_format="pyarrow",
+                               runtime_env=runtime_env())
+    return grouped_agg(
+        cents, ["o_orderpriority"],
+        [("n_items", "", "count"), ("revenue_cents", "cents", "sum")],
+    )
+
+
+_SQL_LINEITEM_ORDERS_JOIN = """
+SELECT o.o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount))
+                           * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+
 _SQL_LINEITEM_PRICING = """
 SELECT l_returnflag, l_linestatus, count(*) AS n_items,
        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -1815,14 +1858,26 @@ SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF ANN (spherical-k-means coarse quantizer + n_probe cell scan;
-    approximate; rows-only)."""
+    """IVF ANN with PHYSICAL partition pruning: the cell assignment is
+    materialized hive-partitioned by cell and only the probed cells'
+    partitions are read back (approximate; rows-only).  Build + probe are
+    both timed — the honest end-to-end cost."""
+    import shutil
+    import tempfile
+
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, _embedding_queries(sf_dir), k=10, n_cells=16, n_probe=4)
+    idx = tempfile.mkdtemp(prefix="dwh_ivf_idx_", dir="/tmp")
+    try:
+        return ivf_topk(ds, _embedding_queries(sf_dir), k=10, n_cells=16,
+                        n_probe=4, index_dir=idx)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 def q_ann_lsh(sf_dir: str):
-    """Hyperplane-LSH bucketed ANN (approximate; rows-only)."""
+    """Hyperplane-LSH bucketed ANN (approximate; rows-only; single-shot
+    filtered scan — the partitioned-index variant is exercised by
+    ann_ivf and shares the same layout via lsh_topk(index_dir=...))."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return lsh_topk(ds, _embedding_queries(sf_dir), k=10)
 
@@ -1877,6 +1932,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "event_sessions": q_event_sessions,
         "orders_by_segment": q_orders_by_segment,
         "orders_join_native": q_orders_join_native,
+        "lineitem_orders_join": q_lineitem_orders_join,
         "lineitem_pricing": q_lineitem_pricing,
         "risk_histogram": q_risk_histogram,
         "top_risk": q_top_risk,
@@ -1927,6 +1983,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "event_sessions": _SQL_EVENT_SESSIONS,
         "orders_by_segment": _SQL_ORDERS_BY_SEGMENT,
         "orders_join_native": _SQL_ORDERS_BY_SEGMENT,
+        "lineitem_orders_join": _SQL_LINEITEM_ORDERS_JOIN,
         "lineitem_pricing": _SQL_LINEITEM_PRICING,
         "risk_histogram": _sql_risk_histogram(),
         "top_risk": _sql_top_risk(),

@@ -7,9 +7,9 @@ report.py:266-300 — here the report is a driver-side projection of
 distributed groupbys, SURVEY §2.5 A1-A8).
 
 The reference's matplotlib/networkx 3D graph PNG (visualizer.py) is
-gated behind an import-try: matplotlib is not available in this
-environment, and the graph is a cosmetic sink (SURVEY §2.1 S12, low
-priority).
+reimplemented dependency-free (SURVEY §2.1 S12): deterministic
+hub-and-spoke layout + numpy canvas + a stdlib zlib PNG encoder — see
+:func:`save_graph_png`.
 """
 from __future__ import annotations
 
@@ -221,22 +221,136 @@ def generate(ds, output_dir: str, filename: Optional[str] = None) -> Path:
     return path
 
 
-def save_graph_png(ds, output_dir: str) -> Optional[Path]:
-    """3D crawl-graph PNG (reference visualizer.py:146-200).
+# ── crawl-graph PNG sink (reference visualizer.py:146-280) ──────────────────
+#
+# The reference renders a site-hub → page graph with networkx spring
+# layout + matplotlib 3D.  Neither library exists in this environment, so
+# the sink is DEPENDENCY-FREE: a deterministic hub-and-spoke layout (site
+# hubs on a ring, pages on sub-rings around their hub — the reference's
+# own sphere fallback, visualizer.py:268-280, projected to 2D), edges and
+# discs drawn on a numpy RGB canvas, encoded with the stdlib-only PNG
+# writer below (public PNG spec: IHDR/IDAT/IEND, filter 0, zlib).
 
-    Gated: requires matplotlib, which is unavailable here; returns None
-    with a logged notice rather than failing the pipeline.
-    """
-    try:
-        import matplotlib  # noqa: F401
-        import networkx  # noqa: F401
-    except ImportError:
-        import logging
+_RISK_RGB = {
+    "critical": (220, 53, 69),
+    "high": (253, 126, 20),
+    "medium": (255, 193, 7),
+    "low": (40, 167, 69),
+    "unknown": (134, 142, 150),
+}
+_GRAPH_PAGE_CAP = 500  # display cap, reference visualizer caps similarly
 
-        logging.getLogger(__name__).info(
-            "graph PNG sink skipped: matplotlib not available"
+
+def _write_png(rgb, path: Path) -> None:
+    """Encode an (H, W, 3) uint8 array as a PNG file — stdlib only."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = rgb.shape
+    # one 0x00 filter byte per scanline, prepended vectorized
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = rgb.reshape(h, w * 3)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
-        return None
-    raise NotImplementedError(
-        "graph rendering is implemented only where matplotlib exists"
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    path.write_bytes(
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + chunk(b"IEND", b"")
     )
+
+
+def _draw_line(canvas, x0, y0, x1, y1, color) -> None:
+    import numpy as np
+
+    n = int(max(abs(x1 - x0), abs(y1 - y0))) + 1
+    xs = np.linspace(x0, x1, n).round().astype(int)
+    ys = np.linspace(y0, y1, n).round().astype(int)
+    h, w, _ = canvas.shape
+    ok = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    canvas[ys[ok], xs[ok]] = color
+
+
+def _draw_disc(canvas, cx, cy, r, color) -> None:
+    import numpy as np
+
+    h, w, _ = canvas.shape
+    y0, y1 = max(0, cy - r), min(h, cy + r + 1)
+    x0, x1 = max(0, cx - r), min(w, cx + r + 1)
+    if y0 >= y1 or x0 >= x1:
+        return
+    yy, xx = np.mgrid[y0:y1, x0:x1]
+    mask = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+    canvas[yy[mask], xx[mask]] = color
+
+
+def save_graph_png(
+    ds, output_dir: str, filename: str = "network_graph.png",
+    size: int = 800,
+) -> Optional[Path]:
+    """Render the site→page crawl graph to a PNG (reference
+    visualizer.py:146-280, save_png) without matplotlib/networkx.
+
+    The data plane reduces first: only (site, url, depth[, risk_label])
+    of the first ``_GRAPH_PAGE_CAP`` pages reach the driver — the sink is
+    a bounded driver-side projection like the HTML report."""
+    import math
+
+    import numpy as np
+
+    cols = [c for c in ("site", "url", "depth", "risk_label")
+            if c in ds.schema().names]
+    rows = ds.select_columns(cols).limit(_GRAPH_PAGE_CAP).take_all()
+
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    path = out / filename
+
+    canvas = np.full((size, size, 3), 17, dtype=np.uint8)  # dark bg
+    center = size // 2
+
+    sites: Dict[str, List[dict]] = {}
+    for r in rows:
+        sites.setdefault(r.get("site", "?"), []).append(r)
+    site_names = sorted(sites)
+    n_sites = max(len(site_names), 1)
+
+    hub_r = 0.55 * center if n_sites > 1 else 0.0
+    page_ring = 0.28 * center if n_sites > 1 else 0.8 * center
+    edge_col = (70, 70, 90)
+
+    for si, site in enumerate(site_names):
+        th = 2 * math.pi * si / n_sites
+        hx = int(center + hub_r * math.cos(th))
+        hy = int(center + hub_r * math.sin(th))
+        pages = sites[site]
+        # worst page risk colors the hub (reference _build_graph)
+        order = ["unknown", "low", "medium", "high", "critical"]
+        worst = max(
+            (p.get("risk_label", "unknown") for p in pages),
+            key=lambda lbl: order.index(lbl) if lbl in order else 0,
+            default="unknown",
+        )
+        for pi, page in enumerate(pages):
+            ph = 2 * math.pi * pi / max(len(pages), 1)
+            px = int(hx + page_ring * math.cos(ph) * 0.9)
+            py = int(hy + page_ring * math.sin(ph) * 0.9)
+            _draw_line(canvas, hx, hy, px, py, edge_col)
+            _draw_disc(
+                canvas, px, py, 4,
+                _RISK_RGB.get(page.get("risk_label", "unknown"),
+                              _RISK_RGB["unknown"]),
+            )
+        _draw_disc(canvas, hx, hy, 9, _RISK_RGB.get(worst,
+                                                    _RISK_RGB["unknown"]))
+
+    _write_png(canvas, path)
+    return path

@@ -157,6 +157,44 @@ def test_ivf_topk_recall(emb_ds):
     assert out.equals(again)
 
 
+def test_ivf_index_physical_pruning(emb_ds, tmp_path):
+    """index_dir mode: hive-partitioned build, probed-cells-only read,
+    identical result to the single-shot scan."""
+    rows = emb_ds.take(1)
+    q = np.array(rows[0]["embedding"], dtype=np.float64)
+    scan = ann.ivf_topk(emb_ds, q, k=10, n_cells=8, n_probe=4)
+    idx = str(tmp_path / "ivf_index")
+    pruned = ann.ivf_topk(emb_ds, q, k=10, n_cells=8, n_probe=4,
+                          index_dir=idx)
+    assert pruned.equals(scan)
+    # the build materialized one hive partition per non-empty cell
+    cells = sorted(p.name for p in (tmp_path / "ivf_index").glob("cell=*"))
+    assert len(cells) >= 2
+    assert (tmp_path / "ivf_index" / "centroids.npz").exists()
+    # pruning: only probed cells' files are selected for the read
+    import os
+
+    sel = ann._cell_paths(idx, [0, 1])
+    parents = {os.path.basename(os.path.dirname(p)) for p in sel}
+    assert parents <= {"cell=0", "cell=1"}
+    assert len(parents) < len(cells) or len(cells) <= 2
+
+
+def test_lsh_index_physical_pruning(emb_ds, tmp_path):
+    rows = emb_ds.take(1)
+    q = np.array(rows[0]["embedding"], dtype=np.float64)
+    scan = ann.lsh_topk(emb_ds, q, k=10, n_bits=6, n_probe=8)
+    idx = str(tmp_path / "lsh_index")
+    pruned = ann.lsh_topk(emb_ds, q, k=10, n_bits=6, n_probe=8,
+                          index_dir=idx)
+    # same neighbors; scores may differ in the last ulp (BLAS picks a
+    # different matvec kernel for the differently-shaped masked matrix)
+    assert pruned.column("id").to_pylist() == scan.column("id").to_pylist()
+    assert np.allclose(pruned.column("score").to_numpy(),
+                       scan.column("score").to_numpy(), rtol=1e-12)
+    assert (tmp_path / "lsh_index" / "planes.npz").exists()
+
+
 # ── multimodal ───────────────────────────────────────────────────────────────
 
 

@@ -84,5 +84,23 @@ def test_report_aggregates_and_html(crawl_run, tmp_path):
     assert "<script" not in html  # no JS, reference test_report.py parity
 
 
-def test_graph_png_gated(crawl_run, tmp_path):
-    assert report.save_graph_png(crawl_run.results_dataset(), str(tmp_path)) is None
+def test_graph_png(crawl_run, tmp_path):
+    """Dependency-free graph sink: a valid PNG with the right dimensions
+    (decoded with the stdlib, no matplotlib required)."""
+    import struct
+    import zlib
+
+    p = report.save_graph_png(crawl_run.results_dataset(), str(tmp_path),
+                              size=320)
+    assert p is not None and p.exists()
+    data = p.read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", data[16:24])
+    assert (w, h) == (320, 320)
+    # IDAT payload inflates to H scanlines of 1 filter byte + W*3 pixels
+    idat_off = data.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", data[idat_off - 8:idat_off - 4])[0]
+    raw = zlib.decompress(data[idat_off:idat_off + idat_len])
+    assert len(raw) == h * (1 + w * 3)
+    # something was actually drawn (not a blank background)
+    assert len(set(raw)) > 3
