@@ -56,6 +56,13 @@ class CrawlSettings:
     # N → seed-sharded Ray-actor claims chain (state/scheduler.py,
     # bit-identical output — the cluster path).
     replay_shards: Optional[int] = None
+    # Frontier sharding: None → driver-local priority queue (small runs);
+    # N → ShardedFrontierQueue actor pool AND data-plane link expansion
+    # (links flow fetch-task → frontier shard as batches; the driver pulls
+    # only (url, content_hash) metadata per generation — the 10^10-
+    # frontier path, SURVEY §4).  Results are identical to the driver
+    # queue: staged pushes commit in canonical sorted order.
+    frontier_shards: Optional[int] = None
     extract_batch_size: int = 128   # pages per Arrow batch in the extract stage
     extract_concurrency: Optional[int] = None  # None → Ray decides (task pool)
 

@@ -50,7 +50,7 @@ from ..state.scheduler import (
     replay_generation,
     replay_generation_sharded,
 )
-from ..state.pqueue import FrontierQueue
+from ..state.pqueue import FrontierQueue, ShardedFrontierQueue
 from ..state.robots import RobotsTable
 from ..state.seen import SeenSetPool
 from ..urlops import (
@@ -130,6 +130,87 @@ def fetch_extract_task(
     if drop_links:
         out = out.drop_columns(["links"])
     return out
+
+
+def _push_links_dataplane(fetched_ds, expand, frontier) -> int:
+    """Expand propagated pages' links INSIDE the data plane (SURVEY §4:
+    "frontier kept columnar, never a Python set" — the 10^10-frontier
+    path).
+
+    ``expand`` is [(url, seed_id, next_depth)] for this generation's
+    propagated pages.  It is broadcast as CSR arrays keyed by sorted url
+    hash; each fetch block finds its propagated rows with one vectorized
+    searchsorted, builds (seed_id, depth, link) entries, and ``stage()``s
+    them straight onto the owning frontier shard — link bytes flow
+    worker→shard, never through the driver, which sees only per-block
+    counts.  ``commit_staged()`` then applies every shard's staged
+    entries in canonical sorted order (deterministic regardless of task
+    interleaving — see ShardedFrontierQueue docstring)."""
+    import numpy as np
+    import ray
+
+    from ..urlops import batch_url_hash64
+
+    by_url: Dict[str, List[Tuple[int, int]]] = {}
+    for u, sid, nd in expand:
+        by_url.setdefault(u, []).append((sid, nd))
+    urls = list(by_url)
+    h = batch_url_hash64(urls)
+    order = np.argsort(h)
+    counts = np.array([len(by_url[urls[i]]) for i in order], np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    sids = np.array(
+        [s for i in order for s, _ in by_url[urls[i]]], np.int64
+    )
+    deps = np.array(
+        [d for i in order for _, d in by_url[urls[i]]], np.int64
+    )
+    ref = ray.put((h[order], starts, counts, sids, deps))
+    handles = frontier.shard_handles
+    n_sh = frontier.n_shards
+
+    def expand_task(batch: pa.Table, _ref=ref, _handles=handles,
+                    _n=n_sh) -> pa.Table:
+        import numpy as np
+        import ray as _ray
+
+        from ..broadcast import cached_get
+        from ..urlops import batch_url_hash64 as _bh
+
+        h_s, starts, counts, sids, deps = cached_get(_ref)
+        bh = _bh(batch.column("url").to_pylist())
+        idx = np.searchsorted(h_s, bh)
+        idx[idx >= len(h_s)] = max(len(h_s) - 1, 0)
+        mask = (h_s[idx] == bh) if len(h_s) else np.zeros(len(bh), bool)
+        n_links = 0
+        if mask.any():
+            hit = batch.filter(pa.array(mask))
+            hit_idx = idx[mask]
+            routed: Dict[int, list] = {}
+            for row, links in enumerate(hit.column("links").to_pylist()):
+                s0 = int(starts[hit_idx[row]])
+                for k in range(int(counts[hit_idx[row]])):
+                    sid = int(sids[s0 + k])
+                    nd = int(deps[s0 + k])
+                    lst = routed.setdefault(sid % _n, [])
+                    for link in links:
+                        lst.append((sid, nd, link))
+                n_links += len(links) * int(counts[hit_idx[row]])
+            _ray.get(
+                [_handles[s].stage.remote(es) for s, es in routed.items()]
+            )
+        return pa.table({"n_links": pa.array([n_links], pa.int64())})
+
+    counts_ds = (
+        fetched_ds.select_columns(["url", "links"])
+        .map_batches(
+            expand_task, batch_format="pyarrow", runtime_env=runtime_env()
+        )
+        .materialize()  # barrier: every stage() RPC has been ray.get-ed
+    )
+    total = sum(r["n_links"] for r in counts_ds.take_all())
+    frontier.commit_staged()
+    return total
 
 
 @dataclass
@@ -269,8 +350,14 @@ def run_crawl(
 
     manifest_path = run_path / "manifest.json"
     start_gen = 0
-    frontier = FrontierQueue(max_per_seed=cfg.frontier_max_per_seed)
-    frontier.push((sid, 0, u) for sid, u in enumerate(valid_seeds))
+    use_sharded = bool(cfg.frontier_shards)
+    if use_sharded:
+        frontier = ShardedFrontierQueue(
+            cfg.frontier_shards, max_per_seed=cfg.frontier_max_per_seed
+        )
+    else:
+        frontier = FrontierQueue(max_per_seed=cfg.frontier_max_per_seed)
+    frontier.push([(sid, 0, u) for sid, u in enumerate(valid_seeds)])
 
     if resume and manifest_path.exists():
         from ..corpus import corpus_digest as _cdigest
@@ -303,7 +390,10 @@ def run_crawl(
             frontier.restore_parquet(
                 str(state_root / f"frontier_gen{last['generation']}.parquet")
             )
-            frontier.dropped = int(last.get("frontier_dropped", 0))
+            if use_sharded:
+                frontier.set_dropped(int(last.get("frontier_dropped", 0)))
+            else:
+                frontier.dropped = int(last.get("frontier_dropped", 0))
             metrics = [GenerationMetrics(**m) for m in manifest.get("metrics", [])]
             logger.info("Resuming from generation %d (%d frontier entries)", start_gen, len(frontier))
     else:
@@ -392,12 +482,26 @@ def run_crawl(
                     batch_size=cfg.extract_batch_size,
                     runtime_env=runtime_env(),
                 ).materialize()
-                # control-plane metadata pull: url → hash/links (NOT text/html)
-                meta = fetched_ds.select_columns(
-                    ["url", "content_hash", "links"]
-                ).take_all()
+                # control-plane metadata pull: url → content hash (NOT
+                # text/html) — the replay needs the hash for dedup
+                # semantics.  Links stay OUT of the driver on the sharded
+                # path (they flow data-plane → frontier shards below);
+                # the driver path pulls them for its local queue.
+                meta_cols = (
+                    ["url", "content_hash"]
+                    if use_sharded
+                    else ["url", "content_hash", "links"]
+                )
+                meta = fetched_ds.select_columns(meta_cols).take_all()
                 extracted = {
-                    r["url"]: {"content_hash": r["content_hash"], "links": list(r["links"])}
+                    r["url"]: {
+                        "content_hash": r["content_hash"],
+                        **(
+                            {}
+                            if use_sharded
+                            else {"links": list(r["links"])}
+                        ),
+                    }
                     for r in meta
                 }
             else:
@@ -524,12 +628,21 @@ def run_crawl(
             out_ds.write_parquet(str(gen_results_dir))
 
         # ── next-generation frontier (enqueue guard depth < max_depth) ────
-        for sid, u in sorted(replay.propagate):
-            d = cand_depth[(sid, u)]
-            if d < cfg.max_depth:
-                frontier.push(
-                    (sid, d + 1, link) for link in extracted[u]["links"]
-                )
+        if use_sharded:
+            expand = [
+                (u, sid, cand_depth[(sid, u)] + 1)
+                for sid, u in sorted(replay.propagate)
+                if cand_depth[(sid, u)] < cfg.max_depth
+            ]
+            if expand and fetched_ds is not None:
+                _push_links_dataplane(fetched_ds, expand, frontier)
+        else:
+            for sid, u in sorted(replay.propagate):
+                d = cand_depth[(sid, u)]
+                if d < cfg.max_depth:
+                    frontier.push(
+                        (sid, d + 1, link) for link in extracted[u]["links"]
+                    )
         gm.deferred = len(frontier)
         gm.wall_time_s = time.monotonic() - t_gen
         metrics.append(gm)
@@ -566,7 +679,9 @@ def run_crawl(
                 "counts": gm.as_dict(),
                 "seed_states": {str(k): v.as_dict() for k, v in states.items()},
                 "frontier_size": len(frontier),
-                "frontier_dropped": frontier.dropped,
+                "frontier_dropped": (
+                    frontier.dropped() if use_sharded else frontier.dropped
+                ),
             }
         )
         manifest["metrics"] = [m.as_dict() for m in metrics]
@@ -582,7 +697,9 @@ def run_crawl(
         "pages_failed": sum(s.failed for s in states.values()),
         "pages_skipped": sum(s.skipped for s in states.values()),
         "pages_deduplicated": sum(s.deduplicated for s in states.values()),
-        "frontier_dropped": frontier.dropped,
+        "frontier_dropped": (
+            frontier.dropped() if use_sharded else frontier.dropped
+        ),
         "generations": gen,
     }
     return CrawlRun(

@@ -28,6 +28,30 @@ import pyarrow.parquet as pq
 Entry = Tuple[int, int, str]  # (seed_id, depth, url)
 
 
+def _entries_to_parquet(rows: List[Entry], path: str) -> None:
+    pq.write_table(
+        pa.table(
+            {
+                "seed_id": pa.array([r[0] for r in rows], pa.int32()),
+                "depth": pa.array([r[1] for r in rows], pa.int32()),
+                "url": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        path,
+    )
+
+
+def _parquet_to_entries(path: str) -> List[Entry]:
+    t = pq.read_table(path)
+    return list(
+        zip(
+            t.column("seed_id").to_pylist(),
+            t.column("depth").to_pylist(),
+            t.column("url").to_pylist(),
+        )
+    )
+
+
 class FrontierQueue:
     """Deterministic per-seed priority queue over frontier entries."""
 
@@ -88,27 +112,10 @@ class FrontierQueue:
         self.push([tuple(e) for e in entries])
 
     def snapshot_parquet(self, path: str) -> None:
-        rows = self.snapshot_list()
-        pq.write_table(
-            pa.table(
-                {
-                    "seed_id": pa.array([r[0] for r in rows], pa.int32()),
-                    "depth": pa.array([r[1] for r in rows], pa.int32()),
-                    "url": pa.array([r[2] for r in rows], pa.string()),
-                }
-            ),
-            path,
-        )
+        _entries_to_parquet(self.snapshot_list(), path)
 
     def restore_parquet(self, path: str) -> None:
-        t = pq.read_table(path)
-        self.restore_list(
-            zip(
-                t.column("seed_id").to_pylist(),
-                t.column("depth").to_pylist(),
-                t.column("url").to_pylist(),
-            )
-        )
+        self.restore_list(_parquet_to_entries(path))
 
 
 class ShardedFrontierQueue:
@@ -118,6 +125,19 @@ class ShardedFrontierQueue:
     the shard key is ``hash(host)`` so each shard co-locates with its
     corpus partition.  All actor calls are batched; pops merge-sort across
     shards deterministically.
+
+    **Staged pushes** are the data-plane link-expansion protocol: fetch
+    tasks call ``stage()`` on shard handles concurrently (arrival order is
+    nondeterministic), and the driver's ``commit_staged()`` barrier makes
+    each shard SORT its staging buffer before pushing — so the applied
+    order is canonical (depth-then-url, lowest depth winning frontier
+    dedup) no matter how tasks interleaved.  Link entries therefore flow
+    worker→shard as batches; the driver sees only counts.
+
+    **Checkpointing is per-shard**: ``snapshot_parquet(path)`` has every
+    shard write its own ``<path>.shard<i>`` file — frontier bytes never
+    transit the driver (at a 10^10 frontier a driver gather would be the
+    dominant checkpoint cost).
     """
 
     def __init__(self, n_shards: int = 2, max_per_seed: Optional[int] = None) -> None:
@@ -127,9 +147,20 @@ class ShardedFrontierQueue:
         class _Shard:
             def __init__(self, max_per_seed):
                 self._q = FrontierQueue(max_per_seed)
+                self._staged: List[Entry] = []
 
             def push(self, entries):
                 self._q.push(entries)
+                return len(self._q)
+
+            def stage(self, entries):
+                self._staged.extend(tuple(e) for e in entries)
+                return len(self._staged)
+
+            def commit(self):
+                ents = sorted(self._staged)
+                self._staged.clear()
+                self._q.push(ents)
                 return len(self._q)
 
             def pop_budget(self, budget):
@@ -141,15 +172,74 @@ class ShardedFrontierQueue:
             def dropped(self):
                 return self._q.dropped
 
+            def set_dropped(self, n):
+                self._q.dropped = n
+
             def snapshot(self):
                 return self._q.snapshot_list()
+
+            def snapshot_file(self, path):
+                _entries_to_parquet(self._q.snapshot_list(), path)
+                return len(self._q)
 
             def restore(self, entries):
                 self._q.restore_list(entries)
                 return len(self._q)
 
+            def restore_file(self, path):
+                self._q.restore_list(_parquet_to_entries(path))
+                return len(self._q)
+
         self._n = n_shards
         self._shards = [_Shard.remote(max_per_seed) for _ in range(n_shards)]
+
+    @property
+    def n_shards(self) -> int:
+        return self._n
+
+    @property
+    def shard_handles(self):
+        """Actor handles for data-plane tasks to ``stage()`` against
+        (route by ``seed_id % n_shards``)."""
+        return list(self._shards)
+
+    def commit_staged(self) -> int:
+        import ray
+
+        return sum(ray.get([s.commit.remote() for s in self._shards]))
+
+    def set_dropped(self, n: int) -> None:
+        import ray
+
+        ray.get(self._shards[0].set_dropped.remote(n))
+
+    def snapshot_parquet(self, path: str) -> None:
+        import ray
+
+        ray.get(
+            [
+                s.snapshot_file.remote(f"{path}.shard{i}")
+                for i, s in enumerate(self._shards)
+            ]
+        )
+
+    def restore_parquet(self, path: str) -> None:
+        import glob as _glob
+
+        import ray
+
+        files = sorted(_glob.glob(f"{path}.shard*"))
+        if len(files) != self._n:
+            raise ValueError(
+                f"frontier shard count changed across resume: "
+                f"{len(files)} snapshot files for {self._n} shards"
+            )
+        ray.get(
+            [
+                self._shards[i].restore_file.remote(f"{path}.shard{i}")
+                for i in range(self._n)
+            ]
+        )
 
     def _route(self, entries: Iterable[Entry]) -> Dict[int, List[Entry]]:
         routed: Dict[int, List[Entry]] = {}

@@ -269,3 +269,51 @@ def test_load_settings_rejects_bad_config(tmp_path):
     bad.write_text("- just\n- a list\n")
     with _pytest.raises(ValueError):
         load_settings(str(bad))
+
+
+def test_conformance_sharded_frontier(smoke_corpus, tmp_path):
+    """frontier_shards path: actor-pool frontier + DATA-PLANE link
+    expansion (links never transit the driver) must replay the reference
+    control flow exactly — same oracle as the driver-queue path."""
+    seeds = corpus.seed_urls(6)
+    cfg = CrawlSettings(max_depth=2, seen_shards=2, frontier_shards=2)
+    run = run_crawl(smoke_corpus, seeds, cfg, run_dir=str(tmp_path / "run"))
+    trace = oracle.crawl_oracle(oracle.load_corpus_map(smoke_corpus), seeds, cfg)
+    assert run.stats["pages_crawled"] > 0
+    _compare(run, trace)
+
+
+def test_sharded_frontier_matches_driver_queue(smoke_corpus, tmp_path):
+    """Sharded vs driver-local frontier: identical per-generation fetch
+    sets, stats, and results rows (staged pushes commit canonically)."""
+    seeds = corpus.seed_urls(4)
+    base = dict(max_depth=2, max_pages=8, seen_shards=2)
+    d = run_crawl(smoke_corpus, seeds, CrawlSettings(**base),
+                  run_dir=str(tmp_path / "drv"), track_fetched_urls=True)
+    s = run_crawl(smoke_corpus, seeds,
+                  CrawlSettings(**base, frontier_shards=3),
+                  run_dir=str(tmp_path / "shd"), track_fetched_urls=True)
+    assert d.fetched_urls_per_gen == s.fetched_urls_per_gen
+    assert d.stats == s.stats
+    dt = sorted(map(tuple, (
+        (r["seed_id"], r["url"], r["depth"], r["content_hash"])
+        for r in d.results_table().to_pylist())))
+    st = sorted(map(tuple, (
+        (r["seed_id"], r["url"], r["depth"], r["content_hash"])
+        for r in s.results_table().to_pylist())))
+    assert dt == st
+
+
+def test_sharded_frontier_resume(smoke_corpus, tmp_path):
+    """Checkpoint/resume with per-shard frontier snapshots."""
+    seeds = corpus.seed_urls(3)
+    cfg = CrawlSettings(max_depth=2, seen_shards=2, frontier_shards=2)
+    full = run_crawl(smoke_corpus, seeds, cfg,
+                     run_dir=str(tmp_path / "full"), track_fetched_urls=True)
+    part_dir = str(tmp_path / "part")
+    shallow = CrawlSettings(max_depth=2, seen_shards=2, frontier_shards=2,
+                            max_fetch_per_gen=3)
+    run_crawl(smoke_corpus, seeds, shallow, run_dir=part_dir)
+    resumed = run_crawl(smoke_corpus, seeds, shallow, run_dir=part_dir,
+                        resume=True, track_fetched_urls=True)
+    assert resumed.stats["pages_crawled"] >= 0  # resume completed cleanly
