@@ -8,14 +8,15 @@ Scale notes (these run against 100 TB corpora):
   variant is a pure native aggregate (min doc_id per hash) with no
   per-group Python.
 * **minhash_lsh_pairs** — shingle→minhash→band; the shuffle key is
-  ``(band_id, band_hash)`` so only near-identical docs co-locate; candidate
-  verification is per-bucket.
-* **token-set Jaccard / embedding near-dup** — implemented here with the
-  broadcast-small-side pattern (``ray.put`` the comparison side once; the
-  worker-local ``broadcast.cached_get`` deserializes once per worker):
-  exact and cheap when one side fits memory.  For large×large, switch to
-  the inverted-index join with hot-token salting (the minhash path above
-  is the recommended approximation).
+  ``(band_id, band_hash)`` so only near-identical docs co-locate;
+  candidate verification is a distributed double hash-join against the
+  shingle table (nothing driver-resident).
+* **jaccard_pairs_exact** — the EXACT set-similarity join via prefix
+  filtering (AllPairs/PPJoin): df-ordered prefixes bound the inverted
+  buckets, size-ratio pruning cuts candidates, the same double-join
+  verification computes exact Jaccard.
+* **embedding_neardup_pairs** — exact cosine all-pairs as a distributed
+  blocked pairwise matmul (two object-store blocks per task).
 
 All similarity kernels are vectorized numpy (no per-word Python bit
 loops); all broadcast stages are plain map TASKS (warm workers, no actor
@@ -372,18 +373,47 @@ def minhash_lsh_pairs(
         runtime_env=runtime_env(),
     )
 
-    # distributed exact verification: double hash-join pairs → shingles
-    # (the join drops the right "id" key and suffixes the colliding
-    # payload column → id_a, id_b, sh, sh_b).  The join's all-to-all
-    # moves only candidate docs' shingle blobs (inner join restricts
-    # implicitly); no take_all, no driver dict.
-    n_parts = max(2, shuffle_partitions or 8)
+    return _join_verify_jaccard(cand, sh_ds, threshold,
+                                max(2, shuffle_partitions or 8))
+
+
+_EMPTY_VERIFIED = pa.table(
+    {
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    }
+)
+
+
+def _join_verify_jaccard(cand, blob_ds, threshold: float, n_parts: int):
+    """Distributed exact Jaccard verification of candidate (id_a, id_b)
+    pairs: double hash-join against a (id, blob-of-sorted-uint64-hashes)
+    table (the join drops the right "id" key and suffixes the colliding
+    payload column → id_a, id_b, sh, sh_b).  The join's all-to-all moves
+    only candidate docs' hash blobs (inner join restricts implicitly); no
+    take_all, no driver dict.  Shared by minhash_lsh_pairs (shingle
+    blobs) and jaccard_pairs_exact (token-hash blobs).
+
+    Every join input passes through ``coalesce_nonempty`` — see that
+    helper's docstring for the Ray empty-block join failure it guards."""
+    import ray
+
+    from .partition import coalesce_nonempty
+
+    cand = coalesce_nonempty(cand)
+    blob_nz = coalesce_nonempty(blob_ds)
+    if cand is None or blob_nz is None:
+        return ray.data.from_arrow(_EMPTY_VERIFIED)
     j1 = cand.join(
-        sh_ds, "inner", num_partitions=n_parts,
+        blob_nz, "inner", num_partitions=n_parts,
         on=("id_a",), right_on=("id",),
     )
+    j1 = coalesce_nonempty(j1)
+    if j1 is None:
+        return ray.data.from_arrow(_EMPTY_VERIFIED)
     j2 = j1.join(
-        sh_ds, "inner", num_partitions=n_parts,
+        blob_nz, "inner", num_partitions=n_parts,
         on=("id_b",), right_on=("id",), right_suffix="_b",
     )
 
@@ -400,8 +430,7 @@ def minhash_lsh_pairs(
                 if not len(sa) and not len(sb):
                     j = 1.0
                 else:
-                    # shingle_set output is sorted+unique → sorted-array
-                    # intersection
+                    # blobs are sorted+unique → sorted-array intersection
                     inter = len(np.intersect1d(sa, sb, assume_unique=True))
                     j = inter / (len(sa) + len(sb) - inter)
                 if j >= thr:
@@ -421,62 +450,186 @@ def minhash_lsh_pairs(
     )
 
 
-# ── token-set Jaccard (exact, broadcast) ─────────────────────────────────────
+# ── token-set Jaccard (exact, prefix-filtering join) ─────────────────────────
 
 
 def jaccard_pairs_exact(
-    ds, id_column: str = "doc_id", text_column: str = "text", threshold: float = 0.8
+    ds, id_column: str = "doc_id", text_column: str = "text",
+    threshold: float = 0.8, shuffle_partitions: int | None = None,
+    max_bucket: int = 65536,
 ):
-    """ALL pairs with token-set Jaccard ≥ threshold (exact).
+    """ALL pairs with token-set Jaccard ≥ threshold — EXACT, via the
+    prefix-filtering set-similarity join (AllPairs / PPJoin family,
+    Bayardo et al. 2007 / Xiao et al. 2008, public algorithms).
 
-    Broadcast-small-side: the full (id → token set) map is put in the
-    object store once; each batch compares its rows against all ids > own
-    (dedup by id_a < id_b).  Exact counterpart to minhash_lsh_pairs.
+    Filter: order every document's tokens by the GLOBAL (df, hash) total
+    order; any two docs with J ≥ t must share a token among each doc's
+    first ``|d| - ceil(t*|d|) + 1`` tokens under that order (pigeonhole
+    on the required overlap ``|x∩y| ≥ t/(1+t)(|x|+|y|)``) — so indexing
+    only those prefix tokens finds every qualifying pair.  df-ascending
+    ordering puts the RAREST tokens in prefixes, keeping the inverted
+    buckets small; a size-ratio prune (``min ≥ t·max``) drops impossible
+    pairs before verification.
+
+    Scale shape (nothing driver-resident): token blobs materialized once
+    → distributed df count → hash-join token→df → doc-id sort + per-run
+    prefix pick → token sort + in-bucket pair emission (``max_bucket``
+    guard, same contract as the other pair generators) → pair distinct →
+    the shared double-join exact verification (:func:`_join_verify_jaccard`).
+    Tokens travel as 8-byte blake2b hashes; a cross-doc collision (odds
+    ~V²/2⁶⁴) is the only approximation.
     """
-    import ray
+    from .agg import grouped_agg
 
-    tok_tbl = ds.map_batches(
-        lambda b: pa.table(
-            {
-                "id": b.column(id_column),
-                "tok": pa.array(
-                    [token_set(t) for t in b.column(text_column).to_pylist()],
-                    pa.large_list(pa.string()),
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-        runtime_env=runtime_env(),
-    ).take_all()
-    tok_ref = ray.put([(r["id"], frozenset(r["tok"])) for r in tok_tbl])
+    n_parts = max(2, shuffle_partitions or 8)
 
-    def pair_scan(batch: pa.Table, ref=tok_ref, thr=threshold) -> pa.Table:
-        all_toks = cached_get(ref)
-        tok_map = dict(all_toks)
-        a_out, b_out, jac = [], [], []
-        ids = batch.column(id_column).to_pylist()
-        for rid in ids:
-            # token sets were computed ONCE in the broadcast pass
-            mine = tok_map.get(rid, frozenset())
-            for oid, other in all_toks:
-                if oid <= rid:
-                    continue
-                j = jaccard(mine, other)
-                if j >= thr:
-                    a_out.append(rid)
-                    b_out.append(oid)
-                    jac.append(j)
+    def tok_batch(batch: pa.Table) -> pa.Table:
+        blobs = []
+        for t in batch.column(text_column).to_pylist():
+            h = np.sort(_word_hashes(token_set(t)))
+            blobs.append(h.tobytes())
         return pa.table(
             {
-                "id_a": pa.array(a_out, pa.int64()),
-                "id_b": pa.array(b_out, pa.int64()),
-                "jaccard": pa.array(jac, pa.float64()),
+                "id": batch.column(id_column),
+                "sh": pa.array(blobs, pa.large_binary()),
             }
         )
 
-    return ds.map_batches(
-        pair_scan, batch_format="pyarrow", runtime_env=runtime_env()
+    tok_ds = ds.map_batches(
+        tok_batch, batch_format="pyarrow", runtime_env=runtime_env()
+    ).materialize()  # reused: df explode, prefix pick, double verify join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_in = batch.column("id").to_numpy(zero_copy_only=False)
+        blobs = batch.column("sh").to_pylist()
+        out_id, out_th = [], []
+        for i, b in enumerate(blobs):
+            th = np.frombuffer(b, dtype=np.uint64)
+            if len(th):
+                out_id.append(np.full(len(th), ids_in[i], np.int64))
+                out_th.append(th)
+        if not out_id:
+            return pa.table(
+                {"id": pa.array([], pa.int64()),
+                 "th": pa.array([], pa.uint64())}
+            )
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate(out_id), pa.int64()),
+                "th": pa.array(np.concatenate(out_th), pa.uint64()),
+            }
+        )
+
+    exploded = tok_ds.map_batches(
+        explode, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
     )
+    df_ds = grouped_agg(exploded, ["th"], [("df", "", "count")])
+    from .partition import coalesce_nonempty
+
+    exploded_nz = coalesce_nonempty(exploded)
+    df_nz = coalesce_nonempty(df_ds)
+    if exploded_nz is None or df_nz is None:
+        import ray
+
+        return ray.data.from_arrow(_EMPTY_VERIFIED)
+    jdf = exploded_nz.join(df_nz, "inner", num_partitions=n_parts,
+                           on=("th",))
+
+    _empty_prefix = pa.table(
+        {
+            "th": pa.array([], pa.uint64()),
+            "id": pa.array([], pa.int64()),
+            "m": pa.array([], pa.int64()),
+        }
+    )
+
+    def prefix_pick(batch: pa.Table, thr=threshold) -> pa.Table:
+        # input sorted by id: each doc's rows are one run in-block
+        if batch.num_rows == 0:
+            return _empty_prefix
+        ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        th = batch.column("th").combine_chunks().to_numpy(zero_copy_only=False)
+        df = batch.column("df").combine_chunks().to_numpy(zero_copy_only=False)
+        # order: doc, then GLOBAL (df asc, hash asc) within the doc
+        order = np.lexsort((th, df, ids))
+        ids_s, th_s = ids[order], th[order]
+        starts, ends = _run_bounds(ids_s)
+        lens = ends - starts
+        m = np.repeat(lens, lens)          # each row's doc token count
+        rank = run_rank(ids_s)
+        # prefix length p = m - ceil(t*m) + 1
+        p = m - np.ceil(thr * m).astype(np.int64) + 1
+        mask = rank < p
+        return pa.table(
+            {
+                "th": pa.array(th_s[mask], pa.uint64()),
+                "id": pa.array(ids_s[mask], pa.int64()),
+                "m": pa.array(m[mask], pa.int64()),
+            }
+        )
+
+    prefixes = jdf.sort("id").map_batches(
+        prefix_pick, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )
+
+    _empty = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+
+    def bucket_pairs(batch: pa.Table, thr=threshold) -> pa.Table:
+        # input sorted by th: each prefix-token bucket is one run
+        if batch.num_rows == 0:
+            return _empty
+        th = batch.column("th").combine_chunks().to_numpy(zero_copy_only=False)
+        ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        ms = batch.column("m").combine_chunks().to_numpy(zero_copy_only=False)
+        starts, ends = _run_bounds(th)
+        sizes = ends - starts
+        sel = (sizes >= 2) & (sizes <= max_bucket)
+        out_a, out_b = [], []
+        for s, e in zip(starts[sel], ends[sel]):
+            seg_ids = ids[s:e]
+            seg_ms = ms[s:e]
+            o = np.argsort(seg_ids, kind="stable")
+            seg_ids, seg_ms = seg_ids[o], seg_ms[o]
+            ii, jj = np.triu_indices(int(e - s), 1)
+            keep = seg_ids[ii] != seg_ids[jj]
+            # size-ratio prune: J ≥ t requires min(|x|,|y|) ≥ t·max
+            mi = np.minimum(seg_ms[ii], seg_ms[jj])
+            ma = np.maximum(seg_ms[ii], seg_ms[jj])
+            keep &= mi >= thr * ma
+            out_a.append(seg_ids[ii][keep])
+            out_b.append(seg_ids[jj][keep])
+        if not out_a:
+            return _empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty
+        a = batch.column("id_a").combine_chunks().to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").combine_chunks().to_numpy(zero_copy_only=False)
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return batch.filter(pa.array(keep))
+
+    cand = (
+        prefixes.sort("th")
+        .map_batches(bucket_pairs, batch_format="pyarrow", batch_size=None,
+                     runtime_env=runtime_env())
+        .sort(["id_a", "id_b"])
+        .map_batches(distinct_pairs, batch_format="pyarrow",
+                     batch_size=None, runtime_env=runtime_env())
+    )
+
+    return _join_verify_jaccard(cand, tok_ds, threshold, n_parts)
 
 
 # ── SimHash ──────────────────────────────────────────────────────────────────

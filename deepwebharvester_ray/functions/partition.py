@@ -26,6 +26,24 @@ from ..broadcast import cached_get
 from ..urlops import batch_url_hash64
 
 
+def coalesce_nonempty(ds, rows_per_block: int = 65536):
+    """Materialize *ds* and repartition so NO block is empty; returns
+    ``None`` for a 0-row dataset.
+
+    Guard for Ray 2.49's hash-shuffle JOIN: an empty Arrow block in
+    either join input reaches the per-partition aggregator as a
+    zero-column table and acero fails with "No match … for key field".
+    Sparse datasets (candidate pairs behind a sort, a previous join's
+    output) routinely carry empty blocks; callers must coalesce them
+    before joining.  repartition(n) splits rows evenly, so with
+    n = ceil(rows / rows_per_block) every block is non-empty."""
+    ds = ds.materialize()
+    n = ds.count()
+    if n == 0:
+        return None
+    return ds.repartition(max(1, -(-n // rows_per_block)))
+
+
 def add_salt_column(
     batch: pa.Table,
     key_column: str,

@@ -545,9 +545,13 @@ ORDER BY id_a, id_b
 
 
 def q_jaccard_pairs(sf_dir: str):
-    """Exact token-set Jaccard near-dup pairs (broadcast small side)."""
-    ds = _docs(sf_dir, columns=["doc_id", "text"])
-    pairs = jaccard_pairs_exact(ds, threshold=JACCARD_THRESHOLD)
+    """Exact token-set Jaccard near-dup pairs via the prefix-filtering
+    set-similarity join (df-ordered prefixes → inverted-bucket candidates
+    → size-ratio prune → distributed double-join verification)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    pairs = jaccard_pairs_exact(ds, threshold=JACCARD_THRESHOLD,
+                                shuffle_partitions=_shuffle_parts(sf_dir))
     return pairs.select_columns(["id_a", "id_b"])
 
 
@@ -1637,9 +1641,21 @@ def q_top_terms_tfidf(sf_dir: str):
     # so a plain grouped count — stays DISTRIBUTED (no take_all)
     df_ds = grouped_agg(terms, ["token"], [("df", "", "count")])
 
+    from ..functions.partition import coalesce_nonempty
+
     n_parts = max(2, _shuffle_parts(sf_dir))
-    joined = terms.join(df_ds, "inner", num_partitions=n_parts,
-                        on=("token",))
+    terms_nz = coalesce_nonempty(terms)
+    df_nz = coalesce_nonempty(df_ds)
+    if terms_nz is None or df_nz is None:
+        import ray
+
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "token": pa.array([], pa.string()),
+                      "score": pa.array([], pa.int64())})
+        )
+    joined = terms_nz.join(df_nz, "inner", num_partitions=n_parts,
+                           on=("token",))
 
     def score_batch(batch: pa.Table) -> pa.Table:
         tf = batch.column("tf").combine_chunks().to_numpy(zero_copy_only=False)
