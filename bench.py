@@ -133,17 +133,20 @@ def run_headline(sf_dir: str, trials: int = 1) -> dict:
     return best
 
 
-def run_wide_crawl(sf_dir: str) -> dict:
+def run_wide_crawl(sf_dir: str, frontier_shards=None) -> dict:
     """Exhaustive BFS crawl over the expanded corpus: 2 000 seeds spread
     across the 64 hosts, effectively unbounded budgets — measures the full
     generation loop (frontier queue, seen-set, replay, pruned fetch,
-    checkpointing), not just the data plane."""
+    checkpointing), not just the data plane.  With ``frontier_shards``
+    the frontier is the actor pool + data-plane link expansion (the
+    10^10-frontier architecture); both variants are benchmarked."""
     from deepwebharvester_ray.config import CrawlSettings
     from deepwebharvester_ray.corpus import corpus_from_documents, seed_urls
     from deepwebharvester_ray.pipelines.crawl import run_crawl
 
     corpus_dir = corpus_from_documents(sf_dir, factor=FACTOR)
-    cfg = CrawlSettings(max_depth=3, max_pages=1_000_000, seen_shards=4)
+    cfg = CrawlSettings(max_depth=3, max_pages=1_000_000, seen_shards=4,
+                        frontier_shards=frontier_shards)
     run_dir = f"/tmp/dwh_bench_crawl_{os.getpid()}"
     if Path(run_dir).exists():
         shutil.rmtree(run_dir)
@@ -290,6 +293,10 @@ def main() -> None:
     try:
         head = run_headline(sf_dir, trials=args.trials)
         crawl = None if args.headline_only else run_wide_crawl(sf_dir)
+        crawl_sh = (
+            None if args.headline_only
+            else run_wide_crawl(sf_dir, frontier_shards=8)
+        )
         timings = {} if args.headline_only else run_queries(sf_dir)
     finally:
         ray.shutdown()
@@ -312,6 +319,13 @@ def main() -> None:
             "generations": crawl["generations"],
             "wall_s": round(crawl["wall_s"], 3),
             "pages_per_sec": round(crawl["pages_per_sec"], 2),
+        }
+    if crawl_sh is not None:
+        out["bfs_crawl_sharded"] = {
+            "pages": crawl_sh["pages"],
+            "generations": crawl_sh["generations"],
+            "wall_s": round(crawl_sh["wall_s"], 3),
+            "pages_per_sec": round(crawl_sh["pages_per_sec"], 2),
         }
     print(json.dumps(out))
 

@@ -27,20 +27,34 @@ from ..urlops import batch_url_hash64
 
 
 def coalesce_nonempty(ds, rows_per_block: int = 65536):
-    """Materialize *ds* and repartition so NO block is empty; returns
-    ``None`` for a 0-row dataset.
+    """Materialize *ds* and ensure NO block is empty; returns ``None``
+    for a 0-row dataset.
 
     Guard for Ray 2.49's hash-shuffle JOIN: an empty Arrow block in
     either join input reaches the per-partition aggregator as a
     zero-column table and acero fails with "No match … for key field".
     Sparse datasets (candidate pairs behind a sort, a previous join's
     output) routinely carry empty blocks; callers must coalesce them
-    before joining.  repartition(n) splits rows evenly, so with
-    n = ceil(rows / rows_per_block) every block is non-empty."""
+    before joining.
+
+    The emptiness check is metadata-only on the materialized dataset —
+    the (common) all-blocks-nonempty case pays no extra pass.  Otherwise
+    repartition(ceil(rows / rows_per_block)) splits rows evenly, so
+    every block is non-empty."""
     ds = ds.materialize()
     n = ds.count()
     if n == 0:
         return None
+    try:
+        sizes = [
+            meta.num_rows
+            for bundle in ds.iter_internal_ref_bundles()
+            for meta in bundle.metadata
+        ]
+        if sizes and all(s and s > 0 for s in sizes):
+            return ds
+    except Exception:  # metadata unavailable → take the safe path
+        pass
     return ds.repartition(max(1, -(-n // rows_per_block)))
 
 

@@ -462,3 +462,34 @@ def test_connected_components_nonconvergence_raises():
     out = {r["doc_id"]: r["cluster_id"]
            for r in connected_components(chain, max_rounds=10).take_all()}
     assert set(out.values()) == {0}
+
+
+# ── grouped_agg final-mode equivalence ───────────────────────────────────────
+
+
+def test_grouped_agg_native_matches_single():
+    """The high-cardinality native final merge must produce exactly the
+    single-block result (same rows, same key order)."""
+    import ray
+
+    from deepwebharvester_ray.functions.agg import grouped_agg
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 997, 20_000)
+    vals = rng.integers(0, 1000, 20_000)
+    t = pa.table({"k": pa.array(keys, pa.int64()),
+                  "v": pa.array(vals, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(8)
+    specs = [("n", "", "count"), ("s", "v", "sum"),
+             ("lo", "v", "min"), ("hi", "v", "max")]
+    single = grouped_agg(ds, ["k"], specs, final_mode="single").to_pandas()
+    native = grouped_agg(ds, ["k"], specs, final_mode="native").to_pandas()
+    assert single.equals(native)
+    # sanity vs pyarrow's own aggregation
+    ref = (
+        t.group_by(["k"])
+        .aggregate([([], "count_all"), ("v", "sum"), ("v", "min"), ("v", "max")])
+        .sort_by([("k", "ascending")])
+    )
+    assert single["n"].tolist() == ref.column("count_all").to_pylist()
+    assert single["s"].tolist() == ref.column("v_sum").to_pylist()

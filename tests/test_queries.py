@@ -24,6 +24,10 @@ SPOT_CHECKED = [
     "split_assign",
     "top_tokens",
     "token_packing",
+    "stratified_sample",
+    "top_terms_tfidf",
+    "jaccard_pairs",
+    "lineitem_orders_join",
 ]
 
 
@@ -125,3 +129,40 @@ def test_fetch_extract_task_empty_frontier(ray_session):
     )
     assert hit.num_rows == 1
     assert hit.column("title")[0].as_py() == "T"
+
+
+def test_stratified_sample_awkward_strata(ray_session, tmp_path):
+    """The two-pass hash-cutoff sampler takes exactly ceil(n_g/10) from
+    EVERY stratum, including 1-row and non-multiple-of-10 strata, and
+    picks exactly the quota smallest hash values (reshard-stable)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import (
+        _SPLIT_MULT,
+        q_stratified_sample,
+    )
+
+    sizes = {"a": 1, "b": 9, "c": 10, "d": 11, "e": 95}
+    ids, types = [], []
+    nxt = 1000
+    for t, n in sizes.items():
+        for _ in range(n):
+            ids.append(nxt)
+            types.append(t)
+            nxt += 7
+    pq.write_table(
+        pa.table({"event_id": pa.array(ids, pa.int64()),
+                  "event_type": pa.array(types, pa.string())}),
+        str(tmp_path / "events.parquet"),
+    )
+    out = q_stratified_sample(str(tmp_path)).to_pandas()
+    got = out.groupby("event_type")["event_id"].apply(set).to_dict()
+    with np.errstate(over="ignore"):
+        hv = {i: int(np.uint64(i) * np.uint64(_SPLIT_MULT)) for i in ids}
+    for t, n in sizes.items():
+        quota = -(-n // 10)
+        members = [i for i, ty in zip(ids, types) if ty == t]
+        expect = set(sorted(members, key=lambda i: hv[i])[:quota])
+        assert got.get(t, set()) == expect, t

@@ -1,0 +1,158 @@
+"""Scale-evidence smokes (one JSON line each; run per-case in a fresh
+process so ru_maxrss is a clean per-run peak).
+
+  python tools/stress_scale.py minhash --dup 1      # baseline driver RSS
+  python tools/stress_scale.py minhash --dup 10     # 10x-duplicated corpus
+      → candidate pairs grow ~45x, driver RSS must stay ~flat (the
+        verification is a distributed double-join, VERDICT r1 #1)
+  python tools/stress_scale.py frontier --seeds 10000 --shards 8
+  python tools/stress_scale.py frontier --seeds 10000 --driver
+      → sharded vs driver-queue control plane on the same 80k-page
+        corpus: driver RSS drops when links stop transiting the driver
+  python tools/stress_scale.py highcard --n 10000000
+      → 10^7-distinct-key grouped_agg exercises the native final merge
+        (functions/agg.py SINGLE_BLOCK_CUTOFF switch) without OOM
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import resource
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def run_minhash(dup: int, sf_dir: str) -> dict:
+    import ray
+
+    from deepwebharvester_ray import runtime_env
+    from deepwebharvester_ray.functions.dedup import minhash_lsh_pairs
+
+    import pyarrow as pa
+
+    def shift_ids(batch: pa.Table, off: int) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(batch.column("doc_id"), off),
+        )
+
+    parts = []
+    for k in range(dup):
+        dsk = ray.data.read_parquet(
+            str(Path(sf_dir) / "documents.parquet"), columns=["doc_id", "text"]
+        )
+        if k:
+            dsk = dsk.map_batches(
+                shift_ids, fn_kwargs={"off": k * 1_000_000},
+                batch_format="pyarrow", runtime_env=runtime_env(),
+            )
+        parts.append(dsk)
+    ds = parts[0] if dup == 1 else parts[0].union(*parts[1:])
+
+    t0 = time.monotonic()
+    pairs = minhash_lsh_pairs(ds, threshold=0.8, shuffle_partitions=8)
+    n_pairs = pairs.count()
+    return {
+        "case": "minhash", "dup": dup, "pairs": n_pairs,
+        "wall_s": round(time.monotonic() - t0, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
+def run_frontier(seeds: int, shards: int | None, sf_dir: str) -> dict:
+    import shutil
+
+    from deepwebharvester_ray.config import CrawlSettings
+    from deepwebharvester_ray.corpus import corpus_from_documents, seed_urls
+    from deepwebharvester_ray.pipelines.crawl import run_crawl
+
+    corpus_dir = corpus_from_documents(sf_dir, factor=4)
+    cfg = CrawlSettings(
+        max_depth=2, max_pages=1_000_000, seen_shards=8,
+        frontier_shards=shards,
+    )
+    run_dir = "/tmp/dwh_stress_frontier"
+    if Path(run_dir).exists():
+        shutil.rmtree(run_dir)
+    t0 = time.monotonic()
+    run = run_crawl(corpus_dir, seed_urls(seeds), cfg=cfg, run_dir=run_dir)
+    wall = time.monotonic() - t0
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return {
+        "case": "frontier", "seeds": seeds,
+        "frontier_shards": shards, "pages": run.stats["pages_crawled"],
+        "generations": run.generations,
+        "wall_s": round(wall, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
+def run_highcard(n: int) -> dict:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from deepwebharvester_ray import runtime_env
+    from deepwebharvester_ray.functions.agg import grouped_agg
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column("id"), pa.string())
+        return pa.table(
+            {"token": pc.binary_join_element_wise("t", s, "")}
+        )
+
+    ds = ray.data.range(n).map_batches(
+        tokens, batch_format="pyarrow", runtime_env=runtime_env()
+    )
+    t0 = time.monotonic()
+    out = grouped_agg(ds, ["token"], [("n", "", "count")])
+    rows = out.count()
+    assert rows == n, (rows, n)
+    return {
+        "case": "highcard", "distinct_keys": rows,
+        "wall_s": round(time.monotonic() - t0, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("case", choices=["minhash", "frontier", "highcard"])
+    p.add_argument("--dup", type=int, default=1)
+    p.add_argument("--seeds", type=int, default=10_000)
+    p.add_argument("--shards", type=int, default=None)
+    p.add_argument("--driver", action="store_true",
+                   help="frontier: use the driver-local queue")
+    p.add_argument("--n", type=int, default=10_000_000)
+    p.add_argument("--sf", default="/root/testdata/sf0.01")
+    p.add_argument("--cpus", type=int, default=16)
+    args = p.parse_args()
+
+    import ray
+
+    ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
+             logging_level="ERROR", log_to_driver=False)
+    try:
+        if args.case == "minhash":
+            out = run_minhash(args.dup, args.sf)
+        elif args.case == "frontier":
+            shards = None if args.driver else (args.shards or 8)
+            out = run_frontier(args.seeds, shards, args.sf)
+        else:
+            out = run_highcard(args.n)
+    finally:
+        ray.shutdown()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)
