@@ -247,6 +247,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     shuffle_partitions: int | None = None,
     max_bucket: int = 4096,
+    verify_broadcast_cutoff: int | None = None,
 ):
     """Near-duplicate candidate pairs via MinHash banding, verified with
     exact shingle Jaccard.  Returns a Dataset of (id_a, id_b, jaccard).
@@ -268,12 +269,15 @@ def minhash_lsh_pairs(
     first-match emission a pair is missed only if its FIRST shared band's
     bucket is over-populated).
 
-    Verification is fully DISTRIBUTED: candidate pairs hash-join the
-    (id → shingles) table twice (on id_a, then id_b), so shingles of
-    candidate docs travel the wire per pair but never all land on the
-    driver — on a dup-heavy raw crawl the candidate set is O(dups), and
-    driver memory stays O(1).  Each joined row carries both shingle
-    arrays; exact Jaccard is a sorted-array intersection per pair.
+    Verification is the size-gated hybrid of
+    :func:`_join_verify_jaccard`: beyond the measured candidate-count
+    cutoff, candidate pairs hash-join the (id → shingles) table twice
+    (on id_a, then id_b), so shingles of candidate docs travel the wire
+    per pair but never all land on the driver — on a dup-heavy raw
+    crawl the candidate set is O(dups), and driver memory stays O(1).
+    Below the cutoff the bounded broadcast path skips the join
+    operators' ramp-up.  Exact Jaccard is a sorted-array intersection
+    per pair either way.
     """
     a_perm, b_perm = _perm_params()
 
@@ -374,7 +378,8 @@ def minhash_lsh_pairs(
     )
 
     return _join_verify_jaccard(cand, sh_ds, threshold,
-                                max(2, shuffle_partitions or 8))
+                                max(2, shuffle_partitions or 8),
+                                broadcast_cutoff=verify_broadcast_cutoff)
 
 
 _EMPTY_VERIFIED = pa.table(
@@ -386,14 +391,91 @@ _EMPTY_VERIFIED = pa.table(
 )
 
 
-def _join_verify_jaccard(cand, blob_ds, threshold: float, n_parts: int):
-    """Distributed exact Jaccard verification of candidate (id_a, id_b)
-    pairs: double hash-join against a (id, blob-of-sorted-uint64-hashes)
-    table (the join drops the right "id" key and suffixes the colliding
-    payload column → id_a, id_b, sh, sh_b).  The join's all-to-all moves
-    only candidate docs' hash blobs (inner join restricts implicitly); no
-    take_all, no driver dict.  Shared by minhash_lsh_pairs (shingle
-    blobs) and jaccard_pairs_exact (token-hash blobs).
+# Below this many candidate pairs, verification uses the broadcast path
+# (restricted blob pull, bounded driver memory ≈ cutoff × blob size);
+# above it, the distributed double hash-join.  Each Ray join operator
+# costs seconds of aggregator ramp-up, so joining 25 pairs is pure
+# overhead — but a dup-heavy raw crawl's candidate set must never be
+# driver-resident, hence the measured switch, not an assumption.
+VERIFY_BROADCAST_CUTOFF = 100_000
+
+
+def _verify_broadcast(cand, blob_ds, threshold: float):
+    """Small-candidate-set verification: pull ONLY candidate docs' blobs
+    (restricted by a broadcast sorted-id filter), broadcast the dict,
+    verify per pair inside map tasks.  Driver memory is O(candidates)."""
+    import ray
+
+    cand_rows = cand.take_all()
+    cand_ids = np.unique(
+        np.fromiter(
+            (i for r in cand_rows for i in (r["id_a"], r["id_b"])),
+            dtype=np.int64, count=2 * len(cand_rows),
+        )
+    )
+    ids_ref = ray.put(cand_ids)
+
+    def only_candidates(batch: pa.Table, ref=ids_ref) -> pa.Table:
+        wanted = cached_get(ref)
+        ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(wanted):
+            return batch.filter(pa.array(np.zeros(len(ids), dtype=bool)))
+        pos = np.searchsorted(wanted, ids)
+        pos[pos >= len(wanted)] = 0
+        return batch.filter(pa.array(wanted[pos] == ids))
+
+    blob_map = {
+        r["id"]: np.frombuffer(r["sh"], dtype=np.uint64)
+        for r in blob_ds.map_batches(
+            only_candidates, batch_format="pyarrow",
+            runtime_env=runtime_env(),
+        ).take_all()
+    }
+    blob_ref = ray.put(blob_map)
+    _empty_u64 = np.empty(0, dtype=np.uint64)
+
+    def verify(batch: pa.Table, ref=blob_ref, thr=threshold) -> pa.Table:
+        m = cached_get(ref)
+        keep_a, keep_b, jac = [], [], []
+        for a_id, b_id in zip(batch.column("id_a").to_pylist(),
+                              batch.column("id_b").to_pylist()):
+            sa = m.get(a_id, _empty_u64)
+            sb = m.get(b_id, _empty_u64)
+            if not len(sa) and not len(sb):
+                j = 1.0
+            else:
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                j = inter / (len(sa) + len(sb) - inter)
+            if j >= thr:
+                keep_a.append(a_id)
+                keep_b.append(b_id)
+                jac.append(j)
+        return pa.table(
+            {
+                "id_a": pa.array(keep_a, pa.int64()),
+                "id_b": pa.array(keep_b, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    return cand.map_batches(
+        verify, batch_format="pyarrow", runtime_env=runtime_env()
+    )
+
+
+def _join_verify_jaccard(cand, blob_ds, threshold: float, n_parts: int,
+                         broadcast_cutoff: int | None = None):
+    """Exact Jaccard verification of candidate (id_a, id_b) pairs.
+
+    Size-gated hybrid: the candidate count is MEASURED, and below
+    :data:`VERIFY_BROADCAST_CUTOFF` the broadcast path runs (bounded
+    O(candidates) driver memory, no join-operator ramp-up); above it,
+    the fully distributed double hash-join against the
+    (id, blob-of-sorted-uint64-hashes) table (the join drops the right
+    "id" key and suffixes the colliding payload column → id_a, id_b,
+    sh, sh_b) — the join's all-to-all moves only candidate docs' hash
+    blobs, nothing driver-resident.  Shared by minhash_lsh_pairs
+    (shingle blobs) and jaccard_pairs_exact (token-hash blobs).
 
     Every join input passes through ``coalesce_nonempty`` — see that
     helper's docstring for the Ray empty-block join failure it guards."""
@@ -405,6 +487,12 @@ def _join_verify_jaccard(cand, blob_ds, threshold: float, n_parts: int):
     blob_nz = coalesce_nonempty(blob_ds)
     if cand is None or blob_nz is None:
         return ray.data.from_arrow(_EMPTY_VERIFIED)
+
+    cutoff = (VERIFY_BROADCAST_CUTOFF if broadcast_cutoff is None
+              else broadcast_cutoff)
+    if cand.count() <= cutoff:
+        return _verify_broadcast(cand, blob_nz, threshold)
+
     j1 = cand.join(
         blob_nz, "inner", num_partitions=n_parts,
         on=("id_a",), right_on=("id",),

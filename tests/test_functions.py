@@ -493,3 +493,24 @@ def test_grouped_agg_native_matches_single():
     )
     assert single["n"].tolist() == ref.column("count_all").to_pylist()
     assert single["s"].tolist() == ref.column("v_sum").to_pylist()
+
+
+def test_minhash_verify_paths_agree():
+    """The broadcast (small-side) and distributed-join verification paths
+    must produce identical pair sets and jaccard values."""
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14"
+    texts = [base, base + " extra", "other thing entirely different words",
+             base + " extra more"]
+    bc = dedup.minhash_lsh_pairs(
+        _docs_ds(texts), threshold=0.4,
+        verify_broadcast_cutoff=10**9,  # force broadcast
+    ).take_all()
+    jn = dedup.minhash_lsh_pairs(
+        _docs_ds(texts), threshold=0.4,
+        verify_broadcast_cutoff=0,      # force distributed joins
+    ).take_all()
+    key = lambda r: (r["id_a"], r["id_b"])
+    assert sorted(map(key, bc)) == sorted(map(key, jn))
+    jb = {key(r): r["jaccard"] for r in bc}
+    jj = {key(r): r["jaccard"] for r in jn}
+    assert jb == jj

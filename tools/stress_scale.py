@@ -59,7 +59,11 @@ def run_minhash(dup: int, sf_dir: str) -> dict:
     ds = parts[0] if dup == 1 else parts[0].union(*parts[1:])
 
     t0 = time.monotonic()
-    pairs = minhash_lsh_pairs(ds, threshold=0.8, shuffle_partitions=8)
+    # cutoff 0 forces the DISTRIBUTED double-join verification — this
+    # smoke is specifically the evidence that the join path keeps the
+    # driver flat while candidates grow
+    pairs = minhash_lsh_pairs(ds, threshold=0.8, shuffle_partitions=8,
+                              verify_broadcast_cutoff=0)
     n_pairs = pairs.count()
     return {
         "case": "minhash", "dup": dup, "pairs": n_pairs,
