@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "vocab_hll",
     "token_packing",
     "neardup_embeddings",
+    "neardup_embeddings_lsh",
     "ann_topk",
     "events_by_type",
     "event_sessions",

@@ -239,6 +239,79 @@ def run_rank(sorted_keys: np.ndarray) -> np.ndarray:
     )
 
 
+def _band_sig_table(ids_in: np.ndarray, bh_mat: np.ndarray) -> pa.Table:
+    """Explode an (n_docs, n_bands) band-hash matrix into per-band
+    signature rows (id, band, band_hash, bands) — the carried ``bands``
+    fixed-size-list lets the pair-emission pass dedupe across bands."""
+    n, n_bands = bh_mat.shape
+    vec = pa.FixedSizeListArray.from_arrays(
+        pa.array(np.repeat(bh_mat, n_bands, axis=0).reshape(-1), pa.uint64()),
+        n_bands,
+    )
+    return pa.table(
+        {
+            "id": pa.array(np.repeat(ids_in.astype(np.int64), n_bands),
+                           pa.int64()),
+            "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n),
+                             pa.int32()),
+            "band_hash": pa.array(bh_mat.reshape(-1), pa.uint64()),
+            "bands": vec,
+        }
+    )
+
+
+def _band_block_pairs(n_bands: int, max_bucket: int):
+    """Vectorized per-block candidate-pair emission over
+    (band, band_hash)-sorted signature rows.
+
+    Each bucket (equal-key run) emits its pairs exactly once — from the
+    FIRST band on which the pair collides (the carried ``bands`` vectors
+    let later bands detect the earlier match and skip) — so no global
+    distinct-pairs aggregate is needed.  Singleton runs are masked and
+    buckets above ``max_bucket`` skipped (hot-bucket guard) OUTSIDE the
+    Python loop.  Shared by minhash_lsh_pairs and
+    embedding_neardup_lsh."""
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_PAIRS
+        band = batch.column("band").combine_chunks().to_numpy(zero_copy_only=False)
+        bh = batch.column("band_hash").combine_chunks().to_numpy(zero_copy_only=False)
+        ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        vec = batch.column("bands")
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        bands_mat = vec.flatten().to_numpy(zero_copy_only=False).reshape(-1, n_bands)
+        starts, ends = _run_bounds(band, bh)
+        sizes = ends - starts
+        # singleton skip + hot-bucket guard, both OUTSIDE the Python loop
+        sel = (sizes >= 2) & (sizes <= max_bucket)
+        out_a, out_b = [], []
+        for s, e in zip(starts[sel], ends[sel]):
+            m = int(e - s)
+            order = np.argsort(ids[s:e], kind="stable")
+            seg_ids = ids[s:e][order]
+            seg_bands = bands_mat[s:e][order]
+            k = int(band[s])
+            ii, jj = np.triu_indices(m, 1)
+            if k > 0:
+                prev_eq = (seg_bands[ii][:, :k] == seg_bands[jj][:, :k]).any(axis=1)
+                ii, jj = ii[~prev_eq], jj[~prev_eq]
+            neq = seg_ids[ii] != seg_ids[jj]
+            out_a.append(seg_ids[ii][neq])
+            out_b.append(seg_ids[jj][neq])
+        if not out_a:
+            return _EMPTY_PAIRS
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    return block_pairs
+
+
 def minhash_lsh_pairs(
     ds,
     id_column: str = "doc_id",
@@ -316,64 +389,15 @@ def minhash_lsh_pairs(
         for i in range(n):
             sh = np.frombuffer(blobs[i], dtype=np.uint64)
             bh_mat[i] = _band_hashes(minhash_signature(sh, a_perm, b_perm))
-        ids = np.repeat(ids_in.astype(np.int64), BANDS)
-        bands = np.tile(np.arange(BANDS, dtype=np.int32), n)
-        vec = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.repeat(bh_mat, BANDS, axis=0).reshape(-1), pa.uint64()),
-            BANDS,
-        )
-        return pa.table(
-            {
-                "id": pa.array(ids, pa.int64()),
-                "band": pa.array(bands, pa.int32()),
-                "band_hash": pa.array(bh_mat.reshape(-1), pa.uint64()),
-                "bands": vec,
-            }
-        )
+        return _band_sig_table(ids_in, bh_mat)
 
     sig_ds = sh_ds.map_batches(
         sig_batch, batch_format="pyarrow", runtime_env=runtime_env()
     )
 
-    def block_pairs(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _EMPTY_PAIRS
-        band = batch.column("band").combine_chunks().to_numpy(zero_copy_only=False)
-        bh = batch.column("band_hash").combine_chunks().to_numpy(zero_copy_only=False)
-        ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
-        vec = batch.column("bands")
-        if isinstance(vec, pa.ChunkedArray):
-            vec = vec.combine_chunks()
-        bands_mat = vec.flatten().to_numpy(zero_copy_only=False).reshape(-1, BANDS)
-        starts, ends = _run_bounds(band, bh)
-        sizes = ends - starts
-        # singleton skip + hot-bucket guard, both OUTSIDE the Python loop
-        sel = (sizes >= 2) & (sizes <= max_bucket)
-        out_a, out_b = [], []
-        for s, e in zip(starts[sel], ends[sel]):
-            m = int(e - s)
-            order = np.argsort(ids[s:e], kind="stable")
-            seg_ids = ids[s:e][order]
-            seg_bands = bands_mat[s:e][order]
-            k = int(band[s])
-            ii, jj = np.triu_indices(m, 1)
-            if k > 0:
-                prev_eq = (seg_bands[ii][:, :k] == seg_bands[jj][:, :k]).any(axis=1)
-                ii, jj = ii[~prev_eq], jj[~prev_eq]
-            neq = seg_ids[ii] != seg_ids[jj]
-            out_a.append(seg_ids[ii][neq])
-            out_b.append(seg_ids[jj][neq])
-        if not out_a:
-            return _EMPTY_PAIRS
-        return pa.table(
-            {
-                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
-                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
-            }
-        )
-
     cand = sig_ds.sort(["band", "band_hash"]).map_batches(
-        block_pairs, batch_format="pyarrow", batch_size=None,
+        _band_block_pairs(BANDS, max_bucket),
+        batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
     )
 
@@ -382,13 +406,47 @@ def minhash_lsh_pairs(
                                 broadcast_cutoff=verify_broadcast_cutoff)
 
 
-_EMPTY_VERIFIED = pa.table(
-    {
-        "id_a": pa.array([], pa.int64()),
-        "id_b": pa.array([], pa.int64()),
-        "jaccard": pa.array([], pa.float64()),
-    }
-)
+def _jaccard_decode(blob: bytes) -> np.ndarray:
+    return np.frombuffer(blob, dtype=np.uint64)
+
+
+def _jaccard_score(sa: np.ndarray, sb: np.ndarray) -> float:
+    if not len(sa) and not len(sb):
+        return 1.0
+    # blobs are sorted+unique → sorted-array intersection
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def _cosine_decode(blob: bytes) -> np.ndarray:
+    return np.frombuffer(blob, dtype=np.float64)
+
+
+def _cosine_score(sa: np.ndarray, sb: np.ndarray) -> float:
+    # blobs are pre-normalized float64 vectors → cosine is a dot product
+    if not len(sa) or not len(sb):
+        return 0.0
+    return float(sa @ sb)
+
+
+# similarity "kind" → (blob decoder, pair scorer, output score column).
+# The verification machinery below is shared by every candidate-pair
+# near-dup path: the only per-path variation is how a doc's blob decodes
+# and how two decoded blobs score.
+_PAIR_KINDS = {
+    "jaccard": (_jaccard_decode, _jaccard_score, "jaccard"),
+    "cosine": (_cosine_decode, _cosine_score, "cosine"),
+}
+
+
+def _empty_verified(score_col: str) -> pa.Table:
+    return pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            score_col: pa.array([], pa.float64()),
+        }
+    )
 
 
 # Below this many candidate pairs, verification uses the broadcast path
@@ -400,12 +458,13 @@ _EMPTY_VERIFIED = pa.table(
 VERIFY_BROADCAST_CUTOFF = 100_000
 
 
-def _verify_broadcast(cand, blob_ds, threshold: float):
+def _verify_broadcast(cand, blob_ds, threshold: float, kind: str = "jaccard"):
     """Small-candidate-set verification: pull ONLY candidate docs' blobs
     (restricted by a broadcast sorted-id filter), broadcast the dict,
     verify per pair inside map tasks.  Driver memory is O(candidates)."""
     import ray
 
+    decode, score, score_col = _PAIR_KINDS[kind]
     cand_rows = cand.take_all()
     cand_ids = np.unique(
         np.fromiter(
@@ -425,36 +484,30 @@ def _verify_broadcast(cand, blob_ds, threshold: float):
         return batch.filter(pa.array(wanted[pos] == ids))
 
     blob_map = {
-        r["id"]: np.frombuffer(r["sh"], dtype=np.uint64)
+        r["id"]: decode(r["sh"])
         for r in blob_ds.map_batches(
             only_candidates, batch_format="pyarrow",
             runtime_env=runtime_env(),
         ).take_all()
     }
     blob_ref = ray.put(blob_map)
-    _empty_u64 = np.empty(0, dtype=np.uint64)
+    _empty = decode(b"")
 
     def verify(batch: pa.Table, ref=blob_ref, thr=threshold) -> pa.Table:
         m = cached_get(ref)
-        keep_a, keep_b, jac = [], [], []
+        keep_a, keep_b, vals = [], [], []
         for a_id, b_id in zip(batch.column("id_a").to_pylist(),
                               batch.column("id_b").to_pylist()):
-            sa = m.get(a_id, _empty_u64)
-            sb = m.get(b_id, _empty_u64)
-            if not len(sa) and not len(sb):
-                j = 1.0
-            else:
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                j = inter / (len(sa) + len(sb) - inter)
+            j = score(m.get(a_id, _empty), m.get(b_id, _empty))
             if j >= thr:
                 keep_a.append(a_id)
                 keep_b.append(b_id)
-                jac.append(j)
+                vals.append(j)
         return pa.table(
             {
                 "id_a": pa.array(keep_a, pa.int64()),
                 "id_b": pa.array(keep_b, pa.int64()),
-                "jaccard": pa.array(jac, pa.float64()),
+                score_col: pa.array(vals, pa.float64()),
             }
         )
 
@@ -464,8 +517,11 @@ def _verify_broadcast(cand, blob_ds, threshold: float):
 
 
 def _join_verify_jaccard(cand, blob_ds, threshold: float, n_parts: int,
-                         broadcast_cutoff: int | None = None):
-    """Exact Jaccard verification of candidate (id_a, id_b) pairs.
+                         broadcast_cutoff: int | None = None,
+                         kind: str = "jaccard"):
+    """Exact similarity verification of candidate (id_a, id_b) pairs
+    (``kind`` picks the blob decoder + pair scorer: sorted-uint64-hash
+    Jaccard or normalized-float64 cosine).
 
     Size-gated hybrid: the candidate count is MEASURED, and below
     :data:`VERIFY_BROADCAST_CUTOFF` the broadcast path runs (bounded
@@ -483,15 +539,16 @@ def _join_verify_jaccard(cand, blob_ds, threshold: float, n_parts: int,
 
     from .partition import coalesce_nonempty
 
+    decode, score, score_col = _PAIR_KINDS[kind]
     cand = coalesce_nonempty(cand)
     blob_nz = coalesce_nonempty(blob_ds)
     if cand is None or blob_nz is None:
-        return ray.data.from_arrow(_EMPTY_VERIFIED)
+        return ray.data.from_arrow(_empty_verified(score_col))
 
     cutoff = (VERIFY_BROADCAST_CUTOFF if broadcast_cutoff is None
               else broadcast_cutoff)
     if cand.count() <= cutoff:
-        return _verify_broadcast(cand, blob_nz, threshold)
+        return _verify_broadcast(cand, blob_nz, threshold, kind=kind)
 
     j1 = cand.join(
         blob_nz, "inner", num_partitions=n_parts,
@@ -499,37 +556,30 @@ def _join_verify_jaccard(cand, blob_ds, threshold: float, n_parts: int,
     )
     j1 = coalesce_nonempty(j1)
     if j1 is None:
-        return ray.data.from_arrow(_EMPTY_VERIFIED)
+        return ray.data.from_arrow(_empty_verified(score_col))
     j2 = j1.join(
         blob_nz, "inner", num_partitions=n_parts,
         on=("id_b",), right_on=("id",), right_suffix="_b",
     )
 
     def verify(batch: pa.Table, thr=threshold) -> pa.Table:
-        keep_a, keep_b, jac = [], [], []
+        keep_a, keep_b, vals = [], [], []
         if batch.num_rows:
             a_ids = batch.column("id_a").to_pylist()
             b_ids = batch.column("id_b").to_pylist()
             blobs_a = batch.column("sh").to_pylist()
             blobs_b = batch.column("sh_b").to_pylist()
             for a_id, b_id, ba, bb in zip(a_ids, b_ids, blobs_a, blobs_b):
-                sa = np.frombuffer(ba, dtype=np.uint64)
-                sb = np.frombuffer(bb, dtype=np.uint64)
-                if not len(sa) and not len(sb):
-                    j = 1.0
-                else:
-                    # blobs are sorted+unique → sorted-array intersection
-                    inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                    j = inter / (len(sa) + len(sb) - inter)
+                j = score(decode(ba), decode(bb))
                 if j >= thr:
                     keep_a.append(a_id)
                     keep_b.append(b_id)
-                    jac.append(j)
+                    vals.append(j)
         return pa.table(
             {
                 "id_a": pa.array(keep_a, pa.int64()),
                 "id_b": pa.array(keep_b, pa.int64()),
-                "jaccard": pa.array(jac, pa.float64()),
+                score_col: pa.array(vals, pa.float64()),
             }
         )
 
@@ -620,7 +670,7 @@ def jaccard_pairs_exact(
     if exploded_nz is None or df_nz is None:
         import ray
 
-        return ray.data.from_arrow(_EMPTY_VERIFIED)
+        return ray.data.from_arrow(_empty_verified("jaccard"))
     jdf = exploded_nz.join(df_nz, "inner", num_partitions=n_parts,
                            on=("th",))
 
@@ -945,6 +995,125 @@ def embedding_neardup_pairs(
         chunk_pairs, batch_format="pyarrow", batch_size=1,
         runtime_env=runtime_env(),
     )
+
+
+_EMB_PLANE_SEED = 0xD0C5
+_PLANE_MEMO: Dict[Tuple[int, int, int], np.ndarray] = {}
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    """Deterministic (n_bits, dim) hyperplane matrix, memoized per worker
+    — every task regenerates the SAME planes from the seed, so nothing
+    needs broadcasting and no driver-side dim discovery pass is needed."""
+    key = (dim, n_bits, seed)
+    mat = _PLANE_MEMO.get(key)
+    if mat is None:
+        mat = np.random.default_rng(seed).standard_normal((n_bits, dim))
+        _PLANE_MEMO[key] = mat
+    return mat
+
+
+def lsh_bits_per_band(threshold: float, n_bands: int,
+                      target_recall: float = 0.99) -> int:
+    """Widest band (most selective bucketing) that still reaches
+    ``target_recall`` for pairs AT the cosine threshold, from the
+    Charikar sign-agreement probability ``p = 1 - arccos(t)/π``:
+    recall = 1-(1-p^r)^b  ⇒  r = ⌊log(1-(1-R)^(1/b)) / log(p)⌋.
+    Lower thresholds force narrower bands (coarser buckets, more
+    candidates) — that cost is inherent to LSH, not a tuning choice."""
+    p = 1.0 - np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi
+    p_band = 1.0 - (1.0 - target_recall) ** (1.0 / n_bands)
+    if not (0.0 < p < 1.0):
+        return 20
+    return int(np.clip(np.floor(np.log(p_band) / np.log(p)), 1, 20))
+
+
+def embedding_neardup_lsh(
+    ds, id_column: str = "vec_id", vec_column: str = "embedding",
+    threshold: float = 0.95, n_bands: int = 16,
+    bits_per_band: int | None = None,
+    shuffle_partitions: int | None = None, max_bucket: int = 4096,
+    verify_broadcast_cutoff: int | None = None,
+):
+    """Embedding-cosine near-dup pairs, SUB-QUADRATIC — the corpus-scale
+    companion to the exact :func:`embedding_neardup_pairs` blocked
+    matmul (which evaluates all O(n²) pairs, distributed).
+
+    Random-hyperplane LSH with band-OR amplification: each vector gets
+    ``n_bands × bits_per_band`` sign bits; a pair is a candidate iff
+    some band's ``bits_per_band`` bits all agree.  For cosine ≥ t the
+    per-bit agreement probability is ``1 - arccos(t)/π`` (Charikar
+    2002); ``bits_per_band`` defaults to the widest band that keeps
+    recall ≥ 0.99 for pairs AT the threshold
+    (:func:`lsh_bits_per_band` — e.g. 13 bits at t=0.95, where an
+    unrelated pair (cos≈0) survives a band with probability 2^-13 and
+    pair work stays near-linear; at loose thresholds the derived bands
+    are narrow and the candidate rate rises — inherent to LSH, and
+    still exact-verified).
+
+    Shape mirrors :func:`minhash_lsh_pairs` exactly: one sort on
+    ``(band, band_hash)`` co-locates buckets, the shared vectorized
+    block pass emits each candidate pair once (first-colliding-band
+    dedup, hot-bucket guard), and the shared size-gated hybrid
+    verification computes EXACT cosine per candidate from normalized
+    float64 blobs — so emitted pairs are never false positives; the
+    banding only bounds recall.  Nothing is driver-resident beyond the
+    gated candidate sample."""
+    proj = ds.select_columns([id_column, vec_column])
+    if shuffle_partitions:
+        proj = proj.repartition(shuffle_partitions)
+
+    from .ann import _ids_array, _normalize, _vec_matrix
+
+    def blob_batch(batch: pa.Table) -> pa.Table:
+        ids_in = _ids_array(batch.column(id_column))
+        mat = _normalize(_vec_matrix(batch.column(vec_column)))
+        return pa.table(
+            {
+                "id": pa.array(ids_in, pa.int64()),
+                "sh": pa.array([mat[i].tobytes() for i in range(len(ids_in))],
+                               pa.large_binary()),
+            }
+        )
+
+    # normalized float64 blobs, computed ONCE — reused by the signature
+    # stage and the verification (broadcast or double-join) stage
+    blob_ds = proj.map_batches(
+        blob_batch, batch_format="pyarrow", runtime_env=runtime_env()
+    ).materialize()
+
+    if bits_per_band is None:
+        bits_per_band = lsh_bits_per_band(threshold, n_bands)
+    total_bits = n_bands * bits_per_band
+    weights = (np.uint64(1) << np.arange(bits_per_band, dtype=np.uint64))
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids_in = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        if n == 0:
+            return _band_sig_table(ids_in, np.empty((0, n_bands), np.uint64))
+        mat = np.frombuffer(
+            b"".join(batch.column("sh").to_pylist()), dtype=np.float64
+        ).reshape(n, -1)
+        planes = _hyperplanes(mat.shape[1], total_bits, _EMB_PLANE_SEED)
+        bits = (mat @ planes.T) > 0.0  # (n, total_bits)
+        bh_mat = bits.reshape(n, n_bands, bits_per_band).astype(np.uint64) @ weights
+        return _band_sig_table(ids_in, bh_mat)
+
+    sig_ds = blob_ds.map_batches(
+        sig_batch, batch_format="pyarrow", runtime_env=runtime_env()
+    )
+
+    cand = sig_ds.sort(["band", "band_hash"]).map_batches(
+        _band_block_pairs(n_bands, max_bucket),
+        batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )
+
+    return _join_verify_jaccard(cand, blob_ds, threshold,
+                                max(2, shuffle_partitions or 8),
+                                broadcast_cutoff=verify_broadcast_cutoff,
+                                kind="cosine")
 
 
 # ── exact k-token-window (passage) overlap ───────────────────────────────────

@@ -38,6 +38,7 @@ from ..extract import extract_batch
 from ..functions.agg import grouped_agg
 from ..functions.ann import brute_topk, ivf_topk, lsh_topk
 from ..functions.dedup import (
+    embedding_neardup_lsh,
     embedding_neardup_pairs,
     exact_dedup_ids,
     jaccard_pairs_exact,
@@ -542,6 +543,18 @@ WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding, b.embedding) >= {EMB_NEARDUP_THRESHOLD}
 ORDER BY id_a, id_b
 """
+
+
+def q_neardup_embeddings_lsh(sf_dir: str):
+    """Sub-quadratic embedding near-dup: hyperplane-LSH band buckets →
+    in-bucket candidate emission → exact-cosine verification (the
+    corpus-scale path; the blocked exact matmul is the oracle small-side
+    baseline).  Rows-only: recall is probabilistic (≥0.99 by band
+    design), emitted pairs are exact-verified (no false positives)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_lsh(ds, threshold=EMB_NEARDUP_THRESHOLD,
+                                  shuffle_partitions=_shuffle_parts(sf_dir))
+    return pairs.select_columns(["id_a", "id_b"])
 
 
 def q_jaccard_pairs(sf_dir: str):
@@ -1930,6 +1943,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "url_canonicalize": q_url_canonicalize,
         "ann_topk": q_ann_topk,
         "neardup_embeddings": q_neardup_embeddings,
+        "neardup_embeddings_lsh": q_neardup_embeddings_lsh,
         "jaccard_pairs": q_jaccard_pairs,
         "ngram_overlap": q_ngram_overlap,
         "price_quantiles": q_price_quantiles,
@@ -2013,5 +2027,5 @@ def build_oracle_sql() -> Dict[str, str]:
 ROWS_ONLY: List[str] = [
     "crawl_bfs", "crawl_intel", "minhash_pairs", "simhash_pairs",
     "fingerprints", "ann_lsh", "ann_ivf", "binary_metadata",
-    "multimodal_features", "vocab_hll",
+    "multimodal_features", "vocab_hll", "neardup_embeddings_lsh",
 ]

@@ -514,3 +514,76 @@ def test_minhash_verify_paths_agree():
     jb = {key(r): r["jaccard"] for r in bc}
     jj = {key(r): r["jaccard"] for r in jn}
     assert jb == jj
+
+
+# ── embedding LSH near-dup ───────────────────────────────────────────────────
+
+
+def _emb_ds(vecs):
+    import ray
+
+    return ray.data.from_arrow(
+        pa.table({
+            "vec_id": list(range(len(vecs))),
+            "embedding": pa.array([np.asarray(v, dtype=np.float64).tolist()
+                                   for v in vecs], pa.list_(pa.float32())),
+        })
+    )
+
+
+def test_lsh_bits_per_band_monotone():
+    """Tighter thresholds admit wider (more selective) bands; the derived
+    width stays within the uint64-band bounds."""
+    widths = [dedup.lsh_bits_per_band(t, n_bands=16)
+              for t in (0.45, 0.7, 0.9, 0.99)]
+    assert widths == sorted(widths)
+    assert all(1 <= w <= 20 for w in widths)
+
+
+def test_embedding_neardup_lsh_matches_exact():
+    """On a corpus of planted near-dup clusters + unrelated vectors the
+    LSH path recovers exactly the pairs the exact blocked-matmul path
+    finds (recall 1.0 here; false positives impossible — every candidate
+    is exact-cosine verified)."""
+    rng = np.random.default_rng(7)
+    vecs = []
+    for c in range(6):
+        base = rng.standard_normal(32)
+        vecs.append(base)
+        vecs.append(base + rng.standard_normal(32) * 0.05)  # cos ≈ 0.998
+    for _ in range(20):
+        vecs.append(rng.standard_normal(32))  # unrelated
+    exact = dedup.embedding_neardup_pairs(
+        _emb_ds(vecs), threshold=0.95).take_all()
+    lsh = dedup.embedding_neardup_lsh(
+        _emb_ds(vecs), threshold=0.95).take_all()
+    key = lambda r: (r["id_a"], r["id_b"])
+    assert sorted(map(key, lsh)) == sorted(map(key, exact))
+    ce = {key(r): r["cosine"] for r in exact}
+    cl = {key(r): r["cosine"] for r in lsh}
+    for k, v in cl.items():
+        assert v == pytest.approx(ce[k], abs=1e-9)
+
+
+def test_embedding_neardup_lsh_verify_paths_agree():
+    """Broadcast and distributed-join verification must produce the same
+    pair set and cosine values for the LSH candidates."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(24)
+    vecs = [base, base + rng.standard_normal(24) * 0.03,
+            base + rng.standard_normal(24) * 0.04,
+            rng.standard_normal(24)]
+    bc = dedup.embedding_neardup_lsh(
+        _emb_ds(vecs), threshold=0.9,
+        verify_broadcast_cutoff=10**9,  # force broadcast
+    ).take_all()
+    jn = dedup.embedding_neardup_lsh(
+        _emb_ds(vecs), threshold=0.9,
+        verify_broadcast_cutoff=0,      # force distributed joins
+    ).take_all()
+    key = lambda r: (r["id_a"], r["id_b"])
+    assert len(bc) >= 1
+    assert sorted(map(key, bc)) == sorted(map(key, jn))
+    cb = {key(r): r["cosine"] for r in bc}
+    cj = {key(r): r["cosine"] for r in jn}
+    assert cb == pytest.approx(cj)
