@@ -1034,6 +1034,7 @@ def embedding_neardup_lsh(
     bits_per_band: int | None = None,
     shuffle_partitions: int | None = None, max_bucket: int = 4096,
     verify_broadcast_cutoff: int | None = None,
+    fallback_below_bits: int = 8,
 ):
     """Embedding-cosine near-dup pairs, SUB-QUADRATIC — the corpus-scale
     companion to the exact :func:`embedding_neardup_pairs` blocked
@@ -1058,7 +1059,27 @@ def embedding_neardup_lsh(
     verification computes EXACT cosine per candidate from normalized
     float64 blobs — so emitted pairs are never false positives; the
     banding only bounds recall.  Nothing is driver-resident beyond the
-    gated candidate sample."""
+    gated candidate sample.
+
+    **Loose-threshold gate.** Below ≈0.9 the band width the recall
+    target demands collapses (8 bits at t=0.9, 3 bits at t=0.45 — 8
+    buckets per band) and "LSH" degenerates to near-all-pairs with
+    banding overhead on top: strictly worse than the exact blocked
+    matmul.  That is the LSH s-curve, not a tuning artifact — no
+    hyperplane scheme is selective at cosine 0.45.  So when the derived
+    width falls below ``fallback_below_bits`` the operator runs
+    :func:`embedding_neardup_pairs` instead (recall becomes exactly 1.0
+    — a strict superset of the contract).  Passing ``bits_per_band``
+    explicitly bypasses the gate."""
+    if bits_per_band is None:
+        derived = lsh_bits_per_band(threshold, n_bands)
+        if derived < fallback_below_bits:
+            return embedding_neardup_pairs(
+                ds, id_column=id_column, vec_column=vec_column,
+                threshold=threshold,
+            )
+        bits_per_band = derived
+
     proj = ds.select_columns([id_column, vec_column])
     if shuffle_partitions:
         proj = proj.repartition(shuffle_partitions)
@@ -1082,8 +1103,6 @@ def embedding_neardup_lsh(
         blob_batch, batch_format="pyarrow", runtime_env=runtime_env()
     ).materialize()
 
-    if bits_per_band is None:
-        bits_per_band = lsh_bits_per_band(threshold, n_bands)
     total_bits = n_bands * bits_per_band
     weights = (np.uint64(1) << np.arange(bits_per_band, dtype=np.uint64))
 
@@ -1269,3 +1288,84 @@ def ngram_overlap_pairs(
         distinct_pairs, batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
     )
+
+
+# ── size-gated id anti-filter (corpus purge) ─────────────────────────────────
+
+# Below this many drop-ids the anti-filter broadcasts one sorted uint64
+# array (searchsorted membership inside map tasks — no shuffle at all);
+# above it, a distributed left-outer hash join + null filter keeps the
+# drop set off the driver entirely.  Mirrors VERIFY_BROADCAST_CUTOFF's
+# measured-size gating.
+SUBTRACT_BROADCAST_CUTOFF = 2_000_000
+
+
+def subtract_ids(ds, drop_ds, id_column: str = "doc_id",
+                 drop_column: str = "doc_id",
+                 broadcast_cutoff: int | None = None,
+                 num_partitions: int = 8):
+    """``ds`` minus rows whose ``id_column`` appears in ``drop_ds`` —
+    the distributed anti-join every dedup pipeline ends with (drop the
+    non-canonical cluster members, keep the corpus).
+
+    Size-gated on the MEASURED drop count: a dedup drop-set is usually a
+    sliver of the corpus (broadcast as a sorted int64 array, vectorized
+    ``searchsorted`` membership per batch), but a dup-heavy raw crawl can
+    shed half its rows — beyond the cutoff a left-outer hash join with a
+    marker column does the same subtraction with nothing driver-resident."""
+    import ray
+
+    from .partition import coalesce_nonempty
+
+    drop_nz = coalesce_nonempty(drop_ds.select_columns([drop_column]))
+    if drop_nz is None:
+        return ds
+    cutoff = (SUBTRACT_BROADCAST_CUTOFF if broadcast_cutoff is None
+              else broadcast_cutoff)
+    if drop_nz.count() <= cutoff:
+        drop_tbls = ray.get(drop_nz.to_arrow_refs())
+        drop_ids = np.unique(np.concatenate(
+            [t.column(drop_column).combine_chunks().to_numpy(zero_copy_only=False)
+             for t in drop_tbls if t.num_rows] or [np.empty(0, np.int64)]))
+        ref = ray.put(drop_ids)
+
+        def anti(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            wanted = cached_get(ref)
+            ids = batch.column(id_column).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            pos = np.searchsorted(wanted, ids)
+            pos[pos == len(wanted)] = 0
+            hit = (len(wanted) > 0) & (wanted[pos] == ids)
+            return batch.filter(pa.array(~hit))
+
+        return ds.map_batches(anti, batch_format="pyarrow",
+                              runtime_env=runtime_env())
+
+    marker = drop_nz.map_batches(
+        lambda b: pa.table({
+            "__drop_id": b.column(drop_column),
+            "__drop_mark": pa.array(np.ones(b.num_rows, np.int8)),
+        }),
+        batch_format="pyarrow", runtime_env=runtime_env(),
+    )
+    ds_nz = coalesce_nonempty(ds)
+    if ds_nz is None:
+        return ds
+    joined = ds_nz.join(
+        marker, "left_outer", num_partitions=num_partitions,
+        on=(id_column,), right_on=("__drop_id",),
+    )
+
+    def keep_unmatched(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mark = batch.column("__drop_mark")
+        keep = pc.is_null(mark)
+        cols = [c for c in batch.column_names
+                if c not in ("__drop_mark", "__drop_id")]
+        return batch.filter(keep).select(cols)
+
+    return joined.map_batches(keep_unmatched, batch_format="pyarrow",
+                              runtime_env=runtime_env())

@@ -545,14 +545,65 @@ ORDER BY id_a, id_b
 """
 
 
+# Copies planted per base vector for the LSH near-dup demo and the
+# perturbation scale (cos ≈ 1/√(1+64σ²) ≈ 0.97 at σ=0.031, dim 64) —
+# pairs straddle the 0.95 threshold so exact-cosine verification is
+# genuinely exercised, not a rubber stamp.
+EMB_LSH_THRESHOLD = 0.95
+EMB_LSH_COPIES = 3
+EMB_LSH_NOISE = 0.031
+
+
+def plant_embedding_neardups(batch, copies: int = EMB_LSH_COPIES,
+                             noise: float = EMB_LSH_NOISE):
+    """Deterministically derive a near-dup-planted embedding corpus from
+    a (vec_id, embedding) batch: each base vector keeps id
+    ``vec_id*(copies+1)`` and gains ``copies`` perturbed unit-norm copies
+    (per-copy RNG seeded by (vec_id, copy) — independent of batch
+    boundaries).  Same derived-corpus pattern as corpus.py's page
+    corpus: the test tables carry no high-cosine pairs (max off-diag
+    cosine at sf0.1 is 0.60), but near-dup detection operates at 0.9+,
+    so the demo corpus plants its own ground truth."""
+    import pyarrow as pa
+
+    ids = batch.column("vec_id").combine_chunks().to_numpy(zero_copy_only=False)
+    mats = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+    mats /= np.linalg.norm(mats, axis=1, keepdims=True)
+    out_ids, out_vecs = [], []
+    stride = copies + 1
+    for i, vid in enumerate(ids):
+        out_ids.append(int(vid) * stride)
+        out_vecs.append(mats[i])
+        for c in range(copies):
+            rng = np.random.default_rng((int(vid) << 8) | (c + 1))
+            v = mats[i] + rng.standard_normal(mats.shape[1]) * noise
+            out_ids.append(int(vid) * stride + c + 1)
+            out_vecs.append(v / np.linalg.norm(v))
+    return pa.table({
+        "vec_id": pa.array(out_ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in out_vecs],
+                              pa.list_(pa.float32())),
+    })
+
+
 def q_neardup_embeddings_lsh(sf_dir: str):
-    """Sub-quadratic embedding near-dup: hyperplane-LSH band buckets →
-    in-bucket candidate emission → exact-cosine verification (the
-    corpus-scale path; the blocked exact matmul is the oracle small-side
-    baseline).  Rows-only: recall is probabilistic (≥0.99 by band
-    design), emitted pairs are exact-verified (no false positives)."""
+    """Sub-quadratic embedding near-dup at the operator's design point:
+    hyperplane-LSH band buckets (13-bit bands at t=0.95) → in-bucket
+    candidate emission → exact-cosine verification.  Runs over the
+    deterministically derived near-dup-planted corpus
+    (:func:`plant_embedding_neardups` — (copies+1)× the base table) at
+    threshold 0.95: the base tables carry no cosine-0.9+ pairs, and at
+    loose thresholds LSH degenerates by construction (the operator
+    gates to the exact matmul there), so this query is what the LSH
+    path looks like on a real near-dup workload.  Rows-only: recall is
+    probabilistic (≥0.99 by band design); emitted pairs are
+    exact-verified (no false positives); tests pin LSH output equal to
+    the exact blocked matmul on the same derived corpus."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    pairs = embedding_neardup_lsh(ds, threshold=EMB_NEARDUP_THRESHOLD,
+    planted = ds.map_batches(plant_embedding_neardups,
+                             batch_format="pyarrow",
+                             runtime_env=runtime_env())
+    pairs = embedding_neardup_lsh(planted, threshold=EMB_LSH_THRESHOLD,
                                   shuffle_partitions=_shuffle_parts(sf_dir))
     return pairs.select_columns(["id_a", "id_b"])
 
@@ -1801,6 +1852,52 @@ FROM reach GROUP BY id ORDER BY doc_id
 """
 
 
+def q_dedup_purge(sf_dir: str):
+    """The end-to-end fuzzy-dedup pipeline a training-data run actually
+    ships: near-dup pair generation (exact 8-token-window overlap) →
+    connected components (canonical = min doc_id per component) →
+    anti-filter dropping every NON-canonical cluster member from the
+    corpus.  The subtraction is the size-gated
+    :func:`~deepwebharvester_ray.functions.dedup.subtract_ids`: a
+    dedup drop-set is normally a sliver (broadcast sorted-array
+    membership, no shuffle), but a dup-heavy raw crawl can shed half
+    its rows — beyond the cutoff a distributed left-outer join + null
+    filter does the same subtraction with nothing driver-resident."""
+    from ..functions.dedup import subtract_ids
+    from ..functions.graph import connected_components
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    pairs = ngram_overlap_pairs(ds, k=8, max_bucket=1024,
+                                shuffle_partitions=_shuffle_parts(sf_dir))
+    clusters = connected_components(pairs)
+    non_canon = clusters.filter(
+        expr="doc_id != cluster_id").select_columns(["doc_id"])
+    kept = subtract_ids(_docs(sf_dir, columns=["doc_id", "n_chars"]),
+                        non_canon, id_column="doc_id")
+    return kept.sort("doc_id")
+
+
+_SQL_DEDUP_PURGE = f"""
+WITH RECURSIVE {_SQL_GRAM_PAIRS_CTE},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+),
+labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM labels WHERE id != cluster_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_events_hopping(sf_dir: str):
     """Hopping (overlapping sliding) window aggregate: events per
     (1-hour window starting every 15 min, event_type).  Window = exact
@@ -1953,6 +2050,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "vocab_hll": q_vocab_hll,
         "events_hopping": q_events_hopping,
         "neardup_clusters": q_neardup_clusters,
+        "dedup_purge": q_dedup_purge,
         "latest_events": q_latest_events,
         "stratified_sample": q_stratified_sample,
         "top_terms_tfidf": q_top_terms_tfidf,
@@ -2004,6 +2102,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "top_tokens": _SQL_TOP_TOKENS,
         "events_hopping": _SQL_EVENTS_HOPPING,
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,
+        "dedup_purge": _SQL_DEDUP_PURGE,
         "latest_events": _SQL_LATEST_EVENTS,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "top_terms_tfidf": _SQL_TOP_TERMS_TFIDF,

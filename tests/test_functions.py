@@ -587,3 +587,68 @@ def test_embedding_neardup_lsh_verify_paths_agree():
     cb = {key(r): r["cosine"] for r in bc}
     cj = {key(r): r["cosine"] for r in jn}
     assert cb == pytest.approx(cj)
+
+
+# ── subtract_ids (dedup purge anti-filter) ───────────────────────────────────
+
+
+def _ids_ds(ids, extra_col=True):
+    import ray
+
+    cols = {"doc_id": pa.array(ids, pa.int64())}
+    if extra_col:
+        cols["n"] = pa.array([i * 10 for i in ids], pa.int64())
+    return ray.data.from_arrow(pa.table(cols))
+
+
+def test_subtract_ids_broadcast_path():
+    kept = dedup.subtract_ids(
+        _ids_ds([1, 2, 3, 4, 5]), _ids_ds([2, 4, 9], extra_col=False),
+        broadcast_cutoff=10**9,
+    ).take_all()
+    assert sorted(r["doc_id"] for r in kept) == [1, 3, 5]
+    # payload columns survive the filter untouched
+    assert {r["doc_id"]: r["n"] for r in kept} == {1: 10, 3: 30, 5: 50}
+
+
+def test_subtract_ids_join_path_matches_broadcast():
+    import ray
+
+    ids = list(range(200))
+    drop = [i for i in ids if i % 7 == 0]
+    corpus = _ids_ds(ids)
+    bc = dedup.subtract_ids(corpus, _ids_ds(drop, extra_col=False),
+                            broadcast_cutoff=10**9).take_all()
+    jn = dedup.subtract_ids(_ids_ds(ids), _ids_ds(drop, extra_col=False),
+                            broadcast_cutoff=0).take_all()
+    key = lambda rows: sorted((r["doc_id"], r["n"]) for r in rows)
+    assert key(bc) == key(jn)
+    assert len(bc) == len([i for i in ids if i % 7 != 0])
+    # join path must not leak marker columns
+    assert set(jn[0].keys()) == {"doc_id", "n"}
+
+
+def test_subtract_ids_empty_drop_is_identity():
+    import ray
+
+    empty = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64())}))
+    kept = dedup.subtract_ids(_ids_ds([1, 2]), empty).take_all()
+    assert sorted(r["doc_id"] for r in kept) == [1, 2]
+
+
+def test_embedding_neardup_lsh_loose_threshold_falls_back_exact():
+    """Below the selectivity gate (derived band width < 8 bits) the LSH
+    operator must route to the exact blocked matmul — recall exactly 1.0
+    rather than near-all-pairs banding overhead."""
+    assert dedup.lsh_bits_per_band(0.45, 16) < 8
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    vecs = [base, base + rng.standard_normal(16) * 0.2,
+            rng.standard_normal(16), rng.standard_normal(16)]
+    exact = dedup.embedding_neardup_pairs(
+        _emb_ds(vecs), threshold=0.45).take_all()
+    gated = dedup.embedding_neardup_lsh(
+        _emb_ds(vecs), threshold=0.45).take_all()
+    key = lambda r: (r["id_a"], r["id_b"])
+    assert sorted(map(key, gated)) == sorted(map(key, exact))
