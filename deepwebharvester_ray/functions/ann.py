@@ -251,12 +251,14 @@ def lsh_topk(
     if index_dir is not None:
         from pathlib import Path
 
+        from .partition import coalesce_by_bytes
+
         def with_cell(batch: pa.Table) -> pa.Table:
             return batch.append_column("cell", batch.column("bucket"))
 
-        bucketed.map_batches(
+        coalesce_by_bytes(bucketed.map_batches(
             with_cell, batch_format="pyarrow", runtime_env=runtime_env()
-        ).write_parquet(index_dir, partition_cols=["cell"])
+        )).write_parquet(index_dir, partition_cols=["cell"])
         np.savez(str(Path(index_dir) / "planes.npz"), planes=planes)
         paths = _cell_paths(index_dir, np.concatenate(qbuckets))
         if not paths:
@@ -433,12 +435,14 @@ def ivf_topk(
         # ("cell" duplicates "bucket" because partition_cols strips the
         # partition column from the data files); centroids persist beside
         # it so a later session can probe without re-training
+        from .partition import coalesce_by_bytes
+
         def with_cell(batch: pa.Table) -> pa.Table:
             return batch.append_column("cell", batch.column("bucket"))
 
-        assigned.map_batches(
+        coalesce_by_bytes(assigned.map_batches(
             with_cell, batch_format="pyarrow", runtime_env=runtime_env()
-        ).write_parquet(index_dir, partition_cols=["cell"])
+        )).write_parquet(index_dir, partition_cols=["cell"])
         np.savez(str(Path(index_dir) / "centroids.npz"), cents=cents)
 
         # query: read ONLY the probed cells' partitions

@@ -26,6 +26,31 @@ from ..broadcast import cached_get
 from ..urlops import batch_url_hash64
 
 
+def coalesce_by_bytes(ds, target_bytes: int = 32 << 20):
+    """Materialize *ds* and coalesce to ``ceil(bytes / target_bytes)``
+    blocks when the current block count is more than 2× that.
+
+    Guard for partitioned parquet writes (``partition_cols``): the writer
+    emits one file per (block × partition-value), so a small dataset Ray
+    split into hundreds of execution blocks explodes into hundreds of
+    KB-sized files per cell — and every later probed read pays one file
+    open per fragment.  Sizing blocks by DATA bytes (the same discipline
+    as the query layer's ``_shuffle_parts``) keeps output files at
+    ~``target_bytes`` regardless of the executor's block count, at any
+    scale: a 100 TB corpus still writes thousands of full-sized files
+    per cell, a 4 MB test table writes one."""
+    ds = ds.materialize()
+    nbytes = ds.size_bytes() or 0
+    want = max(1, -(-nbytes // target_bytes))
+    try:
+        have = ds.num_blocks()
+    except Exception:
+        return ds.repartition(want)
+    if have > 2 * want:
+        return ds.repartition(want)
+    return ds
+
+
 def coalesce_nonempty(ds, rows_per_block: int = 65536):
     """Materialize *ds* and ensure NO block is empty; returns ``None``
     for a 0-row dataset.

@@ -652,3 +652,31 @@ def test_embedding_neardup_lsh_loose_threshold_falls_back_exact():
         _emb_ds(vecs), threshold=0.45).take_all()
     key = lambda r: (r["id_a"], r["id_b"])
     assert sorted(map(key, gated)) == sorted(map(key, exact))
+
+
+def test_index_build_coalesces_tiny_blocks(emb_ds, tmp_path):
+    """A many-tiny-block input must not explode the hive write into one
+    file per (block x cell): coalesce_by_bytes sizes write blocks by
+    data bytes, so a small corpus yields ~one file per non-empty cell."""
+    import ray
+
+    rows = emb_ds.take(1)
+    q = np.array(rows[0]["embedding"], dtype=np.float64)
+    shattered = emb_ds.repartition(40)
+    idx = str(tmp_path / "ivf_shard_idx")
+    ann.ivf_topk(shattered, q, k=5, n_cells=8, n_probe=4, index_dir=idx)
+    files = list((tmp_path / "ivf_shard_idx").rglob("*.parquet"))
+    cells = list((tmp_path / "ivf_shard_idx").glob("cell=*"))
+    assert len(files) <= len(cells) + 2  # ~1 file/cell, not 40*cells
+
+
+def test_coalesce_by_bytes_leaves_right_sized_alone(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.partition import coalesce_by_bytes
+
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array(range(1000), pa.int64())})
+    ).repartition(2)
+    out = coalesce_by_bytes(ds, target_bytes=1)  # want >= have: no-op
+    assert out.materialize().num_blocks() == 2
