@@ -62,6 +62,12 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_hopping",
     "neardup_clusters",
+    "dedup_purge",
+    "contamination",
+    "pii_redact",
+    "repetition_filter",
+    "domain_mix",
+    "epoch_shuffle",
     "latest_events",
     "stratified_sample",
     "top_terms_tfidf",

@@ -1369,3 +1369,103 @@ def subtract_ids(ds, drop_ds, id_column: str = "doc_id",
 
     return joined.map_batches(keep_unmatched, batch_format="pyarrow",
                               runtime_env=runtime_env())
+
+
+# ── benchmark decontamination screen ─────────────────────────────────────────
+
+
+def contaminated_ids(
+    corpus_ds,
+    bench_ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    k: int = 8,
+    shuffle_partitions: int | None = None,
+):
+    """Ids of corpus docs sharing ≥1 exact k-token window with ANY
+    benchmark doc — the GPT-3/PaLM-style eval-set decontamination screen
+    run before training (Brown et al. 2020 §C; public method).
+
+    Scale shape: ONE all-to-all (the (h1, h2) gram-key sort over the
+    tagged union of corpus + benchmark windows), then per-sort-partition
+    run scans — no join, no driver state.  Within a key run, rows are
+    emitted iff the run contains a benchmark row (vectorized
+    ``np.add.reduceat`` over the bench flags, ``np.repeat`` row mask).
+    Window keys are the same 128-bit rule as :func:`ngram_overlap_pairs`
+    (collision-free in practice; the oracle treats them as exact).  The
+    benchmark side is typically a sliver, but nothing here requires it —
+    both sides stream through the same sort."""
+    from .textops import TOKEN_RE
+
+    def keyer(bench_flag: int):
+        def keys_batch(batch: pa.Table) -> pa.Table:
+            ids_in = batch.column(id_column).to_numpy(zero_copy_only=False)
+            texts = batch.column(text_column).to_pylist()
+            h1s, h2s, ids = [], [], []
+            for i, t in enumerate(texts):
+                u1 = _word_hashes(TOKEN_RE.findall(t or ""))
+                with np.errstate(over="ignore"):
+                    h1, h2 = _gram_keys(u1, k)
+                if len(h1):
+                    h1s.append(h1)
+                    h2s.append(h2)
+                    ids.append(np.full(len(h1), ids_in[i], np.int64))
+            if not h1s:
+                h1s = [np.empty(0, np.uint64)]
+                h2s = [np.empty(0, np.uint64)]
+                ids = [np.empty(0, np.int64)]
+            n = sum(len(x) for x in ids)
+            return pa.table(
+                {
+                    "h1": pa.array(np.concatenate(h1s), pa.uint64()),
+                    "h2": pa.array(np.concatenate(h2s), pa.uint64()),
+                    "id": pa.array(np.concatenate(ids), pa.int64()),
+                    "bench": pa.array(
+                        np.full(n, bench_flag, np.int8), pa.int8()),
+                }
+            )
+
+        return keys_batch
+
+    _empty_ids = pa.table({id_column: pa.array([], pa.int64())})
+
+    def run_scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_ids
+        h1 = batch.column("h1").combine_chunks().to_numpy(zero_copy_only=False)
+        h2 = batch.column("h2").combine_chunks().to_numpy(zero_copy_only=False)
+        ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        bench = batch.column("bench").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        starts, ends = _run_bounds(h1, h2)
+        has_bench = np.add.reduceat(bench, starts) > 0
+        row_hit = np.repeat(has_bench, ends - starts)
+        out = np.unique(ids[row_hit & (bench == 0)])
+        return pa.table({id_column: pa.array(out, pa.int64())})
+
+    def distinct_ids(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_ids
+        a = batch.column(id_column).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = a[1:] != a[:-1]
+        return batch.filter(pa.array(keep))
+
+    keyed = corpus_ds.map_batches(
+        keyer(0), batch_format="pyarrow", runtime_env=runtime_env()
+    ).union(bench_ds.map_batches(
+        keyer(1), batch_format="pyarrow", runtime_env=runtime_env()
+    ))
+    if shuffle_partitions:
+        keyed = keyed.repartition(shuffle_partitions)
+    hits = keyed.sort(["h1", "h2"]).map_batches(
+        run_scan, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )
+    if shuffle_partitions:
+        hits = hits.repartition(max(2, shuffle_partitions // 4))
+    return hits.sort(id_column).map_batches(
+        distinct_ids, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )

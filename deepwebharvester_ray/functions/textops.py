@@ -128,3 +128,77 @@ def fingerprint_batch(
     out = {n: batch.column(n) for n in batch.column_names}
     out["fingerprint"] = pa.array(fps, pa.uint64())
     return pa.table(out)
+
+
+# ── PII redaction ────────────────────────────────────────────────────────────
+
+# RE2-compatible patterns (no lookarounds) — evaluated by Arrow's
+# replace_substring_regex / count_substring_regex kernels here and by
+# DuckDB's regexp_replace / regexp_extract_all in the oracle; both
+# engines are RE2, so match semantics (leftmost, non-overlapping) are
+# identical by construction.  Families mirror the reference IOC KB
+# (scraper/intelligence.py:29-47) narrowed to the redaction set a
+# training-data pipeline scrubs (Llama/C4-style PII pass).
+PII_EMAIL_PAT = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_PAT = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Redact emails then IPv4 literals from ``text_column``; adds
+    ``n_emails`` / ``n_ipv4`` (pre-redaction match counts) and
+    ``redacted``.  Fully vectorized: both the counting and the rewrite
+    are Arrow C++ RE2 kernels — zero Python per row (this is the hot
+    full-corpus scrub pass)."""
+    import pyarrow.compute as pc
+
+    t = batch.column(text_column)
+    n_emails = pc.count_substring_regex(t, PII_EMAIL_PAT).cast(pa.int64())
+    red = pc.replace_substring_regex(t, pattern=PII_EMAIL_PAT,
+                                     replacement="<EMAIL>")
+    n_ipv4 = pc.count_substring_regex(red, PII_IPV4_PAT).cast(pa.int64())
+    red = pc.replace_substring_regex(red, pattern=PII_IPV4_PAT,
+                                     replacement="<IP>")
+    out = {n: batch.column(n) for n in batch.column_names
+           if n != text_column}
+    out["n_emails"] = n_emails
+    out["n_ipv4"] = n_ipv4
+    out["redacted"] = red
+    return pa.table(out)
+
+
+# ── repetition metrics (Gopher-style quality rules) ──────────────────────────
+
+# keep iff most-frequent 2-gram ≤ 10% of 2-grams AND distinct words ≥
+# 50% of words — exact integer comparisons (max2*10 <= n_words-1,
+# n_distinct*2 >= n_words) so both engines agree bit-for-bit.
+REP_MAX_2GRAM_NUM = 10
+REP_MIN_DISTINCT_NUM = 2
+
+
+def repetition_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Per-doc repetition metrics over lowercase WORD_RE tokens:
+    ``n_words``, ``n_distinct``, ``max_2gram_n`` (count of the most
+    frequent adjacent word 2-gram) and the Gopher-style ``keep``
+    verdict.  Exact string comparisons (set / Counter) — no hashed
+    approximation, so the SQL oracle matches by construction."""
+    from collections import Counter
+
+    texts = batch.column(text_column).to_pylist()
+    n_words, n_distinct, max2, keep = [], [], [], []
+    for t in texts:
+        words = WORD_RE.findall((t or "").lower())
+        n = len(words)
+        nd = len(set(words))
+        m2 = max(Counter(zip(words, words[1:])).values(), default=0)
+        n_words.append(n)
+        n_distinct.append(nd)
+        max2.append(m2)
+        keep.append(m2 * REP_MAX_2GRAM_NUM <= n - 1
+                    and nd * REP_MIN_DISTINCT_NUM >= n)
+    out = {n: batch.column(n) for n in batch.column_names
+           if n != text_column}
+    out["n_words"] = pa.array(n_words, pa.int64())
+    out["n_distinct"] = pa.array(n_distinct, pa.int64())
+    out["max_2gram_n"] = pa.array(max2, pa.int64())
+    out["keep"] = pa.array(keep, pa.bool_())
+    return pa.table(out)

@@ -50,9 +50,13 @@ from ..functions.multimodal import binary_metadata_batch
 from ..functions.textops import (
     LANG_ORDER,
     LANG_STOPWORDS,
+    PII_EMAIL_PAT,
+    PII_IPV4_PAT,
     fingerprint_batch,
     lang_id_batch,
+    pii_redact_batch,
     quality_batch,
+    repetition_batch,
     token_count_batch,
 )
 from ..intelligence import CATEGORIES, CATEGORY_RISK, extract_iocs, intelligence_batch
@@ -1898,6 +1902,220 @@ ORDER BY d.doc_id
 """
 
 
+CONTAM_BENCH_MOD = 10  # benchmark = docs with doc_id % 10 == 0
+
+
+def q_contamination(sf_dir: str):
+    """Eval-set decontamination screen: corpus docs sharing ≥1 exact
+    8-token window with any benchmark doc (the deterministic benchmark
+    slice doc_id % CONTAM_BENCH_MOD == 0 stands in for a held-out eval
+    set).  One gram-key sort over the tagged union, run-scan emission —
+    no join, no driver state
+    (:func:`~deepwebharvester_ray.functions.dedup.contaminated_ids`)."""
+    from ..functions.dedup import contaminated_ids
+
+    parts = _shuffle_parts(sf_dir)
+    docs = _docs(sf_dir, columns=["doc_id", "text"],
+                 override_num_blocks=parts)
+
+    def side(want_bench: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            is_bench = ids % CONTAM_BENCH_MOD == 0
+            return batch.filter(pa.array(is_bench == want_bench))
+
+        return fn
+
+    corpus = docs.map_batches(side(False), batch_format="pyarrow",
+                              runtime_env=runtime_env())
+    bench = docs.map_batches(side(True), batch_format="pyarrow",
+                             runtime_env=runtime_env())
+    return contaminated_ids(corpus, bench, k=8, shuffle_partitions=parts)
+
+
+_SQL_CONTAMINATION = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g(i)
+  WHERE len(t) >= 8
+),
+bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+)
+SELECT DISTINCT g.doc_id
+FROM grams g JOIN bench b USING (gram)
+WHERE g.doc_id % {CONTAM_BENCH_MOD} != 0
+ORDER BY doc_id
+"""
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scrub over the IOC-augmented corpus: emails then IPv4
+    literals replaced with typed tags, pre-redaction counts kept.  Both
+    count and rewrite are Arrow C++ RE2 kernels (zero Python per row);
+    the oracle runs the identical RE2 patterns through DuckDB."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        aug = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array(
+                    [_augment_ioc_py(d, t or "") for d, t in zip(ids, texts)],
+                    pa.string(),
+                ),
+            }
+        )
+        return pii_redact_batch(aug)
+
+    out = ds.map_batches(fn, batch_format="pyarrow",
+                         runtime_env=runtime_env())
+    return out.sort("doc_id")
+
+
+_SQL_PII_REDACT = f"""
+WITH a AS (SELECT doc_id, {_AUG_SQL} AS t FROM documents),
+e AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{PII_EMAIL_PAT}')) AS n_emails,
+         regexp_replace(t, '{PII_EMAIL_PAT}', '<EMAIL>', 'g') AS t1
+  FROM a
+)
+SELECT doc_id, n_emails,
+       len(regexp_extract_all(t1, '{PII_IPV4_PAT}')) AS n_ipv4,
+       regexp_replace(t1, '{PII_IPV4_PAT}', '<IP>', 'g') AS redacted
+FROM e ORDER BY doc_id
+"""
+
+
+def q_repetition_filter(sf_dir: str):
+    """Gopher-style repetition rules: per-doc word / distinct-word /
+    max-adjacent-2-gram counts and the integer-exact keep verdict
+    (top 2-gram ≤ 10 %, distinct ≥ 50 %)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(repetition_batch, batch_format="pyarrow",
+                         runtime_env=runtime_env())
+    return out.sort("doc_id")
+
+
+_SQL_REPETITION = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(l) AS n_words, len(list_distinct(l)) AS n_distinct, l
+  FROM w
+),
+g AS (
+  SELECT doc_id, l[i] || ' ' || l[i+1] AS gram
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) t(i)
+  WHERE len(l) >= 2
+),
+gc AS (
+  SELECT doc_id, max(c) AS max_2gram_n
+  FROM (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT b.doc_id, b.n_words, b.n_distinct,
+       coalesce(gc.max_2gram_n, 0) AS max_2gram_n,
+       (coalesce(gc.max_2gram_n, 0) * 10 <= b.n_words - 1
+        AND b.n_distinct * 2 >= b.n_words) AS keep
+FROM base b LEFT JOIN gc USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+# Domain-mixture resampling rates (exact powers of two → cutoff =
+# rate · 2^64 is an exact integer in both engines).  Head domains are
+# kept dense, the long tail downsampled — the standard corpus-mixing
+# step before training (C4/Pile-style source weighting).
+MIX_HEAD_RATES = {"src0": 0.75, "src1": 0.5, "src2": 0.25}
+MIX_TAIL_RATE = 0.125
+_MIX_CUTOFFS = {s: int(r * (1 << 64)) for s, r in MIX_HEAD_RATES.items()}
+_MIX_TAIL_CUTOFF = int(MIX_TAIL_RATE * (1 << 64))
+
+
+def q_domain_mix(sf_dir: str):
+    """Domain-mixture resampling: keep each doc iff its 64-bit id hash
+    falls under its source's rate cutoff — deterministic, reshard-stable
+    membership (same rule family as split_assign), zero shuffle (pure
+    map filter), per-source rates exact in integer space."""
+    ds = _docs(sf_dir, columns=["doc_id", "source"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            hv = ids.astype(np.uint64) * np.uint64(_SPLIT_MULT)
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        cut = np.full(len(ids), _MIX_TAIL_CUTOFF, np.uint64)
+        for s, c in _MIX_CUTOFFS.items():
+            cut[src == s] = np.uint64(c)
+        return batch.filter(pa.array(hv < cut))
+
+    return ds.map_batches(pick, batch_format="pyarrow",
+                          runtime_env=runtime_env()).sort("doc_id")
+
+
+def _mix_cutoff_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN CAST('{c}' AS HUGEINT)"
+        for s, c in _MIX_CUTOFFS.items()
+    )
+    return (f"CASE source {cases} "
+            f"ELSE CAST('{_MIX_TAIL_CUTOFF}' AS HUGEINT) END")
+
+
+_SQL_DOMAIN_MIX = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         (CAST(doc_id AS HUGEINT) * {_SPLIT_MULT}) %
+             CAST('18446744073709551616' AS HUGEINT) AS hv
+  FROM documents
+)
+SELECT doc_id, source FROM h
+WHERE hv < {{cutoff}}
+ORDER BY doc_id
+""".replace("{cutoff}", _mix_cutoff_sql())
+
+
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic global shuffle for a training epoch: every doc
+    keyed by the bijective 64-bit multiplicative hash of its id and
+    range-sorted on it.  The hash key is uniform, so the sort's range
+    partitions are balanced by construction at any scale (no skewed-key
+    hotspot) and the permutation is reproducible across runs/reshards —
+    exactly what an epoch shuffle needs, without random state."""
+    ds = _docs(sf_dir, columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            hv = ids.astype(np.uint64) * np.uint64(_SPLIT_MULT)
+        return batch.append_column("shuffle_key", pa.array(hv, pa.uint64()))
+
+    return ds.map_batches(key, batch_format="pyarrow",
+                          runtime_env=runtime_env()).sort("shuffle_key")
+
+
+_SQL_EPOCH_SHUFFLE = f"""
+SELECT doc_id,
+       CAST((CAST(doc_id AS HUGEINT) * {_SPLIT_MULT}) %
+            CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)
+           AS shuffle_key
+FROM documents ORDER BY shuffle_key
+"""
+
+
 def q_events_hopping(sf_dir: str):
     """Hopping (overlapping sliding) window aggregate: events per
     (1-hour window starting every 15 min, event_type).  Window = exact
@@ -2051,6 +2269,11 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "events_hopping": q_events_hopping,
         "neardup_clusters": q_neardup_clusters,
         "dedup_purge": q_dedup_purge,
+        "contamination": q_contamination,
+        "pii_redact": q_pii_redact,
+        "repetition_filter": q_repetition_filter,
+        "domain_mix": q_domain_mix,
+        "epoch_shuffle": q_epoch_shuffle,
         "latest_events": q_latest_events,
         "stratified_sample": q_stratified_sample,
         "top_terms_tfidf": q_top_terms_tfidf,
@@ -2103,6 +2326,11 @@ def build_oracle_sql() -> Dict[str, str]:
         "events_hopping": _SQL_EVENTS_HOPPING,
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,
         "dedup_purge": _SQL_DEDUP_PURGE,
+        "contamination": _SQL_CONTAMINATION,
+        "pii_redact": _SQL_PII_REDACT,
+        "repetition_filter": _SQL_REPETITION,
+        "domain_mix": _SQL_DOMAIN_MIX,
+        "epoch_shuffle": _SQL_EPOCH_SHUFFLE,
         "latest_events": _SQL_LATEST_EVENTS,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "top_terms_tfidf": _SQL_TOP_TERMS_TFIDF,

@@ -680,3 +680,75 @@ def test_coalesce_by_bytes_leaves_right_sized_alone(ray_session):
     ).repartition(2)
     out = coalesce_by_bytes(ds, target_bytes=1)  # want >= have: no-op
     assert out.materialize().num_blocks() == 2
+
+
+# ── pii redaction / repetition metrics / contamination ───────────────────────
+
+
+def test_pii_redact_batch():
+    b = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail a.b@x.co then ping 10.0.0.1 ok",
+            "no pii here at all",
+            "two ips 1.2.3.4 5.6.7.8 one mail z@q.org",
+        ]),
+    })
+    out = textops.pii_redact_batch(b).to_pylist()
+    assert out[0]["redacted"] == "mail <EMAIL> then ping <IP> ok"
+    assert (out[0]["n_emails"], out[0]["n_ipv4"]) == (1, 1)
+    assert out[1]["redacted"] == "no pii here at all"
+    assert (out[2]["n_emails"], out[2]["n_ipv4"]) == (1, 2)
+    assert "1.2.3.4" not in out[2]["redacted"]
+
+
+def test_repetition_batch_rules():
+    b = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            # distinct-heavy, no repeated 2-gram → keep
+            " ".join(f"w{i}" for i in range(20)),
+            # "go go" 2-gram dominates → rejected by the 2-gram rule
+            "go go go go go go " + " ".join(f"u{i}" for i in range(30)),
+            # only 2 distinct words in 10 → rejected by the dup-word rule
+            "a b a b a b a b a b",
+        ]),
+    })
+    out = textops.repetition_batch(b).to_pylist()
+    assert [r["keep"] for r in out] == [True, False, False]
+    assert out[1]["max_2gram_n"] == 5
+    assert out[2]["n_distinct"] == 2
+
+
+def test_contaminated_ids_finds_shared_windows(ray_session):
+    import ray
+
+    shared = " ".join(f"s{i}" for i in range(8))  # one 8-token window
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            shared + " tail one",                      # contaminated
+            " ".join(f"c{i}" for i in range(12)),      # clean
+            "pad " + shared,                            # contaminated
+        ]),
+    }))
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array(["head " + shared + " more words here"]),
+    }))
+    hits = dedup.contaminated_ids(corpus, bench, k=8).take_all()
+    assert sorted(r["doc_id"] for r in hits) == [1, 3]
+
+
+def test_contaminated_ids_empty_bench(ray_session):
+    import ray
+
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array([" ".join(f"x{i}" for i in range(10))]),
+    }))
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    assert dedup.contaminated_ids(corpus, bench, k=8).take_all() == []

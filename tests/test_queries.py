@@ -28,6 +28,11 @@ SPOT_CHECKED = [
     "top_terms_tfidf",
     "jaccard_pairs",
     "lineitem_orders_join",
+    "pii_redact",
+    "repetition_filter",
+    "domain_mix",
+    "epoch_shuffle",
+    "contamination",
 ]
 
 
