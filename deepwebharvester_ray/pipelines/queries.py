@@ -1305,6 +1305,72 @@ ORDER BY event_id
 """
 
 
+def q_clicks_in_views(sf_dir: str):
+    """Interval (range) join (custom operator — Ray Data has no native
+    one): each click matched to EVERY view window of the same user that
+    contains it, with variable per-view durations (1–14 days) so the
+    bucketed replication genuinely fans intervals across day buckets.
+    Bucketed sort-merge: one all-to-all on (user_id, day-bucket), then a
+    vectorized prefix-count block pass (functions/interval.py)."""
+    from ..functions.interval import US_PER_DAY, interval_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "event_type"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events")).materialize()
+    import pyarrow.compute as pc
+
+    def clicks_fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch.column("event_type"), "click")
+        ).drop_columns(["event_type"])
+
+    def views_fn(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("event_type"), "view"))
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        s = (batch.column("ts").combine_chunks().cast(pa.timestamp("us"))
+             .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        # deterministic variable duration: 1 + event_id % 14 whole days
+        e = s + (1 + eid % 14) * US_PER_DAY
+        return pa.table(
+            {
+                "view_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "view_start": batch.column("ts").combine_chunks()
+                .cast(pa.timestamp("us")),
+                "view_end": pa.array(e, pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+
+    clicks = ev.map_batches(clicks_fn, batch_format="pyarrow",
+                            runtime_env=runtime_env())
+    views = ev.map_batches(views_fn, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+    return interval_join(
+        clicks, views, key="user_id", ts="ts",
+        start="view_start", end="view_end",
+        left_cols=["event_id"], right_cols=["view_id"],
+        bucket_us=US_PER_DAY,
+        shuffle_partitions=_shuffle_parts(sf_dir, "events"),
+    )
+
+
+_SQL_CLICKS_IN_VIEWS = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT event_id AS view_id, user_id, ts AS view_start,
+         ts + to_days(CAST(1 + event_id % 14 AS INT)) AS view_end
+  FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id, c.user_id, c.ts, v.view_id, v.view_start, v.view_end
+FROM clicks c JOIN views v
+  ON c.user_id = v.user_id
+ AND c.ts >= v.view_start AND c.ts < v.view_end
+ORDER BY c.event_id, v.view_id
+"""
+
+
 def q_price_quantiles(sf_dir: str):
     """Exact distributed per-group quantiles (percentile_disc semantics)
     of order price cents per priority — histogram combiner, shuffle
@@ -2263,6 +2329,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "ngram_overlap": q_ngram_overlap,
         "price_quantiles": q_price_quantiles,
         "clicks_asof_views": q_clicks_asof_views,
+        "clicks_in_views": q_clicks_in_views,
         "split_assign": q_split_assign,
         "top_tokens": q_top_tokens,
         "vocab_hll": q_vocab_hll,
@@ -2321,6 +2388,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "ngram_overlap": _SQL_NGRAM_OVERLAP,
         "price_quantiles": _SQL_PRICE_QUANTILES,
         "clicks_asof_views": _SQL_CLICKS_ASOF_VIEWS,
+        "clicks_in_views": _SQL_CLICKS_IN_VIEWS,
         "split_assign": _SQL_SPLIT_ASSIGN,
         "top_tokens": _SQL_TOP_TOKENS,
         "events_hopping": _SQL_EVENTS_HOPPING,

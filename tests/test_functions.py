@@ -752,3 +752,83 @@ def test_contaminated_ids_empty_bench(ray_session):
         "text": pa.array([], pa.string()),
     }))
     assert dedup.contaminated_ids(corpus, bench, k=8).take_all() == []
+
+
+def test_interval_join_semantics(ray_session):
+    import datetime as dt
+
+    import ray
+
+    from deepwebharvester_ray.functions.interval import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    left = ray.data.from_items([
+        {"eid": 1, "k": 1, "ts": ts(5)},    # inside [0,10) and [5,30)
+        {"eid": 2, "k": 1, "ts": ts(10)},   # end-exclusive: NOT in [0,10)
+        {"eid": 3, "k": 1, "ts": ts(0)},    # start-inclusive: in [0,10)
+        {"eid": 4, "k": 2, "ts": ts(5)},    # other key, no window
+        {"eid": 5, "k": None, "ts": ts(5)},  # null key dropped
+        {"eid": 6, "k": 1, "ts": ts(50)},   # spans-3-buckets window [30,80)
+    ])
+    right = ray.data.from_items([
+        {"vid": 10, "k": 1, "s": ts(0), "e": ts(10)},
+        {"vid": 11, "k": 1, "s": ts(5), "e": ts(30)},
+        {"vid": 12, "k": 1, "s": ts(30), "e": ts(80)},   # 50h > bucket
+        {"vid": 13, "k": 2, "s": ts(7), "e": ts(7)},     # degenerate
+        {"vid": 14, "k": None, "s": ts(0), "e": ts(99)},  # null key
+    ])
+    out = interval_join(
+        left, right, key="k", ts="ts", start="s", end="e",
+        left_cols=["eid"], right_cols=["vid"],
+    ).take_all()
+    pairs = sorted((r["eid"], r["vid"]) for r in out)
+    assert pairs == [(1, 10), (1, 11), (2, 11), (3, 10), (6, 12)]
+    by = {(r["eid"], r["vid"]): r for r in out}
+    r = by[(6, 12)]
+    assert r["ts"] == ts(50) and r["s"] == ts(30) and r["e"] == ts(80)
+
+
+def test_interval_join_matches_bruteforce(ray_session):
+    import datetime as dt
+
+    import pandas as pd
+    import ray
+
+    from deepwebharvester_ray.functions.interval import interval_join
+
+    rng = np.random.default_rng(7)
+    t0 = dt.datetime(2024, 1, 1)
+    n_l, n_r, n_keys = 800, 300, 25
+    lk = rng.integers(0, n_keys, n_l)
+    rk = rng.integers(0, n_keys, n_r)
+    lts = rng.integers(0, 3_000_000, n_l)          # seconds, ~35 days
+    rs = rng.integers(0, 3_000_000, n_r)
+    rd = rng.integers(1, 1_200_000, n_r)           # up to ~14 days
+    left = pd.DataFrame({
+        "eid": np.arange(n_l), "k": lk,
+        "ts": [t0 + dt.timedelta(seconds=int(s)) for s in lts],
+    })
+    right = pd.DataFrame({
+        "vid": np.arange(n_r), "k": rk,
+        "s": [t0 + dt.timedelta(seconds=int(s)) for s in rs],
+        "e": [t0 + dt.timedelta(seconds=int(s + d))
+              for s, d in zip(rs, rd)],
+    })
+    mine = sorted(
+        (r["eid"], r["vid"])
+        for r in interval_join(
+            ray.data.from_pandas(left).repartition(16),
+            ray.data.from_pandas(right).repartition(16),
+            key="k", ts="ts", start="s", end="e",
+            left_cols=["eid"], right_cols=["vid"],
+            shuffle_partitions=8,
+        ).take_all()
+    )
+    ref = left.merge(right, on="k")
+    ref = ref[(ref["ts"] >= ref["s"]) & (ref["ts"] < ref["e"])]
+    assert mine == sorted(zip(ref["eid"], ref["vid"]))
+    assert len(mine) > 1000  # non-trivial fan-out actually exercised
