@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "domain_mix",
     "epoch_shuffle",
     "latest_events",
+    "user_deltas",
+    "orders_rollup",
+    "events_pivot",
     "stratified_sample",
     "top_terms_tfidf",
     "orders_by_segment",

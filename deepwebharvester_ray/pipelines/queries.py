@@ -1890,6 +1890,185 @@ ORDER BY event_id
 """
 
 
+def q_user_deltas(sf_dir: str):
+    """Ordered window functions (LAG delta + running sum) per user —
+    ``functions.window.ordered_deltas``: one sort on the high-cardinality
+    user key, one vectorized block pass computing both frames with
+    cumsum/shift arithmetic.  Values are integer cents (the determinism
+    rule: running float sums are order-dependent)."""
+    from ..functions.window import ordered_deltas
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "value_c": pa.array(
+                    np.floor(v * 100.0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+    out = ordered_deltas(
+        cents, key="user_id", order_cols=["ts", "event_id"],
+        value_col="value_c", out_delta="delta_c", out_running="running_c",
+    )
+    return out.select_columns(
+        ["event_id", "user_id", "value_c", "delta_c", "running_c"]
+    )
+
+
+_SQL_USER_DELTAS = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100.0) AS BIGINT) AS value_c
+  FROM events
+)
+SELECT event_id, user_id, value_c,
+       value_c - lag(value_c, 1, value_c) OVER w AS delta_c,
+       CAST(sum(value_c) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
+def q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (status, priority): the hierarchical aggregate.
+    The scale-correct plan re-aggregates the LEAF result, not the input:
+    the combiner collapses the corpus to one (status, priority) leaf row
+    per pair (grouped_agg — shuffle volume O(blocks × keys)), and the
+    super-aggregate levels (per-status subtotal, grand total) are folded
+    from that tiny leaf table in one single-block pass — the input is
+    never re-scanned per level."""
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderstatus", "o_orderpriority",
+                            "o_totalprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderstatus": batch.column("o_orderstatus"),
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "cents": pa.array(np.floor(v * 100.0).astype(np.int64),
+                                  pa.int64()),
+            }
+        )
+
+    leaf = grouped_agg(
+        orders.map_batches(to_cents, batch_format="pyarrow",
+                           runtime_env=runtime_env()),
+        ["o_orderstatus", "o_orderpriority"],
+        [("n_orders", "", "count"), ("sum_cents", "cents", "sum")],
+    )
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        # leaf level + per-status subtotal + grand total (NULL key slots);
+        # the leaf is a handful of rows, so the fold is plain columnar
+        # concatenation of three tiny tables
+        g = batch.group_by(["o_orderstatus"]).aggregate(
+            [("n_orders", "sum"), ("sum_cents", "sum")]
+        )
+        # select aggregate outputs BY NAME (pyarrow "{col}_{kind}" naming)
+        lvl1 = pa.table(
+            {
+                "o_orderstatus": g.column("o_orderstatus"),
+                "n_orders": g.column("n_orders_sum"),
+                "sum_cents": g.column("sum_cents_sum"),
+                "o_orderpriority": pa.nulls(g.num_rows, pa.string()),
+            }
+        )
+        total = pa.table(
+            {
+                "o_orderstatus": pa.nulls(1, pa.string()),
+                "n_orders": pa.array(
+                    [sum(batch.column("n_orders").to_pylist())], pa.int64()
+                ),
+                "sum_cents": pa.array(
+                    [sum(batch.column("sum_cents").to_pylist())], pa.int64()
+                ),
+                "o_orderpriority": pa.nulls(1, pa.string()),
+            }
+        )
+        cols = ["o_orderstatus", "o_orderpriority", "n_orders", "sum_cents"]
+        return pa.concat_tables(
+            [batch.select(cols), lvl1.select(cols), total.select(cols)]
+        )
+
+    return leaf.repartition(1).map_batches(
+        rollup, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )
+
+
+_SQL_ORDERS_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_events_pivot(sf_dir: str):
+    """Pivot (conditional aggregation): per-user event counts spread into
+    one column per event type, plus total value cents.  The pivot is a
+    pure per-batch map to indicator columns followed by ONE grouped sum —
+    no per-type scan, no wide shuffle beyond the single user_id
+    aggregate."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        cols = {"user_id": batch.column("user_id")}
+        for t in types:
+            cols[f"n_{t}"] = pa.array(
+                (et == t).astype(np.int64), pa.int64()
+            )
+        cols["value_c"] = pa.array(
+            np.floor(v * 100.0).astype(np.int64), pa.int64()
+        )
+        return pa.table(cols)
+
+    ind = ds.map_batches(indicators, batch_format="pyarrow",
+                         runtime_env=runtime_env())
+    return grouped_agg(
+        ind, ["user_id"],
+        [(f"n_{t}", f"n_{t}", "sum") for t in types]
+        + [("total_value_c", "value_c", "sum")],
+    )
+
+
+_SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+           AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+       CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT)
+           AS total_value_c
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_neardup_clusters(sf_dir: str):
     """Dedup clustering: connected components over the exact
     k-token-window overlap graph — each doc in a pair labeled with the
@@ -2342,6 +2521,9 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "domain_mix": q_domain_mix,
         "epoch_shuffle": q_epoch_shuffle,
         "latest_events": q_latest_events,
+        "user_deltas": q_user_deltas,
+        "orders_rollup": q_orders_rollup,
+        "events_pivot": q_events_pivot,
         "stratified_sample": q_stratified_sample,
         "top_terms_tfidf": q_top_terms_tfidf,
         "token_packing": q_token_packing,
@@ -2400,6 +2582,9 @@ def build_oracle_sql() -> Dict[str, str]:
         "domain_mix": _SQL_DOMAIN_MIX,
         "epoch_shuffle": _SQL_EPOCH_SHUFFLE,
         "latest_events": _SQL_LATEST_EVENTS,
+        "user_deltas": _SQL_USER_DELTAS,
+        "orders_rollup": _SQL_ORDERS_ROLLUP,
+        "events_pivot": _SQL_EVENTS_PIVOT,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "top_terms_tfidf": _SQL_TOP_TERMS_TFIDF,
         "token_packing": _SQL_TOKEN_PACKING,

@@ -832,3 +832,46 @@ def test_interval_join_matches_bruteforce(ray_session):
     ref = ref[(ref["ts"] >= ref["s"]) & (ref["ts"] < ref["e"])]
     assert mine == sorted(zip(ref["eid"], ref["vid"]))
     assert len(mine) > 1000  # non-trivial fan-out actually exercised
+
+
+def test_ordered_deltas_matches_bruteforce(ray_session):
+    import pandas as pd
+    import ray
+
+    from deepwebharvester_ray.functions.window import ordered_deltas
+
+    rng = np.random.default_rng(11)
+    n, n_keys = 2000, 40
+    df = pd.DataFrame({
+        "rid": np.arange(n),
+        "k": rng.integers(0, n_keys, n),
+        "o": rng.integers(0, 10_000, n),     # order col (ties broken by rid)
+        "v": rng.integers(-500, 500, n),
+    })
+    out = ordered_deltas(
+        ray.data.from_pandas(df).repartition(16),
+        key="k", order_cols=["o", "rid"], value_col="v",
+        out_delta="d", out_running="r",
+    ).to_pandas().sort_values("rid").reset_index(drop=True)
+
+    ref = df.sort_values(["k", "o", "rid"]).copy()
+    grp = ref.groupby("k")["v"]
+    ref["d"] = (ref["v"] - grp.shift(1)).fillna(0).astype(np.int64)
+    ref["r"] = grp.cumsum()
+    ref = ref.sort_values("rid").reset_index(drop=True)
+    assert (out["d"].to_numpy() == ref["d"].to_numpy()).all()
+    assert (out["r"].to_numpy() == ref["r"].to_numpy()).all()
+    # input columns preserved
+    assert (out["v"].to_numpy() == ref["v"].to_numpy()).all()
+
+
+def test_ordered_deltas_single_and_empty(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.window import ordered_deltas
+
+    one = ordered_deltas(
+        ray.data.from_items([{"k": 1, "o": 5, "v": 42}]),
+        key="k", order_cols=["o"], value_col="v",
+    ).take_all()
+    assert one == [{"k": 1, "o": 5, "v": 42, "delta": 0, "running": 42}]
