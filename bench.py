@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "orders_by_segment",
     "orders_join_native",
     "lineitem_orders_join",
+    "top_orders_q3",
     "lineitem_pricing",
     "ann_ivf",
     "crawl_bfs",

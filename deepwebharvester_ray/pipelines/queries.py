@@ -926,6 +926,164 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+# TPC-H Q3 shape: segment-filtered customers → date-filtered orders →
+# date-filtered lineitems, top-10 orders by revenue.
+_Q3_CUTOFF_US = 883_612_800_000_000  # 1998-01-01 00:00:00 UTC in epoch µs
+_Q3_SEGMENT = "BUILDING"
+
+
+def q_top_orders_q3(sf_dir: str):
+    """Three-table join, mixed strategy by side size (the TPC-H Q3
+    shape): the segment-filtered CUSTOMER key set is tiny → broadcast
+    semi-filter on orders (one ``ray.put`` of a sorted key array, one
+    searchsorted per batch — no shuffle); ORDERS⋈LINEITEM is genuinely
+    large×large → native hash-shuffle join.  Both join inputs are
+    date-filtered AT THE SCAN (filters run inside the read's map stage,
+    so non-qualifying rows never reach the exchange).  Revenue is exact
+    integer arithmetic (cents × (100 - discount%)); the global top-10 is
+    per-block partial top-k then a one-block merge — never a full sort
+    of the aggregate."""
+    import ray
+
+    from ..functions.partition import coalesce_nonempty
+
+    cust = pq.read_table(
+        str(Path(sf_dir) / "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    mask = np.asarray(cust.column("c_mktsegment").to_pylist(),
+                      dtype=object) == _Q3_SEGMENT
+    keys_ref = ray.put(np.sort(
+        cust.column("c_custkey").to_numpy(zero_copy_only=False)
+        .astype(np.int64)[mask]
+    ))
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filter_orders(batch: pa.Table, ref=keys_ref) -> pa.Table:
+        from ..broadcast import cached_get
+
+        wanted = cached_get(ref)
+        od = (batch.column("o_orderdate").combine_chunks()
+              .cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        keep = od < _Q3_CUTOFF_US
+        if len(wanted):
+            idx = np.searchsorted(wanted, ck)
+            idx[idx >= len(wanted)] = 0
+            keep &= wanted[idx] == ck
+        else:
+            keep &= False
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").filter(
+                    pa.array(keep)
+                ),
+                "o_orderdate": batch.column("o_orderdate").filter(
+                    pa.array(keep)
+                ),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"],
+               override_num_blocks=_shuffle_parts(sf_dir, "lineitem"))
+
+    def filter_lineitem(batch: pa.Table) -> pa.Table:
+        sd = (batch.column("l_shipdate").combine_chunks()
+              .cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        keep = sd > _Q3_CUTOFF_US
+        batch = batch.filter(pa.array(keep))
+        ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = (np.floor(ep * 100.0).astype(np.int64)
+               * (100 - np.floor(disc * 100.0).astype(np.int64)))
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "rev": pa.array(rev, pa.int64()),
+            }
+        )
+
+    o_f = coalesce_nonempty(orders.map_batches(
+        filter_orders, batch_format="pyarrow", runtime_env=runtime_env()
+    ))
+    l_f = coalesce_nonempty(li.map_batches(
+        filter_lineitem, batch_format="pyarrow", runtime_env=runtime_env()
+    ))
+    empty = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "revenue_sc": pa.array([], pa.int64()),
+        }
+    )
+    if o_f is None or l_f is None:
+        return ray.data.from_arrow(empty)
+
+    joined = l_f.join(
+        o_f, "inner", num_partitions=_shuffle_parts(sf_dir, "lineitem"),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    per_order = grouped_agg(
+        joined.map_batches(
+            lambda b: pa.table(
+                {"o_orderkey": b.column("l_orderkey"),
+                 "o_orderdate": b.column("o_orderdate"),
+                 "rev": b.column("rev")}
+            ),
+            batch_format="pyarrow", runtime_env=runtime_env(),
+        ),
+        ["o_orderkey", "o_orderdate"], [("revenue_sc", "rev", "sum")],
+    )
+
+    def top10(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        rev = batch.column("revenue_sc").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        keys = batch.column("o_orderkey").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        pick = np.lexsort((keys, -rev))[:10]
+        return batch.take(pa.array(pick)).select(
+            ["o_orderkey", "o_orderdate", "revenue_sc"]
+        )
+
+    # partial top-10 per block, then a one-block final merge
+    return (
+        per_order.map_batches(top10, batch_format="pyarrow",
+                              batch_size=None, runtime_env=runtime_env())
+        .repartition(1)
+        .map_batches(top10, batch_format="pyarrow", batch_size=None,
+                     runtime_env=runtime_env())
+    )
+
+
+_SQL_TOP_ORDERS_Q3 = f"""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(floor(l_extendedprice * 100.0) AS BIGINT) *
+         (100 - CAST(floor(l_discount * 100.0) AS BIGINT)) AS rev
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01'
+)
+SELECT o.o_orderkey, o.o_orderdate, CAST(sum(li.rev) AS BIGINT) AS revenue_sc
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN li ON li.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue_sc DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
 def q_risk_histogram(sf_dir: str):
     """A3 report aggregate: pages per risk label (report.py:315-320)."""
     scored = q_threat_scores(sf_dir)
@@ -2533,6 +2691,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "orders_by_segment": q_orders_by_segment,
         "orders_join_native": q_orders_join_native,
         "lineitem_orders_join": q_lineitem_orders_join,
+        "top_orders_q3": q_top_orders_q3,
         "lineitem_pricing": q_lineitem_pricing,
         "risk_histogram": q_risk_histogram,
         "top_risk": q_top_risk,
@@ -2594,6 +2753,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "orders_by_segment": _SQL_ORDERS_BY_SEGMENT,
         "orders_join_native": _SQL_ORDERS_BY_SEGMENT,
         "lineitem_orders_join": _SQL_LINEITEM_ORDERS_JOIN,
+        "top_orders_q3": _SQL_TOP_ORDERS_Q3,
         "lineitem_pricing": _SQL_LINEITEM_PRICING,
         "risk_histogram": _sql_risk_histogram(),
         "top_risk": _sql_top_risk(),
