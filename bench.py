@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_hopping",
     "neardup_clusters",
+    "pagerank",
     "dedup_purge",
     "contamination",
     "pii_redact",

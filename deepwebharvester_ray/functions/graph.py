@@ -141,3 +141,164 @@ def connected_components(
     return labels.map_batches(
         out, batch_format="pyarrow", runtime_env=runtime_env()
     )
+
+
+def pagerank(
+    edges_ds,
+    nodes_ds,
+    iters: int = 5,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+    broadcast_below: int = 2_000_000,
+    shuffle_partitions: int | None = None,
+):
+    """Integer-deterministic PageRank over an ``(src, dst)`` edge dataset:
+    ``(id, score)`` for every node in ``nodes_ds`` (column ``id``) after a
+    FIXED number of power iterations.
+
+    All arithmetic is integer (scores scaled by ``scale``; contribution =
+    ``score // outdeg``; update = ``((100-d)·init + d·Σcontrib) // 100``)
+    so the result is bit-identical regardless of summation order — the
+    same determinism rule the cents aggregates follow, and what lets a
+    SQL engine reproduce the scores exactly.  Dangling nodes (no
+    out-edges) leak their mass — the classic simplification; documented,
+    mirrored by the oracle.
+
+    Iterative dataflow, one round per iteration (the connected_components
+    pattern): contribution = score lookup on the edge's src — a broadcast
+    sorted-array searchsorted while the node count is below
+    ``broadcast_below``, a native hash-shuffle join beyond — then ONE
+    grouped sum on dst (grouped_agg's partial combiner keeps the shuffle
+    at O(blocks × nodes-with-inlinks)), unioned with a zero row per node
+    so zero-indegree nodes keep their base score.
+    """
+    import ray
+
+    from ..broadcast import cached_get
+    from .agg import grouped_agg
+    from .partition import coalesce_nonempty
+
+    # num_blocks() is unavailable on lazy datasets — default the join
+    # width to the cluster CPU count instead
+    n_parts = shuffle_partitions or max(
+        2, int(ray.cluster_resources().get("CPU", 8))
+    )
+
+    # out-degree per source, attached to each edge ONCE (not per round)
+    deg = grouped_agg(edges_ds, ["src"], [("outdeg", "", "count")])
+    edges_nz = coalesce_nonempty(edges_ds)
+    deg_nz = coalesce_nonempty(deg)
+    n_nodes = nodes_ds.count()
+    init = scale // max(n_nodes, 1)
+    base = (100 - damping_pct) * init
+
+    zeros = nodes_ds.map_batches(
+        lambda b: pa.table(
+            {"id": b.column("id"),
+             "c": pa.array(np.zeros(b.num_rows, np.int64), pa.int64())}
+        ),
+        batch_format="pyarrow", runtime_env=runtime_env(),
+    ).materialize()
+
+    if edges_nz is None or deg_nz is None:
+        # no edges: every node keeps the base score ((100-d)·init + 0)//100
+        return zeros.map_batches(
+            lambda b: pa.table(
+                {"id": b.column("id"),
+                 "score": pa.array(
+                     np.full(b.num_rows, (base) // 100, np.int64), pa.int64())}
+            ),
+            batch_format="pyarrow", runtime_env=runtime_env(),
+        )
+
+    edges_w = edges_nz.join(
+        deg_nz, "inner", num_partitions=n_parts, on=("src",),
+    ).materialize()
+
+    small = n_nodes < broadcast_below
+
+    # scores start uniform: (id, s=init) for every node
+    scores = zeros.map_batches(
+        lambda b: pa.table(
+            {"id": b.column("id"),
+             "s": pa.array(np.full(b.num_rows, init, np.int64), pa.int64())}
+        ),
+        batch_format="pyarrow", runtime_env=runtime_env(),
+    ).materialize()
+
+    def contributions(scores_ds):
+        """(id=dst, c=score[src] // outdeg) for every edge."""
+        if small:
+            rows = scores_ds.take_all()
+            ids = np.fromiter((r["id"] for r in rows), np.int64, len(rows))
+            s = np.fromiter((r["s"] for r in rows), np.int64, len(rows))
+            order = np.argsort(ids)
+            ref = ray.put((ids[order], s[order]))
+
+            def lookup(batch: pa.Table, _ref=ref) -> pa.Table:
+                sids, sv = cached_get(_ref)
+                src = batch.column("src").combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+                deg_v = batch.column("outdeg").combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+                pos = np.searchsorted(sids, src)  # every src is a node
+                return pa.table(
+                    {
+                        "id": batch.column("dst"),
+                        "c": pa.array(sv[pos] // deg_v, pa.int64()),
+                    }
+                )
+
+            return edges_w.map_batches(
+                lookup, batch_format="pyarrow", runtime_env=runtime_env()
+            )
+        sc_nz = coalesce_nonempty(scores_ds)
+        return edges_w.join(
+            sc_nz, "inner", num_partitions=n_parts,
+            on=("src",), right_on=("id",),
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "id": b.column("dst"),
+                    "c": pa.array(
+                        b.column("s").combine_chunks().to_numpy(
+                            zero_copy_only=False
+                        )
+                        // b.column("outdeg").combine_chunks().to_numpy(
+                            zero_copy_only=False
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow", runtime_env=runtime_env(),
+        )
+
+    def update(batch: pa.Table) -> pa.Table:
+        csum = batch.column("csum").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "id": batch.column("id"),
+                "s": pa.array((base + damping_pct * csum) // 100, pa.int64()),
+            }
+        )
+
+    for _ in range(iters):
+        summed = grouped_agg(
+            contributions(scores).union(zeros), ["id"],
+            [("csum", "c", "sum")],
+        )
+        scores = summed.map_batches(
+            update, batch_format="pyarrow", runtime_env=runtime_env()
+        ).materialize()
+
+    return scores.map_batches(
+        lambda b: pa.table(
+            {"id": b.column("id"), "score": b.column("s")}
+        ),
+        batch_format="pyarrow", runtime_env=runtime_env(),
+    )

@@ -2259,6 +2259,92 @@ FROM reach GROUP BY id ORDER BY doc_id
 """
 
 
+_PR_ITERS = 5
+_PR_SCALE = 10**12
+
+
+def q_pagerank(sf_dir: str):
+    """PageRank over the corpus link graph (the reference's crawl graph,
+    visualizer.py:146-280, as an ANALYSIS operator rather than a
+    rendering): 5 integer-deterministic power iterations via the
+    iterative-dataflow loop in ``functions.graph.pagerank``.  The edge
+    table is derived from the corpus's deterministic link formula
+    (corpus.py link_targets: ``dst = (eff + off) % N`` for offsets
+    (1, 17, 64), with the mirror rule ``eff = d-1`` when ``d%10==7``) —
+    the same links the BFS crawl follows, so the scores rank pages by
+    crawl-graph centrality."""
+    from ..functions.graph import pagerank
+
+    docs = _docs(sf_dir, columns=["doc_id"],
+                 override_num_blocks=_shuffle_parts(sf_dir))
+    n_docs = pq.ParquetFile(
+        str(Path(sf_dir) / "documents.parquet")
+    ).metadata.num_rows
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        eff = np.where((d > 0) & (d % DUP_MOD == DUP_REMAINDER), d - 1, d)
+        src = np.repeat(d, len(LINK_OFFSETS))
+        dst = (
+            np.repeat(eff, len(LINK_OFFSETS))
+            + np.tile(np.asarray(LINK_OFFSETS, np.int64), len(d))
+        ) % n_docs
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    edges = docs.map_batches(to_edges, batch_format="pyarrow",
+                             runtime_env=runtime_env())
+    nodes = docs.map_batches(
+        lambda b: pa.table({"id": b.column("doc_id")}),
+        batch_format="pyarrow", runtime_env=runtime_env(),
+    )
+    scores = pagerank(edges, nodes, iters=_PR_ITERS, scale=_PR_SCALE,
+                      shuffle_partitions=_shuffle_parts(sf_dir))
+    return _rename(scores, {"id": "doc_id"})
+
+
+def _sql_pagerank() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    head = f"""
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+it0 AS (
+  SELECT id, {_PR_SCALE} // (SELECT n FROM n_tab) AS s FROM nodes
+)"""
+    its = []
+    for k in range(1, _PR_ITERS + 1):
+        its.append(f""",
+it{k} AS (
+  SELECT nd.id,
+         CAST((15 * ({_PR_SCALE} // (SELECT n FROM n_tab)) +
+               85 * COALESCE(sum(i.s // d.outdeg), 0)) // 100
+              AS BIGINT) AS s
+  FROM nodes nd
+  LEFT JOIN edges e ON e.dst = nd.id
+  LEFT JOIN deg d ON d.src = e.src
+  LEFT JOIN it{k - 1} i ON i.id = e.src
+  GROUP BY nd.id
+)""")
+    return (head + "".join(its)
+            + f"\nSELECT id AS doc_id, s AS score FROM it{_PR_ITERS} "
+              "ORDER BY doc_id")
+
+
 def q_dedup_purge(sf_dir: str):
     """The end-to-end fuzzy-dedup pipeline a training-data run actually
     ships: near-dup pair generation (exact 8-token-window overlap) →
@@ -2672,6 +2758,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "vocab_hll": q_vocab_hll,
         "events_hopping": q_events_hopping,
         "neardup_clusters": q_neardup_clusters,
+        "pagerank": q_pagerank,
         "dedup_purge": q_dedup_purge,
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
@@ -2734,6 +2821,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "top_tokens": _SQL_TOP_TOKENS,
         "events_hopping": _SQL_EVENTS_HOPPING,
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,
+        "pagerank": _sql_pagerank(),
         "dedup_purge": _SQL_DEDUP_PURGE,
         "contamination": _SQL_CONTAMINATION,
         "pii_redact": _SQL_PII_REDACT,

@@ -875,3 +875,60 @@ def test_ordered_deltas_single_and_empty(ray_session):
         key="k", order_cols=["o"], value_col="v",
     ).take_all()
     assert one == [{"k": 1, "o": 5, "v": 42, "delta": 0, "running": 42}]
+
+
+def _pagerank_ref(edges, n, iters=5, scale=10**12):
+    """Driver-side integer PageRank reference (same arithmetic)."""
+    outdeg = np.zeros(n, np.int64)
+    for s, _ in edges:
+        outdeg[s] += 1
+    score = np.full(n, scale // n, np.int64)
+    for _ in range(iters):
+        csum = np.zeros(n, np.int64)
+        for s, d in edges:
+            csum[d] += score[s] // outdeg[s]
+        score = (15 * (scale // n) + 85 * csum) // 100
+    return score
+
+
+def test_pagerank_matches_reference_both_paths(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.graph import pagerank
+
+    rng = np.random.default_rng(3)
+    n = 60
+    edges = [(int(s), int(d)) for s, d in
+             zip(rng.integers(0, n, 300), rng.integers(0, n, 300))]
+    # a few zero-outdegree (dangling) and zero-indegree nodes stay valid:
+    # node n-1 never appears as src
+    edges = [(s, d) for s, d in edges if s != n - 1]
+    ref = _pagerank_ref(edges, n)
+
+    edges_ds = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in edges]
+    ).repartition(8)
+    nodes_ds = ray.data.from_items([{"id": i} for i in range(n)])
+
+    for bb in (2_000_000, 0):   # broadcast path, then forced join path
+        out = pagerank(edges_ds, nodes_ds, iters=5,
+                       broadcast_below=bb).take_all()
+        got = {r["id"]: r["score"] for r in out}
+        assert len(got) == n
+        assert all(got[i] == ref[i] for i in range(n)), f"path bb={bb}"
+
+
+def test_pagerank_no_edges(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.graph import pagerank
+
+    nodes_ds = ray.data.from_items([{"id": i} for i in range(4)])
+    import pyarrow as pa_
+
+    edges_ds = ray.data.from_arrow(pa_.table(
+        {"src": pa_.array([], pa_.int64()), "dst": pa_.array([], pa_.int64())}
+    ))
+    out = pagerank(edges_ds, nodes_ds, iters=3, scale=1000).take_all()
+    assert sorted(r["id"] for r in out) == [0, 1, 2, 3]
+    assert all(r["score"] == (15 * (1000 // 4)) // 100 for r in out)
