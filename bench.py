@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "events_hopping",
     "neardup_clusters",
     "pagerank",
+    "inverted_index",
+    "doc_search",
     "dedup_purge",
     "contamination",
     "pii_redact",

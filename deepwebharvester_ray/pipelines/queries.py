@@ -2259,6 +2259,130 @@ FROM reach GROUP BY id ORDER BY doc_id
 """
 
 
+_TOKEN_SQL_RE = "[a-z0-9]+"  # SQL twin of textops.WORD_RE
+_SEARCH_TERMS = ("vector", "stream", "filter")
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build: token → (df, sorted posting list of doc
+    ids).  One distinct (token, doc) explode, ONE all-to-all sort on the
+    token (each token's postings co-locate in one block — the
+    latest_events guarantee), then a vectorized run pass emits each
+    token's postings as an Arrow list column via offset arithmetic — no
+    per-token Python.  Hot-token postings are bounded by the corpus's
+    df; a web-scale stopword posting would be range-bucketed into
+    (token, bucket) segment rows instead (same bucketing the interval
+    join uses)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    from ..functions.textops import WORD_RE
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_in = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_tok, out_id = [], []
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            uniq = np.unique(
+                np.asarray(WORD_RE.findall((t or "").lower()), dtype=object)
+            )
+            out_tok.extend(uniq.tolist())
+            out_id.append(np.full(len(uniq), ids_in[i], np.int64))
+        if not out_id:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "token": pa.array(out_tok, pa.string()),
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+            }
+        )
+
+    def postings_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "postings": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        toks = np.asarray(batch.column("token").to_pylist(), dtype=object)
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((ids, toks))
+        toks, ids = toks[order], ids[order]
+        from ..functions.dedup import _run_bounds
+
+        starts, ends = _run_bounds(toks)
+        offsets = np.concatenate((starts, [len(ids)])).astype(np.int32)
+        return pa.table(
+            {
+                "token": pa.array(toks[starts].tolist(), pa.string()),
+                "df": pa.array(ends - starts, pa.int64()),
+                "postings": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()),
+                    pa.array(ids, pa.int64()),
+                ),
+            }
+        )
+
+    ex = ds.map_batches(explode, batch_format="pyarrow",
+                        runtime_env=runtime_env())
+    return ex.sort("token").map_batches(
+        postings_block, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )
+
+
+_SQL_INVERTED_INDEX = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_TOKEN_SQL_RE}')) AS token
+  FROM documents
+),
+d AS (SELECT DISTINCT doc_id, token FROM tok)
+SELECT token, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+FROM d GROUP BY token ORDER BY token
+"""
+
+
+def q_doc_search(sf_dir: str):
+    """Conjunctive (AND) token search — the index-FREE scan path: a pure
+    per-batch map checks every query term's membership in the doc's
+    token set; embarrassingly parallel, zero shuffle.  (The index-probe
+    path is what :func:`q_inverted_index` materializes — at scale the
+    probe intersects the terms' posting lists instead of scanning
+    text.)"""
+    ds = _docs(sf_dir, columns=["doc_id", "text", "n_chars"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    from ..functions.textops import WORD_RE
+
+    def match(batch: pa.Table) -> pa.Table:
+        keep = np.fromiter(
+            (
+                set(_SEARCH_TERMS)
+                <= set(WORD_RE.findall((t or "").lower()))
+                for t in batch.column("text").to_pylist()
+            ),
+            dtype=bool, count=batch.num_rows,
+        )
+        return batch.filter(pa.array(keep)).select(["doc_id", "n_chars"])
+
+    return ds.map_batches(match, batch_format="pyarrow",
+                          runtime_env=runtime_env())
+
+
+_SQL_DOC_SEARCH = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE {" AND ".join(
+    f"list_contains(regexp_extract_all(lower(text), '{_TOKEN_SQL_RE}'), "
+    f"'{t}')" for t in _SEARCH_TERMS)}
+ORDER BY doc_id
+"""
+
+
 _PR_ITERS = 5
 _PR_SCALE = 10**12
 
@@ -2759,6 +2883,8 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "events_hopping": q_events_hopping,
         "neardup_clusters": q_neardup_clusters,
         "pagerank": q_pagerank,
+        "inverted_index": q_inverted_index,
+        "doc_search": q_doc_search,
         "dedup_purge": q_dedup_purge,
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
@@ -2822,6 +2948,8 @@ def build_oracle_sql() -> Dict[str, str]:
         "events_hopping": _SQL_EVENTS_HOPPING,
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,
         "pagerank": _sql_pagerank(),
+        "inverted_index": _SQL_INVERTED_INDEX,
+        "doc_search": _SQL_DOC_SEARCH,
         "dedup_purge": _SQL_DEDUP_PURGE,
         "contamination": _SQL_CONTAMINATION,
         "pii_redact": _SQL_PII_REDACT,
