@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "pagerank",
     "inverted_index",
     "doc_search",
+    "pmi_bigrams",
     "dedup_purge",
     "contamination",
     "pii_redact",

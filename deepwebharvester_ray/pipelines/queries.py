@@ -2383,6 +2383,188 @@ ORDER BY doc_id
 """
 
 
+_PMI_SCALE = 1_000_000
+_PMI_MIN_COUNT = 20
+_PMI_TOP = 20
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """Top adjacent-token bigrams by pointwise mutual information —
+    the collocation/phrase-mining primitive of corpus analysis.  PMI is
+    integer-scaled (``(c_ab · N_bigrams · 10⁶) // (c_a · c_b)`` — exact
+    integer ranking on both engines; overflow-safe while
+    ``c_ab·N·scale < 2⁶³``, i.e. corpora to ~10¹⁰ bigrams at this
+    scale).
+
+    Distributed shape: tokenization runs ONCE into a materialized
+    list-column table (the tfidf discipline); bigram and unigram counts
+    are grouped_agg combiners; the two count attachments are native
+    hash-shuffle joins (vocabulary stays distributed — never a driver
+    dict); the global top-20 is per-block partial top-k then a one-block
+    merge."""
+    from ..functions.partition import coalesce_nonempty
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        toks = [WORD_RE.findall((t or "").lower())
+                for t in batch.column("text").to_pylist()]
+        return pa.table({"ts": pa.array(toks, pa.list_(pa.string()))})
+
+    toks = ds.map_batches(tokenize, batch_format="pyarrow",
+                          runtime_env=runtime_env()).materialize()
+
+    def unigrams(batch: pa.Table) -> pa.Table:
+        col = batch.column("ts")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({"token": col.flatten()})
+
+    def bigrams(batch: pa.Table) -> pa.Table:
+        col = batch.column("ts")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.flatten().to_pylist(), dtype=object)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        # adjacent pairs within each list: drop each list's last slot
+        n = len(flat)
+        if n == 0:
+            return pa.table(
+                {"a": pa.array([], pa.string()),
+                 "b": pa.array([], pa.string())}
+            )
+        keep = np.ones(n, dtype=bool)
+        ends = offs[1:] - 1          # last token position of each doc
+        keep[ends[ends >= 0]] = False
+        keep[n - 1] = False
+        first = np.flatnonzero(keep)
+        return pa.table(
+            {
+                "a": pa.array(flat[first].tolist(), pa.string()),
+                "b": pa.array(flat[first + 1].tolist(), pa.string()),
+            }
+        )
+
+    uni = grouped_agg(
+        toks.map_batches(unigrams, batch_format="pyarrow",
+                         batch_size=None, runtime_env=runtime_env()),
+        ["token"], [("cnt", "", "count")],
+    )
+    big = toks.map_batches(bigrams, batch_format="pyarrow",
+                           batch_size=None,
+                           runtime_env=runtime_env()).materialize()
+    n_big = big.count()
+    bc = grouped_agg(big, ["a", "b"], [("c_ab", "", "count")])
+
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "c_ab": pa.array([], pa.int64()),
+            "pmi_sc": pa.array([], pa.int64()),
+        }
+    )
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.greater_equal(batch.column("c_ab"), _PMI_MIN_COUNT)
+        )
+
+    n_parts = max(2, _shuffle_parts(sf_dir))
+    bc_f = coalesce_nonempty(bc.map_batches(
+        prefilter, batch_format="pyarrow", runtime_env=runtime_env()
+    ))
+    uni_nz = coalesce_nonempty(uni)
+    if bc_f is None or uni_nz is None:
+        import ray
+
+        return ray.data.from_arrow(empty)
+    j = bc_f.join(
+        uni_nz, "inner", num_partitions=n_parts, on=("a",),
+        right_on=("token",),
+    )
+    j = coalesce_nonempty(j)
+    if j is None:
+        import ray
+
+        return ray.data.from_arrow(empty)
+    j2 = j.join(
+        uni_nz, "inner", num_partitions=n_parts, on=("b",),
+        right_on=("token",), right_suffix="_b",
+    )
+
+    def score_top(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        c_ab = batch.column("c_ab").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        ca = batch.column("cnt").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        cb = batch.column("cnt_b").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        pmi = (c_ab * n_big * _PMI_SCALE) // (ca * cb)
+        out = pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "c_ab": pa.array(c_ab, pa.int64()),
+                "pmi_sc": pa.array(pmi, pa.int64()),
+            }
+        )
+        return out.sort_by(
+            [("pmi_sc", "descending"), ("a", "ascending"),
+             ("b", "ascending")]
+        ).slice(0, _PMI_TOP)
+
+    def merge_top(batch: pa.Table) -> pa.Table:
+        return batch.sort_by(
+            [("pmi_sc", "descending"), ("a", "ascending"),
+             ("b", "ascending")]
+        ).slice(0, _PMI_TOP)
+
+    return (
+        j2.map_batches(score_top, batch_format="pyarrow",
+                       batch_size=None, runtime_env=runtime_env())
+        .repartition(1)
+        .map_batches(merge_top, batch_format="pyarrow", batch_size=None,
+                     runtime_env=runtime_env())
+    )
+
+
+_SQL_PMI_BIGRAMS = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '{_TOKEN_SQL_RE}') AS ts
+  FROM documents
+),
+uni AS (
+  SELECT t AS token, count(*) AS cnt
+  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t
+),
+big AS (
+  SELECT ts[i] AS a, ts[i + 1] AS b
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i) r
+),
+bc AS (SELECT a, b, count(*) AS c_ab FROM big GROUP BY a, b),
+n_tab AS (SELECT count(*) AS n FROM big)
+SELECT bc.a, bc.b, CAST(bc.c_ab AS BIGINT) AS c_ab,
+       CAST((bc.c_ab * (SELECT n FROM n_tab) * {_PMI_SCALE})
+            // (ua.cnt * ub.cnt) AS BIGINT) AS pmi_sc
+FROM bc
+JOIN uni ua ON ua.token = bc.a
+JOIN uni ub ON ub.token = bc.b
+WHERE bc.c_ab >= {_PMI_MIN_COUNT}
+ORDER BY pmi_sc DESC, bc.a, bc.b
+LIMIT {_PMI_TOP}
+"""
+
+
 _PR_ITERS = 5
 _PR_SCALE = 10**12
 
@@ -2885,6 +3067,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "pagerank": q_pagerank,
         "inverted_index": q_inverted_index,
         "doc_search": q_doc_search,
+        "pmi_bigrams": q_pmi_bigrams,
         "dedup_purge": q_dedup_purge,
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
@@ -2950,6 +3133,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "pagerank": _sql_pagerank(),
         "inverted_index": _SQL_INVERTED_INDEX,
         "doc_search": _SQL_DOC_SEARCH,
+        "pmi_bigrams": _SQL_PMI_BIGRAMS,
         "dedup_purge": _SQL_DEDUP_PURGE,
         "contamination": _SQL_CONTAMINATION,
         "pii_redact": _SQL_PII_REDACT,
