@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "inverted_index",
     "doc_search",
     "pmi_bigrams",
+    "novelty_filter",
     "dedup_purge",
     "contamination",
     "pii_redact",

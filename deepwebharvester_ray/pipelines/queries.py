@@ -2259,6 +2259,99 @@ FROM reach GROUP BY id ORDER BY doc_id
 """
 
 
+def q_novelty_filter(sf_dir: str):
+    """Incremental-crawl novelty screen: keep only pages whose content
+    hash is NOT in the existing corpus index (here: the first half of
+    the documents table, standing in for the previously-crawled corpus).
+
+    Two-phase scale shape (functions/bloom.py): a distributed
+    combiner-built Bloom filter over the seen hashes is broadcast once
+    (1 MiB bitmap regardless of index size); probe-NEGATIVES are
+    definitively new and pass with zero join work, probe-POSITIVES (true
+    dups + <1% false hits) route through the exact size-gated anti-join
+    (dedup.subtract_ids on the full hex hash — so 64-bit truncation can
+    never misclassify).  At a 10¹⁰-page index the exact join's input is
+    the dup slice, not the corpus."""
+    import ray
+
+    from ..functions.bloom import bloom_build, bloom_probe
+    from ..functions.dedup import subtract_ids
+    from ..urlops import content_hash_hex
+
+    n_docs = pq.ParquetFile(
+        str(Path(sf_dir) / "documents.parquet")
+    ).metadata.num_rows
+    half = n_docs // 2
+
+    docs = _docs(sf_dir, columns=["doc_id", "text", "n_chars"],
+                 override_num_blocks=_shuffle_parts(sf_dir))
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        hexes = [content_hash_hex(t or "")
+                 for t in batch.column("text").to_pylist()]
+        h64 = np.fromiter((int(h[:16], 16) for h in hexes), np.uint64,
+                          len(hexes)).view(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": batch.column("n_chars"),
+                "content_hash": pa.array(hexes, pa.string()),
+                "h64": pa.array(h64, pa.int64()),
+            }
+        )
+
+    hashed = docs.map_batches(hash_batch, batch_format="pyarrow",
+                              runtime_env=runtime_env()).materialize()
+
+    def seen_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.less(batch.column("doc_id"), half))
+
+    seen = hashed.map_batches(seen_only, batch_format="pyarrow",
+                              runtime_env=runtime_env())
+    bloom = bloom_build(seen, "h64", n_bits=1 << 20)
+    bref = ray.put(bloom)
+
+    def split(batch: pa.Table, want_cand: bool) -> pa.Table:
+        from ..broadcast import cached_get
+
+        words = cached_get(bref)
+        keys = batch.column("h64").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        cand = bloom_probe(words, keys)
+        mask = cand if want_cand else ~cand
+        return batch.filter(pa.array(mask))
+
+    definite_new = hashed.map_batches(
+        split, fn_kwargs={"want_cand": False}, batch_format="pyarrow",
+        runtime_env=runtime_env(),
+    )
+    candidates = hashed.map_batches(
+        split, fn_kwargs={"want_cand": True}, batch_format="pyarrow",
+        runtime_env=runtime_env(),
+    )
+    novel_cands = subtract_ids(
+        candidates, seen.select_columns(["content_hash"]),
+        id_column="content_hash", drop_column="content_hash",
+    )
+    return definite_new.union(novel_cands).select_columns(
+        ["doc_id", "n_chars"]
+    )
+
+
+_SQL_NOVELTY_FILTER = """
+WITH n AS (SELECT count(*) AS c FROM documents),
+seen AS (
+  SELECT sha256(text) AS h FROM documents, n WHERE doc_id < n.c // 2
+)
+SELECT doc_id, n_chars FROM documents
+WHERE sha256(text) NOT IN (SELECT h FROM seen)
+ORDER BY doc_id
+"""
+
+
 _TOKEN_SQL_RE = "[a-z0-9]+"  # SQL twin of textops.WORD_RE
 _SEARCH_TERMS = ("vector", "stream", "filter")
 
@@ -3068,6 +3161,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "inverted_index": q_inverted_index,
         "doc_search": q_doc_search,
         "pmi_bigrams": q_pmi_bigrams,
+        "novelty_filter": q_novelty_filter,
         "dedup_purge": q_dedup_purge,
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
@@ -3134,6 +3228,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "inverted_index": _SQL_INVERTED_INDEX,
         "doc_search": _SQL_DOC_SEARCH,
         "pmi_bigrams": _SQL_PMI_BIGRAMS,
+        "novelty_filter": _SQL_NOVELTY_FILTER,
         "dedup_purge": _SQL_DEDUP_PURGE,
         "contamination": _SQL_CONTAMINATION,
         "pii_redact": _SQL_PII_REDACT,

@@ -932,3 +932,34 @@ def test_pagerank_no_edges(ray_session):
     out = pagerank(edges_ds, nodes_ds, iters=3, scale=1000).take_all()
     assert sorted(r["id"] for r in out) == [0, 1, 2, 3]
     assert all(r["score"] == (15 * (1000 // 4)) // 100 for r in out)
+
+
+def test_bloom_no_false_negatives_and_low_fp(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.bloom import bloom_build, bloom_probe
+
+    rng = np.random.default_rng(5)
+    members = rng.integers(0, 1 << 62, 5000, dtype=np.int64)
+    others = rng.integers(0, 1 << 62, 20000, dtype=np.int64)
+    others = np.setdiff1d(others, members)
+    ds = ray.data.from_arrow(pa.table({"h": pa.array(members, pa.int64())}))
+    words = bloom_build(ds.repartition(8), "h", n_bits=1 << 16, k=7)
+    # every member probes positive (the Bloom contract: no false negatives)
+    assert bloom_probe(words, members.view(np.uint64)).all()
+    # ~10 bits/key, k=7 → false-positive rate ≈ 1%; allow 3%
+    fp = bloom_probe(words, others.view(np.uint64)).mean()
+    assert fp < 0.03, fp
+
+
+def test_bloom_partial_merge_is_build(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.bloom import bloom_build
+
+    keys = np.arange(1000, dtype=np.int64) * 7919
+    ds = ray.data.from_arrow(pa.table({"h": pa.array(keys, pa.int64())}))
+    # OR-merge of per-block partials must equal a single-block build
+    one = bloom_build(ds.repartition(1), "h", n_bits=1 << 14)
+    many = bloom_build(ds.repartition(13), "h", n_bits=1 << 14)
+    assert (one == many).all()
