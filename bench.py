@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "split_assign",
     "top_tokens",
     "vocab_hll",
+    "approx_users_by_type",
+    "token_freq_cms",
     "token_packing",
     "neardup_embeddings",
     "neardup_embeddings_lsh",

@@ -77,3 +77,152 @@ def hll_distinct(ds, extract, label: str = "n_distinct_est") -> pa.Table:
         merged = np.maximum(merged, np.frombuffer(r["regs"], dtype=np.uint8))
     return pa.table({label: pa.array([int(round(hll_estimate(merged)))],
                                      pa.int64())})
+
+
+def grouped_hll_distinct(ds, key_column: str, value_column: str,
+                         label: str = "n_distinct_est"):
+    """Per-group approximate distinct count: ``(key, ≈|distinct values|)``
+    for every key — the sketch form of ``COUNT(DISTINCT v) GROUP BY k``
+    when the exact per-group shuffle of raw values is off the table
+    (distinct users per event type over 10^10 events).
+
+    Combiner shape: each batch collapses to one 2^p-byte register blob
+    PER KEY IN THE BATCH (so the shuffle moves O(blocks × keys) 4 KiB
+    rows, never values); one sort on the key co-locates each key's
+    partials, and a run pass max-merges + estimates.  Per-run Python is
+    bounded by distinct keys per block — this operator is for
+    bounded-cardinality keys (enums, hours, hosts); a 10^7-key distinct
+    count wants the exact grouped_agg path instead."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {key_column: pa.array([], batch.schema.field(key_column).type),
+                 "regs": pa.array([], pa.binary())}
+            )
+        keys = np.asarray(batch.column(key_column).to_pylist(), dtype=object)
+        vals = np.asarray(batch.column(value_column).to_pylist(), dtype=object)
+        order = np.argsort(keys, kind="stable")
+        keys, vals = keys[order], vals[order]
+        change = np.ones(len(keys), dtype=bool)
+        change[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(keys))
+        blobs = [
+            hll_registers(_hash64(set(vals[s:e]))).tobytes()
+            for s, e in zip(starts, ends)
+        ]
+        return pa.table(
+            {
+                key_column: pa.array(keys[starts].tolist()),
+                "regs": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {key_column: pa.array([], batch.schema.field(key_column).type),
+                 label: pa.array([], pa.int64())}
+            )
+        keys = np.asarray(batch.column(key_column).to_pylist(), dtype=object)
+        blobs = batch.column("regs").to_pylist()
+        change = np.ones(len(keys), dtype=bool)
+        change[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(keys))
+        out_keys, out_est = [], []
+        for s, e in zip(starts, ends):
+            regs = np.frombuffer(blobs[s], dtype=np.uint8)
+            for i in range(s + 1, e):
+                regs = np.maximum(
+                    regs, np.frombuffer(blobs[i], dtype=np.uint8)
+                )
+            out_keys.append(keys[s])
+            out_est.append(int(round(hll_estimate(regs))))
+        return pa.table(
+            {
+                key_column: pa.array(out_keys),
+                label: pa.array(out_est, pa.int64()),
+            }
+        )
+
+    return parts.sort(key_column).map_batches(
+        merge, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )
+
+
+# ── Count-Min sketch (frequency estimation) ──────────────────────────────────
+
+CMS_DEPTH = 5
+_CMS_SEEDS = np.arange(CMS_DEPTH, dtype=np.uint64) * np.uint64(
+    0xA24BAED4963EE407
+)
+
+
+def _cms_mix(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = x.copy()
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def _cms_positions(hashes: np.ndarray, width: int) -> np.ndarray:
+    """(depth, n) column indices — independent mix per row."""
+    with np.errstate(over="ignore"):
+        return np.stack(
+            [
+                (_cms_mix(hashes ^ s) % np.uint64(width)).astype(np.int64)
+                for s in _CMS_SEEDS
+            ]
+        )
+
+
+def cms_build(ds, value_column: str, width: int = 1 << 14) -> np.ndarray:
+    """(depth, width) int64 Count-Min matrix over a string column's
+    OCCURRENCES.  Combiner shape: per-block partial matrices summed —
+    addition is associative, so the merge order (here a sequential
+    driver reduce over O(#blocks) rows, a tree at cluster scale) is
+    irrelevant.  Overestimate bound: est ≤ true + e/width · N with
+    probability 1 - e^-depth per query; never underestimates."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = np.zeros((CMS_DEPTH, width), dtype=np.int64)
+        vals = batch.column(value_column).to_pylist()
+        if vals:
+            pos = _cms_positions(_hash64(vals), width)
+            for d in range(CMS_DEPTH):
+                np.add.at(mat[d], pos[d], 1)
+        return pa.table({"m": pa.array([mat.tobytes()], pa.large_binary())})
+
+    acc = np.zeros((CMS_DEPTH, width), dtype=np.int64)
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )
+    for row in parts.iter_rows():
+        acc += np.frombuffer(row["m"], dtype=np.int64).reshape(
+            CMS_DEPTH, width
+        )
+    return acc
+
+
+def cms_estimate(mat: np.ndarray, values) -> np.ndarray:
+    """Estimated occurrence counts for ``values`` (min over depth rows)."""
+    values = list(values)
+    if not values:
+        return np.zeros(0, dtype=np.int64)
+    pos = _cms_positions(_hash64(values), mat.shape[1])
+    return np.min(
+        np.stack([mat[d, pos[d]] for d in range(mat.shape[0])]), axis=0
+    )

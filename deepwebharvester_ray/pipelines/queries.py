@@ -3054,6 +3054,66 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_approx_users_by_type(sf_dir: str):
+    """Per-group approximate distinct count (COUNT(DISTINCT user_id)
+    GROUP BY event_type) via per-key mergeable HLL registers — shuffle
+    volume is O(blocks × keys) 4 KiB blobs, never user ids.  Rows-only:
+    intentionally approximate; tests pin <5 % error vs exact."""
+    from ..functions.sketch import grouped_hll_distinct
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "uid": batch.column("user_id").cast(pa.string()),
+            }
+        )
+
+    return grouped_hll_distinct(
+        ds.map_batches(stringify, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        "event_type", "uid", label="n_users_est",
+    )
+
+
+_CMS_PROBE_TOKENS = ("table", "data", "query", "vector", "stream")
+
+
+def q_token_freq_cms(sf_dir: str):
+    """Count-Min frequency estimates for probe tokens — the mergeable
+    frequency sketch for cardinalities where exact per-token counts
+    can't be shuffled (10⁹-token vocabularies).  Per-block partial
+    matrices sum-merge (associative); estimates never underestimate and
+    overestimate by ≤ e/width·N w.h.p. (pinned in tests).  Rows-only."""
+    from ..functions.sketch import cms_build, cms_estimate
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = []
+        for t in batch.column("text").to_pylist():
+            toks.extend(WORD_RE.findall((t or "").lower()))
+        return pa.table({"token": pa.array(toks, pa.string())})
+
+    mat = cms_build(
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        "token",
+    )
+    est = cms_estimate(mat, _CMS_PROBE_TOKENS)
+    return pa.table(
+        {
+            "token": pa.array(list(_CMS_PROBE_TOKENS), pa.string()),
+            "est_n": pa.array(est, pa.int64()),
+        }
+    )
+
+
 def q_vocab_hll(sf_dir: str):
     """Approximate vocabulary size via a mergeable HyperLogLog sketch
     (p=12, ~1.6 % rel. error) — the distinct-count path for cardinalities
@@ -3155,6 +3215,8 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "split_assign": q_split_assign,
         "top_tokens": q_top_tokens,
         "vocab_hll": q_vocab_hll,
+        "approx_users_by_type": q_approx_users_by_type,
+        "token_freq_cms": q_token_freq_cms,
         "events_hopping": q_events_hopping,
         "neardup_clusters": q_neardup_clusters,
         "pagerank": q_pagerank,
@@ -3263,4 +3325,5 @@ ROWS_ONLY: List[str] = [
     "crawl_bfs", "crawl_intel", "minhash_pairs", "simhash_pairs",
     "fingerprints", "ann_lsh", "ann_ivf", "binary_metadata",
     "multimodal_features", "vocab_hll", "neardup_embeddings_lsh",
+    "approx_users_by_type", "token_freq_cms",
 ]

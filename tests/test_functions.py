@@ -963,3 +963,57 @@ def test_bloom_partial_merge_is_build(ray_session):
     one = bloom_build(ds.repartition(1), "h", n_bits=1 << 14)
     many = bloom_build(ds.repartition(13), "h", n_bits=1 << 14)
     assert (one == many).all()
+
+
+def test_grouped_hll_error_bound(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.sketch import grouped_hll_distinct
+
+    rng = np.random.default_rng(9)
+    keys = rng.choice(["a", "b", "c"], 30000)
+    # distinct-value pools of very different sizes per key
+    vals = np.where(
+        keys == "a", rng.integers(0, 200, 30000),
+        np.where(keys == "b", rng.integers(0, 5000, 30000),
+                 rng.integers(0, 40000, 30000)),
+    )
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys.tolist(), pa.string()),
+        "v": pa.array([str(v) for v in vals], pa.string()),
+    })).repartition(16)
+    out = {r["k"]: r["n_users_est"]
+           for r in grouped_hll_distinct(ds, "k", "v",
+                                         label="n_users_est").take_all()}
+    import pandas as pd
+
+    exact = pd.DataFrame({"k": keys, "v": vals}).groupby("k")["v"].nunique()
+    assert set(out) == {"a", "b", "c"}
+    for k in out:
+        assert abs(out[k] - exact[k]) / exact[k] < 0.05, (k, out[k], exact[k])
+
+
+def test_cms_bounds_and_merge_invariance(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.sketch import (
+        CMS_DEPTH, cms_build, cms_estimate,
+    )
+
+    rng = np.random.default_rng(13)
+    # zipf-ish: token i appears ~ 3000/(i+1) times
+    toks = []
+    for i in range(200):
+        toks.extend([f"tok{i}"] * (3000 // (i + 1)))
+    rng.shuffle(toks)
+    ds = ray.data.from_arrow(pa.table({"t": pa.array(toks, pa.string())}))
+    width = 1 << 12
+    m1 = cms_build(ds.repartition(1), "t", width=width)
+    m2 = cms_build(ds.repartition(11), "t", width=width)
+    assert (m1 == m2).all()          # sum-merge invariant to blocking
+    probe = [f"tok{i}" for i in range(0, 50)]
+    true = np.array([3000 // (i + 1) for i in range(0, 50)], np.int64)
+    est = cms_estimate(m1, probe)
+    assert (est >= true).all()       # CMS never underestimates
+    n_total = len(toks)
+    assert (est - true <= np.e / width * n_total * 3).all()
