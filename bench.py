@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "user_deltas",
     "orders_rollup",
     "events_pivot",
+    "distinct_users_by_type",
+    "value_stats",
+    "orders_with_late_items",
     "stratified_sample",
     "top_terms_tfidf",
     "orders_by_segment",

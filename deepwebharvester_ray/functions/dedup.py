@@ -1371,6 +1371,77 @@ def subtract_ids(ds, drop_ds, id_column: str = "doc_id",
                               runtime_env=runtime_env())
 
 
+def semi_join_ids(ds, keep_ds, id_column: str = "doc_id",
+                  keep_column: str = "doc_id",
+                  broadcast_cutoff: int | None = None,
+                  num_partitions: int = 8):
+    """``ds`` restricted to rows whose ``id_column`` appears in
+    ``keep_ds`` — the distributed SEMI-join (EXISTS), complementing
+    :func:`subtract_ids`'s anti-join with the identical size gate:
+    below the measured key count the keep-set broadcasts as a sorted
+    int64 array (vectorized searchsorted membership, zero shuffle of
+    ``ds``); above it, an inner hash join against the DEDUPLICATED key
+    set — keys only, never the probe payload twice (a raw inner join
+    against a non-distinct right side would duplicate matching rows)."""
+    import ray
+
+    from .agg import grouped_agg
+    from .partition import coalesce_nonempty
+
+    keep_nz = coalesce_nonempty(keep_ds.select_columns([keep_column]))
+    if keep_nz is None:
+        return ds.limit(0)
+    cutoff = (SUBTRACT_BROADCAST_CUTOFF if broadcast_cutoff is None
+              else broadcast_cutoff)
+    if keep_nz.count() <= cutoff:
+        keep_tbls = ray.get(keep_nz.to_arrow_refs())
+        keep_ids = np.unique(np.concatenate(
+            [t.column(keep_column).combine_chunks().to_numpy(
+                zero_copy_only=False)
+             for t in keep_tbls if t.num_rows] or [np.empty(0, np.int64)]))
+        ref = ray.put(keep_ids)
+
+        def semi(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            wanted = cached_get(ref)
+            ids = batch.column(id_column).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            if not len(wanted):
+                return batch.slice(0, 0)
+            pos = np.searchsorted(wanted, ids)
+            pos[pos == len(wanted)] = 0
+            return batch.filter(pa.array(wanted[pos] == ids))
+
+        return ds.map_batches(semi, batch_format="pyarrow",
+                              runtime_env=runtime_env())
+
+    # distinct keys first: a semi-join must not duplicate probe rows
+    distinct = grouped_agg(
+        keep_nz.map_batches(
+            lambda b: pa.table({"__keep_id": b.column(keep_column)}),
+            batch_format="pyarrow", runtime_env=runtime_env(),
+        ),
+        ["__keep_id"], [("__n", "", "count")],
+    ).select_columns(["__keep_id"])
+    ds_nz = coalesce_nonempty(ds)
+    distinct_nz = coalesce_nonempty(distinct)
+    if ds_nz is None or distinct_nz is None:
+        return ds.limit(0)
+    joined = ds_nz.join(
+        distinct_nz, "inner", num_partitions=num_partitions,
+        on=(id_column,), right_on=("__keep_id",),
+    )
+
+    def drop_marker(batch: pa.Table) -> pa.Table:
+        return batch.select(
+            [c for c in batch.column_names if c != "__keep_id"]
+        )
+
+    return joined.map_batches(drop_marker, batch_format="pyarrow",
+                              runtime_env=runtime_env())
+
+
 # ── benchmark decontamination screen ─────────────────────────────────────────
 
 

@@ -3054,6 +3054,150 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_distinct_users_by_type(sf_dir: str):
+    """EXACT COUNT(DISTINCT user_id) GROUP BY event_type, two-level:
+    the first grouped_agg collapses to one row per (type, user) — the
+    only all-to-all, at pair cardinality, with per-block combining — and
+    the second is a combiner count over those pairs.  The sketch twin
+    (approx_users_by_type) replaces level one with HLL blobs when pair
+    cardinality itself is unshuffleable."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+    pairs = grouped_agg(ds, ["event_type", "user_id"],
+                        [("__n", "", "count")])
+    return grouped_agg(pairs, ["event_type"], [("n_users", "", "count")])
+
+
+_SQL_DISTINCT_USERS = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_value_stats(sf_dir: str):
+    """Grouped variance/stddev with EXACT integer arithmetic: per-type
+    Σx and Σx² of value cents are combiner sums (one tiny shuffle), and
+    the output ships the integer moment ``m2 = n·Σx² − (Σx)²``
+    (= n²·variance) — deterministic across engines where float variance
+    is last-ulp order-dependent.  Overflow-safe while n·Σx² < 2⁶³
+    (~10⁹ rows at these magnitudes; beyond that the combiner carries
+    int128 as two limbs)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def moments(batch: pa.Table) -> pa.Table:
+        v = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "x": pa.array(v, pa.int64()),
+                "xx": pa.array(v * v, pa.int64()),
+            }
+        )
+
+    agg = grouped_agg(
+        ds.map_batches(moments, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        ["event_type"],
+        [("n", "", "count"), ("sum_c", "x", "sum"), ("sum_sq", "xx", "sum")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").combine_chunks().to_numpy(zero_copy_only=False)
+        sx = batch.column("sum_c").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        sxx = batch.column("sum_sq").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": pa.array(n, pa.int64()),
+                "sum_c": pa.array(sx, pa.int64()),
+                "m2": pa.array(n * sxx - sx * sx, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+
+
+_SQL_VALUE_STATS = """
+WITH m AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_c,
+         CAST(sum(CAST(floor(value * 100.0) AS BIGINT) *
+                  CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_sq
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n, sum_c,
+       CAST(n * sum_sq - sum_c * sum_c AS BIGINT) AS m2
+FROM m ORDER BY event_type
+"""
+
+
+def q_orders_with_late_items(sf_dir: str):
+    """Distributed SEMI-join (EXISTS): orders having at least one
+    lineitem shipped after the cutoff — ``dedup.semi_join_ids``, the
+    size-gated EXISTS twin of the purge anti-join: the qualifying
+    lineitem keys broadcast as a sorted array below the measured cutoff
+    (zero shuffle of orders), and above it orders inner-join the
+    DEDUPLICATED key set (keys only on the wire; dedup first so the 6×
+    lineitem fan-out can't duplicate matching orders)."""
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_totalprice"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"],
+               override_num_blocks=_shuffle_parts(sf_dir, "lineitem"))
+
+    def late_keys(batch: pa.Table) -> pa.Table:
+        sd = (batch.column("l_shipdate").combine_chunks()
+              .cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"l_orderkey": batch.column("l_orderkey").filter(
+                pa.array(sd > _Q3_CUTOFF_US))}
+        )
+
+    from ..functions.dedup import semi_join_ids
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "total_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    return semi_join_ids(
+        orders.map_batches(to_cents, batch_format="pyarrow",
+                           runtime_env=runtime_env()),
+        li.map_batches(late_keys, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        id_column="o_orderkey", keep_column="l_orderkey",
+        num_partitions=_shuffle_parts(sf_dir, "lineitem"),
+    )
+
+
+_SQL_ORDERS_WITH_LATE_ITEMS = """
+SELECT o_orderkey, CAST(floor(o_totalprice * 100.0) AS BIGINT)
+           AS total_cents
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > TIMESTAMP '1998-01-01'
+)
+ORDER BY o_orderkey
+"""
+
+
 def q_approx_users_by_type(sf_dir: str):
     """Per-group approximate distinct count (COUNT(DISTINCT user_id)
     GROUP BY event_type) via per-key mergeable HLL registers — shuffle
@@ -3234,6 +3378,9 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "user_deltas": q_user_deltas,
         "orders_rollup": q_orders_rollup,
         "events_pivot": q_events_pivot,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "value_stats": q_value_stats,
+        "orders_with_late_items": q_orders_with_late_items,
         "stratified_sample": q_stratified_sample,
         "top_terms_tfidf": q_top_terms_tfidf,
         "token_packing": q_token_packing,
@@ -3301,6 +3448,9 @@ def build_oracle_sql() -> Dict[str, str]:
         "user_deltas": _SQL_USER_DELTAS,
         "orders_rollup": _SQL_ORDERS_ROLLUP,
         "events_pivot": _SQL_EVENTS_PIVOT,
+        "distinct_users_by_type": _SQL_DISTINCT_USERS,
+        "value_stats": _SQL_VALUE_STATS,
+        "orders_with_late_items": _SQL_ORDERS_WITH_LATE_ITEMS,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "top_terms_tfidf": _SQL_TOP_TERMS_TFIDF,
         "token_packing": _SQL_TOKEN_PACKING,

@@ -1017,3 +1017,29 @@ def test_cms_bounds_and_merge_invariance(ray_session):
     assert (est >= true).all()       # CMS never underestimates
     n_total = len(toks)
     assert (est - true <= np.e / width * n_total * 3).all()
+
+
+def test_semi_join_ids_paths_agree(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.dedup import semi_join_ids
+
+    rng = np.random.default_rng(21)
+    ids = rng.permutation(2000)[:1500]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(ids * 3, pa.int64()),
+    })).repartition(8)
+    # keep-set with duplicates: the semi-join must NOT duplicate rows
+    keep = ray.data.from_arrow(pa.table({
+        "kid": pa.array(np.concatenate([np.arange(0, 700, 2)] * 3),
+                        pa.int64()),
+    })).repartition(5)
+    expect = sorted(i for i in ids if i < 700 and i % 2 == 0)
+    for cutoff in (10**9, 0):   # broadcast path, forced join path
+        out = semi_join_ids(ds, keep, id_column="doc_id",
+                            keep_column="kid",
+                            broadcast_cutoff=cutoff).take_all()
+        got = sorted(r["doc_id"] for r in out)
+        assert got == expect, f"cutoff={cutoff}"
+        assert all(r["payload"] == r["doc_id"] * 3 for r in out)
