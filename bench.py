@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "vocab_hll",
     "approx_users_by_type",
     "token_freq_cms",
+    "value_quantiles_sketch",
     "token_packing",
     "neardup_embeddings",
     "neardup_embeddings_lsh",

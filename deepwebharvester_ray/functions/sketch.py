@@ -226,3 +226,89 @@ def cms_estimate(mat: np.ndarray, values) -> np.ndarray:
     return np.min(
         np.stack([mat[d, pos[d]] for d in range(mat.shape[0])]), axis=0
     )
+
+
+# ── relative-error quantile sketch (DDSketch-style log histogram) ────────────
+#
+# Mergeable approximate quantiles for unbounded value domains (the exact
+# value-domain histogram of agg.grouped_quantiles assumes a bounded
+# integer domain like cents; this sketch trades exactness for a
+# RELATIVE-error guarantee on arbitrary positive magnitudes).  Buckets
+# are geometric: value v > 0 lands in bucket ceil(log_gamma(v)) with
+# gamma = (1+alpha)/(1-alpha), so reporting a bucket boundary is within
+# relative error alpha of the true quantile value (DDSketch, Masson et
+# al. 2019 — public algorithm).  Per-block partial = (bucket, count)
+# rows; merge = grouped sum; quantile pick = one cumsum over the sorted
+# tiny bucket table.
+
+
+def dd_bucket_indices(vals: np.ndarray, alpha: float) -> np.ndarray:
+    """Geometric bucket index per positive value (vectorized); zeros and
+    negatives get the reserved buckets 0 / -(index)."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    out = np.zeros(len(vals), dtype=np.int64)
+    pos = vals > 0
+    out[pos] = np.ceil(np.log(vals[pos]) / np.log(gamma)).astype(np.int64)
+    neg = vals < 0
+    out[neg] = -np.ceil(
+        np.log(-vals[neg]) / np.log(gamma)
+    ).astype(np.int64) - (1 << 40)  # negative range shifted clear of pos
+    return out
+
+
+def dd_bucket_value(idx: np.ndarray, alpha: float) -> np.ndarray:
+    """Representative value of each bucket (geometric midpoint)."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    out = np.zeros(len(idx), dtype=np.float64)
+    pos = idx > -(1 << 39)
+    pos &= idx != 0
+    out[pos] = 2.0 * gamma ** idx[pos].astype(np.float64) / (1.0 + gamma)
+    neg = ~pos & (idx != 0)
+    if neg.any():
+        raw = -(idx[neg] + (1 << 40)).astype(np.float64)
+        out[neg] = -(2.0 * gamma ** raw / (1.0 + gamma))
+    return out
+
+
+def dd_quantiles(ds, value_column: str, ps, alpha: float = 0.01):
+    """Approximate quantiles of a numeric column with relative error
+    ≤ ``alpha``: one combiner pass to (bucket, count) rows, one tiny
+    grouped sum (bucket cardinality ~ log_gamma(max/min) ≈ a few
+    thousand regardless of row count), one driver cumsum pick.
+    Returns {q_<p>: value} as a one-row table."""
+    from .agg import grouped_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_column).combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        idx = dd_bucket_indices(v, alpha)
+        u, c = np.unique(idx, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["bucket"], [("n", "n", "sum")], final_mode="single",
+    ).take_all()  # bucket table is tiny by construction
+    buckets = np.fromiter((r["bucket"] for r in hist), np.int64, len(hist))
+    counts = np.fromiter((r["n"] for r in hist), np.int64, len(hist))
+    # grouped_agg output is bucket-sorted; negative-shifted buckets sort
+    # first, so cumulative order == value order
+    cum = np.cumsum(counts)
+    total = cum[-1] if len(cum) else 0
+    cols = {}
+    for p in ps:
+        if total == 0:
+            cols[f"q_{p}"] = [float("nan")]
+            continue
+        i = int(np.searchsorted(cum, p * total, side="left"))
+        i = min(i, len(buckets) - 1)
+        cols[f"q_{p}"] = [float(dd_bucket_value(
+            np.asarray([buckets[i]]), alpha)[0])]
+    return pa.table({k: pa.array(v, pa.float64()) for k, v in cols.items()})

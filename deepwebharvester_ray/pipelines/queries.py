@@ -3258,6 +3258,19 @@ def q_token_freq_cms(sf_dir: str):
     )
 
 
+def q_value_quantiles_sketch(sf_dir: str):
+    """Approximate event-value quantiles via the mergeable DDSketch-style
+    log histogram (relative error ≤ 1 %) — the unbounded-domain twin of
+    the exact value-domain histogram in price_quantiles.  Rows-only:
+    intentionally approximate; the ≤α relative-error guarantee is pinned
+    in tests."""
+    from ..functions.sketch import dd_quantiles
+
+    ds = _read(sf_dir, "events", columns=["value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+    return dd_quantiles(ds, "value", [0.5, 0.9, 0.99], alpha=0.01)
+
+
 def q_vocab_hll(sf_dir: str):
     """Approximate vocabulary size via a mergeable HyperLogLog sketch
     (p=12, ~1.6 % rel. error) — the distinct-count path for cardinalities
@@ -3361,6 +3374,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "vocab_hll": q_vocab_hll,
         "approx_users_by_type": q_approx_users_by_type,
         "token_freq_cms": q_token_freq_cms,
+        "value_quantiles_sketch": q_value_quantiles_sketch,
         "events_hopping": q_events_hopping,
         "neardup_clusters": q_neardup_clusters,
         "pagerank": q_pagerank,
@@ -3475,5 +3489,5 @@ ROWS_ONLY: List[str] = [
     "crawl_bfs", "crawl_intel", "minhash_pairs", "simhash_pairs",
     "fingerprints", "ann_lsh", "ann_ivf", "binary_metadata",
     "multimodal_features", "vocab_hll", "neardup_embeddings_lsh",
-    "approx_users_by_type", "token_freq_cms",
+    "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
 ]

@@ -1043,3 +1043,34 @@ def test_semi_join_ids_paths_agree(ray_session):
         got = sorted(r["doc_id"] for r in out)
         assert got == expect, f"cutoff={cutoff}"
         assert all(r["payload"] == r["doc_id"] * 3 for r in out)
+
+
+def test_dd_quantiles_relative_error(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.sketch import dd_quantiles
+
+    rng = np.random.default_rng(17)
+    vals = np.exp(rng.normal(3.0, 2.0, 50_000))   # heavy-tailed positives
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(vals, pa.float64())})
+    ).repartition(16)
+    ps = [0.1, 0.5, 0.9, 0.99]
+    out = dd_quantiles(ds, "v", ps, alpha=0.01).to_pylist()[0]
+    for p in ps:
+        exact = np.quantile(vals, p)
+        got = out[f"q_{p}"]
+        # DDSketch guarantee: relative error <= alpha (2% slack for the
+        # rank-vs-value interpolation at block boundaries)
+        assert abs(got - exact) / exact < 0.02, (p, got, exact)
+
+
+def test_dd_quantiles_mixed_signs_and_empty(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.sketch import dd_quantiles
+
+    vals = np.array([-100.0, -1.0, 0.0, 1.0, 100.0])
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.float64())}))
+    out = dd_quantiles(ds, "v", [0.5], alpha=0.01).to_pylist()[0]
+    assert abs(out["q_0.5"]) < 0.01  # median is the zero bucket
