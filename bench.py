@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "distinct_users_by_type",
     "value_stats",
     "orders_with_late_items",
+    "customer_order_counts",
     "stratified_sample",
     "top_terms_tfidf",
     "orders_by_segment",

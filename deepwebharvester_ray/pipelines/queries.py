@@ -3198,6 +3198,95 @@ ORDER BY o_orderkey
 """
 
 
+_RECENT_CUTOFF_US = 978_307_200_000_000  # 2001-01-01 00:00:00 UTC epoch µs
+
+
+def q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER join preserving the dimension side: every customer with
+    their RECENT-order count/revenue, zero-filled when none (≈40 % of
+    customers have no 2001 orders — the outer semantics genuinely fire).
+    The fact side collapses FIRST (combiner grouped_agg to one row per
+    custkey) so the outer join's build side is the aggregate, not the raw
+    orders — the scale-correct order for dimension ⟕ fact rollups."""
+    from ..functions.partition import coalesce_nonempty
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate", "o_totalprice"],
+                   override_num_blocks=_shuffle_parts(sf_dir, "orders"))
+
+    def recent_cents(batch: pa.Table) -> pa.Table:
+        od = (batch.column("o_orderdate").combine_chunks()
+              .cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        keep = od >= _RECENT_CUTOFF_US
+        batch = batch.filter(pa.array(keep))
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    agg = grouped_agg(
+        orders.map_batches(recent_cents, batch_format="pyarrow",
+                           runtime_env=runtime_env()),
+        ["o_custkey"],
+        [("n_orders", "", "count"), ("total_cents", "cents", "sum")],
+    )
+
+    cust_nz = coalesce_nonempty(cust)
+    agg_nz = coalesce_nonempty(agg)  # None → no qualifying orders at all
+
+    def zero_fill(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch.column("n_orders") if "n_orders" in batch.column_names \
+            else pa.nulls(batch.num_rows, pa.int64())
+        c = batch.column("total_cents") if "total_cents" in \
+            batch.column_names else pa.nulls(batch.num_rows, pa.int64())
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "n_orders": pc.fill_null(n.combine_chunks().cast(pa.int64()), 0),
+                "total_cents": pc.fill_null(
+                    c.combine_chunks().cast(pa.int64()), 0),
+            }
+        )
+
+    if agg_nz is None:
+        return cust_nz.map_batches(zero_fill, batch_format="pyarrow",
+                                   runtime_env=runtime_env())
+    joined = cust_nz.join(
+        agg_nz, "left_outer",
+        num_partitions=max(2, _shuffle_parts(sf_dir, "orders")),
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+    return joined.map_batches(zero_fill, batch_format="pyarrow",
+                              runtime_env=runtime_env())
+
+
+_SQL_CUSTOMER_ORDER_COUNTS = """
+WITH recent AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+  FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+  GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(COALESCE(r.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(r.total_cents, 0) AS BIGINT) AS total_cents
+FROM customer c LEFT JOIN recent r ON r.o_custkey = c.c_custkey
+ORDER BY c.c_custkey
+"""
+
+
 def q_approx_users_by_type(sf_dir: str):
     """Per-group approximate distinct count (COUNT(DISTINCT user_id)
     GROUP BY event_type) via per-key mergeable HLL registers — shuffle
@@ -3395,6 +3484,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "distinct_users_by_type": q_distinct_users_by_type,
         "value_stats": q_value_stats,
         "orders_with_late_items": q_orders_with_late_items,
+        "customer_order_counts": q_customer_order_counts,
         "stratified_sample": q_stratified_sample,
         "top_terms_tfidf": q_top_terms_tfidf,
         "token_packing": q_token_packing,
@@ -3465,6 +3555,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "distinct_users_by_type": _SQL_DISTINCT_USERS,
         "value_stats": _SQL_VALUE_STATS,
         "orders_with_late_items": _SQL_ORDERS_WITH_LATE_ITEMS,
+        "customer_order_counts": _SQL_CUSTOMER_ORDER_COUNTS,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "top_terms_tfidf": _SQL_TOP_TERMS_TFIDF,
         "token_packing": _SQL_TOKEN_PACKING,
