@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "value_stats",
     "orders_with_late_items",
     "customer_order_counts",
+    "funnel_users",
     "stratified_sample",
     "top_terms_tfidf",
     "orders_by_segment",

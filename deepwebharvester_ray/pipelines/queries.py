@@ -3198,6 +3198,78 @@ ORDER BY o_orderkey
 """
 
 
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_funnel_users(sf_dir: str):
+    """Ordered-sequence funnel (the MATCH_RECOGNIZE shape): users whose
+    FIRST view strictly precedes their first click, which strictly
+    precedes their first purchase.  Each stage becomes a conditional
+    timestamp column (NULL off-stage — pyarrow's grouped min skips
+    nulls, exactly SQL's ``min(ts) FILTER``), so ONE combiner aggregate
+    at user cardinality yields every user's three first-occurrence
+    times, and a pure vectorized map applies the ordering predicate.
+    No per-user sort, no windows, no single-block merge."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def stage_cols(batch: pa.Table) -> pa.Table:
+        ets = np.asarray(batch.column("event_type").to_pylist(),
+                         dtype=object)
+        ts = (batch.column("ts").combine_chunks()
+              .cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        cols = {"user_id": batch.column("user_id")}
+        for st in _FUNNEL_STAGES:
+            m = ets == st
+            # mask=True marks NULL → off-stage rows are null (vectorized)
+            cols[f"t_{st}"] = pa.array(ts, pa.int64(), mask=~m)
+        return pa.table(cols)
+
+    firsts = grouped_agg(
+        ds.map_batches(stage_cols, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        ["user_id"],
+        [(f"t_{st}", f"t_{st}", "min") for st in _FUNNEL_STAGES],
+    )
+
+    def check(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cond = None
+        prev = None
+        for st in _FUNNEL_STAGES:
+            col = batch.column(f"t_{st}")
+            c = pc.is_valid(col)
+            cond = c if cond is None else pc.and_(cond, c)
+            if prev is not None:
+                cond = pc.and_(cond, pc.less(prev, col))
+            prev = col
+        return pa.table(
+            {"user_id": batch.filter(cond).column("user_id")}
+        )
+
+    return firsts.map_batches(check, batch_format="pyarrow",
+                              runtime_env=runtime_env())
+
+
+_SQL_FUNNEL_USERS = """
+WITH f AS (
+  SELECT user_id,
+         min(ts) FILTER (event_type = 'view') AS t_view,
+         min(ts) FILTER (event_type = 'click') AS t_click,
+         min(ts) FILTER (event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id FROM f
+WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+  AND t_purchase IS NOT NULL
+  AND t_view < t_click AND t_click < t_purchase
+ORDER BY user_id
+"""
+
+
 _RECENT_CUTOFF_US = 978_307_200_000_000  # 2001-01-01 00:00:00 UTC epoch µs
 
 
@@ -3485,6 +3557,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "value_stats": q_value_stats,
         "orders_with_late_items": q_orders_with_late_items,
         "customer_order_counts": q_customer_order_counts,
+        "funnel_users": q_funnel_users,
         "stratified_sample": q_stratified_sample,
         "top_terms_tfidf": q_top_terms_tfidf,
         "token_packing": q_token_packing,
@@ -3556,6 +3629,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "value_stats": _SQL_VALUE_STATS,
         "orders_with_late_items": _SQL_ORDERS_WITH_LATE_ITEMS,
         "customer_order_counts": _SQL_CUSTOMER_ORDER_COUNTS,
+        "funnel_users": _SQL_FUNNEL_USERS,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "top_terms_tfidf": _SQL_TOP_TERMS_TFIDF,
         "token_packing": _SQL_TOKEN_PACKING,
