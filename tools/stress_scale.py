@@ -128,15 +128,135 @@ def run_highcard(n: int) -> dict:
     }
 
 
+def run_interval(dup: int, sf_dir: str) -> dict:
+    """Interval join on a dup×-replicated events table: left points and
+    right windows both grow dup×, output pairs ~dup² — wall must grow
+    like the OUTPUT (the join's own lower bound), driver RSS stay flat
+    (nothing driver-resident in the bucketed sort-merge)."""
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray import runtime_env
+    from deepwebharvester_ray.functions.interval import (
+        US_PER_DAY, interval_join,
+    )
+
+    base = ray.data.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def shift(batch: pa.Table, off: int) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.schema.get_field_index("event_id"), "event_id",
+            pc.add(batch.column("event_id"), off),
+        )
+
+    parts = [base] + [
+        base.map_batches(shift, fn_kwargs={"off": k * 10_000_000},
+                         batch_format="pyarrow", runtime_env=runtime_env())
+        for k in range(1, dup)
+    ]
+    ev = (parts[0] if dup == 1 else parts[0].union(*parts[1:])).materialize()
+
+    def clicks(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.equal(b.column("event_type"), "click")) \
+                .drop_columns(["event_type"])
+
+    def views(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b.column("event_type"), "view"))
+        s = (b.column("ts").combine_chunks().cast(pa.timestamp("us"))
+             .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        e = s + (1 + eid % 7) * US_PER_DAY
+        return pa.table({
+            "view_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "s": b.column("ts").combine_chunks().cast(pa.timestamp("us")),
+            "e": pa.array(e, pa.int64()).cast(pa.timestamp("us")),
+        })
+
+    t0 = time.monotonic()
+    out = interval_join(
+        ev.map_batches(clicks, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        ev.map_batches(views, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        key="user_id", ts="ts", start="s", end="e",
+        left_cols=["event_id"], right_cols=["view_id"],
+        shuffle_partitions=16,
+    )
+    rows = out.count()
+    return {
+        "case": "interval", "dup": dup, "pairs": rows,
+        "wall_s": round(time.monotonic() - t0, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
+def run_pagerank(n: int, force_join: bool) -> dict:
+    """PageRank on a synthetic n-node graph (3 deterministic offsets per
+    node — the corpus link shape at arbitrary n).  ``--join`` forces the
+    hash-join propagation path (the >2M-node regime) at any n, so both
+    paths are evidenced at the same size and must agree on sum(score)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray import runtime_env
+    from deepwebharvester_ray.functions.graph import pagerank
+
+    def edges_of(batch: pa.Table) -> pa.Table:
+        d = batch.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        offs = np.array([1, 17, 64], np.int64)
+        src = np.repeat(d, 3)
+        dst = (np.repeat(d, 3) + np.tile(offs, len(d))) % n
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    nodes = ray.data.range(n).map_batches(
+        lambda b: pa.table({"id": b.column("id")}),
+        batch_format="pyarrow", runtime_env=runtime_env(),
+    )
+    edges = ray.data.range(n).map_batches(
+        edges_of, batch_format="pyarrow", runtime_env=runtime_env(),
+    )
+    t0 = time.monotonic()
+    scores = pagerank(edges, nodes, iters=3,
+                      broadcast_below=0 if force_join else 2_000_000,
+                      shuffle_partitions=16)
+    total = scores.sum("score")
+    rows = scores.count()
+    assert rows == n, (rows, n)
+    return {
+        "case": "pagerank", "n": n,
+        "path": "join" if force_join else "broadcast",
+        "score_sum": int(total),
+        "wall_s": round(time.monotonic() - t0, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("case", choices=["minhash", "frontier", "highcard"])
+    p.add_argument("case", choices=["minhash", "frontier", "highcard",
+                                    "interval", "pagerank"])
     p.add_argument("--dup", type=int, default=1)
     p.add_argument("--seeds", type=int, default=10_000)
     p.add_argument("--shards", type=int, default=None)
     p.add_argument("--driver", action="store_true",
                    help="frontier: use the driver-local queue")
     p.add_argument("--n", type=int, default=10_000_000)
+    p.add_argument("--join", action="store_true",
+                   help="pagerank: force the hash-join propagation path")
     p.add_argument("--sf", default="/root/testdata/sf0.01")
     p.add_argument("--cpus", type=int, default=16)
     args = p.parse_args()
@@ -151,6 +271,10 @@ def main() -> None:
         elif args.case == "frontier":
             shards = None if args.driver else (args.shards or 8)
             out = run_frontier(args.seeds, shards, args.sf)
+        elif args.case == "interval":
+            out = run_interval(args.dup, args.sf)
+        elif args.case == "pagerank":
+            out = run_pagerank(args.n, args.join)
         else:
             out = run_highcard(args.n)
     finally:
