@@ -28,6 +28,21 @@ SPOT_CHECKED = [
     "top_terms_tfidf",
     "jaccard_pairs",
     "lineitem_orders_join",
+    "clicks_in_views",
+    "user_deltas",
+    "orders_rollup",
+    "events_pivot",
+    "top_orders_q3",
+    "pagerank",
+    "inverted_index",
+    "doc_search",
+    "pmi_bigrams",
+    "novelty_filter",
+    "distinct_users_by_type",
+    "value_stats",
+    "orders_with_late_items",
+    "customer_order_counts",
+    "funnel_users",
     "pii_redact",
     "repetition_filter",
     "domain_mix",
