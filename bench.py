@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "inverted_index",
     "doc_search",
     "pmi_bigrams",
+    "rare_bigram_rate",
     "novelty_filter",
     "dedup_purge",
     "contamination",

@@ -2658,6 +2658,138 @@ LIMIT {_PMI_TOP}
 """
 
 
+_RARE_BIGRAM_CUTOFF = 25
+_RARITY_SCALE = 1_000_000
+
+
+def q_rare_bigram_rate(sf_dir: str):
+    """Corpus-statistics quality scoring: each document's rate of RARE
+    bigrams (corpus count < cutoff) — the integer-exact stand-in for
+    LM-perplexity filtering (docs dense in rare bigrams are the noisy
+    tail; float log-prob sums would be engine-divergent, a rare-rate is
+    exactly rankable).
+
+    One tokenization pass materializes the (doc, a, b) bigram table;
+    corpus counts are a combiner grouped_agg over THE SAME table; the
+    count attach is one native hash join on the (a, b) pair; the
+    per-doc rollup is a second combiner aggregate.  Nothing
+    driver-resident — the bigram vocabulary stays distributed, same
+    discipline as tfidf/PMI."""
+    from ..functions.partition import coalesce_nonempty
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def doc_bigrams(batch: pa.Table) -> pa.Table:
+        ids_in = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_a, out_b = [], [], []
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            toks = WORD_RE.findall((t or "").lower())
+            if len(toks) < 2:
+                continue
+            out_id.append(np.full(len(toks) - 1, ids_in[i], np.int64))
+            out_a.extend(toks[:-1])
+            out_b.extend(toks[1:])
+        if not out_id:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "a": pa.array([], pa.string()),
+                 "b": pa.array([], pa.string())}
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "a": pa.array(out_a, pa.string()),
+                "b": pa.array(out_b, pa.string()),
+            }
+        )
+
+    big = ds.map_batches(doc_bigrams, batch_format="pyarrow",
+                         batch_size=None,
+                         runtime_env=runtime_env()).materialize()
+    bc = grouped_agg(big, ["a", "b"], [("n", "", "count")])
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "n_rare": pa.array([], pa.int64()),
+            "rarity_sc": pa.array([], pa.int64()),
+        }
+    )
+    big_nz = coalesce_nonempty(big)
+    bc_nz = coalesce_nonempty(bc)
+    if big_nz is None or bc_nz is None:
+        import ray
+
+        return ray.data.from_arrow(empty)
+
+    joined = big_nz.join(
+        bc_nz, "inner", num_partitions=max(2, _shuffle_parts(sf_dir)),
+        on=("a", "b"),
+    )
+
+    def indicate(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "rare": pa.array(
+                    (n < _RARE_BIGRAM_CUTOFF).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    per_doc = grouped_agg(
+        joined.map_batches(indicate, batch_format="pyarrow",
+                           runtime_env=runtime_env()),
+        ["doc_id"],
+        [("n_bigrams", "", "count"), ("n_rare", "rare", "sum")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nb = batch.column("n_bigrams").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        nr = batch.column("n_rare").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "n_rare": pa.array(nr, pa.int64()),
+                "rarity_sc": pa.array(nr * _RARITY_SCALE // nb, pa.int64()),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow",
+                               runtime_env=runtime_env())
+
+
+_SQL_RARE_BIGRAM_RATE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_SQL_RE}') AS ts
+  FROM documents
+),
+big AS (
+  SELECT doc_id, ts[i.i] AS a, ts[i.i + 1] AS b
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i) i
+),
+bc AS (SELECT a, b, count(*) AS n FROM big GROUP BY a, b)
+SELECT big.doc_id, count(*) AS n_bigrams,
+       CAST(count(*) FILTER (bc.n < {_RARE_BIGRAM_CUTOFF}) AS BIGINT)
+           AS n_rare,
+       CAST(count(*) FILTER (bc.n < {_RARE_BIGRAM_CUTOFF})
+            * {_RARITY_SCALE} // count(*) AS BIGINT) AS rarity_sc
+FROM big JOIN bc USING (a, b)
+GROUP BY big.doc_id ORDER BY big.doc_id
+"""
+
+
 _PR_ITERS = 5
 _PR_SCALE = 10**12
 
@@ -3542,6 +3674,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "inverted_index": q_inverted_index,
         "doc_search": q_doc_search,
         "pmi_bigrams": q_pmi_bigrams,
+        "rare_bigram_rate": q_rare_bigram_rate,
         "novelty_filter": q_novelty_filter,
         "dedup_purge": q_dedup_purge,
         "contamination": q_contamination,
@@ -3614,6 +3747,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "inverted_index": _SQL_INVERTED_INDEX,
         "doc_search": _SQL_DOC_SEARCH,
         "pmi_bigrams": _SQL_PMI_BIGRAMS,
+        "rare_bigram_rate": _SQL_RARE_BIGRAM_RATE,
         "novelty_filter": _SQL_NOVELTY_FILTER,
         "dedup_purge": _SQL_DEDUP_PURGE,
         "contamination": _SQL_CONTAMINATION,
