@@ -1001,6 +1001,39 @@ _EMB_PLANE_SEED = 0xD0C5
 _PLANE_MEMO: Dict[Tuple[int, int, int], np.ndarray] = {}
 
 
+def _emb_blob_batch(id_column: str, vec_column: str):
+    """Batch fn projecting (id, vec) rows to (id int64, sh large_binary)
+    where ``sh`` is the L2-normalized float64 vector's raw bytes.  Blobs
+    (not Arrow lists) because acero joins reject LIST payload columns
+    (CLAUDE.md), and because one contiguous buffer round-trips through
+    np.frombuffer with zero per-row Python.  Shared by
+    embedding_neardup_lsh and semantic_dedup_pairs."""
+    from .ann import _ids_array, _normalize, _vec_matrix
+
+    def blob_batch(batch: pa.Table) -> pa.Table:
+        ids_in = _ids_array(batch.column(id_column))
+        mat = _normalize(_vec_matrix(batch.column(vec_column)))
+        return pa.table(
+            {
+                "id": pa.array(ids_in, pa.int64()),
+                "sh": pa.array([mat[i].tobytes() for i in range(len(ids_in))],
+                               pa.large_binary()),
+            }
+        )
+
+    return blob_batch
+
+
+def _blob_matrix(col) -> np.ndarray:
+    """(n, dim) float64 matrix from a large_binary column of equal-length
+    normalized-vector blobs."""
+    blobs = col.to_pylist()
+    if not blobs:
+        return np.empty((0, 0), np.float64)
+    return np.frombuffer(b"".join(blobs), dtype=np.float64).reshape(
+        len(blobs), -1)
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     """Deterministic (n_bits, dim) hyperplane matrix, memoized per worker
     — every task regenerates the SAME planes from the seed, so nothing
@@ -1084,23 +1117,11 @@ def embedding_neardup_lsh(
     if shuffle_partitions:
         proj = proj.repartition(shuffle_partitions)
 
-    from .ann import _ids_array, _normalize, _vec_matrix
-
-    def blob_batch(batch: pa.Table) -> pa.Table:
-        ids_in = _ids_array(batch.column(id_column))
-        mat = _normalize(_vec_matrix(batch.column(vec_column)))
-        return pa.table(
-            {
-                "id": pa.array(ids_in, pa.int64()),
-                "sh": pa.array([mat[i].tobytes() for i in range(len(ids_in))],
-                               pa.large_binary()),
-            }
-        )
-
     # normalized float64 blobs, computed ONCE — reused by the signature
     # stage and the verification (broadcast or double-join) stage
     blob_ds = proj.map_batches(
-        blob_batch, batch_format="pyarrow", runtime_env=runtime_env()
+        _emb_blob_batch(id_column, vec_column),
+        batch_format="pyarrow", runtime_env=runtime_env()
     ).materialize()
 
     total_bits = n_bands * bits_per_band
@@ -1133,6 +1154,161 @@ def embedding_neardup_lsh(
                                 max(2, shuffle_partitions or 8),
                                 broadcast_cutoff=verify_broadcast_cutoff,
                                 kind="cosine")
+
+
+# ── semantic dedup (cluster-then-prune, SemDeDup-style) ──────────────────────
+
+
+def semantic_dedup_pairs(
+    ds,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    train_sample: int = 2048,
+    shuffle_partitions: int | None = None,
+    tile: int = 2048,
+    max_cell: int = 65536,
+):
+    """Within-cluster embedding near-dup pairs — the cluster-then-prune
+    shape of SemDeDup (Abbas et al. 2023, arXiv:2303.09540): spherical
+    k-means partitions the corpus into ``n_cells`` cells, and exact
+    pairwise cosine runs ONLY inside each cell, so total similarity work
+    drops from O(n²) to O(Σ|cell|²) ≈ O(n²/n_cells).  Returns
+    (id_a, id_b, cosine) with id_a < id_b and cosine ≥ threshold.
+
+    Contract: emitted pairs are EXACT (float64 cosine of the normalized
+    vectors — no false positives); recall is bounded to same-cell pairs,
+    the documented SemDeDup approximation (a near-dup pair at cosine ≥
+    0.9 lands in one cell for any quantizer whose cell diameter exceeds
+    the pair's angle — with n_cells=1 the operator degenerates to the
+    exact all-pairs matmul, which tests pin).
+
+    Scale shape: the quantizer trains on a deterministic hash-rank
+    sample (O(blocks × train_sample) driver pull — same discipline as
+    ivf_topk); assignment is one matmul per batch against the broadcast
+    centroids; ONE all-to-all sort on ``cell`` co-locates each cell
+    (equal keys land in one sort partition — the guarantee every
+    run-pass operator here relies on); the per-cell pairwise matmul is
+    tiled (``tile``×``tile`` blocks) so peak memory is O(tile²) however
+    large the cell, and cells above ``max_cell`` rows are skipped (the
+    hot-bucket guard shared with minhash/simhash/jaccard — a degenerate
+    quantizer cell is a boilerplate bucket by another name).  At 100 TB
+    n_cells scales with the corpus (the SemDeDup paper uses ~100k), so
+    cells stay block-sized; centroids (n_cells × dim float64) are the
+    only broadcast state."""
+    import ray
+
+    from .ann import _spherical_kmeans
+
+    proj = ds.select_columns([id_column, vec_column])
+    if shuffle_partitions:
+        proj = proj.repartition(shuffle_partitions)
+
+    blob_ds = proj.map_batches(
+        _emb_blob_batch(id_column, vec_column),
+        batch_format="pyarrow", runtime_env=runtime_env()
+    ).materialize()
+
+    # hash-rank training sample (order-free, unbiased by storage layout;
+    # per-block partial top-k keeps the driver pull small)
+    def hash_candidates(batch: pa.Table, k=train_sample) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "sh": pa.array([], pa.large_binary())})
+        ids = batch.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        top = np.argsort(h, kind="stable")[:k]
+        return pa.table({
+            "h": pa.array(h[top], pa.uint64()),
+            "sh": batch.column("sh").combine_chunks().take(pa.array(top)),
+        })
+
+    cand = blob_ds.map_batches(
+        hash_candidates, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    ).take_all()
+    if not cand:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }))
+    cand.sort(key=lambda r: r["h"])
+    sample = np.frombuffer(
+        b"".join(r["sh"] for r in cand[:train_sample]), dtype=np.float64
+    ).reshape(min(len(cand), train_sample), -1)
+    cents = _spherical_kmeans(sample, n_cells)
+    cents_ref = ray.put(cents)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "cell": pa.array([], pa.int32()),
+                "id": pa.array([], pa.int64()),
+                "sh": pa.array([], pa.large_binary()),
+            })
+        mat = _blob_matrix(batch.column("sh"))
+        cells = np.argmax(mat @ cached_get(cents_ref).T, axis=1)
+        return pa.table({
+            "cell": pa.array(cells.astype(np.int32), pa.int32()),
+            "id": batch.column("id"),
+            "sh": batch.column("sh"),
+        })
+
+    assigned = blob_ds.map_batches(
+        assign_batch, batch_format="pyarrow", runtime_env=runtime_env()
+    ).sort("cell")
+
+    def cell_pairs(batch: pa.Table, thr=threshold) -> pa.Table:
+        empty = pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        cells = batch.column("cell").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ids = batch.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        blob_col = batch.column("sh").combine_chunks()
+        starts, ends = _run_bounds(cells)
+        sizes = ends - starts
+        sel = (sizes >= 2) & (sizes <= max_cell)
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(starts[sel], ends[sel]):
+            m = int(e - s)
+            seg_ids = ids[s:e]
+            mat = _blob_matrix(blob_col.slice(s, m))
+            # tiled upper-triangle pairwise matmul: O(tile²) peak memory
+            for ti in range(0, m, tile):
+                a = mat[ti:ti + tile]
+                for tj in range(ti, m, tile):
+                    sims = a @ mat[tj:tj + tile].T
+                    ii, jj = np.nonzero(sims >= thr)
+                    pi, pj = ii + ti, jj + tj
+                    keep = pi < pj
+                    pi, pj, sv = pi[keep], pj[keep], sims[ii, jj][keep]
+                    if not len(pi):
+                        continue
+                    out_a.append(np.minimum(seg_ids[pi], seg_ids[pj]))
+                    out_b.append(np.maximum(seg_ids[pi], seg_ids[pj]))
+                    out_c.append(sv)
+        if not out_a:
+            return empty
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+        })
+
+    return assigned.map_batches(
+        cell_pairs, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )
 
 
 # ── exact k-token-window (passage) overlap ───────────────────────────────────

@@ -612,6 +612,36 @@ def q_neardup_embeddings_lsh(sf_dir: str):
     return pairs.select_columns(["id_a", "id_b"])
 
 
+def q_semdedup_prune(sf_dir: str):
+    """SemDeDup-style semantic dedup, end-to-end (cluster-then-prune,
+    arXiv:2303.09540): spherical-k-means cells over the planted near-dup
+    embedding corpus → EXACT within-cell cosine pairs
+    (:func:`~deepwebharvester_ray.functions.dedup.semantic_dedup_pairs`)
+    → connected components (canonical = min vec_id) → size-gated
+    anti-join dropping non-canonical members.  Returns the kept vec_ids.
+
+    Rows-only: the k-means quantizer isn't SQL-expressible.  Tests pin
+    the two halves of the contract instead — n_cells=1 degenerates to
+    the exact all-pairs matmul (bit-equal pairs), and at n_cells>1 the
+    pairs are a no-false-positive subset of the exact pairs."""
+    from ..functions.dedup import semantic_dedup_pairs, subtract_ids
+    from ..functions.graph import connected_components
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    planted = ds.map_batches(plant_embedding_neardups,
+                             batch_format="pyarrow",
+                             runtime_env=runtime_env()).materialize()
+    pairs = semantic_dedup_pairs(planted, threshold=EMB_LSH_THRESHOLD,
+                                 n_cells=32,
+                                 shuffle_partitions=_shuffle_parts(sf_dir))
+    clusters = connected_components(pairs.select_columns(["id_a", "id_b"]))
+    non_canon = clusters.filter(
+        expr="doc_id != cluster_id").select_columns(["doc_id"])
+    kept = subtract_ids(planted.select_columns(["vec_id"]), non_canon,
+                        id_column="vec_id", drop_column="doc_id")
+    return kept.sort("vec_id")
+
+
 def q_jaccard_pairs(sf_dir: str):
     """Exact token-set Jaccard near-dup pairs via the prefix-filtering
     set-similarity join (df-ordered prefixes → inverted-bucket candidates
@@ -3657,6 +3687,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "ann_topk": q_ann_topk,
         "neardup_embeddings": q_neardup_embeddings,
         "neardup_embeddings_lsh": q_neardup_embeddings_lsh,
+        "semdedup_prune": q_semdedup_prune,
         "jaccard_pairs": q_jaccard_pairs,
         "ngram_overlap": q_ngram_overlap,
         "price_quantiles": q_price_quantiles,
@@ -3788,5 +3819,6 @@ ROWS_ONLY: List[str] = [
     "crawl_bfs", "crawl_intel", "minhash_pairs", "simhash_pairs",
     "fingerprints", "ann_lsh", "ann_ivf", "binary_metadata",
     "multimodal_features", "vocab_hll", "neardup_embeddings_lsh",
+    "semdedup_prune",
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
 ]

@@ -654,6 +654,66 @@ def test_embedding_neardup_lsh_loose_threshold_falls_back_exact():
     assert sorted(map(key, gated)) == sorted(map(key, exact))
 
 
+def _semdedup_corpus():
+    """4 well-separated clusters of 40 vectors — dense in-cluster ≥0.95
+    pairs, none across clusters."""
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((4, 16)) * 10
+    vecs = []
+    for c in range(4):
+        for _ in range(40):
+            vecs.append(base[c] + rng.standard_normal(16) * 0.8)
+    return vecs
+
+
+def test_semantic_dedup_single_cell_is_exact():
+    """n_cells=1 degenerates SemDeDup to the exact all-pairs matmul:
+    identical pair set, identical float64 cosines."""
+    vecs = _semdedup_corpus()
+    exact = dedup.embedding_neardup_pairs(
+        _emb_ds(vecs), threshold=0.95).take_all()
+    sem = dedup.semantic_dedup_pairs(
+        _emb_ds(vecs), threshold=0.95, n_cells=1).take_all()
+    key = lambda r: (r["id_a"], r["id_b"])
+    assert len(exact) > 100
+    assert sorted(map(key, sem)) == sorted(map(key, exact))
+    ce = {key(r): r["cosine"] for r in exact}
+    for r in sem:
+        assert r["cosine"] == pytest.approx(ce[key(r)], abs=1e-12)
+
+
+def test_semantic_dedup_multicell_subset_with_high_recall():
+    """At n_cells>1 the pairs are a strict no-false-positive SUBSET of
+    the exact pairs (the SemDeDup within-cell approximation), with high
+    recall on a clustered corpus; the tiled matmul (tile smaller than
+    the cells) must not change the result."""
+    vecs = _semdedup_corpus()
+    exact = {(r["id_a"], r["id_b"]) for r in dedup.embedding_neardup_pairs(
+        _emb_ds(vecs), threshold=0.95).take_all()}
+    sem = {(r["id_a"], r["id_b"]) for r in dedup.semantic_dedup_pairs(
+        _emb_ds(vecs), threshold=0.95, n_cells=4).take_all()}
+    tiled = {(r["id_a"], r["id_b"]) for r in dedup.semantic_dedup_pairs(
+        _emb_ds(vecs), threshold=0.95, n_cells=4, tile=13).take_all()}
+    assert sem <= exact
+    assert len(sem) >= 0.8 * len(exact)
+    assert tiled == sem
+
+
+def test_semantic_dedup_hot_cell_guard_and_empty():
+    """Cells above max_cell are skipped (documented guard) and an empty
+    dataset returns an empty pair table, not a crash."""
+    import ray
+
+    vecs = _semdedup_corpus()
+    guarded = dedup.semantic_dedup_pairs(
+        _emb_ds(vecs), threshold=0.95, n_cells=1, max_cell=8).take_all()
+    assert guarded == []
+    empty = dedup.semantic_dedup_pairs(
+        _emb_ds(vecs[:2]).filter(lambda r: False),
+        threshold=0.95, n_cells=4).take_all()
+    assert empty == []
+
+
 def test_index_build_coalesces_tiny_blocks(emb_ds, tmp_path):
     """A many-tiny-block input must not explode the hive write into one
     file per (block x cell): coalesce_by_bytes sizes write blocks by
