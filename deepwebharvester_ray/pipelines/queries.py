@@ -1714,6 +1714,59 @@ FROM h ORDER BY doc_id
 """
 
 
+SAMPLE_K = 200
+_SAMPLE_MULT = 0xC2B2AE3D27D4EB4F  # odd (≠ split mult → independent draw)
+
+
+def q_sample_k(sf_dir: str):
+    """Fixed-size deterministic uniform sample: the SAMPLE_K docs with
+    the smallest 64-bit multiplicative id-hashes — the exact-k complement
+    of the rate-based samplers (stratified_sample, domain_mix).  Because
+    membership depends only on the id, the sample is stable under
+    resharding/resume and is a proper subset chain as k grows (the
+    standard trick for carving fixed-size eval subsets out of a moving
+    corpus).
+
+    Scale shape: per-block partial top-k on the hash (≤k rows leave each
+    block) → one-block final merge — shuffle volume is O(blocks × k)
+    8-byte pairs, never the corpus; no global sort.  A distinct odd
+    multiplier keeps the draw independent of the split-assign hash (the
+    sample straddles train/val/test proportionally)."""
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def partial(batch: pa.Table, k=SAMPLE_K) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "hv": pa.array([], pa.uint64())})
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(_SAMPLE_MULT)
+        top = np.argsort(h, kind="stable")[:k]
+        return pa.table({"doc_id": pa.array(ids[top], pa.int64()),
+                         "hv": pa.array(h[top], pa.uint64())})
+
+    picked = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env())
+        .repartition(1)
+        .map_batches(partial, batch_format="pyarrow", batch_size=None,
+                     runtime_env=runtime_env())
+    )
+    return picked.select_columns(["doc_id"]).sort("doc_id")
+
+
+_SQL_SAMPLE_K = f"""
+SELECT doc_id FROM (
+  SELECT doc_id,
+         (CAST(doc_id AS HUGEINT) * {_SAMPLE_MULT}) %
+             CAST('18446744073709551616' AS HUGEINT) AS hv
+  FROM documents
+  ORDER BY hv LIMIT {SAMPLE_K}
+) ORDER BY doc_id
+"""
+
+
 PACK_CAPACITY = 2048
 
 
@@ -3694,6 +3747,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "clicks_asof_views": q_clicks_asof_views,
         "clicks_in_views": q_clicks_in_views,
         "split_assign": q_split_assign,
+        "sample_k": q_sample_k,
         "top_tokens": q_top_tokens,
         "vocab_hll": q_vocab_hll,
         "approx_users_by_type": q_approx_users_by_type,
@@ -3771,6 +3825,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "clicks_asof_views": _SQL_CLICKS_ASOF_VIEWS,
         "clicks_in_views": _SQL_CLICKS_IN_VIEWS,
         "split_assign": _SQL_SPLIT_ASSIGN,
+        "sample_k": _SQL_SAMPLE_K,
         "top_tokens": _SQL_TOP_TOKENS,
         "events_hopping": _SQL_EVENTS_HOPPING,
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,

@@ -22,6 +22,7 @@ SPOT_CHECKED = [
     "price_quantiles",
     "clicks_asof_views",
     "split_assign",
+    "sample_k",
     "top_tokens",
     "token_packing",
     "stratified_sample",
