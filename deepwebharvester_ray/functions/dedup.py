@@ -1330,8 +1330,9 @@ _GRAM_P2 = np.uint64(0xC6A4A7935BD1E995)  # second, independent multiplier
 _TOKID2_MIX = np.uint64(0xD6E8FEB86659FD93)  # odd → bijective token remap
 
 
-def _gram_keys(tok1: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Unique (h1, h2) 64-bit key pairs for every k-token window."""
+def _gram_hashes(tok1: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """POSITIONAL (h1, h2) 64-bit key pairs — entry i is the window
+    starting at token i (length n-k+1, duplicates kept)."""
     n_out = len(tok1) - k + 1
     if n_out <= 0:
         return np.empty(0, np.uint64), np.empty(0, np.uint64)
@@ -1341,6 +1342,15 @@ def _gram_keys(tok1: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
     for j in range(1, k):
         h1 = h1 * _POLY + tok1[j : n_out + j]
         h2 = h2 * _GRAM_P2 + tok2[j : n_out + j]
+    return h1, h2
+
+
+def _gram_keys(tok1: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Unique (h1, h2) 64-bit key pairs for every k-token window."""
+    h1, h2 = _gram_hashes(tok1, k)
+    n_out = len(h1)
+    if n_out == 0:
+        return h1, h2
     order = np.lexsort((h2, h1))
     h1, h2 = h1[order], h2[order]
     keep = np.ones(n_out, dtype=bool)
@@ -1463,6 +1473,175 @@ def ngram_overlap_pairs(
     return pairs.sort(["id_a", "id_b"]).map_batches(
         distinct_pairs, batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
+    )
+
+
+_PROF_S1 = np.uint64(0xA24BAED4963EE407)  # per-doc sentinel-key multipliers
+_PROF_S2 = np.uint64(0x9FB21C651E98DF25)
+
+
+def passage_dup_profile(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    k: int = 8,
+    shuffle_partitions: int | None = None,
+):
+    """Per-doc duplicated-passage coverage — for every doc, how many of
+    its token positions are covered by at least one exact k-token window
+    that also appears in ANOTHER doc.  Returns
+    ``(doc_id, tokens_total, tokens_dup)``: the per-document trim/drop
+    statistic of exact-substring dedup (the "what fraction of this page
+    is boilerplate/copied text" number used to drop or trim docs —
+    :func:`ngram_overlap_pairs` says WHICH docs collide; this says HOW
+    MUCH of each doc is duplicated).
+
+    Scale shape: one map emits POSITIONAL window keys (duplicates kept —
+    coverage needs every start) plus one per-doc sentinel row carrying
+    the token count; ONE all-to-all sort on the 128-bit key; the run
+    pass marks windows whose run spans ≥2 distinct docs via per-run
+    min≠max (two reduceats — O(run) per run with NO pair emission, so a
+    boilerplate window shared by millions of docs costs O(m), not O(m²):
+    this operator needs no hot-bucket guard); a second, much smaller
+    sort on (doc, pos) turns marked window starts into an exact
+    interval-union token count (first window k + Σ min(gap, k), one
+    cumsum); counts and coverage then merge as a tagged union through
+    one per-doc grouped sum.  Shuffle volume is O(windows) fixed-width
+    rows — text never moves."""
+    from .agg import grouped_agg
+    from .textops import TOKEN_RE
+
+    _empty_keys = pa.table({
+        "h1": pa.array([], pa.uint64()),
+        "h2": pa.array([], pa.uint64()),
+        "id": pa.array([], pa.int64()),
+        "pos": pa.array([], pa.int32()),
+        "n_tok": pa.array([], pa.int32()),
+    })
+
+    def keys_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_keys
+        ids_in = batch.column(id_column).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_column).to_pylist()
+        h1s, h2s, ids, poss, ntoks = [], [], [], [], []
+        for i, t in enumerate(texts):
+            toks = TOKEN_RE.findall(t or "")
+            u1 = _word_hashes(toks)
+            with np.errstate(over="ignore"):
+                h1, h2 = _gram_hashes(u1, k)
+                sent1 = np.uint64(ids_in[i]) * _PROF_S1
+                sent2 = np.uint64(ids_in[i]) * _PROF_S2
+            n_win = len(h1)
+            h1s.append(np.append(h1, sent1).astype(np.uint64))
+            h2s.append(np.append(h2, sent2).astype(np.uint64))
+            ids.append(np.full(n_win + 1, ids_in[i], np.int64))
+            poss.append(np.append(np.arange(n_win, dtype=np.int32),
+                                  np.int32(-1)))
+            ntoks.append(np.append(np.zeros(n_win, np.int32),
+                                   np.int32(len(toks))))
+        return pa.table({
+            "h1": pa.array(np.concatenate(h1s), pa.uint64()),
+            "h2": pa.array(np.concatenate(h2s), pa.uint64()),
+            "id": pa.array(np.concatenate(ids), pa.int64()),
+            "pos": pa.array(np.concatenate(poss), pa.int32()),
+            "n_tok": pa.array(np.concatenate(ntoks), pa.int32()),
+        })
+
+    keyed = ds.map_batches(
+        keys_batch, batch_format="pyarrow", runtime_env=runtime_env()
+    )
+    if shuffle_partitions:
+        keyed = keyed.repartition(shuffle_partitions)
+    # materialized ONCE: feeds both the gram sort and the counts filter
+    keyed = keyed.materialize()
+
+    _empty_dup = pa.table({
+        "id": pa.array([], pa.int64()), "pos": pa.array([], pa.int32()),
+    })
+
+    def dup_windows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_dup
+        h1 = batch.column("h1").combine_chunks().to_numpy(zero_copy_only=False)
+        h2 = batch.column("h2").combine_chunks().to_numpy(zero_copy_only=False)
+        ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        pos = batch.column("pos").combine_chunks().to_numpy(zero_copy_only=False)
+        starts, ends = _run_bounds(h1, h2)
+        # ≥2 distinct docs in the run ⟺ per-run min(id) ≠ max(id); the
+        # sentinel rows are singleton runs and never qualify
+        mins = np.minimum.reduceat(ids, starts)
+        maxs = np.maximum.reduceat(ids, starts)
+        keep = np.repeat(mins != maxs, ends - starts) & (pos >= 0)
+        if not keep.any():
+            return _empty_dup
+        return pa.table({
+            "id": pa.array(ids[keep], pa.int64()),
+            "pos": pa.array(pos[keep], pa.int32()),
+        })
+
+    dup = keyed.sort(["h1", "h2"]).map_batches(
+        dup_windows, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )
+    if shuffle_partitions:
+        dup = dup.repartition(max(2, shuffle_partitions // 4))
+
+    _empty_prof = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "tokens_total": pa.array([], pa.int64()),
+        "tokens_dup": pa.array([], pa.int64()),
+    })
+
+    def cover_batch(batch: pa.Table) -> pa.Table:
+        # sorted on id ALONE (a (id, pos) sort key is unique per row, so
+        # the range partitioner could split one doc across blocks and
+        # each fragment would re-add the first-window k); equal ids
+        # co-locate, and pos is ordered with one in-block lexsort
+        if batch.num_rows == 0:
+            return _empty_prof
+        ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        pos = batch.column("pos").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((pos, ids))
+        ids, pos = ids[order], pos[order]
+        starts, _ = _run_bounds(ids)
+        d = np.zeros(len(ids), np.int64)
+        d[starts] = k
+        if len(ids) > 1:
+            inner = np.minimum(pos[1:] - pos[:-1], k)
+            nonstart = np.ones(len(ids), bool)
+            nonstart[starts] = False
+            idx = np.nonzero(nonstart)[0]
+            d[idx] = inner[idx - 1]
+        return pa.table({
+            "doc_id": pa.array(ids[starts], pa.int64()),
+            "tokens_total": pa.array(np.zeros(len(starts), np.int64)),
+            "tokens_dup": pa.array(np.add.reduceat(d, starts), pa.int64()),
+        })
+
+    covered = dup.sort("id").map_batches(
+        cover_batch, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )
+
+    def tag_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_prof
+        n = batch.num_rows
+        return pa.table({
+            "doc_id": batch.column("id"),
+            "tokens_total": batch.column("n_tok").cast(pa.int64()),
+            "tokens_dup": pa.array(np.zeros(n, np.int64)),
+        })
+
+    counts = keyed.filter(expr="pos < 0").map_batches(
+        tag_counts, batch_format="pyarrow", runtime_env=runtime_env()
+    )
+    return grouped_agg(
+        counts.union(covered), ["doc_id"],
+        [("tokens_total", "tokens_total", "sum"),
+         ("tokens_dup", "tokens_dup", "sum")],
     )
 
 

@@ -3682,6 +3682,49 @@ SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b
 """
 
 
+def q_passage_profile(sf_dir: str):
+    """Per-doc duplicated-passage coverage (exact-substring-dedup trim
+    statistic): for each doc, the count of token positions covered by an
+    8-token window that also appears in another doc
+    (:func:`~deepwebharvester_ray.functions.dedup.passage_dup_profile`).
+    Run-scan marking (min≠max per gram run — no pair emission, immune to
+    boilerplate hot buckets) + per-doc interval union."""
+    from ..functions.dedup import passage_dup_profile
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    prof = passage_dup_profile(ds, k=8,
+                               shuffle_partitions=_shuffle_parts(sf_dir))
+    return prof.sort("doc_id")
+
+
+_SQL_PASSAGE_PROFILE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g(i)
+  WHERE len(t) >= 8
+),
+shared AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+cover AS (
+  SELECT DISTINCT g.doc_id, p.p
+  FROM grams g JOIN shared s ON g.gram = s.gram,
+       LATERAL (SELECT unnest(generate_series(g.i, g.i+7)) AS p) p(p)
+)
+SELECT x.doc_id,
+       CAST(len(x.t) AS BIGINT) AS tokens_total,
+       CAST(COALESCE(cv.n, 0) AS BIGINT) AS tokens_dup
+FROM toks x
+LEFT JOIN (SELECT doc_id, count(*) AS n FROM cover GROUP BY doc_id) cv
+  ON x.doc_id = cv.doc_id
+ORDER BY x.doc_id
+"""
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF ANN with PHYSICAL partition pruning: the cell assignment is
     materialized hive-partitioned by cell and only the probed cells'
@@ -3743,6 +3786,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "semdedup_prune": q_semdedup_prune,
         "jaccard_pairs": q_jaccard_pairs,
         "ngram_overlap": q_ngram_overlap,
+        "passage_profile": q_passage_profile,
         "price_quantiles": q_price_quantiles,
         "clicks_asof_views": q_clicks_asof_views,
         "clicks_in_views": q_clicks_in_views,
@@ -3821,6 +3865,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "neardup_embeddings": _SQL_NEARDUP_EMB,
         "jaccard_pairs": _SQL_JACCARD_PAIRS,
         "ngram_overlap": _SQL_NGRAM_OVERLAP,
+        "passage_profile": _SQL_PASSAGE_PROFILE,
         "price_quantiles": _SQL_PRICE_QUANTILES,
         "clicks_asof_views": _SQL_CLICKS_ASOF_VIEWS,
         "clicks_in_views": _SQL_CLICKS_IN_VIEWS,

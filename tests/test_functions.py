@@ -291,6 +291,44 @@ def test_ngram_overlap_hot_bucket_guard():
     assert out == []  # bucket of 6 docs exceeds the guard → skipped
 
 
+def test_passage_dup_profile():
+    """Interval-union coverage vs hand-computed truth: overlapping
+    windows merge, disjoint dup regions add, dup-free / short / empty
+    docs report zero."""
+    import ray
+
+    docs = {
+        1: "a b c d e f g h",            # full overlap with doc 4 → 8/8
+        2: "x y c d e f q r s",          # windows at pos 2,3 shared → 4
+        3: "unique words only here zz",  # no dups
+        4: "a b c d e f g h",            # exact dup of doc 1
+        5: "short one",                  # < k tokens: no windows
+        6: "",                           # empty text
+        7: "p q r 1 2 3 4 5 6 7 8 9 p q r",  # two DISJOINT dup regions
+        8: "p q r zz yy",
+    }
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in docs.items()])
+    got = {r["doc_id"]: (r["tokens_total"], r["tokens_dup"])
+           for r in dedup.passage_dup_profile(ds, k=3).take_all()}
+    assert got == {1: (8, 8), 2: (9, 4), 3: (5, 0), 4: (8, 8),
+                   5: (2, 0), 6: (0, 0), 7: (15, 6), 8: (5, 3)}
+
+
+def test_passage_dup_profile_boilerplate_is_linear():
+    """A window shared by EVERY doc marks all of them (run-scan, no pair
+    emission) — the hot-bucket case other gram ops must guard against is
+    just a long run here."""
+    import ray
+
+    boiler = "terms of service apply to all pages"
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": f"u{i} {boiler}"} for i in range(50)])
+    out = dedup.passage_dup_profile(ds, k=7).take_all()
+    assert len(out) == 50
+    assert all(r["tokens_dup"] == 7 and r["tokens_total"] == 8 for r in out)
+
+
 def test_grouped_quantiles_percentile_disc_semantics():
     import ray
 

@@ -19,6 +19,7 @@ SPOT_CHECKED = [
     "extract_pages", "exact_dedup", "token_counts", "threat_scores",
     "lang_id", "events_by_type", "event_sessions", "ann_topk",
     "ngram_overlap",
+    "passage_profile",
     "price_quantiles",
     "clicks_asof_views",
     "split_assign",
