@@ -166,6 +166,52 @@ def pii_redact_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
     return pa.table(out)
 
 
+# ── text cleaning (normalization pass) ───────────────────────────────────────
+
+# ASCII whitespace + C0/C1 control runs (RE2 POSIX classes — identical
+# semantics in Arrow's and DuckDB's RE2, both ASCII-only here, which is
+# what makes the oracle exact)
+CLEAN_WS_PAT = r"[[:space:][:cntrl:]]+"
+
+
+def clean_text_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Canonical text cleaning for a training corpus: Unicode NFC
+    normalization, control-character removal, whitespace collapse to
+    single spaces, edge trim.  Adds ``clean``, ``n_chars_before``,
+    ``n_chars_after``; drops nothing (filtering is a separate policy
+    step).  The regex collapse, trim and both length counts are Arrow
+    C++ kernels; NFC runs through ``unicodedata`` ONLY on rows an RE2
+    mask flags as non-ASCII (pyarrow 16.1's ``utf8_normalize`` performs
+    canonical DEcomposition but never composition — NFC('e'+U+0301)
+    comes back decomposed — so the kernel cannot be used for NFC; the
+    ASCII fast path keeps the common row zero-Python)."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    t = batch.column(text_column)
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    nonascii = pc.match_substring_regex(t, "[^[:ascii:]]")
+    if pc.any(nonascii).as_py():
+        vals = t.to_pylist()
+        for i in np.nonzero(nonascii.to_numpy(zero_copy_only=False))[0]:
+            if vals[i] is not None:
+                vals[i] = unicodedata.normalize("NFC", vals[i])
+        norm = pa.array(vals, pa.string())
+    else:
+        norm = t
+    collapsed = pc.replace_substring_regex(norm, pattern=CLEAN_WS_PAT,
+                                           replacement=" ")
+    clean = pc.utf8_trim(collapsed, characters=" ")
+    out = {n: batch.column(n) for n in batch.column_names
+           if n != text_column}
+    out["clean"] = clean
+    out["n_chars_before"] = pc.utf8_length(t).cast(pa.int64())
+    out["n_chars_after"] = pc.utf8_length(clean).cast(pa.int64())
+    return pa.table(out)
+
+
 # ── repetition metrics (Gopher-style quality rules) ──────────────────────────
 
 # keep iff most-frequent 2-gram ≤ 10% of 2-grams AND distinct words ≥

@@ -54,6 +54,7 @@ from ..functions.textops import (
     PII_IPV4_PAT,
     fingerprint_batch,
     lang_id_batch,
+    clean_text_batch,
     pii_redact_batch,
     quality_batch,
     repetition_batch,
@@ -3097,6 +3098,62 @@ FROM e ORDER BY doc_id
 """
 
 
+# Deterministic "messy text" augmentation for the cleaning query (the
+# synthetic corpus is already clean, so the pass would be a no-op
+# without planted tabs / control chars / decomposed accents / CRLF runs
+# — same planted-ground-truth pattern as the IOC augmentation).
+_CLEAN_AUG_PY = {
+    0: "  A\tB  e\u0301",  # tabs, double spaces, DECOMPOSED e+U+0301
+    1: "\x01ctrl\x02chars\x03end",   # C0 control characters
+    2: "multi   sp\n\nnl\r\nX",      # space runs, LF/CRLF
+}
+_CLEAN_AUG_SQL = (
+    "CASE CAST(doc_id % 3 AS INT) "
+    "WHEN 0 THEN '  A' || chr(9) || 'B  e' || chr(769) "
+    "WHEN 1 THEN chr(1) || 'ctrl' || chr(2) || 'chars' || chr(3) || 'end' "
+    "ELSE 'multi   sp' || chr(10) || chr(10) || 'nl' || chr(13) || chr(10) "
+    "|| 'X' END"
+)
+
+
+def q_clean_text(sf_dir: str):
+    """Corpus cleaning pass over deterministically-dirtied text: Unicode
+    NFC + control-char removal + whitespace collapse + trim, with
+    before/after char counts — all Arrow C++ kernels
+    (:func:`~deepwebharvester_ray.functions.textops.clean_text_batch`);
+    the oracle runs nfc_normalize + the identical RE2 through DuckDB."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        aug = pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": pa.array(
+                [(t or "") + _CLEAN_AUG_PY[d % 3]
+                 for d, t in zip(ids, texts)], pa.string()),
+        })
+        return clean_text_batch(aug)
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          runtime_env=runtime_env()).sort("doc_id")
+
+
+_SQL_CLEAN_TEXT = f"""
+WITH a AS (SELECT doc_id, text || ({_CLEAN_AUG_SQL}) AS t FROM documents),
+c AS (
+  SELECT doc_id, t,
+         trim(regexp_replace(nfc_normalize(t),
+                             '[[:space:][:cntrl:]]+', ' ', 'g'), ' ') AS clean
+  FROM a
+)
+SELECT doc_id, clean,
+       CAST(length(t) AS BIGINT) AS n_chars_before,
+       CAST(length(clean) AS BIGINT) AS n_chars_after
+FROM c ORDER BY doc_id
+"""
+
+
 def q_repetition_filter(sf_dir: str):
     """Gopher-style repetition rules: per-doc word / distinct-word /
     max-adjacent-2-gram counts and the integer-exact keep verdict
@@ -3787,6 +3844,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "jaccard_pairs": q_jaccard_pairs,
         "ngram_overlap": q_ngram_overlap,
         "passage_profile": q_passage_profile,
+        "clean_text": q_clean_text,
         "price_quantiles": q_price_quantiles,
         "clicks_asof_views": q_clicks_asof_views,
         "clicks_in_views": q_clicks_in_views,
@@ -3866,6 +3924,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "jaccard_pairs": _SQL_JACCARD_PAIRS,
         "ngram_overlap": _SQL_NGRAM_OVERLAP,
         "passage_profile": _SQL_PASSAGE_PROFILE,
+        "clean_text": _SQL_CLEAN_TEXT,
         "price_quantiles": _SQL_PRICE_QUANTILES,
         "clicks_asof_views": _SQL_CLICKS_ASOF_VIEWS,
         "clicks_in_views": _SQL_CLICKS_IN_VIEWS,

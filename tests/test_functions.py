@@ -800,6 +800,24 @@ def test_pii_redact_batch():
     assert "1.2.3.4" not in out[2]["redacted"]
 
 
+def test_clean_text_batch():
+    """NFC composition (incl. pyarrow's missing-composition gap), control
+    stripping, whitespace collapse, trim, char counts, null passthrough,
+    pure-ASCII fast path."""
+    from deepwebharvester_ray.functions.textops import clean_text_batch
+
+    batch = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["  a\t\tb \x01\x02 c\r\n", "e\u0301tude", None, "plain"],
+    })
+    out = clean_text_batch(batch)
+    assert out.column("clean").to_pylist() == ["a b c", "étude", None, "plain"]
+    # composed NFC, not the decomposed input
+    assert [hex(ord(c)) for c in out.column("clean")[1].as_py()[:1]] == ["0xe9"]
+    assert out.column("n_chars_before").to_pylist() == [13, 6, None, 5]
+    assert out.column("n_chars_after").to_pylist() == [5, 5, None, 5]
+
+
 def test_repetition_batch_rules():
     b = pa.table({
         "doc_id": pa.array([1, 2, 3], pa.int64()),

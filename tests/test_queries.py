@@ -46,6 +46,7 @@ SPOT_CHECKED = [
     "customer_order_counts",
     "funnel_users",
     "pii_redact",
+    "clean_text",
     "repetition_filter",
     "domain_mix",
     "epoch_shuffle",
