@@ -3246,6 +3246,82 @@ ORDER BY doc_id
 """.replace("{cutoff}", _mix_cutoff_sql())
 
 
+# Fractional per-source repeat weights (base copies + an exact binary
+# fraction of 2^64 for the extra copy) — src1 < 1 shows the same rule
+# subsumes downsampling.
+UP_WEIGHTS = {"src0": (2, 1 << 63), "src1": (0, 1 << 63),
+              "src2": (1, 1 << 62)}
+UP_TAIL = (1, 0)
+
+
+def q_domain_upsample(sf_dir: str):
+    """Domain-mixture OVERsampling: each doc is repeated
+    ``floor(w_source)`` times plus one more iff its 64-bit id hash falls
+    under the fractional part's cutoff — the epoch-construction step
+    that upweights rare high-quality sources (weights > 1) with the
+    SAME deterministic reshard-stable rule family as domain_mix /
+    split_assign (a weight < 1 degenerates to downsampling, so one rule
+    covers the whole mixture spec).  ``epoch_copy`` indexes the copies
+    (0..n-1) so downstream shuffles can spread them.  Zero shuffle: a
+    pure vectorized repeat inside map_batches — at 100 TB the expansion
+    happens inside each task's batch, never via a join or a driver
+    loop."""
+    ds = _docs(sf_dir, columns=["doc_id", "source"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            hv = ids.astype(np.uint64) * np.uint64(_SPLIT_MULT)
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        base = np.full(len(ids), UP_TAIL[0], np.int64)
+        frac = np.full(len(ids), UP_TAIL[1], np.uint64)
+        for s, (b, f) in UP_WEIGHTS.items():
+            base[src == s] = b
+            frac[src == s] = np.uint64(f)
+        n = base + (hv < frac)
+        idx = np.repeat(np.arange(len(ids)), n)
+        cum = np.concatenate([[0], np.cumsum(n)[:-1]])
+        copy = np.arange(int(n.sum())) - np.repeat(cum, n)
+        return pa.table({
+            "doc_id": pa.array(ids[idx], pa.int64()),
+            "source": pa.array(src[idx].tolist(), pa.string()),
+            "epoch_copy": pa.array(copy, pa.int64()),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow",
+                          runtime_env=runtime_env()).sort("doc_id")
+
+
+def _up_weight_sql(part: int) -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN " + (str(w[0]) if part == 0
+                               else f"CAST('{w[1]}' AS HUGEINT)")
+        for s, w in UP_WEIGHTS.items()
+    )
+    tail = str(UP_TAIL[0]) if part == 0 else f"CAST('{UP_TAIL[1]}' AS HUGEINT)"
+    return f"CASE source {cases} ELSE {tail} END"
+
+
+_SQL_DOMAIN_UPSAMPLE = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         (CAST(doc_id AS HUGEINT) * {_SPLIT_MULT}) %
+             CAST('18446744073709551616' AS HUGEINT) AS hv
+  FROM documents
+),
+n AS (
+  SELECT doc_id, source,
+         ({_up_weight_sql(0)}) +
+         (CASE WHEN hv < ({_up_weight_sql(1)}) THEN 1 ELSE 0 END) AS n_copies
+  FROM h
+)
+SELECT doc_id, source, CAST(c.c AS BIGINT) AS epoch_copy
+FROM n, LATERAL (SELECT unnest(generate_series(0, n_copies - 1)) AS c) c(c)
+ORDER BY doc_id, epoch_copy
+"""
+
+
 def q_epoch_shuffle(sf_dir: str):
     """Deterministic global shuffle for a training epoch: every doc
     keyed by the bijective 64-bit multiplicative hash of its id and
@@ -3868,6 +3944,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "pii_redact": q_pii_redact,
         "repetition_filter": q_repetition_filter,
         "domain_mix": q_domain_mix,
+        "domain_upsample": q_domain_upsample,
         "epoch_shuffle": q_epoch_shuffle,
         "latest_events": q_latest_events,
         "user_deltas": q_user_deltas,
@@ -3944,6 +4021,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "pii_redact": _SQL_PII_REDACT,
         "repetition_filter": _SQL_REPETITION,
         "domain_mix": _SQL_DOMAIN_MIX,
+        "domain_upsample": _SQL_DOMAIN_UPSAMPLE,
         "epoch_shuffle": _SQL_EPOCH_SHUFFLE,
         "latest_events": _SQL_LATEST_EVENTS,
         "user_deltas": _SQL_USER_DELTAS,

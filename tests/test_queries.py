@@ -49,6 +49,7 @@ SPOT_CHECKED = [
     "clean_text",
     "repetition_filter",
     "domain_mix",
+    "domain_upsample",
     "epoch_shuffle",
     "contamination",
 ]
