@@ -25,6 +25,7 @@ SPOT_CHECKED = [
     "split_assign",
     "sample_k",
     "top_tokens",
+    "oov_rate",
     "token_packing",
     "stratified_sample",
     "top_terms_tfidf",
