@@ -3411,6 +3411,68 @@ ORDER BY doc_id, epoch_copy
 """
 
 
+CURR_CUTS = (500, 1000, 2000)  # n_chars length-bucket boundaries
+
+
+def q_curriculum_order(sf_dir: str):
+    """Curriculum ordering with a GLOBAL row number: docs bucketed by
+    length (short-first curriculum), shuffled deterministically within
+    each bucket, and assigned a contiguous global ``curriculum_rank`` —
+    the exact epoch order a curriculum-training run feeds the loader.
+
+    Distributed rank assignment is the classic two-phase scan: ONE sort
+    on a composite (bucket, hash) key — encoded as a fixed-width string
+    so the range partitioner balances on the uniform hash within each
+    bucket — then :func:`~deepwebharvester_ray.functions.scan.prefix_scan`
+    counts rows per block (O(#blocks) driver state) and broadcasts block
+    offsets back; no second shuffle, no window materialization."""
+    from ..functions.scan import prefix_scan
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"],
+               override_num_blocks=_shuffle_parts(sf_dir, "documents"))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        nc = batch.column("n_chars").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        bucket = np.digitize(nc, CURR_CUTS).astype(np.int64)
+        with np.errstate(over="ignore"):
+            hv = ids.astype(np.uint64) * np.uint64(_SPLIT_MULT)
+        ck = [f"{b}:{h:020d}" for b, h in zip(bucket, hv)]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "bucket": pa.array(bucket, pa.int64()),
+            "ck": pa.array(ck, pa.string()),
+            "one": pa.array(np.ones(len(ids), np.int64)),
+        })
+
+    ranked = prefix_scan(
+        ds.map_batches(keyed, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        key="ck", value_col="one", out_col="curriculum_rank",
+    )
+    return ranked.select_columns(
+        ["doc_id", "bucket", "curriculum_rank"]).sort("doc_id")
+
+
+_SQL_CURRICULUM = f"""
+WITH h AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < {CURR_CUTS[0]} THEN 0
+              WHEN n_chars < {CURR_CUTS[1]} THEN 1
+              WHEN n_chars < {CURR_CUTS[2]} THEN 2 ELSE 3 END AS bucket,
+         (CAST(doc_id AS HUGEINT) * {_SPLIT_MULT}) %
+             CAST('18446744073709551616' AS HUGEINT) AS hv
+  FROM documents
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(ROW_NUMBER() OVER (ORDER BY bucket, hv) AS BIGINT)
+           AS curriculum_rank
+FROM h ORDER BY doc_id
+"""
+
+
 def q_epoch_shuffle(sf_dir: str):
     """Deterministic global shuffle for a training epoch: every doc
     keyed by the bijective 64-bit multiplicative hash of its id and
@@ -4036,6 +4098,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "domain_mix": q_domain_mix,
         "domain_upsample": q_domain_upsample,
         "epoch_shuffle": q_epoch_shuffle,
+        "curriculum_order": q_curriculum_order,
         "latest_events": q_latest_events,
         "user_deltas": q_user_deltas,
         "orders_rollup": q_orders_rollup,
@@ -4114,6 +4177,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "domain_mix": _SQL_DOMAIN_MIX,
         "domain_upsample": _SQL_DOMAIN_UPSAMPLE,
         "epoch_shuffle": _SQL_EPOCH_SHUFFLE,
+        "curriculum_order": _SQL_CURRICULUM,
         "latest_events": _SQL_LATEST_EVENTS,
         "user_deltas": _SQL_USER_DELTAS,
         "orders_rollup": _SQL_ORDERS_ROLLUP,

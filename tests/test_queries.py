@@ -52,6 +52,7 @@ SPOT_CHECKED = [
     "domain_mix",
     "domain_upsample",
     "epoch_shuffle",
+    "curriculum_order",
     "contamination",
 ]
 
