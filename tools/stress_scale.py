@@ -245,10 +245,100 @@ def run_pagerank(n: int, force_join: bool) -> dict:
     }
 
 
+def run_semdedup(dup: int, sf_dir: str) -> dict:
+    """Semantic dedup on a ``dup``×-replicated embedding table (shifted
+    ids → every vector gains dup-1 exact copies, cos 1.0).  Pairs grow
+    O(dup²) per clone group BY CONSTRUCTION; the evidence is that the
+    driver stays flat — the k-means sample is bounded, assignment is a
+    broadcast matmul, and pair emission happens inside the sorted cell
+    blocks."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from deepwebharvester_ray import runtime_env
+    from deepwebharvester_ray.functions.dedup import semantic_dedup_pairs
+
+    def shift(batch: pa.Table, off: int) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(batch.column("vec_id"), off))
+
+    parts = []
+    for k in range(dup):
+        dsk = ray.data.read_parquet(
+            str(Path(sf_dir) / "embeddings.parquet"),
+            columns=["vec_id", "embedding"])
+        if k:
+            dsk = dsk.map_batches(shift, fn_kwargs={"off": k * 1_000_000},
+                                  batch_format="pyarrow",
+                                  runtime_env=runtime_env())
+        parts.append(dsk)
+    ds = parts[0] if dup == 1 else parts[0].union(*parts[1:])
+    t0 = time.monotonic()
+    pairs = semantic_dedup_pairs(ds, threshold=0.95, n_cells=64,
+                                 shuffle_partitions=8)
+    n_pairs = pairs.count()
+    return {
+        "case": "semdedup", "dup": dup, "pairs": n_pairs,
+        "wall_s": round(time.monotonic() - t0, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
+def run_passage(dup: int, sf_dir: str) -> dict:
+    """passage_dup_profile on a ``dup``×-replicated corpus — with dup>1
+    EVERY window sits in a cross-doc run (the all-boilerplate worst
+    case that would be O(m²) for pair emitters).  Evidence: wall grows
+    ~linearly in dup and the driver stays flat (run marking is two
+    reduceats; coverage is an in-block interval union)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from deepwebharvester_ray import runtime_env
+    from deepwebharvester_ray.functions.dedup import passage_dup_profile
+
+    def shift(batch: pa.Table, off: int) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(batch.column("doc_id"), off))
+
+    parts = []
+    for k in range(dup):
+        dsk = ray.data.read_parquet(
+            str(Path(sf_dir) / "documents.parquet"),
+            columns=["doc_id", "text"])
+        if k:
+            dsk = dsk.map_batches(shift, fn_kwargs={"off": k * 1_000_000},
+                                  batch_format="pyarrow",
+                                  runtime_env=runtime_env())
+        parts.append(dsk)
+    ds = parts[0] if dup == 1 else parts[0].union(*parts[1:])
+    t0 = time.monotonic()
+    prof = passage_dup_profile(ds, k=8, shuffle_partitions=8)
+    agg = prof.map_batches(
+        lambda b: pa.table({
+            "rows": pa.array([b.num_rows], pa.int64()),
+            "dup_tok": pa.array(
+                [pc.sum(b.column("tokens_dup")).as_py() or 0], pa.int64()),
+        }),
+        batch_format="pyarrow", batch_size=None, runtime_env=runtime_env(),
+    ).take_all()
+    return {
+        "case": "passage", "dup": dup,
+        "rows": sum(r["rows"] for r in agg),
+        "tokens_dup": sum(r["dup_tok"] for r in agg),
+        "wall_s": round(time.monotonic() - t0, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("case", choices=["minhash", "frontier", "highcard",
-                                    "interval", "pagerank"])
+                                    "interval", "pagerank", "semdedup",
+                                    "passage"])
     p.add_argument("--dup", type=int, default=1)
     p.add_argument("--seeds", type=int, default=10_000)
     p.add_argument("--shards", type=int, default=None)
@@ -275,6 +365,10 @@ def main() -> None:
             out = run_interval(args.dup, args.sf)
         elif args.case == "pagerank":
             out = run_pagerank(args.n, args.join)
+        elif args.case == "semdedup":
+            out = run_semdedup(args.dup, args.sf)
+        elif args.case == "passage":
+            out = run_passage(args.dup, args.sf)
         else:
             out = run_highcard(args.n)
     finally:
