@@ -25,6 +25,7 @@ from datetime import datetime, timezone
 from pathlib import Path
 from typing import Dict, Optional, Set
 
+import numpy as np
 import pyarrow as pa
 
 from .intelligence import IOC_FIELDS
@@ -189,6 +190,80 @@ def get_known_urls(output_dir: str, db_name: str = "deepwebharvester.db") -> Set
     with sqlite3.connect(db_path, timeout=10.0) as conn:
         rows = conn.execute("SELECT url FROM crawl_results").fetchall()
     return {r[0] for r in rows}
+
+
+def write_partitioned_parquet(
+    ds,
+    out_dir: str,
+    partition_col: str,
+    skip_existing: bool = True,
+) -> Dict[str, list]:
+    """Resumable partitioned-Parquet sink: hive layout (one directory
+    per ``partition_col`` value), each partition COMMITTED by a
+    ``_COMPLETE`` marker written only after its files land.  A re-run
+
+    * prunes committed partitions from the INPUT (broadcast membership
+      mask inside map_batches — the skipped data is filtered at the
+      scan, not rewritten), and
+    * deletes uncommitted partition directories before writing (a
+      crashed attempt leaves files but no marker; without the sweep a
+      retry would APPEND duplicate rows to them).
+
+    This is the "failed 100-TB run restarts where it stopped"
+    contract: work lost on failure is bounded by the in-flight
+    partitions, and the driver state is one marker check per partition.
+    Returns ``{"written": [...], "skipped": [...]}`` partition values
+    (as strings, hive-encoded)."""
+    import shutil
+
+    import ray
+
+    from . import runtime_env
+    from .broadcast import cached_get
+
+    base = Path(out_dir)
+    base.mkdir(parents=True, exist_ok=True)
+    done, stale = [], []
+    for p in sorted(base.glob(f"{partition_col}=*")):
+        if (p / "_COMPLETE").exists():
+            done.append(p.name.split("=", 1)[1])
+        else:
+            stale.append(p)
+    for p in stale:  # uncommitted leftovers from a crashed attempt
+        shutil.rmtree(p, ignore_errors=True)
+
+    if skip_existing and done:
+        done_ref = ray.put(np.sort(np.asarray(done, dtype=object)))
+
+        def prune(batch: pa.Table) -> pa.Table:
+            vals = np.asarray(
+                [str(v) for v in batch.column(partition_col).to_pylist()],
+                dtype=object)
+            d = cached_get(done_ref)
+            pos = np.searchsorted(d, vals)
+            pos[pos >= len(d)] = len(d) - 1
+            return batch.filter(pa.array(d[pos] != vals))
+
+        ds = ds.map_batches(prune, batch_format="pyarrow",
+                            runtime_env=runtime_env())
+
+    ds = ds.materialize()
+    # distinct remaining partition values — tiny (one groupby on the key)
+    remaining = sorted(
+        str(r[partition_col])
+        for r in ds.groupby(partition_col).count().take_all()
+    )
+    if remaining:
+        ds.write_parquet(str(base), partition_cols=[partition_col])
+    written = []
+    for v in remaining:
+        pdir = base / f"{partition_col}={v}"
+        if pdir.exists():
+            (pdir / "_COMPLETE").touch()
+            written.append(v)
+    logger.info("partitioned parquet: %d written, %d skipped → %s",
+                len(written), len(done), base)
+    return {"written": written, "skipped": done}
 
 
 def save_all(

@@ -104,3 +104,39 @@ def test_graph_png(crawl_run, tmp_path):
     assert len(raw) == h * (1 + w * 3)
     # something was actually drawn (not a blank background)
     assert len(set(raw)) > 3
+
+
+def test_write_partitioned_parquet_resume(tmp_path):
+    """Committed partitions are skipped (files untouched), uncommitted
+    leftovers are swept and rewritten, and the final tree reads back to
+    exactly the input rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    rows = [{"doc_id": i, "source": f"src{i % 3}"} for i in range(90)]
+    ds = ray.data.from_items(rows)
+    out = tmp_path / "part_out"
+
+    r1 = sinks.write_partitioned_parquet(ds, str(out), "source")
+    assert sorted(r1["written"]) == ["src0", "src1", "src2"]
+    assert r1["skipped"] == []
+    for v in range(3):
+        assert (out / f"source=src{v}" / "_COMPLETE").exists()
+
+    # simulate a crashed attempt: src1 loses its marker (uncommitted)
+    (out / "source=src1" / "_COMPLETE").unlink()
+    src0_files = {p.name: p.stat().st_mtime_ns
+                  for p in (out / "source=src0").glob("*.parquet")}
+
+    r2 = sinks.write_partitioned_parquet(ray.data.from_items(rows),
+                                         str(out), "source")
+    assert r2["written"] == ["src1"]          # only the swept partition
+    assert sorted(r2["skipped"]) == ["src0", "src2"]
+    # committed partitions were not rewritten
+    assert src0_files == {p.name: p.stat().st_mtime_ns
+                          for p in (out / "source=src0").glob("*.parquet")}
+
+    back = pq.read_table(str(out)).to_pydict()
+    assert len(back["doc_id"]) == 90
+    assert sorted(back["doc_id"]) == list(range(90))
