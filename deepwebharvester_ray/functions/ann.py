@@ -330,6 +330,94 @@ def _cell_paths(index_dir: str, cells) -> list:
     return paths
 
 
+def train_centroids(ds, n_cells: int, train_sample: int = 2048,
+                    id_column: str = "vec_id",
+                    vec_column: str = "embedding"):
+    """Spherical-k-means centroids from a deterministic hash-rank sample.
+
+    The training sample is the ``train_sample`` rows with the SMALLEST
+    64-bit multiplicative id hashes — deterministic, order-free, and
+    unbiased by storage layout (a storage-order prefix, or random_sample
+    followed by a positional limit, excludes the dataset tail and trains
+    a degenerate quantizer on clustered/sorted inputs).  Per-block
+    partial top-k keeps the driver pull at O(blocks × train_sample).
+    Returns None on an empty/fully-filtered dataset.  Shared by
+    :func:`ivf_topk` and :func:`kmeans_assign`."""
+
+    def hash_candidates(batch: pa.Table, k=train_sample) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {"h": pa.array([], pa.uint64()),
+                 vec_column: pa.array(
+                     [], batch.schema.field(vec_column).type)}
+            )
+        ids = _ids_array(batch.column(id_column))
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        top = np.argsort(h, kind="stable")[:k]
+        return pa.table(
+            {
+                "h": pa.array(h[top], pa.uint64()),
+                vec_column: batch.column(vec_column).combine_chunks().take(
+                    pa.array(top)
+                ),
+            }
+        )
+
+    cand = ds.map_batches(
+        hash_candidates, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    ).take_all()
+    if not cand:
+        return None
+    cand.sort(key=lambda r: r["h"])
+    sample = np.asarray(
+        [list(r[vec_column]) for r in cand[:train_sample]], dtype=np.float64
+    )
+    return _spherical_kmeans(sample, n_cells)
+
+
+def kmeans_assign(
+    ds,
+    n_cells: int = 16,
+    train_sample: int = 2048,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+):
+    """Semantic sharding: (id, cell) spherical-k-means assignment for
+    every vector — the corpus-organization step behind SemDeDup cells,
+    IVF partitions, per-topic mixture weighting and cluster-balanced
+    sampling, exposed as a first-class product.
+
+    Scale shape: centroids train on the bounded hash-rank sample
+    (:func:`train_centroids`), then ONE broadcast matmul per batch —
+    no shuffle at all; the (n_cells × dim) centroid matrix is the only
+    shared state.  Deterministic: same corpus → same assignment,
+    independent of block layout."""
+    import ray
+
+    cents = train_centroids(ds, n_cells, train_sample, id_column, vec_column)
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cell": pa.array([], pa.int64())})
+    if cents is None:
+        return ray.data.from_arrow(empty)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        mat = _normalize(_vec_matrix(batch.column(vec_column)))
+        cell = np.argmax(mat @ cached_get(cents_ref).T, axis=1)
+        return pa.table({
+            "vec_id": pa.array(_ids_array(batch.column(id_column)),
+                               pa.int64()),
+            "cell": pa.array(cell.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          runtime_env=runtime_env())
+
+
 def ivf_topk(
     ds,
     queries: np.ndarray,
@@ -358,43 +446,9 @@ def ivf_topk(
 
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
 
-    # training sample = rows with the train_sample SMALLEST id hashes —
-    # deterministic, order-free, and unbiased by storage layout (a
-    # storage-order prefix, or random_sample followed by a positional
-    # limit, excludes the dataset tail and trains a degenerate quantizer
-    # on clustered/sorted inputs).  Per-block partial top-k keeps the
-    # driver pull at O(blocks x train_sample).
-    def hash_candidates(batch: pa.Table, k=train_sample) -> pa.Table:
-        if len(batch) == 0:
-            return pa.table(
-                {"h": pa.array([], pa.uint64()),
-                 vec_column: pa.array(
-                     [], batch.schema.field(vec_column).type)}
-            )
-        ids = _ids_array(batch.column(id_column))
-        with np.errstate(over="ignore"):
-            h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-        top = np.argsort(h, kind="stable")[:k]
-        return pa.table(
-            {
-                "h": pa.array(h[top], pa.uint64()),
-                vec_column: batch.column(vec_column).combine_chunks().take(
-                    pa.array(top)
-                ),
-            }
-        )
-
-    cand = ds.map_batches(
-        hash_candidates, batch_format="pyarrow", batch_size=None,
-        runtime_env=runtime_env(),
-    ).take_all()
-    if not cand:  # empty / fully-filtered dataset: empty result, not a crash
+    cents = train_centroids(ds, n_cells, train_sample, id_column, vec_column)
+    if cents is None:  # empty / fully-filtered dataset: empty, not a crash
         return _merge_topk([], len(queries), k)
-    cand.sort(key=lambda r: r["h"])
-    sample = np.asarray(
-        [list(r[vec_column]) for r in cand[:train_sample]], dtype=np.float64
-    )
-    cents = _spherical_kmeans(sample, n_cells)
     cents_ref = ray.put(cents)
 
     def assign_batch(batch: pa.Table) -> pa.Table:

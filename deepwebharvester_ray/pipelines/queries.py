@@ -4026,6 +4026,20 @@ def q_ann_ivf(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def q_embedding_clusters(sf_dir: str):
+    """Semantic sharding of the embedding corpus: deterministic
+    spherical-k-means cell per vector
+    (:func:`~deepwebharvester_ray.functions.ann.kmeans_assign` — bounded
+    hash-rank training sample, one broadcast matmul per batch, zero
+    shuffle).  Rows-only: k-means isn't SQL-expressible; tests pin
+    determinism, total coverage, and agreement with the IVF index's own
+    cell assignment."""
+    from ..functions.ann import kmeans_assign
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_assign(ds, n_cells=16).sort("vec_id")
+
+
 def q_ann_lsh(sf_dir: str):
     """Hyperplane-LSH bucketed ANN (approximate; rows-only; single-shot
     filtered scan — the partitioned-index variant is exercised by
@@ -4134,6 +4148,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "fingerprints": q_fingerprints,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "embedding_clusters": q_embedding_clusters,
         "binary_metadata": q_binary_metadata,
     }
 
@@ -4209,7 +4224,8 @@ def build_oracle_sql() -> Dict[str, str]:
 
 ROWS_ONLY: List[str] = [
     "crawl_bfs", "crawl_intel", "minhash_pairs", "simhash_pairs",
-    "fingerprints", "ann_lsh", "ann_ivf", "binary_metadata",
+    "fingerprints", "ann_lsh", "ann_ivf", "embedding_clusters",
+    "binary_metadata",
     "multimodal_features", "vocab_hll", "neardup_embeddings_lsh",
     "semdedup_prune",
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",

@@ -752,6 +752,26 @@ def test_semantic_dedup_hot_cell_guard_and_empty():
     assert empty == []
 
 
+def test_kmeans_assign(emb_ds):
+    """Every vector gets exactly one cell, the assignment is
+    deterministic across runs and block layouts, and each vector's cell
+    is its argmax-cosine centroid (checked directly against the shared
+    trainer's centroids)."""
+    out = ann.kmeans_assign(emb_ds, n_cells=8).take_all()
+    assert len(out) == emb_ds.count()
+    cells = {r["vec_id"]: r["cell"] for r in out}
+    assert set(c for c in cells.values()) <= set(range(8))
+    again = ann.kmeans_assign(emb_ds.repartition(7), n_cells=8).take_all()
+    assert cells == {r["vec_id"]: r["cell"] for r in again}
+    # spot-check argmax against the trainer's centroids
+    cents = ann.train_centroids(emb_ds, 8)
+    rows = emb_ds.take(20)
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        v /= np.linalg.norm(v)
+        assert cells[r["vec_id"]] == int(np.argmax(cents @ v))
+
+
 def test_index_build_coalesces_tiny_blocks(emb_ds, tmp_path):
     """A many-tiny-block input must not explode the hive write into one
     file per (block x cell): coalesce_by_bytes sizes write blocks by
