@@ -212,6 +212,45 @@ def clean_text_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
     return pa.table(out)
 
 
+# ── line-level filtering (C4-style rules) ────────────────────────────────────
+
+LINE_MIN_WORDS = 3
+LINE_TERMINALS = (".", "!", "?", '"')
+LINE_BANNED = "javascript"
+
+
+def line_filter_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """C4-style line filtering (Raffel et al. 2020 §2.2): keep a line
+    iff it has ≥ ``LINE_MIN_WORDS`` whitespace tokens, ends in terminal
+    punctuation, and doesn't mention ``javascript`` (case-insensitive).
+    Adds ``kept_text`` (surviving lines re-joined with \\n), ``n_lines``
+    and ``n_kept``.  Line-level scrubbing is the step BETWEEN whole-doc
+    quality filters (repetition/quality) and passage dedup — boilerplate
+    navigation/code lines die here without dropping the whole page.
+    Per-row Python over a handful of lines each (same cost class as
+    repetition_batch's Counter pass); the op itself is embarrassingly
+    parallel — no shuffle."""
+    texts = batch.column(text_column).to_pylist()
+    kept_texts, n_lines, n_kept = [], [], []
+    for t in texts:
+        lines = (t or "").split("\n")
+        kept = [
+            ln for ln in lines
+            if len(TOKEN_RE.findall(ln)) >= LINE_MIN_WORDS
+            and ln.rstrip().endswith(LINE_TERMINALS)
+            and LINE_BANNED not in ln.lower()
+        ]
+        kept_texts.append("\n".join(kept))
+        n_lines.append(len(lines))
+        n_kept.append(len(kept))
+    out = {n: batch.column(n) for n in batch.column_names
+           if n != text_column}
+    out["kept_text"] = pa.array(kept_texts, pa.string())
+    out["n_lines"] = pa.array(n_lines, pa.int64())
+    out["n_kept"] = pa.array(n_kept, pa.int64())
+    return pa.table(out)
+
+
 # ── repetition metrics (Gopher-style quality rules) ──────────────────────────
 
 # keep iff most-frequent 2-gram ≤ 10% of 2-grams AND distinct words ≥

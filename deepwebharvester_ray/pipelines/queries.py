@@ -3243,6 +3243,63 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_line_filter(sf_dir: str):
+    """C4-style line-level scrub over deterministically multi-lined docs
+    (the synthetic corpus is single-line, so the query plants a good
+    line, a too-short line, a banned-word line and a conditional clean
+    line per doc — mirrored exactly in the oracle).  Keep rule: ≥3
+    words AND terminal punctuation AND no 'javascript'
+    (:func:`~deepwebharvester_ray.functions.textops.line_filter_batch`)."""
+    from ..functions.textops import line_filter_batch
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        lined = []
+        for d, t in zip(ids, texts):
+            lines = [(t or "") + ("." if d % 2 == 0 else "")]
+            lines.append("too few")
+            lines.append("this line mentions javascript libraries everywhere.")
+            if d % 3 == 0:
+                lines.append("a clean second sentence with enough words.")
+            lined.append("\n".join(lines))
+        aug = pa.table({"doc_id": batch.column("doc_id"),
+                        "text": pa.array(lined, pa.string())})
+        return line_filter_batch(aug)
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          runtime_env=runtime_env()).sort("doc_id")
+
+
+_SQL_LINE_FILTER = r"""
+WITH a AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END || chr(10) ||
+         'too few' || chr(10) ||
+         'this line mentions javascript libraries everywhere.' ||
+         CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || 'a clean second sentence with enough words.'
+              ELSE '' END AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id, string_split(t, chr(10)) AS lines,
+         list_filter(string_split(t, chr(10)), x ->
+           len(regexp_extract_all(x, '\S+')) >= 3
+           AND (rtrim(x) LIKE '%.' OR rtrim(x) LIKE '%!'
+                OR rtrim(x) LIKE '%?' OR rtrim(x) LIKE '%"')
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM a
+)
+SELECT doc_id, COALESCE(array_to_string(kept, chr(10)), '') AS kept_text,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept
+FROM s ORDER BY doc_id
+"""
+
+
 def q_repetition_filter(sf_dir: str):
     """Gopher-style repetition rules: per-doc word / distinct-word /
     max-adjacent-2-gram counts and the integer-exact keep verdict
@@ -4108,6 +4165,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "dedup_purge": q_dedup_purge,
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
+        "line_filter": q_line_filter,
         "repetition_filter": q_repetition_filter,
         "domain_mix": q_domain_mix,
         "domain_upsample": q_domain_upsample,
@@ -4188,6 +4246,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "dedup_purge": _SQL_DEDUP_PURGE,
         "contamination": _SQL_CONTAMINATION,
         "pii_redact": _SQL_PII_REDACT,
+        "line_filter": _SQL_LINE_FILTER,
         "repetition_filter": _SQL_REPETITION,
         "domain_mix": _SQL_DOMAIN_MIX,
         "domain_upsample": _SQL_DOMAIN_UPSAMPLE,

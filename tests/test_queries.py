@@ -48,6 +48,7 @@ SPOT_CHECKED = [
     "funnel_users",
     "pii_redact",
     "clean_text",
+    "line_filter",
     "repetition_filter",
     "domain_mix",
     "domain_upsample",
