@@ -95,6 +95,15 @@ BENCH_QUERIES = [
     "top_orders_q3",
     "lineitem_pricing",
     "ann_ivf",
+    "semdedup_prune",
+    "sample_k",
+    "passage_profile",
+    "clean_text",
+    "domain_upsample",
+    "oov_rate",
+    "curriculum_order",
+    "embedding_clusters",
+    "line_filter",
     "crawl_bfs",
 ]
 

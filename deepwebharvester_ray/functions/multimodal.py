@@ -111,19 +111,76 @@ def decode_features(
     )
 
 
-def frame_sample_stub(n_frames: int = 4):
-    """Video frame-sampling stage factory — STUB.
+class FrameSampleStage:
+    """Actor-pool video frame-sampling stage.
 
-    Returns a map_batches-compatible callable that raises
-    ``NotImplementedError`` (no video codec in this container).  The
-    signature documents the intended contract: binary video column in,
-    ``list<binary>[n_frames]`` of sampled frames out.
-    """
+    Contract: binary "video" column in → ``frames`` (``list<binary>``,
+    ≤ ``n_frames`` uniformly-spaced samples), ``n_total_frames`` and
+    ``frame_indices`` out.  Only the CONTAINER parse is stubbed: with
+    ``fake=False`` (default) it raises ``NotImplementedError`` (no video
+    codec here); with ``fake=True`` the payload is treated as a
+    fixed-size-frame container (``frame_bytes`` per frame, trailing
+    partial frame dropped) — so the sampling arithmetic, the per-actor
+    setup, the list<binary> output layout and the small-batch sizing are
+    all real and tested, and a real deployment only replaces
+    ``_split_frames`` with a demuxer."""
 
-    def _stage(batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            f"frame sampling ({n_frames} frames) requires a video codec; "
-            "not available in this environment"
-        )
+    def __init__(self, binary_column: str = "payload", n_frames: int = 4,
+                 frame_bytes: int = 256, fake: bool = False) -> None:
+        self._col = binary_column
+        self._n = n_frames
+        self._fb = frame_bytes
+        self._fake = fake
+        # a real demuxer (ffmpeg/PyAV handle) would be opened HERE,
+        # once per actor
 
-    return _stage
+    def _split_frames(self, payload: bytes) -> list:
+        if not self._fake:
+            raise NotImplementedError(
+                "video demux not available in this environment; "
+                "construct FrameSampleStage(fake=True) for the "
+                "fixed-size-frame stub"
+            )
+        n = len(payload or b"") // self._fb
+        return [payload[i * self._fb:(i + 1) * self._fb] for i in range(n)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        frames_out, totals, idx_out = [], [], []
+        for b in batch.column(self._col).to_pylist():
+            frames = self._split_frames(b)
+            total = len(frames)
+            if total <= self._n:
+                pick = np.arange(total)
+            else:
+                # uniform temporal sampling — deterministic midpoints
+                pick = ((np.arange(self._n) * total) // self._n)
+            frames_out.append([frames[i] for i in pick])
+            totals.append(total)
+            idx_out.append(pick.astype(np.int64).tolist())
+        out = {n: batch.column(n) for n in batch.column_names
+               if n != self._col}
+        out["frames"] = pa.array(frames_out, pa.list_(pa.large_binary()))
+        out["n_total_frames"] = pa.array(totals, pa.int64())
+        out["frame_indices"] = pa.array(idx_out, pa.list_(pa.int64()))
+        return pa.table(out)
+
+
+def frame_sample(
+    ds,
+    binary_column: str = "payload",
+    n_frames: int = 4,
+    frame_bytes: int = 256,
+    fake: bool = False,
+    batch_size: int = 16,
+    concurrency=(1, 8),
+):
+    """Run frame sampling as an actor pool (video rows are the largest
+    payloads — smallest default batch size of the multimodal stages)."""
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_args=(binary_column, n_frames, frame_bytes, fake),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        runtime_env=runtime_env(),
+    )

@@ -229,10 +229,35 @@ def test_decode_stub_raises():
         stage(pa.table({"payload": pa.array([b"x"], pa.binary())}))
 
 
-def test_frame_sample_stub():
-    stage = multimodal.frame_sample_stub(4)
+def test_frame_sample_stub_raises():
+    stage = multimodal.FrameSampleStage(binary_column="video")
     with pytest.raises(NotImplementedError):
         stage(pa.table({"video": pa.array([b"x"], pa.binary())}))
+
+
+def test_frame_sample_fake_plumbing():
+    """Fixed-size fake frames: uniform sampling indices, short payloads
+    keep every frame, trailing partial frames are dropped, output layout
+    is list<binary> + counts."""
+    import ray
+
+    fb = 4
+    long = bytes(range(10 * fb))          # 10 frames
+    short = bytes(range(2 * fb + 3))      # 2 frames + partial
+    t = pa.table({"id": [1, 2],
+                  "payload": pa.array([long, short], pa.binary())})
+    out = multimodal.frame_sample(
+        ray.data.from_arrow(t), n_frames=4, frame_bytes=fb, fake=True,
+        batch_size=8,
+    ).take_all()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["n_total_frames"] == 10
+    assert by_id[1]["frame_indices"] == [0, 2, 5, 7]  # (i*10)//4
+    assert [bytes(f) for f in by_id[1]["frames"]] == [
+        long[i * fb:(i + 1) * fb] for i in (0, 2, 5, 7)]
+    assert by_id[2]["n_total_frames"] == 2
+    assert by_id[2]["frame_indices"] == [0, 1]
+    assert len(by_id[2]["frames"]) == 2
 
 
 def test_salted_repartition_spreads_hot_key(ray_session):
