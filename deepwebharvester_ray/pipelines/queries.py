@@ -559,35 +559,76 @@ EMB_LSH_COPIES = 3
 EMB_LSH_NOISE = 0.031
 
 
+_PLANT_M1 = np.uint64(0xFF51AFD7ED558CCD)  # murmur3 fmix constants
+_PLANT_M2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _hash_normals(ids: np.ndarray, copies: int, dim: int) -> np.ndarray:
+    """(n, copies, dim) standard normals derived purely from
+    (vec_id, copy, dim-index) counters — splitmix-style mixing into two
+    independent uniforms, Box-Muller out.  Fully vectorized (no
+    per-row Generator construction: 6 000 ``default_rng`` inits cost
+    more than every matmul in the planted-corpus queries combined) and
+    batch-boundary independent by construction."""
+    n = len(ids)
+    ctr = (
+        ids.astype(np.uint64)[:, None, None] * np.uint64(0x100)
+        + np.arange(1, copies + 1, dtype=np.uint64)[None, :, None]
+    ) * np.uint64(0x10000) + np.arange(dim, dtype=np.uint64)[None, None, :]
+
+    def mix(x, salt):
+        x = (x + salt) * _PLANT_M1
+        x ^= x >> np.uint64(33)
+        x *= _PLANT_M2
+        x ^= x >> np.uint64(29)
+        x *= _PLANT_M1
+        x ^= x >> np.uint64(32)
+        return x
+
+    with np.errstate(over="ignore"):
+        u1 = mix(ctr, np.uint64(0x9E37)) .astype(np.float64) / 2.0**64
+        u2 = mix(ctr, np.uint64(0x85EB)).astype(np.float64) / 2.0**64
+    u1 = np.maximum(u1, 1e-300)
+    return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+
+
 def plant_embedding_neardups(batch, copies: int = EMB_LSH_COPIES,
                              noise: float = EMB_LSH_NOISE):
     """Deterministically derive a near-dup-planted embedding corpus from
     a (vec_id, embedding) batch: each base vector keeps id
-    ``vec_id*(copies+1)`` and gains ``copies`` perturbed unit-norm copies
-    (per-copy RNG seeded by (vec_id, copy) — independent of batch
-    boundaries).  Same derived-corpus pattern as corpus.py's page
-    corpus: the test tables carry no high-cosine pairs (max off-diag
-    cosine at sf0.1 is 0.60), but near-dup detection operates at 0.9+,
-    so the demo corpus plants its own ground truth."""
+    ``vec_id*(copies+1)`` and gains ``copies`` perturbed unit-norm
+    copies (noise from counter-based hashing keyed by (vec_id, copy) —
+    independent of batch boundaries, zero per-row Python).  Same
+    derived-corpus pattern as corpus.py's page corpus: the test tables
+    carry no high-cosine pairs (max off-diag cosine at sf0.1 is 0.60),
+    but near-dup detection operates at 0.9+, so the demo corpus plants
+    its own ground truth."""
     import pyarrow as pa
 
     ids = batch.column("vec_id").combine_chunks().to_numpy(zero_copy_only=False)
+    n = len(ids)
+    if n == 0:
+        return pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+        })
     mats = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
     mats /= np.linalg.norm(mats, axis=1, keepdims=True)
-    out_ids, out_vecs = [], []
+    dim = mats.shape[1]
     stride = copies + 1
-    for i, vid in enumerate(ids):
-        out_ids.append(int(vid) * stride)
-        out_vecs.append(mats[i])
-        for c in range(copies):
-            rng = np.random.default_rng((int(vid) << 8) | (c + 1))
-            v = mats[i] + rng.standard_normal(mats.shape[1]) * noise
-            out_ids.append(int(vid) * stride + c + 1)
-            out_vecs.append(v / np.linalg.norm(v))
+
+    pert = mats[:, None, :] + _hash_normals(ids, copies, dim) * noise
+    pert /= np.linalg.norm(pert, axis=2, keepdims=True)
+    all_vecs = np.concatenate([mats[:, None, :], pert], axis=1)  # (n, s, d)
+    all_ids = (ids.astype(np.int64)[:, None] * stride
+               + np.arange(stride, dtype=np.int64)[None, :])
+
+    flat = all_vecs.reshape(n * stride * dim).astype(np.float32)
+    emb = pa.FixedSizeListArray.from_arrays(pa.array(flat), dim).cast(
+        pa.list_(pa.float32()))
     return pa.table({
-        "vec_id": pa.array(out_ids, pa.int64()),
-        "embedding": pa.array([v.tolist() for v in out_vecs],
-                              pa.list_(pa.float32())),
+        "vec_id": pa.array(all_ids.reshape(-1), pa.int64()),
+        "embedding": emb,
     })
 
 
