@@ -148,3 +148,124 @@ def salted_repartition(
         runtime_env=runtime_env(),
     )
     return salted
+
+
+def skew_join(
+    left,
+    right,
+    left_key: str,
+    right_key: str,
+    hot_fraction: float = 0.01,
+    num_partitions: int = 8,
+):
+    """INNER equi-join of a fact table against a UNIQUE-KEYED dimension,
+    robust to hot fact keys (the web-scale reality: one mega-host /
+    power-law user owns a double-digit share of the rows, and a plain
+    hash-shuffle join lands that entire share on one join partition).
+
+    Plan:
+
+    * exact hot census, fully distributed — one combiner grouped count
+      (``grouped_agg`` — the count table never lands on the driver) and
+      a filter at ``hot_fraction`` of the measured total; only the ≤
+      ``1/hot_fraction`` hot keys themselves reach the driver;
+    * HOT rows join map-side: the dimension rows for hot keys (≤ #hot
+      rows, since the dimension is unique-keyed) broadcast once and
+      attach via vectorized ``searchsorted`` inside ``map_batches`` —
+      the hot share never enters a shuffle;
+    * COLD rows go through the native hash-shuffle join (inputs routed
+      through ``coalesce_nonempty`` per the empty-block join rule);
+    * union of the two halves, schemas aligned by column selection.
+
+    The dimension must be unique on ``right_key`` (asserted against the
+    hot subset); payload columns are every non-key column of ``right``.
+    """
+    import ray
+
+    from .agg import grouped_agg
+
+    total = left.count()
+    counts = grouped_agg(left.select_columns([left_key]), [left_key],
+                         [("n", "", "count")])
+    cutoff = int(total * hot_fraction)
+    hot = sorted(
+        r[left_key] for r in counts.filter(expr=f"n > {cutoff}").take_all()
+    )
+    payload_cols = None
+
+    if hot:
+        hot_arr = np.asarray(hot, dtype=np.int64)
+        hot_ref = ray.put(hot_arr)
+
+        def dim_mask(batch: pa.Table) -> pa.Table:
+            keys = batch.column(right_key).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            h = cached_get(hot_ref)
+            pos = np.searchsorted(h, keys)
+            pos[pos >= len(h)] = len(h) - 1
+            return batch.filter(pa.array(h[pos] == keys))
+
+        dim_hot = pa.concat_tables(
+            ray.get(right.map_batches(
+                dim_mask, batch_format="pyarrow", runtime_env=runtime_env()
+            ).to_arrow_refs())
+        )
+        dkeys = dim_hot.column(right_key).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        assert len(np.unique(dkeys)) == len(dkeys), \
+            "skew_join: dimension not unique on right_key"
+        order = np.argsort(dkeys)
+        payload_cols = [c for c in dim_hot.column_names if c != right_key]
+        dim_ref = ray.put((dkeys[order],
+                           dim_hot.select(payload_cols).take(
+                               pa.array(order))))
+
+        def fact_mask(batch: pa.Table, keep_hot: bool) -> pa.Table:
+            keys = batch.column(left_key).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            h = cached_get(hot_ref)
+            pos = np.searchsorted(h, keys)
+            pos[pos >= len(h)] = len(h) - 1
+            is_hot = h[pos] == keys
+            return batch.filter(pa.array(is_hot if keep_hot else ~is_hot))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            keys = batch.column(left_key).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            dk, dpay = cached_get(dim_ref)
+            pos = np.searchsorted(dk, keys)
+            pos[pos >= len(dk)] = len(dk) - 1
+            ok = dk[pos] == keys  # inner semantics: drop unmatched
+            batch = batch.filter(pa.array(ok))
+            picked = dpay.take(pa.array(pos[ok]))
+            for c in picked.column_names:
+                batch = batch.append_column(c, picked.column(c))
+            return batch
+
+        hot_half = left.map_batches(
+            fact_mask, fn_kwargs={"keep_hot": True},
+            batch_format="pyarrow", runtime_env=runtime_env(),
+        ).map_batches(attach, batch_format="pyarrow",
+                      runtime_env=runtime_env())
+        cold_left = left.map_batches(
+            fact_mask, fn_kwargs={"keep_hot": False},
+            batch_format="pyarrow", runtime_env=runtime_env(),
+        )
+    else:
+        hot_half = None
+        cold_left = left
+
+    cl = coalesce_nonempty(cold_left)
+    cr = coalesce_nonempty(right)
+    if cl is None or cr is None:
+        cold_half = None
+    else:
+        cold_half = cl.join(cr, "inner", num_partitions=num_partitions,
+                            on=(left_key,), right_on=(right_key,))
+
+    if hot_half is None:
+        return cold_half
+    if cold_half is None:
+        return hot_half
+    cols = hot_half.schema().names
+    return hot_half.union(cold_half.select_columns(cols))

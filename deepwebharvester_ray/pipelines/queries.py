@@ -904,6 +904,56 @@ def q_orders_join_native(sf_dir: str):
     )
 
 
+def q_skewed_orders_join(sf_dir: str):
+    """The same orders⋈customer rollup under PLANTED POWER-LAW SKEW: 30 %
+    of orders are deterministically re-keyed to customer 1 (the
+    mega-host shape — one key owning a double-digit row share would
+    serialize a plain hash-shuffle join on one partition).
+    :func:`~deepwebharvester_ray.functions.partition.skew_join` routes
+    the measured-hot keys map-side (broadcast dimension rows +
+    searchsorted attach — the hot share never enters a shuffle) and
+    only the cold tail through the native hash join."""
+    from ..functions.partition import skew_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                              "o_totalprice"])
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ck = batch.column("o_custkey").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        k = np.where(ok % 10 < 3, np.int64(1), ck)
+        cents = np.floor(batch.column("o_totalprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "cents": pa.array(cents, pa.int64())})
+
+    fact = orders.map_batches(rekey, batch_format="pyarrow",
+                              runtime_env=runtime_env())
+    joined = skew_join(fact, cust, left_key="k", right_key="c_custkey",
+                       hot_fraction=0.01,
+                       num_partitions=_shuffle_parts(sf_dir, "orders"))
+    return grouped_agg(
+        joined.select_columns(["c_mktsegment", "cents"]), ["c_mktsegment"],
+        [("n_orders", "", "count"), ("total_cents", "cents", "sum")],
+    )
+
+
+_SQL_SKEWED_ORDERS_JOIN = """
+WITH f AS (
+  SELECT CASE WHEN o_orderkey % 10 < 3 THEN 1 ELSE o_custkey END AS k,
+         CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT c.c_mktsegment, count(*) AS n_orders,
+       CAST(sum(f.cents) AS BIGINT) AS total_cents
+FROM f JOIN customer c ON c.c_custkey = f.k
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-flavored wide aggregate with deterministic cents math."""
     ds = _read(
@@ -4229,6 +4279,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "event_sessions": q_event_sessions,
         "orders_by_segment": q_orders_by_segment,
         "orders_join_native": q_orders_join_native,
+        "skewed_orders_join": q_skewed_orders_join,
         "lineitem_orders_join": q_lineitem_orders_join,
         "top_orders_q3": q_top_orders_q3,
         "lineitem_pricing": q_lineitem_pricing,
@@ -4310,6 +4361,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "event_sessions": _SQL_EVENT_SESSIONS,
         "orders_by_segment": _SQL_ORDERS_BY_SEGMENT,
         "orders_join_native": _SQL_ORDERS_BY_SEGMENT,
+        "skewed_orders_join": _SQL_SKEWED_ORDERS_JOIN,
         "lineitem_orders_join": _SQL_LINEITEM_ORDERS_JOIN,
         "top_orders_q3": _SQL_TOP_ORDERS_Q3,
         "lineitem_pricing": _SQL_LINEITEM_PRICING,

@@ -1235,3 +1235,54 @@ def test_dd_quantiles_mixed_signs_and_empty(ray_session):
     ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.float64())}))
     out = dd_quantiles(ds, "v", [0.5], alpha=0.01).to_pylist()[0]
     assert abs(out["q_0.5"]) < 0.01  # median is the zero bucket
+
+
+def test_skew_join_matches_plain_join():
+    """Hot keys routed map-side must produce exactly the plain inner-join
+    result — tested with a planted 40%-share hot key, with no hot keys
+    (pure native path), and with unmatched fact keys (inner semantics)."""
+    import ray
+
+    from deepwebharvester_ray.functions.partition import skew_join
+
+    rng = np.random.default_rng(5)
+    keys = np.where(rng.random(2000) < 0.4, 7,
+                    rng.integers(0, 50, 2000)).astype(np.int64)
+    keys[:10] = 999  # unmatched in the dimension → dropped (inner)
+    fact = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "v": pa.array(np.arange(2000, dtype=np.int64)),
+    }))
+    dim = ray.data.from_arrow(pa.table({
+        "dk": pa.array(np.arange(50, dtype=np.int64)),
+        "name": pa.array([f"d{i}" for i in range(50)], pa.string()),
+    }))
+
+    def expected():
+        names = {i: f"d{i}" for i in range(50)}
+        return sorted((int(k), int(v), names[int(k)])
+                      for k, v in zip(keys, np.arange(2000))
+                      if int(k) in names)
+
+    got = skew_join(fact, dim, "k", "dk", hot_fraction=0.05).take_all()
+    assert sorted((r["k"], r["v"], r["name"]) for r in got) == expected()
+    # hot_fraction=1.0 → nothing hot → pure native join path, same rows
+    cold_only = skew_join(fact, dim, "k", "dk", hot_fraction=1.0).take_all()
+    assert sorted((r["k"], r["v"], r["name"]) for r in cold_only) == expected()
+
+
+def test_skew_join_rejects_duplicate_dimension():
+    import ray
+
+    from deepwebharvester_ray.functions.partition import skew_join
+
+    fact = ray.data.from_arrow(pa.table({
+        "k": pa.array([1] * 100, pa.int64()),
+        "v": pa.array(range(100), type=pa.int64()),
+    }))
+    dim = ray.data.from_arrow(pa.table({
+        "dk": pa.array([1, 1], pa.int64()),
+        "name": pa.array(["a", "b"], pa.string()),
+    }))
+    with pytest.raises(AssertionError, match="not unique"):
+        skew_join(fact, dim, "k", "dk", hot_fraction=0.05).take_all()

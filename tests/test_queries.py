@@ -31,6 +31,7 @@ SPOT_CHECKED = [
     "top_terms_tfidf",
     "jaccard_pairs",
     "lineitem_orders_join",
+    "skewed_orders_join",
     "clicks_in_views",
     "user_deltas",
     "orders_rollup",
