@@ -212,6 +212,60 @@ def clean_text_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
     return pa.table(out)
 
 
+# ── hashed-feature linear scorer (model-inference actor pool) ────────────────
+
+ML_W_MOD = 2001     # weights in [-1000, 1000] — signed, integer-exact
+ML_W_SHIFT = 1000
+
+
+class HashedLinearScorer:
+    """Actor-pool "model inference" stage: per-doc integer score
+    ``Σ count(token) × w(token)`` with token weights derived from
+    ``md5(token)`` — the fasttext-style hashed-bag-of-words linear
+    scorer used for corpus quality classification, with the md5
+    derivation standing in for a trained weight table so the score is
+    deterministic AND byte-reproducible in SQL (DuckDB's md5 hex parses
+    to the identical integer).
+
+    This is the model-state-per-actor pattern the engine uses for real
+    classifiers: the weight cache lives on the ACTOR (built once,
+    warmed across batches — swap ``_weight`` for an embedding-table /
+    ONNX-session lookup and nothing else changes); scoring is one
+    np.unique + vectorized dot per doc."""
+
+    def __init__(self, text_column: str = "text") -> None:
+        import hashlib
+
+        self._col = text_column
+        self._md5 = hashlib.md5
+        self._cache: dict = {}  # token → weight; per-actor, cross-batch
+
+    def _weight(self, tok: str) -> int:
+        w = self._cache.get(tok)
+        if w is None:
+            w = (int(self._md5(tok.encode()).hexdigest()[:15], 16)
+                 % ML_W_MOD) - ML_W_SHIFT
+            self._cache[tok] = w
+        return w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self._col).to_pylist()
+        scores = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            toks = WORD_RE.findall((t or "").lower())
+            if not toks:
+                continue
+            uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                     return_counts=True)
+            w = np.fromiter((self._weight(u) for u in uniq), np.int64,
+                            len(uniq))
+            scores[i] = int(counts @ w)
+        out = {n: batch.column(n) for n in batch.column_names
+               if n != self._col}
+        out["score"] = pa.array(scores, pa.int64())
+        return pa.table(out)
+
+
 # ── line-level filtering (C4-style rules) ────────────────────────────────────
 
 LINE_MIN_WORDS = 3

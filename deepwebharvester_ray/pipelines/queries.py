@@ -3334,6 +3334,45 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_ml_quality_score(sf_dir: str):
+    """Hashed-bag-of-words linear quality score per doc, run as a model
+    actor pool (:class:`~deepwebharvester_ray.functions.textops.HashedLinearScorer`
+    — weight cache built per actor, warmed across batches; concurrency ×
+    batch_size sized like every inference stage).  Integer-exact: the
+    md5-derived weights reproduce bit-for-bit in DuckDB."""
+    from ..functions.textops import HashedLinearScorer
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    scored = ds.map_batches(
+        HashedLinearScorer,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 8),
+        runtime_env=runtime_env(),
+    )
+    return scored.sort("doc_id")
+
+
+_SQL_ML_QUALITY = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         (CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) % 2001)
+             - 1000 AS wt
+  FROM tok
+)
+SELECT d.doc_id, CAST(COALESCE(s.sc, 0) AS BIGINT) AS score
+FROM documents d
+LEFT JOIN (SELECT doc_id, sum(wt) AS sc FROM w GROUP BY doc_id) s
+  USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_line_filter(sf_dir: str):
     """C4-style line-level scrub over deterministically multi-lined docs
     (the synthetic corpus is single-line, so the query plants a good
@@ -4257,6 +4296,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
         "line_filter": q_line_filter,
+        "ml_quality_score": q_ml_quality_score,
         "repetition_filter": q_repetition_filter,
         "domain_mix": q_domain_mix,
         "domain_upsample": q_domain_upsample,
@@ -4339,6 +4379,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "contamination": _SQL_CONTAMINATION,
         "pii_redact": _SQL_PII_REDACT,
         "line_filter": _SQL_LINE_FILTER,
+        "ml_quality_score": _SQL_ML_QUALITY,
         "repetition_filter": _SQL_REPETITION,
         "domain_mix": _SQL_DOMAIN_MIX,
         "domain_upsample": _SQL_DOMAIN_UPSAMPLE,

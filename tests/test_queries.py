@@ -50,6 +50,7 @@ SPOT_CHECKED = [
     "pii_redact",
     "clean_text",
     "line_filter",
+    "ml_quality_score",
     "repetition_filter",
     "domain_mix",
     "domain_upsample",
