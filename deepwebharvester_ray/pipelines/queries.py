@@ -3237,6 +3237,143 @@ ORDER BY doc_id
 """
 
 
+def q_full_prep(sf_dir: str):
+    """The COMPLETE modern training-corpus prep chain in one pipeline —
+    Gopher repetition gate → exact dedup (combiner ids + size-gated
+    semi-join) → benchmark split-off → 8-gram decontamination (gram-key
+    sort run-scan) → deterministic train/val/test labels — end-to-end
+    SQL-checkable because every stage is integer-exact.  This is the
+    composability proof: the stages are the independently-oracled
+    operators chained with no driver materialization between them (one
+    .materialize() of the filtered corpus feeds dedup + contamination
+    without re-tokenizing)."""
+    from collections import Counter
+
+    from ..functions.dedup import (contaminated_ids, exact_dedup_ids,
+                                   semi_join_ids, subtract_ids)
+    from ..functions.textops import WORD_RE
+
+    parts = _shuffle_parts(sf_dir)
+    docs = _docs(sf_dir, columns=["doc_id", "text"],
+                 override_num_blocks=parts)
+
+    def rep_keep(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        mask, nw = [], []
+        for t in texts:
+            words = WORD_RE.findall((t or "").lower())
+            n, nd = len(words), len(set(words))
+            m2 = max(Counter(zip(words, words[1:])).values(), default=0)
+            mask.append(m2 * 10 <= n - 1 and nd * 2 >= n)
+            nw.append(n)
+        batch = batch.append_column("n_words", pa.array(nw, pa.int64()))
+        return batch.filter(pa.array(mask))
+
+    def mod_mask(batch: pa.Table, keep_bench: bool) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        is_bench = (ids % CONTAM_BENCH_MOD) == 0
+        return batch.filter(pa.array(is_bench if keep_bench else ~is_bench))
+
+    kept = docs.map_batches(rep_keep, batch_format="pyarrow",
+                            runtime_env=runtime_env()).materialize()
+    canon = exact_dedup_ids(kept, shuffle_partitions=parts)
+    canon_docs = semi_join_ids(kept, canon.select_columns(["doc_id"]))
+    cand = canon_docs.map_batches(
+        mod_mask, fn_kwargs={"keep_bench": False},
+        batch_format="pyarrow", runtime_env=runtime_env()).materialize()
+    bench = docs.map_batches(
+        mod_mask, fn_kwargs={"keep_bench": True},
+        batch_format="pyarrow", runtime_env=runtime_env())
+    contam = contaminated_ids(cand, bench, shuffle_partitions=parts)
+    final = subtract_ids(cand.select_columns(["doc_id", "n_words"]),
+                         contam, id_column="doc_id")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(_SPLIT_MULT)
+        split = np.where(
+            h < np.uint64(_SPLIT_TRAIN_CUT), "train",
+            np.where(h < np.uint64(_SPLIT_VAL_CUT), "val", "test"),
+        )
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": batch.column("n_words"),
+            "split": pa.array(split.tolist(), pa.string()),
+        })
+
+    return final.map_batches(assign, batch_format="pyarrow",
+                             runtime_env=runtime_env()).sort("doc_id")
+
+
+_SQL_FULL_PREP = rf"""
+WITH w AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+  FROM documents
+),
+rep AS (
+  SELECT doc_id, text, len(l) AS n_words, len(list_distinct(l)) AS n_distinct, l
+  FROM w
+),
+g AS (
+  SELECT doc_id, l[i] || ' ' || l[i+1] AS gram
+  FROM rep, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) t(i)
+  WHERE len(l) >= 2
+),
+gc AS (
+  SELECT doc_id, max(c) AS m
+  FROM (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2) GROUP BY 1
+),
+kept AS (
+  SELECT r.doc_id, r.text, r.n_words
+  FROM rep r LEFT JOIN gc USING (doc_id)
+  WHERE coalesce(gc.m, 0) * 10 <= r.n_words - 1
+    AND r.n_distinct * 2 >= r.n_words
+),
+canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY sha256(text)),
+cand AS (
+  SELECT k.doc_id, k.text, k.n_words
+  FROM kept k JOIN canon USING (doc_id)
+  WHERE k.doc_id % {CONTAM_BENCH_MOD} != 0
+),
+btoks AS (
+  SELECT regexp_extract_all(text, '\S+') AS t FROM documents
+  WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+),
+bgrams AS (
+  SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS gram
+  FROM btoks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g(i)
+  WHERE len(t) >= 8
+),
+ctoks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM cand
+),
+cgrams AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+  FROM ctoks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g(i)
+  WHERE len(t) >= 8
+),
+contam AS (SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b USING (gram)),
+final AS (
+  SELECT doc_id, n_words FROM cand
+  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+),
+h AS (
+  SELECT doc_id, n_words,
+         (CAST(doc_id AS HUGEINT) * {_SPLIT_MULT}) %
+             CAST('18446744073709551616' AS HUGEINT) AS hv
+  FROM final
+)
+SELECT doc_id, n_words,
+       CASE WHEN hv < CAST('{_SPLIT_TRAIN_CUT}' AS HUGEINT) THEN 'train'
+            WHEN hv < CAST('{_SPLIT_VAL_CUT}' AS HUGEINT) THEN 'val'
+            ELSE 'test' END AS split
+FROM h ORDER BY doc_id
+"""
+
+
 def q_pii_redact(sf_dir: str):
     """PII scrub over the IOC-augmented corpus: emails then IPv4
     literals replaced with typed tags, pre-redaction counts kept.  Both
@@ -4329,6 +4466,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "props_k_stats": q_props_k_stats,
         "events_hourly": q_events_hourly,
         "corpus_prep": q_corpus_prep,
+        "full_prep": q_full_prep,
         # rows-only
         "multimodal_features": q_multimodal_features,
         "crawl_bfs": q_crawl_bfs,
@@ -4412,6 +4550,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "props_k_stats": _SQL_PROPS_K,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "corpus_prep": _sql_corpus_prep(),
+        "full_prep": _SQL_FULL_PREP,
     }
 
 

@@ -57,6 +57,7 @@ SPOT_CHECKED = [
     "epoch_shuffle",
     "curriculum_order",
     "contamination",
+    "full_prep",
 ]
 
 
