@@ -215,6 +215,34 @@ def run_queries(sf_dir: str) -> dict:
     return timings
 
 
+def _control_burn(_=None) -> float:
+    import numpy as np
+
+    x = np.random.default_rng(0).standard_normal((600, 600))
+    for _ in range(30):
+        x = x @ x / np.linalg.norm(x)
+    return float(x[0, 0])
+
+
+def _parallel_control() -> dict:
+    """Same-day machine ceiling: pure-numpy bursts at 1/8/32 processes
+    (no Ray involved).  A shared box under external pressure caps the
+    32-way leg well below 1.0 — every Ray scaling number must be read
+    against this, not against the ideal (BASELINE.md discipline)."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    t0 = time.monotonic()
+    _control_burn()
+    single = time.monotonic() - t0
+    out = {"single_s": round(single, 3)}
+    for n in (8, 32):
+        t0 = time.monotonic()
+        with ProcessPoolExecutor(n) as ex:
+            list(ex.map(_control_burn, range(n)))
+        out[f"eff_{n}"] = round(single / (time.monotonic() - t0), 3)
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--scaling", action="store_true")
@@ -226,7 +254,13 @@ def main() -> None:
                         help=argparse.SUPPRESS)
     parser.add_argument("--trials", type=int, default=1)
     parser.add_argument("--headline-only", action="store_true")
+    parser.add_argument("--control-only", action="store_true",
+                        help="print the machine parallel-ceiling control")
     args = parser.parse_args()
+
+    if args.control_only:
+        print(json.dumps(_parallel_control()))
+        return
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -293,6 +327,7 @@ def main() -> None:
         rate = {c: results[c]["pages_per_sec"] for c in results}
         eff_4_16 = rate[16] / (4.0 * rate[4])
         eff_8_32 = rate[32] / (4.0 * rate[8])
+        control = _parallel_control()
         print(json.dumps({
             "metric": "throughput scaling efficiency 8→32 CPUs (N→4N, fresh sessions, same input)",
             "value": round(eff_8_32, 4),
@@ -303,6 +338,7 @@ def main() -> None:
             "efficiency_8_to_32": round(eff_8_32, 4),
             "pages_per_sec": {str(c): round(rate[c], 2) for c in sorted(rate)},
             "headline_sec": {str(c): round(results[c]["value"], 3) for c in sorted(results)},
+            "control_parallel_efficiency": control,
         }))
         return
 
