@@ -149,3 +149,87 @@ def test_gram_keys_unique_and_deterministic(words):
     # (h1, h2) pairs are unique within a doc
     pairs = set(zip(h1a.tolist(), h2a.tolist()))
     assert len(pairs) == len(h1a)
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXTS)
+def test_clean_text_idempotent(text):
+    """Cleaning is a normal form: applying it twice changes nothing."""
+    import pyarrow as pa
+
+    from deepwebharvester_ray.functions.textops import clean_text_batch
+
+    once = clean_text_batch(pa.table({"id": [1], "text": [text]}))
+    c1 = once.column("clean")[0].as_py()
+    twice = clean_text_batch(pa.table({"id": [1], "text": [c1]}))
+    assert twice.column("clean")[0].as_py() == c1
+    assert twice.column("n_chars_before")[0].as_py() == \
+        twice.column("n_chars_after")[0].as_py() == len(c1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXTS)
+def test_line_filter_invariants(text):
+    """Every kept line satisfies the keep rule verbatim; counts bounded."""
+    import pyarrow as pa
+
+    from deepwebharvester_ray.functions.textops import (
+        LINE_BANNED, LINE_MIN_WORDS, LINE_TERMINALS, TOKEN_RE,
+        line_filter_batch)
+
+    out = line_filter_batch(pa.table({"id": [1], "text": [text]}))
+    kept = out.column("kept_text")[0].as_py()
+    n_lines = out.column("n_lines")[0].as_py()
+    n_kept = out.column("n_kept")[0].as_py()
+    assert 0 <= n_kept <= n_lines == len(text.split("\n"))
+    if kept:
+        for ln in kept.split("\n"):
+            assert len(TOKEN_RE.findall(ln)) >= LINE_MIN_WORDS
+            assert ln.rstrip().endswith(LINE_TERMINALS)
+            assert LINE_BANNED not in ln.lower()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(0, 2**40), min_size=1, max_size=20, unique=True),
+       st.integers(1, 4))
+def test_hash_normals_batch_independent(ids, split):
+    """Noise for a given (vec_id, copy, dim) must not depend on which
+    batch the row arrived in — the determinism contract of the planted
+    corpus."""
+    import numpy as np
+
+    from deepwebharvester_ray.pipelines.queries import _hash_normals
+
+    arr = np.asarray(ids, dtype=np.int64)
+    whole = _hash_normals(arr, 3, 8)
+    cut = min(split, len(arr))
+    parts = np.concatenate(
+        [_hash_normals(arr[:cut], 3, 8), _hash_normals(arr[cut:], 3, 8)]
+        if cut < len(arr) else [whole])
+    assert np.array_equal(whole, parts)
+    # and it is (approximately) standard normal in aggregate
+    assert abs(float(whole.mean())) < 1.5
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet="abc123 ", max_size=30), min_size=1,
+                max_size=6), st.randoms())
+def test_hashed_scorer_is_a_bag(texts, rnd):
+    """The linear score is a bag-of-words functional: permuting tokens
+    within a doc never changes it."""
+    import pyarrow as pa
+
+    from deepwebharvester_ray.functions.textops import (WORD_RE,
+                                                        HashedLinearScorer)
+
+    scorer = HashedLinearScorer()
+    base = scorer(pa.table({"id": list(range(len(texts))),
+                            "text": texts})).column("score").to_pylist()
+    shuffled = []
+    for t in texts:
+        toks = WORD_RE.findall(t.lower())
+        rnd.shuffle(toks)
+        shuffled.append(" ".join(toks))
+    again = scorer(pa.table({"id": list(range(len(texts))),
+                             "text": shuffled})).column("score").to_pylist()
+    assert base == again
