@@ -104,6 +104,12 @@ BENCH_QUERIES = [
     "curriculum_order",
     "embedding_clusters",
     "line_filter",
+    "skewed_orders_join",
+    "ml_quality_score",
+    "full_prep",
+    "orders_cube",
+    "lineitem_unpivot",
+    "user_moving_sum",
     "crawl_bfs",
 ]
 

@@ -109,3 +109,57 @@ def ordered_deltas(
         window_block, batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
     )
+
+
+def ordered_moving_sum(
+    ds,
+    key: str,
+    order_cols: List[str],
+    value_col: str,
+    frame_rows: int,
+    out_col: str = "moving",
+):
+    """Per-``key`` moving sum over a bounded ROWS frame —
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN
+    frame_rows-1 PRECEDING AND CURRENT ROW)``.
+
+    Same one-sort + one-block-pass shape as :func:`ordered_deltas`; the
+    bounded frame is cumsum differencing with the lower bound clamped to
+    each run's start (vectorized: per-row run-start index via
+    repeat(start_pos, run_lens), then two cumsum lookups) — no per-group
+    Python, no frame materialization."""
+
+    def window_block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        keys = batch.column(key).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        ords = [
+            batch.column(c).combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            for c in order_cols
+        ]
+        vals = batch.column(value_col).combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        order = np.lexsort(tuple(reversed(ords)) + (keys,))
+        ks, vs = keys[order], vals[order]
+        starts = run_starts_mask(ks)
+        start_pos = np.flatnonzero(starts)
+        lens = np.diff(np.append(start_pos, n))
+        run_start = np.repeat(start_pos, lens)          # per-row run start
+        idx = np.arange(n)
+        lo = np.maximum(idx - (frame_rows - 1), run_start)
+        cum = np.cumsum(vs)
+        moving = cum - np.where(lo > 0, cum[lo - 1], 0)
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = moving
+        return batch.append_column(out_col, pa.array(inv, pa.int64()))
+
+    return ds.sort(key).map_batches(
+        window_block, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )

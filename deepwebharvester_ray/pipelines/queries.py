@@ -2348,6 +2348,59 @@ def q_user_deltas(sf_dir: str):
     )
 
 
+MOVING_FRAME_ROWS = 3
+
+
+def q_user_moving_sum(sf_dir: str):
+    """Bounded-frame window: per-user 3-row moving sum of event cents
+    (``ROWS BETWEEN 2 PRECEDING AND CURRENT ROW``) —
+    :func:`~deepwebharvester_ray.functions.window.ordered_moving_sum`:
+    the same one-sort + cumsum-differencing shape as user_deltas, with
+    the frame's lower bound clamped to each user-run's start."""
+    from ..functions.window import ordered_moving_sum
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "value_c": pa.array(
+                    np.floor(v * 100.0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+    out = ordered_moving_sum(
+        cents, key="user_id", order_cols=["ts", "event_id"],
+        value_col="value_c", frame_rows=MOVING_FRAME_ROWS,
+        out_col="moving_c",
+    )
+    return out.select_columns(["event_id", "user_id", "value_c", "moving_c"])
+
+
+_SQL_USER_MOVING_SUM = f"""
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100.0) AS BIGINT) AS value_c
+  FROM events
+)
+SELECT event_id, user_id, value_c,
+       CAST(sum(value_c) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN {MOVING_FRAME_ROWS - 1} PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS moving_c
+FROM e ORDER BY event_id
+"""
+
+
 _SQL_USER_DELTAS = """
 WITH e AS (
   SELECT event_id, user_id, ts,
@@ -2365,14 +2418,9 @@ ORDER BY event_id
 """
 
 
-def q_orders_rollup(sf_dir: str):
-    """GROUP BY ROLLUP (status, priority): the hierarchical aggregate.
-    The scale-correct plan re-aggregates the LEAF result, not the input:
-    the combiner collapses the corpus to one (status, priority) leaf row
-    per pair (grouped_agg — shuffle volume O(blocks × keys)), and the
-    super-aggregate levels (per-status subtotal, grand total) are folded
-    from that tiny leaf table in one single-block pass — the input is
-    never re-scanned per level."""
+def _orders_status_priority_leaf(sf_dir: str):
+    """(status, priority, n_orders, sum_cents) leaf aggregate — the one
+    combiner pass both ROLLUP and CUBE fold their super-levels from."""
     orders = _read(sf_dir, "orders",
                    columns=["o_orderstatus", "o_orderpriority",
                             "o_totalprice"])
@@ -2388,12 +2436,23 @@ def q_orders_rollup(sf_dir: str):
             }
         )
 
-    leaf = grouped_agg(
+    return grouped_agg(
         orders.map_batches(to_cents, batch_format="pyarrow",
                            runtime_env=runtime_env()),
         ["o_orderstatus", "o_orderpriority"],
         [("n_orders", "", "count"), ("sum_cents", "cents", "sum")],
     )
+
+
+def q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (status, priority): the hierarchical aggregate.
+    The scale-correct plan re-aggregates the LEAF result, not the input:
+    the combiner collapses the corpus to one (status, priority) leaf row
+    per pair (grouped_agg — shuffle volume O(blocks × keys)), and the
+    super-aggregate levels (per-status subtotal, grand total) are folded
+    from that tiny leaf table in one single-block pass — the input is
+    never re-scanned per level."""
+    leaf = _orders_status_priority_leaf(sf_dir)
 
     def rollup(batch: pa.Table) -> pa.Table:
         # leaf level + per-status subtotal + grand total (NULL key slots);
@@ -2441,6 +2500,112 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE (status, priority) — all four grouping sets.  Same
+    scale plan as ROLLUP: ONE combiner leaf aggregate over the input,
+    then every super-aggregate level ((s,·), (·,p), (·,·)) folded from
+    the tiny leaf table in a single-block pass — the input is scanned
+    once however many grouping sets the cube has."""
+    leaf = _orders_status_priority_leaf(sf_dir)
+
+    def cube(batch: pa.Table) -> pa.Table:
+        def fold(keys: list) -> pa.Table:
+            if keys:
+                g = batch.group_by(keys).aggregate(
+                    [("n_orders", "sum"), ("sum_cents", "sum")])
+            else:
+                g = pa.table({
+                    "n_orders_sum": pa.array(
+                        [sum(batch.column("n_orders").to_pylist())],
+                        pa.int64()),
+                    "sum_cents_sum": pa.array(
+                        [sum(batch.column("sum_cents").to_pylist())],
+                        pa.int64()),
+                })
+            cols = {}
+            for k in ("o_orderstatus", "o_orderpriority"):
+                cols[k] = (g.column(k) if k in keys
+                           else pa.nulls(g.num_rows, pa.string()))
+            cols["n_orders"] = g.column("n_orders_sum")
+            cols["sum_cents"] = g.column("sum_cents_sum")
+            return pa.table(cols)
+
+        cols = ["o_orderstatus", "o_orderpriority", "n_orders", "sum_cents"]
+        return pa.concat_tables(
+            [batch.select(cols)]
+            + [fold(k).select(cols)
+               for k in (["o_orderstatus"], ["o_orderpriority"], [])]
+        )
+
+    return leaf.repartition(1).map_batches(
+        cube, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )
+
+
+_SQL_ORDERS_CUBE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+_UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_lineitem_unpivot(sf_dir: str):
+    """UNPIVOT (melt): each lineitem row's four numeric measures become
+    four (measure, value_cents) rows — the wide→long reshape feeding
+    generic per-measure aggregation/plotting.  Pure vectorized in-batch
+    expansion (np.repeat keys / np.tile measure names / one column
+    stack), zero shuffle — the transpose never leaves the task, so at
+    100 TB it pipelines like any map."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber"] + _UNPIVOT_MEASURES)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        m = len(_UNPIVOT_MEASURES)
+        ok = batch.column("l_orderkey").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ln = batch.column("l_linenumber").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        vals = np.stack([
+            np.floor(batch.column(c).to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+            for c in _UNPIVOT_MEASURES
+        ], axis=1)  # (n, m)
+        return pa.table({
+            "l_orderkey": pa.array(np.repeat(ok, m), pa.int64()),
+            "l_linenumber": pa.array(np.repeat(ln, m), pa.int64()),
+            "measure": pa.array(
+                np.tile(np.asarray(_UNPIVOT_MEASURES, dtype=object),
+                        n).tolist(), pa.string()),
+            "value_cents": pa.array(vals.reshape(-1), pa.int64()),
+        })
+
+    return ds.map_batches(melt, batch_format="pyarrow",
+                          runtime_env=runtime_env()).sort(
+        ["l_orderkey", "l_linenumber", "measure"])
+
+
+_SQL_LINEITEM_UNPIVOT = f"""
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       measure, value_cents
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         {", ".join(f"CAST(floor({c} * 100.0) AS BIGINT) AS {c}"
+                    for c in _UNPIVOT_MEASURES)}
+  FROM lineitem
+)
+UNPIVOT (value_cents FOR measure IN ({", ".join(_UNPIVOT_MEASURES)}))
+ORDER BY l_orderkey, l_linenumber, measure
 """
 
 
@@ -4442,7 +4607,10 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "latest_events": q_latest_events,
         "user_deltas": q_user_deltas,
         "orders_rollup": q_orders_rollup,
+        "orders_cube": q_orders_cube,
         "events_pivot": q_events_pivot,
+        "lineitem_unpivot": q_lineitem_unpivot,
+        "user_moving_sum": q_user_moving_sum,
         "distinct_users_by_type": q_distinct_users_by_type,
         "value_stats": q_value_stats,
         "orders_with_late_items": q_orders_with_late_items,
@@ -4526,7 +4694,10 @@ def build_oracle_sql() -> Dict[str, str]:
         "latest_events": _SQL_LATEST_EVENTS,
         "user_deltas": _SQL_USER_DELTAS,
         "orders_rollup": _SQL_ORDERS_ROLLUP,
+        "orders_cube": _SQL_ORDERS_CUBE,
         "events_pivot": _SQL_EVENTS_PIVOT,
+        "lineitem_unpivot": _SQL_LINEITEM_UNPIVOT,
+        "user_moving_sum": _SQL_USER_MOVING_SUM,
         "distinct_users_by_type": _SQL_DISTINCT_USERS,
         "value_stats": _SQL_VALUE_STATS,
         "orders_with_late_items": _SQL_ORDERS_WITH_LATE_ITEMS,

@@ -35,7 +35,10 @@ SPOT_CHECKED = [
     "clicks_in_views",
     "user_deltas",
     "orders_rollup",
+    "orders_cube",
     "events_pivot",
+    "lineitem_unpivot",
+    "user_moving_sum",
     "top_orders_q3",
     "pagerank",
     "inverted_index",
