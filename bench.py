@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "orders_cube",
     "lineitem_unpivot",
     "user_moving_sum",
+    "value_outliers",
     "crawl_bfs",
 ]
 

@@ -1651,6 +1651,103 @@ ORDER BY c.event_id, v.view_id
 """
 
 
+MAD_K = 5
+
+
+def q_value_outliers(sf_dir: str):
+    """Robust per-group outlier screen (the data-cleaning step before
+    value-weighted training): events whose |cents − group median| >
+    5 × group MAD — the median-absolute-deviation rule, immune to the
+    outliers it hunts (a mean/σ z-score moves with every extreme row).
+
+    Two exact grouped-median passes through the value-domain histogram
+    combiner (:func:`~deepwebharvester_ray.functions.agg.grouped_quantiles`
+    — shuffle bounded by distinct (type, cents), never the row count);
+    each median table is ~5 rows, broadcast; the screen itself is a pure
+    integer map filter.  percentile_disc semantics keep both engines
+    bit-identical."""
+    from ..functions.agg import grouped_quantiles
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type"),
+            "cents": pa.array(np.floor(v * 100.0).astype(np.int64),
+                              pa.int64()),
+        })
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow",
+                           runtime_env=runtime_env()).materialize()
+    med = {r["event_type"]: r["med"] for r in grouped_quantiles(
+        cents.select_columns(["event_type", "cents"]),
+        "event_type", "cents", ps=[0.5], out_cols=["med"]).take_all()}
+
+    med_k = np.asarray(sorted(med), dtype=object)
+    med_v = np.asarray([med[k] for k in med_k], np.int64)
+
+    def to_dev(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        c = batch.column("cents").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        meds = med_v[np.searchsorted(med_k, et)]
+        return batch.append_column(
+            "adev", pa.array(np.abs(c - meds), pa.int64()))
+
+    dev = cents.map_batches(to_dev, batch_format="pyarrow",
+                            runtime_env=runtime_env()).materialize()
+    mad = {r["event_type"]: r["mad"] for r in grouped_quantiles(
+        dev.select_columns(["event_type", "adev"]),
+        "event_type", "adev", ps=[0.5], out_cols=["mad"]).take_all()}
+
+    mad_k = np.asarray(sorted(mad), dtype=object)
+    mad_v = np.asarray([mad[k] for k in mad_k], np.int64)
+
+    def screen(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        adev = batch.column("adev").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        mads = mad_v[np.searchsorted(mad_k, et)]
+        return batch.filter(pa.array(adev > MAD_K * mads)).select(
+            ["event_id", "event_type", "cents"])
+
+    return dev.map_batches(screen, batch_format="pyarrow",
+                           runtime_env=runtime_env()).sort("event_id")
+
+
+_SQL_VALUE_OUTLIERS = f"""
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+med AS (
+  SELECT event_type,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)
+             AS med
+  FROM e GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.cents, abs(e.cents - m.med) AS adev
+  FROM e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS BIGINT)
+             AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.cents
+FROM dev d JOIN mad USING (event_type)
+WHERE d.adev > {MAD_K} * mad.mad
+ORDER BY d.event_id
+"""
+
+
 def q_price_quantiles(sf_dir: str):
     """Exact distributed per-group quantiles (percentile_disc semantics)
     of order price cents per priority — histogram combiner, shuffle
@@ -4576,6 +4673,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "passage_profile": q_passage_profile,
         "clean_text": q_clean_text,
         "price_quantiles": q_price_quantiles,
+        "value_outliers": q_value_outliers,
         "clicks_asof_views": q_clicks_asof_views,
         "clicks_in_views": q_clicks_in_views,
         "split_assign": q_split_assign,
@@ -4667,6 +4765,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "passage_profile": _SQL_PASSAGE_PROFILE,
         "clean_text": _SQL_CLEAN_TEXT,
         "price_quantiles": _SQL_PRICE_QUANTILES,
+        "value_outliers": _SQL_VALUE_OUTLIERS,
         "clicks_asof_views": _SQL_CLICKS_ASOF_VIEWS,
         "clicks_in_views": _SQL_CLICKS_IN_VIEWS,
         "split_assign": _SQL_SPLIT_ASSIGN,

@@ -21,6 +21,7 @@ SPOT_CHECKED = [
     "ngram_overlap",
     "passage_profile",
     "price_quantiles",
+    "value_outliers",
     "clicks_asof_views",
     "split_assign",
     "sample_k",
