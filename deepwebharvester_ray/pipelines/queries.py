@@ -1698,8 +1698,11 @@ def q_value_outliers(sf_dir: str):
         return batch.append_column(
             "adev", pa.array(np.abs(c - meds), pa.int64()))
 
+    # dev is NOT materialized: recomputing a two-op arithmetic map from
+    # the materialized cents table is cheaper than holding a second
+    # corpus-sized projection in the object store
     dev = cents.map_batches(to_dev, batch_format="pyarrow",
-                            runtime_env=runtime_env()).materialize()
+                            runtime_env=runtime_env())
     mad = {r["event_type"]: r["mad"] for r in grouped_quantiles(
         dev.select_columns(["event_type", "adev"]),
         "event_type", "adev", ps=[0.5], out_cols=["mad"]).take_all()}

@@ -247,20 +247,16 @@ def write_partitioned_parquet(
         ds = ds.map_batches(prune, batch_format="pyarrow",
                             runtime_env=runtime_env())
 
-    ds = ds.materialize()
-    # distinct remaining partition values — tiny (one groupby on the key)
-    remaining = sorted(
-        str(r[partition_col])
-        for r in ds.groupby(partition_col).count().take_all()
-    )
-    if remaining:
-        ds.write_parquet(str(base), partition_cols=[partition_col])
+    # ONE streaming pass: the write itself discovers the partitions (a
+    # pre-count groupby would force a second pass / a materialization of
+    # the full input); freshly-written partitions are exactly the
+    # marker-less hive dirs afterwards (stale ones were swept above).
+    ds.write_parquet(str(base), partition_cols=[partition_col])
     written = []
-    for v in remaining:
-        pdir = base / f"{partition_col}={v}"
-        if pdir.exists():
-            (pdir / "_COMPLETE").touch()
-            written.append(v)
+    for p in sorted(base.glob(f"{partition_col}=*")):
+        if not (p / "_COMPLETE").exists():
+            (p / "_COMPLETE").touch()
+            written.append(p.name.split("=", 1)[1])
     logger.info("partitioned parquet: %d written, %d skipped → %s",
                 len(written), len(done), base)
     return {"written": written, "skipped": done}

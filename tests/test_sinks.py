@@ -140,3 +140,11 @@ def test_write_partitioned_parquet_resume(tmp_path):
     back = pq.read_table(str(out)).to_pydict()
     assert len(back["doc_id"]) == 90
     assert sorted(back["doc_id"]) == list(range(90))
+
+    # third run: everything committed -> nothing written, tree unchanged
+    r3 = sinks.write_partitioned_parquet(ray.data.from_items(rows),
+                                         str(out), "source")
+    assert r3["written"] == []
+    assert sorted(r3["skipped"]) == ["src0", "src1", "src2"]
+    back3 = pq.read_table(str(out)).to_pydict()
+    assert sorted(back3["doc_id"]) == list(range(90))
