@@ -184,9 +184,12 @@ def skew_join(
 
     from .agg import grouped_agg
 
-    total = left.count()
+    # the census table is materialized once and yields BOTH the total
+    # (its sum — no separate full pass over the fact table) and the hot
+    # set; it stays distributed (O(distinct keys) rows, never the corpus)
     counts = grouped_agg(left.select_columns([left_key]), [left_key],
-                         [("n", "", "count")])
+                         [("n", "", "count")]).materialize()
+    total = counts.sum("n") or 0
     cutoff = int(total * hot_fraction)
     hot = sorted(
         r[left_key] for r in counts.filter(expr=f"n > {cutoff}").take_all()

