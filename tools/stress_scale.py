@@ -334,11 +334,70 @@ def run_passage(dup: int, sf_dir: str) -> dict:
     }
 
 
+def run_skewjoin(n: int, plain: bool) -> dict:
+    """Fact⋈dim under a planted 40%-share hot key at n rows: the case
+    skew_join exists for.  ``--plain`` runs the native hash join instead
+    — its hot partition serializes on one task, so wall diverges as n
+    grows while skew_join's hot share stays map-side."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray import runtime_env
+    from deepwebharvester_ray.functions.partition import (coalesce_nonempty,
+                                                          skew_join)
+
+    n_dim = 1000
+
+    def fact_of(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        k = np.where(h < np.uint64(int(0.4 * 2**64)), np.int64(7),
+                     (ids % n_dim).astype(np.int64))
+        # a ~160-byte payload per row: join skew is a BYTES problem —
+        # the plain hash join must ship the hot key's whole payload
+        # share into one aggregator
+        pay = (np.arange(20, dtype=np.int64)[None, :]
+               + ids[:, None]).astype("<i8").tobytes()
+        payload = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(160), len(ids), [None, pa.py_buffer(pay)])
+        return pa.table({
+            "k": pa.array(k, pa.int64()),
+            "v": pa.array(ids, pa.int64()),
+            "payload": payload,
+        })
+
+    fact = ray.data.range(n).map_batches(
+        fact_of, batch_format="pyarrow", runtime_env=runtime_env())
+    dim = ray.data.from_arrow(pa.table({
+        "dk": pa.array(np.arange(n_dim, dtype=np.int64)),
+        "name": pa.array([f"d{i}" for i in range(n_dim)], pa.string()),
+    }))
+    t0 = time.monotonic()
+    if plain:
+        fl = coalesce_nonempty(fact)
+        dl = coalesce_nonempty(dim)
+        joined = fl.join(dl, "inner", num_partitions=16,
+                         on=("k",), right_on=("dk",))
+    else:
+        joined = skew_join(fact, dim, "k", "dk", hot_fraction=0.05,
+                           num_partitions=16)
+    rows = joined.count()
+    return {
+        "case": "skewjoin", "n": n, "path": "plain" if plain else "skew",
+        "rows": rows,
+        "wall_s": round(time.monotonic() - t0, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("case", choices=["minhash", "frontier", "highcard",
                                     "interval", "pagerank", "semdedup",
-                                    "passage"])
+                                    "passage", "skewjoin"])
     p.add_argument("--dup", type=int, default=1)
     p.add_argument("--seeds", type=int, default=10_000)
     p.add_argument("--shards", type=int, default=None)
@@ -347,6 +406,8 @@ def main() -> None:
     p.add_argument("--n", type=int, default=10_000_000)
     p.add_argument("--join", action="store_true",
                    help="pagerank: force the hash-join propagation path")
+    p.add_argument("--plain", action="store_true",
+                   help="skewjoin: use the plain native hash join")
     p.add_argument("--sf", default="/root/testdata/sf0.01")
     p.add_argument("--cpus", type=int, default=16)
     args = p.parse_args()
@@ -369,6 +430,8 @@ def main() -> None:
             out = run_semdedup(args.dup, args.sf)
         elif args.case == "passage":
             out = run_passage(args.dup, args.sf)
+        elif args.case == "skewjoin":
+            out = run_skewjoin(args.n, args.plain)
         else:
             out = run_highcard(args.n)
     finally:
