@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "lineitem_unpivot",
     "user_moving_sum",
     "value_outliers",
+    "two_hop_counts",
     "crawl_bfs",
 ]
 

@@ -3337,6 +3337,15 @@ def q_pagerank(sf_dir: str):
     crawl-graph centrality."""
     from ..functions.graph import pagerank
 
+    nodes, edges = _corpus_link_edges(sf_dir)
+    scores = pagerank(edges, nodes, iters=_PR_ITERS, scale=_PR_SCALE,
+                      shuffle_partitions=_shuffle_parts(sf_dir))
+    return _rename(scores, {"id": "doc_id"})
+
+
+def _corpus_link_edges(sf_dir: str):
+    """(nodes_ds(id), edges_ds(src,dst)) of the corpus's deterministic
+    link graph — shared by pagerank and the 2-hop neighborhood query."""
     docs = _docs(sf_dir, columns=["doc_id"],
                  override_num_blocks=_shuffle_parts(sf_dir))
     n_docs = pq.ParquetFile(
@@ -3364,9 +3373,7 @@ def q_pagerank(sf_dir: str):
         lambda b: pa.table({"id": b.column("doc_id")}),
         batch_format="pyarrow", runtime_env=runtime_env(),
     )
-    scores = pagerank(edges, nodes, iters=_PR_ITERS, scale=_PR_SCALE,
-                      shuffle_partitions=_shuffle_parts(sf_dir))
-    return _rename(scores, {"id": "doc_id"})
+    return nodes, edges
 
 
 def _sql_pagerank() -> str:
@@ -3405,6 +3412,73 @@ it{k} AS (
     return (head + "".join(its)
             + f"\nSELECT id AS doc_id, s AS score FROM it{_PR_ITERS} "
               "ORDER BY doc_id")
+
+
+def q_two_hop_counts(sf_dir: str):
+    """2-hop neighborhood size per node over the crawl link graph —
+    distinct nodes reachable in exactly two hops, excluding the source
+    (the graph feature behind "domain influence radius" scoring and a
+    building block of GNN-style feature tables).
+
+    Distributed shape: ONE native hash self-join of the edge table on
+    (dst = src) — the first self-join in the catalog — then the exact
+    two-level distinct (pair-collapse grouped_agg → grouped count, the
+    distinct_users_by_type machinery).  Skew note: 2-hop expansion is
+    O(in·out) per hub; a real crawl graph needs out-link capping before
+    this join (the corpus graph is 3-regular, so the demo needs none —
+    the cap is the documented knob, not a hidden assumption)."""
+    from ..functions.partition import coalesce_nonempty
+
+    _, edges = _corpus_link_edges(sf_dir)
+    left = coalesce_nonempty(edges.map_batches(
+        lambda b: pa.table({"a_src": b.column("src"),
+                            "mid": b.column("dst")}),
+        batch_format="pyarrow", runtime_env=runtime_env()))
+    right = coalesce_nonempty(edges.map_batches(
+        lambda b: pa.table({"mid_r": b.column("src"),
+                            "b_dst": b.column("dst")}),
+        batch_format="pyarrow", runtime_env=runtime_env()))
+    hops = left.join(right, "inner",
+                     num_partitions=_shuffle_parts(sf_dir),
+                     on=("mid",), right_on=("mid_r",))
+
+    def drop_self(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        b = batch.column("b_dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(a[a != b], pa.int64()),
+                         "two_hop": pa.array(b[a != b], pa.int64())})
+
+    pairs = grouped_agg(
+        hops.map_batches(drop_self, batch_format="pyarrow",
+                         runtime_env=runtime_env()),
+        ["doc_id", "two_hop"], [("__n", "", "count")],
+    )
+    return grouped_agg(pairs, ["doc_id"],
+                       [("n_two_hop", "", "count")]).sort("doc_id")
+
+
+def _sql_two_hop() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    return f"""
+WITH n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+)
+SELECT a.src AS doc_id,
+       CAST(count(DISTINCT b.dst) AS BIGINT) AS n_two_hop
+FROM edges a JOIN edges b ON a.dst = b.src
+WHERE b.dst != a.src
+GROUP BY a.src ORDER BY doc_id
+"""
 
 
 def q_dedup_purge(sf_dir: str):
@@ -4692,6 +4766,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "events_hopping": q_events_hopping,
         "neardup_clusters": q_neardup_clusters,
         "pagerank": q_pagerank,
+        "two_hop_counts": q_two_hop_counts,
         "inverted_index": q_inverted_index,
         "doc_search": q_doc_search,
         "pmi_bigrams": q_pmi_bigrams,
@@ -4780,6 +4855,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "events_hopping": _SQL_EVENTS_HOPPING,
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,
         "pagerank": _sql_pagerank(),
+        "two_hop_counts": _sql_two_hop(),
         "inverted_index": _SQL_INVERTED_INDEX,
         "doc_search": _SQL_DOC_SEARCH,
         "pmi_bigrams": _SQL_PMI_BIGRAMS,

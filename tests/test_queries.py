@@ -42,6 +42,7 @@ SPOT_CHECKED = [
     "user_moving_sum",
     "top_orders_q3",
     "pagerank",
+    "two_hop_counts",
     "inverted_index",
     "doc_search",
     "pmi_bigrams",
