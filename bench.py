@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "user_moving_sum",
     "value_outliers",
     "two_hop_counts",
+    "triangle_count",
     "crawl_bfs",
 ]
 

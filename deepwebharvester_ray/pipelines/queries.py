@@ -3481,6 +3481,75 @@ GROUP BY a.src ORDER BY doc_id
 """
 
 
+def q_triangle_count(sf_dir: str):
+    """Global triangle count of the (undirected) crawl link graph — the
+    clustering-structure statistic completing the graph family (CC,
+    PageRank, 2-hop).  Ordered-wedge plan: canonical u<v edges (one
+    pair-collapse distinct), wedge join on the middle vertex (u<v<w by
+    construction — each triangle is built exactly once, no /6
+    correction), closing-edge check as a COMPOSITE-key hash join, one
+    count.  Skew note: wedge volume is Σ deg² — a real crawl graph caps
+    hub degrees first (same knob as two_hop_counts)."""
+    from ..functions.partition import coalesce_nonempty
+
+    _, edges = _corpus_link_edges(sf_dir)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"u": pa.array(np.minimum(s, d), pa.int64()),
+                         "v": pa.array(np.maximum(s, d), pa.int64())})
+
+    ue = grouped_agg(
+        edges.map_batches(canon, batch_format="pyarrow",
+                          runtime_env=runtime_env()),
+        ["u", "v"], [("__n", "", "count")],
+    ).select_columns(["u", "v"]).materialize()
+
+    parts = _shuffle_parts(sf_dir)
+    b = coalesce_nonempty(ue.map_batches(
+        lambda t: pa.table({"u2": t.column("u"), "w": t.column("v")}),
+        batch_format="pyarrow", runtime_env=runtime_env()))
+    wedges = coalesce_nonempty(ue).join(
+        b, "inner", num_partitions=parts, on=("v",), right_on=("u2",))
+    c = coalesce_nonempty(ue.map_batches(
+        lambda t: pa.table({"cu": t.column("u"), "cv": t.column("v")}),
+        batch_format="pyarrow", runtime_env=runtime_env()))
+    closed = coalesce_nonempty(
+        wedges.select_columns(["u", "w"])
+    ).join(c, "inner", num_partitions=parts,
+           on=("u", "w"), right_on=("cu", "cv"))
+    n = closed.count()
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
+def _sql_triangles() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    return f"""
+WITH n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+),
+ue AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src != dst
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM ue a JOIN ue b ON a.v = b.u JOIN ue c ON c.u = a.u AND c.v = b.v
+"""
+
+
 def q_dedup_purge(sf_dir: str):
     """The end-to-end fuzzy-dedup pipeline a training-data run actually
     ships: near-dup pair generation (exact 8-token-window overlap) →
@@ -4767,6 +4836,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "neardup_clusters": q_neardup_clusters,
         "pagerank": q_pagerank,
         "two_hop_counts": q_two_hop_counts,
+        "triangle_count": q_triangle_count,
         "inverted_index": q_inverted_index,
         "doc_search": q_doc_search,
         "pmi_bigrams": q_pmi_bigrams,
@@ -4856,6 +4926,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,
         "pagerank": _sql_pagerank(),
         "two_hop_counts": _sql_two_hop(),
+        "triangle_count": _sql_triangles(),
         "inverted_index": _SQL_INVERTED_INDEX,
         "doc_search": _SQL_DOC_SEARCH,
         "pmi_bigrams": _SQL_PMI_BIGRAMS,

@@ -43,6 +43,7 @@ SPOT_CHECKED = [
     "top_orders_q3",
     "pagerank",
     "two_hop_counts",
+    "triangle_count",
     "inverted_index",
     "doc_search",
     "pmi_bigrams",
