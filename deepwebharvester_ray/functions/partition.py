@@ -213,8 +213,17 @@ def skew_join(
                 dim_mask, batch_format="pyarrow", runtime_env=runtime_env()
             ).to_arrow_refs())
         )
-        dkeys = dim_hot.column(right_key).combine_chunks().to_numpy(
-            zero_copy_only=False)
+        if dim_hot.num_rows == 0:
+            # hot fact keys absent from the dimension: inner semantics
+            # drop them anyway, and the cold join does that for free —
+            # fall through to the plain path with NOTHING split off
+            hot = []
+            dkeys = None
+        else:
+            dkeys = dim_hot.column(right_key).combine_chunks().to_numpy(
+                zero_copy_only=False)
+
+    if hot:
         assert len(np.unique(dkeys)) == len(dkeys), \
             "skew_join: dimension not unique on right_key"
         order = np.argsort(dkeys)

@@ -1286,3 +1286,24 @@ def test_skew_join_rejects_duplicate_dimension():
     }))
     with pytest.raises(AssertionError, match="not unique"):
         skew_join(fact, dim, "k", "dk", hot_fraction=0.05).take_all()
+
+
+def test_skew_join_hot_key_missing_from_dimension():
+    """A hot fact key with NO dimension row must not crash the broadcast
+    path — inner semantics just drop it (falls through to the plain
+    join when no hot key matches the dimension)."""
+    import ray
+
+    from deepwebharvester_ray.functions.partition import skew_join
+
+    fact = ray.data.from_arrow(pa.table({
+        "k": pa.array([999] * 80 + [1, 2] * 10, pa.int64()),
+        "v": pa.array(range(100), type=pa.int64()),
+    }))
+    dim = ray.data.from_arrow(pa.table({
+        "dk": pa.array([1, 2], pa.int64()),
+        "name": pa.array(["a", "b"], pa.string()),
+    }))
+    out = skew_join(fact, dim, "k", "dk", hot_fraction=0.05).take_all()
+    assert len(out) == 20                      # 999-rows dropped
+    assert {r["k"] for r in out} == {1, 2}
