@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "top_orders_q3",
     "lineitem_pricing",
     "ann_ivf",
+    "ann_pq",
     "semdedup_prune",
     "sample_k",
     "passage_profile",

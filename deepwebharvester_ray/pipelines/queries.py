@@ -4774,6 +4774,19 @@ def q_embedding_clusters(sf_dir: str):
     return kmeans_assign(ds, n_cells=16).sort("vec_id")
 
 
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN (Jégou et al. 2011): 8×1-byte codes per
+    vector (32× compression), compressed-domain ADC scan for the
+    shortlist, exact cosine re-rank on the survivors
+    (:func:`~deepwebharvester_ray.functions.ann.pq_topk`).  Rows-only:
+    approximate by construction; recall-vs-brute and
+    rerank-dominates-raw are pinned in tests."""
+    from ..functions.ann import pq_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return pq_topk(ds, _embedding_queries(sf_dir), k=10)
+
+
 def q_ann_lsh(sf_dir: str):
     """Hyperplane-LSH bucketed ANN (approximate; rows-only; single-shot
     filtered scan — the partitioned-index variant is exercised by
@@ -4892,6 +4905,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "fingerprints": q_fingerprints,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_pq": q_ann_pq,
         "embedding_clusters": q_embedding_clusters,
         "binary_metadata": q_binary_metadata,
     }
@@ -4978,7 +4992,7 @@ def build_oracle_sql() -> Dict[str, str]:
 
 ROWS_ONLY: List[str] = [
     "crawl_bfs", "crawl_intel", "minhash_pairs", "simhash_pairs",
-    "fingerprints", "ann_lsh", "ann_ivf", "embedding_clusters",
+    "fingerprints", "ann_lsh", "ann_ivf", "ann_pq", "embedding_clusters",
     "binary_metadata",
     "multimodal_features", "vocab_hll", "neardup_embeddings_lsh",
     "semdedup_prune",

@@ -1307,3 +1307,32 @@ def test_skew_join_hot_key_missing_from_dimension():
     out = skew_join(fact, dim, "k", "dk", hot_fraction=0.05).take_all()
     assert len(out) == 20                      # 999-rows dropped
     assert {r["k"] for r in out} == {1, 2}
+
+
+def test_pq_topk_recall_and_determinism(emb_ds):
+    """PQ-ADC shortlist + exact re-rank: decent recall on random 64-dim
+    vectors (PQ's worst case — no subspace structure), deterministic,
+    and re-ranked recall must dominate the raw compressed scan."""
+    rows = emb_ds.take(3)
+    q = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    exact = ann.brute_topk(emb_ds, q, k=10).to_pandas()
+    pq = ann.pq_topk(emb_ds, q, k=10).to_pandas()
+    raw = ann.pq_topk(emb_ds, q, k=10, rerank_factor=1).to_pandas()
+    rec_rr, rec_raw = [], []
+    for qi in range(3):
+        e = set(exact.query(f"query_idx=={qi}")["id"])
+        rec_rr.append(len(e & set(pq.query(f"query_idx=={qi}")["id"])) / 10)
+        rec_raw.append(len(e & set(raw.query(f"query_idx=={qi}")["id"])) / 10)
+        # self must survive the shortlist and re-rank to rank 1
+        assert pq.query(f"query_idx=={qi}").iloc[0]["id"] == rows[qi]["vec_id"]
+    assert sum(rec_rr) / 3 >= 0.5
+    assert sum(rec_rr) >= sum(rec_raw)
+    again = ann.pq_topk(emb_ds, q, k=10).to_pandas()
+    assert pq.equals(again)
+
+
+def test_pq_topk_rejects_indivisible_dim(emb_ds):
+    rows = emb_ds.take(1)
+    q = np.asarray(rows[0]["embedding"], dtype=np.float64)
+    with pytest.raises(ValueError, match="not divisible"):
+        ann.pq_topk(emb_ds, q, k=5, m_subspaces=7)
