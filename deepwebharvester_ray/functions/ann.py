@@ -555,6 +555,57 @@ def _euclidean_kmeans(sample: np.ndarray, k: int, n_iters: int = 10,
     return cents
 
 
+def train_pq_codebooks(sample: np.ndarray, m_subspaces: int,
+                       n_codes: int) -> np.ndarray:
+    """(M, K, sub_dim) per-subspace Euclidean codebooks from a
+    NORMALIZED driver-side sample."""
+    dim = sample.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(
+            f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sd = dim // m_subspaces
+    return np.stack([
+        _euclidean_kmeans(sample[:, j * sd:(j + 1) * sd], n_codes,
+                          seed=_PQ_SEED + j)
+        for j in range(m_subspaces)
+    ])
+
+
+def pq_encode(ds, books: np.ndarray, id_column: str = "vec_id",
+              vec_column: str = "embedding"):
+    """Encode every vector to its (id, codes) PQ row — ``M`` one-byte
+    codes per vector (the 32× compression that makes the code table the
+    persistable scan index).  One broadcast matmul per batch."""
+    import ray
+
+    m_subspaces, _, sd = books.shape
+    books_ref = ray.put(books)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "codes": pa.array([], pa.large_binary())})
+        b = cached_get(books_ref)
+        mat = _normalize(_vec_matrix(batch.column(vec_column)))
+        n = len(mat)
+        codes = np.empty((n, m_subspaces), np.uint8)
+        for j in range(m_subspaces):
+            sub = mat[:, j * sd:(j + 1) * sd]
+            cj = b[j]
+            # argmin ||sub - c||² == argmax (sub·c - |c|²/2)
+            codes[:, j] = np.argmax(
+                sub @ cj.T - 0.5 * (cj * cj).sum(axis=1)[None, :], axis=1
+            ).astype(np.uint8)
+        return pa.table({
+            "id": pa.array(_ids_array(batch.column(id_column)), pa.int64()),
+            "codes": pa.array([codes[i].tobytes() for i in range(n)],
+                              pa.large_binary()),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          runtime_env=runtime_env())
+
+
 def pq_topk(
     ds,
     queries: np.ndarray,
@@ -612,42 +663,11 @@ def pq_topk(
     sample = _normalize(np.asarray(
         [list(r[vec_column]) for r in cand[:train_sample]],
         dtype=np.float64))
-    dim = sample.shape[1]
-    if dim % m_subspaces:
-        raise ValueError(
-            f"dim {dim} not divisible by m_subspaces {m_subspaces}")
-    sd = dim // m_subspaces
-    books = np.stack([
-        _euclidean_kmeans(sample[:, j * sd:(j + 1) * sd], n_codes,
-                          seed=_PQ_SEED + j)
-        for j in range(m_subspaces)
-    ])  # (M, K, sd)
-    books_ref = ray.put(books)
+    books = train_pq_codebooks(sample, m_subspaces, n_codes)
+    m_subspaces, _, sd = books.shape
 
-    def encode(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return pa.table({"id": pa.array([], pa.int64()),
-                             "codes": pa.array([], pa.large_binary())})
-        b = cached_get(books_ref)
-        mat = _normalize(_vec_matrix(batch.column(vec_column)))
-        n = len(mat)
-        codes = np.empty((n, m_subspaces), np.uint8)
-        for j in range(m_subspaces):
-            sub = mat[:, j * sd:(j + 1) * sd]
-            cj = b[j]
-            # argmin ||sub - c||² == argmax (sub·c - |c|²/2)
-            codes[:, j] = np.argmax(
-                sub @ cj.T - 0.5 * (cj * cj).sum(axis=1)[None, :], axis=1
-            ).astype(np.uint8)
-        return pa.table({
-            "id": pa.array(_ids_array(batch.column(id_column)), pa.int64()),
-            "codes": pa.array([codes[i].tobytes() for i in range(n)],
-                              pa.large_binary()),
-        })
-
-    code_ds = ds.map_batches(
-        encode, batch_format="pyarrow", runtime_env=runtime_env()
-    ).materialize()
+    code_ds = pq_encode(ds, books, id_column=id_column,
+                        vec_column=vec_column).materialize()
 
     qn = _normalize(queries)
     # LUT[qi, j, c] = q_sub_j · centroid_c  →  score = Σ_j LUT[qi, j, code_j]

@@ -1336,3 +1336,20 @@ def test_pq_topk_rejects_indivisible_dim(emb_ds):
     q = np.asarray(rows[0]["embedding"], dtype=np.float64)
     with pytest.raises(ValueError, match="not divisible"):
         ann.pq_topk(emb_ds, q, k=5, m_subspaces=7)
+
+
+def test_pq_encode_compression(emb_ds):
+    """The PQ code table — the persistable scan index — must actually be
+    small: ≥10× fewer bytes than the (id, embedding) projection it
+    replaces (64-dim float32 → 8 one-byte codes is 32× on the vector
+    payload alone)."""
+    import ray
+
+    raw = emb_ds.select_columns(["vec_id", "embedding"]).materialize()
+    sample = np.asarray(
+        [r["embedding"] for r in emb_ds.take(256)], dtype=np.float64)
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    books = ann.train_pq_codebooks(sample, 8, 64)
+    codes = ann.pq_encode(emb_ds, books).materialize()
+    assert codes.count() == raw.count()
+    assert raw.size_bytes() / codes.size_bytes() >= 10
