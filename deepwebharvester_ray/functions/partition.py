@@ -113,16 +113,25 @@ def add_salt_column(
 
 
 def detect_hot_keys(ds, key_column: str, threshold_fraction: float = 0.05):
-    """Keys holding more than *threshold_fraction* of all rows (one small
-    count aggregate — the driver-side 'hot key census')."""
-    counts = ds.groupby(key_column).count().take_all()
-    total = sum(r["count()"] for r in counts)
+    """Keys holding more than *threshold_fraction* of all rows.
+
+    Fully distributed census: the combiner grouped count stays in the
+    cluster (O(distinct keys) rows — a 10^10-URL frontier has ~10^7
+    hosts, which must never land on the driver), the total is the count
+    table's own sum, and only the ≤ 1/threshold_fraction hot keys
+    themselves reach the driver.  ``n > floor(total·f)`` on integer
+    counts is exactly the strict ``n/total > f`` rule."""
+    from .agg import grouped_agg
+
+    counts = grouped_agg(ds.select_columns([key_column]), [key_column],
+                         [("n", "", "count")]).materialize()
+    total = counts.sum("n") or 0
     if total == 0:
         return frozenset()
+    cutoff = int(total * threshold_fraction)
     return frozenset(
         r[key_column]
-        for r in counts
-        if r["count()"] / total > threshold_fraction
+        for r in counts.filter(expr=f"n > {cutoff}").take_all()
     )
 
 
