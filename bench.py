@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "lineitem_pricing",
     "ann_ivf",
     "ann_pq",
+    "ann_ivfpq",
     "semdedup_prune",
     "sample_k",
     "passage_profile",

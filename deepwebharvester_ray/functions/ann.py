@@ -330,19 +330,17 @@ def _cell_paths(index_dir: str, cells) -> list:
     return paths
 
 
-def train_centroids(ds, n_cells: int, train_sample: int = 2048,
-                    id_column: str = "vec_id",
-                    vec_column: str = "embedding"):
-    """Spherical-k-means centroids from a deterministic hash-rank sample.
-
-    The training sample is the ``train_sample`` rows with the SMALLEST
-    64-bit multiplicative id hashes — deterministic, order-free, and
-    unbiased by storage layout (a storage-order prefix, or random_sample
-    followed by a positional limit, excludes the dataset tail and trains
-    a degenerate quantizer on clustered/sorted inputs).  Per-block
-    partial top-k keeps the driver pull at O(blocks × train_sample).
-    Returns None on an empty/fully-filtered dataset.  Shared by
-    :func:`ivf_topk` and :func:`kmeans_assign`."""
+def hash_rank_sample(ds, train_sample: int = 2048,
+                     id_column: str = "vec_id",
+                     vec_column: str = "embedding"):
+    """Deterministic training sample: the ``train_sample`` rows with the
+    SMALLEST 64-bit multiplicative id hashes — order-free and unbiased
+    by storage layout (a storage-order prefix, or random_sample followed
+    by a positional limit, excludes the dataset tail and trains a
+    degenerate quantizer on clustered/sorted inputs).  Per-block partial
+    top-k keeps the driver pull at O(blocks × train_sample).  Returns
+    the (s, dim) float64 matrix, or None on an empty dataset.  Shared by
+    every quantizer trainer (IVF, k-means sharding, PQ, IVF-PQ)."""
 
     def hash_candidates(batch: pa.Table, k=train_sample) -> pa.Table:
         if len(batch) == 0:
@@ -371,9 +369,20 @@ def train_centroids(ds, n_cells: int, train_sample: int = 2048,
     if not cand:
         return None
     cand.sort(key=lambda r: r["h"])
-    sample = np.asarray(
+    return np.asarray(
         [list(r[vec_column]) for r in cand[:train_sample]], dtype=np.float64
     )
+
+
+def train_centroids(ds, n_cells: int, train_sample: int = 2048,
+                    id_column: str = "vec_id",
+                    vec_column: str = "embedding"):
+    """Spherical-k-means centroids from the deterministic
+    :func:`hash_rank_sample`.  Returns None on an empty/fully-filtered
+    dataset.  Shared by :func:`ivf_topk` and :func:`kmeans_assign`."""
+    sample = hash_rank_sample(ds, train_sample, id_column, vec_column)
+    if sample is None:
+        return None
     return _spherical_kmeans(sample, n_cells)
 
 
@@ -637,33 +646,10 @@ def pq_topk(
 
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
 
-    def sample_vecs(batch: pa.Table, kk=train_sample) -> pa.Table:
-        if len(batch) == 0:
-            return pa.table(
-                {"h": pa.array([], pa.uint64()),
-                 vec_column: pa.array(
-                     [], batch.schema.field(vec_column).type)})
-        ids = _ids_array(batch.column(id_column))
-        with np.errstate(over="ignore"):
-            h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-        top = np.argsort(h, kind="stable")[:kk]
-        return pa.table({
-            "h": pa.array(h[top], pa.uint64()),
-            vec_column: batch.column(vec_column).combine_chunks().take(
-                pa.array(top)),
-        })
-
-    cand = ds.map_batches(
-        sample_vecs, batch_format="pyarrow", batch_size=None,
-        runtime_env=runtime_env(),
-    ).take_all()
-    if not cand:
+    sample = hash_rank_sample(ds, train_sample, id_column, vec_column)
+    if sample is None:
         return _merge_topk([], len(queries), k)
-    cand.sort(key=lambda r: r["h"])
-    sample = _normalize(np.asarray(
-        [list(r[vec_column]) for r in cand[:train_sample]],
-        dtype=np.float64))
-    books = train_pq_codebooks(sample, m_subspaces, n_codes)
+    books = train_pq_codebooks(_normalize(sample), m_subspaces, n_codes)
     m_subspaces, _, sd = books.shape
 
     code_ds = pq_encode(ds, books, id_column=id_column,
@@ -706,13 +692,22 @@ def pq_topk(
     if rerank_factor <= 1:
         return _merge_topk(partials, len(queries), k)
 
-    # exact re-rank (the deployed PQ shape: ADC shortlist → true cosine
-    # on the shortlist ONLY): the per-query shortlists union into one
-    # bounded id set (≤ n_queries × k × rerank_factor), broadcast as a
-    # sorted array, and one masked pass over the ORIGINAL vectors scores
-    # just those rows — compressed-domain scan for the 99.9%, float math
-    # for the survivors
     shortlist = _merge_topk(partials, len(queries), short)
+    return _exact_rerank(ds, shortlist, queries, k,
+                         id_column=id_column, vec_column=vec_column)
+
+
+def _exact_rerank(ds, shortlist: pa.Table, queries: np.ndarray, k: int,
+                  id_column: str = "vec_id",
+                  vec_column: str = "embedding") -> pa.Table:
+    """Exact re-rank of an approximate shortlist (the deployed ANN
+    shape: compressed/pruned scan for the 99.9 %, float math for the
+    survivors): the per-query shortlists union into one bounded id set,
+    broadcast as a sorted array, and one masked pass over the ORIGINAL
+    vectors scores just those rows.  Shared by pq_topk and
+    ivfpq_topk."""
+    import ray
+
     cand_ids = np.unique(np.asarray(
         shortlist.column("id").to_pylist(), dtype=np.int64))
     cand_ref = ray.put(cand_ids)
@@ -737,3 +732,120 @@ def pq_topk(
         runtime_env=runtime_env(),
     ).take_all()
     return _merge_topk(exact_partials, len(queries), k)
+
+
+def ivfpq_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m_subspaces: int = 8,
+    n_codes: int = 64,
+    train_sample: int = 2048,
+    rerank_factor: int = 4,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+):
+    """IVF-PQ — the canonical web-scale ANN stack (faiss "IVFx,PQy"):
+    coarse cells PRUNE the scan (only ``n_probe`` of ``n_cells`` cells
+    are scored per query), PQ codes COMPRESS it (8 bytes/vector), and
+    the exact re-rank restores precision on the bounded shortlist.
+    Codes quantize the raw normalized vectors (the ``by_residual=False``
+    variant — residual encoding would add a second codebook pass for
+    extra recall; documented trade-off, not an omission).
+
+    One hash-rank sample trains BOTH quantizers; one map assigns cell +
+    code per vector into the materialized compact index table
+    (id, cell, codes); the ADC scan masks each batch to each query's
+    probed cells before the LUT gather — shuffle-free end to end."""
+    import ray
+
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+
+    sample = hash_rank_sample(ds, train_sample, id_column, vec_column)
+    if sample is None:
+        return _merge_topk([], len(queries), k)
+    cents = _spherical_kmeans(sample, n_cells)
+    books = train_pq_codebooks(_normalize(sample), m_subspaces, n_codes)
+    m_subspaces, _, sd = books.shape
+    cents_ref = ray.put(cents)
+    books_ref = ray.put(books)
+
+    def assign_encode(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "cell": pa.array([], pa.int64()),
+                             "codes": pa.array([], pa.large_binary())})
+        mat = _normalize(_vec_matrix(batch.column(vec_column)))
+        cell = np.argmax(mat @ cached_get(cents_ref).T, axis=1)
+        b = cached_get(books_ref)
+        n = len(mat)
+        codes = np.empty((n, m_subspaces), np.uint8)
+        for j in range(m_subspaces):
+            sub = mat[:, j * sd:(j + 1) * sd]
+            cj = b[j]
+            codes[:, j] = np.argmax(
+                sub @ cj.T - 0.5 * (cj * cj).sum(axis=1)[None, :], axis=1
+            ).astype(np.uint8)
+        return pa.table({
+            "id": pa.array(_ids_array(batch.column(id_column)), pa.int64()),
+            "cell": pa.array(cell.astype(np.int64), pa.int64()),
+            "codes": pa.array([codes[i].tobytes() for i in range(n)],
+                              pa.large_binary()),
+        })
+
+    index_ds = ds.map_batches(
+        assign_encode, batch_format="pyarrow", runtime_env=runtime_env()
+    ).materialize()
+
+    qn = _normalize(queries)
+    qcells = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]
+    probed = [np.sort(qcells[qi]) for qi in range(len(queries))]
+    lut = np.einsum("qjd,jkd->qjk",
+                    qn.reshape(len(qn), m_subspaces, sd), books)
+    state_ref = ray.put((lut, probed))
+
+    short = max(k, k * rerank_factor)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _empty_scores()
+        lt, pb = cached_get(state_ref)
+        ids = batch.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cell = batch.column("cell").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        codes = np.frombuffer(
+            b"".join(batch.column("codes").to_pylist()), dtype=np.uint8
+        ).reshape(len(ids), m_subspaces)
+        cols = np.arange(m_subspaces)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(lt.shape[0]):
+            pos = np.searchsorted(pb[qi], cell)
+            pos[pos >= len(pb[qi])] = len(pb[qi]) - 1
+            mask = pb[qi][pos] == cell  # this query's probed cells only
+            if not mask.any():
+                continue
+            mids, mcodes = ids[mask], codes[mask]
+            scores = lt[qi][cols[None, :], mcodes].sum(axis=1)
+            top = np.lexsort((mids, -scores))[:short]
+            out_q.extend([qi] * len(top))
+            out_id.extend(int(mids[t]) for t in top)
+            out_s.extend(float(scores[t]) for t in top)
+        if not out_q:
+            return _empty_scores()
+        return pa.table({
+            "query_idx": pa.array(out_q, pa.int32()),
+            "id": pa.array(out_id, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+    partials = index_ds.map_batches(
+        scan, batch_format="pyarrow", runtime_env=runtime_env()
+    ).take_all()
+    if rerank_factor <= 1:
+        return _merge_topk(partials, len(queries), k)
+    shortlist = _merge_topk(partials, len(queries), short)
+    return _exact_rerank(ds, shortlist, queries, k,
+                         id_column=id_column, vec_column=vec_column)

@@ -4787,6 +4787,19 @@ def q_ann_pq(sf_dir: str):
     return pq_topk(ds, _embedding_queries(sf_dir), k=10)
 
 
+def q_ann_ivfpq(sf_dir: str):
+    """IVF-PQ — the canonical web-scale ANN stack: coarse cells prune
+    (4 of 16 probed), PQ codes compress (8 bytes/vector), exact re-rank
+    restores precision
+    (:func:`~deepwebharvester_ray.functions.ann.ivfpq_topk`).
+    Rows-only; tests pin recall, self-rank-1, and that probing every
+    cell degenerates to exactly the plain PQ result."""
+    from ..functions.ann import ivfpq_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivfpq_topk(ds, _embedding_queries(sf_dir), k=10)
+
+
 def q_ann_lsh(sf_dir: str):
     """Hyperplane-LSH bucketed ANN (approximate; rows-only; single-shot
     filtered scan — the partitioned-index variant is exercised by
@@ -4906,6 +4919,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
+        "ann_ivfpq": q_ann_ivfpq,
         "embedding_clusters": q_embedding_clusters,
         "binary_metadata": q_binary_metadata,
     }
@@ -4992,7 +5006,8 @@ def build_oracle_sql() -> Dict[str, str]:
 
 ROWS_ONLY: List[str] = [
     "crawl_bfs", "crawl_intel", "minhash_pairs", "simhash_pairs",
-    "fingerprints", "ann_lsh", "ann_ivf", "ann_pq", "embedding_clusters",
+    "fingerprints", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq",
+    "embedding_clusters",
     "binary_metadata",
     "multimodal_features", "vocab_hll", "neardup_embeddings_lsh",
     "semdedup_prune",

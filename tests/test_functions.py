@@ -1353,3 +1353,23 @@ def test_pq_encode_compression(emb_ds):
     codes = ann.pq_encode(emb_ds, books).materialize()
     assert codes.count() == raw.count()
     assert raw.size_bytes() / codes.size_bytes() >= 10
+
+
+def test_ivfpq_topk_recall_and_full_probe_equivalence(emb_ds):
+    """IVF-PQ: decent recall at n_probe=4/16 with self always surviving
+    to rank 1; probing EVERY cell must degenerate to exactly the plain
+    PQ result (same sample, same codebooks, same re-rank)."""
+    rows = emb_ds.take(3)
+    q = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    exact = ann.brute_topk(emb_ds, q, k=10).to_pandas()
+    ivfpq = ann.ivfpq_topk(emb_ds, q, k=10).to_pandas()
+    recs = []
+    for qi in range(3):
+        e = set(exact.query(f"query_idx=={qi}")["id"])
+        p = ivfpq.query(f"query_idx=={qi}")
+        recs.append(len(e & set(p["id"])) / 10)
+        assert p.iloc[0]["id"] == rows[qi]["vec_id"]
+    assert sum(recs) / 3 >= 0.4
+    full = ann.ivfpq_topk(emb_ds, q, k=10, n_cells=16, n_probe=16).to_pandas()
+    plain = ann.pq_topk(emb_ds, q, k=10).to_pandas()
+    assert full.equals(plain)
