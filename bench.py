@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "clicks_in_views",
     "split_assign",
     "top_tokens",
+    "top_tokens_by_source",
+    "bpe_pair_counts",
+    "cohort_retention",
     "vocab_hll",
     "approx_users_by_type",
     "token_freq_cms",

@@ -4824,6 +4824,249 @@ def q_binary_metadata(sf_dir: str):
     return out.select_columns(keep)
 
 
+GROUPED_HH_K = 10
+
+
+def q_top_tokens_by_source(sf_dir: str):
+    """GROUPED heavy hitters: top-``GROUPED_HH_K`` word tokens per
+    ``source`` — the per-domain vocabulary profile run before deciding a
+    domain-mixture (which registers/jargon dominate each source).
+
+    Shape: one explode map emits (source, token) rows; ``grouped_agg``
+    combines per block (pyarrow ``Table.group_by`` — shuffle volume is
+    per-block (source × vocab), not tokens) and merges; the per-group
+    top-k is then the latest_events machinery — one SINGLE-key sort on
+    ``source`` (equal keys co-locate; never the composite, which can
+    split a group across blocks) and a vectorized in-block lexsort +
+    run-rank mask.  No per-group Python, no window materialization."""
+    from ..functions.dedup import run_rank
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["source", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        srcs = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        texts = batch.column("text").to_pylist()
+        toks, counts = [], np.empty(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            tt = WORD_RE.findall((t or "").lower())
+            counts[i] = len(tt)
+            toks.extend(tt)
+        return pa.table({
+            "source": pa.array(np.repeat(srcs, counts).tolist(),
+                               pa.string()),
+            "token": pa.array(toks, pa.string()),
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              runtime_env=runtime_env())
+    counts = grouped_agg(exploded, ["source", "token"],
+                         [("n", "", "count")])
+
+    def top_k(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        srcs = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        toks = np.asarray(batch.column("token").to_pylist(), dtype=object)
+        nvals = batch.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((toks, -nvals, srcs))
+        keep = order[run_rank(srcs[order]) < GROUPED_HH_K]
+        return batch.take(pa.array(np.sort(keep)))
+
+    return counts.sort("source").map_batches(
+        top_k, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+
+
+_SQL_TOP_TOKENS_BY_SOURCE = rf"""
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+), counts AS (
+  SELECT source, token, count(*) AS n FROM tok GROUP BY source, token
+)
+SELECT source, token, CAST(n AS BIGINT) AS n FROM counts
+QUALIFY row_number() OVER (
+    PARTITION BY source ORDER BY n DESC, token ASC) <= {GROUPED_HH_K}
+ORDER BY source, n DESC, token
+"""
+
+
+BPE_PAIRS_K = 30
+
+
+def q_bpe_pair_counts(sf_dir: str):
+    """The first BPE merge step of tokenizer training, distributed:
+    corpus-frequency-weighted counts of adjacent character pairs inside
+    words, top-``BPE_PAIRS_K``.  Real BPE trainers iterate this count on
+    a (word → frequency) table — this query builds that table and runs
+    one full counting pass at corpus scale.
+
+    Shape: the token explode + ``grouped_agg`` collapse the CORPUS
+    (billions of tokens) to its distinct-word table (the only all-to-all,
+    at vocabulary cardinality with per-block combining); the pair
+    explode then runs over the distinct vocabulary only — the documented
+    per-word Python loop is vocab-bounded, never corpus-bounded — and a
+    second vocabulary-sized ``grouped_agg`` + the two-level
+    deterministic top-k finish."""
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks: List[str] = []
+        for t in batch.column("text").to_pylist():
+            toks.extend(WORD_RE.findall((t or "").lower()))
+        return pa.table({"w": pa.array(toks, pa.string())})
+
+    words = grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        ["w"], [("n", "", "count")],
+    )
+
+    def pair_explode(batch: pa.Table) -> pa.Table:
+        ws = batch.column("w").to_pylist()
+        ns = batch.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pairs: List[str] = []
+        weights: List[int] = []
+        for w, n in zip(ws, ns):  # distinct words only (vocab-bounded)
+            for i in range(len(w) - 1):
+                pairs.append(w[i:i + 2])
+                weights.append(n)
+        t = pa.table({"pair": pa.array(pairs, pa.string()),
+                      "n": pa.array(weights, pa.int64())})
+        # select BY NAME before renaming (agg.py discipline: pyarrow's
+        # key/aggregate column order has differed across versions)
+        return t.group_by(["pair"]).aggregate([("n", "sum")]).select(
+            ["pair", "n_sum"]).rename_columns(["pair", "n"])
+
+    pair_counts = grouped_agg(
+        words.map_batches(pair_explode, batch_format="pyarrow",
+                          batch_size=None, runtime_env=runtime_env()),
+        ["pair"], [("n", "n", "sum")],
+    )
+
+    def top_k(batch: pa.Table) -> pa.Table:
+        nvals = batch.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ps = np.asarray(batch.column("pair").to_pylist(), dtype=object)
+        order = np.lexsort((ps, -nvals))[:BPE_PAIRS_K]
+        return pa.table({
+            "pair": pa.array(ps[order].tolist(), pa.string()),
+            "n": pa.array(nvals[order], pa.int64()),
+        })
+
+    part = pair_counts.map_batches(top_k, batch_format="pyarrow",
+                                   batch_size=None,
+                                   runtime_env=runtime_env())
+    return part.repartition(1).map_batches(
+        top_k, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+
+
+_SQL_BPE_PAIR_COUNTS = rf"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+), wc AS (
+  SELECT w, count(*) AS n FROM tok GROUP BY w
+), pairs AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair, n
+  FROM wc, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+)
+SELECT pair, CAST(sum(n) AS BIGINT) AS n FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC LIMIT {BPE_PAIRS_K}
+"""
+
+
+_WEEK_US = 604_800_000_000  # 7 days in epoch microseconds
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix over the event stream: users bucketed by
+    the epoch-week of their FIRST event (the cohort), distinct active
+    users counted per (cohort, weeks-since-cohort) cell — the standard
+    freshness/retention diagnostic for an activity log.
+
+    Shape: per-user first-event timestamp is one combiner grouped-min
+    (user-cardinality shuffle); it joins BACK to the full event stream
+    via the NATIVE hash-shuffle join on the high-cardinality user key
+    (both sides routed through ``coalesce_nonempty`` — Ray 2.49's acero
+    join crashes on any empty block); the (cohort, age) cell counts are
+    the exact two-level distinct (pair-collapse ``grouped_agg`` →
+    grouped count).  All arithmetic is epoch-µs integer division —
+    weeks are epoch-aligned, never calendar/ISO weeks, identical on
+    both engines."""
+    from ..functions.partition import coalesce_nonempty
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        us = (batch.column("ts").combine_chunks().cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "ts_us": pa.array(us, pa.int64())})
+
+    ev = ds.map_batches(to_us, batch_format="pyarrow",
+                        runtime_env=runtime_env())
+    first = grouped_agg(ev, ["user_id"], [("first_us", "ts_us", "min")])
+
+    def to_first_week(batch: pa.Table) -> pa.Table:
+        fus = batch.column("first_us").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "fu_id": batch.column("user_id"),
+            "cohort_week": pa.array(fus // _WEEK_US, pa.int64()),
+        })
+
+    cohorts = coalesce_nonempty(first.map_batches(
+        to_first_week, batch_format="pyarrow", runtime_env=runtime_env()))
+    ev_nz = coalesce_nonempty(ev)
+    joined = ev_nz.join(cohorts, "inner",
+                        num_partitions=_shuffle_parts(sf_dir, "events"),
+                        on=("user_id",), right_on=("fu_id",))
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        tw = (batch.column("ts_us").combine_chunks()
+              .to_numpy(zero_copy_only=False) // _WEEK_US)
+        cw = batch.column("cohort_week").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "cohort_week": pa.array(cw, pa.int64()),
+            "age_weeks": pa.array(tw - cw, pa.int64()),
+            "user_id": batch.column("user_id"),
+        })
+
+    cells = joined.map_batches(to_cells, batch_format="pyarrow",
+                               runtime_env=runtime_env())
+    distinct = grouped_agg(cells, ["cohort_week", "age_weeks", "user_id"],
+                           [("__n", "", "count")])
+    return grouped_agg(distinct, ["cohort_week", "age_weeks"],
+                       [("n_users", "", "count")])
+
+
+_SQL_COHORT_RETENTION = f"""
+WITH f AS (
+  SELECT user_id, min(epoch_us(ts)) AS fus FROM events GROUP BY user_id
+), j AS (
+  SELECT e.user_id,
+         epoch_us(e.ts) // {_WEEK_US} AS tw,
+         f.fus // {_WEEK_US} AS cw
+  FROM events e JOIN f ON e.user_id = f.user_id
+)
+SELECT cw AS cohort_week, tw - cw AS age_weeks,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM j GROUP BY cw, tw - cw ORDER BY cohort_week, age_weeks
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -4853,6 +5096,9 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "split_assign": q_split_assign,
         "sample_k": q_sample_k,
         "top_tokens": q_top_tokens,
+        "top_tokens_by_source": q_top_tokens_by_source,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "cohort_retention": q_cohort_retention,
         "oov_rate": q_oov_rate,
         "vocab_hll": q_vocab_hll,
         "approx_users_by_type": q_approx_users_by_type,
@@ -4949,6 +5195,9 @@ def build_oracle_sql() -> Dict[str, str]:
         "split_assign": _SQL_SPLIT_ASSIGN,
         "sample_k": _SQL_SAMPLE_K,
         "top_tokens": _SQL_TOP_TOKENS,
+        "top_tokens_by_source": _SQL_TOP_TOKENS_BY_SOURCE,
+        "bpe_pair_counts": _SQL_BPE_PAIR_COUNTS,
+        "cohort_retention": _SQL_COHORT_RETENTION,
         "oov_rate": _SQL_OOV_RATE,
         "events_hopping": _SQL_EVENTS_HOPPING,
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,

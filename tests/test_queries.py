@@ -26,6 +26,9 @@ SPOT_CHECKED = [
     "split_assign",
     "sample_k",
     "top_tokens",
+    "top_tokens_by_source",
+    "bpe_pair_counts",
+    "cohort_retention",
     "oov_rate",
     "token_packing",
     "stratified_sample",
