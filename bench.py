@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "top_tokens_by_source",
     "bpe_pair_counts",
     "cohort_retention",
+    "recrawl_schedule",
     "vocab_hll",
     "approx_users_by_type",
     "token_freq_cms",

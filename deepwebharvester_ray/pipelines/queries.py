@@ -4985,6 +4985,85 @@ ORDER BY n DESC, pair ASC LIMIT {BPE_PAIRS_K}
 """
 
 
+RECRAWL_BUDGET = 5  # refetch batch size per host per politeness round
+
+
+def q_recrawl_schedule(sf_dir: str):
+    """Recrawl scheduling under a per-host politeness budget: for every
+    host, the ``RECRAWL_BUDGET`` STALEST pages (oldest ``warc_ts``) — the
+    batch a freshness-driven crawler refetches next round without
+    violating per-host rate limits.
+
+    Scale shape: per-host top-k over a LOW-cardinality host key must not
+    sort (a sort on a ~64-value key puts an entire host in one block —
+    the stratified_sample lesson), so this is the exact TWO-LEVEL
+    selection: each corpus block emits its local per-host k-oldest
+    (≤ hosts×k rows), and one bounded merge block applies the same mask
+    globally — per-host k-oldest survives local pruning, so the
+    composition is exact.  The read is pruned to (url, warc_ts); html
+    never leaves storage."""
+    import re as _re
+
+    import ray
+
+    from ..corpus import HOSTS
+    from ..functions.dedup import run_rank
+
+    corpus = corpus_from_documents(sf_dir)
+    ds = ray.data.read_parquet(corpus, columns=["url", "warc_ts"])
+    doc_re = _re.compile(r"/d/(\d+)$")
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ts_us = (batch.column("warc_ts").combine_chunks().cast(pa.int64())
+                 .to_numpy(zero_copy_only=False))
+        docs = np.asarray(
+            [int(doc_re.search(u).group(1))
+             for u in batch.column("url").to_pylist()], np.int64)
+        return pa.table({
+            "host_idx": pa.array(docs % HOSTS, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "ts_us": pa.array(ts_us, pa.int64()),
+        })
+
+    def oldest_per_host(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        hosts = batch.column("host_idx").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        docs = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ts = batch.column("ts_us").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((docs, ts, hosts))
+        keep = order[run_rank(hosts[order]) < RECRAWL_BUDGET]
+        return batch.take(pa.array(np.sort(keep)))
+
+    part = ds.map_batches(parse, batch_format="pyarrow",
+                          runtime_env=runtime_env()).map_batches(
+        oldest_per_host, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+    return part.repartition(1).map_batches(
+        oldest_per_host, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+
+
+def _sql_recrawl_schedule() -> str:
+    from ..corpus import BASE_TS, HOSTS
+
+    base_us = int(BASE_TS.timestamp() * 1_000_000)
+    return f"""
+WITH p AS (
+  SELECT doc_id, doc_id % {HOSTS} AS host_idx,
+         {base_us} + doc_id * 1000000 AS ts_us
+  FROM documents
+)
+SELECT host_idx, doc_id, ts_us FROM p
+QUALIFY row_number() OVER (
+    PARTITION BY host_idx ORDER BY ts_us, doc_id) <= {RECRAWL_BUDGET}
+ORDER BY host_idx, doc_id
+"""
+
+
 _WEEK_US = 604_800_000_000  # 7 days in epoch microseconds
 
 
@@ -5099,6 +5178,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "top_tokens_by_source": q_top_tokens_by_source,
         "bpe_pair_counts": q_bpe_pair_counts,
         "cohort_retention": q_cohort_retention,
+        "recrawl_schedule": q_recrawl_schedule,
         "oov_rate": q_oov_rate,
         "vocab_hll": q_vocab_hll,
         "approx_users_by_type": q_approx_users_by_type,
@@ -5198,6 +5278,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "top_tokens_by_source": _SQL_TOP_TOKENS_BY_SOURCE,
         "bpe_pair_counts": _SQL_BPE_PAIR_COUNTS,
         "cohort_retention": _SQL_COHORT_RETENTION,
+        "recrawl_schedule": _sql_recrawl_schedule(),
         "oov_rate": _SQL_OOV_RATE,
         "events_hopping": _SQL_EVENTS_HOPPING,
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,

@@ -29,6 +29,7 @@ SPOT_CHECKED = [
     "top_tokens_by_source",
     "bpe_pair_counts",
     "cohort_retention",
+    "recrawl_schedule",
     "oov_rate",
     "token_packing",
     "stratified_sample",

@@ -334,6 +334,67 @@ def run_passage(dup: int, sf_dir: str) -> dict:
     }
 
 
+def run_bpe(dup: int, sf_dir: str) -> dict:
+    """bpe_pair_counts on a ``dup``×-replicated corpus — the text is
+    identical across copies, so the DISTINCT-WORD table (the only thing
+    the pair stage ever sees) must stay CONSTANT while corpus tokens
+    grow dup×.  Evidence: vocab_rows and pair_rows flat across dup,
+    driver RSS flat, wall grows ~linearly only in the explode stage."""
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray import runtime_env
+    from deepwebharvester_ray.functions.agg import grouped_agg
+    from deepwebharvester_ray.functions.textops import WORD_RE
+
+    parts = []
+    for _ in range(dup):
+        parts.append(ray.data.read_parquet(
+            str(Path(sf_dir) / "documents.parquet"), columns=["text"]))
+    ds = parts[0] if dup == 1 else parts[0].union(*parts[1:])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = []
+        for t in batch.column("text").to_pylist():
+            toks.extend(WORD_RE.findall((t or "").lower()))
+        return pa.table({"w": pa.array(toks, pa.string())})
+
+    t0 = time.monotonic()
+    words = grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        ["w"], [("n", "", "count")],
+    ).materialize()
+    vocab_rows = words.count()
+
+    def pair_explode(batch: pa.Table) -> pa.Table:
+        ws = batch.column("w").to_pylist()
+        ns = batch.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pairs, weights = [], []
+        for w, n in zip(ws, ns):
+            for i in range(len(w) - 1):
+                pairs.append(w[i:i + 2])
+                weights.append(n)
+        t = pa.table({"pair": pa.array(pairs, pa.string()),
+                      "n": pa.array(weights, pa.int64())})
+        return t.group_by(["pair"]).aggregate([("n", "sum")]).select(
+            ["pair", "n_sum"]).rename_columns(["pair", "n"])
+
+    pair_counts = grouped_agg(
+        words.map_batches(pair_explode, batch_format="pyarrow",
+                          batch_size=None, runtime_env=runtime_env()),
+        ["pair"], [("n", "n", "sum")],
+    ).materialize()
+    return {
+        "case": "bpe", "dup": dup,
+        "vocab_rows": vocab_rows,
+        "pair_rows": pair_counts.count(),
+        "wall_s": round(time.monotonic() - t0, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
 def run_skewjoin(n: int, plain: bool) -> dict:
     """Fact⋈dim under a planted 40%-share hot key at n rows: the case
     skew_join exists for.  ``--plain`` runs the native hash join instead
@@ -397,7 +458,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("case", choices=["minhash", "frontier", "highcard",
                                     "interval", "pagerank", "semdedup",
-                                    "passage", "skewjoin"])
+                                    "passage", "skewjoin", "bpe"])
     p.add_argument("--dup", type=int, default=1)
     p.add_argument("--seeds", type=int, default=10_000)
     p.add_argument("--shards", type=int, default=None)
@@ -432,6 +493,8 @@ def main() -> None:
             out = run_passage(args.dup, args.sf)
         elif args.case == "skewjoin":
             out = run_skewjoin(args.n, args.plain)
+        elif args.case == "bpe":
+            out = run_bpe(args.dup, args.sf)
         else:
             out = run_highcard(args.n)
     finally:
