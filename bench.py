@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "orders_by_segment",
     "orders_join_native",
     "lineitem_orders_join",
+    "local_supplier_revenue",
     "top_orders_q3",
     "lineitem_pricing",
     "ann_ivf",

@@ -4985,6 +4985,138 @@ ORDER BY n DESC, pair ASC LIMIT {BPE_PAIRS_K}
 """
 
 
+_Q5_REGION = "ASIA"
+
+
+def q_local_supplier_revenue(sf_dir: str):
+    """The TPC-H Q5 shape — a SIX-table join (region ⋈ nation ⋈ supplier
+    ⋈ customer ⋈ orders ⋈ lineitem with the local-supplier correlation
+    c_nationkey = s_nationkey) — as a mixed-strategy plan chosen by side
+    size, the deepest join composition in the catalog:
+
+    * region⋈nation (5 × 25 rows) folds driver-side into the qualifying
+      nation-key set before Ray sees anything;
+    * supplier and customer are DIMENSIONS → one ``ray.put`` each of a
+      sorted (key → nationkey) pair of arrays, attached per batch by
+      vectorized searchsorted (the orders_by_segment / skew_join hot-side
+      pattern — dimensions never enter a shuffle);
+    * orders, pre-filtered to customers in qualifying nations (a
+      broadcast semi-filter that also shrinks the exchange), meets
+      lineitem in the ONE genuinely large×large NATIVE hash-shuffle
+      join on the orderkey;
+    * the local-supplier correlation and the region filter are pure
+      vectorized masks after the join; revenue is exact integer cents.
+
+    At 100 TB the only all-to-all is the fact⋈fact exchange — every
+    dimension rides the object store once."""
+    import ray
+
+    from ..broadcast import cached_get
+    from ..functions.partition import coalesce_nonempty
+
+    nat = pq.read_table(str(Path(sf_dir) / "nation.parquet"),
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(str(Path(sf_dir) / "region.parquet"),
+                        columns=["r_regionkey", "r_name"])
+    reg_keys = {k for k, nm in zip(reg.column("r_regionkey").to_pylist(),
+                                   reg.column("r_name").to_pylist())
+                if nm == _Q5_REGION}
+    nkeys = np.asarray(nat.column("n_nationkey").to_pylist(), np.int64)
+    nregs = np.asarray(nat.column("n_regionkey").to_pylist(), np.int64)
+    names = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+    in_region = np.isin(nregs, np.asarray(sorted(reg_keys), np.int64))
+    qual_nations = np.sort(nkeys[in_region])
+    name_of = names[np.argsort(nkeys)]  # nationkey → n_name (keys dense-sorted)
+    nkeys_sorted = np.sort(nkeys)
+
+    def _dim_map(table: str, key: str, val: str):
+        t = pq.read_table(str(Path(sf_dir) / f"{table}.parquet"),
+                          columns=[key, val])
+        k = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column(val).to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(k)
+        return ray.put((k[o], v[o]))
+
+    supp_ref = _dim_map("supplier", "s_suppkey", "s_nationkey")
+    cust_ref = _dim_map("customer", "c_custkey", "c_nationkey")
+    qual_ref = ray.put(qual_nations)
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def attach_cust_nation(batch: pa.Table) -> pa.Table:
+        ck, cn = cached_get(cust_ref)
+        qual = cached_get(qual_ref)
+        keys = batch.column("o_custkey").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        idx = np.searchsorted(ck, keys)
+        idx[idx >= len(ck)] = 0
+        ok = ck[idx] == keys
+        cnat = np.where(ok, cn[idx], -1)
+        keep = ok & np.isin(cnat, qual)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey").filter(pa.array(keep)),
+            "cust_nation": pa.array(cnat[keep], pa.int64()),
+        })
+
+    o_f = coalesce_nonempty(orders.map_batches(
+        attach_cust_nation, batch_format="pyarrow",
+        runtime_env=runtime_env()))
+    li = coalesce_nonempty(_read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]))
+    joined = li.join(o_f, "inner",
+                     num_partitions=_shuffle_parts(sf_dir, "lineitem"),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    name_ref = ray.put((nkeys_sorted, name_of))
+
+    def local_revenue(batch: pa.Table) -> pa.Table:
+        sk, sn = cached_get(supp_ref)
+        nk, nm = cached_get(name_ref)
+        supp = batch.column("l_suppkey").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        idx = np.searchsorted(sk, supp)
+        idx[idx >= len(sk)] = 0
+        snat = np.where(sk[idx] == supp, sn[idx], -1)
+        cnat = batch.column("cust_nation").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = snat == cnat  # local-supplier correlation (region already
+        # enforced via the qualifying customer-nation semi-filter)
+        ep = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[keep]
+        disc = batch.column("l_discount").to_numpy(
+            zero_copy_only=False)[keep]
+        cents = np.floor(ep * (1.0 - disc) * 100.0).astype(np.int64)
+        nmi = np.searchsorted(nk, snat[keep])
+        return pa.table({
+            "n_name": pa.array(nm[nmi].tolist(), pa.string()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    rev = joined.map_batches(local_revenue, batch_format="pyarrow",
+                             runtime_env=runtime_env())
+    return grouped_agg(
+        rev, ["n_name"],
+        [("n_items", "", "count"), ("revenue_cents", "cents", "sum")],
+    )
+
+
+_SQL_LOCAL_SUPPLIER_REVENUE = f"""
+SELECT n.n_name, count(*) AS n_items,
+       CAST(sum(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount))
+                           * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey AND r.r_name = '{_Q5_REGION}'
+GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+
 RECRAWL_BUDGET = 5  # refetch batch size per host per politeness round
 
 
@@ -5226,6 +5358,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "orders_join_native": q_orders_join_native,
         "skewed_orders_join": q_skewed_orders_join,
         "lineitem_orders_join": q_lineitem_orders_join,
+        "local_supplier_revenue": q_local_supplier_revenue,
         "top_orders_q3": q_top_orders_q3,
         "lineitem_pricing": q_lineitem_pricing,
         "risk_histogram": q_risk_histogram,
@@ -5322,6 +5455,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "orders_join_native": _SQL_ORDERS_BY_SEGMENT,
         "skewed_orders_join": _SQL_SKEWED_ORDERS_JOIN,
         "lineitem_orders_join": _SQL_LINEITEM_ORDERS_JOIN,
+        "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
         "top_orders_q3": _SQL_TOP_ORDERS_Q3,
         "lineitem_pricing": _SQL_LINEITEM_PRICING,
         "risk_histogram": _sql_risk_histogram(),

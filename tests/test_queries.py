@@ -36,6 +36,7 @@ SPOT_CHECKED = [
     "top_terms_tfidf",
     "jaccard_pairs",
     "lineitem_orders_join",
+    "local_supplier_revenue",
     "skewed_orders_join",
     "clicks_in_views",
     "user_deltas",
