@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "events_by_type",
     "event_sessions",
+    "event_sessions_stream",
     "events_hourly",
     "events_hopping",
     "neardup_clusters",

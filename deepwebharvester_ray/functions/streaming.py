@@ -1,0 +1,200 @@
+"""Streaming (micro-batch) sessionization over a keyed actor-shard pool.
+
+The batch sessionizer (queries.q_event_sessions) needs the WHOLE event
+log before it can sort; a crawler/telemetry pipeline sees events as an
+ordered stream and must emit per-user session aggregates continuously
+with BOUNDED state.  This module is that operator, Ray-native:
+
+* **Shards are Ray actors** keyed by ``hash(user) % n_shards`` — each
+  holds only its users' OPEN-session state (last_ts, event/session
+  counters) as sorted numpy arrays, updated per micro-batch with one
+  searchsorted + reduceat pass (no per-user Python in the hot loop).
+* **The stream is event-time ordered** (the standard watermark contract;
+  the simulator below produces it with one ``sort("ts")``).  Per-user
+  order then holds per shard automatically.
+* **Watermark eviction makes state bounded** — and for GAP
+  sessionization it is exactly correct: once ``watermark - gap`` passes
+  a user's last event, NO future event can extend that session (any
+  later event is > gap away by definition), so the user's aggregate is
+  frozen, emitted, and dropped.  A returning user simply opens a new
+  session; the final per-user totals are the grouped SUM of emitted
+  partials + residual state, bit-equal to the batch answer.
+
+Driver state is one micro-batch at a time (the driver plays the stream
+SOURCE here — in production that role belongs to the ingest system);
+per-shard state is O(open users on that shard); emitted partials flow
+to the result incrementally.
+
+Design parity: the same fetch-task→shard-actor topology as the crawl
+frontier (state/pqueue.ShardedFrontierQueue) — reference semantics from
+crawler.py's per-site session bookkeeping, re-expressed for streams.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+SESSION_GAP_US = 1800 * 1_000_000  # 30 virtual minutes, as the batch op
+
+
+def _empty_state() -> Tuple[np.ndarray, ...]:
+    z = np.empty(0, np.int64)
+    return z.copy(), z.copy(), z.copy(), z.copy()
+
+
+class _ShardState:
+    """Per-shard open-session state + vectorized micro-batch update.
+
+    Plain object (not itself an actor) so the same code drives both the
+    Ray actor wrapper and in-process tests.
+    """
+
+    def __init__(self, gap_us: int = SESSION_GAP_US) -> None:
+        self.gap_us = gap_us
+        # sorted by uid; last_ts of the OPEN session, running counters
+        self.uids, self.last_ts, self.n_events, self.n_sessions = \
+            _empty_state()
+
+    def ingest(self, uids: np.ndarray, ts_us: np.ndarray) -> None:
+        """Fold one event-time-ordered micro-batch into the state."""
+        if len(uids) == 0:
+            return
+        order = np.lexsort((ts_us, uids))
+        u, t = uids[order], ts_us[order]
+        # in-batch session starts (same kernel as the batch operator)
+        new_sess = np.ones(len(u), np.int64)
+        if len(u) > 1:
+            cont = (u[1:] == u[:-1]) & ((t[1:] - t[:-1]) <= self.gap_us)
+            new_sess[1:] = (~cont).astype(np.int64)
+        heads = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        run_ev = np.add.reduceat(np.ones(len(u), np.int64), heads)
+        run_sess = np.add.reduceat(new_sess, heads)
+        run_uid = u[heads]
+        run_last = t[np.concatenate([heads[1:] - 1, [len(u) - 1]])]
+        run_first = t[heads]
+
+        # stitch run heads onto stored open sessions
+        pos = np.searchsorted(self.uids, run_uid)
+        pos_c = np.minimum(pos, max(len(self.uids) - 1, 0))
+        if len(self.uids):
+            seen = self.uids[pos_c] == run_uid
+            cont = seen & ((run_first - self.last_ts[pos_c]) <= self.gap_us)
+        else:
+            seen = np.zeros(len(run_uid), bool)
+            cont = seen
+        # a continuing head merges its first session with the open one
+        run_sess = run_sess - cont.astype(np.int64)
+
+        # update existing users in place
+        upd = np.flatnonzero(seen)
+        if len(upd):
+            tgt = pos_c[upd]
+            self.last_ts[tgt] = run_last[upd]
+            self.n_events[tgt] += run_ev[upd]
+            self.n_sessions[tgt] += run_sess[upd]
+        # merge new users (sorted insert)
+        new = np.flatnonzero(~seen)
+        if len(new):
+            ins = pos[new]
+            self.uids = np.insert(self.uids, ins, run_uid[new])
+            self.last_ts = np.insert(self.last_ts, ins, run_last[new])
+            self.n_events = np.insert(self.n_events, ins, run_ev[new])
+            self.n_sessions = np.insert(self.n_sessions, ins,
+                                        run_sess[new])
+
+    def evict(self, watermark_us: int) -> pa.Table:
+        """Emit and drop every user whose open session is CLOSED by the
+        watermark (last_ts + gap < watermark) — exact for gap
+        sessionization: no future event can extend those sessions."""
+        closed = (self.last_ts + self.gap_us) < watermark_us
+        out = pa.table({
+            "user_id": pa.array(self.uids[closed], pa.int64()),
+            "n_events": pa.array(self.n_events[closed], pa.int64()),
+            "n_sessions": pa.array(self.n_sessions[closed], pa.int64()),
+        })
+        keep = ~closed
+        self.uids, self.last_ts = self.uids[keep], self.last_ts[keep]
+        self.n_events, self.n_sessions = (self.n_events[keep],
+                                          self.n_sessions[keep])
+        return out
+
+    def finalize(self) -> pa.Table:
+        return self.evict(np.iinfo(np.int64).max)
+
+    def state_rows(self) -> int:
+        return len(self.uids)
+
+
+def streaming_sessionize(ds, gap_us: int = SESSION_GAP_US,
+                         n_shards: int = 4, micro_batch: int = 32768,
+                         evict_every: int = 4,
+                         return_stats: bool = False):
+    """Run gap sessionization as a micro-batched stream over ``ds``
+    (columns ``user_id``, ``ts``) and return a Dataset of
+    (user_id, n_events, n_sessions) — bit-equal to the batch operator.
+
+    The event-time-ordered stream is simulated with ONE ``sort("ts")``;
+    each micro-batch is hash-routed to shard actors; each shard evicts
+    closed users at every watermark advance, so emitted partials leave
+    actor memory continuously and per-shard state tracks only OPEN
+    sessions.  The final table is the grouped sum of partials —
+    eviction can split a user only at a >gap boundary, where session
+    counts are additive by construction.
+    """
+    import ray
+
+    from .. import runtime_env
+    from .agg import grouped_agg
+
+    Shard = ray.remote(num_cpus=0.5)(_ShardState)
+    shards: List = [Shard.remote(gap_us) for _ in range(n_shards)]
+    emitted: List[pa.Table] = []
+    max_state = 0
+
+    stream = ds.sort("ts")
+    for i, chunk in enumerate(stream.iter_batches(batch_size=micro_batch,
+                                                  batch_format="pyarrow")):
+        if chunk.num_rows == 0:
+            continue
+        uids = chunk.column("user_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ts_col = chunk.column("ts")
+        if isinstance(ts_col, pa.ChunkedArray):
+            ts_col = ts_col.combine_chunks()
+        ts_us = ts_col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sh = (uids % np.int64(n_shards)).astype(np.int64)
+        pend = [shards[s].ingest.remote(uids[sh == s], ts_us[sh == s])
+                for s in range(n_shards) if np.any(sh == s)]
+        ray.get(pend)
+        if (i + 1) % evict_every:
+            continue
+        # watermark = max event time seen (ordered stream ⇒ monotone)
+        wm = int(ts_us.max())
+        parts = ray.get([s.evict.remote(wm) for s in shards])
+        emitted.extend(p for p in parts if p.num_rows)
+        max_state = max(max_state,
+                        sum(ray.get([s.state_rows.remote()
+                                     for s in shards])))
+
+    finals = ray.get([s.finalize.remote() for s in shards])
+    emitted.extend(p for p in finals if p.num_rows)
+    for s in shards:
+        ray.kill(s)
+    if not emitted:
+        out = ray.data.from_arrow(pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "n_sessions": pa.array([], pa.int64()),
+        }))
+    else:
+        partials = ray.data.from_arrow(emitted)
+        out = grouped_agg(partials, ["user_id"],
+                          [("n_events", "n_events", "sum"),
+                           ("n_sessions", "n_sessions", "sum")])
+    if return_stats:
+        stats = {"max_open_state_rows": max_state,
+                 "emitted_partials": len(emitted)}
+        return out, stats
+    return out

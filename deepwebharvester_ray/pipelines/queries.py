@@ -4985,6 +4985,22 @@ ORDER BY n DESC, pair ASC LIMIT {BPE_PAIRS_K}
 """
 
 
+def q_event_sessions_stream(sf_dir: str):
+    """The STREAMING twin of event_sessions: the same 30-minute gap
+    sessionization computed incrementally over an event-time-ordered
+    micro-batch stream by keyed shard actors with watermark eviction
+    (``functions.streaming.streaming_sessionize``) — per-shard state
+    holds OPEN sessions only; closed users are emitted and dropped as
+    the watermark advances, so actor memory is bounded by concurrent
+    users, not history.  Checked against the identical SQL oracle as
+    the batch operator (gap eviction is exact for gap sessionization)."""
+    from ..functions.streaming import streaming_sessionize
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+    return streaming_sessionize(ds)
+
+
 _Q5_REGION = "ASIA"
 
 
@@ -5354,6 +5370,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "events_by_type": q_events_by_type,
         "top_users": q_top_users,
         "event_sessions": q_event_sessions,
+        "event_sessions_stream": q_event_sessions_stream,
         "orders_by_segment": q_orders_by_segment,
         "orders_join_native": q_orders_join_native,
         "skewed_orders_join": q_skewed_orders_join,
@@ -5451,6 +5468,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "events_by_type": _SQL_EVENTS_BY_TYPE,
         "top_users": _SQL_TOP_USERS,
         "event_sessions": _SQL_EVENT_SESSIONS,
+        "event_sessions_stream": _SQL_EVENT_SESSIONS,
         "orders_by_segment": _SQL_ORDERS_BY_SEGMENT,
         "orders_join_native": _SQL_ORDERS_BY_SEGMENT,
         "skewed_orders_join": _SQL_SKEWED_ORDERS_JOIN,

@@ -17,7 +17,8 @@ TABLES = [
 
 SPOT_CHECKED = [
     "extract_pages", "exact_dedup", "token_counts", "threat_scores",
-    "lang_id", "events_by_type", "event_sessions", "ann_topk",
+    "lang_id", "events_by_type", "event_sessions",
+    "event_sessions_stream", "ann_topk",
     "ngram_overlap",
     "passage_profile",
     "price_quantiles",

@@ -1,0 +1,119 @@
+"""Streaming (micro-batch) sessionization: equality with the batch
+operator, watermark-eviction boundedness, and the in-process shard
+kernel's stitching rules."""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from deepwebharvester_ray.functions.streaming import (
+    SESSION_GAP_US,
+    _ShardState,
+    streaming_sessionize,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+MIN30 = SESSION_GAP_US
+US = 1_000_000
+
+
+def _table(rows):
+    uids = np.array([r[0] for r in rows], np.int64)
+    ts = np.array([r[1] for r in rows], np.int64)
+    return uids, ts
+
+
+class TestShardKernel:
+    def test_single_burst_one_session(self):
+        st = _ShardState()
+        st.ingest(*_table([(1, 0), (1, 10 * US), (1, MIN30)]))
+        out = st.finalize()
+        assert out.to_pydict() == {
+            "user_id": [1], "n_events": [3], "n_sessions": [1]}
+
+    def test_gap_splits_sessions_within_batch(self):
+        st = _ShardState()
+        st.ingest(*_table([(1, 0), (1, MIN30 + 1)]))
+        assert st.finalize().column("n_sessions").to_pylist() == [2]
+
+    def test_cross_batch_stitching_continues_session(self):
+        st = _ShardState()
+        st.ingest(*_table([(1, 0)]))
+        st.ingest(*_table([(1, MIN30)]))  # exactly at the gap: continues
+        assert st.finalize().column("n_sessions").to_pylist() == [1]
+
+    def test_cross_batch_gap_opens_new_session(self):
+        st = _ShardState()
+        st.ingest(*_table([(1, 0)]))
+        st.ingest(*_table([(1, MIN30 + 1)]))
+        assert st.finalize().column("n_sessions").to_pylist() == [2]
+
+    def test_eviction_is_exact_for_returning_user(self):
+        st = _ShardState()
+        st.ingest(*_table([(1, 0), (2, 0)]))
+        ev = st.evict(MIN30 + 2)  # both open sessions are closed
+        assert ev.num_rows == 2 and st.state_rows() == 0
+        st.ingest(*_table([(1, 10 * MIN30)]))  # user 1 returns
+        fin = st.finalize()
+        assert fin.column("user_id").to_pylist() == [1]
+        # partial + residual sum to 2 sessions for user 1
+        total = {u: s for u, s in zip(ev.column("user_id").to_pylist(),
+                                      ev.column("n_sessions").to_pylist())}
+        total[1] = total.get(1, 0) + fin.column("n_sessions").to_pylist()[0]
+        assert total == {1: 2, 2: 1}
+
+    def test_unsorted_batch_is_ordered_internally(self):
+        st = _ShardState()
+        st.ingest(*_table([(2, 5), (1, MIN30 + 1), (1, 0), (2, 0)]))
+        out = st.finalize()
+        assert out.column("user_id").to_pylist() == [1, 2]
+        assert out.column("n_sessions").to_pylist() == [2, 1]
+
+
+def test_stream_equals_batch(ray_session):
+    import ray
+
+    from deepwebharvester_ray.pipelines.queries import q_event_sessions
+
+    ds = ray.data.read_parquet(f"{SF_SMOKE}/events.parquet",
+                               columns=["user_id", "ts"])
+    got, stats = streaming_sessionize(ds, micro_batch=512, evict_every=2,
+                                      return_stats=True)
+    got = got.to_pandas().sort_values("user_id").reset_index(drop=True)
+    want = (q_event_sessions(SF_SMOKE).to_pandas()
+            .sort_values("user_id").reset_index(drop=True))
+    assert got.equals(want)
+    n_users = len(want)
+    # boundedness: eviction kept open state below the full user set
+    assert 0 < stats["max_open_state_rows"] <= n_users
+    assert stats["emitted_partials"] >= 1
+
+
+def test_eviction_bounds_state_on_bursty_stream(ray_session):
+    import ray
+
+    # 200 users active in week 1 only, 200 different users in week 9:
+    # with eviction the open state never holds both populations.
+    rows_u, rows_t = [], []
+    for u in range(200):
+        rows_u += [u, u]
+        rows_t += [u * US, u * US + 5 * US]
+    for u in range(1000, 1200):
+        rows_u += [u, u]
+        rows_t += [10 * MIN30 + u * US, 10 * MIN30 + u * US + 5 * US]
+    t = pa.table({"user_id": pa.array(rows_u, pa.int64()),
+                  "ts": pa.array(np.array(rows_t, np.int64),
+                                 pa.timestamp("us"))})
+    ds = ray.data.from_arrow(t)
+    out, stats = streaming_sessionize(ds, micro_batch=100, evict_every=1,
+                                      return_stats=True)
+    pdf = out.to_pandas()
+    assert len(pdf) == 400
+    assert (pdf["n_sessions"] == 1).all() and (pdf["n_events"] == 2).all()
+    assert stats["max_open_state_rows"] < 400
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-q"]))
