@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "vocab_hll",
     "approx_users_by_type",
     "token_freq_cms",
+    "heavy_tokens_mg",
     "value_quantiles_sketch",
     "token_packing",
     "neardup_embeddings",

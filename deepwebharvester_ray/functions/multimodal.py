@@ -184,3 +184,85 @@ def frame_sample(
         concurrency=concurrency,
         runtime_env=runtime_env(),
     )
+
+
+class ResizeStage:
+    """Actor-pool image-resize stage.
+
+    Contract: binary "image" column in → ``pixels`` (``large_binary``,
+    the resized ``out_h × out_w`` uint8 raster) + ``src_h``/``src_w``
+    metadata out.  Only the codec DECODE is stubbed (``fake=False``
+    raises, as DecodeStage): with ``fake=True`` the payload bytes are
+    reinterpreted as a square-ish uint8 grayscale raster.  The RESIZE
+    itself — nearest-neighbor via two integer index gathers — is real,
+    vectorized math, identical to what runs after a real ``PIL.Image``
+    decode, so the actor plumbing, batch sizing, and output layout are
+    all production-shaped."""
+
+    def __init__(self, binary_column: str = "payload", out_h: int = 16,
+                 out_w: int = 16, fake: bool = False) -> None:
+        self._col = binary_column
+        self._h, self._w = out_h, out_w
+        self._fake = fake
+        # a real codec (PIL/turbojpeg handle) would be opened HERE,
+        # once per actor; the gather index CACHE below is per-actor too
+        self._idx_cache: dict = {}
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if not self._fake:
+            raise NotImplementedError(
+                "image decode not available in this environment; "
+                "construct ResizeStage(fake=True) for the raw-raster stub"
+            )
+        buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+        w = max(1, int(np.sqrt(len(buf))))
+        h = max(1, len(buf) // w)
+        return buf[: h * w].reshape(h, w)
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape
+        key = (h, w)
+        if key not in self._idx_cache:
+            # nearest-neighbor sample positions (pixel-center rule)
+            ry = ((np.arange(self._h) + 0.5) * h / self._h).astype(np.intp)
+            rx = ((np.arange(self._w) + 0.5) * w / self._w).astype(np.intp)
+            self._idx_cache[key] = (np.minimum(ry, h - 1),
+                                    np.minimum(rx, w - 1))
+        ry, rx = self._idx_cache[key]
+        return img[ry][:, rx]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pixels, src_h, src_w = [], [], []
+        for b in batch.column(self._col).to_pylist():
+            img = self._decode(b)
+            src_h.append(img.shape[0])
+            src_w.append(img.shape[1])
+            pixels.append(self._resize(img).tobytes())
+        out = {n: batch.column(n) for n in batch.column_names
+               if n != self._col}
+        out["pixels"] = pa.array(pixels, pa.large_binary())
+        out["src_h"] = pa.array(src_h, pa.int64())
+        out["src_w"] = pa.array(src_w, pa.int64())
+        return pa.table(out)
+
+
+def resize_images(
+    ds,
+    binary_column: str = "payload",
+    out_h: int = 16,
+    out_w: int = 16,
+    fake: bool = False,
+    batch_size: int = 32,
+    concurrency=(1, 8),
+):
+    """Run the resize stage as an actor pool (image-sized payloads →
+    moderate batch size; per-actor gather-index cache warms across
+    batches)."""
+    return ds.map_batches(
+        ResizeStage,
+        fn_constructor_args=(binary_column, out_h, out_w, fake),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        runtime_env=runtime_env(),
+    )

@@ -312,3 +312,101 @@ def dd_quantiles(ds, value_column: str, ps, alpha: float = 0.01):
         cols[f"q_{p}"] = [float(dd_bucket_value(
             np.asarray([buckets[i]]), alpha)[0])]
     return pa.table({k: pa.array(v, pa.float64()) for k, v in cols.items()})
+
+
+# ── mergeable heavy hitters (Misra–Gries / Space-Saving family) ──────────────
+#
+# Deterministic frequency summary with k counters: every stream item's
+# estimate satisfies ``true - err_ub <= est <= true`` and every item with
+# frequency > err_ub is GUARANTEED present (Misra–Gries 1982; merge rule
+# from Agarwal et al., "Mergeable Summaries", PODS 2012 — public
+# algorithms).  The exact top_tokens path shuffles the full vocabulary;
+# this sketch bounds per-block AND merged state at k counters, the
+# right tool when the vocabulary itself is unshuffleable (10^9+ tokens)
+# and only the heavy tail matters.
+#
+# Distributed shape (two prune levels): each block collapses to its
+# local np.unique counts pruned to k (one subtraction — the MG
+# reduction), partials merge by a grouped SUM at ≤ blocks×k rows, and
+# ONE final prune returns k counters.  Each prune level decrements any
+# item by at most N_level/(k+1), so the hierarchical bound is
+# err_ub ≤ 2·N/(k+1) (vs N/(k+1) for a flat single-pass MG) — the
+# factor-2 price of a one-round tree merge, pinned in tests.
+
+
+def mg_prune(tokens: np.ndarray, counts: np.ndarray, k: int):
+    """The Misra–Gries reduction: subtract the (k+1)-th largest count
+    from every counter and keep the positive ones (≤ k survive).
+    Returns (tokens, counts, decrement) — decrement is the error this
+    prune adds to every surviving/deleted estimate."""
+    if len(tokens) <= k:
+        return tokens, counts, 0
+    kth = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    kept = counts > kth
+    return tokens[kept], counts[kept] - kth, int(kth)
+
+
+def mg_topk(ds, value_column: str, k: int = 64) -> pa.Table:
+    """k-counter mergeable heavy-hitters summary of a string column's
+    occurrences.  Output: (token, est_n, err_ub, n_total) sorted by
+    est_n desc — ``est_n ≤ true ≤ est_n + err_ub`` for present tokens,
+    ``true ≤ err_ub`` for absent ones, and every token with true
+    frequency > err_ub is guaranteed present.
+
+    The per-block prune decrements and the block weights ride the SAME
+    grouped merge as the counters (one sentinel row per block), so the
+    driver never sees anything bigger than the ≤ blocks×k merged
+    summary; ``err_ub = Σ block decrements + final decrement ≤
+    2·N/(k+1)``.
+    """
+    from .agg import grouped_agg
+
+    META = "\x00meta"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(value_column).to_pylist()
+        if not vals:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "dec": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(np.asarray(vals, dtype=object),
+                              return_counts=True)
+        toks, cnts, dec = mg_prune(uniq, cnt.astype(np.int64), k)
+        return pa.table({
+            "token": pa.array(toks.tolist() + [META], pa.string()),
+            "n": pa.array(np.concatenate([cnts, [0]]), pa.int64()),
+            "dec": pa.array(
+                np.concatenate([np.zeros(len(toks), np.int64), [dec]]),
+                pa.int64()),
+            "w": pa.array(
+                np.concatenate([np.zeros(len(toks), np.int64),
+                                [len(vals)]]), pa.int64()),
+        })
+
+    merged = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["token"],
+        [("n", "n", "sum"), ("dec", "dec", "sum"), ("w", "w", "sum")],
+        final_mode="single",
+    ).take_all()  # ≤ blocks×k + 1 rows by construction
+    toks = np.asarray([r["token"] for r in merged], dtype=object)
+    ns = np.fromiter((r["n"] for r in merged), np.int64, len(merged))
+    decs = np.fromiter((r["dec"] for r in merged), np.int64, len(merged))
+    ws = np.fromiter((r["w"] for r in merged), np.int64, len(merged))
+    meta = toks == META
+    total_dec = int(decs[meta].sum())
+    total_w = int(ws[meta].sum())
+    toks, ns = toks[~meta], ns[~meta]
+    toks2, ns2, dec2 = mg_prune(toks, ns, k)
+    err_ub = total_dec + dec2
+    order = np.lexsort((toks2, -ns2))
+    return pa.table({
+        "token": pa.array(toks2[order].tolist(), pa.string()),
+        "est_n": pa.array(ns2[order], pa.int64()),
+        "err_ub": pa.array(np.full(len(toks2), err_ub, np.int64),
+                           pa.int64()),
+        "n_total": pa.array(np.full(len(toks2), total_w, np.int64),
+                            pa.int64()),
+    })

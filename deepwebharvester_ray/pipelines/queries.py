@@ -4985,6 +4985,32 @@ ORDER BY n DESC, pair ASC LIMIT {BPE_PAIRS_K}
 """
 
 
+def q_heavy_tokens_mg(sf_dir: str):
+    """Misra–Gries mergeable heavy hitters (k=64 counters) over the
+    corpus token stream — the DETERMINISTIC-guarantee twin of the exact
+    top_tokens path for vocabularies too large to shuffle: per-block
+    and merged state are both bounded at k counters, and every token
+    with true frequency > err_ub is guaranteed present with
+    ``est_n ≤ true ≤ est_n + err_ub``.  Rows-only (approximate by
+    design); the guarantees are pinned against exact counts in
+    tests/test_functions.py."""
+    from ..functions.sketch import mg_topk
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks: List[str] = []
+        for t in batch.column("text").to_pylist():
+            toks.extend(WORD_RE.findall((t or "").lower()))
+        return pa.table({"token": pa.array(toks, pa.string())})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              runtime_env=runtime_env())
+    return mg_topk(exploded, "token", k=64)
+
+
 def q_event_sessions_stream(sf_dir: str):
     """The STREAMING twin of event_sessions: the same 30-minute gap
     sessionization computed incrementally over an event-time-ordered
@@ -5330,6 +5356,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "oov_rate": q_oov_rate,
         "vocab_hll": q_vocab_hll,
         "approx_users_by_type": q_approx_users_by_type,
+        "heavy_tokens_mg": q_heavy_tokens_mg,
         "token_freq_cms": q_token_freq_cms,
         "value_quantiles_sketch": q_value_quantiles_sketch,
         "events_hopping": q_events_hopping,
@@ -5494,4 +5521,5 @@ ROWS_ONLY: List[str] = [
     "multimodal_features", "vocab_hll", "neardup_embeddings_lsh",
     "semdedup_prune",
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
+    "heavy_tokens_mg",
 ]

@@ -260,6 +260,48 @@ def test_frame_sample_fake_plumbing():
     assert len(by_id[2]["frames"]) == 2
 
 
+def test_resize_stub_raises():
+    stage = multimodal.ResizeStage()
+    with pytest.raises(NotImplementedError):
+        stage(pa.table({"payload": pa.array([b"x"], pa.binary())}))
+
+
+def test_resize_nearest_neighbor_math():
+    """The resize kernel is real: downsample of a known raster picks the
+    pixel-center nearest neighbors; upsample repeats them; the gather
+    cache returns identical results across calls."""
+    stage = multimodal.ResizeStage(out_h=2, out_w=2, fake=True)
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    small = stage._resize(img)
+    # centers at rows/cols (0.5, 1.5)*4/2 = 1, 3
+    assert small.tolist() == [[5, 7], [13, 15]]
+    again = stage._resize(img)
+    assert (small == again).all() and len(stage._idx_cache) == 1
+    up = multimodal.ResizeStage(out_h=4, out_w=4, fake=True)._resize(
+        np.array([[1, 2], [3, 4]], np.uint8))
+    assert up.tolist() == [[1, 1, 2, 2], [1, 1, 2, 2],
+                           [3, 3, 4, 4], [3, 3, 4, 4]]
+
+
+def test_resize_actor_pool_plumbing(ray_session):
+    import ray
+
+    t = pa.table({"id": [1, 2],
+                  "payload": pa.array([bytes(range(64)),  # 8×8 raster
+                                       bytes(range(9))], pa.binary())})
+    out = multimodal.resize_images(ray.data.from_arrow(t), out_h=4,
+                                   out_w=4, fake=True,
+                                   batch_size=8).take_all()
+    by_id = {r["id"]: r for r in out}
+    assert (by_id[1]["src_h"], by_id[1]["src_w"]) == (8, 8)
+    px = np.frombuffer(by_id[1]["pixels"], np.uint8).reshape(4, 4)
+    # pixel centers at (0.5..3.5)*8/4 = rows/cols 1,3,5,7 of the 8×8 ramp
+    assert px.tolist() == (np.arange(64, dtype=np.uint8).reshape(8, 8)
+                           [[1, 3, 5, 7]][:, [1, 3, 5, 7]]).tolist()
+    assert (by_id[2]["src_h"], by_id[2]["src_w"]) == (3, 3)
+    assert len(by_id[2]["pixels"]) == 16
+
+
 def test_salted_repartition_spreads_hot_key(ray_session):
     """A mega-host's rows spread across n_salts sub-keys; cold hosts keep
     salt 0 (single partition each)."""
@@ -1373,3 +1415,69 @@ def test_ivfpq_topk_recall_and_full_probe_equivalence(emb_ds):
     full = ann.ivfpq_topk(emb_ds, q, k=10, n_cells=16, n_probe=16).to_pandas()
     plain = ann.pq_topk(emb_ds, q, k=10).to_pandas()
     assert full.equals(plain)
+
+
+def test_mg_prune_invariants():
+    from deepwebharvester_ray.functions.sketch import mg_prune
+
+    toks = np.asarray([f"t{i}" for i in range(100)], dtype=object)
+    cnts = np.arange(1, 101, dtype=np.int64)
+    out_t, out_c, dec = mg_prune(toks, cnts, 8)
+    assert len(out_t) <= 8
+    assert dec == 92  # the 9th-largest count
+    # survivors are the largest counters, each decremented by exactly dec
+    true = {f"t{i}": i + 1 for i in range(100)}
+    for t, c in zip(out_t, out_c):
+        assert c == true[t] - dec and c > 0
+    # no-op below k
+    same_t, same_c, d0 = mg_prune(toks[:5], cnts[:5], 8)
+    assert d0 == 0 and (same_c == cnts[:5]).all()
+
+
+def test_mg_topk_guarantees_vs_exact(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.sketch import mg_topk
+
+    rng = np.random.default_rng(7)
+    # zipf-ish stream with a long uniform tail
+    toks = []
+    for i in range(40):
+        toks.extend([f"hot{i}"] * (4000 // (i + 1)))
+    toks.extend(f"tail{i}" for i in range(5000))
+    rng.shuffle(toks)
+    n_total = len(toks)
+    k = 32
+    ds = ray.data.from_arrow(pa.table({
+        "token": pa.array(toks, pa.string())})).repartition(9)
+    out = mg_topk(ds, "token", k=k)
+    est = dict(zip(out.column("token").to_pylist(),
+                   out.column("est_n").to_pylist()))
+    err_ub = out.column("err_ub").to_pylist()[0]
+    assert out.column("n_total").to_pylist()[0] == n_total
+    assert out.num_rows <= k
+    assert err_ub <= 2 * n_total // (k + 1) + 1  # two prune levels
+    from collections import Counter
+
+    true = Counter(toks)
+    for t, e in est.items():
+        assert e <= true[t] <= e + err_ub, t
+    for t, c in true.items():
+        if c > err_ub:
+            assert t in est, f"guaranteed heavy hitter {t} missing"
+
+
+def test_mg_topk_blocking_insensitive_bounds(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.sketch import mg_topk
+
+    toks = [f"w{i % 11}" for i in range(2200)]
+    t = pa.table({"token": pa.array(toks, pa.string())})
+    for parts in (1, 7):
+        out = mg_topk(ray.data.from_arrow(t).repartition(parts),
+                      "token", k=16)
+        # 11 distinct < k: exact regardless of blocking
+        assert out.num_rows == 11
+        assert set(out.column("est_n").to_pylist()) == {200}
+        assert out.column("err_ub").to_pylist()[0] == 0

@@ -233,3 +233,63 @@ def test_hashed_scorer_is_a_bag(texts, rnd):
     again = scorer(pa.table({"id": list(range(len(texts))),
                              "text": shuffled})).column("score").to_pylist()
     assert base == again
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 20)), min_size=1,
+             max_size=60),
+    st.lists(st.booleans(), min_size=12, max_size=12),
+    st.randoms(),
+)
+def test_streaming_sessionize_kernel_equals_batch(pairs, evict_flags, rnd):
+    """Any event-time-ordered chunking of a stream, with arbitrary
+    watermark evictions between chunks, sums to the batch gap-session
+    answer — the invariant the streaming operator's exactness rests on.
+    Timestamps are in units of GAP/2 so boundaries (== gap, > gap) are
+    exercised densely."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from deepwebharvester_ray.functions.streaming import (SESSION_GAP_US,
+                                                          _ShardState)
+
+    unit = SESSION_GAP_US // 2
+    events = sorted((u, t * unit) for u, t in pairs)
+    events.sort(key=lambda e: e[1])  # event-time-ordered stream
+
+    # reference batch answer
+    per_user = defaultdict(list)
+    for u, t in events:
+        per_user[u].append(t)
+    want = {}
+    for u, ts in per_user.items():
+        ts.sort()
+        sess = 1 + sum(1 for a, b in zip(ts, ts[1:])
+                       if b - a > SESSION_GAP_US)
+        want[u] = (len(ts), sess)
+
+    # streamed with random chunk boundaries + optional evictions
+    st_state = _ShardState()
+    totals = defaultdict(lambda: [0, 0])
+
+    def drain(tbl):
+        for u, ne, ns in zip(tbl.column("user_id").to_pylist(),
+                             tbl.column("n_events").to_pylist(),
+                             tbl.column("n_sessions").to_pylist()):
+            totals[u][0] += ne
+            totals[u][1] += ns
+
+    i, chunk_idx = 0, 0
+    while i < len(events):
+        j = rnd.randint(i + 1, len(events))
+        chunk = events[i:j]
+        st_state.ingest(np.array([u for u, _ in chunk], np.int64),
+                        np.array([t for _, t in chunk], np.int64))
+        if evict_flags[chunk_idx % len(evict_flags)]:
+            drain(st_state.evict(chunk[-1][1]))
+        i, chunk_idx = j, chunk_idx + 1
+    drain(st_state.finalize())
+
+    assert {u: tuple(v) for u, v in totals.items()} == want
