@@ -150,7 +150,11 @@ def streaming_sessionize(ds, gap_us: int = SESSION_GAP_US,
 
     Shard = ray.remote(num_cpus=0.5)(_ShardState)
     shards: List = [Shard.remote(gap_us) for _ in range(n_shards)]
-    emitted: List[pa.Table] = []
+    # emitted partials are held as OBJECT REFS, never materialized on
+    # the driver — actor returns live in the (spillable) object store,
+    # so total emitted volume is bounded by cluster memory, not driver
+    # heap
+    emitted: List = []
     max_state = 0
 
     stream = ds.sort("ts")
@@ -172,27 +176,19 @@ def streaming_sessionize(ds, gap_us: int = SESSION_GAP_US,
             continue
         # watermark = max event time seen (ordered stream ⇒ monotone)
         wm = int(ts_us.max())
-        parts = ray.get([s.evict.remote(wm) for s in shards])
-        emitted.extend(p for p in parts if p.num_rows)
+        emitted.extend(s.evict.remote(wm) for s in shards)
         max_state = max(max_state,
                         sum(ray.get([s.state_rows.remote()
                                      for s in shards])))
 
-    finals = ray.get([s.finalize.remote() for s in shards])
-    emitted.extend(p for p in finals if p.num_rows)
+    emitted.extend(s.finalize.remote() for s in shards)
+    ray.wait(emitted, num_returns=len(emitted))
     for s in shards:
         ray.kill(s)
-    if not emitted:
-        out = ray.data.from_arrow(pa.table({
-            "user_id": pa.array([], pa.int64()),
-            "n_events": pa.array([], pa.int64()),
-            "n_sessions": pa.array([], pa.int64()),
-        }))
-    else:
-        partials = ray.data.from_arrow(emitted)
-        out = grouped_agg(partials, ["user_id"],
-                          [("n_events", "n_events", "sum"),
-                           ("n_sessions", "n_sessions", "sum")])
+    partials = ray.data.from_arrow_refs(emitted)
+    out = grouped_agg(partials, ["user_id"],
+                      [("n_events", "n_events", "sum"),
+                       ("n_sessions", "n_sessions", "sum")])
     if return_stats:
         stats = {"max_open_state_rows": max_state,
                  "emitted_partials": len(emitted)}

@@ -395,6 +395,50 @@ def run_bpe(dup: int, sf_dir: str) -> dict:
     }
 
 
+def run_stream(dup: int, sf_dir: str) -> dict:
+    """streaming_sessionize on a ``dup``×-extended event stream (copy k
+    shifts users by 10⁶·k and times by k hours, so the populations'
+    sessions interleave): emitted rows grow dup× while the max OPEN
+    state across the run stays bounded by the concurrently-active user
+    count — the watermark-eviction contract."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from deepwebharvester_ray import runtime_env
+    from deepwebharvester_ray.functions.streaming import (
+        streaming_sessionize,
+    )
+
+    def shift(batch: pa.Table, k: int) -> pa.Table:
+        return pa.table({
+            "user_id": pc.add(batch.column("user_id"), 1_000_000 * k),
+            "ts": pc.add(batch.column("ts").cast(pa.int64()),
+                         3_600_000_000 * k).cast(pa.timestamp("us")),
+        })
+
+    parts = []
+    for k in range(dup):
+        dsk = ray.data.read_parquet(
+            str(Path(sf_dir) / "events.parquet"),
+            columns=["user_id", "ts"])
+        parts.append(dsk.map_batches(shift, fn_kwargs={"k": k},
+                                     batch_format="pyarrow",
+                                     runtime_env=runtime_env()))
+    ds = parts[0] if dup == 1 else parts[0].union(*parts[1:])
+    t0 = time.monotonic()
+    out, stats = streaming_sessionize(ds, evict_every=1,
+                                      return_stats=True)
+    rows = out.count()
+    return {
+        "case": "stream", "dup": dup, "rows": rows,
+        "max_open_state": stats["max_open_state_rows"],
+        "emitted_partials": stats["emitted_partials"],
+        "wall_s": round(time.monotonic() - t0, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
 def run_skewjoin(n: int, plain: bool) -> dict:
     """Fact⋈dim under a planted 40%-share hot key at n rows: the case
     skew_join exists for.  ``--plain`` runs the native hash join instead
@@ -458,7 +502,8 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("case", choices=["minhash", "frontier", "highcard",
                                     "interval", "pagerank", "semdedup",
-                                    "passage", "skewjoin", "bpe"])
+                                    "passage", "skewjoin", "bpe",
+                                    "stream"])
     p.add_argument("--dup", type=int, default=1)
     p.add_argument("--seeds", type=int, default=10_000)
     p.add_argument("--shards", type=int, default=None)
@@ -495,6 +540,8 @@ def main() -> None:
             out = run_skewjoin(args.n, args.plain)
         elif args.case == "bpe":
             out = run_bpe(args.dup, args.sf)
+        elif args.case == "stream":
+            out = run_stream(args.dup, args.sf)
         else:
             out = run_highcard(args.n)
     finally:
