@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "approx_users_by_type",
     "token_freq_cms",
     "heavy_tokens_mg",
+    "bpe_token_counts",
     "value_quantiles_sketch",
     "token_packing",
     "neardup_embeddings",

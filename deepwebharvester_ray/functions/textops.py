@@ -341,3 +341,116 @@ def repetition_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
     out["max_2gram_n"] = pa.array(max2, pa.int64())
     out["keep"] = pa.array(keep, pa.bool_())
     return pa.table(out)
+
+
+# ── BPE tokenizer: bounded-table training + distributed apply ────────────────
+#
+# The training side of BPE iterates over the WORD-FREQUENCY table, not
+# the corpus (Sennrich et al. 2016 — the table is what GPT-2-era
+# tokenizers trained on), so the scale split is: the corpus collapses to
+# word counts DISTRIBUTED (the heavy-hitters combiner), a bounded top-K
+# slice of that table trains the merges in-process, and the ENCODE runs
+# back over the corpus as an actor pool with the merge ranks broadcast
+# once and a per-actor word→length memo (Zipf makes the memo hit rate
+# ≈ the corpus/vocab ratio).
+
+
+def train_bpe_merges(word_counts, n_merges: int = 50):
+    """Greedy BPE merge training over a (word, count) table: each round
+    merges the most frequent adjacent symbol pair (ties broken
+    lexicographically — deterministic).  Pure in-process; callers pass a
+    BOUNDED table (top-K words by frequency)."""
+    from collections import Counter
+
+    words = {tuple(w): int(n) for w, n in word_counts if len(w) >= 2}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for sym, n in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0][::-1]))
+        # deterministic: max count, then lexicographically LAST pair —
+        # any fixed rule works, it just has to be one rule
+        (a, b), _cnt = best
+        merges.append((a, b))
+        merged = a + b
+        nxt = {}
+        for sym, n in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + n
+        words = nxt
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict) -> int:
+    """Number of BPE symbols for *word* under merge ``ranks``
+    (pair → rank): repeatedly apply the LOWEST-rank applicable merge —
+    the canonical BPE apply loop."""
+    sym = list(word)
+    while len(sym) >= 2:
+        best_rank, best_i = None, -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return len(sym)
+
+
+class BPEEncodeStage:
+    """Actor-pool BPE encoder: merge ranks deserialized ONCE per actor
+    (broadcast ref), per-actor word→symbol-count memo warmed across
+    batches.  Output: (doc_id, n_bpe_tokens) per doc."""
+
+    def __init__(self, merges_ref) -> None:
+        from ..broadcast import cached_get
+
+        merges = cached_get(merges_ref)
+        self._ranks = {tuple(p): i for i, p in enumerate(merges)}
+        self._memo: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        counts = np.zeros(batch.num_rows, np.int64)
+        memo, ranks = self._memo, self._ranks
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            n = 0
+            for w in WORD_RE.findall((t or "").lower()):
+                c = memo.get(w)
+                if c is None:
+                    c = bpe_encode_word(w, ranks)
+                    memo[w] = c
+                n += c
+            counts[i] = n
+        return pa.table({"doc_id": ids,
+                         "n_bpe_tokens": pa.array(counts, pa.int64())})
+
+
+def bpe_encode_counts(ds, merges, batch_size=None, concurrency=(1, 8)):
+    """Distributed BPE token counts: ``merges`` broadcast once, encode
+    as an actor pool over (doc_id, text) batches."""
+    import ray
+
+    from .. import runtime_env
+
+    merges_ref = ray.put(list(merges))
+    return ds.map_batches(
+        BPEEncodeStage,
+        fn_constructor_args=(merges_ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        runtime_env=runtime_env(),
+    )

@@ -4985,6 +4985,28 @@ ORDER BY n DESC, pair ASC LIMIT {BPE_PAIRS_K}
 """
 
 
+BPE_N_MERGES = 40
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """The tokenizer APPLY stage: train ``BPE_N_MERGES`` BPE merges on
+    the corpus's own bounded top-1000 word-frequency table (the
+    heavy-hitters combiner — how word-level BPE tokenizers actually
+    train), broadcast the merge ranks once, and encode every document
+    with a per-actor word→count memo (Zipf makes the memo hit rate ≈
+    corpus/vocab).  Output: (doc_id, n_bpe_tokens).  Rows-only: the
+    iterative merge-apply loop isn't SQL-expressible; tests pin the
+    stage against an in-process reference encode and the memo against
+    a memo-free run."""
+    from ..functions.textops import bpe_encode_counts, train_bpe_merges
+
+    vocab_rows = _top_tokens_ds(sf_dir, VOCAB_K).take_all()
+    merges = train_bpe_merges(
+        [(r["token"], r["n"]) for r in vocab_rows], BPE_N_MERGES)
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return bpe_encode_counts(ds, merges).sort("doc_id")
+
+
 def q_heavy_tokens_mg(sf_dir: str):
     """Misra–Gries mergeable heavy hitters (k=64 counters) over the
     corpus token stream — the DETERMINISTIC-guarantee twin of the exact
@@ -5357,6 +5379,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "vocab_hll": q_vocab_hll,
         "approx_users_by_type": q_approx_users_by_type,
         "heavy_tokens_mg": q_heavy_tokens_mg,
+        "bpe_token_counts": q_bpe_token_counts,
         "token_freq_cms": q_token_freq_cms,
         "value_quantiles_sketch": q_value_quantiles_sketch,
         "events_hopping": q_events_hopping,
@@ -5521,5 +5544,5 @@ ROWS_ONLY: List[str] = [
     "multimodal_features", "vocab_hll", "neardup_embeddings_lsh",
     "semdedup_prune",
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
-    "heavy_tokens_mg",
+    "heavy_tokens_mg", "bpe_token_counts",
 ]

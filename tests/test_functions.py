@@ -1481,3 +1481,55 @@ def test_mg_topk_blocking_insensitive_bounds(ray_session):
         assert out.num_rows == 11
         assert set(out.column("est_n").to_pylist()) == {200}
         assert out.column("err_ub").to_pylist()[0] == 0
+
+
+# ── BPE tokenizer (train + distributed apply) ────────────────────────────────
+
+
+def test_train_bpe_merges_hand_checked():
+    from deepwebharvester_ray.functions.textops import train_bpe_merges
+
+    # counts: "low"*7 "lower"*5 "lowest"*3 → (o,w)=15 wins round 1,
+    # (l,ow)=15 round 2, then low+e (8) beats e+r (5) and e+s/s+t (3)
+    m = train_bpe_merges([("lower", 5), ("lowest", 3), ("low", 7)], 4)
+    assert m[:3] == [("o", "w"), ("l", "ow"), ("low", "e")]
+
+
+def test_bpe_encode_word_lowest_rank_first():
+    from deepwebharvester_ray.functions.textops import bpe_encode_word
+
+    ranks = {("o", "w"): 0, ("l", "ow"): 1, ("low", "e"): 2}
+    assert bpe_encode_word("low", ranks) == 1       # l o w → l ow → low
+    assert bpe_encode_word("lowest", ranks) == 3    # lowe s t
+    assert bpe_encode_word("xyz", ranks) == 3       # no merge applies
+    assert bpe_encode_word("a", ranks) == 1
+
+
+def test_bpe_stage_matches_reference_and_memo(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.textops import (
+        WORD_RE,
+        bpe_encode_counts,
+        bpe_encode_word,
+        train_bpe_merges,
+    )
+
+    texts = ["the lowest lower low", "low low lower", "", "zzz qqq the"]
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        wc.update(WORD_RE.findall(t.lower()))
+    merges = train_bpe_merges(sorted(wc.items()), 10)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    want = [sum(bpe_encode_word(w, ranks)
+                for w in WORD_RE.findall(t.lower())) for t in texts]
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+    out = bpe_encode_counts(ds, merges).to_pandas().sort_values(
+        "doc_id")
+    assert out["n_bpe_tokens"].tolist() == want
