@@ -148,3 +148,34 @@ def test_write_partitioned_parquet_resume(tmp_path):
     assert sorted(r3["skipped"]) == ["src0", "src1", "src2"]
     back3 = pq.read_table(str(out)).to_pydict()
     assert sorted(back3["doc_id"]) == list(range(90))
+
+
+def test_jsonl_source_roundtrip(ray_session, tmp_path):
+    """Source-format flexibility: a JSONL export of the documents table
+    reads back through ray.data.read_json with identical rows, and the
+    standard token-count stage runs over it unchanged — pipelines are
+    source-agnostic (any ray.data reader feeds the same batch stages)."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+    import ray
+
+    from deepwebharvester_ray.functions.textops import token_count_batch
+
+    src = _pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    p = tmp_path / "docs.jsonl"
+    with open(p, "w") as f:
+        for did, txt in zip(src.column("doc_id").to_pylist(),
+                            src.column("text").to_pylist()):
+            f.write(_json.dumps({"doc_id": did, "text": txt}) + "\n")
+
+    ds = ray.data.read_json(str(p))
+    assert ds.count() == src.num_rows
+    out = ds.map_batches(token_count_batch,
+                         batch_format="pyarrow").to_pandas()
+    want = ray.data.from_arrow(src).map_batches(
+        token_count_batch, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert out.equals(want)

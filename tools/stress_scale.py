@@ -395,6 +395,55 @@ def run_bpe(dup: int, sf_dir: str) -> dict:
     }
 
 
+def run_skewagg(n: int, plain: bool) -> dict:
+    """Grouped SUM under a planted 50%-share hot key at n rows: the
+    combiner (grouped_agg) collapses the hot key inside every block
+    before the exchange, so the shuffle ships O(distinct × blocks) rows
+    regardless of skew; ``--plain`` runs Ray's native groupby().sum()
+    directly, whose hash partitioner lands the hot key's entire row
+    share in ONE reduce task.  Same planted distribution as skewjoin."""
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray import runtime_env
+    from deepwebharvester_ray.functions.agg import grouped_agg
+
+    n_keys = 1000
+    blocks = 64
+
+    def gen(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        i0 = batch.column("b").to_numpy(zero_copy_only=False)[0]
+        rows = n // blocks
+        rng_idx = (np.arange(rows, dtype=np.int64) + i0 * rows)
+        hot = (rng_idx % 2) == 0                # 50% share on key 0
+        keys = np.where(hot, 0, rng_idx % n_keys)
+        return pa.table({
+            "k": pa.array(keys, pa.int64()),
+            "v": pa.array(rng_idx % 97, pa.int64()),
+        })
+
+    ds = ray.data.from_arrow(pa.table({"b": pa.array(range(blocks),
+                                                     pa.int64())}))
+    ds = ds.repartition(blocks).map_batches(
+        gen, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+    t0 = time.monotonic()
+    if plain:
+        out = ds.groupby("k").sum("v").materialize()
+        rows = out.count()
+    else:
+        out = grouped_agg(ds, ["k"], [("s", "v", "sum"),
+                                      ("c", "", "count")]).materialize()
+        rows = out.count()
+    return {
+        "case": "skewagg", "n": n, "plain": plain, "groups": rows,
+        "wall_s": round(time.monotonic() - t0, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
 def run_stream(dup: int, sf_dir: str) -> dict:
     """streaming_sessionize on a ``dup``×-extended event stream (copy k
     shifts users by 10⁶·k and times by k hours, so the populations'
@@ -503,7 +552,7 @@ def main() -> None:
     p.add_argument("case", choices=["minhash", "frontier", "highcard",
                                     "interval", "pagerank", "semdedup",
                                     "passage", "skewjoin", "bpe",
-                                    "stream"])
+                                    "stream", "skewagg"])
     p.add_argument("--dup", type=int, default=1)
     p.add_argument("--seeds", type=int, default=10_000)
     p.add_argument("--shards", type=int, default=None)
@@ -542,6 +591,8 @@ def main() -> None:
             out = run_bpe(args.dup, args.sf)
         elif args.case == "stream":
             out = run_stream(args.dup, args.sf)
+        elif args.case == "skewagg":
+            out = run_skewagg(args.n, args.plain)
         else:
             out = run_highcard(args.n)
     finally:
