@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "bpe_pair_counts",
     "cohort_retention",
     "recrawl_schedule",
+    "snapshot_diff",
     "vocab_hll",
     "approx_users_by_type",
     "token_freq_cms",

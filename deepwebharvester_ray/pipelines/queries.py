@@ -5181,6 +5181,119 @@ GROUP BY n.n_name ORDER BY n.n_name
 """
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Incremental-crawl change detection: classify every URL across two
+    crawl snapshots as added / removed / changed / unchanged — the delta
+    feed an incremental recrawl consumes.  Snapshot B is derived
+    deterministically from snapshot A (drops doc_id%17==3, edits text
+    for doc_id%13==5, adds doc_id+1_000_000 for doc_id%23==1), so the
+    oracle reconstructs both sides in SQL.
+
+    Distributed shape: a FULL-OUTER-join classification WITHOUT a join —
+    both snapshots tag their rows (side 1/2) and flow into ONE
+    tagged-union grouped pass (count, min/max side, min/max content
+    hash); the four statuses fall out of those five aggregates by pure
+    vectorized arithmetic.  One all-to-all at URL cardinality, no join
+    operator ramp-up, no null-handling edge cases."""
+    import hashlib
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def md5s(texts) -> np.ndarray:
+        return np.asarray(
+            [hashlib.md5((t or "").encode()).hexdigest() for t in texts],
+            dtype=object)
+
+    def side_a(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "side": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+            "h": pa.array(md5s(batch.column("text").to_pylist()),
+                          pa.string()),
+        })
+
+    def side_b(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        keep = ids % 17 != 3
+        edited = [(t or "") + "!" if i % 13 == 5 else (t or "")
+                  for i, t in zip(ids, texts)]
+        out_ids = [ids[keep]]
+        out_h = [md5s(np.asarray(edited, dtype=object)[keep])]
+        new_mask = ids % 23 == 1
+        if new_mask.any():
+            out_ids.append(ids[new_mask] + 1_000_000)
+            out_h.append(md5s([f"new{i}" for i in ids[new_mask]]))
+        all_ids = np.concatenate(out_ids)
+        return pa.table({
+            "doc_id": pa.array(all_ids, pa.int64()),
+            "side": pa.array(np.full(len(all_ids), 2, np.int64),
+                             pa.int64()),
+            "h": pa.array(np.concatenate(out_h).tolist(), pa.string()),
+        })
+
+    a = ds.map_batches(side_a, batch_format="pyarrow",
+                       runtime_env=runtime_env())
+    b = ds.map_batches(side_b, batch_format="pyarrow",
+                       runtime_env=runtime_env())
+    tagged = a.union(b)
+    agg = grouped_agg(tagged, ["doc_id"],
+                      [("n", "", "count"),
+                       ("s_min", "side", "min"), ("s_max", "side", "max"),
+                       ("h_min", "h", "min"), ("h_max", "h", "max")])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        s_min = batch.column("s_min").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        h_min = np.asarray(batch.column("h_min").to_pylist(), dtype=object)
+        h_max = np.asarray(batch.column("h_max").to_pylist(), dtype=object)
+        status = np.where(
+            n == 1,
+            np.where(s_min == 1, "removed", "added"),
+            np.where(h_min == h_max, "unchanged", "changed"),
+        ).astype(object)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "status": pa.array(status.tolist(), pa.string()),
+        })
+
+    return agg.map_batches(classify, batch_format="pyarrow",
+                           batch_size=None,
+                           runtime_env=runtime_env()).sort("doc_id")
+
+
+_SQL_SNAPSHOT_DIFF = """
+WITH a AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS h FROM documents
+),
+b AS (
+  SELECT doc_id,
+         md5(COALESCE(text, '') ||
+             CASE WHEN doc_id % 13 = 5 THEN '!' ELSE '' END) AS h
+  FROM documents WHERE doc_id % 17 != 3
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, md5('new' || doc_id) AS h
+  FROM documents WHERE doc_id % 23 = 1
+),
+j AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.h AS ha, b.h AS hb
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT doc_id,
+       CASE WHEN hb IS NULL THEN 'removed'
+            WHEN ha IS NULL THEN 'added'
+            WHEN ha = hb THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM j ORDER BY doc_id
+"""
+
+
 RECRAWL_BUDGET = 5  # refetch batch size per host per politeness round
 
 
@@ -5375,6 +5488,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "cohort_retention": q_cohort_retention,
         "recrawl_schedule": q_recrawl_schedule,
+        "snapshot_diff": q_snapshot_diff,
         "oov_rate": q_oov_rate,
         "vocab_hll": q_vocab_hll,
         "approx_users_by_type": q_approx_users_by_type,
@@ -5479,6 +5593,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "bpe_pair_counts": _SQL_BPE_PAIR_COUNTS,
         "cohort_retention": _SQL_COHORT_RETENTION,
         "recrawl_schedule": _sql_recrawl_schedule(),
+        "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "oov_rate": _SQL_OOV_RATE,
         "events_hopping": _SQL_EVENTS_HOPPING,
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,

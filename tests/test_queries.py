@@ -31,6 +31,7 @@ SPOT_CHECKED = [
     "bpe_pair_counts",
     "cohort_retention",
     "recrawl_schedule",
+    "snapshot_diff",
     "oov_rate",
     "token_packing",
     "stratified_sample",
