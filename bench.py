@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "recrawl_schedule",
     "snapshot_diff",
+    "table_checksum",
     "vocab_hll",
     "approx_users_by_type",
     "token_freq_cms",

@@ -5181,6 +5181,86 @@ GROUP BY n.n_name ORDER BY n.n_name
 """
 
 
+def q_table_checksum(sf_dir: str):
+    """Order-invariant per-partition table checksum — the anti-entropy
+    primitive for verifying replicated / re-materialized shards without
+    moving data: per source, XOR of the 60-bit md5 row hashes plus the
+    row count.  XOR is commutative, associative and self-inverse, so
+    the aggregate is insensitive to row order, blocking, and merge
+    topology, and never overflows — two shards match iff (n, checksum)
+    match (modulo the 2⁻⁶⁰ collision rate).
+
+    Distributed shape: per-block (source, xor-partial, count) rows via
+    one in-block lexsort + ``np.bitwise_xor.reduceat`` (a new aggregate
+    KIND the grouped_agg sum/min/max family can't express), then one
+    bounded merge block re-applies the same kernel — exact at any
+    blocking because XOR merge = XOR."""
+    import hashlib
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "source"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "checksum": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        srcs = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        hs = np.asarray(
+            [int(hashlib.md5(f"{i}|{t or ''}".encode())
+                 .hexdigest()[:15], 16) for i, t in zip(ids, texts)],
+            np.int64)
+        order = np.lexsort((srcs,))
+        srcs, hs = srcs[order], hs[order]
+        heads = np.flatnonzero(
+            np.concatenate([[True], srcs[1:] != srcs[:-1]]))
+        xors = np.bitwise_xor.reduceat(hs, heads)
+        ns = np.diff(np.concatenate([heads, [len(srcs)]]))
+        return pa.table({
+            "source": pa.array(srcs[heads].tolist(), pa.string()),
+            "checksum": pa.array(xors, pa.int64()),
+            "n": pa.array(ns.astype(np.int64), pa.int64()),
+        })
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        srcs = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        xs = batch.column("checksum").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ns = batch.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((srcs,))
+        srcs, xs, ns = srcs[order], xs[order], ns[order]
+        heads = np.flatnonzero(
+            np.concatenate([[True], srcs[1:] != srcs[:-1]]))
+        return pa.table({
+            "source": pa.array(srcs[heads].tolist(), pa.string()),
+            "checksum": pa.array(np.bitwise_xor.reduceat(xs, heads),
+                                 pa.int64()),
+            "n": pa.array(np.add.reduceat(ns, heads), pa.int64()),
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None, runtime_env=runtime_env())
+    return part.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+
+
+_SQL_TABLE_CHECKSUM = """
+SELECT source,
+       bit_xor(CAST(concat('0x', substr(
+           md5(doc_id || '|' || COALESCE(text, '')), 1, 15))
+           AS BIGINT)) AS checksum,
+       count(*) AS n
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def q_snapshot_diff(sf_dir: str):
     """Incremental-crawl change detection: classify every URL across two
     crawl snapshots as added / removed / changed / unchanged — the delta
@@ -5489,6 +5569,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "cohort_retention": q_cohort_retention,
         "recrawl_schedule": q_recrawl_schedule,
         "snapshot_diff": q_snapshot_diff,
+        "table_checksum": q_table_checksum,
         "oov_rate": q_oov_rate,
         "vocab_hll": q_vocab_hll,
         "approx_users_by_type": q_approx_users_by_type,
@@ -5594,6 +5675,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "cohort_retention": _SQL_COHORT_RETENTION,
         "recrawl_schedule": _sql_recrawl_schedule(),
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
+        "table_checksum": _SQL_TABLE_CHECKSUM,
         "oov_rate": _SQL_OOV_RATE,
         "events_hopping": _SQL_EVENTS_HOPPING,
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,

@@ -32,6 +32,7 @@ SPOT_CHECKED = [
     "cohort_retention",
     "recrawl_schedule",
     "snapshot_diff",
+    "table_checksum",
     "oov_rate",
     "token_packing",
     "stratified_sample",
