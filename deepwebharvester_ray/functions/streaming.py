@@ -136,12 +136,14 @@ def streaming_sessionize(ds, gap_us: int = SESSION_GAP_US,
     (user_id, n_events, n_sessions) — bit-equal to the batch operator.
 
     The event-time-ordered stream is simulated with ONE ``sort("ts")``;
-    each micro-batch is hash-routed to shard actors; each shard evicts
-    closed users at every watermark advance, so emitted partials leave
-    actor memory continuously and per-shard state tracks only OPEN
-    sessions.  The final table is the grouped sum of partials —
-    eviction can split a user only at a >gap boundary, where session
-    counts are additive by construction.
+    each micro-batch is hash-routed to shard actors; every
+    ``evict_every`` chunks the watermark advances and each shard evicts
+    its closed users, so emitted partials leave actor memory
+    continuously and per-shard state tracks only OPEN sessions
+    (eviction frequency trades RPC rounds against state peak —
+    correctness is cadence-independent).  The final table is the
+    grouped sum of partials — eviction can split a user only at a >gap
+    boundary, where session counts are additive by construction.
     """
     import ray
 
