@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "recrawl_schedule",
     "snapshot_diff",
     "table_checksum",
+    "user_top_type",
+    "filled_no_pending",
     "vocab_hll",
     "approx_users_by_type",
     "token_freq_cms",

@@ -5181,6 +5181,100 @@ GROUP BY n.n_name ORDER BY n.n_name
 """
 
 
+def q_user_top_type(sf_dir: str):
+    """Grouped MODE: each user's dominant event_type (ties broken
+    lexicographically) with its count — the per-entity categorical
+    summarizer (dominant language per host, dominant MIME per domain…).
+
+    Shape: the (user, type) pair counts are ONE combiner grouped_agg
+    (the only all-to-all, at pair cardinality); the per-user argmax is
+    then a single-key sort on the HIGH-cardinality user key + one
+    vectorized lexsort/run-rank pass — mode never needs a second
+    shuffle because the pair table is already collapsed."""
+    from ..functions.dedup import run_rank
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+    pairs = grouped_agg(ds, ["user_id", "event_type"],
+                        [("n", "", "count")])
+
+    def top1(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        uids = batch.column("user_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        types = np.asarray(batch.column("event_type").to_pylist(),
+                           dtype=object)
+        ns = batch.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((types, -ns, uids))
+        keep = order[run_rank(uids[order]) < 1]
+        return batch.take(pa.array(np.sort(keep)))
+
+    return pairs.sort("user_id").map_batches(
+        top1, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+
+
+def q_filled_no_pending(sf_dir: str):
+    """Set EXCEPT without a set operator: customers with a filled ('F')
+    order but NO pending ('P') order.  Both membership tests collapse
+    into ONE combiner pass — per-batch indicator columns max-reduced per
+    customer by grouped_agg — then a pure vectorized mask; no distinct,
+    no anti-join, one all-to-all at customer cardinality (a set
+    EXCEPT/INTERSECT over N branches is N indicator columns in the SAME
+    single pass)."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        st = np.asarray(batch.column("o_orderstatus").to_pylist(),
+                        dtype=object)
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "f": pa.array((st == "F").astype(np.int64), pa.int64()),
+            "p": pa.array((st == "P").astype(np.int64), pa.int64()),
+        })
+
+    agg = grouped_agg(
+        ds.map_batches(flags, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        ["o_custkey"], [("f", "f", "max"), ("p", "p", "max")],
+    )
+
+    def mask(batch: pa.Table) -> pa.Table:
+        f = batch.column("f").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        p = batch.column("p").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = pa.array((f == 1) & (p == 0))
+        return pa.table({
+            "o_custkey": batch.column("o_custkey").filter(keep),
+        })
+
+    return agg.map_batches(mask, batch_format="pyarrow", batch_size=None,
+                           runtime_env=runtime_env()).sort("o_custkey")
+
+
+_SQL_FILLED_NO_PENDING = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+ORDER BY o_custkey
+"""
+
+
+_SQL_USER_TOP_TYPE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, CAST(n AS BIGINT) AS n FROM c
+QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY n DESC, event_type ASC) = 1
+ORDER BY user_id
+"""
+
+
 def q_table_checksum(sf_dir: str):
     """Order-invariant per-partition table checksum — the anti-entropy
     primitive for verifying replicated / re-materialized shards without
@@ -5570,6 +5664,8 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "recrawl_schedule": q_recrawl_schedule,
         "snapshot_diff": q_snapshot_diff,
         "table_checksum": q_table_checksum,
+        "user_top_type": q_user_top_type,
+        "filled_no_pending": q_filled_no_pending,
         "oov_rate": q_oov_rate,
         "vocab_hll": q_vocab_hll,
         "approx_users_by_type": q_approx_users_by_type,
@@ -5676,6 +5772,8 @@ def build_oracle_sql() -> Dict[str, str]:
         "recrawl_schedule": _sql_recrawl_schedule(),
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "table_checksum": _SQL_TABLE_CHECKSUM,
+        "user_top_type": _SQL_USER_TOP_TYPE,
+        "filled_no_pending": _SQL_FILLED_NO_PENDING,
         "oov_rate": _SQL_OOV_RATE,
         "events_hopping": _SQL_EVENTS_HOPPING,
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,

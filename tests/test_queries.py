@@ -33,6 +33,8 @@ SPOT_CHECKED = [
     "recrawl_schedule",
     "snapshot_diff",
     "table_checksum",
+    "user_top_type",
+    "filled_no_pending",
     "oov_rate",
     "token_packing",
     "stratified_sample",
