@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "table_checksum",
     "user_top_type",
     "filled_no_pending",
+    "value_percentile",
+    "rolling_distinct_users",
     "vocab_hll",
     "approx_users_by_type",
     "token_freq_cms",

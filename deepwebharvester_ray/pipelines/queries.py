@@ -5181,6 +5181,125 @@ GROUP BY n.n_name ORDER BY n.n_name
 """
 
 
+def q_value_percentile(sf_dir: str):
+    """Per-row GLOBAL percentile bucketing: every event labeled with its
+    value's exact quartile (0–3) — the feature-engineering inverse of
+    price_quantiles (there: group → quantile values; here: quantile
+    values → row labels).
+
+    Shape: exact global q25/q50/q75 cents come from the value-domain
+    histogram combiner (one bounded shuffle, never the raw rows), the
+    3-value cutoff array broadcasts for free inside the closure, and
+    labeling is a pure vectorized comparison map — no sort, no join,
+    no second shuffle.  Bucket rule ``(v > c25) + (v > c50) + (v >
+    c75)`` is tie-deterministic on both engines."""
+    from ..functions.agg import grouped_quantiles
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "__g": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow",
+                           runtime_env=runtime_env()).materialize()
+    qrow = grouped_quantiles(
+        cents.select_columns(["__g", "cents"]), "__g", "cents",
+        ps=[0.25, 0.5, 0.75], out_cols=["c25", "c50", "c75"],
+    ).take_all()[0]
+    cuts = np.asarray([qrow["c25"], qrow["c50"], qrow["c75"]], np.int64)
+
+    def label(batch: pa.Table) -> pa.Table:
+        v = batch.column("cents").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        bucket = (v[:, None] > cuts[None, :]).sum(axis=1).astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "bucket": pa.array(bucket, pa.int64()),
+        })
+
+    return cents.map_batches(label, batch_format="pyarrow",
+                             runtime_env=runtime_env()).sort("event_id")
+
+
+_SQL_VALUE_PERCENTILE = """
+WITH c AS (
+  SELECT event_id, CAST(floor(value * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+q AS (
+  SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS c25,
+         percentile_disc(0.50) WITHIN GROUP (ORDER BY cents) AS c50,
+         percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS c75
+  FROM c
+)
+SELECT c.event_id,
+       CAST((c.cents > q.c25) AS BIGINT) + CAST((c.cents > q.c50) AS BIGINT)
+       + CAST((c.cents > q.c75) AS BIGINT) AS bucket
+FROM c CROSS JOIN q ORDER BY c.event_id
+"""
+
+
+_DAY_US = 86_400_000_000
+
+
+def q_rolling_distinct_users(sf_dir: str):
+    """Sliding-window COUNT DISTINCT: distinct active users per trailing
+    7-day window (one window per day) — the DAU/WAU-style engagement
+    series.  Composition of two catalog primitives: the hopping-window
+    vectorized in-batch expansion (each event replicated into the 7
+    windows that contain it — np.repeat + tiled offsets, zero Python)
+    feeding the exact two-level distinct (pair-collapse grouped_agg →
+    grouped count).  Shuffle volume is 7× the DEDUPLICATED per-window
+    pairs, not 7× the events — the pair collapse runs inside the
+    combiner before the exchange."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts_col = batch.column("ts")
+        if isinstance(ts_col, pa.ChunkedArray):
+            ts_col = ts_col.combine_chunks()
+        days = (ts_col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // _DAY_US)
+        uids = batch.column("user_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        n = len(uids)
+        wins = (np.repeat(days, 7)
+                + np.tile(np.arange(7, dtype=np.int64), n))
+        return pa.table({
+            "win": pa.array(wins, pa.int64()),
+            "user_id": pa.array(np.repeat(uids, 7), pa.int64()),
+        })
+
+    pairs = grouped_agg(
+        ds.map_batches(expand, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        ["win", "user_id"], [("__n", "", "count")],
+    )
+    return grouped_agg(pairs, ["win"], [("n_users", "", "count")])
+
+
+_SQL_ROLLING_DISTINCT_USERS = f"""
+WITH e AS (
+  SELECT epoch_us(ts) // {_DAY_US} AS day, user_id FROM events
+),
+w AS (
+  SELECT day + i AS win, user_id
+  FROM e, LATERAL (SELECT unnest(generate_series(0, 6)) AS i) t
+)
+SELECT win, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM w GROUP BY win ORDER BY win
+"""
+
+
 def q_user_top_type(sf_dir: str):
     """Grouped MODE: each user's dominant event_type (ties broken
     lexicographically) with its count — the per-entity categorical
@@ -5666,6 +5785,8 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "table_checksum": q_table_checksum,
         "user_top_type": q_user_top_type,
         "filled_no_pending": q_filled_no_pending,
+        "value_percentile": q_value_percentile,
+        "rolling_distinct_users": q_rolling_distinct_users,
         "oov_rate": q_oov_rate,
         "vocab_hll": q_vocab_hll,
         "approx_users_by_type": q_approx_users_by_type,
@@ -5774,6 +5895,8 @@ def build_oracle_sql() -> Dict[str, str]:
         "table_checksum": _SQL_TABLE_CHECKSUM,
         "user_top_type": _SQL_USER_TOP_TYPE,
         "filled_no_pending": _SQL_FILLED_NO_PENDING,
+        "value_percentile": _SQL_VALUE_PERCENTILE,
+        "rolling_distinct_users": _SQL_ROLLING_DISTINCT_USERS,
         "oov_rate": _SQL_OOV_RATE,
         "events_hopping": _SQL_EVENTS_HOPPING,
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,

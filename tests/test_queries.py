@@ -35,6 +35,8 @@ SPOT_CHECKED = [
     "table_checksum",
     "user_top_type",
     "filled_no_pending",
+    "value_percentile",
+    "rolling_distinct_users",
     "oov_rate",
     "token_packing",
     "stratified_sample",
