@@ -279,3 +279,32 @@ def save_all(
     if csv_output:
         paths["csv"] = save_to_csv(results, output_dir)
     return paths
+
+
+def compact_parquet(input_dir: str, output_dir: str,
+                    target_bytes: int = 128 << 20) -> dict:
+    """Small-files compaction (table maintenance): rewrite a fragmented
+    Parquet directory into ~``target_bytes`` files, preserving every
+    row.  A long-running crawl's per-generation / per-partition writes
+    accumulate thousands of small files whose per-file open cost
+    eventually dominates scans; periodic compaction is the standard
+    fix (the layout twin of the resumable sink's commit markers).
+
+    Shape: one streaming read (file count = input fragmentation), a
+    metadata-only repartition sized from the TOTAL INPUT BYTES (no
+    shuffle — Ray's repartition without shuffle only splits/merges
+    block boundaries), one streaming write.  Returns
+    {files_in, files_out, rows} for the caller's maintenance log."""
+    import ray
+
+    in_files = [p for p in Path(input_dir).rglob("*.parquet")]
+    total = sum(p.stat().st_size for p in in_files)
+    n_out = max(1, int(np.ceil(total / target_bytes)))
+    ds = ray.data.read_parquet(input_dir)
+    rows = ds.count()
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    ds.repartition(n_out).write_parquet(str(out))
+    files_out = len(list(out.rglob("*.parquet")))
+    return {"files_in": len(in_files), "files_out": files_out,
+            "rows": rows, "bytes_in": total}

@@ -179,3 +179,31 @@ def test_jsonl_source_roundtrip(ray_session, tmp_path):
     out = out.sort_values("doc_id").reset_index(drop=True)
     want = want.sort_values("doc_id").reset_index(drop=True)
     assert out.equals(want)
+
+
+def test_compact_parquet_roundtrip(ray_session, tmp_path):
+    """Compaction: 40 fragment files collapse to the byte-sized target
+    count with every row preserved (order-invariant equality via sorted
+    doc_id + checksum of text lengths)."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from deepwebharvester_ray.sinks import compact_parquet
+
+    frag = tmp_path / "frag"
+    frag.mkdir()
+    for i in range(40):
+        _pq.write_table(
+            pa.table({"doc_id": pa.array(range(i * 10, i * 10 + 10),
+                                         pa.int64()),
+                      "text": pa.array([f"doc {j}" for j in
+                                        range(i * 10, i * 10 + 10)],
+                                       pa.string())}),
+            frag / f"part-{i:03d}.parquet")
+    out = tmp_path / "compact"
+    stats = compact_parquet(str(frag), str(out), target_bytes=1 << 20)
+    assert stats["files_in"] == 40 and stats["rows"] == 400
+    assert stats["files_out"] < 40
+    got = _pq.read_table(str(out)).sort_by("doc_id")
+    assert got.column("doc_id").to_pylist() == list(range(400))
+    assert got.column("text").to_pylist() == [f"doc {j}" for j in range(400)]
