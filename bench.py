@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "filled_no_pending",
     "value_percentile",
     "rolling_distinct_users",
+    "zorder_layout",
     "vocab_hll",
     "approx_users_by_type",
     "token_freq_cms",

@@ -5247,6 +5247,67 @@ FROM c CROSS JOIN q ORDER BY c.event_id
 """
 
 
+def _spread_bits16(x: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of ``x`` so bit i lands at position 2i
+    (the classic magic-number dilation; public-domain bit trick)."""
+    x = x.astype(np.int64) & 0xFFFF
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+def q_zorder_layout(sf_dir: str):
+    """Multi-dimensional clustering layout (Z-order): interleave the
+    bits of (host, clamped length) into one Morton key and RANGE-SORT
+    the table on it — rows close in BOTH dimensions land in the same
+    file, so a scan filtered on either host or length range prunes most
+    files (the Delta/Iceberg OPTIMIZE ZORDER idea, here as a first-class
+    layout operator).  The z-value arithmetic is pure vectorized integer
+    dilation, checked bit-exactly by the SQL oracle; the sort is the
+    layout side and adds nothing to the checked values."""
+    from ..corpus import HOSTS
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def zval(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ln = batch.column("n_chars").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        host = ids % HOSTS
+        ln16 = np.minimum(ln, 0xFFFF)
+        z = _spread_bits16(host) | (_spread_bits16(ln16) << 1)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "zval": pa.array(z, pa.int64()),
+        })
+
+    return ds.map_batches(zval, batch_format="pyarrow",
+                          runtime_env=runtime_env()).sort("zval")
+
+
+def _sql_zorder() -> str:
+    from ..corpus import HOSTS
+
+    def spread(expr: str) -> str:
+        s = f"(({expr}) & 65535)"
+        for sh, m in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                      (2, 0x33333333), (1, 0x55555555)):
+            s = f"((({s}) | (({s}) << {sh})) & {m})"
+        return s
+
+    host = f"(doc_id % {HOSTS})"
+    ln = "LEAST(n_chars, 65535)"
+    return f"""
+SELECT doc_id,
+       CAST({spread(host)} | ({spread(ln)} << 1) AS BIGINT) AS zval
+FROM documents ORDER BY zval, doc_id
+"""
+
+
 _DAY_US = 86_400_000_000
 
 
@@ -5787,6 +5848,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "filled_no_pending": q_filled_no_pending,
         "value_percentile": q_value_percentile,
         "rolling_distinct_users": q_rolling_distinct_users,
+        "zorder_layout": q_zorder_layout,
         "oov_rate": q_oov_rate,
         "vocab_hll": q_vocab_hll,
         "approx_users_by_type": q_approx_users_by_type,
@@ -5897,6 +5959,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "filled_no_pending": _SQL_FILLED_NO_PENDING,
         "value_percentile": _SQL_VALUE_PERCENTILE,
         "rolling_distinct_users": _SQL_ROLLING_DISTINCT_USERS,
+        "zorder_layout": _sql_zorder(),
         "oov_rate": _SQL_OOV_RATE,
         "events_hopping": _SQL_EVENTS_HOPPING,
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,

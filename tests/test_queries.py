@@ -37,6 +37,7 @@ SPOT_CHECKED = [
     "filled_no_pending",
     "value_percentile",
     "rolling_distinct_users",
+    "zorder_layout",
     "oov_rate",
     "token_packing",
     "stratified_sample",
