@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "value_percentile",
     "rolling_distinct_users",
     "zorder_layout",
+    "weighted_sample",
     "vocab_hll",
     "approx_users_by_type",
     "token_freq_cms",

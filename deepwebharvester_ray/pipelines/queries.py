@@ -5258,6 +5258,22 @@ def _spread_bits16(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def q_weighted_sample(sf_dir: str):
+    """Length-weighted exact-size sample (50 docs, weight = n_chars):
+    the Efraimidis–Spirakis weighted-without-replacement sampler
+    (functions.sampling) — the quality-weighted data-mixing primitive
+    when an EXACT output size is required (fractional-rate filters like
+    domain_mix can't pin the count).  Rows-only: the selection depends
+    on float ES keys (deterministic within the engine; inclusion-bias
+    and determinism guarantees pinned in tests)."""
+    from ..functions.sampling import weighted_sample_k
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    return weighted_sample_k(ds, k=50, id_column="doc_id",
+                             weight_column="n_chars").sort("doc_id")
+
+
 def q_zorder_layout(sf_dir: str):
     """Multi-dimensional clustering layout (Z-order): interleave the
     bits of (host, clamped length) into one Morton key and RANGE-SORT
@@ -5849,6 +5865,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "value_percentile": q_value_percentile,
         "rolling_distinct_users": q_rolling_distinct_users,
         "zorder_layout": q_zorder_layout,
+        "weighted_sample": q_weighted_sample,
         "oov_rate": q_oov_rate,
         "vocab_hll": q_vocab_hll,
         "approx_users_by_type": q_approx_users_by_type,
@@ -6025,5 +6042,5 @@ ROWS_ONLY: List[str] = [
     "multimodal_features", "vocab_hll", "neardup_embeddings_lsh",
     "semdedup_prune",
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
-    "heavy_tokens_mg", "bpe_token_counts",
+    "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
 ]

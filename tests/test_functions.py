@@ -1533,3 +1533,67 @@ def test_bpe_stage_matches_reference_and_memo(ray_session):
     out = bpe_encode_counts(ds, merges).to_pandas().sort_values(
         "doc_id")
     assert out["n_bpe_tokens"].tolist() == want
+
+
+# ── weighted sampling (Efraimidis–Spirakis) ──────────────────────────────────
+
+
+def test_weighted_sample_exact_size_and_determinism(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.sampling import weighted_sample_k
+
+    t = pa.table({
+        "doc_id": pa.array(range(500), pa.int64()),
+        "w": pa.array(np.arange(1, 501, dtype=np.int64), pa.int64()),
+    })
+    picks = []
+    for parts in (1, 7, 13):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        out = weighted_sample_k(ds, k=40, id_column="doc_id",
+                                weight_column="w").to_pandas()
+        assert len(out) == 40
+        assert list(out.columns) == ["doc_id", "w"]
+        picks.append(tuple(sorted(out["doc_id"].tolist())))
+    assert picks[0] == picks[1] == picks[2]  # reshard-stable
+
+
+def test_weighted_sample_zero_weight_excluded_and_small_n(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.sampling import weighted_sample_k
+
+    t = pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "w": pa.array([0, 0, 0, 0, 0, 1, 1, 1, 1, 1], pa.int64()),
+    })
+    out = weighted_sample_k(ray.data.from_arrow(t), k=40,
+                            id_column="doc_id",
+                            weight_column="w").to_pandas()
+    # only the 5 positive-weight rows qualify
+    assert sorted(out["doc_id"].tolist()) == [5, 6, 7, 8, 9]
+
+
+def test_weighted_sample_inclusion_bias(ray_session):
+    """Across 60 seeds, an item with 50× the weight of the uniform tail
+    is selected far more often — the ES inclusion-probability
+    property, tested statistically with a wide margin."""
+    import ray
+
+    from deepwebharvester_ray.functions.sampling import weighted_sample_k
+
+    w = np.ones(200, np.int64)
+    w[7] = 50
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                  "w": pa.array(w, pa.int64())})
+    ds = ray.data.from_arrow(t)
+    heavy, uniform = 0, 0
+    for seed in range(60):
+        got = set(weighted_sample_k(
+            ds, k=20, id_column="doc_id", weight_column="w",
+            seed=seed).to_pandas()["doc_id"])
+        heavy += 7 in got
+        uniform += 11 in got
+    # heavy item: P(inclusion) ≈ 1; uniform item ≈ 0.1
+    assert heavy >= 55
+    assert uniform <= 20
