@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "rare_bigram_rate",
     "novelty_filter",
     "dedup_purge",
+    "dedup_keep_best",
     "contamination",
     "pii_redact",
     "repetition_filter",

@@ -1797,6 +1797,86 @@ def semi_join_ids(ds, keep_ds, id_column: str = "doc_id",
                               runtime_env=runtime_env())
 
 
+def attach_id_labels(ds, labels_ds, id_column: str = "doc_id",
+                     label_id_column: str = "doc_id",
+                     label_column: str = "cluster_id",
+                     broadcast_cutoff: int | None = None,
+                     num_partitions: int = 8):
+    """Inner-attach one int64 label per id: rows of ``ds`` whose
+    ``id_column`` appears in ``labels_ds`` come back with ``label_column``
+    appended; unlabeled rows are dropped (inner semantics).  ``labels_ds``
+    must be UNIQUE on its id (one label per id — e.g. connected-component
+    output), so the attach never duplicates probe rows.
+
+    Same size gate as :func:`subtract_ids` / :func:`semi_join_ids`: a
+    label table below the cutoff broadcasts as a PAIR of aligned sorted
+    arrays (ids, labels) probed with vectorized ``searchsorted`` — zero
+    shuffle of ``ds``; above it, the native hash join on the
+    high-cardinality id key with both inputs routed through
+    ``coalesce_nonempty`` (CLAUDE.md empty-block join rule)."""
+    import ray
+
+    from .partition import coalesce_nonempty
+
+    lab_nz = coalesce_nonempty(
+        labels_ds.select_columns([label_id_column, label_column]))
+    if lab_nz is None:
+        return ds.limit(0)
+    cutoff = (SUBTRACT_BROADCAST_CUTOFF if broadcast_cutoff is None
+              else broadcast_cutoff)
+    if lab_nz.count() <= cutoff:
+        tbls = ray.get(lab_nz.to_arrow_refs())
+        ids = np.concatenate(
+            [t.column(label_id_column).combine_chunks().to_numpy(
+                zero_copy_only=False) for t in tbls if t.num_rows]
+            or [np.empty(0, np.int64)])
+        labs = np.concatenate(
+            [t.column(label_column).combine_chunks().to_numpy(
+                zero_copy_only=False) for t in tbls if t.num_rows]
+            or [np.empty(0, np.int64)])
+        order = np.argsort(ids, kind="stable")
+        ref = ray.put((ids[order], labs[order]))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.append_column(
+                    label_column, pa.array([], pa.int64()))
+            sids, slabs = cached_get(ref)
+            bids = batch.column(id_column).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            if not len(sids):
+                return batch.slice(0, 0).append_column(
+                    label_column, pa.array([], pa.int64()))
+            pos = np.searchsorted(sids, bids)
+            pos[pos == len(sids)] = 0
+            hit = sids[pos] == bids
+            out = batch.filter(pa.array(hit))
+            return out.append_column(
+                label_column, pa.array(slabs[pos[hit]], pa.int64()))
+
+        return ds.map_batches(attach, batch_format="pyarrow",
+                              runtime_env=runtime_env())
+
+    marker = lab_nz.map_batches(
+        lambda b: pa.table({
+            "__lab_id": b.column(label_id_column),
+            label_column: b.column(label_column),
+        }),
+        batch_format="pyarrow", runtime_env=runtime_env(),
+    )
+    ds_nz = coalesce_nonempty(ds)
+    if ds_nz is None:
+        return ds.limit(0)
+    joined = ds_nz.join(
+        marker, "inner", num_partitions=num_partitions,
+        on=(id_column,), right_on=("__lab_id",),
+    )
+    return joined.map_batches(
+        lambda b: b.select(
+            [c for c in b.column_names if c != "__lab_id"]),
+        batch_format="pyarrow", runtime_env=runtime_env())
+
+
 # ── benchmark decontamination screen ─────────────────────────────────────────
 
 

@@ -3596,6 +3596,89 @@ ORDER BY d.doc_id
 """
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware fuzzy-dedup purge: same near-dup clusters as
+    dedup_purge, but each cluster keeps its HIGHEST-QUALITY member
+    (longest ``n_chars``, ties → min doc_id) instead of the min-id
+    canonical — what a production training-data dedup actually ships
+    (drop the boilerplate copies, keep the fullest version).
+
+    Scale shape on top of the dedup_purge plan: cluster labels are
+    inner-attached to (doc_id, n_chars) via the size-gated
+    :func:`~deepwebharvester_ray.functions.dedup.attach_id_labels`
+    (broadcast sorted (ids, labels) arrays below the cutoff, native
+    hash join above — labels are unique per doc so the attach never
+    duplicates); the per-cluster argmax is ONE single-key sort on
+    cluster_id + an in-block lexsort/run-rank pass (the user_top_type
+    idiom — never a composite sort); losers feed the same size-gated
+    anti-join as dedup_purge."""
+    from ..functions.dedup import (attach_id_labels, run_rank,
+                                   subtract_ids)
+    from ..functions.graph import connected_components
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    pairs = ngram_overlap_pairs(ds, k=8, max_bucket=1024,
+                                shuffle_partitions=_shuffle_parts(sf_dir))
+    clusters = connected_components(pairs)
+    members = attach_id_labels(
+        _docs(sf_dir, columns=["doc_id", "n_chars"]), clusters,
+        id_column="doc_id", label_id_column="doc_id",
+        label_column="cluster_id")
+
+    def losers(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        cids = batch.column("cluster_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        nch = batch.column("n_chars").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((ids, -nch, cids))
+        drop = order[run_rank(cids[order]) >= 1]
+        return pa.table({"doc_id": pa.array(ids[np.sort(drop)],
+                                            pa.int64())})
+
+    drop_ds = members.sort("cluster_id").map_batches(
+        losers, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+    kept = subtract_ids(_docs(sf_dir, columns=["doc_id", "n_chars"]),
+                        drop_ds, id_column="doc_id")
+    return kept.sort("doc_id")
+
+
+_SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE {_SQL_GRAM_PAIRS_CTE},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+),
+labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+members AS (
+  SELECT l.id AS did, l.cluster_id, d.n_chars
+  FROM labels l JOIN documents d ON d.doc_id = l.id
+),
+winners AS (
+  SELECT did FROM members
+  QUALIFY row_number() OVER (
+    PARTITION BY cluster_id ORDER BY n_chars DESC, did) = 1
+)
+SELECT d.doc_id, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT did FROM members
+  WHERE did NOT IN (SELECT did FROM winners))
+ORDER BY d.doc_id
+"""
+
+
 CONTAM_BENCH_MOD = 10  # benchmark = docs with doc_id % 10 == 0
 
 
@@ -5884,6 +5967,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "rare_bigram_rate": q_rare_bigram_rate,
         "novelty_filter": q_novelty_filter,
         "dedup_purge": q_dedup_purge,
+        "dedup_keep_best": q_dedup_keep_best,
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
         "line_filter": q_line_filter,
@@ -5989,6 +6073,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "rare_bigram_rate": _SQL_RARE_BIGRAM_RATE,
         "novelty_filter": _SQL_NOVELTY_FILTER,
         "dedup_purge": _SQL_DEDUP_PURGE,
+        "dedup_keep_best": _SQL_DEDUP_KEEP_BEST,
         "contamination": _SQL_CONTAMINATION,
         "pii_redact": _SQL_PII_REDACT,
         "line_filter": _SQL_LINE_FILTER,

@@ -742,6 +742,52 @@ def test_subtract_ids_empty_drop_is_identity():
     assert sorted(r["doc_id"] for r in kept) == [1, 2]
 
 
+def _labels_ds(pairs):
+    import ray
+
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([p[0] for p in pairs], pa.int64()),
+        "cluster_id": pa.array([p[1] for p in pairs], pa.int64()),
+    }))
+
+
+def test_attach_id_labels_broadcast_path():
+    out = dedup.attach_id_labels(
+        _ids_ds([1, 2, 3, 4, 5]), _labels_ds([(2, 20), (4, 20), (9, 90)]),
+        broadcast_cutoff=10**9,
+    ).take_all()
+    # inner semantics: unlabeled rows (1, 3, 5) dropped, 9 absent from ds
+    assert {r["doc_id"]: r["cluster_id"] for r in out} == {2: 20, 4: 20}
+    # payload survives the attach untouched
+    assert {r["doc_id"]: r["n"] for r in out} == {2: 20, 4: 40}
+
+
+def test_attach_id_labels_join_path_matches_broadcast():
+    ids = list(range(200))
+    labels = [(i, i // 7) for i in ids if i % 3 == 0]
+    bc = dedup.attach_id_labels(_ids_ds(ids), _labels_ds(labels),
+                                broadcast_cutoff=10**9).take_all()
+    jn = dedup.attach_id_labels(_ids_ds(ids), _labels_ds(labels),
+                                broadcast_cutoff=0).take_all()
+    key = lambda rows: sorted(
+        (r["doc_id"], r["n"], r["cluster_id"]) for r in rows)
+    assert key(bc) == key(jn)
+    assert len(bc) == len(labels)
+    # join path must not leak the marker id column
+    assert set(jn[0].keys()) == {"doc_id", "n", "cluster_id"}
+
+
+def test_attach_id_labels_empty_labels():
+    import ray
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "cluster_id": pa.array([], pa.int64()),
+    }))
+    out = dedup.attach_id_labels(_ids_ds([1, 2]), empty).take_all()
+    assert out == []
+
+
 def test_embedding_neardup_lsh_loose_threshold_falls_back_exact():
     """Below the selectivity gate (derived band width < 8 bits) the LSH
     operator must route to the exact blocked matmul — recall exactly 1.0

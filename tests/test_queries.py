@@ -36,6 +36,7 @@ SPOT_CHECKED = [
     "user_top_type",
     "filled_no_pending",
     "value_percentile",
+    "dedup_keep_best",
     "rolling_distinct_users",
     "zorder_layout",
     "oov_rate",
