@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "orders_by_segment",
     "orders_join_native",
     "lineitem_orders_join",
+    "runtime_filter_join",
     "local_supplier_revenue",
     "top_orders_q3",
     "lineitem_pricing",

@@ -1037,6 +1037,95 @@ GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
 """
 
 
+_RF_LO = "1995-01-01"
+_RF_HI = "1995-03-01"
+
+
+def q_runtime_filter_join(sf_dir: str):
+    """Runtime Bloom filter on a join (sideways information passing —
+    the classic distributed-engine optimization): revenue per order for
+    orders in a narrow date window.  The build side (window-filtered
+    orders, ~2% of the table) compiles into a constant-size Bloom bitmap
+    (combiner-built partials OR-reduced, ~1 MiB broadcast regardless of
+    key count); the fact scan drops non-candidate lineitems MAP-SIDE
+    before the grouped revenue exchange — the only fact-sized all-to-all
+    is cut to ~window-selectivity × fact rows.  Bloom false hits (<1%
+    at 10 bits/key) survive into the aggregate and are removed by the
+    exact size-gated semi-join against the true build keys, so
+    correctness NEVER depends on the filter — only shuffle bytes do.
+    (The unpruned twin is lineitem_orders_join; bench both.)"""
+    from ..functions.bloom import bloom_build, bloom_probe
+    from ..functions.dedup import semi_join_ids
+
+    import ray
+
+    lo_us = int(np.datetime64(_RF_LO, "us").astype(np.int64))
+    hi_us = int(np.datetime64(_RF_HI, "us").astype(np.int64))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def in_window(batch: pa.Table) -> pa.Table:
+        od = (batch.column("o_orderdate").combine_chunks()
+              .cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        keep = (od >= lo_us) & (od < hi_us)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey").filter(pa.array(keep)),
+        })
+
+    build = orders.map_batches(in_window, batch_format="pyarrow",
+                               runtime_env=runtime_env()).materialize()
+    words_ref = ray.put(bloom_build(build, "o_orderkey"))
+
+    fact = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_extendedprice", "l_discount"],
+                 override_num_blocks=_shuffle_parts(sf_dir, "lineitem"))
+
+    def probe_and_cents(batch: pa.Table) -> pa.Table:
+        from ..broadcast import cached_get
+
+        keys = batch.column("l_orderkey").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        hit = bloom_probe(cached_get(words_ref), keys)
+        if not hit.any():
+            return pa.table({
+                "o_orderkey": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+            })
+        price = batch.column("l_extendedprice").combine_chunks().to_numpy(
+            zero_copy_only=False)[hit]
+        disc = batch.column("l_discount").combine_chunks().to_numpy(
+            zero_copy_only=False)[hit]
+        cents = np.floor(price * (1.0 - disc) * 100.0).astype(np.int64)
+        return pa.table({
+            "o_orderkey": pa.array(keys[hit], pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    part = grouped_agg(
+        fact.map_batches(probe_and_cents, batch_format="pyarrow",
+                         runtime_env=runtime_env()),
+        ["o_orderkey"],
+        [("n_items", "", "count"), ("revenue_cents", "cents", "sum")],
+    )
+    exact = semi_join_ids(part, build, id_column="o_orderkey",
+                          keep_column="o_orderkey")
+    return exact.sort("o_orderkey")
+
+
+_SQL_RUNTIME_FILTER_JOIN = f"""
+SELECT l.l_orderkey AS o_orderkey, count(*) AS n_items,
+       CAST(sum(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount))
+                           * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+WHERE l.l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_RF_LO}'
+    AND o_orderdate < TIMESTAMP '{_RF_HI}')
+GROUP BY l.l_orderkey ORDER BY o_orderkey
+"""
+
+
 _SQL_LINEITEM_PRICING = """
 SELECT l_returnflag, l_linestatus, count(*) AS n_items,
        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -6000,6 +6089,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "orders_join_native": q_orders_join_native,
         "skewed_orders_join": q_skewed_orders_join,
         "lineitem_orders_join": q_lineitem_orders_join,
+        "runtime_filter_join": q_runtime_filter_join,
         "local_supplier_revenue": q_local_supplier_revenue,
         "top_orders_q3": q_top_orders_q3,
         "lineitem_pricing": q_lineitem_pricing,
@@ -6106,6 +6196,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "orders_join_native": _SQL_ORDERS_BY_SEGMENT,
         "skewed_orders_join": _SQL_SKEWED_ORDERS_JOIN,
         "lineitem_orders_join": _SQL_LINEITEM_ORDERS_JOIN,
+        "runtime_filter_join": _SQL_RUNTIME_FILTER_JOIN,
         "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
         "top_orders_q3": _SQL_TOP_ORDERS_Q3,
         "lineitem_pricing": _SQL_LINEITEM_PRICING,

@@ -45,6 +45,7 @@ SPOT_CHECKED = [
     "top_terms_tfidf",
     "jaccard_pairs",
     "lineitem_orders_join",
+    "runtime_filter_join",
     "local_supplier_revenue",
     "skewed_orders_join",
     "clicks_in_views",
