@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "recrawl_schedule",
     "snapshot_diff",
+    "crawl_budget",
     "table_checksum",
     "user_top_type",
     "filled_no_pending",

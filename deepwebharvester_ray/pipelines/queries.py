@@ -5915,6 +5915,87 @@ ORDER BY host_idx, doc_id
 """
 
 
+CRAWL_BUDGET_TOTAL = 1000  # fetches to allocate across hosts per round
+CRAWL_BUDGET_CAP = 30      # per-host politeness ceiling per round
+
+
+def q_crawl_budget(sf_dir: str):
+    """Change-rate-adaptive recrawl budget allocation: the fetch budget
+    of the next crawl round is split across hosts PROPORTIONAL to each
+    host's count of changed pages (the snapshot_diff derivation:
+    ``doc_id % 13 == 5`` changed, ``doc_id % 17 == 3`` removed), capped
+    by the per-host politeness ceiling —
+    ``budget_h = min(CAP, ceil(B · c_h / C))``, exact integer ceiling
+    division on both engines.  This is the scheduling half that
+    snapshot_diff's change detection feeds in an incremental crawler.
+
+    Scale shape: the changed flag is a pure map over a doc_id-only
+    read; per-host counts are one combiner ``grouped_agg`` (the only
+    all-to-all, at host cardinality); the global changed total and the
+    budget arithmetic run in the merged ~hosts-row block (at 10⁷ hosts
+    the total would come from a second tiny aggregate broadcast instead
+    — the value_percentile pattern)."""
+    from ..corpus import HOSTS
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def changed_hosts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        chg = (ids % 13 == 5) & (ids % 17 != 3)
+        return pa.table({
+            "host_idx": pa.array(ids[chg] % HOSTS, pa.int64()),
+        })
+
+    counts = grouped_agg(
+        ds.map_batches(changed_hosts, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        ["host_idx"], [("n_changed", "", "count")],
+    )
+
+    def allocate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "host_idx": pa.array([], pa.int64()),
+                "n_changed": pa.array([], pa.int64()),
+                "budget": pa.array([], pa.int64()),
+            })
+        n = batch.column("n_changed").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        total = int(n.sum())
+        budget = np.minimum(
+            CRAWL_BUDGET_CAP,
+            (CRAWL_BUDGET_TOTAL * n + total - 1) // total,
+        ).astype(np.int64)
+        return pa.table({
+            "host_idx": batch.column("host_idx"),
+            "n_changed": pa.array(n, pa.int64()),
+            "budget": pa.array(budget, pa.int64()),
+        })
+
+    return counts.repartition(1).map_batches(
+        allocate, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env()).sort("host_idx")
+
+
+def _sql_crawl_budget() -> str:
+    from ..corpus import HOSTS
+
+    return f"""
+WITH ch AS (
+  SELECT doc_id % {HOSTS} AS host_idx FROM documents
+  WHERE doc_id % 13 = 5 AND doc_id % 17 != 3
+),
+counts AS (SELECT host_idx, count(*) AS n_changed FROM ch GROUP BY host_idx),
+tot AS (SELECT sum(n_changed) AS c FROM counts)
+SELECT host_idx, CAST(n_changed AS BIGINT) AS n_changed,
+       CAST(least({CRAWL_BUDGET_CAP},
+                  ({CRAWL_BUDGET_TOTAL} * n_changed + c - 1) // c)
+            AS BIGINT) AS budget
+FROM counts, tot ORDER BY host_idx
+"""
+
+
 _WEEK_US = 604_800_000_000  # 7 days in epoch microseconds
 
 
@@ -6030,6 +6111,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "cohort_retention": q_cohort_retention,
         "recrawl_schedule": q_recrawl_schedule,
+        "crawl_budget": q_crawl_budget,
         "snapshot_diff": q_snapshot_diff,
         "table_checksum": q_table_checksum,
         "user_top_type": q_user_top_type,
@@ -6144,6 +6226,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "bpe_pair_counts": _SQL_BPE_PAIR_COUNTS,
         "cohort_retention": _SQL_COHORT_RETENTION,
         "recrawl_schedule": _sql_recrawl_schedule(),
+        "crawl_budget": _sql_crawl_budget(),
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "table_checksum": _SQL_TABLE_CHECKSUM,
         "user_top_type": _SQL_USER_TOP_TYPE,

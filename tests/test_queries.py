@@ -31,6 +31,7 @@ SPOT_CHECKED = [
     "bpe_pair_counts",
     "cohort_retention",
     "recrawl_schedule",
+    "crawl_budget",
     "snapshot_diff",
     "table_checksum",
     "user_top_type",
