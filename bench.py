@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "user_moving_sum",
     "value_outliers",
     "two_hop_counts",
+    "link_authority",
     "triangle_count",
     "crawl_bfs",
 ]

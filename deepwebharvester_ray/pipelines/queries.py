@@ -3570,6 +3570,66 @@ GROUP BY a.src ORDER BY doc_id
 """
 
 
+def q_link_authority(sf_dir: str):
+    """Per-page in-link authority features over the crawl link graph:
+    in-degree AND distinct referring HOSTS per target (the spam-resistant
+    authority signal — a thousand in-links from one host count as one) —
+    the link-feature table a crawl ranker joins against the frontier.
+
+    Shape: both features fall out of ONE pair-cardinality all-to-all —
+    (dst, src_host) pair counts via the combiner ``grouped_agg``, then a
+    second (tiny) grouped pass where ``count`` of pair rows = distinct
+    hosts and ``sum`` of pair counts = in-degree (the exact two-level
+    distinct, extended with a second aggregate riding the same merge)."""
+    from ..corpus import HOSTS
+
+    _, edges = _corpus_link_edges(sf_dir)
+
+    def pair_key(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch.column("dst"),
+            "src_host": pa.array(src % HOSTS, pa.int64()),
+        })
+
+    pairs = grouped_agg(
+        edges.map_batches(pair_key, batch_format="pyarrow",
+                          runtime_env=runtime_env()),
+        ["doc_id", "src_host"], [("n", "", "count")],
+    )
+    return grouped_agg(
+        pairs, ["doc_id"],
+        [("n_src_hosts", "", "count"), ("in_degree", "n", "sum")],
+    ).sort("doc_id")
+
+
+def _sql_link_authority() -> str:
+    from ..corpus import HOSTS
+
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    return f"""
+WITH n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+),
+pairs AS (
+  SELECT dst, src % {HOSTS} AS h, count(*) AS n
+  FROM edges GROUP BY dst, src % {HOSTS}
+)
+SELECT dst AS doc_id, CAST(count(*) AS BIGINT) AS n_src_hosts,
+       CAST(sum(n) AS BIGINT) AS in_degree
+FROM pairs GROUP BY dst ORDER BY doc_id
+"""
+
+
 def q_triangle_count(sf_dir: str):
     """Global triangle count of the (undirected) crawl link graph — the
     clustering-structure statistic completing the graph family (CC,
@@ -6131,6 +6191,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "neardup_clusters": q_neardup_clusters,
         "pagerank": q_pagerank,
         "two_hop_counts": q_two_hop_counts,
+        "link_authority": q_link_authority,
         "triangle_count": q_triangle_count,
         "inverted_index": q_inverted_index,
         "doc_search": q_doc_search,
@@ -6239,6 +6300,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,
         "pagerank": _sql_pagerank(),
         "two_hop_counts": _sql_two_hop(),
+        "link_authority": _sql_link_authority(),
         "triangle_count": _sql_triangles(),
         "inverted_index": _SQL_INVERTED_INDEX,
         "doc_search": _SQL_DOC_SEARCH,

@@ -59,6 +59,7 @@ SPOT_CHECKED = [
     "top_orders_q3",
     "pagerank",
     "two_hop_counts",
+    "link_authority",
     "triangle_count",
     "inverted_index",
     "doc_search",
