@@ -547,12 +547,83 @@ def run_skewjoin(n: int, plain: bool) -> dict:
     }
 
 
+def run_bloomjoin(n: int, plain: bool) -> dict:
+    """Runtime Bloom join filter at n fact rows against a 2%-selective
+    build side: the pruned plan broadcasts a constant-size bitmap and
+    drops non-candidate fact rows MAP-SIDE, so the aggregation exchange
+    sees ~2% of the fact (+<1% Bloom false hits); ``--plain`` aggregates
+    the FULL fact first and filters after — the exchange ships every
+    row.  Both plans end in the same exact semi-join, identical output."""
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray import runtime_env
+    from deepwebharvester_ray.functions.agg import grouped_agg
+    from deepwebharvester_ray.functions.bloom import bloom_build, bloom_probe
+    from deepwebharvester_ray.functions.dedup import semi_join_ids
+
+    n_keys = 1_000_000
+    sel_mod = 50                      # build side = 2% of the key space
+    blocks = 64
+
+    def gen(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        i0 = batch.column("b").to_numpy(zero_copy_only=False)[0]
+        rows = n // blocks
+        idx = np.arange(rows, dtype=np.int64) + i0 * rows
+        return pa.table({
+            "k": pa.array(idx % n_keys, pa.int64()),
+            "v": pa.array(idx % 97, pa.int64()),
+        })
+
+    fact = ray.data.from_arrow(pa.table({"b": pa.array(range(blocks),
+                                                       pa.int64())}))
+    fact = fact.repartition(blocks).map_batches(
+        gen, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+    import numpy as np
+
+    build = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.arange(0, n_keys, sel_mod, dtype=np.int64)),
+    }))
+
+    t0 = time.monotonic()
+    if plain:
+        agg = grouped_agg(fact, ["k"], [("s", "v", "sum")])
+        exchange_rows = n
+    else:
+        words_ref = ray.put(bloom_build(build, "k"))
+
+        def probe(batch: pa.Table) -> pa.Table:
+            from deepwebharvester_ray.broadcast import cached_get
+
+            keys = batch.column("k").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            hit = bloom_probe(cached_get(words_ref), keys)
+            return batch.filter(pa.array(hit))
+
+        survivors = fact.map_batches(
+            probe, batch_format="pyarrow",
+            runtime_env=runtime_env()).materialize()
+        exchange_rows = survivors.count()
+        agg = grouped_agg(survivors, ["k"], [("s", "v", "sum")])
+    out = semi_join_ids(agg, build, id_column="k",
+                        keep_column="k").materialize()
+    return {
+        "case": "bloomjoin", "n": n, "plain": plain,
+        "exchange_rows": exchange_rows, "groups": out.count(),
+        "wall_s": round(time.monotonic() - t0, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("case", choices=["minhash", "frontier", "highcard",
                                     "interval", "pagerank", "semdedup",
                                     "passage", "skewjoin", "bpe",
-                                    "stream", "skewagg"])
+                                    "stream", "skewagg", "bloomjoin"])
     p.add_argument("--dup", type=int, default=1)
     p.add_argument("--seeds", type=int, default=10_000)
     p.add_argument("--shards", type=int, default=None)
@@ -593,6 +664,8 @@ def main() -> None:
             out = run_stream(args.dup, args.sf)
         elif args.case == "skewagg":
             out = run_skewagg(args.n, args.plain)
+        elif args.case == "bloomjoin":
+            out = run_bloomjoin(args.n, args.plain)
         else:
             out = run_highcard(args.n)
     finally:
