@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "recrawl_schedule",
     "snapshot_diff",
     "crawl_budget",
+    "host_sample",
     "table_checksum",
     "user_top_type",
     "filled_no_pending",

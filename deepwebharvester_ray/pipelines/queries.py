@@ -5975,6 +5975,78 @@ ORDER BY host_idx, doc_id
 """
 
 
+HOST_SAMPLE_K = 5
+_HOST_SAMPLE_MULT = 0x9E3779B97F4A7C15  # odd → bijective in 2^64
+
+
+def q_host_sample(sf_dir: str):
+    """Per-host uniform QA sample: exactly K pages per host, selected by
+    smallest 64-bit multiplicative hash of the page id — the audit batch
+    a crawl-quality reviewer pulls per host (deterministic, reshard- and
+    resume-stable, and a fresh multiplier decorrelates it from the
+    train/val/test split hash).
+
+    Scale shape: per-GROUP k-smallest over the LOW-cardinality host key
+    is the recrawl_schedule two-level plan — every block emits its local
+    per-host k-smallest hashes (≤ hosts×K rows), one bounded merge block
+    applies the same mask globally; never a sort on the host key."""
+    from ..corpus import HOSTS
+    from ..functions.dedup import run_rank
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def hashes(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            hv = ids.astype(np.uint64) * np.uint64(_HOST_SAMPLE_MULT)
+        return pa.table({
+            "host_idx": pa.array(ids % HOSTS, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "hv": pa.array(hv, pa.uint64()),
+        })
+
+    def smallest_per_host(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        hosts = batch.column("host_idx").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        hv = batch.column("hv").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((hv, hosts))
+        keep = order[run_rank(hosts[order]) < HOST_SAMPLE_K]
+        return batch.take(pa.array(np.sort(keep)))
+
+    part = ds.map_batches(hashes, batch_format="pyarrow",
+                          runtime_env=runtime_env()).map_batches(
+        smallest_per_host, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+    final = part.repartition(1).map_batches(
+        smallest_per_host, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+    return final.map_batches(
+        lambda b: b.select(["host_idx", "doc_id"]),
+        batch_format="pyarrow", runtime_env=runtime_env(),
+    ).sort(["host_idx", "doc_id"])
+
+
+def _sql_host_sample() -> str:
+    from ..corpus import HOSTS
+
+    return f"""
+WITH h AS (
+  SELECT doc_id, doc_id % {HOSTS} AS host_idx,
+         (CAST(doc_id AS HUGEINT) * {_HOST_SAMPLE_MULT}) %
+             CAST('18446744073709551616' AS HUGEINT) AS hv
+  FROM documents
+)
+SELECT host_idx, doc_id FROM h
+QUALIFY row_number() OVER (
+    PARTITION BY host_idx ORDER BY hv) <= {HOST_SAMPLE_K}
+ORDER BY host_idx, doc_id
+"""
+
+
 CRAWL_BUDGET_TOTAL = 1000  # fetches to allocate across hosts per round
 CRAWL_BUDGET_CAP = 30      # per-host politeness ceiling per round
 
@@ -6172,6 +6244,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "cohort_retention": q_cohort_retention,
         "recrawl_schedule": q_recrawl_schedule,
         "crawl_budget": q_crawl_budget,
+        "host_sample": q_host_sample,
         "snapshot_diff": q_snapshot_diff,
         "table_checksum": q_table_checksum,
         "user_top_type": q_user_top_type,
@@ -6288,6 +6361,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "cohort_retention": _SQL_COHORT_RETENTION,
         "recrawl_schedule": _sql_recrawl_schedule(),
         "crawl_budget": _sql_crawl_budget(),
+        "host_sample": _sql_host_sample(),
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "table_checksum": _SQL_TABLE_CHECKSUM,
         "user_top_type": _SQL_USER_TOP_TYPE,

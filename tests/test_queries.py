@@ -32,6 +32,7 @@ SPOT_CHECKED = [
     "cohort_retention",
     "recrawl_schedule",
     "crawl_budget",
+    "host_sample",
     "snapshot_diff",
     "table_checksum",
     "user_top_type",
