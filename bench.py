@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "crawl_budget",
     "host_sample",
+    "trending_tokens",
     "table_checksum",
     "user_top_type",
     "filled_no_pending",

@@ -5059,6 +5059,87 @@ def q_binary_metadata(sf_dir: str):
 GROUPED_HH_K = 10
 
 
+TRENDING_K = 5
+_TREND_WINDOW_S = 60  # pages arrive 1/s (corpus rule) → minute windows
+
+
+def q_trending_tokens(sf_dir: str):
+    """Windowed heavy hitters: the top-``TRENDING_K`` word tokens of
+    each crawl-time minute window — "what vocabulary entered the crawl
+    this window", the trending/alerting primitive composed from the
+    tumbling-window and grouped-heavy-hitter machinery.  Window index is
+    exact integer arithmetic on the corpus timeline (page *d* is fetched
+    at BASE_TS + d·1s, so ``window_idx = doc_id // 60`` — identical on
+    both engines, no timestamp rounding).
+
+    Shape: one explode map emits (window, token); ``grouped_agg``
+    combines per block (shuffle = per-block window×vocab, not tokens);
+    the per-window top-k is one SINGLE-key sort on the window plus the
+    vectorized in-block lexsort/run-rank mask (the top_tokens_by_source
+    plan keyed by time instead of source)."""
+    from ..functions.dedup import run_rank
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        toks, counts = [], np.empty(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            tt = WORD_RE.findall((t or "").lower())
+            counts[i] = len(tt)
+            toks.extend(tt)
+        return pa.table({
+            "window_idx": pa.array(
+                np.repeat(ids // _TREND_WINDOW_S, counts), pa.int64()),
+            "token": pa.array(toks, pa.string()),
+        })
+
+    counts = grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        ["window_idx", "token"], [("n", "", "count")],
+    )
+
+    def top_k(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        wins = batch.column("window_idx").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        toks = np.asarray(batch.column("token").to_pylist(), dtype=object)
+        nvals = batch.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((toks, -nvals, wins))
+        keep = order[run_rank(wins[order]) < TRENDING_K]
+        return batch.take(pa.array(np.sort(keep)))
+
+    return counts.sort("window_idx").map_batches(
+        top_k, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+
+
+def _sql_trending_tokens() -> str:
+    return rf"""
+WITH tok AS (
+  SELECT doc_id // {_TREND_WINDOW_S} AS window_idx,
+         unnest(regexp_extract_all(lower(text), '{_TOKEN_SQL_RE}'))
+             AS token
+  FROM documents
+),
+counts AS (
+  SELECT window_idx, token, count(*) AS n
+  FROM tok GROUP BY window_idx, token
+)
+SELECT window_idx, token, CAST(n AS BIGINT) AS n FROM counts
+QUALIFY row_number() OVER (
+    PARTITION BY window_idx ORDER BY n DESC, token) <= {TRENDING_K}
+ORDER BY window_idx, n DESC, token
+"""
+
+
 def q_top_tokens_by_source(sf_dir: str):
     """GROUPED heavy hitters: top-``GROUPED_HH_K`` word tokens per
     ``source`` — the per-domain vocabulary profile run before deciding a
@@ -6240,6 +6321,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "sample_k": q_sample_k,
         "top_tokens": q_top_tokens,
         "top_tokens_by_source": q_top_tokens_by_source,
+        "trending_tokens": q_trending_tokens,
         "bpe_pair_counts": q_bpe_pair_counts,
         "cohort_retention": q_cohort_retention,
         "recrawl_schedule": q_recrawl_schedule,
@@ -6357,6 +6439,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "sample_k": _SQL_SAMPLE_K,
         "top_tokens": _SQL_TOP_TOKENS,
         "top_tokens_by_source": _SQL_TOP_TOKENS_BY_SOURCE,
+        "trending_tokens": _sql_trending_tokens(),
         "bpe_pair_counts": _SQL_BPE_PAIR_COUNTS,
         "cohort_retention": _SQL_COHORT_RETENTION,
         "recrawl_schedule": _sql_recrawl_schedule(),

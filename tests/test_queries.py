@@ -28,6 +28,7 @@ SPOT_CHECKED = [
     "sample_k",
     "top_tokens",
     "top_tokens_by_source",
+    "trending_tokens",
     "bpe_pair_counts",
     "cohort_retention",
     "recrawl_schedule",
