@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "crawl_budget",
     "host_sample",
     "trending_tokens",
+    "ioc_cooccurrence",
     "table_checksum",
     "user_top_type",
     "filled_no_pending",

@@ -383,6 +383,79 @@ FROM c ORDER BY doc_id
 """
 
 
+_IOC_FAMS = [("ipv4", "n_ipv4"), ("emails", "n_emails"),
+             ("cves", "n_cves"), ("domains", "n_domains"),
+             ("onion", "n_onion")]
+
+
+def q_ioc_cooccurrence(sf_dir: str):
+    """IOC family co-occurrence matrix: pages on which BOTH families of
+    each unordered pair appear — the pivot/correlation table an intel
+    analyst reads to find coupled indicator types (e.g. CVE mentions
+    riding with onion addresses).  Composes the M7 extractor with a
+    pure in-batch pair combiner.
+
+    Shape: per-page family presence flags reduce to ≤10 (pair, count)
+    rows PER BATCH before any exchange (the indicator-column trick from
+    filled_no_pending applied to pairs); the only all-to-all is the
+    10-row grouped sum."""
+    counts = q_ioc_counts(sf_dir)
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        flags = [
+            batch.column(col).combine_chunks().to_numpy(
+                zero_copy_only=False) > 0
+            for _, col in _IOC_FAMS
+        ]
+        fam_a, fam_b, n = [], [], []
+        for i in range(len(_IOC_FAMS)):
+            for j in range(i + 1, len(_IOC_FAMS)):
+                fam_a.append(_IOC_FAMS[i][0])
+                fam_b.append(_IOC_FAMS[j][0])
+                n.append(int(np.sum(flags[i] & flags[j])))
+        return pa.table({
+            "fam_a": pa.array(fam_a, pa.string()),
+            "fam_b": pa.array(fam_b, pa.string()),
+            "n": pa.array(n, pa.int64()),
+        })
+
+    agg = grouped_agg(
+        counts.map_batches(pair_counts, batch_format="pyarrow",
+                           batch_size=None, runtime_env=runtime_env()),
+        ["fam_a", "fam_b"], [("n_pages", "n", "sum")],
+    )
+
+    def nonzero(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater(batch.column("n_pages"), 0))
+
+    return agg.map_batches(nonzero, batch_format="pyarrow",
+                           runtime_env=runtime_env()).sort(
+        ["fam_a", "fam_b"])
+
+
+def _sql_ioc_cooccurrence() -> str:
+    # keep only the a/c CTEs: cut at the LAST top-level "SELECT doc_id,"
+    # (the c CTE's inner select shares the prefix)
+    base = _SQL_IOC_COUNTS.rsplit("SELECT doc_id,", 1)[0]
+    fam_expr = {"ipv4": "len(ipv4)", "emails": "len(emails)",
+                "cves": "len(cves)", "domains": "len(domains)",
+                "onion": "len(onions)"}
+    parts = []
+    for i in range(len(_IOC_FAMS)):
+        for j in range(i + 1, len(_IOC_FAMS)):
+            a, b = _IOC_FAMS[i][0], _IOC_FAMS[j][0]
+            parts.append(
+                f"SELECT '{a}' AS fam_a, '{b}' AS fam_b,\n"
+                f"       CAST(count(*) AS BIGINT) AS n_pages FROM c\n"
+                f"WHERE {fam_expr[a]} > 0 AND {fam_expr[b]} > 0"
+            )
+    union = "\nUNION ALL\n".join(parts)
+    return (base + "SELECT fam_a, fam_b, n_pages FROM (\n" + union
+            + "\n) WHERE n_pages > 0 ORDER BY fam_a, fam_b")
+
+
 def q_threat_scores(sf_dir: str):
     """M8 keyword-density threat scoring over augmented text
     (intelligence.py:275-337)."""
@@ -6303,6 +6376,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "lang_id": q_lang_id,
         "langid_confusion": q_langid_confusion,
         "ioc_counts": q_ioc_counts,
+        "ioc_cooccurrence": q_ioc_cooccurrence,
         "threat_scores": q_threat_scores,
         "url_canonicalize": q_url_canonicalize,
         "ann_topk": q_ann_topk,
@@ -6423,6 +6497,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "lang_id": _sql_lang_id(),
         "langid_confusion": _sql_langid_confusion(),
         "ioc_counts": _SQL_IOC_COUNTS,
+        "ioc_cooccurrence": _sql_ioc_cooccurrence(),
         "threat_scores": _sql_threat_scores(),
         "url_canonicalize": _SQL_URL_CANON,
         "ann_topk": _SQL_ANN_TOPK,

@@ -29,6 +29,7 @@ SPOT_CHECKED = [
     "top_tokens",
     "top_tokens_by_source",
     "trending_tokens",
+    "ioc_cooccurrence",
     "bpe_pair_counts",
     "cohort_retention",
     "recrawl_schedule",
