@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "semdedup_prune",
     "sample_k",
     "passage_profile",
+    "containment_pairs",
     "clean_text",
     "domain_upsample",
     "oov_rate",

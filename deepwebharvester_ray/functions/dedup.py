@@ -1358,22 +1358,10 @@ def _gram_keys(tok1: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
     return h1[keep], h2[keep]
 
 
-def ngram_overlap_pairs(
-    ds,
-    id_column: str = "doc_id",
-    text_column: str = "text",
-    k: int = 8,
-    max_bucket: int = 1024,
-    shuffle_partitions: int = None,
-):
-    """All (id_a < id_b) pairs of docs sharing ≥1 exact k-token window.
-
-    Tokens are whitespace runs (``\\S+`` — same rule as token_counts), so
-    the DuckDB oracle is a plain list-slice self-join.  ``max_bucket``
-    guards a boilerplate window shared by ~everything from an O(m²) pair
-    blowup (guard is deterministic and logged in the docstring contract;
-    set it above the corpus size for exact-oracle runs).
-    """
+def _gram_key_table(ds, id_column: str, text_column: str, k: int):
+    """(h1, h2, id) rows — one per DISTINCT k-token window per doc (the
+    :func:`_gram_keys` dedup), shared by :func:`ngram_overlap_pairs` and
+    :func:`containment_pairs`."""
     from .textops import TOKEN_RE
 
     def keys_batch(batch: pa.Table) -> pa.Table:
@@ -1404,6 +1392,26 @@ def ngram_overlap_pairs(
             }
         )
 
+    return ds.map_batches(keys_batch, batch_format="pyarrow",
+                          runtime_env=runtime_env())
+
+
+def ngram_overlap_pairs(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    k: int = 8,
+    max_bucket: int = 1024,
+    shuffle_partitions: int = None,
+):
+    """All (id_a < id_b) pairs of docs sharing ≥1 exact k-token window.
+
+    Tokens are whitespace runs (``\\S+`` — same rule as token_counts), so
+    the DuckDB oracle is a plain list-slice self-join.  ``max_bucket``
+    guards a boilerplate window shared by ~everything from an O(m²) pair
+    blowup (guard is deterministic and logged in the docstring contract;
+    set it above the corpus size for exact-oracle runs).
+    """
     _empty_pairs = pa.table(
         {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
     )
@@ -1456,9 +1464,7 @@ def ngram_overlap_pairs(
         keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
         return batch.filter(pa.array(keep))
 
-    keyed = ds.map_batches(
-        keys_batch, batch_format="pyarrow", runtime_env=runtime_env()
-    )
+    keyed = _gram_key_table(ds, id_column, text_column, k)
     if shuffle_partitions:
         # the sort is O(partitions^2) block exchanges — coalesce a
         # many-tiny-block input before it (the window-key table is ~5x
@@ -1474,6 +1480,129 @@ def ngram_overlap_pairs(
         distinct_pairs, batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
     )
+
+
+def containment_pairs(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    k: int = 8,
+    tau_pct: int = 50,
+    max_bucket: int = 1024,
+    shuffle_partitions: int = None,
+):
+    """ASYMMETRIC overlap (containment) pairs: (id_a < id_b) doc pairs
+    where the shared distinct k-token windows cover ≥ ``tau_pct`` % of
+    EITHER doc's windows — the quote/boilerplate/subset detector that
+    Jaccard misses (a page fully quoted inside a much longer page has
+    tiny Jaccard but 100% containment one way).  Returns
+    ``(id_a, id_b, n_shared, pct_a, pct_b)`` with integer-floor
+    percentages (``n_shared·100 // n_windows`` — exact on both engines).
+
+    Scale shape on top of the ngram plan: the per-(pair) shared-window
+    counts are a ``grouped_agg`` over the bucketed pair stream (pair
+    cardinality, combiner-collapsed); per-doc window counts are a second
+    grouped count over the SAME materialized key table (tokenize once —
+    the tfidf discipline); both sides attach via the size-gated
+    :func:`attach_id_labels` (broadcast below cutoff, hash join above);
+    the τ filter is a pure vectorized map."""
+    from .agg import grouped_agg
+
+    keyed = _gram_key_table(ds, id_column, text_column, k)
+    if shuffle_partitions:
+        keyed = keyed.repartition(shuffle_partitions)
+    keyed = keyed.materialize()
+
+    w_tbl = grouped_agg(
+        keyed.map_batches(
+            lambda b: pa.table({"doc_id": b.column("id")}),
+            batch_format="pyarrow", runtime_env=runtime_env()),
+        ["doc_id"], [("n_grams", "", "count")],
+    )
+
+    _empty_pairs = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_pairs
+        h1 = batch.column("h1").combine_chunks().to_numpy(zero_copy_only=False)
+        h2 = batch.column("h2").combine_chunks().to_numpy(zero_copy_only=False)
+        ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        starts, ends = _run_bounds(h1, h2)
+        sizes = ends - starts
+        sel = (sizes >= 2) & (sizes <= max_bucket)
+        starts, sizes = starts[sel], sizes[sel]
+        out_a, out_b = [], []
+        size_order = np.argsort(sizes, kind="stable")
+        s_sorted = starts[size_order]
+        sz_sorted = sizes[size_order]
+        g_starts, g_ends = _run_bounds(sz_sorted)
+        for gs, ge in zip(g_starts, g_ends):
+            m = int(sz_sorted[gs])
+            s_m = s_sorted[gs:ge]
+            mat = np.sort(ids[s_m[:, None] + np.arange(m)[None, :]], axis=1)
+            ii, jj = np.triu_indices(m, 1)
+            out_a.append(mat[:, ii].ravel())
+            out_b.append(mat[:, jj].ravel())
+        if not out_a:
+            return _empty_pairs
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    pair_stream = keyed.sort(["h1", "h2"]).map_batches(
+        bucket_pairs, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )
+    shared = grouped_agg(pair_stream, ["id_a", "id_b"],
+                         [("n_shared", "", "count")])
+    shared = attach_id_labels(
+        shared,
+        w_tbl.map_batches(
+            lambda b: b.rename_columns(["doc_id", "w_a"]),
+            batch_format="pyarrow", runtime_env=runtime_env()),
+        id_column="id_a", label_id_column="doc_id", label_column="w_a")
+    shared = attach_id_labels(
+        shared,
+        w_tbl.map_batches(
+            lambda b: b.rename_columns(["doc_id", "w_b"]),
+            batch_format="pyarrow", runtime_env=runtime_env()),
+        id_column="id_b", label_id_column="doc_id", label_column="w_b")
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "n_shared": pa.array([], pa.int64()),
+                "pct_a": pa.array([], pa.int64()),
+                "pct_b": pa.array([], pa.int64()),
+            })
+        n = batch.column("n_shared").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        wa = batch.column("w_a").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        wb = batch.column("w_b").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pct_a = n * 100 // wa
+        pct_b = n * 100 // wb
+        keep = np.maximum(pct_a, pct_b) >= tau_pct
+        return pa.table({
+            "id_a": batch.column("id_a").filter(pa.array(keep)),
+            "id_b": batch.column("id_b").filter(pa.array(keep)),
+            "n_shared": pa.array(n[keep], pa.int64()),
+            "pct_a": pa.array(pct_a[keep], pa.int64()),
+            "pct_b": pa.array(pct_b[keep], pa.int64()),
+        })
+
+    return shared.map_batches(score, batch_format="pyarrow",
+                              runtime_env=runtime_env()).sort(
+        ["id_a", "id_b"])
 
 
 _PROF_S1 = np.uint64(0xA24BAED4963EE407)  # per-doc sentinel-key multipliers

@@ -5005,6 +5005,53 @@ SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b
 """
 
 
+CONTAIN_TAU_PCT = 50
+
+
+def q_containment_pairs(sf_dir: str):
+    """Asymmetric containment pairs: docs whose shared distinct 8-token
+    windows cover ≥50% of EITHER side's windows — the quote/boilerplate
+    /subset detector symmetric Jaccard misses (a short page fully quoted
+    inside a long one has tiny Jaccard but 100% one-way containment).
+    See :func:`~deepwebharvester_ray.functions.dedup.containment_pairs`
+    for the distributed shape (one materialized gram-key table feeds
+    both the pair counts and the per-doc window counts)."""
+    from ..functions.dedup import containment_pairs
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    return containment_pairs(ds, k=8, tau_pct=CONTAIN_TAU_PCT,
+                             max_bucket=1024,
+                             shuffle_partitions=_shuffle_parts(sf_dir))
+
+
+_SQL_CONTAINMENT_PAIRS = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+dg AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g(i)
+  WHERE len(t) >= 8
+),
+w AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id),
+sh AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM dg a JOIN dg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT sh.id_a, sh.id_b, CAST(sh.n_shared AS BIGINT) AS n_shared,
+       CAST(sh.n_shared * 100 // wa.n AS BIGINT) AS pct_a,
+       CAST(sh.n_shared * 100 // wb.n AS BIGINT) AS pct_b
+FROM sh
+JOIN w wa ON wa.doc_id = sh.id_a
+JOIN w wb ON wb.doc_id = sh.id_b
+WHERE greatest(sh.n_shared * 100 // wa.n,
+               sh.n_shared * 100 // wb.n) >= {CONTAIN_TAU_PCT}
+ORDER BY id_a, id_b
+"""
+
+
 def q_passage_profile(sf_dir: str):
     """Per-doc duplicated-passage coverage (exact-substring-dedup trim
     statistic): for each doc, the count of token positions covered by an
@@ -6385,6 +6432,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "semdedup_prune": q_semdedup_prune,
         "jaccard_pairs": q_jaccard_pairs,
         "ngram_overlap": q_ngram_overlap,
+        "containment_pairs": q_containment_pairs,
         "passage_profile": q_passage_profile,
         "clean_text": q_clean_text,
         "price_quantiles": q_price_quantiles,
@@ -6504,6 +6552,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "neardup_embeddings": _SQL_NEARDUP_EMB,
         "jaccard_pairs": _SQL_JACCARD_PAIRS,
         "ngram_overlap": _SQL_NGRAM_OVERLAP,
+        "containment_pairs": _SQL_CONTAINMENT_PAIRS,
         "passage_profile": _SQL_PASSAGE_PROFILE,
         "clean_text": _SQL_CLEAN_TEXT,
         "price_quantiles": _SQL_PRICE_QUANTILES,

@@ -20,6 +20,7 @@ SPOT_CHECKED = [
     "lang_id", "events_by_type", "event_sessions",
     "event_sessions_stream", "ann_topk",
     "ngram_overlap",
+    "containment_pairs",
     "passage_profile",
     "price_quantiles",
     "value_outliers",
