@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "crawl_budget",
     "host_sample",
+    "host_dup_stats",
     "trending_tokens",
     "ioc_cooccurrence",
     "table_checksum",

@@ -6248,6 +6248,99 @@ ORDER BY host_idx, doc_id
 """
 
 
+def q_host_dup_stats(sf_dir: str):
+    """Per-host duplication report: page count, pages whose content hash
+    appears more than once ANYWHERE in the corpus (cross-host mirrors
+    count), and the integer-floor duplicate percentage — the triage
+    table that decides which hosts get dedup-heavy treatment or a crawl
+    demotion.
+
+    Shape: (host, hash) pair counts via one combiner ``grouped_agg``
+    (the only corpus-sized all-to-all, collapsed to distinct pairs);
+    global per-hash totals are a second TINY grouped sum over that pair
+    table; totals re-attach by hash through the size-gated
+    :func:`attach_id_labels`; the per-host rollup is bounded by host
+    cardinality.  Content hash is the shared 60-bit md5-int rule
+    (bit-identical in DuckDB)."""
+    import hashlib
+
+    from ..corpus import HOSTS
+    from ..functions.dedup import attach_id_labels
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        hs = np.asarray(
+            [int(hashlib.md5((t or "").encode()).hexdigest()[:15], 16)
+             for t in batch.column("text").to_pylist()], np.int64)
+        return pa.table({
+            "host_idx": pa.array(ids % HOSTS, pa.int64()),
+            "h": pa.array(hs, pa.int64()),
+        })
+
+    hh = grouped_agg(
+        ds.map_batches(keyed, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        ["host_idx", "h"], [("c", "", "count")],
+    )
+    tot = grouped_agg(hh, ["h"], [("tot", "c", "sum")])
+    hh_t = attach_id_labels(hh, tot, id_column="h",
+                            label_id_column="h", label_column="tot")
+
+    def dup_flag(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        t = batch.column("tot").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "host_idx": batch.column("host_idx"),
+            "c": batch.column("c"),
+            "dup_c": pa.array(np.where(t > 1, c, 0), pa.int64()),
+        })
+
+    per_host = grouped_agg(
+        hh_t.map_batches(dup_flag, batch_format="pyarrow",
+                         runtime_env=runtime_env()),
+        ["host_idx"], [("n_pages", "c", "sum"), ("n_dup", "dup_c", "sum")],
+    )
+
+    def pct(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_pages").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("n_dup").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return batch.append_column(
+            "dup_pct", pa.array(d * 100 // n, pa.int64()))
+
+    return per_host.map_batches(pct, batch_format="pyarrow",
+                                runtime_env=runtime_env()).sort("host_idx")
+
+
+def _sql_host_dup_stats() -> str:
+    from ..corpus import HOSTS
+
+    return f"""
+WITH p AS (
+  SELECT doc_id % {HOSTS} AS host_idx,
+         CAST(concat('0x', substr(md5(COALESCE(text, '')), 1, 15))
+              AS BIGINT) AS h
+  FROM documents
+),
+hh AS (SELECT host_idx, h, count(*) AS c FROM p GROUP BY host_idx, h),
+g AS (SELECT h, sum(c) AS tot FROM hh GROUP BY h)
+SELECT hh.host_idx,
+       CAST(sum(hh.c) AS BIGINT) AS n_pages,
+       CAST(sum(CASE WHEN g.tot > 1 THEN hh.c ELSE 0 END) AS BIGINT)
+           AS n_dup,
+       CAST(sum(CASE WHEN g.tot > 1 THEN hh.c ELSE 0 END) * 100
+            // sum(hh.c) AS BIGINT) AS dup_pct
+FROM hh JOIN g ON g.h = hh.h
+GROUP BY hh.host_idx ORDER BY host_idx
+"""
+
+
 CRAWL_BUDGET_TOTAL = 1000  # fetches to allocate across hosts per round
 CRAWL_BUDGET_CAP = 30      # per-host politeness ceiling per round
 
@@ -6449,6 +6542,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "recrawl_schedule": q_recrawl_schedule,
         "crawl_budget": q_crawl_budget,
         "host_sample": q_host_sample,
+        "host_dup_stats": q_host_dup_stats,
         "snapshot_diff": q_snapshot_diff,
         "table_checksum": q_table_checksum,
         "user_top_type": q_user_top_type,
@@ -6569,6 +6663,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "recrawl_schedule": _sql_recrawl_schedule(),
         "crawl_budget": _sql_crawl_budget(),
         "host_sample": _sql_host_sample(),
+        "host_dup_stats": _sql_host_dup_stats(),
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "table_checksum": _SQL_TABLE_CHECKSUM,
         "user_top_type": _SQL_USER_TOP_TYPE,

@@ -36,6 +36,7 @@ SPOT_CHECKED = [
     "recrawl_schedule",
     "crawl_budget",
     "host_sample",
+    "host_dup_stats",
     "snapshot_diff",
     "table_checksum",
     "user_top_type",
