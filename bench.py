@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "contamination",
     "pii_redact",
     "repetition_filter",
+    "compressibility",
     "domain_mix",
     "epoch_shuffle",
     "latest_events",

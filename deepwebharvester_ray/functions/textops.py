@@ -51,6 +51,35 @@ def token_count_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
     return pa.table(out)
 
 
+def compressibility_batch(batch: pa.Table,
+                          text_column: str = "text") -> pa.Table:
+    """Byte-level compressibility quality signal: per row, UTF-8 byte
+    count, zlib(level=6) compressed size, and the integer-floor
+    compressed-percentage ``n_compressed·100 // n_bytes`` (empty text →
+    100).  Highly compressible pages (low pct) are repetitive
+    boilerplate/spam — the bytes-level cousin of the Gopher repetition
+    rules (public heuristic family; no SQL oracle since the ratio is a
+    zlib artifact — determinism and ordering properties are pinned in
+    tests instead).  zlib is C-speed per row; the Python loop is only
+    the dispatch."""
+    import zlib
+
+    n_bytes, n_comp = [], []
+    for t in batch.column(text_column).to_pylist():
+        raw = (t or "").encode()
+        n_bytes.append(len(raw))
+        n_comp.append(len(zlib.compress(raw, 6)))
+    nb = np.asarray(n_bytes, np.int64)
+    nc = np.asarray(n_comp, np.int64)
+    pct = np.where(nb > 0, nc * 100 // np.maximum(nb, 1), 100)
+    out = {n: batch.column(n) for n in batch.column_names
+           if n != text_column}
+    out["n_bytes"] = pa.array(nb, pa.int64())
+    out["n_compressed"] = pa.array(nc, pa.int64())
+    out["comp_pct"] = pa.array(pct, pa.int64())
+    return pa.table(out)
+
+
 def quality_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
     """Quality metrics: length, token stats, punctuation/alnum ratios.
 

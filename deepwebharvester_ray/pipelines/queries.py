@@ -249,6 +249,19 @@ def q_quality(sf_dir: str):
     )
 
 
+def q_compressibility(sf_dir: str):
+    """Byte-level compressibility quality screen (zlib ratio per doc —
+    low percentage = repetitive boilerplate/spam).  Rows-only: the
+    compressed size is a zlib artifact no SQL engine reproduces;
+    determinism, batch-boundary independence and the
+    repetitive-beats-random ordering are pinned in tests."""
+    from ..functions.textops import compressibility_batch
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(compressibility_batch, batch_format="pyarrow",
+                          runtime_env=runtime_env())
+
+
 _SQL_QUALITY = r"""
 WITH q AS (
   SELECT doc_id,
@@ -6513,6 +6526,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
         "quality_scores": q_quality,
+        "compressibility": q_compressibility,
         "lang_id": q_lang_id,
         "langid_confusion": q_langid_confusion,
         "ioc_counts": q_ioc_counts,
@@ -6740,4 +6754,5 @@ ROWS_ONLY: List[str] = [
     "semdedup_prune",
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
     "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
+    "compressibility",
 ]

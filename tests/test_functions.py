@@ -969,6 +969,33 @@ def test_repetition_batch_rules():
     assert out[2]["n_distinct"] == 2
 
 
+def test_compressibility_ordering_and_determinism():
+    rep = "spam spam spam " * 200
+    import random
+
+    rng = random.Random(7)
+    rand = " ".join(
+        "".join(chr(rng.randrange(97, 123)) for _ in range(8))
+        for _ in range(400))
+    b = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([rep, rand, ""]),
+    })
+    out = textops.compressibility_batch(b).to_pylist()
+    by_id = {r["doc_id"]: r for r in out}
+    # repetitive text compresses far better than random text
+    assert by_id[1]["comp_pct"] < by_id[2]["comp_pct"]
+    # empty text → pct pinned at 100, zero bytes
+    assert by_id[3]["n_bytes"] == 0 and by_id[3]["comp_pct"] == 100
+    # batch-boundary independence + determinism: same rows, split batches
+    parts = [textops.compressibility_batch(b.slice(i, 1)).to_pylist()[0]
+             for i in range(3)]
+    assert parts == out
+    # text column dropped, metadata kept
+    assert set(out[0].keys()) == {"doc_id", "n_bytes", "n_compressed",
+                                  "comp_pct"}
+
+
 def test_contaminated_ids_finds_shared_windows(ray_session):
     import ray
 
