@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "events_hopping",
     "neardup_clusters",
     "pagerank",
+    "hits_scores",
     "inverted_index",
     "doc_search",
     "pmi_bigrams",

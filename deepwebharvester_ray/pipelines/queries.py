@@ -3518,6 +3518,79 @@ def q_pagerank(sf_dir: str):
     return _rename(scores, {"id": "doc_id"})
 
 
+_HITS_ITERS = 2
+_HITS_SCALE = 10**9
+
+
+def q_hits_scores(sf_dir: str):
+    """HITS hubs & authorities over the crawl link graph — the second
+    classic link-analysis scorer beside pagerank (an authority is a page
+    pointed to by GOOD hubs, not merely a high in-degree page; a hub is
+    a page pointing at good authorities).  Two integer-deterministic
+    mutual-reinforcement iterations with exact L1 renormalization
+    (``s·scale // Σs``) per half-step — every score bit-identical in
+    DuckDB's chained-CTE replay (see ``functions.graph.hits`` for the
+    overflow bound that pins scale at 10⁹)."""
+    from ..functions.graph import hits
+
+    nodes, edges = _corpus_link_edges(sf_dir)
+    return hits(edges, nodes, iters=_HITS_ITERS, scale=_HITS_SCALE,
+                shuffle_partitions=_shuffle_parts(sf_dir)).sort("doc_id")
+
+
+def _sql_hits_scores() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    head = f"""
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+),
+h0 AS (SELECT id, {_HITS_SCALE} // (SELECT n FROM n_tab) AS s FROM nodes)"""
+    its = []
+    prev_h = "h0"
+    for k in range(1, _HITS_ITERS + 1):
+        its.append(f""",
+a{k}r AS (
+  SELECT nd.id, COALESCE(sum(h.s), 0) AS raw
+  FROM nodes nd
+  LEFT JOIN edges e ON e.dst = nd.id
+  LEFT JOIN {prev_h} h ON h.id = e.src
+  GROUP BY nd.id
+),
+a{k} AS (
+  SELECT id, CAST(raw * {_HITS_SCALE} //
+                  (SELECT sum(raw) FROM a{k}r) AS BIGINT) AS s
+  FROM a{k}r
+),
+h{k}r AS (
+  SELECT nd.id, COALESCE(sum(a.s), 0) AS raw
+  FROM nodes nd
+  LEFT JOIN edges e ON e.src = nd.id
+  LEFT JOIN a{k} a ON a.id = e.dst
+  GROUP BY nd.id
+),
+h{k} AS (
+  SELECT id, CAST(raw * {_HITS_SCALE} //
+                  (SELECT sum(raw) FROM h{k}r) AS BIGINT) AS s
+  FROM h{k}r
+)""")
+        prev_h = f"h{k}"
+    last = _HITS_ITERS
+    return (head + "".join(its) + f"""
+SELECT h{last}.id AS doc_id, h{last}.s AS hub, a{last}.s AS auth
+FROM h{last} JOIN a{last} ON a{last}.id = h{last}.id
+ORDER BY doc_id
+""")
+
+
 def _corpus_link_edges(sf_dir: str):
     """(nodes_ds(id), edges_ds(src,dst)) of the corpus's deterministic
     link graph — shared by pagerank and the 2-hop neighborhood query."""
@@ -6575,6 +6648,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "events_hopping": q_events_hopping,
         "neardup_clusters": q_neardup_clusters,
         "pagerank": q_pagerank,
+        "hits_scores": q_hits_scores,
         "two_hop_counts": q_two_hop_counts,
         "link_authority": q_link_authority,
         "triangle_count": q_triangle_count,
@@ -6689,6 +6763,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "events_hopping": _SQL_EVENTS_HOPPING,
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,
         "pagerank": _sql_pagerank(),
+        "hits_scores": _sql_hits_scores(),
         "two_hop_counts": _sql_two_hop(),
         "link_authority": _sql_link_authority(),
         "triangle_count": _sql_triangles(),

@@ -1194,6 +1194,64 @@ def test_pagerank_matches_reference_both_paths(ray_session):
         assert all(got[i] == ref[i] for i in range(n)), f"path bb={bb}"
 
 
+def _hits_ref(edges, n, iters=2, scale=10**9):
+    """Driver-side integer HITS reference (same arithmetic)."""
+    hub = np.full(n, scale // n, dtype=object)
+    auth = hub.copy()
+    for _ in range(iters):
+        raw = np.zeros(n, dtype=object)
+        for s, d in edges:
+            raw[d] += hub[s]
+        tot = raw.sum()
+        auth = np.array([r * scale // tot for r in raw], dtype=object)
+        raw = np.zeros(n, dtype=object)
+        for s, d in edges:
+            raw[s] += auth[d]
+        tot = raw.sum()
+        hub = np.array([r * scale // tot for r in raw], dtype=object)
+    return hub, auth
+
+
+def test_hits_matches_reference_both_paths(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.graph import hits
+
+    rng = np.random.default_rng(11)
+    n = 50
+    edges = sorted({(int(s), int(d)) for s, d in
+                    zip(rng.integers(0, n, 260), rng.integers(0, n, 260))
+                    if s != d})
+    ref_hub, ref_auth = _hits_ref(edges, n)
+
+    edges_ds = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in edges]
+    ).repartition(8)
+    nodes_ds = ray.data.from_items([{"id": i} for i in range(n)])
+
+    for bb in (2_000_000, 0):   # broadcast path, then forced join path
+        out = hits(edges_ds, nodes_ds, iters=2, broadcast_below=bb
+                   ).take_all()
+        got = {r["doc_id"]: (r["hub"], r["auth"]) for r in out}
+        assert len(got) == n, f"path bb={bb}"
+        assert all(got[i] == (ref_hub[i], ref_auth[i])
+                   for i in range(n)), f"path bb={bb}"
+
+
+def test_hits_no_edges(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.graph import hits
+
+    nodes_ds = ray.data.from_items([{"id": i} for i in range(4)])
+    edges_ds = ray.data.from_arrow(pa.table(
+        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+    ))
+    out = hits(edges_ds, nodes_ds, iters=2).take_all()
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2, 3]
+    assert all(r["hub"] == 0 and r["auth"] == 0 for r in out)
+
+
 def test_pagerank_no_edges(ray_session):
     import ray
 

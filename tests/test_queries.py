@@ -63,6 +63,7 @@ SPOT_CHECKED = [
     "user_moving_sum",
     "top_orders_q3",
     "pagerank",
+    "hits_scores",
     "two_hop_counts",
     "link_authority",
     "triangle_count",
