@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "epoch_shuffle",
     "latest_events",
     "user_deltas",
+    "event_transitions",
     "orders_rollup",
     "events_pivot",
     "distinct_users_by_type",

@@ -2623,6 +2623,67 @@ def q_user_deltas(sf_dir: str):
     )
 
 
+def q_event_transitions(sf_dir: str):
+    """User-journey transition matrix (first-order Markov counts): for
+    every consecutive event pair within a user's time-ordered stream,
+    count (from_type → to_type) — the navigation-flow / next-action
+    analytics table.
+
+    Shape: ONE sort on the high-cardinality user key (equal users
+    co-locate; the secondary (ts, event_id) order is an in-block
+    lexsort — the composite-sort-fragmentation rule), adjacent-pair
+    emission is a vectorized shift+mask, and the transition rows
+    collapse to ≤ |types|² per block in the combiner ``grouped_agg``
+    before the (tiny) exchange."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows < 2:
+            return pa.table({
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+            })
+        uid = batch.column("user_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ts = (batch.column("ts").combine_chunks()
+              .cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        eid = batch.column("event_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        types = np.asarray(batch.column("event_type").to_pylist(),
+                           dtype=object)
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s = uid[order], types[order]
+        adj = u_s[1:] == u_s[:-1]
+        return pa.table({
+            "from_type": pa.array(t_s[:-1][adj].tolist(), pa.string()),
+            "to_type": pa.array(t_s[1:][adj].tolist(), pa.string()),
+        })
+
+    trans = ds.sort("user_id").map_batches(
+        pairs, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+    return grouped_agg(trans, ["from_type", "to_type"],
+                       [("n", "", "count")]).sort(
+        ["from_type", "to_type"])
+
+
+_SQL_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT event_type,
+         lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL
+GROUP BY event_type, nxt ORDER BY from_type, to_type
+"""
+
+
 MOVING_FRAME_ROWS = 3
 
 
@@ -6670,6 +6731,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "curriculum_order": q_curriculum_order,
         "latest_events": q_latest_events,
         "user_deltas": q_user_deltas,
+        "event_transitions": q_event_transitions,
         "orders_rollup": q_orders_rollup,
         "orders_cube": q_orders_cube,
         "events_pivot": q_events_pivot,
@@ -6785,6 +6847,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "curriculum_order": _SQL_CURRICULUM,
         "latest_events": _SQL_LATEST_EVENTS,
         "user_deltas": _SQL_USER_DELTAS,
+        "event_transitions": _SQL_EVENT_TRANSITIONS,
         "orders_rollup": _SQL_ORDERS_ROLLUP,
         "orders_cube": _SQL_ORDERS_CUBE,
         "events_pivot": _SQL_EVENTS_PIVOT,

@@ -56,6 +56,7 @@ SPOT_CHECKED = [
     "skewed_orders_join",
     "clicks_in_views",
     "user_deltas",
+    "event_transitions",
     "orders_rollup",
     "orders_cube",
     "events_pivot",
