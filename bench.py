@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "neardup_embeddings",
     "neardup_embeddings_lsh",
     "ann_topk",
+    "knn_graph",
     "events_by_type",
     "event_sessions",
     "event_sessions_stream",

@@ -849,3 +849,122 @@ def ivfpq_topk(
     shortlist = _merge_topk(partials, len(queries), short)
     return _exact_rerank(ds, shortlist, queries, k,
                          id_column=id_column, vec_column=vec_column)
+
+
+def knn_graph(
+    ds,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    k: int = 3,
+    target_block_bytes: int = 64 << 20,
+):
+    """EXACT cosine k-NN graph: for every vector its ``k`` nearest
+    neighbors (self excluded), ``(vec_id, rank, nbr_id)`` — the
+    construction step behind SemDeDup-style pruning, kNN-classifier
+    features and graph-based clustering.
+
+    Same block-pair plan as ``dedup.embedding_neardup_pairs`` (one task
+    per (block_i, block_j), two blocks resident per task), but each
+    task emits PER-ROW partial top-k against the paired block in BOTH
+    directions — task output is O(rows·k), never the O(rows²) sim
+    matrix.  Exactness: block columns are pre-sorted by id and the
+    per-row selection is a STABLE argsort on -sim, so the partial order
+    equals the global (sim DESC, id ASC) order and a global top-k
+    survives every partial top-k; the merge is one single-key sort on
+    the vector id + an in-block lexsort/run-rank mask."""
+    import ray
+
+    from .dedup import run_rank
+
+    proj = ds.select_columns([id_column, vec_column]).materialize()
+    n_chunks = max(1, -(-proj.size_bytes() // target_block_bytes))
+    if n_chunks < proj.num_blocks():
+        proj = proj.repartition(n_chunks).materialize()
+    blocks = proj.to_arrow_refs()
+    k_blocks = len(blocks)
+    refs_ref = ray.put(blocks)
+    idx_ds = ray.data.from_items(
+        [{"i": i, "j": j} for i in range(k_blocks) for j in range(i, k_blocks)]
+    )
+
+    def _load(refs, idx):
+        t = ray.get(refs[idx])
+        ids = _ids_array(t.column(id_column))
+        mat = _normalize(_vec_matrix(t.column(vec_column)))
+        order = np.argsort(ids, kind="stable")  # columns sorted by id →
+        return ids[order], mat[order]           # stable argsort ties → id ASC
+
+    def _row_topk(row_ids, col_ids, sims, self_mask: bool):
+        if self_mask:
+            eq = row_ids[:, None] == col_ids[None, :]
+            sims = np.where(eq, -np.inf, sims)
+        kk = min(k, sims.shape[1])
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        top_s = np.take_along_axis(sims, order, axis=1)
+        vid = np.repeat(row_ids, kk)
+        nbr = col_ids[order].ravel()
+        s = top_s.ravel()
+        good = np.isfinite(s)
+        return vid[good], nbr[good], s[good]
+
+    def chunk_topk(batch: pa.Table) -> pa.Table:
+        refs = cached_get(refs_ref)
+        vs, ns, ss = [], [], []
+        for i, j in zip(batch.column("i").to_pylist(),
+                        batch.column("j").to_pylist()):
+            ids_a, ma = _load(refs, i)
+            if not len(ids_a):
+                continue
+            if i == j:
+                ids_b, mb = ids_a, ma
+            else:
+                ids_b, mb = _load(refs, j)
+                if not len(ids_b):
+                    continue
+            sims = ma @ mb.T
+            v, nb, s = _row_topk(ids_a, ids_b, sims, self_mask=(i == j))
+            vs.append(v); ns.append(nb); ss.append(s)
+            if i != j:
+                v, nb, s = _row_topk(ids_b, ids_a, sims.T, self_mask=False)
+                vs.append(v); ns.append(nb); ss.append(s)
+        if not vs:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "nbr_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            })
+        return pa.table({
+            "vec_id": pa.array(np.concatenate(vs), pa.int64()),
+            "nbr_id": pa.array(np.concatenate(ns), pa.int64()),
+            "sim": pa.array(np.concatenate(ss), pa.float64()),
+        })
+
+    part = idx_ds.map_batches(chunk_topk, batch_format="pyarrow",
+                              runtime_env=runtime_env())
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "nbr_id": pa.array([], pa.int64()),
+            })
+        vid = batch.column("vec_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        nbr = batch.column("nbr_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        sim = batch.column("sim").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((nbr, -sim, vid))
+        rr = run_rank(vid[order])
+        keep = order[rr < k]
+        ranks = rr[rr < k] + 1
+        return pa.table({
+            "vec_id": pa.array(vid[keep], pa.int64()),
+            "rank": pa.array(ranks, pa.int64()),
+            "nbr_id": pa.array(nbr[keep], pa.int64()),
+        })
+
+    return part.sort("vec_id").map_batches(
+        merge, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())

@@ -620,6 +620,42 @@ FROM r WHERE rnk <= 10 ORDER BY query_idx, rank
 """
 
 
+KNN_GRAPH_K = 3
+
+
+def q_knn_graph(sf_dir: str):
+    """Exact cosine k-NN graph over the embedding table (every vector's
+    top-3 neighbors, self excluded) — the construction primitive behind
+    SemDeDup pruning, kNN features and graph clustering.  See
+    :func:`~deepwebharvester_ray.functions.ann.knn_graph`: block-pair
+    tasks emit per-row partial top-k in both directions (O(rows·k)
+    task output, never the O(rows²) matrix), stable-argsort partials
+    equal the global (sim DESC, id ASC) order, one single-key merge."""
+    from ..functions.ann import knn_graph
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_graph(ds, k=KNN_GRAPH_K)
+
+
+_SQL_KNN_GRAPH = f"""
+WITH s AS (
+  SELECT a.vec_id AS vid, b.vec_id AS nbr,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id != b.vec_id
+),
+r AS (
+  SELECT vid, nbr,
+         row_number() OVER (
+             PARTITION BY vid ORDER BY sim DESC, nbr) AS rnk
+  FROM s
+)
+SELECT CAST(vid AS BIGINT) AS vec_id, CAST(rnk AS BIGINT) AS rank,
+       CAST(nbr AS BIGINT) AS nbr_id
+FROM r WHERE rnk <= {KNN_GRAPH_K} ORDER BY vec_id, rank
+"""
+
+
 def q_neardup_embeddings(sf_dir: str):
     """Embedding-cosine near-dup pairs (threshold with verified margin)."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -6668,6 +6704,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "threat_scores": q_threat_scores,
         "url_canonicalize": q_url_canonicalize,
         "ann_topk": q_ann_topk,
+        "knn_graph": q_knn_graph,
         "neardup_embeddings": q_neardup_embeddings,
         "neardup_embeddings_lsh": q_neardup_embeddings_lsh,
         "semdedup_prune": q_semdedup_prune,
@@ -6793,6 +6830,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "threat_scores": _sql_threat_scores(),
         "url_canonicalize": _SQL_URL_CANON,
         "ann_topk": _SQL_ANN_TOPK,
+        "knn_graph": _SQL_KNN_GRAPH,
         "neardup_embeddings": _SQL_NEARDUP_EMB,
         "jaccard_pairs": _SQL_JACCARD_PAIRS,
         "ngram_overlap": _SQL_NGRAM_OVERLAP,

@@ -1194,6 +1194,36 @@ def test_pagerank_matches_reference_both_paths(ray_session):
         assert all(got[i] == ref[i] for i in range(n)), f"path bb={bb}"
 
 
+def test_knn_graph_multiblock_exact(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.ann import knn_graph
+
+    rng = np.random.default_rng(5)
+    n, d, k = 80, 12, 3
+    vecs = rng.standard_normal((n, d))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].astype(np.float32).tolist()}
+         for i in range(n)]
+    ).repartition(7)  # force many block pairs
+    out = knn_graph(ds, k=k, target_block_bytes=1).take_all()
+
+    # in-process reference: full normalized matmul, (sim DESC, id ASC)
+    m = vecs.astype(np.float32).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    ref = {}
+    for i in range(n):
+        order = sorted(range(n), key=lambda j: (-sims[i, j], j))[:k]
+        ref[i] = [(r + 1, j) for r, j in enumerate(order)]
+    got = {}
+    for r in out:
+        got.setdefault(r["vec_id"], []).append((r["rank"], r["nbr_id"]))
+    assert len(got) == n
+    assert all(sorted(got[i]) == ref[i] for i in range(n))
+
+
 def _hits_ref(edges, n, iters=2, scale=10**9):
     """Driver-side integer HITS reference (same arithmetic)."""
     hub = np.full(n, scale // n, dtype=object)
