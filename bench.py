@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "lineitem_unpivot",
     "user_moving_sum",
     "value_outliers",
+    "winsorized_mean",
+    "value_hour_cov",
     "two_hop_counts",
     "link_authority",
     "triangle_count",

@@ -1865,6 +1865,163 @@ ORDER BY c.event_id, v.view_id
 MAD_K = 5
 
 
+def q_value_hour_cov(sf_dir: str):
+    """Grouped BIVARIATE covariance (integer-exact): per event type, the
+    scaled covariance numerator ``n·Σxy − Σx·Σy`` of (value cents,
+    hour-of-day) — "do purchases get bigger late at night?", the
+    two-variable extension of value_stats' variance trick.  All moments
+    ride ONE combiner ``grouped_agg`` pass; hour is epoch-µs integer
+    arithmetic (``us // 3600s % 24`` on BOTH engines — never extract(),
+    whose calendar rules could diverge).  Overflow bound: n·Σxy <
+    2⁶³ to ~10⁸ events at these value ranges; beyond that, shift to
+    per-group mean-centered partials (documented, not needed here)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def moments(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        x = np.floor(v * 100.0).astype(np.int64)
+        us = (batch.column("ts").combine_chunks()
+              .cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        y = us // 3_600_000_000 % 24
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+            "xy": pa.array(x * y, pa.int64()),
+        })
+
+    agg = grouped_agg(
+        ds.map_batches(moments, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        ["event_type"],
+        [("n", "", "count"), ("sx", "x", "sum"), ("sy", "y", "sum"),
+         ("sxy", "xy", "sum")],
+    )
+
+    def cov(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        sx = batch.column("sx").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        sy = batch.column("sy").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        sxy = batch.column("sxy").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n": pa.array(n, pa.int64()),
+            "cov_num": pa.array(n * sxy - sx * sy, pa.int64()),
+        })
+
+    return agg.map_batches(cov, batch_format="pyarrow",
+                           runtime_env=runtime_env()).sort("event_type")
+
+
+_SQL_VALUE_HOUR_COV = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(value * 100.0) AS BIGINT) AS x,
+         CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS y
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS cov_num
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_winsorized_mean(sf_dir: str):
+    """Winsorized per-group mean (the robust-stats sibling of the MAD
+    screen): event cents clamped to each type's exact [p05, p95] before
+    averaging — the standard heavy-tail-resistant feature aggregate.
+
+    Shape: the two cutoffs are ONE pass through the value-domain
+    histogram combiner (:func:`grouped_quantiles` — shuffle bounded by
+    distinct (type, cents)); the ~5-row cutoff table broadcasts; the
+    clamp is a vectorized map; the mean is a second combiner
+    ``grouped_agg`` with exact integer floor division."""
+    import ray
+
+    from ..functions.agg import grouped_quantiles
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "cents": pa.array(np.floor(v * 100.0).astype(np.int64),
+                              pa.int64()),
+        })
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow",
+                           runtime_env=runtime_env()).materialize()
+    cuts = grouped_quantiles(cents, "event_type", "cents",
+                             [0.05, 0.95], ["lo", "hi"]).take_all()
+    keys = np.asarray([r["event_type"] for r in cuts], dtype=object)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order],
+                   np.asarray([r["lo"] for r in cuts], np.int64)[order],
+                   np.asarray([r["hi"] for r in cuts], np.int64)[order]))
+
+    def clamp(batch: pa.Table) -> pa.Table:
+        from ..broadcast import cached_get
+
+        ks, lo, hi = cached_get(ref)
+        t = np.asarray(batch.column("event_type").to_pylist(),
+                       dtype=object)
+        c = batch.column("cents").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(ks, t)
+        w = np.minimum(np.maximum(c, lo[pos]), hi[pos])
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "w": pa.array(w, pa.int64()),
+        })
+
+    agg = grouped_agg(
+        cents.map_batches(clamp, batch_format="pyarrow",
+                          runtime_env=runtime_env()),
+        ["event_type"],
+        [("n", "", "count"), ("win_sum_cents", "w", "sum")],
+    )
+
+    def mean(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        s = batch.column("win_sum_cents").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return batch.append_column(
+            "win_mean_cents", pa.array(s // n, pa.int64()))
+
+    return agg.map_batches(mean, batch_format="pyarrow",
+                           runtime_env=runtime_env()).sort("event_type")
+
+
+_SQL_WINSORIZED_MEAN = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+q AS (
+  SELECT event_type,
+         percentile_disc(0.05) WITHIN GROUP (ORDER BY cents) AS lo,
+         percentile_disc(0.95) WITHIN GROUP (ORDER BY cents) AS hi
+  FROM c GROUP BY event_type
+)
+SELECT c.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(least(greatest(c.cents, q.lo), q.hi)) AS BIGINT)
+           AS win_sum_cents,
+       CAST(sum(least(greatest(c.cents, q.lo), q.hi)) // count(*)
+            AS BIGINT) AS win_mean_cents
+FROM c JOIN q ON q.event_type = c.event_type
+GROUP BY c.event_type ORDER BY c.event_type
+"""
+
+
 def q_value_outliers(sf_dir: str):
     """Robust per-group outlier screen (the data-cleaning step before
     value-weighted training): events whose |cents − group median| >
@@ -6715,6 +6872,8 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "clean_text": q_clean_text,
         "price_quantiles": q_price_quantiles,
         "value_outliers": q_value_outliers,
+        "winsorized_mean": q_winsorized_mean,
+        "value_hour_cov": q_value_hour_cov,
         "clicks_asof_views": q_clicks_asof_views,
         "clicks_in_views": q_clicks_in_views,
         "split_assign": q_split_assign,
@@ -6839,6 +6998,8 @@ def build_oracle_sql() -> Dict[str, str]:
         "clean_text": _SQL_CLEAN_TEXT,
         "price_quantiles": _SQL_PRICE_QUANTILES,
         "value_outliers": _SQL_VALUE_OUTLIERS,
+        "winsorized_mean": _SQL_WINSORIZED_MEAN,
+        "value_hour_cov": _SQL_VALUE_HOUR_COV,
         "clicks_asof_views": _SQL_CLICKS_ASOF_VIEWS,
         "clicks_in_views": _SQL_CLICKS_IN_VIEWS,
         "split_assign": _SQL_SPLIT_ASSIGN,

@@ -25,6 +25,8 @@ SPOT_CHECKED = [
     "passage_profile",
     "price_quantiles",
     "value_outliers",
+    "winsorized_mean",
+    "value_hour_cov",
     "clicks_asof_views",
     "split_assign",
     "sample_k",
