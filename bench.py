@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "crawl_budget",
     "host_sample",
     "host_dup_stats",
+    "politeness_audit",
+    "cluster_sizes",
     "trending_tokens",
     "ioc_cooccurrence",
     "table_checksum",

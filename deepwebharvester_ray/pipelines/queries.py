@@ -3219,6 +3219,51 @@ FROM reach GROUP BY id ORDER BY doc_id
 """
 
 
+def q_cluster_sizes(sf_dir: str):
+    """Near-dup cluster SIZE DISTRIBUTION (count-of-counts): how many
+    clusters have 2 members, 3 members, … — the dedup-health histogram
+    that tells you whether duplication is pairwise noise or a few giant
+    mirror farms (the same degree-distribution shape as a crawl-graph
+    in-degree histogram).
+
+    Shape: CC labels → one grouped count per cluster (pair-cardinality
+    combiner) → a SECOND grouped count over the sizes (bounded by the
+    distinct-size count, ~log-many rows) — two-level aggregation where
+    the second level's input is already tiny."""
+    from ..functions.graph import connected_components
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    pairs = ngram_overlap_pairs(ds, k=8, max_bucket=1024,
+                                shuffle_partitions=_shuffle_parts(sf_dir))
+    clusters = connected_components(pairs)
+    sizes = grouped_agg(clusters, ["cluster_id"],
+                        [("size", "", "count")])
+    return grouped_agg(sizes, ["size"],
+                       [("n_clusters", "", "count")]).sort("size")
+
+
+_SQL_CLUSTER_SIZES = f"""
+WITH RECURSIVE {_SQL_GRAM_PAIRS_CTE},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+),
+labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+sizes AS (SELECT cluster_id, count(*) AS size FROM labels
+          GROUP BY cluster_id)
+SELECT CAST(size AS BIGINT) AS size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY size ORDER BY size
+"""
+
+
 def q_novelty_filter(sf_dir: str):
     """Incremental-crawl novelty screen: keep only pages whose content
     hash is NOT in the existing corpus index (here: the first half of
@@ -6588,6 +6633,88 @@ ORDER BY host_idx, doc_id
 """
 
 
+def q_politeness_audit(sf_dir: str):
+    """Per-host politeness compliance audit: the MINIMUM gap (seconds)
+    between consecutive fetches of the same host across the crawl
+    timeline, plus the fetch count — the table a crawl operator reads to
+    prove rate-limit compliance (a min-gap below the host's crawl-delay
+    is a violation).
+
+    Shape: the event_transitions plan keyed by host — ONE single-key
+    sort on host_idx (equal hosts co-locate), in-block timestamp
+    lexsort, vectorized adjacent-diff per host run, per-host min via
+    ``np.minimum.reduceat``-style grouped_agg min over the per-gap rows
+    collapsed in the combiner."""
+    from ..corpus import HOSTS
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "host_idx": pa.array(ids % HOSTS, pa.int64()),
+            # corpus rule: page d fetched at BASE_TS + d seconds
+            "ts_s": pa.array(ids, pa.int64()),
+        })
+
+    def gaps(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "host_idx": pa.array([], pa.int64()),
+                "gap_s": pa.array([], pa.int64()),
+                "one": pa.array([], pa.int64()),
+            })
+        h = batch.column("host_idx").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        t = batch.column("ts_s").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((t, h))
+        h_s, t_s = h[order], t[order]
+        adj = h_s[1:] == h_s[:-1]
+        # per-fetch count rows ride the same stream as sentinel gaps
+        return pa.table({
+            "host_idx": pa.array(
+                np.concatenate([h_s, h_s[1:][adj]]), pa.int64()),
+            "gap_s": pa.array(np.concatenate(
+                [np.full(len(h_s), np.iinfo(np.int64).max, np.int64),
+                 (t_s[1:] - t_s[:-1])[adj]]), pa.int64()),
+            "one": pa.array(np.concatenate(
+                [np.ones(len(h_s), np.int64),
+                 np.zeros(int(adj.sum()), np.int64)]), pa.int64()),
+        })
+
+    part = ds.map_batches(keyed, batch_format="pyarrow",
+                          runtime_env=runtime_env()).sort(
+        "host_idx").map_batches(
+        gaps, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+    agg = grouped_agg(part, ["host_idx"],
+                      [("n_fetches", "one", "sum"),
+                       ("min_gap_s", "gap_s", "min")])
+    return agg.sort("host_idx")
+
+
+def _sql_politeness_audit() -> str:
+    from ..corpus import HOSTS
+
+    return f"""
+WITH p AS (
+  SELECT doc_id % {HOSTS} AS host_idx, doc_id AS ts_s FROM documents
+),
+g AS (
+  SELECT host_idx, ts_s,
+         ts_s - lag(ts_s) OVER (
+             PARTITION BY host_idx ORDER BY ts_s) AS gap
+  FROM p
+)
+SELECT host_idx, CAST(count(*) AS BIGINT) AS n_fetches,
+       CAST(COALESCE(min(gap), {np.iinfo(np.int64).max}) AS BIGINT)
+           AS min_gap_s
+FROM g GROUP BY host_idx ORDER BY host_idx
+"""
+
+
 def q_host_dup_stats(sf_dir: str):
     """Per-host duplication report: page count, pages whose content hash
     appears more than once ANYWHERE in the corpus (cross-host mirrors
@@ -6887,6 +7014,8 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "crawl_budget": q_crawl_budget,
         "host_sample": q_host_sample,
         "host_dup_stats": q_host_dup_stats,
+        "politeness_audit": q_politeness_audit,
+        "cluster_sizes": q_cluster_sizes,
         "snapshot_diff": q_snapshot_diff,
         "table_checksum": q_table_checksum,
         "user_top_type": q_user_top_type,
@@ -7013,6 +7142,8 @@ def build_oracle_sql() -> Dict[str, str]:
         "crawl_budget": _sql_crawl_budget(),
         "host_sample": _sql_host_sample(),
         "host_dup_stats": _sql_host_dup_stats(),
+        "politeness_audit": _sql_politeness_audit(),
+        "cluster_sizes": _SQL_CLUSTER_SIZES,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "table_checksum": _SQL_TABLE_CHECKSUM,
         "user_top_type": _SQL_USER_TOP_TYPE,

@@ -40,6 +40,8 @@ SPOT_CHECKED = [
     "crawl_budget",
     "host_sample",
     "host_dup_stats",
+    "politeness_audit",
+    "cluster_sizes",
     "snapshot_diff",
     "table_checksum",
     "user_top_type",
