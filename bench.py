@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "latest_events",
     "user_deltas",
     "event_transitions",
+    "user_value_share",
     "orders_rollup",
     "events_pivot",
     "distinct_users_by_type",

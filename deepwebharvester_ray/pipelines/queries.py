@@ -2816,6 +2816,88 @@ def q_user_deltas(sf_dir: str):
     )
 
 
+_SHARE_SCALE = 1_000_000
+
+
+def q_user_value_share(sf_dir: str):
+    """Ratio-to-report window aggregate: each event's integer
+    parts-per-million share of its user's total cents
+    (``cents·10⁶ // user_total``) — the unbounded-frame PARTITION total
+    window kind (``sum() OVER (PARTITION BY …)``), complementing the
+    LAG/moving-frame/rank family.
+
+    Shape: ONE single-key sort on the high-cardinality user key (equal
+    users co-locate), then a pure in-block pass — per-run totals via
+    ``np.add.reduceat`` repeated back over the run — no join, no second
+    shuffle, no broadcast."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "cents": pa.array(np.floor(v * 100.0).astype(np.int64),
+                              pa.int64()),
+        })
+
+    def share(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+                "share_ppm": pa.array([], pa.int64()),
+            })
+        uid = batch.column("user_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        c = batch.column("cents").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((uid,))
+        u_s, c_s = uid[order], c[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], u_s[1:] != u_s[:-1])))
+        totals = np.add.reduceat(c_s, starts)
+        lens = np.diff(np.append(starts, len(u_s)))
+        tot_rows = np.repeat(totals, lens)
+        # scatter back to input order (output order is irrelevant to the
+        # hash compare, but event_id alignment must be exact)
+        shares = np.empty(len(c), np.int64)
+        with np.errstate(divide="ignore"):
+            shares[order] = np.where(
+                tot_rows != 0, c_s * _SHARE_SCALE //
+                np.where(tot_rows != 0, tot_rows, 1), 0)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "cents": batch.column("cents"),
+            "share_ppm": pa.array(shares, pa.int64()),
+        })
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+    return cents.sort("user_id").map_batches(
+        share, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+
+
+_SQL_USER_VALUE_SHARE = f"""
+WITH c AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 100.0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id, cents,
+       CAST(CASE WHEN sum(cents) OVER (PARTITION BY user_id) != 0
+                 THEN cents * {_SHARE_SCALE} //
+                      sum(cents) OVER (PARTITION BY user_id)
+                 ELSE 0 END AS BIGINT) AS share_ppm
+FROM c ORDER BY event_id
+"""
+
+
 def q_event_transitions(sf_dir: str):
     """User-journey transition matrix (first-order Markov counts): for
     every consecutive event pair within a user's time-ordered stream,
@@ -7057,6 +7139,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "latest_events": q_latest_events,
         "user_deltas": q_user_deltas,
         "event_transitions": q_event_transitions,
+        "user_value_share": q_user_value_share,
         "orders_rollup": q_orders_rollup,
         "orders_cube": q_orders_cube,
         "events_pivot": q_events_pivot,
@@ -7178,6 +7261,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "latest_events": _SQL_LATEST_EVENTS,
         "user_deltas": _SQL_USER_DELTAS,
         "event_transitions": _SQL_EVENT_TRANSITIONS,
+        "user_value_share": _SQL_USER_VALUE_SHARE,
         "orders_rollup": _SQL_ORDERS_ROLLUP,
         "orders_cube": _SQL_ORDERS_CUBE,
         "events_pivot": _SQL_EVENTS_PIVOT,

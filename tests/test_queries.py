@@ -62,6 +62,7 @@ SPOT_CHECKED = [
     "clicks_in_views",
     "user_deltas",
     "event_transitions",
+    "user_value_share",
     "orders_rollup",
     "orders_cube",
     "events_pivot",
