@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "recrawl_schedule",
     "snapshot_diff",
+    "upsert_apply",
     "crawl_budget",
     "host_sample",
     "host_dup_stats",

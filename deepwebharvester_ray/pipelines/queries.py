@@ -6564,6 +6564,111 @@ FROM j ORDER BY doc_id
 """
 
 
+def q_upsert_apply(sf_dir: str):
+    """MERGE INTO / CDC-apply semantics without a join: apply a change
+    batch (updates, deletes, inserts — derived deterministically from
+    the base table) onto the snapshot with LATEST-WINS per key and
+    tombstone deletes — the incremental-crawl index maintenance step
+    (refetched pages overwrite, 410-gone pages drop, new pages insert).
+
+    Shape: tagged union of base (ver 0) and delta (ver 1) rows → ONE
+    single-key sort on the high-cardinality doc key → in-block
+    lexsort/run-rank keeps the max-version row per key → vectorized
+    tombstone filter.  No join, no driver state — the snapshot_diff
+    discipline applied to WRITES instead of classification."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def tagged(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        nch = batch.column("n_chars").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        # base rows: ver 0, live
+        out_id = [ids]
+        out_n = [nch]
+        out_v = [np.zeros(len(ids), np.int64)]
+        out_d = [np.zeros(len(ids), np.int64)]
+        # updates: doc_id % 11 == 4 → n_chars + 1000
+        upd = ids % 11 == 4
+        out_id.append(ids[upd]); out_n.append(nch[upd] + 1000)
+        out_v.append(np.ones(int(upd.sum()), np.int64))
+        out_d.append(np.zeros(int(upd.sum()), np.int64))
+        # deletes: doc_id % 19 == 6 → tombstone; ver 2 so a key hit by
+        # both an update and a delete in the same batch resolves
+        # deterministically (delete wins — defined CDC precedence)
+        dele = ids % 19 == 6
+        out_id.append(ids[dele]); out_n.append(np.zeros(int(dele.sum()),
+                                                        np.int64))
+        out_v.append(np.full(int(dele.sum()), 2, np.int64))
+        out_d.append(np.ones(int(dele.sum()), np.int64))
+        # inserts: doc_id % 23 == 1 → new key doc_id + 2_000_000
+        ins = ids % 23 == 1
+        out_id.append(ids[ins] + 2_000_000)
+        out_n.append(ids[ins] % 500)
+        out_v.append(np.ones(int(ins.sum()), np.int64))
+        out_d.append(np.zeros(int(ins.sum()), np.int64))
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "n_chars": pa.array(np.concatenate(out_n), pa.int64()),
+            "ver": pa.array(np.concatenate(out_v), pa.int64()),
+            "del_f": pa.array(np.concatenate(out_d), pa.int64()),
+        })
+
+    def latest_wins(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+            })
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ver = batch.column("ver").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        dl = batch.column("del_f").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        nch = batch.column("n_chars").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        from ..functions.dedup import run_rank
+
+        order = np.lexsort((-ver, ids))
+        win = order[run_rank(ids[order]) < 1]
+        live = win[dl[win] == 0]
+        live = np.sort(live)
+        return pa.table({
+            "doc_id": pa.array(ids[live], pa.int64()),
+            "n_chars": pa.array(nch[live], pa.int64()),
+        })
+
+    union = ds.map_batches(tagged, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+    return union.sort("doc_id").map_batches(
+        latest_wins, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+
+
+_SQL_UPSERT_APPLY = """
+WITH delta AS (
+  SELECT doc_id, n_chars + 1000 AS n_chars, 1 AS ver, 0 AS del_f
+  FROM documents WHERE doc_id % 11 = 4
+  UNION ALL
+  SELECT doc_id, 0, 2, 1 FROM documents WHERE doc_id % 19 = 6
+  UNION ALL
+  SELECT doc_id + 2000000, doc_id % 500, 1, 0
+  FROM documents WHERE doc_id % 23 = 1
+),
+allrows AS (
+  SELECT doc_id, n_chars, 0 AS ver, 0 AS del_f FROM documents
+  UNION ALL SELECT * FROM delta
+),
+w AS (
+  SELECT * FROM allrows
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY ver DESC) = 1
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM w WHERE del_f = 0 ORDER BY doc_id
+"""
+
+
 RECRAWL_BUDGET = 5  # refetch batch size per host per politeness round
 
 
@@ -7099,6 +7204,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "politeness_audit": q_politeness_audit,
         "cluster_sizes": q_cluster_sizes,
         "snapshot_diff": q_snapshot_diff,
+        "upsert_apply": q_upsert_apply,
         "table_checksum": q_table_checksum,
         "user_top_type": q_user_top_type,
         "filled_no_pending": q_filled_no_pending,
@@ -7228,6 +7334,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "politeness_audit": _sql_politeness_audit(),
         "cluster_sizes": _SQL_CLUSTER_SIZES,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
+        "upsert_apply": _SQL_UPSERT_APPLY,
         "table_checksum": _SQL_TABLE_CHECKSUM,
         "user_top_type": _SQL_USER_TOP_TYPE,
         "filled_no_pending": _SQL_FILLED_NO_PENDING,

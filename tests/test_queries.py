@@ -43,6 +43,7 @@ SPOT_CHECKED = [
     "politeness_audit",
     "cluster_sizes",
     "snapshot_diff",
+    "upsert_apply",
     "table_checksum",
     "user_top_type",
     "filled_no_pending",
