@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "approx_users_by_type",
     "token_freq_cms",
     "heavy_tokens_mg",
+    "streaming_heavy_tokens",
     "bpe_token_counts",
     "value_quantiles_sketch",
     "token_packing",

@@ -196,3 +196,104 @@ def streaming_sessionize(ds, gap_us: int = SESSION_GAP_US,
                  "emitted_partials": len(emitted)}
         return out, stats
     return out
+
+
+# ── streaming heavy hitters (token-partitioned Misra–Gries shards) ───────────
+
+
+class _MGShardState:
+    """Per-shard bounded Misra–Gries summary over ITS hash-partition of
+    the token space.  Because tokens are hash-routed, a shard sees EVERY
+    occurrence of its tokens, so its (est, dec) pair carries the full MG
+    guarantee for those tokens: ``est ≤ true ≤ est + dec`` for held
+    tokens, ``true ≤ dec`` for dropped ones — state is ≤ k counters
+    regardless of stream length."""
+
+    def __init__(self, k: int = 256) -> None:
+        self.k = int(k)
+        self.toks = np.empty(0, dtype=object)
+        self.cnts = np.empty(0, np.int64)
+        self.dec = 0
+        self.w = 0
+
+    def ingest(self, tokens: np.ndarray, counts: np.ndarray) -> None:
+        from .sketch import mg_prune
+
+        if not len(tokens):
+            return
+        self.w += int(counts.sum())
+        allt = np.concatenate([self.toks, tokens])
+        allc = np.concatenate([self.cnts, counts])
+        uniq, inv = np.unique(allt, return_inverse=True)
+        summed = np.zeros(len(uniq), np.int64)
+        np.add.at(summed, inv, allc)
+        t, c, d = mg_prune(uniq, summed, self.k)
+        self.toks, self.cnts = t, c
+        self.dec += d
+
+    def state_rows(self) -> int:
+        return len(self.toks)
+
+    def finalize(self) -> pa.Table:
+        return pa.table({
+            "token": pa.array(self.toks.tolist(), pa.string()),
+            "est_n": pa.array(self.cnts, pa.int64()),
+            "err_ub": pa.array(np.full(len(self.toks), self.dec,
+                                       np.int64), pa.int64()),
+        })
+
+
+def streaming_topk(ds, text_column: str = "text", top_n: int = 50,
+                   k_per_shard: int = 256, n_shards: int = 4,
+                   micro_batch: int = 4096, return_stats: bool = False):
+    """Streaming heavy-hitter tokens over a document stream: micro-batch
+    tokenize → per-batch local ``np.unique`` collapse → hash-route each
+    token to its Misra–Gries shard actor → final union of the (disjoint)
+    shard summaries, globally top-``top_n`` by estimate.
+
+    The batch twin is ``sketch.mg_topk`` (heavy_tokens_mg); this is the
+    arrival-order formulation with per-shard state bounded at
+    ``k_per_shard`` counters no matter how long the stream runs — the
+    trending-vocabulary monitor a crawl pipeline keeps alive
+    continuously.  Token-partitioning makes the per-shard error bound
+    per-token exact: ``est ≤ true ≤ est + err_ub`` for every emitted
+    token, ``true ≤ err_ub(shard(t))`` for absent ones."""
+    import ray
+
+    from .sketch import _hash64
+
+    from .textops import WORD_RE
+
+    Shard = ray.remote(num_cpus=0.5)(_MGShardState)
+    shards: List = [Shard.remote(k_per_shard) for _ in range(n_shards)]
+    max_state = 0
+
+    for chunk in ds.iter_batches(batch_size=micro_batch,
+                                 batch_format="pyarrow"):
+        texts = chunk.column(text_column).to_pylist()
+        toks: List[str] = []
+        for t in texts:
+            toks.extend(WORD_RE.findall((t or "").lower()))
+        if not toks:
+            continue
+        uniq, cnt = np.unique(np.asarray(toks, dtype=object),
+                              return_counts=True)
+        sh = (_hash64(uniq.tolist()) % np.uint64(n_shards)).astype(np.int64)
+        pend = [shards[s].ingest.remote(uniq[sh == s],
+                                        cnt[sh == s].astype(np.int64))
+                for s in range(n_shards) if np.any(sh == s)]
+        ray.get(pend)
+        max_state = max(max_state,
+                        sum(ray.get([s.state_rows.remote()
+                                     for s in shards])))
+
+    parts = [s.finalize.remote() for s in shards]
+    ray.wait(parts, num_returns=len(parts))
+    for s in shards:
+        ray.kill(s)
+    merged = pa.concat_tables(ray.get(parts))
+    out = merged.sort_by([("est_n", "descending"),
+                          ("token", "ascending")]).slice(0, top_n)
+    if return_stats:
+        return out, {"max_state_rows": max_state}
+    return out

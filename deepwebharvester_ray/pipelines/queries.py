@@ -3346,6 +3346,19 @@ FROM sizes GROUP BY size ORDER BY size
 """
 
 
+def q_streaming_heavy_tokens(sf_dir: str):
+    """STREAMING heavy-hitter tokens (the arrival-order twin of
+    heavy_tokens_mg): micro-batched tokenize → hash-routed Misra–Gries
+    shard actors with state bounded at k counters per shard forever —
+    the continuously-running trending-vocabulary monitor.  Rows-only
+    (MG estimates); the est ≤ true ≤ est+err guarantee and state
+    boundedness are pinned in tests/test_streaming.py."""
+    from ..functions.streaming import streaming_topk
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return streaming_topk(ds, top_n=50)
+
+
 def q_novelty_filter(sf_dir: str):
     """Incremental-crawl novelty screen: keep only pages whose content
     hash is NOT in the existing corpus index (here: the first half of
@@ -7216,6 +7229,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "vocab_hll": q_vocab_hll,
         "approx_users_by_type": q_approx_users_by_type,
         "heavy_tokens_mg": q_heavy_tokens_mg,
+        "streaming_heavy_tokens": q_streaming_heavy_tokens,
         "bpe_token_counts": q_bpe_token_counts,
         "token_freq_cms": q_token_freq_cms,
         "value_quantiles_sketch": q_value_quantiles_sketch,
@@ -7413,5 +7427,5 @@ ROWS_ONLY: List[str] = [
     "semdedup_prune",
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
     "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
-    "compressibility",
+    "compressibility", "streaming_heavy_tokens",
 ]

@@ -115,5 +115,55 @@ def test_eviction_bounds_state_on_bursty_stream(ray_session):
     assert stats["max_open_state_rows"] < 400
 
 
+def test_streaming_topk_guarantees(ray_session):
+    """MG guarantee per emitted token (est <= true <= est + err_ub) and
+    guaranteed presence of every token whose true count exceeds its
+    shard's error bound, on a synthetic Zipf-ish stream."""
+    import collections
+
+    import ray
+
+    from deepwebharvester_ray.functions.sketch import _hash64
+    from deepwebharvester_ray.functions.streaming import streaming_topk
+    from deepwebharvester_ray.functions.textops import WORD_RE
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(400)]
+    docs = []
+    for _ in range(300):
+        # skewed draw: low indices dominate
+        idx = np.minimum((rng.pareto(1.2, 40) * 3).astype(int),
+                         len(vocab) - 1)
+        docs.append(" ".join(vocab[i] for i in idx))
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    ds = ray.data.from_arrow(t)
+    n_shards, k = 4, 64
+    out, stats = streaming_topk(ds, top_n=30, k_per_shard=k,
+                                n_shards=n_shards, micro_batch=37,
+                                return_stats=True)
+
+    true = collections.Counter()
+    for d in docs:
+        true.update(WORD_RE.findall(d.lower()))
+    # per-shard error bound = max err_ub emitted by that shard
+    shard_err = {}
+    for r in out.to_pylist():
+        s = int(_hash64([r["token"]])[0] % np.uint64(n_shards))
+        shard_err[s] = max(shard_err.get(s, 0), r["err_ub"])
+        assert r["est_n"] <= true[r["token"]] <= r["est_n"] + r["err_ub"], \
+            r["token"]
+    # state stayed bounded by shards x k
+    assert stats["max_state_rows"] <= n_shards * k
+    # any token with true count > its shard's err bound among the top
+    # (with margin) must be present in the emitted top-30
+    emitted = {r["token"] for r in out.to_pylist()}
+    top_true = sorted(true, key=lambda w: -true[w])[:10]
+    for w in top_true:
+        s = int(_hash64([w])[0] % np.uint64(n_shards))
+        if true[w] > 2 * shard_err.get(s, 0):
+            assert w in emitted, w
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
