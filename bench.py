@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "host_sample",
     "host_dup_stats",
     "politeness_audit",
+    "host_freshness",
     "cluster_sizes",
     "trending_tokens",
     "ioc_cooccurrence",

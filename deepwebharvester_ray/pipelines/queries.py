@@ -6833,6 +6833,66 @@ ORDER BY host_idx, doc_id
 """
 
 
+_FRESH_HALFLIFE_S = 64   # one host politeness cycle on the corpus timeline
+_FRESH_UNIT = 1000       # score contribution of a just-fetched page
+
+
+def q_host_freshness(sf_dir: str):
+    """Freshness-decayed host score (recrawl prioritization input): each
+    page contributes ``1000 // 2^(age // halflife)`` — an exact integer
+    exponential half-life decay (floor-division by a shifted 1, identical
+    on both engines; float ``exp()`` would be last-ulp-divergent) —
+    summed per host.  Hosts full of stale pages score low and rise to
+    the top of the refetch queue when combined with crawl_budget.
+
+    Shape: age is pure arithmetic on the corpus timeline (page d fetched
+    at BASE_TS + d s, "now" = the newest fetch), one combiner
+    ``grouped_agg`` at host cardinality — no shuffle beyond the bounded
+    count table."""
+    from ..corpus import HOSTS
+
+    n_docs = pq.ParquetFile(
+        str(Path(sf_dir) / "documents.parquet")).metadata.num_rows
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def decay(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        age = (n_docs - 1) - ids
+        shift = np.minimum(age // _FRESH_HALFLIFE_S, 62)
+        score = _FRESH_UNIT // (np.int64(1) << shift)
+        return pa.table({
+            "host_idx": pa.array(ids % HOSTS, pa.int64()),
+            "s": pa.array(score, pa.int64()),
+        })
+
+    return grouped_agg(
+        ds.map_batches(decay, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        ["host_idx"],
+        [("n_pages", "", "count"), ("fresh_score", "s", "sum")],
+    ).sort("host_idx")
+
+
+def _sql_host_freshness(sf_dir: str | None = None) -> str:
+    from ..corpus import HOSTS
+
+    return f"""
+WITH n_tab AS (SELECT count(*) AS n FROM documents),
+p AS (
+  SELECT doc_id % {HOSTS} AS host_idx,
+         {_FRESH_UNIT} // (CAST(1 AS BIGINT) << least(
+             ((SELECT n FROM n_tab) - 1 - doc_id)
+                 // {_FRESH_HALFLIFE_S}, 62)) AS s
+  FROM documents
+)
+SELECT host_idx, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(s) AS BIGINT) AS fresh_score
+FROM p GROUP BY host_idx ORDER BY host_idx
+"""
+
+
 def q_politeness_audit(sf_dir: str):
     """Per-host politeness compliance audit: the MINIMUM gap (seconds)
     between consecutive fetches of the same host across the crawl
@@ -7215,6 +7275,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "host_sample": q_host_sample,
         "host_dup_stats": q_host_dup_stats,
         "politeness_audit": q_politeness_audit,
+        "host_freshness": q_host_freshness,
         "cluster_sizes": q_cluster_sizes,
         "snapshot_diff": q_snapshot_diff,
         "upsert_apply": q_upsert_apply,
@@ -7346,6 +7407,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "host_sample": _sql_host_sample(),
         "host_dup_stats": _sql_host_dup_stats(),
         "politeness_audit": _sql_politeness_audit(),
+        "host_freshness": _sql_host_freshness(),
         "cluster_sizes": _SQL_CLUSTER_SIZES,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "upsert_apply": _SQL_UPSERT_APPLY,

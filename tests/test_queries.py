@@ -41,6 +41,7 @@ SPOT_CHECKED = [
     "host_sample",
     "host_dup_stats",
     "politeness_audit",
+    "host_freshness",
     "cluster_sizes",
     "snapshot_diff",
     "upsert_apply",
