@@ -4324,7 +4324,8 @@ def q_dedup_keep_best(sf_dir: str):
                                 shuffle_partitions=_shuffle_parts(sf_dir))
     clusters = connected_components(pairs)
     members = attach_id_labels(
-        _docs(sf_dir, columns=["doc_id", "n_chars"]), clusters,
+        _docs(sf_dir, columns=["doc_id", "n_chars"],
+              override_num_blocks=_shuffle_parts(sf_dir)), clusters,
         id_column="doc_id", label_id_column="doc_id",
         label_column="cluster_id")
 
@@ -6589,7 +6590,10 @@ def q_upsert_apply(sf_dir: str):
     lexsort/run-rank keeps the max-version row per key → vectorized
     tombstone filter.  No join, no driver state — the snapshot_diff
     discipline applied to WRITES instead of classification."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    # size the read by bytes: the doc-key sort over dozens of tiny
+    # splitter blocks is O(partitions²) scheduling, not data (CLAUDE.md)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"],
+               override_num_blocks=_shuffle_parts(sf_dir))
 
     def tagged(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").combine_chunks().to_numpy(
@@ -6907,7 +6911,8 @@ def q_politeness_audit(sf_dir: str):
     collapsed in the combiner."""
     from ..corpus import HOSTS
 
-    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ds = _read(sf_dir, "documents", columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
 
     def keyed(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").combine_chunks().to_numpy(
