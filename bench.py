@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "user_deltas",
     "event_transitions",
     "user_value_share",
+    "user_paths",
     "orders_rollup",
     "events_pivot",
     "distinct_users_by_type",

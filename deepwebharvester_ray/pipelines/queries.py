@@ -2816,6 +2816,62 @@ def q_user_deltas(sf_dir: str):
     )
 
 
+def q_user_paths(sf_dir: str):
+    """Ordered grouped string aggregation (``string_agg(x, ' > ' ORDER
+    BY …)``): each user's full time-ordered event-type path as one
+    string — the raw journey table behind funnel mining and the
+    session-path reports of product analytics.
+
+    Shape: ONE single-key sort on the high-cardinality user key, then an
+    in-block pass — (ts, event_id) lexsort + run bounds; the join of
+    each run's strings is necessarily Python-level (string assembly),
+    but it runs once per USER on arrays the lexsort already ordered,
+    never per event."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def paths(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "path": pa.array([], pa.string()),
+            })
+        uid = batch.column("user_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ts = (batch.column("ts").combine_chunks()
+              .cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        eid = batch.column("event_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        types = np.asarray(batch.column("event_type").to_pylist(),
+                           dtype=object)
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s = uid[order], types[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], u_s[1:] != u_s[:-1])))
+        ends = np.append(starts[1:], len(u_s))
+        return pa.table({
+            "user_id": pa.array(u_s[starts], pa.int64()),
+            "n_events": pa.array(ends - starts, pa.int64()),
+            "path": pa.array(
+                [" > ".join(t_s[s:e]) for s, e in zip(starts, ends)],
+                pa.string()),
+        })
+
+    return ds.sort("user_id").map_batches(
+        paths, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+
+
+_SQL_USER_PATHS = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       string_agg(event_type, ' > ' ORDER BY ts, event_id) AS path
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 _SHARE_SCALE = 1_000_000
 
 
@@ -7326,6 +7382,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "user_deltas": q_user_deltas,
         "event_transitions": q_event_transitions,
         "user_value_share": q_user_value_share,
+        "user_paths": q_user_paths,
         "orders_rollup": q_orders_rollup,
         "orders_cube": q_orders_cube,
         "events_pivot": q_events_pivot,
@@ -7450,6 +7507,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "user_deltas": _SQL_USER_DELTAS,
         "event_transitions": _SQL_EVENT_TRANSITIONS,
         "user_value_share": _SQL_USER_VALUE_SHARE,
+        "user_paths": _SQL_USER_PATHS,
         "orders_rollup": _SQL_ORDERS_ROLLUP,
         "orders_cube": _SQL_ORDERS_CUBE,
         "events_pivot": _SQL_EVENTS_PIVOT,

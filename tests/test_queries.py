@@ -65,6 +65,7 @@ SPOT_CHECKED = [
     "user_deltas",
     "event_transitions",
     "user_value_share",
+    "user_paths",
     "orders_rollup",
     "orders_cube",
     "events_pivot",
