@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "user_value_share",
     "user_paths",
+    "value_ntile",
     "orders_rollup",
     "events_pivot",
     "distinct_users_by_type",

@@ -2816,6 +2816,108 @@ def q_user_deltas(sf_dir: str):
     )
 
 
+_NTILE_K = 4
+
+
+def q_value_ntile(sf_dir: str):
+    """Per-group NTILE(4): each event's equal-COUNT quartile bucket
+    within its event type by (cents, event_id) order — the window-rank
+    cousin of value_percentile (NTILE splits by count, percentile by
+    value), with SQL's exact tile rule (the first ``n % k`` buckets get
+    the extra row) as pure integer arithmetic on the in-group rank.
+
+    Shape: event_type is a LOW-cardinality key, so co-locating a group
+    to rank it would put ~20% of the table in one block (the
+    stratified_sample lesson).  Instead the sort runs on the
+    HIGH-cardinality (cents, event_id) composite — only inter-block
+    ORDER matters, not co-location — and the in-group rank is a
+    distributed prefix scan of per-block per-type counts (the
+    token_packing discipline: O(blocks × types) driver state, one tiny
+    offsets dict shipped to each block task)."""
+    import ray
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type"),
+            "cents": pa.array(np.floor(v * 100.0).astype(np.int64),
+                              pa.int64()),
+        })
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+    # global order on the high-cardinality (cents, event_id) composite;
+    # equal-key co-location is NOT needed — only block ORDER matters,
+    # and Ray's range sort guarantees inter-block ordering
+    ordered = cents.sort(["cents", "event_id"]).materialize()
+
+    # distributed prefix scan of per-type counts per block (the
+    # token_packing discipline: O(blocks × types) driver state)
+    refs = ordered.to_arrow_refs()
+
+    @ray.remote
+    def type_counts(tbl: pa.Table):
+        t = np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
+        u, c = np.unique(t, return_counts=True)
+        return dict(zip(u.tolist(), c.tolist()))
+
+    per_block = ray.get([type_counts.remote(r) for r in refs])
+    totals: dict = {}
+    offsets = []
+    for counts in per_block:
+        offsets.append({k: totals.get(k, 0) for k in counts})
+        for k2, v2 in counts.items():
+            totals[k2] = totals.get(k2, 0) + v2
+
+    @ray.remote
+    def assign(tbl: pa.Table, off: dict, tot: dict):
+        t = np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
+        # in-block per-type running rank + this block's type offset
+        from deepwebharvester_ray.functions.dedup import run_rank
+
+        order = np.argsort(t, kind="stable")
+        rr = np.empty(len(t), np.int64)
+        rr[order] = run_rank(t[order])
+        base = np.asarray([off.get(x, 0) for x in t], np.int64)
+        n = np.asarray([tot[x] for x in t], np.int64)
+        r = rr + base
+        k = _NTILE_K
+        size = n // k
+        rem = n % k
+        big = (size + 1) * rem
+        bucket = np.where(r < big, r // np.maximum(size + 1, 1),
+                          rem + (r - big) // np.maximum(size, 1)) + 1
+        return pa.table({
+            "event_id": tbl.column("event_id"),
+            "event_type": tbl.column("event_type"),
+            "cents": tbl.column("cents"),
+            "tile": pa.array(bucket, pa.int64()),
+        })
+
+    out_refs = [assign.remote(r, off, totals)
+                for r, off in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+_SQL_VALUE_NTILE = f"""
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100.0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, event_type, cents,
+       CAST(ntile({_NTILE_K}) OVER (
+           PARTITION BY event_type ORDER BY cents, event_id)
+            AS BIGINT) AS tile
+FROM c ORDER BY event_id
+"""
+
+
 def q_user_paths(sf_dir: str):
     """Ordered grouped string aggregation (``string_agg(x, ' > ' ORDER
     BY …)``): each user's full time-ordered event-type path as one
@@ -7383,6 +7485,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "event_transitions": q_event_transitions,
         "user_value_share": q_user_value_share,
         "user_paths": q_user_paths,
+        "value_ntile": q_value_ntile,
         "orders_rollup": q_orders_rollup,
         "orders_cube": q_orders_cube,
         "events_pivot": q_events_pivot,
@@ -7508,6 +7611,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "event_transitions": _SQL_EVENT_TRANSITIONS,
         "user_value_share": _SQL_USER_VALUE_SHARE,
         "user_paths": _SQL_USER_PATHS,
+        "value_ntile": _SQL_VALUE_NTILE,
         "orders_rollup": _SQL_ORDERS_ROLLUP,
         "orders_cube": _SQL_ORDERS_CUBE,
         "events_pivot": _SQL_EVENTS_PIVOT,

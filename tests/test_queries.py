@@ -66,6 +66,7 @@ SPOT_CHECKED = [
     "event_transitions",
     "user_value_share",
     "user_paths",
+    "value_ntile",
     "orders_rollup",
     "orders_cube",
     "events_pivot",
