@@ -334,6 +334,47 @@ def run_passage(dup: int, sf_dir: str) -> dict:
     }
 
 
+def run_containment(dup: int, sf_dir: str) -> dict:
+    """containment_pairs on a ``dup``×-replicated corpus: every replica
+    pair is 100%-contained both ways, so output pairs grow
+    O(dup²·docs-with-grams) while the driver must stay flat — the
+    shared-count grouped_agg, the window-count attaches and the τ
+    filter are all in the data plane (the attach gate broadcasts only
+    the docs×dup window-count table, a sliver of the pair stream)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from deepwebharvester_ray import runtime_env
+    from deepwebharvester_ray.functions.dedup import containment_pairs
+
+    def shift(batch: pa.Table, off: int) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(batch.column("doc_id"), off))
+
+    parts = []
+    for k in range(dup):
+        dsk = ray.data.read_parquet(
+            str(Path(sf_dir) / "documents.parquet"),
+            columns=["doc_id", "text"])
+        if k:
+            dsk = dsk.map_batches(shift, fn_kwargs={"off": k * 1_000_000},
+                                  batch_format="pyarrow",
+                                  runtime_env=runtime_env())
+        parts.append(dsk)
+    ds = parts[0] if dup == 1 else parts[0].union(*parts[1:])
+    t0 = time.monotonic()
+    pairs = containment_pairs(ds, k=8, tau_pct=50,
+                              max_bucket=4096, shuffle_partitions=8)
+    n = pairs.count()
+    return {
+        "case": "containment", "dup": dup, "pairs": n,
+        "wall_s": round(time.monotonic() - t0, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
 def run_bpe(dup: int, sf_dir: str) -> dict:
     """bpe_pair_counts on a ``dup``×-replicated corpus — the text is
     identical across copies, so the DISTINCT-WORD table (the only thing
@@ -623,7 +664,8 @@ def main() -> None:
     p.add_argument("case", choices=["minhash", "frontier", "highcard",
                                     "interval", "pagerank", "semdedup",
                                     "passage", "skewjoin", "bpe",
-                                    "stream", "skewagg", "bloomjoin"])
+                                    "stream", "skewagg", "bloomjoin",
+                                    "containment"])
     p.add_argument("--dup", type=int, default=1)
     p.add_argument("--seeds", type=int, default=10_000)
     p.add_argument("--shards", type=int, default=None)
@@ -666,6 +708,8 @@ def main() -> None:
             out = run_skewagg(args.n, args.plain)
         elif args.case == "bloomjoin":
             out = run_bloomjoin(args.n, args.plain)
+        elif args.case == "containment":
+            out = run_containment(args.dup, args.sf)
         else:
             out = run_highcard(args.n)
     finally:
