@@ -865,20 +865,28 @@ def knn_graph(
 
     Same block-pair plan as ``dedup.embedding_neardup_pairs`` (one task
     per (block_i, block_j), two blocks resident per task), but each
-    task emits PER-ROW partial top-k against the paired block in BOTH
-    directions — task output is O(rows·k), never the O(rows²) sim
-    matrix.  Exactness: block columns are pre-sorted by id and the
-    per-row selection is a STABLE argsort on -sim, so the partial order
-    equals the global (sim DESC, id ASC) order and a global top-k
-    survives every partial top-k; the merge is one single-key sort on
-    the vector id + an in-block lexsort/run-rank mask."""
+    task emits a PER-ROW partial top-k against the paired block in BOTH
+    directions — task output is O(rows·k + ties), never the O(rows²)
+    sim matrix.  The per-row selection is the O(cols) k-th-value
+    threshold (``np.partition``) with ALL ties of the boundary value
+    kept — a guaranteed superset of the true (sim DESC, id ASC) top-k,
+    so the single-key lexsort/run-rank merge is exact (a full per-row
+    argsort would cost an extra log-factor that dominates the matmul
+    at block widths ≥ ~4k)."""
     import ray
 
     from .dedup import run_rank
 
     proj = ds.select_columns([id_column, vec_column]).materialize()
-    n_chunks = max(1, -(-proj.size_bytes() // target_block_bytes))
-    if n_chunks < proj.num_blocks():
+    # chunk by bytes, but never below ~(k+1) rows per chunk — the pair
+    # grid is K(K+1)/2 tasks, and sliver blocks would drown the matmuls
+    # in scheduling (and make within-block self-exclusion degenerate)
+    row_cap = max(1, proj.count() // max(16, k + 1))
+    n_chunks = max(1, min(-(-proj.size_bytes() // target_block_bytes),
+                          row_cap))
+    if n_chunks != proj.num_blocks():
+        # both directions: coalesce tiny read blocks AND split a
+        # single-block in-memory table so the pair grid has parallelism
         proj = proj.repartition(n_chunks).materialize()
     blocks = proj.to_arrow_refs()
     k_blocks = len(blocks)
@@ -891,21 +899,23 @@ def knn_graph(
         t = ray.get(refs[idx])
         ids = _ids_array(t.column(id_column))
         mat = _normalize(_vec_matrix(t.column(vec_column)))
-        order = np.argsort(ids, kind="stable")  # columns sorted by id →
-        return ids[order], mat[order]           # stable argsort ties → id ASC
+        return ids, mat
 
     def _row_topk(row_ids, col_ids, sims, self_mask: bool):
         if self_mask:
             eq = row_ids[:, None] == col_ids[None, :]
             sims = np.where(eq, -np.inf, sims)
-        kk = min(k, sims.shape[1])
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-        top_s = np.take_along_axis(sims, order, axis=1)
-        vid = np.repeat(row_ids, kk)
-        nbr = col_ids[order].ravel()
-        s = top_s.ravel()
-        good = np.isfinite(s)
-        return vid[good], nbr[good], s[good]
+        c = sims.shape[1]
+        if c <= k:
+            mask = np.isfinite(sims)
+        else:
+            # k-th largest value per row; keep EVERY column at or above
+            # it — ties included, so the superset is exact under any
+            # tie-break the merge later applies
+            kth = np.partition(sims, c - k, axis=1)[:, c - k]
+            mask = (sims >= kth[:, None]) & np.isfinite(sims)
+        ri, ci = np.nonzero(mask)
+        return row_ids[ri], col_ids[ci], sims[ri, ci]
 
     def chunk_topk(batch: pa.Table) -> pa.Table:
         refs = cached_get(refs_ref)

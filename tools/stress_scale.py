@@ -375,6 +375,38 @@ def run_containment(dup: int, sf_dir: str) -> dict:
     }
 
 
+def run_knn(n: int) -> dict:
+    """knn_graph on n synthetic 16-dim vectors split into ~1 MB blocks:
+    output is EXACTLY n·k rows whatever n is, per-task memory is two
+    blocks, and wall grows ~quadratically (exact all-pairs is O(n²) by
+    definition — the smoke documents the inherent cost the partial
+    top-k does NOT hide, while RSS stays flat because the O(n²) sim
+    matrices never leave the tasks)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.ann import knn_graph
+
+    rng = np.random.default_rng(1)
+    dim, k = 16, 3
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t)
+    t0 = time.monotonic()
+    out = knn_graph(ds, k=k, target_block_bytes=1 << 20)
+    rows = out.count()
+    assert rows == n * k, (rows, n * k)
+    return {
+        "case": "knn", "n": n, "rows": rows,
+        "wall_s": round(time.monotonic() - t0, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
 def run_bpe(dup: int, sf_dir: str) -> dict:
     """bpe_pair_counts on a ``dup``×-replicated corpus — the text is
     identical across copies, so the DISTINCT-WORD table (the only thing
@@ -665,7 +697,7 @@ def main() -> None:
                                     "interval", "pagerank", "semdedup",
                                     "passage", "skewjoin", "bpe",
                                     "stream", "skewagg", "bloomjoin",
-                                    "containment"])
+                                    "containment", "knn"])
     p.add_argument("--dup", type=int, default=1)
     p.add_argument("--seeds", type=int, default=10_000)
     p.add_argument("--shards", type=int, default=None)
@@ -710,6 +742,8 @@ def main() -> None:
             out = run_bloomjoin(args.n, args.plain)
         elif args.case == "containment":
             out = run_containment(args.dup, args.sf)
+        elif args.case == "knn":
+            out = run_knn(args.n)
         else:
             out = run_highcard(args.n)
     finally:
