@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "crawl_budget",
     "host_sample",
     "host_dup_stats",
+    "source_overlap",
     "politeness_audit",
     "host_freshness",
     "cluster_sizes",

@@ -3459,6 +3459,157 @@ FROM reach GROUP BY id ORDER BY doc_id
 """
 
 
+_OVERLAP_SCALE = 1_000_000
+
+
+def q_source_overlap(sf_dir: str):
+    """Inter-SOURCE vocabulary similarity matrix: exact Jaccard (ppm)
+    between every pair of sources' distinct-token sets — the
+    corpus-composition diagnostic run before choosing a domain mixture
+    (two near-identical sources shouldn't both be upweighted).
+
+    Shape: the distinct (token, source) table is one combiner
+    ``grouped_agg`` (vocabulary×sources cardinality); per-source sizes
+    are a second tiny grouped count; common-token counts come from ONE
+    single-key sort on the token + in-block per-run triu pair emission
+    (runs are ≤ |sources| rows — the ngram bucket idiom at vocabulary
+    scale) collapsed by a pair-cardinality grouped count; the Jaccard
+    arithmetic runs in the ≤|sources|² merged block with exact integer
+    ppm."""
+    import ray
+
+    from ..functions.dedup import _run_bounds
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["source", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        srcs = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        texts = batch.column("text").to_pylist()
+        toks, counts = [], np.empty(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            tt = WORD_RE.findall((t or "").lower())
+            counts[i] = len(tt)
+            toks.extend(tt)
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            "source": pa.array(np.repeat(srcs, counts).tolist(),
+                               pa.string()),
+        })
+
+    st = grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        ["token", "source"], [("__n", "", "count")],
+    ).select_columns(["token", "source"]).materialize()
+
+    sizes_rows = grouped_agg(st, ["source"],
+                             [("n", "", "count")]).take_all()
+    sizes = {r["source"]: r["n"] for r in sizes_rows}
+    sizes_ref = ray.put(sizes)
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "src_a": pa.array([], pa.string()),
+                "src_b": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            })
+        toks = np.asarray(batch.column("token").to_pylist(), dtype=object)
+        srcs = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        order = np.lexsort((srcs, toks))
+        t_s, s_s = toks[order], srcs[order]
+        starts, ends = _run_bounds(t_s)
+        sizes = ends - starts
+        sel = sizes >= 2
+        starts, sizes = starts[sel], sizes[sel]
+        # group runs by size: one (R, m) matrix + one triu gather per
+        # DISTINCT size (≤ |sources|−1 sizes) — never a per-run loop
+        a_out, b_out = [], []
+        size_order = np.argsort(sizes, kind="stable")
+        s_sorted = starts[size_order]
+        sz_sorted = sizes[size_order]
+        g_starts, g_ends = _run_bounds(sz_sorted)
+        for gs, ge in zip(g_starts, g_ends):
+            m = int(sz_sorted[gs])
+            s_m = s_sorted[gs:ge]
+            mat = s_s[s_m[:, None] + np.arange(m)[None, :]]
+            ii, jj = np.triu_indices(m, 1)
+            a_out.append(mat[:, ii].ravel())
+            b_out.append(mat[:, jj].ravel())
+        if not a_out:
+            return pa.table({
+                "src_a": pa.array([], pa.string()),
+                "src_b": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            })
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        return pa.table({
+            "src_a": pa.array(a.tolist(), pa.string()),
+            "src_b": pa.array(b.tolist(), pa.string()),
+            "c": pa.array(np.ones(len(a), np.int64), pa.int64()),
+        })
+
+    common = grouped_agg(
+        st.sort("token").map_batches(
+            pair_counts, batch_format="pyarrow", batch_size=None,
+            runtime_env=runtime_env()),
+        ["src_a", "src_b"], [("n_common", "c", "sum")],
+    )
+
+    def jaccard(batch: pa.Table) -> pa.Table:
+        from ..broadcast import cached_get
+
+        sz = cached_get(sizes_ref)
+        a = np.asarray(batch.column("src_a").to_pylist(), dtype=object)
+        b = np.asarray(batch.column("src_b").to_pylist(), dtype=object)
+        nc = batch.column("n_common").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        na = np.asarray([sz[x] for x in a], np.int64)
+        nb = np.asarray([sz[x] for x in b], np.int64)
+        return pa.table({
+            "src_a": batch.column("src_a"),
+            "src_b": batch.column("src_b"),
+            "n_common": pa.array(nc, pa.int64()),
+            "n_a": pa.array(na, pa.int64()),
+            "n_b": pa.array(nb, pa.int64()),
+            "jaccard_ppm": pa.array(
+                nc * _OVERLAP_SCALE // (na + nb - nc), pa.int64()),
+        })
+
+    return common.map_batches(jaccard, batch_format="pyarrow",
+                              runtime_env=runtime_env()).sort(
+        ["src_a", "src_b"])
+
+
+def _sql_source_overlap() -> str:
+    return rf"""
+WITH st AS (
+  SELECT DISTINCT source, token FROM (
+    SELECT source,
+           unnest(regexp_extract_all(lower(text), '{_TOKEN_SQL_RE}'))
+               AS token
+    FROM documents)
+),
+sz AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+cm AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT cm.src_a, cm.src_b, CAST(cm.n_common AS BIGINT) AS n_common,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(cm.n_common * {_OVERLAP_SCALE}
+            // (sa.n + sb.n - cm.n_common) AS BIGINT) AS jaccard_ppm
+FROM cm
+JOIN sz sa ON sa.source = cm.src_a
+JOIN sz sb ON sb.source = cm.src_b
+ORDER BY src_a, src_b
+"""
+
+
 def q_cluster_sizes(sf_dir: str):
     """Near-dup cluster SIZE DISTRIBUTION (count-of-counts): how many
     clusters have 2 members, 3 members, … — the dedup-health histogram
@@ -7437,6 +7588,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "crawl_budget": q_crawl_budget,
         "host_sample": q_host_sample,
         "host_dup_stats": q_host_dup_stats,
+        "source_overlap": q_source_overlap,
         "politeness_audit": q_politeness_audit,
         "host_freshness": q_host_freshness,
         "cluster_sizes": q_cluster_sizes,
@@ -7571,6 +7723,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "crawl_budget": _sql_crawl_budget(),
         "host_sample": _sql_host_sample(),
         "host_dup_stats": _sql_host_dup_stats(),
+        "source_overlap": _sql_source_overlap(),
         "politeness_audit": _sql_politeness_audit(),
         "host_freshness": _sql_host_freshness(),
         "cluster_sizes": _SQL_CLUSTER_SIZES,

@@ -40,6 +40,7 @@ SPOT_CHECKED = [
     "crawl_budget",
     "host_sample",
     "host_dup_stats",
+    "source_overlap",
     "politeness_audit",
     "host_freshness",
     "cluster_sizes",
