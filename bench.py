@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "upsert_apply",
     "crawl_budget",
+    "incr_crawl_round",
     "host_sample",
     "host_dup_stats",
     "source_overlap",

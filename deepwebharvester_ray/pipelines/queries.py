@@ -6995,6 +6995,148 @@ FROM w WHERE del_f = 0 ORDER BY doc_id
 """
 
 
+def q_incr_crawl_round(sf_dir: str):
+    """The incremental-crawl maintenance round as ONE composed pipeline
+    (the crawl-side sibling of full_prep): refetch the corpus, classify
+    every URL against the previous snapshot (added / changed /
+    unchanged — the snapshot_diff join-free tagged-union pass), roll the
+    change census up per host, and allocate the next round's politeness-
+    capped fetch budget proportional to each host's change volume
+    (the crawl_budget integer ceiling rule).  Previous snapshot =
+    docs minus the ``%17==3`` slice, with the ``%13==5`` slice edited —
+    the same deterministic derivation snapshot_diff pins.
+
+    Scale shape end-to-end: one tagged-union map → one grouped pass at
+    URL cardinality (count + min/max hash; never a join) → vectorized
+    status arithmetic → host-cardinality indicator rollup → budget
+    arithmetic in the bounded merged block."""
+    import hashlib
+
+    from ..corpus import HOSTS
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def tagged(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        h_new = np.asarray(
+            [int(hashlib.md5((t or "").encode()).hexdigest()[:15], 16)
+             for t in texts], np.int64)
+        old_mask = ids % 17 != 3
+        edit = ids % 13 == 5
+        h_old = h_new.copy()
+        for i in np.flatnonzero(edit & old_mask):
+            h_old[i] = int(hashlib.md5(
+                ((texts[i] or "") + "!").encode()).hexdigest()[:15], 16)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([ids[old_mask], ids]),
+                               pa.int64()),
+            "h": pa.array(np.concatenate([h_old[old_mask], h_new]),
+                          pa.int64()),
+        })
+
+    g = grouped_agg(
+        ds.map_batches(tagged, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        ["doc_id"],
+        [("n", "", "count"), ("h_min", "h", "min"), ("h_max", "h", "max")],
+    )
+
+    def census(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        n = batch.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        hmin = batch.column("h_min").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        hmax = batch.column("h_max").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "host_idx": pa.array(ids % HOSTS, pa.int64()),
+            "a": pa.array((n == 1).astype(np.int64), pa.int64()),
+            "c": pa.array(((n == 2) & (hmin != hmax)).astype(np.int64),
+                          pa.int64()),
+            "u": pa.array(((n == 2) & (hmin == hmax)).astype(np.int64),
+                          pa.int64()),
+        })
+
+    hr = grouped_agg(
+        g.map_batches(census, batch_format="pyarrow",
+                      runtime_env=runtime_env()),
+        ["host_idx"],
+        [("n_added", "a", "sum"), ("n_changed", "c", "sum"),
+         ("n_unchanged", "u", "sum")],
+    )
+
+    def allocate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("budget", pa.array([], pa.int64()))
+        a = batch.column("n_added").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        c = batch.column("n_changed").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        work = a + c
+        total = int(work.sum())
+        budget = np.minimum(
+            CRAWL_BUDGET_CAP,
+            (CRAWL_BUDGET_TOTAL * work + total - 1) // max(total, 1),
+        ).astype(np.int64)
+        return batch.append_column("budget", pa.array(budget, pa.int64()))
+
+    return hr.repartition(1).map_batches(
+        allocate, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env()).sort("host_idx")
+
+
+def _sql_incr_crawl_round() -> str:
+    from ..corpus import HOSTS
+
+    return f"""
+WITH oldsnap AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(COALESCE(text, '') ||
+             CASE WHEN doc_id % 13 = 5 THEN '!' ELSE '' END), 1, 15))
+              AS BIGINT) AS h
+  FROM documents WHERE doc_id % 17 != 3
+),
+newsnap AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(COALESCE(text, '')), 1, 15))
+              AS BIGINT) AS h
+  FROM documents
+),
+u AS (
+  SELECT doc_id, h FROM oldsnap UNION ALL SELECT doc_id, h FROM newsnap
+),
+g AS (
+  SELECT doc_id, count(*) AS n, min(h) AS h_min, max(h) AS h_max
+  FROM u GROUP BY doc_id
+),
+s AS (
+  SELECT doc_id % {HOSTS} AS host_idx,
+         CASE WHEN n = 1 THEN 1 ELSE 0 END AS a,
+         CASE WHEN n = 2 AND h_min != h_max THEN 1 ELSE 0 END AS c,
+         CASE WHEN n = 2 AND h_min = h_max THEN 1 ELSE 0 END AS un
+  FROM g
+),
+hr AS (
+  SELECT host_idx, sum(a) AS n_added, sum(c) AS n_changed,
+         sum(un) AS n_unchanged
+  FROM s GROUP BY host_idx
+),
+tot AS (SELECT sum(n_added + n_changed) AS w FROM hr)
+SELECT host_idx, CAST(n_added AS BIGINT) AS n_added,
+       CAST(n_changed AS BIGINT) AS n_changed,
+       CAST(n_unchanged AS BIGINT) AS n_unchanged,
+       CAST(least({CRAWL_BUDGET_CAP},
+                  ({CRAWL_BUDGET_TOTAL} * (n_added + n_changed) + w - 1)
+                      // greatest(w, 1)) AS BIGINT) AS budget
+FROM hr, tot ORDER BY host_idx
+"""
+
+
 RECRAWL_BUDGET = 5  # refetch batch size per host per politeness round
 
 
@@ -7586,6 +7728,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "cohort_retention": q_cohort_retention,
         "recrawl_schedule": q_recrawl_schedule,
         "crawl_budget": q_crawl_budget,
+        "incr_crawl_round": q_incr_crawl_round,
         "host_sample": q_host_sample,
         "host_dup_stats": q_host_dup_stats,
         "source_overlap": q_source_overlap,
@@ -7721,6 +7864,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "cohort_retention": _SQL_COHORT_RETENTION,
         "recrawl_schedule": _sql_recrawl_schedule(),
         "crawl_budget": _sql_crawl_budget(),
+        "incr_crawl_round": _sql_incr_crawl_round(),
         "host_sample": _sql_host_sample(),
         "host_dup_stats": _sql_host_dup_stats(),
         "source_overlap": _sql_source_overlap(),

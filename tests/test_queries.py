@@ -38,6 +38,7 @@ SPOT_CHECKED = [
     "cohort_retention",
     "recrawl_schedule",
     "crawl_budget",
+    "incr_crawl_round",
     "host_sample",
     "host_dup_stats",
     "source_overlap",
