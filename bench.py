@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "value_hour_cov",
     "two_hop_counts",
     "link_authority",
+    "rank_agreement",
     "triangle_count",
     "crawl_bfs",
 ]

@@ -4294,6 +4294,111 @@ ORDER BY doc_id
 """)
 
 
+def q_rank_agreement(sf_dir: str):
+    """Spearman-FOOTRULE distance between two page orderings — raw
+    in-degree rank vs PageRank rank (Σ|r₁ − r₂|, the integer rank-
+    agreement statistic): quantifies how much the damped random-surfer
+    model disagrees with naive popularity, i.e. whether running the
+    expensive scorer buys anything over the cheap one.
+
+    Composition: two DISTRIBUTED global rankings (each one sort on a
+    fixed-width (−metric, id) string key + the prefix-scan rank — the
+    curriculum_order machinery, no window materialization), one native
+    hash join on the doc key, and a two-scalar global aggregate."""
+    import ray
+
+    from ..functions.graph import pagerank
+    from ..functions.partition import coalesce_nonempty
+    from ..functions.scan import prefix_scan
+
+    nodes, edges = _corpus_link_edges(sf_dir)
+    deg = grouped_agg(
+        edges.map_batches(
+            lambda b: pa.table({"doc_id": b.column("dst")}),
+            batch_format="pyarrow", runtime_env=runtime_env()),
+        ["doc_id"], [("indeg", "", "count")],
+    )
+    pr = pagerank(edges, nodes, iters=_PR_ITERS, scale=_PR_SCALE,
+                  shuffle_partitions=_shuffle_parts(sf_dir))
+
+    def rank_of(ds, metric: str, width: int, out: str):
+        def keyed(batch: pa.Table) -> pa.Table:
+            ids = batch.column(
+                "doc_id" if "doc_id" in batch.column_names else "id"
+            ).combine_chunks().to_numpy(zero_copy_only=False)
+            m = batch.column(metric).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            inv = (10 ** width - 1) - m        # descending metric order
+            ck = [f"{v:0{width}d}:{i:012d}" for v, i in zip(inv, ids)]
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "ck": pa.array(ck, pa.string()),
+                "one": pa.array(np.ones(len(ids), np.int64)),
+            })
+
+        ranked = prefix_scan(
+            ds.map_batches(keyed, batch_format="pyarrow",
+                           runtime_env=runtime_env()),
+            key="ck", value_col="one", out_col=out,
+            shuffle_partitions=_shuffle_parts(sf_dir))
+        return ranked.select_columns(["doc_id", out])
+
+    ra = coalesce_nonempty(rank_of(deg, "indeg", 13, "rn_deg"))
+    rb = coalesce_nonempty(rank_of(pr, "score", 14, "rn_pr"))
+    j = ra.join(rb, "inner", num_partitions=_shuffle_parts(sf_dir),
+                on=("doc_id",))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        a = batch.column("rn_deg").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        b = batch.column("rn_pr").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(a)], pa.int64()),
+            "f": pa.array([int(np.abs(a - b).sum())], pa.int64()),
+        })
+
+    parts = j.map_batches(partials, batch_format="pyarrow",
+                          batch_size=None,
+                          runtime_env=runtime_env()).take_all()
+    return pa.table({
+        "n_nodes": pa.array([sum(r["n"] for r in parts)], pa.int64()),
+        "footrule": pa.array([sum(r["f"] for r in parts)], pa.int64()),
+    })
+
+
+def _sql_rank_agreement() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    return f"""
+WITH pr AS ({_sql_pagerank()}),
+n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+),
+deg AS (SELECT dst AS doc_id, count(*) AS indeg FROM edges GROUP BY dst),
+ra AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY indeg DESC, doc_id) AS rn_deg
+  FROM deg
+),
+rb AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rn_pr
+  FROM pr
+)
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(abs(ra.rn_deg - rb.rn_pr)) AS BIGINT) AS footrule
+FROM ra JOIN rb ON rb.doc_id = ra.doc_id
+"""
+
+
 def _corpus_link_edges(sf_dir: str):
     """(nodes_ds(id), edges_ds(src,dst)) of the corpus's deterministic
     link graph — shared by pagerank and the 2-hop neighborhood query."""
@@ -7758,6 +7863,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "hits_scores": q_hits_scores,
         "two_hop_counts": q_two_hop_counts,
         "link_authority": q_link_authority,
+        "rank_agreement": q_rank_agreement,
         "triangle_count": q_triangle_count,
         "inverted_index": q_inverted_index,
         "doc_search": q_doc_search,
@@ -7886,6 +7992,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "hits_scores": _sql_hits_scores(),
         "two_hop_counts": _sql_two_hop(),
         "link_authority": _sql_link_authority(),
+        "rank_agreement": _sql_rank_agreement(),
         "triangle_count": _sql_triangles(),
         "inverted_index": _SQL_INVERTED_INDEX,
         "doc_search": _SQL_DOC_SEARCH,

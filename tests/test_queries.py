@@ -79,6 +79,7 @@ SPOT_CHECKED = [
     "hits_scores",
     "two_hop_counts",
     "link_authority",
+    "rank_agreement",
     "triangle_count",
     "inverted_index",
     "doc_search",
