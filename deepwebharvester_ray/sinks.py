@@ -308,3 +308,49 @@ def compact_parquet(input_dir: str, output_dir: str,
     files_out = len(list(out.rglob("*.parquet")))
     return {"files_in": len(in_files), "files_out": files_out,
             "rows": rows, "bytes_in": total}
+
+
+_BUCKET_MULT = 0x9E3779B97F4A7C15  # odd 64-bit multiplier (bijective)
+
+
+def write_bucketed_parquet(ds, out_dir: str, key: str,
+                           n_buckets: int = 16) -> dict:
+    """Hash-BUCKETED Parquet layout: rows land in
+    ``bucket=<hash(key) % n>`` hive directories, so every future
+    key-equijoin / grouped aggregate / dedup on ``key`` can run
+    PER-BUCKET with zero shuffle (both sides of a join bucketed the
+    same way co-locate by construction — the "pick ONE partitioning
+    key and reuse it" discipline made physical).  The bucket id is a
+    64-bit multiplicative hash of the int64 key (reshard-stable, same
+    family as the split/sample hashes).
+
+    Returns {n_buckets, rows}.  Composes with ``compact_parquet`` per
+    bucket for file sizing."""
+    import numpy as np
+    import pyarrow as pa
+
+    from . import runtime_env
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(key).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            hv = ids.astype(np.uint64) * np.uint64(_BUCKET_MULT)
+        return batch.append_column(
+            "bucket", pa.array((hv % np.uint64(n_buckets)).astype(np.int64),
+                               pa.int64()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            runtime_env=runtime_env())
+    rows = tagged.count()
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    tagged.write_parquet(out_dir, partition_cols=["bucket"])
+    return {"n_buckets": n_buckets, "rows": rows}
+
+
+def read_bucket(out_dir: str, bucket: int):
+    """One bucket of a :func:`write_bucketed_parquet` layout as a
+    Dataset — the unit a shuffle-free per-bucket job iterates over."""
+    import ray
+
+    return ray.data.read_parquet(str(Path(out_dir) / f"bucket={bucket}"))

@@ -207,3 +207,49 @@ def test_compact_parquet_roundtrip(ray_session, tmp_path):
     got = _pq.read_table(str(out)).sort_by("doc_id")
     assert got.column("doc_id").to_pylist() == list(range(400))
     assert got.column("text").to_pylist() == [f"doc {j}" for j in range(400)]
+
+
+def test_bucketed_layout_shuffle_free_agg(ray_session, tmp_path):
+    """Hash-bucketed layout: buckets partition the key space exactly
+    (disjoint, complete), and a PER-BUCKET local grouped aggregate
+    concatenated across buckets equals the global groupby — the
+    zero-shuffle aggregation the layout exists to enable."""
+    import collections
+
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.sinks import read_bucket, write_bucketed_parquet
+
+    n = 1000
+    t = pa.table({
+        "doc_id": pa.array([i % 97 for i in range(n)], pa.int64()),
+        "v": pa.array([i % 7 for i in range(n)], pa.int64()),
+    })
+    out = tmp_path / "bucketed"
+    stats = write_bucketed_parquet(ray.data.from_arrow(t).repartition(8),
+                                   str(out), key="doc_id", n_buckets=8)
+    assert stats["rows"] == n
+
+    # global truth
+    truth = collections.Counter()
+    sums = collections.Counter()
+    for i in range(n):
+        truth[i % 97] += 1
+        sums[i % 97] += i % 7
+
+    seen_keys = set()
+    got_n: dict = {}
+    got_s: dict = {}
+    for b in range(8):
+        rows = read_bucket(str(out), b).take_all()
+        keys_here = {r["doc_id"] for r in rows}
+        assert not (keys_here & seen_keys), "key split across buckets"
+        seen_keys |= keys_here
+        # LOCAL per-bucket aggregation — no shuffle, no cross-bucket state
+        for r in rows:
+            got_n[r["doc_id"]] = got_n.get(r["doc_id"], 0) + 1
+            got_s[r["doc_id"]] = got_s.get(r["doc_id"], 0) + r["v"]
+    assert seen_keys == set(truth)
+    assert got_n == dict(truth)
+    assert got_s == dict(sums)
