@@ -1159,6 +1159,114 @@ GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
 """
 
 
+_BUCKETED_JOIN_BUCKETS = 8
+
+
+def q_bucketed_join(sf_dir: str):
+    """Zero-shuffle equijoin over the hash-BUCKETED layout
+    (``sinks.write_bucketed_parquet``): orders and customer are each
+    written ONCE into ``bucket=hash(custkey)%n`` hive directories, and
+    the join then runs PER-BUCKET — bucket b of orders can only match
+    bucket b of customer (same key → same multiplicative hash → same
+    bucket on both sides), so no row ever crosses a bucket boundary and
+    there is NO join exchange at query time.  This is the physical form
+    of the "pick ONE partitioning key and reuse it" discipline: at 100 TB
+    the two writes are amortized over every subsequent join / grouped
+    aggregate / dedup on the key, and each per-bucket task touches only
+    its own files (the unpruned twin is orders_join_native).
+
+    Shape: a Dataset of bucket ids (one per block) drives one task per
+    bucket; the task reads BOTH sides' bucket directories, attaches the
+    customer segment by sorted-array searchsorted (the broadcast-attach
+    kernel, here with zero broadcast — the dimension rows are already
+    co-located), and pre-aggregates to |segments| rows.  The only
+    all-to-all is the final merge of ≤ buckets × segments partial rows.
+
+    Rollup: order count + total-price cents per customer market segment.
+    """
+    import shutil
+    import tempfile
+
+    import ray
+
+    from ..sinks import write_bucketed_parquet
+
+    scratch = tempfile.mkdtemp(prefix="dwh_bucketed_join_", dir="/tmp")
+    o_dir, c_dir = f"{scratch}/orders", f"{scratch}/customer"
+    write_bucketed_parquet(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        o_dir, key="o_custkey", n_buckets=_BUCKETED_JOIN_BUCKETS)
+    write_bucketed_parquet(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
+        c_dir, key="c_custkey", n_buckets=_BUCKETED_JOIN_BUCKETS)
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        out = []
+        for b in batch.column("id").to_pylist():  # one bucket per block
+            op, cp = (Path(o_dir) / f"bucket={b}"), (Path(c_dir) / f"bucket={b}")
+            if not (op.exists() and cp.exists()):
+                continue
+            ot = pq.read_table(str(op), columns=["o_custkey", "o_totalprice"])
+            ct = pq.read_table(str(cp), columns=["c_custkey", "c_mktsegment"])
+            if ot.num_rows == 0 or ct.num_rows == 0:
+                continue  # inner join: nothing can match
+            ck = ct.column("c_custkey").to_numpy(zero_copy_only=False)
+            seg = np.asarray(ct.column("c_mktsegment").to_pylist(), object)
+            order = np.argsort(ck, kind="stable")
+            ck, seg = ck[order], seg[order]
+            ok = ot.column("o_custkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ck, ok)
+            pos = np.minimum(pos, len(ck) - 1)
+            hit = ck[pos] == ok  # inner semantics (TPC-H FK ⇒ all hit)
+            cents = np.floor(
+                ot.column("o_totalprice").to_numpy(zero_copy_only=False)
+                * 100.0).astype(np.int64)
+            part = pa.table({
+                "c_mktsegment": pa.array(seg[pos[hit]]),
+                "cents": pa.array(cents[hit], pa.int64()),
+            })
+            out.append(part.group_by(["c_mktsegment"]).aggregate(
+                [([], "count_all"), ("cents", "sum")]))
+        if not out:
+            return pa.table({
+                "c_mktsegment": pa.array([], pa.string()),
+                "count_all": pa.array([], pa.int64()),
+                "cents_sum": pa.array([], pa.int64()),
+            })
+        merged = pa.concat_tables(out)
+        return merged.rename_columns(
+            ["c_mktsegment", "n_orders", "revenue_cents"])
+
+    buckets = ray.data.range(
+        _BUCKETED_JOIN_BUCKETS,
+        override_num_blocks=_BUCKETED_JOIN_BUCKETS,
+    )
+    partials = buckets.map_batches(
+        per_bucket, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )
+    res = grouped_agg(
+        partials, ["c_mktsegment"],
+        [("n_orders", "n_orders", "sum"),
+         ("revenue_cents", "revenue_cents", "sum")],
+    ).take_all()  # |segments| rows
+    shutil.rmtree(scratch, ignore_errors=True)
+    return pa.Table.from_pylist(res) if res else pa.table({
+        "c_mktsegment": pa.array([], pa.string()),
+        "n_orders": pa.array([], pa.int64()),
+        "revenue_cents": pa.array([], pa.int64()),
+    })
+
+
+_SQL_BUCKETED_JOIN = """
+SELECT c.c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
 _RF_LO = "1995-01-01"
 _RF_HI = "1995-03-01"
 
@@ -7908,6 +8016,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "orders_join_native": q_orders_join_native,
         "skewed_orders_join": q_skewed_orders_join,
         "lineitem_orders_join": q_lineitem_orders_join,
+        "bucketed_join": q_bucketed_join,
         "runtime_filter_join": q_runtime_filter_join,
         "local_supplier_revenue": q_local_supplier_revenue,
         "top_orders_q3": q_top_orders_q3,
@@ -8037,6 +8146,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "orders_join_native": _SQL_ORDERS_BY_SEGMENT,
         "skewed_orders_join": _SQL_SKEWED_ORDERS_JOIN,
         "lineitem_orders_join": _SQL_LINEITEM_ORDERS_JOIN,
+        "bucketed_join": _SQL_BUCKETED_JOIN,
         "runtime_filter_join": _SQL_RUNTIME_FILTER_JOIN,
         "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
         "top_orders_q3": _SQL_TOP_ORDERS_Q3,

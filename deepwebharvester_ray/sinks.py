@@ -342,9 +342,14 @@ def write_bucketed_parquet(ds, out_dir: str, key: str,
 
     tagged = ds.map_batches(tag, batch_format="pyarrow",
                             runtime_env=runtime_env())
-    rows = tagged.count()
     Path(out_dir).mkdir(parents=True, exist_ok=True)
     tagged.write_parquet(out_dir, partition_cols=["bucket"])
+    # one streaming execution only; the row count comes from the written
+    # parquet footers (metadata-only — never a second pass over the data)
+    import pyarrow.parquet as _pq
+
+    rows = sum(_pq.ParquetFile(str(f)).metadata.num_rows
+               for f in Path(out_dir).rglob("*.parquet"))
     return {"n_buckets": n_buckets, "rows": rows}
 
 
