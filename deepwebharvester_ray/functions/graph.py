@@ -450,3 +450,110 @@ def hits(
     return attach_id_labels(hub_t, auth_t, id_column="doc_id",
                             label_id_column="doc_id",
                             label_column="auth")
+
+
+def bfs_distances(
+    edges_ds,
+    seeds_ds,
+    max_depth: int,
+    broadcast_below: int = 2_000_000,
+):
+    """Multi-source BFS: ``(id, dist)`` — the minimum hop distance from
+    any seed to every node reachable within ``max_depth`` hops (the
+    oracle-checkable core of the crawl's depth-bounded frontier
+    expansion: crawl_bfs replays the full engine; this is the distance
+    LABELING as a first-class graph operator, reference crawler.py's
+    ``depth`` bookkeeping as data instead of control flow).
+
+    Iterative dataflow, FRONTIER-ONLY expansion: each round expands only
+    the nodes settled in the previous round (BFS settles a node at its
+    final distance, so re-expanding old rounds can never improve a
+    label) — per-round work is O(frontier out-edges), not O(reachable
+    set).  The per-round merge is the grouped-MIN combiner over
+    ``settled ∪ (candidates, k)``; newly-settled rows (dist == k) form
+    the next frontier, and an empty frontier short-circuits before
+    ``max_depth``.
+
+    Propagation has the same size-gated dual as
+    :func:`connected_components`: below ``broadcast_below`` frontier
+    nodes each round broadcasts the sorted frontier ids and masks the
+    distributed edge table in ``map_batches`` (no join shuffle); above
+    it, a native hash join edges⋈frontier.  Inputs: ``edges_ds`` with
+    ``(src, dst)`` int64 columns, ``seeds_ds`` with an ``id`` column.
+    """
+    import ray
+
+    from ..broadcast import cached_get
+    from .agg import grouped_agg
+    from .partition import coalesce_nonempty
+
+    settled = seeds_ds.map_batches(
+        lambda b: pa.table({
+            "id": b.column("id"),
+            "dist": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+        }),
+        batch_format="pyarrow", runtime_env=runtime_env(),
+    ).materialize()
+    frontier = settled
+
+    for k in range(1, max_depth + 1):
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+        if n_frontier < broadcast_below:
+            ids = np.sort(np.fromiter(
+                (r["id"] for r in frontier.take_all()), np.int64,
+                n_frontier))
+            ref = ray.put(ids)
+
+            def expand(batch: pa.Table, _ref=ref, _k=k) -> pa.Table:
+                sids = cached_get(_ref)
+                src = batch.column("src").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                dst = batch.column("dst").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                pos = np.searchsorted(sids, src)
+                pos_c = np.minimum(pos, max(len(sids) - 1, 0))
+                hit = (sids[pos_c] == src) if len(sids) else \
+                    np.zeros(len(src), bool)
+                cand = np.unique(dst[hit])  # per-block dedup
+                return pa.table({
+                    "id": pa.array(cand, pa.int64()),
+                    "dist": pa.array(np.full(len(cand), _k, np.int64),
+                                     pa.int64()),
+                })
+
+            cands = edges_ds.map_batches(
+                expand, batch_format="pyarrow", runtime_env=runtime_env())
+        else:
+            kk = k
+
+            def rekey(batch: pa.Table, _k=kk) -> pa.Table:
+                return pa.table({
+                    "id": batch.column("dst"),
+                    "dist": pa.array(
+                        np.full(batch.num_rows, _k, np.int64), pa.int64()),
+                })
+
+            cands = coalesce_nonempty(edges_ds).join(
+                coalesce_nonempty(frontier.select_columns(["id"])),
+                "inner",
+                num_partitions=max(2, edges_ds.num_blocks() // 4),
+                on=("src",), right_on=("id",),
+            ).map_batches(rekey, batch_format="pyarrow",
+                          runtime_env=runtime_env())
+
+        settled = grouped_agg(
+            settled.union(cands), ["id"], [("dist", "dist", "min")],
+        ).materialize()
+
+        def new_only(batch: pa.Table, _k=k) -> pa.Table:
+            d = batch.column("dist").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return batch.filter(pa.array(d == _k))
+
+        frontier = settled.map_batches(
+            new_only, batch_format="pyarrow", runtime_env=runtime_env(),
+        ).materialize()
+
+    return settled

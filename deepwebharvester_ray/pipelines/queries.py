@@ -4507,6 +4507,69 @@ FROM ra JOIN rb ON rb.doc_id = ra.doc_id
 """
 
 
+_BFS_SEED_MOD = 50
+_BFS_MAX_DEPTH = 5
+
+
+def q_link_distances(sf_dir: str):
+    """Multi-source BFS hop distances over the crawl link graph: the
+    minimum number of link hops from any seed page (``doc_id % 50 == 0``
+    — the deterministic seed rule) to every page reachable within 5
+    hops.  This puts the crawl's depth-bounded frontier expansion under
+    a full SQL oracle (a recursive CTE), complementing the rows-only
+    ``crawl_bfs`` engine replay: same graph, same depth semantics,
+    hash-checked distances.
+
+    Distributed shape: :func:`functions.graph.bfs_distances` —
+    frontier-ONLY expansion (per-round work is O(frontier out-edges),
+    never O(reachable set)), grouped-MIN combiner merge per round,
+    broadcast frontier mask below the node cutoff / native hash join
+    above, empty-frontier short-circuit."""
+    from ..functions.graph import bfs_distances
+
+    _, edges = _corpus_link_edges(sf_dir)
+    docs = _docs(sf_dir, columns=["doc_id"])
+
+    def to_seeds(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({"id": pa.array(d[d % _BFS_SEED_MOD == 0],
+                                        pa.int64())})
+
+    seeds = docs.map_batches(to_seeds, batch_format="pyarrow",
+                             runtime_env=runtime_env())
+    dists = bfs_distances(edges.materialize(), seeds,
+                          max_depth=_BFS_MAX_DEPTH)
+    return _rename(dists, {"id": "doc_id"}).sort("doc_id")
+
+
+def _sql_link_distances() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    return f"""
+WITH RECURSIVE
+n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+),
+walk(id, d) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % {_BFS_SEED_MOD} = 0
+  UNION
+  SELECT e.dst, w.d + 1
+  FROM walk w JOIN edges e ON e.src = w.id
+  WHERE w.d < {_BFS_MAX_DEPTH}
+)
+SELECT id AS doc_id, CAST(min(d) AS BIGINT) AS dist
+FROM walk GROUP BY id ORDER BY doc_id
+"""
+
+
 def _corpus_link_edges(sf_dir: str):
     """(nodes_ds(id), edges_ds(src,dst)) of the corpus's deterministic
     link graph — shared by pagerank and the 2-hop neighborhood query."""
@@ -7968,6 +8031,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "events_hopping": q_events_hopping,
         "neardup_clusters": q_neardup_clusters,
         "pagerank": q_pagerank,
+        "link_distances": q_link_distances,
         "hits_scores": q_hits_scores,
         "two_hop_counts": q_two_hop_counts,
         "link_authority": q_link_authority,
@@ -8098,6 +8162,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "events_hopping": _SQL_EVENTS_HOPPING,
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,
         "pagerank": _sql_pagerank(),
+        "link_distances": _sql_link_distances(),
         "hits_scores": _sql_hits_scores(),
         "two_hop_counts": _sql_two_hop(),
         "link_authority": _sql_link_authority(),

@@ -1758,3 +1758,60 @@ def test_weighted_sample_inclusion_bias(ray_session):
     # heavy item: P(inclusion) ≈ 1; uniform item ≈ 0.1
     assert heavy >= 55
     assert uniform <= 20
+
+
+def _bfs_ref(edges, seeds, max_depth):
+    """Driver-side BFS reference: {id: min hop dist <= max_depth}."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_depth:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def test_bfs_distances_matches_reference_both_paths(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.graph import bfs_distances
+
+    rng = np.random.default_rng(11)
+    n = 80
+    edges = [(int(s), int(d)) for s, d in
+             zip(rng.integers(0, n, 200), rng.integers(0, n, 200))]
+    seeds = [0, 37]
+    ref = _bfs_ref(edges, seeds, max_depth=4)
+
+    edges_ds = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in edges]
+    ).repartition(8).materialize()
+    seeds_ds = ray.data.from_items([{"id": s} for s in seeds])
+
+    for bb in (2_000_000, 0):   # broadcast path, then forced join path
+        out = bfs_distances(edges_ds, seeds_ds, max_depth=4,
+                            broadcast_below=bb).take_all()
+        got = {r["id"]: r["dist"] for r in out}
+        assert got == ref, f"path bb={bb}"
+
+
+def test_bfs_distances_empty_frontier_short_circuit(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.graph import bfs_distances
+
+    # an isolated seed: frontier empties after round 1 long before
+    # max_depth; result is just the seed at distance 0
+    edges_ds = ray.data.from_items([{"src": 5, "dst": 6}]).materialize()
+    seeds_ds = ray.data.from_items([{"id": 99}])
+    out = bfs_distances(edges_ds, seeds_ds, max_depth=50).take_all()
+    assert {r["id"]: r["dist"] for r in out} == {99: 0}
