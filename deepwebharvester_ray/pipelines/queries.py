@@ -4307,6 +4307,169 @@ GROUP BY big.doc_id ORDER BY big.doc_id
 """
 
 
+_SURPRISAL_SCALE = 1000  # milli-(floor-log2-bits) per token
+
+
+def _flog2(x: np.ndarray) -> np.ndarray:
+    """Exact ``floor(log2(x))`` for positive integer ``x < 2**53``.
+
+    ``frexp`` writes ``x = m · 2**e`` with ``0.5 ≤ m < 1``, so
+    ``floor(log2(x)) = e - 1`` exactly — no float-boundary risk at
+    powers of two (where ``np.floor(np.log2(x))`` can flip in the last
+    ulp).  The ``2**53`` bound covers corpus token totals to ~9·10¹⁵
+    (a 100-TB web corpus is ~10¹³ tokens); asserted, not assumed."""
+    x = np.asarray(x, dtype=np.int64)
+    assert x.size == 0 or (x.min() >= 1 and x.max() < 2**53)
+    return (np.frexp(x.astype(np.float64))[1] - 1).astype(np.int64)
+
+
+def q_doc_surprisal(sf_dir: str):
+    """Per-document mean unigram-LM surprisal — the corpus-statistics
+    quality screen that ranks documents by how "surprising" their
+    tokens are under the corpus's own unigram model (high = rare-token
+    dense, the noisy/garbled tail; low = boilerplate).  True surprisal
+    is ``-Σ log2(c_t / N)``; float logs differ between engines in the
+    last ulp, so both sides compute the INTEGER floor-log2 envelope
+    ``Σ tf_t · (⌊log2 N⌋ - ⌊log2 c_t⌋)`` (DuckDB: ``length(bin(x))-1``,
+    numpy: frexp exponent) — bit-identical and monotone in token
+    rarity, then a per-doc integer-milli mean.
+
+    Distributed shape (the tfidf/PMI discipline): ONE tokenization pass
+    materializes the (doc, token, tf) table; corpus counts are a
+    combiner grouped_agg over the same table; N is a scalar sum over
+    the (vocabulary-sized) count table, never the raw stream; the
+    count attach is a native hash-shuffle join on token (vocabulary
+    stays distributed); the per-doc rollup is a second combiner
+    aggregate on the high-cardinality doc key."""
+    from ..functions.partition import coalesce_nonempty
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def doc_terms(batch: pa.Table) -> pa.Table:
+        ids_in = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_tok, out_tf = [], [], []
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            toks = WORD_RE.findall((t or "").lower())
+            if not toks:
+                continue
+            uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                     return_counts=True)
+            out_id.append(np.full(len(uniq), ids_in[i], np.int64))
+            out_tok.extend(uniq.tolist())
+            out_tf.append(counts.astype(np.int64))
+        if not out_id:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "token": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "token": pa.array(out_tok, pa.string()),
+                "tf": pa.array(np.concatenate(out_tf), pa.int64()),
+            }
+        )
+
+    terms = ds.map_batches(doc_terms, batch_format="pyarrow",
+                           batch_size=None,
+                           runtime_env=runtime_env()).materialize()
+    cnt = grouped_agg(terms, ["token"], [("c", "tf", "sum")]).materialize()
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "ntok": pa.array([], pa.int64()),
+            "surprisal_mbits": pa.array([], pa.int64()),
+        }
+    )
+    terms_nz = coalesce_nonempty(terms)
+    cnt_nz = coalesce_nonempty(cnt)
+    if terms_nz is None or cnt_nz is None:
+        import ray
+
+        return ray.data.from_arrow(empty)
+
+    # N = total corpus tokens: scalar sum over the VOCABULARY-sized
+    # count table (tiny vs the term stream), flog2 once on the driver
+    n_total = int(cnt.sum("c"))
+    log_n = int(n_total).bit_length() - 1
+
+    joined = terms_nz.join(
+        cnt_nz, "inner", num_partitions=max(2, _shuffle_parts(sf_dir)),
+        on=("token",),
+    )
+
+    def part_surprisal(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        c = batch.column("c").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "part": pa.array(tf * (log_n - _flog2(c)), pa.int64()),
+                "tf": pa.array(tf, pa.int64()),
+            }
+        )
+
+    per_doc = grouped_agg(
+        joined.map_batches(part_surprisal, batch_format="pyarrow",
+                           runtime_env=runtime_env()),
+        ["doc_id"],
+        [("s_total", "part", "sum"), ("ntok", "tf", "sum")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("s_total").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        nt = batch.column("ntok").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "ntok": pa.array(nt, pa.int64()),
+                "surprisal_mbits": pa.array(
+                    s * _SURPRISAL_SCALE // nt, pa.int64()
+                ),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow",
+                               runtime_env=runtime_env())
+
+
+_SQL_DOC_SURPRISAL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_TOKEN_SQL_RE}')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+cnt AS (SELECT token, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+n_tab AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+s AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf * ((length(bin((SELECT n FROM n_tab))) - 1)
+                           - (length(bin(cnt.c)) - 1))) AS BIGINT)
+             AS s_total,
+         CAST(sum(tf.tf) AS BIGINT) AS ntok
+  FROM tf JOIN cnt USING (token)
+  GROUP BY 1
+)
+SELECT doc_id, ntok,
+       CAST(s_total * {_SURPRISAL_SCALE} // ntok AS BIGINT)
+           AS surprisal_mbits
+FROM s ORDER BY doc_id
+"""
+
+
 _PR_ITERS = 5
 _PR_SCALE = 10**12
 
@@ -8041,6 +8204,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "doc_search": q_doc_search,
         "pmi_bigrams": q_pmi_bigrams,
         "rare_bigram_rate": q_rare_bigram_rate,
+        "doc_surprisal": q_doc_surprisal,
         "novelty_filter": q_novelty_filter,
         "dedup_purge": q_dedup_purge,
         "dedup_keep_best": q_dedup_keep_best,
@@ -8172,6 +8336,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "doc_search": _SQL_DOC_SEARCH,
         "pmi_bigrams": _SQL_PMI_BIGRAMS,
         "rare_bigram_rate": _SQL_RARE_BIGRAM_RATE,
+        "doc_surprisal": _SQL_DOC_SURPRISAL,
         "novelty_filter": _SQL_NOVELTY_FILTER,
         "dedup_purge": _SQL_DEDUP_PURGE,
         "dedup_keep_best": _SQL_DEDUP_KEEP_BEST,

@@ -84,6 +84,7 @@ SPOT_CHECKED = [
     "inverted_index",
     "doc_search",
     "pmi_bigrams",
+    "doc_surprisal",
     "novelty_filter",
     "distinct_users_by_type",
     "value_stats",
@@ -239,3 +240,21 @@ def test_stratified_sample_awkward_strata(ray_session, tmp_path):
         members = [i for i, ty in zip(ids, types) if ty == t]
         expect = set(sorted(members, key=lambda i: hv[i])[:quota])
         assert got.get(t, set()) == expect, t
+
+
+def test_flog2_exact_boundaries():
+    """frexp-based floor-log2 must be exact at power-of-two boundaries
+    (where float log2 flips in the last ulp) up to the 2**53 bound."""
+    import numpy as np
+
+    from deepwebharvester_ray.pipelines.queries import _flog2
+
+    xs = np.array(
+        [1, 2, 3, 4, 7, 8, 2**31 - 1, 2**31, 2**31 + 1,
+         2**52 - 1, 2**52, 2**53 - 1],
+        dtype=np.int64,
+    )
+    assert _flog2(xs).tolist() == [
+        int(x).bit_length() - 1 for x in xs.tolist()
+    ]
+    assert _flog2(np.array([], dtype=np.int64)).size == 0
