@@ -4470,6 +4470,140 @@ FROM s ORDER BY doc_id
 """
 
 
+_BP_K = 4            # boilerplate window width (tokens)
+_BP_MIN_DOCS = 2     # distinct docs on one host sharing a window → flagged
+_BP_SCALE = 1_000_000
+
+
+def q_host_boilerplate(sf_dir: str):
+    """Per-host boilerplate screen — the C4/RefinedWeb cleaning step
+    adapted to the corpus shape: a k-token window that appears in
+    ≥ ``_BP_MIN_DOCS`` distinct documents of the SAME host is host
+    boilerplate (navigation, footers, templates), and each document
+    reports what fraction of its distinct windows are boilerplate
+    (high = template-dominated page worth dropping before training).
+
+    Distributed shape: ONE :func:`_gram_key_table` pass (shared with
+    ngram_overlap/containment — 128-bit window keys, distinct per doc)
+    plus the host key derived from doc_id (corpus.py host rule);
+    per-(host, window) doc counts are a combiner ``grouped_agg``; the
+    count re-attaches via a native hash-shuffle join on the composite
+    (host, h1, h2) key (window vocabulary never driver-resident); the
+    per-doc rollup is a second combiner aggregate.  Engine works in
+    hashed-window space, the oracle in gram-string space — equal while
+    the 128-bit keys are collision-free (the containment_pairs
+    assumption, already oracle-validated)."""
+    from ..corpus import HOSTS
+    from ..functions.dedup import _gram_key_table
+    from ..functions.partition import coalesce_nonempty
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    keyed = _gram_key_table(ds, "doc_id", "text", _BP_K)
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return batch.append_column(
+            "host_idx", pa.array(ids % HOSTS, pa.int64())
+        )
+
+    keyed = keyed.map_batches(add_host, batch_format="pyarrow",
+                              batch_size=None,
+                              runtime_env=runtime_env()).materialize()
+    hg = grouped_agg(keyed, ["host_idx", "h1", "h2"],
+                     [("n_docs", "", "count")])
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_windows": pa.array([], pa.int64()),
+            "n_bp": pa.array([], pa.int64()),
+            "bp_ppm": pa.array([], pa.int64()),
+        }
+    )
+    keyed_nz = coalesce_nonempty(keyed)
+    hg_nz = coalesce_nonempty(hg)
+    if keyed_nz is None or hg_nz is None:
+        import ray
+
+        return ray.data.from_arrow(empty)
+
+    joined = keyed_nz.join(
+        hg_nz, "inner", num_partitions=max(2, _shuffle_parts(sf_dir)),
+        on=("host_idx", "h1", "h2"),
+    )
+
+    def indicate(batch: pa.Table) -> pa.Table:
+        nd = batch.column("n_docs").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("id"),
+                "bp": pa.array((nd >= _BP_MIN_DOCS).astype(np.int64),
+                               pa.int64()),
+            }
+        )
+
+    per_doc = grouped_agg(
+        joined.map_batches(indicate, batch_format="pyarrow",
+                           runtime_env=runtime_env()),
+        ["doc_id"],
+        [("n_windows", "", "count"), ("n_bp", "bp", "sum")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nw = batch.column("n_windows").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        nb = batch.column("n_bp").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_windows": pa.array(nw, pa.int64()),
+                "n_bp": pa.array(nb, pa.int64()),
+                "bp_ppm": pa.array(nb * _BP_SCALE // nw, pa.int64()),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow",
+                               runtime_env=runtime_env())
+
+
+def _sql_host_boilerplate() -> str:
+    from .. import corpus
+
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {corpus.HOSTS} AS host_idx,
+         regexp_extract_all(text, '\S+') AS t
+  FROM documents
+),
+dg AS (
+  SELECT DISTINCT doc_id, host_idx,
+         array_to_string(t[i:i+{_BP_K - 1}], ' ') AS gram
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(t)-{_BP_K - 1})) AS i)
+           g(i)
+  WHERE len(t) >= {_BP_K}
+),
+hg AS (SELECT host_idx, gram, count(*) AS n_docs FROM dg GROUP BY 1, 2),
+agg AS (
+  SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(count(*) FILTER (hg.n_docs >= {_BP_MIN_DOCS}) AS BIGINT)
+             AS n_bp
+  FROM dg JOIN hg USING (host_idx, gram) GROUP BY 1
+)
+SELECT doc_id, n_windows, n_bp,
+       CAST(n_bp * {_BP_SCALE} // n_windows AS BIGINT) AS bp_ppm
+FROM agg ORDER BY doc_id
+"""
+
+
 _PR_ITERS = 5
 _PR_SCALE = 10**12
 
@@ -8205,6 +8339,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "pmi_bigrams": q_pmi_bigrams,
         "rare_bigram_rate": q_rare_bigram_rate,
         "doc_surprisal": q_doc_surprisal,
+        "host_boilerplate": q_host_boilerplate,
         "novelty_filter": q_novelty_filter,
         "dedup_purge": q_dedup_purge,
         "dedup_keep_best": q_dedup_keep_best,
@@ -8337,6 +8472,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "pmi_bigrams": _SQL_PMI_BIGRAMS,
         "rare_bigram_rate": _SQL_RARE_BIGRAM_RATE,
         "doc_surprisal": _SQL_DOC_SURPRISAL,
+        "host_boilerplate": _sql_host_boilerplate(),
         "novelty_filter": _SQL_NOVELTY_FILTER,
         "dedup_purge": _SQL_DEDUP_PURGE,
         "dedup_keep_best": _SQL_DEDUP_KEEP_BEST,
