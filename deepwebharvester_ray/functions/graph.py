@@ -468,8 +468,13 @@ def bfs_distances(
     Iterative dataflow, FRONTIER-ONLY expansion: each round expands only
     the nodes settled in the previous round (BFS settles a node at its
     final distance, so re-expanding old rounds can never improve a
-    label) — per-round work is O(frontier out-edges), not O(reachable
-    set).  The per-round merge is the grouped-MIN combiner over
+    label) — per-round EMITTED candidate volume is O(frontier
+    out-edges), never O(reachable set).  (The edge table itself is
+    still scanned — broadcast path — or shuffled — join path — once
+    per round, as in every dataflow BFS without a partitioned edge
+    index; the frontier restriction bounds what flows DOWNSTREAM of
+    that scan, which is where per-round all-to-all cost lives.)  The
+    per-round merge is the grouped-MIN combiner over
     ``settled ∪ (candidates, k)``; newly-settled rows (dist == k) form
     the next frontier, and an empty frontier short-circuits before
     ``max_depth``.
@@ -535,8 +540,12 @@ def bfs_distances(
                         np.full(batch.num_rows, _k, np.int64), pa.int64()),
                 })
 
-            cands = coalesce_nonempty(edges_ds).join(
-                coalesce_nonempty(frontier.select_columns(["id"])),
+            edges_nz = coalesce_nonempty(edges_ds)
+            frontier_nz = coalesce_nonempty(frontier.select_columns(["id"]))
+            if edges_nz is None or frontier_nz is None:
+                break  # 0-row edge table (or frontier): nothing expands
+            cands = edges_nz.join(
+                frontier_nz,
                 "inner",
                 num_partitions=max(2, edges_ds.num_blocks() // 4),
                 on=("src",), right_on=("id",),

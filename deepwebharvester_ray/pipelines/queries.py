@@ -1187,11 +1187,18 @@ def q_bucketed_join(sf_dir: str):
     import shutil
     import tempfile
 
+    scratch = tempfile.mkdtemp(prefix="dwh_bucketed_join_", dir="/tmp")
+    try:
+        return _bucketed_join_run(sf_dir, scratch)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _bucketed_join_run(sf_dir: str, scratch: str):
     import ray
 
     from ..sinks import write_bucketed_parquet
 
-    scratch = tempfile.mkdtemp(prefix="dwh_bucketed_join_", dir="/tmp")
     o_dir, c_dir = f"{scratch}/orders", f"{scratch}/customer"
     write_bucketed_parquet(
         _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
@@ -1225,13 +1232,19 @@ def q_bucketed_join(sf_dir: str):
                 "c_mktsegment": pa.array(seg[pos[hit]]),
                 "cents": pa.array(cents[hit], pa.int64()),
             })
-            out.append(part.group_by(["c_mktsegment"]).aggregate(
-                [([], "count_all"), ("cents", "sum")]))
+            # select BY NAME before renaming (agg.py's _apply hazard:
+            # pyarrow's key/aggregate output order has differed across
+            # versions — a positional rename could label keys as values)
+            out.append(
+                part.group_by(["c_mktsegment"])
+                .aggregate([([], "count_all"), ("cents", "sum")])
+                .select(["c_mktsegment", "count_all", "cents_sum"])
+            )
         if not out:
             return pa.table({
                 "c_mktsegment": pa.array([], pa.string()),
-                "count_all": pa.array([], pa.int64()),
-                "cents_sum": pa.array([], pa.int64()),
+                "n_orders": pa.array([], pa.int64()),
+                "revenue_cents": pa.array([], pa.int64()),
             })
         merged = pa.concat_tables(out)
         return merged.rename_columns(
@@ -1250,7 +1263,6 @@ def q_bucketed_join(sf_dir: str):
         [("n_orders", "n_orders", "sum"),
          ("revenue_cents", "revenue_cents", "sum")],
     ).take_all()  # |segments| rows
-    shutil.rmtree(scratch, ignore_errors=True)
     return pa.Table.from_pylist(res) if res else pa.table({
         "c_mktsegment": pa.array([], pa.string()),
         "n_orders": pa.array([], pa.int64()),

@@ -321,8 +321,13 @@ def write_bucketed_parquet(ds, out_dir: str, key: str,
     PER-BUCKET with zero shuffle (both sides of a join bucketed the
     same way co-locate by construction — the "pick ONE partitioning
     key and reuse it" discipline made physical).  The bucket id is a
-    64-bit multiplicative hash of the int64 key (reshard-stable, same
-    family as the split/sample hashes).
+    64-bit multiplicative hash of the int64 key mapped through its
+    HIGH 32 bits (multiply-shift ``((hv >> 32) · n) >> 32``) —
+    low-bit ``hv % n`` would make the bucket a bijection of
+    ``key % n`` for power-of-two n (an odd multiplier never mixes the
+    low bits upward), so strided keys would all land in one bucket.
+    Reshard-stable, same high-bit discipline as the split/sample
+    hash cutoffs.
 
     Returns {n_buckets, rows}.  Composes with ``compact_parquet`` per
     bucket for file sizing."""
@@ -336,9 +341,9 @@ def write_bucketed_parquet(ds, out_dir: str, key: str,
             zero_copy_only=False)
         with np.errstate(over="ignore"):
             hv = ids.astype(np.uint64) * np.uint64(_BUCKET_MULT)
+        b = ((hv >> np.uint64(32)) * np.uint64(n_buckets)) >> np.uint64(32)
         return batch.append_column(
-            "bucket", pa.array((hv % np.uint64(n_buckets)).astype(np.int64),
-                               pa.int64()))
+            "bucket", pa.array(b.astype(np.int64), pa.int64()))
 
     tagged = ds.map_batches(tag, batch_format="pyarrow",
                             runtime_env=runtime_env())

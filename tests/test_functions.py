@@ -1815,3 +1815,21 @@ def test_bfs_distances_empty_frontier_short_circuit(ray_session):
     seeds_ds = ray.data.from_items([{"id": 99}])
     out = bfs_distances(edges_ds, seeds_ds, max_depth=50).take_all()
     assert {r["id"]: r["dist"] for r in out} == {99: 0}
+
+
+def test_bfs_distances_empty_edges_join_path(ray_session):
+    """A 0-row edge table through the FORCED join path must return the
+    seeds at distance 0, not crash on coalesce_nonempty() -> None."""
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.graph import bfs_distances
+
+    edges_ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([], pa.int64()),
+        "dst": pa.array([], pa.int64()),
+    })).materialize()
+    seeds_ds = ray.data.from_items([{"id": 3}, {"id": 8}])
+    out = bfs_distances(edges_ds, seeds_ds, max_depth=3,
+                        broadcast_below=0).take_all()
+    assert {r["id"]: r["dist"] for r in out} == {3: 0, 8: 0}

@@ -85,6 +85,8 @@ SPOT_CHECKED = [
     "doc_search",
     "pmi_bigrams",
     "doc_surprisal",
+    "host_boilerplate",
+    "bucketed_join",
     "novelty_filter",
     "distinct_users_by_type",
     "value_stats",

@@ -253,3 +253,28 @@ def test_bucketed_layout_shuffle_free_agg(ray_session, tmp_path):
     assert seen_keys == set(truth)
     assert got_n == dict(truth)
     assert got_s == dict(sums)
+
+
+def test_bucketed_layout_strided_keys_spread(ray_session, tmp_path):
+    """Keys sharing a stride divisible by n_buckets must still spread:
+    a low-bit `hash % n` bucket rule degenerates to `key % n` for
+    power-of-two n (odd multipliers never mix low bits upward), putting
+    every strided key in ONE bucket — the high-bit multiply-shift rule
+    must not."""
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.sinks import read_bucket, write_bucketed_parquet
+
+    n_buckets = 16
+    keys = [i * n_buckets for i in range(512)]  # all ≡ 0 (mod 16)
+    t = pa.table({"doc_id": pa.array(keys, pa.int64())})
+    out = tmp_path / "strided"
+    write_bucketed_parquet(ray.data.from_arrow(t), str(out),
+                           key="doc_id", n_buckets=n_buckets)
+    sizes = [read_bucket(str(out), b).count()
+             for b in range(n_buckets)
+             if (out / f"bucket={b}").exists()]
+    assert sum(sizes) == len(keys)
+    assert len(sizes) >= n_buckets // 2, f"skewed layout: {sizes}"
+    assert max(sizes) < len(keys) // 2, f"one hot bucket: {sizes}"
