@@ -157,6 +157,10 @@ BENCH_QUERIES = [
     "link_authority",
     "rank_agreement",
     "triangle_count",
+    "link_distances",
+    "bucketed_join",
+    "doc_surprisal",
+    "host_boilerplate",
     "crawl_bfs",
 ]
 

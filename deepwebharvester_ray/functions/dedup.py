@@ -1290,7 +1290,11 @@ def semantic_dedup_pairs(
                     sims = a @ mat[tj:tj + tile].T
                     ii, jj = np.nonzero(sims >= thr)
                     pi, pj = ii + ti, jj + tj
-                    keep = pi < pj
+                    # position AND id inequality: duplicate ids in the
+                    # input (re-ingested embedding) must not emit an
+                    # id_a == id_b self-pair (the documented contract;
+                    # same guard as embedding_neardup_pairs)
+                    keep = (pi < pj) & (seg_ids[pi] != seg_ids[pj])
                     pi, pj, sv = pi[keep], pj[keep], sims[ii, jj][keep]
                     if not len(pi):
                         continue
@@ -1396,6 +1400,60 @@ def _gram_key_table(ds, id_column: str, text_column: str, k: int):
                           runtime_env=runtime_env())
 
 
+def _gram_bucket_pairs(max_bucket: int):
+    """Batch fn over a (h1, h2, id)-SORTED gram-key stream: one output
+    pair row per (window, unordered doc pair) within each window bucket,
+    buckets above ``max_bucket`` skipped (hot-window guard) — the shared
+    pair-emission kernel of :func:`ngram_overlap_pairs` (which dedups
+    the emissions downstream) and :func:`containment_pairs` (which
+    COUNTS them as shared-window counts).  Same factory pattern as
+    :func:`_band_block_pairs` — one copy of the size-grouped triu
+    gather, so a future fix cannot silently miss a twin."""
+    _empty_pairs = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_pairs
+        h1 = batch.column("h1").combine_chunks().to_numpy(zero_copy_only=False)
+        h2 = batch.column("h2").combine_chunks().to_numpy(zero_copy_only=False)
+        ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        starts, ends = _run_bounds(h1, h2)
+        sizes = ends - starts
+        sel = (sizes >= 2) & (sizes <= max_bucket)
+        starts, sizes = starts[sel], sizes[sel]
+        # fully vectorized pair emission, grouped by bucket size: all
+        # same-size buckets become one (R, m) id matrix, row-sorted, and
+        # one triu gather — zero per-bucket Python (a duplicated corpus
+        # has millions of small buckets; a run loop would dominate).
+        # Group runs by size with ONE argsort (an np.unique + boolean-
+        # mask scan per distinct size would rescan sizes O(distinct)
+        # times).
+        out_a, out_b = [], []
+        size_order = np.argsort(sizes, kind="stable")
+        s_sorted = starts[size_order]
+        sz_sorted = sizes[size_order]
+        g_starts, g_ends = _run_bounds(sz_sorted)
+        for gs, ge in zip(g_starts, g_ends):  # one slice per distinct size
+            m = int(sz_sorted[gs])
+            s_m = s_sorted[gs:ge]
+            mat = np.sort(ids[s_m[:, None] + np.arange(m)[None, :]], axis=1)
+            ii, jj = np.triu_indices(m, 1)
+            out_a.append(mat[:, ii].ravel())
+            out_b.append(mat[:, jj].ravel())
+        if not out_a:
+            return _empty_pairs
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    return bucket_pairs
+
+
 def ngram_overlap_pairs(
     ds,
     id_column: str = "doc_id",
@@ -1416,42 +1474,7 @@ def ngram_overlap_pairs(
         {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
     )
 
-    def bucket_pairs(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _empty_pairs
-        h1 = batch.column("h1").combine_chunks().to_numpy(zero_copy_only=False)
-        h2 = batch.column("h2").combine_chunks().to_numpy(zero_copy_only=False)
-        ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
-        starts, ends = _run_bounds(h1, h2)
-        sizes = ends - starts
-        sel = (sizes >= 2) & (sizes <= max_bucket)
-        starts, sizes = starts[sel], sizes[sel]
-        # fully vectorized pair emission, grouped by bucket size: all
-        # same-size buckets become one (R, m) id matrix, row-sorted, and
-        # one triu gather — zero per-bucket Python (a duplicated corpus
-        # has millions of small buckets; a run loop would dominate)
-        out_a, out_b = [], []
-        # group runs by size with ONE argsort (an np.unique + boolean-mask
-        # scan per distinct size would rescan sizes O(distinct) times)
-        size_order = np.argsort(sizes, kind="stable")
-        s_sorted = starts[size_order]
-        sz_sorted = sizes[size_order]
-        g_starts, g_ends = _run_bounds(sz_sorted)
-        for gs, ge in zip(g_starts, g_ends):  # one slice per distinct size
-            m = int(sz_sorted[gs])
-            s_m = s_sorted[gs:ge]
-            mat = np.sort(ids[s_m[:, None] + np.arange(m)[None, :]], axis=1)
-            ii, jj = np.triu_indices(m, 1)
-            out_a.append(mat[:, ii].ravel())
-            out_b.append(mat[:, jj].ravel())
-        if not out_a:
-            return _empty_pairs
-        return pa.table(
-            {
-                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
-                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
-            }
-        )
+    bucket_pairs = _gram_bucket_pairs(max_bucket)
 
     def distinct_pairs(batch: pa.Table) -> pa.Table:
         # input sorted by (id_a, id_b); equal keys co-locate per sort
@@ -1520,40 +1543,7 @@ def containment_pairs(
         ["doc_id"], [("n_grams", "", "count")],
     )
 
-    _empty_pairs = pa.table(
-        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
-    )
-
-    def bucket_pairs(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _empty_pairs
-        h1 = batch.column("h1").combine_chunks().to_numpy(zero_copy_only=False)
-        h2 = batch.column("h2").combine_chunks().to_numpy(zero_copy_only=False)
-        ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
-        starts, ends = _run_bounds(h1, h2)
-        sizes = ends - starts
-        sel = (sizes >= 2) & (sizes <= max_bucket)
-        starts, sizes = starts[sel], sizes[sel]
-        out_a, out_b = [], []
-        size_order = np.argsort(sizes, kind="stable")
-        s_sorted = starts[size_order]
-        sz_sorted = sizes[size_order]
-        g_starts, g_ends = _run_bounds(sz_sorted)
-        for gs, ge in zip(g_starts, g_ends):
-            m = int(sz_sorted[gs])
-            s_m = s_sorted[gs:ge]
-            mat = np.sort(ids[s_m[:, None] + np.arange(m)[None, :]], axis=1)
-            ii, jj = np.triu_indices(m, 1)
-            out_a.append(mat[:, ii].ravel())
-            out_b.append(mat[:, jj].ravel())
-        if not out_a:
-            return _empty_pairs
-        return pa.table(
-            {
-                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
-                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
-            }
-        )
+    bucket_pairs = _gram_bucket_pairs(max_bucket)
 
     pair_stream = keyed.sort(["h1", "h2"]).map_batches(
         bucket_pairs, batch_format="pyarrow", batch_size=None,

@@ -427,6 +427,16 @@ def run_crawl(
         gm = GenerationMetrics(generation=gen)
 
         # ── control plane: budgeted pop from the priority-queue frontier ──
+        # Exhausted seeds' queued entries can never be scheduled — purge
+        # them in ONE step instead of draining max_fetch_per_gen per
+        # generation (each no-op generation would pay a full O(frontier)
+        # checkpoint); purged entries count as abandoned, exactly as they
+        # would if popped.
+        ex_sids = [
+            sid for sid, st in states.items()
+            if st.exhausted or st.pages >= cfg.max_pages
+        ]
+        purged_pre = frontier.drop_seeds(ex_sids) if ex_sids else 0
         popped = frontier.pop_budget(cfg.max_fetch_per_gen)
 
         # prior-mark filter (pop-check, crawler.py:240)
@@ -538,7 +548,8 @@ def run_crawl(
             replay = replay_generation(
                 candidates, states, known_hashes, cfg, seed_delays=seed_delays
             )
-        gm.abandoned = replay.status.count("abandoned") + len(aband_pre)
+        gm.abandoned = (replay.status.count("abandoned") + len(aband_pre)
+                        + purged_pre)
         gm.success = replay.status.count("success")
         gm.failed = replay.status.count("failed")
         gm.dup = replay.status.count("dup")
@@ -637,12 +648,22 @@ def run_crawl(
             if expand and fetched_ds is not None:
                 _push_links_dataplane(fetched_ds, expand, frontier)
         else:
+            # collect, then push in canonical (sid, depth, url) order — the
+            # queue's first-push-wins dedup must see the SHALLOWEST
+            # discovery of a url first (BFS invariant).  Iterating parents
+            # by (sid, url) could push a deep parent's link before a
+            # shallow parent's in budget mode (mixed-depth generations),
+            # permanently recording the deeper depth and diverging from
+            # the sharded path, whose commit() sorts staged entries.
+            entries = []
             for sid, u in sorted(replay.propagate):
                 d = cand_depth[(sid, u)]
                 if d < cfg.max_depth:
-                    frontier.push(
+                    entries.extend(
                         (sid, d + 1, link) for link in extracted[u]["links"]
                     )
+            entries.sort()
+            frontier.push(entries)
         gm.deferred = len(frontier)
         gm.wall_time_s = time.monotonic() - t_gen
         metrics.append(gm)

@@ -64,7 +64,12 @@ class CuckooFilter:
         return fp or 1  # 0 means empty slot
 
     def _index1(self, key: int) -> int:
-        return (int(key) >> 32) & (self._nb - 1)
+        # mix BEFORE masking: raw high bits of a low-entropy key (counters,
+        # sequential ids < 2^32) are all zero, which would map every key to
+        # bucket 0 and degenerate the filter to its stash.  The high 32
+        # bits of the mix decorrelate from the fingerprint (low 16 bits of
+        # the same mix).
+        return (_mix(key) >> 32) & (self._nb - 1)
 
     def _alt_index(self, idx: int, fp: int) -> int:
         return (idx ^ _mix(fp)) & (self._nb - 1)

@@ -65,6 +65,7 @@ class FrontierQueue:
         return sum(len(h) for h in self._heaps.values())
 
     def push(self, entries: Iterable[Entry]) -> None:
+        over: Set[int] = set()
         for sid, depth, url in entries:
             key = (sid, url)
             if key in self._members:
@@ -73,15 +74,22 @@ class FrontierQueue:
             heapq.heappush(heap, (depth, url))
             self._members.add(key)
             if self._max is not None and len(heap) > self._max:
-                # drop the WORST entry (deepest, then lexicographically
-                # last) — deterministic, counted
-                worst_i = max(range(len(heap)), key=lambda i: heap[i])
-                worst = heap[worst_i]
-                heap[worst_i] = heap[-1]
-                heap.pop()
-                heapq.heapify(heap)
-                self._members.discard((sid, worst[1]))
-                self.dropped += 1
+                over.add(sid)
+        # Bounded-capacity overflow: trim ONCE per batch per seed.
+        # Keeping the max_per_seed SMALLEST of the union is
+        # order-independent and equals per-push evict-worst, but costs
+        # O(n log n) per batch instead of O(cap) scan + O(cap) heapify
+        # per push (quadratic under sustained mega-host ingestion inside
+        # a num_cpus=0 control-plane actor).  Callers push canonically
+        # sorted batches (commit()/the driver loop), so the shallowest
+        # duplicate of a url still wins the first-push dedup above.
+        for sid in over:
+            srt = sorted(self._heaps[sid])
+            keep, drop = srt[: self._max], srt[self._max:]
+            self._heaps[sid] = keep  # ascending list IS a valid heap
+            for _, u in drop:
+                self._members.discard((sid, u))
+            self.dropped += len(drop)
 
     def pop_budget(self, budget_per_seed: Optional[int] = None) -> List[Entry]:
         """Pop up to *budget_per_seed* entries per seed (all if None), in
@@ -98,6 +106,21 @@ class FrontierQueue:
                 del self._heaps[sid]
         out.sort()
         return out
+
+    def drop_seeds(self, sids: Iterable[int]) -> int:
+        """Remove ALL queued entries for the given seeds in one step (an
+        exhausted seed's entries can never be scheduled — draining them
+        at budget pace would cost O(queue/budget) no-op generations,
+        each paying a full frontier checkpoint).  Returns the number
+        removed; callers count them as abandoned."""
+        n = 0
+        for sid in sids:
+            heap = self._heaps.pop(sid, None)
+            if heap:
+                for _, u in heap:
+                    self._members.discard((sid, u))
+                n += len(heap)
+        return n
 
     def snapshot_list(self) -> List[Entry]:
         out: List[Entry] = []
@@ -165,6 +188,9 @@ class ShardedFrontierQueue:
 
             def pop_budget(self, budget):
                 return self._q.pop_budget(budget)
+
+            def drop_seeds(self, sids):
+                return self._q.drop_seeds(sids)
 
             def size(self):
                 return len(self._q)
@@ -262,6 +288,19 @@ class ShardedFrontierQueue:
         out = [tuple(e) for part in parts for e in part]
         out.sort()
         return out
+
+    def drop_seeds(self, sids: Iterable[int]) -> int:
+        import ray
+
+        routed: Dict[int, List[int]] = {}
+        for sid in sids:
+            routed.setdefault(sid % self._n, []).append(sid)
+        if not routed:
+            return 0
+        return sum(ray.get(
+            [self._shards[i].drop_seeds.remote(ss)
+             for i, ss in routed.items()]
+        ))
 
     def __len__(self) -> int:
         import ray

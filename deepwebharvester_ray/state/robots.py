@@ -135,7 +135,13 @@ class RobotsTable:
         hr = self.hosts.get(parsed.netloc.lower())
         if hr is None:
             return True
-        return hr.allowed(parsed.path or "/")
+        # RFC 9309 matches rules against path-AND-query (the common
+        # 'Disallow: /*?session=' idiom targets the query string — a
+        # path-only match would silently never enforce it)
+        target = parsed.path or "/"
+        if parsed.query:
+            target = f"{target}?{parsed.query}"
+        return hr.allowed(target)
 
     def blocked_mask(self, urls: Sequence[str]) -> List[bool]:
         """Vectorized-over-batch robots check (True = blocked)."""

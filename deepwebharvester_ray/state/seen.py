@@ -61,7 +61,10 @@ class SeenShard:
         n = 0
         for k in keys:
             h = url_hash64(k)
-            if not self._cuckoo.contains(h):
+            # compound membership — same rule as contains()/
+            # check_and_insert(): a previously-SPILLED key must not be
+            # re-counted as new or re-added to the filter
+            if not (self._cuckoo.contains(h) or k in self._exact):
                 if not self._cuckoo.add(h):
                     self._exact.add(k)  # filter full → exact spill
                 n += 1

@@ -1833,3 +1833,22 @@ def test_bfs_distances_empty_edges_join_path(ray_session):
     out = bfs_distances(edges_ds, seeds_ds, max_depth=3,
                         broadcast_below=0).take_all()
     assert {r["id"]: r["dist"] for r in out} == {3: 0, 8: 0}
+
+
+def test_semantic_dedup_no_self_pairs_on_duplicate_ids(ray_session):
+    """A re-ingested embedding (same vec_id twice, identical vector)
+    must not emit an id_a == id_b self-pair from the in-cell matmul."""
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.dedup import semantic_dedup_pairs
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(6, 16)).astype(np.float64)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(6)]
+    rows.append({"vec_id": 2, "embedding": vecs[2].tolist()})  # dup id
+    ds = ray.data.from_items(rows)
+    pairs = semantic_dedup_pairs(ds, id_column="vec_id",
+                                 vec_column="embedding",
+                                 threshold=0.99, n_cells=1).take_all()
+    assert all(r["id_a"] < r["id_b"] for r in pairs)

@@ -95,3 +95,36 @@ def test_crawl_budget_mode_defers_not_abandons(ray_session, smoke_corpus, tmp_pa
         per_seed = {}
         # candidates per generation per seed ≤ budget (use metrics proxy)
         assert m.candidates <= 3 * 2  # ≤ budget × seeds
+
+
+def test_drop_seeds_purges_in_one_step():
+    from deepwebharvester_ray.state.pqueue import FrontierQueue
+
+    q = FrontierQueue()
+    q.push([(1, 2, f"http://a.onion/{i}") for i in range(100)])
+    q.push([(2, 1, "http://b.onion/x"), (3, 1, "http://c.onion/y")])
+    assert len(q) == 102
+    assert q.drop_seeds([1, 7]) == 100  # absent seed is a no-op
+    assert len(q) == 2
+    # purged urls are re-pushable (members cleaned up)
+    q.push([(1, 5, "http://a.onion/0")])
+    assert len(q) == 3
+    assert (1, 5, "http://a.onion/0") in q.pop_budget()
+
+
+def test_bounded_overflow_batch_trim_equals_per_push():
+    """Batch trim must keep exactly the max_per_seed smallest of the
+    union (what per-push evict-worst kept), with dropped counted and
+    members of dropped entries released."""
+    from deepwebharvester_ray.state.pqueue import FrontierQueue
+
+    q = FrontierQueue(max_per_seed=3)
+    ents = [(0, d, f"http://h.onion/{u}") for d, u in
+            [(5, "e"), (1, "a"), (4, "d"), (2, "b"), (3, "c")]]
+    q.push(ents)
+    assert q.dropped == 2
+    kept = q.pop_budget()
+    assert [e[1] for e in kept] == [1, 2, 3]
+    # dropped urls can re-enter later
+    q.push([(0, 9, "http://h.onion/e")])
+    assert len(q) == 1

@@ -97,3 +97,16 @@ def test_crawl_with_robots_conformance(ray_session, smoke_corpus, tmp_path):
     # engine virtual clocks (incl. the crawl-delay override) match the oracle
     for sid, st in run.states.items():
         assert abs(st.vclock - oracle.vclock[sid]) < 1e-9
+
+
+def test_query_string_rules_enforced():
+    """RFC 9309 matches path+query: 'Disallow: /*?print=' must block a
+    query-targeted URL (a path-only matcher silently never enforces it)."""
+    from deepwebharvester_ray.state.robots import RobotsTable
+
+    t = RobotsTable.from_texts({
+        "h.onion": "User-agent: *\nDisallow: /*?print=1\n",
+    })
+    assert not t.is_allowed("http://h.onion/page?print=1")
+    assert t.is_allowed("http://h.onion/page")
+    assert t.is_allowed("http://h.onion/page?x=2")

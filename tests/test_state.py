@@ -162,3 +162,29 @@ def test_seen_pool_cuckoo_snapshot_restores_filter(ray_session, tmp_path):
     other = SeenSetPool(num_shards=3, mode="cuckoo")
     with _pytest.raises(ValueError):
         other.restore_parquet(path)
+
+
+def test_cuckoo_low_entropy_keys_spread():
+    """Sequential ids below 2^32 must spread across buckets: an unmixed
+    high-bits index maps them ALL to bucket 0, collapsing the filter to
+    its stash (the degenerate-hash class of the bucketed-layout bug)."""
+    from deepwebharvester_ray.state.cuckoo import CuckooFilter
+
+    f = CuckooFilter(capacity=1 << 14)
+    keys = list(range(10_000))
+    ok = sum(f.add(k) for k in keys)
+    assert ok == len(keys), "filter saturated on low-entropy keys"
+    assert all(f.contains(k) for k in keys)
+    assert f.load_factor < 0.95
+
+
+def test_seen_insert_spilled_key_not_recounted():
+    """insert() must apply the same compound (filter OR exact-spill)
+    membership rule as contains()/check_and_insert()."""
+    from deepwebharvester_ray.state.seen import SeenShard
+
+    s = SeenShard(mode="cuckoo", capacity=1 << 12)
+    s._exact.add("http://spilled.onion/x")  # simulate an earlier spill
+    assert s.insert(["http://spilled.onion/x"]) == 0
+    assert s.insert(["http://new.onion/y"]) == 1
+    assert s.insert(["http://new.onion/y"]) == 0
