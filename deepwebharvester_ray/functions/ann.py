@@ -130,7 +130,7 @@ def brute_topk(
         brute_score_task,
         fn_kwargs={"query_ref": qref, "k": k, "id_column": id_column,
                    "vec_column": vec_column},
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
     ).take_all()
 
@@ -272,7 +272,7 @@ def lsh_topk(
         _probe_score_task,
         fn_kwargs={"qbuckets_ref": qbuckets_ref, "qref": qref, "k": k,
                    "vec_column": vec_column},
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
     ).take_all()
 
@@ -521,7 +521,7 @@ def ivf_topk(
         _probe_score_task,
         fn_kwargs={"qbuckets_ref": qbuckets_ref, "qref": qref, "k": k,
                    "vec_column": vec_column},
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
     ).take_all()
 
@@ -568,6 +568,11 @@ def train_pq_codebooks(sample: np.ndarray, m_subspaces: int,
                        n_codes: int) -> np.ndarray:
     """(M, K, sub_dim) per-subspace Euclidean codebooks from a
     NORMALIZED driver-side sample."""
+    if n_codes > 256:
+        # codes are stored uint8: a larger codebook would silently WRAP
+        # indices modulo 256 at encode time (garbage ADC scores, no error)
+        raise ValueError(f"n_codes must be <= 256 (uint8 codes), "
+                         f"got {n_codes}")
     dim = sample.shape[1]
     if dim % m_subspaces:
         raise ValueError(
@@ -687,7 +692,7 @@ def pq_topk(
     short = max(k, k * rerank_factor)
     partials = code_ds.map_batches(
         scan, fn_kwargs={"kk": short},
-        batch_format="pyarrow", runtime_env=runtime_env()
+        batch_format="pyarrow", batch_size=None, runtime_env=runtime_env()
     ).take_all()
     if rerank_factor <= 1:
         return _merge_topk(partials, len(queries), k)
@@ -728,7 +733,7 @@ def _exact_rerank(ds, shortlist: pa.Table, queries: np.ndarray, k: int,
             id_column=id_column, vec_column=vec_column)
 
     exact_partials = ds.map_batches(
-        exact_on_shortlist, batch_format="pyarrow",
+        exact_on_shortlist, batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
     ).take_all()
     return _merge_topk(exact_partials, len(queries), k)
@@ -842,7 +847,8 @@ def ivfpq_topk(
         })
 
     partials = index_ds.map_batches(
-        scan, batch_format="pyarrow", runtime_env=runtime_env()
+        scan, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env()
     ).take_all()
     if rerank_factor <= 1:
         return _merge_topk(partials, len(queries), k)

@@ -69,13 +69,7 @@ def asof_join(
     wrapper = left_ds.schema()
     types = dict(zip(wrapper.names, wrapper.types))
 
-    def _pa_type(t):
-        if isinstance(t, pa.DataType):
-            return t
-        try:  # pandas-block datasets report numpy dtypes
-            return pa.from_numpy_dtype(t)
-        except (pa.ArrowNotImplementedError, pa.ArrowInvalid, TypeError):
-            return pa.string()  # object dtype → string payload
+    from .partition import pa_type_of as _pa_type
 
     ptypes = {c: _pa_type(types[c]) for c in payload}
     ktype = _pa_type(types[key])

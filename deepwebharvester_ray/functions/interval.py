@@ -76,13 +76,7 @@ def interval_join(
     if overlap:
         raise ValueError(f"ambiguous output columns: {sorted(overlap)}")
 
-    def _pa_type(t):
-        if isinstance(t, pa.DataType):
-            return t
-        try:  # pandas-block datasets report numpy dtypes
-            return pa.from_numpy_dtype(t)
-        except (pa.ArrowNotImplementedError, pa.ArrowInvalid, TypeError):
-            return pa.string()
+    from .partition import pa_type_of as _pa_type
 
     lsch = left_ds.schema()
     rsch = right_ds.schema()

@@ -26,6 +26,18 @@ from ..broadcast import cached_get
 from ..urlops import batch_url_hash64
 
 
+def pa_type_of(t):
+    """Arrow type from a Dataset.schema() entry — which reports a numpy
+    dtype for pandas-block datasets (object dtype → string payload).
+    Shared by the as-of and interval join operators."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(t)
+    except (pa.ArrowNotImplementedError, pa.ArrowInvalid, TypeError):
+        return pa.string()
+
+
 def coalesce_by_bytes(ds, target_bytes: int = 32 << 20):
     """Materialize *ds* and coalesce to ``ceil(bytes / target_bytes)``
     blocks when the current block count is more than 2× that.

@@ -18,6 +18,7 @@ import numpy as np
 import pyarrow as pa
 
 from .. import runtime_env
+from .dedup import _run_bounds
 from .dedup import _word_hashes  # canonical blake2b->uint64 (memoized)
 
 HLL_P = 12
@@ -94,27 +95,33 @@ def grouped_hll_distinct(ds, key_column: str, value_column: str,
     bounded-cardinality keys (enums, hours, hosts); a 10^7-key distinct
     count wants the exact grouped_agg path instead."""
 
+    def _key_type(batch: pa.Table):
+        # canonical key type for EVERY output block: empty and non-empty
+        # blocks must agree or the downstream sort fails on mismatched
+        # schemas (a dictionary-encoded parquet key would otherwise emit
+        # dictionary-typed empties and plain-typed non-empties)
+        kt = batch.schema.field(key_column).type
+        return kt.value_type if pa.types.is_dictionary(kt) else kt
+
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table(
-                {key_column: pa.array([], batch.schema.field(key_column).type),
+                {key_column: pa.array([], _key_type(batch)),
                  "regs": pa.array([], pa.binary())}
             )
         keys = np.asarray(batch.column(key_column).to_pylist(), dtype=object)
         vals = np.asarray(batch.column(value_column).to_pylist(), dtype=object)
         order = np.argsort(keys, kind="stable")
         keys, vals = keys[order], vals[order]
-        change = np.ones(len(keys), dtype=bool)
-        change[1:] = keys[1:] != keys[:-1]
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], len(keys))
+        starts, ends = _run_bounds(keys)
         blobs = [
             hll_registers(_hash64(set(vals[s:e]))).tobytes()
             for s, e in zip(starts, ends)
         ]
         return pa.table(
             {
-                key_column: pa.array(keys[starts].tolist()),
+                key_column: pa.array(keys[starts].tolist(),
+                                     type=_key_type(batch)),
                 "regs": pa.array(blobs, pa.binary()),
             }
         )
@@ -127,15 +134,12 @@ def grouped_hll_distinct(ds, key_column: str, value_column: str,
     def merge(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table(
-                {key_column: pa.array([], batch.schema.field(key_column).type),
+                {key_column: pa.array([], _key_type(batch)),
                  label: pa.array([], pa.int64())}
             )
         keys = np.asarray(batch.column(key_column).to_pylist(), dtype=object)
         blobs = batch.column("regs").to_pylist()
-        change = np.ones(len(keys), dtype=bool)
-        change[1:] = keys[1:] != keys[:-1]
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], len(keys))
+        starts, ends = _run_bounds(keys)
         out_keys, out_est = [], []
         for s, e in zip(starts, ends):
             regs = np.frombuffer(blobs[s], dtype=np.uint8)
@@ -147,7 +151,7 @@ def grouped_hll_distinct(ds, key_column: str, value_column: str,
             out_est.append(int(round(hll_estimate(regs))))
         return pa.table(
             {
-                key_column: pa.array(out_keys),
+                key_column: pa.array(out_keys, type=_key_type(batch)),
                 label: pa.array(out_est, pa.int64()),
             }
         )
@@ -242,30 +246,41 @@ def cms_estimate(mat: np.ndarray, values) -> np.ndarray:
 # tiny bucket table.
 
 
+_DD_POS_BASE = 1 << 41  # |log_gamma| indices stay < 2^40 for any float64
+
+
 def dd_bucket_indices(vals: np.ndarray, alpha: float) -> np.ndarray:
-    """Geometric bucket index per positive value (vectorized); zeros and
-    negatives get the reserved buckets 0 / -(index)."""
+    """Geometric bucket index per value (vectorized), encoded so that
+    ENCODED order == VALUE order: negatives map to ``-BASE - c``
+    (< 0 for every magnitude), zero to the reserved bucket 0, positives
+    to ``BASE + c`` (> 0 for every magnitude), with
+    ``c = ceil(log_gamma |v|)``.  An unshifted positive index would
+    collide with the zero bucket for v ∈ (1/gamma, 1] (c == 0) and sort
+    sub-unit positives (c < 0) BEFORE zero, breaking the cumulative
+    quantile walk."""
     gamma = (1.0 + alpha) / (1.0 - alpha)
     out = np.zeros(len(vals), dtype=np.int64)
     pos = vals > 0
-    out[pos] = np.ceil(np.log(vals[pos]) / np.log(gamma)).astype(np.int64)
+    out[pos] = (np.ceil(np.log(vals[pos]) / np.log(gamma)).astype(np.int64)
+                + _DD_POS_BASE)
     neg = vals < 0
-    out[neg] = -np.ceil(
-        np.log(-vals[neg]) / np.log(gamma)
-    ).astype(np.int64) - (1 << 40)  # negative range shifted clear of pos
+    out[neg] = (-np.ceil(np.log(-vals[neg]) / np.log(gamma)).astype(np.int64)
+                - _DD_POS_BASE)
     return out
 
 
 def dd_bucket_value(idx: np.ndarray, alpha: float) -> np.ndarray:
-    """Representative value of each bucket (geometric midpoint)."""
+    """Representative value of each bucket (geometric midpoint;
+    ``2·gamma^c/(1+gamma)`` is within relative error alpha of every
+    value in bucket c)."""
     gamma = (1.0 + alpha) / (1.0 - alpha)
     out = np.zeros(len(idx), dtype=np.float64)
-    pos = idx > -(1 << 39)
-    pos &= idx != 0
-    out[pos] = 2.0 * gamma ** idx[pos].astype(np.float64) / (1.0 + gamma)
-    neg = ~pos & (idx != 0)
+    pos = idx > 0
+    out[pos] = (2.0 * gamma ** (idx[pos] - _DD_POS_BASE).astype(np.float64)
+                / (1.0 + gamma))
+    neg = idx < 0
     if neg.any():
-        raw = -(idx[neg] + (1 << 40)).astype(np.float64)
+        raw = (-idx[neg] - _DD_POS_BASE).astype(np.float64)
         out[neg] = -(2.0 * gamma ** raw / (1.0 + gamma))
     return out
 

@@ -179,9 +179,10 @@ def streaming_sessionize(ds, gap_us: int = SESSION_GAP_US,
         # watermark = max event time seen (ordered stream ⇒ monotone)
         wm = int(ts_us.max())
         emitted.extend(s.evict.remote(wm) for s in shards)
-        max_state = max(max_state,
-                        sum(ray.get([s.state_rows.remote()
-                                     for s in shards])))
+        if return_stats:  # stats barrier only when the caller wants them
+            max_state = max(max_state,
+                            sum(ray.get([s.state_rows.remote()
+                                         for s in shards])))
 
     emitted.extend(s.finalize.remote() for s in shards)
     ray.wait(emitted, num_returns=len(emitted))
@@ -283,9 +284,10 @@ def streaming_topk(ds, text_column: str = "text", top_n: int = 50,
                                         cnt[sh == s].astype(np.int64))
                 for s in range(n_shards) if np.any(sh == s)]
         ray.get(pend)
-        max_state = max(max_state,
-                        sum(ray.get([s.state_rows.remote()
-                                     for s in shards])))
+        if return_stats:  # per-micro-batch actor barrier only when asked
+            max_state = max(max_state,
+                            sum(ray.get([s.state_rows.remote()
+                                         for s in shards])))
 
     parts = [s.finalize.remote() for s in shards]
     ray.wait(parts, num_returns=len(parts))

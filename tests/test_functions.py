@@ -1852,3 +1852,56 @@ def test_semantic_dedup_no_self_pairs_on_duplicate_ids(ray_session):
                                  vec_column="embedding",
                                  threshold=0.99, n_cells=1).take_all()
     assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_dd_quantiles_subunit_and_zero_ordering(ray_session):
+    """Bucket encoding must keep ENCODED order == VALUE order: zeros
+    sort before sub-unit positives, and values in (1/gamma, 1] must not
+    collide with the reserved zero bucket (q_0.5 of ~1.0-valued data
+    returned 0.0 before the shifted encoding)."""
+    import ray
+
+    from deepwebharvester_ray.functions.sketch import dd_quantiles
+
+    vals = [0.98, 0.99, 1.0, 1.0]
+    out = dd_quantiles(
+        ray.data.from_items([{"v": v} for v in vals]), "v", [0.5],
+        alpha=0.01,
+    ).to_pylist()[0]
+    assert abs(out["q_0.5"] - 0.99) / 0.99 <= 0.011
+
+    vals2 = [0.0, 0.0, 0.0, 0.5]
+    out2 = dd_quantiles(
+        ray.data.from_items([{"v": v} for v in vals2]), "v", [0.25, 1.0],
+        alpha=0.01,
+    ).to_pylist()[0]
+    assert out2["q_0.25"] == 0.0
+    assert abs(out2["q_1.0"] - 0.5) / 0.5 <= 0.011
+
+
+def test_grouped_hll_key_type_consistency(ray_session):
+    """int32 / dictionary keys with an EMPTY block in the mix: every
+    partial block must emit the same canonical key type or the
+    downstream sort fails on mismatched schemas."""
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.sketch import grouped_hll_distinct
+
+    t = pa.table({
+        "k": pa.array([1, 1, 2], pa.int32()),
+        "v": pa.array(["a", "b", "a"], pa.string()),
+    })
+    ds = ray.data.from_arrow([t, t.slice(0, 0), t])
+    out = {r["k"]: r["n_distinct_est"]
+           for r in grouped_hll_distinct(ds, "k", "v").take_all()}
+    assert out == {1: 2, 2: 1}
+
+    td = pa.table({
+        "k": pa.array(["x", "y", "x"]).dictionary_encode(),
+        "v": pa.array(["a", "b", "c"], pa.string()),
+    })
+    ds2 = ray.data.from_arrow([td, td.slice(0, 0)])
+    out2 = {r["k"]: r["n_distinct_est"]
+            for r in grouped_hll_distinct(ds2, "k", "v").take_all()}
+    assert out2 == {"x": 2, "y": 1}
