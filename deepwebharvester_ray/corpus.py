@@ -190,7 +190,11 @@ def _write_corpus(table: pa.Table, out_dir: Path) -> None:
     """Write the corpus partitioned by host_bucket (resumable layout)."""
     import shutil
 
-    tmp = out_dir.with_suffix(".tmp")
+    # NOT with_suffix: cache keys embed dotted sf names ("sf0.01_x1_…")
+    # and with_suffix replaces everything after the FIRST dot, collapsing
+    # every key to the same tmp dir — concurrent builds (pytest + bench)
+    # would rmtree each other's in-progress writes
+    tmp = out_dir.parent / (out_dir.name + ".tmp")
     if tmp.exists():
         shutil.rmtree(tmp)
     pq.write_to_dataset(table, root_path=str(tmp), partition_cols=["host_bucket"])

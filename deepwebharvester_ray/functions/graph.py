@@ -80,12 +80,21 @@ def connected_components(
     prev_sum = labels.sum("label")
 
     small = labels.count() < broadcast_below
+    # join inputs must be empty-block-free (CLAUDE.md: Ray 2.49's acero
+    # join crashes on ANY empty block); edges is materialized, so this
+    # is a one-time metadata check
+    from .partition import coalesce_nonempty
+
+    edges_j = None if small else coalesce_nonempty(edges)
 
     def propagate(labels_ds):
         if not small:
+            labels_nz = coalesce_nonempty(labels_ds)
+            if edges_j is None or labels_nz is None:
+                return labels_ds  # nothing to propagate
             # large-graph path: hash-shuffle join per round
-            return edges.join(
-                labels_ds, "inner",
+            return edges_j.join(
+                labels_nz, "inner",
                 num_partitions=max(2, edges.num_blocks() // 4),
                 on=("u",), right_on=("id",),
             ).map_batches(
@@ -214,6 +223,11 @@ def pagerank(
     edges_w = edges_nz.join(
         deg_nz, "inner", num_partitions=n_parts, on=("src",),
     ).materialize()
+    # a join OUTPUT routinely carries empty blocks (hash partitions with
+    # no keys) — re-coalesce before edges_w feeds the per-round join
+    # below (CLAUDE.md empty-block rule); non-None by construction here
+    # (edges_nz is non-empty and every src has a degree row)
+    edges_w = coalesce_nonempty(edges_w) or edges_w
 
     small = n_nodes < broadcast_below
 
@@ -500,6 +514,12 @@ def bfs_distances(
         batch_format="pyarrow", runtime_env=runtime_env(),
     ).materialize()
     frontier = settled
+    # materialize + empty-coalesce the edge table ONCE: a lazy edges_ds
+    # would re-run its producing transforms every round (siblings
+    # connected_components/pagerank/hits all materialize before their
+    # loops), and Ray 2.49's num_blocks() raises on lazy datasets
+    edges_m = edges_ds.materialize()
+    edges_nz = coalesce_nonempty(edges_m)  # None ⇔ 0-row edge table
 
     for k in range(1, max_depth + 1):
         n_frontier = frontier.count()
@@ -528,7 +548,7 @@ def bfs_distances(
                                      pa.int64()),
                 })
 
-            cands = edges_ds.map_batches(
+            cands = edges_m.map_batches(
                 expand, batch_format="pyarrow", runtime_env=runtime_env())
         else:
             kk = k
@@ -540,14 +560,13 @@ def bfs_distances(
                         np.full(batch.num_rows, _k, np.int64), pa.int64()),
                 })
 
-            edges_nz = coalesce_nonempty(edges_ds)
             frontier_nz = coalesce_nonempty(frontier.select_columns(["id"]))
             if edges_nz is None or frontier_nz is None:
                 break  # 0-row edge table (or frontier): nothing expands
             cands = edges_nz.join(
                 frontier_nz,
                 "inner",
-                num_partitions=max(2, edges_ds.num_blocks() // 4),
+                num_partitions=max(2, edges_m.num_blocks() // 4),
                 on=("src",), right_on=("id",),
             ).map_batches(rekey, batch_format="pyarrow",
                           runtime_env=runtime_env())

@@ -139,10 +139,13 @@ def fingerprint_batch(
     for t in texts:
         words = WORD_RE.findall((t or "").lower())
         if len(words) < k:
+            # same per-word terminator as the k-gram path: without it
+            # 'ab c', 'a bc' and 'abc' collapse to one fingerprint
             h = 0
             for w in words:
                 for c in w:
                     h = (h * B + ord(c)) % M
+                h = (h * B + 32) % M
             fps.append(h)
             continue
         best = M

@@ -37,6 +37,12 @@ def aggregate_report_stats(ds) -> Dict[str, object]:
     """
     has_intel = "risk_label" in ds.schema().names
 
+    # the stats below consume the dataset ~7 times (count, aggregate,
+    # two groupbys, sort+limit, map_batches, per-site rollup) — pin ONE
+    # execution of the upstream pipeline instead of re-running the full
+    # read/extract/intel chain per consumer
+    ds = ds.materialize()
+
     # A1/A7 totals — single-pass Dataset aggregate
     totals = {
         "pages": ds.count(),

@@ -233,7 +233,14 @@ def write_partitioned_parquet(
         shutil.rmtree(p, ignore_errors=True)
 
     if skip_existing and done:
-        done_ref = ray.put(np.sort(np.asarray(done, dtype=object)))
+        # directory names are hive-ENCODED (Arrow percent-escapes
+        # spaces/'='/slashes); decode before comparing against raw
+        # str(value) or escaped partitions are never pruned and a re-run
+        # appends duplicate rows into the committed dir
+        from urllib.parse import unquote
+
+        done_ref = ray.put(np.sort(np.asarray(
+            [unquote(d) for d in done], dtype=object)))
 
         def prune(batch: pa.Table) -> pa.Table:
             vals = np.asarray(
@@ -347,7 +354,15 @@ def write_bucketed_parquet(ds, out_dir: str, key: str,
 
     tagged = ds.map_batches(tag, batch_format="pyarrow",
                             runtime_env=runtime_env())
-    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    import shutil
+
+    out_p = Path(out_dir)
+    if out_p.exists():
+        # a re-run must REPLACE the layout: write_parquet appends new
+        # files beside stale ones inside existing bucket dirs, so old+new
+        # rows would both be read and the footer row count double-counts
+        shutil.rmtree(out_p)
+    out_p.mkdir(parents=True, exist_ok=True)
     tagged.write_parquet(out_dir, partition_cols=["bucket"])
     # one streaming execution only; the row count comes from the written
     # parquet footers (metadata-only — never a second pass over the data)

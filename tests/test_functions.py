@@ -1905,3 +1905,15 @@ def test_grouped_hll_key_type_consistency(ray_session):
     out2 = {r["k"]: r["n_distinct_est"]
             for r in grouped_hll_distinct(ds2, "k", "v").take_all()}
     assert out2 == {"x": 2, "y": 1}
+
+
+def test_fingerprint_short_doc_word_boundaries():
+    """Sub-k documents must stay boundary-sensitive: 'ab c', 'a bc' and
+    'abc' are different documents and must not share a fingerprint."""
+    import pyarrow as pa
+
+    from deepwebharvester_ray.functions import textops
+
+    t = pa.table({"text": ["ab c", "a bc", "abc"]})
+    fps = textops.fingerprint_batch(t).column("fingerprint").to_pylist()
+    assert len(set(fps)) == 3

@@ -278,3 +278,41 @@ def test_bucketed_layout_strided_keys_spread(ray_session, tmp_path):
     assert sum(sizes) == len(keys)
     assert len(sizes) >= n_buckets // 2, f"skewed layout: {sizes}"
     assert max(sizes) < len(keys) // 2, f"one hot bucket: {sizes}"
+
+
+def test_partitioned_parquet_hive_encoded_values_pruned(ray_session, tmp_path):
+    """String partition values needing hive escaping (spaces) must be
+    pruned on re-run — comparing raw values against ENCODED dir names
+    re-appended duplicate rows into committed partitions."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import ray
+
+    from deepwebharvester_ray.sinks import write_partitioned_parquet
+
+    t = pa.table({
+        "seg": pa.array(["a b", "a b", "plain"], pa.string()),
+        "v": pa.array([1, 2, 3], pa.int64()),
+    })
+    out = tmp_path / "parts"
+    write_partitioned_parquet(ray.data.from_arrow(t), str(out), "seg")
+    res2 = write_partitioned_parquet(ray.data.from_arrow(t), str(out), "seg")
+    assert res2["written"] == []
+    total = sum(_pq.ParquetFile(str(f)).metadata.num_rows
+                for f in out.rglob("*.parquet"))
+    assert total == 3, "duplicate rows appended into committed partitions"
+
+
+def test_bucketed_layout_rerun_replaces(ray_session, tmp_path):
+    """A re-run of write_bucketed_parquet must REPLACE the layout, not
+    append beside stale files (double-counted rows, mixed versions)."""
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.sinks import write_bucketed_parquet
+
+    t = pa.table({"doc_id": pa.array(range(100), pa.int64())})
+    out = tmp_path / "b"
+    s1 = write_bucketed_parquet(ray.data.from_arrow(t), str(out), "doc_id")
+    s2 = write_bucketed_parquet(ray.data.from_arrow(t), str(out), "doc_id")
+    assert s1["rows"] == s2["rows"] == 100
