@@ -89,7 +89,13 @@ def load_settings(
         section = data.get("crawler", data) or {}
         if not isinstance(section, dict):
             raise ValueError(f"'crawler:' section must be a mapping: {config_path}")
-        cfg = replace(cfg, **{k: v for k, v in section.items() if k in valid})
+        unknown = sorted(set(section) - valid)
+        if unknown:
+            # a misspelled setting must FAIL, not silently run with the
+            # default (max_dept: 3 → a depth-2 crawl nobody asked for)
+            raise ValueError(
+                f"unknown crawler setting(s) in {config_path}: {unknown}")
+        cfg = replace(cfg, **section)
 
     env_map = {
         "DWH_MAX_DEPTH": ("max_depth", int),
@@ -106,5 +112,8 @@ def load_settings(
         cfg = replace(cfg, **env_overrides)
 
     if overrides:
-        cfg = replace(cfg, **{k: v for k, v in overrides.items() if k in valid})
+        unknown = sorted(set(overrides) - valid)
+        if unknown:
+            raise ValueError(f"unknown crawler setting(s): {unknown}")
+        cfg = replace(cfg, **overrides)
     return cfg

@@ -380,7 +380,20 @@ c AS (
       '(?i)\bCVE-[0-9]{{4}}-[0-9]{{4,7}}\b'), x -> upper(x))) AS cves,
     list_distinct(regexp_extract_all(t,
       '(?i)\b(?:[a-z0-9](?:[a-z0-9\-]{{0,61}}[a-z0-9])?\.)+(?:com|net|org|io|ru|cn|de|uk|fr|it|es|gov|edu|mil|co)\b')) AS domains,
-    list_distinct(regexp_extract_all(t, '(?i)\b[a-z2-7]{{56}}\.onion\b')) AS onions
+    list_distinct(regexp_extract_all(t, '(?i)\b[a-z2-7]{{56}}\.onion\b')) AS onions,
+    -- the remaining 6 engine families: zero on the synthetic corpus but
+    -- part of the engine's ioc_total (a corpus change that introduces a
+    -- hex token / URL / BTC address must fail the oracle, not slip by)
+    list_distinct(regexp_extract_all(t, '\b[0-9a-fA-F]{{32}}\b')) AS md5s,
+    list_distinct(regexp_extract_all(t, '\b[0-9a-fA-F]{{40}}\b')) AS sha1s,
+    list_distinct(regexp_extract_all(t, '\b[0-9a-fA-F]{{64}}\b')) AS sha256s,
+    list_distinct(regexp_extract_all(t,
+      '\b(?:bc1[ac-hj-np-z02-9]{{6,87}}|[13][a-km-zA-HJ-NP-Z1-9]{{25,34}})\b')) AS btcs,
+    list_distinct(regexp_extract_all(t,
+      '\b4[0-9AB][1-9A-HJ-NP-Za-km-z]{{93}}\b')) AS xmrs,
+    list_distinct(regexp_extract_all(t,
+      '(?i)https?://[^\s"''<>]{{8,200}}')) AS urls,
+    (t LIKE '%-----BEGIN PGP%') AS pgp
   FROM a
 )
 SELECT doc_id,
@@ -389,8 +402,10 @@ SELECT doc_id,
        CAST(len(cves) AS BIGINT) AS n_cves,
        CAST(len(domains) AS BIGINT) AS n_domains,
        CAST(len(onions) AS BIGINT) AS n_onion,
-       false AS pgp_present,
+       pgp AS pgp_present,
        CAST(len(ipv4) + len(emails) + len(cves) + len(domains) + len(onions)
+            + len(md5s) + len(sha1s) + len(sha256s) + len(btcs) + len(xmrs)
+            + least(len(urls), 50)
             AS BIGINT) AS ioc_total
 FROM c ORDER BY doc_id
 """
@@ -497,6 +512,13 @@ def q_threat_scores(sf_dir: str):
 
 
 def _sql_threat_scores() -> str:
+    # Parity caveat (documented, not a bug at this corpus contract): the
+    # engine's word count is Python str.split() (reference
+    # intelligence.py semantics — Unicode whitespace), the oracle's is
+    # RE2 '\S+' (ASCII whitespace).  They agree on ASCII-whitespace text,
+    # which the synthetic corpus guarantees; a corpus with NBSP/Unicode
+    # spaces would diverge — the engine side must stay reference-
+    # byte-compatible, so the oracle carries the assumption.
     kb_rows = []
     for cat, kws in CATEGORIES.items():
         w = CATEGORY_RISK[cat]
@@ -526,13 +548,16 @@ s AS (
 r AS (SELECT doc_id, max(score) AS raw FROM s GROUP BY doc_id),
 f AS (
   SELECT w.doc_id,
-         round(least(coalesce(r.raw, 0.0), 10.0), 2) AS risk_score
+         least(coalesce(r.raw, 0.0), 10.0) AS raw_clamped
   FROM w LEFT JOIN r USING (doc_id)
 )
-SELECT doc_id, risk_score,
-       CASE WHEN risk_score >= 9.0 THEN 'Critical'
-            WHEN risk_score >= 7.0 THEN 'High'
-            WHEN risk_score >= 4.0 THEN 'Medium'
+-- label from the UNROUNDED clamped score, exactly as the engine does
+-- (intelligence.classify_threat labels BEFORE round(risk, 2) — a raw
+-- score in [8.995, 9.0) must stay 'High' even though it REPORTS 9.0)
+SELECT doc_id, round(raw_clamped, 2) AS risk_score,
+       CASE WHEN raw_clamped >= 9.0 THEN 'Critical'
+            WHEN raw_clamped >= 7.0 THEN 'High'
+            WHEN raw_clamped >= 4.0 THEN 'Medium'
             ELSE 'Low' END AS risk_label
 FROM f ORDER BY doc_id
 """
@@ -963,18 +988,24 @@ def q_orders_by_segment(sf_dir: str):
 
         ck, segs = cached_get(ref)
         keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(ck, keys)
-        idx[idx >= len(ck)] = max(len(ck) - 1, 0)
-        hit = (ck[idx] == keys) if len(ck) else np.zeros(len(keys), bool)
-        out = segs[idx]
-        out[~hit] = None  # unmatched custkey → NULL (same as dict.get)
         cents = np.floor(
             batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
+        if not len(ck):  # empty dimension: inner semantics ⇒ no rows
+            return pa.table(
+                {"c_mktsegment": pa.array([], pa.string()),
+                 "cents": pa.array([], pa.int64())}
+            )
+        idx = np.searchsorted(ck, keys)
+        idx[idx >= len(ck)] = len(ck) - 1
+        hit = ck[idx] == keys
+        # INNER semantics (drop unmatched keys) — matching the SQL
+        # oracle's JOIN and the bucketed/native variants; a kept NULL
+        # group would diverge on any non-FK-clean input
         return pa.table(
             {
-                "c_mktsegment": pa.array(out.tolist(), pa.string()),
-                "cents": pa.array(cents, pa.int64()),
+                "c_mktsegment": pa.array(segs[idx[hit]].tolist(), pa.string()),
+                "cents": pa.array(cents[hit], pa.int64()),
             }
         )
 
@@ -1000,8 +1031,19 @@ def q_orders_join_native(sf_dir: str):
     """J1 via Ray Data's native hash-shuffle join (both sides exchange on
     the key — the large×large path; the broadcast variant above is the
     small-side path).  Same rollup as orders_by_segment."""
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    from ..functions.partition import coalesce_nonempty
+
+    cust = coalesce_nonempty(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]))
+    orders = coalesce_nonempty(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]))
+    if cust is None or orders is None:
+        import ray
+
+        return ray.data.from_arrow(pa.table(
+            {"c_mktsegment": pa.array([], pa.string()),
+             "n_orders": pa.array([], pa.int64()),
+             "total_cents": pa.array([], pa.int64())}))
     joined = orders.join(
         cust, "inner", num_partitions=_shuffle_parts(sf_dir, "orders"),
         on=("o_custkey",), right_on=("c_custkey",),
@@ -1122,9 +1164,20 @@ def q_lineitem_orders_join(sf_dir: str):
     the bigger side's bytes (unlike orders_join_native, whose build side
     is the 1,500-row customer table, this actually stresses the shuffle
     path).  Rollup: revenue cents per order priority."""
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    li = _read(sf_dir, "lineitem",
-               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    from ..functions.partition import coalesce_nonempty
+
+    orders = coalesce_nonempty(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]))
+    li = coalesce_nonempty(
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_extendedprice", "l_discount"]))
+    if orders is None or li is None:
+        import ray
+
+        return ray.data.from_arrow(pa.table(
+            {"o_orderpriority": pa.array([], pa.string()),
+             "n_items": pa.array([], pa.int64()),
+             "revenue_cents": pa.array([], pa.int64())}))
     joined = li.join(
         orders, "inner",
         num_partitions=_shuffle_parts(sf_dir, "lineitem"),
@@ -6643,10 +6696,13 @@ def q_top_tokens_by_source(sf_dir: str):
     Shape: one explode map emits (source, token) rows; ``grouped_agg``
     combines per block (pyarrow ``Table.group_by`` — shuffle volume is
     per-block (source × vocab), not tokens) and merges; the per-group
-    top-k is then the latest_events machinery — one SINGLE-key sort on
-    ``source`` (equal keys co-locate; never the composite, which can
-    split a group across blocks) and a vectorized in-block lexsort +
-    run-rank mask.  No per-group Python, no window materialization."""
+    top-k is TWO-LEVEL: the grouped counts are globally unique per
+    (source, token), so each block's per-source partial top-k is a
+    provable superset contribution and the exact answer falls out of one
+    bounded O(blocks × sources × k)-row merge.  (A sort on the
+    handful-valued ``source`` key would co-locate a source's ENTIRE
+    vocabulary in one block — the stratified_sample lesson; at 10⁹-token
+    vocabularies that block is the OOM.)"""
     from ..functions.dedup import run_rank
     from ..functions.textops import WORD_RE
 
@@ -6683,7 +6739,13 @@ def q_top_tokens_by_source(sf_dir: str):
         keep = order[run_rank(srcs[order]) < GROUPED_HH_K]
         return batch.take(pa.array(np.sort(keep)))
 
-    return counts.sort("source").map_batches(
+    # per-block partial top-k per source (counts rows are globally
+    # unique per (source, token), so the global top-k of each source is
+    # contained in the union of per-block top-ks), then one bounded merge
+    partial = counts.map_batches(
+        top_k, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+    return partial.repartition(1).map_batches(
         top_k, batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env())
 
@@ -7364,8 +7426,9 @@ def q_snapshot_diff(sf_dir: str):
     crawl snapshots as added / removed / changed / unchanged — the delta
     feed an incremental recrawl consumes.  Snapshot B is derived
     deterministically from snapshot A (drops doc_id%17==3, edits text
-    for doc_id%13==5, adds doc_id+1_000_000 for doc_id%23==1), so the
-    oracle reconstructs both sides in SQL.
+    for doc_id%13==5, adds id -(doc_id+1) for doc_id%23==1 — negative,
+    so synthetic ids never collide with real ones at any corpus size),
+    so the oracle reconstructs both sides in SQL.
 
     Distributed shape: a FULL-OUTER-join classification WITHOUT a join —
     both snapshots tag their rows (side 1/2) and flow into ONE
@@ -7404,7 +7467,11 @@ def q_snapshot_diff(sf_dir: str):
         out_h = [md5s(np.asarray(edited, dtype=object)[keep])]
         new_mask = ids % 23 == 1
         if new_mask.any():
-            out_ids.append(ids[new_mask] + 1_000_000)
+            # synthetic new-page ids must be DISJOINT from real doc_ids
+            # at any corpus size: negative ids guarantee it (a +1M offset
+            # collides on >1M-doc corpora, where the engine's grouped
+            # classify and the oracle's FULL OUTER JOIN would diverge)
+            out_ids.append(-(ids[new_mask] + 1))
             out_h.append(md5s([f"new{i}" for i in ids[new_mask]]))
         all_ids = np.concatenate(out_ids)
         return pa.table({
@@ -7456,7 +7523,7 @@ b AS (
              CASE WHEN doc_id % 13 = 5 THEN '!' ELSE '' END) AS h
   FROM documents WHERE doc_id % 17 != 3
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, md5('new' || doc_id) AS h
+  SELECT -(doc_id + 1) AS doc_id, md5('new' || doc_id) AS h
   FROM documents WHERE doc_id % 23 = 1
 ),
 j AS (
@@ -7512,9 +7579,11 @@ def q_upsert_apply(sf_dir: str):
                                                         np.int64))
         out_v.append(np.full(int(dele.sum()), 2, np.int64))
         out_d.append(np.ones(int(dele.sum()), np.int64))
-        # inserts: doc_id % 23 == 1 → new key doc_id + 2_000_000
+        # inserts: doc_id % 23 == 1 → new key -(doc_id+1): negative, so
+        # the synthetic key is disjoint from real doc_ids at ANY corpus
+        # size (a fixed +2M offset collides past 2M docs)
         ins = ids % 23 == 1
-        out_id.append(ids[ins] + 2_000_000)
+        out_id.append(-(ids[ins] + 1))
         out_n.append(ids[ins] % 500)
         out_v.append(np.ones(int(ins.sum()), np.int64))
         out_d.append(np.zeros(int(ins.sum()), np.int64))
@@ -7564,7 +7633,7 @@ WITH delta AS (
   UNION ALL
   SELECT doc_id, 0, 2, 1 FROM documents WHERE doc_id % 19 = 6
   UNION ALL
-  SELECT doc_id + 2000000, doc_id % 500, 1, 0
+  SELECT -(doc_id + 1), doc_id % 500, 1, 0
   FROM documents WHERE doc_id % 23 = 1
 ),
 allrows AS (
@@ -7940,13 +8009,19 @@ def q_politeness_audit(sf_dir: str):
     prove rate-limit compliance (a min-gap below the host's crawl-delay
     is a violation).
 
-    Shape: the event_transitions plan keyed by host — ONE single-key
-    sort on host_idx (equal hosts co-locate), in-block timestamp
-    lexsort, vectorized adjacent-diff per host run, per-host min via
-    ``np.minimum.reduceat``-style grouped_agg min over the per-gap rows
-    collapsed in the combiner."""
+    Shape: ONE sort on the HIGH-cardinality composite (host_idx, ts_s)
+    — never on the ~64-value host key alone, which would co-locate a
+    host's entire fetch history in one block (the stratified_sample /
+    recrawl_schedule lesson).  Sorted blocks are (host, ts)-range
+    DISJOINT, so each block collapses to per-host-run summaries
+    (min internal gap, first/last ts, count) and the summaries merge
+    EXACTLY: the only gaps a block cut can hide are
+    ``first_ts(next summary) − last_ts(prev summary)`` within a host,
+    recovered in the bounded O(blocks × hosts-per-block)-row merge."""
     from ..corpus import HOSTS
+    from ..functions.dedup import _run_bounds
 
+    maxi = np.iinfo(np.int64).max
     ds = _read(sf_dir, "documents", columns=["doc_id"],
                override_num_blocks=_shuffle_parts(sf_dir))
 
@@ -7959,41 +8034,71 @@ def q_politeness_audit(sf_dir: str):
             "ts_s": pa.array(ids, pa.int64()),
         })
 
-    def gaps(batch: pa.Table) -> pa.Table:
+    _summary_empty = pa.table({
+        "host_idx": pa.array([], pa.int64()),
+        "min_gap": pa.array([], pa.int64()),
+        "first_ts": pa.array([], pa.int64()),
+        "last_ts": pa.array([], pa.int64()),
+        "n": pa.array([], pa.int64()),
+    })
+
+    def summaries(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({
-                "host_idx": pa.array([], pa.int64()),
-                "gap_s": pa.array([], pa.int64()),
-                "one": pa.array([], pa.int64()),
-            })
+            return _summary_empty
         h = batch.column("host_idx").combine_chunks().to_numpy(
             zero_copy_only=False)
         t = batch.column("ts_s").combine_chunks().to_numpy(
             zero_copy_only=False)
-        order = np.lexsort((t, h))
-        h_s, t_s = h[order], t[order]
-        adj = h_s[1:] == h_s[:-1]
-        # per-fetch count rows ride the same stream as sentinel gaps
+        # the block is a contiguous slice of the global (host, ts) order:
+        # same-host rows are already contiguous and ts-ascending
+        starts, ends = _run_bounds(h)
+        mins = np.full(len(starts), maxi, np.int64)
+        m = (ends - starts) >= 2
+        if m.any():
+            d = np.diff(t)
+            d2 = np.where(h[1:] == h[:-1], d, maxi)  # cross-run → inert
+            mins[m] = np.minimum.reduceat(d2, starts[m])
         return pa.table({
-            "host_idx": pa.array(
-                np.concatenate([h_s, h_s[1:][adj]]), pa.int64()),
-            "gap_s": pa.array(np.concatenate(
-                [np.full(len(h_s), np.iinfo(np.int64).max, np.int64),
-                 (t_s[1:] - t_s[:-1])[adj]]), pa.int64()),
-            "one": pa.array(np.concatenate(
-                [np.ones(len(h_s), np.int64),
-                 np.zeros(int(adj.sum()), np.int64)]), pa.int64()),
+            "host_idx": pa.array(h[starts], pa.int64()),
+            "min_gap": pa.array(mins, pa.int64()),
+            "first_ts": pa.array(t[starts], pa.int64()),
+            "last_ts": pa.array(t[ends - 1], pa.int64()),
+            "n": pa.array(ends - starts, pa.int64()),
         })
 
-    part = ds.map_batches(keyed, batch_format="pyarrow",
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "host_idx": pa.array([], pa.int64()),
+                "n_fetches": pa.array([], pa.int64()),
+                "min_gap_s": pa.array([], pa.int64()),
+            })
+        cols = [batch.column(c).combine_chunks().to_numpy(
+            zero_copy_only=False)
+            for c in ("host_idx", "min_gap", "first_ts", "last_ts", "n")]
+        order = np.lexsort((cols[2], cols[0]))
+        h, mg, ft, lt, n = (a[order] for a in cols)
+        starts, _ = _run_bounds(h)
+        mins = mg.copy()
+        if len(h) > 1:
+            # boundary gaps between ts-adjacent summaries of one host
+            cross = np.where(h[1:] == h[:-1], ft[1:] - lt[:-1], maxi)
+            mins[:-1] = np.minimum(mins[:-1], cross)
+        return pa.table({
+            "host_idx": pa.array(h[starts], pa.int64()),
+            "n_fetches": pa.array(np.add.reduceat(n, starts), pa.int64()),
+            "min_gap_s": pa.array(np.minimum.reduceat(mins, starts),
+                                  pa.int64()),
+        })
+
+    summ = ds.map_batches(keyed, batch_format="pyarrow",
                           runtime_env=runtime_env()).sort(
-        "host_idx").map_batches(
-        gaps, batch_format="pyarrow", batch_size=None,
+        ["host_idx", "ts_s"]).map_batches(
+        summaries, batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env())
-    agg = grouped_agg(part, ["host_idx"],
-                      [("n_fetches", "one", "sum"),
-                       ("min_gap_s", "gap_s", "min")])
-    return agg.sort("host_idx")
+    return summ.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
 
 
 def _sql_politeness_audit() -> str:

@@ -70,3 +70,20 @@ def test_corpus_is_file_exits_2(tmp_path):
     f = tmp_path / "corpus.parquet"
     f.write_bytes(b"x")
     assert main(["--corpus", str(f), "--url", "http://x"]) == 2
+
+
+def test_unknown_config_key_raises(tmp_path):
+    import pytest
+
+    from deepwebharvester_ray.config import load_settings
+
+    with pytest.raises(ValueError, match="unknown crawler setting"):
+        load_settings(frontier_shard=8)  # singular typo
+    cfgf = tmp_path / "c.yaml"
+    cfgf.write_text("crawler:\n  max_dept: 3\n")
+    try:
+        import yaml  # noqa: F401
+    except ImportError:
+        return
+    with pytest.raises(ValueError, match="unknown crawler setting"):
+        load_settings(config_path=str(cfgf))
