@@ -260,3 +260,34 @@ def test_flog2_exact_boundaries():
         int(x).bit_length() - 1 for x in xs.tolist()
     ]
     assert _flog2(np.array([], dtype=np.int64)).size == 0
+
+
+def test_politeness_audit_boundary_merge_many_blocks(ray_session, tmp_path):
+    """The composite-sort + range-disjoint-summary plan must recover
+    gaps hidden by block cuts: force many tiny blocks and compare against
+    a direct per-host adjacent-diff reference."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.corpus import HOSTS
+    from deepwebharvester_ray.pipelines.queries import q_politeness_audit
+
+    rng = np.random.default_rng(7)
+    ids = np.sort(rng.choice(5000, size=700, replace=False)).astype(np.int64)
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}),
+                   str(tmp_path / "documents.parquet"))
+    out = {r["host_idx"]: (r["n_fetches"], r["min_gap_s"])
+           for r in q_politeness_audit(str(tmp_path)).take_all()}
+
+    ref = collections.defaultdict(list)
+    for i in ids:
+        ref[int(i) % HOSTS].append(int(i))
+    maxi = np.iinfo(np.int64).max
+    for h, ts in ref.items():
+        ts.sort()
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        assert out[h] == (len(ts), min(gaps) if gaps else maxi), h
+    assert set(out) == set(ref)
