@@ -293,3 +293,62 @@ def test_streaming_sessionize_kernel_equals_batch(pairs, evict_flags, rnd):
     drain(st_state.finalize())
 
     assert {u: tuple(v) for u, v in totals.items()} == want
+
+
+@given(st.lists(st.floats(min_value=-1e12, max_value=1e12,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_dd_bucket_encoding_order_and_error(vals):
+    """DDSketch bucket encoding: ENCODED order == VALUE order (zeros
+    between negatives and positives), and every nonzero value is within
+    relative error alpha of its bucket's representative."""
+    import numpy as np
+
+    from deepwebharvester_ray.functions.sketch import (
+        dd_bucket_indices,
+        dd_bucket_value,
+    )
+
+    alpha = 0.01
+    v = np.asarray(vals, dtype=np.float64)
+    idx = dd_bucket_indices(v, alpha)
+    order = np.argsort(v, kind="stable")
+    assert (np.diff(idx[order]) >= 0).all()
+    rep = dd_bucket_value(idx, alpha)
+    nz = v != 0
+    if nz.any():
+        rel = np.abs(rep[nz] - v[nz]) / np.abs(v[nz])
+        assert (rel <= alpha + 1e-9).all()
+    assert (rep[~nz] == 0).all()
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50),
+                          st.integers(0, 30)),
+                min_size=1, max_size=120),
+       st.integers(1, 8))
+@settings(max_examples=60, deadline=None)
+def test_frontier_queue_cap_model(entries, cap):
+    """Bounded FrontierQueue == reference model: after any batch split,
+    each seed holds exactly the cap smallest (depth, url) pairs of the
+    distinct urls pushed (first push fixing a url's depth), pops come in
+    canonical order, and dropped is the complement count."""
+    from deepwebharvester_ray.state.pqueue import FrontierQueue
+
+    ents = [(s, d, f"http://h{s}.onion/{u}") for s, d, u in entries]
+    q = FrontierQueue(max_per_seed=cap)
+    # model: first occurrence of (sid, url) fixes its depth
+    seen, model = set(), {}
+    for sid, d, u in ents:
+        if (sid, u) not in seen:
+            seen.add((sid, u))
+            model.setdefault(sid, []).append((d, u))
+    q.push(ents)
+    expect = []
+    n_drop = 0
+    for sid, lst in model.items():
+        lst.sort()
+        expect.extend((sid, d, u) for d, u in lst[:cap])
+        n_drop += max(0, len(lst) - cap)
+    assert q.dropped == n_drop
+    assert q.pop_budget() == sorted(expect)
