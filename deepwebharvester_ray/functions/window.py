@@ -163,3 +163,109 @@ def ordered_moving_sum(
         window_block, batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
     )
+
+
+def resample_ffill(
+    ds,
+    key: str,
+    bucket_col: str,
+    order_cols: List[str],
+    value_col: str,
+    out_value: str = "filled",
+    out_observed: str = "observed",
+):
+    """Per-``key`` gap-fill + forward-fill resample over an INTEGER
+    bucket column (e.g. epoch-hours): emit one row per bucket from each
+    key's first observed bucket through its last, carrying the latest
+    observation forward across gaps — the ``generate_series`` +
+    ``ASOF JOIN`` time-series densification every metrics/feature
+    pipeline needs before frame-aligned math.
+
+    Semantics (deterministic): the observation for a (key, bucket) is
+    the ``value_col`` of its row with the greatest ``order_cols`` tuple
+    (make it unique — e.g. ``[ts, event_id]``); a bucket with no row
+    reports the nearest earlier bucket's observation with
+    ``out_observed = False``.  The first output bucket per key is always
+    observed, so no NULLs exist.
+
+    Shape: the repo's standard ordered-run composition — ONE all-to-all
+    sort on the high-cardinality partition key (equal keys co-locate per
+    the single-key-sort rule), then one vectorized block pass does the
+    (bucket, order) lexsort, last-per-bucket pick, span expansion and a
+    ``maximum.accumulate`` index fill — no per-key Python, no join.
+    Output volume is data-driven (sum of per-key bucket spans, exactly
+    what the SQL emits); a single key's whole span materializes in its
+    block's output, so a key spanning decades at second-granularity
+    buckets needs a coarser bucket, same as the SQL shape.
+    """
+
+    def fill_block(batch: pa.Table) -> pa.Table:
+        ktype = batch.schema.field(key).type
+        if batch.num_rows == 0:
+            return pa.table({
+                key: pa.array([], ktype),
+                bucket_col: pa.array([], pa.int64()),
+                out_value: pa.array([], pa.int64()),
+                out_observed: pa.array([], pa.bool_()),
+            })
+        keys = batch.column(key).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        buckets = batch.column(bucket_col).combine_chunks().cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        ords = [
+            batch.column(c).combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            for c in order_cols
+        ]
+        vals = batch.column(value_col).combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        order = np.lexsort(tuple(reversed(ords)) + (buckets, keys))
+        ks, bs, vs = keys[order], buckets[order], vals[order]
+        n = len(ks)
+        # last row of each (key, bucket) run = that bucket's observation
+        last = np.empty(n, dtype=bool)
+        last[-1] = True
+        last[:-1] = (ks[1:] != ks[:-1]) | (bs[1:] != bs[:-1])
+        ok, ob, ov = ks[last], bs[last], vs[last]
+        # per-key runs over the observation table (sorted by key, bucket)
+        starts = run_starts_mask(ok)
+        start_pos = np.flatnonzero(starts)
+        lens = np.diff(np.append(start_pos, len(ok)))
+        mn = ob[start_pos]
+        mx = ob[start_pos + lens - 1]
+        spans = mx - mn + 1
+        total = int(spans.sum())
+        offsets = np.concatenate([[0], np.cumsum(spans)[:-1]])
+        out_key = np.repeat(ok[start_pos], spans)
+        out_bucket = (np.arange(total, dtype=np.int64)
+                      - np.repeat(offsets, spans)
+                      + np.repeat(mn, spans))
+        # scatter observation indices into the dense span, forward-fill
+        # with maximum.accumulate — each key's first slot is always an
+        # observation (mn IS the first observed bucket), so the fill
+        # never bleeds across keys
+        rep_run = np.repeat(np.arange(len(start_pos)), lens)
+        pos = offsets[rep_run] + ob - mn[rep_run]
+        fidx = np.full(total, -1, dtype=np.int64)
+        fidx[pos] = np.arange(len(ob))
+        observed = fidx >= 0
+        ff = np.maximum.accumulate(fidx)
+        try:
+            key_arr = pa.array(out_key, type=ktype)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            key_arr = pa.array(out_key.tolist(), type=ktype)
+        return pa.table({
+            key: key_arr,
+            bucket_col: pa.array(out_bucket, pa.int64()),
+            out_value: pa.array(ov[ff], pa.int64()),
+            out_observed: pa.array(observed, pa.bool_()),
+        })
+
+    return ds.sort(key).map_batches(
+        fill_block, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )

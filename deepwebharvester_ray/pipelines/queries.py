@@ -3360,6 +3360,69 @@ ORDER BY event_id
 """
 
 
+def q_user_hourly_fill(sf_dir: str):
+    """Per-user hourly gap-fill + forward-fill resample —
+    :func:`~deepwebharvester_ray.functions.window.resample_ffill`: one
+    row per hour from each user's first event hour through their last,
+    carrying the latest observation (the event with the greatest
+    ``(ts, event_id)`` in that hour) forward across silent hours, with
+    an ``observed`` flag.  The densification step every per-user
+    time-series feature build runs before frame-aligned math; SQL
+    equivalent is ``generate_series`` + ``ASOF JOIN``.
+
+    Shape: one sort on the high-cardinality user key, one vectorized
+    block pass (lexsort + span expansion + ``maximum.accumulate``
+    fill) — no join, no per-user Python."""
+    from ..functions.window import resample_ffill
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_us": pa.array(us, pa.int64()),
+            "hr": pa.array(us // 3_600_000_000, pa.int64()),
+            "value_c": pa.array(np.floor(v * 100.0).astype(np.int64),
+                                pa.int64()),
+        })
+
+    cents = ds.map_batches(prep, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+    return resample_ffill(
+        cents, key="user_id", bucket_col="hr",
+        order_cols=["ts_us", "event_id"], value_col="value_c",
+        out_value="value_c", out_observed="observed",
+    )
+
+
+_SQL_USER_HOURLY_FILL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hr, ts, event_id,
+         CAST(floor(value * 100.0) AS BIGINT) AS value_c
+  FROM events
+),
+obs AS (
+  SELECT user_id, hr, value_c FROM e
+  QUALIFY row_number() OVER (PARTITION BY user_id, hr
+                             ORDER BY ts DESC, event_id DESC) = 1
+),
+b AS (SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM e GROUP BY user_id),
+g AS (SELECT user_id, unnest(generate_series(mn, mx)) AS hr FROM b)
+SELECT g.user_id, g.hr AS hr, o.value_c AS value_c,
+       (o.hr = g.hr) AS observed
+FROM g ASOF JOIN obs o ON g.user_id = o.user_id AND g.hr >= o.hr
+ORDER BY 1, 2
+"""
+
+
 def _orders_status_priority_leaf(sf_dir: str):
     """(status, priority, n_orders, sum_cents) leaf aggregate — the one
     combiner pass both ROLLUP and CUBE fold their super-levels from."""
@@ -8480,6 +8543,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "events_pivot": q_events_pivot,
         "lineitem_unpivot": q_lineitem_unpivot,
         "user_moving_sum": q_user_moving_sum,
+        "user_hourly_fill": q_user_hourly_fill,
         "distinct_users_by_type": q_distinct_users_by_type,
         "value_stats": q_value_stats,
         "orders_with_late_items": q_orders_with_late_items,
@@ -8613,6 +8677,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "events_pivot": _SQL_EVENTS_PIVOT,
         "lineitem_unpivot": _SQL_LINEITEM_UNPIVOT,
         "user_moving_sum": _SQL_USER_MOVING_SUM,
+        "user_hourly_fill": _SQL_USER_HOURLY_FILL,
         "distinct_users_by_type": _SQL_DISTINCT_USERS,
         "value_stats": _SQL_VALUE_STATS,
         "orders_with_late_items": _SQL_ORDERS_WITH_LATE_ITEMS,

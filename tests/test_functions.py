@@ -1153,6 +1153,66 @@ def test_ordered_deltas_single_and_empty(ray_session):
     assert one == [{"k": 1, "o": 5, "v": 42, "delta": 0, "running": 42}]
 
 
+def test_resample_ffill_matches_bruteforce(ray_session):
+    import pandas as pd
+    import ray
+
+    from deepwebharvester_ray.functions.window import resample_ffill
+
+    rng = np.random.default_rng(23)
+    n, n_keys = 3000, 50
+    df = pd.DataFrame({
+        "rid": np.arange(n),
+        "k": rng.integers(0, n_keys, n),
+        # sparse buckets with gaps; several rows share a bucket
+        "b": rng.integers(0, 120, n),
+        "o": rng.integers(0, 5, n),          # order col (ties → rid)
+        "v": rng.integers(-500, 500, n),
+    })
+    out = resample_ffill(
+        ray.data.from_pandas(df).repartition(16),
+        key="k", bucket_col="b", order_cols=["o", "rid"], value_col="v",
+        out_value="v", out_observed="obs",
+    ).to_pandas().sort_values(["k", "b"]).reset_index(drop=True)
+
+    # reference: last (o, rid) row per (k, b), dense range, ffill
+    ref_rows = []
+    for k, g in df.groupby("k"):
+        obs = (g.sort_values(["o", "rid"]).groupby("b")["v"].last())
+        lo, hi = obs.index.min(), obs.index.max()
+        dense = obs.reindex(range(lo, hi + 1))
+        seen = dense.notna()
+        dense = dense.ffill()
+        for b, v, s in zip(dense.index, dense, seen):
+            ref_rows.append((k, b, int(v), bool(s)))
+    ref = pd.DataFrame(ref_rows, columns=["k", "b", "v", "obs"]).sort_values(
+        ["k", "b"]).reset_index(drop=True)
+    assert len(out) == len(ref)
+    for c in ["k", "b", "v", "obs"]:
+        assert (out[c].to_numpy() == ref[c].to_numpy()).all(), c
+    # gaps actually exercised: some rows are filled, not observed
+    assert (~out["obs"]).sum() > 0
+
+
+def test_resample_ffill_single_key_and_empty(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.window import resample_ffill
+
+    out = resample_ffill(
+        ray.data.from_items([
+            {"k": 7, "b": 10, "o": 1, "v": 5},
+            {"k": 7, "b": 13, "o": 1, "v": 9},
+            {"k": 7, "b": 10, "o": 2, "v": 6},   # later obs wins bucket 10
+        ]),
+        key="k", bucket_col="b", order_cols=["o"], value_col="v",
+        out_value="v", out_observed="obs",
+    ).take_all()
+    assert sorted((r["b"], r["v"], r["obs"]) for r in out) == [
+        (10, 6, True), (11, 6, False), (12, 6, False), (13, 9, True),
+    ]
+
+
 def _pagerank_ref(edges, n, iters=5, scale=10**12):
     """Driver-side integer PageRank reference (same arithmetic)."""
     outdeg = np.zeros(n, np.int64)
