@@ -2496,6 +2496,43 @@ ORDER BY d.doc_id
 """
 
 
+def q_fuzzy_vocab_pairs(sf_dir: str):
+    """Edit-distance-1 fuzzy vocabulary pairs —
+    :func:`~deepwebharvester_ray.functions.fuzzy.edit1_pairs`: every
+    unordered token pair at Levenshtein distance exactly 1 via SymSpell
+    deletion bucketing + exact vectorized verification, never the O(V²)
+    cross join the SQL oracle runs.  The typo-variant clustering step a
+    vocabulary normalization pass runs before merging counts; the vocab
+    here is the customer-key decimal-string domain (the richest
+    length-varying token set in the fixtures — substitutions AND indels
+    both occur, e.g. ``150``/``1500`` and ``123``/``124``)."""
+    from ..functions.fuzzy import edit1_pairs
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey"],
+               override_num_blocks=_shuffle_parts(sf_dir, "customer"))
+
+    def tok(batch: pa.Table) -> pa.Table:
+        keys = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "token": pa.array(np.char.mod("%d", keys.astype(np.int64))),
+        })
+
+    vocab = ds.map_batches(tok, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+    return edit1_pairs(vocab, col="token")
+
+
+_SQL_FUZZY_VOCAB_PAIRS = """
+WITH v AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS tok FROM customer)
+SELECT a.tok AS token_a, b.tok AS token_b
+FROM v a JOIN v b
+  ON a.tok < b.tok
+ AND abs(length(a.tok) - length(b.tok)) <= 1
+ AND levenshtein(a.tok, b.tok) = 1
+ORDER BY 1, 2
+"""
+
+
 def q_split_assign(sf_dir: str):
     """Deterministic train/val/test split: 64-bit multiplicative hash of
     doc_id against exact integer cutoffs — stable under reshards/resume
@@ -8544,6 +8581,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "lineitem_unpivot": q_lineitem_unpivot,
         "user_moving_sum": q_user_moving_sum,
         "user_hourly_fill": q_user_hourly_fill,
+        "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
         "distinct_users_by_type": q_distinct_users_by_type,
         "value_stats": q_value_stats,
         "orders_with_late_items": q_orders_with_late_items,
@@ -8678,6 +8716,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "lineitem_unpivot": _SQL_LINEITEM_UNPIVOT,
         "user_moving_sum": _SQL_USER_MOVING_SUM,
         "user_hourly_fill": _SQL_USER_HOURLY_FILL,
+        "fuzzy_vocab_pairs": _SQL_FUZZY_VOCAB_PAIRS,
         "distinct_users_by_type": _SQL_DISTINCT_USERS,
         "value_stats": _SQL_VALUE_STATS,
         "orders_with_late_items": _SQL_ORDERS_WITH_LATE_ITEMS,

@@ -1213,6 +1213,64 @@ def test_resample_ffill_single_key_and_empty(ray_session):
     ]
 
 
+def _lev(a: str, b: str) -> int:
+    """Plain DP Levenshtein (test reference only)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit1_pairs_matches_bruteforce(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.fuzzy import edit1_pairs
+
+    rng = np.random.default_rng(7)
+    # small alphabet + short lengths → dense ed-1 neighborhoods with
+    # substitutions, insertions, deletions AND ed-2 traps (transposes)
+    alphabet = np.array(list("abc01"))
+    vocab = set()
+    while len(vocab) < 400:
+        L = int(rng.integers(1, 6))
+        vocab.add("".join(rng.choice(alphabet, L)))
+    vocab = sorted(vocab)
+
+    mine = sorted(
+        (r["token_a"], r["token_b"])
+        for r in edit1_pairs(
+            ray.data.from_items([{"token": t} for t in vocab])
+            .repartition(16),
+            col="token",
+        ).take_all()
+    )
+    ref = sorted(
+        (a, b)
+        for i, a in enumerate(vocab) for b in vocab[i + 1:]
+        if abs(len(a) - len(b)) <= 1 and _lev(a, b) == 1
+    )
+    assert mine == ref
+    assert len(ref) > 300  # neighborhood actually dense
+
+
+def test_ed1_mask_kernel():
+    from deepwebharvester_ray.functions.fuzzy import ed1_mask
+
+    a = np.asarray(["ab", "ab", "abc", "abc", "a", "xyz", "ab"],
+                   dtype=object)
+    b = np.asarray(["ba", "ac", "abcd", "ac", "ab", "xyz", "abxy"],
+                   dtype=object)
+    got = ed1_mask(a, b).tolist()
+    #       ab/ba=2  ab/ac=1  abc/abcd=1  abc/ac=1  a/ab=1  eq=0  len+2
+    assert got == [False, True, True, True, True, False, False]
+
+
 def _pagerank_ref(edges, n, iters=5, scale=10**12):
     """Driver-side integer PageRank reference (same arithmetic)."""
     outdeg = np.zeros(n, np.int64)
