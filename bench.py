@@ -161,6 +161,10 @@ BENCH_QUERIES = [
     "bucketed_join",
     "doc_surprisal",
     "host_boilerplate",
+    "user_hourly_fill",
+    "fuzzy_vocab_pairs",
+    "order_skyline",
+    "table_profile",
     "crawl_bfs",
 ]
 

@@ -204,3 +204,119 @@ def grouped_quantiles(
     return hist.map_batches(
         pick, batch_format="pyarrow", batch_size=None, runtime_env=runtime_env()
     )
+
+
+def column_profile(ds, int_cols: Sequence[str], str_cols: Sequence[str]):
+    """Per-column profiling audit — the ANALYZE / data-quality sweep run
+    before committing a table to a training pipeline: for each column,
+    ``(col, n_rows, n_null, n_distinct, min_s, max_s)`` with min/max
+    compared in the NATIVE domain (int64 for ``int_cols`` — a
+    lexicographic string min would rank "10" < "9") and rendered as
+    canonical strings only at the end (``str(int)`` == SQL
+    ``CAST(BIGINT AS VARCHAR)``).
+
+    Shape: one combiner pass emits ONE stats row per column per block
+    (shuffle volume O(blocks × columns)); exact ``n_distinct`` is the
+    two-level-distinct plan (per-block distinct values → grouped count),
+    whose exchange is the per-block distinct stream — profiling a unique
+    key therefore costs a full exchange of that column, exactly what SQL
+    ``COUNT(DISTINCT pk)`` costs.  Returns a driver-side
+    ``pyarrow.Table`` (one row per column — bounded).
+
+    Caller pre-normalizes ``int_cols`` to int64 (cents/epoch-days) so
+    engine and oracle agree bit-for-bit.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    int_cols, str_cols = list(int_cols), list(str_cols)
+    all_cols = int_cols + str_cols
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        names, ns, nulls = [], [], []
+        mins_i, maxs_i, mins_s, maxs_s = [], [], [], []
+        for c in all_cols:
+            col = batch.column(c)
+            names.append(c)
+            ns.append(batch.num_rows)
+            nulls.append(col.null_count)
+            if col.length() == col.null_count:
+                mm = {"min": None, "max": None}
+            else:
+                s = pc.min_max(col)
+                mm = {"min": s["min"].as_py(), "max": s["max"].as_py()}
+            if c in int_cols:
+                mins_i.append(mm["min"]); maxs_i.append(mm["max"])
+                mins_s.append(None); maxs_s.append(None)
+            else:
+                mins_i.append(None); maxs_i.append(None)
+                mins_s.append(mm["min"]); maxs_s.append(mm["max"])
+        return pa.table({
+            "col": pa.array(names, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "n_null": pa.array(nulls, pa.int64()),
+            "min_i": pa.array(mins_i, pa.int64()),
+            "max_i": pa.array(maxs_i, pa.int64()),
+            "min_s": pa.array(mins_s, pa.string()),
+            "max_s": pa.array(maxs_s, pa.string()),
+        })
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in all_cols:
+            col = batch.column(c).combine_chunks().drop_null()
+            if len(col) == 0:
+                continue
+            if c in int_cols:
+                u = np.unique(col.cast(pa.int64()).to_numpy(
+                    zero_copy_only=False))
+                sv = np.char.mod("%d", u).tolist()
+            else:
+                sv = pc.unique(col).to_pylist()
+            names.extend([c] * len(sv))
+            vals.extend(sv)
+        return pa.table({
+            "col": pa.array(names, pa.string()),
+            "v": pa.array(vals, pa.string()),
+        })
+
+    stats = grouped_agg(
+        ds.map_batches(stats_partial, batch_format="pyarrow",
+                       batch_size=None, runtime_env=runtime_env()),
+        ["col"],
+        [("n_rows", "n", "sum"), ("n_null", "n_null", "sum"),
+         ("min_i", "min_i", "min"), ("max_i", "max_i", "max"),
+         ("min_s", "min_s", "min"), ("max_s", "max_s", "max")],
+    )
+    pairs = ds.map_batches(distinct_partial, batch_format="pyarrow",
+                           batch_size=None, runtime_env=runtime_env())
+    ndv = grouped_agg(
+        grouped_agg(pairs, ["col", "v"], [("n", "", "count")]),
+        ["col"], [("n_distinct", "", "count")],
+    )
+    srows = {r["col"]: r for r in stats.take_all()}
+    drows = {r["col"]: r["n_distinct"] for r in ndv.take_all()}
+    out = {"col": [], "n_rows": [], "n_null": [], "n_distinct": [],
+           "min_s": [], "max_s": []}
+    for c in sorted(all_cols):
+        r = srows[c]
+        out["col"].append(c)
+        out["n_rows"].append(r["n_rows"])
+        out["n_null"].append(r["n_null"])
+        out["n_distinct"].append(drows.get(c, 0))
+        if c in int_cols:
+            out["min_s"].append(
+                None if r["min_i"] is None else str(int(r["min_i"])))
+            out["max_s"].append(
+                None if r["max_i"] is None else str(int(r["max_i"])))
+        else:
+            out["min_s"].append(r["min_s"])
+            out["max_s"].append(r["max_s"])
+    return pa.table({
+        "col": pa.array(out["col"], pa.string()),
+        "n_rows": pa.array(out["n_rows"], pa.int64()),
+        "n_null": pa.array(out["n_null"], pa.int64()),
+        "n_distinct": pa.array(out["n_distinct"], pa.int64()),
+        "min_s": pa.array(out["min_s"], pa.string()),
+        "max_s": pa.array(out["max_s"], pa.string()),
+    })

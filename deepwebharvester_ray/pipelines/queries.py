@@ -2533,6 +2533,122 @@ ORDER BY 1, 2
 """
 
 
+def q_order_skyline(sf_dir: str):
+    """2-D skyline / Pareto frontier of orders — earliest-date ×
+    highest-price trade-off curve
+    (:func:`~deepwebharvester_ray.functions.skyline.skyline2d`): every
+    order no other order beats on BOTH (date ≤, price ≥, one strict).
+    SQL needs the O(n²) ``NOT EXISTS`` inequality anti-join (the
+    oracle); the engine runs the per-block partial-frontier combiner +
+    one tiny merged-frontier pass — a skyline point must survive its
+    own block, so blocks prune independently and only O(blocks ×
+    frontier) rows reach the merge."""
+    from ..functions.skyline import skyline2d
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+               override_num_blocks=_shuffle_parts(sf_dir, "orders"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        us = d.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        p = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "d": pa.array(us // 86_400_000_000, pa.int64()),
+            "price_c": pa.array(np.floor(p * 100.0).astype(np.int64),
+                                pa.int64()),
+        })
+
+    pts = ds.map_batches(prep, batch_format="pyarrow",
+                         runtime_env=runtime_env())
+    return skyline2d(pts, x_col="d", y_col="price_c",
+                     keep_cols=["o_orderkey"]).sort("o_orderkey")
+
+
+_SQL_ORDER_SKYLINE = """
+WITH o AS (
+  SELECT o_orderkey, CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS d,
+         CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_c
+  FROM orders
+)
+SELECT a.d AS d, a.price_c AS price_c, a.o_orderkey
+FROM o a
+WHERE NOT EXISTS (
+  SELECT 1 FROM o b
+  WHERE b.d <= a.d AND b.price_c >= a.price_c
+    AND (b.d < a.d OR b.price_c > a.price_c)
+)
+ORDER BY a.o_orderkey
+"""
+
+
+def q_table_profile(sf_dir: str):
+    """Per-column profiling audit of lineitem —
+    :func:`~deepwebharvester_ray.functions.agg.column_profile`: n_rows /
+    n_null / exact n_distinct / min / max for four normalized integer
+    columns and two enum strings, the ANALYZE-style data-quality sweep a
+    pipeline runs before trusting a new table drop.  One stats combiner
+    pass (O(blocks × columns) exchange) + the two-level-distinct plan
+    for exact NDV; min/max compared in the int64 domain and stringified
+    only at the end (lexicographic "10" < "9" hazard)."""
+    from ..functions.agg import column_profile
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_quantity", "l_extendedprice",
+                        "l_shipdate", "l_returnflag", "l_linestatus"],
+               override_num_blocks=_shuffle_parts(sf_dir, "lineitem"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        d = batch.column("l_shipdate")
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        us = d.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        p = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_quantity_c": pa.array(
+                np.floor(q * 100.0).astype(np.int64), pa.int64()),
+            "l_price_c": pa.array(
+                np.floor(p * 100.0).astype(np.int64), pa.int64()),
+            "l_shipdate_d": pa.array(us // 86_400_000_000, pa.int64()),
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+        })
+
+    norm = ds.map_batches(prep, batch_format="pyarrow",
+                          runtime_env=runtime_env())
+    return column_profile(
+        norm,
+        int_cols=["l_orderkey", "l_quantity_c", "l_price_c",
+                  "l_shipdate_d"],
+        str_cols=["l_returnflag", "l_linestatus"],
+    )
+
+
+def _sql_table_profile() -> str:
+    heads = {
+        "l_orderkey": "l_orderkey",
+        "l_quantity_c": "CAST(floor(l_quantity * 100.0) AS BIGINT)",
+        "l_price_c": "CAST(floor(l_extendedprice * 100.0) AS BIGINT)",
+        "l_shipdate_d": "CAST(epoch_ms(l_shipdate) // 86400000 AS BIGINT)",
+        "l_returnflag": "l_returnflag",
+        "l_linestatus": "l_linestatus",
+    }
+    parts = [
+        f"""SELECT '{name}' AS col, count(*) AS n_rows,
+       CAST(count(*) - count(v) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+       CAST(min(v) AS VARCHAR) AS min_s, CAST(max(v) AS VARCHAR) AS max_s
+FROM (SELECT {expr} AS v FROM lineitem)"""
+        for name, expr in heads.items()
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col"
+
+
 def q_split_assign(sf_dir: str):
     """Deterministic train/val/test split: 64-bit multiplicative hash of
     doc_id against exact integer cutoffs — stable under reshards/resume
@@ -8582,6 +8698,8 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "user_moving_sum": q_user_moving_sum,
         "user_hourly_fill": q_user_hourly_fill,
         "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
+        "order_skyline": q_order_skyline,
+        "table_profile": q_table_profile,
         "distinct_users_by_type": q_distinct_users_by_type,
         "value_stats": q_value_stats,
         "orders_with_late_items": q_orders_with_late_items,
@@ -8717,6 +8835,8 @@ def build_oracle_sql() -> Dict[str, str]:
         "user_moving_sum": _SQL_USER_MOVING_SUM,
         "user_hourly_fill": _SQL_USER_HOURLY_FILL,
         "fuzzy_vocab_pairs": _SQL_FUZZY_VOCAB_PAIRS,
+        "order_skyline": _SQL_ORDER_SKYLINE,
+        "table_profile": _sql_table_profile(),
         "distinct_users_by_type": _SQL_DISTINCT_USERS,
         "value_stats": _SQL_VALUE_STATS,
         "orders_with_late_items": _SQL_ORDERS_WITH_LATE_ITEMS,

