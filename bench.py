@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "fuzzy_vocab_pairs",
     "order_skyline",
     "table_profile",
+    "corpus_card",
     "crawl_bfs",
 ]
 

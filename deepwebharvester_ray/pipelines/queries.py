@@ -2649,6 +2649,98 @@ FROM (SELECT {expr} AS v FROM lineitem)"""
     return "\nUNION ALL\n".join(parts) + "\nORDER BY col"
 
 
+def q_corpus_card(sf_dir: str):
+    """Dataset-card summary — the one-page (metric, value) table every
+    corpus release ships (docs, tokens, duplication, language mix,
+    length profile): ONE shared per-doc pass (tokenize + lang-ID +
+    content hash, materialized once) feeds a constant-key combiner for
+    the scalar stats and the two-level-distinct plan for the exact
+    distinct-text count; every value integer-exact (floor mean,
+    count-based mix)."""
+    from ..functions.dedup import add_content_hash
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"],
+                 override_num_blocks=_shuffle_parts(sf_dir))
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        batch = token_count_batch(batch)
+        batch = lang_id_batch(batch)
+        batch = add_content_hash(batch)
+        n = batch.column("n_tokens").combine_chunks().cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        lang = np.asarray(batch.column("pred_lang").to_pylist(),
+                          dtype=object)
+        return pa.table({
+            "k": pa.array(np.zeros(len(n), np.int64), pa.int64()),
+            "content_hash": batch.column("content_hash"),
+            "n_tokens": pa.array(n, pa.int64()),
+            "is_en": pa.array((lang == "en").astype(np.int64), pa.int64()),
+            "is_short": pa.array((n < 40).astype(np.int64), pa.int64()),
+        })
+
+    stats = docs.map_batches(per_doc, batch_format="pyarrow",
+                             runtime_env=runtime_env()).materialize()
+    agg = grouped_agg(
+        stats, ["k"],
+        [("n_docs", "", "count"), ("n_tokens", "n_tokens", "sum"),
+         ("en_docs", "is_en", "sum"), ("short_docs", "is_short", "sum"),
+         ("max_tokens", "n_tokens", "max")],
+    ).take_all()[0]
+    distinct_texts = grouped_agg(
+        stats.select_columns(["content_hash"]), ["content_hash"],
+        [("n", "", "count")],
+    ).count()
+    metrics = {
+        "dup_docs": agg["n_docs"] - distinct_texts,
+        "en_docs": agg["en_docs"],
+        "max_tokens": agg["max_tokens"],
+        "mean_tokens": agg["n_tokens"] // agg["n_docs"],
+        "n_distinct_texts": distinct_texts,
+        "n_docs": agg["n_docs"],
+        "n_tokens": agg["n_tokens"],
+        "short_docs": agg["short_docs"],
+    }
+    names = sorted(metrics)
+    return pa.table({
+        "metric": pa.array(names, pa.string()),
+        "value": pa.array([int(metrics[m]) for m in names], pa.int64()),
+    })
+
+
+def _sql_corpus_card() -> str:
+    lang_inner = _sql_lang_id().replace("ORDER BY doc_id", "")
+    return rf"""
+WITH langs AS ({lang_inner}),
+t AS (
+  SELECT d.doc_id,
+         CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT) AS n,
+         l.pred_lang
+  FROM documents d JOIN langs l USING (doc_id)
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END)
+              AS BIGINT) AS en_docs,
+         CAST(sum(CASE WHEN n < 40 THEN 1 ELSE 0 END) AS BIGINT)
+             AS short_docs,
+         CAST(max(n) AS BIGINT) AS max_tokens
+  FROM t
+),
+h AS (SELECT CAST(count(DISTINCT sha256(text)) AS BIGINT) AS dh
+      FROM documents)
+SELECT 'dup_docs' AS metric, n_docs - dh AS value FROM agg, h
+UNION ALL SELECT 'en_docs', en_docs FROM agg
+UNION ALL SELECT 'max_tokens', max_tokens FROM agg
+UNION ALL SELECT 'mean_tokens', n_tokens // n_docs FROM agg
+UNION ALL SELECT 'n_distinct_texts', dh FROM h
+UNION ALL SELECT 'n_docs', n_docs FROM agg
+UNION ALL SELECT 'n_tokens', n_tokens FROM agg
+UNION ALL SELECT 'short_docs', short_docs FROM agg
+ORDER BY metric
+"""
+
+
 def q_split_assign(sf_dir: str):
     """Deterministic train/val/test split: 64-bit multiplicative hash of
     doc_id against exact integer cutoffs — stable under reshards/resume
@@ -8700,6 +8792,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
         "order_skyline": q_order_skyline,
         "table_profile": q_table_profile,
+        "corpus_card": q_corpus_card,
         "distinct_users_by_type": q_distinct_users_by_type,
         "value_stats": q_value_stats,
         "orders_with_late_items": q_orders_with_late_items,
@@ -8837,6 +8930,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "fuzzy_vocab_pairs": _SQL_FUZZY_VOCAB_PAIRS,
         "order_skyline": _SQL_ORDER_SKYLINE,
         "table_profile": _sql_table_profile(),
+        "corpus_card": _sql_corpus_card(),
         "distinct_users_by_type": _SQL_DISTINCT_USERS,
         "value_stats": _SQL_VALUE_STATS,
         "orders_with_late_items": _SQL_ORDERS_WITH_LATE_ITEMS,
