@@ -691,13 +691,73 @@ def run_bloomjoin(n: int, plain: bool) -> dict:
     }
 
 
+def run_fuzzy(n: int) -> dict:
+    """edit1_pairs over an n-token decimal vocabulary: candidate stream
+    O(V · avg_len), pairs grow ~linearly with V — wall must grow ~
+    linearly and driver RSS stay flat (everything but the final count
+    lives in the data plane)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.fuzzy import edit1_pairs
+
+    toks = np.char.mod("%d", np.arange(n))
+    ds = ray.data.from_arrow(
+        pa.table({"token": pa.array(toks)})
+    ).repartition(32)
+    t0 = time.monotonic()
+    n_pairs = edit1_pairs(ds, col="token").count()
+    return {
+        "case": "fuzzy", "n": n, "pairs": n_pairs,
+        "wall_s": round(time.monotonic() - t0, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
+def run_skyline(n: int) -> dict:
+    """skyline2d over n random 2-D int points: the per-block
+    partial-frontier combiner keeps the merge O(blocks · frontier)
+    (~log n for random data) — driver RSS flat, wall ~linear, while the
+    SQL NOT EXISTS equivalent is O(n²)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.skyline import skyline2d
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        x = (h >> np.uint64(34)).astype(np.int64)          # 30-bit
+        h2 = (h ^ (h >> np.uint64(31))) * np.uint64(0xBF58476D1CE4E5B9)
+        y = (h2 >> np.uint64(34)).astype(np.int64)
+        return pa.table({"x": pa.array(x, pa.int64()),
+                         "y": pa.array(y, pa.int64())})
+
+    from deepwebharvester_ray import runtime_env
+
+    ds = ray.data.range(n, override_num_blocks=64).map_batches(
+        gen, batch_format="pyarrow", runtime_env=runtime_env()
+    )
+    t0 = time.monotonic()
+    rows = skyline2d(ds, x_col="x", y_col="y").count()
+    return {
+        "case": "skyline", "n": n, "frontier": rows,
+        "wall_s": round(time.monotonic() - t0, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("case", choices=["minhash", "frontier", "highcard",
                                     "interval", "pagerank", "semdedup",
                                     "passage", "skewjoin", "bpe",
                                     "stream", "skewagg", "bloomjoin",
-                                    "containment", "knn"])
+                                    "containment", "knn", "fuzzy",
+                                    "skyline"])
     p.add_argument("--dup", type=int, default=1)
     p.add_argument("--seeds", type=int, default=10_000)
     p.add_argument("--shards", type=int, default=None)
@@ -744,6 +804,10 @@ def main() -> None:
             out = run_containment(args.dup, args.sf)
         elif args.case == "knn":
             out = run_knn(args.n)
+        elif args.case == "fuzzy":
+            out = run_fuzzy(args.n)
+        elif args.case == "skyline":
+            out = run_skyline(args.n)
         else:
             out = run_highcard(args.n)
     finally:
