@@ -8685,6 +8685,152 @@ FROM j GROUP BY cw, tw - cw ORDER BY cohort_week, age_weeks
 """
 
 
+# Line position packs into the low bits of the first-occurrence key:
+# enc = doc_id * 2^16 + pos.  Valid to 2^46 docs × 65 536 lines/doc; a
+# longer-doc corpus widens the shift (documented knob, not a silent cap).
+_LINE_POS_MOD = 65_536
+
+
+def q_line_dedup(sf_dir: str):
+    """GLOBAL exact line-level dedup (the RefinedWeb/C4-style pass that
+    removes corpus-wide repeated lines — boilerplate, nav bars, cookie
+    banners — keeping each distinct line only at its FIRST occurrence by
+    (doc_id, pos), then reassembles every doc from its surviving lines).
+    Complements :func:`q_line_filter` (per-doc local scrub) and
+    :func:`q_host_boilerplate` (per-host window flagging): this is the
+    cross-host global variant.  Reference parity: the reference dedups
+    whole pages by content hash (deepwebharvester/crawler.py seen-hash
+    set); this is the line-granular generalization used by LLM corpus
+    prep.  Docs that lose every line drop out (inner semantics).
+
+    The synthetic corpus is single-line, so the query plants the same
+    deterministic multi-line layout as q_line_filter (one unique-ish
+    content line + two globally-shared boilerplate lines + a
+    conditional shared line), mirrored exactly in the oracle.
+
+    Distributed shape: explode is a pure map; the ONLY corpus-sized
+    exchange is a combiner grouped MIN of the packed first-occurrence
+    key per 60-bit line hash — globally repeated boilerplate collapses
+    to one row per block BEFORE the shuffle and only the 8-byte hash
+    (never line text) crosses the wire; first-occurrence keys re-attach
+    through the size-gated :func:`attach_id_labels` (broadcast below
+    the cutoff, native hash join above); reassembly is the single-key
+    doc sort + in-block pos lexsort + per-run join (equal doc_ids
+    co-locate only when the sort key is doc_id ALONE — CLAUDE.md).
+    Collision-free-hash assumption shared with containment_pairs /
+    host_boilerplate: a 60-bit collision could only merge two distinct
+    lines, caught by the oracle at test scale."""
+    import hashlib
+
+    from ..functions.dedup import _run_bounds, attach_id_labels
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_pos, out_line = [], [], []
+        for d, t in zip(ids.tolist(), batch.column("text").to_pylist()):
+            lines = [
+                (t or "") + ("." if d % 2 == 0 else ""),
+                "too few",
+                "this line mentions javascript libraries everywhere.",
+            ]
+            if d % 3 == 0:
+                lines.append("a clean second sentence with enough words.")
+            out_id.extend([d] * len(lines))
+            out_pos.extend(range(len(lines)))
+            out_line.extend(lines)
+        hs = np.asarray(
+            [int(hashlib.md5(ln.encode()).hexdigest()[:15], 16)
+             for ln in out_line], np.int64)
+        ids_a = np.asarray(out_id, np.int64)
+        pos_a = np.asarray(out_pos, np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids_a, pa.int64()),
+            "pos": pa.array(pos_a, pa.int64()),
+            "line": pa.array(out_line, pa.string()),
+            "h": pa.array(hs, pa.int64()),
+            "enc": pa.array(ids_a * _LINE_POS_MOD + pos_a, pa.int64()),
+        })
+
+    occ = ds.map_batches(explode, batch_format="pyarrow",
+                         batch_size=None,
+                         runtime_env=runtime_env()).materialize()
+
+    firsts = grouped_agg(
+        occ.map_batches(
+            lambda b: b.select(["h", "enc"]),
+            batch_format="pyarrow", runtime_env=runtime_env()),
+        ["h"], [("min_enc", "enc", "min")],
+    )
+    lab = attach_id_labels(occ, firsts, id_column="h",
+                           label_id_column="h", label_column="min_enc")
+
+    def keep_first(batch: pa.Table) -> pa.Table:
+        enc = batch.column("enc").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        me = batch.column("min_enc").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return batch.filter(pa.array(enc == me)).select(
+            ["doc_id", "pos", "line"])
+
+    kept = lab.map_batches(keep_first, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+
+    def reassemble(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "kept_text": pa.array([], pa.string()),
+                             "n_kept": pa.array([], pa.int64())})
+        d = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        p = batch.column("pos").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        lines = np.asarray(batch.column("line").to_pylist(), dtype=object)
+        order = np.lexsort((p, d))
+        d, lines = d[order], lines[order]
+        starts, ends = _run_bounds(d)
+        return pa.table({
+            "doc_id": pa.array(d[starts], pa.int64()),
+            "kept_text": pa.array(
+                ["\n".join(lines[s:e]) for s, e in zip(starts, ends)],
+                pa.string()),
+            "n_kept": pa.array(ends - starts, pa.int64()),
+        })
+
+    return kept.sort("doc_id").map_batches(
+        reassemble, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+
+
+_SQL_LINE_DEDUP = f"""
+WITH l AS (
+  SELECT doc_id, 0 AS pos,
+         COALESCE(text, '') ||
+         CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END AS line
+  FROM documents
+  UNION ALL SELECT doc_id, 1, 'too few' FROM documents
+  UNION ALL SELECT doc_id, 2,
+    'this line mentions javascript libraries everywhere.' FROM documents
+  UNION ALL SELECT doc_id, 3,
+    'a clean second sentence with enough words.'
+  FROM documents WHERE doc_id % 3 = 0
+),
+f AS (SELECT line, min(doc_id * {_LINE_POS_MOD} + pos) AS me
+      FROM l GROUP BY line),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM l JOIN f ON f.line = l.line
+              AND l.doc_id * {_LINE_POS_MOD} + l.pos = f.me
+)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY pos) AS kept_text,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -8771,6 +8917,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
         "line_filter": q_line_filter,
+        "line_dedup": q_line_dedup,
         "ml_quality_score": q_ml_quality_score,
         "repetition_filter": q_repetition_filter,
         "domain_mix": q_domain_mix,
@@ -8909,6 +9056,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "contamination": _SQL_CONTAMINATION,
         "pii_redact": _SQL_PII_REDACT,
         "line_filter": _SQL_LINE_FILTER,
+        "line_dedup": _SQL_LINE_DEDUP,
         "ml_quality_score": _SQL_ML_QUALITY,
         "repetition_filter": _SQL_REPETITION,
         "domain_mix": _SQL_DOMAIN_MIX,

@@ -96,6 +96,7 @@ SPOT_CHECKED = [
     "pii_redact",
     "clean_text",
     "line_filter",
+    "line_dedup",
     "ml_quality_score",
     "repetition_filter",
     "domain_mix",
@@ -291,3 +292,42 @@ def test_politeness_audit_boundary_merge_many_blocks(ray_session, tmp_path):
         gaps = [b - a for a, b in zip(ts, ts[1:])]
         assert out[h] == (len(ts), min(gaps) if gaps else maxi), h
     assert set(out) == set(ref)
+
+
+def test_line_dedup_cross_block_first_occurrence(ray_session, tmp_path):
+    """Global first-occurrence must hold ACROSS blocks: duplicates of one
+    line planted in both halves of a 2-block read may only survive at the
+    minimal (doc_id, pos) — compared against a direct Python reference of
+    the same planting rule."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_line_dedup
+
+    n = 1000
+    texts = ["shared content line" if i % 50 == 0 else f"uniq {i}"
+             for i in range(n)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    out = {r["doc_id"]: (r["kept_text"], r["n_kept"])
+           for r in q_line_dedup(str(tmp_path)).take_all()}
+
+    seen: set = set()
+    ref: dict = {}
+    for d in range(n):
+        lines = [texts[d] + ("." if d % 2 == 0 else ""),
+                 "too few",
+                 "this line mentions javascript libraries everywhere."]
+        if d % 3 == 0:
+            lines.append("a clean second sentence with enough words.")
+        kept = [ln for ln in lines if ln not in seen]
+        seen.update(lines)
+        if kept:
+            ref[d] = ("\n".join(kept), len(kept))
+    assert out == ref
+    # the planted duplicate line must have been dropped everywhere but doc 0
+    assert all("shared content line." not in out.get(d, ("", 0))[0]
+               for d in range(1, n) if d % 50 == 0)
