@@ -8831,6 +8831,126 @@ FROM kept GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_source_entropy(sf_dir: str):
+    """Per-source token diversity: Shannon entropy of each source's
+    unigram distribution — THE curation metric for judging whether a
+    source adds variety or repeats itself (low entropy → boilerplate
+    farm, downweight in the domain mix; pairs with q_domain_mix /
+    q_domain_upsample which set the weights).  True entropy needs float
+    logs; both engines instead compute the INTEGER floor-log2 envelope
+    ``h_raw = Σ_t c_t · (⌊log2 N_s⌋ − ⌊log2 c_t⌋)`` (the doc_surprisal
+    rule at source granularity, self-LM) — bit-identical (DuckDB
+    ``length(bin(x))-1``, numpy frexp) and monotone in diversity —
+    plus the integer-milli per-token mean.
+
+    Distributed shape: ONE tokenization pass emits per-doc (source,
+    token, tf) rows (np.unique per doc bounds emitted rows by per-doc
+    vocabulary); the per-(source, token) counts ride a combiner
+    ``grouped_agg``; per-source totals are |sources| rows (bounded —
+    the orders_by_segment take_all rule) broadcast as a dict; the
+    entropy partials are a second combiner aggregate over the
+    VOCABULARY-sized count table, never the raw token stream."""
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["source", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def doc_terms(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        out_src, out_tok, out_tf = [], [], []
+        for s, t in zip(srcs, batch.column("text").to_pylist()):
+            toks = WORD_RE.findall((t or "").lower())
+            if not toks:
+                continue
+            uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                     return_counts=True)
+            out_src.extend([s] * len(uniq))
+            out_tok.extend(uniq.tolist())
+            out_tf.append(counts.astype(np.int64))
+        return pa.table({
+            "source": pa.array(out_src, pa.string()),
+            "token": pa.array(out_tok, pa.string()),
+            "tf": pa.array(
+                np.concatenate(out_tf) if out_tf
+                else np.empty(0, np.int64), pa.int64()),
+        })
+
+    cnt = grouped_agg(
+        ds.map_batches(doc_terms, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["source", "token"], [("c", "tf", "sum")],
+    ).materialize()
+
+    # |sources| rows — bounded by source cardinality, never the vocab
+    totals = grouped_agg(
+        cnt, ["source"],
+        [("n_tok", "c", "sum"), ("n_distinct", "", "count")],
+    ).take_all()
+    logn = {r["source"]: int(r["n_tok"]).bit_length() - 1 for r in totals}
+
+    def part_entropy(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "part": pa.array([], pa.int64())})
+        enc = batch.column("source").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        ln = np.asarray([logn[u] for u in enc.dictionary.to_pylist()],
+                        np.int64)[codes]
+        c = batch.column("c").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "source": batch.column("source"),
+            "part": pa.array(c * (ln - _flog2(c)), pa.int64()),
+        })
+
+    h = grouped_agg(
+        cnt.map_batches(part_entropy, batch_format="pyarrow",
+                        batch_size=None, runtime_env=runtime_env()),
+        ["source"], [("h_raw", "part", "sum")],
+    )
+
+    tot_map = {r["source"]: (int(r["n_tok"]), int(r["n_distinct"]))
+               for r in totals}
+
+    def finish(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        hr = batch.column("h_raw").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        nt = np.asarray([tot_map[s][0] for s in srcs], np.int64)
+        nd = np.asarray([tot_map[s][1] for s in srcs], np.int64)
+        return pa.table({
+            "source": batch.column("source"),
+            "n_tok": pa.array(nt, pa.int64()),
+            "n_distinct": pa.array(nd, pa.int64()),
+            "h_raw": pa.array(hr, pa.int64()),
+            "h_milli_per_tok": pa.array(hr * 1000 // nt, pa.int64()),
+        })
+
+    return h.map_batches(finish, batch_format="pyarrow",
+                         runtime_env=runtime_env()).sort("source")
+
+
+_SQL_SOURCE_ENTROPY = """
+WITH t AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+c AS (SELECT source, token, count(*) AS c FROM t GROUP BY source, token),
+s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tok,
+             CAST(count(*) AS BIGINT) AS n_distinct
+      FROM c GROUP BY source),
+h AS (SELECT c.source,
+             CAST(sum(c.c * ((length(bin(s.n_tok)) - 1)
+                             - (length(bin(c.c)) - 1))) AS BIGINT) AS h_raw
+      FROM c JOIN s ON s.source = c.source GROUP BY c.source)
+SELECT s.source, s.n_tok, s.n_distinct, h.h_raw,
+       CAST(h.h_raw * 1000 // s.n_tok AS BIGINT) AS h_milli_per_tok
+FROM s JOIN h ON h.source = s.source
+ORDER BY s.source
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -8918,6 +9038,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "pii_redact": q_pii_redact,
         "line_filter": q_line_filter,
         "line_dedup": q_line_dedup,
+        "source_entropy": q_source_entropy,
         "ml_quality_score": q_ml_quality_score,
         "repetition_filter": q_repetition_filter,
         "domain_mix": q_domain_mix,
@@ -9057,6 +9178,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "pii_redact": _SQL_PII_REDACT,
         "line_filter": _SQL_LINE_FILTER,
         "line_dedup": _SQL_LINE_DEDUP,
+        "source_entropy": _SQL_SOURCE_ENTROPY,
         "ml_quality_score": _SQL_ML_QUALITY,
         "repetition_filter": _SQL_REPETITION,
         "domain_mix": _SQL_DOMAIN_MIX,

@@ -97,6 +97,7 @@ SPOT_CHECKED = [
     "clean_text",
     "line_filter",
     "line_dedup",
+    "source_entropy",
     "ml_quality_score",
     "repetition_filter",
     "domain_mix",
@@ -331,3 +332,27 @@ def test_line_dedup_cross_block_first_occurrence(ray_session, tmp_path):
     # the planted duplicate line must have been dropped everywhere but doc 0
     assert all("shared content line." not in out.get(d, ("", 0))[0]
                for d in range(1, n) if d % 50 == 0)
+
+
+def test_source_entropy_extremes(ray_session, tmp_path):
+    """Entropy envelope pins: a source whose tokens are all identical has
+    h_raw = 0; a source of N all-distinct tokens has h_raw = N*floor(log2 N)
+    (here 8*3 = 24)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_source_entropy
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "source": pa.array(["mono", "vary"], pa.string()),
+            "text": pa.array(["tok tok tok tok tok tok tok tok",
+                              "a1 b2 c3 d4 e5 f6 g7 h8"], pa.string()),
+        }),
+        str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in q_source_entropy(str(tmp_path)).take_all()}
+    assert out["mono"]["h_raw"] == 0
+    assert out["mono"]["n_distinct"] == 1
+    assert out["vary"]["h_raw"] == 8 * 3
+    assert out["vary"]["h_milli_per_tok"] == 3000
