@@ -166,6 +166,9 @@ BENCH_QUERIES = [
     "order_skyline",
     "table_profile",
     "corpus_card",
+    "line_dedup",
+    "source_entropy",
+    "link_kcore",
     "crawl_bfs",
 ]
 

@@ -585,3 +585,87 @@ def bfs_distances(
         ).materialize()
 
     return settled
+
+
+def kcore_nodes(
+    edges_ds,
+    k: int,
+    max_rounds: int = 200,
+):
+    """Nodes of the **k-core** — the maximal induced subgraph where
+    every node has degree ≥ k — of the UNDIRECTED simple graph built
+    from ``edges_ds`` ``(src, dst)``; self-loops drop, duplicate and
+    reverse edges collapse.  Returns ``(id, deg)`` rows, one per
+    surviving node with its degree INSIDE the core, key-sorted.  The
+    web-graph dense-community / link-farm primitive (and the standard
+    graph-ML preprocessing peel).
+
+    Iterative PARALLEL peeling: each round removes ALL currently-under-k
+    nodes at once — same fixpoint as sequential peeling (the k-core is
+    the unique maximal subgraph fixpoint), rounds = peeling depth (≈
+    longest chain of cascading removals; ~log n for hierarchy-shaped
+    webgraphs, bounded by max_rounds — raises on non-convergence like
+    connected_components).
+
+    Per-round distributed shape: degrees are ONE combiner grouped COUNT
+    per endpoint over the symmetric edge table (the only corpus-sized
+    exchange — and only in round 1; later rounds count the shrunken
+    table); removals leave through the size-gated
+    :func:`~deepwebharvester_ray.functions.dedup.subtract_ids` applied
+    to BOTH endpoint columns (broadcast sorted-array anti below the
+    cutoff — a peel round usually sheds a sliver — native left-outer
+    marker join above).  Driver state is one removed-count scalar per
+    round, never a node list."""
+    import ray
+
+    from .agg import grouped_agg
+    from .dedup import subtract_ids
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "u": pa.array(np.concatenate([s, d]), pa.int64()),
+            "v": pa.array(np.concatenate([d, s]), pa.int64()),
+        })
+
+    # distinct symmetric edges: one all-to-all, combiner-collapsed
+    sym = grouped_agg(
+        edges_ds.map_batches(symmetrize, batch_format="pyarrow",
+                             runtime_env=runtime_env()),
+        ["u", "v"], [("n", "", "count")],
+    ).map_batches(lambda b: b.select(["u", "v"]),
+                  batch_format="pyarrow",
+                  runtime_env=runtime_env()).materialize()
+
+    empty = pa.table({"id": pa.array([], pa.int64()),
+                      "deg": pa.array([], pa.int64())})
+
+    for _ in range(max_rounds):
+        deg = grouped_agg(sym, ["u"], [("deg", "", "count")]).materialize()
+        if deg.count() == 0:
+            return ray.data.from_arrow(empty)
+
+        def under(batch: pa.Table, _k=k) -> pa.Table:
+            d = batch.column("deg").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return batch.filter(pa.array(d < _k))
+
+        removed = deg.map_batches(under, batch_format="pyarrow",
+                                  runtime_env=runtime_env()).materialize()
+        if removed.count() == 0:
+            return deg.map_batches(
+                lambda b: pa.table({"id": b.column("u"),
+                                    "deg": b.column("deg")}),
+                batch_format="pyarrow", runtime_env=runtime_env(),
+            )
+        sym = subtract_ids(
+            subtract_ids(sym, removed, id_column="u", drop_column="u"),
+            removed, id_column="v", drop_column="u",
+        ).materialize()
+    raise RuntimeError(
+        f"kcore_nodes: no fixpoint within {max_rounds} rounds")

@@ -8951,6 +8951,54 @@ ORDER BY s.source
 """
 
 
+# Cross-link ring width for the k-core demo graph: the first _KCORE_RING
+# docs form a dense community (each linked to its two ring successors)
+# on top of the site-hierarchy tree (every doc links its parent d // 2).
+_KCORE_RING = 64
+_KCORE_K = 3
+
+
+def q_link_kcore(sf_dir: str):
+    """k-core extraction over a site-hierarchy + cross-link graph — THE
+    web-graph dense-community / link-farm detection primitive (peel
+    everything that can't sustain k mutual links; what survives is the
+    tightly-knit core).  The corpus's own 3-regular link graph has no
+    peeling cascade (every node survives k≤5, none survives k=6), so
+    the query derives the classic shape a real site graph has: a
+    hierarchy tree (page d links its parent d//2 — URL-path structure)
+    plus a dense cross-link ring among the first 64 pages (the "link
+    farm").  Peeling at k=3 cascades leaf-to-root through ~log2(n)
+    rounds and leaves exactly the dense community — rows-only (the
+    fixpoint is non-monotone, so no recursive-CTE oracle; exactness is
+    pinned by the brute-force peeling reference test in
+    tests/test_functions.py).
+
+    Engine: :func:`~deepwebharvester_ray.functions.graph.kcore_nodes`
+    (per-round combiner degree count + size-gated endpoint subtract;
+    driver sees one scalar per round)."""
+    from ..functions.graph import kcore_nodes
+
+    docs = _docs(sf_dir, columns=["doc_id"],
+                 override_num_blocks=_shuffle_parts(sf_dir))
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = [d[d > 0]]
+        dst = [d[d > 0] // 2]
+        ring = d[d < _KCORE_RING]
+        for off in (1, 2):
+            src.append(ring)
+            dst.append((ring + off) % _KCORE_RING)
+        return pa.table({
+            "src": pa.array(np.concatenate(src), pa.int64()),
+            "dst": pa.array(np.concatenate(dst), pa.int64()),
+        })
+
+    edges = docs.map_batches(to_edges, batch_format="pyarrow",
+                             runtime_env=runtime_env())
+    return kcore_nodes(edges, k=_KCORE_K)
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -9039,6 +9087,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "line_filter": q_line_filter,
         "line_dedup": q_line_dedup,
         "source_entropy": q_source_entropy,
+        "link_kcore": q_link_kcore,
         "ml_quality_score": q_ml_quality_score,
         "repetition_filter": q_repetition_filter,
         "domain_mix": q_domain_mix,
@@ -9241,5 +9290,6 @@ ROWS_ONLY: List[str] = [
     "semdedup_prune",
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
     "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
+    "link_kcore",
     "compressibility", "streaming_heavy_tokens",
 ]

@@ -2104,3 +2104,66 @@ def test_fingerprint_short_doc_word_boundaries():
     t = pa.table({"text": ["ab c", "a bc", "abc"]})
     fps = textops.fingerprint_batch(t).column("fingerprint").to_pylist()
     assert len(set(fps)) == 3
+
+
+def test_kcore_brute_force_reference():
+    """Parallel dataflow peeling == sequential brute-force peeling on a
+    random sparse graph (multi-round cascades, duplicate + reverse +
+    self-loop edges in the input)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.graph import kcore_nodes
+
+    rng = np.random.default_rng(11)
+    n = 400
+    src = rng.integers(0, n, 1400)
+    dst = rng.integers(0, n, 1400)
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64()),
+    })).repartition(7)
+
+    for k in (2, 3, 4):
+        got = {r["id"]: r["deg"] for r in kcore_nodes(edges, k).take_all()}
+
+        adj = {}
+        for s, d in zip(src.tolist(), dst.tolist()):
+            if s == d:
+                continue
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        while True:
+            rm = [u for u, vs in adj.items() if len(vs) < k]
+            if not rm:
+                break
+            for u in rm:
+                for v in adj[u]:
+                    adj[v].discard(u)
+                del adj[u]
+        assert got == {u: len(vs) for u, vs in adj.items()}, k
+
+
+def test_kcore_cascade_tree_ring():
+    """A leaf-to-root cascade: hierarchy tree + 8-node ring with chords
+    — the 3-core is exactly the ring, reached only through multi-round
+    peeling (single-pass degree filtering would keep internal tree
+    nodes of degree 3)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.graph import kcore_nodes
+
+    n, m = 200, 8
+    d = np.arange(1, n, dtype=np.int64)
+    ring = np.arange(m, dtype=np.int64)
+    src = np.concatenate([d, ring, ring])
+    dst = np.concatenate([d // 2, (ring + 1) % m, (ring + 2) % m])
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64()),
+    })).repartition(5)
+    got = {r["id"] for r in kcore_nodes(edges, 3).take_all()}
+    assert got == set(range(m))
