@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "line_dedup",
     "source_entropy",
     "link_kcore",
+    "user_state_ranges",
     "crawl_bfs",
 ]
 

@@ -8999,6 +8999,115 @@ def q_link_kcore(sf_dir: str):
     return kcore_nodes(edges, k=_KCORE_K)
 
 
+def q_user_state_ranges(sf_dir: str):
+    """SCD-2 style state-history compaction: each user's time-ordered
+    event stream collapsed to validity RANGES — one row per maximal run
+    of consecutive equal event_type, carrying valid_from (run's first
+    ts), valid_to (next run's first ts; NULL while current) and the run
+    size.  The CDC history-table builder: turns an append-only event
+    log into the slowly-changing-dimension shape that point-in-time
+    (ASOF) joins consume.
+
+    Distributed shape: ONE sort on the high-cardinality user key
+    (equal users co-locate per the single-key rule; ts order is
+    recovered by an in-block lexsort — never a composite sort key),
+    then one vectorized block pass: lexsort, run-boundary diff on
+    (user, event_type), per-run first-ts gather, next-run valid_to
+    shift, per-user run ordinals via a prefix max — no join, no window
+    materialization.  run_idx makes output order deterministic where
+    adjacent runs tie on ts."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def compact(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "run_idx": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "valid_from": pa.array([], pa.timestamp("us")),
+            "valid_to": pa.array([], pa.timestamp("us")),
+            "n_events": pa.array([], pa.int64()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        u = batch.column("user_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ts_us = (batch.column("ts").combine_chunks()
+                 .cast(pa.timestamp("us")).cast(pa.int64())
+                 .to_numpy(zero_copy_only=False))
+        eid = batch.column("event_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        et = np.asarray(batch.column("event_type").to_pylist(),
+                        dtype=object)
+        order = np.lexsort((eid, ts_us, u))
+        u, ts_us, et = u[order], ts_us[order], et[order]
+
+        n = len(u)
+        chg = np.ones(n, dtype=bool)
+        chg[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        starts = np.flatnonzero(chg)
+        ends = np.append(starts[1:], n)
+
+        run_user = u[starts]
+        valid_from = ts_us[starts]
+        nruns = len(starts)
+        # valid_to = next run's valid_from when same user, else NULL
+        last_of_user = np.ones(nruns, dtype=bool)
+        last_of_user[:-1] = run_user[1:] != run_user[:-1]
+        vt = np.empty(nruns, np.int64)
+        vt[:-1] = valid_from[1:]
+        vt[-1:] = 0  # masked anyway
+        # per-user run ordinal: run index minus the user's first run index
+        idx = np.arange(nruns, dtype=np.int64)
+        new_user = np.ones(nruns, dtype=bool)
+        new_user[1:] = run_user[1:] != run_user[:-1]
+        first_idx = np.maximum.accumulate(np.where(new_user, idx, 0))
+        return pa.table({
+            "user_id": pa.array(run_user, pa.int64()),
+            "run_idx": pa.array(idx - first_idx, pa.int64()),
+            "event_type": pa.array(et[starts].tolist(), pa.string()),
+            "valid_from": pa.array(valid_from, pa.int64()).cast(
+                pa.timestamp("us")),
+            "valid_to": pa.array(vt, pa.int64(),
+                                 mask=last_of_user).cast(
+                pa.timestamp("us")),
+            "n_events": pa.array(ends - starts, pa.int64()),
+        })
+
+    return ds.sort("user_id").map_batches(
+        compact, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+
+
+_SQL_USER_STATE_RANGES = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+),
+g AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM o
+),
+r AS (
+  SELECT user_id, CAST(grp - 1 AS BIGINT) AS run_idx,
+         any_value(event_type) AS event_type,
+         min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM g GROUP BY user_id, grp
+)
+SELECT user_id, run_idx, event_type, valid_from,
+       lead(valid_from) OVER (
+           PARTITION BY user_id ORDER BY run_idx) AS valid_to,
+       n_events
+FROM r ORDER BY user_id, run_idx
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -9088,6 +9197,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "line_dedup": q_line_dedup,
         "source_entropy": q_source_entropy,
         "link_kcore": q_link_kcore,
+        "user_state_ranges": q_user_state_ranges,
         "ml_quality_score": q_ml_quality_score,
         "repetition_filter": q_repetition_filter,
         "domain_mix": q_domain_mix,
@@ -9228,6 +9338,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "line_filter": _SQL_LINE_FILTER,
         "line_dedup": _SQL_LINE_DEDUP,
         "source_entropy": _SQL_SOURCE_ENTROPY,
+        "user_state_ranges": _SQL_USER_STATE_RANGES,
         "ml_quality_score": _SQL_ML_QUALITY,
         "repetition_filter": _SQL_REPETITION,
         "domain_mix": _SQL_DOMAIN_MIX,

@@ -98,6 +98,7 @@ SPOT_CHECKED = [
     "line_filter",
     "line_dedup",
     "source_entropy",
+    "user_state_ranges",
     "ml_quality_score",
     "repetition_filter",
     "domain_mix",
