@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "source_entropy",
     "link_kcore",
     "user_state_ranges",
+    "mmr_topk",
     "crawl_bfs",
 ]
 

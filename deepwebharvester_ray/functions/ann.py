@@ -984,3 +984,93 @@ def knn_graph(
     return part.sort("vec_id").map_batches(
         merge, batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env())
+
+
+def mmr_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    pool: int = 100,
+    lam: float = 0.7,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+) -> pa.Table:
+    """Diversified retrieval — Maximal Marginal Relevance (Carbonell &
+    Goldstein '98): greedily select ``k`` results maximizing
+    ``lam·rel(q, d) − (1−lam)·max_sim(d, selected)`` so near-duplicate
+    hits don't crowd the result list.  Returns ``(query_idx, rank,
+    id)`` — rank is the greedy selection order (rank 1 is always the
+    plain relevance argmax).
+
+    Distributed shape: relevance is the exact distributed top-``pool``
+    scan (:func:`brute_topk` — per-block partial top-k, tiny merge);
+    only the POOL re-enters the driver: pool ids fetch their vectors
+    through a broadcast-mask batch filter, and the greedy loop runs on
+    a pool×pool similarity matrix bounded by the ``pool`` knob — never
+    the corpus.  An incremental running max-sim-to-selected keeps the
+    loop O(k·pool) after the one O(pool²) matmul.  Ties break
+    ``(-mmr, id)`` deterministically (same rule as brute_topk)."""
+    import ray
+
+    from .. import runtime_env
+    from ..broadcast import cached_get
+
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    nq = len(queries)
+    cand = brute_topk(ds, queries, k=pool,
+                      id_column=id_column, vec_column=vec_column)
+
+    pool_ids = np.unique(
+        cand.column("id").combine_chunks().to_numpy(zero_copy_only=False))
+    if pool_ids.size == 0:
+        return pa.table({"query_idx": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "id": pa.array([], pa.int64())})
+    ref = ray.put(pool_ids)  # sorted (np.unique)
+
+    def pool_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select([id_column, vec_column])
+        wanted = cached_get(ref)
+        ids = batch.column(id_column).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(wanted, ids)
+        pos[pos == len(wanted)] = 0
+        hit = wanted[pos] == ids
+        return batch.filter(pa.array(hit)).select([id_column, vec_column])
+
+    # ≤ nq·pool rows — bounded by the knobs, documented driver residency
+    fetched = ds.map_batches(pool_rows, batch_format="pyarrow",
+                             runtime_env=runtime_env()).take_all()
+    vec_of = {int(r[id_column]): np.asarray(r[vec_column], np.float64)
+              for r in fetched}
+
+    out_q, out_r, out_id = [], [], []
+    for qi in range(nq):
+        mask = cand.column("query_idx").combine_chunks().to_numpy(
+            zero_copy_only=False) == qi
+        ids = cand.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)[mask]
+        rel = cand.column("score").combine_chunks().to_numpy(
+            zero_copy_only=False)[mask]
+        if ids.size == 0:
+            continue
+        mat = _normalize(np.stack([vec_of[int(i)] for i in ids]))
+        sims = mat @ mat.T
+        m = len(ids)
+        max_sim = np.zeros(m)          # max sim to the selected set
+        taken = np.zeros(m, dtype=bool)
+        for rank in range(1, min(k, m) + 1):
+            mmr = lam * rel - (1.0 - lam) * max_sim
+            mmr[taken] = -np.inf
+            best = np.lexsort((ids, -mmr))[0]
+            out_q.append(qi)
+            out_r.append(rank)
+            out_id.append(int(ids[best]))
+            taken[best] = True
+            max_sim = np.maximum(max_sim, sims[:, best])
+    return pa.table({
+        "query_idx": pa.array(out_q, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+        "id": pa.array(out_id, pa.int64()),
+    })

@@ -9108,6 +9108,26 @@ FROM r ORDER BY user_id, run_idx
 """
 
 
+def q_mmr_topk(sf_dir: str):
+    """Diversified top-10 retrieval (MMR) for the standard 3 query
+    vectors over the embedding table — the retrieval-time counterpart
+    of SemDeDup: don't RETURN near-duplicates even if they all score
+    high.  Rows-only (greedy selection is iterative, not
+    SQL-expressible); exactness vs an independent Python reference is
+    pinned in tests/test_functions.py, and rank 1 must equal the plain
+    relevance argmax (= ann_topk's first hit) by construction.  See
+    :func:`~deepwebharvester_ray.functions.ann.mmr_topk` for the
+    distributed shape (exact top-pool scan; only the pool×pool matrix
+    is driver-resident)."""
+    import ray
+
+    from ..functions.ann import mmr_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    res = mmr_topk(ds, _embedding_queries(sf_dir), k=10, pool=50)
+    return ray.data.from_arrow(res)
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -9198,6 +9218,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "source_entropy": q_source_entropy,
         "link_kcore": q_link_kcore,
         "user_state_ranges": q_user_state_ranges,
+        "mmr_topk": q_mmr_topk,
         "ml_quality_score": q_ml_quality_score,
         "repetition_filter": q_repetition_filter,
         "domain_mix": q_domain_mix,
@@ -9401,6 +9422,6 @@ ROWS_ONLY: List[str] = [
     "semdedup_prune",
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
     "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
-    "link_kcore",
+    "link_kcore", "mmr_topk",
     "compressibility", "streaming_heavy_tokens",
 ]

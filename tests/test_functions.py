@@ -2167,3 +2167,53 @@ def test_kcore_cascade_tree_ring():
     })).repartition(5)
     got = {r["id"] for r in kcore_nodes(edges, 3).take_all()}
     assert got == set(range(m))
+
+
+def test_mmr_topk_reference_and_diversity():
+    """MMR == an independent greedy reference on planted clusters; the
+    diversified list must interleave clusters where plain top-k would
+    return one cluster's near-duplicates back to back."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.ann import brute_topk, mmr_topk
+
+    rng = np.random.default_rng(3)
+    # two tight clusters + noise; query sits nearer cluster A
+    a = rng.normal((5, 0, 0), 0.01, (20, 3))
+    b = rng.normal((4, 3, 0), 0.01, (20, 3))
+    noise = rng.normal(0, 1, (60, 3))
+    mat = np.vstack([a, b, noise])
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(mat)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in mat]),
+    })).repartition(4)
+    q = np.array([[5.0, 0.5, 0.0]])
+    k, pool, lam = 6, 30, 0.5
+
+    got = mmr_topk(ds, q, k=k, pool=pool, lam=lam).to_pydict()
+
+    # independent reference: same pool, plain greedy
+    cand = brute_topk(ds, q, k=pool).to_pydict()
+    ids = np.asarray(cand["id"])
+    rel = np.asarray(cand["score"])
+    vecs = mat[ids]
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    chosen, max_sim = [], np.zeros(len(ids))
+    for _ in range(k):
+        mmr = lam * rel - (1 - lam) * max_sim
+        for c in chosen:
+            mmr[c] = -np.inf
+        best = min(range(len(ids)), key=lambda i: (-mmr[i], ids[i]))
+        chosen.append(best)
+        max_sim = np.maximum(max_sim, sims[:, best])
+    assert got["id"] == [int(ids[c]) for c in chosen]
+    assert got["rank"] == list(range(1, k + 1))
+    # rank 1 == plain relevance argmax
+    assert got["id"][0] == int(ids[0])
+    # diversification: plain top-k returns ONLY cluster-A near-dups,
+    # MMR must break out of the cluster within the same k
+    assert all(i < 20 for i in ids[:k])
+    assert any(i >= 20 for i in got["id"])
