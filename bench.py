@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "link_kcore",
     "user_state_ranges",
     "mmr_topk",
+    "dq_checks",
     "crawl_bfs",
 ]
 

@@ -9128,6 +9128,155 @@ def q_mmr_topk(sf_dir: str):
     return ray.data.from_arrow(res)
 
 
+def q_dq_checks(sf_dir: str):
+    """Data-quality constraint suite — the validation pass a pipeline
+    runs before promoting a snapshot: referential-integrity orphans
+    (three anti-joins), key uniqueness, range and null-rate checks, and
+    a cross-table aggregate-consistency audit (order totals vs the
+    integer-cents sum of their line items).  One (check, n_violations)
+    row per rule; each scalar is a distributed aggregate and only the
+    seven scalars reach the driver.
+
+    Shapes: anti-joins ride the size-gated
+    :func:`~deepwebharvester_ray.functions.dedup.subtract_ids` over
+    COMBINER-distinct key tables (shuffle = distinct keys per block,
+    never raw rows); uniqueness is a combiner grouped count;
+    the consistency audit is a per-order combiner cents sum re-attached
+    through :func:`attach_id_labels` (inner semantics = the SQL JOIN —
+    orders without line items are the orphan check's job, not this
+    one's).  Cents are floored per row THEN integer-summed on both
+    engines (float sum order never matters)."""
+    import ray
+
+    from ..functions.dedup import attach_id_labels, subtract_ids
+
+    def distinct_keys(table: str, col: str, out: str = "k"):
+        ds = _read(sf_dir, table, columns=[col])
+        return grouped_agg(
+            ds.map_batches(lambda b, _c=col, _o=out: pa.table(
+                {_o: b.column(_c)}), batch_format="pyarrow",
+                runtime_env=runtime_env()),
+            [out], [("n", "", "count")],
+        ).map_batches(lambda b, _o=out: b.select([_o]),
+                      batch_format="pyarrow", runtime_env=runtime_env())
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                              "o_totalprice"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice"])
+
+    n_cust_no_orders = subtract_ids(
+        cust, distinct_keys("orders", "o_custkey"),
+        id_column="c_custkey", drop_column="k").count()
+    n_orders_no_li = subtract_ids(
+        orders, distinct_keys("lineitem", "l_orderkey"),
+        id_column="o_orderkey", drop_column="k").count()
+    n_li_orphans = subtract_ids(
+        li, distinct_keys("orders", "o_orderkey"),
+        id_column="l_orderkey", drop_column="k").count()
+
+    n_orders = orders.count()
+    n_dup_keys = n_orders - distinct_keys("orders", "o_orderkey").count()
+
+    def neg_price(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table({"bad": pa.array(
+            np.asarray(p <= 0, np.int64), pa.int64())})
+
+    n_neg = int(li.map_batches(neg_price, batch_format="pyarrow",
+                               runtime_env=runtime_env()).sum("bad"))
+
+    def null_bal(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"bad": pc.is_null(
+            batch.column("c_acctbal")).cast(pa.int64())})
+
+    n_null = int(cust.map_batches(null_bal, batch_format="pyarrow",
+                                  runtime_env=runtime_env()).sum("bad"))
+
+    def li_cents(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": batch.column("l_orderkey"),
+            "c": pa.array(np.floor(p * 100.0).astype(np.int64),
+                          pa.int64()),
+        })
+
+    sums = grouped_agg(
+        li.map_batches(li_cents, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["o_orderkey"], [("li_cents", "c", "sum")],
+    )
+    with_sum = attach_id_labels(orders, sums, id_column="o_orderkey",
+                                label_id_column="o_orderkey",
+                                label_column="li_cents")
+
+    def mismatch(batch: pa.Table) -> pa.Table:
+        tot = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        s = batch.column("li_cents").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        bad = np.floor(tot * 100.0).astype(np.int64) != s
+        return pa.table({"bad": pa.array(bad.astype(np.int64),
+                                         pa.int64())})
+
+    n_mismatch = int(with_sum.map_batches(
+        mismatch, batch_format="pyarrow",
+        runtime_env=runtime_env()).sum("bad"))
+
+    rows = sorted([
+        ("customers_without_orders", n_cust_no_orders),
+        ("orders_without_lineitems", n_orders_no_li),
+        ("lineitem_orphans", n_li_orphans),
+        ("dup_orderkeys", n_dup_keys),
+        ("neg_extendedprice", n_neg),
+        ("null_acctbal", n_null),
+        ("totalprice_mismatch", n_mismatch),
+    ])
+    return ray.data.from_arrow(pa.table({
+        "rule": pa.array([r[0] for r in rows], pa.string()),
+        "n_violations": pa.array([r[1] for r in rows], pa.int64()),
+    }))
+
+
+_SQL_DQ_CHECKS = """
+SELECT * FROM (
+  SELECT 'customers_without_orders' AS rule,
+         CAST(count(*) AS BIGINT) AS n_violations
+  FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  UNION ALL
+  SELECT 'orders_without_lineitems', CAST(count(*) AS BIGINT)
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT 'lineitem_orphans', CAST(count(*) AS BIGINT)
+  FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'dup_orderkeys',
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'neg_extendedprice', CAST(count(*) AS BIGINT)
+  FROM lineitem WHERE l_extendedprice <= 0
+  UNION ALL
+  SELECT 'null_acctbal', CAST(count(*) AS BIGINT)
+  FROM customer WHERE c_acctbal IS NULL
+  UNION ALL
+  SELECT 'totalprice_mismatch', CAST(count(*) AS BIGINT)
+  FROM orders o JOIN (
+    SELECT l_orderkey,
+           sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS c
+    FROM lineitem GROUP BY l_orderkey
+  ) s ON s.l_orderkey = o.o_orderkey
+  WHERE CAST(floor(o.o_totalprice * 100) AS BIGINT) <> s.c
+) ORDER BY rule
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -9219,6 +9368,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "link_kcore": q_link_kcore,
         "user_state_ranges": q_user_state_ranges,
         "mmr_topk": q_mmr_topk,
+        "dq_checks": q_dq_checks,
         "ml_quality_score": q_ml_quality_score,
         "repetition_filter": q_repetition_filter,
         "domain_mix": q_domain_mix,
@@ -9360,6 +9510,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "line_dedup": _SQL_LINE_DEDUP,
         "source_entropy": _SQL_SOURCE_ENTROPY,
         "user_state_ranges": _SQL_USER_STATE_RANGES,
+        "dq_checks": _SQL_DQ_CHECKS,
         "ml_quality_score": _SQL_ML_QUALITY,
         "repetition_filter": _SQL_REPETITION,
         "domain_mix": _SQL_DOMAIN_MIX,

@@ -99,6 +99,7 @@ SPOT_CHECKED = [
     "line_dedup",
     "source_entropy",
     "user_state_ranges",
+    "dq_checks",
     "ml_quality_score",
     "repetition_filter",
     "domain_mix",
