@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "user_state_ranges",
     "mmr_topk",
     "dq_checks",
+    "embedding_pca",
     "crawl_bfs",
 ]
 

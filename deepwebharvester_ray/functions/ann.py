@@ -1074,3 +1074,87 @@ def mmr_topk(
         "rank": pa.array(out_r, pa.int64()),
         "id": pa.array(out_id, pa.int64()),
     })
+
+
+def pca_project(
+    ds,
+    n_components: int = 2,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+):
+    """Distributed PCA projection: ``(id, pc0..pc{n-1})`` — the
+    feature-reduction / visualization primitive (and the whitening
+    step in front of IVF/PQ indexing).
+
+    Two-pass moment shape: pass 1 is a per-block COMBINER emitting one
+    ``(n, Σx, ΣxᵀX)`` row per block (d + d² floats as large_binary
+    blobs — the Arrow LIST-payload rule); the driver merges O(blocks)
+    partials into the covariance, one ``eigh`` of the d×d matrix (d is
+    the embedding width — driver-trivial), sign-fixes each component
+    (largest-|coordinate| positive, lowest index on ties) so the basis
+    is deterministic up to float-sum ulps; pass 2 broadcasts the
+    component matrix and projects every batch with one matmul.
+    Returns the lazy projected Dataset and the (components, mean,
+    explained_var) model triple."""
+    import ray
+
+    from .. import runtime_env
+    from ..broadcast import cached_get
+
+    def moments(batch: pa.Table) -> pa.Table:
+        mat = _vec_matrix(batch.column(vec_column)) \
+            if batch.num_rows else None
+        if mat is None or len(mat) == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.large_binary()),
+                             "ss": pa.array([], pa.large_binary())})
+        return pa.table({
+            "n": pa.array([len(mat)], pa.int64()),
+            "s": pa.array([mat.sum(axis=0).tobytes()], pa.large_binary()),
+            "ss": pa.array([(mat.T @ mat).tobytes()], pa.large_binary()),
+        })
+
+    parts = ds.map_batches(moments, batch_format="pyarrow",
+                           batch_size=None,
+                           runtime_env=runtime_env()).take_all()
+    parts = [p for p in parts if p["n"]]
+    if not parts:
+        empty = pa.table(
+            {id_column: pa.array([], pa.int64()),
+             **{f"pc{i}": pa.array([], pa.float64())
+                for i in range(n_components)}})
+        return ray.data.from_arrow(empty), None
+
+    n = sum(int(p["n"]) for p in parts)
+    s0 = np.frombuffer(parts[0]["s"], np.float64)
+    d = len(s0)
+    tot_s = np.zeros(d)
+    tot_ss = np.zeros((d, d))
+    for p in parts:  # fixed driver order → deterministic float merge
+        tot_s += np.frombuffer(p["s"], np.float64)
+        tot_ss += np.frombuffer(p["ss"], np.float64).reshape(d, d)
+    mean = tot_s / n
+    cov = tot_ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    comp = evecs[:, ::-1][:, :n_components].T.copy()
+    explained = evals[::-1][:n_components].copy()
+    for i in range(len(comp)):  # deterministic sign: peak coord positive
+        j = int(np.argmax(np.abs(comp[i])))
+        if comp[i, j] < 0:
+            comp[i] = -comp[i]
+    ref = ray.put((comp, mean))
+
+    def project(batch: pa.Table) -> pa.Table:
+        cmat, mu = cached_get(ref)
+        mat = _vec_matrix(batch.column(vec_column)) \
+            if batch.num_rows else None
+        cols = {id_column: batch.column(id_column)}
+        proj = (mat - mu) @ cmat.T if mat is not None and len(mat) else \
+            np.empty((0, len(cmat)))
+        for i in range(len(cmat)):
+            cols[f"pc{i}"] = pa.array(proj[:, i], pa.float64())
+        return pa.table(cols)
+
+    out = ds.map_batches(project, batch_format="pyarrow",
+                         runtime_env=runtime_env())
+    return out, (comp, mean, explained)

@@ -9277,6 +9277,23 @@ SELECT * FROM (
 """
 
 
+def q_embedding_pca(sf_dir: str):
+    """2-component PCA projection of the embedding table — the
+    feature-reduction / visualization / index-whitening primitive.
+    Rows-only: the principal basis is float-eigh output (deterministic
+    up to partial-sum ulps, sign-fixed), not SQL-expressible; exactness
+    vs a full-data numpy reference and the orthonormal/variance-order
+    invariants are pinned in tests/test_functions.py.  See
+    :func:`~deepwebharvester_ray.functions.ann.pca_project`: per-block
+    moment combiner (one (n, Σx, XᵀX) row per block as binary blobs),
+    O(blocks) driver merge + one d×d eigh, broadcast projection."""
+    from ..functions.ann import pca_project
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out, _model = pca_project(ds, n_components=2)
+    return out
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -9369,6 +9386,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "user_state_ranges": q_user_state_ranges,
         "mmr_topk": q_mmr_topk,
         "dq_checks": q_dq_checks,
+        "embedding_pca": q_embedding_pca,
         "ml_quality_score": q_ml_quality_score,
         "repetition_filter": q_repetition_filter,
         "domain_mix": q_domain_mix,
@@ -9573,6 +9591,6 @@ ROWS_ONLY: List[str] = [
     "semdedup_prune",
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
     "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
-    "link_kcore", "mmr_topk",
+    "link_kcore", "mmr_topk", "embedding_pca",
     "compressibility", "streaming_heavy_tokens",
 ]

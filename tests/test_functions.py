@@ -2217,3 +2217,58 @@ def test_mmr_topk_reference_and_diversity():
     # MMR must break out of the cluster within the same k
     assert all(i < 20 for i in ids[:k])
     assert any(i >= 20 for i in got["id"])
+
+
+def test_pca_project_matches_numpy_reference():
+    """Distributed two-pass PCA == full-data numpy PCA (up to the fixed
+    sign convention) on a multi-block anisotropic cloud; components
+    orthonormal, explained variance descending, projection variance
+    concentrated on pc0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.ann import pca_project
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(0, 1, (600, 4))
+    mat = base * np.array([6.0, 2.0, 0.5, 0.1]) + np.array([3, -1, 0, 2.0])
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(mat)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in mat]),
+    })).repartition(6)
+
+    out, (comp, mean, explained) = pca_project(ds, n_components=2)
+    df = out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    # reference: full-data covariance eigh, same sign convention
+    mu = mat.mean(axis=0)
+    cov = (mat - mu).T @ (mat - mu) / len(mat)
+    evals, evecs = np.linalg.eigh(cov)
+    rcomp = evecs[:, ::-1][:, :2].T.copy()
+    for i in range(2):
+        j = int(np.argmax(np.abs(rcomp[i])))
+        if rcomp[i, j] < 0:
+            rcomp[i] = -rcomp[i]
+    rproj = (mat - mu) @ rcomp.T
+
+    assert np.allclose(comp, rcomp, atol=1e-8)
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(df[["pc0", "pc1"]].to_numpy(), rproj, atol=1e-7)
+    assert np.allclose(comp @ comp.T, np.eye(2), atol=1e-10)
+    assert explained[0] >= explained[1] >= 0
+    assert df["pc0"].var() > df["pc1"].var()
+
+
+def test_pca_project_empty():
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.ann import pca_project
+
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }))
+    out, model = pca_project(ds, n_components=2)
+    assert out.count() == 0 and model is None
