@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "mmr_topk",
     "dq_checks",
     "embedding_pca",
+    "pagerank_seeded",
     "crawl_bfs",
 ]
 

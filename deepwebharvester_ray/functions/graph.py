@@ -160,6 +160,7 @@ def pagerank(
     damping_pct: int = 85,
     broadcast_below: int = 2_000_000,
     shuffle_partitions: int | None = None,
+    seed_ids=None,
 ):
     """Integer-deterministic PageRank over an ``(src, dst)`` edge dataset:
     ``(id, score)`` for every node in ``nodes_ds`` (column ``id``) after a
@@ -180,6 +181,14 @@ def pagerank(
     grouped sum on dst (grouped_agg's partial combiner keeps the shuffle
     at O(blocks × nodes-with-inlinks)), unioned with a zero row per node
     so zero-indegree nodes keep their base score.
+
+    ``seed_ids`` (optional int64 array) switches to PERSONALIZED
+    PageRank: teleport mass lands only on the seed set (``init_i =
+    scale // |seeds|`` for members, 0 elsewhere) — the crawl-side
+    "related pages / recrawl priority from these seeds" ranking.  The
+    seed set broadcasts as one sorted array probed with searchsorted
+    (a seed set beyond the broadcast cutoff should ship as a
+    dataset-side join — documented knob, same gate as subtract_ids).
     """
     import ray
 
@@ -198,7 +207,27 @@ def pagerank(
     edges_nz = coalesce_nonempty(edges_ds)
     deg_nz = coalesce_nonempty(deg)
     n_nodes = nodes_ds.count()
-    init = scale // max(n_nodes, 1)
+    if seed_ids is None:
+        init = scale // max(n_nodes, 1)
+        seed_ref = None
+        seed_init = 0
+    else:
+        seeds_sorted = np.sort(np.asarray(seed_ids, np.int64))
+        seed_init = scale // max(len(seeds_sorted), 1)
+        seed_ref = ray.put(seeds_sorted)
+        init = 0  # non-seed teleport mass
+
+    def init_vec(ids: np.ndarray) -> np.ndarray:
+        """Per-node teleport mass: uniform, or seed-membership-gated."""
+        if seed_ref is None:
+            return np.full(len(ids), init, np.int64)
+        seeds = cached_get(seed_ref)
+        if not len(seeds) or not len(ids):
+            return np.zeros(len(ids), np.int64)
+        pos = np.searchsorted(seeds, ids)
+        pos[pos == len(seeds)] = 0
+        return np.where(seeds[pos] == ids, seed_init, 0).astype(np.int64)
+
     base = (100 - damping_pct) * init
 
     zeros = nodes_ds.map_batches(
@@ -211,13 +240,17 @@ def pagerank(
 
     if edges_nz is None or deg_nz is None:
         # no edges: every node keeps the base score ((100-d)·init + 0)//100
-        return zeros.map_batches(
-            lambda b: pa.table(
+        def base_only(b: pa.Table) -> pa.Table:
+            ids = b.column("id").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            iv = init_vec(ids)
+            return pa.table(
                 {"id": b.column("id"),
                  "score": pa.array(
-                     np.full(b.num_rows, (base) // 100, np.int64), pa.int64())}
-            ),
-            batch_format="pyarrow", runtime_env=runtime_env(),
+                     (100 - damping_pct) * iv // 100, pa.int64())})
+
+        return zeros.map_batches(
+            base_only, batch_format="pyarrow", runtime_env=runtime_env(),
         )
 
     edges_w = edges_nz.join(
@@ -231,13 +264,16 @@ def pagerank(
 
     small = n_nodes < broadcast_below
 
-    # scores start uniform: (id, s=init) for every node
-    scores = zeros.map_batches(
-        lambda b: pa.table(
+    # scores start at the teleport vector: uniform init, or seed-gated
+    def start(b: pa.Table) -> pa.Table:
+        ids = b.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table(
             {"id": b.column("id"),
-             "s": pa.array(np.full(b.num_rows, init, np.int64), pa.int64())}
-        ),
-        batch_format="pyarrow", runtime_env=runtime_env(),
+             "s": pa.array(init_vec(ids), pa.int64())})
+
+    scores = zeros.map_batches(
+        start, batch_format="pyarrow", runtime_env=runtime_env(),
     ).materialize()
 
     def contributions(scores_ds):
@@ -294,10 +330,17 @@ def pagerank(
         csum = batch.column("csum").combine_chunks().to_numpy(
             zero_copy_only=False
         )
+        if seed_ref is None:
+            base_v = base
+        else:
+            ids = batch.column("id").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            base_v = (100 - damping_pct) * init_vec(ids)
         return pa.table(
             {
                 "id": batch.column("id"),
-                "s": pa.array((base + damping_pct * csum) // 100, pa.int64()),
+                "s": pa.array((base_v + damping_pct * csum) // 100,
+                              pa.int64()),
             }
         )
 

@@ -9294,6 +9294,69 @@ def q_embedding_pca(sf_dir: str):
     return out
 
 
+_PPR_SEEDS = 10
+
+
+def q_pagerank_seeded(sf_dir: str):
+    """PERSONALIZED PageRank from the crawl's seed pages: teleport mass
+    lands only on docs 0..9 (the seed list), so scores rank every page
+    by proximity-weighted reachability FROM THE SEEDS — the recrawl
+    prioritizer / related-page ranking that plain q_pagerank (global
+    centrality) can't give.  Same integer-deterministic arithmetic as
+    pagerank (scores bit-identical across engines); the seed set
+    broadcasts as one sorted array (size-gate documented in
+    :func:`~deepwebharvester_ray.functions.graph.pagerank`)."""
+    from ..functions.graph import pagerank
+
+    nodes, edges = _corpus_link_edges(sf_dir)
+    scores = pagerank(edges, nodes, iters=_PR_ITERS, scale=_PR_SCALE,
+                      shuffle_partitions=_shuffle_parts(sf_dir),
+                      seed_ids=np.arange(_PPR_SEEDS, dtype=np.int64))
+    return _rename(scores, {"id": "doc_id"})
+
+
+def _sql_pagerank_seeded() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    init = f"CASE WHEN nd.id < {_PPR_SEEDS} " \
+           f"THEN {_PR_SCALE} // {_PPR_SEEDS} ELSE 0 END"
+    head = f"""
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+it0 AS (
+  SELECT id, CASE WHEN id < {_PPR_SEEDS}
+                  THEN {_PR_SCALE} // {_PPR_SEEDS} ELSE 0 END AS s
+  FROM nodes
+)"""
+    its = []
+    for k in range(1, _PR_ITERS + 1):
+        its.append(f""",
+it{k} AS (
+  SELECT nd.id,
+         CAST((15 * ({init}) +
+               85 * COALESCE(sum(i.s // d.outdeg), 0)) // 100
+              AS BIGINT) AS s
+  FROM nodes nd
+  LEFT JOIN edges e ON e.dst = nd.id
+  LEFT JOIN deg d ON d.src = e.src
+  LEFT JOIN it{k - 1} i ON i.id = e.src
+  GROUP BY nd.id
+)""")
+    return (head + "".join(its)
+            + f"\nSELECT id AS doc_id, s AS score FROM it{_PR_ITERS} "
+              "ORDER BY doc_id")
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -9387,6 +9450,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "mmr_topk": q_mmr_topk,
         "dq_checks": q_dq_checks,
         "embedding_pca": q_embedding_pca,
+        "pagerank_seeded": q_pagerank_seeded,
         "ml_quality_score": q_ml_quality_score,
         "repetition_filter": q_repetition_filter,
         "domain_mix": q_domain_mix,
@@ -9529,6 +9593,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "source_entropy": _SQL_SOURCE_ENTROPY,
         "user_state_ranges": _SQL_USER_STATE_RANGES,
         "dq_checks": _SQL_DQ_CHECKS,
+        "pagerank_seeded": _sql_pagerank_seeded(),
         "ml_quality_score": _SQL_ML_QUALITY,
         "repetition_filter": _SQL_REPETITION,
         "domain_mix": _SQL_DOMAIN_MIX,

@@ -2272,3 +2272,31 @@ def test_pca_project_empty():
     }))
     out, model = pca_project(ds, n_components=2)
     assert out.count() == 0 and model is None
+
+
+def test_pagerank_seeded_chain_reach():
+    """Personalized teleport: on a directed chain seeded at node 0, mass
+    can only be k hops from the seed after k iterations — nodes beyond
+    the iteration horizon score exactly 0, the seed scores highest."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.graph import pagerank
+
+    n = 12
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(range(n - 1), pa.int64()),
+        "dst": pa.array(range(1, n), pa.int64()),
+    }))
+    nodes = ray.data.from_arrow(pa.table({"id": pa.array(range(n),
+                                                         pa.int64())}))
+    s = {r["id"]: r["score"]
+         for r in pagerank(edges, nodes, iters=5,
+                           seed_ids=np.array([0])).take_all()}
+    # exact integer arithmetic: seed keeps the teleport base 0.15*scale;
+    # the wavefront at hop 5 carries floor-cascaded 0.85^5*scale
+    assert s[0] == 150_000_000_000
+    assert s[5] == 443_705_312_500
+    assert all(s[i] > 0 for i in range(6))
+    assert all(s[i] == 0 for i in range(6, n))
