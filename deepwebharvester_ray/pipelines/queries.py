@@ -9357,6 +9357,133 @@ it{k} AS (
               "ORDER BY doc_id")
 
 
+def q_view_coverage(sf_dir: str):
+    """Gaps-and-islands interval union: per user, the total time COVERED
+    by view windows with overlaps merged (union length, not the naive
+    duration sum), plus the merged-interval (island) count — the
+    classic uptime/exposure aggregate and the canonical hard-SQL
+    windowing problem.  View windows reuse clicks_in_views' convention
+    (start = ts, end = ts + (1 + event_id % 14) days).
+
+    Distributed shape: ONE sort on the high-cardinality user key +
+    one vectorized block pass — in-block (start, end) lexsort, then the
+    per-user segmented running max computed WITHOUT per-run Python: runs
+    are grouped BY SIZE (one argsort), each size class stacked into a
+    (runs, size) matrix and ``np.maximum.accumulate(axis=1)`` sweeps
+    all runs of that size at once (the _gram_bucket_pairs discipline —
+    the loop is over DISTINCT sizes, not runs).  Coverage falls out of
+    the clipped-increment identity ``inc_i = CM_i − max(CM_{i−1},
+    s_i)`` (exact integer µs; Σinc = Σ islands (max e − min s))."""
+    import pyarrow.compute as pc
+
+    from ..functions.dedup import _run_bounds
+    from ..functions.interval import US_PER_DAY
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def views(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("event_type"), "view"))
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        s = (batch.column("ts").combine_chunks().cast(pa.timestamp("us"))
+             .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "s": pa.array(s, pa.int64()),
+            "e": pa.array(s + (1 + eid % 14) * US_PER_DAY, pa.int64()),
+        })
+
+    def coverage(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n_views": pa.array([], pa.int64()),
+                          "n_islands": pa.array([], pa.int64()),
+                          "covered_us": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        u = batch.column("user_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        s = batch.column("s").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        e = batch.column("e").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((e, s, u))
+        u, s, e = u[order], s[order], e[order]
+        starts, ends = _run_bounds(u)
+        m = ends - starts
+        n_runs = len(starts)
+        out_isl = np.ones(n_runs, np.int64)
+        out_cov = np.empty(n_runs, np.int64)
+        single = m == 1
+        si = starts[single]
+        out_cov[single] = e[si] - s[si]
+        multi = np.flatnonzero(m >= 2)
+        if len(multi):
+            order2 = np.argsort(m[multi], kind="stable")
+            multi = multi[order2]
+            msorted = m[multi]
+            bs_arr, be_arr = _run_bounds(msorted)
+            for bs, be in zip(bs_arr, be_arr):  # distinct sizes only
+                runs = multi[bs:be]
+                sz = int(msorted[bs])
+                idxm = starts[runs][:, None] + np.arange(sz)[None, :]
+                S, E = s[idxm], e[idxm]
+                cm = np.maximum.accumulate(E, axis=1)
+                prev = np.empty_like(cm)
+                prev[:, 0] = S[:, 0]
+                prev[:, 1:] = cm[:, :-1]
+                out_isl[runs] = 1 + (S[:, 1:] > prev[:, 1:]).sum(axis=1)
+                out_cov[runs] = (cm - np.maximum(prev, S)).sum(axis=1)
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "n_views": pa.array(m, pa.int64()),
+            "n_islands": pa.array(out_isl, pa.int64()),
+            "covered_us": pa.array(out_cov, pa.int64()),
+        })
+
+    return ds.map_batches(views, batch_format="pyarrow",
+                          runtime_env=runtime_env()).sort("user_id") \
+        .map_batches(coverage, batch_format="pyarrow", batch_size=None,
+                     runtime_env=runtime_env())
+
+
+_SQL_VIEW_COVERAGE = """
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (1 + event_id % 14) * 86400000000 AS e
+  FROM events WHERE event_type = 'view'
+),
+o AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_cm
+  FROM v
+),
+fl AS (
+  SELECT user_id, s, e,
+         CASE WHEN prev_cm IS NULL OR s > prev_cm
+              THEN 1 ELSE 0 END AS new_island
+  FROM o
+),
+g AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS isl
+  FROM fl
+),
+i AS (
+  SELECT user_id, isl, CAST(count(*) AS BIGINT) AS nv,
+         max(e) - min(s) AS cov
+  FROM g GROUP BY user_id, isl
+)
+SELECT user_id, CAST(sum(nv) AS BIGINT) AS n_views,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(cov) AS BIGINT) AS covered_us
+FROM i GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -9451,6 +9578,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "dq_checks": q_dq_checks,
         "embedding_pca": q_embedding_pca,
         "pagerank_seeded": q_pagerank_seeded,
+        "view_coverage": q_view_coverage,
         "ml_quality_score": q_ml_quality_score,
         "repetition_filter": q_repetition_filter,
         "domain_mix": q_domain_mix,
@@ -9594,6 +9722,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "user_state_ranges": _SQL_USER_STATE_RANGES,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
+        "view_coverage": _SQL_VIEW_COVERAGE,
         "ml_quality_score": _SQL_ML_QUALITY,
         "repetition_filter": _SQL_REPETITION,
         "domain_mix": _SQL_DOMAIN_MIX,

@@ -99,6 +99,7 @@ SPOT_CHECKED = [
     "line_dedup",
     "source_entropy",
     "user_state_ranges",
+    "view_coverage",
     "dq_checks",
     "pagerank_seeded",
     "ml_quality_score",
