@@ -9484,6 +9484,114 @@ FROM i GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_view_concurrency(sf_dir: str):
+    """Sweep-line peak interval concurrency: per user, the MAXIMUM number
+    of view windows open at one instant (half-open [s, e) semantics) and
+    the earliest timestamp where that peak is first reached — the
+    capacity-planning / max-parallel-sessions aggregate that coverage
+    (union length) can't answer.  Windows reuse the clicks_in_views
+    convention (start = ts, end = ts + (1 + event_id % 14) days).
+
+    Distributed shape: each view row expands to two delta events
+    ((s, +1), (e, −1)) INSIDE the map — 2 rows per view, still columnar
+    — then ONE sort on the high-cardinality user key and one vectorized
+    block pass: in-block (t, delta) lexsort with −1 before +1 at equal
+    t (half-open: a window ending exactly when another starts never
+    overlaps it), segmented running sum via global cumsum minus the
+    per-run base, peak via ``np.maximum.reduceat``, and first-peak time
+    via ``np.minimum.reduceat`` over t masked to peak positions.  No
+    per-run Python loop at all — singleton runs can't exist (every view
+    emits 2 deltas) and the reduceats sweep every run at once."""
+    import pyarrow.compute as pc
+
+    from ..functions.dedup import _run_bounds
+    from ..functions.interval import US_PER_DAY
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("event_type"), "view"))
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        s = (batch.column("ts").combine_chunks().cast(pa.timestamp("us"))
+             .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        e = s + (1 + eid % 14) * US_PER_DAY
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(np.concatenate([u, u]), pa.int64()),
+            "t": pa.array(np.concatenate([s, e]), pa.int64()),
+            "d": pa.array(np.concatenate([
+                np.ones(len(s), np.int64), -np.ones(len(s), np.int64)]),
+                pa.int64()),
+        })
+
+    def peak(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n_views": pa.array([], pa.int64()),
+                          "peak": pa.array([], pa.int64()),
+                          "peak_at_us": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        u = batch.column("user_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        t = batch.column("t").combine_chunks().to_numpy(zero_copy_only=False)
+        d = batch.column("d").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, t, u))  # -1 sorts before +1 at equal t
+        u, t, d = u[order], t[order], d[order]
+        starts, ends = _run_bounds(u)
+        m = ends - starts
+        cum = np.cumsum(d)
+        base = cum[starts] - d[starts]          # running sum before run
+        run = cum - np.repeat(base, m)
+        pk = np.maximum.reduceat(run, starts)
+        at_peak = run == np.repeat(pk, m)
+        tmask = np.where(at_peak, t, np.iinfo(np.int64).max)
+        first = np.minimum.reduceat(tmask, starts)
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "n_views": pa.array(m // 2, pa.int64()),
+            "peak": pa.array(pk, pa.int64()),
+            "peak_at_us": pa.array(first, pa.int64()),
+        })
+
+    return ds.map_batches(deltas, batch_format="pyarrow",
+                          runtime_env=runtime_env()).sort("user_id") \
+        .map_batches(peak, batch_format="pyarrow", batch_size=None,
+                     runtime_env=runtime_env())
+
+
+_SQL_VIEW_CONCURRENCY = """
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (1 + event_id % 14) * 86400000000 AS e
+  FROM events WHERE event_type = 'view'
+),
+ev AS (
+  SELECT user_id, s AS t, CAST(1 AS BIGINT) AS d FROM v
+  UNION ALL
+  SELECT user_id, e AS t, CAST(-1 AS BIGINT) AS d FROM v
+),
+r AS (
+  SELECT user_id, t, d,
+         sum(d) OVER (PARTITION BY user_id ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS run
+  FROM ev
+),
+p AS (SELECT user_id, CAST(max(run) AS BIGINT) AS peak FROM r
+      GROUP BY user_id),
+c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_views FROM v
+      GROUP BY user_id),
+f AS (SELECT r.user_id, min(r.t) AS peak_at_us
+      FROM r JOIN p ON r.user_id = p.user_id AND r.run = p.peak
+      GROUP BY r.user_id)
+SELECT p.user_id, c.n_views, p.peak, f.peak_at_us
+FROM p JOIN c ON p.user_id = c.user_id
+       JOIN f ON p.user_id = f.user_id
+ORDER BY p.user_id
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -9579,6 +9687,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "embedding_pca": q_embedding_pca,
         "pagerank_seeded": q_pagerank_seeded,
         "view_coverage": q_view_coverage,
+        "view_concurrency": q_view_concurrency,
         "ml_quality_score": q_ml_quality_score,
         "repetition_filter": q_repetition_filter,
         "domain_mix": q_domain_mix,
@@ -9723,6 +9832,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,
+        "view_concurrency": _SQL_VIEW_CONCURRENCY,
         "ml_quality_score": _SQL_ML_QUALITY,
         "repetition_filter": _SQL_REPETITION,
         "domain_mix": _SQL_DOMAIN_MIX,

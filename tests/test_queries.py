@@ -100,6 +100,7 @@ SPOT_CHECKED = [
     "source_entropy",
     "user_state_ranges",
     "view_coverage",
+    "view_concurrency",
     "dq_checks",
     "pagerank_seeded",
     "ml_quality_score",
