@@ -5177,6 +5177,140 @@ FROM ra JOIN rb ON rb.doc_id = ra.doc_id
 """
 
 
+_RRF_K = 60
+_RRF_SCALE = 10 ** 12
+_RRF_TOPN = 20
+
+
+def q_rank_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack et al.) of the two page
+    orderings rank_agreement compares — raw in-degree and PageRank:
+    each list contributes ``floor(SCALE / (K + rank))`` (K = 60,
+    SCALE = 10¹²; exact integers, no float), fused score is the sum,
+    output is the top-20 pages by (rrf DESC, doc_id ASC) plus how many
+    lists each page appeared in.  This is the standard way a retrieval
+    stack blends heterogeneous scorers without calibrating them.
+
+    Distributed shape: NO join at all — each ranking (the
+    rank_agreement sort + prefix-scan machinery) maps straight to
+    (doc_id, contrib, 1) rows, a combiner grouped_agg sums both
+    columns per doc (pages missing from the in-degree list simply
+    contribute nothing — exactly RRF's absent-document rule), and the
+    top-20 comes from per-block partial top-k + an O(blocks·20) driver
+    merge, never a global sort of the fused table."""
+    from ..functions.graph import pagerank
+    from ..functions.scan import prefix_scan
+
+    nodes, edges = _corpus_link_edges(sf_dir)
+    deg = grouped_agg(
+        edges.map_batches(
+            lambda b: pa.table({"doc_id": b.column("dst")}),
+            batch_format="pyarrow", runtime_env=runtime_env()),
+        ["doc_id"], [("indeg", "", "count")],
+    )
+    pr = pagerank(edges, nodes, iters=_PR_ITERS, scale=_PR_SCALE,
+                  shuffle_partitions=_shuffle_parts(sf_dir))
+
+    def contribs_of(ds, metric: str, width: int):
+        def keyed(batch: pa.Table) -> pa.Table:
+            ids = batch.column(
+                "doc_id" if "doc_id" in batch.column_names else "id"
+            ).combine_chunks().to_numpy(zero_copy_only=False)
+            m = batch.column(metric).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            inv = (10 ** width - 1) - m        # descending metric order
+            ck = [f"{v:0{width}d}:{i:012d}" for v, i in zip(inv, ids)]
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "ck": pa.array(ck, pa.string()),
+                "one": pa.array(np.ones(len(ids), np.int64)),
+            })
+
+        ranked = prefix_scan(
+            ds.map_batches(keyed, batch_format="pyarrow",
+                           runtime_env=runtime_env()),
+            key="ck", value_col="one", out_col="rn",
+            shuffle_partitions=_shuffle_parts(sf_dir))
+
+        def to_contrib(batch: pa.Table) -> pa.Table:
+            rn = batch.column("rn").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "contrib": pa.array(_RRF_SCALE // (_RRF_K + rn),
+                                    pa.int64()),
+                "lists": pa.array(np.ones(len(rn), np.int64)),
+            })
+
+        return ranked.map_batches(to_contrib, batch_format="pyarrow",
+                                  runtime_env=runtime_env())
+
+    both = contribs_of(deg, "indeg", 13).union(
+        contribs_of(pr, "score", 14))
+    fused = grouped_agg(both, ["doc_id"],
+                        [("rrf", "contrib", "sum"),
+                         ("n_lists", "lists", "sum")])
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        r = batch.column("rrf").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = np.lexsort((d, -r))[:_RRF_TOPN]
+        return batch.take(pa.array(np.sort(keep)))
+
+    parts = fused.map_batches(block_topk, batch_format="pyarrow",
+                              batch_size=None,
+                              runtime_env=runtime_env()).take_all()
+    parts.sort(key=lambda row: (-row["rrf"], row["doc_id"]))
+    parts = parts[:_RRF_TOPN]
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in parts], pa.int64()),
+        "rrf": pa.array([r["rrf"] for r in parts], pa.int64()),
+        "n_lists": pa.array([r["n_lists"] for r in parts], pa.int64()),
+    })
+
+
+def _sql_rank_fusion() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    return f"""
+WITH pr AS ({_sql_pagerank()}),
+n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+),
+deg AS (SELECT dst AS doc_id, count(*) AS indeg FROM edges GROUP BY dst),
+ra AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY indeg DESC, doc_id) AS rn
+  FROM deg
+),
+rb AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+  FROM pr
+),
+c AS (
+  SELECT doc_id, {_RRF_SCALE} // ({_RRF_K} + rn) AS contrib FROM ra
+  UNION ALL
+  SELECT doc_id, {_RRF_SCALE} // ({_RRF_K} + rn) AS contrib FROM rb
+)
+SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS rrf,
+       CAST(count(*) AS BIGINT) AS n_lists
+FROM c GROUP BY doc_id
+ORDER BY rrf DESC, doc_id ASC LIMIT {_RRF_TOPN}
+"""
+
+
 _BFS_SEED_MOD = 50
 _BFS_MAX_DEPTH = 5
 
@@ -9665,6 +9799,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "two_hop_counts": q_two_hop_counts,
         "link_authority": q_link_authority,
         "rank_agreement": q_rank_agreement,
+        "rank_fusion": q_rank_fusion,
         "triangle_count": q_triangle_count,
         "inverted_index": q_inverted_index,
         "doc_search": q_doc_search,
@@ -9813,6 +9948,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "two_hop_counts": _sql_two_hop(),
         "link_authority": _sql_link_authority(),
         "rank_agreement": _sql_rank_agreement(),
+        "rank_fusion": _sql_rank_fusion(),
         "triangle_count": _sql_triangles(),
         "inverted_index": _SQL_INVERTED_INDEX,
         "doc_search": _SQL_DOC_SEARCH,

@@ -80,6 +80,7 @@ SPOT_CHECKED = [
     "two_hop_counts",
     "link_authority",
     "rank_agreement",
+    "rank_fusion",
     "triangle_count",
     "inverted_index",
     "doc_search",
