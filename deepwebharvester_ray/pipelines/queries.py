@@ -9726,6 +9726,111 @@ ORDER BY p.user_id
 """
 
 
+_TREND_DAY_BASE = 19600   # rebase epoch-days to the dataset era: keeps
+_TREND_SCALE = 10_000     # every int64 product inside the exact envelope
+
+
+def q_user_value_trend(sf_dir: str):
+    """Grouped OLS regression as pure aggregation: per user, the
+    least-squares SLOPE of spend (integer cents) against time (epoch
+    days) — the churn / spend-trajectory feature a training pipeline
+    derives per entity.  slope_e4 = trunc(10⁴·(nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²)) in cents/day ×10⁴ (truncation toward zero — the
+    SQL integer-division rule); no-variance groups (all events on one
+    day) emit 0.
+
+    The whole regression is ONE combiner ``grouped_agg`` over
+    sufficient statistics (n, Σx, Σy, Σx², Σxy, min/max x) computed
+    vectorized per batch — regression-as-aggregation: no sort, no
+    window, shuffle volume is O(users), and the final slope arithmetic
+    is a tiny vectorized map over the reduced table.  Exact-integer
+    envelope (documented): x rebased to the dataset era (|x| ≲ 10³)
+    and cents ≤ 10⁷ keep every product < 2⁶³ for groups up to ~10⁵
+    rows; larger groups need the era re-based per shard or an int128
+    final pass."""
+    from ..functions.interval import US_PER_DAY
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        y = np.floor(v * 100.0).astype(np.int64)
+        ts = (batch.column("ts").combine_chunks().cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        x = ts // US_PER_DAY - _TREND_DAY_BASE
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+            "xx": pa.array(x * x, pa.int64()),
+            "xy": pa.array(x * y, pa.int64()),
+        })
+
+    agg = grouped_agg(
+        ds.map_batches(stats, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        ["user_id"],
+        [("n_events", "", "count"), ("sx", "x", "sum"),
+         ("sy", "y", "sum"), ("sxx", "xx", "sum"), ("sxy", "xy", "sum"),
+         ("xmin", "x", "min"), ("xmax", "x", "max")],
+    )
+
+    def slope(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_events").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        sx = batch.column("sx").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        sy = batch.column("sy").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        sxx = batch.column("sxx").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        sxy = batch.column("sxy").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        num = (n * sxy - sx * sy) * _TREND_SCALE
+        den = n * sxx - sx * sx
+        # DuckDB's // TRUNCATES toward zero (-7//2 = -3); numpy floors.
+        # Match the oracle: trunc = sign(num) * (|num| // den).
+        q = np.sign(num) * (np.abs(num) // np.where(den > 0, den, 1))
+        sl = np.where(den > 0, q, 0).astype(np.int64)
+        span = (batch.column("xmax").combine_chunks().to_numpy(
+            zero_copy_only=False) -
+            batch.column("xmin").combine_chunks().to_numpy(
+                zero_copy_only=False))
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "n_events": pa.array(n, pa.int64()),
+            "days_span": pa.array(span, pa.int64()),
+            "slope_e4": pa.array(sl, pa.int64()),
+        })
+
+    return agg.map_batches(slope, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+
+
+_SQL_USER_VALUE_TREND = f"""
+WITH e AS (
+  SELECT user_id,
+         epoch_us(ts) // {86_400_000_000} - {_TREND_DAY_BASE} AS x,
+         CAST(floor(value * 100.0) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy,
+         CAST(max(x) - min(x) AS BIGINT) AS days_span
+  FROM e GROUP BY user_id
+)
+SELECT user_id, n AS n_events, days_span,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                 ELSE ({_TREND_SCALE} * (n * sxy - sx * sy))
+                      // (n * sxx - sx * sx) END AS BIGINT) AS slope_e4
+FROM s ORDER BY user_id
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -9823,6 +9928,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "pagerank_seeded": q_pagerank_seeded,
         "view_coverage": q_view_coverage,
         "view_concurrency": q_view_concurrency,
+        "user_value_trend": q_user_value_trend,
         "ml_quality_score": q_ml_quality_score,
         "repetition_filter": q_repetition_filter,
         "domain_mix": q_domain_mix,
@@ -9969,6 +10075,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,
         "view_concurrency": _SQL_VIEW_CONCURRENCY,
+        "user_value_trend": _SQL_USER_VALUE_TREND,
         "ml_quality_score": _SQL_ML_QUALITY,
         "repetition_filter": _SQL_REPETITION,
         "domain_mix": _SQL_DOMAIN_MIX,

@@ -102,6 +102,7 @@ SPOT_CHECKED = [
     "user_state_ranges",
     "view_coverage",
     "view_concurrency",
+    "user_value_trend",
     "dq_checks",
     "pagerank_seeded",
     "ml_quality_score",
