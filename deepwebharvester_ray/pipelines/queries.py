@@ -9831,6 +9831,137 @@ FROM s ORDER BY user_id
 """
 
 
+def q_inlink_anchors(sf_dir: str):
+    """Inlink anchor-text aggregation — the web-search feature builder:
+    each page's dominant incoming link description.  Every source page
+    contributes its own dominant token (most frequent, ties → lexico-
+    graphically smallest — the pseudo-anchor; the corpus carries no
+    literal <a> text) to each page it links to; per target we report
+    the winning anchor, its vote count, total in-links and distinct
+    anchor count.
+
+    Distributed shape: JOIN-FREE — the corpus link rule is
+    deterministic (dst = (eff + off) % n, corpus.py:48-82), so one map
+    over documents computes the per-doc anchor AND fans it out to the
+    doc's 3 targets in the same pass; (dst, anchor) votes collapse in
+    ONE combiner grouped_agg (the only all-to-all, at pair
+    cardinality); the per-target winner + rollups come from a single
+    high-cardinality dst sort and one vectorized run pass (lexsort +
+    reduceat — the user_top_type mode idiom, extended to carry the
+    run totals in the same sweep)."""
+    from ..functions.dedup import _run_bounds
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    n_docs = pq.ParquetFile(
+        str(Path(sf_dir) / "documents.parquet")
+    ).metadata.num_rows
+
+    def anchored_edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        anchors, keep = [], []
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            toks = WORD_RE.findall((t or "").lower())
+            if not toks:
+                continue            # token-less pages vote for nobody
+            uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                     return_counts=True)
+            anchors.append(uniq[np.argmax(counts)])  # first max = lex min
+            keep.append(i)
+        keep = np.asarray(keep, np.int64)
+        d = d[keep] if len(keep) else d[:0]
+        eff = np.where((d > 0) & (d % DUP_MOD == DUP_REMAINDER), d - 1, d)
+        k = len(LINK_OFFSETS)
+        dst = (np.repeat(eff, k)
+               + np.tile(np.asarray(LINK_OFFSETS, np.int64), len(d))) \
+            % n_docs
+        return pa.table({
+            "dst": pa.array(dst, pa.int64()),
+            "anchor": pa.array(
+                np.repeat(np.asarray(anchors, dtype=object), k),
+                pa.string()),
+        })
+
+    votes = grouped_agg(
+        ds.map_batches(anchored_edges, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        ["dst", "anchor"], [("anchor_n", "", "count")],
+    )
+
+    def winner(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "anchor": pa.array([], pa.string()),
+                          "anchor_n": pa.array([], pa.int64()),
+                          "n_inlinks": pa.array([], pa.int64()),
+                          "n_anchors": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        dst = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        anch = np.asarray(batch.column("anchor").to_pylist(), dtype=object)
+        ns = batch.column("anchor_n").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((anch, -ns, dst))
+        dst, anch, ns = dst[order], anch[order], ns[order]
+        starts, ends = _run_bounds(dst)
+        return pa.table({
+            "doc_id": pa.array(dst[starts], pa.int64()),
+            "anchor": pa.array(anch[starts], pa.string()),
+            "anchor_n": pa.array(ns[starts], pa.int64()),
+            "n_inlinks": pa.array(np.add.reduceat(ns, starts), pa.int64()),
+            "n_anchors": pa.array(ends - starts, pa.int64()),
+        })
+
+    return votes.sort("dst").map_batches(
+        winner, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+
+
+def _sql_inlink_anchors() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    return f"""
+WITH n_tab AS (SELECT count(*) AS n FROM documents),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+anch AS (
+  SELECT doc_id, token AS anchor FROM tc
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY c DESC, token) = 1
+),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+),
+ea AS (SELECT edges.dst, anch.anchor
+       FROM edges JOIN anch ON anch.doc_id = edges.src),
+pc AS (SELECT dst, anchor, CAST(count(*) AS BIGINT) AS anchor_n
+       FROM ea GROUP BY dst, anchor),
+tot AS (SELECT dst, CAST(sum(anchor_n) AS BIGINT) AS n_inlinks,
+               CAST(count(*) AS BIGINT) AS n_anchors
+        FROM pc GROUP BY dst),
+win AS (
+  SELECT dst, anchor, anchor_n FROM pc
+  QUALIFY row_number() OVER (PARTITION BY dst
+                             ORDER BY anchor_n DESC, anchor) = 1
+)
+SELECT win.dst AS doc_id, win.anchor, win.anchor_n,
+       tot.n_inlinks, tot.n_anchors
+FROM win JOIN tot ON tot.dst = win.dst
+ORDER BY doc_id
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -9929,6 +10060,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "view_coverage": q_view_coverage,
         "view_concurrency": q_view_concurrency,
         "user_value_trend": q_user_value_trend,
+        "inlink_anchors": q_inlink_anchors,
         "ml_quality_score": q_ml_quality_score,
         "repetition_filter": q_repetition_filter,
         "domain_mix": q_domain_mix,
@@ -10076,6 +10208,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "view_coverage": _SQL_VIEW_COVERAGE,
         "view_concurrency": _SQL_VIEW_CONCURRENCY,
         "user_value_trend": _SQL_USER_VALUE_TREND,
+        "inlink_anchors": _sql_inlink_anchors(),
         "ml_quality_score": _SQL_ML_QUALITY,
         "repetition_filter": _SQL_REPETITION,
         "domain_mix": _SQL_DOMAIN_MIX,

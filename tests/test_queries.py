@@ -103,6 +103,7 @@ SPOT_CHECKED = [
     "view_coverage",
     "view_concurrency",
     "user_value_trend",
+    "inlink_anchors",
     "dq_checks",
     "pagerank_seeded",
     "ml_quality_score",
