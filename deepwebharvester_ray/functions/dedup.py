@@ -2094,3 +2094,74 @@ def contaminated_ids(
         distinct_ids, batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
     )
+
+
+# ── content-defined chunking (CDC) storage dedup ─────────────────────────────
+
+CDC_WINDOW = 16
+_CDC_PRIME = 1099511628211          # FNV-64 prime
+CDC_MASK = 0xFF                     # 8 zero bits → expected chunk ≈ 256 B
+
+
+def cdc_cut_points(data: np.ndarray) -> np.ndarray:
+    """Content-defined cut positions (inclusive chunk-end byte indices)
+    of a uint8 byte array: a boundary lands wherever the 16-byte
+    polynomial rolling hash ``H_i = Σ_{k<16} b[i−k]·P^k (mod 2⁶⁴)`` has
+    its low 8 bits zero.  Because H_i depends only on the trailing
+    window, an insertion/deletion perturbs just the chunks it touches —
+    the shift-resistance fixed-size chunking lacks, and the reason
+    recrawl snapshots dedup at chunk level even when every page gained
+    a byte.  Fully vectorized: 16 aligned multiply-adds in wrapping
+    uint64 (no per-byte Python).  Pure content-defined form WITHOUT
+    FastCDC's min/max clamps — the clamp is a sequential suppression
+    rule; expected-size tuning via CDC_MASK replaces it (documented
+    deviation).  A vacuous cut at the final byte is dropped (it would
+    split off an empty chunk)."""
+    n = len(data)
+    if n < CDC_WINDOW:
+        return np.empty(0, np.int64)
+    b = data.astype(np.uint64)
+    acc = np.zeros(n - CDC_WINDOW + 1, np.uint64)
+    pw = 1
+    for k in range(CDC_WINDOW):
+        acc += b[CDC_WINDOW - 1 - k: n - k] * np.uint64(pw)
+        pw = (pw * _CDC_PRIME) % (1 << 64)
+    cuts = np.flatnonzero((acc & np.uint64(CDC_MASK)) == 0) \
+        + CDC_WINDOW - 1
+    return cuts[cuts < n - 1].astype(np.int64)
+
+
+def cdc_chunk_batch(batch: pa.Table, id_column: str = "doc_id",
+                    text_column: str = "text") -> pa.Table:
+    """Map stage of chunk-level storage dedup: every doc in the batch
+    explodes into (id, chunk_ord, chunk_hash, chunk_len) rows, one per
+    CDC chunk of its UTF-8 bytes.  chunk_hash is the repo's shared
+    60-bit md5-prefix rule (textops.py quality-scorer convention), so
+    equal byte runs collide across documents, hosts and snapshots.
+    Empty documents emit no rows.  The outer loop is per DOCUMENT (the
+    regex/np boundary-scan inside is vectorized); per-chunk md5 is
+    O(bytes) like any digest."""
+    ids = batch.column(id_column).to_pylist()
+    texts = batch.column(text_column).to_pylist()
+    out_id, out_ord, out_h, out_len = [], [], [], []
+    for i, t in zip(ids, texts):
+        raw = (t or "").encode("utf-8")
+        if not raw:
+            continue
+        arr = np.frombuffer(raw, np.uint8)
+        cuts = cdc_cut_points(arr)
+        starts = np.concatenate([np.zeros(1, np.int64), cuts + 1])
+        ends = np.concatenate([cuts + 1,
+                               np.asarray([len(arr)], np.int64)])
+        for j, (s, e) in enumerate(zip(starts, ends)):
+            out_id.append(i)
+            out_ord.append(j)
+            out_h.append(
+                int(hashlib.md5(raw[s:e]).hexdigest()[:15], 16))
+            out_len.append(int(e - s))
+    return pa.table({
+        id_column: pa.array(out_id, batch.column(id_column).type),
+        "chunk_ord": pa.array(out_ord, pa.int64()),
+        "chunk_hash": pa.array(out_h, pa.int64()),
+        "chunk_len": pa.array(out_len, pa.int64()),
+    })

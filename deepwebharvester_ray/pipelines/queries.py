@@ -9962,6 +9962,71 @@ ORDER BY doc_id
 """
 
 
+def q_cdc_dedup(sf_dir: str):
+    """Chunk-level storage-dedup audit via content-defined chunking:
+    per source, how much of its byte volume survives after equal CDC
+    chunks are stored once — the metric a recrawl/snapshot store uses
+    to size itself (CDC boundaries shift WITH edits, so a page that
+    gained one byte still dedups everywhere past the edit; see
+    ``functions.dedup.cdc_cut_points``).  Output: (source, n_chunks,
+    n_distinct, bytes_total, bytes_distinct, dedup_ppm =
+    10⁶·bytes_distinct // bytes_total).
+
+    Distributed shape: docs explode to (source, chunk_hash, len) rows
+    in one map (the rolling hash is 16 vectorized multiply-adds, the
+    per-chunk md5 is O(bytes)); ONE combiner grouped_agg collapses to
+    (source, chunk_hash) cardinality — duplicate chunks die in the
+    combiner before the exchange — and a second tiny grouped_agg rolls
+    up per source.  Rows-only: the wrapping-uint64 rolling hash has no
+    SQL form; the boundary rule is oracle-tested against a per-byte
+    reference implementation instead (test_functions)."""
+    from ..functions.dedup import cdc_chunk_batch
+
+    ds = _docs(sf_dir, columns=["text", "source"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    rows = ds.map_batches(
+        lambda b: cdc_chunk_batch(b, id_column="source"),
+        batch_format="pyarrow", runtime_env=runtime_env())
+    per_chunk = grouped_agg(
+        rows, ["source", "chunk_hash"],
+        [("n", "", "count"), ("clen", "chunk_len", "min")])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        clen = batch.column("clen").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "source": batch.column("source"),
+            "n": pa.array(n, pa.int64()),
+            "bytes": pa.array(n * clen, pa.int64()),
+            "dlen": pa.array(clen, pa.int64()),
+            "one": pa.array(np.ones(len(n), np.int64)),
+        })
+
+    per_src = grouped_agg(
+        per_chunk.map_batches(widen, batch_format="pyarrow",
+                              runtime_env=runtime_env()),
+        ["source"],
+        [("n_chunks", "n", "sum"), ("n_distinct", "one", "sum"),
+         ("bytes_total", "bytes", "sum"),
+         ("bytes_distinct", "dlen", "sum")])
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        bt = batch.column("bytes_total").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        bd = batch.column("bytes_distinct").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ppm = (1_000_000 * bd) // np.where(bt > 0, bt, 1)
+        return batch.append_column(
+            "dedup_ppm", pa.array(np.where(bt > 0, ppm, 0), pa.int64()))
+
+    return per_src.map_batches(ratio, batch_format="pyarrow",
+                               batch_size=None,
+                               runtime_env=runtime_env()).sort("source")
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -10061,6 +10126,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "view_concurrency": q_view_concurrency,
         "user_value_trend": q_user_value_trend,
         "inlink_anchors": q_inlink_anchors,
+        "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
         "repetition_filter": q_repetition_filter,
         "domain_mix": q_domain_mix,
@@ -10272,5 +10338,5 @@ ROWS_ONLY: List[str] = [
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
     "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
     "link_kcore", "mmr_topk", "embedding_pca",
-    "compressibility", "streaming_heavy_tokens",
+    "compressibility", "streaming_heavy_tokens", "cdc_dedup",
 ]

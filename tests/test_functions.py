@@ -2300,3 +2300,80 @@ def test_pagerank_seeded_chain_reach():
     assert s[5] == 443_705_312_500
     assert all(s[i] > 0 for i in range(6))
     assert all(s[i] == 0 for i in range(6, n))
+
+
+def _cdc_cuts_reference(data: bytes):
+    """Per-byte reference for cdc_cut_points: literal polynomial window
+    hash in Python ints, mod 2**64."""
+    w, prime, mask = dedup.CDC_WINDOW, dedup._CDC_PRIME, dedup.CDC_MASK
+    pw = [pow(prime, k, 1 << 64) for k in range(w)]
+    cuts = []
+    for i in range(w - 1, len(data)):
+        h = sum(data[i - k] * pw[k] for k in range(w)) % (1 << 64)
+        if h & mask == 0 and i < len(data) - 1:
+            cuts.append(i)
+    return np.asarray(cuts, np.int64)
+
+
+def test_cdc_cut_points_match_reference():
+    rng = np.random.default_rng(7)
+    for n in (0, 5, dedup.CDC_WINDOW - 1, dedup.CDC_WINDOW, 300, 5000):
+        data = rng.integers(0, 256, n).astype(np.uint8).tobytes()
+        got = dedup.cdc_cut_points(np.frombuffer(data, np.uint8))
+        want = _cdc_cuts_reference(data)
+        assert np.array_equal(got, want), f"n={n}"
+
+
+def test_cdc_shift_resistance():
+    """THE CDC property: prepending bytes leaves every chunk after the
+    first content-defined boundary identical — fixed-size chunking
+    would shift and rewrite all of them."""
+    import hashlib
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, 8000).astype(np.uint8).tobytes()
+    shifted = rng.integers(0, 256, 137).astype(np.uint8).tobytes() + base
+
+    def chunk_hashes(raw: bytes):
+        arr = np.frombuffer(raw, np.uint8)
+        cuts = dedup.cdc_cut_points(arr)
+        starts = np.concatenate([[0], cuts + 1])
+        ends = np.concatenate([cuts + 1, [len(arr)]])
+        return [hashlib.md5(raw[s:e]).hexdigest()
+                for s, e in zip(starts, ends)]
+
+    h1, h2 = chunk_hashes(base), chunk_hashes(shifted)
+    assert len(h1) > 8, "corpus too small to exercise chunking"
+    # every chunk of base except the first must reappear in shifted
+    assert set(h1[1:]) <= set(h2)
+    # and the tails are identical element-wise (same order, same cuts)
+    k = len(h1) - 1
+    assert h1[-k:] == h2[-k:]
+
+
+def test_cdc_chunk_batch_roundtrip():
+    """Chunk lengths of each doc must sum to its byte length; dup texts
+    produce identical chunk-hash sequences; empty docs emit nothing."""
+    t1 = "the quick brown fox jumps over the lazy dog " * 40
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([t1, t1, ""], pa.string()),
+    })
+    out = dedup.cdc_chunk_batch(batch)
+    ids = np.asarray(out.column("doc_id").to_pylist())
+    ln = np.asarray(out.column("chunk_len").to_pylist())
+    hs = np.asarray(out.column("chunk_hash").to_pylist())
+    assert set(ids) == {1, 2}
+    for d in (1, 2):
+        assert ln[ids == d].sum() == len(t1.encode())
+    assert list(hs[ids == 1]) == list(hs[ids == 2])
+
+
+def test_cdc_dedup_query(ray_session):
+    from deepwebharvester_ray.pipelines.queries import q_cdc_dedup
+
+    t = q_cdc_dedup("/root/testdata/sf0.001").to_pandas()
+    assert len(t) > 0
+    assert (t.bytes_distinct <= t.bytes_total).all()
+    assert (t.n_distinct <= t.n_chunks).all()
+    assert ((t.dedup_ppm > 0) & (t.dedup_ppm <= 1_000_000)).all()
