@@ -4843,6 +4843,187 @@ FROM s ORDER BY doc_id
 """
 
 
+def q_bigram_surprisal(sf_dir: str):
+    """Per-document mean CONDITIONAL bigram surprisal — the bigram-LM
+    twin of :func:`q_doc_surprisal`: each adjacent pair (a, b) costs
+    ``-log2 P(b | a) = log2 c1(a) - log2 c2(a, b)`` under the corpus's
+    own bigram model, where ``c2`` is the corpus bigram count and
+    ``c1(a) = Σ_b c2(a, b)`` the left-context total.  High mean = the
+    doc's word ORDER is unpredictable given the corpus (garbled /
+    shuffled / TEMPLATE-FREE text) even when its unigrams are common —
+    exactly what the unigram screen can't see.  Float logs diverge
+    between engines in the last ulp, so both sides compute the integer
+    floor-log2 envelope ``Σ tf · (⌊log2 c1⌋ - ⌊log2 c2⌋)`` (monotone in
+    conditional rarity) and a per-doc integer-milli mean.
+
+    Distributed shape (the rare_bigram_rate discipline, one stream
+    join instead of two): ONE tokenization pass materializes the
+    per-doc (doc_id, a, b, tf) bigram table; corpus bigram counts are
+    a combiner grouped_agg over THE SAME table; left-context totals
+    are a second combiner over the (vocabulary-sized) count table —
+    never the raw stream; c1 attaches to c2 vocab-side (small × small
+    native join), then ONE native hash join ships the enriched counts
+    to the stream on the (a, b) pair; the per-doc rollup is a combiner
+    aggregate on the high-cardinality doc key.  Nothing
+    driver-resident."""
+    from ..functions.partition import coalesce_nonempty
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    _SEP = "\x1f"  # cannot appear in [a-z0-9]+ tokens
+
+    def doc_bigrams(batch: pa.Table) -> pa.Table:
+        ids_in = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_a, out_b, out_tf = [], [], [], []
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            toks = WORD_RE.findall((t or "").lower())
+            if len(toks) < 2:
+                continue
+            pairs = np.asarray(
+                [x + _SEP + y for x, y in zip(toks[:-1], toks[1:])],
+                dtype=object,
+            )
+            uniq, counts = np.unique(pairs, return_counts=True)
+            split = [p.split(_SEP, 1) for p in uniq.tolist()]
+            out_id.append(np.full(len(uniq), ids_in[i], np.int64))
+            out_a.extend(s[0] for s in split)
+            out_b.extend(s[1] for s in split)
+            out_tf.append(counts.astype(np.int64))
+        if not out_id:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "a": pa.array([], pa.string()),
+                 "b": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "a": pa.array(out_a, pa.string()),
+                "b": pa.array(out_b, pa.string()),
+                "tf": pa.array(np.concatenate(out_tf), pa.int64()),
+            }
+        )
+
+    big = ds.map_batches(doc_bigrams, batch_format="pyarrow",
+                         batch_size=None,
+                         runtime_env=runtime_env()).materialize()
+    c2 = grouped_agg(big, ["a", "b"], [("c2", "tf", "sum")]).materialize()
+    # left-context totals over the VOCABULARY-sized count table
+    c1 = grouped_agg(c2, ["a"], [("c1", "c2", "sum")])
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "nbig": pa.array([], pa.int64()),
+            "surprisal_mbits": pa.array([], pa.int64()),
+        }
+    )
+    n_parts = max(2, _shuffle_parts(sf_dir))
+    big_nz = coalesce_nonempty(big)
+    c2_nz = coalesce_nonempty(c2)
+    c1_nz = coalesce_nonempty(c1)
+    if big_nz is None or c2_nz is None or c1_nz is None:
+        import ray
+
+        return ray.data.from_arrow(empty)
+
+    cnt = coalesce_nonempty(c2_nz.join(
+        c1_nz, "inner", num_partitions=n_parts, on=("a",),
+    ))
+    if cnt is None:
+        import ray
+
+        return ray.data.from_arrow(empty)
+    joined = big_nz.join(
+        cnt, "inner", num_partitions=n_parts, on=("a", "b"),
+    )
+
+    def part_surprisal(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        c1v = batch.column("c1").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        c2v = batch.column("c2").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "part": pa.array(tf * (_flog2(c1v) - _flog2(c2v)),
+                                 pa.int64()),
+                "tf": pa.array(tf, pa.int64()),
+            }
+        )
+
+    per_doc = grouped_agg(
+        joined.map_batches(part_surprisal, batch_format="pyarrow",
+                           runtime_env=runtime_env()),
+        ["doc_id"],
+        [("s_total", "part", "sum"), ("nbig", "tf", "sum")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("s_total").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        nb = batch.column("nbig").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "nbig": pa.array(nb, pa.int64()),
+                "surprisal_mbits": pa.array(
+                    s * _SURPRISAL_SCALE // nb, pa.int64()
+                ),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow",
+                               runtime_env=runtime_env())
+
+
+_SQL_BIGRAM_SURPRISAL = f"""
+WITH tokarr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_SQL_RE}') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS token,
+         generate_subscripts(toks, 1) AS pos
+  FROM tokarr
+),
+big AS (
+  SELECT doc_id, token AS a,
+         lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM tok
+),
+tf AS (
+  SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS tf
+  FROM big WHERE b IS NOT NULL GROUP BY 1, 2, 3
+),
+c2 AS (SELECT a, b, CAST(sum(tf) AS BIGINT) AS c2 FROM tf GROUP BY 1, 2),
+c1 AS (SELECT a, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf * ((length(bin(c1.c1)) - 1)
+                           - (length(bin(c2.c2)) - 1))) AS BIGINT)
+             AS s_total,
+         CAST(sum(tf.tf) AS BIGINT) AS nbig
+  FROM tf JOIN c2 USING (a, b) JOIN c1 USING (a)
+  GROUP BY 1
+)
+SELECT doc_id, nbig,
+       CAST(s_total * {_SURPRISAL_SCALE} // nbig AS BIGINT)
+           AS surprisal_mbits
+FROM s ORDER BY doc_id
+"""
+
+
 _BP_K = 4            # boilerplate window width (tokens)
 _BP_MIN_DOCS = 2     # distinct docs on one host sharing a window → flagged
 _BP_SCALE = 1_000_000
@@ -10107,6 +10288,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "pmi_bigrams": q_pmi_bigrams,
         "rare_bigram_rate": q_rare_bigram_rate,
         "doc_surprisal": q_doc_surprisal,
+        "bigram_surprisal": q_bigram_surprisal,
         "host_boilerplate": q_host_boilerplate,
         "novelty_filter": q_novelty_filter,
         "dedup_purge": q_dedup_purge,
@@ -10259,6 +10441,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "pmi_bigrams": _SQL_PMI_BIGRAMS,
         "rare_bigram_rate": _SQL_RARE_BIGRAM_RATE,
         "doc_surprisal": _SQL_DOC_SURPRISAL,
+        "bigram_surprisal": _SQL_BIGRAM_SURPRISAL,
         "host_boilerplate": _sql_host_boilerplate(),
         "novelty_filter": _SQL_NOVELTY_FILTER,
         "dedup_purge": _SQL_DEDUP_PURGE,

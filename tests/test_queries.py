@@ -86,6 +86,7 @@ SPOT_CHECKED = [
     "doc_search",
     "pmi_bigrams",
     "doc_surprisal",
+    "bigram_surprisal",
     "host_boilerplate",
     "bucketed_join",
     "novelty_filter",
