@@ -5822,6 +5822,158 @@ FROM ue a JOIN ue b ON a.v = b.u JOIN ue c ON c.u = a.u AND c.v = b.v
 """
 
 
+def q_degree_assortativity(sf_dir: str):
+    """Directed in-degree assortativity of the crawl link graph — the
+    Pearson correlation, over edges, of (in-degree of source,
+    in-degree of target): do well-linked pages link to other
+    well-linked pages?  The structural statistic behind hub/periphery
+    diagnosis and crawl-frontier prioritization.  (Out-degree is a
+    constant 3 on this graph, so the in–in correlation is the
+    non-degenerate axis.)  Square roots are engine-divergent, so the
+    result is the EXACT integer sufficient-statistic row — n, Σx, Σy,
+    Σx², Σy², Σxy plus the assembled correlation numerator
+    ``n·Σxy − Σx·Σy`` and the two variance denominators — from which
+    r is one float op away.
+
+    Distributed shape: in-degrees are ONE combiner grouped_agg over
+    the edge table; every moment except Σxy decomposes to NODE-side
+    sums (each node is the source of exactly 3 edges and the target
+    of indeg(n) edges, so Σ_edges x = 3·Σ_n d, Σ_edges x² = 3·Σ_n d²,
+    Σ_edges y = Σ_n d², Σ_edges y² = Σ_n d³ — tiny scans of the
+    node-sized degree table, no edge traffic); only the genuinely
+    COUPLED Σxy pays the edge-stream cost: two native hash joins
+    attach endpoint degrees, one constant-key sum.  Inner joins are
+    exact here — an edge dropped for a missing (zero) in-degree
+    contributes exactly 0 to Σxy.  Overflow envelope: terms are
+    bounded by n_edges·Σd³; exact in int64 for graphs to ~10⁹ nodes
+    with hub in-degrees ≲ 10⁴ (a real web graph caps hub degrees
+    upstream, the two_hop_counts knob)."""
+    from ..functions.partition import coalesce_nonempty
+
+    _, edges = _corpus_link_edges(sf_dir)
+    edges = edges.materialize()
+
+    def one_row(n, sx, sy, sxx, syy, sxy):
+        return pa.table(
+            {
+                "n_edges": pa.array([n], pa.int64()),
+                "s_x": pa.array([sx], pa.int64()),
+                "s_y": pa.array([sy], pa.int64()),
+                "s_xx": pa.array([sxx], pa.int64()),
+                "s_yy": pa.array([syy], pa.int64()),
+                "s_xy": pa.array([sxy], pa.int64()),
+                "num": pa.array([n * sxy - sx * sy], pa.int64()),
+                "den_x": pa.array([n * sxx - sx * sx], pa.int64()),
+                "den_y": pa.array([n * syy - sy * sy], pa.int64()),
+            }
+        )
+
+    n_edges = edges.count()
+    if n_edges == 0:
+        return one_row(0, 0, 0, 0, 0, 0)
+
+    indeg = grouped_agg(
+        edges, ["dst"], [("d", "", "count")]
+    ).materialize()
+
+    def node_moments(batch: pa.Table) -> pa.Table:
+        d = batch.column("d").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "d1": pa.array(d, pa.int64()),
+                "d2": pa.array(d * d, pa.int64()),
+                "d3": pa.array(d * d * d, pa.int64()),
+            }
+        )
+
+    m = indeg.map_batches(node_moments, batch_format="pyarrow",
+                          batch_size=None,
+                          runtime_env=runtime_env()).sum(
+        ["d1", "d2", "d3"]
+    )
+    s1, s2, s3 = int(m["sum(d1)"]), int(m["sum(d2)"]), int(m["sum(d3)"])
+    s_x, s_xx = 3 * s1, 3 * s2   # every node is src of exactly 3 edges
+    s_y, s_yy = s2, s3           # node n appears as dst indeg(n) times
+
+    deg = indeg.map_batches(
+        lambda t: pa.table({"id": t.column("dst"), "d": t.column("d")}),
+        batch_format="pyarrow", runtime_env=runtime_env(),
+    )
+    parts = max(2, _shuffle_parts(sf_dir))
+    deg_nz = coalesce_nonempty(deg)
+    edges_nz = coalesce_nonempty(edges)
+    if deg_nz is None or edges_nz is None:
+        return one_row(n_edges, 0, 0, 0, 0, 0)
+    e1 = coalesce_nonempty(edges_nz.join(
+        deg_nz, "inner", num_partitions=parts, on=("src",),
+        right_on=("id",),
+    ))
+    if e1 is None:
+        return one_row(n_edges, s_x, s_y, s_xx, s_yy, 0)
+    e2 = e1.map_batches(
+        lambda t: pa.table({"dst": t.column("dst"), "x": t.column("d")}),
+        batch_format="pyarrow", runtime_env=runtime_env(),
+    ).join(
+        deg_nz, "inner", num_partitions=parts, on=("dst",),
+        right_on=("id",),
+    )
+
+    def xy(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        y = batch.column("d").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table({"xy": pa.array(x * y, pa.int64())})
+
+    s_xy = int(e2.map_batches(xy, batch_format="pyarrow",
+                              batch_size=None,
+                              runtime_env=runtime_env()).sum("xy") or 0)
+    return one_row(n_edges, s_x, s_y, s_xx, s_yy, s_xy)
+
+
+def _sql_degree_assortativity() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    return f"""
+WITH n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+),
+indeg AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS d
+          FROM edges GROUP BY 1),
+ev AS (
+  SELECT COALESCE(a.d, 0) AS x, COALESCE(b.d, 0) AS y
+  FROM edges e
+  LEFT JOIN indeg a ON a.id = e.src
+  LEFT JOIN indeg b ON b.id = e.dst
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(x) AS BIGINT) AS s_x,
+         CAST(sum(y) AS BIGINT) AS s_y,
+         CAST(sum(x * x) AS BIGINT) AS s_xx,
+         CAST(sum(y * y) AS BIGINT) AS s_yy,
+         CAST(sum(x * y) AS BIGINT) AS s_xy
+  FROM ev
+)
+SELECT n_edges, s_x, s_y, s_xx, s_yy, s_xy,
+       CAST(n_edges * s_xy - s_x * s_y AS BIGINT) AS num,
+       CAST(n_edges * s_xx - s_x * s_x AS BIGINT) AS den_x,
+       CAST(n_edges * s_yy - s_y * s_y AS BIGINT) AS den_y
+FROM s
+"""
+
+
 def q_dedup_purge(sf_dir: str):
     """The end-to-end fuzzy-dedup pipeline a training-data run actually
     ships: near-dup pair generation (exact 8-token-window overlap) →
@@ -10283,6 +10435,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "rank_agreement": q_rank_agreement,
         "rank_fusion": q_rank_fusion,
         "triangle_count": q_triangle_count,
+        "degree_assortativity": q_degree_assortativity,
         "inverted_index": q_inverted_index,
         "doc_search": q_doc_search,
         "pmi_bigrams": q_pmi_bigrams,
@@ -10436,6 +10589,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "rank_agreement": _sql_rank_agreement(),
         "rank_fusion": _sql_rank_fusion(),
         "triangle_count": _sql_triangles(),
+        "degree_assortativity": _sql_degree_assortativity(),
         "inverted_index": _SQL_INVERTED_INDEX,
         "doc_search": _SQL_DOC_SEARCH,
         "pmi_bigrams": _SQL_PMI_BIGRAMS,

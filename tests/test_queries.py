@@ -82,6 +82,7 @@ SPOT_CHECKED = [
     "rank_agreement",
     "rank_fusion",
     "triangle_count",
+    "degree_assortativity",
     "inverted_index",
     "doc_search",
     "pmi_bigrams",
