@@ -770,6 +770,384 @@ def jaccard_pairs_exact(
     return _join_verify_jaccard(cand, tok_ds, threshold, n_parts)
 
 
+# ── weighted (TF-IDF) cosine all-pairs similarity join ──────────────────────
+
+
+def _decode_wvec(b: bytes):
+    """Blob → (sorted uint64 token hashes, int64 idf weights)."""
+    n = len(b) // 10
+    th = np.frombuffer(b[: 8 * n], dtype=np.uint64)
+    w = np.frombuffer(b[8 * n:], dtype=np.uint16).astype(np.int64)
+    return th, w
+
+
+def cosine_pairs_exact(
+    ds, id_column: str = "doc_id", text_column: str = "text",
+    tau: tuple = (4, 5), n_docs: int | None = None,
+    shuffle_partitions: int | None = None, max_bucket: int = 65536,
+):
+    """ALL pairs with idf-weighted (binary-tf) cosine ≥ tau — EXACT and
+    INTEGER-DETERMINISTIC.  The sparse twin of the embedding near-dup:
+    each doc is the set-indicator vector of its distinct tokens scaled
+    by the integer idf envelope ``w(t) = ⌊log2 N⌋ − ⌊log2 df(t)⌋``
+    (the doc_surprisal convention — bit-identical across engines;
+    tokens in the top df band carry weight 0 and are DROPPED, the
+    stopword prune built into the weighting).  cos ≥ τ = TN/TD is
+    decided entirely in integers: ``num²·TD² ≥ TN²·‖a‖²·‖b‖²`` —
+    no square root ever crosses an engine boundary.  Returns
+    (id_a, id_b, num, norm_a, norm_b), all exact int64.
+
+    Candidate filter (probe–index prefix filtering adapted to weighted
+    cosine): order every doc's tokens by the global (df asc, hash)
+    order and INDEX the minimal prefix whose remaining norm² drops
+    below ``τ²·‖d‖²``; every token row PROBES.  A pair is emitted when
+    a shared token is in either side's index prefix — if no shared
+    token is in a's prefix, the whole intersection sits in a's suffix
+    and Cauchy–Schwarz gives ``num ≤ ‖suff_a‖·‖b‖ < τ·‖a‖·‖b‖``, so
+    every qualifying pair is found (symmetrically for b).  The prefix
+    test is integer too: index position i while ``TD²·R_i ≥ TN²·‖d‖²``
+    (R = suffix sum of w²) — for τ = 0.8 only the rarest ~36% of each
+    doc's norm² is indexed, and tokens too common to enter ANY prefix
+    never pair at all (probe rows meet an empty index side).
+
+    Scale shape (nothing driver-resident): one tokenize/explode pass
+    (tokens travel as 8-byte hashes); distributed df combiner count;
+    native hash-join df attach; ONE single-key id sort feeding two
+    in-block passes (blob assembly + prefix pick); token sort +
+    in-bucket pair emission (``max_bucket`` hot-bucket guard); pair
+    distinct; size-gated verification — broadcast restricted blob
+    pull below :data:`VERIFY_BROADCAST_CUTOFF`, distributed double
+    hash-join above, exactly the minhash/jaccard contract.  Cross-doc
+    64-bit hash collisions (odds ~V²/2⁶⁴) are the only approximation.
+    """
+    import ray
+
+    from .agg import grouped_agg
+    from .partition import coalesce_nonempty
+
+    tn, td = int(tau[0]), int(tau[1])
+    n_parts = max(2, shuffle_partitions or 8)
+    if n_docs is None:
+        n_docs = ds.count()
+
+    _empty_out = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "num": pa.array([], pa.int64()),
+            "norm_a": pa.array([], pa.int64()),
+            "norm_b": pa.array([], pa.int64()),
+        }
+    )
+    if n_docs <= 1:
+        return ray.data.from_arrow(_empty_out)
+    log_n = int(n_docs).bit_length() - 1
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_in = batch.column(id_column).to_numpy(zero_copy_only=False)
+        out_id, out_th = [], []
+        for i, t in enumerate(batch.column(text_column).to_pylist()):
+            th = _word_hashes(token_set(t))
+            if len(th):
+                out_id.append(np.full(len(th), ids_in[i], np.int64))
+                out_th.append(th)
+        if not out_id:
+            return pa.table(
+                {"id": pa.array([], pa.int64()),
+                 "th": pa.array([], pa.uint64())}
+            )
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate(out_id), pa.int64()),
+                "th": pa.array(np.concatenate(out_th), pa.uint64()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              batch_size=None,
+                              runtime_env=runtime_env()).materialize()
+    df_ds = grouped_agg(exploded, ["th"], [("df", "", "count")])
+    exploded_nz = coalesce_nonempty(exploded)
+    df_nz = coalesce_nonempty(df_ds)
+    if exploded_nz is None or df_nz is None:
+        return ray.data.from_arrow(_empty_out)
+    jdf = exploded_nz.join(df_nz, "inner", num_partitions=n_parts,
+                           on=("th",))
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        df = batch.column("df").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        # floor-log2 via frexp (the _flog2 convention; df ≥ 1 always)
+        ldf = (np.frexp(df.astype(np.float64))[1] - 1).astype(np.int64)
+        w = log_n - ldf
+        keep = w > 0
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "id": batch.column("id").combine_chunks().filter(mask),
+                "th": batch.column("th").combine_chunks().filter(mask),
+                "df": pa.array(df[keep], pa.int64()),
+                "w": pa.array(w[keep], pa.int64()),
+            }
+        )
+
+    wtab = jdf.map_batches(weigh, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+    wtab_nz = coalesce_nonempty(wtab)
+    if wtab_nz is None:
+        return ray.data.from_arrow(_empty_out)
+    sorted_w = wtab_nz.sort("id").materialize()
+
+    def make_blobs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.large_binary())})
+        ids = batch.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        th = batch.column("th").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        w = batch.column("w").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((th, ids))        # hash-ascending per doc
+        ids_s, th_s, w_s = ids[order], th[order], w[order]
+        starts, ends = _run_bounds(ids_s)
+        blobs = [
+            th_s[s:e].tobytes() + w_s[s:e].astype(np.uint16).tobytes()
+            for s, e in zip(starts, ends)
+        ]
+        return pa.table(
+            {
+                "id": pa.array(ids_s[starts], pa.int64()),
+                "sh": pa.array(blobs, pa.large_binary()),
+            }
+        )
+
+    blob_ds = sorted_w.map_batches(make_blobs, batch_format="pyarrow",
+                                   batch_size=None,
+                                   runtime_env=runtime_env())
+
+    _empty_tok = pa.table(
+        {"th": pa.array([], pa.uint64()), "id": pa.array([], pa.int64()),
+         "ix": pa.array([], pa.int8())}
+    )
+
+    def flag_prefix(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_tok
+        ids = batch.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        th = batch.column("th").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        df = batch.column("df").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        w = batch.column("w").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((th, df, ids))    # rare-first per doc
+        ids_s, th_s, w2 = ids[order], th[order], w[order] ** 2
+        starts, ends = _run_bounds(ids_s)
+        # per-run suffix sums of w² and run totals, vectorized:
+        cum = np.concatenate(([0], np.cumsum(w2)))
+        run_total = np.repeat(cum[ends] - cum[starts],
+                              ends - starts)       # ‖d‖² per row
+        run_end = np.repeat(cum[ends], ends - starts)
+        suffix = run_end - cum[:-1]                 # R_i (includes i)
+        ix = (td * td * suffix >= tn * tn * run_total)
+        return pa.table(
+            {
+                "th": pa.array(th_s, pa.uint64()),
+                "id": pa.array(ids_s, pa.int64()),
+                "ix": pa.array(ix.astype(np.int8), pa.int8()),
+            }
+        )
+
+    tok_rows = sorted_w.map_batches(flag_prefix, batch_format="pyarrow",
+                                    batch_size=None,
+                                    runtime_env=runtime_env())
+
+    _empty_pair = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        # index rows × probe rows within each token bucket
+        if batch.num_rows == 0:
+            return _empty_pair
+        th = batch.column("th").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ids = batch.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ix = batch.column("ix").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        starts, ends = _run_bounds(th)
+        sizes = ends - starts
+        sel = (sizes >= 2) & (sizes <= max_bucket)
+        out_a, out_b = [], []
+        for s, e in zip(starts[sel], ends[sel]):
+            seg_ids = ids[s:e]
+            idx_ids = seg_ids[ix[s:e] == 1]
+            if not len(idx_ids):
+                continue
+            a = np.repeat(idx_ids, len(seg_ids))
+            b = np.tile(seg_ids, len(idx_ids))
+            keep = a != b
+            a, b = a[keep], b[keep]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+        if not out_a:
+            return _empty_pair
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_pair
+        a = batch.column("id_a").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        b = batch.column("id_b").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return batch.filter(pa.array(keep))
+
+    cand = (
+        tok_rows.sort("th")
+        .map_batches(bucket_pairs, batch_format="pyarrow",
+                     batch_size=None, runtime_env=runtime_env())
+        .sort(["id_a", "id_b"])
+        .map_batches(distinct_pairs, batch_format="pyarrow",
+                     batch_size=None, runtime_env=runtime_env())
+    )
+    return _verify_cosine(cand, blob_ds, tn, td, n_parts)
+
+
+def _cosine_check(ba: bytes, bb: bytes, tn: int, td: int):
+    """(num, norm_a, norm_b, passes) for one decoded-blob pair —
+    Python-int threshold test, immune to int64 overflow."""
+    tha, wa = _decode_wvec(ba)
+    thb, wb = _decode_wvec(bb)
+    _, ia, ib = np.intersect1d(tha, thb, assume_unique=True,
+                               return_indices=True)
+    num = int((wa[ia] * wb[ib]).sum()) if len(ia) else 0
+    na = int((wa * wa).sum())
+    nb = int((wb * wb).sum())
+    ok = num > 0 and num * num * td * td >= tn * tn * na * nb
+    return num, na, nb, ok
+
+
+def _verify_cosine(cand, blob_ds, tn: int, td: int, n_parts: int,
+                   broadcast_cutoff: int | None = None):
+    """Exact integer cosine verification of candidate pairs — the
+    size-gated hybrid of :func:`_join_verify_jaccard` with integer
+    (num, norm_a, norm_b) outputs instead of a float score."""
+    import ray
+
+    from .partition import coalesce_nonempty
+
+    _empty_out = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "num": pa.array([], pa.int64()),
+            "norm_a": pa.array([], pa.int64()),
+            "norm_b": pa.array([], pa.int64()),
+        }
+    )
+    cand = coalesce_nonempty(cand)
+    blob_nz = coalesce_nonempty(blob_ds)
+    if cand is None or blob_nz is None:
+        return ray.data.from_arrow(_empty_out)
+
+    def emit(rows):
+        return pa.table(
+            {
+                "id_a": pa.array([r[0] for r in rows], pa.int64()),
+                "id_b": pa.array([r[1] for r in rows], pa.int64()),
+                "num": pa.array([r[2] for r in rows], pa.int64()),
+                "norm_a": pa.array([r[3] for r in rows], pa.int64()),
+                "norm_b": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+
+    cutoff = (VERIFY_BROADCAST_CUTOFF if broadcast_cutoff is None
+              else broadcast_cutoff)
+    if cand.count() <= cutoff:
+        cand_rows = cand.take_all()
+        cand_ids = np.unique(
+            np.fromiter(
+                (i for r in cand_rows for i in (r["id_a"], r["id_b"])),
+                dtype=np.int64, count=2 * len(cand_rows),
+            )
+        )
+        ids_ref = ray.put(cand_ids)
+
+        def only_candidates(batch: pa.Table, ref=ids_ref) -> pa.Table:
+            wanted = cached_get(ref)
+            ids = batch.column("id").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            if not len(wanted):
+                return batch.filter(
+                    pa.array(np.zeros(len(ids), dtype=bool)))
+            pos = np.searchsorted(wanted, ids)
+            pos[pos >= len(wanted)] = 0
+            return batch.filter(pa.array(wanted[pos] == ids))
+
+        blob_map = {
+            r["id"]: r["sh"]
+            for r in blob_nz.map_batches(
+                only_candidates, batch_format="pyarrow",
+                runtime_env=runtime_env(),
+            ).take_all()
+        }
+        blob_ref = ray.put(blob_map)
+
+        def verify_bc(batch: pa.Table, ref=blob_ref) -> pa.Table:
+            m = cached_get(ref)
+            rows = []
+            for a_id, b_id in zip(batch.column("id_a").to_pylist(),
+                                  batch.column("id_b").to_pylist()):
+                ba, bb = m.get(a_id, b""), m.get(b_id, b"")
+                num, na, nb, ok = _cosine_check(ba, bb, tn, td)
+                if ok:
+                    rows.append((a_id, b_id, num, na, nb))
+            return emit(rows)
+
+        return cand.map_batches(verify_bc, batch_format="pyarrow",
+                                runtime_env=runtime_env())
+
+    j1 = coalesce_nonempty(cand.join(
+        blob_nz, "inner", num_partitions=n_parts,
+        on=("id_a",), right_on=("id",),
+    ))
+    if j1 is None:
+        return ray.data.from_arrow(_empty_out)
+    j2 = j1.join(
+        blob_nz, "inner", num_partitions=n_parts,
+        on=("id_b",), right_on=("id",), right_suffix="_b",
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        rows = []
+        if batch.num_rows:
+            for a_id, b_id, ba, bb in zip(
+                batch.column("id_a").to_pylist(),
+                batch.column("id_b").to_pylist(),
+                batch.column("sh").to_pylist(),
+                batch.column("sh_b").to_pylist(),
+            ):
+                num, na, nb, ok = _cosine_check(ba, bb, tn, td)
+                if ok:
+                    rows.append((a_id, b_id, num, na, nb))
+        return emit(rows)
+
+    return j2.map_batches(verify, batch_format="pyarrow",
+                          runtime_env=runtime_env())
+
+
 # ── SimHash ──────────────────────────────────────────────────────────────────
 
 _BIT_RANGE = np.arange(64, dtype=np.uint64)

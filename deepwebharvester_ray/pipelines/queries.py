@@ -858,6 +858,61 @@ ORDER BY id_a, id_b
 """
 
 
+def q_cosine_pairs(sf_dir: str):
+    """Exact idf-weighted sparse-cosine near-dup pairs (probe–index
+    prefix-filtered all-pairs similarity join,
+    :func:`~deepwebharvester_ray.functions.dedup.cosine_pairs_exact`)
+    at τ = 0.8 — integer-deterministic end to end: weights are the
+    floor-log2 idf envelope, the threshold test is
+    ``num²·TD² ≥ TN²·‖a‖²·‖b‖²``, and the output is the exact
+    (num, norm_a, norm_b) integers.  Hashed-token space vs the SQL
+    oracle's token strings: the collision-free-key assumption shared
+    with jaccard_pairs/containment_pairs."""
+    from ..functions.dedup import cosine_pairs_exact
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    n_docs = pq.ParquetFile(
+        str(Path(sf_dir) / "documents.parquet")
+    ).metadata.num_rows
+    return cosine_pairs_exact(
+        ds, tau=(4, 5), n_docs=n_docs,
+        shuffle_partitions=_shuffle_parts(sf_dir),
+    )
+
+
+_SQL_COSINE_PAIRS = """
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+n_tab AS (SELECT count(*) AS n FROM documents),
+w0 AS (
+  SELECT t.doc_id, t.token,
+         CAST((length(bin((SELECT n FROM n_tab))) - 1)
+              - (length(bin(df.df)) - 1) AS BIGINT) AS w
+  FROM tok t JOIN df USING (token)
+),
+w AS (SELECT * FROM w0 WHERE w > 0),
+norm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS norm
+         FROM w GROUP BY 1),
+num AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(sum(a.w * b.w) AS BIGINT) AS num
+  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT n.id_a, n.id_b, n.num, na.norm AS norm_a, nb.norm AS norm_b
+FROM num n
+JOIN norm na ON na.doc_id = n.id_a
+JOIN norm nb ON nb.doc_id = n.id_b
+WHERE n.num * n.num * 25 >= 16 * na.norm * nb.norm
+ORDER BY id_a, id_b
+"""
+
+
 def q_events_by_type(sf_dir: str):
     """A1/A3 analogue: per-event-type count + deterministic cents sum."""
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
@@ -10382,6 +10437,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "neardup_embeddings_lsh": q_neardup_embeddings_lsh,
         "semdedup_prune": q_semdedup_prune,
         "jaccard_pairs": q_jaccard_pairs,
+        "cosine_pairs": q_cosine_pairs,
         "ngram_overlap": q_ngram_overlap,
         "containment_pairs": q_containment_pairs,
         "passage_profile": q_passage_profile,
@@ -10544,6 +10600,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "knn_graph": _SQL_KNN_GRAPH,
         "neardup_embeddings": _SQL_NEARDUP_EMB,
         "jaccard_pairs": _SQL_JACCARD_PAIRS,
+        "cosine_pairs": _SQL_COSINE_PAIRS,
         "ngram_overlap": _SQL_NGRAM_OVERLAP,
         "containment_pairs": _SQL_CONTAINMENT_PAIRS,
         "passage_profile": _SQL_PASSAGE_PROFILE,

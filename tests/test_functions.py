@@ -83,6 +83,54 @@ def test_jaccard_exact_pairs():
     assert pairs[(0, 1)] == pytest.approx(4 / 6)
 
 
+def test_cosine_pairs_exact_vs_bruteforce():
+    """Probe–index prefix-filtered weighted-cosine join == the O(n²)
+    integer reference on a random multi-block corpus with planted
+    near-dups — validates the prefix-filter completeness bound and the
+    integer threshold test end to end."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = []
+    for _ in range(80):
+        k = int(rng.integers(5, 30))
+        docs.append(" ".join(rng.choice(vocab, size=k, replace=False)))
+    docs[50] = docs[10] + " extraword"      # near-dup
+    docs[51] = docs[10]                     # exact dup
+    parts = docs[20].split()
+    docs[52] = " ".join(parts[:-2] + parts[:3])  # overlap variant
+
+    out = dedup.cosine_pairs_exact(
+        _docs_ds(docs), tau=(4, 5), n_docs=len(docs),
+        shuffle_partitions=4,
+    ).take_all()
+    got = sorted((r["id_a"], r["id_b"], r["num"], r["norm_a"], r["norm_b"])
+                 for r in out)
+
+    n = len(docs)
+    log_n = n.bit_length() - 1
+    from collections import Counter
+
+    sets = [set(dedup.token_set(t)) for t in docs]
+    df = Counter(t for s in sets for t in s)
+
+    def wvec(s):
+        v = {t: log_n - (df[t].bit_length() - 1) for t in s}
+        return {t: w for t, w in v.items() if w > 0}
+
+    vecs = [wvec(s) for s in sets]
+    exp = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            num = sum(w * vecs[b][t]
+                      for t, w in vecs[a].items() if t in vecs[b])
+            na = sum(w * w for w in vecs[a].values())
+            nb = sum(w * w for w in vecs[b].values())
+            if num > 0 and num * num * 25 >= 16 * na * nb:
+                exp.append((a, b, num, na, nb))
+    assert got == sorted(exp)
+    assert {(p[0], p[1]) for p in got} >= {(10, 50), (10, 51), (50, 51)}
+
+
 def test_simhash_pairs():
     words = [f"tok{i}" for i in range(60)]
     a = " ".join(words)

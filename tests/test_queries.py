@@ -59,6 +59,7 @@ SPOT_CHECKED = [
     "stratified_sample",
     "top_terms_tfidf",
     "jaccard_pairs",
+    "cosine_pairs",
     "lineitem_orders_join",
     "runtime_filter_join",
     "local_supplier_revenue",
