@@ -174,6 +174,14 @@ BENCH_QUERIES = [
     "dq_checks",
     "embedding_pca",
     "pagerank_seeded",
+    "view_coverage",
+    "view_concurrency",
+    "user_value_trend",
+    "rank_fusion",
+    "inlink_anchors",
+    "cdc_dedup",
+    "bigram_surprisal",
+    "degree_assortativity",
     "crawl_bfs",
 ]
 

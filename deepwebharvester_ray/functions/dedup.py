@@ -773,14 +773,6 @@ def jaccard_pairs_exact(
 # ── weighted (TF-IDF) cosine all-pairs similarity join ──────────────────────
 
 
-def _decode_wvec(b: bytes):
-    """Blob → (sorted uint64 token hashes, int64 idf weights)."""
-    n = len(b) // 10
-    th = np.frombuffer(b[: 8 * n], dtype=np.uint64)
-    w = np.frombuffer(b[8 * n:], dtype=np.uint16).astype(np.int64)
-    return th, w
-
-
 def cosine_pairs_exact(
     ds, id_column: str = "doc_id", text_column: str = "text",
     tau: tuple = (4, 5), n_docs: int | None = None,
@@ -817,8 +809,20 @@ def cosine_pairs_exact(
     in-bucket pair emission (``max_bucket`` hot-bucket guard); pair
     distinct; size-gated verification — broadcast restricted blob
     pull below :data:`VERIFY_BROADCAST_CUTOFF`, distributed double
-    hash-join above, exactly the minhash/jaccard contract.  Cross-doc
-    64-bit hash collisions (odds ~V²/2⁶⁴) are the only approximation.
+    hash-join above, exactly the minhash/jaccard contract.
+    Verification scoring is the fully vectorized segmented
+    lexsort-merge of :func:`_cosine_batch_check` — never per-pair
+    Python.  Cross-doc 64-bit hash collisions (odds ~V²/2⁶⁴) are the
+    only approximation.
+
+    Degenerate-input note: a corpus whose WHOLE vocabulary is
+    near-universal (every token in >N/2 docs) has no rare tokens for
+    prefixes to exploit — most doc pairs genuinely exceed τ and ANY
+    exact all-pairs algorithm emits Ω(qualifying pairs).  The
+    synthetic sf0.1 table is exactly this shape (31 distinct w>0
+    tokens; ~43% of all pairs pass τ=0.8), so this query is
+    correctness-benchmarked at oracle scale, not wall-clocked there —
+    same policy as jaccard_pairs.
     """
     import ray
 
@@ -1025,17 +1029,62 @@ def cosine_pairs_exact(
     return _verify_cosine(cand, blob_ds, tn, td, n_parts)
 
 
-def _cosine_check(ba: bytes, bb: bytes, tn: int, td: int):
-    """(num, norm_a, norm_b, passes) for one decoded-blob pair —
-    Python-int threshold test, immune to int64 overflow."""
-    tha, wa = _decode_wvec(ba)
-    thb, wb = _decode_wvec(bb)
-    _, ia, ib = np.intersect1d(tha, thb, assume_unique=True,
-                               return_indices=True)
-    num = int((wa[ia] * wb[ib]).sum()) if len(ia) else 0
-    na = int((wa * wa).sum())
-    nb = int((wb * wb).sum())
-    ok = num > 0 and num * num * td * td >= tn * tn * na * nb
+def _cosine_batch_check(blobs_a, blobs_b, tn: int, td: int):
+    """Vectorized exact scoring of a BATCH of blob pairs: one segmented
+    lexsort-merge over the concatenated (pair, token, side) rows finds
+    every shared token (distinct per side, so matches are exactly
+    adjacent A/B duos), products and norms reduce by pair via bincount
+    (float64 bincount is exact for integer sums < 2⁵³ — norms are
+    ≤ 2809·tokens).  The threshold test is a float64 pre-test with an
+    exact Python-int re-check of the ±1e-9 borderline band — never a
+    per-pair Python scoring loop.  Returns (num, na, nb, ok) arrays."""
+    k = len(blobs_a)
+    if k == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, np.zeros(0, bool)
+    tha = [np.frombuffer(b[: 8 * (len(b) // 10)], np.uint64)
+           for b in blobs_a]
+    wa = [np.frombuffer(b[8 * (len(b) // 10):], np.uint16)
+          for b in blobs_a]
+    thb = [np.frombuffer(b[: 8 * (len(b) // 10)], np.uint64)
+           for b in blobs_b]
+    wb = [np.frombuffer(b[8 * (len(b) // 10):], np.uint16)
+          for b in blobs_b]
+    ca = np.fromiter((len(t) for t in tha), np.int64, k)
+    cb = np.fromiter((len(t) for t in thb), np.int64, k)
+    THA = (np.concatenate(tha) if ca.sum() else np.zeros(0, np.uint64))
+    WA = (np.concatenate(wa).astype(np.int64) if ca.sum()
+          else np.zeros(0, np.int64))
+    THB = (np.concatenate(thb) if cb.sum() else np.zeros(0, np.uint64))
+    WB = (np.concatenate(wb).astype(np.int64) if cb.sum()
+          else np.zeros(0, np.int64))
+    PA = np.repeat(np.arange(k, dtype=np.int64), ca)
+    PB = np.repeat(np.arange(k, dtype=np.int64), cb)
+    na = np.bincount(PA, weights=WA * WA, minlength=k).astype(np.int64)
+    nb = np.bincount(PB, weights=WB * WB, minlength=k).astype(np.int64)
+
+    p = np.concatenate([PA, PB])
+    th = np.concatenate([THA, THB])
+    w = np.concatenate([WA, WB])
+    side = np.concatenate([np.zeros(len(PA), np.int8),
+                           np.ones(len(PB), np.int8)])
+    order = np.lexsort((side, th, p))
+    p, th, w, side = p[order], th[order], w[order], side[order]
+    eq = np.zeros(len(p), dtype=bool)
+    if len(p) > 1:
+        eq[:-1] = ((p[:-1] == p[1:]) & (th[:-1] == th[1:])
+                   & (side[:-1] == 0) & (side[1:] == 1))
+    idx = np.flatnonzero(eq)
+    prod = w[idx] * w[idx + 1]
+    num = np.bincount(p[idx], weights=prod, minlength=k).astype(np.int64)
+
+    lhs = (num.astype(np.float64) ** 2) * (td * td)
+    rhs = (tn * tn) * na.astype(np.float64) * nb.astype(np.float64)
+    ok = (num > 0) & (lhs >= rhs * (1.0 - 1e-9))
+    border = ok & (lhs <= rhs * (1.0 + 1e-9))
+    for i in np.flatnonzero(border):
+        ok[i] = (int(num[i]) ** 2 * td * td
+                 >= tn * tn * int(na[i]) * int(nb[i]))
     return num, na, nb, ok
 
 
@@ -1062,14 +1111,17 @@ def _verify_cosine(cand, blob_ds, tn: int, td: int, n_parts: int,
     if cand is None or blob_nz is None:
         return ray.data.from_arrow(_empty_out)
 
-    def emit(rows):
+    def emit(a_ids, b_ids, blobs_a, blobs_b):
+        num, na, nb, ok = _cosine_batch_check(blobs_a, blobs_b, tn, td)
         return pa.table(
             {
-                "id_a": pa.array([r[0] for r in rows], pa.int64()),
-                "id_b": pa.array([r[1] for r in rows], pa.int64()),
-                "num": pa.array([r[2] for r in rows], pa.int64()),
-                "norm_a": pa.array([r[3] for r in rows], pa.int64()),
-                "norm_b": pa.array([r[4] for r in rows], pa.int64()),
+                "id_a": pa.array(np.asarray(a_ids, np.int64)[ok],
+                                 pa.int64()),
+                "id_b": pa.array(np.asarray(b_ids, np.int64)[ok],
+                                 pa.int64()),
+                "num": pa.array(num[ok], pa.int64()),
+                "norm_a": pa.array(na[ok], pa.int64()),
+                "norm_b": pa.array(nb[ok], pa.int64()),
             }
         )
 
@@ -1107,14 +1159,11 @@ def _verify_cosine(cand, blob_ds, tn: int, td: int, n_parts: int,
 
         def verify_bc(batch: pa.Table, ref=blob_ref) -> pa.Table:
             m = cached_get(ref)
-            rows = []
-            for a_id, b_id in zip(batch.column("id_a").to_pylist(),
-                                  batch.column("id_b").to_pylist()):
-                ba, bb = m.get(a_id, b""), m.get(b_id, b"")
-                num, na, nb, ok = _cosine_check(ba, bb, tn, td)
-                if ok:
-                    rows.append((a_id, b_id, num, na, nb))
-            return emit(rows)
+            a_ids = batch.column("id_a").to_pylist()
+            b_ids = batch.column("id_b").to_pylist()
+            return emit(a_ids, b_ids,
+                        [m.get(a, b"") for a in a_ids],
+                        [m.get(b, b"") for b in b_ids])
 
         return cand.map_batches(verify_bc, batch_format="pyarrow",
                                 runtime_env=runtime_env())
@@ -1131,18 +1180,12 @@ def _verify_cosine(cand, blob_ds, tn: int, td: int, n_parts: int,
     )
 
     def verify(batch: pa.Table) -> pa.Table:
-        rows = []
-        if batch.num_rows:
-            for a_id, b_id, ba, bb in zip(
-                batch.column("id_a").to_pylist(),
-                batch.column("id_b").to_pylist(),
-                batch.column("sh").to_pylist(),
-                batch.column("sh_b").to_pylist(),
-            ):
-                num, na, nb, ok = _cosine_check(ba, bb, tn, td)
-                if ok:
-                    rows.append((a_id, b_id, num, na, nb))
-        return emit(rows)
+        if batch.num_rows == 0:
+            return _empty_out
+        return emit(batch.column("id_a").to_pylist(),
+                    batch.column("id_b").to_pylist(),
+                    batch.column("sh").to_pylist(),
+                    batch.column("sh_b").to_pylist())
 
     return j2.map_batches(verify, batch_format="pyarrow",
                           runtime_env=runtime_env())
