@@ -750,6 +750,54 @@ def run_skyline(n: int) -> dict:
     }
 
 
+def run_cosine(n: int) -> dict:
+    """cosine_pairs_exact over n docs with a REALISTIC geometric df
+    spectrum (doc slot k draws from a 2^k vocabulary, k=0..13 — slot-0
+    tokens are universal/zero-weight, slot-13 near-unique), plus a
+    planted near-dup per 10 docs.  Evidence that the probe–index
+    prefix filter holds when rare tokens EXIST (the synthetic sf
+    tables are the degenerate all-common-vocabulary case): pairs and
+    wall must grow ~linearly with n and driver RSS stay flat."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray import runtime_env
+    from deepwebharvester_ray.functions.dedup import cosine_pairs_exact
+
+    SLOTS = 14
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        eff = np.where((ids > 0) & (ids % 10 == 7), ids - 1, ids)
+        texts = []
+        for e in eff:
+            toks = []
+            for k in range(SLOTS):
+                h = (int(e) * 2654435761 + k * 40503 + 11) % (1 << 61)
+                toks.append(f"t{k}x{h % (1 << k)}")
+            texts.append(" ".join(toks))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    ds = ray.data.range(n, override_num_blocks=32).map_batches(
+        gen, batch_format="pyarrow", runtime_env=runtime_env()
+    )
+    t0 = time.monotonic()
+    n_pairs = cosine_pairs_exact(
+        ds, tau=(4, 5), n_docs=n, shuffle_partitions=32
+    ).count()
+    return {
+        "case": "cosine", "n": n, "pairs": n_pairs,
+        "wall_s": round(time.monotonic() - t0, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("case", choices=["minhash", "frontier", "highcard",
@@ -757,7 +805,7 @@ def main() -> None:
                                     "passage", "skewjoin", "bpe",
                                     "stream", "skewagg", "bloomjoin",
                                     "containment", "knn", "fuzzy",
-                                    "skyline"])
+                                    "skyline", "cosine"])
     p.add_argument("--dup", type=int, default=1)
     p.add_argument("--seeds", type=int, default=10_000)
     p.add_argument("--shards", type=int, default=None)
@@ -808,6 +856,8 @@ def main() -> None:
             out = run_fuzzy(args.n)
         elif args.case == "skyline":
             out = run_skyline(args.n)
+        elif args.case == "cosine":
+            out = run_cosine(args.n)
         else:
             out = run_highcard(args.n)
     finally:
