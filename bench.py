@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "view_coverage",
     "view_concurrency",
     "user_value_trend",
+    "user_autocorr",
     "rank_fusion",
     "inlink_anchors",
     "cdc_dedup",

@@ -10219,6 +10219,142 @@ FROM s ORDER BY user_id
 """
 
 
+def q_user_autocorr(sf_dir: str):
+    """Per-user LAG-1 serial-dependence statistics — the temporal twin
+    of :func:`q_user_value_trend`: where the trend regresses spend on
+    TIME, this measures whether consecutive spends predict each other
+    (bursty vs alternating vs independent behavior — the session-
+    dynamics entity feature).  Over each user's (ts, event_id)-ordered
+    integer-cents sequence, every adjacent pair contributes
+    (x=vₜ, y=vₜ₊₁); the result is the EXACT integer sufficient-
+    statistic row per user — n_pairs, Σx, Σy, Σx², Σy², Σxy plus the
+    assembled autocorrelation numerator ``n·Σxy − Σx·Σy`` and variance
+    denominators (the degree_assortativity convention: r is one float
+    op away, no sqrt crosses engines).  Users with <2 events drop out.
+
+    Distributed shape: adjacency is the ONLY non-aggregable part, so
+    it costs exactly one high-cardinality single-key user sort + one
+    vectorized block pass (in-block (ts, event_id) lexsort, same-user
+    adjacent mask — the user_deltas idiom); per-pair moment rows then
+    collapse in ONE combiner grouped_agg at user cardinality and a
+    tiny vectorized map assembles num/den.  Shuffle volume O(events)
+    once, then O(users)."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        ts = (batch.column("ts").combine_chunks().cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_us": pa.array(ts, pa.int64()),
+                "event_id": batch.column("event_id"),
+                "v": pa.array(np.floor(v * 100.0).astype(np.int64),
+                              pa.int64()),
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+
+    _empty_pairs = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "x": pa.array([], pa.int64()),
+            "y": pa.array([], pa.int64()),
+            "xx": pa.array([], pa.int64()),
+            "yy": pa.array([], pa.int64()),
+            "xy": pa.array([], pa.int64()),
+        }
+    )
+
+    def pair_moments(batch: pa.Table) -> pa.Table:
+        if batch.num_rows < 2:
+            return _empty_pairs
+        u = batch.column("user_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ts = batch.column("ts_us").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        eid = batch.column("event_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v = batch.column("v").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u_s, v_s = u[order], v[order]
+        adj = u_s[:-1] == u_s[1:]          # same-user adjacent pairs
+        x, y = v_s[:-1][adj], v_s[1:][adj]
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[:-1][adj], pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+                "xx": pa.array(x * x, pa.int64()),
+                "yy": pa.array(y * y, pa.int64()),
+                "xy": pa.array(x * y, pa.int64()),
+            }
+        )
+
+    agg = grouped_agg(
+        cents.sort("user_id").map_batches(
+            pair_moments, batch_format="pyarrow", batch_size=None,
+            runtime_env=runtime_env()),
+        ["user_id"],
+        [("n_pairs", "", "count"), ("s_x", "x", "sum"),
+         ("s_y", "y", "sum"), ("s_xx", "xx", "sum"),
+         ("s_yy", "yy", "sum"), ("s_xy", "xy", "sum")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {
+            c: batch.column(c).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            for c in ("n_pairs", "s_x", "s_y", "s_xx", "s_yy", "s_xy")
+        }
+        n, sx, sy = cols["n_pairs"], cols["s_x"], cols["s_y"]
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                **{c: pa.array(cols[c], pa.int64()) for c in cols},
+                "num": pa.array(n * cols["s_xy"] - sx * sy, pa.int64()),
+                "den_x": pa.array(n * cols["s_xx"] - sx * sx, pa.int64()),
+                "den_y": pa.array(n * cols["s_yy"] - sy * sy, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+
+
+_SQL_USER_AUTOCORR = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100.0) AS BIGINT) AS v
+  FROM events
+),
+p AS (
+  SELECT user_id, v AS x,
+         lead(v) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+  FROM e
+),
+s AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x) AS BIGINT) AS s_x, CAST(sum(y) AS BIGINT) AS s_y,
+         CAST(sum(x * x) AS BIGINT) AS s_xx,
+         CAST(sum(y * y) AS BIGINT) AS s_yy,
+         CAST(sum(x * y) AS BIGINT) AS s_xy
+  FROM p WHERE y IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_pairs, s_x, s_y, s_xx, s_yy, s_xy,
+       CAST(n_pairs * s_xy - s_x * s_y AS BIGINT) AS num,
+       CAST(n_pairs * s_xx - s_x * s_x AS BIGINT) AS den_x,
+       CAST(n_pairs * s_yy - s_y * s_y AS BIGINT) AS den_y
+FROM s ORDER BY user_id
+"""
+
+
 def q_inlink_anchors(sf_dir: str):
     """Inlink anchor-text aggregation — the web-search feature builder:
     each page's dominant incoming link description.  Every source page
@@ -10516,6 +10652,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "view_coverage": q_view_coverage,
         "view_concurrency": q_view_concurrency,
         "user_value_trend": q_user_value_trend,
+        "user_autocorr": q_user_autocorr,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -10668,6 +10805,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "view_coverage": _SQL_VIEW_COVERAGE,
         "view_concurrency": _SQL_VIEW_CONCURRENCY,
         "user_value_trend": _SQL_USER_VALUE_TREND,
+        "user_autocorr": _SQL_USER_AUTOCORR,
         "inlink_anchors": _sql_inlink_anchors(),
         "ml_quality_score": _SQL_ML_QUALITY,
         "repetition_filter": _SQL_REPETITION,

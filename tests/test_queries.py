@@ -106,6 +106,7 @@ SPOT_CHECKED = [
     "view_coverage",
     "view_concurrency",
     "user_value_trend",
+    "user_autocorr",
     "inlink_anchors",
     "dq_checks",
     "pagerank_seeded",
