@@ -601,6 +601,195 @@ FROM documents ORDER BY doc_id
 """
 
 
+_TRAP_MIN = 10  # distinct URLs under one template that flag a trap
+
+
+def q_url_templates(sf_dir: str):
+    """Crawler-trap screen by URL-template clustering — the frontier
+    hygiene pass a large crawl runs before committing budget: collapse
+    every path's digit runs to ``{n}`` and count DISTINCT URLs per
+    (host, template).  A template expanding into many distinct URLs on
+    one host (calendars, session ids, unbounded pagination) is an
+    infinite URL space — the classic spider trap (reference
+    blacklists only whole domains, urlops.py; templates are the
+    scalable form).  URLs are SQL-constructible from doc_id (the
+    url_canonicalize convention): a /cal/{{year}}/{{id}}/view trap
+    family concentrated on 8 hosts, a sparse /item/{{id}} family, a
+    CLOSED /page/{{0-6}} pagination family, and a static /about page.
+
+    Distributed shape: template extraction is two vectorized Arrow RE2
+    kernels per batch (extract host+path, replace digit runs) — no
+    Python in the per-row path; distinct counting is the two-level
+    plan (combiner grouped_agg at URL cardinality collapses repeats
+    per block, second combiner at (host, template) cardinality);
+    threshold flag is a tiny map over the reduced table.  Shuffle
+    volume O(distinct urls) then O(templates)."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def make_urls(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        urls = []
+        for x in d.tolist():
+            m = x % 4
+            if m == 0:
+                urls.append(
+                    f"http://h{x % 8}.example.onion/cal/"
+                    f"{2020 + x % 5}/{x}/view")
+            elif m == 1:
+                urls.append(f"http://h{x % 64}.example.onion/item/{x}")
+            elif m == 2:
+                urls.append(
+                    f"http://h{x % 64}.example.onion/page/{x % 7}")
+            else:
+                urls.append(f"http://h{x % 64}.example.onion/about")
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    def to_template(batch: pa.Table) -> pa.Table:
+        url = batch.column("url")
+        parts = pc.extract_regex(
+            url, r"^http://(?P<host>[^/]+)(?P<path>/.*)$")
+        host = pc.struct_field(parts, "host")
+        path = pc.struct_field(parts, "path")
+        template = pc.replace_substring_regex(path, r"[0-9]+", "{n}")
+        return pa.table({"host": host, "template": template, "url": url})
+
+    tmpl = ds.map_batches(make_urls, batch_format="pyarrow",
+                          runtime_env=runtime_env()) \
+             .map_batches(to_template, batch_format="pyarrow",
+                          runtime_env=runtime_env())
+
+    distinct = grouped_agg(tmpl, ["host", "template", "url"],
+                           [("n", "", "count")])
+    per_tmpl = grouped_agg(distinct, ["host", "template"],
+                           [("n_urls", "", "count")])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_urls").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "template": batch.column("template"),
+                "n_urls": pa.array(n, pa.int64()),
+                "is_trap": pa.array(
+                    (n >= _TRAP_MIN).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return per_tmpl.map_batches(flag, batch_format="pyarrow",
+                                runtime_env=runtime_env())
+
+
+_SQL_URL_TEMPLATES = """
+WITH u AS (
+  SELECT CASE
+    WHEN doc_id % 4 = 0 THEN 'http://h' || (doc_id % 8)
+         || '.example.onion/cal/' || (2020 + doc_id % 5)
+         || '/' || doc_id || '/view'
+    WHEN doc_id % 4 = 1 THEN 'http://h' || (doc_id % 64)
+         || '.example.onion/item/' || doc_id
+    WHEN doc_id % 4 = 2 THEN 'http://h' || (doc_id % 64)
+         || '.example.onion/page/' || (doc_id % 7)
+    ELSE 'http://h' || (doc_id % 64) || '.example.onion/about'
+  END AS url
+  FROM documents
+),
+t AS (
+  SELECT regexp_extract(url, '^http://([^/]+)', 1) AS host,
+         regexp_replace(regexp_extract(url, '^http://[^/]+(/.*)$', 1),
+                        '[0-9]+', '{n}', 'g') AS template,
+         url
+  FROM u
+),
+d AS (SELECT DISTINCT host, template, url FROM t),
+a AS (
+  SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls
+  FROM d GROUP BY 1, 2
+)
+SELECT host, template, n_urls,
+       CAST(CASE WHEN n_urls >= 10 THEN 1 ELSE 0 END AS BIGINT) AS is_trap
+FROM a ORDER BY host, template
+"""
+
+
+_MV_CUTOFF_US = 946_684_800 * 10**6   # 2000-01-01
+_US_PER_WEEK = 7 * 86_400_000_000
+
+
+def q_mv_refresh(sf_dir: str):
+    """Incremental materialized-view maintenance — the warehouse
+    refresh contract: a stored per-(week, status) rollup built from the
+    BASE slice of orders (o_orderdate < 2000-01-01) is brought current
+    by merging the DELTA slice's rows into the stored partials, never
+    re-aggregating base raw rows.  Because every aggregate here is
+    decomposable (count → sum, sum → sum), refresh is algebraic: the
+    stored MV row (k, n, s) and delta rows (k, 1, cents) are the SAME
+    shape, so one tagged union + ONE combiner grouped_agg produces the
+    up-to-date view — cost O(|delta| + |MV|), not O(|base|).  The
+    oracle is the plain GROUP BY over ALL orders: the check IS the
+    refresh-equals-recompute theorem, independent of the cutoff.
+
+    Distributed shape: base MV is a combiner grouped_agg materialized
+    once (the "stored" state); delta rows map to unit partials in one
+    vectorized pass; the merge is a second combiner grouped_agg at MV
+    cardinality.  Week keys are epoch-µs integer arithmetic (the
+    cohort_retention rule — never extract())."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderdate", "o_orderstatus", "o_totalprice"],
+               override_num_blocks=_shuffle_parts(sf_dir, "orders"))
+
+    def to_partial(cmp):
+        def fn(batch: pa.Table) -> pa.Table:
+            ts = (batch.column("o_orderdate").combine_chunks()
+                  .cast(pa.timestamp("us")).cast(pa.int64())
+                  .to_numpy(zero_copy_only=False))
+            mask = cmp(ts)
+            v = batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False)[mask]
+            return pa.table(
+                {
+                    "week": pa.array(ts[mask] // _US_PER_WEEK, pa.int64()),
+                    "o_orderstatus":
+                        batch.column("o_orderstatus").combine_chunks()
+                        .take(pa.array(np.nonzero(mask)[0])),
+                    "n_orders": pa.array(
+                        np.ones(int(mask.sum()), np.int64), pa.int64()),
+                    "total_cents": pa.array(
+                        np.floor(v * 100.0).astype(np.int64), pa.int64()),
+                }
+            )
+        return fn
+
+    specs = [("n_orders", "n_orders", "sum"),
+             ("total_cents", "total_cents", "sum")]
+    keys = ["week", "o_orderstatus"]
+
+    # the "stored" MV: aggregated base partials, materialized once
+    mv = grouped_agg(
+        ds.map_batches(to_partial(lambda ts: ts < _MV_CUTOFF_US),
+                       batch_format="pyarrow", runtime_env=runtime_env()),
+        keys, specs,
+    ).materialize()
+
+    delta = ds.map_batches(to_partial(lambda ts: ts >= _MV_CUTOFF_US),
+                           batch_format="pyarrow",
+                           runtime_env=runtime_env())
+
+    # refresh = MV rows ∪ delta unit-partials → one combiner merge
+    return grouped_agg(mv.union(delta), keys, specs)
+
+
+_SQL_MV_REFRESH = f"""
+SELECT epoch_us(o_orderdate) // {_US_PER_WEEK} AS week, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _embedding_queries(sf_dir: str, n: int = 3) -> np.ndarray:
     """Query matrix = embeddings of vec_id 0..n-1 (row-group filter pushed
     into the parquet read — never the whole file for 3 vectors)."""
@@ -5210,6 +5399,194 @@ agg AS (
 SELECT doc_id, n_windows, n_bp,
        CAST(n_bp * {_BP_SCALE} // n_windows AS BIGINT) AS bp_ppm
 FROM agg ORDER BY doc_id
+"""
+
+
+_DSIR_TARGET = "src0"  # the "high-quality" target distribution
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling") — per-document
+    log p_target(doc) − log p_raw(doc) under bag-of-unigram LMs, the
+    score a mixture pipeline resamples on to tilt a raw crawl toward a
+    trusted target distribution (here ``source == 'src0'``; the raw
+    model is the whole corpus).  Float logs diverge between engines in
+    the last ulp, so both sides compute the INTEGER floor-log2 envelope
+    (the :func:`q_doc_surprisal` discipline)::
+
+        logratio_bits = Σ_t tf_t · (⌊log2 (c_tgt_t + 1)⌋ − ⌊log2 c_raw_t⌋)
+                        + ntok · (⌊log2 N_raw⌋ − ⌊log2 (N_tgt + V)⌋)
+
+    — add-one smoothing on the target side (tokens the target has never
+    seen still get a finite probability; V is the corpus vocabulary
+    size), no smoothing needed on the raw side (every stream token has
+    c_raw ≥ 1).  High = target-like, low = off-distribution.
+
+    Distributed shape: ONE tokenization pass materializes the
+    (doc_id, token, tf, tft) table with the target-masked count riding
+    the same rows; BOTH count columns reduce in ONE combiner
+    grouped_agg at vocabulary cardinality; the three scalars
+    (N_raw, N_tgt, V) come from the vocab table, never the raw stream;
+    the count attach is a native hash join on token (vocabulary stays
+    distributed); the per-doc rollup is a second combiner aggregate on
+    the high-cardinality doc key.  Nothing driver-resident beyond
+    three integers."""
+    from ..functions.partition import coalesce_nonempty
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "source"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def doc_terms(batch: pa.Table) -> pa.Table:
+        ids_in = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = batch.column("source").to_pylist()
+        out_id, out_tok, out_tf, out_tft = [], [], [], []
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            toks = WORD_RE.findall((t or "").lower())
+            if not toks:
+                continue
+            uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                     return_counts=True)
+            tf = counts.astype(np.int64)
+            out_id.append(np.full(len(uniq), ids_in[i], np.int64))
+            out_tok.extend(uniq.tolist())
+            out_tf.append(tf)
+            out_tft.append(tf if src[i] == _DSIR_TARGET
+                           else np.zeros_like(tf))
+        if not out_id:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "token": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64()),
+                 "tft": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "token": pa.array(out_tok, pa.string()),
+                "tf": pa.array(np.concatenate(out_tf), pa.int64()),
+                "tft": pa.array(np.concatenate(out_tft), pa.int64()),
+            }
+        )
+
+    terms = ds.map_batches(doc_terms, batch_format="pyarrow",
+                           batch_size=None,
+                           runtime_env=runtime_env()).materialize()
+    cnt = grouped_agg(
+        terms, ["token"],
+        [("c_raw", "tf", "sum"), ("c_tgt", "tft", "sum")],
+    ).materialize()
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "ntok": pa.array([], pa.int64()),
+            "logratio_bits": pa.array([], pa.int64()),
+        }
+    )
+    terms_nz = coalesce_nonempty(terms)
+    cnt_nz = coalesce_nonempty(cnt)
+    if terms_nz is None or cnt_nz is None:
+        import ray
+
+        return ray.data.from_arrow(empty)
+
+    # the three model scalars, summed over the VOCABULARY-sized table
+    n_raw = int(cnt.sum("c_raw"))
+    n_tgt = int(cnt.sum("c_tgt"))
+    vocab = cnt.count()
+    lam = (int(n_raw).bit_length() - 1) - (
+        int(n_tgt + vocab).bit_length() - 1)
+
+    joined = terms_nz.join(
+        cnt_nz, "inner", num_partitions=max(2, _shuffle_parts(sf_dir)),
+        on=("token",),
+    )
+
+    def part_ratio(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        c_raw = batch.column("c_raw").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        c_tgt = batch.column("c_tgt").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "part": pa.array(
+                    tf * (_flog2(c_tgt + 1) - _flog2(c_raw)), pa.int64()
+                ),
+                "tf": pa.array(tf, pa.int64()),
+            }
+        )
+
+    per_doc = grouped_agg(
+        joined.map_batches(part_ratio, batch_format="pyarrow",
+                           runtime_env=runtime_env()),
+        ["doc_id"],
+        [("s_total", "part", "sum"), ("ntok", "tf", "sum")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("s_total").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        nt = batch.column("ntok").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "ntok": pa.array(nt, pa.int64()),
+                "logratio_bits": pa.array(s + nt * lam, pa.int64()),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow",
+                               runtime_env=runtime_env())
+
+
+_SQL_DSIR_WEIGHTS = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(regexp_extract_all(lower(text), '{_TOKEN_SQL_RE}')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf,
+         CAST(CASE WHEN min(source) = '{_DSIR_TARGET}'
+                   THEN count(*) ELSE 0 END AS BIGINT) AS tft
+  FROM tok GROUP BY doc_id, token
+),
+cnt AS (
+  SELECT token, CAST(sum(tf) AS BIGINT) AS c_raw,
+         CAST(sum(tft) AS BIGINT) AS c_tgt
+  FROM tf GROUP BY 1
+),
+n_tab AS (
+  SELECT CAST(sum(c_raw) AS BIGINT) AS nr,
+         CAST(sum(c_tgt) AS BIGINT) AS nt,
+         CAST(count(*) AS BIGINT) AS v
+  FROM cnt
+),
+s AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf * ((length(bin(cnt.c_tgt + 1)) - 1)
+                           - (length(bin(cnt.c_raw)) - 1))) AS BIGINT)
+             AS s_total,
+         CAST(sum(tf.tf) AS BIGINT) AS ntok
+  FROM tf JOIN cnt USING (token)
+  GROUP BY 1
+)
+SELECT doc_id, ntok,
+       CAST(s_total + ntok * ((length(bin((SELECT nr FROM n_tab))) - 1)
+                              - (length(bin((SELECT nt + v FROM n_tab)))
+                                 - 1)) AS BIGINT) AS logratio_bits
+FROM s ORDER BY doc_id
 """
 
 
@@ -10634,6 +11011,9 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "rare_bigram_rate": q_rare_bigram_rate,
         "doc_surprisal": q_doc_surprisal,
         "bigram_surprisal": q_bigram_surprisal,
+        "dsir_weights": q_dsir_weights,
+        "url_templates": q_url_templates,
+        "mv_refresh": q_mv_refresh,
         "host_boilerplate": q_host_boilerplate,
         "novelty_filter": q_novelty_filter,
         "dedup_purge": q_dedup_purge,
@@ -10790,6 +11170,9 @@ def build_oracle_sql() -> Dict[str, str]:
         "rare_bigram_rate": _SQL_RARE_BIGRAM_RATE,
         "doc_surprisal": _SQL_DOC_SURPRISAL,
         "bigram_surprisal": _SQL_BIGRAM_SURPRISAL,
+        "dsir_weights": _SQL_DSIR_WEIGHTS,
+        "url_templates": _SQL_URL_TEMPLATES,
+        "mv_refresh": _SQL_MV_REFRESH,
         "host_boilerplate": _sql_host_boilerplate(),
         "novelty_filter": _SQL_NOVELTY_FILTER,
         "dedup_purge": _SQL_DEDUP_PURGE,

@@ -60,6 +60,9 @@ SPOT_CHECKED = [
     "top_terms_tfidf",
     "jaccard_pairs",
     "cosine_pairs",
+    "dsir_weights",
+    "url_templates",
+    "mv_refresh",
     "lineitem_orders_join",
     "runtime_filter_join",
     "local_supplier_revenue",
