@@ -790,6 +790,89 @@ FROM orders GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+_DRIFT_CUTOFF_US = 1_705_363_200 * 10**6   # 2024-01-16
+
+
+def q_drift_tvd(sf_dir: str):
+    """Distribution-drift monitor — the data-quality alarm a production
+    pipeline runs between ingest windows: per event_type, the exact
+    total-variation contribution |p_base − p_new| between the stream
+    before and after the cutoff, as integer ppm via cross-
+    multiplication (``|c_b·N_n − c_n·N_b| · 10⁶ // (N_b·N_n)``) — no
+    float ratio ever crosses engines.  Σ drift_ppm / 2 is the TVD.
+
+    Distributed shape: ONE combiner grouped_agg carries both window
+    counts per type (masked unit columns, the mv_refresh idiom);
+    N_base / N_new are scalar sums over the ~|types| reduced table;
+    the cross-multiplied finish runs on that bounded table in
+    PYTHON-INT arithmetic (c·N products at 100-TB scale exceed int64;
+    the cosine_pairs overflow-immunity rule), matching the oracle's
+    HUGEINT."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def window_counts(batch: pa.Table) -> pa.Table:
+        ts = (batch.column("ts").combine_chunks()
+              .cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        new = ts >= _DRIFT_CUTOFF_US
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "b": pa.array((~new).astype(np.int64), pa.int64()),
+            "n": pa.array(new.astype(np.int64), pa.int64()),
+        })
+
+    agg = grouped_agg(
+        ds.map_batches(window_counts, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        ["event_type"],
+        [("n_base", "b", "sum"), ("n_new", "n", "sum")],
+    ).materialize()
+
+    nb = int(agg.sum("n_base") or 0)
+    nn = int(agg.sum("n_new") or 0)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cb = batch.column("n_base").to_pylist()
+        cn = batch.column("n_new").to_pylist()
+        drift = [
+            abs(b * nn - n * nb) * 10**6 // (nb * nn)
+            if nb and nn else 0
+            for b, n in zip(cb, cn)
+        ]
+        return batch.append_column("drift_ppm",
+                                   pa.array(drift, pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+
+
+_SQL_DRIFT_TVD = f"""
+WITH c AS (
+  SELECT event_type,
+         CAST(count(*) FILTER (epoch_us(ts) < {_DRIFT_CUTOFF_US})
+              AS BIGINT) AS n_base,
+         CAST(count(*) FILTER (epoch_us(ts) >= {_DRIFT_CUTOFF_US})
+              AS BIGINT) AS n_new
+  FROM events GROUP BY 1
+),
+n AS (
+  SELECT CAST(sum(n_base) AS HUGEINT) AS nb,
+         CAST(sum(n_new) AS HUGEINT) AS nn
+  FROM c
+)
+SELECT event_type, n_base, n_new,
+       CAST(CASE WHEN (SELECT nb FROM n) = 0 OR (SELECT nn FROM n) = 0
+                 THEN 0
+                 ELSE abs(CAST(n_base AS HUGEINT) * (SELECT nn FROM n)
+                          - CAST(n_new AS HUGEINT) * (SELECT nb FROM n))
+                      * 1000000
+                      // ((SELECT nb FROM n) * (SELECT nn FROM n))
+            END AS BIGINT) AS drift_ppm
+FROM c ORDER BY event_type
+"""
+
+
 def _embedding_queries(sf_dir: str, n: int = 3) -> np.ndarray:
     """Query matrix = embeddings of vec_id 0..n-1 (row-group filter pushed
     into the parquet read — never the whole file for 3 vectors)."""
@@ -1862,6 +1945,89 @@ def _sql_top_risk() -> str:
 WITH scored AS ({inner})
 SELECT doc_id, risk_score, risk_label
 FROM scored ORDER BY risk_score DESC, doc_id ASC LIMIT 50
+"""
+
+
+_DIVERSE_CAP = 2    # max results per host
+_DIVERSE_K = 20     # global result size
+
+
+def q_diverse_top_risk(sf_dir: str):
+    """Host-diversified top-k — the search/triage variant of
+    :func:`q_top_risk`: the global 20 highest-risk pages with AT MOST 2
+    per host, so one compromised host cannot monopolize the analyst
+    queue (result diversification, the SQL ``QUALIFY rn ≤ cap`` +
+    outer top-k shape).
+
+    Scale shape: the per-host cap over a ~64-value host key must not
+    sort (the recrawl_schedule lesson) — exact TWO-LEVEL selection:
+    each block emits its local per-host 2 best (≤ hosts×2 rows), one
+    bounded merge block re-applies the same mask globally (a global
+    per-host top-2 row survives its own block's prune, so composition
+    is exact), then takes the global top-20 under the deterministic
+    (risk DESC, doc_id) total order."""
+    from ..corpus import HOSTS
+    from ..functions.dedup import run_rank
+
+    scored = q_threat_scores(sf_dir)
+
+    def with_host(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return batch.append_column(
+            "host_idx", pa.array(d % HOSTS, pa.int64()))
+
+    def best_per_host(final: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            hosts = batch.column("host_idx").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            docs = batch.column("doc_id").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            risk = batch.column("risk_score").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            order = np.lexsort((docs, -risk, hosts))
+            keep = order[run_rank(hosts[order]) < _DIVERSE_CAP]
+            if not final:
+                return batch.take(pa.array(np.sort(keep)))
+            kept = batch.take(pa.array(keep))
+            top = np.lexsort(
+                (kept.column("doc_id").to_numpy(zero_copy_only=False),
+                 -kept.column("risk_score").to_numpy(
+                     zero_copy_only=False)))[:_DIVERSE_K]
+            return kept.take(pa.array(top))
+        return fn
+
+    part = scored.map_batches(with_host, batch_format="pyarrow",
+                              runtime_env=runtime_env()) \
+                 .map_batches(best_per_host(False),
+                              batch_format="pyarrow", batch_size=None,
+                              runtime_env=runtime_env())
+    return part.repartition(1).map_batches(
+        best_per_host(True), batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env()).select_columns(
+        ["host_idx", "doc_id", "risk_score", "risk_label"])
+
+
+def _sql_diverse_top_risk() -> str:
+    from ..corpus import HOSTS
+
+    inner = _sql_threat_scores().replace("ORDER BY doc_id", "")
+    return f"""
+WITH scored AS ({inner}),
+h AS (
+  SELECT doc_id % {HOSTS} AS host_idx, doc_id, risk_score, risk_label
+  FROM scored
+),
+capped AS (
+  SELECT * FROM h
+  QUALIFY row_number() OVER (
+      PARTITION BY host_idx ORDER BY risk_score DESC, doc_id)
+      <= {_DIVERSE_CAP}
+)
+SELECT host_idx, doc_id, risk_score, risk_label
+FROM capped ORDER BY risk_score DESC, doc_id LIMIT {_DIVERSE_K}
 """
 
 
@@ -6182,6 +6348,122 @@ pairs AS (
 SELECT dst AS doc_id, CAST(count(*) AS BIGINT) AS n_src_hosts,
        CAST(sum(n) AS BIGINT) AS in_degree
 FROM pairs GROUP BY dst ORDER BY doc_id
+"""
+
+
+def q_link_reciprocity(sf_dir: str):
+    """Per-host link-reciprocity screen — the link-farm detector: spam
+    rings exchange links pairwise, so a host whose out-links are mostly
+    RECIPROCATED (u→v and v→u both present) is suspect, while organic
+    hierarchies link one-way.  Output per host: distinct directed
+    out-edges, how many are mutual, and the integer-ppm reciprocity.
+
+    JOIN-FREE shape (the snapshot_diff discipline): each directed edge
+    maps to its canonical pair (a=min, b=max) with a direction bit
+    (a→b = 1, b→a = 2, self-loops dropped); one combiner grouped_agg
+    collapses duplicates to distinct (a, b, dir) rows; a second
+    combiner at pair cardinality sums dir — 1, 2 or 3, where 3 means
+    mutual; each pair row then emits its per-endpoint-host
+    contributions vectorized (a's host iff dirs∈{1,3}, b's host iff
+    dirs∈{2,3}), and a final combiner reduces at host cardinality.
+    Shuffle: O(distinct edges) once, then O(pairs), then O(hosts)."""
+    from ..corpus import HOSTS
+
+    _, edges = _corpus_link_edges(sf_dir)
+
+    def canon_dir(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "a": pa.array(np.minimum(s, d), pa.int64()),
+            "b": pa.array(np.maximum(s, d), pa.int64()),
+            "dir": pa.array(np.where(s < d, 1, 2).astype(np.int64),
+                            pa.int64()),
+        })
+
+    distinct = grouped_agg(
+        edges.map_batches(canon_dir, batch_format="pyarrow",
+                          runtime_env=runtime_env()),
+        ["a", "b", "dir"], [("__n", "", "count")],
+    )
+    pairs = grouped_agg(distinct, ["a", "b"], [("dirs", "dir", "sum")])
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        b = batch.column("b").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        dirs = batch.column("dirs").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        mut = (dirs == 3)
+        fwd = (dirs == 1) | mut          # a→b exists
+        rev = (dirs == 2) | mut          # b→a exists
+        host = np.concatenate([a[fwd] % HOSTS, b[rev] % HOSTS])
+        n_mut = np.concatenate([mut[fwd], mut[rev]]).astype(np.int64)
+        return pa.table({
+            "host_idx": pa.array(host, pa.int64()),
+            "n_out": pa.array(np.ones(len(host), np.int64), pa.int64()),
+            "n_mut": pa.array(n_mut, pa.int64()),
+        })
+
+    per_host = grouped_agg(
+        pairs.map_batches(contrib, batch_format="pyarrow",
+                          runtime_env=runtime_env()),
+        ["host_idx"],
+        [("n_edges", "n_out", "sum"), ("n_mutual", "n_mut", "sum")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        e = batch.column("n_edges").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        m = batch.column("n_mutual").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return batch.append_column(
+            "recip_ppm", pa.array(m * 10**6 // e, pa.int64()))
+
+    return per_host.map_batches(finish, batch_format="pyarrow",
+                                runtime_env=runtime_env())
+
+
+def _sql_link_reciprocity() -> str:
+    from ..corpus import HOSTS
+
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    return f"""
+WITH n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+),
+d AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b,
+         CASE WHEN src < dst THEN 1 ELSE 2 END AS dir
+  FROM edges WHERE src <> dst
+),
+p AS (SELECT a, b, CAST(sum(dir) AS BIGINT) AS dirs FROM d GROUP BY 1, 2),
+contrib AS (
+  SELECT a % {HOSTS} AS host_idx,
+         CASE WHEN dirs = 3 THEN 1 ELSE 0 END AS n_mut
+  FROM p WHERE dirs IN (1, 3)
+  UNION ALL
+  SELECT b % {HOSTS},
+         CASE WHEN dirs = 3 THEN 1 ELSE 0 END
+  FROM p WHERE dirs IN (2, 3)
+)
+SELECT host_idx, CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(n_mut) AS BIGINT) AS n_mutual,
+       CAST(sum(n_mut) * 1000000 // count(*) AS BIGINT) AS recip_ppm
+FROM contrib GROUP BY host_idx ORDER BY host_idx
 """
 
 
@@ -11001,6 +11283,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "hits_scores": q_hits_scores,
         "two_hop_counts": q_two_hop_counts,
         "link_authority": q_link_authority,
+        "link_reciprocity": q_link_reciprocity,
         "rank_agreement": q_rank_agreement,
         "rank_fusion": q_rank_fusion,
         "triangle_count": q_triangle_count,
@@ -11014,6 +11297,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "dsir_weights": q_dsir_weights,
         "url_templates": q_url_templates,
         "mv_refresh": q_mv_refresh,
+        "drift_tvd": q_drift_tvd,
         "host_boilerplate": q_host_boilerplate,
         "novelty_filter": q_novelty_filter,
         "dedup_purge": q_dedup_purge,
@@ -11080,6 +11364,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "lineitem_pricing": q_lineitem_pricing,
         "risk_histogram": q_risk_histogram,
         "top_risk": q_top_risk,
+        "diverse_top_risk": q_diverse_top_risk,
         "ioc_registry": q_ioc_registry,
         "props_k_stats": q_props_k_stats,
         "events_hourly": q_events_hourly,
@@ -11160,6 +11445,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "hits_scores": _sql_hits_scores(),
         "two_hop_counts": _sql_two_hop(),
         "link_authority": _sql_link_authority(),
+        "link_reciprocity": _sql_link_reciprocity(),
         "rank_agreement": _sql_rank_agreement(),
         "rank_fusion": _sql_rank_fusion(),
         "triangle_count": _sql_triangles(),
@@ -11173,6 +11459,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "dsir_weights": _SQL_DSIR_WEIGHTS,
         "url_templates": _SQL_URL_TEMPLATES,
         "mv_refresh": _SQL_MV_REFRESH,
+        "drift_tvd": _SQL_DRIFT_TVD,
         "host_boilerplate": _sql_host_boilerplate(),
         "novelty_filter": _SQL_NOVELTY_FILTER,
         "dedup_purge": _SQL_DEDUP_PURGE,
@@ -11235,6 +11522,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "lineitem_pricing": _SQL_LINEITEM_PRICING,
         "risk_histogram": _sql_risk_histogram(),
         "top_risk": _sql_top_risk(),
+        "diverse_top_risk": _sql_diverse_top_risk(),
         "ioc_registry": _SQL_IOC_REGISTRY,
         "props_k_stats": _SQL_PROPS_K,
         "events_hourly": _SQL_EVENTS_HOURLY,

@@ -63,6 +63,9 @@ SPOT_CHECKED = [
     "dsir_weights",
     "url_templates",
     "mv_refresh",
+    "diverse_top_risk",
+    "link_reciprocity",
+    "drift_tvd",
     "lineitem_orders_join",
     "runtime_filter_join",
     "local_supplier_revenue",
