@@ -630,6 +630,149 @@ def bfs_distances(
     return settled
 
 
+_WD_INF = 2**62  # unreached sentinel; min-safe, never summed
+
+
+def weighted_distances(
+    edges_ds,
+    seeds_ds,
+    rounds: int,
+    broadcast_below: int = 2_000_000,
+):
+    """Bounded multi-source WEIGHTED shortest paths: ``(id, cost)`` —
+    the minimum total edge weight over paths of **at most** ``rounds``
+    edges from any seed (the Bellman-Ford invariant after ``rounds``
+    relaxation rounds; well-defined on cyclic graphs without a
+    negative-cycle caveat because weights here are non-negative and
+    the hop bound closes the semantics).  Generalizes
+    :func:`bfs_distances` (all weights 1 ⇒ hop distance).
+
+    DELTA relaxation, exact: each round expands only the nodes whose
+    label IMPROVED in the previous round — a path prefix whose node
+    didn't improve was already extended in an earlier round, so
+    per-round candidate volume is O(improved-frontier out-edges),
+    never O(label table).  The merge is ONE tagged-union combiner
+    grouped-MIN carrying two columns: ``cost`` (new label) and
+    ``cost_old`` (previous label, sentinel-INF on candidate rows) —
+    improvement detection rides the same shuffle, no second pass.
+    Same size-gated frontier dual as the siblings: broadcast sorted
+    (id, cost) arrays + searchsorted mask below ``broadcast_below``,
+    native hash join edges⋈frontier above.
+
+    Inputs: ``edges_ds`` with ``(src, dst, w)`` int64 columns
+    (non-negative w), ``seeds_ds`` with an ``id`` column."""
+    import ray
+
+    from ..broadcast import cached_get
+    from .agg import grouped_agg
+    from .dedup import run_rank
+    from .partition import coalesce_nonempty
+
+    labels = seeds_ds.map_batches(
+        lambda b: pa.table({
+            "id": b.column("id"),
+            "cost": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+        }),
+        batch_format="pyarrow", runtime_env=runtime_env(),
+    ).materialize()
+    frontier = labels
+    edges_m = edges_ds.materialize()
+    edges_nz = coalesce_nonempty(edges_m)
+    if edges_nz is None:
+        return labels
+
+    for _ in range(rounds):
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+        if n_frontier < broadcast_below:
+            rows = frontier.take_all()
+            ids = np.fromiter((r["id"] for r in rows), np.int64,
+                              n_frontier)
+            costs = np.fromiter((r["cost"] for r in rows), np.int64,
+                                n_frontier)
+            order = np.argsort(ids)
+            ids, costs = ids[order], costs[order]
+            ref = ray.put((ids, costs))
+
+            def expand(batch: pa.Table, _ref=ref) -> pa.Table:
+                sids, scosts = cached_get(_ref)
+                src = batch.column("src").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                dst = batch.column("dst").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                w = batch.column("w").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                pos = np.searchsorted(sids, src)
+                pos_c = np.minimum(pos, max(len(sids) - 1, 0))
+                hit = (sids[pos_c] == src) if len(sids) else \
+                    np.zeros(len(src), bool)
+                d, c = dst[hit], scosts[pos_c[hit]] + w[hit]
+                # per-block min per dst (combiner discipline)
+                o = np.lexsort((c, d))
+                keep = run_rank(d[o]) == 0
+                return pa.table({
+                    "id": pa.array(d[o][keep], pa.int64()),
+                    "cost": pa.array(c[o][keep], pa.int64()),
+                })
+
+            cands = edges_m.map_batches(
+                expand, batch_format="pyarrow", runtime_env=runtime_env())
+        else:
+            def rekey(batch: pa.Table) -> pa.Table:
+                w = batch.column("w").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                c = batch.column("cost").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                return pa.table({
+                    "id": batch.column("dst"),
+                    "cost": pa.array(c + w, pa.int64()),
+                })
+
+            frontier_nz = coalesce_nonempty(frontier)
+            if frontier_nz is None:
+                break
+            cands = edges_nz.join(
+                frontier_nz,
+                "inner",
+                num_partitions=max(2, edges_m.num_blocks() // 4),
+                on=("src",), right_on=("id",),
+            ).map_batches(rekey, batch_format="pyarrow",
+                          runtime_env=runtime_env())
+
+        def tag_old(batch: pa.Table) -> pa.Table:
+            return batch.append_column("cost_old", batch.column("cost"))
+
+        def tag_new(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "cost_old",
+                pa.array(np.full(batch.num_rows, _WD_INF, np.int64),
+                         pa.int64()))
+
+        merged = grouped_agg(
+            labels.map_batches(tag_old, batch_format="pyarrow",
+                               runtime_env=runtime_env()).union(
+                cands.map_batches(tag_new, batch_format="pyarrow",
+                                  runtime_env=runtime_env())),
+            ["id"],
+            [("cost", "cost", "min"), ("cost_old", "cost_old", "min")],
+        ).materialize()
+
+        def improved(batch: pa.Table) -> pa.Table:
+            c = batch.column("cost").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            o = batch.column("cost_old").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return batch.filter(pa.array(c < o)).select(["id", "cost"])
+
+        frontier = merged.map_batches(
+            improved, batch_format="pyarrow", runtime_env=runtime_env(),
+        ).materialize()
+        labels = merged.select_columns(["id", "cost"])
+
+    return labels
+
+
 def kcore_nodes(
     edges_ds,
     k: int,

@@ -6153,6 +6153,87 @@ FROM walk GROUP BY id ORDER BY doc_id
 """
 
 
+_WSP_ROUNDS = 4
+
+
+def q_cheapest_paths(sf_dir: str):
+    """Bounded multi-source WEIGHTED shortest paths over the crawl link
+    graph — min total edge weight over paths of ≤ 4 hops from the seed
+    pages (``doc_id % 50 == 0``), with the deterministic integer weight
+    ``w = (src + dst) % 10 + 1`` (a latency/politeness-cost proxy).
+    Generalizes :func:`q_link_distances` from hop counts to costs: the
+    crawl-scheduling primitive for "cheapest route to a target host".
+
+    Distributed shape: :func:`functions.graph.weighted_distances` —
+    exact DELTA Bellman-Ford relaxation (only improved labels expand;
+    candidate volume O(improved frontier out-edges) per round), tagged-
+    union grouped-MIN merge carrying (cost, cost_old) in one shuffle,
+    size-gated broadcast/join frontier dual.  Oracle: 4 unrolled
+    relax-and-merge CTE levels over the full label table — same
+    fixpoint, the pagerank chained-CTE convention."""
+    from ..functions.graph import weighted_distances
+
+    _, edges = _corpus_link_edges(sf_dir)
+    docs = _docs(sf_dir, columns=["doc_id"])
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return batch.append_column(
+            "w", pa.array((s + d) % 10 + 1, pa.int64()))
+
+    def to_seeds(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({"id": pa.array(d[d % _BFS_SEED_MOD == 0],
+                                        pa.int64())})
+
+    seeds = docs.map_batches(to_seeds, batch_format="pyarrow",
+                             runtime_env=runtime_env())
+    wedges = edges.map_batches(weigh, batch_format="pyarrow",
+                               runtime_env=runtime_env())
+    dists = weighted_distances(wedges, seeds, rounds=_WSP_ROUNDS)
+    return _rename(dists, {"id": "doc_id"}).sort("doc_id")
+
+
+def _sql_cheapest_paths() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    head = f"""
+WITH n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, dst, (src + dst) % 10 + 1 AS w FROM (
+    SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+    FROM eff, (VALUES {offs}) AS t(off)
+  )
+),
+d0 AS (
+  SELECT doc_id AS id, CAST(0 AS BIGINT) AS cost
+  FROM documents WHERE doc_id % {_BFS_SEED_MOD} = 0
+)"""
+    levels = []
+    for k in range(1, _WSP_ROUNDS + 1):
+        levels.append(f""",
+d{k} AS (
+  SELECT id, CAST(min(cost) AS BIGINT) AS cost FROM (
+    SELECT id, cost FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst AS id, d.cost + e.w AS cost
+    FROM d{k - 1} d JOIN edges e ON e.src = d.id
+  ) GROUP BY id
+)""")
+    return (head + "".join(levels)
+            + f"\nSELECT id AS doc_id, cost FROM d{_WSP_ROUNDS} "
+              "ORDER BY doc_id")
+
+
 def _corpus_link_edges(sf_dir: str):
     """(nodes_ds(id), edges_ds(src,dst)) of the corpus's deterministic
     link graph — shared by pagerank and the 2-hop neighborhood query."""
@@ -11280,6 +11361,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "neardup_clusters": q_neardup_clusters,
         "pagerank": q_pagerank,
         "link_distances": q_link_distances,
+        "cheapest_paths": q_cheapest_paths,
         "hits_scores": q_hits_scores,
         "two_hop_counts": q_two_hop_counts,
         "link_authority": q_link_authority,
@@ -11442,6 +11524,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,
         "pagerank": _sql_pagerank(),
         "link_distances": _sql_link_distances(),
+        "cheapest_paths": _sql_cheapest_paths(),
         "hits_scores": _sql_hits_scores(),
         "two_hop_counts": _sql_two_hop(),
         "link_authority": _sql_link_authority(),

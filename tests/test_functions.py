@@ -2070,6 +2070,67 @@ def test_bfs_distances_empty_edges_join_path(ray_session):
     assert {r["id"]: r["dist"] for r in out} == {3: 0, 8: 0}
 
 
+def _weighted_ref(edges, seeds, rounds):
+    """Bounded Bellman-Ford reference: min cost over ≤rounds-edge paths."""
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = dist[s] + w
+        dist = nxt
+    return dist
+
+
+def test_weighted_distances_matches_reference_both_paths(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.graph import weighted_distances
+
+    rng = np.random.default_rng(13)
+    n = 70
+    edges = [(int(s), int(d), int(w)) for s, d, w in
+             zip(rng.integers(0, n, 250), rng.integers(0, n, 250),
+                 rng.integers(1, 12, 250))]
+    seeds = [0, 29]
+    ref = _weighted_ref(edges, seeds, rounds=4)
+
+    edges_ds = ray.data.from_items(
+        [{"src": s, "dst": d, "w": w} for s, d, w in edges]
+    ).repartition(8).materialize()
+    seeds_ds = ray.data.from_items([{"id": s} for s in seeds])
+
+    for bb in (2_000_000, 0):   # broadcast path, then forced join path
+        out = weighted_distances(edges_ds, seeds_ds, rounds=4,
+                                 broadcast_below=bb).take_all()
+        got = {r["id"]: r["cost"] for r in out}
+        assert got == ref, f"path bb={bb}"
+
+
+def test_weighted_distances_all_unit_weights_equals_bfs(ray_session):
+    """w ≡ 1 must reproduce hop distances (the bfs_distances contract)."""
+    import ray
+
+    from deepwebharvester_ray.functions.graph import (bfs_distances,
+                                                      weighted_distances)
+
+    rng = np.random.default_rng(7)
+    n = 50
+    pairs = [(int(s), int(d)) for s, d in
+             zip(rng.integers(0, n, 160), rng.integers(0, n, 160))]
+    edges_ds = ray.data.from_items(
+        [{"src": s, "dst": d, "w": 1} for s, d in pairs]
+    ).repartition(6).materialize()
+    seeds_ds = ray.data.from_items([{"id": 1}])
+
+    wd = {r["id"]: r["cost"] for r in weighted_distances(
+        edges_ds, seeds_ds, rounds=4).take_all()}
+    bd = {r["id"]: r["dist"] for r in bfs_distances(
+        edges_ds.select_columns(["src", "dst"]), seeds_ds,
+        max_depth=4).take_all()}
+    assert wd == bd
+
+
 def test_semantic_dedup_no_self_pairs_on_duplicate_ids(ray_session):
     """A re-ingested embedding (same vec_id twice, identical vector)
     must not emit an id_a == id_b self-pair from the in-cell matmul."""

@@ -66,6 +66,7 @@ SPOT_CHECKED = [
     "diverse_top_risk",
     "link_reciprocity",
     "drift_tvd",
+    "cheapest_paths",
     "lineitem_orders_join",
     "runtime_filter_join",
     "local_supplier_revenue",
