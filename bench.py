@@ -183,6 +183,13 @@ BENCH_QUERIES = [
     "cdc_dedup",
     "bigram_surprisal",
     "degree_assortativity",
+    "dsir_weights",
+    "url_templates",
+    "mv_refresh",
+    "drift_tvd",
+    "diverse_top_risk",
+    "link_reciprocity",
+    "cheapest_paths",
     "crawl_bfs",
 ]
 
