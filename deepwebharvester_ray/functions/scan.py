@@ -117,3 +117,94 @@ def pack_sequences(
     return scanned.map_batches(
         to_bin, batch_format="pyarrow", runtime_env=runtime_env()
     )
+
+
+def grouped_prefix_scan(ds, key: str, group: str, value_col: str,
+                        out_col: str = "running",
+                        shuffle_partitions: int = None):
+    """Add ``out_col`` = inclusive running sum of ``value_col`` in global
+    ``key`` order **within each ``group``** — the distributed form of
+    ``SUM(v) OVER (PARTITION BY group ORDER BY key)`` without a window
+    materialization or a sort on the (possibly low-cardinality) group
+    key.  ``key`` values must be globally unique; ``value_col`` integral.
+
+    Shape: ONE sort on the high-cardinality ``key`` (groups interleave
+    freely across blocks — deliberately: a sort on the group key is the
+    stratified_sample anti-pattern), a per-(block, group) totals pass
+    (one tiny row per group PRESENT in each block), a driver offset
+    accumulation in block order, and a broadcast + segmented in-block
+    cumsum (argsort on group, run-relative cumulative sums — no Python
+    per row).  Driver state is O(blocks × groups-present-per-block):
+    sized for low-to-moderate group cardinality (sources, languages,
+    event types); vocabulary-sized groups belong in ``grouped_agg``
+    pipelines instead (documented envelope)."""
+    import ray
+
+    if shuffle_partitions:
+        ds = ds.repartition(shuffle_partitions)
+    srt = ds.sort(key).materialize()
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        ktype = batch.schema.field(key).type
+        gtype = batch.schema.field(group).type
+        if batch.num_rows == 0:
+            return pa.table({
+                "first_key": pa.array([], ktype),
+                "grp": pa.array([], gtype),
+                "total": pa.array([], pa.int64()),
+            })
+        g = batch.column(group).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        uniq, inv = np.unique(g, return_inverse=True)
+        totals = np.bincount(inv, weights=v).astype(np.int64)
+        fk = batch.column(key)[0].as_py()
+        return pa.table({
+            "first_key": pa.array([fk] * len(uniq), ktype),
+            "grp": pa.array(uniq.tolist(), gtype),
+            "total": pa.array(totals, pa.int64()),
+        })
+
+    stats = srt.map_batches(
+        block_stats, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    ).take_all()  # O(blocks × groups-present) tiny rows
+    by_block: dict = {}
+    for r in stats:
+        by_block.setdefault(r["first_key"], []).append(
+            (r["grp"], r["total"]))
+    acc: dict = {}
+    offsets = {}
+    for fk in sorted(by_block):
+        offsets[fk] = {g: acc.get(g, 0) for g, _ in by_block[fk]}
+        for g, t in by_block[fk]:
+            acc[g] = acc.get(g, 0) + t
+    off_ref = ray.put(offsets)
+
+    def add_scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        off_map = cached_get(off_ref)[batch.column(key)[0].as_py()]
+        g = batch.column(group).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        gs, vs = g[order], v[order]
+        csum = np.cumsum(vs, dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        sizes = np.diff(np.r_[starts, len(gs)])
+        seg_base = np.repeat(
+            np.r_[0, csum[starts[1:] - 1]] if len(starts) > 1
+            else np.zeros(1, np.int64), sizes)
+        seg_off = np.repeat(
+            np.asarray([off_map.get(x, 0) for x in gs[starts].tolist()],
+                       np.int64), sizes)
+        out_sorted = csum - seg_base + seg_off
+        out = np.empty(len(g), np.int64)
+        out[order] = out_sorted
+        return batch.append_column(out_col, pa.array(out, pa.int64()))
+
+    return srt.map_batches(
+        add_scan, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )

@@ -7510,6 +7510,94 @@ FROM h ORDER BY doc_id
 """
 
 
+def q_source_percentiles(sf_dir: str):
+    """Per-source percentile normalization — quantile-uniformization of
+    a per-doc statistic (here ``n_chars``) WITHIN each source, the
+    mixing prerequisite when sources have incomparable raw score
+    scales: each doc gets its within-source rank and the exact integer
+    ppm percentile ``(rank−1)·10⁶ // (n_s−1)``.
+
+    Distributed shape: the new :func:`functions.scan.grouped_prefix_scan`
+    — ``SUM(1) OVER (PARTITION BY source ORDER BY key)`` as ONE sort on
+    the high-cardinality fixed-width (n_chars, doc_id) key (groups
+    interleave across blocks — never a sort on the ~20-value source
+    key, the stratified_sample lesson), per-(block, source) totals to
+    the driver (O(blocks × sources) tiny rows), broadcast offsets +
+    segmented in-block cumsum.  Per-source totals for the denominator
+    ride a separate tiny combiner count, broadcast at source
+    cardinality."""
+    import ray
+
+    from ..broadcast import cached_get
+    from ..functions.scan import grouped_prefix_scan
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"],
+               override_num_blocks=_shuffle_parts(sf_dir, "documents"))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        nc = batch.column("n_chars").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ck = [f"{c:012d}:{d:012d}" for c, d in zip(nc, ids)]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "source": batch.column("source"),
+            "n_chars": pa.array(nc, pa.int64()),
+            "ck": pa.array(ck, pa.string()),
+            "one": pa.array(np.ones(len(ids), np.int64)),
+        })
+
+    ranked = grouped_prefix_scan(
+        ds.map_batches(keyed, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        key="ck", group="source", value_col="one",
+        out_col="rank_in_source",
+    )
+
+    totals = grouped_agg(ds.select_columns(["source"]), ["source"],
+                         [("n_s", "", "count")]).take_all()
+    n_ref = ray.put({r["source"]: r["n_s"] for r in totals})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ns_map = cached_get(n_ref)
+        rk = batch.column("rank_in_source").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        ns = np.asarray([ns_map[s] for s in src.tolist()], np.int64)
+        pct = np.where(ns > 1, (rk - 1) * 10**6 // np.maximum(ns - 1, 1),
+                       0).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "n_chars": batch.column("n_chars"),
+            "rank_in_source": pa.array(rk, pa.int64()),
+            "pct_ppm": pa.array(pct, pa.int64()),
+        })
+
+    return ranked.map_batches(finish, batch_format="pyarrow",
+                              runtime_env=runtime_env()).sort("doc_id")
+
+
+_SQL_SOURCE_PERCENTILES = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (
+             PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT)
+             AS rank_in_source
+  FROM documents
+),
+n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+      FROM documents GROUP BY 1)
+SELECT doc_id, r.source AS source, n_chars, rank_in_source,
+       CAST(CASE WHEN n_s <= 1 THEN 0
+                 ELSE (rank_in_source - 1) * 1000000 // (n_s - 1)
+            END AS BIGINT) AS pct_ppm
+FROM r JOIN n ON r.source = n.source
+ORDER BY doc_id
+"""
+
+
 def q_epoch_shuffle(sf_dir: str):
     """Deterministic global shuffle for a training epoch: every doc
     keyed by the bijective 64-bit multiplicative hash of its id and
@@ -11407,6 +11495,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "domain_upsample": q_domain_upsample,
         "epoch_shuffle": q_epoch_shuffle,
         "curriculum_order": q_curriculum_order,
+        "source_percentiles": q_source_percentiles,
         "latest_events": q_latest_events,
         "user_deltas": q_user_deltas,
         "event_transitions": q_event_transitions,
@@ -11566,6 +11655,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "domain_upsample": _SQL_DOMAIN_UPSAMPLE,
         "epoch_shuffle": _SQL_EPOCH_SHUFFLE,
         "curriculum_order": _SQL_CURRICULUM,
+        "source_percentiles": _SQL_SOURCE_PERCENTILES,
         "latest_events": _SQL_LATEST_EVENTS,
         "user_deltas": _SQL_USER_DELTAS,
         "event_transitions": _SQL_EVENT_TRANSITIONS,

@@ -525,6 +525,32 @@ def test_prefix_scan_and_packing_multiblock():
         acc += i + 1
 
 
+def test_grouped_prefix_scan_matches_window_reference():
+    """Groups interleaved across many blocks: running per-group sum in
+    global key order must match SUM() OVER (PARTITION BY g ORDER BY k)
+    computed directly — block cuts anywhere in key order must not lose
+    or double a segment (cross-block offset accumulation)."""
+    import ray
+
+    from deepwebharvester_ray.functions.scan import grouped_prefix_scan
+
+    rng = np.random.default_rng(5)
+    n = 300
+    groups = [f"g{int(x)}" for x in rng.integers(0, 7, n)]
+    vals = rng.integers(1, 9, n).astype(int)
+    rows = [{"k": i, "g": groups[i], "v": int(vals[i])} for i in range(n)]
+    rng.shuffle(rows)  # storage order ≠ key order
+
+    ds = ray.data.from_items(rows).repartition(11)
+    out = {r["k"]: r["running"]
+           for r in grouped_prefix_scan(ds, "k", "g", "v").take_all()}
+
+    acc: dict = {}
+    for i in range(n):
+        acc[groups[i]] = acc.get(groups[i], 0) + int(vals[i])
+        assert out[i] == acc[groups[i]], f"row {i}"
+
+
 def test_asof_join_matches_pandas_merge_asof():
     import datetime as dt
 

@@ -67,6 +67,7 @@ SPOT_CHECKED = [
     "link_reciprocity",
     "drift_tvd",
     "cheapest_paths",
+    "source_percentiles",
     "lineitem_orders_join",
     "runtime_filter_join",
     "local_supplier_revenue",
