@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     "diverse_top_risk",
     "link_reciprocity",
     "cheapest_paths",
+    "source_percentiles",
+    "link_scc",
     "crawl_bfs",
 ]
 

@@ -855,3 +855,188 @@ def kcore_nodes(
         ).materialize()
     raise RuntimeError(
         f"kcore_nodes: no fixpoint within {max_rounds} rounds")
+
+
+def scc_labels(
+    edges_ds,
+    nodes_ds,
+    max_rounds: int = 100,
+    broadcast_cutoff: int | None = None,
+):
+    """Strongly connected components of the DIRECTED graph: ``(id,
+    scc)`` rows where ``scc`` is the **maximum node id in the
+    component** (canonical, engine-independent).  The directed twin of
+    :func:`connected_components` — mutual-reachability clusters (link
+    rings, redirect cycles, spam loops), which undirected CC
+    over-merges.
+
+    Orzan-style coloring, iterative dataflow:
+
+    1. **Forward max-color propagation** to fixpoint on the active
+       subgraph: ``color(v) = max(color(v), color(u) for u→v)``,
+       one tagged-union combiner grouped-MAX per round with a −1
+       sentinel carrying the previous label, so change detection
+       rides the same shuffle (the weighted_distances convention).
+       After the fixpoint, color(v) = max id that can reach v.
+    2. **Backward flag propagation inside each color**: roots are
+       nodes with ``color == id``; a node joins the flag set when one
+       of its out-edges leads to a flagged node of the SAME color.
+       Flagged(v) ⇔ v reaches its root within its color ⇔ v is in the
+       root's SCC (classic coloring invariant).
+    3. Flagged nodes leave with ``scc = color``; the active subgraph
+       shrinks (size-gated ``subtract_ids`` on both endpoint columns,
+       the kcore peel), and the loop repeats on the remainder.
+
+    Each pass settles at least the globally-largest active id's SCC,
+    so passes ≤ #SCCs (typically ≪: every color root settles per
+    pass); raises on non-convergence within ``max_rounds`` (outer and
+    inner).  All label attaches go through the size-gated
+    :func:`~deepwebharvester_ray.functions.dedup.attach_id_labels`
+    (broadcast sorted arrays below the cutoff, native hash join
+    above); ``broadcast_cutoff`` is plumbed for tests.  Inputs:
+    ``edges_ds`` ``(src, dst)`` int64, ``nodes_ds`` ``(id,)``."""
+    import pyarrow.compute as pc
+
+    from .agg import grouped_agg
+    from .dedup import attach_id_labels, semi_join_ids, subtract_ids
+
+    kw = ({} if broadcast_cutoff is None
+          else {"broadcast_cutoff": broadcast_cutoff})
+
+    # collapse duplicate edges once; self-loops are harmless but dead
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = s != d
+        return pa.table({"src": pa.array(s[keep], pa.int64()),
+                         "dst": pa.array(d[keep], pa.int64())})
+
+    edges = grouped_agg(
+        edges_ds.map_batches(canon, batch_format="pyarrow",
+                             runtime_env=runtime_env()),
+        ["src", "dst"], [("__n", "", "count")],
+    ).select_columns(["src", "dst"]).materialize()
+    active = nodes_ds.select_columns(["id"]).materialize()
+    finished = []
+
+    def _rename(ds, old, new):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [new if c == old else c for c in batch.column_names])
+        return ds.map_batches(fn, batch_format="pyarrow",
+                              runtime_env=runtime_env())
+
+    for _ in range(max_rounds):
+        if active.count() == 0:
+            break
+
+        # -- 1. forward max-color fixpoint ------------------------------
+        colors = active.map_batches(
+            lambda b: pa.table({"id": b.column("id"),
+                                "color": b.column("id")}),
+            batch_format="pyarrow", runtime_env=runtime_env(),
+        ).materialize()
+        for _inner in range(max_rounds):
+            cand = _rename(
+                attach_id_labels(edges, colors, id_column="src",
+                                 label_id_column="id",
+                                 label_column="color", **kw)
+                .select_columns(["dst", "color"]),
+                "dst", "id")
+
+            def tag_old(batch: pa.Table) -> pa.Table:
+                return batch.append_column("color_old",
+                                           batch.column("color"))
+
+            def tag_new(batch: pa.Table) -> pa.Table:
+                return batch.append_column(
+                    "color_old",
+                    pa.array(np.full(batch.num_rows, -1, np.int64),
+                             pa.int64()))
+
+            merged = grouped_agg(
+                colors.map_batches(tag_old, batch_format="pyarrow",
+                                   runtime_env=runtime_env()).union(
+                    cand.map_batches(tag_new, batch_format="pyarrow",
+                                     runtime_env=runtime_env())),
+                ["id"],
+                [("color", "color", "max"),
+                 ("color_old", "color_old", "max")],
+            ).materialize()
+            changed = merged.map_batches(
+                lambda b: b.filter(pc.greater(
+                    b.column("color"), b.column("color_old"))),
+                batch_format="pyarrow", runtime_env=runtime_env(),
+            ).count()
+            colors = merged.select_columns(["id", "color"]).materialize()
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"scc_labels: forward fixpoint not reached in "
+                f"{max_rounds} rounds")
+
+        # -- 2. color-consistent edges + backward flag fixpoint ---------
+        e1 = _rename(
+            attach_id_labels(edges, colors, id_column="src",
+                             label_id_column="id",
+                             label_column="color", **kw),
+            "color", "c_src")
+        e2 = _rename(
+            attach_id_labels(e1, colors, id_column="dst",
+                             label_id_column="id",
+                             label_column="color", **kw),
+            "color", "c_dst")
+        cc_edges = e2.map_batches(
+            lambda b: b.filter(pc.equal(
+                b.column("c_src"), b.column("c_dst")))
+            .select(["src", "dst"]),
+            batch_format="pyarrow", runtime_env=runtime_env(),
+        ).materialize()
+
+        flagged = colors.map_batches(
+            lambda b: pa.table({"id": b.filter(pc.equal(
+                b.column("id"), b.column("color"))).column("id")}),
+            batch_format="pyarrow", runtime_env=runtime_env(),
+        ).materialize()
+        n_flagged = flagged.count()
+        for _inner in range(max_rounds):
+            preds = _rename(
+                semi_join_ids(cc_edges, flagged, id_column="dst",
+                              keep_column="id", **kw)
+                .select_columns(["src"]), "src", "id")
+            flagged = grouped_agg(
+                flagged.union(preds), ["id"], [("__n", "", "count")],
+            ).select_columns(["id"]).materialize()
+            n_new = flagged.count()
+            if n_new == n_flagged:
+                break
+            n_flagged = n_new
+        else:
+            raise RuntimeError(
+                f"scc_labels: backward fixpoint not reached in "
+                f"{max_rounds} rounds")
+
+        # -- 3. settle flagged, shrink the active subgraph --------------
+        finished.append(_rename(
+            attach_id_labels(flagged, colors, id_column="id",
+                             label_id_column="id",
+                             label_column="color", **kw),
+            "color", "scc").materialize())
+        active = subtract_ids(active, flagged, id_column="id",
+                              drop_column="id", **kw).materialize()
+        edges = subtract_ids(
+            subtract_ids(edges, flagged, id_column="src",
+                         drop_column="id", **kw),
+            flagged, id_column="dst", drop_column="id",
+            **kw).materialize()
+    else:
+        raise RuntimeError(
+            f"scc_labels: not settled within {max_rounds} passes")
+
+    out = finished[0]
+    for f in finished[1:]:
+        out = out.union(f)
+    return out

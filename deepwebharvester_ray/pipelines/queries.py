@@ -7451,6 +7451,50 @@ ORDER BY doc_id, epoch_copy
 CURR_CUTS = (500, 1000, 2000)  # n_chars length-bucket boundaries
 
 
+def q_link_scc(sf_dir: str):
+    """Strongly connected components of a directed site graph — the
+    mutual-reachability structure undirected CC over-merges: link RINGS
+    (redirect cycles, spam loops, navigation cores) versus one-way
+    hierarchy.  The graph is the classic site shape derived from
+    doc_ids: a dense 64-page de Bruijn core (``d → 2d mod 64``,
+    ``d → 2d+1 mod 64`` — strongly connected, diameter 6) and a one-way
+    content tree hanging off it (``d//2 → d`` for d ≥ 64) — so the
+    expected SCCs are ONE 64-node core component plus a singleton per
+    tree page, and the coloring algorithm settles in a single outer
+    pass (every tree node is its own color root; the core's root
+    floods it backward in ≤ 6 rounds).
+
+    Distributed shape: :func:`functions.graph.scc_labels` — Orzan
+    coloring with tagged-union grouped-MAX forward fixpoint,
+    same-color backward flag propagation, size-gated attach/subtract
+    throughout.  Rows-only (SCC has no recursive-CTE form); the
+    algorithm itself is pinned against a Tarjan reference in
+    test_functions."""
+    from ..functions.graph import scc_labels
+
+    docs = _docs(sf_dir, columns=["doc_id"],
+                 override_num_blocks=_shuffle_parts(sf_dir))
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        core = d[d < 64]
+        tree = d[d >= 64]
+        src = np.concatenate([core, core, tree // 2])
+        dst = np.concatenate([(2 * core) % 64, (2 * core + 1) % 64,
+                              tree])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    edges = docs.map_batches(to_edges, batch_format="pyarrow",
+                             runtime_env=runtime_env())
+    nodes = docs.map_batches(
+        lambda b: pa.table({"id": b.column("doc_id")}),
+        batch_format="pyarrow", runtime_env=runtime_env())
+    return _rename(scc_labels(edges, nodes),
+                   {"id": "doc_id"}).sort("doc_id")
+
+
 def q_curriculum_order(sf_dir: str):
     """Curriculum ordering with a GLOBAL row number: docs bucketed by
     length (short-first curriculum), shuffled deterministically within
@@ -11450,6 +11494,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "pagerank": q_pagerank,
         "link_distances": q_link_distances,
         "cheapest_paths": q_cheapest_paths,
+        "link_scc": q_link_scc,
         "hits_scores": q_hits_scores,
         "two_hop_counts": q_two_hop_counts,
         "link_authority": q_link_authority,
@@ -11713,6 +11758,6 @@ ROWS_ONLY: List[str] = [
     "semdedup_prune",
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
     "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
-    "link_kcore", "mmr_topk", "embedding_pca",
+    "link_kcore", "link_scc", "mmr_topk", "embedding_pca",
     "compressibility", "streaming_heavy_tokens", "cdc_dedup",
 ]

@@ -2157,6 +2157,106 @@ def test_weighted_distances_all_unit_weights_equals_bfs(ray_session):
     assert wd == bd
 
 
+def _scc_ref(n, edges):
+    """Iterative Tarjan; returns id → max-id-in-SCC."""
+    adj = {i: [] for i in range(n)}
+    for s, d in edges:
+        if s != d:
+            adj[s].append(d)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    sccs = []
+    counter = [0]
+
+    for root in range(n):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(comp)
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    out = {}
+    for comp in sccs:
+        m = max(comp)
+        for v in comp:
+            out[v] = m
+    return out
+
+
+def test_scc_labels_matches_tarjan_both_paths(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.graph import scc_labels
+
+    rng = np.random.default_rng(17)
+    n = 60
+    # sparse random digraph + a planted 3-cycle and a 2-cycle
+    edges = [(int(s), int(d)) for s, d in
+             zip(rng.integers(0, n, 110), rng.integers(0, n, 110))]
+    edges += [(3, 12), (12, 41), (41, 3), (7, 8), (8, 7)]
+    ref = _scc_ref(n, edges)
+
+    edges_ds = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in edges]
+    ).repartition(7).materialize()
+    nodes_ds = ray.data.from_items([{"id": i} for i in range(n)])
+
+    for bc in (None, 0):   # broadcast attaches, then forced join path
+        out = scc_labels(edges_ds, nodes_ds,
+                         broadcast_cutoff=bc).take_all()
+        got = {r["id"]: r["scc"] for r in out}
+        assert got == ref, f"cutoff={bc}"
+
+
+def test_scc_labels_ring_plus_tree(ray_session):
+    """A directed ring is ONE SCC; tree nodes hanging off it are
+    singletons — the corpus-graph shape in miniature."""
+    import ray
+
+    from deepwebharvester_ray.functions.graph import scc_labels
+
+    ring = [(i, (i + 1) % 10) for i in range(10)]          # 0..9 cycle
+    tree = [(i, i + 10) for i in range(10)]                # leaves 10..19
+    edges_ds = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in ring + tree]).materialize()
+    nodes_ds = ray.data.from_items([{"id": i} for i in range(20)])
+    got = {r["id"]: r["scc"] for r in scc_labels(
+        edges_ds, nodes_ds).take_all()}
+    assert all(got[i] == 9 for i in range(10))
+    assert all(got[i] == i for i in range(10, 20))
+
+
 def test_semantic_dedup_no_self_pairs_on_duplicate_ids(ray_session):
     """A re-ingested embedding (same vec_id twice, identical vector)
     must not emit an id_a == id_b self-pair from the in-cell matmul."""
