@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "cheapest_paths",
     "source_percentiles",
     "link_scc",
+    "exact_dedup_stream",
     "crawl_bfs",
 ]
 

@@ -299,3 +299,96 @@ def streaming_topk(ds, text_column: str = "text", top_n: int = 50,
     if return_stats:
         return out, {"max_state_rows": max_state}
     return out
+
+
+class _DedupShardState:
+    """Exact seen-set shard over ITS hash-partition of the content-hash
+    space.  Because hashes are hash-routed, a shard sees EVERY
+    occurrence of its hashes, and the driver barriers micro-batches in
+    stream order — so the accepted set is EXACTLY the stream-order
+    first occurrences (exactly-once emission per distinct content).
+    State is a sorted string array, O(distinct-on-shard) — exact
+    dedup's inherent floor (the BOUNDED alternative is the Bloom
+    novelty screen, ``functions.bloom``, which trades exactness for a
+    constant-size bitmap + verification pass)."""
+
+    def __init__(self) -> None:
+        self.seen = np.empty(0, dtype=object)
+
+    def ingest(self, hashes: np.ndarray, ids: np.ndarray) -> pa.Table:
+        # within-batch first occurrence: np.unique's return_index is the
+        # SMALLEST index per value — stream order makes that the winner
+        uniq, first = np.unique(hashes, return_index=True)
+        if len(self.seen):
+            pos = np.searchsorted(self.seen, uniq)
+            pos_c = np.minimum(pos, len(self.seen) - 1)
+            new = self.seen[pos_c] != uniq
+        else:
+            pos = np.zeros(len(uniq), np.int64)
+            new = np.ones(len(uniq), bool)
+        acc_h, acc_i = uniq[new], ids[first][new]
+        # O(n) sorted-merge insert (acc_h is sorted; pos nondecreasing)
+        self.seen = np.insert(self.seen, pos[new], acc_h)
+        return pa.table({
+            "content_hash": pa.array(acc_h.tolist(), pa.string()),
+            "doc_id": pa.array(acc_i, pa.int64()),
+        })
+
+    def state_rows(self) -> int:
+        return len(self.seen)
+
+
+def streaming_dedup(ds, id_column: str = "doc_id",
+                    text_column: str = "text", n_shards: int = 4,
+                    micro_batch: int = 4096, return_stats: bool = False):
+    """Streaming exact content dedup: the arrival-order twin of
+    ``dedup.exact_dedup_ids`` — emit each distinct content's FIRST
+    stream occurrence as ``(content_hash, doc_id)`` rows, continuously,
+    with per-shard state = its partition's distinct hashes.  On a
+    stream ordered by id, the emitted set is bit-equal to the batch
+    keep-min-id answer (shared SQL oracle), while an unordered stream
+    still yields exactly-once first-arrival semantics — the live-crawl
+    formulation of the reference's global content-hash seen set
+    (crawler.py:184-191).
+
+    Topology: micro-batch → per-batch ``content_hash_hex`` → hash-route
+    each hash to its seen-set shard actor (a shard sees every
+    occurrence of its hashes; the driver barriers per micro-batch so
+    stream order is preserved) → accepted rows flow back incrementally
+    and concatenate in stream order."""
+    import ray
+
+    from .dedup import add_content_hash
+    from .sketch import _hash64
+
+    Shard = ray.remote(num_cpus=0.5)(_DedupShardState)
+    shards: List = [Shard.remote() for _ in range(n_shards)]
+    accepted: List[pa.Table] = []
+    max_state = 0
+
+    for chunk in ds.iter_batches(batch_size=micro_batch,
+                                 batch_format="pyarrow"):
+        if chunk.num_rows == 0:
+            continue
+        hashed = add_content_hash(chunk, text_column)
+        h = np.asarray(hashed.column("content_hash").to_pylist(),
+                       dtype=object)
+        ids = hashed.column(id_column).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        sh = (_hash64(h.tolist()) % np.uint64(n_shards)).astype(np.int64)
+        pend = [shards[s].ingest.remote(h[sh == s], ids[sh == s])
+                for s in range(n_shards) if np.any(sh == s)]
+        accepted.extend(ray.get(pend))   # per-micro-batch barrier
+        if return_stats:
+            max_state = max(max_state,
+                            sum(ray.get([s.state_rows.remote()
+                                         for s in shards])))
+
+    for s in shards:
+        ray.kill(s)
+    out = (pa.concat_tables(accepted) if accepted
+           else pa.table({"content_hash": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64())}))
+    if return_stats:
+        return out, {"state_rows": max_state}
+    return out

@@ -224,6 +224,43 @@ FROM u GROUP BY sha256(text) ORDER BY doc_id
 """
 
 
+def q_exact_dedup_stream(sf_dir: str):
+    """STREAMING exact dedup — the arrival-order twin of
+    :func:`q_exact_dedup` over the same docs ∪ shifted-mirror input:
+    the stream (ordered by doc_id, the watermark contract) plays
+    through hash-routed seen-set shard actors
+    (:func:`functions.streaming.streaming_dedup`), each emitting its
+    partition's first occurrences exactly once; on an id-ordered
+    stream first-arrival == keep-min-id, so the result shares the
+    batch operator's SQL oracle bit-for-bit.  Completes the streaming
+    trio (sessionize / heavy-hitters / dedup) with the crawl's
+    content-hash seen set as a live operator."""
+    import ray
+
+    from ..functions.streaming import streaming_dedup
+
+    nblocks = _shuffle_parts(sf_dir)
+    docs = _docs(sf_dir, columns=["doc_id", "text"],
+                 override_num_blocks=nblocks)
+    n = pq.ParquetFile(
+        str(Path(sf_dir) / "documents.parquet")).metadata.num_rows
+
+    def shift(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(batch.column("doc_id"), n))
+
+    mirror = _docs(sf_dir, columns=["doc_id", "text"],
+                   override_num_blocks=nblocks).map_batches(
+        shift, batch_format="pyarrow", runtime_env=runtime_env())
+    stream = docs.union(mirror).sort("doc_id")
+    out = streaming_dedup(stream)
+    return ray.data.from_arrow(
+        out.sort_by([("doc_id", "ascending")]))
+
+
 def q_token_counts(sf_dir: str):
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     out = ds.map_batches(token_count_batch, batch_format="pyarrow",
@@ -11430,6 +11467,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
     return {
         "extract_pages": q_extract_pages,
         "exact_dedup": q_exact_dedup,
+        "exact_dedup_stream": q_exact_dedup_stream,
         "token_counts": q_token_counts,
         "quality_scores": q_quality,
         "compressibility": q_compressibility,
@@ -11606,6 +11644,7 @@ def build_oracle_sql() -> Dict[str, str]:
     return {
         "extract_pages": _sql_extract_pages(),
         "exact_dedup": _SQL_EXACT_DEDUP,
+        "exact_dedup_stream": _SQL_EXACT_DEDUP,
         "token_counts": _SQL_TOKEN_COUNTS,
         "quality_scores": _SQL_QUALITY,
         "lang_id": _sql_lang_id(),

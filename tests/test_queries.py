@@ -68,6 +68,7 @@ SPOT_CHECKED = [
     "drift_tvd",
     "cheapest_paths",
     "source_percentiles",
+    "exact_dedup_stream",
     "lineitem_orders_join",
     "runtime_filter_join",
     "local_supplier_revenue",

@@ -165,5 +165,59 @@ def test_streaming_topk_guarantees(ray_session):
             assert w in emitted, w
 
 
+def test_streaming_dedup_first_arrival_across_batches(ray_session):
+    """Duplicates in LATER micro-batches are rejected; the accepted set
+    is exactly the stream-order first occurrences, and state counts the
+    distinct contents."""
+    import ray
+
+    from deepwebharvester_ray.functions.streaming import streaming_dedup
+
+    texts = [f"text {i % 7}" for i in range(40)]   # 7 distinct, many dups
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": texts[i]} for i in range(40)])
+    out, stats = streaming_dedup(ds, micro_batch=6, return_stats=True)
+    got = {r["doc_id"] for r in out.to_pylist()}
+    assert got == set(range(7))          # first occurrence of each content
+    assert out.num_rows == 7
+    assert stats["state_rows"] == 7
+
+
+def test_streaming_dedup_unordered_stream_keeps_first_arrival(ray_session):
+    """On an UNORDERED stream the winner is the first ARRIVAL (not the
+    min id) — exactly-once per content regardless of id order."""
+    import ray
+
+    from deepwebharvester_ray.functions.streaming import streaming_dedup
+
+    rows = [{"doc_id": 10, "text": "a"}, {"doc_id": 3, "text": "a"},
+            {"doc_id": 7, "text": "b"}, {"doc_id": 1, "text": "b"}]
+    ds = ray.data.from_items(rows)
+    out = streaming_dedup(ds, micro_batch=1)
+    got = {r["doc_id"] for r in out.to_pylist()}
+    assert got == {10, 7}
+
+
+def test_streaming_dedup_equals_batch_on_ordered_stream(ray_session):
+    """Id-ordered stream ⇒ first arrival == keep-min-id: bit-equal to
+    dedup.exact_dedup_ids on the same input."""
+    import ray
+
+    from deepwebharvester_ray.functions.dedup import exact_dedup_ids
+    from deepwebharvester_ray.functions.streaming import streaming_dedup
+
+    rng = np.random.default_rng(3)
+    rows = [{"doc_id": i, "text": f"t {int(x)}"}
+            for i, x in enumerate(rng.integers(0, 25, 120))]
+    ds = ray.data.from_items(rows).repartition(5)
+
+    stream = {(r["content_hash"], r["doc_id"]) for r in
+              streaming_dedup(ds.sort("doc_id"), micro_batch=17)
+              .to_pylist()}
+    batch = {(r["content_hash"], r["doc_id"]) for r in
+             exact_dedup_ids(ds).take_all()}
+    assert stream == batch
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
