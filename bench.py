@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "source_percentiles",
     "link_scc",
     "exact_dedup_stream",
+    "training_pairs",
     "crawl_bfs",
 ]
 

@@ -8172,6 +8172,88 @@ SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b
 """
 
 
+_TP_NEGS = 3  # negatives per (anchor, positive) pair
+
+
+def q_training_pairs(sf_dir: str):
+    """Contrastive training-pair builder — the embedding-model data op:
+    every exact passage-overlap pair (the 8-token-window near-dup join)
+    becomes an (anchor, positive) example, paired with ``_TP_NEGS``
+    deterministic random negatives drawn by the corpus-wide
+    multiplicative hash ``((a·8+j)·M mod 2⁶⁴) mod n`` with exact
+    collision avoidance: among {c, c+1, c+2} (mod n) at least one id
+    differs from both the anchor and the positive, and the FIRST free
+    one is taken — a closed-form rejection both engines express
+    identically (no retry loop, reshard/resume-stable like
+    split_assign).
+
+    Distributed shape: the pair join is
+    :func:`~deepwebharvester_ray.functions.dedup.ngram_overlap_pairs`
+    (one all-to-all on 128-bit window keys); negative generation is a
+    pure vectorized map over the pair stream — zero additional
+    shuffle, no sampling state."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    n = pq.ParquetFile(
+        str(Path(sf_dir) / "documents.parquet")).metadata.num_rows
+    pairs = ngram_overlap_pairs(ds, k=8, max_bucket=1024,
+                                shuffle_partitions=_shuffle_parts(sf_dir))
+
+    def negatives(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        b = batch.column("id_b").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        out_a = np.repeat(a, _TP_NEGS)
+        out_b = np.repeat(b, _TP_NEGS)
+        out_j = np.tile(np.arange(1, _TP_NEGS + 1, dtype=np.int64),
+                        len(a))
+        with np.errstate(over="ignore"):
+            hv = ((out_a * 8 + out_j).astype(np.uint64)
+                  * np.uint64(_SPLIT_MULT))
+        c0 = (hv % np.uint64(n)).astype(np.int64)
+        c1 = (c0 + 1) % n
+        c2 = (c0 + 2) % n
+        free0 = (c0 != out_a) & (c0 != out_b)
+        free1 = (c1 != out_a) & (c1 != out_b)
+        neg = np.where(free0, c0, np.where(free1, c1, c2))
+        return pa.table({
+            "anchor_id": pa.array(out_a, pa.int64()),
+            "pos_id": pa.array(out_b, pa.int64()),
+            "j": pa.array(out_j, pa.int64()),
+            "neg_id": pa.array(neg, pa.int64()),
+        })
+
+    return pairs.map_batches(negatives, batch_format="pyarrow",
+                             runtime_env=runtime_env()).sort(
+        ["anchor_id", "pos_id", "j"])
+
+
+_SQL_TRAINING_PAIRS = f"""
+WITH {_SQL_GRAM_PAIRS_CTE},
+n_tab AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+expanded AS (
+  SELECT id_a AS anchor_id, id_b AS pos_id, CAST(j AS BIGINT) AS j,
+         (SELECT n FROM n_tab) AS n
+  FROM pairs, (VALUES (1), (2), (3)) AS t(j)
+),
+cand AS (
+  SELECT anchor_id, pos_id, j, n,
+         CAST(((CAST(anchor_id * 8 + j AS HUGEINT) * {_SPLIT_MULT})
+               % CAST('18446744073709551616' AS HUGEINT)) % n AS BIGINT)
+             AS c0
+  FROM expanded
+)
+SELECT anchor_id, pos_id, j,
+       CASE WHEN c0 <> anchor_id AND c0 <> pos_id THEN c0
+            WHEN (c0 + 1) % n <> anchor_id AND (c0 + 1) % n <> pos_id
+                 THEN (c0 + 1) % n
+            ELSE (c0 + 2) % n
+       END AS neg_id
+FROM cand ORDER BY anchor_id, pos_id, j
+"""
+
+
 CONTAIN_TAU_PCT = 50
 
 
@@ -11485,6 +11567,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "jaccard_pairs": q_jaccard_pairs,
         "cosine_pairs": q_cosine_pairs,
         "ngram_overlap": q_ngram_overlap,
+        "training_pairs": q_training_pairs,
         "containment_pairs": q_containment_pairs,
         "passage_profile": q_passage_profile,
         "clean_text": q_clean_text,
@@ -11659,6 +11742,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "jaccard_pairs": _SQL_JACCARD_PAIRS,
         "cosine_pairs": _SQL_COSINE_PAIRS,
         "ngram_overlap": _SQL_NGRAM_OVERLAP,
+        "training_pairs": _SQL_TRAINING_PAIRS,
         "containment_pairs": _SQL_CONTAINMENT_PAIRS,
         "passage_profile": _SQL_PASSAGE_PROFILE,
         "clean_text": _SQL_CLEAN_TEXT,

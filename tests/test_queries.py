@@ -69,6 +69,7 @@ SPOT_CHECKED = [
     "cheapest_paths",
     "source_percentiles",
     "exact_dedup_stream",
+    "training_pairs",
     "lineitem_orders_join",
     "runtime_filter_join",
     "local_supplier_revenue",
