@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "link_scc",
     "exact_dedup_stream",
     "training_pairs",
+    "bm25_search",
     "crawl_bfs",
 ]
 

@@ -4813,6 +4813,148 @@ ORDER BY doc_id
 """
 
 
+_BM25_TOP = 10
+
+
+def q_bm25_search(sf_dir: str):
+    """BM25-ranked (OR) retrieval for the fixed query terms — the
+    scoring half that turns :func:`q_doc_search`'s boolean scan and
+    :func:`q_inverted_index`'s postings into an actual search engine.
+    Okapi BM25 with k1 = 1.2, b = 0.75, QUANTIZED to exact integers so
+    both engines rank identically (no float division ever crosses):
+    per matched term ``idf_bits · 1000 · (220·tf) // (100·tf +
+    12·norm)`` where ``norm = 25 + (75·dl_pct)//100``,
+    ``dl_pct = (100·dl)//avgdl``, and ``idf_bits`` is the established
+    floor-log2 envelope ``⌊log2 N⌋ − ⌊log2 df⌋``.  Monotone in tf,
+    anti-monotone in dl and df — the BM25 shape, floor-div-rounded.
+
+    Distributed shape: ONE tokenize pass materializes per-doc
+    (dl, tf per query term) — fixed query ⇒ fixed columns, join-free;
+    the four model scalars (N, Σdl, df_t) are tiny sums over that
+    table; scoring is a second vectorized map over the same
+    materialized table (materialize-once discipline) and the top-10
+    is taken under the deterministic (score DESC, doc_id) order."""
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    n_docs = pq.ParquetFile(
+        str(Path(sf_dir) / "documents.parquet")).metadata.num_rows
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        dl = np.zeros(len(ids), np.int64)
+        tfs = [np.zeros(len(ids), np.int64) for _ in _SEARCH_TERMS]
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            toks = WORD_RE.findall((t or "").lower())
+            dl[i] = len(toks)
+            if toks:
+                for q, term in enumerate(_SEARCH_TERMS):
+                    tfs[q][i] = toks.count(term)
+        cols = {"doc_id": pa.array(ids, pa.int64()),
+                "dl": pa.array(dl, pa.int64())}
+        for q in range(len(_SEARCH_TERMS)):
+            cols[f"tf{q}"] = pa.array(tfs[q], pa.int64())
+        return pa.table(cols)
+
+    st = ds.map_batches(stats, batch_format="pyarrow",
+                        batch_size=None,
+                        runtime_env=runtime_env()).materialize()
+
+    avgdl = max(int(st.sum("dl") or 0) // max(n_docs, 1), 1)
+    log_n = int(n_docs).bit_length() - 1
+    idf = []
+    for q in range(len(_SEARCH_TERMS)):
+        df = st.map_batches(
+            lambda b, _q=q: pa.table({"m": pa.array(
+                (b.column(f"tf{_q}").combine_chunks()
+                 .to_numpy(zero_copy_only=False) > 0)
+                .astype(np.int64), pa.int64())}),
+            batch_format="pyarrow", runtime_env=runtime_env()).sum("m")
+        idf.append(log_n - (int(max(df or 0, 1)).bit_length() - 1))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        dl = batch.column("dl").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        dl_pct = 100 * dl // avgdl
+        norm = 25 + 75 * dl_pct // 100
+        s = np.zeros(len(ids), np.int64)
+        any_tf = np.zeros(len(ids), bool)
+        for q in range(len(_SEARCH_TERMS)):
+            tf = batch.column(f"tf{q}").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            hit = tf > 0
+            any_tf |= hit
+            denom = 100 * tf + 12 * norm
+            s += np.where(hit, idf[q] * 1000 * (220 * tf)
+                          // np.maximum(denom, 1), 0)
+        return pa.table({
+            "doc_id": pa.array(ids[any_tf], pa.int64()),
+            "score_milli": pa.array(s[any_tf], pa.int64()),
+        })
+
+    return st.map_batches(score, batch_format="pyarrow",
+                          runtime_env=runtime_env()).sort(
+        ["score_milli", "doc_id"],
+        descending=[True, False]).limit(_BM25_TOP)
+
+
+def _sql_bm25_search() -> str:
+    tf_cols = ",\n         ".join(
+        f"CAST(count(*) FILTER (token = '{t}') AS BIGINT) AS tf{q}"
+        for q, t in enumerate(_SEARCH_TERMS))
+    idf_exprs = ", ".join(
+        f"(length(bin((SELECT nd FROM n_tab))) - 1) - "
+        f"(length(bin(greatest((SELECT CAST(sum(CASE WHEN tf{q} > 0 "
+        f"THEN 1 ELSE 0 END) AS BIGINT) FROM d), 1))) - 1) AS idf{q}"
+        for q in range(len(_SEARCH_TERMS)))
+    contribs = "\n         + ".join(
+        f"CASE WHEN tf{q} > 0 THEN (SELECT idf{q} FROM idf_tab) * 1000 "
+        f"* (220 * tf{q}) // greatest(100 * tf{q} + 12 * norm, 1) "
+        f"ELSE 0 END"
+        for q in range(len(_SEARCH_TERMS)))
+    any_hit = " OR ".join(
+        f"tf{q} > 0" for q in range(len(_SEARCH_TERMS)))
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_TOKEN_SQL_RE}')) AS token
+  FROM documents
+),
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM tok GROUP BY doc_id
+),
+d AS (
+  SELECT doc.doc_id, COALESCE(p.dl, 0) AS dl,
+         {", ".join(f"COALESCE(p.tf{q}, 0) AS tf{q}"
+                    for q in range(len(_SEARCH_TERMS)))}
+  FROM documents doc LEFT JOIN perdoc p ON doc.doc_id = p.doc_id
+),
+n_tab AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+avg_tab AS (
+  SELECT greatest(CAST(sum(dl) AS BIGINT)
+                  // greatest((SELECT nd FROM n_tab), 1), 1) AS avgdl
+  FROM d
+),
+idf_tab AS (SELECT {idf_exprs}),
+scored AS (
+  SELECT doc_id,
+         25 + 75 * (100 * dl // (SELECT avgdl FROM avg_tab)) // 100
+             AS norm,
+         {", ".join(f"tf{q}" for q in range(len(_SEARCH_TERMS)))}
+  FROM d WHERE {any_hit}
+)
+SELECT doc_id,
+       CAST({contribs} AS BIGINT) AS score_milli
+FROM scored
+ORDER BY score_milli DESC, doc_id LIMIT {_BM25_TOP}
+"""
+
+
 _PMI_SCALE = 1_000_000
 _PMI_MIN_COUNT = 20
 _PMI_TOP = 20
@@ -11626,6 +11768,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "degree_assortativity": q_degree_assortativity,
         "inverted_index": q_inverted_index,
         "doc_search": q_doc_search,
+        "bm25_search": q_bm25_search,
         "pmi_bigrams": q_pmi_bigrams,
         "rare_bigram_rate": q_rare_bigram_rate,
         "doc_surprisal": q_doc_surprisal,
@@ -11792,6 +11935,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "degree_assortativity": _sql_degree_assortativity(),
         "inverted_index": _SQL_INVERTED_INDEX,
         "doc_search": _SQL_DOC_SEARCH,
+        "bm25_search": _sql_bm25_search(),
         "pmi_bigrams": _SQL_PMI_BIGRAMS,
         "rare_bigram_rate": _SQL_RARE_BIGRAM_RATE,
         "doc_surprisal": _SQL_DOC_SURPRISAL,

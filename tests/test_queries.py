@@ -70,6 +70,7 @@ SPOT_CHECKED = [
     "source_percentiles",
     "exact_dedup_stream",
     "training_pairs",
+    "bm25_search",
     "lineitem_orders_join",
     "runtime_filter_join",
     "local_supplier_revenue",

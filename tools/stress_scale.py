@@ -798,6 +798,84 @@ def run_cosine(n: int) -> dict:
     }
 
 
+def run_gscan(n: int) -> dict:
+    """grouped_prefix_scan over n rows x 20 interleaved groups: ONE sort
+    on the unique key, driver state O(blocks x groups) tiny rows — wall
+    ~linear in n, driver RSS flat (the per-group window scan never
+    materializes a window or sorts on the 20-value group key)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray import runtime_env
+    from deepwebharvester_ray.functions.scan import grouped_prefix_scan
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.table({
+            "k": pa.array(h.astype(np.int64), pa.int64()),  # unique key
+            "g": pa.array((ids % 20).astype(np.int64), pa.int64()),
+            "v": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+        })
+
+    ds = ray.data.range(n, override_num_blocks=64).map_batches(
+        gen, batch_format="pyarrow", runtime_env=runtime_env()
+    )
+    t0 = time.monotonic()
+    out = grouped_prefix_scan(ds, key="k", group="g", value_col="v")
+    # checksum: sum of per-group running counts = sum over groups of
+    # n_g*(n_g+1)/2 — exact, verifies the scan without materializing it
+    total = out.sum("running")
+    import collections
+    cnt = collections.Counter(i % 20 for i in range(n))
+    expect = sum(c * (c + 1) // 2 for c in cnt.values())
+    assert total == expect, (total, expect)
+    return {
+        "case": "gscan", "n": n,
+        "wall_s": round(time.monotonic() - t0, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
+def run_sdedup(n: int, distinct: int) -> dict:
+    """streaming_dedup over an n-row dup-heavy stream with `distinct`
+    unique contents: emitted rows == distinct, per-shard state O(its
+    partition of distinct) regardless of stream length — the live
+    seen-set boundedness claim measured."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray import runtime_env
+    from deepwebharvester_ray.functions.streaming import streaming_dedup
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+        content = (h % np.uint64(distinct)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([f"content {c}" for c in content.tolist()],
+                             pa.string()),
+        })
+
+    ds = ray.data.range(n, override_num_blocks=32).map_batches(
+        gen, batch_format="pyarrow", runtime_env=runtime_env()
+    )
+    t0 = time.monotonic()
+    out, stats = streaming_dedup(ds, micro_batch=8192, return_stats=True)
+    assert out.num_rows == distinct, (out.num_rows, distinct)
+    return {
+        "case": "sdedup", "n": n, "distinct": distinct,
+        "emitted": out.num_rows, "state_rows": stats["state_rows"],
+        "wall_s": round(time.monotonic() - t0, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("case", choices=["minhash", "frontier", "highcard",
@@ -805,7 +883,8 @@ def main() -> None:
                                     "passage", "skewjoin", "bpe",
                                     "stream", "skewagg", "bloomjoin",
                                     "containment", "knn", "fuzzy",
-                                    "skyline", "cosine"])
+                                    "skyline", "cosine", "gscan",
+                                    "sdedup"])
     p.add_argument("--dup", type=int, default=1)
     p.add_argument("--seeds", type=int, default=10_000)
     p.add_argument("--shards", type=int, default=None)
@@ -856,6 +935,10 @@ def main() -> None:
             out = run_fuzzy(args.n)
         elif args.case == "skyline":
             out = run_skyline(args.n)
+        elif args.case == "gscan":
+            out = run_gscan(args.n)
+        elif args.case == "sdedup":
+            out = run_sdedup(args.n, max(1, args.n // 10))
         elif args.case == "cosine":
             out = run_cosine(args.n)
         else:
