@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "exact_dedup_stream",
     "training_pairs",
     "bm25_search",
+    "cocitation",
     "crawl_bfs",
 ]
 

@@ -6611,6 +6611,80 @@ FROM pairs GROUP BY dst ORDER BY doc_id
 """
 
 
+_COCITE_TOP = 20
+
+
+def q_cocitation(sf_dir: str):
+    """Co-citation analysis — the bibliometric relatedness signal: two
+    pages are related when the SAME page links to both (Small 1973;
+    the link-structure similarity that needs no content).  Output: the
+    top-20 most co-cited (doc_a, doc_b) pairs with their co-citing
+    page count.
+
+    Distributed shape: pair emission costs ZERO shuffle — each source
+    page's out-links are generated together in the edge map, so its
+    C(3,2) canonical dst pairs emit vectorized in the same batch; the
+    only exchanges are the pair-cardinality combiner grouped count and
+    the O(blocks × top) partial-top-k merge under the deterministic
+    (n DESC, a, b) order.  (A real crawl caps per-page out-degree
+    first — pair volume is Σ outdeg², the two_hop_counts skew knob.)"""
+    docs = _docs(sf_dir, columns=["doc_id"],
+                 override_num_blocks=_shuffle_parts(sf_dir))
+    n_docs = pq.ParquetFile(
+        str(Path(sf_dir) / "documents.parquet")).metadata.num_rows
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        eff = np.where((d > 0) & (d % DUP_MOD == DUP_REMAINDER),
+                       d - 1, d)
+        dsts = [(eff + off) % n_docs for off in LINK_OFFSETS]
+        out_a, out_b = [], []
+        for i in range(len(LINK_OFFSETS)):
+            for j in range(i + 1, len(LINK_OFFSETS)):
+                x, y = dsts[i], dsts[j]
+                ne = x != y
+                out_a.append(np.minimum(x, y)[ne])
+                out_b.append(np.maximum(x, y)[ne])
+        return pa.table({
+            "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+        })
+
+    counts = grouped_agg(
+        docs.map_batches(to_pairs, batch_format="pyarrow",
+                         runtime_env=runtime_env()),
+        ["doc_a", "doc_b"], [("n_cociting", "", "count")],
+    )
+    return counts.sort(["n_cociting", "doc_a", "doc_b"],
+                       descending=[True, False, False]).limit(_COCITE_TOP)
+
+
+def _sql_cocitation() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    return f"""
+WITH n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+),
+p AS (
+  SELECT least(e1.dst, e2.dst) AS doc_a,
+         greatest(e1.dst, e2.dst) AS doc_b
+  FROM edges e1 JOIN edges e2
+    ON e1.src = e2.src AND e1.dst < e2.dst
+)
+SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_cociting
+FROM p GROUP BY 1, 2
+ORDER BY n_cociting DESC, doc_a, doc_b LIMIT {_COCITE_TOP}
+"""
+
+
 def q_link_reciprocity(sf_dir: str):
     """Per-host link-reciprocity screen — the link-farm detector: spam
     rings exchange links pairwise, so a host whose out-links are mostly
@@ -11762,6 +11836,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "two_hop_counts": q_two_hop_counts,
         "link_authority": q_link_authority,
         "link_reciprocity": q_link_reciprocity,
+        "cocitation": q_cocitation,
         "rank_agreement": q_rank_agreement,
         "rank_fusion": q_rank_fusion,
         "triangle_count": q_triangle_count,
@@ -11929,6 +12004,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "two_hop_counts": _sql_two_hop(),
         "link_authority": _sql_link_authority(),
         "link_reciprocity": _sql_link_reciprocity(),
+        "cocitation": _sql_cocitation(),
         "rank_agreement": _sql_rank_agreement(),
         "rank_fusion": _sql_rank_fusion(),
         "triangle_count": _sql_triangles(),

@@ -71,6 +71,7 @@ SPOT_CHECKED = [
     "exact_dedup_stream",
     "training_pairs",
     "bm25_search",
+    "cocitation",
     "lineitem_orders_join",
     "runtime_filter_join",
     "local_supplier_revenue",
