@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "training_pairs",
     "bm25_search",
     "cocitation",
+    "top_customers_q10",
     "crawl_bfs",
 ]
 

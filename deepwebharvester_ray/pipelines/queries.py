@@ -1954,6 +1954,144 @@ LIMIT 10
 """
 
 
+_Q10_FROM_US = 820_454_400_000_000   # 1996-01-01
+_Q10_TO_US = 828_316_800_000_000     # 1996-04-01
+_Q10_TOP = 20
+
+
+def q_top_customers_q10(sf_dir: str):
+    """TPC-H-Q10-shaped returned-items customer ranking: for orders in
+    one quarter, the 20 customers with the highest revenue on RETURNED
+    lineitems (l_returnflag = 'R') — the "who is returning the most"
+    triage query, with name and nation attached for the report.
+
+    Mixed join strategy by side size (the Q3 discipline): both fact
+    scans filter AT THE READ (date window on orders, returnflag on
+    lineitem — non-qualifying rows never reach an exchange); the
+    filtered ORDERS⋈LINEITEM is the one genuinely large×large native
+    hash join; the per-customer rollup is a combiner grouped sum at
+    customer cardinality; customer name and nation attach AFTER the
+    aggregate (dimension lookups against the top-k-bounded result —
+    broadcast sorted arrays, no shuffle).  Exact integer revenue
+    (cents × (100 − discount%))."""
+    import ray
+
+    from ..broadcast import cached_get
+    from ..functions.partition import coalesce_nonempty
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filter_orders(batch: pa.Table) -> pa.Table:
+        od = (batch.column("o_orderdate").combine_chunks()
+              .cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        keep = (od >= _Q10_FROM_US) & (od < _Q10_TO_US)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey").filter(
+                pa.array(keep)),
+            "o_custkey": batch.column("o_custkey").filter(
+                pa.array(keep)),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                        "l_discount"],
+               override_num_blocks=_shuffle_parts(sf_dir, "lineitem"))
+
+    def filter_li(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        ep = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = (np.floor(ep * 100.0).astype(np.int64)
+               * (100 - np.floor(disc * 100.0).astype(np.int64)))
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "rev": pa.array(rev, pa.int64()),
+        })
+
+    empty = pa.table({
+        "c_custkey": pa.array([], pa.int64()),
+        "c_name": pa.array([], pa.string()),
+        "n_name": pa.array([], pa.string()),
+        "revenue_sc": pa.array([], pa.int64()),
+    })
+    o_f = coalesce_nonempty(orders.map_batches(
+        filter_orders, batch_format="pyarrow", runtime_env=runtime_env()))
+    l_f = coalesce_nonempty(li.map_batches(
+        filter_li, batch_format="pyarrow", runtime_env=runtime_env()))
+    if o_f is None or l_f is None:
+        return ray.data.from_arrow(empty)
+
+    joined = o_f.join(
+        l_f, "inner",
+        num_partitions=max(2, _shuffle_parts(sf_dir, "lineitem")),
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+    per_cust = grouped_agg(joined, ["o_custkey"],
+                           [("revenue_sc", "rev", "sum")])
+    top = per_cust.sort(["revenue_sc", "o_custkey"],
+                        descending=[True, False]).limit(_Q10_TOP)
+
+    # dimension attach AFTER the aggregate: top-k-bounded probe side
+    cust = pq.read_table(str(Path(sf_dir) / "customer.parquet"),
+                         columns=["c_custkey", "c_name", "c_nationkey"])
+    nation = pq.read_table(str(Path(sf_dir) / "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    order = np.argsort(ck)
+    names = np.asarray(cust.column("c_name").to_pylist(),
+                       dtype=object)[order]
+    nk = cust.column("c_nationkey").to_numpy(
+        zero_copy_only=False)[order]
+    nmap = dict(zip(nation.column("n_nationkey").to_pylist(),
+                    nation.column("n_name").to_pylist()))
+    ref = ray.put((ck[order], names,
+                   np.asarray([nmap[k] for k in nk.tolist()],
+                              dtype=object)))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        sck, snm, snat = cached_get(ref)
+        c = batch.column("o_custkey").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(sck, c)
+        return pa.table({
+            "c_custkey": pa.array(c, pa.int64()),
+            "c_name": pa.array(snm[pos].tolist(), pa.string()),
+            "n_name": pa.array(snat[pos].tolist(), pa.string()),
+            "revenue_sc": batch.column("revenue_sc"),
+        })
+
+    return top.map_batches(attach, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+
+
+_SQL_TOP_CUSTOMERS_Q10 = f"""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(floor(l_extendedprice * 100.0) AS BIGINT) *
+         (100 - CAST(floor(l_discount * 100.0) AS BIGINT)) AS rev
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+agg AS (
+  SELECT o.o_custkey, CAST(sum(li.rev) AS BIGINT) AS revenue_sc
+  FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+  WHERE epoch_us(o.o_orderdate) >= {_Q10_FROM_US}
+    AND epoch_us(o.o_orderdate) < {_Q10_TO_US}
+  GROUP BY o.o_custkey
+  ORDER BY revenue_sc DESC, o.o_custkey LIMIT {_Q10_TOP}
+)
+SELECT c.c_custkey, c.c_name, n.n_name, a.revenue_sc
+FROM agg a
+JOIN customer c ON c.c_custkey = a.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY a.revenue_sc DESC, c.c_custkey
+"""
+
+
 def q_risk_histogram(sf_dir: str):
     """A3 report aggregate: pages per risk label (report.py:315-320)."""
     scored = q_threat_scores(sf_dir)
@@ -11916,6 +12054,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "runtime_filter_join": q_runtime_filter_join,
         "local_supplier_revenue": q_local_supplier_revenue,
         "top_orders_q3": q_top_orders_q3,
+        "top_customers_q10": q_top_customers_q10,
         "lineitem_pricing": q_lineitem_pricing,
         "risk_histogram": q_risk_histogram,
         "top_risk": q_top_risk,
@@ -12080,6 +12219,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "runtime_filter_join": _SQL_RUNTIME_FILTER_JOIN,
         "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
         "top_orders_q3": _SQL_TOP_ORDERS_Q3,
+        "top_customers_q10": _SQL_TOP_CUSTOMERS_Q10,
         "lineitem_pricing": _SQL_LINEITEM_PRICING,
         "risk_histogram": _sql_risk_histogram(),
         "top_risk": _sql_top_risk(),

@@ -72,6 +72,7 @@ SPOT_CHECKED = [
     "training_pairs",
     "bm25_search",
     "cocitation",
+    "top_customers_q10",
     "lineitem_orders_join",
     "runtime_filter_join",
     "local_supplier_revenue",
