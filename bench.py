@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "cocitation",
     "top_customers_q10",
+    "bibcoupling",
     "crawl_bfs",
 ]
 

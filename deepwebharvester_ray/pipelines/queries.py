@@ -6823,6 +6823,87 @@ ORDER BY n_cociting DESC, doc_a, doc_b LIMIT {_COCITE_TOP}
 """
 
 
+def q_bibcoupling(sf_dir: str):
+    """Bibliographic coupling — the TRANSPOSE dual of
+    :func:`q_cocitation` (Kessler 1963): two pages are related when
+    they link to the SAME target; top-20 coupled (src_a, src_b) pairs
+    by shared-target count.  Unlike co-citation, the pairs here share
+    an IN-edge target, so emission needs targets co-located: one
+    single-key sort on dst feeds the shared
+    :func:`~deepwebharvester_ray.functions.dedup._gram_bucket_pairs`
+    kernel (size-grouped triu gather, hot-bucket guard — in-degree ≈ 3
+    here, far under the 1024 cap, so the guard never diverges from the
+    uncapped oracle; the jaccard_pairs policy), then a pair-cardinality
+    combiner count and the O(blocks × top) partial-top-k merge."""
+    from ..functions.dedup import _gram_bucket_pairs
+
+    _, edges = _corpus_link_edges(sf_dir)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = s != d
+        return pa.table({"src": pa.array(s[keep], pa.int64()),
+                         "dst": pa.array(d[keep], pa.int64())})
+
+    distinct = grouped_agg(
+        edges.map_batches(canon, batch_format="pyarrow",
+                          runtime_env=runtime_env()),
+        ["src", "dst"], [("__n", "", "count")],
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "h1": batch.column("dst"),
+            "h2": pa.array(np.zeros(batch.num_rows, np.int64),
+                           pa.int64()),
+            "id": batch.column("src"),
+        })
+
+    pairs = distinct.map_batches(
+        keyed, batch_format="pyarrow", runtime_env=runtime_env(),
+    ).sort(["h1", "h2"]).map_batches(
+        _gram_bucket_pairs(1024), batch_format="pyarrow",
+        batch_size=None, runtime_env=runtime_env())
+
+    counts = grouped_agg(
+        _rename(pairs, {"id_a": "src_a", "id_b": "src_b"}),
+        ["src_a", "src_b"], [("n_shared", "", "count")],
+    )
+    return counts.sort(["n_shared", "src_a", "src_b"],
+                       descending=[True, False, False]).limit(_COCITE_TOP)
+
+
+def _sql_bibcoupling() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    return f"""
+WITH n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT DISTINCT src,
+         CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+  WHERE src <> CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT)
+),
+p AS (
+  SELECT least(e1.src, e2.src) AS src_a,
+         greatest(e1.src, e2.src) AS src_b
+  FROM edges e1 JOIN edges e2
+    ON e1.dst = e2.dst AND e1.src < e2.src
+)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM p GROUP BY 1, 2
+ORDER BY n_shared DESC, src_a, src_b LIMIT {_COCITE_TOP}
+"""
+
+
 def q_link_reciprocity(sf_dir: str):
     """Per-host link-reciprocity screen — the link-farm detector: spam
     rings exchange links pairwise, so a host whose out-links are mostly
@@ -11975,6 +12056,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "link_authority": q_link_authority,
         "link_reciprocity": q_link_reciprocity,
         "cocitation": q_cocitation,
+        "bibcoupling": q_bibcoupling,
         "rank_agreement": q_rank_agreement,
         "rank_fusion": q_rank_fusion,
         "triangle_count": q_triangle_count,
@@ -12144,6 +12226,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "link_authority": _sql_link_authority(),
         "link_reciprocity": _sql_link_reciprocity(),
         "cocitation": _sql_cocitation(),
+        "bibcoupling": _sql_bibcoupling(),
         "rank_agreement": _sql_rank_agreement(),
         "rank_fusion": _sql_rank_fusion(),
         "triangle_count": _sql_triangles(),

@@ -73,6 +73,7 @@ SPOT_CHECKED = [
     "bm25_search",
     "cocitation",
     "top_customers_q10",
+    "bibcoupling",
     "lineitem_orders_join",
     "runtime_filter_join",
     "local_supplier_revenue",
