@@ -865,11 +865,17 @@ def run_sdedup(n: int, distinct: int) -> dict:
     ds = ray.data.range(n, override_num_blocks=32).map_batches(
         gen, batch_format="pyarrow", runtime_env=runtime_env()
     )
+    # expected distinct = the hash's ACTUAL residue coverage (the
+    # stride map need not hit every residue class)
+    ids = np.arange(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        expect = len(np.unique((ids * np.uint64(0xBF58476D1CE4E5B9))
+                               % np.uint64(distinct)))
     t0 = time.monotonic()
     out, stats = streaming_dedup(ds, micro_batch=8192, return_stats=True)
-    assert out.num_rows == distinct, (out.num_rows, distinct)
+    assert out.num_rows == expect, (out.num_rows, expect)
     return {
-        "case": "sdedup", "n": n, "distinct": distinct,
+        "case": "sdedup", "n": n, "distinct": expect,
         "emitted": out.num_rows, "state_rows": stats["state_rows"],
         "wall_s": round(time.monotonic() - t0, 2),
         "driver_rss_mb": round(_rss_mb(), 1),
