@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "cocitation",
     "top_customers_q10",
     "bibcoupling",
+    "random_walks",
     "crawl_bfs",
 ]
 

@@ -6823,6 +6823,82 @@ ORDER BY n_cociting DESC, doc_a, doc_b LIMIT {_COCITE_TOP}
 """
 
 
+_WALK_LEN = 5
+
+
+def q_random_walks(sf_dir: str):
+    """Deterministic random-walk corpus over the crawl link graph — the
+    DeepWalk/node2vec training-data generator: one length-5 walk per
+    page, each step choosing among the node's out-edges by a
+    reproducible multiplicative hash of (walk, node, step).  The walk
+    table IS the skip-gram corpus a graph-embedding trainer consumes;
+    determinism makes it reshard/resume-stable (the split_assign
+    discipline) instead of RNG-state-dependent.
+
+    Distributed shape: the corpus edge set is a RULE (doc → eff +
+    offset), so walk extension is a pure vectorized map — 5 numpy
+    steps per batch, ZERO shuffle, no edge table, no join.  (On a
+    materialized edge list the same op is K rounds of the
+    weighted_distances attach machinery; the rule-based form is the
+    degenerate fast path and is what the corpus ships.)"""
+    docs = _docs(sf_dir, columns=["doc_id"],
+                 override_num_blocks=_shuffle_parts(sf_dir))
+    n_docs = pq.ParquetFile(
+        str(Path(sf_dir) / "documents.parquet")).metadata.num_rows
+    offs = np.asarray(LINK_OFFSETS, np.int64)
+
+    def walk(batch: pa.Table) -> pa.Table:
+        w = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        node = w.copy()
+        out_w = [w]
+        out_s = [np.zeros(len(w), np.int64)]
+        out_n = [node.copy()]
+        for s in range(1, _WALK_LEN + 1):
+            eff = np.where((node > 0) & (node % DUP_MOD == DUP_REMAINDER),
+                           node - 1, node)
+            with np.errstate(over="ignore"):
+                hv = ((w * 1000003 + node * 8 + s).astype(np.uint64)
+                      * np.uint64(_SPLIT_MULT))
+            choice = (hv % np.uint64(3)).astype(np.int64)
+            node = (eff + offs[choice]) % n_docs
+            out_w.append(w)
+            out_s.append(np.full(len(w), s, np.int64))
+            out_n.append(node.copy())
+        return pa.table({
+            "walk_id": pa.array(np.concatenate(out_w), pa.int64()),
+            "step": pa.array(np.concatenate(out_s), pa.int64()),
+            "node": pa.array(np.concatenate(out_n), pa.int64()),
+        })
+
+    return docs.map_batches(walk, batch_format="pyarrow",
+                            runtime_env=runtime_env()).sort(
+        ["walk_id", "step"])
+
+
+def _sql_random_walks() -> str:
+    return f"""
+WITH RECURSIVE
+n_tab AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+walk(walk_id, step, node) AS (
+  SELECT doc_id, CAST(0 AS BIGINT), doc_id FROM documents
+  UNION ALL
+  SELECT walk_id, step + 1,
+         CAST(((CASE WHEN node > 0 AND node % {DUP_MOD} = {DUP_REMAINDER}
+                     THEN node - 1 ELSE node END)
+               + CASE CAST(((CAST(walk_id * 1000003 + node * 8 + step + 1
+                                  AS HUGEINT) * {_SPLIT_MULT})
+                            % CAST('18446744073709551616' AS HUGEINT))
+                           % 3 AS BIGINT)
+                      WHEN 0 THEN {LINK_OFFSETS[0]}
+                      WHEN 1 THEN {LINK_OFFSETS[1]}
+                      ELSE {LINK_OFFSETS[2]} END)
+              % (SELECT n FROM n_tab) AS BIGINT)
+  FROM walk WHERE step < {_WALK_LEN}
+)
+SELECT walk_id, step, node FROM walk ORDER BY walk_id, step
+"""
+
+
 def q_bibcoupling(sf_dir: str):
     """Bibliographic coupling — the TRANSPOSE dual of
     :func:`q_cocitation` (Kessler 1963): two pages are related when
@@ -12057,6 +12133,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "link_reciprocity": q_link_reciprocity,
         "cocitation": q_cocitation,
         "bibcoupling": q_bibcoupling,
+        "random_walks": q_random_walks,
         "rank_agreement": q_rank_agreement,
         "rank_fusion": q_rank_fusion,
         "triangle_count": q_triangle_count,
@@ -12227,6 +12304,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "link_reciprocity": _sql_link_reciprocity(),
         "cocitation": _sql_cocitation(),
         "bibcoupling": _sql_bibcoupling(),
+        "random_walks": _sql_random_walks(),
         "rank_agreement": _sql_rank_agreement(),
         "rank_fusion": _sql_rank_fusion(),
         "triangle_count": _sql_triangles(),

@@ -74,6 +74,7 @@ SPOT_CHECKED = [
     "cocitation",
     "top_customers_q10",
     "bibcoupling",
+    "random_walks",
     "lineitem_orders_join",
     "runtime_filter_join",
     "local_supplier_revenue",
