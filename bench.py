@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "top_customers_q10",
     "bibcoupling",
     "random_walks",
+    "top_passages",
     "crawl_bfs",
 ]
 

@@ -6823,6 +6823,100 @@ ORDER BY n_cociting DESC, doc_a, doc_b LIMIT {_COCITE_TOP}
 """
 
 
+_TPASS_K = 8
+_TPASS_MIN_DOCS = 2
+
+
+def q_top_passages(sf_dir: str):
+    """Corpus-wide duplicated-passage list — the C4/RefinedWeb
+    "most-common boilerplate lines" artifact: every 8-token window
+    appearing in ≥ 2 DISTINCT documents, with its document count and
+    the window TEXT (the human-readable blocklist the line/passage
+    filters are seeded from).
+
+    Distributed shape: window counting stays in 128-bit HASH space
+    (ONE `_gram_key_table` pass + a pair-cardinality combiner count —
+    window strings never ride the all-to-all); the qualifying key set
+    is OUTPUT-sized (a boilerplate list is small by nature — the
+    ioc_registry driver-consumable-by-definition rule) and broadcasts
+    back for a second doc pass that reconstructs the text only at
+    matching window positions (positional `_gram_hashes`, slice, no
+    re-shuffle); a final combiner grouped-MAX dedups reconstructions.
+    Shares the collision-free-128-bit-key assumption documented for
+    containment_pairs."""
+    import ray
+
+    from ..broadcast import cached_get
+    from ..functions.dedup import (_gram_hashes, _gram_key_table,
+                                   _word_hashes)
+    from ..functions.textops import TOKEN_RE
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"],
+                 override_num_blocks=_shuffle_parts(sf_dir)).materialize()
+    grams = _gram_key_table(docs, "doc_id", "text", _TPASS_K)
+    counts = grouped_agg(grams, ["h1", "h2"],
+                         [("n_docs", "", "count")])
+
+    def qualify(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_docs").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return batch.filter(pa.array(n >= _TPASS_MIN_DOCS))
+
+    qual = counts.map_batches(qualify, batch_format="pyarrow",
+                              runtime_env=runtime_env()).take_all()
+    empty = pa.table({"gram": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64())})
+    if not qual:
+        return ray.data.from_arrow(empty)
+    qmap = {(int(r["h1"]), int(r["h2"])): int(r["n_docs"])
+            for r in qual}
+    ref = ray.put(qmap)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        qm = cached_get(ref)
+        out_g, out_n = [], []
+        for t in batch.column("text").to_pylist():
+            toks = TOKEN_RE.findall(t or "")
+            if len(toks) < _TPASS_K:
+                continue
+            u1 = _word_hashes(toks)
+            with np.errstate(over="ignore"):
+                h1, h2 = _gram_hashes(u1, _TPASS_K)
+            for j, key in enumerate(zip(h1.tolist(), h2.tolist())):
+                n = qm.get(key)
+                if n is not None:
+                    out_g.append(" ".join(toks[j:j + _TPASS_K]))
+                    out_n.append(n)
+        return pa.table({"gram": pa.array(out_g, pa.string()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    recon = grouped_agg(
+        docs.map_batches(extract, batch_format="pyarrow",
+                         runtime_env=runtime_env()),
+        ["gram"], [("n_docs", "n", "max")],
+    )
+    return recon.sort(["n_docs", "gram"], descending=[True, False])
+
+
+_SQL_TOP_PASSAGES = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+dg AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i:i+{_TPASS_K - 1}], ' ') AS gram
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(t)-{_TPASS_K - 1}))
+                AS i) g(i)
+  WHERE len(t) >= {_TPASS_K}
+),
+c AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+      FROM dg GROUP BY 1)
+SELECT gram, n_docs FROM c WHERE n_docs >= {_TPASS_MIN_DOCS}
+ORDER BY n_docs DESC, gram
+"""
+
+
 _WALK_LEN = 5
 
 
@@ -12134,6 +12228,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "cocitation": q_cocitation,
         "bibcoupling": q_bibcoupling,
         "random_walks": q_random_walks,
+        "top_passages": q_top_passages,
         "rank_agreement": q_rank_agreement,
         "rank_fusion": q_rank_fusion,
         "triangle_count": q_triangle_count,
@@ -12305,6 +12400,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "cocitation": _sql_cocitation(),
         "bibcoupling": _sql_bibcoupling(),
         "random_walks": _sql_random_walks(),
+        "top_passages": _SQL_TOP_PASSAGES,
         "rank_agreement": _sql_rank_agreement(),
         "rank_fusion": _sql_rank_fusion(),
         "triangle_count": _sql_triangles(),

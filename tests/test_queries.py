@@ -75,6 +75,7 @@ SPOT_CHECKED = [
     "top_customers_q10",
     "bibcoupling",
     "random_walks",
+    "top_passages",
     "lineitem_orders_join",
     "runtime_filter_join",
     "local_supplier_revenue",
