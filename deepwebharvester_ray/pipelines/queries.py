@@ -6862,8 +6862,20 @@ def q_top_passages(sf_dir: str):
             zero_copy_only=False)
         return batch.filter(pa.array(n >= _TPASS_MIN_DOCS))
 
-    qual = counts.map_batches(qualify, batch_format="pyarrow",
-                              runtime_env=runtime_env()).take_all()
+    qual_ds = counts.map_batches(qualify, batch_format="pyarrow",
+                                 runtime_env=runtime_env()).materialize()
+    # the output-sized claim is an ENVELOPE, not a law: a dup-heavy raw
+    # crawl can qualify nearly every window.  Fail loudly (the no-silent-
+    # caps rule) instead of OOMing the driver — the fix is a higher
+    # min_docs (or run host_boilerplate / passage_profile, which stay
+    # distributed end-to-end).
+    n_qual = qual_ds.count()
+    if n_qual > 2_000_000:
+        raise RuntimeError(
+            f"top_passages: {n_qual} windows qualify at min_docs="
+            f"{_TPASS_MIN_DOCS}; the blocklist is no longer "
+            "driver-consumable — raise min_docs")
+    qual = qual_ds.take_all()
     empty = pa.table({"gram": pa.array([], pa.string()),
                       "n_docs": pa.array([], pa.int64())})
     if not qual:
