@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "bibcoupling",
     "random_walks",
     "top_passages",
+    "kmeans_refine",
     "crawl_bfs",
 ]
 

@@ -427,6 +427,125 @@ def kmeans_assign(
                           runtime_env=runtime_env())
 
 
+def kmeans_lloyd(
+    ds,
+    n_cells: int = 16,
+    iters: int = 5,
+    train_sample: int = 2048,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+):
+    """FULL-CORPUS spherical Lloyd refinement — the scale path beyond
+    :func:`train_centroids`'s sample-trained quantizer: starting from
+    the sample centroids, run ``iters`` exact rounds over EVERY vector.
+    Each round is ONE combiner pass emitting per-(block, cell) moment
+    rows — ``(cell, block_key, n, Σx as a binary blob, Σ max-sim)`` —
+    so O(blocks × cells) tiny rows reach the driver (the pca_project
+    moment discipline; vectors never leave the data plane), merged in
+    sorted (cell, block_key) order so float summation order is FIXED
+    for a given block layout (bit-deterministic per layout; a reshard
+    moves ulps — documented, the float twin of the integer rule).
+    Empty cells reseed to the sample point worst-served by the current
+    centroids (the :func:`_spherical_kmeans` policy).
+
+    Returns ``(centroids, assign_ds, sim_totals)``: the refined
+    (n_cells × dim) matrix, a lazy (id, cell) assignment dataset, and
+    the per-round Σ max-similarity — nondecreasing for spherical
+    Lloyd, which the tests pin.  Returns ``(None, empty_ds, [])`` on
+    an empty input."""
+    import ray
+
+    from ..broadcast import cached_get
+
+    cents = train_centroids(ds, n_cells, train_sample, id_column,
+                            vec_column)
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cell": pa.array([], pa.int64())})
+    if cents is None:
+        return None, ray.data.from_arrow(empty), []
+    sample = hash_rank_sample(ds, train_sample, id_column, vec_column)
+    sample = _normalize(sample)
+    ds = ds.materialize()
+    dim = cents.shape[1]
+    sim_totals = []
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def moments(batch: pa.Table, _ref=ref) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table({
+                    "cell": pa.array([], pa.int64()),
+                    "block_key": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.large_binary()),
+                    "simsum": pa.array([], pa.float64()),
+                })
+            c = cached_get(_ref)
+            mat = _normalize(_vec_matrix(batch.column(vec_column)))
+            ids = _ids_array(batch.column(id_column))
+            sims = mat @ c.T
+            assign = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(mat)), assign]
+            bkey = int(ids.min())
+            order = np.argsort(assign, kind="stable")
+            a_s = assign[order]
+            run_starts = np.flatnonzero(np.r_[True, a_s[1:] != a_s[:-1]])
+            run_ends = np.r_[run_starts[1:], len(a_s)]
+            out_c, out_n, out_s, out_sim = [], [], [], []
+            for rs, re_ in zip(run_starts, run_ends):
+                sel = order[rs:re_]
+                out_c.append(int(a_s[rs]))
+                out_n.append(len(sel))
+                out_s.append(mat[sel].sum(axis=0).tobytes())
+                out_sim.append(float(best[sel].sum()))
+            return pa.table({
+                "cell": pa.array(out_c, pa.int64()),
+                "block_key": pa.array(
+                    [bkey] * len(out_c), pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+                "s": pa.array(out_s, pa.large_binary()),
+                "simsum": pa.array(out_sim, pa.float64()),
+            })
+
+        rows = ds.map_batches(moments, batch_format="pyarrow",
+                              batch_size=None,
+                              runtime_env=runtime_env()).take_all()
+        rows.sort(key=lambda r: (r["cell"], r["block_key"]))
+        sums = np.zeros((len(cents), dim), np.float64)
+        counts = np.zeros(len(cents), np.int64)
+        total_sim = 0.0
+        for r in rows:
+            sums[r["cell"]] += np.frombuffer(r["s"], np.float64)
+            counts[r["cell"]] += r["n"]
+            total_sim += r["simsum"]
+        sim_totals.append(total_sim)
+        empties = np.flatnonzero(counts == 0)
+        new_cents = sums.copy()
+        if len(empties):
+            worst = np.argsort((sample @ cents.T).max(axis=1),
+                               kind="stable")
+            for c, p in zip(empties.tolist(), worst[:len(empties)]):
+                new_cents[c] = sample[p]
+        cents = _normalize(new_cents)
+
+    cents_ref = ray.put(cents)
+
+    def assign_final(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        mat = _normalize(_vec_matrix(batch.column(vec_column)))
+        cell = np.argmax(mat @ cached_get(cents_ref).T, axis=1)
+        return pa.table({
+            "vec_id": pa.array(_ids_array(batch.column(id_column)),
+                               pa.int64()),
+            "cell": pa.array(cell.astype(np.int64), pa.int64()),
+        })
+
+    return cents, ds.map_batches(assign_final, batch_format="pyarrow",
+                                 runtime_env=runtime_env()), sim_totals
+
+
 def ivf_topk(
     ds,
     queries: np.ndarray,

@@ -8992,6 +8992,23 @@ def q_embedding_clusters(sf_dir: str):
     return kmeans_assign(ds, n_cells=16).sort("vec_id")
 
 
+def q_kmeans_refine(sf_dir: str):
+    """FULL-CORPUS Lloyd refinement of the semantic shards — the scale
+    path past :func:`q_embedding_clusters`' sample-trained quantizer:
+    3 exact rounds over every vector
+    (:func:`~deepwebharvester_ray.functions.ann.kmeans_lloyd` — one
+    per-(block, cell) moment-blob combiner pass per round, O(blocks ×
+    cells) rows to the driver, vectors never leave the data plane),
+    then the per-cell membership census.  Rows-only (float k-means);
+    cluster recovery, objective monotonicity, and the empty-input
+    guard are pinned in tests."""
+    from ..functions.ann import kmeans_lloyd
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, assign, _ = kmeans_lloyd(ds, n_cells=8, iters=3)
+    return grouped_agg(assign, ["cell"], [("n_members", "", "count")])
+
+
 def q_ann_pq(sf_dir: str):
     """Product-quantization ANN (Jégou et al. 2011): 8×1-byte codes per
     vector (32× compression), compressed-domain ADC scan for the
@@ -12342,6 +12359,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "ann_pq": q_ann_pq,
         "ann_ivfpq": q_ann_ivfpq,
         "embedding_clusters": q_embedding_clusters,
+        "kmeans_refine": q_kmeans_refine,
         "binary_metadata": q_binary_metadata,
     }
 
@@ -12504,7 +12522,7 @@ def build_oracle_sql() -> Dict[str, str]:
 ROWS_ONLY: List[str] = [
     "crawl_bfs", "crawl_intel", "minhash_pairs", "simhash_pairs",
     "fingerprints", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq",
-    "embedding_clusters",
+    "embedding_clusters", "kmeans_refine",
     "binary_metadata",
     "multimodal_features", "vocab_hll", "neardup_embeddings_lsh",
     "semdedup_prune",

@@ -2239,6 +2239,53 @@ def test_scc_labels_matches_tarjan_both_paths(ray_session):
         assert got == ref, f"cutoff={bc}"
 
 
+def test_kmeans_lloyd_recovers_planted_clusters(ray_session):
+    """Full-corpus Lloyd on 3 planted directional clusters: assignment
+    partitions by cluster, and the spherical objective (Σ max-sim) is
+    nondecreasing per round — the Lloyd monotonicity invariant."""
+    import ray
+
+    from deepwebharvester_ray.functions.ann import kmeans_lloyd
+
+    rng = np.random.default_rng(21)
+    dirs = np.eye(3)
+    rows = []
+    truth = {}
+    for i in range(240):
+        c = i % 3
+        v = dirs[c] + 0.05 * rng.standard_normal(3)
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+        truth[i] = c
+    ds = ray.data.from_items(rows).repartition(6)
+
+    cents, assign_ds, sims = kmeans_lloyd(ds, n_cells=3, iters=4,
+                                          train_sample=64)
+    assert cents.shape == (3, 3)
+    # monotone nondecreasing objective (tiny float tolerance)
+    assert all(b >= a - 1e-9 for a, b in zip(sims, sims[1:])), sims
+    got = {r["vec_id"]: r["cell"] for r in assign_ds.take_all()}
+    # each true cluster lands in exactly one cell, all three distinct
+    cells_per_truth = {c: {got[i] for i in truth if truth[i] == c}
+                       for c in range(3)}
+    assert all(len(v) == 1 for v in cells_per_truth.values())
+    assert len(set().union(*cells_per_truth.values())) == 3
+
+
+def test_kmeans_lloyd_empty_input(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.ann import kmeans_lloyd
+
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float64())),
+    }))
+    cents, assign_ds, sims = kmeans_lloyd(ds, n_cells=4)
+    assert cents is None and sims == []
+    assert assign_ds.count() == 0
+
+
 def test_scc_labels_ring_plus_tree(ray_session):
     """A directed ring is ONE SCC; tree nodes hanging off it are
     singletons — the corpus-graph shape in miniature."""
