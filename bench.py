@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "random_walks",
     "top_passages",
     "kmeans_refine",
+    "orders_join_merge",
     "crawl_bfs",
 ]
 

@@ -1391,6 +1391,50 @@ GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 """
 
 
+def q_orders_join_merge(sf_dir: str):
+    """J1 via the SORT-MERGE equijoin
+    (:func:`~deepwebharvester_ray.functions.mergejoin.merge_join`) —
+    the THIRD join strategy beside broadcast (orders_by_segment) and
+    the native hash-shuffle join (orders_join_native), same rollup,
+    same oracle: one range-partitioned sort on the key, tagged-union
+    co-location, size-class-vectorized m×n pair emission.  Niche: no
+    join-actor ramp-up and empty-block-immune by construction; cost:
+    a range sort instead of a hash exchange.  The hot-key guard
+    raises instead of silently blowing a block."""
+    from ..functions.mergejoin import merge_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice"],
+                   override_num_blocks=_shuffle_parts(sf_dir, "orders"))
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"])
+
+    def o_key(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ck": batch.column("o_custkey"),
+            "cents": pa.array(np.floor(v * 100.0).astype(np.int64),
+                              pa.int64()),
+        })
+
+    def c_key(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "ck": batch.column("c_custkey"),
+            "c_mktsegment": batch.column("c_mktsegment"),
+        })
+
+    joined = merge_join(
+        orders.map_batches(o_key, batch_format="pyarrow",
+                           runtime_env=runtime_env()),
+        cust.map_batches(c_key, batch_format="pyarrow",
+                         runtime_env=runtime_env()),
+        "ck", ["cents"], ["c_mktsegment"],
+    )
+    return grouped_agg(joined, ["c_mktsegment"],
+                       [("n_orders", "", "count"),
+                        ("total_cents", "cents", "sum")])
+
+
 def q_orders_join_native(sf_dir: str):
     """J1 via Ray Data's native hash-shuffle join (both sides exchange on
     the key — the large×large path; the broadcast variant above is the
@@ -12331,6 +12375,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "event_sessions_stream": q_event_sessions_stream,
         "orders_by_segment": q_orders_by_segment,
         "orders_join_native": q_orders_join_native,
+        "orders_join_merge": q_orders_join_merge,
         "skewed_orders_join": q_skewed_orders_join,
         "lineitem_orders_join": q_lineitem_orders_join,
         "bucketed_join": q_bucketed_join,
@@ -12500,6 +12545,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "event_sessions_stream": _SQL_EVENT_SESSIONS,
         "orders_by_segment": _SQL_ORDERS_BY_SEGMENT,
         "orders_join_native": _SQL_ORDERS_BY_SEGMENT,
+        "orders_join_merge": _SQL_ORDERS_BY_SEGMENT,
         "skewed_orders_join": _SQL_SKEWED_ORDERS_JOIN,
         "lineitem_orders_join": _SQL_LINEITEM_ORDERS_JOIN,
         "bucketed_join": _SQL_BUCKETED_JOIN,

@@ -2659,3 +2659,47 @@ def test_cdc_dedup_query(ray_session):
     assert (t.bytes_distinct <= t.bytes_total).all()
     assert (t.n_distinct <= t.n_chunks).all()
     assert ((t.dedup_ppm > 0) & (t.dedup_ppm <= 1_000_000)).all()
+
+
+def test_merge_join_matches_pandas(ray_session):
+    """Sort-merge equijoin vs pandas merge: duplicate keys on both
+    sides (m×n multiplicity), unmatched keys dropped, null keys
+    dropped — exact multiset equality across many blocks."""
+    import pandas as pd
+    import ray
+
+    from deepwebharvester_ray.functions.mergejoin import merge_join
+
+    rng = np.random.default_rng(23)
+    left = [{"k": int(x), "lv": i}
+            for i, x in enumerate(rng.integers(0, 40, 300))]
+    right = [{"k": int(x), "rv": 1000 + i}
+             for i, x in enumerate(rng.integers(0, 40, 120))]
+    lds = ray.data.from_items(left).repartition(7)
+    rds = ray.data.from_items(right).repartition(5)
+
+    out = merge_join(lds, rds, "k", ["lv"], ["rv"]).take_all()
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in out)
+    ref = pd.merge(pd.DataFrame(left), pd.DataFrame(right), on="k")
+    expect = sorted(map(tuple, ref[["k", "lv", "rv"]].values.tolist()))
+    assert got == expect
+
+
+def test_merge_join_hot_key_guard(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.mergejoin import merge_join
+
+    lds = ray.data.from_items([{"k": 1, "lv": i} for i in range(200)])
+    rds = ray.data.from_items([{"k": 1, "rv": i} for i in range(200)])
+    import traceback
+
+    import pytest as _pytest
+
+    # Ray wraps the task's RuntimeError (UserCodeException); assert on
+    # the guard message anywhere in the chain
+    with _pytest.raises(Exception) as ei:
+        merge_join(lds, rds, "k", ["lv"], ["rv"],
+                   max_key_product=1000).take_all()
+    chain = "".join(traceback.format_exception(ei.value))
+    assert "salt it or broadcast" in chain

@@ -73,6 +73,7 @@ SPOT_CHECKED = [
     "bm25_search",
     "cocitation",
     "top_customers_q10",
+    "orders_join_merge",
     "bibcoupling",
     "random_walks",
     "top_passages",
