@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "top_passages",
     "kmeans_refine",
     "orders_join_merge",
+    "source_divergence",
     "crawl_bfs",
 ]
 

@@ -11142,6 +11142,204 @@ ORDER BY s.source
 """
 
 
+def q_source_divergence(sf_dir: str):
+    """Pairwise source KL divergence — the directional
+    corpus-composition diagnostic :func:`q_source_overlap`'s symmetric
+    Jaccard can't see (a source can COVER another's vocabulary yet
+    distribute mass totally differently; KL(A‖B) ≫ KL(B‖A) flags the
+    asymmetric case).  Computed under add-one-smoothed unigram LMs in
+    the exact floor-log2 integer envelope (the dsir_weights formula,
+    pairwise)::
+
+        kl_bits(A‖B) = Σ_t cA_t·(⌊log2(cA_t+1)⌋ − ⌊log2(cB_t+1)⌋)
+                       + N_A·(⌊log2(N_B+V)⌋ − ⌊log2(N_A+V)⌋)
+
+    — absent-from-B tokens contribute through the smoothing floor
+    (⌊log2 1⌋ = 0), so only SHARED tokens pay the cross term.
+
+    Distributed shape: per-(source, token) combiner counts (the
+    source_entropy pass); the self term is a second combiner over the
+    vocab-sized table; the cross term is ONE single-key token sort and
+    a size-class-vectorized block pass — tokens grouped by how many
+    sources carry them, each class emitting its (s×s) ordered-pair
+    contribution tensor in two numpy ops (per-token work O(s²), the
+    documented envelope for tens of sources); pair sums collapse in a
+    combiner at ≤ s² cardinality and the final assembly runs over that
+    bounded table."""
+    import ray
+
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["source", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def doc_terms(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        out_src, out_tok, out_tf = [], [], []
+        for s, t in zip(srcs, batch.column("text").to_pylist()):
+            toks = WORD_RE.findall((t or "").lower())
+            if not toks:
+                continue
+            uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                     return_counts=True)
+            out_src.extend([s] * len(uniq))
+            out_tok.extend(uniq.tolist())
+            out_tf.append(counts.astype(np.int64))
+        return pa.table({
+            "source": pa.array(out_src, pa.string()),
+            "token": pa.array(out_tok, pa.string()),
+            "tf": pa.array(
+                np.concatenate(out_tf) if out_tf
+                else np.empty(0, np.int64), pa.int64()),
+        })
+
+    cnt = grouped_agg(
+        ds.map_batches(doc_terms, batch_format="pyarrow",
+                       batch_size=None, runtime_env=runtime_env()),
+        ["source", "token"], [("c", "tf", "sum")],
+    ).materialize()
+
+    totals = grouped_agg(cnt, ["source"],
+                         [("n_tok", "c", "sum")]).take_all()
+    n_tok = {r["source"]: int(r["n_tok"]) for r in totals}
+    sources = sorted(n_tok)
+    src_idx = {s: i for i, s in enumerate(sources)}
+    vocab = grouped_agg(cnt, ["token"], [("__n", "", "count")]).count()
+    idx_ref = ray.put(src_idx)
+
+    def self_part(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "source": batch.column("source"),
+            "part": pa.array(c * _flog2(c + 1), pa.int64()),
+        })
+
+    self_rows = grouped_agg(
+        cnt.map_batches(self_part, batch_format="pyarrow",
+                        runtime_env=runtime_env()),
+        ["source"], [("self_bits", "part", "sum")],
+    ).take_all()
+    self_bits = {r["source"]: int(r["self_bits"]) for r in self_rows}
+
+    def cross_pairs(batch: pa.Table) -> pa.Table:
+        from ..broadcast import cached_get
+
+        empty = pa.table({"ai": pa.array([], pa.int64()),
+                          "bi": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        smap = cached_get(idx_ref)
+        tok = batch.column("token").to_numpy(zero_copy_only=False)
+        src = np.asarray(
+            [smap[s] for s in batch.column("source").to_pylist()],
+            np.int64)
+        c = batch.column("c").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((src, tok))
+        t_s, s_s, c_s = tok[order], src[order], c[order]
+        starts = np.flatnonzero(np.r_[True, t_s[1:] != t_s[:-1]])
+        sizes = np.diff(np.r_[starts, len(t_s)])
+        sel = sizes >= 2               # single-source tokens: no pair
+        starts, sizes = starts[sel], sizes[sel]
+        if not len(starts):
+            return empty
+        out_a, out_b, out_v = [], [], []
+        size_order = np.argsort(sizes, kind="stable")
+        st_sorted = starts[size_order]
+        sz_sorted = sizes[size_order]
+        g_starts = np.flatnonzero(
+            np.r_[True, sz_sorted[1:] != sz_sorted[:-1]])
+        g_ends = np.r_[g_starts[1:], len(sz_sorted)]
+        for gs, ge in zip(g_starts.tolist(), g_ends.tolist()):
+            m = int(sz_sorted[gs])
+            base = st_sorted[gs:ge]
+            idx = base[:, None] + np.arange(m)[None, :]     # (R, m)
+            C = c_s[idx]
+            S = s_s[idx]
+            F = _flog2(C + 1)
+            V = C[:, :, None] * F[:, None, :]               # (R, m, m)
+            A = np.broadcast_to(S[:, :, None], V.shape)
+            B = np.broadcast_to(S[:, None, :], V.shape)
+            off = A != B                                    # drop diag
+            out_a.append(A[off])
+            out_b.append(B[off])
+            out_v.append(V[off])
+        return pa.table({
+            "ai": pa.array(np.concatenate(out_a), pa.int64()),
+            "bi": pa.array(np.concatenate(out_b), pa.int64()),
+            "v": pa.array(np.concatenate(out_v), pa.int64()),
+        })
+
+    cross_rows = grouped_agg(
+        cnt.sort("token").map_batches(
+            cross_pairs, batch_format="pyarrow", batch_size=None,
+            runtime_env=runtime_env()),
+        ["ai", "bi"], [("cross_bits", "v", "sum")],
+    ).take_all()
+    cross = {(int(r["ai"]), int(r["bi"])): int(r["cross_bits"])
+             for r in cross_rows}
+
+    out_a, out_b, out_kl = [], [], []
+    for a in sources:
+        for b in sources:
+            if a == b:
+                continue
+            na, nb = n_tok[a], n_tok[b]
+            corr = na * ((int(nb + vocab).bit_length() - 1)
+                         - (int(na + vocab).bit_length() - 1))
+            kl = (self_bits[a]
+                  - cross.get((src_idx[a], src_idx[b]), 0) + corr)
+            out_a.append(a)
+            out_b.append(b)
+            out_kl.append(kl)
+    import ray as _ray
+
+    return _ray.data.from_arrow(pa.table({
+        "src_a": pa.array(out_a, pa.string()),
+        "src_b": pa.array(out_b, pa.string()),
+        "kl_bits": pa.array(out_kl, pa.int64()),
+    }))
+
+
+_SQL_SOURCE_DIVERGENCE = """
+WITH t AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      FROM t GROUP BY source, token),
+s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tok FROM c
+      GROUP BY source),
+v_tab AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM c),
+selfb AS (
+  SELECT source,
+         CAST(sum(c * (length(bin(c + 1)) - 1)) AS BIGINT) AS self_bits
+  FROM c GROUP BY source
+),
+crossb AS (
+  SELECT x.source AS src_a, y.source AS src_b,
+         CAST(sum(x.c * (length(bin(y.c + 1)) - 1)) AS BIGINT)
+             AS cross_bits
+  FROM c x JOIN c y ON x.token = y.token AND x.source <> y.source
+  GROUP BY 1, 2
+)
+SELECT sa.source AS src_a, sb.source AS src_b,
+       CAST(sf.self_bits - COALESCE(cb.cross_bits, 0)
+            + sa.n_tok * ((length(bin(sb.n_tok + (SELECT v FROM v_tab)))
+                           - 1)
+                          - (length(bin(sa.n_tok + (SELECT v FROM v_tab)))
+                             - 1)) AS BIGINT) AS kl_bits
+FROM s sa
+JOIN s sb ON sa.source <> sb.source
+JOIN selfb sf ON sf.source = sa.source
+LEFT JOIN crossb cb ON cb.src_a = sa.source AND cb.src_b = sb.source
+ORDER BY src_a, src_b
+"""
+
+
 # Cross-link ring width for the k-core demo graph: the first _KCORE_RING
 # docs form a dense community (each linked to its two ring successors)
 # on top of the site-hierarchy tree (every doc links its parent d // 2).
@@ -12326,6 +12524,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "line_filter": q_line_filter,
         "line_dedup": q_line_dedup,
         "source_entropy": q_source_entropy,
+        "source_divergence": q_source_divergence,
         "link_kcore": q_link_kcore,
         "user_state_ranges": q_user_state_ranges,
         "mmr_topk": q_mmr_topk,
@@ -12500,6 +12699,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "line_filter": _SQL_LINE_FILTER,
         "line_dedup": _SQL_LINE_DEDUP,
         "source_entropy": _SQL_SOURCE_ENTROPY,
+        "source_divergence": _SQL_SOURCE_DIVERGENCE,
         "user_state_ranges": _SQL_USER_STATE_RANGES,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),

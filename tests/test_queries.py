@@ -74,6 +74,7 @@ SPOT_CHECKED = [
     "cocitation",
     "top_customers_q10",
     "orders_join_merge",
+    "source_divergence",
     "bibcoupling",
     "random_walks",
     "top_passages",
