@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "ngram_overlap",
     "price_quantiles",
     "clicks_asof_views",
+    "clicks_asof_next",
     "clicks_in_views",
     "split_assign",
     "top_tokens",

@@ -164,3 +164,55 @@ def asof_join(
         fill_block, batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
     )
+
+
+def asof_join_forward(
+    left_ds,
+    right_ds,
+    key: str,
+    ts: str,
+    left_cols: List[str],
+    shuffle_partitions: int = None,
+):
+    """FORWARD as-of: for each left row, the SMALLEST ``right.ts >=
+    left.ts`` within the same ``key`` — the LEAD/next-event lookup
+    (recrawl "next fetch after this change", attribution "next
+    conversion after this click").
+
+    Implemented by TIME NEGATION over :func:`asof_join`: with
+    ``ts' = -ts`` the forward condition ``right.ts >= left.ts`` is
+    exactly the backward ``right.ts' <= left.ts'`` — inclusivity, key
+    scoping, tie behavior and the partitioning contract all carry over
+    unchanged, so there is ONE sort-merge kernel to maintain.  Output:
+    ``left_cols + [key, ts, next_ts, gap_us]`` with ``gap_us =
+    next_ts − ts ≥ 0`` (inner semantics: unmatched left rows drop)."""
+    import pyarrow.compute as pc
+
+    def neg(batch: pa.Table) -> pa.Table:
+        col = (batch.column(ts).combine_chunks()
+               .cast(pa.timestamp("us")).cast(pa.int64()))
+        return batch.set_column(
+            batch.schema.get_field_index(ts), ts,
+            pc.multiply(col, -1).cast(pa.timestamp("us")))
+
+    l_neg = left_ds.map_batches(neg, batch_format="pyarrow",
+                                runtime_env=runtime_env())
+    r_neg = right_ds.map_batches(neg, batch_format="pyarrow",
+                                 runtime_env=runtime_env())
+    out = asof_join(l_neg, r_neg, key, ts, left_cols,
+                    shuffle_partitions=shuffle_partitions)
+
+    def unneg(batch: pa.Table) -> pa.Table:
+        res = {}
+        for c in batch.column_names:
+            if c == ts or c == "prev_ts":
+                col = (batch.column(c).combine_chunks()
+                       .cast(pa.timestamp("us")).cast(pa.int64()))
+                res["next_ts" if c == "prev_ts" else c] = (
+                    pc.multiply(col, -1).cast(pa.timestamp("us")))
+            else:
+                res[c] = batch.column(c)
+        return pa.table(res)
+
+    return out.map_batches(unneg, batch_format="pyarrow",
+                           runtime_env=runtime_env())

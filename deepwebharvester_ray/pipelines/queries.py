@@ -2598,6 +2598,55 @@ ORDER BY event_id
 """
 
 
+def q_clicks_asof_next(sf_dir: str):
+    """FORWARD as-of join — each click matched to the user's NEXT view
+    at-or-after it (the attribution/LEAD lookup;
+    :func:`q_clicks_asof_views` is the backward twin).  One sort-merge
+    kernel serves both directions:
+    :func:`~deepwebharvester_ray.functions.asof.asof_join_forward`
+    negates time, runs the backward operator, and un-negates —
+    inclusivity, key scoping and the partitioning contract carry over
+    unchanged."""
+    from ..functions.asof import asof_join_forward
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "event_type"],
+               override_num_blocks=_shuffle_parts(
+                   sf_dir, "events")).materialize()
+    import pyarrow.compute as pc
+
+    def only(kind):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.equal(batch.column("event_type"), kind)
+            ).drop_columns(["event_type"])
+
+        return fn
+
+    clicks = ev.map_batches(only("click"), batch_format="pyarrow",
+                            runtime_env=runtime_env())
+    views = ev.map_batches(only("view"), batch_format="pyarrow",
+                           runtime_env=runtime_env())
+    out = asof_join_forward(
+        clicks, views.select_columns(["user_id", "ts"]),
+        key="user_id", ts="ts", left_cols=["event_id"],
+        shuffle_partitions=_shuffle_parts(sf_dir, "events"))
+    return _rename(out, {"next_ts": "next_view_ts"}).drop_columns(["ts"])
+
+
+_SQL_CLICKS_ASOF_NEXT = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+views AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+SELECT c.event_id, c.user_id, v.ts AS next_view_ts,
+       date_diff('microsecond', c.ts, v.ts) AS gap_us
+FROM clicks c ASOF JOIN views v
+  ON c.user_id = v.user_id AND v.ts >= c.ts
+ORDER BY event_id
+"""
+
+
 def q_clicks_in_views(sf_dir: str):
     """Interval (range) join (custom operator — Ray Data has no native
     one): each click matched to EVERY view window of the same user that
@@ -12452,6 +12501,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "winsorized_mean": q_winsorized_mean,
         "value_hour_cov": q_value_hour_cov,
         "clicks_asof_views": q_clicks_asof_views,
+        "clicks_asof_next": q_clicks_asof_next,
         "clicks_in_views": q_clicks_in_views,
         "split_assign": q_split_assign,
         "sample_k": q_sample_k,
@@ -12636,6 +12686,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "winsorized_mean": _SQL_WINSORIZED_MEAN,
         "value_hour_cov": _SQL_VALUE_HOUR_COV,
         "clicks_asof_views": _SQL_CLICKS_ASOF_VIEWS,
+        "clicks_asof_next": _SQL_CLICKS_ASOF_NEXT,
         "clicks_in_views": _SQL_CLICKS_IN_VIEWS,
         "split_assign": _SQL_SPLIT_ASSIGN,
         "sample_k": _SQL_SAMPLE_K,

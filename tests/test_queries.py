@@ -28,6 +28,7 @@ SPOT_CHECKED = [
     "winsorized_mean",
     "value_hour_cov",
     "clicks_asof_views",
+    "clicks_asof_next",
     "split_assign",
     "sample_k",
     "top_tokens",
