@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "kmeans_refine",
     "orders_join_merge",
     "source_divergence",
+    "square_count",
     "crawl_bfs",
 ]
 

@@ -7364,6 +7364,110 @@ FROM ue a JOIN ue b ON a.v = b.u JOIN ue c ON c.u = a.u AND c.v = b.v
 """
 
 
+def q_square_count(sf_dir: str):
+    """Global 4-cycle (square) count of the undirected crawl link graph
+    — the graphlet completing the family (CC / triangles / 2-hop /
+    k-core): squares are the bipartite-ish redundancy motif (two pages
+    sharing two distinct co-links), invisible to triangle counting.
+    Identity: each 4-cycle has exactly two diagonals, so
+    ``#C4 = (Σ_{{u<w}} C(p_uw, 2)) // 2`` where ``p_uw`` is the
+    common-neighbor (2-path) count of the unordered pair — exact
+    integers end to end.
+
+    Distributed shape: symmetrize+dedup the edge table (combiner),
+    ONE single-key sort on the middle vertex, the shared
+    `_gram_bucket_pairs` kernel emits each vertex's C(deg, 2) neighbor
+    pairs (size-class triu — wedge volume Σ deg², the two_hop skew
+    knob), a pair-cardinality combiner counts p_uw, and a constant-key
+    combiner sums C(p,2).  One scalar reaches the driver."""
+    from ..functions.dedup import _gram_bucket_pairs
+
+    _, edges = _corpus_link_edges(sf_dir)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.concatenate([np.minimum(s, d), np.maximum(s, d)])
+        v = np.concatenate([np.maximum(s, d), np.minimum(s, d)])
+        return pa.table({"mid": pa.array(u, pa.int64()),
+                         "nbr": pa.array(v, pa.int64())})
+
+    # distinct symmetric (mid, nbr) rows: neighbor lists without
+    # multi-edge inflation
+    adj = grouped_agg(
+        edges.map_batches(sym, batch_format="pyarrow",
+                          runtime_env=runtime_env()),
+        ["mid", "nbr"], [("__n", "", "count")],
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "h1": batch.column("mid"),
+            "h2": pa.array(np.zeros(batch.num_rows, np.int64),
+                           pa.int64()),
+            "id": batch.column("nbr"),
+        })
+
+    wedges = adj.map_batches(
+        keyed, batch_format="pyarrow", runtime_env=runtime_env(),
+    ).sort(["h1", "h2"]).map_batches(
+        _gram_bucket_pairs(65536), batch_format="pyarrow",
+        batch_size=None, runtime_env=runtime_env())
+
+    p_counts = grouped_agg(wedges, ["id_a", "id_b"],
+                           [("p", "", "count")])
+
+    def choose2(batch: pa.Table) -> pa.Table:
+        p = batch.column("p").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "c2": pa.array(p * (p - 1) // 2, pa.int64()),
+        })
+
+    total = p_counts.map_batches(choose2, batch_format="pyarrow",
+                                 runtime_env=runtime_env()).sum("c2")
+    import ray
+
+    return ray.data.from_arrow(pa.table(
+        {"n_squares": pa.array([int(total or 0) // 2], pa.int64())}))
+
+
+def _sql_square_count() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    return f"""
+WITH n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+),
+adj AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src != dst
+),
+sym AS (
+  SELECT a AS mid, b AS nbr FROM adj
+  UNION ALL SELECT b, a FROM adj
+),
+wedge AS (
+  SELECT least(x.nbr, y.nbr) AS u, greatest(x.nbr, y.nbr) AS w
+  FROM sym x JOIN sym y ON x.mid = y.mid AND x.nbr < y.nbr
+),
+p AS (SELECT u, w, CAST(count(*) AS BIGINT) AS p
+      FROM wedge GROUP BY 1, 2)
+SELECT CAST(sum(p * (p - 1) // 2) // 2 AS BIGINT) AS n_squares FROM p
+"""
+
+
 def q_degree_assortativity(sf_dir: str):
     """Directed in-degree assortativity of the crawl link graph — the
     Pearson correlation, over edges, of (in-degree of source,
@@ -12553,6 +12657,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "rank_agreement": q_rank_agreement,
         "rank_fusion": q_rank_fusion,
         "triangle_count": q_triangle_count,
+        "square_count": q_square_count,
         "degree_assortativity": q_degree_assortativity,
         "inverted_index": q_inverted_index,
         "doc_search": q_doc_search,
@@ -12729,6 +12834,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "rank_agreement": _sql_rank_agreement(),
         "rank_fusion": _sql_rank_fusion(),
         "triangle_count": _sql_triangles(),
+        "square_count": _sql_square_count(),
         "degree_assortativity": _sql_degree_assortativity(),
         "inverted_index": _SQL_INVERTED_INDEX,
         "doc_search": _SQL_DOC_SEARCH,

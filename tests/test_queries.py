@@ -76,6 +76,7 @@ SPOT_CHECKED = [
     "top_customers_q10",
     "orders_join_merge",
     "source_divergence",
+    "square_count",
     "bibcoupling",
     "random_walks",
     "top_passages",
