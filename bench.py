@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "orders_join_merge",
     "source_divergence",
     "square_count",
+    "kmv_overlap",
     "crawl_bfs",
 ]
 

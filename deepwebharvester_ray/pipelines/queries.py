@@ -11493,6 +11493,152 @@ ORDER BY src_a, src_b
 """
 
 
+_KMV_K = 128
+
+
+def q_kmv_overlap(sf_dir: str):
+    """KMV (k-minimum-values) distinct-set sketches + pairwise Jaccard
+    estimation — the set-INTERSECTION sketch completing the family
+    (HLL estimates union cardinality only; Bloom answers membership;
+    KMV's bottom-k signature supports union, intersection and Jaccard
+    between ANY source pair from s fixed-size sketches, no pairwise
+    pass over the data).  Estimator (Beyer et al. 2007): merge two
+    sketches, keep the k smallest of the union; Jaccard ≈ (# of those
+    present in BOTH sketches) / k.  Everything is exact-integer given
+    the deterministic 60-bit md5 token hash (the one shared
+    engine-vs-SQL hash, CLAUDE.md), so the sketch CONTENTS — not just
+    the estimate's distribution — have a full SQL twin; estimator
+    accuracy vs exact Jaccard is pinned separately in tests.
+
+    Distributed shape: distinct (source, token) combiner → md5 hash
+    map → per-source k smallest via the exact two-level selection
+    (per-block per-source bottom-k, one bounded merge — never a sort
+    on the ~20-value source key, the recrawl_schedule plan); the s×k
+    sketch table is driver-consumable by definition, and all
+    C(s, 2) pair estimates compute from it without touching the
+    corpus again."""
+    import hashlib
+
+    from ..functions.dedup import run_rank
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["source", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def tok_hashes(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        out_s, out_h = [], []
+        for s, t in zip(srcs, batch.column("text").to_pylist()):
+            toks = set(WORD_RE.findall((t or "").lower()))
+            out_s.extend([s] * len(toks))
+            out_h.extend(
+                int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+                for w in toks)
+        return pa.table({
+            "source": pa.array(out_s, pa.string()),
+            "hv": pa.array(out_h, pa.int64()),
+        })
+
+    distinct = grouped_agg(
+        ds.map_batches(tok_hashes, batch_format="pyarrow",
+                       batch_size=None, runtime_env=runtime_env()),
+        ["source", "hv"], [("__n", "", "count")],
+    )
+
+    def bottom_k(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        hv = batch.column("hv").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((hv, src))
+        keep = order[run_rank(src[order]) < _KMV_K]
+        return batch.take(pa.array(np.sort(keep)))
+
+    sketches = distinct.select_columns(["source", "hv"]).map_batches(
+        bottom_k, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env()).repartition(1).map_batches(
+        bottom_k, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env()).take_all()
+
+    by_src: Dict[str, list] = {}
+    for r in sketches:
+        by_src.setdefault(r["source"], []).append(int(r["hv"]))
+    sources = sorted(by_src)
+    out_a, out_b, out_k, out_c, out_j = [], [], [], [], []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            ka, kb = set(by_src[a]), set(by_src[b])
+            merged = sorted(ka | kb)[:_KMV_K]
+            k_used = len(merged)
+            n_common = sum(1 for h in merged if h in ka and h in kb)
+            out_a.append(a)
+            out_b.append(b)
+            out_k.append(k_used)
+            out_c.append(n_common)
+            out_j.append(n_common * 10**6 // k_used if k_used else 0)
+    import ray
+
+    return ray.data.from_arrow(pa.table({
+        "src_a": pa.array(out_a, pa.string()),
+        "src_b": pa.array(out_b, pa.string()),
+        "k_used": pa.array(out_k, pa.int64()),
+        "n_common": pa.array(out_c, pa.int64()),
+        "jaccard_ppm": pa.array(out_j, pa.int64()),
+    }))
+
+
+_SQL_KMV_OVERLAP = f"""
+WITH t AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+d AS (SELECT DISTINCT source, token FROM t),
+hd AS (
+  SELECT DISTINCT source,
+         CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS hv
+  FROM d
+),
+sk AS (
+  SELECT source, hv FROM hd
+  QUALIFY row_number() OVER (PARTITION BY source ORDER BY hv)
+      <= {_KMV_K}
+),
+s_tab AS (SELECT DISTINCT source FROM documents),
+pr AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM s_tab a JOIN s_tab b ON a.source < b.source
+),
+u AS (
+  SELECT DISTINCT pr.sa, pr.sb, sk.hv
+  FROM pr JOIN sk ON sk.source = pr.sa OR sk.source = pr.sb
+),
+m AS (
+  SELECT sa, sb, hv FROM u
+  QUALIFY row_number() OVER (PARTITION BY sa, sb ORDER BY hv)
+      <= {_KMV_K}
+),
+common AS (
+  SELECT m.sa, m.sb, CAST(count(*) AS BIGINT) AS n_common
+  FROM m
+  WHERE EXISTS (SELECT 1 FROM sk x
+                WHERE x.source = m.sa AND x.hv = m.hv)
+    AND EXISTS (SELECT 1 FROM sk y
+                WHERE y.source = m.sb AND y.hv = m.hv)
+  GROUP BY 1, 2
+),
+ku AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS k_used
+       FROM m GROUP BY 1, 2)
+SELECT ku.sa AS src_a, ku.sb AS src_b, ku.k_used,
+       CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(c.n_common, 0) * 1000000 // ku.k_used AS BIGINT)
+           AS jaccard_ppm
+FROM ku LEFT JOIN common c ON c.sa = ku.sa AND c.sb = ku.sb
+ORDER BY src_a, src_b
+"""
+
+
 # Cross-link ring width for the k-core demo graph: the first _KCORE_RING
 # docs form a dense community (each linked to its two ring successors)
 # on top of the site-hierarchy tree (every doc links its parent d // 2).
@@ -12680,6 +12826,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "line_dedup": q_line_dedup,
         "source_entropy": q_source_entropy,
         "source_divergence": q_source_divergence,
+        "kmv_overlap": q_kmv_overlap,
         "link_kcore": q_link_kcore,
         "user_state_ranges": q_user_state_ranges,
         "mmr_topk": q_mmr_topk,
@@ -12857,6 +13004,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "line_dedup": _SQL_LINE_DEDUP,
         "source_entropy": _SQL_SOURCE_ENTROPY,
         "source_divergence": _SQL_SOURCE_DIVERGENCE,
+        "kmv_overlap": _SQL_KMV_OVERLAP,
         "user_state_ranges": _SQL_USER_STATE_RANGES,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),

@@ -77,6 +77,7 @@ SPOT_CHECKED = [
     "orders_join_merge",
     "source_divergence",
     "square_count",
+    "kmv_overlap",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -388,3 +389,46 @@ def test_source_entropy_extremes(ray_session, tmp_path):
     assert out["mono"]["n_distinct"] == 1
     assert out["vary"]["h_raw"] == 8 * 3
     assert out["vary"]["h_milli_per_tok"] == 3000
+
+
+def test_kmv_overlap_exact_below_k_and_tolerant_above(ray_session, tmp_path):
+    """|A∪B| ≤ k ⇒ the KMV sketch IS the set and Jaccard is exact;
+    above k the bottom-k estimate must land within the sketch's
+    standard-error envelope."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import (_KMV_K,
+                                                        q_kmv_overlap)
+
+    # source X/Y: 50 tokens each, exactly 20 shared → union 80 ≤ k,
+    # J = 20/80 = 0.25 exactly
+    shared = [f"sh{i}" for i in range(20)]
+    x_only = [f"xx{i}" for i in range(30)]
+    y_only = [f"yy{i}" for i in range(30)]
+    # source P/Q: unions far above k → estimate, not exact
+    rng = np.random.default_rng(9)
+    p_voc = [f"p{i}" for i in range(1500)]
+    q_voc = [f"p{i}" for i in range(750, 2250)]   # J = 750/2250 = 1/3
+    rows = [
+        {"doc_id": 0, "source": "x", "text": " ".join(shared + x_only)},
+        {"doc_id": 1, "source": "y", "text": " ".join(shared + y_only)},
+        {"doc_id": 2, "source": "p", "text": " ".join(p_voc)},
+        {"doc_id": 3, "source": "q", "text": " ".join(q_voc)},
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "text": pa.array([r["text"] for r in rows], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    out = {(r["src_a"], r["src_b"]): r
+           for r in q_kmv_overlap(str(tmp_path)).take_all()}
+    xy = out[("x", "y")]
+    assert xy["k_used"] == 80 and xy["n_common"] == 20
+    assert xy["jaccard_ppm"] == 250_000          # exact below k
+    pq_row = out[("p", "q")]
+    assert pq_row["k_used"] == _KMV_K
+    se = 3 * (1 / 3 * 2 / 3 / _KMV_K) ** 0.5     # 3σ envelope
+    assert abs(pq_row["jaccard_ppm"] / 1e6 - 1 / 3) < se
