@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "source_divergence",
     "square_count",
     "kmv_overlap",
+    "retrieval_eval",
     "crawl_bfs",
 ]
 

@@ -11639,6 +11639,204 @@ ORDER BY src_a, src_b
 """
 
 
+_EVAL_K = 10
+
+
+def q_retrieval_eval(sf_dir: str):
+    """Retrieval-quality evaluation — MRR / precision@k / recall@k of a
+    ranked run against relevance judgments, the EVAL half of the search
+    stack (:func:`q_bm25_search` builds the run; this grades it).  A
+    training-data pipeline runs exactly this shape to QA its retrieval
+    index: judgments here are derived deterministically from the corpus
+    (doc is relevant to query term t iff it contains t AND the next
+    query term — co-occurrence the single-term ranker cannot see, so
+    the metrics are non-trivial), the run is the single-term integer
+    BM25 ``1000·(220·tf) // (100·tf + 12·norm)`` (idf omitted: a
+    per-term constant is rank-invariant), ties broken by doc_id.  All
+    metrics are exact integers: ``rr_ppm = 10⁶ // first_rank`` (0 when
+    no relevant doc is in the top-k), ``prec_ppm = hits·10⁶ // k``,
+    ``recall_ppm = hits·10⁶ // n_rel``.
+
+    Distributed shape: ONE tokenize pass materializes per-doc
+    (dl, tf_q, rel_q) — fixed query set ⇒ fixed columns, join-free;
+    avgdl and the per-query relevant counts are tiny sums; the run is
+    a per-BLOCK partial top-k (score DESC, doc_id) per query — never a
+    global sort — and the driver merges ≤ blocks·|Q|·k candidate rows
+    and computes the |Q|-row metric table from them."""
+    from ..functions.textops import WORD_RE
+
+    terms = _SEARCH_TERMS
+    nq = len(terms)
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    n_docs = pq.ParquetFile(
+        str(Path(sf_dir) / "documents.parquet")).metadata.num_rows
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        dl = np.zeros(len(ids), np.int64)
+        tfs = [np.zeros(len(ids), np.int64) for _ in terms]
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            toks = WORD_RE.findall((t or "").lower())
+            dl[i] = len(toks)
+            if toks:
+                for q, term in enumerate(terms):
+                    tfs[q][i] = toks.count(term)
+        cols = {"doc_id": pa.array(ids, pa.int64()),
+                "dl": pa.array(dl, pa.int64())}
+        for q in range(nq):
+            cols[f"tf{q}"] = pa.array(tfs[q], pa.int64())
+            cols[f"rel{q}"] = pa.array(
+                ((tfs[q] > 0) & (tfs[(q + 1) % nq] > 0))
+                .astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    st = ds.map_batches(stats, batch_format="pyarrow", batch_size=None,
+                        runtime_env=runtime_env()).materialize()
+    avgdl = max(int(st.sum("dl") or 0) // max(n_docs, 1), 1)
+    n_rel = [int(st.sum(f"rel{q}") or 0) for q in range(nq)]
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        dl = batch.column("dl").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        norm = 25 + 75 * (100 * dl // avgdl) // 100
+        out_q, out_id, out_s, out_r = [], [], [], []
+        for q in range(nq):
+            tf = batch.column(f"tf{q}").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            rel = batch.column(f"rel{q}").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            hit = np.flatnonzero(tf > 0)
+            if not len(hit):
+                continue
+            s = (1000 * (220 * tf[hit])
+                 // np.maximum(100 * tf[hit] + 12 * norm[hit], 1))
+            order = np.lexsort((ids[hit], -s))[:_EVAL_K]
+            keep = hit[order]
+            out_q.extend([q] * len(keep))
+            out_id.extend(ids[keep])
+            out_s.extend(s[order])
+            out_r.extend(rel[keep])
+        return pa.table({
+            "q": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "score": pa.array(out_s, pa.int64()),
+            "rel": pa.array(out_r, pa.int64()),
+        })
+
+    cand = st.map_batches(block_topk, batch_format="pyarrow",
+                          batch_size=None,
+                          runtime_env=runtime_env()).take_all()
+
+    rows = []
+    for q in range(nq):
+        cq = sorted((r for r in cand if r["q"] == q),
+                    key=lambda r: (-r["score"], r["doc_id"]))[:_EVAL_K]
+        hits = sum(int(r["rel"]) for r in cq)
+        first = next((i + 1 for i, r in enumerate(cq) if r["rel"]), 0)
+        rows.append({
+            "query": terms[q],
+            "n_rel": n_rel[q],
+            "first_rank": first,
+            "rr_ppm": 10**6 // first if first else 0,
+            "prec_ppm": hits * 10**6 // _EVAL_K,
+            "recall_ppm": (hits * 10**6 // n_rel[q]) if n_rel[q] else 0,
+        })
+    rows.sort(key=lambda r: r["query"])
+    import ray
+
+    return ray.data.from_arrow(pa.table({
+        "query": pa.array([r["query"] for r in rows], pa.string()),
+        "n_rel": pa.array([r["n_rel"] for r in rows], pa.int64()),
+        "first_rank": pa.array([r["first_rank"] for r in rows],
+                               pa.int64()),
+        "rr_ppm": pa.array([r["rr_ppm"] for r in rows], pa.int64()),
+        "prec_ppm": pa.array([r["prec_ppm"] for r in rows], pa.int64()),
+        "recall_ppm": pa.array([r["recall_ppm"] for r in rows],
+                               pa.int64()),
+    }))
+
+
+def _sql_retrieval_eval() -> str:
+    nq = len(_SEARCH_TERMS)
+    tf_cols = ",\n         ".join(
+        f"CAST(count(*) FILTER (token = '{t}') AS BIGINT) AS tf{q}"
+        for q, t in enumerate(_SEARCH_TERMS))
+    scored = "\n  UNION ALL\n".join(
+        f"  SELECT '{t}' AS query, doc_id,\n"
+        f"         1000 * (220 * tf{q}) "
+        f"// greatest(100 * tf{q} + 12 * norm, 1) AS score,\n"
+        f"         CASE WHEN rel{q} THEN 1 ELSE 0 END AS rel\n"
+        f"  FROM pd WHERE tf{q} > 0"
+        for q, t in enumerate(_SEARCH_TERMS))
+    rel_exprs = ",\n         ".join(
+        f"(tf{q} > 0 AND tf{(q + 1) % nq} > 0) AS rel{q}"
+        for q in range(nq))
+    relcnt = "\n  UNION ALL\n".join(
+        f"  SELECT '{t}' AS query, CAST(count(*) FILTER (rel{q}) "
+        f"AS BIGINT) AS n_rel FROM pd"
+        for q, t in enumerate(_SEARCH_TERMS))
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_TOKEN_SQL_RE}')) AS token
+  FROM documents
+),
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM tok GROUP BY doc_id
+),
+a_tab AS (
+  SELECT greatest(CAST(COALESCE(sum(dl), 0) AS BIGINT)
+                  // greatest((SELECT count(*) FROM documents), 1),
+                  1) AS avgdl
+  FROM perdoc
+),
+pd AS (
+  SELECT doc_id,
+         25 + 75 * (100 * dl // (SELECT avgdl FROM a_tab)) // 100
+             AS norm,
+         {", ".join(f"tf{q}" for q in range(nq))},
+         {rel_exprs}
+  FROM perdoc
+),
+scored AS (
+{scored}
+),
+topk AS (
+  SELECT query, doc_id, rel,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+  QUALIFY rnk <= {_EVAL_K}
+),
+relcnt AS (
+{relcnt}
+),
+m AS (
+  SELECT query,
+         CAST(COALESCE(count(*) FILTER (rel = 1), 0) AS BIGINT)
+             AS hits,
+         min(rnk) FILTER (rel = 1) AS fr
+  FROM topk GROUP BY query
+)
+SELECT rc.query,
+       rc.n_rel,
+       CAST(COALESCE(m.fr, 0) AS BIGINT) AS first_rank,
+       CAST(COALESCE(1000000 // m.fr, 0) AS BIGINT) AS rr_ppm,
+       CAST(COALESCE(m.hits, 0) * 1000000 // {_EVAL_K} AS BIGINT)
+           AS prec_ppm,
+       CAST(CASE WHEN rc.n_rel > 0
+                 THEN COALESCE(m.hits, 0) * 1000000 // rc.n_rel
+                 ELSE 0 END AS BIGINT) AS recall_ppm
+FROM relcnt rc LEFT JOIN m ON m.query = rc.query
+ORDER BY rc.query
+"""
+
+
 # Cross-link ring width for the k-core demo graph: the first _KCORE_RING
 # docs form a dense community (each linked to its two ring successors)
 # on top of the site-hierarchy tree (every doc links its parent d // 2).
@@ -12827,6 +13025,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "source_entropy": q_source_entropy,
         "source_divergence": q_source_divergence,
         "kmv_overlap": q_kmv_overlap,
+        "retrieval_eval": q_retrieval_eval,
         "link_kcore": q_link_kcore,
         "user_state_ranges": q_user_state_ranges,
         "mmr_topk": q_mmr_topk,
@@ -13005,6 +13204,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "source_entropy": _SQL_SOURCE_ENTROPY,
         "source_divergence": _SQL_SOURCE_DIVERGENCE,
         "kmv_overlap": _SQL_KMV_OVERLAP,
+        "retrieval_eval": _sql_retrieval_eval(),
         "user_state_ranges": _SQL_USER_STATE_RANGES,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),

@@ -78,6 +78,7 @@ SPOT_CHECKED = [
     "source_divergence",
     "square_count",
     "kmv_overlap",
+    "retrieval_eval",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -432,3 +433,38 @@ def test_kmv_overlap_exact_below_k_and_tolerant_above(ray_session, tmp_path):
     assert pq_row["k_used"] == _KMV_K
     se = 3 * (1 / 3 * 2 / 3 / _KMV_K) ** 0.5     # 3σ envelope
     assert abs(pq_row["jaccard_ppm"] / 1e6 - 1 / 3) < se
+
+
+def test_retrieval_eval_planted_metrics(ray_session, tmp_path):
+    """15 equal-length docs containing 'vector' with tf = 15-i (ranking
+    = doc_id order); docs 0, 4, 12 also contain 'stream' (relevant).
+    Top-10 catches ranks 1 and 5 -> hits 2/3, MRR 1, P@10 0.2."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_retrieval_eval
+
+    rows = []
+    for i in range(15):
+        tf = 15 - i
+        words = ["vector"] * tf
+        if i in (0, 4, 12):
+            words.append("stream")
+        words += ["pad"] * (20 - len(words))
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "text": pa.array([r["text"] for r in rows], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    out = {r["query"]: r
+           for r in q_retrieval_eval(str(tmp_path)).take_all()}
+    v = out["vector"]
+    assert v["n_rel"] == 3
+    assert v["first_rank"] == 1 and v["rr_ppm"] == 1_000_000
+    assert v["prec_ppm"] == 200_000
+    assert v["recall_ppm"] == 666_666
+    # 'stream' docs never contain 'filter' -> no relevant docs at all
+    s = out["stream"]
+    assert s["n_rel"] == 0 and s["first_rank"] == 0
+    assert s["rr_ppm"] == 0 and s["recall_ppm"] == 0
