@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "square_count",
     "kmv_overlap",
     "retrieval_eval",
+    "link_mis",
     "crawl_bfs",
 ]
 

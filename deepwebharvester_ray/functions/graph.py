@@ -1040,3 +1040,183 @@ def scc_labels(
     for f in finished[1:]:
         out = out.union(f)
     return out
+
+
+# Bijective (odd-constant multiplicative) priority hash for MIS: distinct
+# ids ALWAYS get distinct priorities, so the greedy order is a strict
+# total order and no tie-break branch ever executes.
+_MIS_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mis_priority(ids: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return ids.astype(np.uint64) * _MIS_MULT
+
+
+def mis_select(nodes_ds, edges_ds, max_rounds: int = 128,
+               broadcast_below: int = 2_000_000):
+    """Maximal independent set of the undirected graph — Luby's parallel
+    symmetry-breaking primitive with priorities FIXED across rounds,
+    which makes the result exactly the lexicographically-first MIS under
+    ascending ``(priority(id), id)``: identical to the sequential greedy
+    scan, hence exactly testable against it (no distributional check).
+
+    One round: per live vertex, the min neighbor priority via ONE
+    grouped-MIN combiner pass over the live edges; a vertex wins iff its
+    own priority beats that min (a pure vectorized map over the reduced
+    table — no join); winners and their neighborhoods leave the live
+    set.  With hash (pseudo-random) priorities the expected round count
+    is O(log n); the round bound raises rather than returning a
+    non-maximal set.  Vertices that lose every neighbor simply wait —
+    once the live edge set is empty, every still-live vertex is isolated
+    and joins the MIS in one final step (so isolated input nodes are
+    handled with zero special casing).
+
+    Driver state is O(newly-dead ids) per round (the winner/neighbor
+    membership arrays broadcast for the live-set filter; Σ over rounds =
+    O(n)) — the same broadcast-propagation envelope as
+    :func:`connected_components`, with the hash-anti-join variant the
+    documented path beyond ``broadcast_below`` live nodes.
+
+    ``nodes_ds``: (id); ``edges_ds``: (src, dst) directed or undirected
+    — symmetrized and self-loop-stripped here.  Returns (id, in_mis).
+    """
+    import ray
+
+    from ..broadcast import cached_get
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "u": pa.array(np.concatenate([s, d]), pa.int64()),
+            "v": pa.array(np.concatenate([d, s]), pa.int64()),
+        })
+
+    live_edges = edges_ds.map_batches(
+        symmetrize, batch_format="pyarrow", runtime_env=runtime_env()
+    ).materialize()
+    if live_edges.count() >= broadcast_below:
+        raise NotImplementedError(
+            "mis_select broadcast path is sized for graphs below "
+            f"{broadcast_below} live edges; wire the hash-anti-join "
+            "variant (connected_components' large-graph path) first"
+        )
+
+    def min_nbr(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "u": batch.column("u"),
+            "pv": pa.array(_mis_priority(v), pa.uint64()),
+        })
+
+    mis_parts: list = []
+    dead_sorted = np.empty(0, np.int64)
+    converged = False
+    for _ in range(max_rounds):
+        if live_edges.count() == 0:
+            converged = True
+            break
+        from .agg import grouped_agg
+
+        mins = grouped_agg(
+            live_edges.map_batches(min_nbr, batch_format="pyarrow",
+                                   batch_size=None,
+                                   runtime_env=runtime_env()),
+            ["u"], [("min_pv", "pv", "min")],
+        )
+
+        def winners_fn(batch: pa.Table) -> pa.Table:
+            u = batch.column("u").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            pu = _mis_priority(u)
+            mp = batch.column("min_pv").combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            return pa.table({"id": pa.array(u[pu < mp], pa.int64())})
+
+        winners = np.fromiter(
+            (r["id"] for r in mins.map_batches(
+                winners_fn, batch_format="pyarrow",
+                runtime_env=runtime_env()).take_all()),
+            np.int64)
+        # fixed priorities guarantee >=1 winner per round (the global
+        # min-priority live vertex always wins), so progress is certain
+        w_sorted = np.sort(winners)
+        w_ref = ray.put(w_sorted)
+
+        def nbrs_fn(batch: pa.Table, _ref=w_ref) -> pa.Table:
+            w = cached_get(_ref)
+            u = batch.column("u").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            v = batch.column("v").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            pos = np.searchsorted(w, u)
+            hit = (pos < len(w)) & (w[np.minimum(pos, len(w) - 1)] == u)
+            return pa.table({"id": pa.array(v[hit], pa.int64())})
+
+        nbrs = np.fromiter(
+            (r["id"] for r in live_edges.map_batches(
+                nbrs_fn, batch_format="pyarrow",
+                runtime_env=runtime_env()).take_all()),
+            np.int64)
+        round_dead = np.union1d(w_sorted, nbrs)
+        dead_sorted = np.union1d(dead_sorted, round_dead)
+        mis_parts.append(w_sorted)
+        d_ref = ray.put(round_dead)
+
+        def prune(batch: pa.Table, _ref=d_ref) -> pa.Table:
+            d = cached_get(_ref)
+            u = batch.column("u").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            v = batch.column("v").combine_chunks().to_numpy(
+                zero_copy_only=False)
+
+            def member(x):
+                pos = np.searchsorted(d, x)
+                return (pos < len(d)) & (
+                    d[np.minimum(pos, len(d) - 1)] == x)
+
+            keep = ~member(u) & ~member(v)
+            return pa.table({"u": pa.array(u[keep], pa.int64()),
+                             "v": pa.array(v[keep], pa.int64())})
+
+        live_edges = live_edges.map_batches(
+            prune, batch_format="pyarrow", runtime_env=runtime_env()
+        ).materialize()
+    if not converged:
+        raise RuntimeError(
+            f"mis_select did not converge within {max_rounds} rounds "
+            "(pathological priority chain); raise max_rounds"
+        )
+
+    mis_sorted = np.sort(np.concatenate(mis_parts)
+                         if mis_parts else np.empty(0, np.int64))
+    dead_ref = ray.put((mis_sorted, dead_sorted))
+
+    def label(batch: pa.Table, _ref=dead_ref) -> pa.Table:
+        mis, dead = cached_get(_ref)
+        ids = batch.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+
+        def member(arr, x):
+            if not len(arr):
+                return np.zeros(len(x), bool)
+            pos = np.searchsorted(arr, x)
+            return (pos < len(arr)) & (
+                arr[np.minimum(pos, len(arr) - 1)] == x)
+
+        # still-live after the loop == isolated == in the MIS
+        in_mis = member(mis, ids) | ~member(dead, ids)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "in_mis": pa.array(in_mis.astype(np.int64), pa.int64()),
+        })
+
+    return nodes_ds.map_batches(
+        label, batch_format="pyarrow", runtime_env=runtime_env()
+    )

@@ -8346,6 +8346,28 @@ def q_link_scc(sf_dir: str):
                    {"id": "doc_id"}).sort("doc_id")
 
 
+def q_link_mis(sf_dir: str):
+    """Maximal independent set over the crawl link graph — conflict-free
+    scheduling: the largest-maximal batch of pages no two of which link
+    each other, the set a snapshot/archival pass can process
+    simultaneously with zero intra-batch link dependencies (and the
+    classic parallel symmetry-breaking primitive behind distributed
+    coloring / scheduling, Luby 1986).
+
+    Distributed shape: :func:`functions.graph.mis_select` — Luby rounds
+    with priorities FIXED across rounds (the bijective multiplicative
+    hash), which pins the result to the lexicographically-first MIS of
+    that order: per round ONE grouped-MIN combiner over live edges, a
+    pure vectorized winner map (no join), broadcast dead-set pruning.
+    Rows-only (greedy/LFMIS has no non-recursive SQL form); the
+    algorithm is pinned against a sequential greedy reference plus
+    independence/maximality property tests in test_functions."""
+    from ..functions.graph import mis_select
+
+    nodes, edges = _corpus_link_edges(sf_dir)
+    return mis_select(nodes, edges).sort("doc_id")
+
+
 def q_curriculum_order(sf_dir: str):
     """Curriculum ordering with a GLOBAL row number: docs bucketed by
     length (short-first curriculum), shuffled deterministically within
@@ -12990,6 +13012,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "link_distances": q_link_distances,
         "cheapest_paths": q_cheapest_paths,
         "link_scc": q_link_scc,
+        "link_mis": q_link_mis,
         "hits_scores": q_hits_scores,
         "two_hop_counts": q_two_hop_counts,
         "link_authority": q_link_authority,
@@ -13279,6 +13302,6 @@ ROWS_ONLY: List[str] = [
     "semdedup_prune",
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
     "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
-    "link_kcore", "link_scc", "mmr_topk", "embedding_pca",
+    "link_kcore", "link_scc", "link_mis", "mmr_topk", "embedding_pca",
     "compressibility", "streaming_heavy_tokens", "cdc_dedup",
 ]

@@ -2703,3 +2703,85 @@ def test_merge_join_hot_key_guard(ray_session):
                    max_key_product=1000).take_all()
     chain = "".join(traceback.format_exception(ei.value))
     assert "salt it or broadcast" in chain
+
+
+def _mis_greedy_ref(n, edges):
+    """Sequential greedy MIS by ascending (priority, id) — the exact
+    result fixed-priority Luby must reproduce."""
+    from deepwebharvester_ray.functions.graph import _mis_priority
+
+    adj = {i: set() for i in range(n)}
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    p = _mis_priority(np.arange(n, dtype=np.int64))
+    order = sorted(range(n), key=lambda i: (p[i], i))
+    mis, blocked = set(), set()
+    for v in order:
+        if v not in blocked:
+            mis.add(v)
+            blocked.add(v)
+            blocked |= adj[v]
+    return mis
+
+
+def test_mis_select_matches_sequential_greedy(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.graph import mis_select
+
+    rng = np.random.default_rng(23)
+    n = 80
+    edges = [(int(s), int(d)) for s, d in
+             zip(rng.integers(0, n, 160), rng.integers(0, n, 160))]
+    # planted shapes: a triangle, a path, self-loop noise, isolated
+    # nodes 76..79 (no incident edges)
+    edges += [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (5, 5)]
+    edges = [(s, d) for s, d in edges if max(s, d) < 76]
+    ref = _mis_greedy_ref(n, edges)
+
+    edges_ds = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in edges]
+    ).repartition(7).materialize()
+    nodes_ds = ray.data.from_items([{"id": i} for i in range(n)])
+
+    out = mis_select(nodes_ds, edges_ds).take_all()
+    got = {r["doc_id"] for r in out if r["in_mis"]}
+    assert got == ref
+    assert len(out) == n
+    # independence: no edge inside the set
+    assert not any(s in got and d in got for s, d in edges if s != d)
+    # maximality: every outsider has a neighbor inside
+    adj = {i: set() for i in range(n)}
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    assert all(adj[v] & got for v in range(n) if v not in got)
+    # isolated nodes are always in the MIS
+    assert {76, 77, 78, 79} <= got
+
+
+def test_mis_select_edgeless_and_determinism(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.graph import mis_select
+
+    nodes_ds = ray.data.from_items([{"id": i} for i in range(7)])
+    empty = ray.data.from_items(
+        [{"src": 0, "dst": 0}]  # only a self-loop -> stripped
+    )
+    out = mis_select(nodes_ds, empty).take_all()
+    assert all(r["in_mis"] == 1 for r in out) and len(out) == 7
+
+    ring = ray.data.from_items(
+        [{"src": i, "dst": (i + 1) % 7} for i in range(7)]
+    ).repartition(3).materialize()
+    a = sorted((r["doc_id"], r["in_mis"])
+               for r in mis_select(nodes_ds, ring).take_all())
+    b = sorted((r["doc_id"], r["in_mis"])
+               for r in mis_select(nodes_ds, ring).take_all())
+    assert a == b
+    chosen = {i for i, f in a if f}
+    assert 2 <= len(chosen) <= 3  # ring of 7: any maximal IS has 2-3
