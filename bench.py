@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "kmv_overlap",
     "retrieval_eval",
     "link_mis",
+    "user_cusum",
     "crawl_bfs",
 ]
 

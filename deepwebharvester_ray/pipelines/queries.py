@@ -12741,6 +12741,137 @@ FROM s ORDER BY user_id
 """
 
 
+def q_user_cusum(sf_dir: str):
+    """Per-user offline CUSUM changepoint — WHERE the behavior changed,
+    localizing what :func:`q_drift_tvd` only detects in aggregate and
+    :func:`q_user_value_trend` smooths into one slope (recrawl
+    analogue: the fetch at which a host's content/latency regime
+    shifted).  Over each user's (ts, event_id)-ordered integer-cents
+    series the statistic is the scaled CUSUM deviation
+    ``D_k = |n·S_k − k·S_n|`` (S = prefix sum; scaling by n keeps every
+    term an exact int64 — no mean-float ever crosses engines); the
+    changepoint is the interior k (1 ≤ k < n) maximizing D, ties → the
+    smallest k.  Single-event users have no interior point and drop.
+
+    Distributed shape: prefix sums are the only non-aggregable part,
+    so the cost is exactly one high-cardinality single-key user sort
+    (equal users co-locate per block — the CLAUDE.md sort contract)
+    plus ONE vectorized block pass: in-block (user, ts, event_id)
+    lexsort, per-run segmented cumsum (one global cumsum minus the
+    run-start offset), per-run max via reduceat and first-argmax by
+    first-match scan — no Python row loop, no second shuffle; output
+    is one row per multi-event user."""
+    from ..functions.dedup import _run_bounds
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        ts = (batch.column("ts").combine_chunks().cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "ts_us": pa.array(ts, pa.int64()),
+            "event_id": batch.column("event_id"),
+            "v": pa.array(np.floor(v * 100.0).astype(np.int64),
+                          pa.int64()),
+        })
+
+    _empty = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "n": pa.array([], pa.int64()),
+        "s_total": pa.array([], pa.int64()),
+        "cusum_max": pa.array([], pa.int64()),
+        "cp_k": pa.array([], pa.int64()),
+        "cp_ts_us": pa.array([], pa.int64()),
+    })
+
+    def per_user(batch: pa.Table) -> pa.Table:
+        if batch.num_rows < 2:
+            return _empty
+        u = batch.column("user_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ts = batch.column("ts_us").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        eid = batch.column("event_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v = batch.column("v").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, v = u[order], ts[order], v[order]
+        starts, ends = _run_bounds(u)
+        lens = ends - starts
+        multi = lens >= 2
+        if not multi.any():
+            return _empty
+        run_id = np.repeat(np.arange(len(starts)), lens)
+        csum = np.cumsum(v)
+        base = np.concatenate(([0], csum[ends[:-1] - 1]))
+        sk = csum - base[run_id]                   # per-run prefix sum
+        n_r = lens[run_id]
+        sn_r = (csum[ends - 1] - base)[run_id]
+        k = np.arange(len(u), dtype=np.int64) - starts[run_id] + 1
+        stat = np.abs(n_r * sk - k * sn_r)
+        interior = k < n_r                         # k in 1..n-1
+        stat_i = np.where(interior, stat, -1)      # never wins at k=n
+        run_max = np.maximum.reduceat(stat_i, starts)
+        is_max = stat_i == run_max[run_id]
+        # first (smallest-k) argmax per run: first True per run
+        cand = np.flatnonzero(is_max)
+        first_runs, first_idx = np.unique(run_id[cand],
+                                          return_index=True)
+        rows = cand[first_idx]
+        keep = lens[first_runs] >= 2
+        rows, first_runs = rows[keep], first_runs[keep]
+        return pa.table({
+            "user_id": pa.array(u[rows], pa.int64()),
+            "n": pa.array(lens[first_runs], pa.int64()),
+            "s_total": pa.array((csum[ends - 1] - base)[first_runs],
+                                pa.int64()),
+            "cusum_max": pa.array(stat[rows], pa.int64()),
+            "cp_k": pa.array(k[rows], pa.int64()),
+            "cp_ts_us": pa.array(ts[rows], pa.int64()),
+        })
+
+    return ds.map_batches(to_cents, batch_format="pyarrow",
+                          runtime_env=runtime_env()).sort(
+        "user_id").map_batches(per_user, batch_format="pyarrow",
+                               batch_size=None,
+                               runtime_env=runtime_env())
+
+
+_SQL_USER_CUSUM = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100.0) AS BIGINT) AS v
+  FROM events
+),
+w AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, v,
+         sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sk,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS k,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         sum(v) OVER (PARTITION BY user_id) AS sn
+  FROM e
+),
+st AS (
+  SELECT user_id, k, ts_us, n, sn, abs(n * sk - k * sn) AS stat
+  FROM w WHERE k < n
+)
+SELECT user_id, CAST(n AS BIGINT) AS n, CAST(sn AS BIGINT) AS s_total,
+       CAST(stat AS BIGINT) AS cusum_max, CAST(k AS BIGINT) AS cp_k,
+       CAST(ts_us AS BIGINT) AS cp_ts_us
+FROM st
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY stat DESC, k) = 1
+ORDER BY user_id
+"""
+
+
 def q_inlink_anchors(sf_dir: str):
     """Inlink anchor-text aggregation — the web-search feature builder:
     each page's dominant incoming link description.  Every source page
@@ -13059,6 +13190,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "view_concurrency": q_view_concurrency,
         "user_value_trend": q_user_value_trend,
         "user_autocorr": q_user_autocorr,
+        "user_cusum": q_user_cusum,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -13229,6 +13361,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "kmv_overlap": _SQL_KMV_OVERLAP,
         "retrieval_eval": _sql_retrieval_eval(),
         "user_state_ranges": _SQL_USER_STATE_RANGES,
+        "user_cusum": _SQL_USER_CUSUM,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

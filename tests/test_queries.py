@@ -79,6 +79,7 @@ SPOT_CHECKED = [
     "square_count",
     "kmv_overlap",
     "retrieval_eval",
+    "user_cusum",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -468,3 +469,42 @@ def test_retrieval_eval_planted_metrics(ray_session, tmp_path):
     s = out["stream"]
     assert s["n_rel"] == 0 and s["first_rank"] == 0
     assert s["rr_ppm"] == 0 and s["recall_ppm"] == 0
+
+
+def test_user_cusum_planted_shift_and_tie(ray_session, tmp_path):
+    """User 1: level shift 10c->20c at k=5 of 10 -> D_5 = |10*50-5*150|
+    = 250, the unique max.  User 2: constant series -> every interior D
+    is 0 and the smallest-k tie rule gives cp_k = 1.  User 3: single
+    event -> dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_user_cusum
+
+    rows = []
+    eid = 0
+    for i in range(10):
+        rows.append((eid, 1, i, 0.10 if i < 5 else 0.20))
+        eid += 1
+    for i in range(3):
+        rows.append((eid, 2, i, 0.07))
+        eid += 1
+    rows.append((eid, 3, 0, 5.00))
+    base = 1_700_000_000_000_000
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([base + r[2] * 1_000_000 for r in rows],
+                       pa.timestamp("us")),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    }), str(tmp_path / "events.parquet"))
+
+    out = {r["user_id"]: r
+           for r in q_user_cusum(str(tmp_path)).take_all()}
+    assert set(out) == {1, 2}
+    u1 = out[1]
+    assert u1["n"] == 10 and u1["s_total"] == 150
+    assert u1["cusum_max"] == 250 and u1["cp_k"] == 5
+    assert u1["cp_ts_us"] == base + 4 * 1_000_000
+    u2 = out[2]
+    assert u2["cusum_max"] == 0 and u2["cp_k"] == 1
