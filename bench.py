@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "retrieval_eval",
     "link_mis",
     "user_cusum",
+    "view_overlap_pairs",
     "crawl_bfs",
 ]
 

@@ -12500,6 +12500,136 @@ ORDER BY p.user_id
 """
 
 
+# Hot-user guard for the overlap-pair sweep: a user with more views than
+# this in one run would make the (R, m, m) class tensor degenerate —
+# raise with salting guidance rather than silently blow a block.
+_OVERLAP_MAX_RUN = 4096
+# Class-tensor memory budget: chunk runs so R·m² stays ≤ this.
+_OVERLAP_CELLS = 1 << 24
+
+
+def q_view_overlap_pairs(sf_dir: str):
+    """Interval-OVERLAP pair join — the third member of the temporal-
+    join family (:func:`q_clicks_in_views` = point-in-interval,
+    :func:`q_clicks_asof_views` = nearest-preceding; this = interval ×
+    interval): every pair of a user's view windows that overlap in
+    time, with the exact overlap length — concurrent-exposure /
+    double-counting analysis, and the classic self-overlap join SQL
+    engines quadratic-scan.  Windows reuse clicks_in_views' convention
+    (s = ts, e = ts + (1 + event_id % 14) days, half-open [s, e)); the
+    pair is keyed (a, b) with a earlier by (s, event_id) and
+    ``overlap_us = min(e_a, e_b) − s_b > 0``.
+
+    Distributed shape: ONE high-cardinality single-key user sort, then
+    a sweep INSIDE each block: in-block (user, s, eid) lexsort makes
+    each interval's overlap partners a CONTIGUOUS following slice
+    (s ascending ⇒ partners of i are exactly i+1..i+c_i), so emission
+    is the count-repeat-arange idiom with no quadratic candidate pass;
+    counts come from runs grouped BY SIZE (one argsort), each class's
+    (R, m, m) start<end comparison tensor evaluated in one broadcast
+    op, chunked to a fixed cell budget, with a hot-user guard (raise +
+    salting guidance, no silent cap)."""
+    import pyarrow.compute as pc
+
+    from ..functions.dedup import _run_bounds
+    from ..functions.interval import US_PER_DAY
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def views(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("event_type"), "view"))
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        s = (batch.column("ts").combine_chunks().cast(pa.timestamp("us"))
+             .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "eid": pa.array(eid, pa.int64()),
+            "s": pa.array(s, pa.int64()),
+            "e": pa.array(s + (1 + eid % 14) * US_PER_DAY, pa.int64()),
+        })
+
+    _empty = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "eid_a": pa.array([], pa.int64()),
+        "eid_b": pa.array([], pa.int64()),
+        "overlap_us": pa.array([], pa.int64()),
+    })
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows < 2:
+            return _empty
+        u = batch.column("user_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        eid = batch.column("eid").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        s = batch.column("s").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        e = batch.column("e").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((eid, s, u))
+        u, eid, s, e = u[order], eid[order], s[order], e[order]
+        starts, ends = _run_bounds(u)
+        lens = ends - starts
+        if lens.max() > _OVERLAP_MAX_RUN:
+            raise RuntimeError(
+                f"view_overlap_pairs: a user has > {_OVERLAP_MAX_RUN} "
+                "views in one run; salt the user key (split the run, "
+                "emit cross-salt pairs via a merge pass) before the "
+                "sweep")
+        cnt = np.zeros(len(u), np.int64)
+        for m in np.unique(lens):
+            if m < 2:
+                continue
+            runs = starts[lens == m]
+            step = max(1, _OVERLAP_CELLS // int(m * m))
+            for lo in range(0, len(runs), step):
+                r = runs[lo:lo + step]
+                idx = r[:, None] + np.arange(m)          # (R, m)
+                S, E = s[idx], e[idx]
+                # j ≤ i always satisfies s_j ≤ s_i < e_i, so the
+                # following-partner count is (#j: s_j < e_i) − (i+1)
+                c = ((S[:, None, :] < E[:, :, None]).sum(axis=2)
+                     - (np.arange(m) + 1))
+                cnt[idx.ravel()] = c.ravel()
+        tot = int(cnt.sum())
+        if tot == 0:
+            return _empty
+        rep = np.repeat(np.arange(len(u)), cnt)
+        seg = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        j = rep + 1 + seg
+        return pa.table({
+            "user_id": pa.array(u[rep], pa.int64()),
+            "eid_a": pa.array(eid[rep], pa.int64()),
+            "eid_b": pa.array(eid[j], pa.int64()),
+            "overlap_us": pa.array(
+                np.minimum(e[rep], e[j]) - s[j], pa.int64()),
+        })
+
+    return ds.map_batches(views, batch_format="pyarrow",
+                          runtime_env=runtime_env()).sort(
+        "user_id").map_batches(sweep, batch_format="pyarrow",
+                               batch_size=None,
+                               runtime_env=runtime_env())
+
+
+_SQL_VIEW_OVERLAP_PAIRS = """
+WITH v AS (
+  SELECT user_id, event_id AS eid, epoch_us(ts) AS s,
+         epoch_us(ts) + (1 + event_id % 14) * 86400000000 AS e
+  FROM events WHERE event_type = 'view'
+)
+SELECT a.user_id, a.eid AS eid_a, b.eid AS eid_b,
+       CAST(least(a.e, b.e) - b.s AS BIGINT) AS overlap_us
+FROM v a JOIN v b
+  ON a.user_id = b.user_id
+ AND (a.s < b.s OR (a.s = b.s AND a.eid < b.eid))
+ AND b.s < a.e
+ORDER BY a.user_id, eid_a, eid_b
+"""
+
+
 _TREND_DAY_BASE = 19600   # rebase epoch-days to the dataset era: keeps
 _TREND_SCALE = 10_000     # every int64 product inside the exact envelope
 
@@ -13191,6 +13321,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "user_value_trend": q_user_value_trend,
         "user_autocorr": q_user_autocorr,
         "user_cusum": q_user_cusum,
+        "view_overlap_pairs": q_view_overlap_pairs,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -13362,6 +13493,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "retrieval_eval": _sql_retrieval_eval(),
         "user_state_ranges": _SQL_USER_STATE_RANGES,
         "user_cusum": _SQL_USER_CUSUM,
+        "view_overlap_pairs": _SQL_VIEW_OVERLAP_PAIRS,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

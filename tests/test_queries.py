@@ -80,6 +80,7 @@ SPOT_CHECKED = [
     "kmv_overlap",
     "retrieval_eval",
     "user_cusum",
+    "view_overlap_pairs",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -508,3 +509,46 @@ def test_user_cusum_planted_shift_and_tie(ray_session, tmp_path):
     assert u1["cp_ts_us"] == base + 4 * 1_000_000
     u2 = out[2]
     assert u2["cusum_max"] == 0 and u2["cp_k"] == 1
+
+
+def test_view_overlap_pairs_planted(ray_session, tmp_path):
+    """Hand-built windows: chain overlap, containment, equal starts,
+    and a disjoint interval — exact pair set and overlap lengths.
+    Durations are forced via event_id % 14."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_view_overlap_pairs
+
+    DAY = 86_400_000_000
+    base = 1_700_000_000_000_000
+    # event_id picks duration 1 + eid % 14 days
+    rows = [
+        # user 1: A=[0,3d) eid=2, B=[1d,2d) eid=14 (contained, 1d),
+        # C=[2d,4d) eid=15 -> A∩C=[2d,3d), B∩C=∅ (half-open)
+        (2, 1, 0, "view"),      # dur 3d
+        (14, 1, 1, "view"),     # dur 1d
+        (15, 1, 2, "view"),     # dur 2d
+        # user 2: equal starts D eid=28 (dur 1d), E eid=30 (dur 3d)
+        (28, 2, 10, "view"),
+        (30, 2, 10, "view"),
+        # user 2: far-away disjoint F
+        (42, 2, 100, "view"),
+        # non-view noise
+        (50, 1, 0, "click"),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([base + r[2] * DAY for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    }), str(tmp_path / "events.parquet"))
+
+    out = {(r["user_id"], r["eid_a"], r["eid_b"]): r["overlap_us"]
+           for r in q_view_overlap_pairs(str(tmp_path)).take_all()}
+    assert out == {
+        (1, 2, 14): 1 * DAY,    # B inside A
+        (1, 2, 15): 1 * DAY,    # A∩C
+        (2, 28, 30): 1 * DAY,   # equal start, shorter first by eid
+    }
