@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "link_mis",
     "user_cusum",
     "view_overlap_pairs",
+    "best_split",
     "crawl_bfs",
 ]
 

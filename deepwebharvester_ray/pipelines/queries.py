@@ -12630,6 +12630,124 @@ ORDER BY a.user_id, eid_a, eid_b
 """
 
 
+_SPLIT_BIN = 256   # n_chars bin width for the decision-stump search
+
+
+def q_best_split(sf_dir: str):
+    """Decision-stump induction — the single best threshold on a
+    feature separating a binary class, the inner step of tree-based
+    quality-classifier training (and 1-D supervised feature selection):
+    here, the doc-length (n_chars) cut that best separates English from
+    non-English.  Split quality is the Gini-purity objective in EXACT
+    fixed-point: maximizing ``(p_L²+q_L²)/n_L + (p_R²+q_R²)/n_R`` is
+    minimizing weighted Gini impurity, and both engines compare the
+    common-denominator form ``score_ppm = ((p_L²+q_L²)·n_R +
+    (p_R²+q_R²)·n_L)·10⁶ // (n_L·n_R)`` (arbitrary-precision on the
+    driver, HUGEINT in SQL — the product overflows int64 by design
+    before the floor division brings it back).  Ties → smallest
+    threshold; split is ``bin ≤ t`` vs ``> t`` over interior t only.
+
+    Distributed shape: a fully PRUNED 2-column read (n_chars, lang —
+    the text never leaves storage), ONE combiner ``grouped_agg`` to the
+    O(#bins) (bin, n, n_pos) table, and the threshold scan runs on the
+    driver over that tiny table (bins = max_len/256 — hundreds);
+    nothing larger than the histogram ever moves."""
+    ds = _docs(sf_dir, columns=["n_chars", "lang"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def binit(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        lang = batch.column("lang").to_pylist()
+        return pa.table({
+            "bin": pa.array(nc // _SPLIT_BIN, pa.int64()),
+            "pos": pa.array(
+                np.fromiter((1 if v == "en" else 0 for v in lang),
+                            np.int64, len(lang)), pa.int64()),
+        })
+
+    hist = grouped_agg(
+        ds.map_batches(binit, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["bin"], [("n", "", "count"), ("p", "pos", "sum")],
+    ).take_all()
+
+    hist.sort(key=lambda r: r["bin"])
+    n_t = sum(r["n"] for r in hist)
+    p_t = sum(r["p"] for r in hist)
+    best = None
+    n_l = p_l = 0
+    for r in hist:
+        n_l += int(r["n"])
+        p_l += int(r["p"])
+        n_r, p_r = n_t - n_l, p_t - p_l
+        if n_r == 0:
+            break                      # not an interior split
+        q_l, q_r = n_l - p_l, n_r - p_r
+        score = ((p_l * p_l + q_l * q_l) * n_r
+                 + (p_r * p_r + q_r * q_r) * n_l) * 10**6 // (n_l * n_r)
+        row = (score, -int(r["bin"]), n_l, p_l, n_r, p_r)
+        if best is None or row > best:
+            best = row
+    import ray
+
+    if best is None:
+        return ray.data.from_arrow(pa.table({
+            "split_bin": pa.array([], pa.int64()),
+            "n_left": pa.array([], pa.int64()),
+            "pos_left": pa.array([], pa.int64()),
+            "n_right": pa.array([], pa.int64()),
+            "pos_right": pa.array([], pa.int64()),
+            "score_ppm": pa.array([], pa.int64()),
+        }))
+    score, negbin, n_l, p_l, n_r, p_r = best
+    return ray.data.from_arrow(pa.table({
+        "split_bin": pa.array([-negbin], pa.int64()),
+        "n_left": pa.array([n_l], pa.int64()),
+        "pos_left": pa.array([p_l], pa.int64()),
+        "n_right": pa.array([n_r], pa.int64()),
+        "pos_right": pa.array([p_r], pa.int64()),
+        "score_ppm": pa.array([score], pa.int64()),
+    }))
+
+
+_SQL_BEST_SPLIT = f"""
+WITH b AS (
+  SELECT n_chars // {_SPLIT_BIN} AS bin,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+g AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+  FROM b GROUP BY bin
+),
+c AS (
+  SELECT bin,
+         sum(n) OVER w AS n_l, sum(p) OVER w AS p_l,
+         (SELECT sum(n) FROM g) AS n_t, (SELECT sum(p) FROM g) AS p_t
+  FROM g WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+),
+s AS (
+  SELECT bin, n_l, p_l, n_t - n_l AS n_r, p_t - p_l AS p_r
+  FROM c WHERE n_t - n_l > 0
+),
+sc AS (
+  SELECT bin, n_l, p_l, n_r, p_r,
+         ((CAST(p_l AS HUGEINT) * p_l
+           + CAST(n_l - p_l AS HUGEINT) * (n_l - p_l)) * n_r
+          + (CAST(p_r AS HUGEINT) * p_r
+             + CAST(n_r - p_r AS HUGEINT) * (n_r - p_r)) * n_l)
+         * 1000000 // (CAST(n_l AS HUGEINT) * n_r) AS score
+  FROM s
+)
+SELECT CAST(bin AS BIGINT) AS split_bin,
+       CAST(n_l AS BIGINT) AS n_left, CAST(p_l AS BIGINT) AS pos_left,
+       CAST(n_r AS BIGINT) AS n_right, CAST(p_r AS BIGINT) AS pos_right,
+       CAST(score AS BIGINT) AS score_ppm
+FROM sc
+QUALIFY row_number() OVER (ORDER BY score DESC, bin) = 1
+"""
+
+
 _TREND_DAY_BASE = 19600   # rebase epoch-days to the dataset era: keeps
 _TREND_SCALE = 10_000     # every int64 product inside the exact envelope
 
@@ -13322,6 +13440,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "user_autocorr": q_user_autocorr,
         "user_cusum": q_user_cusum,
         "view_overlap_pairs": q_view_overlap_pairs,
+        "best_split": q_best_split,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -13494,6 +13613,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "user_state_ranges": _SQL_USER_STATE_RANGES,
         "user_cusum": _SQL_USER_CUSUM,
         "view_overlap_pairs": _SQL_VIEW_OVERLAP_PAIRS,
+        "best_split": _SQL_BEST_SPLIT,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

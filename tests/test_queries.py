@@ -81,6 +81,7 @@ SPOT_CHECKED = [
     "retrieval_eval",
     "user_cusum",
     "view_overlap_pairs",
+    "best_split",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -552,3 +553,30 @@ def test_view_overlap_pairs_planted(ray_session, tmp_path):
         (1, 2, 15): 1 * DAY,    # A∩C
         (2, 28, 30): 1 * DAY,   # equal start, shorter first by eid
     }
+
+
+def test_best_split_perfect_separation(ray_session, tmp_path):
+    """4 short 'en' docs (bin 0) vs 6 long 'xx' docs (bin 3): the stump
+    must cut at bin 0 and a perfect split scores exactly n * 10^6."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_best_split
+
+    langs = ["en"] * 4 + ["xx"] * 6
+    ncs = [100] * 4 + [1000] * 6
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array(["t"] * 10, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["s"] * 10, pa.string()),
+        "n_chars": pa.array(ncs, pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    out = q_best_split(str(tmp_path)).take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert r["split_bin"] == 0
+    assert r["n_left"] == 4 and r["pos_left"] == 4
+    assert r["n_right"] == 6 and r["pos_right"] == 0
+    assert r["score_ppm"] == 10 * 10**6     # perfect split == n * 1e6
