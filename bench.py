@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "user_cusum",
     "view_overlap_pairs",
     "best_split",
+    "loo_encoding",
     "crawl_bfs",
 ]
 

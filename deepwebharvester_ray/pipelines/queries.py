@@ -12630,6 +12630,94 @@ ORDER BY a.user_id, eid_a, eid_b
 """
 
 
+def q_loo_encoding(sf_dir: str):
+    """Leave-one-out target encoding — the label-leakage-safe
+    categorical encoder (each row's category is replaced by the mean
+    target of all OTHER rows in that category; including the row's own
+    label would leak it into the feature, the classic target-encoding
+    bug).  Exact fixed-point: ``enc_milli = (S_g − v_i)·1000 //
+    (n_g − 1)`` over integer cents; singleton categories (no "others"
+    to average) fall back to the global leave-one-out mean
+    ``(S_t − v_i)·1000 // (n_t − 1)`` — deterministic, no prior
+    hyper-parameter.
+
+    Distributed shape: ONE combiner ``grouped_agg`` down to the
+    O(#categories) (type, n, S) table, broadcast once (ray.put +
+    cached_get), then a pure vectorized map — per batch the category
+    column is factorized (np.unique inverse) and the per-unique (n, S)
+    rows gather through the inverse index, so the per-row work is two
+    int64 ops; no sort, no window, shuffle volume O(categories)."""
+    import ray
+
+    from ..broadcast import cached_get
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type"),
+            "v": pa.array(np.floor(v * 100.0).astype(np.int64),
+                          pa.int64()),
+        })
+
+    cts = ds.map_batches(cents, batch_format="pyarrow",
+                         batch_size=None,
+                         runtime_env=runtime_env()).materialize()
+    g = grouped_agg(cts, ["event_type"],
+                    [("n", "", "count"), ("s", "v", "sum")]).take_all()
+    stats = {r["event_type"]: (int(r["n"]), int(r["s"])) for r in g}
+    n_t = sum(n for n, _ in stats.values())
+    s_t = sum(s for _, s in stats.values())
+    ref = ray.put((stats, n_t, s_t))
+
+    def encode(batch: pa.Table, _ref=ref) -> pa.Table:
+        st, nt, stot = cached_get(_ref)
+        t = np.asarray(batch.column("event_type").to_pylist())
+        v = batch.column("v").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        uniq, inv = np.unique(t, return_inverse=True)
+        n_u = np.array([st[u][0] for u in uniq], np.int64)[inv]
+        s_u = np.array([st[u][1] for u in uniq], np.int64)[inv]
+        single = n_u == 1
+        num = np.where(single, stot - v, s_u - v) * 1000
+        den = np.where(single, nt - 1, n_u - 1)
+        enc = num // np.maximum(den, 1)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type"),
+            "enc_milli": pa.array(enc, pa.int64()),
+        })
+
+    return cts.map_batches(encode, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+
+
+_SQL_LOO_ENCODING = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100.0) AS BIGINT) AS v
+  FROM events
+),
+w AS (
+  SELECT event_id, event_type, v,
+         count(*) OVER (PARTITION BY event_type) AS n_g,
+         sum(v) OVER (PARTITION BY event_type) AS s_g,
+         count(*) OVER () AS n_t,
+         sum(v) OVER () AS s_t
+  FROM e
+)
+SELECT event_id, event_type,
+       CAST(CASE WHEN n_g > 1 THEN (s_g - v) * 1000 // (n_g - 1)
+                 ELSE (s_t - v) * 1000 // greatest(n_t - 1, 1)
+            END AS BIGINT) AS enc_milli
+FROM w ORDER BY event_id
+"""
+
+
 _SPLIT_BIN = 256   # n_chars bin width for the decision-stump search
 
 
@@ -13441,6 +13529,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "user_cusum": q_user_cusum,
         "view_overlap_pairs": q_view_overlap_pairs,
         "best_split": q_best_split,
+        "loo_encoding": q_loo_encoding,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -13614,6 +13703,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "user_cusum": _SQL_USER_CUSUM,
         "view_overlap_pairs": _SQL_VIEW_OVERLAP_PAIRS,
         "best_split": _SQL_BEST_SPLIT,
+        "loo_encoding": _SQL_LOO_ENCODING,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

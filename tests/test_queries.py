@@ -82,6 +82,7 @@ SPOT_CHECKED = [
     "user_cusum",
     "view_overlap_pairs",
     "best_split",
+    "loo_encoding",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -580,3 +581,28 @@ def test_best_split_perfect_separation(ray_session, tmp_path):
     assert r["n_left"] == 4 and r["pos_left"] == 4
     assert r["n_right"] == 6 and r["pos_right"] == 0
     assert r["score_ppm"] == 10 * 10**6     # perfect split == n * 1e6
+
+
+def test_loo_encoding_exact_and_singleton_fallback(ray_session, tmp_path):
+    """Type 'a': values 1.00/2.00/3.00 -> LOO means 2.50/2.00/1.50.
+    Type 'b' is a singleton -> global LOO fallback over all 4 rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_loo_encoding
+
+    rows = [(0, "a", 1.00), (1, "a", 2.00), (2, "a", 3.00),
+            (3, "b", 10.00)]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    }), str(tmp_path / "events.parquet"))
+
+    out = {r["event_id"]: r["enc_milli"]
+           for r in q_loo_encoding(str(tmp_path)).take_all()}
+    assert out[0] == 250_000   # (200+300)c * 1000 // 2 = 2.50 in milli-cents
+    assert out[1] == 200_000
+    assert out[2] == 150_000
+    # singleton 'b': (100+200+300)c * 1000 // 3 = 2.00
+    assert out[3] == 200_000
