@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "view_overlap_pairs",
     "best_split",
     "loo_encoding",
+    "zipf_spectrum",
     "crawl_bfs",
 ]
 

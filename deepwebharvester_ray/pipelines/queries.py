@@ -12630,6 +12630,103 @@ ORDER BY a.user_id, eid_a, eid_b
 """
 
 
+def q_zipf_spectrum(sf_dir: str):
+    """Zipf frequency-spectrum fit — the corpus-health diagnostic: a
+    natural corpus's token frequencies follow Zipf's law, so the count
+    of distinct tokens per log2-frequency bin falls ~linearly in log-log
+    space; boilerplate floods, template spam and aggressive dedup bend
+    the spectrum (too many high-frequency tokens / a hapax cliff).
+    Output: the (bin, n_tokens) spectrum rows (bin = bit_length(freq) −
+    1) PLUS the OLS slope of bit_length(n_tokens)−1 against bin as an
+    exact integer num/den pair ``(n·Σxy − ΣxΣy, n·Σx² − (Σx)²)`` — the
+    degree_assortativity convention: the float slope is one division
+    away, and no division (with its negative-operand floor-vs-trunc
+    trap) ever crosses engines.
+
+    Distributed shape: per-block LOCAL (token, n) counts via np.unique
+    (shuffle volume = per-block vocabulary), the grouped merge, then a
+    SECOND tiny combiner to the O(log max_freq) spectrum; the OLS sums
+    run over ≤ 64 rows on the driver.  The spectrum rows carry slope
+    num/den duplicated per row (driver-consumable scalar the compare
+    hashes with the rows — one result table, no side channel)."""
+    from ..functions.textops import batch_word_tokens
+
+    ds = _docs(sf_dir, columns=["text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        toks = batch_word_tokens(batch)
+        if not toks:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                 return_counts=True)
+        return pa.table({"token": pa.array(uniq.tolist(), pa.string()),
+                         "n": pa.array(counts, pa.int64())})
+
+    freqs = grouped_agg(
+        ds.map_batches(local_counts, batch_format="pyarrow",
+                       batch_size=None, runtime_env=runtime_env()),
+        ["token"], [("n", "n", "sum")],
+    )
+
+    def to_bins(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        # bit_length(n) - 1 == floor(log2 n), vectorized
+        bins = (np.frexp(n.astype(np.float64))[1] - 1).astype(np.int64)
+        return pa.table({"bin": pa.array(bins, pa.int64())})
+
+    spec = grouped_agg(
+        freqs.map_batches(to_bins, batch_format="pyarrow",
+                          batch_size=None, runtime_env=runtime_env()),
+        ["bin"], [("n_tokens", "", "count")],
+    ).take_all()
+
+    x = np.array([r["bin"] for r in spec], np.int64)
+    y = np.array([int(r["n_tokens"]).bit_length() - 1 for r in spec],
+                 np.int64)
+    m = len(x)
+    num = int(m * (x * y).sum() - x.sum() * y.sum())
+    den = int(m * (x * x).sum() - x.sum() ** 2)
+    import ray
+
+    return ray.data.from_arrow(pa.table({
+        "bin": pa.array(x, pa.int64()),
+        "n_tokens": pa.array([r["n_tokens"] for r in spec], pa.int64()),
+        "slope_num": pa.array([num] * m, pa.int64()),
+        "slope_den": pa.array([den] * m, pa.int64()),
+    }))
+
+
+_SQL_ZIPF_SPECTRUM = f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{_TOKEN_SQL_RE}')) AS token
+  FROM documents
+),
+f AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
+      GROUP BY token),
+spec AS (
+  SELECT length(bin(n)) - 1 AS bin,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM f GROUP BY 1
+),
+pts AS (
+  SELECT bin AS x, length(bin(n_tokens)) - 1 AS y FROM spec
+),
+ols AS (
+  SELECT CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+             AS slope_num,
+         CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+             AS slope_den
+  FROM pts
+)
+SELECT CAST(spec.bin AS BIGINT) AS bin, spec.n_tokens,
+       ols.slope_num, ols.slope_den
+FROM spec, ols ORDER BY bin
+"""
+
+
 def q_loo_encoding(sf_dir: str):
     """Leave-one-out target encoding — the label-leakage-safe
     categorical encoder (each row's category is replaced by the mean
@@ -13530,6 +13627,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "view_overlap_pairs": q_view_overlap_pairs,
         "best_split": q_best_split,
         "loo_encoding": q_loo_encoding,
+        "zipf_spectrum": q_zipf_spectrum,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -13704,6 +13802,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "view_overlap_pairs": _SQL_VIEW_OVERLAP_PAIRS,
         "best_split": _SQL_BEST_SPLIT,
         "loo_encoding": _SQL_LOO_ENCODING,
+        "zipf_spectrum": _SQL_ZIPF_SPECTRUM,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

@@ -83,6 +83,7 @@ SPOT_CHECKED = [
     "view_overlap_pairs",
     "best_split",
     "loo_encoding",
+    "zipf_spectrum",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -606,3 +607,26 @@ def test_loo_encoding_exact_and_singleton_fallback(ray_session, tmp_path):
     assert out[2] == 150_000
     # singleton 'b': (100+200+300)c * 1000 // 3 = 2.00
     assert out[3] == 200_000
+
+
+def test_zipf_spectrum_planted_line(ray_session, tmp_path):
+    """Planted spectrum: 1 token at freq 16 (bin 4), 4 at freq 4
+    (bin 2), 16 at freq 1 (bin 0) -> y = 4 - x exactly -> slope -1
+    (num/den = -24/24)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_zipf_spectrum
+
+    words = (["aa"] * 16
+             + [f"b{i}" for i in range(4) for _ in range(4)]
+             + [f"c{i}" for i in range(16)])
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array([" ".join(words)], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    out = {r["bin"]: r for r in q_zipf_spectrum(str(tmp_path)).take_all()}
+    assert {b: r["n_tokens"] for b, r in out.items()} == {0: 16, 2: 4, 4: 1}
+    r = out[0]
+    assert r["slope_num"] == -24 and r["slope_den"] == 24
