@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "best_split",
     "loo_encoding",
     "zipf_spectrum",
+    "benford_audit",
     "crawl_bfs",
 ]
 

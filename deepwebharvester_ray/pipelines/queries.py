@@ -12630,6 +12630,109 @@ ORDER BY a.user_id, eid_a, eid_b
 """
 
 
+# Benford expected first-digit shares, ppm (⌊10⁶·log10(1+1/d)⌉ for
+# d=1..9; sums to exactly 1,000,000) — the ONE shared constant table both
+# engines compare against, so the audit is exact-integer end to end.
+_BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992,
+                51153, 45757)
+
+
+def q_benford_audit(sf_dir: str):
+    """Benford first-digit audit — the fraud/synthetic-data screen from
+    forensic accounting applied as a data-quality check: naturally
+    occurring multiplicative amounts follow Benford's law (leading
+    digit d with probability log10(1+1/d)); fabricated, truncated or
+    unit-converted value columns don't.  Per (event_type, digit):
+    observed count, observed share, the Benford expectation (the shared
+    ppm constant table) and the absolute deviation — all exact ppm
+    integers.  Non-positive cents are excluded BY DEFINITION of the law
+    (no leading significant digit), identically in both engines.
+
+    Distributed shape: leading digit extracted by a bounded divide-down
+    loop (≤ 7 vectorized passes — no float log10 with its power-of-ten
+    boundary error), ONE combiner ``grouped_agg`` to the ≤ types×9
+    count table; shares/deviations are a tiny driver pass over it."""
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def digits(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch.column("value").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        t = np.asarray(batch.column("event_type").to_pylist())
+        pos = v >= 1
+        v, t = v[pos], t[pos]
+        while (v >= 10).any():
+            big = v >= 10
+            v = np.where(big, v // 10, v)
+        return pa.table({
+            "event_type": pa.array(t.tolist(), pa.string()),
+            "digit": pa.array(v, pa.int64()),
+        })
+
+    counts = grouped_agg(
+        ds.map_batches(digits, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["event_type", "digit"], [("n", "", "count")],
+    ).take_all()
+
+    totals: Dict[str, int] = {}
+    for r in counts:
+        totals[r["event_type"]] = totals.get(r["event_type"], 0) \
+            + int(r["n"])
+    out_t, out_d, out_n, out_o, out_b, out_dev = [], [], [], [], [], []
+    for r in counts:
+        t, d, n = r["event_type"], int(r["digit"]), int(r["n"])
+        obs = n * 10**6 // totals[t]
+        exp = _BENFORD_PPM[d - 1]
+        out_t.append(t)
+        out_d.append(d)
+        out_n.append(n)
+        out_o.append(obs)
+        out_b.append(exp)
+        out_dev.append(abs(obs - exp))
+    import ray
+
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "digit": pa.array(out_d, pa.int64()),
+        "n": pa.array(out_n, pa.int64()),
+        "obs_ppm": pa.array(out_o, pa.int64()),
+        "benford_ppm": pa.array(out_b, pa.int64()),
+        "dev_ppm": pa.array(out_dev, pa.int64()),
+    }))
+
+
+def _sql_benford_audit() -> str:
+    vals = ", ".join(f"({d}, {p})"
+                     for d, p in enumerate(_BENFORD_PPM, start=1))
+    return f"""
+WITH e AS (
+  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS v
+  FROM events
+),
+ep AS (SELECT * FROM e WHERE v >= 1),
+d AS (
+  SELECT event_type,
+         CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM ep
+),
+g AS (
+  SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY 1, 2
+),
+t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_t FROM g
+      GROUP BY 1),
+b(digit, ppm) AS (VALUES {vals})
+SELECT g.event_type, g.digit, g.n,
+       CAST(g.n * 1000000 // t.n_t AS BIGINT) AS obs_ppm,
+       CAST(b.ppm AS BIGINT) AS benford_ppm,
+       CAST(abs(g.n * 1000000 // t.n_t - b.ppm) AS BIGINT) AS dev_ppm
+FROM g JOIN t USING (event_type) JOIN b ON b.digit = g.digit
+ORDER BY g.event_type, g.digit
+"""
+
+
 def q_zipf_spectrum(sf_dir: str):
     """Zipf frequency-spectrum fit — the corpus-health diagnostic: a
     natural corpus's token frequencies follow Zipf's law, so the count
@@ -13628,6 +13731,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "best_split": q_best_split,
         "loo_encoding": q_loo_encoding,
         "zipf_spectrum": q_zipf_spectrum,
+        "benford_audit": q_benford_audit,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -13803,6 +13907,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "best_split": _SQL_BEST_SPLIT,
         "loo_encoding": _SQL_LOO_ENCODING,
         "zipf_spectrum": _SQL_ZIPF_SPECTRUM,
+        "benford_audit": _sql_benford_audit(),
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

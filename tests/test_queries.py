@@ -84,6 +84,7 @@ SPOT_CHECKED = [
     "best_split",
     "loo_encoding",
     "zipf_spectrum",
+    "benford_audit",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -630,3 +631,28 @@ def test_zipf_spectrum_planted_line(ray_session, tmp_path):
     assert {b: r["n_tokens"] for b, r in out.items()} == {0: 16, 2: 4, 4: 1}
     r = out[0]
     assert r["slope_num"] == -24 and r["slope_den"] == 24
+
+
+def test_benford_audit_planted(ray_session, tmp_path):
+    """Type 'a': values with leading digits 1,1,2,9 (incl. a multi-digit
+    1234.56 -> digit 1) -> obs 500000/250000/250000 ppm; zero/negative
+    rows excluded by definition."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import (_BENFORD_PPM,
+                                                        q_benford_audit)
+
+    vals = [1.00, 1234.56, 2.50, 95.00, 0.00, -3.00]
+    pq.write_table(pa.table({
+        "event_type": pa.array(["a"] * 6, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+    }), str(tmp_path / "events.parquet"))
+
+    out = {r["digit"]: r for r in q_benford_audit(str(tmp_path)).take_all()}
+    assert {d: r["n"] for d, r in out.items()} == {1: 2, 2: 1, 9: 1}
+    assert out[1]["obs_ppm"] == 500_000
+    assert out[1]["benford_ppm"] == _BENFORD_PPM[0] == 301_030
+    assert out[1]["dev_ppm"] == 500_000 - 301_030
+    assert out[9]["obs_ppm"] == 250_000
+    assert sum(_BENFORD_PPM) == 1_000_000
