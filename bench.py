@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "loo_encoding",
     "zipf_spectrum",
     "benford_audit",
+    "auc_score",
     "crawl_bfs",
 ]
 

@@ -12630,6 +12630,94 @@ ORDER BY a.user_id, eid_a, eid_b
 """
 
 
+def q_auc_score(sf_dir: str):
+    """Exact AUC (ROC area) of a scalar score against a binary label —
+    the threshold-free companion of :func:`q_best_split` (same
+    feature/class pair: how well does doc length rank English above
+    non-English OVERALL, where best_split finds the one best cut) and
+    the third member of the ML-eval family (retrieval_eval grades
+    rankings, this grades scorers).  AUC = P(score⁺ > score⁻) +
+    ½·P(=), emitted as the EXACT integer pair ``auc_num2 = 2·wins +
+    ties`` / ``auc_den2 = 2·n_pos·n_neg`` (the num/den convention — no
+    division crosses engines; ties carry the standard ½ credit without
+    ever leaving integers).
+
+    Distributed shape: ONE combiner ``grouped_agg`` down to the
+    per-distinct-score (n, n_pos) table — the Mann-Whitney rank-sum
+    never materializes per-row ranks; wins/ties fall out of one
+    ascending cumulative scan over that table (driver-side here at
+    O(distinct scores) rows; the unbounded-cardinality path is the
+    same scan after a single-key score sort)."""
+    ds = _docs(sf_dir, columns=["n_chars", "lang"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def label(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").to_pylist()
+        return pa.table({
+            "s": batch.column("n_chars"),
+            "pos": pa.array(
+                np.fromiter((1 if v == "en" else 0 for v in lang),
+                            np.int64, len(lang)), pa.int64()),
+        })
+
+    g = grouped_agg(
+        ds.map_batches(label, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["s"], [("n", "", "count"), ("np", "pos", "sum")],
+    ).take_all()
+
+    g.sort(key=lambda r: r["s"])
+    wins = ties = nn_below = 0
+    n_pos = sum(int(r["np"]) for r in g)
+    n_neg = sum(int(r["n"]) - int(r["np"]) for r in g)
+    for r in g:
+        np_s = int(r["np"])
+        nn_s = int(r["n"]) - np_s
+        wins += np_s * nn_below
+        ties += np_s * nn_s
+        nn_below += nn_s
+    import ray
+
+    return ray.data.from_arrow(pa.table({
+        "n_pos": pa.array([n_pos], pa.int64()),
+        "n_neg": pa.array([n_neg], pa.int64()),
+        "auc_num2": pa.array([2 * wins + ties], pa.int64()),
+        "auc_den2": pa.array([2 * n_pos * n_neg], pa.int64()),
+    }))
+
+
+_SQL_AUC_SCORE = """
+WITH d AS (
+  SELECT n_chars AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+g AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS np
+  FROM d GROUP BY s
+),
+c AS (
+  SELECT s, np, n - np AS nn,
+         COALESCE(sum(n - np) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS nn_below
+  FROM g
+),
+t AS (
+  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+         CAST(sum(nn) AS BIGINT) AS n_neg,
+         CAST(sum(np * nn_below) AS BIGINT) AS wins,
+         CAST(sum(np * nn) AS BIGINT) AS ties
+  FROM c
+)
+SELECT n_pos, n_neg,
+       CAST(2 * wins + ties AS BIGINT) AS auc_num2,
+       CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den2
+FROM t
+"""
+
+
 # Benford expected first-digit shares, ppm (⌊10⁶·log10(1+1/d)⌉ for
 # d=1..9; sums to exactly 1,000,000) — the ONE shared constant table both
 # engines compare against, so the audit is exact-integer end to end.
@@ -13732,6 +13820,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "loo_encoding": q_loo_encoding,
         "zipf_spectrum": q_zipf_spectrum,
         "benford_audit": q_benford_audit,
+        "auc_score": q_auc_score,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -13908,6 +13997,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "loo_encoding": _SQL_LOO_ENCODING,
         "zipf_spectrum": _SQL_ZIPF_SPECTRUM,
         "benford_audit": _sql_benford_audit(),
+        "auc_score": _SQL_AUC_SCORE,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

@@ -85,6 +85,7 @@ SPOT_CHECKED = [
     "loo_encoding",
     "zipf_spectrum",
     "benford_audit",
+    "auc_score",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -656,3 +657,38 @@ def test_benford_audit_planted(ray_session, tmp_path):
     assert out[1]["dev_ppm"] == 500_000 - 301_030
     assert out[9]["obs_ppm"] == 250_000
     assert sum(_BENFORD_PPM) == 1_000_000
+
+
+def test_auc_score_known_cases(ray_session, tmp_path):
+    """Perfect separation -> AUC 1; one inversion among 2x2 -> 3/4;
+    all-tied scores -> exactly 1/2 via the ties term."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_auc_score
+
+    def write(ncs, langs):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(ncs)), pa.int64()),
+            "text": pa.array(["t"] * len(ncs), pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(["s"] * len(ncs), pa.string()),
+            "n_chars": pa.array(ncs, pa.int64()),
+        }), str(tmp_path / "documents.parquet"))
+
+    # perfect: all en longer than all xx
+    write([10, 20, 100, 200], ["xx", "xx", "en", "en"])
+    r = q_auc_score(str(tmp_path)).take_all()[0]
+    assert (r["n_pos"], r["n_neg"]) == (2, 2)
+    assert r["auc_num2"] == r["auc_den2"] == 8          # AUC = 1
+
+    # one inversion: en at 10 loses to both negs... use en=[50,200],
+    # xx=[100,20] -> pairs: (50>20)W (50<100)L (200>100)W (200>20)W
+    write([50, 200, 100, 20], ["en", "en", "xx", "xx"])
+    r = q_auc_score(str(tmp_path)).take_all()[0]
+    assert (r["auc_num2"], r["auc_den2"]) == (6, 8)     # AUC = 3/4
+
+    # all tied -> AUC exactly 1/2
+    write([7, 7, 7, 7], ["en", "en", "xx", "xx"])
+    r = q_auc_score(str(tmp_path)).take_all()[0]
+    assert (r["auc_num2"], r["auc_den2"]) == (4, 8)
