@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "zipf_spectrum",
     "benford_audit",
     "auc_score",
+    "raking_weights",
     "crawl_bfs",
 ]
 

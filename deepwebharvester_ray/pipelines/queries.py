@@ -12630,6 +12630,108 @@ ORDER BY a.user_id, eid_a, eid_b
 """
 
 
+_RAKE_SCALE = 10**9   # ppb fixed point — all IPF state is exact int
+_RAKE_ROUNDS = 40
+_RAKE_TOL_PPB = 10**6  # stop when every marginal is within 0.1 %
+
+
+def q_raking_weights(sf_dir: str):
+    """Raking / iterative proportional fitting — TWO-marginal corpus
+    reweighting: per-doc sampling weights such that the weighted corpus
+    simultaneously hits a target source mix AND a target language mix
+    (here: uniform over the sources and languages present), the
+    survey-statistics generalization of :func:`q_domain_mix`'s
+    single-marginal rebalance (one marginal is a closed form; two
+    interact — upweighting a rare source shifts the language mix — and
+    need the alternating IPF fixpoint).
+
+    All IPF state is exact ppb fixed-point integer (multiply by the
+    target then floor-divide by the current marginal), so every round
+    is a deterministic pure function of the contingency table — no
+    float drift across runs or machines; iteration stops at 0.1 %
+    marginal deviation or the round bound (raises if neither —
+    structural-zero tables can be infeasible, and that must surface).
+
+    Distributed shape: ONE combiner ``grouped_agg`` down to the
+    O(sources × langs) contingency table; the IPF loop runs on the
+    driver over that tiny table; per-doc weights broadcast back as a
+    (source, lang) → ppb map and attach in a single vectorized pass
+    (factorize + gather, the loo_encoding idiom).  Rows-only: the
+    alternating fixpoint has no closed SQL form; marginal-attainment
+    is pinned by tests instead."""
+    import ray
+
+    from ..broadcast import cached_get
+
+    ds = _docs(sf_dir, columns=["doc_id", "source", "lang"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    cells = grouped_agg(ds, ["source", "lang"],
+                        [("n", "", "count")]).take_all()
+    srcs = sorted({r["source"] for r in cells})
+    langs = sorted({r["lang"] for r in cells})
+    n_tot = sum(int(r["n"]) for r in cells)
+    w = {(r["source"], r["lang"]): int(r["n"]) * _RAKE_SCALE
+         for r in cells}
+    tgt_row = n_tot * _RAKE_SCALE // len(srcs)
+    tgt_col = n_tot * _RAKE_SCALE // len(langs)
+
+    def marg(axis: int):
+        m: Dict[str, int] = {}
+        for (s, lg), v in w.items():
+            k = s if axis == 0 else lg
+            m[k] = m.get(k, 0) + v
+        return m
+
+    ok = False
+    for _ in range(_RAKE_ROUNDS):
+        rm = marg(0)
+        for k in w:
+            w[k] = w[k] * tgt_row // rm[k[0]]
+        cm = marg(1)
+        for k in w:
+            w[k] = w[k] * tgt_col // cm[k[1]]
+        rm, cm = marg(0), marg(1)
+        dev = max(
+            max(abs(v - tgt_row) * _RAKE_SCALE // max(tgt_row, 1)
+                for v in rm.values()),
+            max(abs(v - tgt_col) * _RAKE_SCALE // max(tgt_col, 1)
+                for v in cm.values()),
+        )
+        if dev <= _RAKE_TOL_PPB:
+            ok = True
+            break
+    if not ok:
+        raise RuntimeError(
+            f"raking did not reach {_RAKE_TOL_PPB} ppb marginal "
+            f"deviation in {_RAKE_ROUNDS} rounds — the contingency "
+            "table is likely structurally infeasible (zero cells "
+            "blocking a marginal); inspect the (source, lang) counts")
+
+    per_doc = {(r["source"], r["lang"]):
+               w[(r["source"], r["lang"])] // int(r["n"])
+               for r in cells}
+    ref = ray.put(per_doc)
+
+    def attach(batch: pa.Table, _ref=ref) -> pa.Table:
+        pd_map = cached_get(_ref)
+        s = batch.column("source").to_pylist()
+        lg = batch.column("lang").to_pylist()
+        keys = np.asarray([a + "\x00" + b for a, b in zip(s, lg)])
+        uniq, inv = np.unique(keys, return_inverse=True)
+        lut = np.array(
+            [pd_map[tuple(u.split("\x00"))] for u in uniq], np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "lang": batch.column("lang"),
+            "weight_ppb": pa.array(lut[inv], pa.int64()),
+        })
+
+    return ds.map_batches(attach, batch_format="pyarrow",
+                          runtime_env=runtime_env())
+
+
 def q_auc_score(sf_dir: str):
     """Exact AUC (ROC area) of a scalar score against a binary label —
     the threshold-free companion of :func:`q_best_split` (same
@@ -13821,6 +13923,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "zipf_spectrum": q_zipf_spectrum,
         "benford_audit": q_benford_audit,
         "auc_score": q_auc_score,
+        "raking_weights": q_raking_weights,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -14071,6 +14174,7 @@ ROWS_ONLY: List[str] = [
     "semdedup_prune",
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
     "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
-    "link_kcore", "link_scc", "link_mis", "mmr_topk", "embedding_pca",
+    "link_kcore", "link_scc", "link_mis", "raking_weights",
+    "mmr_topk", "embedding_pca",
     "compressibility", "streaming_heavy_tokens", "cdc_dedup",
 ]

@@ -692,3 +692,53 @@ def test_auc_score_known_cases(ray_session, tmp_path):
     write([7, 7, 7, 7], ["en", "en", "xx", "xx"])
     r = q_auc_score(str(tmp_path)).take_all()[0]
     assert (r["auc_num2"], r["auc_den2"]) == (4, 8)
+
+
+def test_raking_weights_two_marginal_attainment(ray_session, tmp_path):
+    """Skewed 2x2 contingency ([30,10],[10,50]): after raking, the
+    WEIGHTED source marginals and lang marginals are each within 0.1 %
+    of uniform — which no single-marginal rebalance achieves — and the
+    run is deterministic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import (_RAKE_SCALE,
+                                                        q_raking_weights)
+
+    counts = {("s0", "en"): 30, ("s0", "fr"): 10,
+              ("s1", "en"): 10, ("s1", "fr"): 50}
+    rows = []
+    did = 0
+    for (s, lg), n in counts.items():
+        for _ in range(n):
+            rows.append((did, s, lg))
+            did += 1
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array(["t"] * len(rows), pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "n_chars": pa.array([1] * len(rows), pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    out = q_raking_weights(str(tmp_path)).take_all()
+    assert len(out) == 100
+    n_tot = 100
+    tgt = n_tot * _RAKE_SCALE // 2
+    src_m, lang_m = {}, {}
+    for r in out:
+        src_m[r["source"]] = src_m.get(r["source"], 0) + r["weight_ppb"]
+        lang_m[r["lang"]] = lang_m.get(r["lang"], 0) + r["weight_ppb"]
+    for m in (src_m, lang_m):
+        assert len(m) == 2
+        for v in m.values():
+            assert abs(v - tgt) < tgt // 500   # within 0.2 % (floor slack)
+    # docs in the same cell share one weight; determinism across runs
+    w_cell = {}
+    for r in out:
+        w_cell.setdefault((r["source"], r["lang"]), set()).add(
+            r["weight_ppb"])
+    assert all(len(v) == 1 for v in w_cell.values())
+    again = {r["doc_id"]: r["weight_ppb"]
+             for r in q_raking_weights(str(tmp_path)).take_all()}
+    assert all(again[r["doc_id"]] == r["weight_ppb"] for r in out)
