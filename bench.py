@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "benford_audit",
     "auc_score",
     "raking_weights",
+    "lateness_audit",
     "crawl_bfs",
 ]
 

@@ -208,3 +208,69 @@ def grouped_prefix_scan(ds, key: str, group: str, value_col: str,
         add_scan, batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
     )
+
+
+SCAN_NEG_INF = -(2**63)   # strict-prefix-max sentinel for "no prefix yet"
+
+
+def prefix_max_scan(ds, key: str, value_col: str,
+                    out_col: str = "running_max", exclusive: bool = False,
+                    shuffle_partitions: int = None):
+    """Add ``out_col`` = running MAX of ``value_col`` in global ``key``
+    order — the max twin of :func:`prefix_scan` (same two-phase
+    O(#blocks)-driver-state shape: per-block max stats, driver prefix
+    over the tiny block table, broadcast offsets, in-block accumulate).
+
+    ``exclusive=True`` yields the STRICT-prefix max (``SCAN_NEG_INF``
+    for the globally first row) — exactly the streaming-watermark
+    shape: at each arrival, the largest event time seen in all EARLIER
+    arrivals."""
+    import ray
+
+    if shuffle_partitions:
+        ds = ds.repartition(shuffle_partitions)
+    srt = ds.sort(key).materialize()
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        ktype = batch.schema.field(key).type
+        if batch.num_rows == 0:
+            return pa.table({"first_key": pa.array([], ktype),
+                             "bmax": pa.array([], pa.int64())})
+        vals = batch.column(value_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "first_key": pa.array([batch.column(key)[0].as_py()], ktype),
+            "bmax": pa.array([int(vals.max())], pa.int64()),
+        })
+
+    stats = srt.map_batches(
+        block_stats, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    ).take_all()
+    stats.sort(key=lambda r: r["first_key"])
+    offsets = {}
+    acc = SCAN_NEG_INF
+    for r in stats:
+        offsets[r["first_key"]] = acc
+        acc = max(acc, int(r["bmax"]))
+    off_ref = ray.put(offsets)
+
+    def add_scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        off = cached_get(off_ref)[batch.column(key)[0].as_py()]
+        vals = batch.column(value_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        incl = np.maximum.accumulate(vals)
+        if exclusive:
+            run = np.concatenate(
+                ([SCAN_NEG_INF], incl[:-1].astype(np.int64)))
+        else:
+            run = incl.astype(np.int64)
+        run = np.maximum(run, off)
+        return batch.append_column(out_col, pa.array(run, pa.int64()))
+
+    return srt.map_batches(
+        add_scan, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )

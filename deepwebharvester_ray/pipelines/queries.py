@@ -12630,6 +12630,100 @@ ORDER BY a.user_id, eid_a, eid_b
 """
 
 
+_LATE_ALLOW_US = 3_600 * 10**6   # 1 h allowed lateness (the watermark lag)
+
+
+def q_lateness_audit(sf_dir: str):
+    """Streaming watermark lateness audit — the event-time/processing-
+    time skew diagnostic every windowed streaming pipeline needs before
+    choosing its watermark lag: replaying events in ARRIVAL order
+    (event_id), an event is late iff its event time falls more than the
+    allowed lag behind the watermark, where the watermark at each
+    arrival is the max event time over all STRICTLY EARLIER arrivals
+    (the first arrival can never be late).  Output per event_type:
+    events, late count, late share ppm — how much data the 1 h
+    watermark would drop per stream.
+
+    Distributed shape: the strict-prefix watermark is ONE
+    :func:`functions.scan.prefix_max_scan` (the prefix_scan two-phase
+    pattern with max — per-block max stats, O(#blocks) driver prefix,
+    broadcast offsets, in-block ``np.maximum.accumulate``; no window
+    materialization), then a vectorized late mask and ONE combiner
+    ``grouped_agg`` at type cardinality."""
+    from ..functions.scan import SCAN_NEG_INF, prefix_max_scan
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "ts"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = (batch.column("ts").combine_chunks().cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy(zero_copy_only=False))
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type"),
+            "ts_us": pa.array(ts, pa.int64()),
+        })
+
+    wm = prefix_max_scan(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        "event_id", "ts_us", out_col="wm_us", exclusive=True,
+        shuffle_partitions=_shuffle_parts(sf_dir, "events"))
+
+    def late(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts_us").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        w = batch.column("wm_us").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        is_late = ((w != SCAN_NEG_INF)
+                   & (ts < w - _LATE_ALLOW_US)).astype(np.int64)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "late": pa.array(is_late, pa.int64()),
+        })
+
+    agg = grouped_agg(
+        wm.map_batches(late, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["event_type"],
+        [("n_events", "", "count"), ("n_late", "late", "sum")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_events").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        nl = batch.column("n_late").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return batch.append_column(
+            "late_ppm", pa.array(nl * 10**6 // n, pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+
+
+_SQL_LATENESS_AUDIT = f"""
+WITH e AS (
+  SELECT event_id, event_type, epoch_us(ts) AS tsu FROM events
+),
+w AS (
+  SELECT event_type, tsu,
+         max(tsu) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM e
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(*) FILTER (wm IS NOT NULL
+              AND tsu < wm - {_LATE_ALLOW_US}) AS BIGINT) AS n_late
+  FROM w GROUP BY event_type
+)
+SELECT event_type, n_events, n_late,
+       CAST(n_late * 1000000 // n_events AS BIGINT) AS late_ppm
+FROM g ORDER BY event_type
+"""
+
+
 _RAKE_SCALE = 10**9   # ppb fixed point — all IPF state is exact int
 _RAKE_ROUNDS = 40
 _RAKE_TOL_PPB = 10**6  # stop when every marginal is within 0.1 %
@@ -13924,6 +14018,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "benford_audit": q_benford_audit,
         "auc_score": q_auc_score,
         "raking_weights": q_raking_weights,
+        "lateness_audit": q_lateness_audit,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -14101,6 +14196,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "zipf_spectrum": _SQL_ZIPF_SPECTRUM,
         "benford_audit": _sql_benford_audit(),
         "auc_score": _SQL_AUC_SCORE,
+        "lateness_audit": _SQL_LATENESS_AUDIT,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

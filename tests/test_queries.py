@@ -86,6 +86,7 @@ SPOT_CHECKED = [
     "zipf_spectrum",
     "benford_audit",
     "auc_score",
+    "lateness_audit",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -742,3 +743,30 @@ def test_raking_weights_two_marginal_attainment(ray_session, tmp_path):
     again = {r["doc_id"]: r["weight_ppb"]
              for r in q_raking_weights(str(tmp_path)).take_all()}
     assert all(again[r["doc_id"]] == r["weight_ppb"] for r in out)
+
+
+def test_lateness_audit_planted_watermark(ray_session, tmp_path):
+    """Arrival order 0..4 with event times (hours) 10, 0.5, 9.5, 12, 12:
+    wm before each = -inf, 10, 10, 10, 12.  With 1 h allowed lag only
+    the 0.5 h event (arrival 1) is late (9.5 >= 10-1 is on time; the
+    first arrival can never be late)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_lateness_audit
+
+    H = 3_600 * 10**6
+    base = 1_700_000_000_000_000
+    times_h = [10.0, 0.5, 9.5, 12.0, 12.0]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "event_type": pa.array(["a"] * 5, pa.string()),
+        "ts": pa.array([base + int(h * H) for h in times_h],
+                       pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+
+    out = q_lateness_audit(str(tmp_path)).take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_events"] == 5 and r["n_late"] == 1
+    assert r["late_ppm"] == 200_000
