@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "auc_score",
     "raking_weights",
     "lateness_audit",
+    "frequent_pairs",
     "crawl_bfs",
 ]
 

@@ -12630,6 +12630,145 @@ ORDER BY a.user_id, eid_a, eid_b
 """
 
 
+# Frequent-itemset support = 20 % of docs; per-doc frequent-token guard.
+_FP_SUPPORT_DIV = 5
+_FP_MAX_PER_DOC = 512
+
+
+def q_frequent_pairs(sf_dir: str):
+    """Frequent co-occurring token pairs — A-priori market-basket
+    mining over documents (which tokens appear TOGETHER in ≥ 20 % of
+    docs), the MINING complement of :func:`q_pmi_bigrams` (PMI scores
+    ADJACENT bigrams; this discovers document-level associations with
+    a support guarantee).  The a-priori property does the pruning: a
+    pair can only be frequent if both members are, so candidate pairs
+    are generated from frequent SINGLETONS only — the classic
+    two-pass plan.
+
+    Distributed shape: pass 1 = per-doc distinct tokens → df combiner
+    → the support filter leaves a SUPPORT-BOUNDED frequent set
+    (|F| ≤ corpus_token_occurrences / min_support — broadcast-safe by
+    construction, not by hope); pass 2 = per doc, its frequent tokens
+    sort + C(f_d, 2) pair emission (triu indices, hot-doc guard raises
+    past the per-doc cap), pair counts collapse in ONE combiner and
+    the support filter is a tiny vectorized mask."""
+    import ray
+
+    from ..broadcast import cached_get
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    n_docs = pq.ParquetFile(
+        str(Path(sf_dir) / "documents.parquet")).metadata.num_rows
+    min_sup = max(2, n_docs // _FP_SUPPORT_DIV)
+
+    def doc_tokens(batch: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            u = sorted(set(WORD_RE.findall((t or "").lower())))
+            ids.extend([d] * len(u))
+            toks.extend(u)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string())})
+
+    dt = ds.map_batches(doc_tokens, batch_format="pyarrow",
+                        batch_size=None,
+                        runtime_env=runtime_env()).materialize()
+    df = grouped_agg(dt, ["token"], [("n", "", "count")])
+
+    def freq_only(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return batch.filter(pa.array(n >= min_sup)).select(["token"])
+
+    freq = sorted(r["token"] for r in df.map_batches(
+        freq_only, batch_format="pyarrow",
+        runtime_env=runtime_env()).take_all())
+    f_ref = ray.put(np.asarray(freq))
+
+    def pairs(batch: pa.Table, _ref=f_ref) -> pa.Table:
+        fset = cached_get(_ref)
+        d = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        t = np.asarray(batch.column("token").to_pylist())
+        pos = np.searchsorted(fset, t)
+        ok = (pos < len(fset)) if len(fset) else np.zeros(len(t), bool)
+        if len(fset):
+            ok &= fset[np.minimum(pos, len(fset) - 1)] == t
+        d, t = d[ok], t[ok]
+        order = np.lexsort((t, d))
+        d, t = d[order], t[order]
+        from ..functions.dedup import _run_bounds
+        starts, ends = _run_bounds(d)
+        lens = ends - starts
+        if len(lens) and lens.max() > _FP_MAX_PER_DOC:
+            raise RuntimeError(
+                f"frequent_pairs: a doc holds > {_FP_MAX_PER_DOC} "
+                "frequent tokens; raise the support threshold or cap "
+                "the frequent set before pair emission")
+        out_a, out_b = [], []
+        for m in np.unique(lens):
+            if m < 2:
+                continue
+            runs = starts[lens == m]
+            idx = runs[:, None] + np.arange(m)       # (R, m)
+            iu, ju = np.triu_indices(int(m), k=1)
+            out_a.append(idx[:, iu].ravel())
+            out_b.append(idx[:, ju].ravel())
+        if not out_a:
+            return pa.table({"token_a": pa.array([], pa.string()),
+                             "token_b": pa.array([], pa.string())})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pa.table({"token_a": pa.array(t[a].tolist(), pa.string()),
+                         "token_b": pa.array(t[b].tolist(), pa.string())})
+
+    pc_tbl = grouped_agg(
+        dt.map_batches(pairs, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["token_a", "token_b"], [("n_docs", "", "count")],
+    )
+
+    def sup_filter(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_docs").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return batch.filter(pa.array(n >= min_sup))
+
+    return pc_tbl.map_batches(sup_filter, batch_format="pyarrow",
+                              runtime_env=runtime_env())
+
+
+def _sql_frequent_pairs() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_TOKEN_SQL_RE}'))
+             AS token
+  FROM documents
+),
+dt AS (SELECT DISTINCT doc_id, token FROM tok),
+ms AS (SELECT greatest(2, (SELECT count(*) FROM documents)
+                          // {_FP_SUPPORT_DIV}) AS v),
+f AS (
+  SELECT token FROM dt GROUP BY token
+  HAVING count(*) >= (SELECT v FROM ms)
+),
+fd AS (SELECT doc_id, token FROM dt
+       WHERE token IN (SELECT token FROM f)),
+p AS (
+  SELECT a.token AS ta, b.token AS tb, CAST(count(*) AS BIGINT) AS n
+  FROM fd a JOIN fd b
+    ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2
+)
+SELECT ta AS token_a, tb AS token_b, n AS n_docs
+FROM p WHERE n >= (SELECT v FROM ms)
+ORDER BY token_a, token_b
+"""
+
+
 _LATE_ALLOW_US = 3_600 * 10**6   # 1 h allowed lateness (the watermark lag)
 
 
@@ -14019,6 +14158,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "auc_score": q_auc_score,
         "raking_weights": q_raking_weights,
         "lateness_audit": q_lateness_audit,
+        "frequent_pairs": q_frequent_pairs,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -14197,6 +14337,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "benford_audit": _sql_benford_audit(),
         "auc_score": _SQL_AUC_SCORE,
         "lateness_audit": _SQL_LATENESS_AUDIT,
+        "frequent_pairs": _sql_frequent_pairs(),
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

@@ -87,6 +87,7 @@ SPOT_CHECKED = [
     "benford_audit",
     "auc_score",
     "lateness_audit",
+    "frequent_pairs",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -770,3 +771,27 @@ def test_lateness_audit_planted_watermark(ray_session, tmp_path):
     r = out[0]
     assert r["n_events"] == 5 and r["n_late"] == 1
     assert r["late_ppm"] == 200_000
+
+
+def test_frequent_pairs_apriori_planted(ray_session, tmp_path):
+    """10 docs, min_support = 2: tokens x,y co-occur in 3 docs (pair
+    kept, support 3); y,z co-occur once (pruned); token 'rare' appears
+    once so no pair containing it ever reaches counting (a-priori
+    pruning)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_frequent_pairs
+
+    texts = [
+        "x y", "x y", "x y z", "z w", "z w",
+        "w q", "q rare", "q", "w", "z",
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    out = {(r["token_a"], r["token_b"]): r["n_docs"]
+           for r in q_frequent_pairs(str(tmp_path)).take_all()}
+    assert out == {("x", "y"): 3, ("w", "z"): 2}
