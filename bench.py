@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "raking_weights",
     "lateness_audit",
     "frequent_pairs",
+    "link_ktruss",
     "crawl_bfs",
 ]
 

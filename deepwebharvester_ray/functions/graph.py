@@ -1220,3 +1220,108 @@ def mis_select(nodes_ds, edges_ds, max_rounds: int = 128,
     return nodes_ds.map_batches(
         label, batch_format="pyarrow", runtime_env=runtime_env()
     )
+
+
+def ktruss_edges(edges_ds, k: int, max_rounds: int = 64):
+    """k-truss of the undirected graph: the maximal subgraph in which
+    EVERY edge closes ≥ k−2 triangles (within the subgraph) — the
+    edge-cohesion strengthening of the k-core (degree can be faked by a
+    star; triangle support cannot), the standard dense-community /
+    link-farm certificate on web graphs.
+
+    Iterative peel, fully in the data plane: per round ONE
+    wedge join on the middle vertex (u<v<w ordered — each triangle
+    found once) + ONE closing-edge join, per-triangle emission of its
+    three edge-support rows, a combiner count, and the survivor filter
+    ``support ≥ k−2`` IS the next round's edge set (edges outside any
+    triangle never appear in the support table, so they drop without a
+    join-back or an anti-join).  Converges when the edge count is
+    stable; raises at the round bound (the peel is monotone decreasing,
+    so rounds ≤ initial edges).  Driver sees one scalar per round.
+
+    ``edges_ds``: (src, dst), directed or undirected — canonicalized
+    (u<v, self-loops dropped, deduped) here.  Returns (u, v)."""
+    from .agg import grouped_agg
+    from .partition import coalesce_nonempty
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"u": pa.array(np.minimum(s, d), pa.int64()),
+                         "v": pa.array(np.maximum(s, d), pa.int64())})
+
+    ue = grouped_agg(
+        edges_ds.map_batches(canon, batch_format="pyarrow",
+                             runtime_env=runtime_env()),
+        ["u", "v"], [("__n", "", "count")],
+    ).map_batches(
+        lambda b: b.select(["u", "v"]),
+        batch_format="pyarrow", runtime_env=runtime_env(),
+    ).materialize()
+    n_edges = ue.count()
+    min_sup = k - 2
+
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            return ue
+        parts = max(2, ue.num_blocks() // 4)
+        e_nz = coalesce_nonempty(ue)
+        b = coalesce_nonempty(ue.map_batches(
+            lambda t: pa.table({"u2": t.column("u"), "w": t.column("v")}),
+            batch_format="pyarrow", runtime_env=runtime_env()))
+        wedges = e_nz.join(b, "inner", num_partitions=parts,
+                           on=("v",), right_on=("u2",))
+        c = coalesce_nonempty(ue.map_batches(
+            lambda t: pa.table({"cu": t.column("u"), "cv": t.column("v")}),
+            batch_format="pyarrow", runtime_env=runtime_env()))
+        w_nz = coalesce_nonempty(wedges.select_columns(["u", "v", "w"]))
+        if w_nz is None:
+            tri = None
+        else:
+            tri = w_nz.join(c, "inner", num_partitions=parts,
+                            on=("u", "w"), right_on=("cu", "cv"))
+
+        def supports(batch: pa.Table) -> pa.Table:
+            un = batch.column("u").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            vn = batch.column("v").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            wn = batch.column("w").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "u": pa.array(np.concatenate([un, vn, un]), pa.int64()),
+                "v": pa.array(np.concatenate([vn, wn, wn]), pa.int64()),
+            })
+
+        if tri is None:
+            sup_rows = 0
+            nxt = ue.limit(0)
+        else:
+            sup = grouped_agg(
+                tri.map_batches(supports, batch_format="pyarrow",
+                                batch_size=None,
+                                runtime_env=runtime_env()),
+                ["u", "v"], [("n", "", "count")],
+            )
+
+            def keep_fn(batch: pa.Table) -> pa.Table:
+                n = batch.column("n").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                return batch.filter(
+                    pa.array(n >= min_sup)).select(["u", "v"])
+
+            nxt = sup.map_batches(keep_fn, batch_format="pyarrow",
+                                  runtime_env=runtime_env()).materialize()
+            sup_rows = nxt.count()
+        if sup_rows == n_edges:
+            return nxt if tri is not None else ue
+        ue, n_edges = (nxt if tri is not None else ue.limit(0)
+                       .materialize()), sup_rows
+    raise RuntimeError(
+        f"ktruss_edges did not stabilize within {max_rounds} rounds; "
+        "raise max_rounds (peel removes >= 1 edge per round, so this "
+        "indicates an extreme cascade depth)")

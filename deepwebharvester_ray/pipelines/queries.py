@@ -11907,6 +11907,49 @@ def q_link_kcore(sf_dir: str):
     return kcore_nodes(edges, k=_KCORE_K)
 
 
+def q_link_ktruss(sf_dir: str):
+    """k-truss extraction over the same site graph as
+    :func:`q_link_kcore` — the EDGE-cohesion strengthening of the
+    k-core: every surviving edge must close ≥ k−2 triangles within the
+    surviving subgraph.  Degree can be faked (a star farm passes a
+    degree test with zero mutual linkage); triangle support cannot —
+    the standard link-farm certificate.  On this graph the 3-truss is
+    exactly the triangle-supported community among the first 64 pages
+    (the 128 ring edges plus the in-ring tree chords that close
+    triangles — 187 edges at sf0.001, pinned against the brute-force
+    reference); every tree edge reaching past the ring closes no
+    triangle and dies in round one, a cascade the peel must get right.
+
+    Engine: :func:`functions.graph.ktruss_edges` — per round one
+    ordered wedge join + one closing-edge join, per-triangle edge-
+    support emission, combiner count; the survivor filter IS the next
+    edge set (triangle-free edges never enter the support table, so no
+    join-back / anti-join).  Rows-only (iterative peel has no SQL
+    form); exactness pinned against a brute-force peeling reference in
+    test_functions."""
+    from ..functions.graph import ktruss_edges
+
+    docs = _docs(sf_dir, columns=["doc_id"],
+                 override_num_blocks=_shuffle_parts(sf_dir))
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = [d[d > 0]]
+        dst = [d[d > 0] // 2]
+        ring = d[d < _KCORE_RING]
+        for off in (1, 2):
+            src.append(ring)
+            dst.append((ring + off) % _KCORE_RING)
+        return pa.table({
+            "src": pa.array(np.concatenate(src), pa.int64()),
+            "dst": pa.array(np.concatenate(dst), pa.int64()),
+        })
+
+    edges = docs.map_batches(to_edges, batch_format="pyarrow",
+                             runtime_env=runtime_env())
+    return ktruss_edges(edges, k=_KCORE_K).sort(["u", "v"])
+
+
 def q_user_state_ranges(sf_dir: str):
     """SCD-2 style state-history compaction: each user's time-ordered
     event stream collapsed to validity RANGES — one row per maximal run
@@ -14103,6 +14146,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "cheapest_paths": q_cheapest_paths,
         "link_scc": q_link_scc,
         "link_mis": q_link_mis,
+        "link_ktruss": q_link_ktruss,
         "hits_scores": q_hits_scores,
         "two_hop_counts": q_two_hop_counts,
         "link_authority": q_link_authority,
@@ -14411,7 +14455,7 @@ ROWS_ONLY: List[str] = [
     "semdedup_prune",
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
     "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
-    "link_kcore", "link_scc", "link_mis", "raking_weights",
+    "link_kcore", "link_scc", "link_mis", "link_ktruss", "raking_weights",
     "mmr_topk", "embedding_pca",
     "compressibility", "streaming_heavy_tokens", "cdc_dedup",
 ]

@@ -2785,3 +2785,58 @@ def test_mis_select_edgeless_and_determinism(ray_session):
     assert a == b
     chosen = {i for i, f in a if f}
     assert 2 <= len(chosen) <= 3  # ring of 7: any maximal IS has 2-3
+
+
+def _ktruss_ref(edges, k):
+    """Brute-force k-truss peel via adjacency-set intersection."""
+    E = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        adj = {}
+        for u, v in E:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        keep = {(u, v) for (u, v) in E if len(adj[u] & adj[v]) >= k - 2}
+        if keep == E:
+            return E
+        E = keep
+
+
+def test_ktruss_edges_matches_brute_force(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.graph import ktruss_edges
+
+    rng = np.random.default_rng(31)
+    n = 40
+    edges = [(int(s), int(d)) for s, d in
+             zip(rng.integers(0, n, 140), rng.integers(0, n, 140))]
+    # planted K5 on 0-4 (4-truss survivor) + a pendant triangle (dies
+    # at k=4: its edges close exactly 1 triangle)
+    edges += [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    edges += [(10, 11), (11, 12), (12, 10)]
+
+    edges_ds = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in edges]
+    ).repartition(5).materialize()
+
+    for k in (3, 4):
+        ref = _ktruss_ref(edges, k)
+        got = {(r["u"], r["v"])
+               for r in ktruss_edges(edges_ds, k=k).take_all()}
+        assert got == ref, f"k={k}"
+    # K5 must survive k=4 regardless of the random noise
+    got4 = {(r["u"], r["v"])
+            for r in ktruss_edges(edges_ds, k=4).take_all()}
+    assert {(a, b) for a in range(5) for b in range(a + 1, 5)} <= got4
+    assert (10, 11) not in got4      # pendant triangle peeled at k=4
+
+
+def test_ktruss_triangle_free_graph_empties(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.graph import ktruss_edges
+
+    star = ray.data.from_items(
+        [{"src": 0, "dst": i} for i in range(1, 8)]).materialize()
+    out = ktruss_edges(star, k=3).take_all()
+    assert out == []
