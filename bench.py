@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "lateness_audit",
     "frequent_pairs",
     "link_ktruss",
+    "jsonl_roundtrip",
     "crawl_bfs",
 ]
 

@@ -12673,6 +12673,45 @@ ORDER BY a.user_id, eid_a, eid_b
 """
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL interchange round-trip — the read side of the JSON sink
+    (reference storage.py:158-194 writes JSON; real pipelines also
+    INGEST vendor/partner drops as JSONL): project documents to the
+    interchange columns, ``write_json`` a partitioned JSONL export,
+    ``read_json`` it back, and emit the rows — the oracle (an identity
+    projection of the parquet) proves the export+ingest path is
+    LOSSLESS for the int64/string payload, not just that files were
+    written.
+
+    Distributed shape: both sides stream block-wise (one JSONL file
+    per block out, parallel file reads back); nothing driver-side but
+    the temp-dir handle.  Types survive via the int64/string subset —
+    timestamps/floats would need an explicit schema on re-read (the
+    documented JSONL caveat)."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    out_dir = tempfile.mkdtemp(prefix="dwh_jsonl_rt_")
+    try:
+        ds.write_json(out_dir)
+        # materialize before the finally-rmtree: the read must consume
+        # the files while they exist; rows never visit the driver
+        back = ray.data.read_json(out_dir).select_columns(
+            ["doc_id", "lang", "n_chars"]).materialize()
+        return back.sort("doc_id")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+_SQL_JSONL_ROUNDTRIP = """
+SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id
+"""
+
+
 # Frequent-itemset support = 20 % of docs; per-doc frequent-token guard.
 _FP_SUPPORT_DIV = 5
 _FP_MAX_PER_DOC = 512
@@ -14203,6 +14242,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "raking_weights": q_raking_weights,
         "lateness_audit": q_lateness_audit,
         "frequent_pairs": q_frequent_pairs,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -14382,6 +14422,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "auc_score": _SQL_AUC_SCORE,
         "lateness_audit": _SQL_LATENESS_AUDIT,
         "frequent_pairs": _sql_frequent_pairs(),
+        "jsonl_roundtrip": _SQL_JSONL_ROUNDTRIP,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

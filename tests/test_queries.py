@@ -88,6 +88,7 @@ SPOT_CHECKED = [
     "auc_score",
     "lateness_audit",
     "frequent_pairs",
+    "jsonl_roundtrip",
     "bibcoupling",
     "random_walks",
     "top_passages",
