@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "frequent_pairs",
     "link_ktruss",
     "jsonl_roundtrip",
+    "skipgram_counts",
     "crawl_bfs",
 ]
 

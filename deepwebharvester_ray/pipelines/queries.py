@@ -12673,6 +12673,127 @@ ORDER BY a.user_id, eid_a, eid_b
 """
 
 
+_SKIPGRAM_WINDOW = 3
+_SKIPGRAM_TOP = 30
+
+
+def q_skipgram_counts(sf_dir: str):
+    """Skip-gram window co-occurrence counts — the word2vec/GloVe
+    training-data op: for every token position, each token within ±3
+    positions is a context, and the (token, context) pair counts ARE
+    the embedding-training corpus statistic (PMI scores only ADJACENT
+    bigrams; association mining uses doc-level sets; this is the
+    positional window between them).  Pairs are canonical
+    (min, max) by string — each co-occurrence counted once — and the
+    output is the exact top-30 under (count DESC, token_a, token_b).
+
+    Distributed shape: tokenize once per block into flat arrays with
+    doc-boundary masks; the three window offsets are three SHIFTED
+    vectorized comparisons (no per-position loop, no position join);
+    per-block local pair counts via np.unique (the top_tokens combiner
+    discipline — shuffle volume is per-block pair vocabulary), grouped
+    merge, then the two-level deterministic top-k."""
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def local_pairs(batch: pa.Table) -> pa.Table:
+        toks, docs = [], []
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            w = WORD_RE.findall((t or "").lower())
+            toks.extend(w)
+            docs.extend([i] * len(w))
+        if len(toks) < 2:
+            return pa.table({"ta": pa.array([], pa.string()),
+                             "tb": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ta = np.asarray(toks, dtype=object)
+        dc = np.asarray(docs, np.int64)
+        keys = []
+        for d in range(1, _SKIPGRAM_WINDOW + 1):
+            if len(ta) <= d:
+                break
+            a, b = ta[:-d], ta[d:]
+            same = dc[:-d] == dc[d:]
+            lo = np.where(a <= b, a, b)[same]
+            hi = np.where(a <= b, b, a)[same]
+            keys.append(np.char.add(np.char.add(
+                lo.astype(str), "|"), hi.astype(str)))
+        if not keys:
+            return pa.table({"ta": pa.array([], pa.string()),
+                             "tb": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uniq, counts = np.unique(np.concatenate(keys),
+                                 return_counts=True)
+        parts = np.char.partition(uniq, "|")
+        return pa.table({
+            "ta": pa.array(parts[:, 0].tolist(), pa.string()),
+            "tb": pa.array(parts[:, 2].tolist(), pa.string()),
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    merged = grouped_agg(
+        ds.map_batches(local_pairs, batch_format="pyarrow",
+                       batch_size=None, runtime_env=runtime_env()),
+        ["ta", "tb"], [("n", "n", "sum")],
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= _SKIPGRAM_TOP:
+            return batch
+        n = batch.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        a = np.asarray(batch.column("ta").to_pylist(), dtype=object)
+        b = np.asarray(batch.column("tb").to_pylist(), dtype=object)
+        order = np.lexsort((b, a, -n))[:_SKIPGRAM_TOP]
+        return batch.take(pa.array(np.sort(order)))
+
+    top = merged.map_batches(block_topk, batch_format="pyarrow",
+                             batch_size=None,
+                             runtime_env=runtime_env()).take_all()
+    top.sort(key=lambda r: (-int(r["n"]), r["ta"], r["tb"]))
+    top = top[:_SKIPGRAM_TOP]
+    import ray
+
+    return ray.data.from_arrow(pa.table({
+        "token_a": pa.array([r["ta"] for r in top], pa.string()),
+        "token_b": pa.array([r["tb"] for r in top], pa.string()),
+        "n": pa.array([int(r["n"]) for r in top], pa.int64()),
+    }))
+
+
+def _sql_skipgram_counts() -> str:
+    joins = "\n  UNION ALL\n".join(
+        f"""  SELECT least(a.token, b.token) AS ta,
+         greatest(a.token, b.token) AS tb
+  FROM t a JOIN t b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + {d}"""
+        for d in range(1, _SKIPGRAM_WINDOW + 1))
+    return f"""
+WITH dd AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '{_TOKEN_SQL_RE}') AS toks
+  FROM documents
+),
+t AS (
+  SELECT doc_id, unnest(toks) AS token,
+         generate_subscripts(toks, 1) AS pos
+  FROM dd
+),
+p AS (
+{joins}
+),
+g AS (
+  SELECT ta, tb, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2
+)
+SELECT ta AS token_a, tb AS token_b, n
+FROM g
+QUALIFY row_number() OVER (ORDER BY n DESC, ta, tb) <= {_SKIPGRAM_TOP}
+ORDER BY n DESC, token_a, token_b
+"""
+
+
 def q_jsonl_roundtrip(sf_dir: str):
     """JSONL interchange round-trip — the read side of the JSON sink
     (reference storage.py:158-194 writes JSON; real pipelines also
@@ -14243,6 +14364,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "lateness_audit": q_lateness_audit,
         "frequent_pairs": q_frequent_pairs,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "skipgram_counts": q_skipgram_counts,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -14423,6 +14545,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "lateness_audit": _SQL_LATENESS_AUDIT,
         "frequent_pairs": _sql_frequent_pairs(),
         "jsonl_roundtrip": _SQL_JSONL_ROUNDTRIP,
+        "skipgram_counts": _sql_skipgram_counts(),
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

@@ -89,6 +89,7 @@ SPOT_CHECKED = [
     "lateness_audit",
     "frequent_pairs",
     "jsonl_roundtrip",
+    "skipgram_counts",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -796,3 +797,23 @@ def test_frequent_pairs_apriori_planted(ray_session, tmp_path):
     out = {(r["token_a"], r["token_b"]): r["n_docs"]
            for r in q_frequent_pairs(str(tmp_path)).take_all()}
     assert out == {("x", "y"): 3, ("w", "z"): 2}
+
+
+def test_skipgram_counts_window_semantics(ray_session, tmp_path):
+    """'a b c d': window 3 pairs = ab,ac,ad,bc,bd,cd each once; doc
+    boundary blocks cross-doc pairs; canonical min/max merges both
+    directions ('b a' again -> ab count 2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_skipgram_counts
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a b c d", "b a"], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    out = {(r["token_a"], r["token_b"]): r["n"]
+           for r in q_skipgram_counts(str(tmp_path)).take_all()}
+    assert out == {("a", "b"): 2, ("a", "c"): 1, ("a", "d"): 1,
+                   ("b", "c"): 1, ("b", "d"): 1, ("c", "d"): 1}
