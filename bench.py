@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "link_ktruss",
     "jsonl_roundtrip",
     "skipgram_counts",
+    "dedup_eval",
     "crawl_bfs",
 ]
 

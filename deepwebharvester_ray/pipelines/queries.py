@@ -12673,6 +12673,96 @@ ORDER BY a.user_id, eid_a, eid_b
 """
 
 
+_DEDUP_EVAL_N = 800       # eval sample: first N doc_ids (deterministic)
+_DEDUP_EVAL_THRESH = 0.6  # must match the minhash query's threshold
+
+
+def q_dedup_eval(sf_dir: str):
+    """Dedup-pipeline evaluation — measure the MinHash-LSH path's
+    recall/precision against EXACT shingle-Jaccard ground truth before
+    trusting it at corpus scale: the banding S-curve misses borderline
+    pairs with probability (1−s^r)^b and the hot-bucket guard skips
+    flooded bands, and this harness is how you QUANTIFY that loss (the
+    eval-family member for the dedup family, as retrieval_eval is for
+    search).  Runs on a deterministic doc_id-prefix sample BY DESIGN —
+    exact all-pairs ground truth is quadratic, which is precisely why
+    the production path needs LSH and why its recall must be audited on
+    a sample.  Output: one row — truth pairs, found pairs, hits,
+    recall_ppm, precision_ppm (verification is exact Jaccard, so
+    precision < 10⁶ would indicate a BUG, not tuning; the test pins
+    it).
+
+    Distributed shape: the sample's shingle blobs broadcast once
+    (sample-bounded by construction); ground truth is a strip-
+    parallel exact pass (each block compares its ids against all
+    higher ids); the LSH side is the production
+    :func:`functions.dedup.minhash_lsh_pairs` unchanged — the eval
+    exercises the REAL operator, not a reimplementation."""
+    import ray
+
+    from ..broadcast import cached_get
+    from ..functions.dedup import minhash_lsh_pairs, shingle_set
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir)).filter(
+        expr=f"doc_id < {_DEDUP_EVAL_N}")
+
+    def blobs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        bl = [np.asarray(shingle_set(t or ""), np.uint64).tobytes()
+              for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "blob": pa.array(bl, pa.large_binary())})
+
+    rows = ds.map_batches(blobs, batch_format="pyarrow",
+                          batch_size=None,
+                          runtime_env=runtime_env()).take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    ids = np.array([r["doc_id"] for r in rows], np.int64)
+    sets = [np.frombuffer(r["blob"], np.uint64) for r in rows]
+    ref = ray.put((ids, sets))
+
+    def strip_truth(batch: pa.Table, _ref=ref) -> pa.Table:
+        sids, ssets = cached_get(_ref)
+        out_a, out_b = [], []
+        for i0 in batch.column("i").to_pylist():
+            a = ssets[i0]
+            la = len(a)
+            for j in range(i0 + 1, len(sids)):
+                b = ssets[j]
+                inter = len(np.intersect1d(a, b, assume_unique=True))
+                union = la + len(b) - inter
+                if union and inter / union >= _DEDUP_EVAL_THRESH:
+                    out_a.append(int(sids[i0]))
+                    out_b.append(int(sids[j]))
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64())})
+
+    strips = ray.data.from_arrow(pa.table(
+        {"i": pa.array(np.arange(len(ids)), pa.int64())}
+    )).repartition(max(2, len(ids) // 64))
+    truth = {(r["id_a"], r["id_b"]) for r in strips.map_batches(
+        strip_truth, batch_format="pyarrow",
+        runtime_env=runtime_env()).take_all()}
+
+    found = {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+             for r in minhash_lsh_pairs(
+                 ds, threshold=_DEDUP_EVAL_THRESH).select_columns(
+                 ["id_a", "id_b"]).take_all()}
+    hit = truth & found
+    return ray.data.from_arrow(pa.table({
+        "n_truth": pa.array([len(truth)], pa.int64()),
+        "n_found": pa.array([len(found)], pa.int64()),
+        "n_hit": pa.array([len(hit)], pa.int64()),
+        "recall_ppm": pa.array(
+            [len(hit) * 10**6 // len(truth) if truth else 10**6],
+            pa.int64()),
+        "precision_ppm": pa.array(
+            [len(hit) * 10**6 // len(found) if found else 10**6],
+            pa.int64()),
+    }))
+
+
 _SKIPGRAM_WINDOW = 3
 _SKIPGRAM_TOP = 30
 
@@ -14365,6 +14455,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "frequent_pairs": q_frequent_pairs,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "skipgram_counts": q_skipgram_counts,
+        "dedup_eval": q_dedup_eval,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -14620,6 +14711,7 @@ ROWS_ONLY: List[str] = [
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
     "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
     "link_kcore", "link_scc", "link_mis", "link_ktruss", "raking_weights",
+    "dedup_eval",
     "mmr_topk", "embedding_pca",
     "compressibility", "streaming_heavy_tokens", "cdc_dedup",
 ]

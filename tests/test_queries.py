@@ -817,3 +817,27 @@ def test_skipgram_counts_window_semantics(ray_session, tmp_path):
            for r in q_skipgram_counts(str(tmp_path)).take_all()}
     assert out == {("a", "b"): 2, ("a", "c"): 1, ("a", "d"): 1,
                    ("b", "c"): 1, ("b", "d"): 1, ("c", "d"): 1}
+
+
+def test_dedup_eval_planted_counts(ray_session, tmp_path):
+    """Two identical pairs (J=1 -> in truth AND guaranteed found: every
+    band collides) plus two disjoint docs (J=0, excluded) -> all
+    metrics exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_dedup_eval
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    t2 = "one two three four five six seven eight nine " * 4
+    t3 = "red green blue cyan magenta yellow black white " * 4
+    texts = [t1, t1, t2, t2, t3, "totally different words here now"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    r = q_dedup_eval(str(tmp_path)).take_all()[0]
+    assert r["n_truth"] == 2 and r["n_found"] == 2 and r["n_hit"] == 2
+    assert r["recall_ppm"] == 1_000_000
+    assert r["precision_ppm"] == 1_000_000
