@@ -318,12 +318,12 @@ def run_wide_crawl(sf_dir: str, frontier_shards=None) -> dict:
     }
 
 
-def run_queries(sf_dir: str) -> dict:
+def run_queries(sf_dir: str, only=None) -> dict:
     from deepwebharvester_ray.pipelines.queries import build_queries
 
     qs = build_queries()
     timings = {}
-    for name in BENCH_QUERIES:
+    for name in (only or BENCH_QUERIES):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         # consume lazily-built Datasets so the timing covers execution
@@ -374,6 +374,8 @@ def main() -> None:
     parser.add_argument("--headline-only", action="store_true")
     parser.add_argument("--control-only", action="store_true",
                         help="print the machine parallel-ceiling control")
+    parser.add_argument("--only", nargs="+", default=None,
+                        help="bench only these query names (skips headline)")
     args = parser.parse_args()
 
     if args.control_only:
@@ -480,6 +482,11 @@ def main() -> None:
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
                  logging_level="ERROR", log_to_driver=False)
     try:
+        if args.only:
+            timings = run_queries(sf_dir, only=args.only)
+            print(json.dumps({"queries": timings, "sf": sf_dir,
+                              "num_cpus": num_cpus}))
+            return
         head = run_headline(sf_dir, trials=args.trials)
         crawl = None if args.headline_only else run_wide_crawl(sf_dir)
         crawl_sh = (
