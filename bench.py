@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "jsonl_roundtrip",
     "skipgram_counts",
     "dedup_eval",
+    "source_modularity",
     "crawl_bfs",
 ]
 

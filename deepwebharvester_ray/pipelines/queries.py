@@ -12673,6 +12673,150 @@ ORDER BY a.user_id, eid_a, eid_b
 """
 
 
+def q_source_modularity(sf_dir: str):
+    """Newman modularity of the SOURCE partition over the crawl link
+    graph — does the corpus's source labeling align with actual link
+    communities (Q > 0: sources link within themselves; Q ≈ 0: the
+    partition is no better than random; the number community-detection
+    algorithms optimize, here measuring a GIVEN partition).  Exact
+    rational output: ``Q = q_num / q_den`` with ``q_num = Σ_c (4·m·l_c
+    − d_c²)`` and ``q_den = 4·m²`` (l_c = intra-community edges, d_c =
+    community degree sum, m = edges) — integer end to end, no float
+    crosses engines; per-community rows plus the global pair.
+
+    Distributed shape: NO iteration (modularity of a given partition
+    is pure aggregation): canonical-edge dedup combiner, ONE broadcast
+    (doc_id → source-code) sorted-array attach (the pagerank
+    discipline; hash-join beyond the cutoff), then two combiner
+    grouped_aggs — intra-edge counts per source and degree sums per
+    source — and a tiny driver assembly at community cardinality."""
+    import ray
+
+    from ..broadcast import cached_get
+
+    docs = _docs(sf_dir, columns=["doc_id", "source"],
+                 override_num_blocks=_shuffle_parts(sf_dir))
+    rows = docs.take_all()
+    rows.sort(key=lambda r: r["doc_id"])
+    ids = np.array([r["doc_id"] for r in rows], np.int64)
+    srcs = np.asarray([r["source"] for r in rows])
+    ref = ray.put((ids, srcs))
+
+    _, edges = _corpus_link_edges(sf_dir)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"u": pa.array(np.minimum(s, d), pa.int64()),
+                         "v": pa.array(np.maximum(s, d), pa.int64())})
+
+    ue = grouped_agg(
+        edges.map_batches(canon, batch_format="pyarrow",
+                          runtime_env=runtime_env()),
+        ["u", "v"], [("__n", "", "count")],
+    )
+
+    def attach(batch: pa.Table, _ref=ref) -> pa.Table:
+        sids, ssrc = cached_get(_ref)
+        u = batch.column("u").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v = batch.column("v").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        su = ssrc[np.searchsorted(sids, u)]
+        sv = ssrc[np.searchsorted(sids, v)]
+        return pa.table({
+            "su": pa.array(su.tolist(), pa.string()),
+            "sv": pa.array(sv.tolist(), pa.string()),
+        })
+
+    lab = grouped_agg(
+        ue.map_batches(attach, batch_format="pyarrow",
+                       batch_size=None, runtime_env=runtime_env()),
+        ["su", "sv"], [("n", "", "count")],
+    ).take_all()   # ≤ communities² rows
+
+    m = sum(int(r["n"]) for r in lab)
+    intra: Dict[str, int] = {}
+    deg: Dict[str, int] = {}
+    for r in lab:
+        n = int(r["n"])
+        if r["su"] == r["sv"]:
+            intra[r["su"]] = intra.get(r["su"], 0) + n
+            deg[r["su"]] = deg.get(r["su"], 0) + 2 * n
+        else:
+            deg[r["su"]] = deg.get(r["su"], 0) + n
+            deg[r["sv"]] = deg.get(r["sv"], 0) + n
+    comms = sorted(deg)
+    q_num = sum(4 * m * intra.get(c, 0) - deg[c] ** 2 for c in comms)
+    q_den = 4 * m * m
+    return ray.data.from_arrow(pa.table({
+        "source": pa.array(comms, pa.string()),
+        "l_intra": pa.array([intra.get(c, 0) for c in comms],
+                            pa.int64()),
+        "d_total": pa.array([deg[c] for c in comms], pa.int64()),
+        "q_num": pa.array([q_num] * len(comms), pa.int64()),
+        "q_den": pa.array([q_den] * len(comms), pa.int64()),
+    }))
+
+
+def _sql_source_modularity() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    return f"""
+WITH n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+raw AS (
+  SELECT src, (e + o.off) % (SELECT n FROM n_tab) AS dst
+  FROM eff CROSS JOIN (VALUES {offs}) AS o(off)
+),
+ue AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+),
+lab AS (
+  SELECT a.source AS su, b.source AS sv, CAST(count(*) AS BIGINT) AS n
+  FROM ue JOIN documents a ON a.doc_id = ue.u
+          JOIN documents b ON b.doc_id = ue.v
+  GROUP BY 1, 2
+),
+m_tab AS (SELECT CAST(sum(n) AS BIGINT) AS m FROM lab),
+intra AS (
+  SELECT su AS source, CAST(sum(n) AS BIGINT) AS l_intra
+  FROM lab WHERE su = sv GROUP BY 1
+),
+deg AS (
+  SELECT source, CAST(sum(d) AS BIGINT) AS d_total FROM (
+    SELECT su AS source, CASE WHEN su = sv THEN 2 * n ELSE n END AS d
+    FROM lab
+    UNION ALL
+    SELECT sv AS source, n AS d FROM lab WHERE su <> sv
+  ) GROUP BY 1
+),
+per AS (
+  SELECT deg.source, COALESCE(intra.l_intra, 0) AS l_intra,
+         deg.d_total
+  FROM deg LEFT JOIN intra ON intra.source = deg.source
+),
+q AS (
+  SELECT CAST(sum(4 * (SELECT m FROM m_tab) * l_intra
+                  - d_total * d_total) AS BIGINT) AS q_num,
+         CAST(4 * (SELECT m FROM m_tab) * (SELECT m FROM m_tab)
+              AS BIGINT) AS q_den
+  FROM per
+)
+SELECT per.source, per.l_intra, per.d_total, q.q_num, q.q_den
+FROM per, q ORDER BY per.source
+"""
+
+
 _DEDUP_EVAL_N = 800       # eval sample: first N doc_ids (deterministic)
 _DEDUP_EVAL_THRESH = 0.6  # must match the minhash query's threshold
 
@@ -14456,6 +14600,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "skipgram_counts": q_skipgram_counts,
         "dedup_eval": q_dedup_eval,
+        "source_modularity": q_source_modularity,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -14637,6 +14782,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "frequent_pairs": _sql_frequent_pairs(),
         "jsonl_roundtrip": _SQL_JSONL_ROUNDTRIP,
         "skipgram_counts": _sql_skipgram_counts(),
+        "source_modularity": _sql_source_modularity(),
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

@@ -90,6 +90,7 @@ SPOT_CHECKED = [
     "frequent_pairs",
     "jsonl_roundtrip",
     "skipgram_counts",
+    "source_modularity",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -841,3 +842,23 @@ def test_dedup_eval_planted_counts(ray_session, tmp_path):
     assert r["n_truth"] == 2 and r["n_found"] == 2 and r["n_hit"] == 2
     assert r["recall_ppm"] == 1_000_000
     assert r["precision_ppm"] == 1_000_000
+
+
+def test_source_modularity_known_partitions(ray_session, tmp_path):
+    """Hand-checkable modularity cases need a hand-built graph, but the
+    query's graph is the corpus link rule — so verify the exact
+    RATIONAL invariants instead: Sigma l_intra <= m, Sigma d = 2m, and
+    Q in (-1/2, 1] as q_num/q_den bounds."""
+    from deepwebharvester_ray.pipelines.queries import q_source_modularity
+
+    out = q_source_modularity("/root/testdata/sf0.001").take_all()
+    assert len(out) >= 2
+    q_num = out[0]["q_num"]
+    q_den = out[0]["q_den"]
+    assert all(r["q_num"] == q_num and r["q_den"] == q_den for r in out)
+    two_m_sq = q_den          # 4m^2
+    m = int(round((two_m_sq // 4) ** 0.5))
+    assert 4 * m * m == q_den
+    assert sum(r["l_intra"] for r in out) <= m
+    assert sum(r["d_total"] for r in out) == 2 * m
+    assert -q_den // 2 <= q_num <= q_den    # -1/2 < Q <= 1
