@@ -24,14 +24,20 @@ from .. import runtime_env
 from ..broadcast import cached_get
 
 
-def prefix_scan(ds, key: str, value_col: str, out_col: str = "running",
+def prefix_scan(ds, key: str, value_col, out_col="running",
                 shuffle_partitions: int = None):
     """Add ``out_col`` = inclusive running sum of ``value_col`` in global
     ``key`` order.  ``key`` values must be unique (they define the scan
     order, any orderable Arrow type); ``value_col`` must be integral.
+    ``value_col`` / ``out_col`` may be parallel LISTS to scan several
+    columns in ONE sort + one stats pass (same blocks, same offsets map).
     ``shuffle_partitions`` coalesces a many-tiny-block input before the
     sort (which is O(partitions²) block exchanges)."""
     import ray
+
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    assert len(value_cols) == len(out_cols)
 
     if shuffle_partitions:
         ds = ds.repartition(shuffle_partitions)
@@ -41,21 +47,18 @@ def prefix_scan(ds, key: str, value_col: str, out_col: str = "running",
         ktype = batch.schema.field(key).type
         if batch.num_rows == 0:
             return pa.table(
-                {
-                    "first_key": pa.array([], ktype),
-                    "total": pa.array([], pa.int64()),
-                }
+                {"first_key": pa.array([], ktype)}
+                | {f"total{i}": pa.array([], pa.int64())
+                   for i in range(len(value_cols))}
             )
         keys = batch.column(key)
-        vals = batch.column(value_col).combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
-        return pa.table(
-            {
-                "first_key": pa.array([keys[0].as_py()], ktype),
-                "total": pa.array([int(vals.sum())], pa.int64()),
-            }
-        )
+        cols = {"first_key": pa.array([keys[0].as_py()], ktype)}
+        for i, vc in enumerate(value_cols):
+            vals = batch.column(vc).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            cols[f"total{i}"] = pa.array([int(vals.sum())], pa.int64())
+        return pa.table(cols)
 
     stats = srt.map_batches(
         block_stats, batch_format="pyarrow", batch_size=None,
@@ -63,21 +66,25 @@ def prefix_scan(ds, key: str, value_col: str, out_col: str = "running",
     ).take_all()  # one tiny row per block
     stats.sort(key=lambda r: r["first_key"])
     offsets = {}
-    acc = 0
+    acc = [0] * len(value_cols)
     for r in stats:
-        offsets[r["first_key"]] = acc
-        acc += r["total"]
+        offsets[r["first_key"]] = tuple(acc)
+        acc = [a + r[f"total{i}"] for i, a in enumerate(acc)]
     off_ref = ray.put(offsets)
 
     def add_scan(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch.append_column(out_col, pa.array([], pa.int64()))
-        off = cached_get(off_ref)[batch.column(key)[0].as_py()]
-        vals = batch.column(value_col).combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
-        running = np.cumsum(vals, dtype=np.int64) + off
-        return batch.append_column(out_col, pa.array(running, pa.int64()))
+            for oc in out_cols:
+                batch = batch.append_column(oc, pa.array([], pa.int64()))
+            return batch
+        offs = cached_get(off_ref)[batch.column(key)[0].as_py()]
+        for vc, oc, off in zip(value_cols, out_cols, offs):
+            vals = batch.column(vc).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            running = np.cumsum(vals, dtype=np.int64) + off
+            batch = batch.append_column(oc, pa.array(running, pa.int64()))
+        return batch
 
     return srt.map_batches(
         add_scan, batch_format="pyarrow", batch_size=None,

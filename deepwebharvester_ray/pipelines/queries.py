@@ -14464,6 +14464,144 @@ def q_cdc_dedup(sf_dir: str):
                                runtime_env=runtime_env()).sort("source")
 
 
+KS_TYPE_A = "click"
+KS_TYPE_B = "purchase"
+
+
+def q_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov distance between the value
+    distributions of two event types ('click' vs 'purchase') — the
+    distribution-drift test a data pipeline runs before trusting that a
+    re-crawl / new batch matches the old one (drift_tvd compares
+    CATEGORICAL histograms; this is the continuous-valued counterpart,
+    sensitive to shape not just mass).  D = max_x |F_a(x) − F_b(x)| is
+    computed EXACTLY as the rational max |cum_a·n_b − cum_b·n_a| /
+    (n_a·n_b) over the pooled observed support — integers end to end,
+    no float crosses engines; output is one row (n_a, n_b, d_num,
+    d_den, ks_ppm = 10⁶·d_num // d_den).
+
+    Distributed shape: values quantize to cents (the catalog-wide
+    deterministic-money rule), ONE combiner ``grouped_agg`` collapses
+    the stream to per-cent (a, b) counts — support-sized, not
+    row-count-sized — then ONE sort + the two-column
+    :func:`~deepwebharvester_ray.functions.scan.prefix_scan` (block
+    offsets are O(#blocks) driver state) and a per-block partial max
+    merged on the driver at #blocks cardinality.  No step materializes
+    the event stream."""
+    from ..functions.scan import prefix_scan
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        et = batch.column("event_type").combine_chunks()
+        keep = pc.or_(pc.equal(et, KS_TYPE_A), pc.equal(et, KS_TYPE_B))
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return pa.table({"cents": pa.array([], pa.int64()),
+                             "a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        v = batch.column("value").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cents = np.floor(v * 100.0).astype(np.int64)
+        is_a = pc.equal(batch.column("event_type").combine_chunks(),
+                        KS_TYPE_A).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(cents, return_inverse=True)
+        a = np.bincount(inv, weights=is_a, minlength=len(uniq))
+        n = np.bincount(inv, minlength=len(uniq))
+        return pa.table({
+            "cents": pa.array(uniq, pa.int64()),
+            "a": pa.array(a.astype(np.int64), pa.int64()),
+            "b": pa.array((n - a).astype(np.int64), pa.int64()),
+        })
+
+    counts = grouped_agg(
+        ds.map_batches(local_counts, batch_format="pyarrow",
+                       batch_size=None, runtime_env=runtime_env()),
+        ["cents"], [("a", "a", "sum"), ("b", "b", "sum")],
+    )
+
+    scanned = prefix_scan(counts, "cents", ["a", "b"], ["ca", "cb"])
+
+    # totals ride the scan itself: the LAST block's final running values
+    # are (n_a, n_b) — but per-block partials only need the local max of
+    # |ca·n_b − cb·n_a| once totals are known, so collect the tiny
+    # per-block (last_ca, last_cb, rows) stats and the per-block maxima
+    # in one pass by deferring the cross-multiply to the driver?  No —
+    # the cross-multiply needs global totals.  Totals first (one tiny
+    # aggregate over the support-sized counts table), then the max pass.
+    tot = grouped_agg(
+        counts.map_batches(
+            lambda t: t.append_column("g", pa.array(
+                np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow", batch_size=None,
+            runtime_env=runtime_env()),
+        ["g"], [("n_a", "a", "sum"), ("n_b", "b", "sum")],
+    ).take_all()
+    n_a = int(tot[0]["n_a"]) if tot else 0
+    n_b = int(tot[0]["n_b"]) if tot else 0
+
+    def block_max(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        ca = batch.column("ca").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cb = batch.column("cb").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        m = np.abs(ca * n_b - cb * n_a).max()
+        return pa.table({"m": pa.array([int(m)], pa.int64())})
+
+    maxima = scanned.map_batches(
+        block_max, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    ).take_all()  # one row per block
+    d_num = max((r["m"] for r in maxima), default=0)
+    d_den = n_a * n_b
+    return pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "d_num": pa.array([d_num], pa.int64()),
+        "d_den": pa.array([d_den], pa.int64()),
+        "ks_ppm": pa.array(
+            [(1_000_000 * d_num) // d_den if d_den else 0], pa.int64()),
+    })
+
+
+_SQL_KS_TEST = f"""
+WITH vals AS (
+  SELECT event_type,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+),
+agg AS (
+  SELECT cents,
+         sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS b
+  FROM vals GROUP BY cents
+),
+tot AS (SELECT sum(a) AS n_a, sum(b) AS n_b FROM agg),
+cum AS (
+  SELECT sum(a) OVER (ORDER BY cents) AS ca,
+         sum(b) OVER (ORDER BY cents) AS cb
+  FROM agg
+),
+dmax AS (
+  SELECT max(abs(ca * (SELECT n_b FROM tot)
+              - cb * (SELECT n_a FROM tot))) AS d_num
+  FROM cum
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(d_num AS BIGINT) AS d_num,
+       CAST(n_a * n_b AS BIGINT) AS d_den,
+       CAST((1000000 * d_num) // (n_a * n_b) AS BIGINT) AS ks_ppm
+FROM tot, dmax
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -14601,6 +14739,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "skipgram_counts": q_skipgram_counts,
         "dedup_eval": q_dedup_eval,
         "source_modularity": q_source_modularity,
+        "ks_test": q_ks_test,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -14783,6 +14922,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "jsonl_roundtrip": _SQL_JSONL_ROUNDTRIP,
         "skipgram_counts": _sql_skipgram_counts(),
         "source_modularity": _sql_source_modularity(),
+        "ks_test": _SQL_KS_TEST,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

@@ -525,6 +525,26 @@ def test_prefix_scan_and_packing_multiblock():
         acc += i + 1
 
 
+def test_prefix_scan_multicolumn():
+    """List-form value_col scans several columns in ONE sort with the
+    same per-block offsets (the ks_test shape: parallel cumulative
+    counts of two populations)."""
+    import ray
+
+    from deepwebharvester_ray.functions.scan import prefix_scan
+
+    ds = ray.data.from_items(
+        [{"k": i, "a": i % 3, "b": 2 * i} for i in range(30)]
+    ).repartition(6)
+    out = {r["k"]: (r["ca"], r["cb"])
+           for r in prefix_scan(ds, "k", ["a", "b"], ["ca", "cb"]).take_all()}
+    acc_a = acc_b = 0
+    for i in range(30):
+        acc_a += i % 3
+        acc_b += 2 * i
+        assert out[i] == (acc_a, acc_b)
+
+
 def test_grouped_prefix_scan_matches_window_reference():
     """Groups interleaved across many blocks: running per-group sum in
     global key order must match SUM() OVER (PARTITION BY g ORDER BY k)

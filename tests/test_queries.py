@@ -91,6 +91,7 @@ SPOT_CHECKED = [
     "jsonl_roundtrip",
     "skipgram_counts",
     "source_modularity",
+    "ks_test",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -842,6 +843,43 @@ def test_dedup_eval_planted_counts(ray_session, tmp_path):
     assert r["n_truth"] == 2 and r["n_found"] == 2 and r["n_hit"] == 2
     assert r["recall_ppm"] == 1_000_000
     assert r["precision_ppm"] == 1_000_000
+
+
+def test_ks_test_planted_distributions(ray_session, tmp_path):
+    """Identical samples -> D = 0; disjoint supports -> D = 1 (d_num ==
+    d_den); a half-shifted sample -> the exact rational in between."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_ks_test
+
+    def write(vals_a, vals_b):
+        n = len(vals_a) + len(vals_b)
+        ts = [datetime.datetime(2025, 1, 1)] * n
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([0] * n, pa.int64()),
+            "event_type": pa.array(
+                ["click"] * len(vals_a) + ["purchase"] * len(vals_b)),
+            "value": pa.array(vals_a + vals_b, pa.float64()),
+            "props": pa.array([""] * n, pa.string()),
+        }), str(tmp_path / "events.parquet"))
+
+    write([1.0, 2.0, 3.0], [1.0, 2.0, 3.0])
+    r = q_ks_test(str(tmp_path)).to_pylist()[0]
+    assert (r["n_a"], r["n_b"], r["d_num"], r["ks_ppm"]) == (3, 3, 0, 0)
+
+    write([1.0, 2.0], [10.0, 20.0, 30.0])
+    r = q_ks_test(str(tmp_path)).to_pylist()[0]
+    assert r["d_num"] == r["d_den"] == 6 and r["ks_ppm"] == 1_000_000
+
+    # a={1,2,3,4}, b={3,4,5,6}: D = max|F_a-F_b| = 1/2 -> 8/16
+    write([1.0, 2.0, 3.0, 4.0], [3.0, 4.0, 5.0, 6.0])
+    r = q_ks_test(str(tmp_path)).to_pylist()[0]
+    assert (r["d_num"], r["d_den"], r["ks_ppm"]) == (8, 16, 500_000)
 
 
 def test_source_modularity_known_partitions(ray_session, tmp_path):
