@@ -14602,6 +14602,87 @@ FROM tot, dmax
 """
 
 
+def q_mutual_info(sf_dir: str):
+    """Association audit between the corpus' two categorical labelings
+    (lang × source): the contingency table with per-cell exact
+    association terms — is a source lang-skewed (a crawl-routing bug or
+    a genuinely monolingual site)?  Per cell: the integer counts
+    (n_xy, n_x, n_y, n), the floor-log2 PMI envelope ``pmi_flog2 =
+    ⌊log2 n_xy·n⌋ − ⌊log2 n_x·n_y⌋`` and its G-statistic partial
+    ``g_part = n_xy·pmi_flog2`` (sum over cells = the integer G
+    envelope; the doc_surprisal/source_entropy flog2 discipline — no
+    float ln crosses engines), plus the EXACT chi-squared rational
+    ``chi2_num = (n·n_xy − n_x·n_y)², chi2_den = n·n_x·n_y``
+    (per-cell term = num/den/1; int64-safe to n ≈ 55 000 docs per the
+    n⁴ bound — document-count, not token-count, so fine far past these
+    scales; a 10¹⁰-doc corpus would move this assembly to 128-bit).
+
+    Distributed shape: ONE combiner ``grouped_agg`` on (lang, source)
+    collapses the corpus to its contingency cells — |langs|·|sources|
+    rows, bounded by label cardinality (the orders_by_segment take_all
+    rule) — and the marginals + terms assemble on the driver with
+    Python bigints at cell cardinality.  No joins, no second pass over
+    the data."""
+    ds = _docs(sf_dir, columns=["lang", "source"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    cells = grouped_agg(
+        ds, ["lang", "source"], [("n_xy", "", "count")],
+    ).take_all()  # |langs| × |sources| rows — label cardinality
+
+    n = sum(r["n_xy"] for r in cells)
+    n_x = {}
+    n_y = {}
+    for r in cells:
+        n_x[r["lang"]] = n_x.get(r["lang"], 0) + r["n_xy"]
+        n_y[r["source"]] = n_y.get(r["source"], 0) + r["n_xy"]
+
+    rows = []
+    for r in sorted(cells, key=lambda r: (r["lang"], r["source"])):
+        nxy, nx, ny = int(r["n_xy"]), int(n_x[r["lang"]]), int(n_y[r["source"]])
+        pmi = (nxy * n).bit_length() - (nx * ny).bit_length() \
+            if nxy else None
+        d = n * nxy - nx * ny
+        rows.append({
+            "lang": r["lang"], "source": r["source"],
+            "n_xy": nxy, "n_x": nx, "n_y": ny, "n": n,
+            "pmi_flog2": pmi, "g_part": nxy * pmi if pmi is not None else 0,
+            "chi2_num": d * d, "chi2_den": n * nx * ny,
+        })
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        ("lang", pa.string()), ("source", pa.string()),
+        ("n_xy", pa.int64()), ("n_x", pa.int64()), ("n_y", pa.int64()),
+        ("n", pa.int64()), ("pmi_flog2", pa.int64()),
+        ("g_part", pa.int64()), ("chi2_num", pa.int64()),
+        ("chi2_den", pa.int64()),
+    ]))
+
+
+_SQL_MUTUAL_INFO = """
+WITH cells AS (
+  SELECT lang, source, count(*) AS n_xy FROM documents GROUP BY 1, 2
+),
+lm AS (SELECT lang, sum(n_xy) AS n_x FROM cells GROUP BY 1),
+sm AS (SELECT source, sum(n_xy) AS n_y FROM cells GROUP BY 1),
+tot AS (SELECT sum(n_xy) AS n FROM cells)
+SELECT c.lang, c.source,
+       CAST(n_xy AS BIGINT) AS n_xy,
+       CAST(n_x AS BIGINT) AS n_x,
+       CAST(n_y AS BIGINT) AS n_y,
+       CAST(n AS BIGINT) AS n,
+       CAST(length(bin(n_xy * n)) - length(bin(n_x * n_y))
+            AS BIGINT) AS pmi_flog2,
+       CAST(n_xy * (length(bin(n_xy * n)) - length(bin(n_x * n_y)))
+            AS BIGINT) AS g_part,
+       CAST((n * n_xy - n_x * n_y) * (n * n_xy - n_x * n_y)
+            AS BIGINT) AS chi2_num,
+       CAST(n * n_x * n_y AS BIGINT) AS chi2_den
+FROM cells c
+JOIN lm USING (lang) JOIN sm USING (source), tot
+ORDER BY lang, source
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -14740,6 +14821,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "dedup_eval": q_dedup_eval,
         "source_modularity": q_source_modularity,
         "ks_test": q_ks_test,
+        "mutual_info": q_mutual_info,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -14923,6 +15005,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "skipgram_counts": _sql_skipgram_counts(),
         "source_modularity": _sql_source_modularity(),
         "ks_test": _SQL_KS_TEST,
+        "mutual_info": _SQL_MUTUAL_INFO,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

@@ -92,6 +92,7 @@ SPOT_CHECKED = [
     "skipgram_counts",
     "source_modularity",
     "ks_test",
+    "mutual_info",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -880,6 +881,44 @@ def test_ks_test_planted_distributions(ray_session, tmp_path):
     write([1.0, 2.0, 3.0, 4.0], [3.0, 4.0, 5.0, 6.0])
     r = q_ks_test(str(tmp_path)).to_pylist()[0]
     assert (r["d_num"], r["d_den"], r["ks_ppm"]) == (8, 16, 500_000)
+
+
+def test_mutual_info_planted_tables(ray_session, tmp_path):
+    """A perfectly independent 2×2 table -> every chi2_num = 0 and
+    pmi_flog2 = 0; a perfectly dependent (diagonal) one -> positive
+    diagonal PMI; marginals always re-sum to n."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_mutual_info
+
+    def write(langs, sources):
+        n = len(langs)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([1] * n, pa.int64()),
+        }), str(tmp_path / "documents.parquet"))
+
+    # independent: each (lang, source) cell = product of marginals
+    write(["en", "en", "fr", "fr"], ["s1", "s2", "s1", "s2"])
+    rows = q_mutual_info(str(tmp_path)).to_pylist()
+    assert len(rows) == 4
+    assert all(r["chi2_num"] == 0 for r in rows)
+    assert all(r["pmi_flog2"] == 0 for r in rows)
+    assert sum(r["n_xy"] for r in rows) == 4
+
+    # dependent: lang determines source exactly
+    write(["en", "en", "fr", "fr"], ["s1", "s1", "s2", "s2"])
+    rows = {(r["lang"], r["source"]): r
+            for r in q_mutual_info(str(tmp_path)).to_pylist()}
+    assert set(rows) == {("en", "s1"), ("fr", "s2")}
+    r = rows[("en", "s1")]
+    # n_xy*n = 8, n_x*n_y = 4 -> flog2 envelope = 1 bit
+    assert r["pmi_flog2"] == 1 and r["g_part"] == 2
+    assert r["chi2_num"] == (4 * 2 - 2 * 2) ** 2 and r["chi2_den"] == 4 * 2 * 2
 
 
 def test_source_modularity_known_partitions(ray_session, tmp_path):
