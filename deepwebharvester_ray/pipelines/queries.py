@@ -14683,6 +14683,173 @@ ORDER BY lang, source
 """
 
 
+CHI2_TOPK = 20
+
+
+def q_chi2_tokens(sf_dir: str):
+    """Chi-squared token feature selection per language class — the
+    classic supervised vocabulary pruner (which tokens DISCRIMINATE a
+    class, not merely occur in it — top_tokens_by_source ranks by raw
+    frequency; this ranks by association): per (lang, token) the 2×2
+    doc-presence table (a = class docs containing t, b = class docs
+    without, c = other docs containing, d = other docs without) scores
+    ``chi2 = N(ad−bc)² / (N_c(N−N_c)·tot_t(N−tot_t))``, kept as the
+    EXACT integer rational (num, den) — int64-safe to N ≈ 6 000 docs
+    (N⁵ bound; the mutual_info 128-bit scale note applies) — and the
+    top-``CHI2_TOPK`` per class under (num/den DESC, token ASC), the
+    ranking float built from identical in-range integers on both
+    engines.
+
+    Distributed shape: per-doc DISTINCT tokens flatten to (lang, token)
+    rows (np.unique per doc bounds emitted rows by per-doc vocabulary),
+    ONE combiner ``grouped_agg`` collapses to class-df counts; ONE sort
+    on token alone co-locates each token's ≤|langs| rows in one block
+    (the passage_dup_profile single-key rule) so per-token totals and
+    all class terms compute in-block with zero joins; class sizes are a
+    |langs|-row broadcast.  Top-k is the two-level deterministic merge
+    (per-block partial k per class, one tiny global pass)."""
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["lang", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def doc_tokens(batch: pa.Table) -> pa.Table:
+        out_lang, out_tok = [], []
+        for lang, t in zip(batch.column("lang").to_pylist(),
+                           batch.column("text").to_pylist()):
+            toks = WORD_RE.findall((t or "").lower())
+            if not toks:
+                continue
+            uniq = np.unique(np.asarray(toks, dtype=object))
+            out_lang.extend([lang] * len(uniq))
+            out_tok.extend(uniq.tolist())
+        return pa.table({"lang": pa.array(out_lang, pa.string()),
+                         "token": pa.array(out_tok, pa.string())})
+
+    a_ct = grouped_agg(
+        ds.map_batches(doc_tokens, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["lang", "token"], [("a", "", "count")],
+    )
+
+    # |langs| rows — class sizes (ALL docs, token-less included), from a
+    # lang-only pruned read, broadcast
+    n_c = {r["lang"]: int(r["n"]) for r in grouped_agg(
+        _docs(sf_dir, columns=["lang"]), ["lang"], [("n", "", "count")],
+    ).take_all()}
+    n_total = sum(n_c.values())
+    # N⁵ must fit int64 for the num term (see docstring); the scale path
+    # is 128-bit assembly, asserted not silently wrapped
+    assert n_total <= 6000, "chi2_tokens int64 envelope: N^5 bound"
+
+    srt = a_ct.sort("token").materialize()
+
+    def block_chi2(batch: pa.Table) -> pa.Table:
+        cols = {"lang": pa.array([], pa.string()),
+                "token": pa.array([], pa.string()),
+                "a": pa.array([], pa.int64()),
+                "n_c": pa.array([], pa.int64()),
+                "tot_t": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "chi2_num": pa.array([], pa.int64()),
+                "chi2_den": pa.array([], pa.int64())}
+        if batch.num_rows == 0:
+            return pa.table(cols)
+        toks = np.asarray(batch.column("token").to_pylist(), dtype=object)
+        langs = batch.column("lang").to_pylist()
+        a = batch.column("a").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        # all rows of a token are in THIS block (sorted on token alone)
+        uniq, inv = np.unique(toks, return_inverse=True)
+        tot_t = np.bincount(inv, weights=a, minlength=len(uniq)).astype(
+            np.int64)[inv]
+        nc = np.asarray([n_c[la] for la in langs], np.int64)
+        n = np.int64(n_total)
+        b = nc - a
+        c2 = tot_t - a
+        d = (n - nc) - c2
+        ad_bc = a * d - b * c2
+        num = n * ad_bc * ad_bc
+        den = nc * (n - nc) * tot_t * (n - tot_t)
+        keep = den > 0
+        return pa.table({
+            "lang": pa.array(np.asarray(langs, dtype=object)[keep].tolist(),
+                             pa.string()),
+            "token": pa.array(toks[keep].tolist(), pa.string()),
+            "a": pa.array(a[keep], pa.int64()),
+            "n_c": pa.array(nc[keep], pa.int64()),
+            "tot_t": pa.array(tot_t[keep], pa.int64()),
+            "n": pa.array(np.full(int(keep.sum()), n), pa.int64()),
+            "chi2_num": pa.array(num[keep], pa.int64()),
+            "chi2_den": pa.array(den[keep], pa.int64()),
+        })
+
+    scored = srt.map_batches(block_chi2, batch_format="pyarrow",
+                             batch_size=None, runtime_env=runtime_env())
+
+    def topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        toks = np.asarray(batch.column("token").to_pylist(), dtype=object)
+        chi2 = (batch.column("chi2_num").combine_chunks().to_numpy(
+                    zero_copy_only=False).astype(np.float64)
+                / batch.column("chi2_den").combine_chunks().to_numpy(
+                    zero_copy_only=False))
+        order = np.lexsort((toks, -chi2, langs))
+        ranks = np.empty(len(order), np.int64)
+        # rank within each lang run of the sorted order
+        sl = langs[order]
+        starts = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
+        run_id = np.cumsum(np.r_[True, sl[1:] != sl[:-1]]) - 1
+        ranks[order] = np.arange(len(order)) - starts[run_id]
+        keep = ranks < CHI2_TOPK
+        return batch.filter(pa.array(keep))
+
+    part = scored.map_batches(topk, batch_format="pyarrow", batch_size=None,
+                              runtime_env=runtime_env())
+    return part.repartition(1).map_batches(
+        topk, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    ).sort("token")
+
+
+_SQL_CHI2_TOKENS = f"""
+WITH tok AS (
+  SELECT lang, doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+           AS token
+  FROM documents
+),
+a_ct AS (SELECT lang, token, count(*) AS a FROM tok GROUP BY 1, 2),
+tt AS (SELECT token, sum(a) AS tot_t FROM a_ct GROUP BY 1),
+nc AS (SELECT lang, count(*) AS n_c FROM documents GROUP BY 1),
+n_tab AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT a_ct.lang, a_ct.token, a, n_c, tot_t, n,
+         n * (a * ((n - n_c) - (tot_t - a)) - (n_c - a) * (tot_t - a))
+           * (a * ((n - n_c) - (tot_t - a)) - (n_c - a) * (tot_t - a))
+           AS chi2_num,
+         n_c * (n - n_c) * tot_t * (n - tot_t) AS chi2_den
+  FROM a_ct JOIN tt USING (token) JOIN nc USING (lang), n_tab
+  WHERE n_c * (n - n_c) * tot_t * (n - tot_t) > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang
+    ORDER BY CAST(chi2_num AS DOUBLE) / chi2_den DESC, token ASC) AS rn
+  FROM scored
+)
+SELECT lang, token,
+       CAST(a AS BIGINT) AS a, CAST(n_c AS BIGINT) AS n_c,
+       CAST(tot_t AS BIGINT) AS tot_t, CAST(n AS BIGINT) AS n,
+       CAST(chi2_num AS BIGINT) AS chi2_num,
+       CAST(chi2_den AS BIGINT) AS chi2_den
+FROM ranked WHERE rn <= {CHI2_TOPK}
+ORDER BY token
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -14822,6 +14989,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "source_modularity": q_source_modularity,
         "ks_test": q_ks_test,
         "mutual_info": q_mutual_info,
+        "chi2_tokens": q_chi2_tokens,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -15006,6 +15174,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "source_modularity": _sql_source_modularity(),
         "ks_test": _SQL_KS_TEST,
         "mutual_info": _SQL_MUTUAL_INFO,
+        "chi2_tokens": _SQL_CHI2_TOKENS,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

@@ -93,6 +93,7 @@ SPOT_CHECKED = [
     "source_modularity",
     "ks_test",
     "mutual_info",
+    "chi2_tokens",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -919,6 +920,37 @@ def test_mutual_info_planted_tables(ray_session, tmp_path):
     # n_xy*n = 8, n_x*n_y = 4 -> flog2 envelope = 1 bit
     assert r["pmi_flog2"] == 1 and r["g_part"] == 2
     assert r["chi2_num"] == (4 * 2 - 2 * 2) ** 2 and r["chi2_den"] == 4 * 2 * 2
+
+
+def test_chi2_tokens_planted_discriminator(ray_session, tmp_path):
+    """A token appearing in EVERY en doc and NO fr doc is the top en
+    feature with the hand-computed exact rational; a token in every doc
+    (tot_t = N) is excluded (den = 0); shared-but-balanced tokens score
+    num = 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_chi2_tokens
+
+    texts = ["common engword x", "common engword y",
+             "common frword x", "common frword y"]
+    langs = ["en", "en", "fr", "fr"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["s"] * 4, pa.string()),
+        "n_chars": pa.array([1] * 4, pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    rows = {(r["lang"], r["token"]): r
+            for r in q_chi2_tokens(str(tmp_path)).take_all()}
+    assert all(tok != "common" for (_, tok) in rows)  # den = 0 excluded
+    r = rows[("en", "engword")]
+    # a=2 b=0 c=0 d=2, N=4: num = 4*(2*2)^2 = 64; den = 2*2*2*2 = 16
+    assert (r["chi2_num"], r["chi2_den"]) == (64, 16)
+    # balanced tokens (x in one en + one fr doc): ad - bc = 1*1 - 1*1 = 0
+    assert rows[("en", "x")]["chi2_num"] == 0
 
 
 def test_source_modularity_known_partitions(ray_session, tmp_path):
