@@ -14850,6 +14850,168 @@ ORDER BY token
 """
 
 
+def q_local_clustering(sf_dir: str):
+    """Per-node clustering coefficient of the undirected crawl link
+    graph — triangle_count gives the GLOBAL closure statistic; this is
+    its per-node refinement (cc = 2·tri / deg(deg−1)), the signal that
+    separates hub pages whose neighbors interlink (topic cliques) from
+    pure directory hubs — kept as the exact integer rational plus
+    cc_ppm.  Output: (node, deg, tri, cc_num, cc_den, cc_ppm) for every
+    node with deg ≥ 2.
+
+    Distributed shape: the triangle_count ordered-wedge plan (canonical
+    u<v edges, wedge join on the middle vertex, closing-edge composite
+    hash join — each triangle found exactly once) but RETAINING (u, v,
+    w) through the closing join and flat-emitting 3 (node) rows per
+    triangle; per-node degrees flat-emit 2 rows per canonical edge;
+    both collapse through combiner ``grouped_agg``s and merge WITHOUT a
+    join — the two count tables union with zero-filled complements and
+    one grouped sum folds them (node-cardinality exchange).  Skew: the
+    wedge volume is Σ deg² (the two_hop_counts hub-cap note applies)."""
+    from ..functions.partition import coalesce_nonempty
+
+    _, edges = _corpus_link_edges(sf_dir)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"u": pa.array(np.minimum(s, d), pa.int64()),
+                         "v": pa.array(np.maximum(s, d), pa.int64())})
+
+    ue = grouped_agg(
+        edges.map_batches(canon, batch_format="pyarrow",
+                          runtime_env=runtime_env()),
+        ["u", "v"], [("__n", "", "count")],
+    ).select_columns(["u", "v"]).materialize()
+
+    parts = _shuffle_parts(sf_dir)
+    b = coalesce_nonempty(ue.map_batches(
+        lambda t: pa.table({"u2": t.column("u"), "w": t.column("v")}),
+        batch_format="pyarrow", runtime_env=runtime_env()))
+    wedges = coalesce_nonempty(ue).join(
+        b, "inner", num_partitions=parts, on=("v",), right_on=("u2",))
+    c = coalesce_nonempty(ue.map_batches(
+        lambda t: pa.table({"cu": t.column("u"), "cv": t.column("v")}),
+        batch_format="pyarrow", runtime_env=runtime_env()))
+    closed = coalesce_nonempty(
+        wedges.select_columns(["u", "v", "w"])
+    ).join(c, "inner", num_partitions=parts,
+           on=("u", "w"), right_on=("cu", "cv"))
+
+    def tri_nodes(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v = batch.column("v").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        w = batch.column("w").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        node = np.concatenate([u, v, w])
+        return pa.table({
+            "node": pa.array(node, pa.int64()),
+            "tri": pa.array(np.ones(len(node), np.int64)),
+            "deg": pa.array(np.zeros(len(node), np.int64)),
+        })
+
+    def deg_nodes(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v = batch.column("v").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        node = np.concatenate([u, v])
+        return pa.table({
+            "node": pa.array(node, pa.int64()),
+            "tri": pa.array(np.zeros(len(node), np.int64)),
+            "deg": pa.array(np.ones(len(node), np.int64)),
+        })
+
+    tallies = closed.map_batches(
+        tri_nodes, batch_format="pyarrow", runtime_env=runtime_env(),
+    ).union(ue.map_batches(
+        deg_nodes, batch_format="pyarrow", runtime_env=runtime_env()))
+
+    per_node = grouped_agg(
+        tallies, ["node"], [("tri", "tri", "sum"), ("deg", "deg", "sum")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        deg = batch.column("deg").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        tri = batch.column("tri").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = deg >= 2
+        node = batch.column("node").combine_chunks().to_numpy(
+            zero_copy_only=False)[keep]
+        deg, tri = deg[keep], tri[keep]
+        num = 2 * tri
+        den = deg * (deg - 1)
+        return pa.table({
+            "node": pa.array(node, pa.int64()),
+            "deg": pa.array(deg, pa.int64()),
+            "tri": pa.array(tri, pa.int64()),
+            "cc_num": pa.array(num, pa.int64()),
+            "cc_den": pa.array(den, pa.int64()),
+            "cc_ppm": pa.array((1_000_000 * num) // den, pa.int64()),
+        })
+
+    return per_node.map_batches(
+        finish, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    ).sort("node")
+
+
+def _sql_local_clustering() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    return f"""
+WITH n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+),
+ue AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src != dst
+),
+tris AS (
+  SELECT a.u AS u, a.v AS v, b.w AS w
+  FROM ue a
+  JOIN (SELECT u AS u2, v AS w FROM ue) b ON a.v = b.u2
+  JOIN ue c ON c.u = a.u AND c.v = b.w
+),
+tri_n AS (
+  SELECT node, count(*) AS tri FROM (
+    SELECT u AS node FROM tris
+    UNION ALL SELECT v FROM tris
+    UNION ALL SELECT w FROM tris
+  ) GROUP BY node
+),
+deg_n AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM ue UNION ALL SELECT v FROM ue
+  ) GROUP BY node
+)
+SELECT d.node AS node,
+       CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri,
+       CAST(2 * COALESCE(t.tri, 0) AS BIGINT) AS cc_num,
+       CAST(d.deg * (d.deg - 1) AS BIGINT) AS cc_den,
+       CAST((1000000 * 2 * COALESCE(t.tri, 0)) // (d.deg * (d.deg - 1))
+            AS BIGINT) AS cc_ppm
+FROM deg_n d LEFT JOIN tri_n t USING (node)
+WHERE d.deg >= 2
+ORDER BY node
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -14990,6 +15152,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "ks_test": q_ks_test,
         "mutual_info": q_mutual_info,
         "chi2_tokens": q_chi2_tokens,
+        "local_clustering": q_local_clustering,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -15175,6 +15338,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "ks_test": _SQL_KS_TEST,
         "mutual_info": _SQL_MUTUAL_INFO,
         "chi2_tokens": _SQL_CHI2_TOKENS,
+        "local_clustering": _sql_local_clustering(),
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

@@ -94,6 +94,7 @@ SPOT_CHECKED = [
     "ks_test",
     "mutual_info",
     "chi2_tokens",
+    "local_clustering",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -951,6 +952,25 @@ def test_chi2_tokens_planted_discriminator(ray_session, tmp_path):
     assert (r["chi2_num"], r["chi2_den"]) == (64, 16)
     # balanced tokens (x in one en + one fr doc): ad - bc = 1*1 - 1*1 = 0
     assert rows[("en", "x")]["chi2_num"] == 0
+
+
+def test_local_clustering_invariants(ray_session):
+    """Exact rational invariants vs the global statistic: Σ tri over
+    nodes = 3 · n_triangles (each triangle touches 3 nodes), Σ deg =
+    2m (restricted to the deg ≥ 2 output this is ≤ 2m), and 0 ≤ cc ≤ 1
+    as num/den bounds."""
+    from deepwebharvester_ray.pipelines.queries import (
+        q_local_clustering,
+        q_triangle_count,
+    )
+
+    out = q_local_clustering("/root/testdata/sf0.001").take_all()
+    n_tri = q_triangle_count("/root/testdata/sf0.001").to_pylist()[0][
+        "n_triangles"]
+    assert sum(r["tri"] for r in out) == 3 * n_tri
+    assert all(0 <= r["cc_num"] <= r["cc_den"] for r in out)
+    assert all(r["cc_den"] == r["deg"] * (r["deg"] - 1) for r in out)
+    assert all(r["deg"] >= 2 for r in out)
 
 
 def test_source_modularity_known_partitions(ray_session, tmp_path):
