@@ -15012,6 +15012,208 @@ ORDER BY node
 """
 
 
+AA_TOPK = 50
+
+
+def q_adamic_adar(sf_dir: str):
+    """Adamic–Adar link prediction over the undirected crawl graph —
+    the classic "which non-edges SHOULD exist" score (Σ over common
+    neighbors z of 1/log deg(z), rare shared neighbors count more),
+    the crawl-frontier prioritization signal for discovering pages the
+    graph implies but the crawl hasn't fetched.  True AA needs float
+    logs; both engines compute the integer envelope ``w_z = 10⁶ //
+    ⌊log2 deg(z)⌋`` (the flog2 discipline — monotone in deg, exact on
+    both sides) and ``aa_score = Σ_z w_z`` over common neighbors; the
+    top-``AA_TOPK`` NON-edge pairs under (aa_score DESC, a, b) plus
+    the common-neighbor count.
+
+    Distributed shape: canonical-edge dedup combiner → incidence rows
+    (z, nbr) both directions → degree per node (combiner grouped_agg)
+    broadcast as a sorted-array attach (node-cardinality; the graph.py
+    2M-node cutoff note applies — above it, ship w_z with a hash join)
+    → ONE wedge self-join on z (volume Σ deg², the two_hop hub-cap
+    knob) with a<b canonicalization → combiner grouped sum per pair →
+    existing-edge anti-filter via a broadcast sorted packed-key array
+    (u·2³² | v; int64-safe to 2³¹ nodes, documented) → two-level
+    deterministic top-k."""
+    import ray
+
+    from ..broadcast import cached_get
+    from ..functions.partition import coalesce_nonempty
+
+    _, edges = _corpus_link_edges(sf_dir)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"u": pa.array(np.minimum(s, d), pa.int64()),
+                         "v": pa.array(np.maximum(s, d), pa.int64())})
+
+    ue = grouped_agg(
+        edges.map_batches(canon, batch_format="pyarrow",
+                          runtime_env=runtime_env()),
+        ["u", "v"], [("__n", "", "count")],
+    ).select_columns(["u", "v"]).materialize()
+
+    def incidence(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v = batch.column("v").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "z": pa.array(np.concatenate([u, v]), pa.int64()),
+            "nbr": pa.array(np.concatenate([v, u]), pa.int64()),
+        })
+
+    inc = ue.map_batches(incidence, batch_format="pyarrow",
+                         runtime_env=runtime_env()).materialize()
+
+    deg_rows = grouped_agg(inc, ["z"], [("deg", "", "count")]).take_all()
+    deg_nodes = np.asarray([r["z"] for r in deg_rows], np.int64)
+    deg_vals = np.asarray([r["deg"] for r in deg_rows], np.int64)
+    order = np.argsort(deg_nodes)
+    deg_nodes, deg_vals = deg_nodes[order], deg_vals[order]
+    w_vals = np.where(deg_vals >= 2, 1_000_000 // np.maximum(
+        _flog2(np.maximum(deg_vals, 1)), 1), 0)
+    w_ref = ray.put((deg_nodes, w_vals))
+
+    # packed existing-edge keys for the anti-filter (m int64s broadcast;
+    # fine while m ≪ object-store capacity — the frontier-scale path is
+    # a distributed anti-join, same switch as minhash verification)
+    def pack(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v = batch.column("v").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({"key": pa.array((u << np.int64(32)) | v,
+                                         pa.int64())})
+
+    edge_keys = np.sort(np.concatenate([
+        b.column("key").to_numpy(zero_copy_only=False)
+        for b in ue.map_batches(pack, batch_format="pyarrow",
+                                runtime_env=runtime_env()
+                                ).iter_batches(batch_format="pyarrow")
+    ] or [np.empty(0, np.int64)]))
+    ek_ref = ray.put(edge_keys)
+
+    left = coalesce_nonempty(inc)
+    right = coalesce_nonempty(inc.map_batches(
+        lambda t: pa.table({"z2": t.column("z"), "nbr2": t.column("nbr")}),
+        batch_format="pyarrow", runtime_env=runtime_env()))
+    wedges = left.join(right, "inner",
+                       num_partitions=_shuffle_parts(sf_dir),
+                       on=("z",), right_on=("z2",))
+
+    def pair_scores(batch: pa.Table) -> pa.Table:
+        a = batch.column("nbr").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        b = batch.column("nbr2").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        z = batch.column("z").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = a < b
+        a, b, z = a[keep], b[keep], z[keep]
+        nodes, w = cached_get(w_ref)
+        pos = np.searchsorted(nodes, z)
+        wz = w[pos]  # every z is a node; deg ≥ 2 by wedge construction
+        return pa.table({
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "w": pa.array(wz, pa.int64()),
+            "one": pa.array(np.ones(len(a), np.int64)),
+        })
+
+    pairs = grouped_agg(
+        wedges.map_batches(pair_scores, batch_format="pyarrow",
+                           runtime_env=runtime_env()),
+        ["a", "b"], [("aa_score", "w", "sum"), ("n_common", "one", "sum")],
+    )
+
+    def non_edges_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        a = batch.column("a").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        b = batch.column("b").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keys = (a << np.int64(32)) | b
+        ek = cached_get(ek_ref)
+        pos = np.searchsorted(ek, keys)
+        pos[pos >= len(ek)] = 0
+        is_edge = (ek[pos] == keys) if len(ek) else np.zeros(
+            len(keys), bool)
+        batch = batch.filter(pa.array(~is_edge))
+        if batch.num_rows == 0:
+            return batch
+        s = batch.column("aa_score").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        a = batch.column("a").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        b = batch.column("b").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((b, a, -s))[:AA_TOPK]
+        return batch.take(pa.array(order, pa.int64()))
+
+    part = pairs.map_batches(non_edges_topk, batch_format="pyarrow",
+                             batch_size=None, runtime_env=runtime_env())
+    return part.repartition(1).map_batches(
+        non_edges_topk, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    ).sort("a")
+
+
+def _sql_adamic_adar() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    return f"""
+WITH n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+),
+ue AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src != dst
+),
+inc AS (
+  SELECT u AS z, v AS nbr FROM ue UNION ALL SELECT v, u FROM ue
+),
+degw AS (
+  SELECT z, count(*) AS deg,
+         CASE WHEN count(*) >= 2
+              THEN 1000000 // (length(bin(count(*))) - 1)
+              ELSE 0 END AS w
+  FROM inc GROUP BY z
+),
+pairs AS (
+  SELECT i.nbr AS a, j.nbr AS b,
+         sum(d.w) AS aa_score, count(*) AS n_common
+  FROM inc i JOIN inc j ON i.z = j.z AND i.nbr < j.nbr
+  JOIN degw d ON d.z = i.z
+  GROUP BY 1, 2
+),
+nonedge AS (
+  SELECT p.* FROM pairs p
+  LEFT JOIN ue ON ue.u = p.a AND ue.v = p.b
+  WHERE ue.u IS NULL
+)
+SELECT a, b, CAST(aa_score AS BIGINT) AS aa_score,
+       CAST(n_common AS BIGINT) AS n_common
+FROM nonedge
+ORDER BY aa_score DESC, a, b
+LIMIT {AA_TOPK}
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -15153,6 +15355,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "mutual_info": q_mutual_info,
         "chi2_tokens": q_chi2_tokens,
         "local_clustering": q_local_clustering,
+        "adamic_adar": q_adamic_adar,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -15339,6 +15542,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "mutual_info": _SQL_MUTUAL_INFO,
         "chi2_tokens": _SQL_CHI2_TOKENS,
         "local_clustering": _sql_local_clustering(),
+        "adamic_adar": _sql_adamic_adar(),
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

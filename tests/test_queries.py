@@ -95,6 +95,7 @@ SPOT_CHECKED = [
     "mutual_info",
     "chi2_tokens",
     "local_clustering",
+    "adamic_adar",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -971,6 +972,46 @@ def test_local_clustering_invariants(ray_session):
     assert all(0 <= r["cc_num"] <= r["cc_den"] for r in out)
     assert all(r["cc_den"] == r["deg"] * (r["deg"] - 1) for r in out)
     assert all(r["deg"] >= 2 for r in out)
+
+
+def test_adamic_adar_brute_force(ray_session):
+    """Recompute the integer-envelope AA top-50 by brute force over the
+    sf0.001 corpus link rule (500 nodes) and pin the distributed
+    result set exactly — including non-edge filtering and the
+    (score DESC, a, b) tie order."""
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.corpus import DUP_MOD, DUP_REMAINDER, LINK_OFFSETS
+    from deepwebharvester_ray.pipelines.queries import AA_TOPK, q_adamic_adar
+
+    n = pq.ParquetFile(
+        "/root/testdata/sf0.001/documents.parquet").metadata.num_rows
+    adj = {i: set() for i in range(n)}
+    for d in range(n):
+        e = d - 1 if d > 0 and d % DUP_MOD == DUP_REMAINDER else d
+        for off in LINK_OFFSETS:
+            t = (e + off) % n
+            if t != d:
+                adj[d].add(t)
+                adj[t].add(d)
+    w = {z: 1_000_000 // max(int(len(adj[z])).bit_length() - 1, 1)
+         for z in adj if len(adj[z]) >= 2}
+    scores = {}
+    for z, nbrs in adj.items():
+        nb = sorted(nbrs)
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                a, b = nb[i], nb[j]
+                if b in adj[a]:
+                    continue
+                s, c = scores.get((a, b), (0, 0))
+                scores[(a, b)] = (s + w[z], c + 1)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:AA_TOPK]
+    expect = {(a, b, s, c) for (a, b), (s, c) in expect}
+
+    got = {(r["a"], r["b"], r["aa_score"], r["n_common"])
+           for r in q_adamic_adar("/root/testdata/sf0.001").take_all()}
+    assert got == expect
 
 
 def test_source_modularity_known_partitions(ray_session, tmp_path):
