@@ -15214,6 +15214,60 @@ LIMIT {AA_TOPK}
 """
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """CSV interchange round-trip — the read side of the CSV sink
+    (reference storage.py:198-232 writes CSV with the newline scrub;
+    partner/legacy drops arrive AS csv): project documents to the
+    interchange columns WITH the reference's newline→space scrub
+    applied to the text field (the scrub is what makes the row
+    one-line-safe), ``write_csv`` a partitioned export, ``read_csv``
+    it back, and emit the rows — the oracle applies the IDENTICAL
+    scrub expression to the parquet, proving export+ingest is lossless
+    for the scrubbed string/int64 payload (the same guarantee
+    jsonl_roundtrip gives the JSON sink).
+
+    Distributed shape: block-wise write (one CSV file per block),
+    parallel ``read_csv`` back, materialized before the temp dir
+    drops; rows never visit the driver.  Caveat mirror of the JSONL
+    one: CSV carries no types — int64 survives via Arrow's CSV
+    inference; floats/timestamps would need explicit convert options."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "source"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pc.replace_substring(
+            pc.replace_substring(batch.column("text"), "\r", " "),
+            "\n", " ")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": t,
+                         "source": batch.column("source")})
+
+    out_dir = tempfile.mkdtemp(prefix="dwh_csv_rt_")
+    try:
+        ds.map_batches(scrub, batch_format="pyarrow",
+                       runtime_env=runtime_env()).write_csv(out_dir)
+        back = ray.data.read_csv(out_dir).select_columns(
+            ["doc_id", "text", "source"]).materialize()
+        return back.sort("doc_id")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+_SQL_CSV_ROUNDTRIP = """
+SELECT doc_id,
+       replace(replace(text, chr(13), ' '), chr(10), ' ') AS text,
+       source
+FROM documents ORDER BY doc_id
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -15356,6 +15410,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "chi2_tokens": q_chi2_tokens,
         "local_clustering": q_local_clustering,
         "adamic_adar": q_adamic_adar,
+        "csv_roundtrip": q_csv_roundtrip,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -15543,6 +15598,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "chi2_tokens": _SQL_CHI2_TOKENS,
         "local_clustering": _sql_local_clustering(),
         "adamic_adar": _sql_adamic_adar(),
+        "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

@@ -96,6 +96,7 @@ SPOT_CHECKED = [
     "chi2_tokens",
     "local_clustering",
     "adamic_adar",
+    "csv_roundtrip",
     "bibcoupling",
     "random_walks",
     "top_passages",
