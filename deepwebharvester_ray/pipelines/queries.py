@@ -12096,7 +12096,19 @@ def q_dq_checks(sf_dir: str):
     through :func:`attach_id_labels` (inner semantics = the SQL JOIN —
     orders without line items are the orphan check's job, not this
     one's).  Cents are floored per row THEN integer-summed on both
-    engines (float sum order never matters)."""
+    engines (float sum order never matters).
+
+    The seven rules are INDEPENDENT scalar pipelines, so their
+    EXECUTIONS overlap via a driver thread pool (Ray Data supports
+    concurrent dataset execution) — the suite's wall time approaches
+    its slowest rule plus one ramp-up, not the sum of seven ramp-ups.
+    Plan BUILDING stays serial in the main thread: ``read_parquet``'s
+    driver-side filesystem resolution lazily imports optional fsspec
+    backends, and concurrent first-time imports of an absent backend
+    (aiohttp) race into a partially-initialized-module ImportError —
+    so only the ``count``/``sum`` actions run in threads."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import ray
 
     from ..functions.dedup import attach_id_labels, subtract_ids
@@ -12111,32 +12123,31 @@ def q_dq_checks(sf_dir: str):
         ).map_batches(lambda b, _o=out: b.select([_o]),
                       batch_format="pyarrow", runtime_env=runtime_env())
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
-                                              "o_totalprice"])
-    li = _read(sf_dir, "lineitem",
-               columns=["l_orderkey", "l_extendedprice"])
-
-    n_cust_no_orders = subtract_ids(
-        cust, distinct_keys("orders", "o_custkey"),
-        id_column="c_custkey", drop_column="k").count()
-    n_orders_no_li = subtract_ids(
-        orders, distinct_keys("lineitem", "l_orderkey"),
-        id_column="o_orderkey", drop_column="k").count()
-    n_li_orphans = subtract_ids(
-        li, distinct_keys("orders", "o_orderkey"),
-        id_column="l_orderkey", drop_column="k").count()
-
-    n_orders = orders.count()
-    n_dup_keys = n_orders - distinct_keys("orders", "o_orderkey").count()
+    # ── serial plan building ────────────────────────────────────────────
+    ds_cust_no_orders = subtract_ids(
+        _read(sf_dir, "customer", columns=["c_custkey"]),
+        distinct_keys("orders", "o_custkey"),
+        id_column="c_custkey", drop_column="k")
+    ds_orders_no_li = subtract_ids(
+        _read(sf_dir, "orders", columns=["o_orderkey"]),
+        distinct_keys("lineitem", "l_orderkey"),
+        id_column="o_orderkey", drop_column="k")
+    ds_li_orphans = subtract_ids(
+        _read(sf_dir, "lineitem", columns=["l_orderkey"]),
+        distinct_keys("orders", "o_orderkey"),
+        id_column="l_orderkey", drop_column="k")
+    ds_orders_keys = _read(sf_dir, "orders", columns=["o_orderkey"])
+    ds_distinct_orders = distinct_keys("orders", "o_orderkey")
 
     def neg_price(batch: pa.Table) -> pa.Table:
-        p = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        pcol = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)
         return pa.table({"bad": pa.array(
-            np.asarray(p <= 0, np.int64), pa.int64())})
+            np.asarray(pcol <= 0, np.int64), pa.int64())})
 
-    n_neg = int(li.map_batches(neg_price, batch_format="pyarrow",
-                               runtime_env=runtime_env()).sum("bad"))
+    ds_neg = _read(sf_dir, "lineitem", columns=["l_extendedprice"]
+                   ).map_batches(neg_price, batch_format="pyarrow",
+                                 runtime_env=runtime_env())
 
     def null_bal(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -12144,47 +12155,60 @@ def q_dq_checks(sf_dir: str):
         return pa.table({"bad": pc.is_null(
             batch.column("c_acctbal")).cast(pa.int64())})
 
-    n_null = int(cust.map_batches(null_bal, batch_format="pyarrow",
-                                  runtime_env=runtime_env()).sum("bad"))
+    ds_null = _read(sf_dir, "customer", columns=["c_acctbal"]
+                    ).map_batches(null_bal, batch_format="pyarrow",
+                                  runtime_env=runtime_env())
 
     def li_cents(batch: pa.Table) -> pa.Table:
-        p = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        pcol = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)
         return pa.table({
             "o_orderkey": batch.column("l_orderkey"),
-            "c": pa.array(np.floor(p * 100.0).astype(np.int64),
+            "c": pa.array(np.floor(pcol * 100.0).astype(np.int64),
                           pa.int64()),
         })
 
     sums = grouped_agg(
-        li.map_batches(li_cents, batch_format="pyarrow", batch_size=None,
-                       runtime_env=runtime_env()),
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_extendedprice"]
+              ).map_batches(li_cents, batch_format="pyarrow",
+                            batch_size=None, runtime_env=runtime_env()),
         ["o_orderkey"], [("li_cents", "c", "sum")],
     )
-    with_sum = attach_id_labels(orders, sums, id_column="o_orderkey",
-                                label_id_column="o_orderkey",
-                                label_column="li_cents")
+    with_sum = attach_id_labels(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]),
+        sums, id_column="o_orderkey", label_id_column="o_orderkey",
+        label_column="li_cents")
 
     def mismatch(batch: pa.Table) -> pa.Table:
         tot = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
-        s = batch.column("li_cents").combine_chunks().to_numpy(
+        sm = batch.column("li_cents").combine_chunks().to_numpy(
             zero_copy_only=False)
-        bad = np.floor(tot * 100.0).astype(np.int64) != s
+        bad = np.floor(tot * 100.0).astype(np.int64) != sm
         return pa.table({"bad": pa.array(bad.astype(np.int64),
                                          pa.int64())})
 
-    n_mismatch = int(with_sum.map_batches(
-        mismatch, batch_format="pyarrow",
-        runtime_env=runtime_env()).sum("bad"))
+    ds_mismatch = with_sum.map_batches(mismatch, batch_format="pyarrow",
+                                       runtime_env=runtime_env())
 
-    rows = sorted([
-        ("customers_without_orders", n_cust_no_orders),
-        ("orders_without_lineitems", n_orders_no_li),
-        ("lineitem_orphans", n_li_orphans),
-        ("dup_orderkeys", n_dup_keys),
-        ("neg_extendedprice", n_neg),
-        ("null_acctbal", n_null),
-        ("totalprice_mismatch", n_mismatch),
-    ])
+    # ── concurrent scalar actions ───────────────────────────────────────
+    actions = {
+        "customers_without_orders": ds_cust_no_orders.count,
+        "orders_without_lineitems": ds_orders_no_li.count,
+        "lineitem_orphans": ds_li_orphans.count,
+        "__n_orders": ds_orders_keys.count,
+        "__n_distinct_orders": ds_distinct_orders.count,
+        "neg_extendedprice": lambda: int(ds_neg.sum("bad")),
+        "null_acctbal": lambda: int(ds_null.sum("bad")),
+        "totalprice_mismatch": lambda: int(ds_mismatch.sum("bad")),
+    }
+    with ThreadPoolExecutor(max_workers=len(actions)) as pool:
+        futs = {name: pool.submit(fn) for name, fn in actions.items()}
+        counts = {name: f.result() for name, f in futs.items()}
+    counts["dup_orderkeys"] = (
+        counts.pop("__n_orders") - counts.pop("__n_distinct_orders"))
+
+    rows = sorted(counts.items())
     return ray.data.from_arrow(pa.table({
         "rule": pa.array([r[0] for r in rows], pa.string()),
         "n_violations": pa.array([r[1] for r in rows], pa.int64()),
