@@ -15292,6 +15292,123 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_value_gini(sf_dir: str):
+    """Per-event-type Gini coefficient of the value distribution — the
+    inequality audit completing the distribution family (value_stats
+    gives moments, value_ntile equal-mass buckets, ks_test cross-type
+    shape drift; this is CONCENTRATION: is the type's value mass spread
+    or dominated by a few events — the same statistic that flags
+    boilerplate-farm token inequality at corpus scale).  Exact rational
+    from the sorted form ``G = Σ(2i − n − 1)·x_(i) / (n·Σx)`` — all
+    integer cents, rank ties broken by event_id identically in both
+    engines; output (event_type, n, sum_cents, gini_num, gini_den,
+    gini_ppm).
+
+    Distributed shape: ONE high-cardinality sort on the packed
+    (cents, event_id) key inside
+    :func:`~deepwebharvester_ray.functions.scan.grouped_prefix_scan`
+    (the SUM-OVER-PARTITION shape without a low-cardinality group sort
+    — the stratified_sample anti-pattern avoided), running count = the
+    within-type rank, then per-row (2·rank − 1)·cents and ONE combiner
+    grouped_agg to type cardinality where ``n·Σx`` subtracts off.  No
+    window materialization, no second shuffle."""
+    from ..functions.scan import grouped_prefix_scan
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        eid = batch.column("event_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cents = np.floor(v * 100.0).astype(np.int64)
+        # globally-unique sort key: value order, event_id tiebreak
+        # (cents < 2²³ and event_id < 2⁴⁰ asserted by construction)
+        assert cents.size == 0 or (
+            cents.min() >= 0 and cents.max() < 2**23 and eid.max() < 2**40)
+        return pa.table({
+            "k": pa.array((cents << np.int64(40)) | eid, pa.int64()),
+            "event_type": batch.column("event_type"),
+            "cents": pa.array(cents, pa.int64()),
+            "one": pa.array(np.ones(len(cents), np.int64)),
+        })
+
+    ranked = grouped_prefix_scan(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        key="k", group="event_type", value_col="one", out_col="rank",
+    )
+
+    def terms(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        x = batch.column("cents").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "t": pa.array((2 * r - 1) * x, pa.int64()),
+            "x": pa.array(x, pa.int64()),
+        })
+
+    agg = grouped_agg(
+        ranked.map_batches(terms, batch_format="pyarrow", batch_size=None,
+                           runtime_env=runtime_env()),
+        ["event_type"],
+        [("s2", "t", "sum"), ("sum_cents", "x", "sum"), ("n", "", "count")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s2 = batch.column("s2").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        sx = batch.column("sum_cents").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        n = batch.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        num = s2 - n * sx
+        den = n * sx
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n": pa.array(n, pa.int64()),
+            "sum_cents": pa.array(sx, pa.int64()),
+            "gini_num": pa.array(num, pa.int64()),
+            "gini_den": pa.array(den, pa.int64()),
+            "gini_ppm": pa.array(
+                (1_000_000 * num) // np.where(den > 0, den, 1), pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None,
+                           runtime_env=runtime_env()).sort("event_type")
+
+
+_SQL_VALUE_GINI = """
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn
+  FROM v
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(sum((2 * rn - 1) * cents) - count(*) * sum(cents)
+            AS BIGINT) AS gini_num,
+       CAST(count(*) * sum(cents) AS BIGINT) AS gini_den,
+       CAST((1000000 * (sum((2 * rn - 1) * cents)
+                        - count(*) * sum(cents)))
+            // (count(*) * sum(cents)) AS BIGINT) AS gini_ppm
+FROM r
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -15435,6 +15552,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "local_clustering": q_local_clustering,
         "adamic_adar": q_adamic_adar,
         "csv_roundtrip": q_csv_roundtrip,
+        "value_gini": q_value_gini,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -15623,6 +15741,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "local_clustering": _sql_local_clustering(),
         "adamic_adar": _sql_adamic_adar(),
         "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
+        "value_gini": _SQL_VALUE_GINI,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

@@ -97,6 +97,7 @@ SPOT_CHECKED = [
     "local_clustering",
     "adamic_adar",
     "csv_roundtrip",
+    "value_gini",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -973,6 +974,41 @@ def test_local_clustering_invariants(ray_session):
     assert all(0 <= r["cc_num"] <= r["cc_den"] for r in out)
     assert all(r["cc_den"] == r["deg"] * (r["deg"] - 1) for r in out)
     assert all(r["deg"] >= 2 for r in out)
+
+
+def test_value_gini_planted_distributions(ray_session, tmp_path):
+    """Equal values -> G = 0; maximal concentration (one event holds
+    all mass) -> G = (n-1)/n as the exact rational."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_value_gini
+
+    def write(vals):
+        n = len(vals)
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([datetime.datetime(2025, 1, 1)] * n,
+                           pa.timestamp("us")),
+            "user_id": pa.array([0] * n, pa.int64()),
+            "event_type": pa.array(["click"] * n, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array([""] * n, pa.string()),
+        }), str(tmp_path / "events.parquet"))
+
+    write([5.0, 5.0, 5.0, 5.0])
+    r = q_value_gini(str(tmp_path)).take_all()[0]
+    assert r["gini_num"] == 0 and r["gini_ppm"] == 0
+    assert r["n"] == 4 and r["sum_cents"] == 2000
+
+    # one event holds all mass (others get the 0.00 floor): x = (0,0,0,K)
+    # -> num = (2*4-4-1)*K = 3K, den = 4K -> G = 3/4
+    write([0.001, 0.001, 0.001, 10.0])
+    r = q_value_gini(str(tmp_path)).take_all()[0]
+    assert r["gini_num"] * 4 == r["gini_den"] * 3
+    assert r["gini_ppm"] == 750_000
 
 
 def test_adamic_adar_brute_force(ray_session):
