@@ -15409,6 +15409,111 @@ ORDER BY event_type
 """
 
 
+def q_welch_ttest(sf_dir: str):
+    """Welch's unequal-variance t² between two event types' value
+    distributions ('click' vs 'purchase') — the MEAN-difference member
+    of the hypothesis-test family (ks_test asks "same shape?"; this
+    asks "same mean, given unequal variances?", the A/B-comparison
+    default).  t² stays an EXACT rational of the integer moments:
+    ``t2_num = (S₁n₂ − S₂n₁)²(n₁−1)(n₂−1)``, ``t2_den =
+    (n₁Q₁ − S₁²)n₂²(n₂−1) + (n₂Q₂ − S₂²)n₁²(n₁−1)`` with S = Σcents,
+    Q = Σcents² — emitted as VARCHAR (the values exceed int64 by
+    design; DuckDB computes them in HUGEINT, the driver in Python
+    bigints, and the decimal strings compare exactly; HUGEINT caps the
+    SQL twin near 10³⁸ — the sf-1 envelope — while the engine side is
+    arbitrary-precision) plus t2_milli as the int64 floor quotient.
+
+    Distributed shape: ONE combiner ``grouped_agg`` collapses the
+    stream to per-type (n, S, Q) — three int64 scalars per type, Q
+    safe to ~10¹⁴ rows of cents² — and the rational assembles on the
+    driver.  One data pass, no sort, no shuffle beyond the two-row
+    aggregate."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        et = batch.column("event_type").combine_chunks()
+        keep = pc.or_(pc.equal(et, KS_TYPE_A), pc.equal(et, KS_TYPE_B))
+        batch = batch.filter(keep)
+        v = batch.column("value").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cents = np.floor(v * 100.0).astype(np.int64)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "x": pa.array(cents, pa.int64()),
+            "x2": pa.array(cents * cents, pa.int64()),
+        })
+
+    mom = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["event_type"],
+        [("n", "", "count"), ("s", "x", "sum"), ("q", "x2", "sum")],
+    ).take_all()  # two rows
+    m = {r["event_type"]: (int(r["n"]), int(r["s"]), int(r["q"]))
+         for r in mom}
+    n1, s1, q1 = m.get(KS_TYPE_A, (0, 0, 0))
+    n2, s2, q2 = m.get(KS_TYPE_B, (0, 0, 0))
+
+    d = s1 * n2 - s2 * n1
+    num = d * d * (n1 - 1) * (n2 - 1)
+    den = ((n1 * q1 - s1 * s1) * n2 * n2 * (n2 - 1)
+           + (n2 * q2 - s2 * s2) * n1 * n1 * (n1 - 1))
+    return pa.table({
+        "n_a": pa.array([n1], pa.int64()),
+        "n_b": pa.array([n2], pa.int64()),
+        "sum_a": pa.array([s1], pa.int64()),
+        "sum_b": pa.array([s2], pa.int64()),
+        "ssq_a": pa.array([q1], pa.int64()),
+        "ssq_b": pa.array([q2], pa.int64()),
+        "t2_num": pa.array([str(num)], pa.string()),
+        "t2_den": pa.array([str(den)], pa.string()),
+        "t2_milli": pa.array([1000 * num // den if den else 0], pa.int64()),
+    })
+
+
+_SQL_WELCH_TTEST = f"""
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100) AS HUGEINT) AS cents
+  FROM events
+  WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+),
+mom AS (
+  SELECT
+    sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END)
+      ::HUGEINT AS n1,
+    sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN cents ELSE 0 END)
+      ::HUGEINT AS s1,
+    sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN cents * cents ELSE 0 END)
+      ::HUGEINT AS q1,
+    sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END)
+      ::HUGEINT AS n2,
+    sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN cents ELSE 0 END)
+      ::HUGEINT AS s2,
+    sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN cents * cents ELSE 0 END)
+      ::HUGEINT AS q2
+  FROM v
+),
+parts AS (
+  SELECT n1, n2, s1, s2, q1, q2,
+         (s1 * n2 - s2 * n1) * (s1 * n2 - s2 * n1)
+           * (n1 - 1) * (n2 - 1) AS num,
+         (n1 * q1 - s1 * s1) * n2 * n2 * (n2 - 1)
+           + (n2 * q2 - s2 * s2) * n1 * n1 * (n1 - 1) AS den
+  FROM mom
+)
+SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+       CAST(s1 AS BIGINT) AS sum_a, CAST(s2 AS BIGINT) AS sum_b,
+       CAST(q1 AS BIGINT) AS ssq_a, CAST(q2 AS BIGINT) AS ssq_b,
+       CAST(num AS VARCHAR) AS t2_num,
+       CAST(den AS VARCHAR) AS t2_den,
+       CAST((1000 * num) // den AS BIGINT) AS t2_milli
+FROM parts
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -15553,6 +15658,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "adamic_adar": q_adamic_adar,
         "csv_roundtrip": q_csv_roundtrip,
         "value_gini": q_value_gini,
+        "welch_ttest": q_welch_ttest,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -15742,6 +15848,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "adamic_adar": _sql_adamic_adar(),
         "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "value_gini": _SQL_VALUE_GINI,
+        "welch_ttest": _SQL_WELCH_TTEST,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

@@ -98,6 +98,7 @@ SPOT_CHECKED = [
     "adamic_adar",
     "csv_roundtrip",
     "value_gini",
+    "welch_ttest",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -1009,6 +1010,41 @@ def test_value_gini_planted_distributions(ray_session, tmp_path):
     r = q_value_gini(str(tmp_path)).take_all()[0]
     assert r["gini_num"] * 4 == r["gini_den"] * 3
     assert r["gini_ppm"] == 750_000
+
+
+def test_welch_ttest_known_value(ray_session, tmp_path):
+    """Hand-computed Welch t² on a tiny planted sample, exact rational:
+    a = (1, 3) cents (100, 300), b = (2, 2, 8) cents (200, 200, 800)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_welch_ttest
+
+    vals = [1.0, 3.0] + [2.0, 2.0, 8.0]
+    types = ["click"] * 2 + ["purchase"] * 3
+    n = len(vals)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([datetime.datetime(2025, 1, 1)] * n,
+                       pa.timestamp("us")),
+        "user_id": pa.array([0] * n, pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array([""] * n, pa.string()),
+    }), str(tmp_path / "events.parquet"))
+
+    r = q_welch_ttest(str(tmp_path)).to_pylist()[0]
+    n1, s1, q1 = 2, 400, 100**2 + 300**2
+    n2, s2, q2 = 3, 1200, 2 * 200**2 + 800**2
+    d = s1 * n2 - s2 * n1
+    num = d * d * (n1 - 1) * (n2 - 1)
+    den = ((n1 * q1 - s1 * s1) * n2 * n2 * (n2 - 1)
+           + (n2 * q2 - s2 * s2) * n1 * n1 * (n1 - 1))
+    assert (r["n_a"], r["n_b"], r["sum_a"], r["sum_b"]) == (n1, n2, s1, s2)
+    assert (r["t2_num"], r["t2_den"]) == (str(num), str(den))
+    assert r["t2_milli"] == 1000 * num // den
 
 
 def test_adamic_adar_brute_force(ray_session):
