@@ -63,11 +63,17 @@ SINGLE_BLOCK_CUTOFF = 4_000_000
 
 
 def grouped_agg(ds, keys: Sequence[str], specs: Sequence[AggSpec],
-                final_mode: str = "auto"):
+                final_mode: str = "auto", sorted_output: bool = True):
     """ds.groupby(keys).aggregate(...) with partial (per-batch) combining.
 
     Returns a Dataset with columns ``keys + [out for out, _, _ in specs]``,
-    sorted by ``keys`` (deterministic output order).
+    sorted by ``keys`` (deterministic output order).  Pass
+    ``sorted_output=False`` when a downstream order-insensitive consumer
+    (a top-k, a count, another aggregate) follows — the native path's
+    trailing key sort is a full all-to-all of the RESULT table and at
+    ~10⁷ groups costs as much as the aggregation itself (measured on
+    the adamic_adar 800k-node stress: the pairs table's final sort
+    dominated the stage).
 
     ``final_mode``:
 
@@ -136,9 +142,10 @@ def grouped_agg(ds, keys: Sequence[str], specs: Sequence[AggSpec],
             [m.get(c, c) for c in batch.column_names]
         ).select(keys + out_cols)
 
-    return res.map_batches(
+    out = res.map_batches(
         rename, batch_format="pyarrow", runtime_env=runtime_env()
-    ).sort(keys)
+    )
+    return out.sort(keys) if sorted_output else out
 
 
 def grouped_quantiles(

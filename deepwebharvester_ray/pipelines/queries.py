@@ -15037,6 +15037,7 @@ ORDER BY node
 
 
 AA_TOPK = 50
+AA_MAX_DEG = 4096      # hub wedge guard: C(deg,2) emission cap (docstring)
 
 
 def q_adamic_adar(sf_dir: str):
@@ -15052,18 +15053,24 @@ def q_adamic_adar(sf_dir: str):
     the common-neighbor count.
 
     Distributed shape: canonical-edge dedup combiner → incidence rows
-    (z, nbr) both directions → degree per node (combiner grouped_agg)
-    broadcast as a sorted-array attach (node-cardinality; the graph.py
-    2M-node cutoff note applies — above it, ship w_z with a hash join)
-    → ONE wedge self-join on z (volume Σ deg², the two_hop hub-cap
-    knob) with a<b canonicalization → combiner grouped sum per pair →
-    existing-edge anti-filter via a broadcast sorted packed-key array
-    (u·2³² | v; int64-safe to 2³¹ nodes, documented) → two-level
-    deterministic top-k."""
+    (z, nbr) → ONE single-key sort on z (all of z's rows co-locate, so
+    deg(z) IS the run length — no degree table, no broadcast, no join)
+    → the size-grouped vectorized triu emission (the
+    ``_gram_bucket_pairs`` discipline; a hash self-join here measured
+    3× slower and its pair groupby another 3× on the 400k-node stress
+    profile) emitting PACKED pair keys (a·2³²|b; int64-safe to 2³¹
+    nodes) with w_z attached per run → per-block np.unique partial
+    sums → ONE single-int64-key combiner ``grouped_agg`` → existing-
+    edge anti-filter via a broadcast sorted packed-key array (m int64s;
+    the frontier-scale path is a distributed anti-join, the
+    minhash-verify switch) → two-level deterministic top-k.  Hub guard:
+    a mega-hub emits C(deg,2) wedges — ``AA_MAX_DEG`` skips runs above
+    it (the simhash hot-bucket contract; the corpus graph's max degree
+    is ~8, so exact-oracle runs are unaffected)."""
     import ray
 
     from ..broadcast import cached_get
-    from ..functions.partition import coalesce_nonempty
+    from ..functions.dedup import _run_bounds
 
     _, edges = _corpus_link_edges(sf_dir)
 
@@ -15094,16 +15101,7 @@ def q_adamic_adar(sf_dir: str):
         })
 
     inc = ue.map_batches(incidence, batch_format="pyarrow",
-                         runtime_env=runtime_env()).materialize()
-
-    deg_rows = grouped_agg(inc, ["z"], [("deg", "", "count")]).take_all()
-    deg_nodes = np.asarray([r["z"] for r in deg_rows], np.int64)
-    deg_vals = np.asarray([r["deg"] for r in deg_rows], np.int64)
-    order = np.argsort(deg_nodes)
-    deg_nodes, deg_vals = deg_nodes[order], deg_vals[order]
-    w_vals = np.where(deg_vals >= 2, 1_000_000 // np.maximum(
-        _flog2(np.maximum(deg_vals, 1)), 1), 0)
-    w_ref = ray.put((deg_nodes, w_vals))
+                         runtime_env=runtime_env())
 
     # packed existing-edge keys for the anti-filter (m int64s broadcast;
     # fine while m ≪ object-store capacity — the frontier-scale path is
@@ -15124,63 +15122,108 @@ def q_adamic_adar(sf_dir: str):
     ] or [np.empty(0, np.int64)]))
     ek_ref = ray.put(edge_keys)
 
-    left = coalesce_nonempty(inc)
-    right = coalesce_nonempty(inc.map_batches(
-        lambda t: pa.table({"z2": t.column("z"), "nbr2": t.column("nbr")}),
-        batch_format="pyarrow", runtime_env=runtime_env()))
-    wedges = left.join(right, "inner",
-                       num_partitions=_shuffle_parts(sf_dir),
-                       on=("z",), right_on=("z2",))
+    # width from WEDGE volume (avg_deg × incidence rows), not source
+    # bytes: a doc_id-only parquet is a few MB while its wedge table is
+    # tens of millions of rows — an unrepartitioned sort inherits the
+    # narrow read width and every downstream stage runs 2-wide
+    # (measured 920 s vs 49 s at 800 k nodes)
+    n_inc = int(2 * ue.count())
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    avg_deg = 2 * len(LINK_OFFSETS)
+    parts = int(max(_shuffle_parts(sf_dir),
+                    min(4 * cpus, (n_inc * avg_deg) // 1_000_000 + 2)))
+    srt = inc.repartition(parts).sort("z").materialize()
 
-    def pair_scores(batch: pa.Table) -> pa.Table:
-        a = batch.column("nbr").combine_chunks().to_numpy(
-            zero_copy_only=False)
-        b = batch.column("nbr2").combine_chunks().to_numpy(
-            zero_copy_only=False)
+    def wedge_partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "w": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
         z = batch.column("z").combine_chunks().to_numpy(
             zero_copy_only=False)
-        keep = a < b
-        a, b, z = a[keep], b[keep], z[keep]
-        nodes, w = cached_get(w_ref)
-        pos = np.searchsorted(nodes, z)
-        wz = w[pos]  # every z is a node; deg ≥ 2 by wedge construction
-        return pa.table({
-            "a": pa.array(a, pa.int64()),
-            "b": pa.array(b, pa.int64()),
-            "w": pa.array(wz, pa.int64()),
-            "one": pa.array(np.ones(len(a), np.int64)),
-        })
+        nbr = batch.column("nbr").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        starts, ends = _run_bounds(z)
+        sizes = ends - starts
+        sel = (sizes >= 2) & (sizes <= AA_MAX_DEG)
+        starts, sizes = starts[sel], sizes[sel]
+        if not len(starts):
+            return empty
+        # size-grouped triu emission (one argsort, zero per-run Python)
+        out_k, out_w = [], []
+        size_order = np.argsort(sizes, kind="stable")
+        s_sorted = starts[size_order]
+        sz_sorted = sizes[size_order]
+        g_starts, g_ends = _run_bounds(sz_sorted)
+        for gs, ge in zip(g_starts, g_ends):
+            m = int(sz_sorted[gs])
+            s_m = s_sorted[gs:ge]
+            mat = np.sort(nbr[s_m[:, None] + np.arange(m)[None, :]],
+                          axis=1)
+            ii, jj = np.triu_indices(m, 1)
+            a = mat[:, ii].ravel()
+            b = mat[:, jj].ravel()
+            out_k.append((a << np.int64(32)) | b)
+            w = np.int64(1_000_000 // max(m.bit_length() - 1, 1))
+            out_w.append(np.full(len(a), w, np.int64))
+        k = np.concatenate(out_k)
+        w = np.concatenate(out_w)
+        uniq, inv = np.unique(k, return_inverse=True)
+        wsum = np.bincount(inv, weights=w,
+                           minlength=len(uniq)).astype(np.int64)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"k": pa.array(uniq, pa.int64()),
+                         "w": pa.array(wsum, pa.int64()),
+                         "c": pa.array(cnt, pa.int64())})
 
     pairs = grouped_agg(
-        wedges.map_batches(pair_scores, batch_format="pyarrow",
-                           runtime_env=runtime_env()),
-        ["a", "b"], [("aa_score", "w", "sum"), ("n_common", "one", "sum")],
+        srt.map_batches(wedge_partials, batch_format="pyarrow",
+                        batch_size=None, runtime_env=runtime_env()),
+        ["k"], [("aa_score", "w", "sum"), ("n_common", "c", "sum")],
+        sorted_output=False,  # a top-k follows — order-insensitive
     )
 
     def non_edges_topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "aa_score": pa.array([], pa.int64()),
+                          "n_common": pa.array([], pa.int64())})
         if batch.num_rows == 0:
-            return batch
-        a = batch.column("a").combine_chunks().to_numpy(
-            zero_copy_only=False)
-        b = batch.column("b").combine_chunks().to_numpy(
-            zero_copy_only=False)
-        keys = (a << np.int64(32)) | b
-        ek = cached_get(ek_ref)
-        pos = np.searchsorted(ek, keys)
-        pos[pos >= len(ek)] = 0
-        is_edge = (ek[pos] == keys) if len(ek) else np.zeros(
-            len(keys), bool)
-        batch = batch.filter(pa.array(~is_edge))
-        if batch.num_rows == 0:
-            return batch
-        s = batch.column("aa_score").combine_chunks().to_numpy(
-            zero_copy_only=False)
-        a = batch.column("a").combine_chunks().to_numpy(
-            zero_copy_only=False)
-        b = batch.column("b").combine_chunks().to_numpy(
-            zero_copy_only=False)
+            return empty
+        if "k" in batch.column_names:
+            keys = batch.column("k").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            ek = cached_get(ek_ref)
+            if len(ek):
+                pos = np.searchsorted(ek, keys)
+                pos[pos >= len(ek)] = 0
+                keep = ek[pos] != keys
+            else:
+                keep = np.ones(len(keys), bool)
+            keys = keys[keep]
+            s = batch.column("aa_score").combine_chunks().to_numpy(
+                zero_copy_only=False)[keep]
+            c = batch.column("n_common").combine_chunks().to_numpy(
+                zero_copy_only=False)[keep]
+            a = keys >> np.int64(32)
+            b = keys & np.int64(0xFFFFFFFF)
+        else:  # second (merge) pass — already unpacked
+            a = batch.column("a").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            b = batch.column("b").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            s = batch.column("aa_score").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            c = batch.column("n_common").combine_chunks().to_numpy(
+                zero_copy_only=False)
+        if not len(a):
+            return empty
         order = np.lexsort((b, a, -s))[:AA_TOPK]
-        return batch.take(pa.array(order, pa.int64()))
+        return pa.table({"a": pa.array(a[order], pa.int64()),
+                         "b": pa.array(b[order], pa.int64()),
+                         "aa_score": pa.array(s[order], pa.int64()),
+                         "n_common": pa.array(c[order], pa.int64())})
 
     part = pairs.map_batches(non_edges_topk, batch_format="pyarrow",
                              batch_size=None, runtime_env=runtime_env())

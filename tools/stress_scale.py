@@ -839,6 +839,39 @@ def run_gscan(n: int) -> dict:
     }
 
 
+def run_aa(n: int) -> dict:
+    """adamic_adar over a synthetic n-node corpus-rule link graph (the
+    real q_adamic_adar against a /tmp documents table of n doc_ids):
+    wedge volume and pair table grow ~linearly (3-regular graph), and
+    the DRIVER footprint is only the documented broadcast envelope
+    (degree map + packed edge keys, ~32 B/node) — RSS must grow far
+    slower than the wedge volume, and the top-50 stays 50 rows."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_adamic_adar
+
+    tmp = tempfile.mkdtemp(prefix="dwh_aa_stress_")
+    try:
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+        }), str(Path(tmp) / "documents.parquet"))
+        t0 = time.monotonic()
+        out = q_adamic_adar(tmp).take_all()
+        assert len(out) == 50
+        return {
+            "case": "aa", "n": n,
+            "rows": len(out),
+            "wall_s": round(time.monotonic() - t0, 2),
+            "driver_rss_mb": round(_rss_mb(), 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_sdedup(n: int, distinct: int) -> dict:
     """streaming_dedup over an n-row dup-heavy stream with `distinct`
     unique contents: emitted rows == distinct, per-shard state O(its
@@ -890,7 +923,7 @@ def main() -> None:
                                     "stream", "skewagg", "bloomjoin",
                                     "containment", "knn", "fuzzy",
                                     "skyline", "cosine", "gscan",
-                                    "sdedup"])
+                                    "sdedup", "aa"])
     p.add_argument("--dup", type=int, default=1)
     p.add_argument("--seeds", type=int, default=10_000)
     p.add_argument("--shards", type=int, default=None)
@@ -945,6 +978,8 @@ def main() -> None:
             out = run_gscan(args.n)
         elif args.case == "sdedup":
             out = run_sdedup(args.n, max(1, args.n // 10))
+        elif args.case == "aa":
+            out = run_aa(args.n)
         elif args.case == "cosine":
             out = run_cosine(args.n)
         else:
