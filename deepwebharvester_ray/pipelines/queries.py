@@ -15557,6 +15557,87 @@ FROM parts
 """
 
 
+CHUNK_SIZE = 64       # tokens per context window
+CHUNK_STRIDE = 48     # window advance (overlap = SIZE - STRIDE = 16)
+
+
+def q_doc_chunks(sf_dir: str):
+    """Sliding-window context chunking (doc_chunks): split each
+    document's whitespace tokens into windows of ``CHUNK_SIZE`` tokens
+    advancing by ``CHUNK_STRIDE`` — the context-window prep step every
+    pretraining / retrieval corpus runs between cleaning and
+    tokenization (the overlap keeps boundary sentences intact in at
+    least one window).  The family complement of ``token_packing``:
+    packing CONCATENATES short docs up to the window, this SPLITS long
+    ones.  Emits (doc_id, chunk_id, n_tokens, chunk_text); the partial
+    tail window is kept (a truncated tail is silent data loss at corpus
+    scale) but ONLY when it adds tokens no earlier window covers
+    (``start == 0 or start + overlap < n`` — a tail lying wholly inside
+    the previous window would be a pure duplicate), so chunk_ids are a
+    dense 0..K prefix in both engines.
+
+    Distributed shape: ONE stateless vectorizable map — per-doc split
+    and window emission inside the batch; output bytes ≈
+    SIZE/STRIDE ≈ 1.33× input tokens (the overlap factor, documented);
+    no shuffle and no state — the only all-to-all is the deterministic
+    (doc_id, chunk_id) output sort the oracle compare needs (a real
+    pipeline writes chunks straight to partitioned parquet).  Beyond
+    the reference (training-data family, like token_packing)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    overlap = CHUNK_SIZE - CHUNK_STRIDE
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_id, o_cid, o_n, o_txt = [], [], [], []
+        for d, t in zip(ids, texts):
+            toks = (t or "").split()
+            n = len(toks)
+            if not n:
+                continue
+            ci, start = 0, 0
+            while start == 0 or start + overlap < n:
+                w = toks[start:start + CHUNK_SIZE]
+                if not w:
+                    break
+                o_id.append(d)
+                o_cid.append(ci)
+                o_n.append(len(w))
+                o_txt.append(" ".join(w))
+                ci += 1
+                start += CHUNK_STRIDE
+        return pa.table({
+            "doc_id": pa.array(o_id, pa.int64()),
+            "chunk_id": pa.array(o_cid, pa.int64()),
+            "n_tokens": pa.array(o_n, pa.int64()),
+            "chunk_text": pa.array(o_txt, pa.string()),
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow",
+                          runtime_env=runtime_env()
+                          ).sort(["doc_id", "chunk_id"])
+
+
+_SQL_DOC_CHUNKS = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tok FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST((i - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+         CAST(len(tok[i:i + {CHUNK_SIZE - 1}]) AS BIGINT) AS n_tokens,
+         array_to_string(tok[i:i + {CHUNK_SIZE - 1}], ' ') AS chunk_text
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(1, len(tok), {CHUNK_STRIDE})) AS i
+  ) g(i)
+  WHERE i = 1 OR i + {CHUNK_SIZE - CHUNK_STRIDE} - 1 < len(tok)
+)
+SELECT doc_id, chunk_id, n_tokens, chunk_text
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -15702,6 +15783,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "csv_roundtrip": q_csv_roundtrip,
         "value_gini": q_value_gini,
         "welch_ttest": q_welch_ttest,
+        "doc_chunks": q_doc_chunks,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -15892,6 +15974,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "value_gini": _SQL_VALUE_GINI,
         "welch_ttest": _SQL_WELCH_TTEST,
+        "doc_chunks": _SQL_DOC_CHUNKS,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

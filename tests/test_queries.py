@@ -99,6 +99,7 @@ SPOT_CHECKED = [
     "csv_roundtrip",
     "value_gini",
     "welch_ttest",
+    "doc_chunks",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -1010,6 +1011,46 @@ def test_value_gini_planted_distributions(ray_session, tmp_path):
     r = q_value_gini(str(tmp_path)).take_all()[0]
     assert r["gini_num"] * 4 == r["gini_den"] * 3
     assert r["gini_ppm"] == 750_000
+
+
+def test_doc_chunks_window_boundaries(ray_session, tmp_path):
+    """Window emission rule pinned at the exact boundaries: a 64-token
+    doc emits ONE chunk (the stride-48 tail would lie wholly inside
+    window 0 — pure duplicate, excluded); 65 tokens emit two (the tail
+    adds one new token); 200 tokens emit starts 0/48/96/144 and stop
+    (start 192 + overlap 16 ≥ 200); empty docs emit nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_doc_chunks
+
+    def toks(d, n):
+        return " ".join(f"d{d}t{i}" for i in range(n))
+
+    texts = [toks(0, 200), toks(1, 64), toks(2, 65), "", toks(4, 1)]
+    n = len(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["s"] * n, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    rows = q_doc_chunks(str(tmp_path)).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {0, 1, 2, 4}
+    assert [r["chunk_id"] for r in by_doc[0]] == [0, 1, 2, 3]
+    assert [r["n_tokens"] for r in by_doc[0]] == [64, 64, 64, 56]
+    # chunk 3 of doc 0 covers tokens 144..199 (tail kept, truncation-free)
+    assert by_doc[0][3]["chunk_text"].split()[-1] == "d0t199"
+    assert by_doc[0][3]["chunk_text"].split()[0] == "d0t144"
+    assert [r["n_tokens"] for r in by_doc[1]] == [64]
+    assert [r["n_tokens"] for r in by_doc[2]] == [64, 17]
+    assert by_doc[2][1]["chunk_text"].split()[0] == "d2t48"
+    assert [r["n_tokens"] for r in by_doc[4]] == [1]
 
 
 def test_welch_ttest_known_value(ray_session, tmp_path):
