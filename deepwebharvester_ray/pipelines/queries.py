@@ -15638,6 +15638,82 @@ FROM c ORDER BY doc_id, chunk_id
 """
 
 
+ANON_K = 5          # minimum cell size for k-anonymity
+ANON_L = 3          # minimum sensitive-value diversity (l-diversity)
+
+
+def q_k_anonymity(sf_dir: str):
+    """Privacy re-identification audit (k_anonymity): for every
+    quasi-identifier cell — the (nation, market-segment) combination an
+    adversary could know from outside — the cell population ``n``
+    (k-anonymity: a cell below ``ANON_K`` re-identifies its members)
+    and the diversity ``l_distinct`` of the sensitive attribute
+    (account-balance kilobucket; l-diversity: a large cell whose
+    members all share one sensitive value still leaks it).  The
+    table-shaped complement of ``pii_redact``: redaction scrubs values
+    INSIDE records, this audits what the released SCHEMA leaks — the
+    check a training corpus with user-derived metadata runs before
+    release.  Output (nation, segment, n, l_distinct, k_ok, l_ok).
+
+    Distributed shape: exactly the two-level EXACT-distinct plan of
+    ``distinct_users_by_type`` — level one collapses to one row per
+    (cell, sensitive-bucket) with per-block combining (the only
+    all-to-all, at pair cardinality), level two is a combiner sum/count
+    over those pairs (n = Σ pair counts, l = pair rows).  Flags are
+    integer comparisons, exact in both engines; the bucket boundary is
+    ``floor(acctbal/1000)`` — one IEEE double divide + floor in
+    identical order on both sides."""
+    ds = _read(sf_dir, "customer",
+               columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+               override_num_blocks=_shuffle_parts(sf_dir, "customer"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "nation": batch.column("c_nationkey").cast(pa.int64()),
+            "segment": batch.column("c_mktsegment"),
+            "bucket": pa.array(np.floor(bal / 1000.0).astype(np.int64),
+                               pa.int64()),
+        })
+
+    pairs = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["nation", "segment", "bucket"], [("cnt", "", "count")],
+    )
+    cells = grouped_agg(pairs, ["nation", "segment"],
+                        [("n", "cnt", "sum"), ("l_distinct", "", "count")])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ld = batch.column("l_distinct").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return batch.append_column(
+            "k_ok", pa.array((n >= ANON_K).astype(np.int64), pa.int64())
+        ).append_column(
+            "l_ok", pa.array((ld >= ANON_L).astype(np.int64), pa.int64()))
+
+    return cells.map_batches(flags, batch_format="pyarrow",
+                             batch_size=None, runtime_env=runtime_env())
+
+
+_SQL_K_ANONYMITY = f"""
+SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+            AS BIGINT) AS l_distinct,
+       CAST(count(*) >= {ANON_K} AS BIGINT) AS k_ok,
+       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+            >= {ANON_L} AS BIGINT) AS l_ok
+FROM customer
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -15784,6 +15860,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "value_gini": q_value_gini,
         "welch_ttest": q_welch_ttest,
         "doc_chunks": q_doc_chunks,
+        "k_anonymity": q_k_anonymity,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -15975,6 +16052,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "value_gini": _SQL_VALUE_GINI,
         "welch_ttest": _SQL_WELCH_TTEST,
         "doc_chunks": _SQL_DOC_CHUNKS,
+        "k_anonymity": _SQL_K_ANONYMITY,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

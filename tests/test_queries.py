@@ -100,6 +100,7 @@ SPOT_CHECKED = [
     "value_gini",
     "welch_ttest",
     "doc_chunks",
+    "k_anonymity",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -1051,6 +1052,45 @@ def test_doc_chunks_window_boundaries(ray_session, tmp_path):
     assert [r["n_tokens"] for r in by_doc[2]] == [64, 17]
     assert by_doc[2][1]["chunk_text"].split()[0] == "d2t48"
     assert [r["n_tokens"] for r in by_doc[4]] == [1]
+
+
+def test_k_anonymity_planted_cells(ray_session, tmp_path):
+    """Three planted quasi-identifier cells pin both flags: 4 members
+    one bucket (fails k and l), 5 members two buckets (passes k, fails
+    l), 6 members three buckets (passes both)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_k_anonymity
+
+    bals, nats, segs = [], [], []
+
+    def cell(nat, seg, balances):
+        for b in balances:
+            nats.append(nat)
+            segs.append(seg)
+            bals.append(b)
+
+    cell(1, "AUTO", [1500.0] * 4)                       # n=4, l=1
+    cell(2, "AUTO", [500.0, 500.0, 500.0, 2500.0, 2500.0])   # n=5, l=2
+    cell(3, "HOME", [0.0, 0.0, 1200.0, 1200.0, 3400.0, 3400.0])  # n=6, l=3
+    n = len(bals)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(n), pa.int64()),
+        "c_name": pa.array([f"c{i}" for i in range(n)], pa.string()),
+        "c_nationkey": pa.array(nats, pa.int32()),
+        "c_acctbal": pa.array(bals, pa.float64()),
+        "c_mktsegment": pa.array(segs, pa.string()),
+    }), str(tmp_path / "customer.parquet"))
+
+    rows = {(r["nation"], r["segment"]):
+            (r["n"], r["l_distinct"], r["k_ok"], r["l_ok"])
+            for r in q_k_anonymity(str(tmp_path)).take_all()}
+    assert rows == {
+        (1, "AUTO"): (4, 1, 0, 0),
+        (2, "AUTO"): (5, 2, 1, 0),
+        (3, "HOME"): (6, 3, 1, 1),
+    }
 
 
 def test_welch_ttest_known_value(ray_session, tmp_path):
