@@ -126,14 +126,17 @@ def pack_sequences(
     )
 
 
-def grouped_prefix_scan(ds, key: str, group: str, value_col: str,
+def grouped_prefix_scan(ds, key, group: str, value_col: str,
                         out_col: str = "running",
                         shuffle_partitions: int = None):
     """Add ``out_col`` = inclusive running sum of ``value_col`` in global
     ``key`` order **within each ``group``** — the distributed form of
     ``SUM(v) OVER (PARTITION BY group ORDER BY key)`` without a window
     materialization or a sort on the (possibly low-cardinality) group
-    key.  ``key`` values must be globally unique; ``value_col`` integral.
+    key.  ``key`` may be one column name or a LIST of names (the
+    standard ``ORDER BY ts, id`` window form — composite keys that
+    don't pack into one int64, e.g. epoch-µs × id); the combined key
+    tuple must be globally unique.  ``value_col`` integral.
 
     Shape: ONE sort on the high-cardinality ``key`` (groups interleave
     freely across blocks — deliberately: a sort on the group key is the
@@ -147,30 +150,34 @@ def grouped_prefix_scan(ds, key: str, group: str, value_col: str,
     pipelines instead (documented envelope)."""
     import ray
 
+    keys = [key] if isinstance(key, str) else list(key)
     if shuffle_partitions:
         ds = ds.repartition(shuffle_partitions)
-    srt = ds.sort(key).materialize()
+    srt = ds.sort(keys).materialize()
+
+    def _first_key(batch: pa.Table):
+        # lexicographic block position; tuples compare like the sort
+        return tuple(batch.column(k)[0].as_py() for k in keys)
 
     def block_stats(batch: pa.Table) -> pa.Table:
-        ktype = batch.schema.field(key).type
+        ktypes = [batch.schema.field(k).type for k in keys]
         gtype = batch.schema.field(group).type
         if batch.num_rows == 0:
-            return pa.table({
-                "first_key": pa.array([], ktype),
-                "grp": pa.array([], gtype),
-                "total": pa.array([], pa.int64()),
-            })
+            return pa.table(
+                {f"fk{i}": pa.array([], t) for i, t in enumerate(ktypes)}
+                | {"grp": pa.array([], gtype),
+                   "total": pa.array([], pa.int64())})
         g = batch.column(group).to_numpy(zero_copy_only=False)
         v = batch.column(value_col).combine_chunks().to_numpy(
             zero_copy_only=False)
         uniq, inv = np.unique(g, return_inverse=True)
         totals = np.bincount(inv, weights=v).astype(np.int64)
-        fk = batch.column(key)[0].as_py()
-        return pa.table({
-            "first_key": pa.array([fk] * len(uniq), ktype),
-            "grp": pa.array(uniq.tolist(), gtype),
-            "total": pa.array(totals, pa.int64()),
-        })
+        fk = _first_key(batch)
+        return pa.table(
+            {f"fk{i}": pa.array([fk[i]] * len(uniq), t)
+             for i, t in enumerate(ktypes)}
+            | {"grp": pa.array(uniq.tolist(), gtype),
+               "total": pa.array(totals, pa.int64())})
 
     stats = srt.map_batches(
         block_stats, batch_format="pyarrow", batch_size=None,
@@ -178,8 +185,8 @@ def grouped_prefix_scan(ds, key: str, group: str, value_col: str,
     ).take_all()  # O(blocks × groups-present) tiny rows
     by_block: dict = {}
     for r in stats:
-        by_block.setdefault(r["first_key"], []).append(
-            (r["grp"], r["total"]))
+        fk = tuple(r[f"fk{i}"] for i in range(len(keys)))
+        by_block.setdefault(fk, []).append((r["grp"], r["total"]))
     acc: dict = {}
     offsets = {}
     for fk in sorted(by_block):
@@ -191,7 +198,7 @@ def grouped_prefix_scan(ds, key: str, group: str, value_col: str,
     def add_scan(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column(out_col, pa.array([], pa.int64()))
-        off_map = cached_get(off_ref)[batch.column(key)[0].as_py()]
+        off_map = cached_get(off_ref)[_first_key(batch)]
         g = batch.column(group).to_numpy(zero_copy_only=False)
         v = batch.column(value_col).combine_chunks().to_numpy(
             zero_copy_only=False)

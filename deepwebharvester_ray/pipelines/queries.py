@@ -15714,6 +15714,121 @@ ORDER BY 1, 2
 """
 
 
+def q_spearman_corr(sf_dir: str):
+    """Per-type Spearman rank correlation between value and arrival
+    time (spearman_corr): IS the type's value drifting monotonically
+    over time — the RANK member of the correlation/drift family
+    (value_hour_cov is the linear-covariance member, user_value_trend
+    the per-user OLS slope, ks_test the distribution-shape member;
+    rank correlation sees any monotone drift regardless of scale and
+    ignores outlier magnitude).  Ranks are ``row_number`` with the
+    event_id tiebreak — the deterministic total-order variant, same
+    tie discipline as value_gini, identical in both engines.  Exact
+    rational output via Σd²: ρ = 1 − 6Σd²/(n(n²−1)), shipped as
+    (event_type, n, d2, rho_num, rho_den) with the big integers as
+    decimal strings (Python bigints vs DuckDB HUGEINT, the welch_ttest
+    crossing; Σd² itself is int64-safe to n ≈ 3.8M rows/type — beyond,
+    the combiner carries two limbs).
+
+    Distributed shape: TWO :func:`~deepwebharvester_ray.functions.scan.
+    grouped_prefix_scan` passes — rank-by-value on the packed
+    (cents, event_id) int64 key, then rank-by-time on the COMPOSITE
+    (ts, event_id) key (epoch-µs needs 51 bits, so no int64 packing —
+    the multi-key scan form), both high-cardinality sorts with groups
+    interleaving freely (never a sort on event_type) — then one
+    combiner grouped_agg of (n, Σd²) at type cardinality and a
+    bigint finish on those few rows."""
+    from ..functions.scan import grouped_prefix_scan
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "event_type", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        eid = batch.column("event_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cents = np.floor(v * 100.0).astype(np.int64)
+        assert cents.size == 0 or (
+            cents.min() >= 0 and cents.max() < 2**23 and eid.max() < 2**40)
+        return pa.table({
+            "kx": pa.array((cents << np.int64(40)) | eid, pa.int64()),
+            "event_id": batch.column("event_id"),
+            "ts": batch.column("ts"),
+            "event_type": batch.column("event_type"),
+            "one": pa.array(np.ones(len(cents), np.int64)),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             batch_size=None, runtime_env=runtime_env())
+    rx = grouped_prefix_scan(prepped, key="kx", group="event_type",
+                             value_col="one", out_col="rx")
+    ry = grouped_prefix_scan(rx, key=["ts", "event_id"],
+                             group="event_type", value_col="one",
+                             out_col="ry")
+
+    def dsq(batch: pa.Table) -> pa.Table:
+        a = batch.column("rx").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        b = batch.column("ry").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = a - b
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "dd": pa.array(d * d, pa.int64()),
+        })
+
+    agg = grouped_agg(
+        ry.map_batches(dsq, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["event_type"], [("d2", "dd", "sum"), ("n", "", "count")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()   # type cardinality — a handful of rows
+        num, den = [], []
+        for r in rows:
+            n, s = int(r["n"]), int(r["d2"])
+            den_i = n * (n * n - 1)
+            num.append(str(den_i - 6 * s))
+            den.append(str(den_i))
+        return pa.table({
+            "event_type": pa.array([r["event_type"] for r in rows],
+                                   pa.string()),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+            "d2": pa.array([str(r["d2"]) for r in rows], pa.string()),
+            "rho_num": pa.array(num, pa.string()),
+            "rho_den": pa.array(den, pa.string()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None, runtime_env=runtime_env())
+
+
+_SQL_SPEARMAN = """
+WITH r AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type
+             ORDER BY CAST(floor(value * 100) AS BIGINT), event_id) AS rx,
+         row_number() OVER (PARTITION BY event_type
+             ORDER BY ts, event_id) AS ry
+  FROM events
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS d2
+  FROM r GROUP BY event_type
+)
+SELECT event_type, n, CAST(d2 AS VARCHAR) AS d2,
+       CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1) - 6 * d2
+            AS VARCHAR) AS rho_num,
+       CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
+            AS VARCHAR) AS rho_den
+FROM s ORDER BY event_type
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -15861,6 +15976,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "welch_ttest": q_welch_ttest,
         "doc_chunks": q_doc_chunks,
         "k_anonymity": q_k_anonymity,
+        "spearman_corr": q_spearman_corr,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -16053,6 +16169,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "welch_ttest": _SQL_WELCH_TTEST,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "k_anonymity": _SQL_K_ANONYMITY,
+        "spearman_corr": _SQL_SPEARMAN,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

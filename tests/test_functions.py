@@ -571,6 +571,34 @@ def test_grouped_prefix_scan_matches_window_reference():
         assert out[i] == acc[groups[i]], f"row {i}"
 
 
+def test_grouped_prefix_scan_composite_key():
+    """Multi-key form (ORDER BY k1, k2): heavy ties on the first key
+    component broken by the second, groups interleaved, many blocks —
+    must match SUM() OVER (PARTITION BY g ORDER BY k1, k2) exactly."""
+    import ray
+
+    from deepwebharvester_ray.functions.scan import grouped_prefix_scan
+
+    rng = np.random.default_rng(9)
+    n = 300
+    k1 = rng.integers(0, 12, n)           # only 12 values: ties everywhere
+    groups = [f"g{int(x)}" for x in rng.integers(0, 5, n)]
+    vals = rng.integers(1, 9, n).astype(int)
+    rows = [{"k1": int(k1[i]), "k2": i, "g": groups[i], "v": int(vals[i])}
+            for i in range(n)]
+    rng.shuffle(rows)
+
+    ds = ray.data.from_items(rows).repartition(13)
+    out = {(r["k1"], r["k2"]): r["running"]
+           for r in grouped_prefix_scan(
+               ds, ["k1", "k2"], "g", "v").take_all()}
+
+    acc: dict = {}
+    for i in sorted(range(n), key=lambda i: (int(k1[i]), i)):
+        acc[groups[i]] = acc.get(groups[i], 0) + int(vals[i])
+        assert out[(int(k1[i]), i)] == acc[groups[i]], f"row {i}"
+
+
 def test_asof_join_matches_pandas_merge_asof():
     import datetime as dt
 

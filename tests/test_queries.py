@@ -101,6 +101,7 @@ SPOT_CHECKED = [
     "welch_ttest",
     "doc_chunks",
     "k_anonymity",
+    "spearman_corr",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -1052,6 +1053,51 @@ def test_doc_chunks_window_boundaries(ray_session, tmp_path):
     assert [r["n_tokens"] for r in by_doc[2]] == [64, 17]
     assert by_doc[2][1]["chunk_text"].split()[0] == "d2t48"
     assert [r["n_tokens"] for r in by_doc[4]] == [1]
+
+
+def test_spearman_corr_planted_monotone(ray_session, tmp_path):
+    """Values rising with time -> rho = +1 exactly (d2 = 0); values
+    falling -> rho = -1 exactly (d2 = n(n^2-1)/3) — the two closed-form
+    endpoints of the rank statistic, one type each."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_spearman_corr
+
+    n_per = 7
+    base = datetime.datetime(2025, 1, 1)
+    ts, vals, types, eids = [], [], [], []
+    for i in range(n_per):            # up: value rank == time rank
+        ts.append(base + datetime.timedelta(minutes=i))
+        vals.append(1.0 + i)
+        types.append("up")
+        eids.append(i)
+    for i in range(n_per):            # down: value rank reverses time
+        ts.append(base + datetime.timedelta(minutes=i))
+        vals.append(float(n_per - i))
+        types.append("down")
+        eids.append(100 + i)
+    n = len(vals)
+    pq.write_table(pa.table({
+        "event_id": pa.array(eids, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([0] * n, pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array([""] * n, pa.string()),
+    }), str(tmp_path / "events.parquet"))
+
+    rows = {r["event_type"]: r
+            for r in q_spearman_corr(str(tmp_path)).take_all()}
+    den = n_per * (n_per * n_per - 1)
+    up = rows["up"]
+    assert (up["n"], up["d2"]) == (n_per, "0")
+    assert up["rho_num"] == up["rho_den"] == str(den)
+    down = rows["down"]
+    assert down["d2"] == str(den // 3)          # sum of (2i-n-1)^2
+    assert int(down["rho_num"]) == -den and int(down["rho_den"]) == den
 
 
 def test_k_anonymity_planted_cells(ray_session, tmp_path):
