@@ -131,34 +131,30 @@ def lang_id_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
 def fingerprint_batch(
     batch: pa.Table, text_column: str = "text", k: int = 5
 ) -> pa.Table:
-    """Rolling-hash document fingerprint: min polynomial hash over word
-    k-grams (winnowing-style min-sampling; Schleimer et al. 2003, public)."""
+    """Min-sampled document fingerprint (winnowing-style; Schleimer et
+    al. 2003, public): minimum 60-bit md5 integer over space-joined word
+    k-grams — md5 is the one deterministic hash both engines share
+    (DuckDB ``CAST(concat('0x', substr(md5(g),1,15)) AS BIGINT)`` parses
+    to the identical integer), so the fingerprint is oracle-checkable
+    end to end.  Docs shorter than ``k`` words hash their full joined
+    word sequence (the space join keeps 'ab c' / 'a bc' / 'abc'
+    distinct)."""
+    import hashlib
+
+    md5 = hashlib.md5
     texts = batch.column(text_column).to_pylist()
-    B, M = 1_000_003, (1 << 61) - 1
     fps = []
     for t in texts:
         words = WORD_RE.findall((t or "").lower())
         if len(words) < k:
-            # same per-word terminator as the k-gram path: without it
-            # 'ab c', 'a bc' and 'abc' collapse to one fingerprint
-            h = 0
-            for w in words:
-                for c in w:
-                    h = (h * B + ord(c)) % M
-                h = (h * B + 32) % M
-            fps.append(h)
+            fps.append(int(
+                md5(" ".join(words).encode()).hexdigest()[:15], 16))
             continue
-        best = M
-        for i in range(len(words) - k + 1):
-            h = 0
-            for w in words[i : i + k]:
-                for c in w:
-                    h = (h * B + ord(c)) % M
-                h = (h * B + 32) % M
-            best = min(best, h)
-        fps.append(best)
+        fps.append(min(
+            int(md5(" ".join(words[i:i + k]).encode()).hexdigest()[:15], 16)
+            for i in range(len(words) - k + 1)))
     out = {n: batch.column(n) for n in batch.column_names}
-    out["fingerprint"] = pa.array(fps, pa.uint64())
+    out["fingerprint"] = pa.array(fps, pa.int64())
     return pa.table(out)
 
 

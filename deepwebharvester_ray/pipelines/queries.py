@@ -14,7 +14,7 @@ Design rules (driver contract):
   deterministic integers (``floor(x*100)`` cents) — never raw
   order-dependent float sums.
 * Queries with no SQL oracle (BFS crawl replay, MinHash/SimHash/LSH
-  approximations, rolling-hash fingerprints, multimodal stubs) are listed
+  approximations, multimodal stubs) are listed
   in :data:`ROWS_ONLY` and get the driver's weaker rows-only check.
 
 The synthetic page corpus used by the extraction/crawl queries is derived
@@ -2546,11 +2546,30 @@ def q_simhash_pairs(sf_dir: str):
 
 
 def q_fingerprints(sf_dir: str):
-    """Winnowing-style rolling-hash document fingerprints."""
+    """Winnowing-style min-md5 document fingerprints (oracle-checked:
+    the md5-int gram hash is bit-identical in DuckDB)."""
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     out = ds.map_batches(fingerprint_batch, batch_format="pyarrow",
                          runtime_env=runtime_env())
-    return out.select_columns(["doc_id", "fingerprint"])
+    return out.select_columns(["doc_id", "fingerprint"]).sort("doc_id")
+
+
+_SQL_FINGERPRINTS = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS wl
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(wl) >= 5 THEN
+         list_min(list_transform(generate_series(1, len(wl) - 4), i ->
+           CAST(concat('0x', substr(md5(
+             array_to_string(wl[i:i+4], ' ')), 1, 15)) AS BIGINT)))
+       ELSE
+         CAST(concat('0x', substr(md5(
+           COALESCE(array_to_string(wl, ' '), '')), 1, 15)) AS BIGINT)
+       END AS fingerprint
+FROM w ORDER BY doc_id
+"""
 
 
 def q_clicks_asof_views(sf_dir: str):
@@ -16170,6 +16189,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "doc_chunks": _SQL_DOC_CHUNKS,
         "k_anonymity": _SQL_K_ANONYMITY,
         "spearman_corr": _SQL_SPEARMAN,
+        "fingerprints": _SQL_FINGERPRINTS,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,
@@ -16236,7 +16256,7 @@ def build_oracle_sql() -> Dict[str, str]:
 
 ROWS_ONLY: List[str] = [
     "crawl_bfs", "crawl_intel", "minhash_pairs", "simhash_pairs",
-    "fingerprints", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq",
+    "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq",
     "embedding_clusters", "kmeans_refine",
     "binary_metadata",
     "multimodal_features", "vocab_hll", "neardup_embeddings_lsh",
