@@ -1926,6 +1926,170 @@ def ngram_overlap_pairs(
     )
 
 
+def quote_span_pairs(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    k: int = 8,
+    max_bucket: int = 1024,
+    shuffle_partitions: int = None,
+):
+    """Longest shared token SPAN per overlapping doc pair — the
+    contamination-span member of the dedup family: ngram_overlap says
+    WHICH pairs share a window and containment says HOW MUCH of each doc
+    is shared, this says HOW LONG the longest verbatim quote is (the
+    statistic an eval-contamination audit reports: a 9-token overlap is
+    a common phrase, a 200-token span is a copied document).  Returns
+    ``(id_a, id_b, span_tokens, n_matches)`` with ``span_tokens = k +
+    longest_diagonal_run − 1`` (exact longest common token substring ≥ k
+    via matched-window diagonals) and ``n_matches`` = matched window
+    position pairs.
+
+    Scale shape: positioned gram keys (``_gram_hashes`` — duplicates
+    KEPT, position matters) → ONE (h1, h2) sort → in-bucket cross-doc
+    occurrence-pair emission (the size-grouped matrix discipline of
+    :func:`_gram_bucket_pairs`, positions riding the same per-row id
+    argsort; ``max_bucket`` hot-window guard counts OCCURRENCES here) →
+    ONE sort on the packed pair key ALONE (equal keys co-locate in one
+    block — sorting on a composite could split a pair across blocks,
+    the passage_dup_profile lesson) with the in-block (diag, pos)
+    lexsort and a vectorized consecutive-run scan.  Two all-to-alls
+    total, both at matched-window (not token) cardinality.  Doc ids
+    must fit 2³¹ (packed-key envelope, asserted)."""
+    from .textops import TOKEN_RE
+
+    _empty_keys = pa.table({
+        "h1": pa.array([], pa.uint64()),
+        "h2": pa.array([], pa.uint64()),
+        "id": pa.array([], pa.int64()),
+        "pos": pa.array([], pa.int64()),
+    })
+    _empty_occ = pa.table({
+        "pk": pa.array([], pa.int64()),
+        "diag": pa.array([], pa.int64()),
+        "pa_": pa.array([], pa.int64()),
+    })
+    _empty_out = pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "span_tokens": pa.array([], pa.int64()),
+        "n_matches": pa.array([], pa.int64()),
+    })
+
+    def pos_keys(batch: pa.Table) -> pa.Table:
+        ids_in = batch.column(id_column).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_column).to_pylist()
+        h1s, h2s, ids, poss = [], [], [], []
+        for i, t in enumerate(texts):
+            u1 = _word_hashes(TOKEN_RE.findall(t or ""))
+            with np.errstate(over="ignore"):
+                h1, h2 = _gram_hashes(u1, k)
+            if len(h1):
+                h1s.append(h1)
+                h2s.append(h2)
+                ids.append(np.full(len(h1), ids_in[i], np.int64))
+                poss.append(np.arange(len(h1), dtype=np.int64))
+        if not h1s:
+            return _empty_keys
+        return pa.table({
+            "h1": pa.array(np.concatenate(h1s), pa.uint64()),
+            "h2": pa.array(np.concatenate(h2s), pa.uint64()),
+            "id": pa.array(np.concatenate(ids), pa.int64()),
+            "pos": pa.array(np.concatenate(poss), pa.int64()),
+        })
+
+    def bucket_occ_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_occ
+        h1 = batch.column("h1").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        h2 = batch.column("h2").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ids = batch.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pos = batch.column("pos").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        assert ids.size == 0 or (ids.min() >= 0 and ids.max() < 2**31)
+        starts, ends = _run_bounds(h1, h2)
+        sizes = ends - starts
+        sel = (sizes >= 2) & (sizes <= max_bucket)
+        starts, sizes = starts[sel], sizes[sel]
+        out_k, out_d, out_p = [], [], []
+        size_order = np.argsort(sizes, kind="stable")
+        s_sorted = starts[size_order]
+        sz_sorted = sizes[size_order]
+        g_starts, g_ends = _run_bounds(sz_sorted)
+        for gs, ge in zip(g_starts, g_ends):  # one slice per distinct size
+            m = int(sz_sorted[gs])
+            s_m = s_sorted[gs:ge]
+            idx = s_m[:, None] + np.arange(m)[None, :]
+            mid = ids[idx]
+            mpos = pos[idx]
+            row_order = np.argsort(mid, axis=1, kind="stable")
+            mid = np.take_along_axis(mid, row_order, axis=1)
+            mpos = np.take_along_axis(mpos, row_order, axis=1)
+            ii, jj = np.triu_indices(m, 1)
+            a, b = mid[:, ii].ravel(), mid[:, jj].ravel()
+            pa1, pb1 = mpos[:, ii].ravel(), mpos[:, jj].ravel()
+            keep = a != b  # same-doc repeated window: not a pair
+            if not keep.any():
+                continue
+            a, b, pa1, pb1 = a[keep], b[keep], pa1[keep], pb1[keep]
+            out_k.append((a << np.int64(31)) | b)
+            out_d.append(pa1 - pb1)
+            out_p.append(pa1)
+        if not out_k:
+            return _empty_occ
+        return pa.table({
+            "pk": pa.array(np.concatenate(out_k), pa.int64()),
+            "diag": pa.array(np.concatenate(out_d), pa.int64()),
+            "pa_": pa.array(np.concatenate(out_p), pa.int64()),
+        })
+
+    def spans(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_out
+        pk = batch.column("pk").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        dg = batch.column("diag").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pp = batch.column("pa_").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((pp, dg, pk))
+        pk, dg, pp = pk[order], dg[order], pp[order]
+        brk = np.ones(len(pk), bool)
+        brk[1:] = ((pk[1:] != pk[:-1]) | (dg[1:] != dg[:-1])
+                   | (pp[1:] != pp[:-1] + 1))
+        r_starts = np.flatnonzero(brk)
+        r_lens = np.diff(np.r_[r_starts, len(pk)])
+        r_pk = pk[r_starts]
+        # per pair: longest run + total matches (pairs co-locate: the
+        # upstream sort is on pk ALONE)
+        p_starts = np.flatnonzero(np.r_[True, r_pk[1:] != r_pk[:-1]])
+        p_ends = np.r_[p_starts[1:], len(r_pk)]
+        max_run = np.maximum.reduceat(r_lens, p_starts)
+        n_match = np.add.reduceat(r_lens, p_starts)
+        u_pk = r_pk[p_starts]
+        assert len(p_ends) == len(p_starts)
+        return pa.table({
+            "id_a": pa.array(u_pk >> np.int64(31), pa.int64()),
+            "id_b": pa.array(u_pk & np.int64((1 << 31) - 1), pa.int64()),
+            "span_tokens": pa.array(max_run + (k - 1), pa.int64()),
+            "n_matches": pa.array(n_match, pa.int64()),
+        })
+
+    keyed = ds.map_batches(pos_keys, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+    if shuffle_partitions:
+        keyed = keyed.repartition(shuffle_partitions)
+    occ = keyed.sort(["h1", "h2"]).map_batches(
+        bucket_occ_pairs, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+    return occ.sort("pk").map_batches(
+        spans, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+
+
 def containment_pairs(
     ds,
     id_column: str = "doc_id",

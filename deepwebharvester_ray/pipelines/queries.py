@@ -15848,6 +15848,61 @@ FROM s ORDER BY event_type
 """
 
 
+def q_quote_spans(sf_dir: str):
+    """Longest shared verbatim token span per overlapping doc pair
+    (quote_spans): the contamination-SPAN audit — ngram_overlap says
+    WHICH pairs share an 8-token window, containment_pairs says HOW
+    MUCH of each doc is shared, this says HOW LONG the longest copied
+    run is (a 9-token overlap is a common phrase; a 200-token span is
+    a copied document — the number an eval-contamination report leads
+    with).  Exact longest common token substring ≥ k via matched-window
+    diagonals (:func:`~deepwebharvester_ray.functions.dedup.
+    quote_span_pairs`): span = k + longest consecutive diagonal run − 1.
+
+    Distributed shape: two all-to-alls at matched-window cardinality —
+    the (h1, h2) gram sort with in-bucket occurrence-pair emission,
+    then ONE sort on the packed pair key alone (equal pairs co-locate)
+    with a vectorized in-block gaps-and-islands run scan."""
+    from ..functions.dedup import quote_span_pairs
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    return quote_span_pairs(
+        ds, k=8, shuffle_partitions=_shuffle_parts(sf_dir)
+    ).sort(["id_a", "id_b"])
+
+
+_SQL_QUOTE_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g(i)
+  WHERE len(t) >= 8
+),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa_,
+         a.pos - b.pos AS diag
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT id_a, id_b, diag, pa_,
+         pa_ - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                  ORDER BY pa_) AS isl
+  FROM m
+),
+islands AS (
+  SELECT id_a, id_b, count(*) AS run_len
+  FROM runs GROUP BY id_a, id_b, diag, isl
+)
+SELECT id_a, id_b,
+       CAST(max(run_len) + 7 AS BIGINT) AS span_tokens,
+       CAST(sum(run_len) AS BIGINT) AS n_matches
+FROM islands GROUP BY id_a, id_b ORDER BY id_a, id_b
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -15996,6 +16051,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "doc_chunks": q_doc_chunks,
         "k_anonymity": q_k_anonymity,
         "spearman_corr": q_spearman_corr,
+        "quote_spans": q_quote_spans,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -16190,6 +16246,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "k_anonymity": _SQL_K_ANONYMITY,
         "spearman_corr": _SQL_SPEARMAN,
         "fingerprints": _SQL_FINGERPRINTS,
+        "quote_spans": _SQL_QUOTE_SPANS,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

@@ -102,6 +102,8 @@ SPOT_CHECKED = [
     "doc_chunks",
     "k_anonymity",
     "spearman_corr",
+    "quote_spans",
+    "fingerprints",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -1098,6 +1100,52 @@ def test_spearman_corr_planted_monotone(ray_session, tmp_path):
     down = rows["down"]
     assert down["d2"] == str(den // 3)          # sum of (2i-n-1)^2
     assert int(down["rho_num"]) == -den and int(down["rho_den"]) == den
+
+
+def test_quote_spans_planted_geometry(ray_session, tmp_path):
+    """Known span geometry: a 20-token copied run -> span 20 with 13
+    matched windows on one diagonal; two disjoint 10-token runs ->
+    span 10 with 6 matches; an exactly-8-token share -> span 8 / 1
+    match; a doc whose only repetition is INTERNAL pairs with nobody."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_quote_spans
+
+    share20 = [f"s{i}" for i in range(20)]
+    run10a = [f"a{i}" for i in range(10)]
+    run10b = [f"b{i}" for i in range(10)]
+    share8 = [f"e{i}" for i in range(8)]
+    rep8 = [f"r{i}" for i in range(8)]
+
+    def words(prefix, n):
+        return [f"{prefix}{i}" for i in range(n)]
+
+    texts = [
+        " ".join(words("p", 10) + share20 + words("q", 10)),       # 0
+        " ".join(words("u", 5) + share20 + words("v", 15)),        # 1
+        " ".join(run10a + words("m", 9) + run10b),                 # 2
+        " ".join(words("n", 7) + run10b + words("o", 9) + run10a), # 3
+        " ".join(share8 + words("g", 12)),                         # 4
+        " ".join(words("h", 12) + share8),                         # 5
+        " ".join(rep8 + words("j", 9) + rep8),                     # 6 internal only
+    ]
+    n = len(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["s"] * n, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    rows = {(r["id_a"], r["id_b"]): (r["span_tokens"], r["n_matches"])
+            for r in q_quote_spans(str(tmp_path)).take_all()}
+    assert rows == {
+        (0, 1): (20, 13),
+        (2, 3): (10, 6),
+        (4, 5): (8, 1),
+    }
 
 
 def test_k_anonymity_planted_cells(ray_session, tmp_path):
