@@ -15903,6 +15903,86 @@ FROM islands GROUP BY id_a, id_b ORDER BY id_a, id_b
 """
 
 
+def q_systematic_resample(sf_dir: str):
+    """Systematic (low-variance) weighted resampling to an EXACT total
+    (systematic_resample): per-doc copy counts from the cumulative
+    weight grid — ``copies_i = ⌊N·W_i/W⌋ − ⌊N·W_{i−1}/W⌋`` with
+    W_i the inclusive length-weight prefix sum — so Σcopies == N
+    EXACTLY (the particle-filter / epoch-construction resampler).  The
+    exact-total complement of ``domain_upsample``: that rounds each
+    doc's expected copies independently (total only correct in
+    expectation), this makes the epoch size a hard invariant, which is
+    what a fixed-step training schedule needs.  Weight = n_chars
+    (length-proportional; any integer weight column works), N = corpus
+    doc count.
+
+    Distributed shape: ONE :func:`~deepwebharvester_ray.functions.scan.
+    prefix_scan` on the unique doc_id key for W_i, one tiny combiner
+    grouped_agg for (N, W), and a pure vectorized floor-division map —
+    no join, no second shuffle.  ``N·W`` must fit int64 (asserted;
+    beyond ~10¹⁸ the map carries two limbs like value_stats
+    documents)."""
+    from ..functions.scan import prefix_scan
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "wt": batch.column("n_chars").cast(pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             batch_size=None, runtime_env=runtime_env())
+    tot = grouped_agg(
+        prepped.map_batches(
+            lambda b: b.append_column(
+                "__g", pa.array(np.zeros(b.num_rows, np.int64))),
+            batch_format="pyarrow", batch_size=None,
+            runtime_env=runtime_env()),
+        ["__g"], [("n", "", "count"), ("w", "wt", "sum")],
+    ).take_all()
+    n_total = int(tot[0]["n"]) if tot else 0
+    w_total = int(tot[0]["w"]) if tot else 0
+    assert w_total > 0 and n_total * w_total < 2**63
+
+    scanned = prefix_scan(prepped, key="doc_id", value_col="wt",
+                          out_col="cw")
+
+    def copies(batch: pa.Table) -> pa.Table:
+        cw = batch.column("cw").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        wt = batch.column("wt").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        c = (n_total * cw) // w_total - (n_total * (cw - wt)) // w_total
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "copies": pa.array(c, pa.int64()),
+        })
+
+    return scanned.map_batches(copies, batch_format="pyarrow",
+                               batch_size=None, runtime_env=runtime_env())
+
+
+_SQL_SYSTEMATIC_RESAMPLE = """
+WITH w AS (
+  SELECT doc_id, CAST(n_chars AS HUGEINT) AS wt,
+         CAST(SUM(n_chars) OVER (ORDER BY doc_id) AS HUGEINT) AS cw
+  FROM documents
+),
+t AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(n_chars) AS HUGEINT) AS tot
+  FROM documents
+)
+SELECT doc_id,
+       CAST((t.n * w.cw) // t.tot
+            - (t.n * (w.cw - w.wt)) // t.tot AS BIGINT) AS copies
+FROM w, t ORDER BY doc_id
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -16052,6 +16132,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "k_anonymity": q_k_anonymity,
         "spearman_corr": q_spearman_corr,
         "quote_spans": q_quote_spans,
+        "systematic_resample": q_systematic_resample,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -16247,6 +16328,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "spearman_corr": _SQL_SPEARMAN,
         "fingerprints": _SQL_FINGERPRINTS,
         "quote_spans": _SQL_QUOTE_SPANS,
+        "systematic_resample": _SQL_SYSTEMATIC_RESAMPLE,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

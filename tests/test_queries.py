@@ -104,6 +104,7 @@ SPOT_CHECKED = [
     "spearman_corr",
     "quote_spans",
     "fingerprints",
+    "systematic_resample",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -1100,6 +1101,36 @@ def test_spearman_corr_planted_monotone(ray_session, tmp_path):
     down = rows["down"]
     assert down["d2"] == str(den // 3)          # sum of (2i-n-1)^2
     assert int(down["rho_num"]) == -den and int(down["rho_den"]) == den
+
+
+def test_systematic_resample_exact_total(ray_session, tmp_path):
+    """Hand-computed grid on weights (1,1,2), N=3, W=4: copies =
+    (0,1,2) — and the hard invariant Sigma copies == N at an awkward
+    size (17 docs, ragged weights)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_systematic_resample
+
+    def write(weights):
+        n = len(weights)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "n_chars": pa.array(weights, pa.int64()),
+        }), str(tmp_path / "documents.parquet"))
+
+    write([1, 1, 2])
+    out = q_systematic_resample(str(tmp_path)).take_all()
+    assert [r["copies"] for r in out] == [0, 1, 2]
+
+    ragged = [3, 0, 7, 1, 1, 5, 2, 9, 4, 1, 6, 2, 8, 1, 3, 5, 2]
+    write(ragged)
+    out = q_systematic_resample(str(tmp_path)).take_all()
+    assert sum(r["copies"] for r in out) == len(ragged)
+    assert all(r["copies"] >= 0 for r in out)
 
 
 def test_quote_spans_planted_geometry(ray_session, tmp_path):
