@@ -15983,6 +15983,143 @@ FROM w, t ORDER BY doc_id
 """
 
 
+_US_PER_DAY = 86_400_000_000
+
+
+def q_user_rfm(sf_dir: str):
+    """Classic RFM user segmentation (user_rfm): per user the recency
+    (days since last event, against the corpus-wide latest event as
+    "now"), frequency (event count) and monetary (Σ cents) aggregates,
+    each labeled with its exact global quartile (0–3, the
+    value_percentile bucket rule ``(v > c25)+(v > c50)+(v > c75)``) and
+    fused into the 3-digit ``rfm_code`` — the standard user-feature
+    block a ranking / sampling pipeline attaches before weighting.
+    r_q is the RAW r_days quartile (0 = most-recent quartile).
+
+    Distributed shape: the quantile-over-a-DERIVED-table pattern — one
+    combiner grouped_agg to user cardinality (the only all-to-all), the
+    per-user table materialized ONCE, then three value-domain histogram
+    quantile passes over it (bounded shuffles, never raw rows) whose 9
+    cutoffs ride the closure, and a pure vectorized label map."""
+    from ..functions.agg import grouped_quantiles
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = (batch.column("ts").combine_chunks()
+                 .cast(pa.timestamp("us")).cast(pa.int64()))
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "ts_us": ts_us,
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    per_user = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["user_id"],
+        [("last_us", "ts_us", "max"), ("n_events", "", "count"),
+         ("m_cents", "cents", "sum")],
+    ).materialize()
+
+    now_us = int(per_user.max("last_us"))
+
+    def add_r(batch: pa.Table) -> pa.Table:
+        last = batch.column("last_us").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return batch.append_column(
+            "r_days",
+            pa.array((now_us - last) // _US_PER_DAY, pa.int64()),
+        ).append_column(
+            "__g", pa.array(np.zeros(batch.num_rows, np.int64)))
+
+    ru = per_user.map_batches(add_r, batch_format="pyarrow",
+                              batch_size=None,
+                              runtime_env=runtime_env()).materialize()
+
+    cuts = {}
+    for col in ("r_days", "n_events", "m_cents"):
+        row = grouped_quantiles(
+            ru.select_columns(["__g", col]), "__g", col,
+            ps=[0.25, 0.5, 0.75], out_cols=["c25", "c50", "c75"],
+        ).take_all()[0]
+        cuts[col] = np.asarray(
+            [row["c25"], row["c50"], row["c75"]], np.int64)
+
+    def label(batch: pa.Table) -> pa.Table:
+        qs = {}
+        for col in ("r_days", "n_events", "m_cents"):
+            v = batch.column(col).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            qs[col] = (v[:, None] > cuts[col][None, :]).sum(
+                axis=1).astype(np.int64)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "r_days": batch.column("r_days"),
+            "n_events": batch.column("n_events"),
+            "m_cents": batch.column("m_cents"),
+            "r_q": pa.array(qs["r_days"], pa.int64()),
+            "f_q": pa.array(qs["n_events"], pa.int64()),
+            "m_q": pa.array(qs["m_cents"], pa.int64()),
+            "rfm_code": pa.array(
+                100 * qs["r_days"] + 10 * qs["n_events"] + qs["m_cents"],
+                pa.int64()),
+        })
+
+    return ru.map_batches(label, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env()).sort("user_id")
+
+
+_SQL_USER_RFM = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+u AS (
+  SELECT user_id, max(ts_us) AS last_us,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS m_cents
+  FROM e GROUP BY user_id
+),
+r AS (
+  SELECT u.*,
+         CAST(((SELECT max(last_us) FROM u) - u.last_us)
+              // {_US_PER_DAY} AS BIGINT) AS r_days
+  FROM u
+),
+q AS (
+  SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY r_days) AS r25,
+         percentile_disc(0.50) WITHIN GROUP (ORDER BY r_days) AS r50,
+         percentile_disc(0.75) WITHIN GROUP (ORDER BY r_days) AS r75,
+         percentile_disc(0.25) WITHIN GROUP (ORDER BY n_events) AS f25,
+         percentile_disc(0.50) WITHIN GROUP (ORDER BY n_events) AS f50,
+         percentile_disc(0.75) WITHIN GROUP (ORDER BY n_events) AS f75,
+         percentile_disc(0.25) WITHIN GROUP (ORDER BY m_cents) AS m25,
+         percentile_disc(0.50) WITHIN GROUP (ORDER BY m_cents) AS m50,
+         percentile_disc(0.75) WITHIN GROUP (ORDER BY m_cents) AS m75
+  FROM r
+),
+s AS (
+  SELECT r.user_id, r.r_days, r.n_events, r.m_cents,
+         CAST(r.r_days > q.r25 AS BIGINT) + CAST(r.r_days > q.r50 AS BIGINT)
+           + CAST(r.r_days > q.r75 AS BIGINT) AS r_q,
+         CAST(r.n_events > q.f25 AS BIGINT) + CAST(r.n_events > q.f50 AS BIGINT)
+           + CAST(r.n_events > q.f75 AS BIGINT) AS f_q,
+         CAST(r.m_cents > q.m25 AS BIGINT) + CAST(r.m_cents > q.m50 AS BIGINT)
+           + CAST(r.m_cents > q.m75 AS BIGINT) AS m_q
+  FROM r, q
+)
+SELECT user_id, r_days, n_events, m_cents, r_q, f_q, m_q,
+       100 * r_q + 10 * f_q + m_q AS rfm_code
+FROM s ORDER BY user_id
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -16133,6 +16270,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "spearman_corr": q_spearman_corr,
         "quote_spans": q_quote_spans,
         "systematic_resample": q_systematic_resample,
+        "user_rfm": q_user_rfm,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -16329,6 +16467,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "fingerprints": _SQL_FINGERPRINTS,
         "quote_spans": _SQL_QUOTE_SPANS,
         "systematic_resample": _SQL_SYSTEMATIC_RESAMPLE,
+        "user_rfm": _SQL_USER_RFM,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

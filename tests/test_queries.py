@@ -105,6 +105,7 @@ SPOT_CHECKED = [
     "quote_spans",
     "fingerprints",
     "systematic_resample",
+    "user_rfm",
     "bibcoupling",
     "random_walks",
     "top_passages",
