@@ -16120,6 +16120,124 @@ FROM s ORDER BY user_id
 """
 
 
+def q_conversion_curve(sf_dir: str):
+    """Time-to-conversion survival table with right-censoring
+    (conversion_curve): for each user cohorted at their FIRST view, the
+    lag in days to their first at-or-after purchase — or, if they never
+    convert, the censoring age at the corpus-wide latest event — rolled
+    into the Kaplan–Meier input table ``(day, n_risk, n_conv, n_cens)``
+    where ``n_risk`` counts users still unresolved at day start (suffix
+    sum).  The CENSORING member of the temporal family: funnel_users
+    asks did-the-sequence-happen, cohort_retention asks who-came-back,
+    this asks HOW LONG conversion takes while counting the users the
+    observation window cut off — dropping them (what a naive lag
+    average does) biases the curve optimistic.  A purchase predating
+    the first view counts as censored (the ordering predicate is the
+    funnel rule, mirrored exactly in the twin).
+
+    Distributed shape: ONE combiner grouped_agg at user cardinality
+    (conditional NULL-off-type min columns — pyarrow grouped min skips
+    nulls, exactly SQL ``min FILTER``), a global max for "now" over the
+    same materialized prep, a vectorized exit-day map, one tiny
+    grouped_agg at day cardinality, and an in-block suffix cumsum
+    (single-block final is valid: day cardinality is bounded by the
+    observation window)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = (batch.column("ts").combine_chunks()
+                 .cast(pa.timestamp("us")).cast(pa.int64()))
+        et = batch.column("event_type")
+        null = pa.scalar(None, pa.int64())
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "tv": pc.if_else(pc.equal(et, "view"), ts_us, null),
+            "tp": pc.if_else(pc.equal(et, "purchase"), ts_us, null),
+            "ts_us": ts_us,
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             batch_size=None,
+                             runtime_env=runtime_env()).materialize()
+    now_us = int(prepped.max("ts_us"))
+
+    per_user = grouped_agg(prepped.select_columns(["user_id", "tv", "tp"]),
+                           ["user_id"],
+                           [("tv", "tv", "min"), ("tp", "tp", "min")])
+
+    def exits(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("tv")))
+        if batch.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "conv": pa.array([], pa.int64())})
+        tv = batch.column("tv").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        tp_col = batch.column("tp").combine_chunks()
+        tp_ok = pc.is_valid(tp_col).to_numpy(zero_copy_only=False)
+        tp = pc.fill_null(tp_col, 0).to_numpy(zero_copy_only=False)
+        conv = tp_ok & (tp >= tv)
+        day = np.where(conv, tp - tv, now_us - tv) // _US_PER_DAY
+        return pa.table({
+            "day": pa.array(day.astype(np.int64), pa.int64()),
+            "conv": pa.array(conv.astype(np.int64), pa.int64()),
+        })
+
+    daily = grouped_agg(
+        per_user.map_batches(exits, batch_format="pyarrow",
+                             batch_size=None, runtime_env=runtime_env()),
+        ["day"], [("n_conv", "conv", "sum"), ("n_all", "", "count")],
+        final_mode="single",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_conv = batch.column("n_conv").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        n_all = batch.column("n_all").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        n_risk = np.cumsum(n_all[::-1])[::-1]   # suffix: unresolved at day
+        return pa.table({
+            "day": batch.column("day"),
+            "n_risk": pa.array(n_risk, pa.int64()),
+            "n_conv": pa.array(n_conv, pa.int64()),
+            "n_cens": pa.array(n_all - n_conv, pa.int64()),
+        })
+
+    return daily.map_batches(finish, batch_format="pyarrow",
+                             batch_size=None, runtime_env=runtime_env())
+
+
+_SQL_CONVERSION_CURVE = f"""
+WITH u AS (
+  SELECT user_id,
+         min(epoch_us(ts)) FILTER (event_type = 'view') AS tv,
+         min(epoch_us(ts)) FILTER (event_type = 'purchase') AS tp
+  FROM events GROUP BY user_id
+),
+x AS (
+  SELECT CASE WHEN tp IS NOT NULL AND tp >= tv
+              THEN (tp - tv) // {_US_PER_DAY}
+              ELSE ((SELECT max(epoch_us(ts)) FROM events) - tv)
+                   // {_US_PER_DAY} END AS day,
+         CAST(tp IS NOT NULL AND tp >= tv AS BIGINT) AS conv
+  FROM u WHERE tv IS NOT NULL
+),
+d AS (
+  SELECT day, CAST(sum(conv) AS BIGINT) AS n_conv,
+         CAST(count(*) AS BIGINT) AS n_all
+  FROM x GROUP BY day
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(SUM(n_all) OVER (ORDER BY day DESC) AS BIGINT) AS n_risk,
+       n_conv,
+       n_all - n_conv AS n_cens
+FROM d ORDER BY day
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -16271,6 +16389,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "quote_spans": q_quote_spans,
         "systematic_resample": q_systematic_resample,
         "user_rfm": q_user_rfm,
+        "conversion_curve": q_conversion_curve,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -16468,6 +16587,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "quote_spans": _SQL_QUOTE_SPANS,
         "systematic_resample": _SQL_SYSTEMATIC_RESAMPLE,
         "user_rfm": _SQL_USER_RFM,
+        "conversion_curve": _SQL_CONVERSION_CURVE,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

@@ -106,6 +106,7 @@ SPOT_CHECKED = [
     "fingerprints",
     "systematic_resample",
     "user_rfm",
+    "conversion_curve",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -1102,6 +1103,44 @@ def test_spearman_corr_planted_monotone(ray_session, tmp_path):
     down = rows["down"]
     assert down["d2"] == str(den // 3)          # sum of (2i-n-1)^2
     assert int(down["rho_num"]) == -den and int(down["rho_den"]) == den
+
+
+def test_conversion_curve_planted_censoring(ray_session, tmp_path):
+    """Hand-built cohort: u1 converts at lag 2 (2.5d floored); u2 never
+    converts (censored at 9d); u3's purchase PREDATES the first view ->
+    censored at 7d (the funnel ordering rule); u4 has no view ->
+    excluded but its click defines 'now'.  Suffix n_risk pinned."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_conversion_curve
+
+    base = datetime.datetime(2025, 1, 1)
+
+    def at(days):
+        return base + datetime.timedelta(days=days)
+
+    rows = [
+        (1, at(0), "view"), (1, at(2.5), "purchase"),
+        (2, at(1), "view"),
+        (3, at(0), "purchase"), (3, at(3), "view"),
+        (4, at(10), "click"),
+    ]
+    n = len(rows)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([1.0] * n, pa.float64()),
+        "props": pa.array([""] * n, pa.string()),
+    }), str(tmp_path / "events.parquet"))
+
+    out = [(r["day"], r["n_risk"], r["n_conv"], r["n_cens"])
+           for r in q_conversion_curve(str(tmp_path)).take_all()]
+    assert out == [(2, 3, 1, 0), (7, 2, 0, 1), (9, 1, 0, 1)]
 
 
 def test_systematic_resample_exact_total(ray_session, tmp_path):
