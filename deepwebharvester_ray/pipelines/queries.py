@@ -16238,6 +16238,123 @@ FROM d ORDER BY day
 """
 
 
+BOT_MIN_GAPS = 5        # minimum inter-event gaps before the flag can fire
+BOT_CV2_PCT = 100       # bot iff 100·m2 ≤ S² (coeff-of-variation ≤ 10%)
+
+
+def q_bot_score(sf_dir: str):
+    """Scripted-traffic detector (bot_score): per user the inter-event
+    gap count, gap-seconds sum S and the exact integer variance moment
+    ``m2 = n·ΣQ − S²`` (= n²·variance), flagged ``is_bot`` when the
+    user has ≥ ``BOT_MIN_GAPS`` gaps and coefficient-of-variation ≤ 10%
+    (``100·m2 ≤ S²`` — metronome-regular arrivals; ≤ not <, so
+    zero-gap bursts flag too).  The anti-abuse member of the user
+    family: a webtext corpus trains on human text, and scripted
+    clients' metronome cadence is the cheapest high-precision tell —
+    this is the filter a crawl feeds its own traffic log through before
+    trusting engagement-derived quality signals.
+
+    Distributed shape: ONE sort on the high-cardinality user key (each
+    user's rows co-locate — the ordered_deltas discipline), then a
+    single vectorized block pass: in-block (user, ts, event_id) lexsort,
+    adjacent-diff gap seconds, segmented bincount sums, and the final
+    integer flag — per-user output emitted straight from the block, no
+    second shuffle.  Envelope: n·Q < 2⁶³ asserted (gap seconds ≤ ~10⁶
+    at ~10³ events/user; beyond, two limbs like value_stats
+    documents).  Users with fewer than two events have no gaps and are
+    not rows (mirrored by the twin's ``WHERE prev IS NOT NULL``)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "ts_us": (batch.column("ts").combine_chunks()
+                      .cast(pa.timestamp("us")).cast(pa.int64())),
+            "event_id": batch.column("event_id"),
+        })
+
+    srt = ds.map_batches(prep, batch_format="pyarrow", batch_size=None,
+                         runtime_env=runtime_env()).sort("user_id")
+
+    def gaps(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "n_gaps": pa.array([], pa.int64()),
+            "sum_gap_s": pa.array([], pa.int64()),
+            "m2": pa.array([], pa.int64()),
+            "is_bot": pa.array([], pa.int64()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        u = batch.column("user_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        t = batch.column("ts_us").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        e = batch.column("event_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        us, ts_ = u[order], t[order]
+        n = len(us)
+        start = np.ones(n, bool)
+        start[1:] = us[1:] != us[:-1]
+        seg = np.cumsum(start) - 1           # run index per row
+        valid = ~start                        # rows that close a gap
+        gap_s = np.zeros(n, np.int64)
+        gap_s[1:] = (ts_[1:] - ts_[:-1]) // 1_000_000
+        gv, sv = gap_s[valid], seg[valid]
+        n_runs = int(seg[-1]) + 1
+        n_g = np.bincount(sv, minlength=n_runs).astype(np.int64)
+        s = np.bincount(sv, weights=gv, minlength=n_runs).astype(np.int64)
+        q = np.bincount(sv, weights=gv * gv,
+                        minlength=n_runs).astype(np.int64)
+        keep = n_g >= 1
+        n_g, s, q = n_g[keep], s[keep], q[keep]
+        uids = us[np.flatnonzero(start)][keep]
+        if not len(n_g):
+            return empty
+        assert (q <= (2**62) // np.maximum(n_g, 1)).all()
+        m2 = n_g * q - s * s
+        is_bot = ((n_g >= BOT_MIN_GAPS)
+                  & (BOT_CV2_PCT * m2 <= s * s)).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uids, pa.int64()),
+            "n_gaps": pa.array(n_g, pa.int64()),
+            "sum_gap_s": pa.array(s, pa.int64()),
+            "m2": pa.array(m2, pa.int64()),
+            "is_bot": pa.array(is_bot, pa.int64()),
+        })
+
+    return srt.map_batches(gaps, batch_format="pyarrow", batch_size=None,
+                           runtime_env=runtime_env()).sort("user_id")
+
+
+_SQL_BOT_SCORE = f"""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+g AS (
+  SELECT user_id, (ts_us - prev_us) // 1000000 AS gap_s
+  FROM o WHERE prev_us IS NOT NULL
+),
+a AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap_s) AS BIGINT) AS s,
+         CAST(sum(gap_s * gap_s) AS BIGINT) AS q
+  FROM g GROUP BY user_id
+)
+SELECT user_id, n_gaps, s AS sum_gap_s,
+       n_gaps * q - s * s AS m2,
+       CAST(n_gaps >= {BOT_MIN_GAPS}
+            AND {BOT_CV2_PCT} * (n_gaps * q - s * s) <= s * s
+            AS BIGINT) AS is_bot
+FROM a ORDER BY user_id
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -16390,6 +16507,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "systematic_resample": q_systematic_resample,
         "user_rfm": q_user_rfm,
         "conversion_curve": q_conversion_curve,
+        "bot_score": q_bot_score,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -16588,6 +16706,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "systematic_resample": _SQL_SYSTEMATIC_RESAMPLE,
         "user_rfm": _SQL_USER_RFM,
         "conversion_curve": _SQL_CONVERSION_CURVE,
+        "bot_score": _SQL_BOT_SCORE,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

@@ -107,6 +107,7 @@ SPOT_CHECKED = [
     "systematic_resample",
     "user_rfm",
     "conversion_curve",
+    "bot_score",
     "bibcoupling",
     "random_walks",
     "top_passages",
@@ -1103,6 +1104,43 @@ def test_spearman_corr_planted_monotone(ray_session, tmp_path):
     down = rows["down"]
     assert down["d2"] == str(den // 3)          # sum of (2i-n-1)^2
     assert int(down["rho_num"]) == -den and int(down["rho_den"]) == den
+
+
+def test_bot_score_planted_cadence(ray_session, tmp_path):
+    """Metronome user (6 events exactly 60 s apart) -> m2 = 0, flagged;
+    irregular user -> not flagged; 2-event user -> one gap, below
+    BOT_MIN_GAPS; single-event user -> no row at all."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_bot_score
+
+    base = datetime.datetime(2025, 1, 1)
+    rows = []
+    for i in range(6):                        # user 1: metronome
+        rows.append((1, base + datetime.timedelta(seconds=60 * i)))
+    for off in (0, 10, 500, 505, 2000, 9000):  # user 2: human-ragged
+        rows.append((2, base + datetime.timedelta(seconds=off)))
+    rows.append((3, base))                     # user 3: one gap only
+    rows.append((3, base + datetime.timedelta(seconds=60)))
+    rows.append((4, base))                     # user 4: no gaps
+    n = len(rows)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array(["click"] * n, pa.string()),
+        "value": pa.array([1.0] * n, pa.float64()),
+        "props": pa.array([""] * n, pa.string()),
+    }), str(tmp_path / "events.parquet"))
+
+    out = {r["user_id"]: r for r in q_bot_score(str(tmp_path)).take_all()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["n_gaps"], out[1]["m2"], out[1]["is_bot"]) == (5, 0, 1)
+    assert out[2]["n_gaps"] == 5 and out[2]["is_bot"] == 0
+    assert out[3]["n_gaps"] == 1 and out[3]["is_bot"] == 0
 
 
 def test_conversion_curve_planted_censoring(ray_session, tmp_path):
