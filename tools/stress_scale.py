@@ -872,6 +872,56 @@ def run_aa(n: int) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_spans(n: int) -> dict:
+    """quote_span_pairs over a synthetic n-doc corpus where every 10th
+    doc shares a 40-token verbatim run with its neighbor: pairs = n/10
+    with span exactly 40 and 33 matched windows each — output
+    cardinality, positioned-gram volume and both all-to-alls grow
+    linearly with n, and the operator ships NOTHING to the driver —
+    measured ru_maxrss growth is the smoke's own in-driver corpus
+    synthesis (n × ~1 KB Python text strings), not operator state.
+    Measured (idle box): 20k docs → 5.0 s, 80k → 10.8 s (4× input,
+    2.1× wall — scheduling floor amortizing)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.functions.dedup import quote_span_pairs
+    import ray
+
+    tmp = tempfile.mkdtemp(prefix="dwh_spans_stress_")
+    try:
+        texts = []
+        for i in range(n):
+            toks = [f"d{i}w{j}" for j in range(100)]
+            if i % 10 == 0 and i + 1 < n:
+                toks[30:70] = [f"s{i}x{j}" for j in range(40)]
+            elif i % 10 == 1:
+                toks[5:45] = [f"s{i-1}x{j}" for j in range(40)]
+            texts.append(" ".join(toks))
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }), str(Path(tmp) / "documents.parquet"))
+        ds = ray.data.read_parquet(str(Path(tmp) / "documents.parquet"))
+        t0 = time.monotonic()
+        out = quote_span_pairs(ds, k=8).take_all()
+        expect = len([i for i in range(n) if i % 10 == 0 and i + 1 < n])
+        assert len(out) == expect, (len(out), expect)
+        assert all(r["span_tokens"] == 40 and r["n_matches"] == 33
+                   for r in out)
+        return {
+            "case": "spans", "n": n,
+            "pairs": len(out),
+            "wall_s": round(time.monotonic() - t0, 2),
+            "driver_rss_mb": round(_rss_mb(), 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_sdedup(n: int, distinct: int) -> dict:
     """streaming_dedup over an n-row dup-heavy stream with `distinct`
     unique contents: emitted rows == distinct, per-shard state O(its
@@ -923,7 +973,7 @@ def main() -> None:
                                     "stream", "skewagg", "bloomjoin",
                                     "containment", "knn", "fuzzy",
                                     "skyline", "cosine", "gscan",
-                                    "sdedup", "aa"])
+                                    "sdedup", "aa", "spans"])
     p.add_argument("--dup", type=int, default=1)
     p.add_argument("--seeds", type=int, default=10_000)
     p.add_argument("--shards", type=int, default=None)
@@ -980,6 +1030,8 @@ def main() -> None:
             out = run_sdedup(args.n, max(1, args.n // 10))
         elif args.case == "aa":
             out = run_aa(args.n)
+        elif args.case == "spans":
+            out = run_spans(args.n)
         elif args.case == "cosine":
             out = run_cosine(args.n)
         else:
