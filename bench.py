@@ -223,6 +223,23 @@ BENCH_QUERIES = [
     "skipgram_counts",
     "dedup_eval",
     "source_modularity",
+    "ks_test",
+    "mutual_info",
+    "chi2_tokens",
+    "local_clustering",
+    "adamic_adar",
+    "csv_roundtrip",
+    "value_gini",
+    "welch_ttest",
+    "doc_chunks",
+    "k_anonymity",
+    "spearman_corr",
+    "fingerprints",
+    "quote_spans",
+    "systematic_resample",
+    "user_rfm",
+    "conversion_curve",
+    "bot_score",
     "crawl_bfs",
 ]
 
