@@ -225,6 +225,26 @@ _EMPTY_PAIRS = pa.table(
 )
 
 
+def _size_grouped_index(starts: np.ndarray, sizes: np.ndarray):
+    """Yield ``(m, idx)`` per DISTINCT run size over pre-selected runs —
+    ``idx`` is the (runs_of_size_m, m) row-index matrix into the
+    underlying run-sorted arrays, ready for one vectorized gather +
+    ``np.triu_indices(m, 1)`` per size.  ONE argsort groups the runs, so
+    a corpus with millions of small buckets costs ≤ #distinct-sizes
+    Python iterations, never a per-run loop.  THE shared pair/wedge
+    emission discipline — used by :func:`_gram_bucket_pairs`,
+    :func:`quote_span_pairs`, adamic_adar's wedge stage and the
+    source-pair queries; fix behavior here, not in a copy."""
+    size_order = np.argsort(sizes, kind="stable")
+    s_sorted = starts[size_order]
+    sz_sorted = sizes[size_order]
+    g_starts, g_ends = _run_bounds(sz_sorted)
+    for gs, ge in zip(g_starts.tolist(), g_ends.tolist()):
+        m = int(sz_sorted[gs])
+        s_m = s_sorted[gs:ge]
+        yield m, s_m[:, None] + np.arange(m)[None, :]
+
+
 def run_rank(sorted_keys: np.ndarray) -> np.ndarray:
     """0-based rank of each element within its equal-key run (input must
     be sorted by the key).  Companion to :func:`_run_bounds`."""
@@ -1844,22 +1864,12 @@ def _gram_bucket_pairs(max_bucket: int):
         sizes = ends - starts
         sel = (sizes >= 2) & (sizes <= max_bucket)
         starts, sizes = starts[sel], sizes[sel]
-        # fully vectorized pair emission, grouped by bucket size: all
-        # same-size buckets become one (R, m) id matrix, row-sorted, and
-        # one triu gather — zero per-bucket Python (a duplicated corpus
-        # has millions of small buckets; a run loop would dominate).
-        # Group runs by size with ONE argsort (an np.unique + boolean-
-        # mask scan per distinct size would rescan sizes O(distinct)
-        # times).
+        # fully vectorized pair emission via the shared size-grouped
+        # gather (see _size_grouped_index): all same-size buckets become
+        # one (R, m) id matrix, row-sorted, one triu gather
         out_a, out_b = [], []
-        size_order = np.argsort(sizes, kind="stable")
-        s_sorted = starts[size_order]
-        sz_sorted = sizes[size_order]
-        g_starts, g_ends = _run_bounds(sz_sorted)
-        for gs, ge in zip(g_starts, g_ends):  # one slice per distinct size
-            m = int(sz_sorted[gs])
-            s_m = s_sorted[gs:ge]
-            mat = np.sort(ids[s_m[:, None] + np.arange(m)[None, :]], axis=1)
+        for m, idx in _size_grouped_index(starts, sizes):
+            mat = np.sort(ids[idx], axis=1)
             ii, jj = np.triu_indices(m, 1)
             out_a.append(mat[:, ii].ravel())
             out_b.append(mat[:, jj].ravel())
@@ -2015,14 +2025,7 @@ def quote_span_pairs(
         sel = (sizes >= 2) & (sizes <= max_bucket)
         starts, sizes = starts[sel], sizes[sel]
         out_k, out_d, out_p = [], [], []
-        size_order = np.argsort(sizes, kind="stable")
-        s_sorted = starts[size_order]
-        sz_sorted = sizes[size_order]
-        g_starts, g_ends = _run_bounds(sz_sorted)
-        for gs, ge in zip(g_starts, g_ends):  # one slice per distinct size
-            m = int(sz_sorted[gs])
-            s_m = s_sorted[gs:ge]
-            idx = s_m[:, None] + np.arange(m)[None, :]
+        for m, idx in _size_grouped_index(starts, sizes):
             mid = ids[idx]
             mpos = pos[idx]
             row_order = np.argsort(mid, axis=1, kind="stable")

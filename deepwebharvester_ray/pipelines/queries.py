@@ -4656,7 +4656,7 @@ def q_source_overlap(sf_dir: str):
     ppm."""
     import ray
 
-    from ..functions.dedup import _run_bounds
+    from ..functions.dedup import _run_bounds, _size_grouped_index
     from ..functions.textops import WORD_RE
 
     ds = _docs(sf_dir, columns=["source", "text"],
@@ -4702,17 +4702,11 @@ def q_source_overlap(sf_dir: str):
         sizes = ends - starts
         sel = sizes >= 2
         starts, sizes = starts[sel], sizes[sel]
-        # group runs by size: one (R, m) matrix + one triu gather per
-        # DISTINCT size (≤ |sources|−1 sizes) — never a per-run loop
+        # shared size-grouped gather (see dedup._size_grouped_index):
+        # one (R, m) matrix + one triu per DISTINCT size
         a_out, b_out = [], []
-        size_order = np.argsort(sizes, kind="stable")
-        s_sorted = starts[size_order]
-        sz_sorted = sizes[size_order]
-        g_starts, g_ends = _run_bounds(sz_sorted)
-        for gs, ge in zip(g_starts, g_ends):
-            m = int(sz_sorted[gs])
-            s_m = s_sorted[gs:ge]
-            mat = s_s[s_m[:, None] + np.arange(m)[None, :]]
+        for m, idx in _size_grouped_index(starts, sizes):
+            mat = s_s[idx]
             ii, jj = np.triu_indices(m, 1)
             a_out.append(mat[:, ii].ravel())
             b_out.append(mat[:, jj].ravel())
@@ -11362,6 +11356,7 @@ def q_source_divergence(sf_dir: str):
     bounded table."""
     import ray
 
+    from ..functions.dedup import _size_grouped_index
     from ..functions.textops import WORD_RE
 
     ds = _docs(sf_dir, columns=["source", "text"],
@@ -11440,16 +11435,7 @@ def q_source_divergence(sf_dir: str):
         if not len(starts):
             return empty
         out_a, out_b, out_v = [], [], []
-        size_order = np.argsort(sizes, kind="stable")
-        st_sorted = starts[size_order]
-        sz_sorted = sizes[size_order]
-        g_starts = np.flatnonzero(
-            np.r_[True, sz_sorted[1:] != sz_sorted[:-1]])
-        g_ends = np.r_[g_starts[1:], len(sz_sorted)]
-        for gs, ge in zip(g_starts.tolist(), g_ends.tolist()):
-            m = int(sz_sorted[gs])
-            base = st_sorted[gs:ge]
-            idx = base[:, None] + np.arange(m)[None, :]     # (R, m)
+        for m, idx in _size_grouped_index(starts, sizes):   # (R, m)
             C = c_s[idx]
             S = s_s[idx]
             F = _flog2(C + 1)
@@ -15089,7 +15075,7 @@ def q_adamic_adar(sf_dir: str):
     import ray
 
     from ..broadcast import cached_get
-    from ..functions.dedup import _run_bounds
+    from ..functions.dedup import _run_bounds, _size_grouped_index
 
     _, edges = _corpus_link_edges(sf_dir)
 
@@ -15169,17 +15155,10 @@ def q_adamic_adar(sf_dir: str):
         starts, sizes = starts[sel], sizes[sel]
         if not len(starts):
             return empty
-        # size-grouped triu emission (one argsort, zero per-run Python)
+        # shared size-grouped triu emission (see _size_grouped_index)
         out_k, out_w = [], []
-        size_order = np.argsort(sizes, kind="stable")
-        s_sorted = starts[size_order]
-        sz_sorted = sizes[size_order]
-        g_starts, g_ends = _run_bounds(sz_sorted)
-        for gs, ge in zip(g_starts, g_ends):
-            m = int(sz_sorted[gs])
-            s_m = s_sorted[gs:ge]
-            mat = np.sort(nbr[s_m[:, None] + np.arange(m)[None, :]],
-                          axis=1)
+        for m, idx in _size_grouped_index(starts, sizes):
+            mat = np.sort(nbr[idx], axis=1)
             ii, jj = np.triu_indices(m, 1)
             a = mat[:, ii].ravel()
             b = mat[:, jj].ravel()
@@ -15809,6 +15788,12 @@ def q_spearman_corr(sf_dir: str):
         num, den = [], []
         for r in rows:
             n, s = int(r["n"]), int(r["d2"])
+            # the distributed Σd² rode int64: worst case n(n²−1)/3
+            # exceeds 2⁶³ past ~3.03M rows/type, so fail loudly at the
+            # envelope edge instead of shipping a wrapped value (n is
+            # exact regardless)
+            assert n <= 3_000_000, (
+                f"spearman_corr int64 Σd² envelope exceeded: n={n}")
             den_i = n * (n * n - 1)
             num.append(str(den_i - 6 * s))
             den.append(str(den_i))
@@ -16303,20 +16288,25 @@ def q_bot_score(sf_dir: str):
         gap_s = np.zeros(n, np.int64)
         gap_s[1:] = (ts_[1:] - ts_[:-1]) // 1_000_000
         gv, sv = gap_s[valid], seg[valid]
-        n_runs = int(seg[-1]) + 1
-        n_g = np.bincount(sv, minlength=n_runs).astype(np.int64)
-        s = np.bincount(sv, weights=gv, minlength=n_runs).astype(np.int64)
-        q = np.bincount(sv, weights=gv * gv,
-                        minlength=n_runs).astype(np.int64)
-        keep = n_g >= 1
-        n_g, s, q = n_g[keep], s[keep], q[keep]
-        uids = us[np.flatnonzero(start)][keep]
-        if not len(n_g):
+        if not len(gv):
             return empty
+        # exact int64 segmented sums (bincount's float64 weights round
+        # past 2^53); gv rows are already sv-ascending
+        v_starts = np.flatnonzero(np.r_[True, sv[1:] != sv[:-1]])
+        n_g = np.diff(np.r_[v_starts, len(sv)]).astype(np.int64)
+        s = np.add.reduceat(gv, v_starts)
+        q = np.add.reduceat(gv * gv, v_starts)
+        uid_per_run = us[np.flatnonzero(start)]
+        uids = uid_per_run[sv[v_starts]]
         assert (q <= (2**62) // np.maximum(n_g, 1)).all()
+        # s² ≤ n_g·q (Cauchy–Schwarz) ≤ 2⁶², so m2 and s*s are both
+        # int64-safe; the flag compares m2 ≤ ⌊s²/PCT⌋ — exactly
+        # equivalent to PCT·m2 ≤ s² without the PCT· overflow (a
+        # maximally-irregular multi-year user would wrap it negative
+        # and self-flag)
         m2 = n_g * q - s * s
         is_bot = ((n_g >= BOT_MIN_GAPS)
-                  & (BOT_CV2_PCT * m2 <= s * s)).astype(np.int64)
+                  & (m2 <= (s * s) // BOT_CV2_PCT)).astype(np.int64)
         return pa.table({
             "user_id": pa.array(uids, pa.int64()),
             "n_gaps": pa.array(n_g, pa.int64()),
@@ -16325,8 +16315,11 @@ def q_bot_score(sf_dir: str):
             "is_bot": pa.array(is_bot, pa.int64()),
         })
 
+    # no trailing sort: the input sort on user_id range-partitions users
+    # in order, gaps() emits ascending users per block, and map_batches
+    # preserves block order — the output is already globally user-sorted
     return srt.map_batches(gaps, batch_format="pyarrow", batch_size=None,
-                           runtime_env=runtime_env()).sort("user_id")
+                           runtime_env=runtime_env())
 
 
 _SQL_BOT_SCORE = f"""
@@ -16349,7 +16342,7 @@ a AS (
 SELECT user_id, n_gaps, s AS sum_gap_s,
        n_gaps * q - s * s AS m2,
        CAST(n_gaps >= {BOT_MIN_GAPS}
-            AND {BOT_CV2_PCT} * (n_gaps * q - s * s) <= s * s
+            AND (n_gaps * q - s * s) <= (s * s) // {BOT_CV2_PCT}
             AS BIGINT) AS is_bot
 FROM a ORDER BY user_id
 """

@@ -1126,6 +1126,13 @@ def test_bot_score_planted_cadence(ray_session, tmp_path):
     rows.append((3, base))                     # user 3: one gap only
     rows.append((3, base + datetime.timedelta(seconds=60)))
     rows.append((4, base))                     # user 4: no gaps
+    # user 5: a same-second burst then a 5-year hiatus — m2 = 4G² ≈
+    # 1.02e17, where the pre-fix 100·m2 wrapped int64 negative and
+    # self-flagged the maximally-irregular user
+    off = 0
+    for gap in (0, 0, 0, 0, 0, 160_000_000):
+        off += gap
+        rows.append((5, base + datetime.timedelta(seconds=off)))
     n = len(rows)
     pq.write_table(pa.table({
         "event_id": pa.array(range(n), pa.int64()),
@@ -1137,10 +1144,11 @@ def test_bot_score_planted_cadence(ray_session, tmp_path):
     }), str(tmp_path / "events.parquet"))
 
     out = {r["user_id"]: r for r in q_bot_score(str(tmp_path)).take_all()}
-    assert set(out) == {1, 2, 3}
+    assert set(out) == {1, 2, 3, 5}
     assert (out[1]["n_gaps"], out[1]["m2"], out[1]["is_bot"]) == (5, 0, 1)
     assert out[2]["n_gaps"] == 5 and out[2]["is_bot"] == 0
     assert out[3]["n_gaps"] == 1 and out[3]["is_bot"] == 0
+    assert out[5]["m2"] > 2**63 // 100 and out[5]["is_bot"] == 0
 
 
 def test_conversion_curve_planted_censoring(ray_session, tmp_path):
