@@ -16348,6 +16348,223 @@ FROM a ORDER BY user_id
 """
 
 
+def q_edge_embeddedness(sf_dir: str):
+    """Per-EDGE embeddedness and neighborhood Jaccard
+    (edge_embeddedness): for every existing link, how many common
+    neighbors its endpoints share and the exact tie-strength rational
+    ``common / (deg_u + deg_v − 2 − common)`` — Granovetter's weak-tie
+    detector: embeddedness-0 edges are local bridges (the links BFS
+    crawl prioritization should treasure — they reach new communities),
+    high-Jaccard edges are intra-clique redundancy.  The EXISTING-edge
+    complement of adamic_adar (same wedges, opposite membership filter:
+    that scores non-edges, this scores edges).
+
+    Distributed shape: the adamic_adar wedge plan — ONE single-key sort
+    on z, run-length wedge emission via the shared
+    ``_size_grouped_index`` triu with per-block partial counts, edge
+    membership applied INSIDE the wedge stage (broadcast sorted packed
+    keys — wedges not on an edge never enter the combiner), ONE
+    combiner grouped_agg to edge-pair cardinality — then two
+    broadcast sorted-array attaches (degrees at node cardinality,
+    edge counts at edge cardinality; the documented distributed-join
+    switch applies to both past broadcast scale) and one vectorized
+    final map over the edge table.  ``AA_MAX_DEG`` hub guard as in
+    adamic_adar (corpus max degree ~8 — exact-oracle runs
+    unaffected)."""
+    import ray
+
+    from ..broadcast import cached_get
+    from ..functions.dedup import _run_bounds, _size_grouped_index
+
+    _, edges = _corpus_link_edges(sf_dir)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"u": pa.array(np.minimum(s, d), pa.int64()),
+                         "v": pa.array(np.maximum(s, d), pa.int64())})
+
+    ue = grouped_agg(
+        edges.map_batches(canon, batch_format="pyarrow",
+                          runtime_env=runtime_env()),
+        ["u", "v"], [("__n", "", "count")],
+    ).select_columns(["u", "v"]).materialize()
+
+    def pack(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v = batch.column("v").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({"key": pa.array((u << np.int64(32)) | v,
+                                         pa.int64())})
+
+    edge_keys = np.sort(np.concatenate([
+        b.column("key").to_numpy(zero_copy_only=False)
+        for b in ue.map_batches(pack, batch_format="pyarrow",
+                                runtime_env=runtime_env()
+                                ).iter_batches(batch_format="pyarrow")
+    ] or [np.empty(0, np.int64)]))
+    ek_ref = ray.put(edge_keys)
+
+    def incidence(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v = batch.column("v").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "z": pa.array(np.concatenate([u, v]), pa.int64()),
+            "nbr": pa.array(np.concatenate([v, u]), pa.int64()),
+        })
+
+    inc = ue.map_batches(incidence, batch_format="pyarrow",
+                         runtime_env=runtime_env()).materialize()
+
+    deg_rows = grouped_agg(inc, ["z"], [("deg", "", "count")]).take_all()
+    deg_nodes = np.asarray([r["z"] for r in deg_rows], np.int64)
+    deg_vals = np.asarray([r["deg"] for r in deg_rows], np.int64)
+    order = np.argsort(deg_nodes)
+    deg_ref = ray.put((deg_nodes[order], deg_vals[order]))
+
+    srt = inc.sort("z").materialize()
+
+    def wedge_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        z = batch.column("z").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        nbr = batch.column("nbr").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        starts, ends = _run_bounds(z)
+        sizes = ends - starts
+        sel = (sizes >= 2) & (sizes <= AA_MAX_DEG)
+        starts, sizes = starts[sel], sizes[sel]
+        if not len(starts):
+            return empty
+        out_k = []
+        for m, idx in _size_grouped_index(starts, sizes):
+            mat = np.sort(nbr[idx], axis=1)
+            ii, jj = np.triu_indices(m, 1)
+            out_k.append((mat[:, ii].ravel() << np.int64(32))
+                         | mat[:, jj].ravel())
+        k = np.concatenate(out_k)
+        # existing-edge SEMI-filter inside the wedge stage: wedges whose
+        # endpoint pair is not an edge never reach the shuffle
+        ek = cached_get(ek_ref)
+        if len(ek):
+            pos = np.searchsorted(ek, k)
+            pos[pos >= len(ek)] = 0
+            k = k[ek[pos] == k]
+        else:
+            return empty
+        if not len(k):
+            return empty
+        uniq, cnt = np.unique(k, return_counts=True)
+        return pa.table({"k": pa.array(uniq, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    pairs = grouped_agg(
+        srt.map_batches(wedge_counts, batch_format="pyarrow",
+                        batch_size=None, runtime_env=runtime_env()),
+        ["k"], [("c", "c", "sum")], sorted_output=False,
+    )
+
+    # edge-pair common counts broadcast (≤ m entries — the edge_keys
+    # envelope; past broadcast scale both attaches become hash joins)
+    kc = [(b.column("k").to_numpy(zero_copy_only=False),
+           b.column("c").to_numpy(zero_copy_only=False))
+          for b in pairs.iter_batches(batch_format="pyarrow")]
+    ck = np.concatenate([a for a, _ in kc] or [np.empty(0, np.int64)])
+    cv = np.concatenate([c for _, c in kc] or [np.empty(0, np.int64)])
+    order = np.argsort(ck)
+    cnt_ref = ray.put((ck[order], cv[order].astype(np.int64)))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "n_common": pa.array([], pa.int64()),
+                "nb_union": pa.array([], pa.int64()),
+                "jac_ppm": pa.array([], pa.int64()),
+            })
+        u = batch.column("u").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v = batch.column("v").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        key = (u << np.int64(32)) | v
+        ck_s, cv_s = cached_get(cnt_ref)
+        c = np.zeros(len(key), np.int64)
+        if len(ck_s):
+            pos = np.searchsorted(ck_s, key)
+            pos[pos >= len(ck_s)] = 0
+            hit = ck_s[pos] == key
+            c[hit] = cv_s[pos[hit]]
+        dn, dv_ = cached_get(deg_ref)
+        deg_u = dv_[np.searchsorted(dn, u)]
+        deg_v = dv_[np.searchsorted(dn, v)]
+        den = deg_u + deg_v - 2 - c
+        ppm = np.where(den > 0, (1_000_000 * c) // np.maximum(den, 1), 0)
+        return pa.table({
+            "a": pa.array(u, pa.int64()),
+            "b": pa.array(v, pa.int64()),
+            "n_common": pa.array(c, pa.int64()),
+            "nb_union": pa.array(den, pa.int64()),
+            "jac_ppm": pa.array(ppm.astype(np.int64), pa.int64()),
+        })
+
+    # ue is key-sorted from its grouped_agg; map preserves block order
+    return ue.map_batches(finish, batch_format="pyarrow",
+                          batch_size=None, runtime_env=runtime_env())
+
+
+def _sql_edge_embeddedness() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    return f"""
+WITH n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+),
+ue AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src != dst
+),
+inc AS (
+  SELECT u AS z, v AS nbr FROM ue UNION ALL SELECT v, u FROM ue
+),
+deg AS (SELECT z, count(*) AS deg FROM inc GROUP BY z),
+w AS (
+  SELECT i.nbr AS a, j.nbr AS b, count(*) AS c
+  FROM inc i JOIN inc j ON i.z = j.z AND i.nbr < j.nbr
+  GROUP BY 1, 2
+)
+SELECT ue.u AS a, ue.v AS b,
+       CAST(COALESCE(w.c, 0) AS BIGINT) AS n_common,
+       CAST(du.deg + dv.deg - 2 - COALESCE(w.c, 0) AS BIGINT) AS nb_union,
+       CAST(CASE WHEN du.deg + dv.deg - 2 - COALESCE(w.c, 0) > 0
+            THEN 1000000 * COALESCE(w.c, 0)
+                 // (du.deg + dv.deg - 2 - COALESCE(w.c, 0))
+            ELSE 0 END AS BIGINT) AS jac_ppm
+FROM ue
+JOIN deg du ON du.z = ue.u
+JOIN deg dv ON dv.z = ue.v
+LEFT JOIN w ON w.a = ue.u AND w.b = ue.v
+ORDER BY a, b
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -16501,6 +16718,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "user_rfm": q_user_rfm,
         "conversion_curve": q_conversion_curve,
         "bot_score": q_bot_score,
+        "edge_embeddedness": q_edge_embeddedness,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -16700,6 +16918,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "user_rfm": _SQL_USER_RFM,
         "conversion_curve": _SQL_CONVERSION_CURVE,
         "bot_score": _SQL_BOT_SCORE,
+        "edge_embeddedness": _sql_edge_embeddedness(),
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

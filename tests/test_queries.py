@@ -108,6 +108,7 @@ SPOT_CHECKED = [
     "user_rfm",
     "conversion_curve",
     "bot_score",
+    "edge_embeddedness",
     "bibcoupling",
     "random_walks",
     "top_passages",
