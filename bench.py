@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "user_rfm",
     "conversion_curve",
     "bot_score",
+    "edge_embeddedness",
     "crawl_bfs",
 ]
 
