@@ -56,12 +56,17 @@ class CrawlSettings:
     # N → seed-sharded Ray-actor claims chain (state/scheduler.py,
     # bit-identical output — the cluster path).
     replay_shards: Optional[int] = None
-    # Frontier sharding: None → driver-local priority queue (small runs);
-    # N → ShardedFrontierQueue actor pool AND data-plane link expansion
-    # (links flow fetch-task → frontier shard as batches; the driver pulls
-    # only (url, content_hash) metadata per generation — the 10^10-
-    # frontier path, SURVEY §4).  Results are identical to the driver
-    # queue: staged pushes commit in canonical sorted order.
+    # Frontier sharding: N → ShardedFrontierQueue actor pool AND
+    # data-plane link expansion (links flow fetch-task → frontier shard
+    # as batches; the driver pulls only (url, content_hash) metadata per
+    # generation — the 10^10-frontier path, SURVEY §4); 0 → force the
+    # driver-local priority queue; None (default) → AUTO, the size-gated
+    # discipline used everywhere else in this repo: driver queue below
+    # FRONTIER_AUTO_SEEDS seeds (actor round-trips cost more than they
+    # save on a small run), sharded at or above it (the scale path must
+    # be the default where scale begins, not an opt-in).  Results are
+    # identical either way: staged pushes commit in canonical sorted
+    # order (equivalence pinned by test_crawl).
     frontier_shards: Optional[int] = None
     extract_batch_size: int = 128   # pages per Arrow batch in the extract stage
     extract_concurrency: Optional[int] = None  # None → Ray decides (task pool)

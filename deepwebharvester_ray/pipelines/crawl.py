@@ -62,6 +62,23 @@ from ..urlops import (
 
 logger = logging.getLogger(__name__)
 
+# AUTO frontier-sharding cutoff: below this many valid seeds the driver
+# queue wins (actor round-trips cost more than they save; measured in
+# BASELINE.md's 10k-seed frontier stress), at or above it link expansion
+# must stay in the data plane (frontier_shards=None picks per this)
+FRONTIER_AUTO_SEEDS = 5_000
+
+
+def frontier_shard_count(cfg: CrawlSettings, n_valid_seeds: int) -> int:
+    """Resolve ``cfg.frontier_shards`` to a shard count: explicit N → N,
+    explicit 0 → driver queue, None → AUTO (shard once the seed list is
+    big enough that link expansion shouldn't transit the driver — the
+    scale path is the default where scale begins, not an opt-in)."""
+    if cfg.frontier_shards is None:
+        return (max(4, cfg.seen_shards)
+                if n_valid_seeds >= FRONTIER_AUTO_SEEDS else 0)
+    return cfg.frontier_shards
+
 
 def _mark_key(seed_id: int, url: str) -> str:
     return f"{seed_id}|{url}"
@@ -350,10 +367,11 @@ def run_crawl(
 
     manifest_path = run_path / "manifest.json"
     start_gen = 0
-    use_sharded = bool(cfg.frontier_shards)
+    n_shards = frontier_shard_count(cfg, len(valid_seeds))
+    use_sharded = bool(n_shards)
     if use_sharded:
         frontier = ShardedFrontierQueue(
-            cfg.frontier_shards, max_per_seed=cfg.frontier_max_per_seed
+            n_shards, max_per_seed=cfg.frontier_max_per_seed
         )
     else:
         frontier = FrontierQueue(max_per_seed=cfg.frontier_max_per_seed)

@@ -271,6 +271,24 @@ def test_load_settings_rejects_bad_config(tmp_path):
         load_settings(str(bad))
 
 
+def test_frontier_auto_shard_gate():
+    """frontier_shards=None is AUTO: driver queue below the seed cutoff,
+    actor shards at/above it; explicit 0 forces driver, N forces N."""
+    from deepwebharvester_ray.pipelines.crawl import (
+        FRONTIER_AUTO_SEEDS,
+        frontier_shard_count,
+    )
+
+    auto = CrawlSettings(seen_shards=8)            # frontier_shards=None
+    assert frontier_shard_count(auto, FRONTIER_AUTO_SEEDS - 1) == 0
+    assert frontier_shard_count(auto, FRONTIER_AUTO_SEEDS) == 8
+    assert frontier_shard_count(CrawlSettings(seen_shards=2),
+                                FRONTIER_AUTO_SEEDS) == 4  # floor of 4
+    forced_off = CrawlSettings(frontier_shards=0)
+    assert frontier_shard_count(forced_off, 10 * FRONTIER_AUTO_SEEDS) == 0
+    assert frontier_shard_count(CrawlSettings(frontier_shards=3), 1) == 3
+
+
 def test_conformance_sharded_frontier(smoke_corpus, tmp_path):
     """frontier_shards path: actor-pool frontier + DATA-PLANE link
     expansion (links never transit the driver) must replay the reference
