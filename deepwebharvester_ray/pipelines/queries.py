@@ -16565,6 +16565,103 @@ ORDER BY a, b
 """
 
 
+_US_PER_HOUR = 3_600_000_000
+
+
+def q_user_window_1h(sf_dir: str):
+    """Per-user trailing-HOUR value sum (user_window_1h): for every
+    event, the sum of that user's cents over the preceding hour
+    inclusive — the TIME-RANGE window member (user_moving_sum is the
+    ROWS-frame member; a RANGE frame sizes by wall clock, which is what
+    rate-limiting / spend-velocity logic wants, and its frame
+    boundaries include ALL timestamp peers, making the result
+    order-independent by construction).
+
+    Distributed shape: ONE sort on the high-cardinality user key (rows
+    co-locate — the ordered_deltas discipline), then a single
+    vectorized block pass: in-block (user, ts) lexsort, per-user-run
+    prefix sums, and two ``searchsorted`` lookups per segment (window
+    start at ts − 1h inclusive, window end at the last ts peer) — no
+    per-row Python, no second shuffle, output emitted in place."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_us": (batch.column("ts").combine_chunks()
+                      .cast(pa.timestamp("us")).cast(pa.int64())),
+            "cents": pa.array(np.floor(v * 100.0).astype(np.int64),
+                              pa.int64()),
+        })
+
+    srt = ds.map_batches(prep, batch_format="pyarrow", batch_size=None,
+                         runtime_env=runtime_env()).sort("user_id")
+
+    def window(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+                "win_sum_1h": pa.array([], pa.int64()),
+            })
+        u = batch.column("user_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        t = batch.column("ts_us").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        c = batch.column("cents").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        e = batch.column("event_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((t, u))
+        us, ts_, cs, es = u[order], t[order], c[order], e[order]
+        n = len(us)
+        run_start = np.ones(n, bool)
+        run_start[1:] = us[1:] != us[:-1]
+        starts = np.flatnonzero(run_start)
+        ends = np.r_[starts[1:], n]
+        win = np.empty(n, np.int64)
+        for s, epos in zip(starts.tolist(), ends.tolist()):
+            seg_t = ts_[s:epos]
+            cum = np.cumsum(cs[s:epos], dtype=np.int64)
+            lo = np.searchsorted(seg_t, seg_t - _US_PER_HOUR, side="left")
+            hi = np.searchsorted(seg_t, seg_t, side="right")
+            w = cum[hi - 1]
+            w = w - np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+            win[s:epos] = w
+        out = np.empty(n, np.int64)
+        out[order] = win
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "cents": batch.column("cents"),
+            "win_sum_1h": pa.array(out, pa.int64()),
+        })
+
+    return srt.map_batches(window, batch_format="pyarrow",
+                           batch_size=None,
+                           runtime_env=runtime_env()).sort("event_id")
+
+
+_SQL_USER_WINDOW_1H = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100.0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id, cents,
+       CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts
+                             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS win_sum_1h
+FROM c ORDER BY event_id
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -16719,6 +16816,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "conversion_curve": q_conversion_curve,
         "bot_score": q_bot_score,
         "edge_embeddedness": q_edge_embeddedness,
+        "user_window_1h": q_user_window_1h,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -16919,6 +17017,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "conversion_curve": _SQL_CONVERSION_CURVE,
         "bot_score": _SQL_BOT_SCORE,
         "edge_embeddedness": _sql_edge_embeddedness(),
+        "user_window_1h": _SQL_USER_WINDOW_1H,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

@@ -109,6 +109,7 @@ SPOT_CHECKED = [
     "conversion_curve",
     "bot_score",
     "edge_embeddedness",
+    "user_window_1h",
     "bibcoupling",
     "random_walks",
     "top_passages",
