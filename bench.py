@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "conversion_curve",
     "bot_score",
     "edge_embeddedness",
+    "user_window_1h",
     "crawl_bfs",
 ]
 
