@@ -368,6 +368,27 @@ def run_crawl(
     manifest_path = run_path / "manifest.json"
     start_gen = 0
     n_shards = frontier_shard_count(cfg, len(valid_seeds))
+    if resume and manifest_path.exists():
+        # a checkpoint's queue LAYOUT is part of its state: prefer the
+        # shard count the manifest recorded; for pre-recording manifests
+        # infer it from the last snapshot's file layout — otherwise a
+        # later change to the AUTO cutoff/formula (or this release's
+        # introduction of AUTO itself) would make an old driver-queue
+        # checkpoint unresumable (restore_parquet refuses on a shard-
+        # count mismatch by design)
+        _peek = json.loads(manifest_path.read_text())
+        if "frontier_shards_resolved" in _peek:
+            n_shards = int(_peek["frontier_shards_resolved"])
+        else:
+            _done = [g for g in _peek.get("generations", [])
+                     if g.get("complete")]
+            if _done:
+                import glob as _glob
+
+                _snap = str(run_path / "state" /
+                            f"frontier_gen{_done[-1]['generation']}.parquet")
+                _shard_files = _glob.glob(_snap + ".shard*")
+                n_shards = len(_shard_files)
     use_sharded = bool(n_shards)
     if use_sharded:
         frontier = ShardedFrontierQueue(
@@ -381,6 +402,8 @@ def run_crawl(
         from ..corpus import corpus_digest as _cdigest
 
         manifest = json.loads(manifest_path.read_text())
+        # upgrade pre-recording manifests with the layout resolved above
+        manifest["frontier_shards_resolved"] = n_shards
         if manifest.get("config_digest") != digest:
             raise ValueError("resume config/seeds mismatch with checkpoint manifest")
         if manifest.get("corpus_digest") and manifest["corpus_digest"] != _cdigest(corpus_dir):
@@ -431,6 +454,9 @@ def run_crawl(
             "config_digest": digest,
             "corpus_dir": corpus_dir,
             "corpus_digest": corpus_digest(corpus_dir),
+            # pin the resolved queue layout: resume must rebuild the SAME
+            # shape even if the AUTO cutoff/formula changes later
+            "frontier_shards_resolved": n_shards,
             "generations": [],
             "metrics": [],
         }

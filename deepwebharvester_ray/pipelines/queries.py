@@ -15045,37 +15045,20 @@ AA_TOPK = 50
 AA_MAX_DEG = 4096      # hub wedge guard: C(deg,2) emission cap (docstring)
 
 
-def q_adamic_adar(sf_dir: str):
-    """Adamic–Adar link prediction over the undirected crawl graph —
-    the classic "which non-edges SHOULD exist" score (Σ over common
-    neighbors z of 1/log deg(z), rare shared neighbors count more),
-    the crawl-frontier prioritization signal for discovering pages the
-    graph implies but the crawl hasn't fetched.  True AA needs float
-    logs; both engines compute the integer envelope ``w_z = 10⁶ //
-    ⌊log2 deg(z)⌋`` (the flog2 discipline — monotone in deg, exact on
-    both sides) and ``aa_score = Σ_z w_z`` over common neighbors; the
-    top-``AA_TOPK`` NON-edge pairs under (aa_score DESC, a, b) plus
-    the common-neighbor count.
-
-    Distributed shape: canonical-edge dedup combiner → incidence rows
-    (z, nbr) → ONE single-key sort on z (all of z's rows co-locate, so
-    deg(z) IS the run length — no degree table, no broadcast, no join)
-    → the size-grouped vectorized triu emission (the
-    ``_gram_bucket_pairs`` discipline; a hash self-join here measured
-    3× slower and its pair groupby another 3× on the 400k-node stress
-    profile) emitting PACKED pair keys (a·2³²|b; int64-safe to 2³¹
-    nodes) with w_z attached per run → per-block np.unique partial
-    sums → ONE single-int64-key combiner ``grouped_agg`` → existing-
-    edge anti-filter via a broadcast sorted packed-key array (m int64s;
-    the frontier-scale path is a distributed anti-join, the
-    minhash-verify switch) → two-level deterministic top-k.  Hub guard:
-    a mega-hub emits C(deg,2) wedges — ``AA_MAX_DEG`` skips runs above
-    it (the simhash hot-bucket contract; the corpus graph's max degree
-    is ~8, so exact-oracle runs are unaffected)."""
+def _undirected_link_graph(sf_dir: str):
+    """Shared wedge-plan prep for the link-graph pair queries
+    (adamic_adar / edge_embeddedness): returns ``(ue, srt, edge_keys)``
+    — the canonical undirected edge table (key-sorted, materialized),
+    the both-direction incidence rows REPARTITIONED BY WEDGE VOLUME and
+    sorted on z (width derives from avg_deg × incidence rows, not
+    source bytes: a doc_id-only parquet is a few MB while its wedge
+    table is tens of millions of rows — an unrepartitioned sort
+    inherits the narrow read width and every downstream stage runs
+    2-wide; measured 920 s vs 49 s at 800 k nodes), and the sorted
+    packed (u·2³²|v) edge-key array for broadcast membership filters
+    (m int64s; the frontier-scale path is a distributed join, the
+    minhash-verify switch)."""
     import ray
-
-    from ..broadcast import cached_get
-    from ..functions.dedup import _run_bounds, _size_grouped_index
 
     _, edges = _corpus_link_edges(sf_dir)
 
@@ -15108,9 +15091,6 @@ def q_adamic_adar(sf_dir: str):
     inc = ue.map_batches(incidence, batch_format="pyarrow",
                          runtime_env=runtime_env())
 
-    # packed existing-edge keys for the anti-filter (m int64s broadcast;
-    # fine while m ≪ object-store capacity — the frontier-scale path is
-    # a distributed anti-join, same switch as minhash verification)
     def pack(batch: pa.Table) -> pa.Table:
         u = batch.column("u").combine_chunks().to_numpy(
             zero_copy_only=False)
@@ -15125,19 +15105,50 @@ def q_adamic_adar(sf_dir: str):
                                 runtime_env=runtime_env()
                                 ).iter_batches(batch_format="pyarrow")
     ] or [np.empty(0, np.int64)]))
-    ek_ref = ray.put(edge_keys)
 
-    # width from WEDGE volume (avg_deg × incidence rows), not source
-    # bytes: a doc_id-only parquet is a few MB while its wedge table is
-    # tens of millions of rows — an unrepartitioned sort inherits the
-    # narrow read width and every downstream stage runs 2-wide
-    # (measured 920 s vs 49 s at 800 k nodes)
     n_inc = int(2 * ue.count())
     cpus = int(ray.cluster_resources().get("CPU", 8))
     avg_deg = 2 * len(LINK_OFFSETS)
     parts = int(max(_shuffle_parts(sf_dir),
                     min(4 * cpus, (n_inc * avg_deg) // 1_000_000 + 2)))
     srt = inc.repartition(parts).sort("z").materialize()
+    return ue, srt, edge_keys
+
+
+def q_adamic_adar(sf_dir: str):
+    """Adamic–Adar link prediction over the undirected crawl graph —
+    the classic "which non-edges SHOULD exist" score (Σ over common
+    neighbors z of 1/log deg(z), rare shared neighbors count more),
+    the crawl-frontier prioritization signal for discovering pages the
+    graph implies but the crawl hasn't fetched.  True AA needs float
+    logs; both engines compute the integer envelope ``w_z = 10⁶ //
+    ⌊log2 deg(z)⌋`` (the flog2 discipline — monotone in deg, exact on
+    both sides) and ``aa_score = Σ_z w_z`` over common neighbors; the
+    top-``AA_TOPK`` NON-edge pairs under (aa_score DESC, a, b) plus
+    the common-neighbor count.
+
+    Distributed shape: canonical-edge dedup combiner → incidence rows
+    (z, nbr) → ONE single-key sort on z (all of z's rows co-locate, so
+    deg(z) IS the run length — no degree table, no broadcast, no join)
+    → the size-grouped vectorized triu emission (the
+    ``_gram_bucket_pairs`` discipline; a hash self-join here measured
+    3× slower and its pair groupby another 3× on the 400k-node stress
+    profile) emitting PACKED pair keys (a·2³²|b; int64-safe to 2³¹
+    nodes) with w_z attached per run → per-block np.unique partial
+    sums → ONE single-int64-key combiner ``grouped_agg`` → existing-
+    edge anti-filter via a broadcast sorted packed-key array (m int64s;
+    the frontier-scale path is a distributed anti-join, the
+    minhash-verify switch) → two-level deterministic top-k.  Hub guard:
+    a mega-hub emits C(deg,2) wedges — ``AA_MAX_DEG`` skips runs above
+    it (the simhash hot-bucket contract; the corpus graph's max degree
+    is ~8, so exact-oracle runs are unaffected)."""
+    import ray
+
+    from ..broadcast import cached_get
+    from ..functions.dedup import _run_bounds, _size_grouped_index
+
+    _, srt, edge_keys = _undirected_link_graph(sf_dir)
+    ek_ref = ray.put(edge_keys)
 
     def wedge_partials(batch: pa.Table) -> pa.Table:
         empty = pa.table({"k": pa.array([], pa.int64()),
@@ -16376,60 +16387,22 @@ def q_edge_embeddedness(sf_dir: str):
     from ..broadcast import cached_get
     from ..functions.dedup import _run_bounds, _size_grouped_index
 
-    _, edges = _corpus_link_edges(sf_dir)
-
-    def canon(batch: pa.Table) -> pa.Table:
-        s = batch.column("src").combine_chunks().to_numpy(
-            zero_copy_only=False)
-        d = batch.column("dst").combine_chunks().to_numpy(
-            zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        return pa.table({"u": pa.array(np.minimum(s, d), pa.int64()),
-                         "v": pa.array(np.maximum(s, d), pa.int64())})
-
-    ue = grouped_agg(
-        edges.map_batches(canon, batch_format="pyarrow",
-                          runtime_env=runtime_env()),
-        ["u", "v"], [("__n", "", "count")],
-    ).select_columns(["u", "v"]).materialize()
-
-    def pack(batch: pa.Table) -> pa.Table:
-        u = batch.column("u").combine_chunks().to_numpy(
-            zero_copy_only=False)
-        v = batch.column("v").combine_chunks().to_numpy(
-            zero_copy_only=False)
-        return pa.table({"key": pa.array((u << np.int64(32)) | v,
-                                         pa.int64())})
-
-    edge_keys = np.sort(np.concatenate([
-        b.column("key").to_numpy(zero_copy_only=False)
-        for b in ue.map_batches(pack, batch_format="pyarrow",
-                                runtime_env=runtime_env()
-                                ).iter_batches(batch_format="pyarrow")
-    ] or [np.empty(0, np.int64)]))
+    ue, srt, edge_keys = _undirected_link_graph(sf_dir)
     ek_ref = ray.put(edge_keys)
 
-    def incidence(batch: pa.Table) -> pa.Table:
-        u = batch.column("u").combine_chunks().to_numpy(
-            zero_copy_only=False)
-        v = batch.column("v").combine_chunks().to_numpy(
-            zero_copy_only=False)
-        return pa.table({
-            "z": pa.array(np.concatenate([u, v]), pa.int64()),
-            "nbr": pa.array(np.concatenate([v, u]), pa.int64()),
-        })
-
-    inc = ue.map_batches(incidence, batch_format="pyarrow",
-                         runtime_env=runtime_env()).materialize()
-
-    deg_rows = grouped_agg(inc, ["z"], [("deg", "", "count")]).take_all()
-    deg_nodes = np.asarray([r["z"] for r in deg_rows], np.int64)
-    deg_vals = np.asarray([r["deg"] for r in deg_rows], np.int64)
+    # degree table at node cardinality, collected zero-copy (no driver
+    # dict rows, no trailing distributed key sort — we argsort here)
+    dp = [(b.column("z").to_numpy(zero_copy_only=False),
+           b.column("deg").to_numpy(zero_copy_only=False))
+          for b in grouped_agg(srt, ["z"], [("deg", "", "count")],
+                               sorted_output=False
+                               ).iter_batches(batch_format="pyarrow")]
+    deg_nodes = np.concatenate([a for a, _ in dp]
+                               or [np.empty(0, np.int64)])
+    deg_vals = np.concatenate([d for _, d in dp]
+                              or [np.empty(0, np.int64)]).astype(np.int64)
     order = np.argsort(deg_nodes)
     deg_ref = ray.put((deg_nodes[order], deg_vals[order]))
-
-    srt = inc.sort("z").materialize()
 
     def wedge_counts(batch: pa.Table) -> pa.Table:
         empty = pa.table({"k": pa.array([], pa.int64()),
@@ -16616,24 +16589,40 @@ def q_user_window_1h(sf_dir: str):
             zero_copy_only=False)
         c = batch.column("cents").combine_chunks().to_numpy(
             zero_copy_only=False)
-        e = batch.column("event_id").combine_chunks().to_numpy(
-            zero_copy_only=False)
+        from ..functions.dedup import _size_grouped_index
+
         order = np.lexsort((t, u))
-        us, ts_, cs, es = u[order], t[order], c[order], e[order]
+        us, ts_, cs = u[order], t[order], c[order]
         n = len(us)
         run_start = np.ones(n, bool)
         run_start[1:] = us[1:] != us[:-1]
         starts = np.flatnonzero(run_start)
         ends = np.r_[starts[1:], n]
-        win = np.empty(n, np.int64)
-        for s, epos in zip(starts.tolist(), ends.tolist()):
-            seg_t = ts_[s:epos]
-            cum = np.cumsum(cs[s:epos], dtype=np.int64)
-            lo = np.searchsorted(seg_t, seg_t - _US_PER_HOUR, side="left")
-            hi = np.searchsorted(seg_t, seg_t, side="right")
-            w = cum[hi - 1]
-            w = w - np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
-            win[s:epos] = w
+        sizes = ends - starts
+        # singleton runs: the hour window holds only the row itself —
+        # no loop body at all (the _run_bounds singleton discipline)
+        win = cs.copy()
+        sel = sizes >= 2
+        # size-grouped batched frames: same-size user runs become one
+        # (R, m) matrix; lo/hi are broadcast comparisons (the
+        # within-segment searchsorted, batched), row-chunked so the
+        # (chunk, m, m) boolean never exceeds ~40M elements
+        for m, idx in _size_grouped_index(starts[sel], sizes[sel]):
+            step = max(1, 40_000_000 // (m * m))
+            for r0 in range(0, len(idx), step):
+                ix = idx[r0:r0 + step]
+                T = ts_[ix]
+                cum = np.cumsum(cs[ix], axis=1, dtype=np.int64)
+                # cond[r, i, j] = T[r, j] < T[r, i] - 1h
+                tgt = (T - _US_PER_HOUR)[:, :, None]
+                lo = (T[:, None, :] < tgt).sum(axis=2, dtype=np.int64)
+                hi = (T[:, None, :] <= T[:, :, None]).sum(
+                    axis=2, dtype=np.int64)
+                w = np.take_along_axis(cum, hi - 1, axis=1)
+                low = np.take_along_axis(cum, np.maximum(lo - 1, 0),
+                                         axis=1)
+                w = w - np.where(lo > 0, low, 0)
+                win[ix] = w
         out = np.empty(n, np.int64)
         out[order] = win
         return pa.table({

@@ -289,6 +289,46 @@ def test_frontier_auto_shard_gate():
     assert frontier_shard_count(CrawlSettings(frontier_shards=3), 1) == 3
 
 
+def test_resume_pins_frontier_layout(smoke_corpus, tmp_path, monkeypatch):
+    """A checkpoint's queue layout survives AUTO-formula drift: a run
+    checkpointed with the driver queue resumes in driver mode even when
+    the AUTO gate would now pick shards (manifest pin), and a
+    pre-recording manifest (no frontier_shards_resolved key) infers the
+    layout from the snapshot file layout instead of crashing."""
+    import json
+    from pathlib import Path
+
+    from deepwebharvester_ray.pipelines import crawl as crawl_mod
+
+    seeds = corpus.seed_urls(4)
+    cfg = CrawlSettings(max_depth=2, seen_shards=2)  # AUTO -> driver at 4
+
+    part_dir = str(tmp_path / "part")
+    full = run_crawl(smoke_corpus, seeds, cfg, run_dir=part_dir,
+                     track_fetched_urls=True)
+    mpath = Path(part_dir) / "manifest.json"
+    manifest = json.loads(mpath.read_text())
+    assert manifest["frontier_shards_resolved"] == 0
+    manifest["generations"] = [g for g in manifest["generations"]
+                               if g["generation"] <= 0]
+    del manifest["frontier_shards_resolved"]     # simulate old checkpoint
+    mpath.write_text(json.dumps(manifest))
+    import shutil
+
+    for p in Path(part_dir, "results").glob("gen=*"):
+        if int(p.name.split("=")[1]) >= 1:
+            shutil.rmtree(p)
+
+    # the AUTO gate would now pick the sharded queue — the snapshot
+    # layout (a single parquet file, no .shard*) must win
+    monkeypatch.setattr(crawl_mod, "FRONTIER_AUTO_SEEDS", 1)
+    resumed = run_crawl(smoke_corpus, seeds, cfg, run_dir=part_dir,
+                        resume=True, track_fetched_urls=True)
+    assert resumed.stats == full.stats
+    # the resumed manifest is upgraded with the pinned layout
+    assert json.loads(mpath.read_text())["frontier_shards_resolved"] == 0
+
+
 def test_conformance_sharded_frontier(smoke_corpus, tmp_path):
     """frontier_shards path: actor-pool frontier + DATA-PLANE link
     expansion (links never transit the driver) must replay the reference
