@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "bot_score",
     "edge_embeddedness",
     "user_window_1h",
+    "host_link_flow",
     "crawl_bfs",
 ]
 

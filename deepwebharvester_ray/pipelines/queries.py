@@ -16651,6 +16651,90 @@ FROM c ORDER BY event_id
 """
 
 
+def q_host_link_flow(sf_dir: str):
+    """Cross-host link-flow matrix (host_link_flow): per source host,
+    its outlink count, how many stay on-host and the integer-ppm
+    cross-host rate — the measurement behind the frontier's core
+    partitioning assumption (SURVEY §7.4 keys fetch scheduling on
+    ``hash(host)``): a corpus whose links mostly stay on-host makes
+    host-range partitions self-contained (links land on the emitting
+    shard), while a high cross rate means every generation is an
+    all-to-all — the number that sizes the shard-to-shard traffic the
+    data-plane link expansion ships.
+
+    Distributed shape: one stateless map (host = the corpus's
+    deterministic ``doc_id % HOSTS`` rule) and ONE combiner grouped_agg
+    at host cardinality — intra links counted as a conditional column
+    so a single aggregate carries both totals."""
+    from ..corpus import HOSTS
+
+    _, edges = _corpus_link_edges(sf_dir)
+
+    def hosts(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        sh, dh = s % HOSTS, d % HOSTS
+        return pa.table({
+            "src_host": pa.array(sh, pa.int64()),
+            "intra": pa.array((sh == dh).astype(np.int64), pa.int64()),
+        })
+
+    agg = grouped_agg(
+        edges.map_batches(hosts, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env()),
+        ["src_host"],
+        [("n_links", "", "count"), ("n_intra", "intra", "sum")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_links").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        i = batch.column("n_intra").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return batch.append_column(
+            "cross_ppm",
+            pa.array((1_000_000 * (n - i)) // np.maximum(n, 1),
+                     pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None, runtime_env=runtime_env())
+
+
+def _sql_host_link_flow() -> str:
+    from ..corpus import HOSTS
+
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    return f"""
+WITH n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+),
+h AS (
+  SELECT src % {HOSTS} AS src_host,
+         CAST(src % {HOSTS} = dst % {HOSTS} AS BIGINT) AS intra
+  FROM edges
+),
+a AS (
+  SELECT src_host, CAST(count(*) AS BIGINT) AS n_links,
+         CAST(sum(intra) AS BIGINT) AS n_intra
+  FROM h GROUP BY src_host
+)
+SELECT CAST(src_host AS BIGINT) AS src_host, n_links, n_intra,
+       CAST(1000000 * (n_links - n_intra) // greatest(n_links, 1)
+            AS BIGINT) AS cross_ppm
+FROM a ORDER BY src_host
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -16806,6 +16890,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "bot_score": q_bot_score,
         "edge_embeddedness": q_edge_embeddedness,
         "user_window_1h": q_user_window_1h,
+        "host_link_flow": q_host_link_flow,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -17007,6 +17092,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "bot_score": _SQL_BOT_SCORE,
         "edge_embeddedness": _sql_edge_embeddedness(),
         "user_window_1h": _SQL_USER_WINDOW_1H,
+        "host_link_flow": _sql_host_link_flow(),
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

@@ -110,6 +110,7 @@ SPOT_CHECKED = [
     "bot_score",
     "edge_embeddedness",
     "user_window_1h",
+    "host_link_flow",
     "bibcoupling",
     "random_walks",
     "top_passages",
