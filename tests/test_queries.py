@@ -1109,6 +1109,122 @@ def test_spearman_corr_planted_monotone(ray_session, tmp_path):
     assert int(down["rho_num"]) == -den and int(down["rho_den"]) == den
 
 
+def test_quote_spans_random_vs_bruteforce(ray_session, tmp_path):
+    """Seeded random corpus with injected shared runs: the hash-based
+    engine must match a pure-Python STRING-equality reference (gram
+    dict → diagonal runs) on every pair's (span_tokens, n_matches)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_quote_spans
+
+    rng = np.random.default_rng(42)
+    k = 8
+    docs = []
+    for d in range(24):
+        n = int(rng.integers(10, 60))
+        toks = [f"d{d}w{int(rng.integers(0, 30))}" for _ in range(n)]
+        docs.append(toks)
+    # inject shared runs of random lengths at random offsets
+    for (a, b) in [(0, 5), (3, 9), (3, 17), (11, 12)]:
+        ln = int(rng.integers(k, 25))
+        run = [f"s{a}_{b}_{j}" for j in range(ln)]
+        pa_ = int(rng.integers(0, max(1, len(docs[a]) - 1)))
+        pb_ = int(rng.integers(0, max(1, len(docs[b]) - 1)))
+        docs[a][pa_:pa_] = run
+        docs[b][pb_:pb_] = run
+
+    texts = [" ".join(t) for t in docs]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    # string-equality reference: gram -> [(doc, pos)], diagonal runs
+    from collections import defaultdict
+    grams = defaultdict(list)
+    for d, toks in enumerate(docs):
+        for i in range(len(toks) - k + 1):
+            grams[" ".join(toks[i:i + k])].append((d, i))
+    matches = defaultdict(list)   # (a,b) -> [(pa, diag)]
+    for occ in grams.values():
+        for x in range(len(occ)):
+            for y in range(x + 1, len(occ)):
+                (da, ia), (db, ib) = occ[x], occ[y]
+                if da == db:
+                    continue
+                if da > db:
+                    (da, ia), (db, ib) = (db, ib), (da, ia)
+                matches[(da, db)].append((ia, ia - ib))
+    expect = {}
+    for pair, ms in matches.items():
+        by_diag = defaultdict(set)
+        for p, dg in ms:
+            by_diag[dg].add(p)
+        best = 0
+        for dg, ps in by_diag.items():
+            ps = sorted(ps)
+            run = 1
+            for i in range(1, len(ps)):
+                run = run + 1 if ps[i] == ps[i - 1] + 1 else 1
+                best = max(best, run)
+            best = max(best, 1)
+        expect[pair] = (k + best - 1, len(ms))
+
+    got = {(r["id_a"], r["id_b"]): (r["span_tokens"], r["n_matches"])
+           for r in q_quote_spans(str(tmp_path)).take_all()}
+    assert got == expect
+
+
+def test_user_window_1h_random_vs_bruteforce(ray_session, tmp_path):
+    """Seeded random events (clustered timestamps so windows overlap
+    richly, with exact-boundary and same-ts peers): every row's engine
+    window sum must equal the brute-force trailing-hour sum."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_user_window_1h
+
+    rng = np.random.default_rng(7)
+    base = datetime.datetime(2025, 1, 1)
+    rows = []
+    for eid in range(300):
+        uid = int(rng.integers(0, 12))
+        # cluster offsets so 1h windows overlap; multiples of 15 min
+        # produce exact-boundary hits, duplicates produce ts peers
+        off_s = int(rng.integers(0, 16)) * 900
+        rows.append((eid, uid, base + datetime.timedelta(seconds=off_s),
+                     float(rng.integers(0, 500)) / 100.0))
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array(["click"] * len(rows), pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "props": pa.array([""] * len(rows), pa.string()),
+    }), str(tmp_path / "events.parquet"))
+
+    import math
+    cents = {r[0]: math.floor(r[3] * 100.0) for r in rows}
+    expect = {}
+    for eid, uid, ts, _ in rows:
+        lo = ts - datetime.timedelta(hours=1)
+        expect[eid] = sum(
+            cents[e2] for e2, u2, t2, _v in rows
+            if u2 == uid and lo <= t2 <= ts)
+
+    got = {r["event_id"]: r["win_sum_1h"]
+           for r in q_user_window_1h(str(tmp_path)).take_all()}
+    assert got == expect
+
+
 def test_bot_score_planted_cadence(ray_session, tmp_path):
     """Metronome user (6 events exactly 60 s apart) -> m2 = 0, flagged;
     irregular user -> not flagged; 2-event user -> one gap, below
