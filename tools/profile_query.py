@@ -30,7 +30,8 @@ def main() -> None:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address="local", include_dashboard=False,
                  log_to_driver=False)
     try:
@@ -40,6 +41,12 @@ def main() -> None:
         if name not in qs:
             print(f"unknown query {name!r}; {len(qs)} known")
             raise SystemExit(2)
+        # warm the worker pool first: the first Dataset execution in a
+        # fresh session pays ~3-4 s of startup that would otherwise be
+        # misattributed to the profiled query's first stage (CLAUDE.md)
+        r0 = qs[name](sf_dir)
+        if hasattr(r0, "materialize"):
+            r0.materialize()
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "materialize"):
@@ -51,10 +58,11 @@ def main() -> None:
         else:  # pyarrow.Table / DataFrame results have no stats
             n_rows = len(res)
             print("(driver-side result — no Dataset stats)")
-        print(f"\n=== {name}: {n_rows} rows in {wall:.2f}s "
+        print(f"\n=== {name}: {n_rows} rows in {wall:.2f}s (warm) "
               f"over {sf_dir} ===")
     finally:
-        ray.shutdown()
+        if owns_session:   # never tear down a caller's session
+            ray.shutdown()
 
 
 if __name__ == "__main__":
