@@ -15594,38 +15594,40 @@ def q_doc_chunks(sf_dir: str):
     the reference (training-data family, like token_packing)."""
     ds = _docs(sf_dir, columns=["doc_id", "text"],
                override_num_blocks=_shuffle_parts(sf_dir))
-    overlap = CHUNK_SIZE - CHUNK_STRIDE
-
-    def chunks(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        o_id, o_cid, o_n, o_txt = [], [], [], []
-        for d, t in zip(ids, texts):
-            toks = (t or "").split()
-            n = len(toks)
-            if not n:
-                continue
-            ci, start = 0, 0
-            while start == 0 or start + overlap < n:
-                w = toks[start:start + CHUNK_SIZE]
-                if not w:
-                    break
-                o_id.append(d)
-                o_cid.append(ci)
-                o_n.append(len(w))
-                o_txt.append(" ".join(w))
-                ci += 1
-                start += CHUNK_STRIDE
-        return pa.table({
-            "doc_id": pa.array(o_id, pa.int64()),
-            "chunk_id": pa.array(o_cid, pa.int64()),
-            "n_tokens": pa.array(o_n, pa.int64()),
-            "chunk_text": pa.array(o_txt, pa.string()),
-        })
-
-    return ds.map_batches(chunks, batch_format="pyarrow",
+    return ds.map_batches(_chunk_batch, batch_format="pyarrow",
                           runtime_env=runtime_env()
                           ).sort(["doc_id", "chunk_id"])
+
+
+def _chunk_batch(batch: pa.Table) -> pa.Table:
+    """Sliding-window chunk emission (the doc_chunks rule) — shared by
+    q_doc_chunks and the pretrain_prep composition."""
+    overlap = CHUNK_SIZE - CHUNK_STRIDE
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    o_id, o_cid, o_n, o_txt = [], [], [], []
+    for d, t in zip(ids, texts):
+        toks = (t or "").split()
+        n = len(toks)
+        if not n:
+            continue
+        ci, start = 0, 0
+        while start == 0 or start + overlap < n:
+            w = toks[start:start + CHUNK_SIZE]
+            if not w:
+                break
+            o_id.append(d)
+            o_cid.append(ci)
+            o_n.append(len(w))
+            o_txt.append(" ".join(w))
+            ci += 1
+            start += CHUNK_STRIDE
+    return pa.table({
+        "doc_id": pa.array(o_id, pa.int64()),
+        "chunk_id": pa.array(o_cid, pa.int64()),
+        "n_tokens": pa.array(o_n, pa.int64()),
+        "chunk_text": pa.array(o_txt, pa.string()),
+    })
 
 
 _SQL_DOC_CHUNKS = rf"""
@@ -16735,6 +16737,99 @@ FROM a ORDER BY src_host
 """
 
 
+PACK_CAPACITY = 256      # tokens per packed training bin
+
+
+def q_pretrain_prep(sf_dir: str):
+    """The LAST MILE of training-corpus prep (pretrain_prep): take
+    ``full_prep``'s surviving TRAIN split and carry it all the way to
+    the training-ready artifact — sliding-window context chunks
+    (the doc_chunks rule) packed head-to-tail into fixed
+    ``PACK_CAPACITY``-token bins (the token_packing rule).  full_prep
+    proves the cleaning chain composes; this proves the OUTPUT side
+    composes too: repetition gate → exact dedup → decontamination →
+    split → chunk → pack, one oracle end to end, every stage the
+    independently-oracled operator.
+
+    Distributed shape: the full_prep chain unchanged, a semi-join back
+    to the corpus for the surviving train text, ONE stateless chunk map
+    (shared ``_chunk_batch``), and ONE prefix-scan pack on the packed
+    (doc_id·2¹²|chunk_id) key (chunk_id < 2¹² asserted; ~2¹² × stride
+    tokens per doc covers any crawl page) — no driver materialization
+    anywhere in the chain."""
+    from ..functions.dedup import semi_join_ids
+    from ..functions.scan import pack_sequences
+
+    parts = _shuffle_parts(sf_dir)
+    labels = q_full_prep(sf_dir)
+
+    def only_train(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.equal(batch.column("split"), "train")
+        ).select(["doc_id"])
+
+    train_ids = labels.map_batches(only_train, batch_format="pyarrow",
+                                   batch_size=None,
+                                   runtime_env=runtime_env())
+    docs = _docs(sf_dir, columns=["doc_id", "text"],
+                 override_num_blocks=parts)
+    train_docs = semi_join_ids(docs, train_ids)
+    chunks = train_docs.map_batches(_chunk_batch, batch_format="pyarrow",
+                                    runtime_env=runtime_env())
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cid = batch.column("chunk_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        assert cid.size == 0 or (cid.max() < 2**12 and d.max() < 2**51)
+        return pa.table({
+            "pk": pa.array((d << np.int64(12)) | cid, pa.int64()),
+            "doc_id": batch.column("doc_id"),
+            "chunk_id": batch.column("chunk_id"),
+            "n_tokens": batch.column("n_tokens"),
+        })
+
+    keyed = chunks.map_batches(add_pk, batch_format="pyarrow",
+                               batch_size=None, runtime_env=runtime_env())
+    packed = pack_sequences(keyed, key="pk", tokens_col="n_tokens",
+                            capacity=PACK_CAPACITY,
+                            shuffle_partitions=parts)
+    return packed.select_columns(
+        ["doc_id", "chunk_id", "n_tokens", "bin_id"])
+
+
+def _sql_pretrain_prep() -> str:
+    return rf"""
+WITH labeled AS ({_SQL_FULL_PREP}),
+train AS (SELECT doc_id FROM labeled WHERE split = 'train'),
+ttoks AS (
+  SELECT d.doc_id, regexp_extract_all(d.text, '\S+') AS tok
+  FROM documents d JOIN train USING (doc_id)
+),
+c AS (
+  SELECT doc_id,
+         CAST((i - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+         CAST(len(tok[i:i + {CHUNK_SIZE - 1}]) AS BIGINT) AS n_tokens
+  FROM ttoks, LATERAL (
+    SELECT unnest(generate_series(1, len(tok), {CHUNK_STRIDE})) AS i
+  ) g(i)
+  WHERE i = 1 OR i + {CHUNK_SIZE - CHUNK_STRIDE} - 1 < len(tok)
+),
+p AS (
+  SELECT doc_id, chunk_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id, chunk_id
+                             ROWS UNBOUNDED PRECEDING) AS incl
+  FROM c
+)
+SELECT doc_id, chunk_id, n_tokens,
+       CAST((incl - n_tokens) // {PACK_CAPACITY} AS BIGINT) AS bin_id
+FROM p ORDER BY doc_id, chunk_id
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -16891,6 +16986,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "edge_embeddedness": q_edge_embeddedness,
         "user_window_1h": q_user_window_1h,
         "host_link_flow": q_host_link_flow,
+        "pretrain_prep": q_pretrain_prep,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -17093,6 +17189,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "edge_embeddedness": _sql_edge_embeddedness(),
         "user_window_1h": _SQL_USER_WINDOW_1H,
         "host_link_flow": _sql_host_link_flow(),
+        "pretrain_prep": _sql_pretrain_prep(),
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

@@ -111,6 +111,7 @@ SPOT_CHECKED = [
     "edge_embeddedness",
     "user_window_1h",
     "host_link_flow",
+    "pretrain_prep",
     "bibcoupling",
     "random_walks",
     "top_passages",
