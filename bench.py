@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "edge_embeddedness",
     "user_window_1h",
     "host_link_flow",
+    "pretrain_prep",
     "crawl_bfs",
 ]
 
