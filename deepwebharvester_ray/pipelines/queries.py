@@ -16737,7 +16737,7 @@ FROM a ORDER BY src_host
 """
 
 
-PACK_CAPACITY = 256      # tokens per packed training bin
+CHUNK_PACK_CAPACITY = 256   # tokens per packed training bin
 
 
 def q_pretrain_prep(sf_dir: str):
@@ -16745,7 +16745,7 @@ def q_pretrain_prep(sf_dir: str):
     ``full_prep``'s surviving TRAIN split and carry it all the way to
     the training-ready artifact — sliding-window context chunks
     (the doc_chunks rule) packed head-to-tail into fixed
-    ``PACK_CAPACITY``-token bins (the token_packing rule).  full_prep
+    ``CHUNK_PACK_CAPACITY``-token bins (the token_packing rule).  full_prep
     proves the cleaning chain composes; this proves the OUTPUT side
     composes too: repetition gate → exact dedup → decontamination →
     split → chunk → pack, one oracle end to end, every stage the
@@ -16795,7 +16795,7 @@ def q_pretrain_prep(sf_dir: str):
     keyed = chunks.map_batches(add_pk, batch_format="pyarrow",
                                batch_size=None, runtime_env=runtime_env())
     packed = pack_sequences(keyed, key="pk", tokens_col="n_tokens",
-                            capacity=PACK_CAPACITY,
+                            capacity=CHUNK_PACK_CAPACITY,
                             shuffle_partitions=parts)
     return packed.select_columns(
         ["doc_id", "chunk_id", "n_tokens", "bin_id"])
@@ -16825,7 +16825,7 @@ p AS (
   FROM c
 )
 SELECT doc_id, chunk_id, n_tokens,
-       CAST((incl - n_tokens) // {PACK_CAPACITY} AS BIGINT) AS bin_id
+       CAST((incl - n_tokens) // {CHUNK_PACK_CAPACITY} AS BIGINT) AS bin_id
 FROM p ORDER BY doc_id, chunk_id
 """
 
