@@ -352,3 +352,28 @@ def test_frontier_queue_cap_model(entries, cap):
         n_drop += max(0, len(lst) - cap)
     assert q.dropped == n_drop
     assert q.pop_budget() == sorted(expect)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=9), min_size=0,
+                max_size=40))
+def test_size_grouped_index_partitions_runs(sizes):
+    """_size_grouped_index (shared by six pair/wedge emitters) must
+    yield every selected run exactly once: the union of all idx rows is
+    a permutation of the runs' position blocks, each (m, idx) group is
+    rectangular with the right width, and no position appears twice."""
+    import numpy as np
+
+    from deepwebharvester_ray.functions.dedup import _size_grouped_index
+
+    sz = np.asarray(sizes, np.int64)
+    starts = np.concatenate(([0], np.cumsum(sz)[:-1])) if len(sz) else \
+        np.empty(0, np.int64)
+    seen = []
+    for m, idx in _size_grouped_index(starts, sz):
+        assert idx.ndim == 2 and idx.shape[1] == m
+        for row in idx:
+            assert list(row) == list(range(row[0], row[0] + m))
+            seen.append((int(row[0]), m))
+    expect = sorted((int(s), int(n)) for s, n in zip(starts, sz))
+    assert sorted(seen) == expect
