@@ -16830,6 +16830,125 @@ FROM p ORDER BY doc_id, chunk_id
 """
 
 
+QMAP_REF_SOURCE = "src0"     # reference distribution (A)
+QMAP_SRC_SOURCE = "src1"     # source being normalized onto A (B)
+QMAP_GRID = 100              # centile grid resolution
+
+
+def q_quantile_map(sf_dir: str):
+    """Quantile normalization between sources (quantile_map): map each
+    src1 document's length onto src0's length DISTRIBUTION by matching
+    centiles — the classic quantile-mapping harmonizer (domain
+    adaptation / bias correction): doc j at rank r of n in src1 gets
+    src0's percentile_disc value at the snapped-up centile
+    ``⌈100·r/n⌉``.  The cross-SOURCE member of the distribution family
+    (value_percentile labels rows against ONE distribution; this
+    transports one distribution onto another — what a mixture pipeline
+    does before comparing per-source quality cutoffs on a common
+    scale).  Integer-exact end to end: ranks are row_number with the
+    doc_id tiebreak, the centile snap is integer ceiling division, and
+    the grid is percentile_disc (actual data values, never
+    interpolated floats).
+
+    Distributed shape: ONE prefix_scan on the packed (n_chars, doc_id)
+    key for src1 ranks (single-source rows — the plain scan, no group
+    dimension), ONE value-domain histogram quantile pass over src0 for
+    the 100-point grid (bounded shuffle, never raw rows; the grid —
+    100 ints — rides the closure), and a pure vectorized snap+gather
+    map."""
+    import pyarrow.compute as pc
+
+    from ..functions.agg import grouped_quantiles
+    from ..functions.scan import prefix_scan
+
+    ds = _docs(sf_dir, columns=["doc_id", "source", "n_chars"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def side(batch: pa.Table, src: str) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("source"), src))
+
+    a = ds.map_batches(side, fn_kwargs={"src": QMAP_REF_SOURCE},
+                       batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env())
+    b = ds.map_batches(side, fn_kwargs={"src": QMAP_SRC_SOURCE},
+                       batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env())
+
+    def prep(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_chars").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        assert n.size == 0 or (n.min() >= 0 and n.max() < 2**23
+                               and d.max() < 2**40)
+        return pa.table({
+            "kx": pa.array((n << np.int64(40)) | d, pa.int64()),
+            "doc_id": batch.column("doc_id"),
+            "n_chars": batch.column("n_chars"),
+            "one": pa.array(np.ones(len(n), np.int64)),
+        })
+
+    ranked = prefix_scan(
+        b.map_batches(prep, batch_format="pyarrow", batch_size=None,
+                      runtime_env=runtime_env()),
+        key="kx", value_col="one", out_col="rank")
+    n_b = int(ranked.count())
+
+    ps = [i / QMAP_GRID for i in range(1, QMAP_GRID + 1)]
+    cols = [f"c{i}" for i in range(1, QMAP_GRID + 1)]
+    qa = a.map_batches(
+        lambda t: pa.table({
+            "__g": pa.array(np.zeros(t.num_rows, np.int64)),
+            "n_chars": t.column("n_chars"),
+        }), batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+    grow = grouped_quantiles(qa, "__g", "n_chars", ps=ps,
+                             out_cols=cols).take_all()[0]
+    grid = np.asarray([grow[c] for c in cols], np.int64)
+
+    def snap(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        idx = (r * QMAP_GRID + n_b - 1) // n_b      # integer ceil
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": batch.column("n_chars"),
+            "centile": pa.array(idx, pa.int64()),
+            "mapped_len": pa.array(grid[idx - 1], pa.int64()),
+        })
+
+    return ranked.map_batches(snap, batch_format="pyarrow",
+                              batch_size=None,
+                              runtime_env=runtime_env()).sort("doc_id")
+
+
+# scalar quantile_disc per grid point: DuckDB's LIST-form quantile_disc
+# disagrees with its own scalar form at some fractions (observed
+# p=0.56 over 25 values: list 380 vs scalar/percentile_disc 359) — the
+# scalar form matches percentile_disc and the engine's histogram walk
+_QMAP_GRID_EXPR = ", ".join(
+    f"quantile_disc(n_chars, {i / QMAP_GRID!r})"
+    for i in range(1, QMAP_GRID + 1))
+
+_SQL_QUANTILE_MAP = f"""
+WITH b AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS r,
+         count(*) OVER () AS n
+  FROM documents WHERE source = '{QMAP_SRC_SOURCE}'
+),
+g AS (
+  SELECT [{_QMAP_GRID_EXPR}] AS grid
+  FROM documents WHERE source = '{QMAP_REF_SOURCE}'
+)
+SELECT b.doc_id, b.n_chars,
+       CAST((b.r * {QMAP_GRID} + b.n - 1) // b.n AS BIGINT) AS centile,
+       CAST(g.grid[CAST((b.r * {QMAP_GRID} + b.n - 1) // b.n AS INT)]
+            AS BIGINT) AS mapped_len
+FROM b, g ORDER BY b.doc_id
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -16987,6 +17106,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "user_window_1h": q_user_window_1h,
         "host_link_flow": q_host_link_flow,
         "pretrain_prep": q_pretrain_prep,
+        "quantile_map": q_quantile_map,
         "inlink_anchors": q_inlink_anchors,
         "cdc_dedup": q_cdc_dedup,
         "ml_quality_score": q_ml_quality_score,
@@ -17190,6 +17310,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "user_window_1h": _SQL_USER_WINDOW_1H,
         "host_link_flow": _sql_host_link_flow(),
         "pretrain_prep": _sql_pretrain_prep(),
+        "quantile_map": _SQL_QUANTILE_MAP,
         "dq_checks": _SQL_DQ_CHECKS,
         "pagerank_seeded": _sql_pagerank_seeded(),
         "view_coverage": _SQL_VIEW_COVERAGE,

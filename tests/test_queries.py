@@ -112,6 +112,7 @@ SPOT_CHECKED = [
     "user_window_1h",
     "host_link_flow",
     "pretrain_prep",
+    "quantile_map",
     "bibcoupling",
     "random_walks",
     "top_passages",
