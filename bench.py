@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "user_window_1h",
     "host_link_flow",
     "pretrain_prep",
+    "quantile_map",
     "crawl_bfs",
 ]
 
