@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "kmv_overlap",
     "retrieval_eval",
     "link_mis",
+    "redirect_resolve",
     "user_cusum",
     "view_overlap_pairs",
     "best_split",

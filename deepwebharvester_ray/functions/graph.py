@@ -1325,3 +1325,137 @@ def ktruss_edges(edges_ds, k: int, max_rounds: int = 64):
         f"ktruss_edges did not stabilize within {max_rounds} rounds; "
         "raise max_rounds (peel removes >= 1 edge per round, so this "
         "indicates an extreme cascade depth)")
+
+
+def resolve_pointers(
+    edges_ds,
+    broadcast_below: int = 2_000_000,
+    max_rounds: int = 40,
+):
+    """Functional-graph resolution by POINTER DOUBLING (Wyllie 1979
+    list ranking): ``(src, dst)`` edges with at most one out-edge per
+    ``src`` and no cycles → ``(id, final_id, hops)`` for every src —
+    the terminal node its chain reaches and the exact chain length
+    (redirect-chain / alias-chain resolution: canonical target per URL).
+
+    Why doubling and not one-step following: state is ``(id, ptr,
+    hops)``; each round every still-unresolved row jumps ``ptr ←
+    ptr(ptr)``, ``hops += hops(ptr)`` — after round r each ptr has
+    advanced min(2^r, chain length) steps, so chains collapse in
+    ceil(log2(max chain length)) rounds instead of O(length) rounds.
+    At a 10^10-URL frontier redirect chains are short but the TABLE is
+    enormous — the round count is what an iterative dataflow pays the
+    per-round shuffle for, and doubling makes it logarithmic.
+
+    Per round: ONE lookup of ptr against the state table itself,
+    size-gated like the other fixpoints here — broadcast sorted
+    ``(id → ptr, hops)`` arrays + searchsorted below
+    ``broadcast_below`` state rows, native LEFT-OUTER hash join above
+    (both join inputs routed through ``coalesce_nonempty`` per the
+    empty-block rule) — plus an O(1)-row updated-count aggregate for
+    convergence (0 updates ⇔ every ptr is terminal).
+
+    Raises on non-convergence within ``max_rounds``: a functional graph
+    only fails to resolve when a chain exceeds 2^max_rounds hops or the
+    "no cycles" precondition is violated — so the bound doubles as the
+    cycle guard (a cycle never resolves).
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from ..broadcast import cached_get
+    from .partition import coalesce_nonempty
+
+    state = edges_ds.map_batches(
+        lambda b: pa.table({
+            "id": b.column("src"),
+            "ptr": b.column("dst"),
+            "hops": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+        }),
+        batch_format="pyarrow", runtime_env=runtime_env(),
+    ).materialize()
+    n_state = state.count()
+    if n_state == 0:
+        return state.map_batches(
+            lambda b: b.rename_columns(["id", "final_id", "hops"]),
+            batch_format="pyarrow", runtime_env=runtime_env())
+
+    for _ in range(max_rounds):
+        if n_state < broadcast_below:
+            rows = state.take_all()
+            ids = np.fromiter((r["id"] for r in rows), np.int64, n_state)
+            ptrs = np.fromiter((r["ptr"] for r in rows), np.int64, n_state)
+            hps = np.fromiter((r["hops"] for r in rows), np.int64, n_state)
+            order = np.argsort(ids)
+            ref = ray.put((ids[order], ptrs[order], hps[order]))
+
+            def jump(batch: pa.Table, _ref=ref) -> pa.Table:
+                sids, sptr, shp = cached_get(_ref)
+                p = batch.column("ptr").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                h = batch.column("hops").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                pos = np.searchsorted(sids, p)
+                pos_c = np.minimum(pos, len(sids) - 1)
+                hit = sids[pos_c] == p  # ptr is itself a src → jump
+                new_p = np.where(hit, sptr[pos_c], p)
+                new_h = np.where(hit, h + shp[pos_c], h)
+                return pa.table({
+                    "id": batch.column("id"),
+                    "ptr": pa.array(new_p, pa.int64()),
+                    "hops": pa.array(new_h, pa.int64()),
+                    "upd": pa.array(hit.astype(np.int64), pa.int64()),
+                })
+
+            nxt = state.map_batches(
+                jump, batch_format="pyarrow", runtime_env=runtime_env(),
+            ).materialize()
+        else:
+            state_nz = coalesce_nonempty(state)
+            lookup = state_nz.map_batches(
+                lambda b: pa.table({
+                    "lid": b.column("id"),
+                    "lptr": b.column("ptr"),
+                    "lhops": b.column("hops"),
+                }),
+                batch_format="pyarrow", runtime_env=runtime_env(),
+            ).materialize()
+            joined = state_nz.join(
+                coalesce_nonempty(lookup), "left_outer",
+                num_partitions=max(2, state_nz.num_blocks() // 4),
+                on=("ptr",), right_on=("lid",),
+            )
+
+            def merge(batch: pa.Table) -> pa.Table:
+                hit_m = pc.is_valid(batch.column("lptr"))
+                hit = hit_m.combine_chunks().to_numpy(
+                    zero_copy_only=False).astype(bool)
+                p = batch.column("ptr").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                h = batch.column("hops").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                lp = pc.fill_null(batch.column("lptr"), 0)\
+                    .combine_chunks().to_numpy(zero_copy_only=False)
+                lh = pc.fill_null(batch.column("lhops"), 0)\
+                    .combine_chunks().to_numpy(zero_copy_only=False)
+                return pa.table({
+                    "id": batch.column("id"),
+                    "ptr": pa.array(np.where(hit, lp, p), pa.int64()),
+                    "hops": pa.array(np.where(hit, h + lh, h), pa.int64()),
+                    "upd": pa.array(hit.astype(np.int64), pa.int64()),
+                })
+
+            nxt = joined.map_batches(
+                merge, batch_format="pyarrow", runtime_env=runtime_env(),
+            ).materialize()
+        n_upd = nxt.sum("upd")
+        state = nxt.select_columns(["id", "ptr", "hops"]).materialize()
+        if n_upd == 0:
+            return state.map_batches(
+                lambda b: b.rename_columns(["id", "final_id", "hops"]),
+                batch_format="pyarrow", runtime_env=runtime_env())
+    raise RuntimeError(
+        f"resolve_pointers did not converge within {max_rounds} rounds: "
+        "either a chain exceeds 2^max_rounds hops (raise max_rounds) or "
+        "the input violates the acyclic functional-graph precondition "
+        "(a redirect cycle never resolves)")

@@ -8359,6 +8359,79 @@ def q_link_scc(sf_dir: str):
                    {"id": "doc_id"}).sort("doc_id")
 
 
+def q_redirect_resolve(sf_dir: str):
+    """Redirect-chain resolution: every redirecting page mapped to the
+    TERMINAL page its chain reaches plus the exact chain length — the
+    canonical-URL step a crawl frontier runs before dedup/scheduling
+    (a 301 chain's members are one logical page; fetching any of them
+    must credit the terminal URL's politeness budget and seen-set
+    entry).
+
+    The redirect map is a deterministic functional graph derived from
+    doc_ids: page d redirects iff ``(d·MULT mod 2⁶⁴) % 8 ≠ 0`` (7/8 of
+    pages; d=0 always terminal) and its target is ``max(d − 1 −
+    ((hv≫32) % 3), 0)`` — strictly decreasing, so acyclic by
+    construction, with geometric chain lengths (mean ≈ 8, tail to
+    ~60 at sf0.01).
+
+    Distributed shape: :func:`functions.graph.resolve_pointers` —
+    POINTER DOUBLING (ptr ← ptr(ptr), hops += hops(ptr)), the Wyllie
+    list-ranking primitive: chains collapse in ceil(log₂ L) rounds
+    instead of L one-step rounds, each round ONE size-gated lookup of
+    the state table against itself (broadcast sorted arrays below the
+    cutoff, native LEFT-OUTER hash join above — the CC/weighted-
+    distances dual) and an O(1)-row updated-count convergence
+    aggregate.  The max_rounds bound doubles as the cycle guard.
+    Recursive-CTE SQL twin walks the same chains one step at a time."""
+    from ..functions.graph import resolve_pointers
+
+    docs = _docs(sf_dir, columns=["doc_id"],
+                 override_num_blocks=_shuffle_parts(sf_dir))
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            hv = d.astype(np.uint64) * np.uint64(_SPLIT_MULT)
+        is_r = (d > 0) & ((hv % np.uint64(8)) != 0)
+        skip = 1 + ((hv >> np.uint64(32)) % np.uint64(3)).astype(np.int64)
+        src = d[is_r]
+        dst = np.maximum(src - skip[is_r], 0)
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    edges = docs.map_batches(to_edges, batch_format="pyarrow",
+                             runtime_env=runtime_env())
+    return _rename(resolve_pointers(edges),
+                   {"id": "doc_id"}).sort("doc_id")
+
+
+_SQL_REDIRECT_RESOLVE = f"""
+WITH RECURSIVE h AS (
+  SELECT doc_id,
+         (CAST(doc_id AS HUGEINT) * {_SPLIT_MULT}) %
+             CAST('18446744073709551616' AS HUGEINT) AS hv
+  FROM documents
+),
+e AS (
+  SELECT doc_id AS src,
+         GREATEST(doc_id - 1 -
+                  CAST((hv // 4294967296) % 3 AS BIGINT), 0) AS dst
+  FROM h WHERE doc_id > 0 AND hv % 8 <> 0
+),
+walk(src, cur, hops) AS (
+  SELECT src, dst, CAST(1 AS BIGINT) FROM e
+  UNION ALL
+  SELECT w.src, e2.dst, w.hops + 1
+  FROM walk w JOIN e e2 ON e2.src = w.cur
+)
+SELECT w.src AS doc_id, w.cur AS final_id, w.hops
+FROM walk w
+WHERE w.cur NOT IN (SELECT src FROM e)
+ORDER BY doc_id
+"""
+
+
 def q_link_mis(sf_dir: str):
     """Maximal independent set over the crawl link graph — conflict-free
     scheduling: the largest-maximal batch of pages no two of which link
@@ -17025,6 +17098,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "cheapest_paths": q_cheapest_paths,
         "link_scc": q_link_scc,
         "link_mis": q_link_mis,
+        "redirect_resolve": q_redirect_resolve,
         "link_ktruss": q_link_ktruss,
         "hits_scores": q_hits_scores,
         "two_hop_counts": q_two_hop_counts,
@@ -17324,6 +17398,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "domain_upsample": _SQL_DOMAIN_UPSAMPLE,
         "epoch_shuffle": _SQL_EPOCH_SHUFFLE,
         "curriculum_order": _SQL_CURRICULUM,
+        "redirect_resolve": _SQL_REDIRECT_RESOLVE,
         "source_percentiles": _SQL_SOURCE_PERCENTILES,
         "latest_events": _SQL_LATEST_EVENTS,
         "user_deltas": _SQL_USER_DELTAS,

@@ -2888,3 +2888,44 @@ def test_ktruss_triangle_free_graph_empties(ray_session):
         [{"src": 0, "dst": i} for i in range(1, 8)]).materialize()
     out = ktruss_edges(star, k=3).take_all()
     assert out == []
+
+
+def test_resolve_pointers_chains_both_paths(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.graph import resolve_pointers
+
+    # a 100-hop chain (100→99→…→0), a 3-node tree onto node 200
+    # (201→200, 202→200, 203→202), and an untouched terminal 300
+    edges = [(i, i - 1) for i in range(1, 101)]
+    edges += [(201, 200), (202, 200), (203, 202)]
+    expect = {i: (0, i) for i in range(1, 101)}
+    expect.update({201: (200, 1), 202: (200, 1), 203: (200, 2)})
+
+    edges_ds = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in edges]
+    ).repartition(5).materialize()
+
+    for bc in (2_000_000, 0):  # broadcast path, then forced join path
+        out = resolve_pointers(edges_ds, broadcast_below=bc).take_all()
+        got = {r["id"]: (r["final_id"], r["hops"]) for r in out}
+        assert got == expect, f"broadcast_below={bc}"
+
+    # pointer doubling: a 100-hop chain resolves in ceil(log2(100)) = 7
+    # jump rounds plus one zero-update round to observe convergence —
+    # 8 total, not 100
+    out = resolve_pointers(edges_ds, max_rounds=8).take_all()
+    assert {r["id"]: (r["final_id"], r["hops"]) for r in out} == expect
+
+
+def test_resolve_pointers_cycle_raises(ray_session):
+    import ray
+    import pytest
+
+    from deepwebharvester_ray.functions.graph import resolve_pointers
+
+    cyc = ray.data.from_items(
+        [{"src": 1, "dst": 2}, {"src": 2, "dst": 1}, {"src": 5, "dst": 1}]
+    ).materialize()
+    with pytest.raises(RuntimeError, match="cycle"):
+        resolve_pointers(cyc, max_rounds=6)
