@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "retrieval_eval",
     "link_mis",
     "redirect_resolve",
+    "link_communities",
     "user_cusum",
     "view_overlap_pairs",
     "best_split",

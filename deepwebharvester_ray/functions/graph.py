@@ -1459,3 +1459,146 @@ def resolve_pointers(
         "either a chain exceeds 2^max_rounds hops (raise max_rounds) or "
         "the input violates the acyclic functional-graph precondition "
         "(a redirect cycle never resolves)")
+
+
+def label_propagation(nodes_ds, edges_ds, rounds: int = 4,
+                      broadcast_below: int = 2_000_000):
+    """Synchronous label-propagation communities (Raghavan 2007) over an
+    undirected edge MULTISET ``(u, v)`` (both directions present;
+    parallel edges count with multiplicity): ``label₀(v) = v``; each
+    round every node adopts the MOST FREQUENT label among its
+    neighbors, ties → smallest label; nodes with no incident edge keep
+    their label.  Returns ``(id, label)`` after exactly ``rounds``
+    rounds — fixed-K because synchronous LPA has no convergence
+    guarantee (2-coloring oscillation is a known property), and a fixed
+    round count is the deterministic, SQL-unrollable form.
+
+    Distributed shape, per round (all exchanges combiner-reduced, no
+    low-cardinality sorts):
+
+    * attach ``label(u)`` to each edge — size-gated like the other
+      fixpoints here: broadcast sorted ``(id → label)`` arrays +
+      searchsorted below ``broadcast_below`` label rows, native hash
+      join above (``coalesce_nonempty`` on both inputs);
+    * frequency = ONE :func:`~.agg.grouped_agg` count at ``(v, label)``
+      cardinality;
+    * argmax-with-min-tie = pack ``count·2³² + (2³² − 1 − label)`` into
+      one int64 and take ONE grouped MAX at node cardinality (requires
+      ``label < 2³²`` and per-node-label multiplicity ``< 2³¹`` —
+      asserted, densify ids upstream if violated);
+    * merge with non-participating nodes = tagged-union packed grouped
+      MAX (new rows outrank old by the 2³² tag bit).
+    """
+    from .agg import grouped_agg
+    from .partition import coalesce_nonempty
+
+    import ray
+
+    from ..broadcast import cached_get
+
+    _TAG = np.int64(1) << np.int64(32)
+    _LMAX = (1 << 32) - 1
+
+    labels = nodes_ds.map_batches(
+        lambda b: pa.table({"id": b.column("id"),
+                            "label": b.column("id")}),
+        batch_format="pyarrow", runtime_env=runtime_env(),
+    ).materialize()
+    edges_m = edges_ds.materialize()
+    edges_nz = coalesce_nonempty(edges_m)
+    if edges_nz is None:
+        return labels
+
+    for _ in range(rounds):
+        n_labels = labels.count()
+        if n_labels < broadcast_below:
+            rows = labels.take_all()
+            ids = np.fromiter((r["id"] for r in rows), np.int64, n_labels)
+            lbl = np.fromiter((r["label"] for r in rows), np.int64,
+                              n_labels)
+            order = np.argsort(ids)
+            ref = ray.put((ids[order], lbl[order]))
+
+            def attach(batch: pa.Table, _ref=ref) -> pa.Table:
+                sids, slbl = cached_get(_ref)
+                u = batch.column("u").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                pos = np.searchsorted(sids, u)  # every u is a node id
+                return pa.table({
+                    "v": batch.column("v"),
+                    "lab": pa.array(slbl[pos], pa.int64()),
+                })
+
+            inc = edges_m.map_batches(
+                attach, batch_format="pyarrow", runtime_env=runtime_env())
+        else:
+            labels_nz = coalesce_nonempty(labels)
+            inc = edges_nz.join(
+                labels_nz, "inner",
+                num_partitions=max(2, edges_m.num_blocks() // 4),
+                on=("u",), right_on=("id",),
+            ).map_batches(
+                lambda b: pa.table({"v": b.column("v"),
+                                    "lab": b.column("label")}),
+                batch_format="pyarrow", runtime_env=runtime_env())
+
+        counts = grouped_agg(inc, ["v", "lab"], [("c", "", "count")],
+                             sorted_output=False)
+
+        def pack(batch: pa.Table) -> pa.Table:
+            lab = batch.column("lab").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            c = batch.column("c").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            if len(lab) and (lab.min() < 0 or lab.max() > _LMAX - 1
+                             or c.max() >= (1 << 31)):
+                raise ValueError(
+                    "label_propagation packing bound exceeded: needs "
+                    "0 <= label < 2^32-1 and per-(node,label) count < "
+                    "2^31 — densify node ids upstream")
+            return pa.table({
+                "id": batch.column("v"),
+                "p": pa.array(c * (_TAG) + (_LMAX - lab), pa.int64()),
+            })
+
+        winners = grouped_agg(
+            counts.map_batches(pack, batch_format="pyarrow",
+                               batch_size=None,
+                               runtime_env=runtime_env()),
+            ["id"], [("p", "p", "max")], sorted_output=False)
+
+        def tag_new(batch: pa.Table) -> pa.Table:
+            p = batch.column("p").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            lab = _LMAX - (p % _TAG)
+            return pa.table({
+                "id": batch.column("id"),
+                "t": pa.array(_TAG + lab, pa.int64()),
+            })
+
+        def tag_old(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "id": batch.column("id"),
+                "t": batch.column("label"),
+            })
+
+        merged = grouped_agg(
+            winners.map_batches(tag_new, batch_format="pyarrow",
+                                batch_size=None,
+                                runtime_env=runtime_env()).union(
+                labels.map_batches(tag_old, batch_format="pyarrow",
+                                   batch_size=None,
+                                   runtime_env=runtime_env())),
+            ["id"], [("t", "t", "max")], sorted_output=False)
+
+        labels = merged.map_batches(
+            lambda b: pa.table({
+                "id": b.column("id"),
+                "label": pa.array(
+                    b.column("t").combine_chunks().to_numpy(
+                        zero_copy_only=False) % _TAG, pa.int64()),
+            }),
+            batch_format="pyarrow", runtime_env=runtime_env(),
+        ).materialize()
+
+    return labels

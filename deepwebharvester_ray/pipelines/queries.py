@@ -8432,6 +8432,94 @@ ORDER BY doc_id
 """
 
 
+_LPA_ROUNDS = 4
+
+
+def q_link_communities(sf_dir: str):
+    """Label-propagation communities over the crawl link graph — the
+    near-linear community detector (Raghavan 2007) that groups pages by
+    link density WITHOUT a target community count: boilerplate farms,
+    navigation cores and topic cliques fall out as labels.  Completes
+    the graph-clustering family: connected_components merges on ANY
+    path (one bridge link fuses two communities), source_modularity
+    SCORES a given partition — LPA actually FINDS one from structure.
+
+    Semantics (deterministic, SQL-unrollable): label₀(v) = v; each of
+    exactly 4 synchronous rounds every node adopts the most frequent
+    neighbor label, ties → smallest (fixed-K because synchronous LPA
+    can oscillate — a convergence loop is not well-defined).  Edges =
+    the symmetric closure of the corpus link graph minus self-loops,
+    counted with multiplicity on BOTH engines (UNION ALL, not UNION).
+
+    Distributed shape: :func:`functions.graph.label_propagation` — per
+    round one size-gated label attach (broadcast sorted arrays /
+    native hash join), ONE combiner grouped count at (v, label)
+    cardinality, argmax-with-min-tie as a packed
+    ``count·2³² + (2³²−1−label)`` grouped MAX at node cardinality
+    (bounds asserted), tagged-union merge for edge-less nodes.  Never
+    a sort, never a driver pass over the label table."""
+    from ..functions.graph import label_propagation
+
+    nodes, edges = _corpus_link_edges(sf_dir)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "u": pa.array(np.concatenate([s, d]), pa.int64()),
+            "v": pa.array(np.concatenate([d, s]), pa.int64()),
+        })
+
+    ue = edges.map_batches(sym, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+    return _rename(label_propagation(nodes, ue, rounds=_LPA_ROUNDS),
+                   {"id": "doc_id", "label": "community"}).sort("doc_id")
+
+
+def _sql_link_communities() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    head = f"""
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+),
+ue AS (
+  SELECT src AS u, dst AS v FROM edges WHERE src <> dst
+  UNION ALL
+  SELECT dst AS u, src AS v FROM edges WHERE src <> dst
+),
+l0 AS (SELECT id, id AS label FROM nodes)"""
+    its = []
+    for k in range(1, _LPA_ROUNDS + 1):
+        its.append(f""",
+w{k} AS (
+  SELECT id, label FROM (
+    SELECT ue.v AS id, l.label AS label, COUNT(*) AS c
+    FROM ue JOIN l{k - 1} l ON l.id = ue.u
+    GROUP BY 1, 2
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label) = 1
+),
+l{k} AS (
+  SELECT p.id, COALESCE(w.label, p.label) AS label
+  FROM l{k - 1} p LEFT JOIN w{k} w ON w.id = p.id
+)""")
+    return (head + "".join(its)
+            + f"\nSELECT id AS doc_id, label AS community "
+              f"FROM l{_LPA_ROUNDS} ORDER BY doc_id")
+
+
 def q_link_mis(sf_dir: str):
     """Maximal independent set over the crawl link graph — conflict-free
     scheduling: the largest-maximal batch of pages no two of which link
@@ -17099,6 +17187,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "link_scc": q_link_scc,
         "link_mis": q_link_mis,
         "redirect_resolve": q_redirect_resolve,
+        "link_communities": q_link_communities,
         "link_ktruss": q_link_ktruss,
         "hits_scores": q_hits_scores,
         "two_hop_counts": q_two_hop_counts,
@@ -17399,6 +17488,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "epoch_shuffle": _SQL_EPOCH_SHUFFLE,
         "curriculum_order": _SQL_CURRICULUM,
         "redirect_resolve": _SQL_REDIRECT_RESOLVE,
+        "link_communities": _sql_link_communities(),
         "source_percentiles": _SQL_SOURCE_PERCENTILES,
         "latest_events": _SQL_LATEST_EVENTS,
         "user_deltas": _SQL_USER_DELTAS,

@@ -2929,3 +2929,68 @@ def test_resolve_pointers_cycle_raises(ray_session):
     ).materialize()
     with pytest.raises(RuntimeError, match="cycle"):
         resolve_pointers(cyc, max_rounds=6)
+
+
+def _lpa_ref(n, ue, rounds):
+    """Sequential reference: synchronous most-frequent-neighbor-label
+    update with min-label ties, over an edge multiset (u → v)."""
+    lab = list(range(n))
+    for _ in range(rounds):
+        votes = [dict() for _ in range(n)]
+        for u, v in ue:
+            votes[v][lab[u]] = votes[v].get(lab[u], 0) + 1
+        nxt = list(lab)
+        for v in range(n):
+            if votes[v]:
+                best = max(votes[v].items(), key=lambda kv: (kv[1], -kv[0]))
+                nxt[v] = best[0]
+        lab = nxt
+    return {i: lab[i] for i in range(n)}
+
+
+def test_label_propagation_matches_reference_both_paths(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.graph import label_propagation
+
+    rng = np.random.default_rng(23)
+    n = 40
+    # two planted 8-cliques bridged by one edge + sparse random noise
+    edges = [(a, b) for a in range(8) for b in range(8) if a != b]
+    edges += [(a, b) for a in range(20, 28) for b in range(20, 28)
+              if a != b]
+    edges += [(7, 20), (20, 7)]
+    for s, d in zip(rng.integers(0, n, 30), rng.integers(0, n, 30)):
+        if s != d:
+            edges += [(int(s), int(d)), (int(d), int(s))]
+    ref = _lpa_ref(n, edges, rounds=4)
+
+    nodes_ds = ray.data.from_items([{"id": i} for i in range(n)])
+    ue = ray.data.from_items(
+        [{"u": u, "v": v} for u, v in edges]).repartition(6).materialize()
+
+    for bc in (2_000_000, 0):  # broadcast attach, then forced join path
+        out = label_propagation(nodes_ds, ue, rounds=4,
+                                broadcast_below=bc).take_all()
+        got = {r["id"]: r["label"] for r in out}
+        assert got == ref, f"broadcast_below={bc}"
+    # the two cliques end as two distinct communities
+    assert len({ref[i] for i in range(8)}) == 1
+    assert len({ref[i] for i in range(20, 28)}) == 1
+    assert ref[0] != ref[20]
+
+
+def test_label_propagation_isolated_and_multiplicity(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.graph import label_propagation
+
+    # node 5 isolated (keeps own label); node 2's DOUBLE edge to 9
+    # outvotes its single edges to 0 and 1
+    edges = [(9, 2), (9, 2), (0, 2), (1, 2)]
+    nodes_ds = ray.data.from_items([{"id": i} for i in (0, 1, 2, 5, 9)])
+    ue = ray.data.from_items(
+        [{"u": u, "v": v} for u, v in edges]).materialize()
+    out = label_propagation(nodes_ds, ue, rounds=1).take_all()
+    got = {r["id"]: r["label"] for r in out}
+    assert got[5] == 5 and got[2] == 9
