@@ -245,6 +245,63 @@ def run_pagerank(n: int, force_join: bool) -> dict:
     }
 
 
+def run_resolve(n: int, force_join: bool) -> dict:
+    """Redirect-chain resolution at scale: n/1000 chains of length 1000
+    (node i → i−1 unless i % 1000 == 0).  Pointer doubling must finish
+    in ceil(log2 999)+1 = 11 rounds REGARDLESS of n — max_rounds=12
+    pins that (a one-step follower would need 1000 rounds).  ``--join``
+    forces the hash-join lookup path (the ≥2M-state regime) at any n.
+    The per-row invariants (final_id == id − hops, final_id % 1000 == 0,
+    hops == id % 1000) are checked DISTRIBUTEDLY via a violation-count
+    aggregate — nothing but scalars reach the driver."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray import runtime_env
+    from deepwebharvester_ray.functions.graph import resolve_pointers
+
+    L = 1000
+
+    def edges_of(batch: pa.Table) -> pa.Table:
+        d = batch.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        src = d[(d % L) != 0]
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(src - 1, pa.int64())})
+
+    edges = ray.data.range(n).map_batches(
+        edges_of, batch_format="pyarrow", runtime_env=runtime_env(),
+    )
+    t0 = time.monotonic()
+    out = resolve_pointers(
+        edges, broadcast_below=0 if force_join else 2_000_000,
+        max_rounds=12)
+
+    def viol(batch: pa.Table) -> pa.Table:
+        i = batch.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        f = batch.column("final_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        h = batch.column("hops").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        bad = (f != i - h) | (f % L != 0) | (h != i % L)
+        return pa.table({"bad": pa.array([int(bad.sum())], pa.int64())})
+
+    nbad = out.map_batches(viol, batch_format="pyarrow",
+                           runtime_env=runtime_env()).sum("bad")
+    rows = out.count()
+    assert rows == n - (n + L - 1) // L, (rows, n)
+    assert nbad == 0, nbad
+    return {
+        "case": "resolve", "n": n,
+        "path": "join" if force_join else "broadcast",
+        "chains": n // L, "rows": rows,
+        "wall_s": round(time.monotonic() - t0, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
 def run_semdedup(dup: int, sf_dir: str) -> dict:
     """Semantic dedup on a ``dup``×-replicated embedding table (shifted
     ids → every vector gains dup-1 exact copies, cos 1.0).  Pairs grow
@@ -973,7 +1030,8 @@ def main() -> None:
                                     "stream", "skewagg", "bloomjoin",
                                     "containment", "knn", "fuzzy",
                                     "skyline", "cosine", "gscan",
-                                    "sdedup", "aa", "spans"])
+                                    "sdedup", "aa", "spans",
+                                    "resolve"])
     p.add_argument("--dup", type=int, default=1)
     p.add_argument("--seeds", type=int, default=10_000)
     p.add_argument("--shards", type=int, default=None)
@@ -1030,6 +1088,8 @@ def main() -> None:
             out = run_sdedup(args.n, max(1, args.n // 10))
         elif args.case == "aa":
             out = run_aa(args.n)
+        elif args.case == "resolve":
+            out = run_resolve(args.n, args.join)
         elif args.case == "spans":
             out = run_spans(args.n)
         elif args.case == "cosine":
