@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "link_mis",
     "redirect_resolve",
     "link_communities",
+    "link_coloring",
     "user_cusum",
     "view_overlap_pairs",
     "best_split",

@@ -1602,3 +1602,97 @@ def label_propagation(nodes_ds, edges_ds, rounds: int = 4,
         ).materialize()
 
     return labels
+
+
+def greedy_coloring(nodes_ds, edges_ds, max_colors: int = 64):
+    """Distance-1 graph coloring by ITERATED maximal independent set
+    (Luby-MIS coloring): color c = the lexicographically-first MIS
+    (under :func:`mis_select`'s fixed hash priorities) of the residual
+    graph after colors < c are removed.  Partitions EVERY node into
+    conflict-free waves — where :func:`mis_select` yields only the
+    first batch a snapshot/archival pass can run concurrently, this
+    schedules the WHOLE corpus: wave c contains no two linked pages.
+    Deterministic end to end (fixed priorities ⇒ each wave is exactly
+    the sequential greedy MIS of its residual).
+
+    Bound: a node still uncolored after round c lost to a distinct
+    colored NEIGHBOR in every prior round (MIS maximality), and
+    colored neighbors leave the residual — so color(v) ≤ deg(v) and
+    #colors ≤ Δ+1.  ``max_colors`` therefore only trips on Δ ≥
+    max_colors graphs (raise it, or cap hub degrees upstream).
+
+    Driver traffic per wave = O(|wave|) colored ids (the residual
+    edge/node filter broadcast), Σ = O(n) — the same envelope as
+    ``mis_select``'s own dead-set pruning, with the hash-anti-join
+    variant the documented path past broadcast scale.
+
+    ``nodes_ds``: (id); ``edges_ds``: (src, dst).  Returns (id, color).
+    """
+    import ray
+
+    from ..broadcast import cached_get
+
+    parts: list = []
+    live_nodes = nodes_ds.materialize()
+    live_edges = edges_ds.materialize()
+    for c in range(max_colors):
+        if live_nodes.count() == 0:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.union(p)
+            return out
+        lab = mis_select(live_nodes, live_edges).materialize()
+
+        def take_wave(batch: pa.Table, _c=c) -> pa.Table:
+            m = batch.column("in_mis").combine_chunks().to_numpy(
+                zero_copy_only=False).astype(bool)
+            ids = batch.column("doc_id").combine_chunks().to_numpy(
+                zero_copy_only=False)[m]
+            return pa.table({
+                "id": pa.array(ids, pa.int64()),
+                "color": pa.array(np.full(len(ids), _c, np.int64),
+                                  pa.int64()),
+            })
+
+        wave = lab.map_batches(take_wave, batch_format="pyarrow",
+                               runtime_env=runtime_env()).materialize()
+        parts.append(wave)
+        wave_ids = np.sort(np.fromiter(
+            (r["id"] for r in wave.take_all()), np.int64))
+        w_ref = ray.put(wave_ids)
+
+        def drop_nodes(batch: pa.Table) -> pa.Table:
+            m = batch.column("in_mis").combine_chunks().to_numpy(
+                zero_copy_only=False).astype(bool)
+            return pa.table({
+                "id": batch.column("doc_id").filter(pa.array(~m)),
+            })
+
+        def drop_edges(batch: pa.Table, _ref=w_ref) -> pa.Table:
+            w = cached_get(_ref)
+            s = batch.column("src").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            d = batch.column("dst").combine_chunks().to_numpy(
+                zero_copy_only=False)
+
+            def member(x):
+                if not len(w):
+                    return np.zeros(len(x), bool)
+                pos = np.searchsorted(w, x)
+                return (pos < len(w)) & (
+                    w[np.minimum(pos, len(w) - 1)] == x)
+
+            keep = ~member(s) & ~member(d)
+            return pa.table({"src": pa.array(s[keep], pa.int64()),
+                             "dst": pa.array(d[keep], pa.int64())})
+
+        live_nodes = lab.map_batches(
+            drop_nodes, batch_format="pyarrow", runtime_env=runtime_env()
+        ).materialize()
+        live_edges = live_edges.map_batches(
+            drop_edges, batch_format="pyarrow", runtime_env=runtime_env()
+        ).materialize()
+    raise RuntimeError(
+        f"greedy_coloring needed more than {max_colors} colors "
+        "(graph max degree >= max_colors); raise max_colors or cap "
+        "hub degrees upstream")

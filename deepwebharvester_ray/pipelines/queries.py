@@ -8432,6 +8432,30 @@ ORDER BY doc_id
 """
 
 
+def q_link_coloring(sf_dir: str):
+    """Distance-1 graph coloring of the crawl link graph — partition
+    EVERY page into conflict-free archival waves: wave c contains no
+    two pages that link each other, so a snapshot pass can run the
+    waves sequentially with zero intra-wave link dependencies.
+    Completes the scheduling family: link_mis yields only the FIRST
+    such wave; coloring schedules the whole corpus in ≤ Δ+1 waves.
+
+    Distributed shape: :func:`functions.graph.greedy_coloring` —
+    ITERATED lexicographically-first MIS (mis_select's fixed hash
+    priorities make every wave exactly the sequential greedy MIS of
+    its residual, so the whole coloring is deterministic and testable
+    by set equality, not a distributional check); per wave O(|wave|)
+    driver traffic for the residual filter broadcast, Σ = O(n).
+    Rows-only (iterated LFMIS has no non-recursive SQL form); the
+    algorithm is pinned against a sequential iterated-greedy reference
+    plus properness/bound property tests in test_functions."""
+    from ..functions.graph import greedy_coloring
+
+    nodes, edges = _corpus_link_edges(sf_dir)
+    return _rename(greedy_coloring(nodes, edges),
+                   {"id": "doc_id"}).sort("doc_id")
+
+
 _LPA_ROUNDS = 4
 
 
@@ -17188,6 +17212,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "link_mis": q_link_mis,
         "redirect_resolve": q_redirect_resolve,
         "link_communities": q_link_communities,
+        "link_coloring": q_link_coloring,
         "link_ktruss": q_link_ktruss,
         "hits_scores": q_hits_scores,
         "two_hop_counts": q_two_hop_counts,
@@ -17549,7 +17574,8 @@ ROWS_ONLY: List[str] = [
     "semdedup_prune",
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
     "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
-    "link_kcore", "link_scc", "link_mis", "link_ktruss", "raking_weights",
+    "link_kcore", "link_scc", "link_mis", "link_ktruss", "link_coloring",
+    "raking_weights",
     "dedup_eval",
     "mmr_topk", "embedding_pca",
     "compressibility", "streaming_heavy_tokens", "cdc_dedup",

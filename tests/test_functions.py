@@ -2994,3 +2994,45 @@ def test_label_propagation_isolated_and_multiplicity(ray_session):
     out = label_propagation(nodes_ds, ue, rounds=1).take_all()
     got = {r["id"]: r["label"] for r in out}
     assert got[5] == 5 and got[2] == 9
+
+
+def test_greedy_coloring_matches_iterated_greedy(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.graph import greedy_coloring
+
+    rng = np.random.default_rng(31)
+    n = 60
+    edges = [(int(s), int(d)) for s, d in
+             zip(rng.integers(0, n, 150), rng.integers(0, n, 150))]
+    edges += [(1, 2), (2, 3), (3, 1), (5, 5)]  # triangle + self-loop
+    # sequential reference: iterate the greedy MIS on the residual
+    ref, live, live_edges = {}, set(range(n)), list(edges)
+    c = 0
+    while live:
+        mis = _mis_greedy_ref(n, live_edges)
+        mis &= live
+        for v in mis:
+            ref[v] = c
+        live -= mis
+        live_edges = [(s, d) for s, d in live_edges
+                      if s not in mis and d not in mis]
+        c += 1
+
+    nodes_ds = ray.data.from_items([{"id": i} for i in range(n)])
+    edges_ds = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in edges]
+    ).repartition(6).materialize()
+    out = greedy_coloring(nodes_ds, edges_ds).take_all()
+    got = {r["id"]: r["color"] for r in out}
+    assert got == ref
+    # properness: no edge joins two same-colored nodes
+    assert not any(got[s] == got[d] for s, d in edges if s != d)
+    # bound: colors <= max degree + 1
+    deg = np.zeros(n, np.int64)
+    for s, d in set(map(tuple, map(sorted, edges))):
+        if s != d:
+            deg[s] += 1
+            deg[d] += 1
+    assert max(got.values()) + 1 <= deg.max() + 1
+    assert len(got) == n
