@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "redirect_resolve",
     "link_communities",
     "link_coloring",
+    "reach_profile",
     "user_cusum",
     "view_overlap_pairs",
     "best_split",

@@ -1696,3 +1696,166 @@ def greedy_coloring(nodes_ds, edges_ds, max_colors: int = 64):
         f"greedy_coloring needed more than {max_colors} colors "
         "(graph max degree >= max_colors); raise max_colors or cap "
         "hub degrees upstream")
+
+
+_ANF_P = 5                      # per-node registers m = 2^p = 32
+_ANF_M = 1 << _ANF_P
+_ANF_COLS = [f"r{j:02d}" for j in range(_ANF_M)]
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — full-avalanche 64-bit mix (the
+    diffusion HLL register assignment needs; a bare multiplicative hash
+    leaves low bits structured)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _anf_init(ids: np.ndarray) -> dict:
+    """Per-node singleton-set HLL registers as m uint8 column arrays:
+    exactly one register per node is nonzero (its own hash's rho)."""
+    h = _splitmix64(ids)
+    idx = (h >> np.uint64(64 - _ANF_P)).astype(np.int64)
+    rest = (h << np.uint64(_ANF_P)) | np.uint64((1 << _ANF_P) - 1)
+    rho = np.zeros(len(ids), np.uint8)
+    cur = rest
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+        rho[mask] += shift
+        cur = np.where(mask, cur << np.uint64(shift), cur)
+    rho += 1
+    return {c: np.where(idx == j, rho, 0).astype(np.uint8)
+            for j, c in enumerate(_ANF_COLS)}
+
+
+def _anf_estimate(regs: np.ndarray) -> np.ndarray:
+    """Row-wise HLL estimate of an (n, m) uint8 register matrix —
+    standard estimator with the linear-counting small range (the regime
+    the first few radii live in)."""
+    m = float(_ANF_M)
+    alpha = 0.697 / (1 + 1.213 / m)  # alpha_32
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)),
+                                 axis=1)
+    zeros = np.count_nonzero(regs == 0, axis=1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    lin = m * np.log(m / np.maximum(zeros, 1))
+    return np.where(small, lin, est)
+
+
+def neighborhood_function(nodes_ds, edges_ds, rounds: int,
+                          broadcast_below: int = 2_000_000):
+    """HyperANF (Boldi–Rosa–Vigna 2011) — the approximate NEIGHBORHOOD
+    FUNCTION of a directed graph: for r = 0..rounds, N(r) ≈ the number
+    of (source, reachable-node) pairs within ≤ r hops, from which the
+    distance distribution and the EFFECTIVE DIAMETER (smallest r with
+    N(r) ≥ 0.9·N(max)) read off directly — the canonical web-graph
+    measurement, computable where exact all-pairs BFS (O(n²)) is
+    absurd.
+
+    Each node carries a 2^{_ANF_P}-register HLL sketch of its ball;
+    round r merges every node's sketch with its IN-neighbors' (so
+    per-node balls are in-balls — the aggregate N(r) = #ordered pairs
+    within ≤ r hops is identical under either orientation, since
+    Σ_v |ball_out(v,r)| = Σ_w |ball_in(w,r)| = #pairs) —
+    register-wise max is idempotent/associative, so the merge is ONE
+    :func:`~.agg.grouped_agg` MAX over the m uint8 register COLUMNS at
+    node cardinality (combiner-reduced; registers stay uint8 on the
+    wire), fed by a size-gated sketch attach (broadcast sorted id rows
+    + an (n, m) register matrix below ``broadcast_below`` nodes, native
+    hash join above — the m fixed-width columns join natively, no LIST
+    payload).  Per round the driver sees ONE scalar: Σ_v estimate(ball
+    v), computed block-wise.  Relative error ≈ 1.04/√m (~18 % at m=32;
+    raise ``_ANF_P`` for tighter curves — cost is linear in m).
+
+    Returns a ``(r, reach_est)`` pyarrow Table with rounds+1 rows
+    (float64 estimates; deterministic — splitmix64-hashed registers).
+    """
+    import ray
+
+    from ..broadcast import cached_get
+    from .agg import grouped_agg
+
+    def init(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cols = _anf_init(ids)
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         **{c: pa.array(v, pa.uint8())
+                            for c, v in cols.items()}})
+
+    state = nodes_ds.map_batches(
+        init, batch_format="pyarrow", runtime_env=runtime_env(),
+    ).materialize()
+    edges_m = edges_ds.materialize()
+
+    def block_sum(batch: pa.Table) -> pa.Table:
+        regs = np.column_stack([
+            batch.column(c).combine_chunks().to_numpy(
+                zero_copy_only=False) for c in _ANF_COLS
+        ]) if batch.num_rows else np.zeros((0, _ANF_M), np.uint8)
+        return pa.table({"s": pa.array(
+            [float(np.sum(_anf_estimate(regs)))], pa.float64())})
+
+    curve = [(0, state.map_batches(
+        block_sum, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env()).sum("s"))]
+
+    n_nodes = state.count()
+    for r in range(1, rounds + 1):
+        if n_nodes < broadcast_below:
+            rows = state.take_all()
+            ids = np.fromiter((row["id"] for row in rows), np.int64,
+                              n_nodes)
+            order = np.argsort(ids)
+            mat = np.column_stack([
+                np.fromiter((row[c] for row in rows), np.uint8, n_nodes)
+                for c in _ANF_COLS])[order]
+            ref = ray.put((ids[order], mat))
+
+            def attach(batch: pa.Table, _ref=ref) -> pa.Table:
+                sids, smat = cached_get(_ref)
+                u = batch.column("src").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                pos = np.searchsorted(sids, u)  # every u is a node
+                sub = smat[pos]
+                return pa.table({
+                    "id": batch.column("dst"),
+                    **{c: pa.array(sub[:, j], pa.uint8())
+                       for j, c in enumerate(_ANF_COLS)}})
+
+            cands = edges_m.map_batches(
+                attach, batch_format="pyarrow", runtime_env=runtime_env())
+        else:
+            from .partition import coalesce_nonempty
+
+            lookup = coalesce_nonempty(state.map_batches(
+                lambda b: b.rename_columns(
+                    ["lid" if c == "id" else c for c in b.column_names]),
+                batch_format="pyarrow", runtime_env=runtime_env(),
+            ).materialize())
+            cands = coalesce_nonempty(edges_m).join(
+                lookup, "inner",
+                num_partitions=max(2, edges_m.num_blocks() // 4),
+                on=("src",), right_on=("lid",),
+            ).map_batches(
+                lambda b: b.rename_columns(
+                    ["id" if c == "dst" else c
+                     for c in b.column_names]).select(
+                    ["id"] + _ANF_COLS),
+                batch_format="pyarrow", runtime_env=runtime_env())
+
+        state = grouped_agg(
+            state.union(cands), ["id"],
+            [(c, c, "max") for c in _ANF_COLS],
+            sorted_output=False,
+        ).materialize()
+        curve.append((r, state.map_batches(
+            block_sum, batch_format="pyarrow", batch_size=None,
+            runtime_env=runtime_env()).sum("s")))
+
+    return pa.table({
+        "r": pa.array([r for r, _ in curve], pa.int64()),
+        "reach_est": pa.array([s for _, s in curve], pa.float64()),
+    })

@@ -8432,6 +8432,31 @@ ORDER BY doc_id
 """
 
 
+def q_reach_profile(sf_dir: str):
+    """Approximate neighborhood function of the crawl link graph —
+    HyperANF (Boldi–Rosa–Vigna 2011): N(r) ≈ #ordered page pairs
+    within ≤ r link hops, for r = 0..6, from which the distance
+    distribution and the EFFECTIVE DIAMETER (smallest r with N(r) ≥
+    0.9·N(max)) read off directly — the canonical web-graph
+    measurement (exact all-pairs BFS is O(n²) and absurd at corpus
+    scale; link_distances gives exact balls from a FIXED seed set,
+    this profiles reachability from EVERY page at once).
+
+    Distributed shape: :func:`functions.graph.neighborhood_function`
+    — a 32-register HLL sketch per node, merged with in-neighbors'
+    each round as ONE combiner grouped MAX over the 32 uint8 register
+    COLUMNS at node cardinality (size-gated broadcast / native-join
+    sketch attach; register-wise max is idempotent so re-merges are
+    harmless); the driver sees one scalar per radius.  Rows-only
+    (≈18 % HLL error at m=32 — deterministic splitmix64 registers,
+    but no SQL twin can reproduce a sketch curve); pinned against the
+    exact path-graph formula + both-paths equality in test_functions."""
+    from ..functions.graph import neighborhood_function
+
+    nodes, edges = _corpus_link_edges(sf_dir)
+    return neighborhood_function(nodes, edges, rounds=6)
+
+
 def q_link_coloring(sf_dir: str):
     """Distance-1 graph coloring of the crawl link graph — partition
     EVERY page into conflict-free archival waves: wave c contains no
@@ -17213,6 +17238,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "redirect_resolve": q_redirect_resolve,
         "link_communities": q_link_communities,
         "link_coloring": q_link_coloring,
+        "reach_profile": q_reach_profile,
         "link_ktruss": q_link_ktruss,
         "hits_scores": q_hits_scores,
         "two_hop_counts": q_two_hop_counts,
@@ -17575,6 +17601,7 @@ ROWS_ONLY: List[str] = [
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
     "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
     "link_kcore", "link_scc", "link_mis", "link_ktruss", "link_coloring",
+    "reach_profile",
     "raking_weights",
     "dedup_eval",
     "mmr_topk", "embedding_pca",

@@ -3036,3 +3036,51 @@ def test_greedy_coloring_matches_iterated_greedy(ray_session):
             deg[d] += 1
     assert max(got.values()) + 1 <= deg.max() + 1
     assert len(got) == n
+
+
+def test_neighborhood_function_path_graph(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.graph import neighborhood_function
+
+    n, R = 120, 6
+    # directed path 0→1→…→n−1: exact pairs within ≤ r hops is
+    # Σ_u min(r+1, n−u)
+    edges_ds = ray.data.from_items(
+        [{"src": i, "dst": i + 1} for i in range(n - 1)]
+    ).repartition(5).materialize()
+    nodes_ds = ray.data.from_items([{"id": i} for i in range(n)])
+
+    out = neighborhood_function(nodes_ds, edges_ds, rounds=R)
+    got = {r: e for r, e in zip(out.column("r").to_pylist(),
+                                out.column("reach_est").to_pylist())}
+    assert sorted(got) == list(range(R + 1))
+    prev = 0.0
+    for r in range(R + 1):
+        true = sum(min(r + 1, n - u) for u in range(n))
+        assert abs(got[r] - true) / true < 0.30, (r, got[r], true)
+        assert got[r] >= prev - 1e-9  # monotone non-decreasing curve
+        prev = got[r]
+    # deterministic: a second run reproduces the curve exactly
+    out2 = neighborhood_function(nodes_ds, edges_ds, rounds=R)
+    assert out2.column("reach_est").to_pylist() == \
+        out.column("reach_est").to_pylist()
+
+
+def test_neighborhood_function_join_path_agrees(ray_session):
+    import ray
+
+    from deepwebharvester_ray.functions.graph import neighborhood_function
+
+    n = 40
+    rng = np.random.default_rng(7)
+    edges_ds = ray.data.from_items(
+        [{"src": int(s), "dst": int(d)} for s, d in
+         zip(rng.integers(0, n, 80), rng.integers(0, n, 80))]
+    ).repartition(4).materialize()
+    nodes_ds = ray.data.from_items([{"id": i} for i in range(n)])
+    a = neighborhood_function(nodes_ds, edges_ds, rounds=3)
+    b = neighborhood_function(nodes_ds, edges_ds, rounds=3,
+                              broadcast_below=0)  # forced join path
+    assert a.column("reach_est").to_pylist() == \
+        b.column("reach_est").to_pylist()
