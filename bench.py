@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "csv_roundtrip",
     "value_gini",
     "welch_ttest",
+    "mann_whitney",
     "doc_chunks",
     "k_anonymity",
     "spearman_corr",

@@ -16056,6 +16056,136 @@ FROM s ORDER BY event_type
 """
 
 
+def q_mann_whitney(sf_dir: str):
+    """Mann–Whitney U rank-sum test between two event types' value
+    distributions ('click' vs 'purchase') — the NONPARAMETRIC member of
+    the hypothesis-test family (welch_ttest compares means assuming
+    finite variance; ks_test compares whole shapes; this asks "does one
+    type stochastically dominate the other?" — the robust A/B default
+    when values are heavy-tailed, exactly the regime web event values
+    live in).  Everything stays EXACT integers: the DOUBLED U statistic
+    ``u2_a = Σ_v f_A(v)·(2·cumB(<v) + f_B(v))`` (ties count half, so
+    doubling clears the ½), the tie-correction term ``tsum = Σ_v t³−t``
+    and the squared normal-approximation z as the exact rational
+    ``z²·den = 3n(n−1)(u2_a − n1n2)²`` over
+    ``n1·n2·((n+1)n(n−1) − tsum)`` — big values ride as decimal strings
+    (Python bigints vs DuckDB HUGEINT, the welch_ttest crossing; the
+    HUGEINT twin caps near 10³⁸ — the sf-1 envelope — while the engine
+    is arbitrary precision).
+
+    Distributed shape: ONE combiner ``grouped_agg`` collapses the
+    stream to the per-(type, cents) VALUE-DOMAIN histogram — the
+    price_quantiles discipline: shuffle volume is bounded by the value
+    domain, never the row count — and the driver folds the two bounded
+    histograms with one vectorized cumsum.  One data pass, no sort.
+
+    The histogram identity u2 = Σ f_A·(2·cumB< + f_B) equals the rank
+    form 2·R_A − n1(n1+1) (midranks) — pinned against a brute-force
+    pair count in tests/test_queries_more."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        et = batch.column("event_type").combine_chunks()
+        keep = pc.or_(pc.equal(et, KS_TYPE_A), pc.equal(et, KS_TYPE_B))
+        batch = batch.filter(keep)
+        v = batch.column("value").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "cents": pa.array(np.floor(v * 100.0).astype(np.int64),
+                              pa.int64()),
+        })
+
+    hist = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["event_type", "cents"], [("n", "", "count")],
+    ).take_all()  # bounded by 2 × |value domain|, the histogram envelope
+
+    vals = sorted({int(r["cents"]) for r in hist})
+    pos = {v: i for i, v in enumerate(vals)}
+    fa = np.zeros(len(vals), np.int64)
+    fb = np.zeros(len(vals), np.int64)
+    for r in hist:
+        (fa if r["event_type"] == KS_TYPE_A else fb)[
+            pos[int(r["cents"])]] += int(r["n"])
+    n1, n2 = int(fa.sum()), int(fb.sum())
+    n = n1 + n2
+    # exclusive prefix of B below each value (ascending cents order)
+    cum_b = np.concatenate(([0], np.cumsum(fb)[:-1]))
+    # doubled U: Σ over values of f_A·(2·#B-below + #B-tied), folded in
+    # Python-int (object) arithmetic so nothing wraps before the check;
+    # the EMITTED int64 column needs u2 < 2⁶³ (~2·10⁹ rows/type) — asserted
+    u2_a = int(np.sum(fa.astype(object) * (2 * cum_b.astype(object) + fb)))
+    assert u2_a < 2**62, "mann_whitney doubled-U int64 envelope exceeded"
+    t = (fa + fb).astype(object)
+    tsum = int(np.sum(t * t * t - t))         # Python ints — never wraps
+    d = u2_a - n1 * n2                        # 2(U − mean)
+    z2_num = 3 * n * (n - 1) * d * d
+    z2_den = n1 * n2 * ((n + 1) * n * (n - 1) - tsum)
+    return pa.table({
+        "n_a": pa.array([n1], pa.int64()),
+        "n_b": pa.array([n2], pa.int64()),
+        "u2_a": pa.array([u2_a], pa.int64()),
+        "tsum": pa.array([str(tsum)], pa.string()),
+        "z2_num": pa.array([str(z2_num)], pa.string()),
+        "z2_den": pa.array([str(z2_den)], pa.string()),
+        "z2_milli": pa.array(
+            [1000 * z2_num // z2_den if z2_den else 0], pa.int64()),
+    })
+
+
+_SQL_MANN_WHITNEY = f"""
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+),
+r AS (  -- doubled midrank = 2·min_rank + (peers − 1); integer throughout
+  SELECT event_type,
+         2 * rank() OVER (ORDER BY cents)
+           + count(*) OVER (PARTITION BY cents) - 1 AS mr2
+  FROM v
+),
+t AS (  -- tie term over the combined sample
+  SELECT CAST(SUM(CAST(tc AS HUGEINT) * tc * tc - tc) AS HUGEINT) AS tsum
+  FROM (SELECT count(*) AS tc FROM v GROUP BY cents)
+),
+m AS (
+  SELECT
+    CAST(sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END)
+         AS HUGEINT) AS n1,
+    CAST(sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END)
+         AS HUGEINT) AS n2,
+    CAST(sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN mr2 ELSE 0 END)
+         AS HUGEINT) AS r2a
+  FROM r
+),
+parts AS (  -- u2 = 2·R_A − n1(n1+1) with R2a = 2·R_A already doubled
+  SELECT n1, n2, r2a - n1 * (n1 + 1) AS u2, tsum,
+         n1 + n2 AS n
+  FROM m, t
+),
+z AS (
+  SELECT n1, n2, u2, tsum,
+         3 * n * (n - 1) * (u2 - n1 * n2) * (u2 - n1 * n2) AS z2_num,
+         n1 * n2 * ((n + 1) * n * (n - 1) - tsum) AS z2_den
+  FROM parts
+)
+SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+       CAST(u2 AS BIGINT) AS u2_a,
+       CAST(tsum AS VARCHAR) AS tsum,
+       CAST(z2_num AS VARCHAR) AS z2_num,
+       CAST(z2_den AS VARCHAR) AS z2_den,
+       CAST(CASE WHEN z2_den = 0 THEN 0
+                 ELSE (1000 * z2_num) // z2_den END AS BIGINT) AS z2_milli
+FROM z
+"""
+
+
 def q_quote_spans(sf_dir: str):
     """Longest shared verbatim token span per overlapping doc pair
     (quote_spans): the contamination-SPAN audit — ngram_overlap says
@@ -17311,6 +17441,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "doc_chunks": q_doc_chunks,
         "k_anonymity": q_k_anonymity,
         "spearman_corr": q_spearman_corr,
+        "mann_whitney": q_mann_whitney,
         "quote_spans": q_quote_spans,
         "systematic_resample": q_systematic_resample,
         "user_rfm": q_user_rfm,
@@ -17511,6 +17642,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "value_gini": _SQL_VALUE_GINI,
         "welch_ttest": _SQL_WELCH_TTEST,
+        "mann_whitney": _SQL_MANN_WHITNEY,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "k_anonymity": _SQL_K_ANONYMITY,
         "spearman_corr": _SQL_SPEARMAN,

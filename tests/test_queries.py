@@ -99,6 +99,7 @@ SPOT_CHECKED = [
     "csv_roundtrip",
     "value_gini",
     "welch_ttest",
+    "mann_whitney",
     "doc_chunks",
     "k_anonymity",
     "spearman_corr",
@@ -1458,6 +1459,49 @@ def test_welch_ttest_known_value(ray_session, tmp_path):
     assert (r["n_a"], r["n_b"], r["sum_a"], r["sum_b"]) == (n1, n2, s1, s2)
     assert (r["t2_num"], r["t2_den"]) == (str(num), str(den))
     assert r["t2_milli"] == 1000 * num // den
+
+
+def test_mann_whitney_brute_force(ray_session, tmp_path):
+    """Brute-force doubled-U pair count (wins·2 + ties) on a planted
+    tied sample must equal the histogram-identity engine output, and
+    the z² rational must match the hand formula — covering ties ACROSS
+    the two groups (the midrank case a tie-free sample cannot)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_mann_whitney
+
+    a = [1.0, 2.0, 2.0, 5.0]          # clicks
+    b = [2.0, 3.0, 5.0, 5.0, 7.0]     # purchases
+    vals = a + b
+    types = ["click"] * len(a) + ["purchase"] * len(b)
+    n = len(vals)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([datetime.datetime(2025, 1, 1)] * n,
+                       pa.timestamp("us")),
+        "user_id": pa.array([0] * n, pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array([""] * n, pa.string()),
+    }), str(tmp_path / "events.parquet"))
+
+    r = q_mann_whitney(str(tmp_path)).to_pylist()[0]
+    u2 = sum(2 if x > y else (1 if x == y else 0) for x in a for y in b)
+    n1, n2 = len(a), len(b)
+    nn = n1 + n2
+    from collections import Counter
+    t = Counter([int(v * 100) for v in vals])
+    tsum = sum(c**3 - c for c in t.values())
+    d = u2 - n1 * n2
+    z2_num = 3 * nn * (nn - 1) * d * d
+    z2_den = n1 * n2 * ((nn + 1) * nn * (nn - 1) - tsum)
+    assert (r["n_a"], r["n_b"], r["u2_a"]) == (n1, n2, u2)
+    assert (r["tsum"], r["z2_num"], r["z2_den"]) == (
+        str(tsum), str(z2_num), str(z2_den))
+    assert r["z2_milli"] == 1000 * z2_num // z2_den
 
 
 def test_adamic_adar_brute_force(ray_session):
