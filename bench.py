@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "link_communities",
     "link_coloring",
     "reach_profile",
+    "link_stress",
     "user_cusum",
     "view_overlap_pairs",
     "best_split",

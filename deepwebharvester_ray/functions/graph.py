@@ -1859,3 +1859,389 @@ def neighborhood_function(nodes_ds, edges_ds, rounds: int,
         "r": pa.array([r for r, _ in curve], pa.int64()),
         "reach_est": pa.array([s for _, s in curve], pa.float64()),
     })
+
+
+_STRESS_GB = 46                 # sigma bits inside the packed (d, g) key
+_STRESS_DINF = 63               # unreached distance sentinel (6 bits)
+
+
+def stress_centrality(edges_ds, seeds: "np.ndarray", max_depth: int,
+                      broadcast_below: int = 2_000_000):
+    """Sampled stress centrality (Shimbel 1953 / the integer-exact
+    member of the Brandes pivot family, Brandes–Pich 2007): for every
+    node v, the NUMBER of shortest-path triples (s, t, π) with s in the
+    fixed ``seeds`` set and v strictly interior to π, within a
+    ``max_depth`` hop horizon — which pages sit ON the corpus's link
+    routes (pagerank scores where walks LAND; this scores what they
+    must pass THROUGH: the bottleneck/bridge load signal a crawl
+    scheduler protects).  Betweenness divides each term by σ_st and
+    goes float; stress keeps the raw path count, so the whole
+    computation stays EXACT integers — deterministic across engines,
+    block layouts and merge orders, the repo's house requirement.
+
+    Algorithm — both Brandes phases as iterative dataflow over ALL K
+    seeds at once (one fixed-width column per seed, the HyperANF
+    layout; no per-seed re-scan):
+
+    * forward: per node and seed the packed key ``(d << GB) | σ``
+      (d = hop distance, σ = #shortest s→v paths).  Round r expands
+      only the r−1 frontier: ONE size-gated attach (broadcast sorted
+      frontier ids + the per-seed contribution matrix
+      ``where(d == r−1, σ, 0)`` below ``broadcast_below`` state rows;
+      native hash join above, zero rows filtered in the map), ONE
+      combiner grouped SUM at candidate cardinality, and the
+      settle-merge as a grouped MIN over the packed columns (settled
+      d < r always beats a round-r candidate; unreached = sentinel) —
+      σ sums over ALL r−1 predecessors in one aggregate, the classic
+      layer recurrence.
+    * backward: P(v) = #BFS-DAG paths starting at v
+      (``P(v) = Σ_{(v,w) DAG} (1 + P(w))``), layers processed deepest
+      first so every gathered P is final.  Per round ONE size-gated
+      attach of the dst layer's (d, P) to the edge table, contributions
+      ``d(dst) == r+1 ? 1 + P(dst) : 0`` grouped-SUMMED by src as a
+      TAGGED column, and the src-side DAG check (``d(src) == r``)
+      applied AFTER the merge as a vectorized mask — state and
+      candidate q ride separate aggregate outputs, so no second
+      (src-side) attach is ever needed.
+    * stress(v) = Σ_k σ_k(v)·P_k(v), zeroing v == seed_k terms (the
+      endpoint exclusion).
+
+    Both phases ship per round: the attach (bounded by edges), one
+    combiner aggregate at node cardinality, one O(1) frontier-count
+    scalar.  Nothing row-wise ever reaches the driver on the join
+    path; the broadcast path's per-round take_all is the documented
+    sub-cutoff envelope (the connected_components contract).
+
+    Truncation semantics: paths are counted within the ``max_depth``
+    horizon (the depth-bounded crawl frontier's own reachability) —
+    the standard sampled-centrality horizon; raise it for full-graph
+    stress on shallow web graphs (effective diameter ~6).
+
+    Envelopes asserted, never wrapped: σ < 2^{GB}=2^46 per node,
+    P and σ < 2^31 entering the final product (Σ_k σ·P < K·2^62).
+    Returns an ``(id, stress)`` Dataset at node cardinality.
+
+    Reference parity: the reference's crawler has no centrality pass —
+    this extends the graph family (SURVEY §2 training-data ops) with
+    the standard web-graph bottleneck measurement.
+    """
+    import ray
+
+    from ..broadcast import cached_get
+    from .agg import grouped_agg
+    from .partition import coalesce_nonempty
+
+    seeds = np.sort(np.asarray(seeds, np.int64))
+    K = len(seeds)
+    assert 0 < K <= 32, "stress_centrality: 1..32 seeds"
+    assert max_depth < _STRESS_DINF, "max_depth must be < 63"
+    P_COLS = [f"p{k}" for k in range(K)]       # packed (d << GB) | sigma
+    C_COLS = [f"c{k}" for k in range(K)]       # candidate sigma sums
+    Q_COLS = [f"q{k}" for k in range(K)]       # backward path counts
+    QC_COLS = [f"qc{k}" for k in range(K)]     # candidate q sums
+    G_COLS = [f"g{k}" for k in range(K)]       # sigma carried backward
+    D_COLS = [f"d{k}" for k in range(K)]       # unpacked distances
+    SENT = np.int64(_STRESS_DINF) << np.int64(_STRESS_GB)
+    GMASK = (np.int64(1) << np.int64(_STRESS_GB)) - np.int64(1)
+
+    edges_m = edges_ds.materialize()
+    edges_nz = coalesce_nonempty(edges_m)
+
+    # ---- forward: seed rows (d=0, sigma=1) for each seed's own column
+    init_cols = {}
+    for k in range(K):
+        col = np.full(K, SENT, np.int64)
+        col[k] = np.int64(1)                   # d=0, sigma=1
+        init_cols[P_COLS[k]] = col
+    state = ray.data.from_arrow(pa.table({
+        "id": pa.array(seeds, pa.int64()),
+        **{c: pa.array(v, pa.int64()) for c, v in init_cols.items()},
+    })).materialize()
+
+    def _np(batch, col):
+        return batch.column(col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+
+    r_max = 0
+    for r in range(1, max_depth + 1):
+        rr = np.int64(r)
+
+        def is_frontier(pmat, _r=rr):
+            return (pmat >> np.int64(_STRESS_GB)) == (_r - 1)
+
+        n_state = state.count()
+        if n_state < broadcast_below:
+            rows = state.take_all()
+            ids = np.fromiter((x["id"] for x in rows), np.int64, n_state)
+            pmat = np.column_stack([
+                np.fromiter((x[c] for x in rows), np.int64, n_state)
+                for c in P_COLS]) if n_state else np.zeros((0, K), np.int64)
+            fmask = is_frontier(pmat)
+            live = fmask.any(axis=1)
+            if not live.any():
+                break
+            f_ids = ids[live]
+            order = np.argsort(f_ids)
+            contrib = np.where(fmask[live], pmat[live] & GMASK, 0)[order]
+            f_ids = f_ids[order]
+            ref = ray.put((f_ids, contrib))
+
+            def expand(batch: pa.Table, _ref=ref) -> pa.Table:
+                sids, cmat = cached_get(_ref)
+                src = batch.column("src").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                pos = np.searchsorted(sids, src)
+                pos_c = np.minimum(pos, max(len(sids) - 1, 0))
+                hit = (sids[pos_c] == src) if len(sids) else \
+                    np.zeros(len(src), bool)
+                sub = cmat[pos_c[hit]]
+                keep = sub.any(axis=1)
+                dst = batch.column("dst").combine_chunks().to_numpy(
+                    zero_copy_only=False)[hit][keep]
+                sub = sub[keep]
+                return pa.table({
+                    "id": pa.array(dst, pa.int64()),
+                    **{c: pa.array(sub[:, k], pa.int64())
+                       for k, c in enumerate(C_COLS)}})
+
+            cands = edges_m.map_batches(
+                expand, batch_format="pyarrow", runtime_env=runtime_env())
+        else:
+            n_frontier = state.map_batches(
+                lambda b, _r=rr: pa.table({"n": pa.array([int(np.any(
+                    np.column_stack([_np(b, c) for c in P_COLS])
+                    >> np.int64(_STRESS_GB) == (_r - 1), axis=1).sum())],
+                    pa.int64())}),
+                batch_format="pyarrow", batch_size=None,
+                runtime_env=runtime_env()).sum("n")
+            if not n_frontier:
+                break
+            lookup = coalesce_nonempty(state.map_batches(
+                lambda b: b.rename_columns(
+                    ["lid" if c == "id" else c for c in b.column_names]),
+                batch_format="pyarrow", runtime_env=runtime_env(),
+            ).materialize())
+            if edges_nz is None or lookup is None:
+                break
+
+            def rekey(batch: pa.Table, _r=rr) -> pa.Table:
+                pmat = np.column_stack([_np(batch, c) for c in P_COLS]) \
+                    if batch.num_rows else np.zeros((0, K), np.int64)
+                contrib = np.where(is_frontier(pmat, _r), pmat & GMASK, 0)
+                keep = contrib.any(axis=1)
+                dst = _np(batch, "dst")[keep]
+                contrib = contrib[keep]
+                return pa.table({
+                    "id": pa.array(dst, pa.int64()),
+                    **{c: pa.array(contrib[:, k], pa.int64())
+                       for k, c in enumerate(C_COLS)}})
+
+            cands = edges_nz.join(
+                lookup, "inner",
+                num_partitions=max(2, edges_m.num_blocks() // 4),
+                on=("src",), right_on=("lid",),
+            ).map_batches(rekey, batch_format="pyarrow",
+                          runtime_env=runtime_env())
+
+        # drop empty candidate blocks (schema-less empty bundles confuse
+        # downstream union/aggregate schema tracking; metadata-only check)
+        cands = coalesce_nonempty(cands)
+        if cands is None:
+            break     # frontier had no out-edges at all: done
+        summed = grouped_agg(cands, ["id"],
+                             [(c, c, "sum") for c in C_COLS],
+                             sorted_output=False)
+
+        def pack_cand(batch: pa.Table, _r=rr) -> pa.Table:
+            cmat = np.column_stack([_np(batch, c) for c in C_COLS]) \
+                if batch.num_rows else np.zeros((0, K), np.int64)
+            assert cmat.size == 0 or cmat.max() < (1 << _STRESS_GB), (
+                "stress_centrality sigma envelope (2^46) exceeded — "
+                "reduce max_depth or seed count")
+            packed = np.where(cmat > 0,
+                              (_r << np.int64(_STRESS_GB)) | cmat, SENT)
+            return pa.table({
+                "id": batch.column("id"),
+                **{c: pa.array(packed[:, k], pa.int64())
+                   for k, c in enumerate(P_COLS)}})
+
+        cand_packed = summed.map_batches(
+            pack_cand, batch_format="pyarrow", batch_size=None,
+            runtime_env=runtime_env())
+        state = grouped_agg(
+            state.union(cand_packed), ["id"],
+            [(c, c, "min") for c in P_COLS], sorted_output=False,
+        ).materialize()
+        r_max = r
+
+    # ---- backward: state → (id, d_k, g_k, q_k=0); layers deepest-first
+    def unpack(batch: pa.Table) -> pa.Table:
+        pmat = np.column_stack([_np(batch, c) for c in P_COLS]) \
+            if batch.num_rows else np.zeros((0, K), np.int64)
+        d = pmat >> np.int64(_STRESS_GB)
+        g = np.where(d < _STRESS_DINF, pmat & GMASK, 0)
+        zero = np.zeros(batch.num_rows, np.int64)
+        return pa.table({
+            "id": batch.column("id"),
+            **{c: pa.array(d[:, k], pa.int64())
+               for k, c in enumerate(D_COLS)},
+            **{c: pa.array(g[:, k], pa.int64())
+               for k, c in enumerate(G_COLS)},
+            **{c: pa.array(zero, pa.int64()) for c in Q_COLS}})
+
+    bstate = state.map_batches(unpack, batch_format="pyarrow",
+                               batch_size=None,
+                               runtime_env=runtime_env()).materialize()
+
+    for r in range(r_max - 1, -1, -1):
+        rr = np.int64(r)
+        n_state = bstate.count()
+        if n_state < broadcast_below:
+            rows = bstate.take_all()
+            ids = np.fromiter((x["id"] for x in rows), np.int64, n_state)
+            order = np.argsort(ids)
+            dmat = np.column_stack([
+                np.fromiter((x[c] for x in rows), np.int64, n_state)
+                for c in D_COLS])[order]
+            qmat = np.column_stack([
+                np.fromiter((x[c] for x in rows), np.int64, n_state)
+                for c in Q_COLS])[order]
+            ids = ids[order]
+            # restrict the broadcast to the r+1 layer (per-seed), the
+            # frontier-only discipline: contributions can only come
+            # from dsts settled at exactly r+1
+            layer = (dmat == rr + 1)
+            live = layer.any(axis=1)
+            l_ids = ids[live]
+            l_contrib = np.where(layer[live], 1 + qmat[live], 0)
+            ref = ray.put((l_ids, l_contrib))
+
+            def gather(batch: pa.Table, _ref=ref) -> pa.Table:
+                sids, cmat = cached_get(_ref)
+                dst = batch.column("dst").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                pos = np.searchsorted(sids, dst)
+                pos_c = np.minimum(pos, max(len(sids) - 1, 0))
+                hit = (sids[pos_c] == dst) if len(sids) else \
+                    np.zeros(len(dst), bool)
+                sub = cmat[pos_c[hit]]
+                keep = sub.any(axis=1)
+                src = batch.column("src").combine_chunks().to_numpy(
+                    zero_copy_only=False)[hit][keep]
+                sub = sub[keep]
+                return pa.table({
+                    "id": pa.array(src, pa.int64()),
+                    **{c: pa.array(sub[:, k], pa.int64())
+                       for k, c in enumerate(QC_COLS)}})
+
+            qcands = edges_m.map_batches(
+                gather, batch_format="pyarrow", runtime_env=runtime_env())
+        else:
+            lookup = coalesce_nonempty(bstate.map_batches(
+                lambda b: b.rename_columns(
+                    ["lid" if c == "id" else c for c in b.column_names]),
+                batch_format="pyarrow", runtime_env=runtime_env(),
+            ).materialize())
+            if edges_nz is None or lookup is None:
+                qcands = None
+            else:
+                def gather_j(batch: pa.Table, _r=rr) -> pa.Table:
+                    dmat = np.column_stack(
+                        [_np(batch, c) for c in D_COLS]) \
+                        if batch.num_rows else np.zeros((0, K), np.int64)
+                    qmat = np.column_stack(
+                        [_np(batch, c) for c in Q_COLS]) \
+                        if batch.num_rows else np.zeros((0, K), np.int64)
+                    contrib = np.where(dmat == _r + 1, 1 + qmat, 0)
+                    keep = contrib.any(axis=1)
+                    src = _np(batch, "src")[keep]
+                    contrib = contrib[keep]
+                    return pa.table({
+                        "id": pa.array(src, pa.int64()),
+                        **{c: pa.array(contrib[:, k], pa.int64())
+                           for k, c in enumerate(QC_COLS)}})
+
+                qcands = edges_nz.join(
+                    lookup, "inner",
+                    num_partitions=max(2, edges_m.num_blocks() // 4),
+                    on=("dst",), right_on=("lid",),
+                ).map_batches(gather_j, batch_format="pyarrow",
+                              runtime_env=runtime_env())
+        if qcands is None:
+            continue
+        qcands = coalesce_nonempty(qcands)
+        if qcands is None:
+            continue  # no DAG edges into the r+1 layer: nothing to add
+
+        # tagged-union merge: state rows carry (d, g, q, qc=0); cand
+        # rows carry (d=DINF, g=0, q=0, qc) — min(d)/max(g)/sum pick the
+        # state values through, then the src-side DAG mask applies
+        def tag_state(batch: pa.Table) -> pa.Table:
+            zero = np.zeros(batch.num_rows, np.int64)
+            return pa.table({
+                **{c: batch.column(c)
+                   for c in ["id"] + D_COLS + G_COLS + Q_COLS},
+                **{c: pa.array(zero, pa.int64()) for c in QC_COLS}})
+
+        def tag_cand(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            dinf = np.full(n, _STRESS_DINF, np.int64)
+            zero = np.zeros(n, np.int64)
+            return pa.table({
+                "id": batch.column("id"),
+                **{c: pa.array(dinf, pa.int64()) for c in D_COLS},
+                **{c: pa.array(zero, pa.int64()) for c in G_COLS},
+                **{c: pa.array(zero, pa.int64()) for c in Q_COLS},
+                **{c: batch.column(c) for c in QC_COLS}})
+
+        merged = grouped_agg(
+            bstate.map_batches(tag_state, batch_format="pyarrow",
+                               batch_size=None,
+                               runtime_env=runtime_env()).union(
+                qcands.map_batches(tag_cand, batch_format="pyarrow",
+                                   batch_size=None,
+                                   runtime_env=runtime_env())),
+            ["id"],
+            [(c, c, "min") for c in D_COLS]
+            + [(c, c, "max") for c in G_COLS]
+            + [(c, c, "sum") for c in Q_COLS]
+            + [(c, c, "sum") for c in QC_COLS],
+            sorted_output=False)
+
+        def apply_mask(batch: pa.Table, _r=rr) -> pa.Table:
+            dmat = np.column_stack([_np(batch, c) for c in D_COLS]) \
+                if batch.num_rows else np.zeros((0, K), np.int64)
+            qmat = np.column_stack([_np(batch, c) for c in Q_COLS]) \
+                if batch.num_rows else np.zeros((0, K), np.int64)
+            qcm = np.column_stack([_np(batch, c) for c in QC_COLS]) \
+                if batch.num_rows else np.zeros((0, K), np.int64)
+            q = qmat + np.where(dmat == _r, qcm, 0)
+            return pa.table({
+                **{c: batch.column(c) for c in ["id"] + D_COLS + G_COLS},
+                **{c: pa.array(q[:, k], pa.int64())
+                   for k, c in enumerate(Q_COLS)}})
+
+        bstate = merged.map_batches(
+            apply_mask, batch_format="pyarrow", batch_size=None,
+            runtime_env=runtime_env()).materialize()
+
+    seeds_ref = ray.put(seeds)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sds = cached_get(seeds_ref)
+        ids = _np(batch, "id")
+        gmat = np.column_stack([_np(batch, c) for c in G_COLS]) \
+            if batch.num_rows else np.zeros((0, K), np.int64)
+        qmat = np.column_stack([_np(batch, c) for c in Q_COLS]) \
+            if batch.num_rows else np.zeros((0, K), np.int64)
+        assert gmat.size == 0 or (gmat.max() < 2**31
+                                  and qmat.max() < 2**31), (
+            "stress_centrality product envelope (2^31 each) exceeded")
+        for k in range(K):                     # endpoint exclusion
+            gmat[ids == sds[k], k] = 0
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "stress": pa.array((gmat * qmat).sum(axis=1), pa.int64())})
+
+    return bstate.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None, runtime_env=runtime_env())

@@ -8591,6 +8591,65 @@ def q_link_mis(sf_dir: str):
     return mis_select(nodes, edges).sort("doc_id")
 
 
+STRESS_SEED_MOD = 50   # the link_distances seed rule, truncated to K
+STRESS_SEED_K = 8
+STRESS_DEPTH = 6       # web-graph effective-diameter horizon
+STRESS_TOPK = 50
+
+
+def q_link_stress(sf_dir: str):
+    """Sampled stress centrality over the crawl link graph: the top-50
+    pages by the NUMBER of shortest-path triples (seed, target, path)
+    passing strictly THROUGH them, from the fixed 8-seed pivot set
+    (``doc_id ∈ {0, 50, …, 350}`` — the link_distances seed rule
+    truncated to K=8) within a 6-hop horizon.  The bottleneck/bridge
+    LOAD signal of the centrality family: pagerank scores where random
+    walks LAND, link_authority where endorsement concentrates — this
+    scores what routes must PASS THROUGH, the pages whose loss
+    disconnects discovery (what a crawl scheduler re-fetches first and
+    an archive snapshots redundantly).  Stress (Shimbel 1953) is the
+    integer-EXACT member of the Brandes pivot family (Brandes–Pich
+    2007): betweenness divides by σ_st and goes float; stress keeps
+    the raw count, so the whole computation is deterministic integers.
+
+    Distributed shape: :func:`functions.graph.stress_centrality` — both
+    Brandes phases as iterative dataflow over all K seeds at once (one
+    fixed-width column per seed, the HyperANF layout): forward σ layer
+    sums via frontier-only size-gated attach + grouped-MIN settle on
+    packed (d, σ) keys; backward DAG path counts P deepest-layer-first
+    with the src-side DAG check applied post-merge (tagged-union
+    aggregate — ONE attach per round, never two); stress = Σ σ·P with
+    endpoint exclusion.  Then the two-level deterministic top-50 under
+    (stress DESC, doc_id).  Rows-only: iterative two-phase path
+    counting has no non-recursive SQL form; pinned against a
+    sequential Brandes reference (brute force + forced join path) in
+    test_functions and end-to-end in test_queries."""
+    from ..functions.graph import stress_centrality
+
+    _, edges = _corpus_link_edges(sf_dir)
+    seeds = np.arange(STRESS_SEED_K, dtype=np.int64) * STRESS_SEED_MOD
+
+    st = stress_centrality(edges, seeds, max_depth=STRESS_DEPTH)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        idc = "id" if "id" in batch.column_names else "doc_id"
+        ids = batch.column(idc).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        s = batch.column("stress").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((ids, -s))[:STRESS_TOPK]
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "stress": pa.array(s[order], pa.int64()),
+        })
+
+    part = st.map_batches(topk, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env())
+    return part.repartition(1).map_batches(
+        topk, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+
+
 def q_curriculum_order(sf_dir: str):
     """Curriculum ordering with a GLOBAL row number: docs bucketed by
     length (short-first curriculum), shuffled deterministically within
@@ -17365,6 +17424,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "cheapest_paths": q_cheapest_paths,
         "link_scc": q_link_scc,
         "link_mis": q_link_mis,
+        "link_stress": q_link_stress,
         "redirect_resolve": q_redirect_resolve,
         "link_communities": q_link_communities,
         "link_coloring": q_link_coloring,
@@ -17733,7 +17793,7 @@ ROWS_ONLY: List[str] = [
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
     "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
     "link_kcore", "link_scc", "link_mis", "link_ktruss", "link_coloring",
-    "reach_profile",
+    "reach_profile", "link_stress",
     "raking_weights",
     "dedup_eval",
     "mmr_topk", "embedding_pca",

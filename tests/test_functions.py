@@ -3084,3 +3084,111 @@ def test_neighborhood_function_join_path_agrees(ray_session):
                               broadcast_below=0)  # forced join path
     assert a.column("reach_est").to_pylist() == \
         b.column("reach_est").to_pylist()
+
+
+def _stress_ref(edges, seeds, max_depth):
+    """Sequential Brandes-style sampled STRESS reference: for each seed
+    a BFS (edge multiplicity counted — the engine's edge-multiset
+    contract), layer sigma sums, reverse-order DAG path counts P, and
+    stress(v) += sigma·P with the endpoint exclusion."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+    stress = defaultdict(int)
+    for s in seeds:
+        dist, sigma, order = {s: 0}, {s: 1}, [s]
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            if dist[u] == max_depth:
+                continue
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    sigma[w] = 0
+                    dq.append(w)
+                    order.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        pcnt = {v: 0 for v in dist}
+        for v in reversed(order):
+            for w in adj[v]:
+                if w in dist and dist[w] == dist[v] + 1:
+                    pcnt[v] += 1 + pcnt[w]
+        for v in dist:
+            if v != s:
+                stress[v] += sigma[v] * pcnt[v]
+    return {v: c for v, c in stress.items() if c}
+
+
+def test_stress_centrality_diamond(ray_session):
+    """Hand-computed diamond + tail: 0→{1,2}→3→4, seed {0} — sigma(3)=2
+    (two parallel shortest routes), P(1)=P(2)=2, so stress(1)=stress(2)=
+    stress(3)=2 and endpoints 0/4 carry none."""
+    import ray
+
+    from deepwebharvester_ray.functions.graph import stress_centrality
+
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)]
+    edges_ds = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in edges]).repartition(3)
+    out = {r["id"]: r["stress"]
+           for r in stress_centrality(edges_ds, np.array([0]),
+                                      max_depth=6).take_all()}
+    assert {v: c for v, c in out.items() if c} == {1: 2, 2: 2, 3: 2}
+
+
+def test_stress_centrality_matches_brute_force(ray_session):
+    """Random directed multigraph (duplicate edges KEPT — multiplicity
+    is part of the contract) + planted diamond, 3 seeds, depth 6: the
+    distributed result must equal the sequential reference exactly,
+    including zero-stress reachable nodes."""
+    import ray
+
+    from deepwebharvester_ray.functions.graph import stress_centrality
+
+    rng = np.random.default_rng(41)
+    n = 120
+    edges = [(int(s), int(d)) for s, d in
+             zip(rng.integers(0, n, 300), rng.integers(0, n, 300))]
+    edges += [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)]   # planted diamond
+    edges += edges[:20]                                  # forced dups
+    seeds = [0, 7, 19]
+    ref = _stress_ref(edges, seeds, max_depth=6)
+
+    edges_ds = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in edges]).repartition(7)
+    out = {r["id"]: r["stress"]
+           for r in stress_centrality(edges_ds, np.array(seeds),
+                                      max_depth=6).take_all()}
+    assert {v: c for v, c in out.items() if c} == ref
+
+
+def test_stress_centrality_join_path_agrees(ray_session):
+    """broadcast_below=0 forces the native-join attach in BOTH phases;
+    the result must be identical to the broadcast path (and to the
+    sequential reference)."""
+    import ray
+
+    from deepwebharvester_ray.functions.graph import stress_centrality
+
+    rng = np.random.default_rng(43)
+    n = 60
+    edges = [(int(s), int(d)) for s, d in
+             zip(rng.integers(0, n, 150), rng.integers(0, n, 150))]
+    seeds = [0, 5]
+    edges_ds = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in edges]).repartition(5)
+    a = {r["id"]: r["stress"]
+         for r in stress_centrality(edges_ds, np.array(seeds),
+                                    max_depth=5).take_all()}
+    b = {r["id"]: r["stress"]
+         for r in stress_centrality(edges_ds, np.array(seeds),
+                                    max_depth=5,
+                                    broadcast_below=0).take_all()}
+    assert {v: c for v, c in a.items() if c} == \
+        {v: c for v, c in b.items() if c}
+    assert {v: c for v, c in a.items() if c} == \
+        _stress_ref(edges, seeds, max_depth=5)

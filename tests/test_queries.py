@@ -1562,3 +1562,25 @@ def test_source_modularity_known_partitions(ray_session, tmp_path):
     assert sum(r["l_intra"] for r in out) <= m
     assert sum(r["d_total"] for r in out) == 2 * m
     assert -q_den // 2 <= q_num <= q_den    # -1/2 < Q <= 1
+
+
+def test_link_stress_matches_sequential_brandes(ray_session):
+    """End-to-end pin of the link_stress catalog query at sf0.001: pull
+    the corpus edge multiset, run the sequential sampled-Brandes stress
+    reference (tests/test_functions._stress_ref), and require the
+    engine's top-50 — values AND (stress DESC, doc_id) tie order — to
+    match exactly."""
+    from deepwebharvester_ray.pipelines.queries import (
+        STRESS_DEPTH, STRESS_SEED_K, STRESS_SEED_MOD, _corpus_link_edges,
+        q_link_stress)
+    from tests.test_functions import _stress_ref
+
+    _, edges_ds = _corpus_link_edges("/root/testdata/sf0.001")
+    edges = [(r["src"], r["dst"]) for r in edges_ds.take_all()]
+    seeds = [k * STRESS_SEED_MOD for k in range(STRESS_SEED_K)]
+    ref = _stress_ref(edges, seeds, max_depth=STRESS_DEPTH)
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+
+    got = [(r["doc_id"], r["stress"])
+           for r in q_link_stress("/root/testdata/sf0.001").take_all()]
+    assert got == want
