@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "value_gini",
     "welch_ttest",
     "mann_whitney",
+    "kendall_tau",
     "doc_chunks",
     "k_anonymity",
     "spearman_corr",

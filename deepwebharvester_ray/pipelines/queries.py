@@ -16245,6 +16245,176 @@ FROM z
 """
 
 
+def q_kendall_tau(sf_dir: str):
+    """Per-type Kendall tau-b concordance between hour-of-day and value
+    cents (kendall_tau): the PAIR-CONCORDANCE member of the
+    correlation/drift family — value_hour_cov ships the linear
+    covariance of the SAME variable pair, spearman_corr rank-correlates
+    value against arrival time under a deterministic total order
+    (tiebreak by event_id — ties deliberately broken), user_value_trend
+    fits a per-user OLS slope; tau-b asks the distribution-free
+    question "when the hour is later, is the spend bigger?" pair by
+    pair WITH the canonical tie correction.  Ties are the NORM for this
+    pair (24 hour values, repeating cents), and tau-b's
+    sqrt((n0-n1)(n0-n2)) denominator is the standard answer — a
+    statistic spearman's tiebreak discipline cannot express.
+
+    Everything exact integers, the mann_whitney histogram identity
+    lifted to TWO dimensions: over the per-type joint (hour, cents)
+    histogram f, concordant C = Σ f(x,y)·P(<x,<y) and discordant
+    D = Σ f(x,y)·Q(<x,>y) — each unordered strictly-bivariate pair
+    counted exactly once at its larger-x member — tie terms
+    n1 = Σ_x C(fx,2) (pairs tied on hour), n2 = Σ_y C(fy,2) (tied on
+    cents), n0 = C(n,2), and tau-b² as the exact rational
+    ``10⁶·S² // ((n0−n1)(n0−n2))`` with S = C−D and the sign shipped
+    separately (squares keep the floor division sign-free on both
+    engines — the mann_whitney discipline); pair counts cross as
+    decimal strings (Python bigints vs DuckDB HUGEINT, the welch_ttest
+    crossing).
+
+    Distributed shape: ONE combiner ``grouped_agg`` collapses the
+    stream to the per-(type, hour, cents) joint histogram — shuffle
+    bounded by 24× the value domain, never the row count (the
+    price_quantiles discipline in 2-D), one data pass, no sort — and
+    the driver folds each type's 24×V matrix with two vectorized
+    object-dtype 2-D prefix sums (exact past int64).  Hour is epoch-µs
+    integer arithmetic (``us // 3600s % 24`` on BOTH engines — the
+    value_hour_cov rule; never extract(), whose calendar rules could
+    diverge).
+
+    The SQL twin counts pairs directly — an O(n²) self-join on
+    event_id per type, oracle-scale only; histogram identity == pair
+    counting is pinned by the planted-ties brute-force test."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        us = (batch.column("ts").combine_chunks()
+              .cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "x": pa.array(us // 3_600_000_000 % 24, pa.int64()),
+            "y": pa.array(np.floor(v * 100.0).astype(np.int64),
+                          pa.int64()),
+        })
+
+    hist = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["event_type", "x", "y"], [("f", "", "count")],
+    ).take_all()  # ≤ types × 24 × |value domain| — the histogram envelope
+
+    from collections import defaultdict
+
+    cells: dict = defaultdict(list)
+    for r in hist:
+        cells[r["event_type"]].append((int(r["x"]), int(r["y"]),
+                                       int(r["f"])))
+    out = {k: [] for k in ("event_type", "n", "c_pairs", "d_pairs",
+                           "tied_x", "tied_y", "s_sign", "tau2_b_e6")}
+    for et in sorted(cells):
+        ys = sorted({y for _, y, _ in cells[et]})
+        ypos = {y: i for i, y in enumerate(ys)}
+        m = np.zeros((24, len(ys)), dtype=object)
+        for x, y, f in cells[et]:
+            m[x, ypos[y]] += f
+        n = int(m.sum())
+        fx, fy = m.sum(axis=1), m.sum(axis=0)
+        # P(<x,<y): exclusive 2-D prefix; Q(<x,>y) = L(<x) − R(<x,≤y)
+        cum = np.cumsum(np.cumsum(m, axis=0), axis=1)
+        p = np.zeros_like(m)
+        p[1:, 1:] = cum[:-1, :-1]
+        r_le = np.zeros_like(m)
+        r_le[1:, :] = cum[:-1, :]
+        lx = np.zeros(24, dtype=object)
+        lx[1:] = np.cumsum(fx)[:-1]
+        q = lx[:, None] - r_le
+        c = int(np.sum(m * p))
+        d = int(np.sum(m * q))
+        n0 = n * (n - 1) // 2
+        n1 = int(sum(f * (f - 1) // 2 for f in fx))
+        n2 = int(sum(f * (f - 1) // 2 for f in fy))
+        s = c - d
+        den = (n0 - n1) * (n0 - n2)
+        out["event_type"].append(et)
+        out["n"].append(n)
+        out["c_pairs"].append(str(c))
+        out["d_pairs"].append(str(d))
+        out["tied_x"].append(str(n1))
+        out["tied_y"].append(str(n2))
+        out["s_sign"].append(0 if s == 0 else (1 if s > 0 else -1))
+        out["tau2_b_e6"].append(10**6 * s * s // den if den else 0)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "c_pairs": pa.array(out["c_pairs"], pa.string()),
+        "d_pairs": pa.array(out["d_pairs"], pa.string()),
+        "tied_x": pa.array(out["tied_x"], pa.string()),
+        "tied_y": pa.array(out["tied_y"], pa.string()),
+        "s_sign": pa.array(out["s_sign"], pa.int64()),
+        "tau2_b_e6": pa.array(out["tau2_b_e6"], pa.int64()),
+    })
+
+
+_SQL_KENDALL_TAU = """
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS x,
+         CAST(floor(value * 100.0) AS BIGINT) AS y
+  FROM events
+),
+p AS (  -- O(n²) pair count per type: oracle-scale only
+  SELECT a.event_type,
+         CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                       THEN 1 ELSE 0 END) AS HUGEINT) AS c,
+         CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                       THEN 1 ELSE 0 END) AS HUGEINT) AS d
+  FROM e a JOIN e b
+    ON a.event_type = b.event_type AND a.event_id < b.event_id
+  GROUP BY a.event_type
+),
+tx AS (
+  SELECT event_type, CAST(SUM(f * (f - 1) // 2) AS HUGEINT) AS n1
+  FROM (SELECT event_type, x, CAST(count(*) AS HUGEINT) AS f
+        FROM e GROUP BY event_type, x)
+  GROUP BY event_type
+),
+ty AS (
+  SELECT event_type, CAST(SUM(f * (f - 1) // 2) AS HUGEINT) AS n2
+  FROM (SELECT event_type, y, CAST(count(*) AS HUGEINT) AS f
+        FROM e GROUP BY event_type, y)
+  GROUP BY event_type
+),
+nn AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n FROM e
+  GROUP BY event_type
+),
+z AS (
+  SELECT nn.event_type, nn.n,
+         COALESCE(p.c, 0) AS c, COALESCE(p.d, 0) AS d,
+         tx.n1, ty.n2,
+         COALESCE(p.c, 0) - COALESCE(p.d, 0) AS s,
+         (nn.n * (nn.n - 1) // 2 - tx.n1)
+           * (nn.n * (nn.n - 1) // 2 - ty.n2) AS den
+  FROM nn
+  LEFT JOIN p ON p.event_type = nn.event_type
+  JOIN tx ON tx.event_type = nn.event_type
+  JOIN ty ON ty.event_type = nn.event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(c AS VARCHAR) AS c_pairs, CAST(d AS VARCHAR) AS d_pairs,
+       CAST(n1 AS VARCHAR) AS tied_x, CAST(n2 AS VARCHAR) AS tied_y,
+       CAST(CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS s_sign,
+       CAST(CASE WHEN den = 0 THEN 0
+                 ELSE (1000000 * s * s) // den END AS BIGINT) AS tau2_b_e6
+FROM z ORDER BY event_type
+"""
+
+
 def q_quote_spans(sf_dir: str):
     """Longest shared verbatim token span per overlapping doc pair
     (quote_spans): the contamination-SPAN audit — ngram_overlap says
@@ -17502,6 +17672,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "k_anonymity": q_k_anonymity,
         "spearman_corr": q_spearman_corr,
         "mann_whitney": q_mann_whitney,
+        "kendall_tau": q_kendall_tau,
         "quote_spans": q_quote_spans,
         "systematic_resample": q_systematic_resample,
         "user_rfm": q_user_rfm,
@@ -17703,6 +17874,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "value_gini": _SQL_VALUE_GINI,
         "welch_ttest": _SQL_WELCH_TTEST,
         "mann_whitney": _SQL_MANN_WHITNEY,
+        "kendall_tau": _SQL_KENDALL_TAU,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "k_anonymity": _SQL_K_ANONYMITY,
         "spearman_corr": _SQL_SPEARMAN,

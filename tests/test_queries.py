@@ -100,6 +100,7 @@ SPOT_CHECKED = [
     "value_gini",
     "welch_ttest",
     "mann_whitney",
+    "kendall_tau",
     "doc_chunks",
     "k_anonymity",
     "spearman_corr",
@@ -1502,6 +1503,55 @@ def test_mann_whitney_brute_force(ray_session, tmp_path):
     assert (r["tsum"], r["z2_num"], r["z2_den"]) == (
         str(tsum), str(z2_num), str(z2_den))
     assert r["z2_milli"] == 1000 * z2_num // z2_den
+
+
+def test_kendall_tau_brute_force(ray_session, tmp_path):
+    """Brute-force O(n²) concordant/discordant pair count on a planted
+    sample with ties in BOTH variables (same hour, same cents, and
+    doubly-tied pairs) must equal the 2-D histogram-identity engine
+    output, including the tau-b tie terms and the exact rational."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_kendall_tau
+
+    # (hour, cents): hours repeat (ties in x), cents repeat (ties in y),
+    # one pair tied on both; values chosen so C ≠ D with a clear sign.
+    pts = [(0, 100), (0, 100), (0, 300), (1, 200), (1, 100),
+           (2, 300), (2, 500), (5, 500), (5, 700), (5, 250)]
+    n = len(pts)
+    base = datetime.datetime(2025, 1, 1)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([base + datetime.timedelta(hours=int(h))
+                        for h, _ in pts], pa.timestamp("us")),
+        "user_id": pa.array([0] * n, pa.int64()),
+        "event_type": pa.array(["purchase"] * n, pa.string()),
+        "value": pa.array([c / 100.0 for _, c in pts], pa.float64()),
+        "props": pa.array([""] * n, pa.string()),
+    }), str(tmp_path / "events.parquet"))
+
+    r = q_kendall_tau(str(tmp_path)).to_pylist()[0]
+    c = d = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            prod = ((pts[i][0] - pts[j][0]) * (pts[i][1] - pts[j][1]))
+            c += prod > 0
+            d += prod < 0
+    from collections import Counter
+
+    n1 = sum(f * (f - 1) // 2 for f in Counter(h for h, _ in pts).values())
+    n2 = sum(f * (f - 1) // 2 for f in Counter(y for _, y in pts).values())
+    n0 = n * (n - 1) // 2
+    s = c - d
+    den = (n0 - n1) * (n0 - n2)
+    assert r["event_type"] == "purchase" and r["n"] == n
+    assert (r["c_pairs"], r["d_pairs"]) == (str(c), str(d))
+    assert (r["tied_x"], r["tied_y"]) == (str(n1), str(n2))
+    assert r["s_sign"] == (0 if s == 0 else (1 if s > 0 else -1))
+    assert r["tau2_b_e6"] == 10**6 * s * s // den
 
 
 def test_adamic_adar_brute_force(ray_session):
