@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "link_coloring",
     "reach_profile",
     "link_stress",
+    "link_mst",
     "user_cusum",
     "view_overlap_pairs",
     "best_split",

@@ -1411,7 +1411,7 @@ def resolve_pointers(
                 jump, batch_format="pyarrow", runtime_env=runtime_env(),
             ).materialize()
         else:
-            state_nz = coalesce_nonempty(state)
+            state_nz = coalesce_nonempty(state).materialize()
             lookup = state_nz.map_batches(
                 lambda b: pa.table({
                     "lid": b.column("id"),
@@ -1459,6 +1459,302 @@ def resolve_pointers(
         "either a chain exceeds 2^max_rounds hops (raise max_rounds) or "
         "the input violates the acyclic functional-graph precondition "
         "(a redirect cycle never resolves)")
+
+
+_MSF_B = np.int64(31)               # endpoint bits in the packed edge key
+_MSF_MASK = np.int64((1 << 31) - 1)
+
+
+def boruvka_msf(edges_ds, weight_col: str | None = None,
+                broadcast_below: int = 2_000_000, max_rounds: int = 40):
+    """Minimum spanning FOREST by Borůvka rounds (Borůvka 1926; the
+    component-hooking formulation of Awerbuch–Shiloach): ``(src, dst)``
+    edges (directions/parallels/self-loops tolerated — canonicalized,
+    min-weight-deduped, self-loops dropped) → the unique MSF edge table
+    ``(src, dst, weight)`` under the strict total order ``(weight,
+    canonical edge key)``.  With ``weight_col=None`` weights are the
+    splitmix64 mix of the canonical key — a deterministic pseudo-random
+    order, making the output THE canonical spanning forest of the graph:
+    the minimal link subset certifying every page's reachability inside
+    its component (what an incremental re-validation pass walks — n−c
+    fetches instead of m), reproducible across engines, block layouts
+    and merge orders.
+
+    Why Borůvka and not Kruskal/Prim: Kruskal needs a GLOBAL edge sort
+    plus a sequential union–find, Prim grows one tree serially; Borůvka
+    is the dataflow-native MST — every component picks its minimum
+    incident edge SIMULTANEOUSLY, components merge along picks, and the
+    number of components with edges at least halves per round, so
+    ⌈log₂ n⌉ rounds of combiner-sized exchanges replace the sort.
+    Distinct total order ⇒ pointer cycles among picks are exactly the
+    mutual pairs (a cycle's strictly-decreasing pick weights contradict
+    themselves beyond length 2 — docstring proof standing in for the
+    classic one), so breaking ``comp < other`` mutual rows leaves an
+    acyclic hook forest that :func:`resolve_pointers` collapses by
+    doubling.
+
+    Per round (every exchange combiner-reduced, comp-cardinality —
+    never an edge sort):
+
+    * doubled emission ``(comp, other, w, ukey)`` per live edge;
+    * grouped MIN w per comp; size-gated attach back (broadcast sorted
+      arrays below ``broadcast_below``, native hash join above with
+      ``coalesce_nonempty``) filters the candidates, grouped MIN ukey
+      breaks w-ties, one more comp-sized attach recovers the argmin
+      row — the strict (w, ukey) selection;
+    * mutual-pair break via a per-ukey count, hooks resolved to roots
+      by :func:`resolve_pointers` (log-hop doubling), and ONE
+      comp→root lookup rewrites both edge endpoints; self-edges drop.
+
+    Requires ``0 ≤ id < 2³¹`` (packed edge key — asserted, densify ids
+    upstream) and int64 weights.  Raises at ``max_rounds`` (a graph
+    needs ≤ ⌈log₂ n⌉; non-termination means a broken precondition)."""
+    import ray
+
+    from ..broadcast import cached_get
+    from .agg import grouped_agg
+    from .partition import coalesce_nonempty
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(s) and (min(s.min(), d.min()) < 0
+                       or max(s.max(), d.max()) > int(_MSF_MASK)):
+            raise ValueError(
+                "boruvka_msf packed-key bound: needs 0 <= id < 2^31 — "
+                "densify node ids upstream")
+        a, b = np.minimum(s, d), np.maximum(s, d)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        ukey = (a << _MSF_B) | b
+        if weight_col is None:
+            w = (_splitmix64(ukey.view(np.uint64)) >> np.uint64(1)) \
+                .astype(np.int64)
+        else:
+            w = batch.column(weight_col).combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)[keep]
+        return pa.table({"ukey": pa.array(ukey, pa.int64()),
+                         "w": pa.array(w, pa.int64())})
+
+    dedup = grouped_agg(
+        edges_ds.map_batches(canon, batch_format="pyarrow",
+                             batch_size=None,
+                             runtime_env=runtime_env()),
+        ["ukey"], [("w", "w", "min")], sorted_output=False)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        u = batch.column("ukey").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "ukey": batch.column("ukey"), "w": batch.column("w"),
+            "cu": pa.array(u >> _MSF_B, pa.int64()),
+            "cv": pa.array(u & _MSF_MASK, pa.int64()),
+        })
+
+    state = dedup.map_batches(decode, batch_format="pyarrow",
+                              batch_size=None,
+                              runtime_env=runtime_env()).materialize()
+
+    empty_msf = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64()),
+                          "weight": pa.array([], pa.int64())})
+
+    def lookup(ds, key_col, map_ds, mkey, mval, out_col, n_map):
+        """Size-gated (mkey→mval) attach: misses keep the key itself
+        (root-of-itself semantics)."""
+        if n_map < broadcast_below:
+            rows = map_ds.take_all()
+            ids = np.fromiter((r[mkey] for r in rows), np.int64, n_map)
+            vals = np.fromiter((r[mval] for r in rows), np.int64, n_map)
+            order = np.argsort(ids)
+            ref = ray.put((ids[order], vals[order]))
+
+            def att(batch: pa.Table, _ref=ref, _k=key_col,
+                    _o=out_col) -> pa.Table:
+                sids, svals = cached_get(_ref)
+                k = batch.column(_k).combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                if len(sids) == 0:
+                    return batch.append_column(
+                        _o, pa.array(k, pa.int64()))
+                pos = np.minimum(np.searchsorted(sids, k), len(sids) - 1)
+                hit = sids[pos] == k
+                return batch.append_column(
+                    _o, pa.array(np.where(hit, svals[pos], k), pa.int64()))
+
+            return ds.map_batches(att, batch_format="pyarrow",
+                                  batch_size=None,
+                                  runtime_env=runtime_env())
+        ds_nz = coalesce_nonempty(ds)
+        if ds_nz is None:
+            return ds
+        ds_nz = ds_nz.materialize()
+        map_nz = coalesce_nonempty(map_ds.map_batches(
+            lambda b, _mk=mkey, _v=mval: pa.table(
+                {"__mid": b.column(_mk), "__mval": b.column(_v)}),
+            batch_format="pyarrow", batch_size=None,
+            runtime_env=runtime_env()).materialize())
+        joined = ds_nz.join(map_nz, "left_outer",
+                            num_partitions=max(2, ds_nz.num_blocks() // 4),
+                            on=(key_col,), right_on=("__mid",))
+
+        def fill(batch: pa.Table, _k=key_col, _o=out_col) -> pa.Table:
+            import pyarrow.compute as pc
+
+            v = pc.coalesce(batch.column("__mval"), batch.column(_k))
+            return batch.drop_columns(
+                [c for c in ("__mid", "__mval") if c in batch.column_names]
+            ).append_column(_o, v.cast(pa.int64()))
+
+        return joined.map_batches(fill, batch_format="pyarrow",
+                                  runtime_env=runtime_env())
+
+    msf_parts = []
+    for _ in range(max_rounds):
+        if state.count() == 0:
+            break
+        def dbl(b: pa.Table) -> pa.Table:
+            fwd = pa.table({"comp": b.column("cu"), "other": b.column("cv"),
+                            "w": b.column("w"), "ukey": b.column("ukey")})
+            rev = pa.table({"comp": b.column("cv"), "other": b.column("cu"),
+                            "w": b.column("w"), "ukey": b.column("ukey")})
+            return pa.concat_tables([fwd, rev]).combine_chunks()
+
+        doubled = state.map_batches(
+            dbl, batch_format="pyarrow", batch_size=None,
+            runtime_env=runtime_env()).materialize()
+        mins = grouped_agg(doubled, ["comp"], [("mw", "w", "min")],
+                           sorted_output=False).materialize()
+        n_comp = mins.count()
+
+        def keep_eq(col_a, col_b):
+            def f(b: pa.Table, _a=col_a, _b=col_b) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return b.filter(pc.equal(b.column(_a), b.column(_b))) \
+                    .drop_columns([_b])
+            return f
+
+        cand = lookup(doubled, "comp", mins, "comp", "mw", "__mw",
+                      n_comp).map_batches(
+            keep_eq("w", "__mw"), batch_format="pyarrow",
+            runtime_env=runtime_env()).materialize()
+        if cand.count() == n_comp:
+            # tie-free round (the norm under hash weights): the min-w
+            # candidate IS the argmin — skip the ukey tiebreak stages
+            winners = cand
+        else:
+            best = grouped_agg(cand, ["comp"], [("mu", "ukey", "min")],
+                               sorted_output=False).materialize()
+            winners = lookup(cand, "comp", best, "comp", "mu", "__mu",
+                             n_comp).map_batches(
+                keep_eq("ukey", "__mu"), batch_format="pyarrow",
+                runtime_env=runtime_env()).materialize()
+
+        msf_parts.append(grouped_agg(
+            winners, ["ukey"], [("w", "w", "min")], sorted_output=False,
+        ).materialize())
+
+        ucnt = grouped_agg(
+            winners, ["ukey"], [("c", "", "count")],
+            sorted_output=False).materialize()
+
+        def to_hooks(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mutual_small = pc.and_(
+                pc.equal(b.column("__c"), 2),
+                pc.less(b.column("comp"), b.column("other")))
+            kept = b.filter(pc.invert(mutual_small))
+            return pa.table({"src": kept.column("comp"),
+                             "dst": kept.column("other")})
+
+        hooks = lookup(winners, "ukey", ucnt, "ukey", "c", "__c",
+                       ucnt.count()).map_batches(
+            to_hooks, batch_format="pyarrow",
+            runtime_env=runtime_env()).materialize()
+
+        n_hooks = hooks.count()
+        if n_hooks < broadcast_below:
+            # comp-sized hook forest: pointer-double on the driver —
+            # the same size gate as the attaches (numpy log-hop chase
+            # beats a distributed fixpoint's per-round scheduling here)
+            rows = hooks.take_all()
+            hsrc = np.fromiter((r["src"] for r in rows), np.int64,
+                               n_hooks)
+            ptr = np.fromiter((r["dst"] for r in rows), np.int64,
+                              n_hooks)
+            order = np.argsort(hsrc)
+            hsrc, ptr = hsrc[order], ptr[order]
+            for _ in range(max_rounds):
+                pos = np.minimum(np.searchsorted(hsrc, ptr),
+                                 max(n_hooks - 1, 0))
+                hit = hsrc[pos] == ptr if n_hooks else \
+                    np.zeros(0, bool)
+                if not hit.any():
+                    break
+                ptr = np.where(hit, ptr[pos], ptr)
+            else:
+                raise RuntimeError(
+                    "boruvka_msf hook resolution did not converge — "
+                    "broken acyclicity precondition")
+            import ray.data as rd
+
+            roots = rd.from_arrow(pa.table({
+                "id": pa.array(hsrc, pa.int64()),
+                "root": pa.array(ptr, pa.int64())}))
+            n_roots = n_hooks
+        else:
+            roots = resolve_pointers(
+                hooks, broadcast_below=broadcast_below,
+                max_rounds=max_rounds,
+            ).map_batches(
+                lambda b: pa.table({"id": b.column("id"),
+                                    "root": b.column("final_id")}),
+                batch_format="pyarrow", batch_size=None,
+                runtime_env=runtime_env()).materialize()
+            n_roots = roots.count()
+
+        def relabel(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            live = b.filter(pc.invert(pc.equal(b.column("__ru"),
+                                               b.column("__rv"))))
+            return pa.table({
+                "ukey": live.column("ukey"), "w": live.column("w"),
+                "cu": live.column("__ru"), "cv": live.column("__rv")})
+
+        state = lookup(
+            lookup(state, "cu", roots, "id", "root", "__ru", n_roots),
+            "cv", roots, "id", "root", "__rv", n_roots,
+        ).map_batches(relabel, batch_format="pyarrow",
+                      runtime_env=runtime_env()).materialize()
+    else:
+        raise RuntimeError(
+            f"boruvka_msf did not converge within {max_rounds} rounds — "
+            "a graph needs <= ceil(log2 n); check the id bound and "
+            "weight column for the broken precondition")
+
+    def emit(batch: pa.Table) -> pa.Table:
+        u = batch.column("ukey").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(u >> _MSF_B, pa.int64()),
+            "dst": pa.array(u & _MSF_MASK, pa.int64()),
+            "weight": batch.column("w").cast(pa.int64()),
+        })
+
+    if not msf_parts:
+        import ray.data as rd
+
+        return rd.from_arrow(empty_msf)
+    out = msf_parts[0]
+    for part in msf_parts[1:]:
+        out = out.union(part)
+    return out.map_batches(emit, batch_format="pyarrow",
+                           batch_size=None, runtime_env=runtime_env())
 
 
 def label_propagation(nodes_ds, edges_ds, rounds: int = 4,

@@ -8481,6 +8481,34 @@ def q_link_coloring(sf_dir: str):
                    {"id": "doc_id"}).sort("doc_id")
 
 
+def q_link_mst(sf_dir: str):
+    """Canonical minimum spanning forest of the crawl link graph
+    (link_mst): the minimal link subset certifying every page's
+    reachability inside its component — an incremental re-validation
+    pass walks these n−c links instead of all m to certify that the
+    whole archived graph is still connected the way the snapshot says
+    (the connectivity-CERTIFICATE member of the link family: pagerank
+    scores where walks land, link_stress what routes pass through,
+    neardup_clusters which pages fuse — this ships the cheapest
+    spanning skeleton itself).  Weights are the deterministic
+    splitmix64 mix of the canonical edge key, so the forest is THE
+    canonical one — reproducible across engines, block layouts and
+    merge orders, and pinned by exact edge-set equality against a
+    sequential Kruskal reference in tests.
+
+    Distributed shape: :func:`functions.graph.boruvka_msf` — Borůvka
+    rounds (every component picks its min incident edge
+    simultaneously; components merge along picks via mutual-pair-broken
+    hooks resolved by pointer doubling), ≤ ⌈log₂ n⌉ rounds of
+    comp-cardinality combiner exchanges — never a global edge sort
+    (Kruskal) nor a serial tree growth (Prim).  Rows-only: iterative
+    component hooking has no non-recursive SQL form."""
+    from ..functions.graph import boruvka_msf
+
+    _, edges = _corpus_link_edges(sf_dir)
+    return boruvka_msf(edges).sort(["src", "dst"])
+
+
 _LPA_ROUNDS = 4
 
 
@@ -17595,6 +17623,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "link_scc": q_link_scc,
         "link_mis": q_link_mis,
         "link_stress": q_link_stress,
+        "link_mst": q_link_mst,
         "redirect_resolve": q_redirect_resolve,
         "link_communities": q_link_communities,
         "link_coloring": q_link_coloring,
@@ -17965,7 +17994,7 @@ ROWS_ONLY: List[str] = [
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
     "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
     "link_kcore", "link_scc", "link_mis", "link_ktruss", "link_coloring",
-    "reach_profile", "link_stress",
+    "reach_profile", "link_stress", "link_mst",
     "raking_weights",
     "dedup_eval",
     "mmr_topk", "embedding_pca",

@@ -3192,3 +3192,91 @@ def test_stress_centrality_join_path_agrees(ray_session):
         {v: c for v, c in b.items() if c}
     assert {v: c for v, c in a.items() if c} == \
         _stress_ref(edges, seeds, max_depth=5)
+
+
+def _kruskal_ref(src, dst, w, n):
+    """Sequential Kruskal under the strict (weight, canonical-key)
+    total order — the unique-MSF reference boruvka_msf must equal."""
+    import numpy as np
+
+    a, b = np.minimum(src, dst), np.maximum(src, dst)
+    keep = a != b
+    a, b, w = a[keep], b[keep], w[keep]
+    ukey = (a << np.int64(31)) | b
+    seen = {}
+    for ai, bi, wi, ui in zip(a, b, w, ukey):
+        if ui not in seen or wi < seen[ui][2]:
+            seen[ui] = (int(ai), int(bi), int(wi), int(ui))
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ref = []
+    for ai, bi, wi, _ in sorted(seen.values(), key=lambda t: (t[2], t[3])):
+        ra, rb = find(ai), find(bi)
+        if ra != rb:
+            parent[ra] = rb
+            ref.append((ai, bi, wi))
+    return sorted(ref)
+
+
+def test_boruvka_msf_matches_kruskal(ray_session):
+    """Derived-hash weights on random MULTIGRAPHS (parallel edges,
+    self-loops, disconnected forests) must equal sequential Kruskal
+    edge-for-edge — unique MSF under the (w, ukey) total order."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.graph import (_splitmix64,
+                                                      boruvka_msf)
+
+    rng = np.random.default_rng(7)
+    for n, m in [(30, 60), (200, 400), (50, 20)]:
+        src = rng.integers(0, n, m).astype(np.int64)
+        dst = rng.integers(0, n, m).astype(np.int64)
+        edges = ray.data.from_arrow(pa.table({
+            "src": pa.array(src), "dst": pa.array(dst)})).repartition(4)
+        got = sorted((r["src"], r["dst"], r["weight"])
+                     for r in boruvka_msf(edges).take_all())
+        a, b = np.minimum(src, dst), np.maximum(src, dst)
+        ukey = (a << np.int64(31)) | b
+        w = (_splitmix64(ukey.view(np.uint64)) >> np.uint64(1)) \
+            .astype(np.int64)
+        assert got == _kruskal_ref(src, dst, w, n)
+
+
+def test_boruvka_msf_ties_join_path_empty(ray_session):
+    """User-supplied HEAVILY TIED weights through BOTH attach paths
+    (broadcast and forced native join) must equal Kruskal under the
+    same tiebreak; the empty graph yields an empty forest."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.graph import boruvka_msf
+
+    rng = np.random.default_rng(11)
+    n, m = 120, 500
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    w = rng.integers(0, 5, m).astype(np.int64)
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src), "dst": pa.array(dst),
+        "w": pa.array(w)})).repartition(5)
+    ref = _kruskal_ref(src, dst, w, n)
+    got = sorted((r["src"], r["dst"], r["weight"])
+                 for r in boruvka_msf(edges, weight_col="w").take_all())
+    assert got == ref
+    got_join = sorted(
+        (r["src"], r["dst"], r["weight"])
+        for r in boruvka_msf(edges, weight_col="w",
+                             broadcast_below=0).take_all())
+    assert got_join == ref
+    empty = ray.data.from_arrow(pa.table({
+        "src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}))
+    assert boruvka_msf(empty).take_all() == []

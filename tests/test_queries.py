@@ -1634,3 +1634,50 @@ def test_link_stress_matches_sequential_brandes(ray_session):
     got = [(r["doc_id"], r["stress"])
            for r in q_link_stress("/root/testdata/sf0.001").take_all()]
     assert got == want
+
+
+def test_link_mst_matches_kruskal_corpus(ray_session):
+    """End-to-end catalog pin: q_link_mst over the sf0.001 corpus link
+    rule must equal sequential Kruskal under the same derived-hash
+    (w, ukey) total order — spanning-forest size = n − #components."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.corpus import (DUP_MOD, DUP_REMAINDER,
+                                             LINK_OFFSETS)
+    from deepwebharvester_ray.functions.graph import _splitmix64
+    from deepwebharvester_ray.pipelines.queries import q_link_mst
+    from tests.test_functions import _kruskal_ref
+
+    n = pq.ParquetFile(
+        SF_SMOKE + "/documents.parquet").metadata.num_rows
+    d = np.arange(n, dtype=np.int64)
+    eff = np.where((d > 0) & (d % DUP_MOD == DUP_REMAINDER), d - 1, d)
+    src = np.repeat(d, len(LINK_OFFSETS))
+    dst = (np.repeat(eff, len(LINK_OFFSETS))
+           + np.tile(np.asarray(LINK_OFFSETS, np.int64), n)) % n
+    a, b = np.minimum(src, dst), np.maximum(src, dst)
+    ukey = (a << np.int64(31)) | b
+    w = (_splitmix64(ukey.view(np.uint64)) >> np.uint64(1)) \
+        .astype(np.int64)
+    ref = _kruskal_ref(src, dst, w, n)
+
+    got = [(r["src"], r["dst"], r["weight"])
+           for r in q_link_mst(SF_SMOKE).take_all()]
+    assert got == ref  # q sorts by (src, dst); ref is sorted too
+
+    # forest invariant: edges = n − #components (union-find count)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, t in zip(src, dst):
+        rs, rt = find(int(s)), find(int(t))
+        if rs != rt:
+            parent[rs] = rt
+    n_comp = len({find(i) for i in range(n)})
+    assert len(got) == n - n_comp
