@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "reach_profile",
     "link_stress",
     "link_mst",
+    "link_densest",
     "user_cusum",
     "view_overlap_pairs",
     "best_split",

@@ -857,6 +857,112 @@ def kcore_nodes(
         f"kcore_nodes: no fixpoint within {max_rounds} rounds")
 
 
+def densest_subgraph(edges_ds, eps_num: int = 1, eps_den: int = 10,
+                     max_rounds: int = 200):
+    """Densest-subgraph 2(1+ε)-approximation by parallel peeling
+    (Charikar 2000 greedy, parallelized à la Bahmani–Kumar–
+    Vassilvitskii 2012): over the UNDIRECTED simple graph from
+    ``(src, dst)`` edges (self-loops drop, duplicates/reverses
+    collapse), find the node subset S maximizing edge density
+    ``|E(S)| / |S|`` — the link-farm / spam-core / boilerplate-ring
+    detector (k-core certifies a DEGREE floor; the densest subgraph
+    maximizes the AVERAGE — a farm can hide from one but not the
+    other).  Returns ``(members_ds(id), n_best, m_best)`` with density
+    ``m_best / n_best ≥ ρ* / (2(1+ε))`` guaranteed.
+
+    Why rounds-of-removals and not the sequential greedy: Charikar
+    peels ONE min-degree node per step — O(n) serial steps; removing
+    ALL nodes with ``deg ≤ (1+ε)·2m/n`` per round keeps the guarantee
+    (the classic averaging argument: the best subset can't lose more
+    than the factor) and finishes in O(log₁₊ε n) rounds, each a
+    combiner-sized exchange — the dataflow form.  Every comparison is
+    exact integers: the round threshold is ``T = ⌊2(eps_den+eps_num)·m
+    / (eps_den·n)⌋`` computed in Python bigints (``deg ≤ x ⟺ deg ≤
+    ⌊x⌋`` for integer deg), and round densities compare by
+    cross-multiplication — no float ever decides membership, so the
+    output is deterministic across engines and block layouts.
+
+    Per-round shape (the kcore_nodes peel discipline): degrees = ONE
+    combiner grouped COUNT over the symmetric edge table (corpus-sized
+    only in round 1 — later rounds count the shrunken residual);
+    removals leave through the size-gated ``subtract_ids`` anti on both
+    endpoint columns; the driver sees two scalars per round (n, m) plus
+    the removed-round parts list — never a node list.  Membership
+    reconstructs from removal rounds: nodes removed at round ≥ argmax
+    round ARE the best prefix (every node is eventually removed, so the
+    parts partition the node set)."""
+    import ray
+
+    from .agg import grouped_agg
+    from .dedup import subtract_ids
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "u": pa.array(np.concatenate([s, d]), pa.int64()),
+            "v": pa.array(np.concatenate([d, s]), pa.int64()),
+        })
+
+    sym = grouped_agg(
+        edges_ds.map_batches(symmetrize, batch_format="pyarrow",
+                             runtime_env=runtime_env()),
+        ["u", "v"], [("n", "", "count")],
+    ).map_batches(lambda b: b.select(["u", "v"]),
+                  batch_format="pyarrow",
+                  runtime_env=runtime_env()).materialize()
+
+    empty = pa.table({"id": pa.array([], pa.int64())})
+    parts: list = []          # (round, removed-members dataset)
+    best = (0, 0, -1)         # (m, n, round) — density m/n, cross-mult
+    for r in range(max_rounds):
+        deg = grouped_agg(sym, ["u"], [("deg", "", "count")],
+                          sorted_output=False).materialize()
+        n_r = deg.count()
+        if n_r == 0:
+            break
+        m_r = sym.count() // 2
+        if best[2] < 0 or m_r * best[1] > best[0] * n_r:
+            best = (m_r, n_r, r)   # strict > keeps the EARLIEST (largest)
+                                   # subgraph on density ties
+        thresh = (2 * (eps_den + eps_num) * m_r) // (eps_den * n_r)
+
+        def under(batch: pa.Table, _t=thresh) -> pa.Table:
+            d = batch.column("deg").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return batch.filter(pa.array(d <= _t))
+
+        removed = deg.map_batches(under, batch_format="pyarrow",
+                                  runtime_env=runtime_env()).materialize()
+        parts.append((r, removed.map_batches(
+            lambda b: pa.table({"id": b.column("u")}),
+            batch_format="pyarrow", batch_size=None,
+            runtime_env=runtime_env()).materialize()))
+        # min degree ≤ average ≤ threshold ⇒ the round always removes
+        sym = subtract_ids(
+            subtract_ids(sym, removed, id_column="u", drop_column="u"),
+            removed, id_column="v", drop_column="u",
+        ).materialize()
+    else:
+        if sym.count() > 0:
+            raise RuntimeError(
+                f"densest_subgraph: not peeled within {max_rounds} "
+                "rounds — every round removes at least the below-"
+                "average-degree nodes, so this means a broken input")
+
+    members = [ds for r, ds in parts if r >= best[2]]
+    if not members:
+        return ray.data.from_arrow(empty), 0, 0
+    out = members[0]
+    for part in members[1:]:
+        out = out.union(part)
+    return out, best[1], best[0]
+
+
 def scc_labels(
     edges_ds,
     nodes_ds,

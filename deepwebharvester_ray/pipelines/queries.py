@@ -8509,6 +8509,41 @@ def q_link_mst(sf_dir: str):
     return boruvka_msf(edges).sort(["src", "dst"])
 
 
+def q_link_densest(sf_dir: str):
+    """Densest subgraph of the crawl link graph (link_densest): the
+    node subset maximizing edge density |E(S)|/|S| — the link-farm /
+    boilerplate-ring detector that k-core cannot replace (a core
+    certifies a degree FLOOR per member; a farm inflates its AVERAGE
+    with a few hubs and hides from the floor — maximizing the average
+    is the right objective, Charikar 2000).  2(1+ε)-approximation by
+    parallel peeling (Bahmani–Kumar–Vassilvitskii 2012) with ε=1/10:
+    each round removes every node with degree ≤ (1+ε)·2m/n — exact
+    integer threshold, cross-multiplied density argmax, deterministic
+    across engines and block layouts (:func:`functions.graph.
+    densest_subgraph`).  O(log n) rounds of combiner-sized exchanges;
+    the driver sees two scalars per round.  Output: member pages with
+    the winning (|S|, |E(S)|) as constant columns.  Rows-only —
+    iterative peeling has no non-recursive SQL form; pinned by
+    sequential same-semantics equality, planted-clique recovery and a
+    brute-force approximation-guarantee test."""
+    from ..functions.graph import densest_subgraph
+
+    _, edges = _corpus_link_edges(sf_dir)
+    members, n_sub, m_sub = densest_subgraph(edges)
+
+    def finish(batch: pa.Table, _n=n_sub, _m=m_sub) -> pa.Table:
+        k = batch.num_rows
+        return pa.table({
+            "doc_id": batch.column("id"),
+            "sub_nodes": pa.array(np.full(k, _n, np.int64)),
+            "sub_edges": pa.array(np.full(k, _m, np.int64)),
+        })
+
+    return members.map_batches(finish, batch_format="pyarrow",
+                               batch_size=None,
+                               runtime_env=runtime_env()).sort("doc_id")
+
+
 _LPA_ROUNDS = 4
 
 
@@ -17624,6 +17659,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "link_mis": q_link_mis,
         "link_stress": q_link_stress,
         "link_mst": q_link_mst,
+        "link_densest": q_link_densest,
         "redirect_resolve": q_redirect_resolve,
         "link_communities": q_link_communities,
         "link_coloring": q_link_coloring,
@@ -17994,7 +18030,7 @@ ROWS_ONLY: List[str] = [
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
     "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
     "link_kcore", "link_scc", "link_mis", "link_ktruss", "link_coloring",
-    "reach_profile", "link_stress", "link_mst",
+    "reach_profile", "link_stress", "link_mst", "link_densest",
     "raking_weights",
     "dedup_eval",
     "mmr_topk", "embedding_pca",

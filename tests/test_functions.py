@@ -3280,3 +3280,107 @@ def test_boruvka_msf_ties_join_path_empty(ray_session):
     empty = ray.data.from_arrow(pa.table({
         "src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}))
     assert boruvka_msf(empty).take_all() == []
+
+
+def _densest_seq_ref(edge_list, eps_num=1, eps_den=10):
+    """Sequential same-semantics reference for the parallel peel."""
+    adj: dict = {}
+    edges = set()
+    for s, d in edge_list:
+        if s == d:
+            continue
+        a, b = min(s, d), max(s, d)
+        if (a, b) in edges:
+            continue
+        edges.add((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    best = None
+    r = 0
+    rounds_removed = []
+    while adj:
+        n, m = len(adj), len(edges)
+        if best is None or m * best[1] > best[0] * n:
+            best = (m, n, r)
+        t = (2 * (eps_den + eps_num) * m) // (eps_den * n)
+        rem = {v for v in adj if len(adj[v]) <= t}
+        rounds_removed.append((r, rem))
+        for v in rem:
+            for w in adj.get(v, ()):
+                edges.discard((min(v, w), max(v, w)))
+                if w in adj:
+                    adj[w].discard(v)
+            adj.pop(v, None)
+        adj = {v: s for v, s in adj.items() if s}
+        edges = {e for e in edges if e[0] in adj and e[1] in adj}
+        r += 1
+    members = set().union(
+        *[rem for rr, rem in rounds_removed if rr >= best[2]]
+    ) if rounds_removed else set()
+    return (sorted(members), best[1] if best else 0,
+            best[0] if best else 0)
+
+
+def test_densest_subgraph_matches_sequential(ray_session):
+    """Round-synchronous removal is deterministic — the distributed
+    peel must equal a sequential implementation of the SAME semantics
+    exactly (members, |S|, |E(S)|) on random multigraphs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.graph import densest_subgraph
+
+    rng = np.random.default_rng(5)
+    for n, m in [(40, 100), (100, 250), (15, 100)]:
+        src = rng.integers(0, n, m).astype(np.int64)
+        dst = rng.integers(0, n, m).astype(np.int64)
+        eds = ray.data.from_arrow(pa.table({
+            "src": pa.array(src), "dst": pa.array(dst)})).repartition(4)
+        mem_ds, nb, mb = densest_subgraph(eds)
+        got = sorted(r["id"] for r in mem_ds.take_all())
+        ref = _densest_seq_ref(list(zip(src.tolist(), dst.tolist())))
+        assert (got, nb, mb) == ref
+
+
+def test_densest_subgraph_planted_clique_and_guarantee(ray_session):
+    """A planted K8 in sparse noise is recovered EXACTLY (it is the
+    unique density maximum), and on tiny graphs the output density
+    clears the 2(1+ε) bound against the exhaustive-subset optimum."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.graph import densest_subgraph
+
+    rng = np.random.default_rng(9)
+    noise_s = rng.integers(8, 60, 25).astype(np.int64)
+    noise_d = rng.integers(8, 60, 25).astype(np.int64)
+    cs, cd = zip(*[(i, j) for i in range(8) for j in range(i + 1, 8)])
+    src = np.concatenate([noise_s, np.array(cs, np.int64)])
+    dst = np.concatenate([noise_d, np.array(cd, np.int64)])
+    eds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src), "dst": pa.array(dst)})).repartition(3)
+    mem_ds, nb, mb = densest_subgraph(eds)
+    assert (nb, mb) == (8, 28)
+    assert sorted(r["id"] for r in mem_ds.take_all()) == list(range(8))
+
+    # exhaustive ρ* on a 10-node random graph: ρ_best·2(1+ε) ≥ ρ*
+    n = 10
+    src = rng.integers(0, n, 25).astype(np.int64)
+    dst = rng.integers(0, n, 25).astype(np.int64)
+    pairs = {(min(a, b), max(a, b)) for a, b in zip(src, dst) if a != b}
+    best_num, best_den = 0, 1
+    for k in range(1, n + 1):
+        for sub in itertools.combinations(range(n), k):
+            ss = set(sub)
+            m_s = sum(1 for a, b in pairs if a in ss and b in ss)
+            if m_s * best_den > best_num * k:
+                best_num, best_den = m_s, k
+    eds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src), "dst": pa.array(dst)})).repartition(2)
+    _, nb, mb = densest_subgraph(eds)
+    # mb/nb ≥ ρ*/(2·(1+1/10))  ⟺  mb·best_den·22 ≥ best_num·nb·10·2
+    assert mb * best_den * 22 >= best_num * nb * 20
