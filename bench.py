@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "welch_ttest",
     "mann_whitney",
     "kendall_tau",
+    "kruskal_h",
     "doc_chunks",
     "k_anonymity",
     "spearman_corr",

@@ -16478,6 +16478,142 @@ FROM z ORDER BY event_type
 """
 
 
+def q_kruskal_h(sf_dir: str):
+    """Kruskal–Wallis H across ALL event types' value distributions
+    (kruskal_h): the K-GROUP member of the hypothesis-test family —
+    mann_whitney rank-compares exactly TWO types, welch_ttest compares
+    two means, ks_test two shapes; this asks the omnibus question "do
+    the k event types draw values from the same distribution?" in one
+    statistic (Kruskal & Wallis 1952), the nonparametric one-way ANOVA
+    a heavy-tailed web-value column actually supports.
+
+    Everything stays EXACT integers via doubled midranks over the
+    value-domain histogram: ``mr2(v) = 2·cum<(v) + t(v) + 1`` (integer
+    because doubling clears the ½), per-group doubled rank sums
+    ``R2_g = Σ_v f_g(v)·mr2(v)``, deviations ``d_g = R2_g − n_g(n+1)``
+    (Σ d_g = 0 because Σ R2_g = n(n+1) — the docstring-proved identity
+    that collapses the three-term expansion), and the tie-corrected
+    statistic as ONE exact rational
+
+        H = 3(n−1)·Σ_g d_g²/n_g / (n³−n−tsum)
+          = 3(n−1)·Σ_g d_g²·(P/n_g) / (P·(n³−n−tsum)),  P = Π n_g
+
+    shipped as decimal strings (Python bigints vs DuckDB HUGEINT —
+    the welch_ttest crossing; the HUGEINT twin caps near 10³⁸, which
+    the k=5 / n=10⁴ oracle scale clears by ~100× while sf≳0.05 would
+    not — same documented cap as mann_whitney) plus the scaled floor
+    ``h_milli = 1000·h_num // h_den`` (H ≥ 0, so floor division is
+    sign-free on both engines).  The SQL twin computes the SAME
+    doubled-midrank windows and folds the exact group-size product
+    with ``list_reduce`` over HUGEINTs — no float product() anywhere.
+
+    Distributed shape: ONE combiner ``grouped_agg`` collapses the
+    stream to the per-(type, cents) VALUE-DOMAIN histogram — the
+    mann_whitney/price_quantiles discipline: shuffle volume bounded by
+    k × the value domain, never the row count — and the driver folds
+    the k bounded histograms with one vectorized cumsum.  One data
+    pass, no sort anywhere."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "cents": pa.array(np.floor(v * 100.0).astype(np.int64),
+                              pa.int64()),
+        })
+
+    hist = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["event_type", "cents"], [("n", "", "count")],
+    ).take_all()  # bounded by k × |value domain|, the histogram envelope
+
+    types = sorted({r["event_type"] for r in hist})
+    vals = sorted({int(r["cents"]) for r in hist})
+    tpos = {t: i for i, t in enumerate(types)}
+    vpos = {v: i for i, v in enumerate(vals)}
+    f = np.zeros((len(types), len(vals)), np.int64)
+    for r in hist:
+        f[tpos[r["event_type"]], vpos[int(r["cents"])]] += int(r["n"])
+    t = f.sum(axis=0)
+    n_g = f.sum(axis=1)
+    n = int(n_g.sum())
+    # doubled midrank per value: 2·(count strictly below) + tied + 1
+    cum_less = np.concatenate(([0], np.cumsum(t)[:-1]))
+    mr2 = 2 * cum_less.astype(object) + t.astype(object) + 1
+    r2 = (f.astype(object) * mr2[None, :]).sum(axis=1)  # Python ints
+    assert int(sum(r2)) == n * (n + 1), "doubled rank-sum identity"
+    d = [int(r2[i]) - int(n_g[i]) * (n + 1) for i in range(len(types))]
+    to = t.astype(object)
+    tsum = int(np.sum(to * to * to - to))     # Python ints — never wraps
+    prod = 1
+    for g in n_g:
+        prod *= int(g)
+    q_num = sum(d[i] * d[i] * (prod // int(n_g[i]))
+                for i in range(len(types)))
+    h_num = 3 * (n - 1) * q_num
+    h_den = prod * (n ** 3 - n - tsum)
+    return pa.table({
+        "k": pa.array([len(types)], pa.int64()),
+        "n": pa.array([n], pa.int64()),
+        "tsum": pa.array([str(tsum)], pa.string()),
+        "h_num": pa.array([str(h_num)], pa.string()),
+        "h_den": pa.array([str(h_den)], pa.string()),
+        "h_milli": pa.array(
+            [1000 * h_num // h_den if h_den else 0], pa.int64()),
+    })
+
+
+_SQL_KRUSKAL_H = """
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (  -- doubled midrank = 2·min_rank + (peers − 1); integer throughout
+  SELECT event_type,
+         2 * rank() OVER (ORDER BY cents)
+           + count(*) OVER (PARTITION BY cents) - 1 AS mr2
+  FROM v
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS ng,
+         CAST(sum(mr2) AS HUGEINT) AS r2
+  FROM r GROUP BY event_type
+),
+t AS (  -- tie term over the combined sample
+  SELECT CAST(SUM(CAST(tc AS HUGEINT) * tc * tc - tc) AS HUGEINT) AS tsum
+  FROM (SELECT count(*) AS tc FROM v GROUP BY cents)
+),
+m AS (  -- exact HUGEINT group-size product via list_reduce (no floats)
+  SELECT CAST(count(*) AS HUGEINT) AS k, CAST(sum(ng) AS HUGEINT) AS n,
+         list_reduce(list(ng ORDER BY event_type), (a, b) -> a * b) AS p
+  FROM g
+),
+q AS (  -- Σ d_g²·(P/n_g) with d_g = R2_g − n_g(n+1)
+  SELECT CAST(SUM((g.r2 - g.ng * (m.n + 1))
+               * (g.r2 - g.ng * (m.n + 1)) * (m.p // g.ng))
+              AS HUGEINT) AS q_num
+  FROM g, m
+),
+z AS (
+  SELECT m.k, m.n, t.tsum,
+         3 * (m.n - 1) * q.q_num AS h_num,
+         m.p * (m.n * m.n * m.n - m.n - t.tsum) AS h_den
+  FROM m, t, q
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       CAST(tsum AS VARCHAR) AS tsum,
+       CAST(h_num AS VARCHAR) AS h_num,
+       CAST(h_den AS VARCHAR) AS h_den,
+       CAST(CASE WHEN h_den = 0 THEN 0
+                 ELSE (1000 * h_num) // h_den END AS BIGINT) AS h_milli
+FROM z
+"""
+
+
 def q_quote_spans(sf_dir: str):
     """Longest shared verbatim token span per overlapping doc pair
     (quote_spans): the contamination-SPAN audit — ngram_overlap says
@@ -17738,6 +17874,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "spearman_corr": q_spearman_corr,
         "mann_whitney": q_mann_whitney,
         "kendall_tau": q_kendall_tau,
+        "kruskal_h": q_kruskal_h,
         "quote_spans": q_quote_spans,
         "systematic_resample": q_systematic_resample,
         "user_rfm": q_user_rfm,
@@ -17940,6 +18077,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "welch_ttest": _SQL_WELCH_TTEST,
         "mann_whitney": _SQL_MANN_WHITNEY,
         "kendall_tau": _SQL_KENDALL_TAU,
+        "kruskal_h": _SQL_KRUSKAL_H,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "k_anonymity": _SQL_K_ANONYMITY,
         "spearman_corr": _SQL_SPEARMAN,

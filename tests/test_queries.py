@@ -101,6 +101,7 @@ SPOT_CHECKED = [
     "welch_ttest",
     "mann_whitney",
     "kendall_tau",
+    "kruskal_h",
     "doc_chunks",
     "k_anonymity",
     "spearman_corr",
@@ -1503,6 +1504,86 @@ def test_mann_whitney_brute_force(ray_session, tmp_path):
     assert (r["tsum"], r["z2_num"], r["z2_den"]) == (
         str(tsum), str(z2_num), str(z2_den))
     assert r["z2_milli"] == 1000 * z2_num // z2_den
+
+
+def test_kruskal_h_brute_force(ray_session, tmp_path):
+    """Direct midrank computation (scipy-style, exact fractions) on a
+    planted 3-group sample with cross-group ties must equal the
+    histogram-identity engine output — including the tie-corrected
+    exact rational and the k=2 consistency check against the
+    mann_whitney z² (H with k=2 equals z² exactly)."""
+    import datetime
+    from collections import Counter
+    from fractions import Fraction
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_kruskal_h
+
+    groups = {
+        "click": [1.0, 2.0, 2.0, 5.0],
+        "purchase": [2.0, 3.0, 5.0, 5.0, 7.0],
+        "view": [1.0, 4.0, 7.0, 7.0],
+    }
+    vals, types = [], []
+    for t, vs in groups.items():
+        vals += vs
+        types += [t] * len(vs)
+    n = len(vals)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([datetime.datetime(2025, 1, 1)] * n,
+                       pa.timestamp("us")),
+        "user_id": pa.array([0] * n, pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array([""] * n, pa.string()),
+    }), str(tmp_path / "events.parquet"))
+
+    r = q_kruskal_h(str(tmp_path)).to_pylist()[0]
+
+    # direct midranks over the pooled sample (exact fractions)
+    cents = sorted(int(v * 100) for v in vals)
+    mid = {}
+    i = 0
+    while i < len(cents):
+        j = i
+        while j < len(cents) and cents[j] == cents[i]:
+            j += 1
+        mid[cents[i]] = Fraction(i + 1 + j, 2)  # avg of ranks i+1..j
+        i = j
+    rs = {t: sum(mid[int(v * 100)] for v in vs)
+          for t, vs in groups.items()}
+    h_u = Fraction(12, n * (n + 1)) * sum(
+        rs[t] ** 2 / len(vs) for t, vs in groups.items()) - 3 * (n + 1)
+    t = Counter(cents)
+    tsum = sum(c ** 3 - c for c in t.values())
+    h = h_u / (1 - Fraction(tsum, n ** 3 - n))
+    assert r["k"] == len(groups) and r["n"] == n
+    assert r["tsum"] == str(tsum)
+    assert Fraction(int(r["h_num"]), int(r["h_den"])) == h
+    assert r["h_milli"] == (1000 * h.numerator) // h.denominator
+
+    # k=2 degenerate case: H equals the mann_whitney tie-corrected z²
+    for fn in (tmp_path / "events.parquet",):
+        a, b = groups["click"], groups["purchase"]
+        vals2 = a + b
+        types2 = ["click"] * len(a) + ["purchase"] * len(b)
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(len(vals2)), pa.int64()),
+            "ts": pa.array([datetime.datetime(2025, 1, 1)] * len(vals2),
+                           pa.timestamp("us")),
+            "user_id": pa.array([0] * len(vals2), pa.int64()),
+            "event_type": pa.array(types2, pa.string()),
+            "value": pa.array(vals2, pa.float64()),
+            "props": pa.array([""] * len(vals2), pa.string()),
+        }), str(fn))
+    from deepwebharvester_ray.pipelines.queries import q_mann_whitney
+    r2 = q_kruskal_h(str(tmp_path)).to_pylist()[0]
+    mw = q_mann_whitney(str(tmp_path)).to_pylist()[0]
+    assert (Fraction(int(r2["h_num"]), int(r2["h_den"]))
+            == Fraction(int(mw["z2_num"]), int(mw["z2_den"])))
 
 
 def test_kendall_tau_brute_force(ray_session, tmp_path):
