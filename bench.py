@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "link_stress",
     "link_mst",
     "link_densest",
+    "link_bowtie",
     "user_cusum",
     "view_overlap_pairs",
     "best_split",

@@ -2647,3 +2647,189 @@ def stress_centrality(edges_ds, seeds: "np.ndarray", max_depth: int,
 
     return bstate.map_batches(finish, batch_format="pyarrow",
                               batch_size=None, runtime_env=runtime_env())
+
+
+BOWTIE_PARTS = ("CORE", "IN", "OUT", "TUBE", "TENDRIL_IN",
+                "TENDRIL_OUT", "OTHER", "DISCONNECTED")
+
+
+def bowtie_decomposition(nodes_ds, edges_ds, max_rounds: int = 100):
+    """Broder bowtie decomposition of the directed web graph: every
+    node assigned to exactly one of the eight macro-structure parts
+    (Broder et al. 2000, "Graph structure in the Web" — the canonical
+    map of a crawl's reachability anatomy; what fraction of the corpus
+    a seed inside the core can EVER discover is read straight off
+    these counts):
+
+    * ``CORE``  — the giant strongly connected component (largest SCC,
+      ties broken toward the smallest canonical SCC label);
+    * ``IN``    — reaches the core, not reached from it (new-site
+      frontier: pages linking in that nobody links back to);
+    * ``OUT``   — reached from the core, does not reach back
+      (content sinks: archives, leaf articles);
+    * ``TUBE``  — on an IN→OUT path that AVOIDS the core;
+    * ``TENDRIL_IN``  — reachable from IN but neither core-reaching
+      nor core-reachable;
+    * ``TENDRIL_OUT`` — reaches OUT but neither core-reaching nor
+      core-reachable;
+    * ``OTHER`` — weakly connected to the core but none of the above
+      (e.g. a page pointing INTO a tendril; Broder's published
+      counts lump these into TENDRILS — kept separate here because
+      the split is free and strictly more informative);
+    * ``DISCONNECTED`` — not even weakly connected to the core.
+
+    Composition of the repo's existing fixpoints, all size-gated:
+    :func:`scc_labels` (giant-SCC core), four
+    :func:`bfs_distances` reachability closures run to their natural
+    fixpoint (the loop short-circuits on an empty frontier, so the
+    nominal depth bound is free) — forward/backward from the core
+    for OUT/IN, then forward from the core-REACHING set and backward
+    from the core-REACHED set for tubes/tendrils (seeding with the
+    full closed sets rather than IN/OUT alone is sound because the
+    extra reach lands only on CORE∪OUT / CORE∪IN rows, which the
+    higher-priority mask bits already own) — and one undirected
+    :func:`connected_components` for the weak component.  The giant
+    SCC is picked by a per-block (size, −scc) argmax over the grouped
+    SCC sizes — O(#blocks) driver rows, never the SCC count — and the
+    core's weak-component label is ONE row (the canonical SCC label is
+    the max node id in the component, so the giant label IS a core
+    member's id).
+
+    The final classification is ONE combiner grouped-SUM exchange over
+    node cardinality: each membership set ships ``(id, bit)`` rows
+    (core=1, fwd=2, bwd=4, F=8, B=16, weak=32; every set emits an id
+    at most once, so SUM == OR), the bitmask classifies vectorized,
+    and a bounded 8-row grouped count leaves the data plane.  No
+    per-node state ever lands on the driver.
+
+    Returns an 8-row ``(part, nodes)`` table (every part present,
+    zero-filled), plus the classification closure over
+    ``(id, mask)`` is internal.  Empty node table → all-zero counts.
+    """
+    import ray
+
+    from .agg import grouped_agg
+
+    reach_depth = 1 << 30  # fixpoint bound; BFS stops at empty frontier
+
+    scc = scc_labels(edges_ds, nodes_ds, max_rounds=max_rounds)
+    scc = scc.materialize()
+
+    sizes = grouped_agg(scc, ["scc"], [("n", "", "count")],
+                        sorted_output=False)
+
+    def block_argmax(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"scc": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        s = batch.column("scc").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        n = batch.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        # max size, ties toward the SMALLEST scc label: lexsort keys
+        best = np.lexsort((s, -n))[0]
+        return pa.table({"scc": pa.array(s[best:best + 1], pa.int64()),
+                         "n": pa.array(n[best:best + 1], pa.int64())})
+
+    tops = sizes.map_batches(block_argmax, batch_format="pyarrow",
+                             batch_size=None,
+                             runtime_env=runtime_env()).take_all()
+    if not tops:  # empty graph
+        return pa.table({
+            "part": pa.array(list(BOWTIE_PARTS), pa.string()),
+            "nodes": pa.array([0] * len(BOWTIE_PARTS), pa.int64())})
+    giant = min((r for r in tops), key=lambda r: (-int(r["n"]),
+                                                  int(r["scc"])))
+    giant = int(giant["scc"])
+
+    def _ids_where_scc(batch: pa.Table, _g=giant) -> pa.Table:
+        lab = batch.column("scc").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({"id": batch.column("id").filter(
+            pa.array(lab == _g))})
+
+    core = scc.map_batches(_ids_where_scc, batch_format="pyarrow",
+                           runtime_env=runtime_env()).materialize()
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("dst"),
+                         "dst": batch.column("src")})
+
+    edges_m = edges_ds.materialize()
+    redges = edges_m.map_batches(_rev, batch_format="pyarrow",
+                                 runtime_env=runtime_env()).materialize()
+
+    fwd = bfs_distances(edges_m, core, max_depth=reach_depth).materialize()
+    bwd = bfs_distances(redges, core, max_depth=reach_depth).materialize()
+    ffar = bfs_distances(edges_m, bwd, max_depth=reach_depth)
+    bfar = bfs_distances(redges, fwd, max_depth=reach_depth)
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        return pa.table({"id_a": batch.column("src"),
+                         "id_b": batch.column("dst")})
+
+    weak = connected_components(
+        edges_m.map_batches(_pairs, batch_format="pyarrow",
+                            runtime_env=runtime_env()),
+        max_rounds=max_rounds).materialize()
+    core_weak = weak.map_batches(
+        lambda b, _g=giant: b.filter(pa.array(
+            b.column("doc_id").combine_chunks().to_numpy(
+                zero_copy_only=False) == _g)),
+        batch_format="pyarrow", runtime_env=runtime_env()).take_all()
+    core_wlab = int(core_weak[0]["cluster_id"]) if core_weak else None
+
+    def _bit(bit):
+        def tag(batch: pa.Table, _b=bit) -> pa.Table:
+            return pa.table({
+                "id": batch.column("id"),
+                "bit": pa.array(np.full(batch.num_rows, _b, np.int64),
+                                pa.int64())})
+        return tag
+
+    def _weak_bit(batch: pa.Table, _w=core_wlab) -> pa.Table:
+        lab = batch.column("cluster_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        sel = batch.filter(pa.array(lab == _w))
+        return pa.table({
+            "id": sel.column("doc_id"),
+            "bit": pa.array(np.full(sel.num_rows, 32, np.int64),
+                            pa.int64())})
+
+    parts = nodes_ds.map_batches(_bit(0), batch_format="pyarrow",
+                                 runtime_env=runtime_env())
+    for src_ds, bit in ((core, 1), (fwd, 2), (bwd, 4),
+                        (ffar, 8), (bfar, 16)):
+        parts = parts.union(src_ds.map_batches(
+            _bit(bit), batch_format="pyarrow", runtime_env=runtime_env()))
+    if core_wlab is not None:
+        parts = parts.union(weak.map_batches(
+            _weak_bit, batch_format="pyarrow", runtime_env=runtime_env()))
+
+    masks = grouped_agg(parts, ["id"], [("m", "bit", "sum")],
+                        sorted_output=False)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        m = batch.column("m").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        part = np.full(len(m), 7, np.int64)          # DISCONNECTED
+        part[(m & 32) != 0] = 6                      # OTHER
+        part[((m & 16) != 0) & ((m & 8) == 0)] = 5   # TENDRIL_OUT
+        part[((m & 8) != 0) & ((m & 16) == 0)] = 4   # TENDRIL_IN
+        part[((m & 8) != 0) & ((m & 16) != 0)] = 3   # TUBE
+        part[(m & 2) != 0] = 2                       # OUT
+        part[(m & 4) != 0] = 1                       # IN
+        part[(m & 1) != 0] = 0                       # CORE
+        return pa.table({"part": pa.array(part, pa.int64())})
+
+    counts = grouped_agg(
+        masks.map_batches(classify, batch_format="pyarrow",
+                          batch_size=None, runtime_env=runtime_env()),
+        ["part"], [("nodes", "", "count")]).take_all()  # ≤ 8 rows
+    out = {i: 0 for i in range(len(BOWTIE_PARTS))}
+    for r in counts:
+        out[int(r["part"])] = int(r["nodes"])
+    return pa.table({
+        "part": pa.array(list(BOWTIE_PARTS), pa.string()),
+        "nodes": pa.array([out[i] for i in range(len(BOWTIE_PARTS))],
+                          pa.int64())})

@@ -8544,6 +8544,80 @@ def q_link_densest(sf_dir: str):
                                runtime_env=runtime_env()).sort("doc_id")
 
 
+def q_link_bowtie(sf_dir: str):
+    """Bowtie macro-structure of the crawl link graph (link_bowtie):
+    every page assigned to exactly one of the eight Broder parts —
+    CORE (giant SCC), IN (reaches the core), OUT (reached from it),
+    TUBE (IN→OUT path avoiding the core), TENDRIL_IN / TENDRIL_OUT,
+    OTHER (weakly attached), DISCONNECTED (Broder et al. 2000, "Graph
+    structure in the Web") — THE canonical map of a crawl's
+    reachability anatomy: what a seed inside the core can ever
+    discover, what only inbound-link mining can find (IN), what is
+    terminal content (OUT), and what no crawl from the core touches
+    at all.  Completes the link family's macro view: link_scc labels
+    components, reach_profile sizes neighborhoods — this names the
+    REGIONS those components play in.
+
+    The graph plants every part from doc_id arithmetic: a 64-page de
+    Bruijn core (d → 2d, 2d+1 mod 64 — strongly connected), and for
+    d ≥ 64 residue r = d mod 8 chooses the part: r=0 IN (d → d mod
+    64), r=1 OUT (d mod 64 → d), r=2 TENDRIL_IN (the IN page d−2 →
+    d), r=3 TUBE (IN d−3 → d → OUT d−2), r=4 OTHER (d → the tendril
+    d−2), r=5 TENDRIL_OUT (d → the OUT page d−4), r=7 → r=6 an
+    isolated 2-page weak component (DISCONNECTED) — so the expected
+    count of every part is pure residue arithmetic on the corpus
+    size, asserted in tests.
+
+    Distributed shape: :func:`functions.graph.bowtie_decomposition` —
+    scc_labels for the giant core (per-block argmax over grouped SCC
+    sizes, O(#blocks) driver rows), four bfs_distances reachability
+    closures run to their empty-frontier fixpoint, one undirected
+    connected_components for the weak component, and ONE combiner
+    grouped-SUM bitmask exchange (core=1, fwd=2, bwd=4, F=8, B=16,
+    weak=32; sets are id-unique so SUM == OR) classifying every node
+    without any per-node driver state.  Rows-only (reachability
+    closures have no non-recursive SQL form); pinned by a hand-built
+    all-eight-parts graph, brute-force random-graph equality against
+    a sequential reference, and the residue-arithmetic corpus pin."""
+    from ..functions.graph import bowtie_decomposition
+
+    docs = _docs(sf_dir, columns=["doc_id"],
+                 override_num_blocks=_shuffle_parts(sf_dir))
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        core = d[d < 64]
+        t = d[d >= 64]
+        r = t % 8
+        src = [core, core,                      # de Bruijn core
+               t[r == 0],                       # IN: d → core
+               t[r == 1] % 64,                  # OUT: core → d
+               t[r == 2] - 2,                   # TENDRIL_IN: IN → d
+               t[r == 3] - 3, t[r == 3],        # TUBE: IN → d → OUT
+               t[r == 4],                       # OTHER: d → tendril
+               t[r == 5],                       # TENDRIL_OUT: d → OUT
+               t[r == 7]]                       # DISCONNECTED pair
+        dst = [(2 * core) % 64, (2 * core + 1) % 64,
+               t[r == 0] % 64,
+               t[r == 1],
+               t[r == 2],
+               t[r == 3], t[r == 3] - 2,
+               t[r == 4] - 2,
+               t[r == 5] - 4,
+               t[r == 7] - 1]
+        return pa.table({
+            "src": pa.array(np.concatenate(src), pa.int64()),
+            "dst": pa.array(np.concatenate(dst), pa.int64())})
+
+    edges = docs.map_batches(to_edges, batch_format="pyarrow",
+                             runtime_env=runtime_env())
+    nodes = docs.map_batches(
+        lambda b: pa.table({"id": b.column("doc_id")}),
+        batch_format="pyarrow", runtime_env=runtime_env())
+    return bowtie_decomposition(nodes, edges)
+
+
 _LPA_ROUNDS = 4
 
 
@@ -17796,6 +17870,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "link_stress": q_link_stress,
         "link_mst": q_link_mst,
         "link_densest": q_link_densest,
+        "link_bowtie": q_link_bowtie,
         "redirect_resolve": q_redirect_resolve,
         "link_communities": q_link_communities,
         "link_coloring": q_link_coloring,
@@ -18169,6 +18244,7 @@ ROWS_ONLY: List[str] = [
     "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
     "link_kcore", "link_scc", "link_mis", "link_ktruss", "link_coloring",
     "reach_profile", "link_stress", "link_mst", "link_densest",
+    "link_bowtie",
     "raking_weights",
     "dedup_eval",
     "mmr_topk", "embedding_pca",

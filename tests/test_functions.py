@@ -3384,3 +3384,149 @@ def test_densest_subgraph_planted_clique_and_guarantee(ray_session):
     _, nb, mb = densest_subgraph(eds)
     # mb/nb ≥ ρ*/(2·(1+1/10))  ⟺  mb·best_den·22 ≥ best_num·nb·10·2
     assert mb * best_den * 22 >= best_num * nb * 20
+
+
+def _bowtie_seq_ref(nodes, edges):
+    """Sequential Broder bowtie with the SAME part semantics: giant SCC
+    by (-size, smallest canonical max-id label), reachability closures,
+    weak component of the giant, 8-way classification."""
+    from collections import defaultdict
+
+    adj, radj = defaultdict(set), defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+        radj[d].add(s)
+
+    # Kosaraju SCC (iterative)
+    seen, order = set(), []
+    for v in nodes:
+        if v in seen:
+            continue
+        stack = [(v, iter(adj[v]))]
+        seen.add(v)
+        while stack:
+            u, it = stack[-1]
+            adv = False
+            for w in it:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append((w, iter(adj[w])))
+                    adv = True
+                    break
+            if not adv:
+                order.append(stack.pop()[0])
+    comp = {}
+    for v in reversed(order):
+        if v in comp:
+            continue
+        stack, members = [v], []
+        comp[v] = v
+        while stack:
+            u = stack.pop()
+            members.append(u)
+            for w in radj[u]:
+                if w not in comp:
+                    comp[w] = v
+                    stack.append(w)
+        lab = max(members)
+        for u in members:
+            comp[u] = lab
+    sizes = defaultdict(int)
+    for v in nodes:
+        sizes[comp[v]] += 1
+    giant = min(sizes, key=lambda c: (-sizes[c], c))
+
+    def reach(seeds, graph):
+        out, stack = set(seeds), list(seeds)
+        while stack:
+            u = stack.pop()
+            for w in graph[u]:
+                if w not in out:
+                    out.add(w)
+                    stack.append(w)
+        return out
+
+    core = {v for v in nodes if comp[v] == giant}
+    fwd = reach(core, adj)
+    bwd = reach(core, radj)
+    ffar = reach(bwd, adj)
+    bfar = reach(fwd, radj)
+    # weak component of the giant (undirected reach from core)
+    both = defaultdict(set)
+    for s, d in edges:
+        both[s].add(d)
+        both[d].add(s)
+    weak = reach(core, both)
+    counts = dict.fromkeys(
+        ("CORE", "IN", "OUT", "TUBE", "TENDRIL_IN", "TENDRIL_OUT",
+         "OTHER", "DISCONNECTED"), 0)
+    for v in nodes:
+        if v in core:
+            p = "CORE"
+        elif v in bwd:
+            p = "IN"
+        elif v in fwd:
+            p = "OUT"
+        elif v in ffar and v in bfar:
+            p = "TUBE"
+        elif v in ffar:
+            p = "TENDRIL_IN"
+        elif v in bfar:
+            p = "TENDRIL_OUT"
+        elif v in weak:
+            p = "OTHER"
+        else:
+            p = "DISCONNECTED"
+        counts[p] += 1
+    return counts
+
+
+def test_bowtie_hand_graph(ray_session):
+    """A hand-built graph exercising ALL EIGHT parts classifies
+    exactly: 3-cycle core, IN chain, OUT chain, a 2-node tube, both
+    tendril kinds, an OTHER page pointing into a tendril, and a
+    separate weak component plus an isolated node."""
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.graph import bowtie_decomposition
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0), (10, 3), (2, 4), (4, 11),
+             (3, 5), (5, 6), (6, 4), (3, 7), (8, 4), (9, 7), (20, 21)]
+    nodes = list(range(12)) + [20, 21, 22]
+    e = ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges], pa.int64()),
+        "dst": pa.array([b for _, b in edges], pa.int64())})).repartition(3)
+    n = ray.data.from_arrow(pa.table({"id": pa.array(nodes, pa.int64())}))
+    got = {r["part"]: r["nodes"]
+           for r in bowtie_decomposition(n, e).to_pylist()}
+    assert got == {"CORE": 3, "IN": 2, "OUT": 2, "TUBE": 2,
+                   "TENDRIL_IN": 1, "TENDRIL_OUT": 1, "OTHER": 1,
+                   "DISCONNECTED": 3}
+    assert got == _bowtie_seq_ref(nodes, edges)
+
+
+def test_bowtie_matches_sequential_random(ray_session):
+    """Random sparse digraphs (plus planted cycles so a giant SCC
+    exists) must classify identically to the sequential reference —
+    including isolated nodes that appear only in the node table."""
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.graph import bowtie_decomposition
+
+    rng = np.random.default_rng(23)
+    for n, m in [(40, 55), (80, 100), (25, 20)]:
+        edges = [(int(s), int(d)) for s, d in
+                 zip(rng.integers(0, n, m), rng.integers(0, n, m))]
+        edges += [(1, 2), (2, 3), (3, 1)]          # planted core seed
+        nodes = list(range(n + 3))                  # 3 isolated extras
+        e = ray.data.from_arrow(pa.table({
+            "src": pa.array([a for a, _ in edges], pa.int64()),
+            "dst": pa.array([b for _, b in edges], pa.int64()),
+        })).repartition(5).materialize()
+        nd = ray.data.from_arrow(pa.table(
+            {"id": pa.array(nodes, pa.int64())}))
+        got = {r["part"]: r["nodes"]
+               for r in bowtie_decomposition(nd, e).to_pylist()}
+        assert got == _bowtie_seq_ref(nodes, edges), (n, m)

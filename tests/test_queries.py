@@ -1762,3 +1762,32 @@ def test_link_mst_matches_kruskal_corpus(ray_session):
             parent[rs] = rt
     n_comp = len({find(i) for i in range(n)})
     assert len(got) == n - n_comp
+
+
+def test_link_bowtie_residue_pin(ray_session):
+    """End-to-end catalog pin: q_link_bowtie over the sf0.001 corpus
+    must land every part at its residue-arithmetic count — the planted
+    construction makes each page's class a pure function of
+    doc_id mod 8 (d ≥ 64) with the 64-page de Bruijn core on top."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_link_bowtie
+
+    n = pq.ParquetFile(
+        SF_SMOKE + "/documents.parquet").metadata.num_rows
+    d = np.arange(64, n, dtype=np.int64)
+    r = d % 8
+    exp = {
+        "CORE": 64,
+        "IN": int((r == 0).sum()),
+        "OUT": int((r == 1).sum()),
+        "TENDRIL_IN": int((r == 2).sum()),
+        "TUBE": int((r == 3).sum()),
+        "OTHER": int((r == 4).sum()),
+        "TENDRIL_OUT": int((r == 5).sum()),
+        "DISCONNECTED": int((r == 6).sum() + (r == 7).sum()),
+    }
+    got = {row["part"]: row["nodes"]
+           for row in q_link_bowtie(SF_SMOKE).to_pylist()}
+    assert got == exp
