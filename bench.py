@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "cocitation",
     "top_customers_q10",
+    "big_order_customers",
     "bibcoupling",
     "random_walks",
     "top_passages",

@@ -2136,6 +2136,193 @@ ORDER BY a.revenue_sc DESC, c.c_custkey
 """
 
 
+# Q18 qualifying threshold: per-order Σ⌊l_quantity⌋ > 250 keeps ~1-2%
+# of orders at every sf (measured: 99.9th pct of the sum is ~330) — the
+# "large-volume order" audit slice.  Qualifying sets below the cutoff
+# broadcast; above it the attach switches to the native hash join.
+_Q18_QTY = 250
+_Q18_TOP = 100
+_Q18_BCAST = 2_000_000
+
+
+def q_big_order_customers(sf_dir: str):
+    """TPC-H-Q18-shaped large-volume-order report: the 100 biggest
+    orders (by total price) whose lineitems sum to more than
+    ``_Q18_QTY`` units, with the ordering customer attached — the
+    GROUP-BY-HAVING SEMI-FILTER join shape the catalog's other join
+    variants don't exercise: the probe set is defined by an AGGREGATE
+    over the largest table, not by a dimension predicate (Q3/Q10) or
+    a key equijoin (lineitem_orders_join).
+
+    Distributed shape: ONE combiner ``grouped_agg`` collapses
+    lineitem to per-order quantity sums (order cardinality, combiner
+    kills the ~4× lineitem fan-in before the exchange), the HAVING
+    filter cuts that to the qualifying sliver (~0.2-0.5% measured),
+    and the attach to orders is size-gated: qualifying count below
+    ``_Q18_BCAST`` broadcasts the sorted (orderkey, sum_qty) arrays
+    and masks the orders scan with searchsorted (no join shuffle at
+    all — the common case by Q18's own selectivity); above it, the
+    native hash join.  Customer names attach AFTER the top-100 limit
+    (probe side ≤ 100 rows — the Q10 discipline).  Exact integer
+    quantities (⌊l_quantity⌋) and prices (cents)."""
+    import ray
+
+    from ..broadcast import cached_get
+    from ..functions.partition import coalesce_nonempty
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"],
+               override_num_blocks=_shuffle_parts(sf_dir, "lineitem"))
+
+    def to_qty(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "qty": pa.array(np.floor(q).astype(np.int64), pa.int64()),
+        })
+
+    sums = grouped_agg(
+        li.map_batches(to_qty, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["l_orderkey"], [("sum_qty", "qty", "sum")],
+        sorted_output=False)
+
+    def having(batch: pa.Table) -> pa.Table:
+        q = batch.column("sum_qty").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return batch.filter(pa.array(q > _Q18_QTY))
+
+    qual = sums.map_batches(having, batch_format="pyarrow",
+                            batch_size=None,
+                            runtime_env=runtime_env()).materialize()
+    n_qual = qual.count()
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    empty = pa.table({
+        "c_custkey": pa.array([], pa.int64()),
+        "c_name": pa.array([], pa.string()),
+        "o_orderkey": pa.array([], pa.int64()),
+        "total_c": pa.array([], pa.int64()),
+        "sum_qty": pa.array([], pa.int64()),
+    })
+    if n_qual == 0:
+        return ray.data.from_arrow(empty)
+
+    if n_qual < _Q18_BCAST:
+        rows = qual.take_all()
+        keys = np.fromiter((r["l_orderkey"] for r in rows), np.int64,
+                           n_qual)
+        qty = np.fromiter((r["sum_qty"] for r in rows), np.int64, n_qual)
+        order = np.argsort(keys)
+        ref = ray.put((keys[order], qty[order]))
+
+        def attach_orders(batch: pa.Table) -> pa.Table:
+            skeys, sqty = cached_get(ref)
+            ok = batch.column("o_orderkey").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            pos = np.searchsorted(skeys, ok)
+            pos_c = np.minimum(pos, len(skeys) - 1)
+            hit = skeys[pos_c] == ok
+            sel = batch.filter(pa.array(hit))
+            tp = sel.column("o_totalprice").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "o_orderkey": sel.column("o_orderkey"),
+                "o_custkey": sel.column("o_custkey"),
+                "total_c": pa.array(
+                    np.floor(tp * 100.0).astype(np.int64), pa.int64()),
+                "sum_qty": pa.array(sqty[pos_c[hit]], pa.int64()),
+            })
+
+        hits = orders.map_batches(attach_orders, batch_format="pyarrow",
+                                  runtime_env=runtime_env())
+    else:  # qualifying set too big to broadcast: native hash join
+        def to_join_orders(batch: pa.Table) -> pa.Table:
+            tp = batch.column("o_totalprice").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_custkey": batch.column("o_custkey"),
+                "total_c": pa.array(
+                    np.floor(tp * 100.0).astype(np.int64), pa.int64()),
+            })
+
+        o_nz = coalesce_nonempty(orders.map_batches(
+            to_join_orders, batch_format="pyarrow",
+            runtime_env=runtime_env()))
+        q_nz = coalesce_nonempty(qual)
+        if o_nz is None or q_nz is None:
+            return ray.data.from_arrow(empty)
+        hits = o_nz.join(
+            q_nz, "inner",
+            num_partitions=max(2, _shuffle_parts(sf_dir, "orders")),
+            on=("o_orderkey",), right_on=("l_orderkey",),
+        ).select_columns(["o_orderkey", "o_custkey", "total_c",
+                          "sum_qty"])
+
+    def topk(batch: pa.Table) -> pa.Table:
+        tp = batch.column("total_c").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ok = batch.column("o_orderkey").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pick = np.lexsort((ok, -tp))[:_Q18_TOP]
+        return batch.take(pa.array(pick))
+
+    # partial top-100 per block, then a one-block final merge — never
+    # a full sort of the qualifying set (the Q3 discipline)
+    top = (hits.map_batches(topk, batch_format="pyarrow",
+                            batch_size=None, runtime_env=runtime_env())
+           .repartition(1)
+           .map_batches(topk, batch_format="pyarrow", batch_size=None,
+                        runtime_env=runtime_env()))
+
+    cust = pq.read_table(str(Path(sf_dir) / "customer.parquet"),
+                         columns=["c_custkey", "c_name"])
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    order = np.argsort(ck)
+    names = np.asarray(cust.column("c_name").to_pylist(),
+                       dtype=object)[order]
+    cref = ray.put((ck[order], names))
+
+    def attach_cust(batch: pa.Table) -> pa.Table:
+        sck, snm = cached_get(cref)
+        c = batch.column("o_custkey").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(sck, c)
+        return pa.table({
+            "c_custkey": pa.array(c, pa.int64()),
+            "c_name": pa.array(snm[pos].tolist(), pa.string()),
+            "o_orderkey": batch.column("o_orderkey"),
+            "total_c": batch.column("total_c"),
+            "sum_qty": batch.column("sum_qty"),
+        })
+
+    return top.map_batches(attach_cust, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+
+
+_SQL_BIG_ORDER_CUSTOMERS = f"""
+WITH s AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+           AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(floor(l_quantity) AS BIGINT)) > {_Q18_QTY}
+),
+t AS (
+  SELECT o.o_custkey, o.o_orderkey,
+         CAST(floor(o.o_totalprice * 100.0) AS BIGINT) AS total_c,
+         s.sum_qty
+  FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey
+  ORDER BY total_c DESC, o.o_orderkey LIMIT {_Q18_TOP}
+)
+SELECT c.c_custkey, c.c_name, t.o_orderkey, t.total_c, t.sum_qty
+FROM t JOIN customer c ON c.c_custkey = t.o_custkey
+ORDER BY t.total_c DESC, t.o_orderkey
+"""
+
+
 def q_risk_histogram(sf_dir: str):
     """A3 report aggregate: pages per risk label (report.py:315-320)."""
     scored = q_threat_scores(sf_dir)
@@ -18007,6 +18194,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "local_supplier_revenue": q_local_supplier_revenue,
         "top_orders_q3": q_top_orders_q3,
         "top_customers_q10": q_top_customers_q10,
+        "big_order_customers": q_big_order_customers,
         "lineitem_pricing": q_lineitem_pricing,
         "risk_histogram": q_risk_histogram,
         "top_risk": q_top_risk,
@@ -18221,6 +18409,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "local_supplier_revenue": _SQL_LOCAL_SUPPLIER_REVENUE,
         "top_orders_q3": _SQL_TOP_ORDERS_Q3,
         "top_customers_q10": _SQL_TOP_CUSTOMERS_Q10,
+        "big_order_customers": _SQL_BIG_ORDER_CUSTOMERS,
         "lineitem_pricing": _SQL_LINEITEM_PRICING,
         "risk_histogram": _sql_risk_histogram(),
         "top_risk": _sql_top_risk(),

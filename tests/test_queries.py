@@ -74,6 +74,7 @@ SPOT_CHECKED = [
     "bm25_search",
     "cocitation",
     "top_customers_q10",
+    "big_order_customers",
     "orders_join_merge",
     "source_divergence",
     "square_count",
@@ -1791,3 +1792,18 @@ def test_link_bowtie_residue_pin(ray_session):
     got = {row["part"]: row["nodes"]
            for row in q_link_bowtie(SF_SMOKE).to_pylist()}
     assert got == exp
+
+
+def test_big_order_customers_join_path(ray_session, monkeypatch):
+    """The size-gated attach's two paths must agree exactly: forcing
+    the qualifying-set broadcast cutoff to 0 routes through the native
+    hash join and must reproduce the broadcast path's table."""
+    import deepwebharvester_ray.pipelines.queries as q
+
+    bcast = q.q_big_order_customers(SF_SMOKE).take_all()
+    monkeypatch.setattr(q, "_Q18_BCAST", 0)
+    joined = q.q_big_order_customers(SF_SMOKE).take_all()
+    assert bcast == joined
+    assert len(bcast) > 0
+    tot = [r["total_c"] for r in bcast]
+    assert tot == sorted(tot, reverse=True)
