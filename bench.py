@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "link_authority",
     "rank_agreement",
     "triangle_count",
+    "link_richclub",
     "link_distances",
     "bucketed_join",
     "doc_surprisal",

@@ -7564,6 +7564,164 @@ FROM ue a JOIN ue b ON a.v = b.u JOIN ue c ON c.u = a.u AND c.v = b.v
 """
 
 
+_RICHCLUB_KS = (1, 2, 3, 4, 6, 8, 12, 16)
+
+
+def q_link_richclub(sf_dir: str):
+    """Rich-club coefficient spectrum of the undirected crawl link
+    graph (link_richclub): for each degree threshold k, the edge
+    density φ(k) = 2·E_k / (n_k(n_k−1)) among the n_k pages of degree
+    > k (Zhou & Mondragón 2004) — DO the well-linked pages link to
+    EACH OTHER (a hub oligarchy / link-exchange club) or independently
+    to the masses?  Completes the degree-structure family:
+    degree_assortativity ships one global mixing correlation,
+    link_densest finds the single densest subset — this profiles
+    density AS A FUNCTION of degree rank, the spectrum both collapse.
+
+    Everything exact integers via TWO bounded histograms — no
+    per-node or per-edge driver state: (1) the degree histogram
+    (deg → node count), (2) the min-endpoint-degree histogram over
+    distinct canonical edges (min(deg_u, deg_v) → edge count) — the
+    identity making one pass serve every threshold: an edge joins the
+    k-club iff BOTH endpoints exceed k iff its min degree does, so
+    E_k is a suffix sum of histogram (2) and n_k of histogram (1).
+    φ ships as ``phi_e6 = 2·10⁶·E_k // (n_k(n_k−1))`` (floor, both
+    engines).
+
+    Distributed shape: one combiner distinct for canonical edges, one
+    combiner grouped COUNT for degrees, degree attach to both edge
+    endpoints by broadcast sorted arrays (node cardinality — the
+    edge_embeddedness discipline; past broadcast scale the documented
+    switch is the native hash join ×2), then ONE combiner grouped
+    COUNT whose key domain is the DEGREE VALUE SET — shuffle bounded
+    by distinct degrees, never edges.  Driver folds two bounded
+    histograms with suffix sums."""
+    import ray
+
+    from ..broadcast import cached_get
+
+    _, edges = _corpus_link_edges(sf_dir)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"u": pa.array(np.minimum(s, d), pa.int64()),
+                         "v": pa.array(np.maximum(s, d), pa.int64())})
+
+    ue = grouped_agg(
+        edges.map_batches(canon, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env()),
+        ["u", "v"], [("c", "", "count")], sorted_output=False,
+    ).select_columns(["u", "v"]).materialize()
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v = batch.column("v").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({"z": pa.array(np.concatenate([u, v]),
+                                       pa.int64())})
+
+    # degree table at node cardinality, collected zero-copy
+    dp = [(b.column("z").to_numpy(zero_copy_only=False),
+           b.column("deg").to_numpy(zero_copy_only=False))
+          for b in grouped_agg(
+              ue.map_batches(endpoints, batch_format="pyarrow",
+                             batch_size=None,
+                             runtime_env=runtime_env()),
+              ["z"], [("deg", "", "count")],
+              sorted_output=False).iter_batches(batch_format="pyarrow")]
+    deg_nodes = np.concatenate([a for a, _ in dp]) if dp else \
+        np.array([], np.int64)
+    deg_vals = np.concatenate([d for _, d in dp]) if dp else \
+        np.array([], np.int64)
+    order = np.argsort(deg_nodes)
+    deg_ref = ray.put((deg_nodes[order], deg_vals[order]))
+
+    def min_deg(batch: pa.Table) -> pa.Table:
+        ids, dv = cached_get(deg_ref)
+        u = batch.column("u").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v = batch.column("v").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        du = dv[np.searchsorted(ids, u)]
+        dvv = dv[np.searchsorted(ids, v)]
+        return pa.table({"md": pa.array(np.minimum(du, dvv), pa.int64())})
+
+    mhist = grouped_agg(
+        ue.map_batches(min_deg, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["md"], [("n_e", "", "count")]).take_all()  # |degree domain| rows
+
+    dcount = np.bincount(deg_vals,
+                         minlength=int(deg_vals.max()) + 2 if len(deg_vals)
+                         else 1).astype(np.int64)
+    rows_k, rows_n, rows_e, rows_phi = [], [], [], []
+    for k in _RICHCLUB_KS:
+        n_k = int(dcount[k + 1:].sum()) if k + 1 < len(dcount) else 0
+        e_k = sum(int(r["n_e"]) for r in mhist if int(r["md"]) > k)
+        phi = (2 * 10**6 * e_k // (n_k * (n_k - 1))) if n_k >= 2 else 0
+        rows_k.append(k)
+        rows_n.append(n_k)
+        rows_e.append(e_k)
+        rows_phi.append(phi)
+    return pa.table({
+        "k": pa.array(rows_k, pa.int64()),
+        "n_k": pa.array(rows_n, pa.int64()),
+        "e_k": pa.array(rows_e, pa.int64()),
+        "phi_e6": pa.array(rows_phi, pa.int64()),
+    })
+
+
+def _sql_link_richclub() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    ks = ", ".join(f"({k})" for k in _RICHCLUB_KS)
+    return f"""
+WITH n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+),
+ue AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src != dst
+),
+deg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT u AS id FROM ue UNION ALL SELECT v AS id FROM ue)
+  GROUP BY id
+),
+md AS (
+  SELECT least(da.deg, db.deg) AS md
+  FROM ue JOIN deg da ON da.id = ue.u JOIN deg db ON db.id = ue.v
+),
+ks AS (SELECT k FROM (VALUES {ks}) AS t(k))
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST((SELECT count(*) FROM deg WHERE deg.deg > ks.k)
+            AS BIGINT) AS n_k,
+       CAST((SELECT count(*) FROM md WHERE md.md > ks.k)
+            AS BIGINT) AS e_k,
+       CAST(CASE WHEN (SELECT count(*) FROM deg WHERE deg.deg > ks.k) >= 2
+                 THEN (2000000 *
+                       (SELECT count(*) FROM md WHERE md.md > ks.k)) //
+                      ((SELECT count(*) FROM deg WHERE deg.deg > ks.k) *
+                       ((SELECT count(*) FROM deg WHERE deg.deg > ks.k)
+                        - 1))
+                 ELSE 0 END AS BIGINT) AS phi_e6
+FROM ks ORDER BY k
+"""
+
+
 def q_square_count(sf_dir: str):
     """Global 4-cycle (square) count of the undirected crawl link graph
     — the graphlet completing the family (CC / triangles / 2-hop /
@@ -18074,6 +18232,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "rank_agreement": q_rank_agreement,
         "rank_fusion": q_rank_fusion,
         "triangle_count": q_triangle_count,
+        "link_richclub": q_link_richclub,
         "square_count": q_square_count,
         "degree_assortativity": q_degree_assortativity,
         "inverted_index": q_inverted_index,
@@ -18292,6 +18451,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "rank_agreement": _sql_rank_agreement(),
         "rank_fusion": _sql_rank_fusion(),
         "triangle_count": _sql_triangles(),
+        "link_richclub": _sql_link_richclub(),
         "square_count": _sql_square_count(),
         "degree_assortativity": _sql_degree_assortativity(),
         "inverted_index": _SQL_INVERTED_INDEX,

@@ -143,6 +143,7 @@ SPOT_CHECKED = [
     "rank_agreement",
     "rank_fusion",
     "triangle_count",
+    "link_richclub",
     "degree_assortativity",
     "inverted_index",
     "doc_search",
@@ -1807,3 +1808,41 @@ def test_big_order_customers_join_path(ray_session, monkeypatch):
     assert len(bcast) > 0
     tot = [r["total_c"] for r in bcast]
     assert tot == sorted(tot, reverse=True)
+
+
+def test_link_richclub_brute_force(ray_session):
+    """Direct edge-set computation of φ(k) on the sf0.001 corpus graph
+    must equal the two-histogram fold — covering canonical dedup,
+    degree counting and the min-endpoint-degree suffix identity."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.corpus import (DUP_MOD, DUP_REMAINDER,
+                                             LINK_OFFSETS)
+    from deepwebharvester_ray.pipelines.queries import (_RICHCLUB_KS,
+                                                        q_link_richclub)
+
+    n = pq.ParquetFile(
+        SF_SMOKE + "/documents.parquet").metadata.num_rows
+    d = np.arange(n, dtype=np.int64)
+    eff = np.where((d > 0) & (d % DUP_MOD == DUP_REMAINDER), d - 1, d)
+    src = np.repeat(d, len(LINK_OFFSETS))
+    dst = (np.repeat(eff, len(LINK_OFFSETS))
+           + np.tile(np.asarray(LINK_OFFSETS, np.int64), n)) % n
+    pairs = {(min(a, b), max(a, b))
+             for a, b in zip(src.tolist(), dst.tolist()) if a != b}
+    deg = Counter()
+    for u, v in pairs:
+        deg[u] += 1
+        deg[v] += 1
+    got = {r["k"]: (r["n_k"], r["e_k"], r["phi_e6"])
+           for r in q_link_richclub(SF_SMOKE).to_pylist()}
+    assert set(got) == set(_RICHCLUB_KS)
+    for k in _RICHCLUB_KS:
+        club = {x for x, dx in deg.items() if dx > k}
+        e_k = sum(1 for u, v in pairs if u in club and v in club)
+        n_k = len(club)
+        phi = (2 * 10**6 * e_k // (n_k * (n_k - 1))) if n_k >= 2 else 0
+        assert got[k] == (n_k, e_k, phi), k
