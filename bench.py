@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "link_coloring",
     "reach_profile",
     "link_stress",
+    "link_harmonic",
     "link_mst",
     "link_densest",
     "link_bowtie",

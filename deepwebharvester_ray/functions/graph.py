@@ -2833,3 +2833,196 @@ def bowtie_decomposition(nodes_ds, edges_ds, max_rounds: int = 100):
         "part": pa.array(list(BOWTIE_PARTS), pa.string()),
         "nodes": pa.array([out[i] for i in range(len(BOWTIE_PARTS))],
                           pa.int64())})
+
+
+_MSD_INF = np.int64(2**62)  # unreached sentinel; min-safe, never summed
+
+
+def multi_source_distances(edges_ds, seeds: "np.ndarray", max_depth: int,
+                           broadcast_below: int = 2_000_000):
+    """Per-seed hop distances from K fixed seeds in ONE fixpoint:
+    ``(id, d0..d{K-1})`` rows with ``dk`` = hop distance from
+    ``seeds[k]`` (``_MSD_INF`` sentinel when unreached within
+    ``max_depth``) — the distance MATRIX slice every pivot-sampled
+    centrality consumes.  :func:`bfs_distances` collapses all seeds to
+    one MIN column; :func:`stress_centrality` carries (d, σ) packed —
+    this is the distance-only member: K BFS labelings for the price
+    of one driver loop (the HyperANF fixed-width-column layout), not
+    K sequential fixpoints.
+
+    Per round: frontier = rows with any ``dk == r−1``; ONE size-gated
+    attach (below ``broadcast_below`` state rows, broadcast the sorted
+    frontier ids + per-seed boolean frontier matrix and expand inside
+    ``map_batches`` over the distributed edges; above, native hash
+    join edges⋈state with the frontier test applied post-join), a
+    grouped-MIN combiner collapses duplicate candidates at candidate
+    cardinality, and the settle-merge is a grouped MIN over the K
+    distance columns (settled d < r always beats a round-r candidate).
+    Empty frontier short-circuits; candidate emission is bounded by
+    frontier out-edges, never the reachable set."""
+    import ray
+
+    from ..broadcast import cached_get
+    from .agg import grouped_agg
+    from .partition import coalesce_nonempty
+
+    seeds = np.sort(np.asarray(seeds, np.int64))
+    K = len(seeds)
+    assert 0 < K <= 32, "multi_source_distances: 1..32 seeds"
+    D_COLS = [f"d{k}" for k in range(K)]
+
+    edges_m = edges_ds.materialize()
+    edges_nz = coalesce_nonempty(edges_m)
+
+    init = {}
+    for k in range(K):
+        col = np.full(K, _MSD_INF, np.int64)
+        col[k] = 0
+        init[D_COLS[k]] = col
+    state = ray.data.from_arrow(pa.table({
+        "id": pa.array(seeds, pa.int64()),
+        **{c: pa.array(v, pa.int64()) for c, v in init.items()},
+    })).materialize()
+
+    def _np(batch, col):
+        return batch.column(col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+
+    for r in range(1, max_depth + 1):
+        rr = np.int64(r)
+        n_state = state.count()
+        if n_state < broadcast_below:
+            rows = state.take_all()
+            ids = np.fromiter((x["id"] for x in rows), np.int64, n_state)
+            dmat = np.column_stack([
+                np.fromiter((x[c] for x in rows), np.int64, n_state)
+                for c in D_COLS]) if n_state else np.zeros((0, K),
+                                                           np.int64)
+            fmask = dmat == (rr - 1)
+            live = fmask.any(axis=1)
+            if not live.any():
+                break
+            f_ids = ids[live]
+            order = np.argsort(f_ids)
+            fmat = fmask[live][order]
+            f_ids = f_ids[order]
+            ref = ray.put((f_ids, fmat))
+
+            def expand(batch: pa.Table, _ref=ref, _r=rr) -> pa.Table:
+                sids, m = cached_get(_ref)
+                src = batch.column("src").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                pos = np.searchsorted(sids, src)
+                pos_c = np.minimum(pos, max(len(sids) - 1, 0))
+                hit = (sids[pos_c] == src) if len(sids) else \
+                    np.zeros(len(src), bool)
+                sub = m[pos_c[hit]]
+                dst = batch.column("dst").combine_chunks().to_numpy(
+                    zero_copy_only=False)[hit]
+                cand = np.where(sub, _r, _MSD_INF)
+                return pa.table({
+                    "id": pa.array(dst, pa.int64()),
+                    **{c: pa.array(cand[:, k], pa.int64())
+                       for k, c in enumerate(D_COLS)}})
+
+            cands = edges_m.map_batches(
+                expand, batch_format="pyarrow", runtime_env=runtime_env())
+        else:
+            n_frontier = state.map_batches(
+                lambda b, _r=rr: pa.table({"n": pa.array([int(np.any(
+                    np.column_stack([_np(b, c) for c in D_COLS])
+                    == (_r - 1), axis=1).sum())], pa.int64())}),
+                batch_format="pyarrow", batch_size=None,
+                runtime_env=runtime_env()).sum("n")
+            if not n_frontier:
+                break
+            lookup = coalesce_nonempty(state.map_batches(
+                lambda b: b.rename_columns(
+                    ["lid" if c == "id" else c for c in b.column_names]),
+                batch_format="pyarrow", runtime_env=runtime_env(),
+            ).materialize())
+            if edges_nz is None or lookup is None:
+                break
+
+            def rekey(batch: pa.Table, _r=rr) -> pa.Table:
+                dmat = np.column_stack([_np(batch, c) for c in D_COLS]) \
+                    if batch.num_rows else np.zeros((0, K), np.int64)
+                f = dmat == (_r - 1)
+                keep = f.any(axis=1)
+                dst = _np(batch, "dst")[keep]
+                cand = np.where(f[keep], _r, _MSD_INF)
+                return pa.table({
+                    "id": pa.array(dst, pa.int64()),
+                    **{c: pa.array(cand[:, k], pa.int64())
+                       for k, c in enumerate(D_COLS)}})
+
+            cands = edges_nz.join(
+                lookup, "inner",
+                num_partitions=max(2, edges_m.num_blocks() // 4),
+                on=("src",), right_on=("lid",),
+            ).map_batches(rekey, batch_format="pyarrow",
+                          runtime_env=runtime_env())
+
+        cands = coalesce_nonempty(cands)
+        if cands is None:
+            break
+        state = grouped_agg(
+            state.union(cands), ["id"],
+            [(c, c, "min") for c in D_COLS], sorted_output=False,
+        ).materialize()
+
+    return state
+
+
+def harmonic_centrality(edges_ds, seeds: "np.ndarray", max_depth: int,
+                        scale: int | None = None,
+                        broadcast_below: int = 2_000_000):
+    """Sampled harmonic closeness (Marchiori–Latora 2000 / Boldi–Vigna
+    2014's recommended centrality; pivot sampling per Eppstein–Wang
+    2004): for every node v, ``h(v) = Σ_s scale // d(s, v)`` over the
+    K fixed seed pivots with 1 ≤ d ≤ ``max_depth`` — the PROXIMITY
+    member of the centrality family (pagerank scores where walks
+    LAND, stress what routes pass THROUGH; harmonic scores what is
+    CLOSE to everywhere: the few-hops-from-any-seed pages a crawl
+    reaches first, with the 1/d weighting that handles unreachable
+    pairs gracefully — closeness' Σd diverges on them, 1/∞ = 0 does
+    not).  ``scale`` defaults to lcm(1..max_depth), making every term
+    — hence the whole statistic — an EXACT integer, deterministic
+    across engines, block layouts and merge orders; an explicit scale
+    must keep that divisibility (asserted).
+
+    One :func:`multi_source_distances` fixpoint (K labelings, one
+    driver loop), then a single vectorized fold per block: sum
+    ``scale // d`` over the seed columns, d = 0 (self) and unreached
+    excluded.  Returns ``(id, harmonic)`` at reached-node cardinality
+    (unreached-by-every-seed nodes score 0 and are omitted)."""
+    if scale is None:
+        scale = 1
+        for d in range(2, max_depth + 1):
+            g, a, b = 1, scale, d
+            while b:
+                a, b = b, a % b
+            g = a
+            scale = scale * d // g
+    for d in range(1, max_depth + 1):
+        assert scale % d == 0, "harmonic scale must clear every 1/d"
+
+    state = multi_source_distances(edges_ds, seeds, max_depth,
+                                   broadcast_below=broadcast_below)
+    K = len(np.asarray(seeds))
+    D_COLS = [f"d{k}" for k in range(K)]
+
+    def fold(batch: pa.Table, _s=np.int64(scale)) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "harmonic": pa.array([], pa.int64())})
+        dmat = np.column_stack([
+            batch.column(c).combine_chunks().to_numpy(
+                zero_copy_only=False) for c in D_COLS])
+        ok = (dmat >= 1) & (dmat <= max_depth)
+        h = np.where(ok, _s // np.maximum(dmat, 1), 0).sum(axis=1)
+        return pa.table({"id": batch.column("id"),
+                         "harmonic": pa.array(h, pa.int64())})
+
+    return state.map_batches(fold, batch_format="pyarrow",
+                             batch_size=None, runtime_env=runtime_env())

@@ -9132,6 +9132,59 @@ def q_link_stress(sf_dir: str):
         runtime_env=runtime_env())
 
 
+_HARMONIC_SCALE = 60  # lcm(1..STRESS_DEPTH): every 1/d term exact
+
+
+def q_link_harmonic(sf_dir: str):
+    """Sampled harmonic closeness of the crawl link graph
+    (link_harmonic): the PROXIMITY member of the centrality family —
+    pagerank scores where random walks LAND, link_stress what
+    shortest routes pass THROUGH, link_authority where endorsement
+    concentrates; harmonic scores what is CLOSE to everywhere:
+    ``h(v) = Σ_s 60/d(s,v)`` over the same 8 fixed pivots and 6-hop
+    horizon as link_stress (Marchiori–Latora 2000; Boldi–Vigna 2014
+    name it the axiom-satisfying closeness — 1/∞ = 0 handles
+    unreachable pairs where classic closeness' Σd diverges;
+    Eppstein–Wang 2004 pivot sampling).  The 60 = lcm(1..6) scaling
+    makes every term an EXACT integer — deterministic across engines,
+    block layouts and merge orders.
+
+    Distributed shape: ONE :func:`functions.graph.
+    multi_source_distances` fixpoint — K BFS labelings as fixed-width
+    columns in one driver loop (the HyperANF/stress layout), per
+    round one size-gated frontier attach + a grouped-MIN settle —
+    then a single vectorized per-block fold (Σ 60//d, self and
+    unreached excluded) and the two-level deterministic top-50 under
+    (harmonic DESC, doc_id).  Rows-only (iterative BFS has no
+    non-recursive SQL form); pinned against per-seed sequential BFS
+    on random multigraphs and end-to-end at sf0.001."""
+    from ..functions.graph import harmonic_centrality
+
+    _, edges = _corpus_link_edges(sf_dir)
+    seeds = np.arange(STRESS_SEED_K, dtype=np.int64) * STRESS_SEED_MOD
+
+    hc = harmonic_centrality(edges, seeds, max_depth=STRESS_DEPTH,
+                             scale=_HARMONIC_SCALE)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        idc = "id" if "id" in batch.column_names else "doc_id"
+        ids = batch.column(idc).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        h = batch.column("harmonic").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((ids, -h))[:STRESS_TOPK]
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "harmonic": pa.array(h[order], pa.int64()),
+        })
+
+    part = hc.map_batches(topk, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env())
+    return part.repartition(1).map_batches(
+        topk, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+
+
 def q_curriculum_order(sf_dir: str):
     """Curriculum ordering with a GLOBAL row number: docs bucketed by
     length (short-first curriculum), shuffled deterministically within
@@ -18213,6 +18266,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "link_scc": q_link_scc,
         "link_mis": q_link_mis,
         "link_stress": q_link_stress,
+        "link_harmonic": q_link_harmonic,
         "link_mst": q_link_mst,
         "link_densest": q_link_densest,
         "link_bowtie": q_link_bowtie,
@@ -18593,7 +18647,7 @@ ROWS_ONLY: List[str] = [
     "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
     "link_kcore", "link_scc", "link_mis", "link_ktruss", "link_coloring",
     "reach_profile", "link_stress", "link_mst", "link_densest",
-    "link_bowtie",
+    "link_bowtie", "link_harmonic",
     "raking_weights",
     "dedup_eval",
     "mmr_topk", "embedding_pca",

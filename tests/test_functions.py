@@ -3530,3 +3530,93 @@ def test_bowtie_matches_sequential_random(ray_session):
         got = {r["part"]: r["nodes"]
                for r in bowtie_decomposition(nd, e).to_pylist()}
         assert got == _bowtie_seq_ref(nodes, edges), (n, m)
+
+
+def _bfs_seq(adj, s, max_depth):
+    dist = {s: 0}
+    frontier = [s]
+    for r in range(1, max_depth + 1):
+        nxt = []
+        for u in frontier:
+            for w in adj.get(u, ()):
+                if w not in dist:
+                    dist[w] = r
+                    nxt.append(w)
+        frontier = nxt
+    return dist
+
+
+def test_multi_source_distances_matches_sequential(ray_session):
+    """Per-seed distance columns on random multigraphs (duplicate edges
+    and self-loops included) must equal K sequential BFS runs — on the
+    broadcast path AND the forced join path."""
+    from collections import defaultdict
+
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.graph import (_MSD_INF,
+                                                      multi_source_distances)
+
+    rng = np.random.default_rng(31)
+    for trial, (n, m, depth) in enumerate([(30, 60, 4), (60, 150, 6)]):
+        src = rng.integers(0, n, m).astype(np.int64)
+        dst = rng.integers(0, n, m).astype(np.int64)
+        adj = defaultdict(list)
+        for a, b in zip(src.tolist(), dst.tolist()):
+            adj[a].append(b)
+        seeds = np.array(sorted(rng.choice(n, 4, replace=False)),
+                         np.int64)
+        refs = [_bfs_seq(adj, int(s), depth) for s in seeds]
+        e = ray.data.from_arrow(pa.table({
+            "src": pa.array(src), "dst": pa.array(dst)})).repartition(4)
+        for bb in (2_000_000, 0):   # broadcast, then forced join path
+            state = multi_source_distances(e, seeds, depth,
+                                           broadcast_below=bb).take_all()
+            got = {r["id"]: [r[f"d{k}"] for k in range(len(seeds))]
+                   for r in state}
+            # every (node, seed) either matches the BFS distance or is
+            # the sentinel on both sides
+            all_ids = set(got)
+            for ref in refs:
+                all_ids |= set(ref)
+            for v in all_ids:
+                for k in range(len(seeds)):
+                    exp = refs[k].get(v, int(_MSD_INF))
+                    act = got.get(v, [int(_MSD_INF)] * len(seeds))[k]
+                    assert act == exp, (trial, bb, v, k)
+
+
+def test_harmonic_centrality_exact(ray_session):
+    """h(v) = Σ_s scale//d must equal the fold over sequential BFS
+    distances, and the default scale must be lcm(1..max_depth)."""
+    from collections import defaultdict
+
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.graph import harmonic_centrality
+
+    rng = np.random.default_rng(37)
+    n, m, depth = 40, 90, 5
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    adj = defaultdict(list)
+    for a, b in zip(src.tolist(), dst.tolist()):
+        adj[a].append(b)
+    seeds = np.array([0, 7, 19], np.int64)
+    scale = 60  # lcm(1..5)
+    refs = [_bfs_seq(adj, int(s), depth) for s in seeds]
+    exp = defaultdict(int)
+    for ref in refs:
+        for v, d in ref.items():
+            if 1 <= d <= depth:
+                exp[v] += scale // d
+    e = ray.data.from_arrow(pa.table({
+        "src": pa.array(src), "dst": pa.array(dst)})).repartition(3)
+    got = {r["id"]: r["harmonic"]
+           for r in harmonic_centrality(e, seeds, depth).take_all()}
+    for v, h in exp.items():
+        assert got.get(v, 0) == h, v
+    for v, h in got.items():
+        assert exp.get(v, 0) == h, v

@@ -1846,3 +1846,39 @@ def test_link_richclub_brute_force(ray_session):
         n_k = len(club)
         phi = (2 * 10**6 * e_k // (n_k * (n_k - 1))) if n_k >= 2 else 0
         assert got[k] == (n_k, e_k, phi), k
+
+
+def test_link_harmonic_corpus_pin(ray_session):
+    """End-to-end catalog pin: q_link_harmonic's top-50 over the
+    sf0.001 corpus graph must equal the fold of 8 sequential BFS runs
+    under the same (harmonic DESC, doc_id) order."""
+    from collections import defaultdict
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.corpus import (DUP_MOD, DUP_REMAINDER,
+                                             LINK_OFFSETS)
+    from deepwebharvester_ray.pipelines.queries import (
+        _HARMONIC_SCALE, STRESS_DEPTH, STRESS_SEED_K, STRESS_SEED_MOD,
+        STRESS_TOPK, q_link_harmonic)
+    from tests.test_functions import _bfs_seq
+
+    n = pq.ParquetFile(
+        SF_SMOKE + "/documents.parquet").metadata.num_rows
+    d = np.arange(n, dtype=np.int64)
+    eff = np.where((d > 0) & (d % DUP_MOD == DUP_REMAINDER), d - 1, d)
+    adj = defaultdict(list)
+    for off in LINK_OFFSETS:
+        for a, b in zip(d.tolist(), ((eff + off) % n).tolist()):
+            adj[a].append(b)
+    seeds = [int(k * STRESS_SEED_MOD) for k in range(STRESS_SEED_K)]
+    h = defaultdict(int)
+    for s in seeds:
+        for v, dd in _bfs_seq(adj, s, STRESS_DEPTH).items():
+            if 1 <= dd <= STRESS_DEPTH:
+                h[v] += _HARMONIC_SCALE // dd
+    exp = sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[:STRESS_TOPK]
+    got = [(r["doc_id"], r["harmonic"])
+           for r in q_link_harmonic(SF_SMOKE).take_all()]
+    assert got == exp
