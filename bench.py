@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "clicks_asof_next",
     "clicks_in_views",
     "split_assign",
+    "subsample_stability",
     "top_tokens",
     "top_tokens_by_source",
     "bpe_pair_counts",

@@ -3665,6 +3665,117 @@ FROM h ORDER BY doc_id
 """
 
 
+_SSTAB_B = 16                          # half-sample replicates
+_SSTAB_MULT = 11400714819323198485     # odd golden-ratio multiplier
+
+
+def q_subsample_stability(sf_dir: str):
+    """Half-sample replication variance of the per-type revenue total
+    (subsample_stability): the RESAMPLING-INFERENCE member of the
+    statistics family — value_stats ships the point estimates,
+    welch/mann_whitney/kruskal test BETWEEN groups; this asks "how
+    stable is each group's own total under resampling?" — the
+    McCarthy 1969 balanced-half-sample idea with DETERMINISTIC hash
+    replicates instead of random ones, the survey-statistics variance
+    estimator that needs no distributional assumption and (unlike the
+    bootstrap) no non-portable random draws.
+
+    Replicate b ∈ [0, 16) keeps the rows whose multiplicative-hash
+    bit ``(event_id·MULT mod 2⁶⁴) >> (48+b) & 1`` is set — the
+    split_assign hash discipline (membership depends only on the id:
+    reshard/resume-stable, and DuckDB reproduces it bit-for-bit via
+    HUGEINT mod 2⁶⁴).  Each half-sample doubles to an estimate of the
+    total; the deviations ``D_b = 2·S_b − S`` square-sum to the
+    replication variance proxy ``dev_sumsq = Σ_b D_b²`` (shipped as a
+    decimal string — exact past int64 at extreme scale) with
+    ``max_dev`` alongside.  Everything exact integers end to end.
+
+    Distributed shape: ONE combiner ``grouped_agg`` carrying 18
+    parallel aggregate columns per type (n, S, S_0..S_15 — the
+    replicate sums ride the SAME exchange as the total, vectorized
+    bits-matrix × cents inside the combiner); shuffle is k types ×
+    18 int64s, never the row count.  Driver folds ≤ |types| rows."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type",
+                                          "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v = batch.column("value").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cents = np.floor(v * 100.0).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(_SSTAB_MULT)
+        cols = {"event_type": batch.column("event_type"),
+                "n": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+                "s": pa.array(cents, pa.int64())}
+        for b in range(_SSTAB_B):
+            bit = ((h >> np.uint64(48 + b)) & np.uint64(1)).astype(
+                np.int64)
+            cols[f"s{b}"] = pa.array(bit * cents, pa.int64())
+        return pa.table(cols)
+
+    specs = [("n", "n", "sum"), ("s", "s", "sum")] + [
+        (f"s{b}", f"s{b}", "sum") for b in range(_SSTAB_B)]
+    agg = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["event_type"], specs).take_all()  # ≤ |types| rows
+
+    types, ns, ss, sumsq, maxdev = [], [], [], [], []
+    for r in agg:
+        s = int(r["s"])
+        devs = [2 * int(r[f"s{b}"]) - s for b in range(_SSTAB_B)]
+        types.append(r["event_type"])
+        ns.append(int(r["n"]))
+        ss.append(s)
+        sumsq.append(str(sum(d * d for d in devs)))
+        maxdev.append(max(abs(d) for d in devs))
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "s_cents": pa.array(ss, pa.int64()),
+        "dev_sumsq": pa.array(sumsq, pa.string()),
+        "max_dev": pa.array(maxdev, pa.int64()),
+    })
+
+
+def _sql_subsample_stability() -> str:
+    reps = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN (hv // CAST('{1 << (48 + b)}' AS HUGEINT))"
+        f" % 2 = 1 THEN cents ELSE 0 END) AS BIGINT) AS s{b}"
+        for b in range(_SSTAB_B))
+    devs = ", ".join(
+        f"(2 * CAST(s{b} AS HUGEINT) - s) AS d{b}"
+        for b in range(_SSTAB_B))
+    sq = " + ".join(f"d{b} * d{b}" for b in range(_SSTAB_B))
+    mx = ", ".join(f"abs(d{b})" for b in range(_SSTAB_B))
+    return f"""
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * 100.0) AS BIGINT) AS cents,
+         (CAST(event_id AS HUGEINT) * {_SSTAB_MULT}) %
+             CAST('18446744073709551616' AS HUGEINT) AS hv
+  FROM events
+),
+a AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s,
+         {reps}
+  FROM v GROUP BY event_type
+),
+d AS (
+  SELECT event_type, n, s, {devs} FROM a
+)
+SELECT event_type, n, s AS s_cents,
+       CAST({sq} AS VARCHAR) AS dev_sumsq,
+       CAST(greatest({mx}) AS BIGINT) AS max_dev
+FROM d ORDER BY event_type
+"""
+
+
 SAMPLE_K = 200
 _SAMPLE_MULT = 0xC2B2AE3D27D4EB4F  # odd (≠ split mult → independent draw)
 
@@ -18226,6 +18337,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "clicks_asof_next": q_clicks_asof_next,
         "clicks_in_views": q_clicks_in_views,
         "split_assign": q_split_assign,
+        "subsample_stability": q_subsample_stability,
         "sample_k": q_sample_k,
         "top_tokens": q_top_tokens,
         "top_tokens_by_source": q_top_tokens_by_source,
@@ -18465,6 +18577,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "clicks_asof_next": _SQL_CLICKS_ASOF_NEXT,
         "clicks_in_views": _SQL_CLICKS_IN_VIEWS,
         "split_assign": _SQL_SPLIT_ASSIGN,
+        "subsample_stability": _sql_subsample_stability(),
         "sample_k": _SQL_SAMPLE_K,
         "top_tokens": _SQL_TOP_TOKENS,
         "top_tokens_by_source": _SQL_TOP_TOKENS_BY_SOURCE,

@@ -30,6 +30,7 @@ SPOT_CHECKED = [
     "clicks_asof_views",
     "clicks_asof_next",
     "split_assign",
+    "subsample_stability",
     "sample_k",
     "top_tokens",
     "top_tokens_by_source",
@@ -1882,3 +1883,43 @@ def test_link_harmonic_corpus_pin(ray_session):
     got = [(r["doc_id"], r["harmonic"])
            for r in q_link_harmonic(SF_SMOKE).take_all()]
     assert got == exp
+
+
+def test_subsample_stability_brute_force(ray_session, tmp_path):
+    """A planted 6-row sample must reproduce the hand-computed replicate
+    sums: every D_b = 2·S_b − S from explicit per-row hash bits, the
+    squared sum and the max deviation."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import (
+        _SSTAB_B, _SSTAB_MULT, q_subsample_stability)
+
+    ids = [3, 17, 42, 99, 100, 123456]
+    cents = [100, 250, 999, 5, 40, 7]
+    n = len(ids)
+    pq.write_table(pa.table({
+        "event_id": pa.array(ids, pa.int64()),
+        "ts": pa.array([datetime.datetime(2025, 1, 1)] * n,
+                       pa.timestamp("us")),
+        "user_id": pa.array([0] * n, pa.int64()),
+        "event_type": pa.array(["click"] * n, pa.string()),
+        "value": pa.array([c / 100.0 for c in cents], pa.float64()),
+        "props": pa.array([""] * n, pa.string()),
+    }), str(tmp_path / "events.parquet"))
+
+    s = sum(cents)
+    devs = []
+    for b in range(_SSTAB_B):
+        sb = sum(c for i, c in zip(ids, cents)
+                 if ((i * _SSTAB_MULT) % 2**64) >> (48 + b) & 1)
+        devs.append(2 * sb - s)
+    r = q_subsample_stability(str(tmp_path)).to_pylist()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["n"], row["s_cents"]) == (n, s)
+    assert row["dev_sumsq"] == str(sum(d * d for d in devs))
+    assert row["max_dev"] == max(abs(d) for d in devs)
