@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "clicks_in_views",
     "split_assign",
     "subsample_stability",
+    "forecast_baseline",
     "top_tokens",
     "top_tokens_by_source",
     "bpe_pair_counts",

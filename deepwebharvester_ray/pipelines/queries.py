@@ -3665,6 +3665,104 @@ FROM h ORDER BY doc_id
 """
 
 
+def q_forecast_baseline(sf_dir: str):
+    """Naive vs seasonal-naive forecast-error audit on the hourly
+    revenue series (forecast_baseline): the FORECASTING-BASELINE
+    member of the temporal family — events_hourly ships the series,
+    user_autocorr measures serial dependence, user_cusum detects
+    level shifts; this answers the model-selection question every
+    monitoring pipeline asks FIRST: does last-hour (naive) or
+    same-hour-yesterday (seasonal-naive, lag 24) predict each type's
+    hourly total better (Hyndman's MASE denominators — any real
+    forecaster must beat BOTH baselines, so their error sums are the
+    canonical yardstick)?  Evaluation hours are those where the hour
+    itself AND both lag hours are present — pure key lookups, no
+    densification, no float.  Absolute errors in integer cents; the
+    output per type is (n_eval, sae_naive, sae_seasonal, better) with
+    ``better`` the exact comparison (ties → 'naive', documented).
+
+    Distributed shape: ONE combiner ``grouped_agg`` collapses the
+    stream to the per-(type, absolute-hour) totals — shuffle bounded
+    by |types| × |hours| (the calendar, never the row count) — and
+    the driver folds each type's bounded series with two vectorized
+    searchsorted lag lookups."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = (batch.column("ts").combine_chunks()
+              .cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        v = batch.column("value").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "hour": pa.array(ts // 3_600_000_000, pa.int64()),
+            "cents": pa.array(np.floor(v * 100.0).astype(np.int64),
+                              pa.int64()),
+        })
+
+    hourly = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["event_type", "hour"], [("s", "cents", "sum")],
+    ).take_all()  # |types| × |hours| rows — the calendar envelope
+
+    series: dict = {}
+    for r in hourly:
+        series.setdefault(r["event_type"], []).append(
+            (int(r["hour"]), int(r["s"])))
+    types, nev, sae_n, sae_s, better = [], [], [], [], []
+    for t in sorted(series):
+        hs = np.array([h for h, _ in series[t]], np.int64)
+        vs = np.array([s for _, s in series[t]], np.int64)
+        order = np.argsort(hs)
+        hs, vs = hs[order], vs[order]
+        p1 = np.searchsorted(hs, hs - 1)
+        p24 = np.searchsorted(hs, hs - 24)
+        p1c = np.minimum(p1, len(hs) - 1)
+        p24c = np.minimum(p24, len(hs) - 1)
+        ok = (hs[p1c] == hs - 1) & (hs[p24c] == hs - 24)
+        e1 = int(np.abs(vs[ok] - vs[p1c[ok]]).sum())
+        e24 = int(np.abs(vs[ok] - vs[p24c[ok]]).sum())
+        types.append(t)
+        nev.append(int(ok.sum()))
+        sae_n.append(e1)
+        sae_s.append(e24)
+        better.append("seasonal" if e24 < e1 else "naive")
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n_eval": pa.array(nev, pa.int64()),
+        "sae_naive": pa.array(sae_n, pa.int64()),
+        "sae_seasonal": pa.array(sae_s, pa.int64()),
+        "better": pa.array(better, pa.string()),
+    })
+
+
+_SQL_FORECAST_BASELINE = """
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+         CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY event_type, hour
+),
+e AS (
+  SELECT c.event_type,
+         abs(c.s - l1.s) AS e1, abs(c.s - l24.s) AS e24
+  FROM h c
+  JOIN h l1  ON l1.event_type = c.event_type AND l1.hour = c.hour - 1
+  JOIN h l24 ON l24.event_type = c.event_type AND l24.hour = c.hour - 24
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(SUM(e1) AS BIGINT) AS sae_naive,
+       CAST(SUM(e24) AS BIGINT) AS sae_seasonal,
+       CASE WHEN SUM(e24) < SUM(e1) THEN 'seasonal' ELSE 'naive' END
+           AS better
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
 _SSTAB_B = 16                          # half-sample replicates
 _SSTAB_MULT = 11400714819323198485     # odd golden-ratio multiplier
 
@@ -18338,6 +18436,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "clicks_in_views": q_clicks_in_views,
         "split_assign": q_split_assign,
         "subsample_stability": q_subsample_stability,
+        "forecast_baseline": q_forecast_baseline,
         "sample_k": q_sample_k,
         "top_tokens": q_top_tokens,
         "top_tokens_by_source": q_top_tokens_by_source,
@@ -18578,6 +18677,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "clicks_in_views": _SQL_CLICKS_IN_VIEWS,
         "split_assign": _SQL_SPLIT_ASSIGN,
         "subsample_stability": _sql_subsample_stability(),
+        "forecast_baseline": _SQL_FORECAST_BASELINE,
         "sample_k": _SQL_SAMPLE_K,
         "top_tokens": _SQL_TOP_TOKENS,
         "top_tokens_by_source": _SQL_TOP_TOKENS_BY_SOURCE,

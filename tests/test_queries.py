@@ -31,6 +31,7 @@ SPOT_CHECKED = [
     "clicks_asof_next",
     "split_assign",
     "subsample_stability",
+    "forecast_baseline",
     "sample_k",
     "top_tokens",
     "top_tokens_by_source",
@@ -1923,3 +1924,47 @@ def test_subsample_stability_brute_force(ray_session, tmp_path):
     assert (row["n"], row["s_cents"]) == (n, s)
     assert row["dev_sumsq"] == str(sum(d * d for d in devs))
     assert row["max_dev"] == max(abs(d) for d in devs)
+
+
+def test_forecast_baseline_hand_series(ray_session, tmp_path):
+    """A hand-built 26-hour single-type series with one missing hour
+    must evaluate ONLY the hours whose h−1 and h−24 both exist, with
+    exact absolute-error sums for both baselines."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepwebharvester_ray.pipelines.queries import q_forecast_baseline
+
+    base = datetime.datetime(2025, 1, 1)
+    # hours 0..25 with hour 24 missing: eval hours need h-1 and h-24
+    # present -> only h=25 qualifies via h-1=24? no (24 missing) -> none
+    # then add hour 24 back in a second table? build two cases instead
+    hours = [h for h in range(26) if h != 3]
+    vals = {h: 100 + 7 * h for h in hours}
+    rows_h, rows_v = [], []
+    for h in hours:
+        rows_h.append(base + datetime.timedelta(hours=h, minutes=30))
+        rows_v.append(vals[h] / 100.0)
+    n = len(rows_h)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(rows_h, pa.timestamp("us")),
+        "user_id": pa.array([0] * n, pa.int64()),
+        "event_type": pa.array(["click"] * n, pa.string()),
+        "value": pa.array(rows_v, pa.float64()),
+        "props": pa.array([""] * n, pa.string()),
+    }), str(tmp_path / "events.parquet"))
+
+    # eligible: h with h, h-1, h-24 all present.  hours = 0..25 minus 3
+    # -> h=24 needs 23,0 ok; h=25 needs 24,1 ok.  h=4 lacks 3.
+    exp_hours = [24, 25]
+    e1 = sum(abs(vals[h] - vals[h - 1]) for h in exp_hours)
+    e24 = sum(abs(vals[h] - vals[h - 24]) for h in exp_hours)
+    r = q_forecast_baseline(str(tmp_path)).to_pylist()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_eval"] == len(exp_hours)
+    assert (row["sae_naive"], row["sae_seasonal"]) == (e1, e24)
+    assert row["better"] == ("seasonal" if e24 < e1 else "naive")
