@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "split_assign",
     "subsample_stability",
     "forecast_baseline",
+    "median_micros",
     "top_tokens",
     "top_tokens_by_source",
     "bpe_pair_counts",

@@ -327,3 +327,117 @@ def column_profile(ds, int_cols: Sequence[str], str_cols: Sequence[str]):
         "min_s": pa.array(out["min_s"], pa.string()),
         "max_s": pa.array(out["max_s"], pa.string()),
     })
+
+
+def grouped_median_bisect(ds, key: str, value_col: str,
+                          fanout: int = 16, max_rounds: int = 40):
+    """Exact per-group lower median by DISTRIBUTED MULTI-WAY BISECTION
+    — the selection algorithm for value domains too large to
+    histogram: :func:`grouped_quantiles` ships the whole (key, value,
+    count) histogram through one exchange, which is right when values
+    are prices in cents (bounded domain) and wrong when they are
+    64-bit measurements — this never materializes a histogram at all.
+
+    Parallel quickselect by range partitioning: every group g keeps an
+    integer bracket ``[lo_g, hi_g]`` guaranteed to contain its answer;
+    each round ONE combiner pass bins every row into its own group's
+    ``fanout`` evenly-spaced sub-ranges (ALL groups narrow in the SAME
+    pass) and the driver keeps the sub-range containing the k-th order
+    statistic (k = (n_g + 1) // 2, the lower median —
+    ``percentile_disc(0.5)`` / DuckDB ``quantile_disc`` semantics).
+    Convergence in ⌈log_fanout(max − min)⌉ rounds — a 64-bit domain at
+    the default fanout is ≤ 16 counting passes, each shuffling
+    |groups| × fanout int64 rows, never a histogram, never raw values.
+
+    Driver state: one (lo, hi, k) triple per group — O(|groups|),
+    independent of rows AND of the value domain.  Initial brackets
+    from one grouped MIN/MAX/COUNT pass.  Integer values only
+    (exactness is the point); returns a ``(key, median)`` table sorted
+    by key."""
+    import numpy as np
+    import ray
+
+    ds = ds.materialize()   # scanned once per round: pin the blocks
+    base = grouped_agg(ds, [key], [
+        ("lo", value_col, "min"), ("hi", value_col, "max"),
+        ("n", "", "count")]).take_all()
+    if not base:
+        return pa.table({key: pa.array([], pa.string()),
+                         "median": pa.array([], pa.int64())})
+    groups = sorted(r[key] for r in base)
+    lo = {r[key]: int(r["lo"]) for r in base}
+    hi = {r[key]: int(r["hi"]) for r in base}
+    kth = {r[key]: (int(r["n"]) + 1) // 2 for r in base}
+    rank = dict(kth)  # remaining rank inside the current bracket
+
+    for _ in range(max_rounds):
+        open_g = sorted(g for g in groups if lo[g] < hi[g])
+        if not open_g:
+            break
+        garr = np.asarray(open_g, dtype=object)
+        # per-group pivot matrix: fanout−1 interior cut points, upper
+        # bound of sub-range j is pivots[:, j] (last sub-range → hi)
+        piv = np.empty((len(open_g), fanout - 1), np.int64)
+        for gi, g in enumerate(open_g):
+            span = hi[g] - lo[g]
+            piv[gi] = lo[g] + (span * np.arange(1, fanout)) // fanout
+        loarr = np.fromiter((lo[g] for g in open_g), np.int64,
+                            len(open_g))
+        hiarr = np.fromiter((hi[g] for g in open_g), np.int64,
+                            len(open_g))
+        ref = ray.put((garr, piv, loarr, hiarr))
+
+        def bucket_counts(batch: pa.Table, _ref=ref) -> pa.Table:
+            from ..broadcast import cached_get
+
+            ga, pv, glo, ghi = cached_get(_ref)
+            kv = np.asarray(batch.column(key).to_pylist(), dtype=object)
+            v = batch.column(value_col).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            pos = np.searchsorted(ga, kv)
+            pos_c = np.minimum(pos, len(ga) - 1)
+            # rows eliminated in earlier rounds (outside the bracket)
+            # must NOT be rebinned — the rank bookkeeping assumes every
+            # counted row is inside [lo, hi]
+            hit = (ga[pos_c] == kv) & (v >= glo[pos_c]) & (v <= ghi[pos_c])
+            F = pv.shape[1] + 1
+            counts = np.zeros((len(ga), F), np.int64)
+            for gi in range(len(ga)):      # ≤ |open groups| small loop
+                m = hit & (pos_c == gi)
+                if m.any():
+                    b = np.searchsorted(pv[gi], v[m], side="left")
+                    counts[gi] = np.bincount(b, minlength=F)
+            gi_idx, b_idx = np.nonzero(counts)
+            return pa.table({
+                key: pa.array(ga[gi_idx].tolist()),
+                "b": pa.array(b_idx.astype(np.int64), pa.int64()),
+                "c": pa.array(counts[gi_idx, b_idx], pa.int64()),
+            })
+
+        rows = grouped_agg(
+            ds.map_batches(bucket_counts, batch_format="pyarrow",
+                           batch_size=None, runtime_env=runtime_env()),
+            [key, "b"], [("c", "c", "sum")],
+            sorted_output=False).take_all()
+        cmat = {g: np.zeros(fanout, np.int64) for g in open_g}
+        for r in rows:
+            cmat[r[key]][int(r["b"])] = int(r["c"])
+        gpos = {g: i for i, g in enumerate(open_g)}
+        for g in open_g:
+            cum = np.cumsum(cmat[g])
+            j = int(np.searchsorted(cum, rank[g]))
+            # sub-range j: (pivots[j-1], pivots[j]] with lo/hi at ends;
+            # values v in it satisfy pv[j-1] < v <= pv[j]
+            pv = piv[gpos[g]]
+            new_lo = lo[g] if j == 0 else int(pv[j - 1]) + 1
+            new_hi = int(pv[j]) if j < fanout - 1 else hi[g]
+            rank[g] -= int(cum[j - 1]) if j > 0 else 0
+            lo[g], hi[g] = new_lo, new_hi
+    else:
+        raise RuntimeError(
+            "grouped_median_bisect did not converge within max_rounds")
+
+    return pa.table({
+        key: pa.array(groups),
+        "median": pa.array([lo[g] for g in groups], pa.int64()),
+    })

@@ -3665,6 +3665,51 @@ FROM h ORDER BY doc_id
 """
 
 
+def q_median_micros(sf_dir: str):
+    """Exact per-type lower median of the event value in MICRO-units
+    (median_micros): the WIDE-DOMAIN selection member of the quantile
+    family — price_quantiles ships the whole (type, cents) histogram
+    through one exchange, correct because cents are a bounded domain;
+    at micro-unit (or 64-bit measurement) granularity that histogram
+    is the size of the data and the right algorithm changes:
+    :func:`functions.agg.grouped_median_bisect` — distributed
+    multi-way quickselect.  Every group keeps an integer bracket
+    certain to contain its answer; each round ONE combiner pass bins
+    all rows into their own group's 16 evenly-spaced sub-ranges (all
+    groups narrow in the same pass, rows outside the bracket masked
+    out) and the driver keeps the sub-range holding the k-th order
+    statistic (k = (n+1)//2, DuckDB ``quantile_disc(0.5)`` lower-median
+    semantics).  ⌈log₁₆(range)⌉ counting passes — ~7 here, ≤ 16 for a
+    full 64-bit domain — each shuffling |types| × 16 int64 rows:
+    never a histogram, never raw values, O(|groups|) driver state."""
+    from ..functions.agg import grouped_median_bisect
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "micros": pa.array(np.floor(v * 1_000_000.0).astype(np.int64),
+                               pa.int64()),
+        })
+
+    return grouped_median_bisect(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        "event_type", "micros")
+
+
+_SQL_MEDIAN_MICROS = """
+SELECT event_type,
+       CAST(quantile_disc(CAST(floor(value * 1000000.0) AS BIGINT), 0.5)
+            AS BIGINT) AS median
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_forecast_baseline(sf_dir: str):
     """Naive vs seasonal-naive forecast-error audit on the hourly
     revenue series (forecast_baseline): the FORECASTING-BASELINE
@@ -18437,6 +18482,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "split_assign": q_split_assign,
         "subsample_stability": q_subsample_stability,
         "forecast_baseline": q_forecast_baseline,
+        "median_micros": q_median_micros,
         "sample_k": q_sample_k,
         "top_tokens": q_top_tokens,
         "top_tokens_by_source": q_top_tokens_by_source,
@@ -18678,6 +18724,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "split_assign": _SQL_SPLIT_ASSIGN,
         "subsample_stability": _sql_subsample_stability(),
         "forecast_baseline": _SQL_FORECAST_BASELINE,
+        "median_micros": _SQL_MEDIAN_MICROS,
         "sample_k": _SQL_SAMPLE_K,
         "top_tokens": _SQL_TOP_TOKENS,
         "top_tokens_by_source": _SQL_TOP_TOKENS_BY_SOURCE,

@@ -3620,3 +3620,30 @@ def test_harmonic_centrality_exact(ray_session):
         assert got.get(v, 0) == h, v
     for v, h in got.items():
         assert exp.get(v, 0) == h, v
+
+
+def test_grouped_median_bisect_matches_sort(ray_session):
+    """Multi-way distributed selection must equal the sorted lower
+    median (k = (n+1)//2) on wide random domains, heavy-tie groups,
+    constant groups and negative values — at two fanouts."""
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.agg import grouped_median_bisect
+
+    rng = np.random.default_rng(41)
+    keys = rng.choice(list("abcde"), 4000).astype(object)
+    vals = rng.integers(-10**15, 10**15, 4000).astype(np.int64)
+    vals[keys == "c"] = rng.integers(-3, 3, int((keys == "c").sum()))
+    vals[keys == "d"] = 42
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys.tolist(), pa.string()),
+        "v": pa.array(vals, pa.int64())})).repartition(5).materialize()
+    for fanout in (2, 16):
+        t = grouped_median_bisect(ds, "k", "v", fanout=fanout,
+                                  max_rounds=80)
+        got = dict(zip(t.column("k").to_pylist(),
+                       t.column("median").to_pylist()))
+        for g in "abcde":
+            sv = np.sort(vals[keys == g])
+            assert got[g] == int(sv[(len(sv) + 1) // 2 - 1]), (fanout, g)

@@ -32,6 +32,7 @@ SPOT_CHECKED = [
     "split_assign",
     "subsample_stability",
     "forecast_baseline",
+    "median_micros",
     "sample_k",
     "top_tokens",
     "top_tokens_by_source",
