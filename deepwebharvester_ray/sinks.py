@@ -379,3 +379,187 @@ def read_bucket(out_dir: str, bucket: int):
     import ray
 
     return ray.data.read_parquet(str(Path(out_dir) / f"bucket={bucket}"))
+
+
+def _shard_of(ids: np.ndarray, n: int) -> np.ndarray:
+    """Multiply-shift shard id of int64 keys (high-bit discipline shared
+    with :func:`write_bucketed_parquet` — low-bit ``% n`` degenerates on
+    strided keys for power-of-two n)."""
+    with np.errstate(over="ignore"):
+        hv = ids.astype(np.uint64) * np.uint64(_BUCKET_MULT)
+    return (((hv >> np.uint64(32)) * np.uint64(n)) >> np.uint64(32)).astype(
+        np.int64)
+
+
+def write_wds_shards(ds, out_dir: str, key: str = "doc_id",
+                     text_col: str = "text", n_shards: int = 16,
+                     skip_existing: bool = True) -> dict:
+    """Training-export sink: WebDataset-layout tar shards (the public
+    convention every large-scale loader — webdataset, torchdata, Mosaic
+    streaming readers — consumes: one ``.tar`` per shard, each sample a
+    ``{key}.txt`` text member plus a ``{key}.json`` metadata member
+    sharing the basename).
+
+    Deterministic BYTES, not just deterministic rows: shard membership
+    is the multiply-shift hash of ``key`` (reshard/resume-stable — a row
+    lands in the same shard regardless of input block layout), members
+    are emitted in sorted-key order, and every tar header is normalized
+    (mtime=0, uid/gid=0, empty uname/gname, mode 0644) so two runs over
+    the same data produce byte-identical shards and the manifest's
+    sha256 is a real content address.  JSON metadata is canonical
+    (sorted keys, no whitespace).
+
+    Resumable: shards already committed in ``manifest.json`` are pruned
+    AT THE SCAN (same contract as :func:`write_partitioned_parquet`) and
+    each shard writes to a ``.tmp`` then atomically renames — a crashed
+    run leaves no partial ``.tar`` behind.
+
+    Distributed shape: one vectorized shard-tag map, ONE all-to-all
+    (``groupby(shard).map_groups`` — the unavoidable exchange any
+    bucketed layout pays), each shard serialized inside its own task and
+    only the (shard, n_samples, bytes, sha256) summary row returned.
+    Size ``n_shards`` so data_bytes / n_shards fits a worker heap (the
+    ~1 GB WebDataset shard convention): ``map_groups`` holds one whole
+    shard in memory by design.  Non-key/text columns ride along as the
+    JSON metadata of each sample."""
+    import hashlib
+    import io
+    import tarfile
+
+    import pyarrow.compute as pc
+
+    from . import runtime_env
+
+    base = Path(out_dir)
+    base.mkdir(parents=True, exist_ok=True)
+    man_path = base / "manifest.json"
+    manifest = {}
+    if man_path.exists():
+        manifest = {int(k): v for k, v in
+                    json.loads(man_path.read_text()).items()}
+    # sweep uncommitted leftovers (tmp files, tars absent from the
+    # manifest — a crash between rename and manifest write)
+    for p in base.glob("shard-*.tar.tmp"):
+        p.unlink()
+    committed = {s for s, v in manifest.items()
+                 if (base / v["file"]).exists()} if skip_existing else set()
+    for p in base.glob("shard-*.tar"):
+        s = int(p.stem.split("-", 1)[1])
+        if s not in committed:
+            p.unlink()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(key).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        sh = _shard_of(ids, n_shards)
+        batch = batch.append_column("_shard", pa.array(sh, pa.int64()))
+        if committed:
+            keep = ~np.isin(sh, np.fromiter(committed, np.int64))
+            batch = batch.filter(pa.array(keep))
+        return batch
+
+    meta_cols = [c for c in ds.schema().names if c not in (key, text_col)]
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        sh = int(group.column("_shard")[0].as_py())
+        order = pc.sort_indices(group, sort_keys=[(key, "ascending")])
+        group = group.take(order)
+        ids = group.column(key).to_pylist()
+        texts = group.column(text_col).to_pylist()
+        metas = [group.column(c).to_pylist() for c in meta_cols]
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for i, (rid, txt) in enumerate(zip(ids, texts)):
+                stem = f"{rid:012d}"
+                payload = (txt or "").encode("utf-8")
+                meta = json.dumps(
+                    {c: vals[i] for c, vals in zip(meta_cols, metas)},
+                    sort_keys=True, separators=(",", ":"),
+                    default=str).encode("utf-8")
+                for name, data in ((f"{stem}.txt", payload),
+                                   (f"{stem}.json", meta)):
+                    ti = tarfile.TarInfo(name)
+                    ti.size = len(data)
+                    ti.mtime = 0
+                    ti.uid = ti.gid = 0
+                    ti.uname = ti.gname = ""
+                    ti.mode = 0o644
+                    tar.addfile(ti, io.BytesIO(data))
+        raw = buf.getvalue()
+        fname = f"shard-{sh:05d}.tar"
+        tmp = base / (fname + ".tmp")
+        tmp.write_bytes(raw)
+        tmp.rename(base / fname)
+        return pa.table({
+            "shard": pa.array([sh], pa.int64()),
+            "file": pa.array([fname], pa.string()),
+            "n_samples": pa.array([len(ids)], pa.int64()),
+            "bytes": pa.array([len(raw)], pa.int64()),
+            "sha256": pa.array([hashlib.sha256(raw).hexdigest()],
+                               pa.string()),
+        })
+
+    rows = (ds.map_batches(tag, batch_format="pyarrow", batch_size=None,
+                           runtime_env=runtime_env())
+            .groupby("_shard")
+            .map_groups(write_shard, batch_format="pyarrow")
+            .take_all())  # ≤ n_shards summary rows — never sample data
+    written = []
+    for r in rows:
+        manifest[int(r["shard"])] = {
+            "file": r["file"], "n_samples": int(r["n_samples"]),
+            "bytes": int(r["bytes"]), "sha256": r["sha256"],
+        }
+        written.append(int(r["shard"]))
+    man_path.write_text(json.dumps(
+        {str(k): manifest[k] for k in sorted(manifest)},
+        sort_keys=True, indent=1))
+    logger.info("wds shards: %d written, %d skipped → %s",
+                len(written), len(committed), base)
+    return {"written": sorted(written), "skipped": sorted(committed),
+            "n_shards": n_shards,
+            "n_samples": sum(v["n_samples"] for v in manifest.values())}
+
+
+def read_wds_shards(out_dir: str, text_col: str = "text"):
+    """Source twin of :func:`write_wds_shards`: every ``shard-*.tar``
+    back as a Dataset of ``(<key as 'doc_id'>, <text_col>, meta)`` rows
+    — ``meta`` is the sample's canonical-JSON metadata string (callers
+    project typed columns out of it as needed).  One task per shard
+    file (``read_binary_files`` keeps each tar a single block); parsing
+    is pure per-file work, no shuffle."""
+    import io
+    import tarfile
+
+    import ray
+
+    from . import runtime_env
+
+    paths = sorted(str(p) for p in Path(out_dir).glob("shard-*.tar"))
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      text_col: pa.array([], pa.string()),
+                      "meta": pa.array([], pa.string())})
+    if not paths:
+        return ray.data.from_arrow(empty)
+    files = ray.data.read_binary_files(paths)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids, texts, metas = [], [], []
+        for blob in batch.column("bytes").to_pylist():
+            samples = {}
+            with tarfile.open(fileobj=io.BytesIO(blob)) as tar:
+                for m in tar:
+                    stem, ext = m.name.rsplit(".", 1)
+                    samples.setdefault(stem, {})[ext] = (
+                        tar.extractfile(m).read())
+            for stem in sorted(samples):
+                ids.append(int(stem))
+                texts.append(samples[stem].get("txt", b"").decode("utf-8"))
+                metas.append(
+                    samples[stem].get("json", b"{}").decode("utf-8"))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         text_col: pa.array(texts, pa.string()),
+                         "meta": pa.array(metas, pa.string())})
+
+    return files.map_batches(parse, batch_format="pyarrow",
+                             batch_size=None, runtime_env=runtime_env())

@@ -316,3 +316,58 @@ def test_bucketed_layout_rerun_replaces(ray_session, tmp_path):
     s1 = write_bucketed_parquet(ray.data.from_arrow(t), str(out), "doc_id")
     s2 = write_bucketed_parquet(ray.data.from_arrow(t), str(out), "doc_id")
     assert s1["rows"] == s2["rows"] == 100
+
+
+def test_wds_shards_roundtrip_deterministic_resume(ray_session, tmp_path):
+    """WebDataset tar-shard export: (a) byte-identical shards across
+    different input block layouts (sha256 manifest is a real content
+    address — shard membership is the key hash, member order sorted,
+    tar headers normalized), (b) full round-trip through the tar source
+    including canonical-JSON metadata, (c) resumable: committed shards
+    are skipped, a missing tar (crash between rename and manifest) is
+    rewritten."""
+    import json as _json
+
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.sinks import read_wds_shards, write_wds_shards
+
+    n = 200
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([f"document body {i} — café" for i in
+                          range(n)], pa.string()),
+        "source": pa.array([f"s{i % 3}" for i in range(n)], pa.string()),
+        "score": pa.array([i * 7 % 13 for i in range(n)], pa.int64()),
+    })
+    out_a = tmp_path / "a"
+    out_b = tmp_path / "b"
+    sa = write_wds_shards(ray.data.from_arrow(t).repartition(7), str(out_a),
+                          n_shards=4)
+    sb = write_wds_shards(ray.data.from_arrow(t).repartition(2), str(out_b),
+                          n_shards=4)
+    assert sa["n_samples"] == sb["n_samples"] == n
+    man_a = _json.loads((out_a / "manifest.json").read_text())
+    man_b = _json.loads((out_b / "manifest.json").read_text())
+    assert man_a == man_b  # byte-identical shards, layout-independent
+    assert sum(v["n_samples"] for v in man_a.values()) == n
+
+    back = read_wds_shards(str(out_a)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert back["doc_id"].tolist() == list(range(n))
+    assert back["text"].tolist() == t.column("text").to_pylist()
+    metas = [_json.loads(m) for m in back["meta"]]
+    assert [m["source"] for m in metas] == t.column("source").to_pylist()
+    assert [m["score"] for m in metas] == t.column("score").to_pylist()
+
+    # resume: everything committed → nothing rewritten
+    s2 = write_wds_shards(ray.data.from_arrow(t), str(out_a), n_shards=4)
+    assert s2["written"] == [] and len(s2["skipped"]) == len(man_a)
+    # crash hole: tar missing but manifest row present → that shard only
+    victim = sorted(int(k) for k in man_a)[0]
+    (out_a / man_a[str(victim)]["file"]).unlink()
+    s3 = write_wds_shards(ray.data.from_arrow(t), str(out_a), n_shards=4)
+    assert s3["written"] == [victim]
+    man_r = _json.loads((out_a / "manifest.json").read_text())
+    assert man_r == man_a  # rewritten shard byte-identical again
