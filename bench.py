@@ -37,6 +37,12 @@ METRIC = "sustained URLs fetched+extracted/sec (corpus fetch-lookup + extract + 
 # Corpus expansion factor for the headline (sf0.1 documents × factor pages).
 FACTOR = int(os.environ.get("DWH_BENCH_FACTOR", "4"))
 
+# Every catalog query is benchmarked except jaccard_pairs / cosine_pairs:
+# the synthetic corpus is DEGENERATE for sparse set/cosine similarity (31
+# distinct idf-weighted tokens; ~43% of ALL doc pairs genuinely pass tau=0.8,
+# so any exact all-pairs algorithm emits Omega(n^2) qualifying pairs there —
+# see cosine_pairs_exact's degenerate-input note).  Both are oracle-checked
+# at sf0.01 instead; measured once at sf0.1 for the record: 39 s / 151 s.
 BENCH_QUERIES = [
     "extract_pages",
     "exact_dedup",
@@ -263,6 +269,18 @@ BENCH_QUERIES = [
     "pretrain_prep",
     "quantile_map",
     "crawl_bfs",
+    "ann_lsh",
+    "binary_metadata",
+    "corpus_prep",
+    "crawl_intel",
+    "ioc_registry",
+    "langid_confusion",
+    "multimodal_features",
+    "props_k_stats",
+    "risk_histogram",
+    "top_risk",
+    "top_users",
+    "url_canonicalize",
 ]
 
 
