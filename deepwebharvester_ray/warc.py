@@ -1,0 +1,278 @@
+"""WARC source + sink — the web-archive format of the public crawl world
+(ISO 28500; Common Crawl publishes its entire corpus this way).
+
+A webtext engine that cannot read WARC cannot ingest the one corpus every
+large-scale training pipeline actually starts from, so this is a
+first-class source: ``read_warc`` turns a directory of ``*.warc`` /
+``*.warc.gz`` shards into the SAME (url, warc_ts, html, text, …) Dataset
+the synthetic corpus produces — every downstream stage (extract, intel,
+dedup, …) runs over Common-Crawl-shaped input unchanged.
+
+Stdlib-only (no warcio): the format is length-prefixed records —
+``WARC/1.1`` + header lines + blank line + ``Content-Length`` payload +
+``\\r\\n\\r\\n`` — and Common Crawl's gzip convention is one gzip MEMBER
+per record, members concatenated (``gzip.decompress`` consumes multi-member
+streams natively, so a whole shard decodes in one call).
+
+Two record types cover the two Common Crawl products:
+
+* ``response`` (``.warc``) — payload is a full HTTP response; the reader
+  splits status line / headers / body and surfaces the body as ``html``.
+* ``conversion`` (``.wet``) — payload is extracted plain text, surfaced
+  as ``text``.
+
+The writer exists for round-trip testing and for EXPORTING a crawl in the
+interchange format other tools consume.  Deterministic bytes, same
+discipline as the WebDataset sink: shard membership is the multiply-shift
+hash of the url's blake2b-64 (reshard-stable), records emit in sorted-url
+order, ``WARC-Record-ID`` is the RFC-4122 uuid5 of the url (not a random
+uuid), gzip members carry ``mtime=0`` — the manifest sha256 is a content
+address and two runs over the same data are byte-identical.
+
+Distributed shape: the reader is one task per shard file
+(``read_binary_files``) + a pure per-file parse, no shuffle; the writer is
+one vectorized shard-tag map + ONE ``groupby(shard).map_groups`` exchange
+(the all-to-all any deterministic sharded layout pays), summary rows only
+to the driver.  Size ``n_shards`` so a shard fits a worker heap — the
+~1 GB Common Crawl shard convention.
+"""
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import json
+import logging
+import uuid
+from datetime import datetime, timezone
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+
+logger = logging.getLogger(__name__)
+
+_CRLF = b"\r\n"
+
+
+def _warc_date(ts_us: int) -> str:
+    """WARC-Date with microseconds (WARC/1.1 allows fractional seconds;
+    second-truncation would break the warc_ts round-trip)."""
+    dt = datetime.fromtimestamp(ts_us / 1_000_000, tz=timezone.utc)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+
+
+def _parse_warc_date(s: str) -> int:
+    """Inverse of :func:`_warc_date`; tolerates the second-precision form
+    real Common Crawl files carry."""
+    import calendar
+
+    s = s.strip()
+    fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if "." in s else "%Y-%m-%dT%H:%M:%SZ"
+    dt = datetime.strptime(s, fmt)
+    # exact integer epoch — float timestamp() loses microseconds past 2^53 ns
+    return calendar.timegm(dt.timetuple()) * 1_000_000 + dt.microsecond
+
+
+def _record_bytes(url: str, ts_us: int, payload: bytes,
+                  record_type: str) -> bytes:
+    """One WARC/1.1 record.  ``response`` wraps the payload in a minimal
+    HTTP/1.1 200 envelope (the msgtype the spec mandates for responses);
+    ``conversion`` carries it raw (the WET convention)."""
+    if record_type == "response":
+        http = (b"HTTP/1.1 200 OK" + _CRLF
+                + b"Content-Type: text/html; charset=utf-8" + _CRLF
+                + b"Content-Length: " + str(len(payload)).encode() + _CRLF
+                + _CRLF + payload)
+        body, ctype = http, b"application/http; msgtype=response"
+    elif record_type == "conversion":
+        body, ctype = payload, b"text/plain"
+    else:  # pragma: no cover - caller validates
+        raise ValueError(f"unsupported record_type {record_type!r}")
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, url)
+    head = (b"WARC/1.1" + _CRLF
+            + b"WARC-Type: " + record_type.encode() + _CRLF
+            + b"WARC-Record-ID: <urn:uuid:" + str(rid).encode() + b">"
+            + _CRLF
+            + b"WARC-Date: " + _warc_date(ts_us).encode() + _CRLF
+            + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
+            + b"Content-Type: " + ctype + _CRLF
+            + b"Content-Length: " + str(len(body)).encode() + _CRLF
+            + _CRLF)
+    return head + body + _CRLF + _CRLF
+
+
+def _parse_records(raw: bytes) -> list:
+    """Parse every record of one (already-decompressed) WARC stream into
+    ``(url, ts_us, record_type, http_status, html, text)`` tuples.
+    Record types other than response/conversion (warcinfo, request,
+    metadata — all present in real Common Crawl files) are skipped."""
+    out = []
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        if raw.startswith(b"\r\n", pos):  # inter-record separators
+            pos += 2
+            continue
+        head_end = raw.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            break
+        headers = {}
+        lines = raw[pos:head_end].split(_CRLF)
+        for ln in lines[1:]:  # lines[0] is the WARC/1.x version
+            k, _, v = ln.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        length = int(headers.get(b"content-length", b"0"))
+        body = raw[head_end + 4:head_end + 4 + length]
+        pos = head_end + 4 + length
+        rtype = headers.get(b"warc-type", b"").decode()
+        if rtype not in ("response", "conversion"):
+            continue
+        url = headers.get(b"warc-target-uri", b"").decode("utf-8")
+        ts_us = _parse_warc_date(headers.get(b"warc-date",
+                                             b"1970-01-01T00:00:00Z")
+                                 .decode())
+        if rtype == "response":
+            split = body.find(b"\r\n\r\n")
+            http_head = body[:max(split, 0)]
+            status = 0
+            first = http_head.split(_CRLF, 1)[0].split(b" ")
+            if len(first) >= 2 and first[1].isdigit():
+                status = int(first[1])
+            out.append((url, ts_us, rtype, status,
+                        body[split + 4:] if split >= 0 else b"", ""))
+        else:
+            out.append((url, ts_us, rtype, 0, b"",
+                        body.decode("utf-8", errors="replace")))
+    return out
+
+
+_EMPTY = pa.table({
+    "url": pa.array([], pa.string()),
+    "warc_ts": pa.array([], pa.timestamp("us")),
+    "record_type": pa.array([], pa.string()),
+    "http_status": pa.array([], pa.int64()),
+    "html": pa.array([], pa.binary()),
+    "text": pa.array([], pa.string()),
+})
+
+
+def read_warc(path: str):
+    """Every ``*.warc`` / ``*.warc.gz`` under ``path`` (a directory, or
+    one file) as a Dataset of
+    ``(url, warc_ts, record_type, http_status, html, text)`` rows —
+    ``html`` filled for response records, ``text`` for conversion (WET)
+    records.  One read task per shard file; parsing is pure per-file
+    work, no shuffle.  Feed the result straight into the extract/intel
+    stages — they are source-agnostic by construction."""
+    import ray
+
+    from . import runtime_env
+
+    p = Path(path)
+    if p.is_dir():
+        paths = sorted(str(f) for pat in ("*.warc", "*.warc.gz")
+                       for f in p.glob(pat))
+    else:
+        paths = [str(p)]
+    if not paths:
+        return ray.data.from_arrow(_EMPTY)
+    files = ray.data.read_binary_files(paths)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows = []
+        for blob in batch.column("bytes").to_pylist():
+            if blob[:2] == b"\x1f\x8b":  # multi-member gzip shard
+                blob = gzip.decompress(blob)
+            rows.extend(_parse_records(blob))
+        if not rows:
+            return _EMPTY
+        cols = list(zip(*rows))
+        return pa.table({
+            "url": pa.array(cols[0], pa.string()),
+            "warc_ts": pa.array(
+                np.asarray(cols[1], np.int64)).cast(pa.timestamp("us")),
+            "record_type": pa.array(cols[2], pa.string()),
+            "http_status": pa.array(cols[3], pa.int64()),
+            "html": pa.array(cols[4], pa.binary()),
+            "text": pa.array(cols[5], pa.string()),
+        })
+
+    return files.map_batches(parse, batch_format="pyarrow",
+                             batch_size=None, runtime_env=runtime_env())
+
+
+def write_warc(ds, out_dir: str, record_type: str = "response",
+               n_shards: int = 16, gzip_records: bool = True) -> dict:
+    """Export a pages Dataset (``url``, ``warc_ts``, and ``html`` or
+    ``text`` per ``record_type``) as ``n_shards`` WARC shard files with
+    a sha256 ``manifest.json`` — deterministic bytes (see module
+    docstring).  Returns {written, n_shards, n_samples}."""
+    import pyarrow.compute as pc
+    import ray  # noqa: F401  (Dataset ops only)
+
+    from . import runtime_env
+    from .sinks import _shard_of
+    from .urlops import url_hash64
+
+    if record_type not in ("response", "conversion"):
+        raise ValueError(f"unsupported record_type {record_type!r}")
+    payload_col = "html" if record_type == "response" else "text"
+    base = Path(out_dir)
+    base.mkdir(parents=True, exist_ok=True)
+    suffix = ".warc.gz" if gzip_records else ".warc"
+    for stale in base.glob("shard-*.warc*"):  # replace-the-layout contract
+        stale.unlink()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        hv = np.asarray(
+            [url_hash64(u) for u in batch.column("url").to_pylist()],
+            np.uint64).astype(np.int64)
+        return pa.table({
+            "url": batch.column("url"),
+            "ts_us": batch.column("warc_ts").combine_chunks()
+            .cast(pa.timestamp("us")).cast(pa.int64()),
+            "payload": batch.column(payload_col),
+            "_shard": pa.array(_shard_of(hv, n_shards), pa.int64()),
+        })
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        sh = int(group.column("_shard")[0].as_py())
+        group = group.take(
+            pc.sort_indices(group, sort_keys=[("url", "ascending")]))
+        buf = io.BytesIO()
+        for url, ts_us, payload in zip(group.column("url").to_pylist(),
+                                       group.column("ts_us").to_pylist(),
+                                       group.column("payload").to_pylist()):
+            if isinstance(payload, str):
+                payload = payload.encode("utf-8")
+            rec = _record_bytes(url, ts_us, payload or b"", record_type)
+            buf.write(gzip.compress(rec, mtime=0) if gzip_records else rec)
+        raw = buf.getvalue()
+        fname = f"shard-{sh:05d}{suffix}"
+        tmp = base / (fname + ".tmp")
+        tmp.write_bytes(raw)
+        tmp.rename(base / fname)
+        return pa.table({
+            "shard": pa.array([sh], pa.int64()),
+            "file": pa.array([fname], pa.string()),
+            "n_samples": pa.array([group.num_rows], pa.int64()),
+            "bytes": pa.array([len(raw)], pa.int64()),
+            "sha256": pa.array([hashlib.sha256(raw).hexdigest()],
+                               pa.string()),
+        })
+
+    rows = (ds.map_batches(tag, batch_format="pyarrow", batch_size=None,
+                           runtime_env=runtime_env())
+            .groupby("_shard")
+            .map_groups(write_shard, batch_format="pyarrow")
+            .take_all())  # ≤ n_shards summary rows
+    manifest = {str(r["shard"]): {
+        "file": r["file"], "n_samples": int(r["n_samples"]),
+        "bytes": int(r["bytes"]), "sha256": r["sha256"]} for r in rows}
+    (base / "manifest.json").write_text(json.dumps(
+        manifest, sort_keys=True, indent=1))
+    logger.info("warc export: %d shards → %s", len(rows), base)
+    return {"written": sorted(int(r["shard"]) for r in rows),
+            "n_shards": n_shards,
+            "n_samples": sum(int(r["n_samples"]) for r in rows)}

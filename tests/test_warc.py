@@ -1,0 +1,145 @@
+"""WARC source/sink: round-trip, Common-Crawl gzip convention,
+byte-determinism, mixed-record skipping, and source-agnostic pipelining
+(extract stage runs over WARC-sourced pages unchanged)."""
+from __future__ import annotations
+
+import gzip
+import json
+
+import pyarrow as pa
+import pytest
+
+
+def _pages(n: int) -> pa.Table:
+    return pa.table({
+        "url": pa.array([f"http://h{i % 5}.example/p/{i}" for i in
+                         range(n)], pa.string()),
+        "warc_ts": pa.array([1_700_000_000_000_000 + i * 1_000_003
+                             for i in range(n)], pa.timestamp("us")),
+        "html": pa.array([f"<html><title>t{i}</title><body>Paragraph "
+                          f"body number {i} — café.</body></html>"
+                          .encode() for i in range(n)], pa.binary()),
+        "text": pa.array([f"Paragraph body number {i} — café."
+                          for i in range(n)], pa.string()),
+    })
+
+
+def test_warc_response_roundtrip_deterministic(ray_session, tmp_path):
+    import ray
+
+    from deepwebharvester_ray.warc import read_warc, write_warc
+
+    t = _pages(120)
+    out_a, out_b = tmp_path / "a", tmp_path / "b"
+    sa = write_warc(ray.data.from_arrow(t).repartition(6), str(out_a),
+                    n_shards=4)
+    sb = write_warc(ray.data.from_arrow(t).repartition(2), str(out_b),
+                    n_shards=4)
+    assert sa["n_samples"] == sb["n_samples"] == 120
+    man_a = json.loads((out_a / "manifest.json").read_text())
+    man_b = json.loads((out_b / "manifest.json").read_text())
+    assert man_a == man_b  # byte-identical shards across block layouts
+
+    back = read_warc(str(out_a)).to_pandas().sort_values(
+        "url").reset_index(drop=True)
+    want = t.to_pandas().sort_values("url").reset_index(drop=True)
+    assert back["url"].tolist() == want["url"].tolist()
+    assert back["warc_ts"].tolist() == want["warc_ts"].tolist()
+    assert back["html"].tolist() == want["html"].tolist()
+    assert (back["record_type"] == "response").all()
+    assert (back["http_status"] == 200).all()
+
+
+def test_warc_wet_conversion_and_plain(ray_session, tmp_path):
+    import ray
+
+    from deepwebharvester_ray.warc import read_warc, write_warc
+
+    t = _pages(60)
+    out = tmp_path / "wet"
+    s = write_warc(ray.data.from_arrow(t), str(out),
+                   record_type="conversion", n_shards=2,
+                   gzip_records=False)
+    assert s["n_samples"] == 60
+    files = sorted(out.glob("shard-*.warc"))
+    assert files and all(f.suffix == ".warc" for f in files)
+    back = read_warc(str(out)).to_pandas().sort_values(
+        "url").reset_index(drop=True)
+    want = t.to_pandas().sort_values("url").reset_index(drop=True)
+    assert back["text"].tolist() == want["text"].tolist()
+    assert (back["record_type"] == "conversion").all()
+
+
+def test_warc_skips_non_content_records(ray_session, tmp_path):
+    """Real Common Crawl shards interleave warcinfo/request/metadata
+    records with responses; the parser must skip them (and cope with a
+    second-precision WARC-Date)."""
+    from deepwebharvester_ray.warc import _parse_records, read_warc
+
+    info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            b"WARC-Date: 2023-11-14T22:13:20Z\r\n"
+            b"Content-Type: application/warc-fields\r\n"
+            b"Content-Length: 9\r\n\r\nrobots: x\r\n\r\n")
+    req = (b"WARC/1.0\r\nWARC-Type: request\r\n"
+           b"WARC-Target-URI: http://a.example/\r\n"
+           b"WARC-Date: 2023-11-14T22:13:20Z\r\n"
+           b"Content-Type: application/http; msgtype=request\r\n"
+           b"Content-Length: 18\r\n\r\nGET / HTTP/1.1\r\n\r\n\r\n\r\n")
+    body = b"<html>hi</html>"
+    http = (b"HTTP/1.1 301 Moved\r\nContent-Length: "
+            + str(len(body)).encode() + b"\r\n\r\n" + body)
+    resp = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://a.example/\r\n"
+            b"WARC-Date: 2023-11-14T22:13:20Z\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: " + str(len(http)).encode()
+            + b"\r\n\r\n" + http + b"\r\n\r\n")
+    recs = _parse_records(info + req + resp)
+    assert len(recs) == 1
+    url, ts_us, rtype, status, html, text = recs[0]
+    assert url == "http://a.example/" and rtype == "response"
+    assert status == 301 and html == body
+    assert ts_us == 1_700_000_000_000_000
+
+    # and through the Dataset reader, as one multi-member gzip shard
+    p = tmp_path / "mixed.warc.gz"
+    p.write_bytes(gzip.compress(info, mtime=0)
+                  + gzip.compress(req, mtime=0)
+                  + gzip.compress(resp, mtime=0))
+    rows = read_warc(str(p)).take_all()
+    assert len(rows) == 1 and rows[0]["http_status"] == 301
+
+
+def test_warc_feeds_extract_stage(ray_session, tmp_path):
+    """Source-agnosticism: WARC-sourced pages run the standard extract
+    stage and yield the same titles/text as the in-memory table."""
+    import ray
+
+    from deepwebharvester_ray.extract import extract_batch
+    from deepwebharvester_ray.warc import read_warc, write_warc
+
+    t = _pages(40)
+    out = tmp_path / "w"
+    write_warc(ray.data.from_arrow(t), str(out), n_shards=2)
+
+    def to_page(batch: pa.Table) -> pa.Table:
+        return pa.table({"url": batch.column("url"),
+                         "html": batch.column("html")})
+
+    got = (read_warc(str(out))
+           .map_batches(to_page, batch_format="pyarrow")
+           .map_batches(extract_batch, batch_format="pyarrow")
+           .to_pandas().sort_values("url").reset_index(drop=True))
+    assert len(got) == 40
+    assert got["title"].str.startswith("t").all()
+    assert got["text"].str.contains("Paragraph body number").all()
+
+
+def test_warc_bad_record_type_raises(ray_session, tmp_path):
+    import ray
+
+    from deepwebharvester_ray.warc import write_warc
+
+    with pytest.raises(ValueError):
+        write_warc(ray.data.from_arrow(_pages(3)), str(tmp_path / "x"),
+                   record_type="metadata")
