@@ -74,6 +74,32 @@ def _parse_warc_date(s: str) -> int:
     return calendar.timegm(dt.timetuple()) * 1_000_000 + dt.microsecond
 
 
+def surt(url: str) -> str:
+    """Sort-friendly URI Reordering Transform — the CDX index key
+    convention (public: Internet Archive / Common Crawl index format).
+    Host labels reverse so one host's (and one domain's) records sort
+    CONTIGUOUSLY: ``http://sub.example.com/a?b=1`` →
+    ``com,example,sub)/a?b=1``.  Lowercased, scheme and a default port
+    dropped, bare root path normalized to ``/``."""
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(url.strip().lower())
+    host = parts.netloc.split("@")[-1]
+    for dp in (":80", ":443"):
+        if host.endswith(dp):
+            host = host[: -len(dp)]
+    key = ",".join(reversed(host.split("."))) + ")" + (parts.path or "/")
+    if parts.query:
+        key += "?" + parts.query
+    return key
+
+
+def _ts14(ts_us: int) -> str:
+    """CDX 14-digit timestamp (YYYYMMDDhhmmss)."""
+    return datetime.fromtimestamp(
+        ts_us / 1_000_000, tz=timezone.utc).strftime("%Y%m%d%H%M%S")
+
+
 def _record_bytes(url: str, ts_us: int, payload: bytes,
                   record_type: str) -> bytes:
     """One WARC/1.1 record.  ``response`` wraps the payload in a minimal
@@ -221,8 +247,9 @@ def write_warc(ds, out_dir: str, record_type: str = "response",
     base = Path(out_dir)
     base.mkdir(parents=True, exist_ok=True)
     suffix = ".warc.gz" if gzip_records else ".warc"
-    for stale in base.glob("shard-*.warc*"):  # replace-the-layout contract
-        stale.unlink()
+    for pat in ("shard-*.warc*", "shard-*.cdx"):  # replace-the-layout
+        for stale in base.glob(pat):
+            stale.unlink()
 
     def tag(batch: pa.Table) -> pa.Table:
         hv = np.asarray(
@@ -240,19 +267,34 @@ def write_warc(ds, out_dir: str, record_type: str = "response",
         sh = int(group.column("_shard")[0].as_py())
         group = group.take(
             pc.sort_indices(group, sort_keys=[("url", "ascending")]))
+        fname = f"shard-{sh:05d}{suffix}"
         buf = io.BytesIO()
+        index = []
         for url, ts_us, payload in zip(group.column("url").to_pylist(),
                                        group.column("ts_us").to_pylist(),
                                        group.column("payload").to_pylist()):
             if isinstance(payload, str):
                 payload = payload.encode("utf-8")
             rec = _record_bytes(url, ts_us, payload or b"", record_type)
+            off = buf.tell()
             buf.write(gzip.compress(rec, mtime=0) if gzip_records else rec)
+            # CDXJ line: urlkey ts14 {json} — (offset, length) of this
+            # record's own gzip member = the Common Crawl random-access
+            # contract (seek + read length + decompress ONE member)
+            index.append(
+                f"{surt(url)} {_ts14(ts_us)} " + json.dumps(
+                    {"url": url, "filename": fname, "offset": off,
+                     "length": buf.tell() - off,
+                     "digest": hashlib.sha1(payload or b"").hexdigest()},
+                    sort_keys=True, separators=(",", ":")))
         raw = buf.getvalue()
-        fname = f"shard-{sh:05d}{suffix}"
         tmp = base / (fname + ".tmp")
         tmp.write_bytes(raw)
         tmp.rename(base / fname)
+        cdx = base / f"shard-{sh:05d}.cdx"
+        cdx_tmp = base / (cdx.name + ".tmp")
+        cdx_tmp.write_text("\n".join(sorted(index)) + "\n")
+        cdx_tmp.rename(cdx)
         return pa.table({
             "shard": pa.array([sh], pa.int64()),
             "file": pa.array([fname], pa.string()),
@@ -276,3 +318,128 @@ def write_warc(ds, out_dir: str, record_type: str = "response",
     return {"written": sorted(int(r["shard"]) for r in rows),
             "n_shards": n_shards,
             "n_samples": sum(int(r["n_samples"]) for r in rows)}
+
+
+def read_cdx(path: str):
+    """Every ``shard-*.cdx`` under ``path`` as a Dataset of
+    ``(urlkey, ts14, url, filename, offset, length, digest)`` rows —
+    the archive's URL index, scanned WITHOUT touching any WARC bytes.
+    One task per index file, pure per-file parse; index volume is
+    O(records), never O(payload bytes), so host/domain selection over a
+    100-TB archive reads only the index (SURT keys make a domain one
+    contiguous key range)."""
+    import ray
+
+    from . import runtime_env
+
+    paths = sorted(str(f) for f in Path(path).glob("shard-*.cdx"))
+    empty = pa.table({
+        "urlkey": pa.array([], pa.string()),
+        "ts14": pa.array([], pa.string()),
+        "url": pa.array([], pa.string()),
+        "filename": pa.array([], pa.string()),
+        "offset": pa.array([], pa.int64()),
+        "length": pa.array([], pa.int64()),
+        "digest": pa.array([], pa.string()),
+    })
+    if not paths:
+        return ray.data.from_arrow(empty)
+    files = ray.data.read_binary_files(paths)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        cols = {k: [] for k in empty.column_names}
+        for blob in batch.column("bytes").to_pylist():
+            for ln in blob.decode("utf-8").splitlines():
+                if not ln.strip():
+                    continue
+                key, ts, js = ln.split(" ", 2)
+                meta = json.loads(js)
+                cols["urlkey"].append(key)
+                cols["ts14"].append(ts)
+                cols["url"].append(meta["url"])
+                cols["filename"].append(meta["filename"])
+                cols["offset"].append(meta["offset"])
+                cols["length"].append(meta["length"])
+                cols["digest"].append(meta["digest"])
+        return pa.table({
+            "urlkey": pa.array(cols["urlkey"], pa.string()),
+            "ts14": pa.array(cols["ts14"], pa.string()),
+            "url": pa.array(cols["url"], pa.string()),
+            "filename": pa.array(cols["filename"], pa.string()),
+            "offset": pa.array(cols["offset"], pa.int64()),
+            "length": pa.array(cols["length"], pa.int64()),
+            "digest": pa.array(cols["digest"], pa.string()),
+        })
+
+    return files.map_batches(parse, batch_format="pyarrow",
+                             batch_size=None, runtime_env=runtime_env())
+
+
+def fetch_records(archive_dir: str, urls):
+    """Point lookups into a WARC archive: resolve ``urls`` through the
+    CDX index and read ONLY their byte ranges — never a shard scan.
+    This is how a 100-TB archive serves a recrawl diff / contamination
+    probe / spot audit: index filter (broadcast sorted urlkeys — the
+    requested set is small by definition), then per-task
+    ``seek(offset); read(length)`` and a single-member gzip decompress
+    per record.  Returns the same schema as :func:`read_warc`."""
+    import ray
+
+    from . import runtime_env
+    from .broadcast import cached_get
+
+    base = Path(archive_dir)
+    keys_ref = ray.put(np.sort(np.asarray(
+        [surt(u) for u in urls], dtype=object)))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        wanted = cached_get(keys_ref)
+        ks = np.asarray(batch.column("urlkey").to_pylist(), dtype=object)
+        if not len(wanted) or not len(ks):
+            return batch.slice(0, 0)
+        pos = np.searchsorted(wanted, ks)
+        pos[pos >= len(wanted)] = 0
+        return batch.filter(pa.array(wanted[pos] == ks))
+
+    hits = read_cdx(str(base)).map_batches(
+        pick, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        rows = []
+        fnames = batch.column("filename").to_pylist()
+        offs = batch.column("offset").to_pylist()
+        lens = batch.column("length").to_pylist()
+        # group by file so each shard opens once per batch (point-lookup
+        # batches are small by definition — a Python sort is fine here)
+        order = sorted(range(batch.num_rows),
+                       key=lambda i: (fnames[i], offs[i]))
+        fh, open_name = None, None
+        for i in order:
+            if fnames[i] != open_name:
+                if fh:
+                    fh.close()
+                open_name = fnames[i]
+                fh = open(base / open_name, "rb")
+            fh.seek(offs[i])
+            raw = fh.read(lens[i])
+            if raw[:2] == b"\x1f\x8b":
+                raw = gzip.decompress(raw)
+            rows.extend(_parse_records(raw))
+        if fh:
+            fh.close()
+        if not rows:
+            return _EMPTY
+        cols = list(zip(*rows))
+        return pa.table({
+            "url": pa.array(cols[0], pa.string()),
+            "warc_ts": pa.array(
+                np.asarray(cols[1], np.int64)).cast(pa.timestamp("us")),
+            "record_type": pa.array(cols[2], pa.string()),
+            "http_status": pa.array(cols[3], pa.int64()),
+            "html": pa.array(cols[4], pa.binary()),
+            "text": pa.array(cols[5], pa.string()),
+        })
+
+    return hits.map_batches(fetch, batch_format="pyarrow",
+                            batch_size=None, runtime_env=runtime_env())
