@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "link_ktruss",
     "jsonl_roundtrip",
     "skipgram_counts",
+    "warc_roundtrip",
     "dedup_eval",
     "source_modularity",
     "ks_test",

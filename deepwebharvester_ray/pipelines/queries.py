@@ -14154,6 +14154,79 @@ SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id
 """
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """WARC/WET interchange round-trip (the archive-format member of
+    the roundtrip family: csv_roundtrip = tabular, jsonl_roundtrip =
+    interchange, this = the web-archive format Common Crawl publishes):
+    export every document as a WET ``conversion`` record into
+    byte-deterministic gzip shards, read them back through the WARC
+    parser, and emit ``(doc_id, n_chars_rt, text_h64)`` — the md5-int64
+    of the round-tripped text proves the export+parse path is
+    BYTE-LOSSLESS against the oracle's md5 of the parquet original
+    (the one shared deterministic hash both engines compute
+    identically), not merely that shards were written.
+
+    Distributed shape: doc_id rides the record's ``WARC-Date``
+    (timestamp µs = doc_id — recovered by a zero-copy cast, never URL
+    string parsing in the hot path); export is the WARC sink's ONE
+    groupby(shard) exchange, the read side one task per shard file, and
+    the hash map is per-block.  Nothing driver-side but the temp-dir
+    handle and the ≤ n_shards summary rows."""
+    import hashlib as _hl
+    import shutil
+    import tempfile
+
+    from ..warc import read_warc, write_warc
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "url": pa.array([f"http://export.example/doc/{i}"
+                             for i in ids], pa.string()),
+            "warc_ts": pa.array(ids, pa.int64()).cast(pa.timestamp("us")),
+            "text": batch.column("text"),
+        })
+
+    out_dir = tempfile.mkdtemp(prefix="dwh_warc_rt_")
+    try:
+        write_warc(ds.map_batches(pack, batch_format="pyarrow",
+                                  batch_size=None,
+                                  runtime_env=runtime_env()),
+                   out_dir, record_type="conversion", n_shards=8)
+
+        def unpack(batch: pa.Table) -> pa.Table:
+            ids = (batch.column("warc_ts").combine_chunks()
+                   .cast(pa.timestamp("us")).cast(pa.int64()))
+            texts = batch.column("text").to_pylist()
+            return pa.table({
+                "doc_id": ids,
+                "n_chars_rt": pa.array([len(t) for t in texts],
+                                       pa.int64()),
+                "text_h64": pa.array(
+                    [int(_hl.md5(t.encode()).hexdigest()[:15], 16)
+                     for t in texts], pa.int64()),
+            })
+
+        back = read_warc(out_dir).map_batches(
+            unpack, batch_format="pyarrow", batch_size=None,
+            runtime_env=runtime_env()).materialize()
+        return back.sort("doc_id")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+_SQL_WARC_ROUNDTRIP = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_rt,
+       CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS text_h64
+FROM documents ORDER BY doc_id
+"""
+
+
 # Frequent-itemset support = 20 % of docs; per-doc frequent-token guard.
 _FP_SUPPORT_DIV = 5
 _FP_MAX_PER_DOC = 512
@@ -18590,6 +18663,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "lateness_audit": q_lateness_audit,
         "frequent_pairs": q_frequent_pairs,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "warc_roundtrip": q_warc_roundtrip,
         "skipgram_counts": q_skipgram_counts,
         "dedup_eval": q_dedup_eval,
         "source_modularity": q_source_modularity,
@@ -18802,6 +18876,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "lateness_audit": _SQL_LATENESS_AUDIT,
         "frequent_pairs": _sql_frequent_pairs(),
         "jsonl_roundtrip": _SQL_JSONL_ROUNDTRIP,
+        "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
         "skipgram_counts": _sql_skipgram_counts(),
         "source_modularity": _sql_source_modularity(),
         "ks_test": _SQL_KS_TEST,

@@ -93,6 +93,7 @@ SPOT_CHECKED = [
     "lateness_audit",
     "frequent_pairs",
     "jsonl_roundtrip",
+    "warc_roundtrip",
     "skipgram_counts",
     "source_modularity",
     "ks_test",
