@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "jsonl_roundtrip",
     "skipgram_counts",
     "warc_roundtrip",
+    "sitemap_roundtrip",
     "dedup_eval",
     "source_modularity",
     "ks_test",

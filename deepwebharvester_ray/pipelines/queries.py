@@ -14227,6 +14227,76 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_sitemap_roundtrip(sf_dir: str):
+    """Sitemap protocol round-trip (the SEED-FEED member of the
+    interchange family): publish one ``<url>`` entry per document —
+    lastmod carrying the doc id as whole epoch seconds, changefreq and
+    priority as deterministic per-doc hints — through the sharded
+    urlset writer, read the directory back through the protocol parser
+    (index fan-out included), and emit the recovered hints.  Proves the
+    XML format round-trips the crawl-scheduling metadata LOSSLESSLY
+    (lastmod through W3C datetime text, priority through its decimal
+    rendering — the exact-ppm discipline) under the driver's value-hash
+    gate.
+
+    Distributed shape: one pure map to synthesize entries, the sitemap
+    sink's ONE groupby(shard) exchange, one read task per shard file,
+    and doc_id recovered by integer division of lastmod_us — never URL
+    string parsing."""
+    import shutil
+    import tempfile
+
+    from ..sitemap import read_sitemaps, write_sitemaps
+
+    ds = _docs(sf_dir, columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    freqs = np.array(["daily", "weekly", "monthly"])
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "url": pa.array([f"http://export.example/doc/{i}"
+                             for i in ids], pa.string()),
+            "lastmod_us": pa.array(ids * 1_000_000, pa.int64()),
+            "changefreq": pa.array(freqs[ids % 3], pa.string()),
+            "priority_ppm": pa.array((ids % 9 + 1) * 100_000, pa.int64()),
+        })
+
+    out_dir = tempfile.mkdtemp(prefix="dwh_sitemap_rt_")
+    try:
+        write_sitemaps(ds.map_batches(pack, batch_format="pyarrow",
+                                      batch_size=None,
+                                      runtime_env=runtime_env()),
+                       out_dir, n_shards=8)
+
+        def unpack(batch: pa.Table) -> pa.Table:
+            lm = batch.column("lastmod_us").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "doc_id": pa.array(lm // 1_000_000, pa.int64()),
+                "lastmod_us": batch.column("lastmod_us"),
+                "changefreq": batch.column("changefreq"),
+                "priority_ppm": batch.column("priority_ppm"),
+            })
+
+        back = read_sitemaps(out_dir).map_batches(
+            unpack, batch_format="pyarrow", batch_size=None,
+            runtime_env=runtime_env()).materialize()
+        return back.sort("doc_id")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+_SQL_SITEMAP_ROUNDTRIP = """
+SELECT doc_id,
+       CAST(doc_id * 1000000 AS BIGINT) AS lastmod_us,
+       (['daily', 'weekly', 'monthly'])[(doc_id % 3) + 1] AS changefreq,
+       CAST((doc_id % 9 + 1) * 100000 AS BIGINT) AS priority_ppm
+FROM documents ORDER BY doc_id
+"""
+
+
 # Frequent-itemset support = 20 % of docs; per-doc frequent-token guard.
 _FP_SUPPORT_DIV = 5
 _FP_MAX_PER_DOC = 512
@@ -18664,6 +18734,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "frequent_pairs": q_frequent_pairs,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "warc_roundtrip": q_warc_roundtrip,
+        "sitemap_roundtrip": q_sitemap_roundtrip,
         "skipgram_counts": q_skipgram_counts,
         "dedup_eval": q_dedup_eval,
         "source_modularity": q_source_modularity,
@@ -18877,6 +18948,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "frequent_pairs": _sql_frequent_pairs(),
         "jsonl_roundtrip": _SQL_JSONL_ROUNDTRIP,
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
+        "sitemap_roundtrip": _SQL_SITEMAP_ROUNDTRIP,
         "skipgram_counts": _sql_skipgram_counts(),
         "source_modularity": _sql_source_modularity(),
         "ks_test": _SQL_KS_TEST,

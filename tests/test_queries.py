@@ -94,6 +94,7 @@ SPOT_CHECKED = [
     "frequent_pairs",
     "jsonl_roundtrip",
     "warc_roundtrip",
+    "sitemap_roundtrip",
     "skipgram_counts",
     "source_modularity",
     "ks_test",
