@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "skipgram_counts",
     "warc_roundtrip",
     "sitemap_roundtrip",
+    "robots_filter",
     "dedup_eval",
     "source_modularity",
     "ks_test",

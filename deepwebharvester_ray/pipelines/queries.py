@@ -14297,6 +14297,135 @@ FROM documents ORDER BY doc_id
 """
 
 
+_ROBOTS_HOSTS = 16
+
+
+def q_robots_filter(sf_dir: str):
+    """Robots Exclusion Protocol policy filter at URL scale
+    (robots_filter): per-host allowed/blocked counts of a synthesized
+    URL table under per-host rule tables exercising the full REP
+    longest-match semantics — an equal-length Allow/Disallow tie (Allow
+    wins), a longer specific Disallow overriding it, a still-longer
+    Allow carve-out, and the RFC 9309 ``/*?session=`` wildcard matched
+    against path AND query (the rule a path-only matcher silently never
+    enforces).  The oracle is an INDEPENDENT SQL rendering of the spec
+    (rules as rows, longest-match as a window rank over (plen DESC,
+    allow DESC)) — so this checks the engine's actual
+    :class:`~deepwebharvester_ray.state.robots.RobotsTable` crawl-stage
+    implementation against the standard, not against itself.
+
+    Host h (0–15, digit a = h%10) serves::
+
+        User-agent: *
+        Allow: /p/            ← tie pair, Allow wins (len 3)
+        Disallow: /p/
+        Disallow: /p/a        ← blocks the a-digit prefix (len 4)
+        Allow: /p/a8          ← carve-out re-allows /p/a8* (len 5)
+        Disallow: /*?session= ← wildcard, beats everything (len 11)
+
+    Distributed shape: the rule table is driver-built (16 hosts — the
+    real deployment broadcasts ~10⁷ hosts the same way, per the robots
+    module's contract), ``ray.put`` once, applied inside map_batches
+    via the precompiled-regex ``RobotsTable`` exactly as the crawl
+    frontier filter does, then ONE combiner grouped_agg to host
+    cardinality."""
+    import ray
+
+    from ..state.robots import RobotsTable
+
+    texts = {}
+    for h in range(_ROBOTS_HOSTS):
+        a = h % 10
+        texts[f"h{h}.example"] = (
+            "User-agent: *\n"
+            "Allow: /p/\n"
+            "Disallow: /p/\n"
+            f"Disallow: /p/{a}\n"
+            f"Allow: /p/{a}8\n"
+            "Disallow: /*?session=\n")
+    table_ref = ray.put(RobotsTable.from_texts(texts))
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey"],
+               override_num_blocks=_shuffle_parts(sf_dir, "orders"))
+
+    def check(batch: pa.Table) -> pa.Table:
+        from ..broadcast import cached_get
+
+        tab = cached_get(table_ref)
+        ks = batch.column("o_orderkey").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        urls = [
+            f"http://h{k % _ROBOTS_HOSTS}.example/p/{k % 100}/x"
+            + ("?session=s" if k % 7 == 0 else "")
+            for k in ks
+        ]
+        allowed = np.asarray(
+            [tab.is_allowed(u) for u in urls], np.int64)
+        return pa.table({
+            "host": pa.array([f"h{k % _ROBOTS_HOSTS}.example"
+                              for k in ks], pa.string()),
+            "one": pa.array(np.ones(len(ks), np.int64)),
+            "ok": pa.array(allowed, pa.int64()),
+            "blocked": pa.array(1 - allowed, pa.int64()),
+        })
+
+    from ..functions.agg import grouped_agg
+
+    return grouped_agg(
+        ds.map_batches(check, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["host"],
+        [("n_urls", "one", "sum"), ("n_allowed", "ok", "sum"),
+         ("n_blocked", "blocked", "sum")],
+    )
+
+
+_SQL_ROBOTS_FILTER = f"""
+WITH u AS (
+  SELECT o_orderkey AS k,
+         'h' || (o_orderkey % {_ROBOTS_HOSTS}) || '.example' AS host,
+         (o_orderkey % {_ROBOTS_HOSTS}) AS h,
+         '/p/' || (o_orderkey % 100) || '/x'
+           || CASE WHEN o_orderkey % 7 = 0 THEN '?session=s'
+                   ELSE '' END AS target
+  FROM orders
+),
+rules AS (
+  SELECT h, patt, CAST(length(patt) AS BIGINT) AS plen, allow, is_wild
+  FROM (
+    SELECT g AS h, '/p/' AS patt, TRUE AS allow, FALSE AS is_wild
+    FROM generate_series(0, {_ROBOTS_HOSTS - 1}) t(g)
+    UNION ALL SELECT g, '/p/', FALSE, FALSE
+    FROM generate_series(0, {_ROBOTS_HOSTS - 1}) t(g)
+    UNION ALL SELECT g, '/p/' || (g % 10), FALSE, FALSE
+    FROM generate_series(0, {_ROBOTS_HOSTS - 1}) t(g)
+    UNION ALL SELECT g, '/p/' || (g % 10) || '8', TRUE, FALSE
+    FROM generate_series(0, {_ROBOTS_HOSTS - 1}) t(g)
+    UNION ALL SELECT g, '/*?session=', FALSE, TRUE
+    FROM generate_series(0, {_ROBOTS_HOSTS - 1}) t(g)
+  )
+),
+m AS (
+  SELECT u.k, r.allow,
+         row_number() OVER (PARTITION BY u.k
+                            ORDER BY r.plen DESC, r.allow DESC) AS rn
+  FROM u JOIN rules r ON r.h = u.h
+   AND (CASE WHEN r.is_wild THEN position('?session=' IN u.target) > 0
+             ELSE u.target LIKE r.patt || '%' END)
+),
+verdict AS (
+  SELECT u.host, COALESCE(m.allow, TRUE) AS allowed
+  FROM u LEFT JOIN (SELECT k, allow FROM m WHERE rn = 1) m ON m.k = u.k
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_allowed,
+       CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_blocked
+FROM verdict GROUP BY host ORDER BY host
+"""
+
+
 # Frequent-itemset support = 20 % of docs; per-doc frequent-token guard.
 _FP_SUPPORT_DIV = 5
 _FP_MAX_PER_DOC = 512
@@ -18735,6 +18864,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "warc_roundtrip": q_warc_roundtrip,
         "sitemap_roundtrip": q_sitemap_roundtrip,
+        "robots_filter": q_robots_filter,
         "skipgram_counts": q_skipgram_counts,
         "dedup_eval": q_dedup_eval,
         "source_modularity": q_source_modularity,
@@ -18949,6 +19079,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "jsonl_roundtrip": _SQL_JSONL_ROUNDTRIP,
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
         "sitemap_roundtrip": _SQL_SITEMAP_ROUNDTRIP,
+        "robots_filter": _SQL_ROBOTS_FILTER,
         "skipgram_counts": _sql_skipgram_counts(),
         "source_modularity": _sql_source_modularity(),
         "ks_test": _SQL_KS_TEST,

@@ -95,6 +95,7 @@ SPOT_CHECKED = [
     "jsonl_roundtrip",
     "warc_roundtrip",
     "sitemap_roundtrip",
+    "robots_filter",
     "skipgram_counts",
     "source_modularity",
     "ks_test",
