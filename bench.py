@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "warc_roundtrip",
     "sitemap_roundtrip",
     "robots_filter",
+    "index_merge",
     "dedup_eval",
     "source_modularity",
     "ks_test",

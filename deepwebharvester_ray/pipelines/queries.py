@@ -5463,6 +5463,122 @@ FROM d GROUP BY token ORDER BY token
 """
 
 
+def q_index_merge(sf_dir: str):
+    """Inverted-index SEGMENT MERGE (index_merge) — the Lucene-style
+    maintenance op every incrementally-built search index lives by: an
+    established segment (docs with ``doc_id % 10 != 0``) and a fresh
+    delta segment (``% 10 == 0`` — the snapshot_diff old/new
+    convention) are each BUILT AS INDEXES first, then merged at the
+    POSTINGS level; the result must equal a from-scratch rebuild (the
+    ``inverted_index`` oracle), which is exactly the associativity
+    contract segment-based indexing rests on.
+
+    Why this is not "just rebuild": the merge's all-to-all exchanges
+    INDEX-sized rows — one (token, df, postings-blob) row per token per
+    segment — never the corpus-sized (token, doc) explode; at web scale
+    the segments are orders of magnitude smaller than their source
+    docs, which is why real systems merge segments instead of
+    re-indexing.  Postings travel as ``large_binary`` int64 buffers
+    (the CLAUDE.md join/exchange discipline for variable-length
+    arrays), and each token's ≤ 2 rows co-locate after the ONE merge
+    sort, so the in-block pass concatenates + sorts buffers with no
+    cross-block state."""
+    from ..functions.dedup import _run_bounds
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir)).materialize()
+
+    def explode_seg(keep_delta: bool):
+        def explode(batch: pa.Table) -> pa.Table:
+            ids_in = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids_in % 10 == 0) if keep_delta else (ids_in % 10 != 0)
+            out_tok, out_id = [], []
+            texts = batch.column("text").to_pylist()
+            for i in np.flatnonzero(mask):
+                uniq = np.unique(np.asarray(
+                    WORD_RE.findall((texts[i] or "").lower()),
+                    dtype=object))
+                out_tok.extend(uniq.tolist())
+                out_id.append(np.full(len(uniq), ids_in[i], np.int64))
+            if not out_id:
+                return pa.table({"token": pa.array([], pa.string()),
+                                 "doc_id": pa.array([], pa.int64())})
+            return pa.table({
+                "token": pa.array(out_tok, pa.string()),
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+            })
+        return explode
+
+    def pack_postings(batch: pa.Table) -> pa.Table:
+        """One segment's token-sorted block → (token, blob) rows."""
+        if batch.num_rows == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "blob": pa.array([], pa.large_binary())})
+        toks = np.asarray(batch.column("token").to_pylist(), dtype=object)
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((ids, toks))
+        toks, ids = toks[order], ids[order]
+        starts, ends = _run_bounds(toks)
+        return pa.table({
+            "token": pa.array(toks[starts].tolist(), pa.string()),
+            "blob": pa.array([ids[s:e].tobytes()
+                              for s, e in zip(starts, ends)],
+                             pa.large_binary()),
+        })
+
+    def build_segment(keep_delta: bool):
+        return (ds.map_batches(explode_seg(keep_delta),
+                               batch_format="pyarrow",
+                               runtime_env=runtime_env())
+                .sort("token")
+                .map_batches(pack_postings, batch_format="pyarrow",
+                             batch_size=None, runtime_env=runtime_env()))
+
+    merged_in = build_segment(False).union(build_segment(True))
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "token": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "postings": pa.array([], pa.list_(pa.int64())),
+            })
+        toks = np.asarray(batch.column("token").to_pylist(), dtype=object)
+        blobs = batch.column("blob").to_pylist()
+        order = np.argsort(toks, kind="stable")
+        toks = toks[order]
+        starts, ends = _run_bounds(toks)
+        out_ids, counts = [], np.empty(len(starts), np.int64)
+        for j, (s, e) in enumerate(zip(starts, ends)):
+            ids = np.sort(np.concatenate(
+                [np.frombuffer(blobs[order[i]], np.int64)
+                 for i in range(s, e)]))
+            out_ids.append(ids)
+            counts[j] = len(ids)
+        flat = (np.concatenate(out_ids) if out_ids
+                else np.empty(0, np.int64))
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        return pa.table({
+            "token": pa.array(toks[starts].tolist(), pa.string()),
+            "df": pa.array(counts, pa.int64()),
+            "postings": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(flat, pa.int64())),
+        })
+
+    # the ONE merge exchange: index-sized rows, ≤ 2 per token
+    return merged_in.sort("token").map_batches(
+        merge_block, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+
+
+# same full-rebuild twin as inverted_index: the merge must be
+# indistinguishable from a from-scratch build
+_SQL_INDEX_MERGE = _SQL_INVERTED_INDEX
+
+
 def q_doc_search(sf_dir: str):
     """Conjunctive (AND) token search — the index-FREE scan path: a pure
     per-batch map checks every query term's membership in the doc's
@@ -18865,6 +18981,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "warc_roundtrip": q_warc_roundtrip,
         "sitemap_roundtrip": q_sitemap_roundtrip,
         "robots_filter": q_robots_filter,
+        "index_merge": q_index_merge,
         "skipgram_counts": q_skipgram_counts,
         "dedup_eval": q_dedup_eval,
         "source_modularity": q_source_modularity,
@@ -19080,6 +19197,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
         "sitemap_roundtrip": _SQL_SITEMAP_ROUNDTRIP,
         "robots_filter": _SQL_ROBOTS_FILTER,
+        "index_merge": _SQL_INDEX_MERGE,
         "skipgram_counts": _sql_skipgram_counts(),
         "source_modularity": _sql_source_modularity(),
         "ks_test": _SQL_KS_TEST,

@@ -96,6 +96,7 @@ SPOT_CHECKED = [
     "warc_roundtrip",
     "sitemap_roundtrip",
     "robots_filter",
+    "index_merge",
     "skipgram_counts",
     "source_modularity",
     "ks_test",
