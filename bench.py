@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "sitemap_roundtrip",
     "robots_filter",
     "index_merge",
+    "index_merge_purge",
     "dedup_eval",
     "source_modularity",
     "ks_test",

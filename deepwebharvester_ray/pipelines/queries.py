@@ -5463,26 +5463,10 @@ FROM d GROUP BY token ORDER BY token
 """
 
 
-def q_index_merge(sf_dir: str):
-    """Inverted-index SEGMENT MERGE (index_merge) — the Lucene-style
-    maintenance op every incrementally-built search index lives by: an
-    established segment (docs with ``doc_id % 10 != 0``) and a fresh
-    delta segment (``% 10 == 0`` — the snapshot_diff old/new
-    convention) are each BUILT AS INDEXES first, then merged at the
-    POSTINGS level; the result must equal a from-scratch rebuild (the
-    ``inverted_index`` oracle), which is exactly the associativity
-    contract segment-based indexing rests on.
-
-    Why this is not "just rebuild": the merge's all-to-all exchanges
-    INDEX-sized rows — one (token, df, postings-blob) row per token per
-    segment — never the corpus-sized (token, doc) explode; at web scale
-    the segments are orders of magnitude smaller than their source
-    docs, which is why real systems merge segments instead of
-    re-indexing.  Postings travel as ``large_binary`` int64 buffers
-    (the CLAUDE.md join/exchange discipline for variable-length
-    arrays), and each token's ≤ 2 rows co-locate after the ONE merge
-    sort, so the in-block pass concatenates + sorts buffers with no
-    cross-block state."""
+def _index_merge_impl(sf_dir: str, purge_mod: int | None):
+    """Shared segment-merge plan; ``purge_mod`` adds a tombstone set
+    (docs with ``doc_id % 10 == purge_mod`` deleted at merge time).
+    See :func:`q_index_merge` / :func:`q_index_merge_purge`."""
     from ..functions.dedup import _run_bounds
     from ..functions.textops import WORD_RE
 
@@ -5550,19 +5534,27 @@ def q_index_merge(sf_dir: str):
         order = np.argsort(toks, kind="stable")
         toks = toks[order]
         starts, ends = _run_bounds(toks)
-        out_ids, counts = [], np.empty(len(starts), np.int64)
-        for j, (s, e) in enumerate(zip(starts, ends)):
+        out_tok, out_ids, counts = [], [], []
+        for s, e in zip(starts, ends):
             ids = np.sort(np.concatenate(
                 [np.frombuffer(blobs[order[i]], np.int64)
                  for i in range(s, e)]))
+            if purge_mod is not None:
+                # tombstone purge: drop deleted docs' postings; a token
+                # whose postings empty out leaves the index entirely
+                ids = ids[ids % 10 != purge_mod]
+                if not len(ids):
+                    continue
+            out_tok.append(toks[s])
             out_ids.append(ids)
-            counts[j] = len(ids)
+            counts.append(len(ids))
         flat = (np.concatenate(out_ids) if out_ids
                 else np.empty(0, np.int64))
-        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        offsets = np.concatenate(
+            ([0], np.cumsum(np.asarray(counts, np.int64)))).astype(np.int32)
         return pa.table({
-            "token": pa.array(toks[starts].tolist(), pa.string()),
-            "df": pa.array(counts, pa.int64()),
+            "token": pa.array(out_tok, pa.string()),
+            "df": pa.array(np.asarray(counts, np.int64), pa.int64()),
             "postings": pa.ListArray.from_arrays(
                 pa.array(offsets, pa.int32()),
                 pa.array(flat, pa.int64())),
@@ -5574,9 +5566,62 @@ def q_index_merge(sf_dir: str):
         runtime_env=runtime_env())
 
 
+def q_index_merge(sf_dir: str):
+    """Inverted-index SEGMENT MERGE (index_merge) — the Lucene-style
+    maintenance op every incrementally-built search index lives by: an
+    established segment (docs with ``doc_id % 10 != 0``) and a fresh
+    delta segment (``% 10 == 0`` — the snapshot_diff old/new
+    convention) are each BUILT AS INDEXES first, then merged at the
+    POSTINGS level; the result must equal a from-scratch rebuild (the
+    ``inverted_index`` oracle), which is exactly the associativity
+    contract segment-based indexing rests on.
+
+    Why this is not "just rebuild": the merge's all-to-all exchanges
+    INDEX-sized rows — one (token, df, postings-blob) row per token per
+    segment — never the corpus-sized (token, doc) explode; at web scale
+    the segments are orders of magnitude smaller than their source
+    docs, which is why real systems merge segments instead of
+    re-indexing.  Postings travel as ``large_binary`` int64 buffers
+    (the CLAUDE.md join/exchange discipline for variable-length
+    arrays), and each token's ≤ 2 rows co-locate after the ONE merge
+    sort, so the in-block pass concatenates + sorts buffers with no
+    cross-block state."""
+    return _index_merge_impl(sf_dir, purge_mod=None)
+
+
+def q_index_merge_purge(sf_dir: str):
+    """Tombstone-aware segment merge (index_merge_purge): the DELETE
+    half of index maintenance — the delta also carries tombstones
+    (``doc_id % 10 == 5``, docs that existed in the established segment
+    and were removed between snapshots), applied AT MERGE TIME by
+    filtering posting buffers, exactly how segment-based systems
+    physically reclaim deletes (a tombstoned doc is masked at query
+    time until a merge rewrites its postings away).  The correctness
+    wrinkle this pins: a token whose postings empty out must leave the
+    index ENTIRELY — the oracle's GROUP BY over surviving rows drops it
+    naturally, and a merge that emits df=0 rows diverges.  Same
+    index-sized exchange shape as :func:`q_index_merge`; the tombstone
+    test is a vectorized modulus here, a broadcast sorted-id membership
+    in the general case (tombstone sets are churn-bounded)."""
+    return _index_merge_impl(sf_dir, purge_mod=5)
+
+
 # same full-rebuild twin as inverted_index: the merge must be
 # indistinguishable from a from-scratch build
 _SQL_INDEX_MERGE = _SQL_INVERTED_INDEX
+
+# rebuild over the surviving docs only — tokens left with no surviving
+# doc drop out via the GROUP BY, the behavior the purge merge must match
+_SQL_INDEX_MERGE_PURGE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_TOKEN_SQL_RE}')) AS token
+  FROM documents WHERE doc_id % 10 <> 5
+),
+d AS (SELECT DISTINCT doc_id, token FROM tok)
+SELECT token, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+FROM d GROUP BY token ORDER BY token
+"""
 
 
 def q_doc_search(sf_dir: str):
@@ -18982,6 +19027,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "sitemap_roundtrip": q_sitemap_roundtrip,
         "robots_filter": q_robots_filter,
         "index_merge": q_index_merge,
+        "index_merge_purge": q_index_merge_purge,
         "skipgram_counts": q_skipgram_counts,
         "dedup_eval": q_dedup_eval,
         "source_modularity": q_source_modularity,
@@ -19198,6 +19244,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "sitemap_roundtrip": _SQL_SITEMAP_ROUNDTRIP,
         "robots_filter": _SQL_ROBOTS_FILTER,
         "index_merge": _SQL_INDEX_MERGE,
+        "index_merge_purge": _SQL_INDEX_MERGE_PURGE,
         "skipgram_counts": _sql_skipgram_counts(),
         "source_modularity": _sql_source_modularity(),
         "ks_test": _SQL_KS_TEST,

@@ -97,6 +97,7 @@ SPOT_CHECKED = [
     "sitemap_roundtrip",
     "robots_filter",
     "index_merge",
+    "index_merge_purge",
     "skipgram_counts",
     "source_modularity",
     "ks_test",
