@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "robots_filter",
     "index_merge",
     "index_merge_purge",
+    "phrase_search",
     "dedup_eval",
     "source_modularity",
     "ks_test",

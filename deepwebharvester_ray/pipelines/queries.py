@@ -5624,6 +5624,75 @@ FROM d GROUP BY token ORDER BY token
 """
 
 
+_PHRASE = ("hash", "join")
+
+
+def q_phrase_search(sf_dir: str):
+    """Positional phrase search (phrase_search): docs where the token
+    ``hash`` is IMMEDIATELY followed by ``join``, with the adjacency
+    count per doc — the query shape a positional index serves (bag-of-
+    words retrieval cannot: ``doc_search`` finds docs containing both
+    terms anywhere; a phrase needs POSITIONS).  The POSITIONAL member
+    of the search family (inverted_index = doc-level postings,
+    doc_search = conjunctive scan, bm25_search = ranked, this =
+    order-sensitive).
+
+    Distributed shape: tokenize once per block and keep ONLY the two
+    query terms' position arrays (the positional-postings prune — at
+    web scale you materialize postings for the 2 query terms, never the
+    corpus token table), adjacency = one vectorized
+    ``intersect1d(pos_a + 1, pos_b)`` per doc inside the block that
+    produced it; zero shuffle, embarrassingly parallel.  The SQL twin
+    is the positions self-join (the skipgram_counts convention —
+    generate_subscripts + equi-join on p+1, never a windowed len²
+    join)."""
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    w_a, w_b = _PHRASE
+
+    def hits(batch: pa.Table) -> pa.Table:
+        ids_in = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_n = [], []
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            toks = np.asarray(WORD_RE.findall((t or "").lower()),
+                              dtype=object)
+            pos_a = np.flatnonzero(toks == w_a)
+            if not len(pos_a):
+                continue
+            pos_b = np.flatnonzero(toks == w_b)
+            n = len(np.intersect1d(pos_a + 1, pos_b,
+                                   assume_unique=True))
+            if n:
+                out_id.append(ids_in[i])
+                out_n.append(n)
+        return pa.table({
+            "doc_id": pa.array(np.asarray(out_id, np.int64)),
+            "n_hits": pa.array(np.asarray(out_n, np.int64)),
+        })
+
+    return ds.map_batches(hits, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env()).sort("doc_id")
+
+
+_SQL_PHRASE_SEARCH = f"""
+WITH wl AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '{_TOKEN_SQL_RE}') AS l
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS p, unnest(l) AS tok
+  FROM wl
+)
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+WHERE a.tok = '{_PHRASE[0]}' AND b.tok = '{_PHRASE[1]}'
+GROUP BY a.doc_id ORDER BY a.doc_id
+"""
+
+
 def q_doc_search(sf_dir: str):
     """Conjunctive (AND) token search — the index-FREE scan path: a pure
     per-batch map checks every query term's membership in the doc's
@@ -19028,6 +19097,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "robots_filter": q_robots_filter,
         "index_merge": q_index_merge,
         "index_merge_purge": q_index_merge_purge,
+        "phrase_search": q_phrase_search,
         "skipgram_counts": q_skipgram_counts,
         "dedup_eval": q_dedup_eval,
         "source_modularity": q_source_modularity,
@@ -19245,6 +19315,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "robots_filter": _SQL_ROBOTS_FILTER,
         "index_merge": _SQL_INDEX_MERGE,
         "index_merge_purge": _SQL_INDEX_MERGE_PURGE,
+        "phrase_search": _SQL_PHRASE_SEARCH,
         "skipgram_counts": _sql_skipgram_counts(),
         "source_modularity": _sql_source_modularity(),
         "ks_test": _SQL_KS_TEST,

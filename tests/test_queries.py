@@ -98,6 +98,7 @@ SPOT_CHECKED = [
     "robots_filter",
     "index_merge",
     "index_merge_purge",
+    "phrase_search",
     "skipgram_counts",
     "source_modularity",
     "ks_test",
