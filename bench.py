@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "index_merge",
     "index_merge_purge",
     "phrase_search",
+    "doc_search_indexed",
     "dedup_eval",
     "source_modularity",
     "ks_test",

@@ -5728,6 +5728,84 @@ ORDER BY doc_id
 """
 
 
+def q_doc_search_indexed(sf_dir: str):
+    """Conjunctive search, INDEX-PROBE plan (doc_search_indexed): the
+    distributed plan an index-backed engine runs for the same query
+    :func:`q_doc_search` answers by scanning — materialize posting rows
+    for the QUERY TERMS ONLY (the explode emits nothing for the rest of
+    the vocabulary), intersect the posting lists as an aggregate
+    (``count(distinct term) per doc == K`` — DAAT intersection expressed
+    as ONE combiner grouped_agg whose shuffle volume is the query
+    terms' postings, never the corpus token table), and attach
+    ``n_chars`` through a broadcast restricted read of just the matched
+    ids.  Must return exactly the scan path's rows (same oracle) — the
+    plan-equivalence guarantee a query optimizer needs before swapping
+    scan for probe.
+
+    At 100 TB the two plans differ by orders of magnitude: the scan
+    tokenizes every document; this touches term-pruned postings plus
+    |matches| metadata rows."""
+    import ray
+
+    from ..broadcast import cached_get
+    from ..functions.agg import grouped_agg
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    terms = set(_SEARCH_TERMS)
+    k = len(terms)
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids_in = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_n = [], []
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            n = len(terms & set(WORD_RE.findall((t or "").lower())))
+            if n:  # posting rows exist only for query-term matches
+                out_id.append(ids_in[i])
+                out_n.append(n)
+        return pa.table({
+            "doc_id": pa.array(np.asarray(out_id, np.int64)),
+            "n_terms": pa.array(np.asarray(out_n, np.int64)),
+        })
+
+    # DAAT intersection as an aggregate: docs seen under all K terms.
+    # (grouped_agg merges the per-block partials — a doc's rows all come
+    # from its producing block here, but the plan stays correct when
+    # postings arrive pre-built from index segments split across blocks.)
+    matched = grouped_agg(
+        ds.map_batches(postings, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["doc_id"], [("hits", "n_terms", "sum")],
+    ).filter(expr=f"hits == {k}")
+
+    hit_ids = np.sort(np.asarray(
+        [r["doc_id"] for r in matched.select_columns(["doc_id"])
+         .take_all()], np.int64))  # |matches| ids — point-lookup scale
+    ids_ref = ray.put(hit_ids)
+
+    meta = _docs(sf_dir, columns=["doc_id", "n_chars"],
+                 override_num_blocks=_shuffle_parts(sf_dir))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        wanted = cached_get(ids_ref)
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        if not len(wanted):
+            return batch.slice(0, 0)
+        pos = np.searchsorted(wanted, ids)
+        pos[pos >= len(wanted)] = 0
+        return batch.filter(pa.array(wanted[pos] == ids))
+
+    return meta.map_batches(attach, batch_format="pyarrow",
+                            batch_size=None,
+                            runtime_env=runtime_env()).sort("doc_id")
+
+
+# plan equivalence: the probe must return exactly the scan's rows
+_SQL_DOC_SEARCH_INDEXED = _SQL_DOC_SEARCH
+
+
 _BM25_TOP = 10
 
 
@@ -19098,6 +19176,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "index_merge": q_index_merge,
         "index_merge_purge": q_index_merge_purge,
         "phrase_search": q_phrase_search,
+        "doc_search_indexed": q_doc_search_indexed,
         "skipgram_counts": q_skipgram_counts,
         "dedup_eval": q_dedup_eval,
         "source_modularity": q_source_modularity,
@@ -19316,6 +19395,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "index_merge": _SQL_INDEX_MERGE,
         "index_merge_purge": _SQL_INDEX_MERGE_PURGE,
         "phrase_search": _SQL_PHRASE_SEARCH,
+        "doc_search_indexed": _SQL_DOC_SEARCH_INDEXED,
         "skipgram_counts": _sql_skipgram_counts(),
         "source_modularity": _sql_source_modularity(),
         "ks_test": _SQL_KS_TEST,

@@ -99,6 +99,7 @@ SPOT_CHECKED = [
     "index_merge",
     "index_merge_purge",
     "phrase_search",
+    "doc_search_indexed",
     "skipgram_counts",
     "source_modularity",
     "ks_test",
