@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "index_merge_purge",
     "phrase_search",
     "doc_search_indexed",
+    "search_snippets",
     "dedup_eval",
     "source_modularity",
     "ks_test",

@@ -5806,6 +5806,69 @@ def q_doc_search_indexed(sf_dir: str):
 _SQL_DOC_SEARCH_INDEXED = _SQL_DOC_SEARCH
 
 
+_SNIPPET_TERM = "vector"
+_SNIPPET_CTX = 3  # tokens of context each side
+
+
+def q_search_snippets(sf_dir: str):
+    """KWIC result snippets (search_snippets) — the DISPLAY stage of
+    the search family: for every doc containing the query term, the
+    keyword-in-context window of ±3 tokens around the FIRST occurrence,
+    plus its 1-based token position.  Rendering is where search engines
+    quietly diverge from their own index (off-by-one windows, edge
+    clamping at doc start/end, first-vs-any occurrence) — the oracle
+    pins the exact contract: DuckDB ``list_position`` (first match,
+    1-based) and 1-based inclusive auto-clamping list slices, mirrored
+    here by 0-based half-open numpy slicing with explicit clamps.
+
+    Distributed shape: one tokenize-and-slice map per block (non-hit
+    docs emit nothing), zero shuffle; snippet volume is |hits| × 7
+    tokens, never the corpus."""
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def snip(batch: pa.Table) -> pa.Table:
+        ids_in = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_pos, out_sn = [], [], []
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            toks = WORD_RE.findall((t or "").lower())
+            try:
+                idx = toks.index(_SNIPPET_TERM)  # first occurrence
+            except ValueError:
+                continue
+            lo = max(0, idx - _SNIPPET_CTX)
+            out_id.append(ids_in[i])
+            out_pos.append(idx + 1)  # 1-based, the list_position contract
+            out_sn.append(" ".join(toks[lo:idx + _SNIPPET_CTX + 1]))
+        return pa.table({
+            "doc_id": pa.array(np.asarray(out_id, np.int64)),
+            "pos": pa.array(np.asarray(out_pos, np.int64)),
+            "snippet": pa.array(out_sn, pa.string()),
+        })
+
+    return ds.map_batches(snip, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env()).sort("doc_id")
+
+
+_SQL_SEARCH_SNIPPETS = f"""
+WITH wl AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '{_TOKEN_SQL_RE}') AS l
+  FROM documents
+),
+m AS (
+  SELECT doc_id, l, list_position(l, '{_SNIPPET_TERM}') AS p
+  FROM wl WHERE list_position(l, '{_SNIPPET_TERM}') > 0
+)
+SELECT doc_id, CAST(p AS BIGINT) AS pos,
+       array_to_string(l[greatest(1, p - {_SNIPPET_CTX}):p + {_SNIPPET_CTX}],
+                       ' ') AS snippet
+FROM m ORDER BY doc_id
+"""
+
+
 _BM25_TOP = 10
 
 
@@ -19177,6 +19240,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "index_merge_purge": q_index_merge_purge,
         "phrase_search": q_phrase_search,
         "doc_search_indexed": q_doc_search_indexed,
+        "search_snippets": q_search_snippets,
         "skipgram_counts": q_skipgram_counts,
         "dedup_eval": q_dedup_eval,
         "source_modularity": q_source_modularity,
@@ -19396,6 +19460,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "index_merge_purge": _SQL_INDEX_MERGE_PURGE,
         "phrase_search": _SQL_PHRASE_SEARCH,
         "doc_search_indexed": _SQL_DOC_SEARCH_INDEXED,
+        "search_snippets": _SQL_SEARCH_SNIPPETS,
         "skipgram_counts": _sql_skipgram_counts(),
         "source_modularity": _sql_source_modularity(),
         "ks_test": _SQL_KS_TEST,

@@ -100,6 +100,7 @@ SPOT_CHECKED = [
     "index_merge_purge",
     "phrase_search",
     "doc_search_indexed",
+    "search_snippets",
     "skipgram_counts",
     "source_modularity",
     "ks_test",
