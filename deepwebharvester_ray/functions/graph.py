@@ -2751,18 +2751,67 @@ def bowtie_decomposition(nodes_ds, edges_ds, max_rounds: int = 100):
     core = scc.map_batches(_ids_where_scc, batch_format="pyarrow",
                            runtime_env=runtime_env()).materialize()
 
-    def _rev(batch: pa.Table) -> pa.Table:
-        return pa.table({"src": batch.column("dst"),
-                         "dst": batch.column("src")})
-
     edges_m = edges_ds.materialize()
-    redges = edges_m.map_batches(_rev, batch_format="pyarrow",
+
+    # World-doubling closure fusion: node 2u lives in the FORWARD world
+    # (original edges), 2u+1 in the BACKWARD world (reversed edges) —
+    # the two worlds share no edges, so ONE BFS fixpoint over the
+    # doubled graph computes a forward and a backward closure
+    # simultaneously (halving the fixpoint count: each round's fixed
+    # per-stage cost is the smoke-scale bottleneck, and at real scale
+    # the rounds run over one edge table instead of two).
+    def _double(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate((2 * s, 2 * d + 1)), pa.int64()),
+            "dst": pa.array(np.concatenate((2 * d, 2 * s + 1)), pa.int64()),
+        })
+
+    dedges = edges_m.map_batches(_double, batch_format="pyarrow",
+                                 batch_size=None,
                                  runtime_env=runtime_env()).materialize()
 
-    fwd = bfs_distances(edges_m, core, max_depth=reach_depth).materialize()
-    bwd = bfs_distances(redges, core, max_depth=reach_depth).materialize()
-    ffar = bfs_distances(edges_m, bwd, max_depth=reach_depth)
-    bfar = bfs_distances(redges, fwd, max_depth=reach_depth)
+    def _both_worlds(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({"id": pa.array(
+            np.concatenate((2 * ids, 2 * ids + 1)), pa.int64())})
+
+    def _flip_world(batch: pa.Table) -> pa.Table:
+        # the second closure's seeds ARE the first closure's reach with
+        # the world bit flipped: fwd-reached o seeds the backward world
+        # (bfar = "reaches OUT∪CORE"), bwd-reached i seeds the forward
+        # world (ffar = "reachable from IN∪CORE")
+        ids = batch.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({"id": pa.array(ids ^ 1, pa.int64())})
+
+    def _world(ds, odd: bool):
+        def pick(batch: pa.Table, _odd=odd) -> pa.Table:
+            ids = batch.column("id").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            sel = ids[(ids & 1) == (1 if _odd else 0)]
+            return pa.table({"id": pa.array(sel >> 1, pa.int64())})
+        return ds.map_batches(pick, batch_format="pyarrow",
+                              batch_size=None, runtime_env=runtime_env())
+
+    reach1 = bfs_distances(
+        dedges,
+        core.map_batches(_both_worlds, batch_format="pyarrow",
+                         batch_size=None, runtime_env=runtime_env()),
+        max_depth=reach_depth,
+    ).materialize()
+    reach2 = bfs_distances(
+        dedges,
+        reach1.map_batches(_flip_world, batch_format="pyarrow",
+                           batch_size=None, runtime_env=runtime_env()),
+        max_depth=reach_depth,
+    )
+    fwd, bwd = _world(reach1, odd=False), _world(reach1, odd=True)
+    ffar, bfar = _world(reach2, odd=False), _world(reach2, odd=True)
 
     def _pairs(batch: pa.Table) -> pa.Table:
         return pa.table({"id_a": batch.column("src"),
