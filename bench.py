@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "phrase_search",
     "doc_search_indexed",
     "search_snippets",
+    "shard_rebalance",
     "dedup_eval",
     "source_modularity",
     "ks_test",

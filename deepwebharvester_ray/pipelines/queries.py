@@ -5806,6 +5806,72 @@ def q_doc_search_indexed(sf_dir: str):
 _SQL_DOC_SEARCH_INDEXED = _SQL_DOC_SEARCH
 
 
+_REBAL_MULT = 0x9E3779B97F4A7C15  # sinks._BUCKET_MULT — the layout hash
+_REBAL_OLD, _REBAL_NEW = 16, 20
+
+
+def q_shard_rebalance(sf_dir: str):
+    """Shard-resize migration matrix (shard_rebalance): when the
+    hash-bucketed layout grows 16 → 20 shards, the exact (old shard,
+    new shard, key count) matrix — the planning table a resize pays for
+    BEFORE moving 100 TB (how many bytes migrate, from where, to
+    where).  The LAYOUT-EVOLUTION member of the layout family
+    (write_bucketed_parquet creates the layout, zorder_layout orders
+    within it, compact_parquet maintains file sizes — this plans its
+    resize).
+
+    The multiply-shift rule ``((hv >> 32) · n) >> 32`` is MONOTONE in
+    hv for any n, so the matrix is BANDED: every old shard's keys land
+    in at most two adjacent new shards (old 16ths map onto overlapping
+    20ths of the same hash line) — a resize moves only boundary
+    slivers, ~1 − 16/20 of keys stay put in expectation.  A ``hv % n``
+    rule would scatter every old shard across ALL new shards (gcd(16,
+    20) = 4 residue classes), migrating almost everything; the matrix
+    makes the difference auditable.  DuckDB reproduces the hash
+    bit-for-bit via HUGEINT mod 2⁶⁴ (the split_assign convention).
+
+    Distributed shape: one stateless vectorized map (two multiply-
+    shifts per key), ONE combiner grouped_agg bounded by the matrix
+    cardinality (≤ old·new cells), never the key count."""
+    from ..functions.agg import grouped_agg
+    from ..sinks import _shard_of
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey"],
+               override_num_blocks=_shuffle_parts(sf_dir, "orders"))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ks = batch.column("o_orderkey").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "shard_old": pa.array(_shard_of(ks, _REBAL_OLD), pa.int64()),
+            "shard_new": pa.array(_shard_of(ks, _REBAL_NEW), pa.int64()),
+        })
+
+    return grouped_agg(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["shard_old", "shard_new"], [("n_keys", "", "count")],
+    )
+
+
+_SQL_SHARD_REBALANCE = f"""
+WITH h AS (
+  SELECT (CAST(o_orderkey AS HUGEINT) * {_REBAL_MULT}) %
+             CAST('18446744073709551616' AS HUGEINT) AS hv
+  FROM orders
+),
+s AS (
+  SELECT CAST(((hv // 4294967296) * {_REBAL_OLD}) // 4294967296
+              AS BIGINT) AS shard_old,
+         CAST(((hv // 4294967296) * {_REBAL_NEW}) // 4294967296
+              AS BIGINT) AS shard_new
+  FROM h
+)
+SELECT shard_old, shard_new, CAST(count(*) AS BIGINT) AS n_keys
+FROM s GROUP BY shard_old, shard_new ORDER BY shard_old, shard_new
+"""
+
+
 _SNIPPET_TERM = "vector"
 _SNIPPET_CTX = 3  # tokens of context each side
 
@@ -19241,6 +19307,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "phrase_search": q_phrase_search,
         "doc_search_indexed": q_doc_search_indexed,
         "search_snippets": q_search_snippets,
+        "shard_rebalance": q_shard_rebalance,
         "skipgram_counts": q_skipgram_counts,
         "dedup_eval": q_dedup_eval,
         "source_modularity": q_source_modularity,
@@ -19461,6 +19528,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "phrase_search": _SQL_PHRASE_SEARCH,
         "doc_search_indexed": _SQL_DOC_SEARCH_INDEXED,
         "search_snippets": _SQL_SEARCH_SNIPPETS,
+        "shard_rebalance": _SQL_SHARD_REBALANCE,
         "skipgram_counts": _sql_skipgram_counts(),
         "source_modularity": _sql_source_modularity(),
         "ks_test": _SQL_KS_TEST,

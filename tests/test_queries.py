@@ -101,6 +101,7 @@ SPOT_CHECKED = [
     "phrase_search",
     "doc_search_indexed",
     "search_snippets",
+    "shard_rebalance",
     "skipgram_counts",
     "source_modularity",
     "ks_test",
