@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "doc_search_indexed",
     "search_snippets",
     "shard_rebalance",
+    "image_dims",
     "dedup_eval",
     "source_modularity",
     "ks_test",

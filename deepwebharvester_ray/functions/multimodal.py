@@ -51,6 +51,72 @@ def binary_metadata_batch(batch: pa.Table, binary_column: str = "payload") -> pa
     return pa.table(out)
 
 
+# SOF markers carrying frame dimensions: C0–CF except C4 (DHT),
+# C8 (JPG extension) and CC (DAC) — the JPEG/JFIF marker contract.
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def image_dims(blob: bytes):
+    """``(fmt, width, height)`` parsed from an image CONTAINER header —
+    PNG IHDR (big-endian, fixed offset after the 8-byte signature),
+    GIF logical screen descriptor (LITTLE-endian — the classic parser
+    bug this function's tests pin), and the JPEG marker WALK: segments
+    are (0xFF, marker, 2-byte big-endian length-including-itself)
+    records that must be skipped until a SOF frame header, whose
+    payload is (precision u8, height u16, width u16) — height FIRST,
+    the other classic bug.  Pure byte parsing, stdlib struct only — no
+    codec import, so this runs on any worker (the decode-to-pixels
+    stage stays behind the documented codec stub; DIMENSIONS are
+    container metadata and never needed a codec).  Returns
+    ``("unknown", -1, -1)`` for unrecognized or truncated payloads."""
+    import struct
+
+    b = blob or b""
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        if len(b) >= 24:
+            w, h = struct.unpack(">II", b[16:24])
+            return "png", int(w), int(h)
+    elif b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) >= 10:
+            w, h = struct.unpack("<HH", b[6:10])
+            return "gif", int(w), int(h)
+    elif b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b) and b[i] == 0xFF:
+            marker = b[i + 1]
+            if marker == 0xD9:  # EOI
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i += 2  # standalone markers carry no length
+                continue
+            seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+            if marker in _JPEG_SOF and i + 9 <= len(b):
+                h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                return "jpeg", int(w), int(h)
+            i += 2 + seglen
+        return "jpeg", -1, -1  # valid SOI but no parseable frame
+    return "unknown", -1, -1
+
+
+def image_dims_batch(batch: pa.Table,
+                     binary_column: str = "payload") -> pa.Table:
+    """map_batches fn: attach ``(fmt, width, height)`` via
+    :func:`image_dims` — per-row header parsing is O(header bytes),
+    the same cost class as the magic sniff above."""
+    payloads = batch.column(binary_column).to_pylist()
+    fmts, ws, hs = [], [], []
+    for b in payloads:
+        f, w, h = image_dims(b)
+        fmts.append(f)
+        ws.append(w)
+        hs.append(h)
+    out = {n: batch.column(n) for n in batch.column_names}
+    out["fmt"] = pa.array(fmts, pa.string())
+    out["width"] = pa.array(ws, pa.int64())
+    out["height"] = pa.array(hs, pa.int64())
+    return pa.table(out)
+
+
 N_FEATURES = 16
 
 

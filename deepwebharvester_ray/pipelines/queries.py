@@ -5806,6 +5806,79 @@ def q_doc_search_indexed(sf_dir: str):
 _SQL_DOC_SEARCH_INDEXED = _SQL_DOC_SEARCH
 
 
+def q_image_dims(sf_dir: str):
+    """Codec-free image dimension extraction (image_dims): per doc a
+    synthesized PNG / GIF / JPEG container header (format by
+    ``doc_id % 3``, dimensions by doc-id arithmetic) parsed back
+    through the REAL header-layout rules —
+    :func:`~deepwebharvester_ray.functions.multimodal.image_dims` —
+    PNG IHDR big-endian at fixed offset, GIF logical screen descriptor
+    LITTLE-endian, and the JPEG marker WALK (a COM segment is planted
+    before the SOF frame so a fixed-offset cheat fails; SOF carries
+    height-then-width, the classic transposition bug).  The oracle is
+    the synthesis arithmetic — the engine proves the byte-level parse
+    inverts the construction.  This is the multimodal column story
+    with NO codec: dimensions are container metadata (the filter a
+    training pipeline applies before paying for decode — drop icons,
+    drop absurd aspect ratios — must not require decoding 100 TB).
+
+    Distributed shape: one synthesis map + one parse map, both
+    per-block, zero shuffle."""
+    import struct
+
+    from ..functions.multimodal import image_dims_batch
+
+    ds = _docs(sf_dir, columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        blobs = []
+        for d in ids.tolist():
+            w, h = d % 640 + 1, d % 480 + 1
+            m = d % 3
+            if m == 0:
+                blobs.append(b"\x89PNG\r\n\x1a\n"
+                             + struct.pack(">I", 13) + b"IHDR"
+                             + struct.pack(">II", w, h)
+                             + b"\x08\x06\x00\x00\x00" + b"\x00" * 4)
+            elif m == 1:
+                blobs.append(b"GIF89a" + struct.pack("<HH", w, h)
+                             + b"\xf7\x00\x00")
+            else:
+                com = b"comment!"
+                blobs.append(
+                    b"\xff\xd8"                                   # SOI
+                    + b"\xff\xfe"
+                    + struct.pack(">H", 2 + len(com)) + com       # COM
+                    + b"\xff\xc0" + struct.pack(">H", 11)         # SOF0
+                    + b"\x08" + struct.pack(">HH", h, w)
+                    + b"\x01\x01\x11\x00"
+                    + b"\xff\xd9")                                # EOI
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(blobs, pa.binary()),
+        })
+
+    out = ds.map_batches(synth, batch_format="pyarrow", batch_size=None,
+                         runtime_env=runtime_env()).map_batches(
+        image_dims_batch, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+    return out.select_columns(["doc_id", "fmt", "width", "height"]).sort(
+        "doc_id")
+
+
+_SQL_IMAGE_DIMS = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+            ELSE 'jpeg' END AS fmt,
+       CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+       CAST(doc_id % 480 + 1 AS BIGINT) AS height
+FROM documents ORDER BY doc_id
+"""
+
+
 _REBAL_MULT = 0x9E3779B97F4A7C15  # sinks._BUCKET_MULT — the layout hash
 _REBAL_OLD, _REBAL_NEW = 16, 20
 
@@ -19308,6 +19381,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "doc_search_indexed": q_doc_search_indexed,
         "search_snippets": q_search_snippets,
         "shard_rebalance": q_shard_rebalance,
+        "image_dims": q_image_dims,
         "skipgram_counts": q_skipgram_counts,
         "dedup_eval": q_dedup_eval,
         "source_modularity": q_source_modularity,
@@ -19529,6 +19603,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "doc_search_indexed": _SQL_DOC_SEARCH_INDEXED,
         "search_snippets": _SQL_SEARCH_SNIPPETS,
         "shard_rebalance": _SQL_SHARD_REBALANCE,
+        "image_dims": _SQL_IMAGE_DIMS,
         "skipgram_counts": _sql_skipgram_counts(),
         "source_modularity": _sql_source_modularity(),
         "ks_test": _SQL_KS_TEST,

@@ -3647,3 +3647,48 @@ def test_grouped_median_bisect_matches_sort(ray_session):
         for g in "abcde":
             sv = np.sort(vals[keys == g])
             assert got[g] == int(sv[(len(sv) + 1) // 2 - 1]), (fanout, g)
+
+
+def test_image_dims_header_parsing():
+    """Codec-free dimension parse: PNG big-endian IHDR, GIF
+    LITTLE-endian screen descriptor (the classic endianness bug),
+    JPEG marker walk (segments skipped, standalone RST/TEM markers
+    handled, SOF height-before-width), truncation and absence."""
+    import struct
+
+    from deepwebharvester_ray.functions.multimodal import image_dims
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 1920, 1080) + b"\x08\x06\x00\x00\x00"
+           + b"\x00" * 4)
+    assert image_dims(png) == ("png", 1920, 1080)
+
+    # 300 = 0x012C — little-endian on disk as 2C 01; a big-endian
+    # reader would report 11265
+    gif = b"GIF87a" + struct.pack("<HH", 300, 200) + b"\xf7\x00\x00"
+    assert image_dims(gif) == ("gif", 300, 200)
+
+    com = b"a comment segment"
+    app0 = b"JFIF\x00payload"
+    jpeg = (b"\xff\xd8"
+            + b"\xff\x01"  # TEM: standalone, no length word
+            + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+            + b"\xff\xfe" + struct.pack(">H", 2 + len(com)) + com
+            + b"\xff\xc2" + struct.pack(">H", 11)  # progressive SOF2
+            + b"\x08" + struct.pack(">HH", 480, 640)
+            + b"\x01\x01\x11\x00" + b"\xff\xd9")
+    assert image_dims(jpeg) == ("jpeg", 640, 480)  # h-first on disk
+
+    # SOI but no SOF before EOI → jpeg with unknown dims
+    assert image_dims(b"\xff\xd8\xff\xd9") == ("jpeg", -1, -1)
+    # truncated PNG header / empty / junk
+    assert image_dims(png[:20]) == ("unknown", -1, -1)
+    assert image_dims(b"") == ("unknown", -1, -1)
+    assert image_dims(b"not an image at all") == ("unknown", -1, -1)
+    # DHT (C4) must NOT be mistaken for a SOF
+    jpeg_dht_first = (b"\xff\xd8"
+                      + b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
+                      + b"\xff\xc0" + struct.pack(">H", 11)
+                      + b"\x08" + struct.pack(">HH", 7, 9)
+                      + b"\x01\x01\x11\x00" + b"\xff\xd9")
+    assert image_dims(jpeg_dht_first) == ("jpeg", 9, 7)

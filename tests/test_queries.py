@@ -102,6 +102,7 @@ SPOT_CHECKED = [
     "doc_search_indexed",
     "search_snippets",
     "shard_rebalance",
+    "image_dims",
     "skipgram_counts",
     "source_modularity",
     "ks_test",
