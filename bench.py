@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     "search_snippets",
     "shard_rebalance",
     "image_dims",
+    "audio_meta",
     "dedup_eval",
     "source_modularity",
     "ks_test",

@@ -98,6 +98,61 @@ def image_dims(blob: bytes):
     return "unknown", -1, -1
 
 
+def wav_meta(blob: bytes):
+    """``(channels, sample_rate, bits, duration_ms)`` from a RIFF/WAVE
+    container — the chunk WALK: ``RIFF`` + u32le size + ``WAVE``, then
+    (fourcc, u32le length) chunks skipped until ``fmt `` (channels
+    u16le, sample rate u32le, bits-per-sample u16le at offset 14) and
+    ``data`` (payload length = the audio byte count); chunks pad to
+    even lengths (the RIFF rule a naive walker misses on odd-length
+    chunks).  Duration is the exact floor
+    ``data_bytes · 8000 // (rate · channels · bits)`` ms — integer end
+    to end.  Pure stdlib struct, no codec (the audio twin of
+    :func:`image_dims`: a corpus filter on duration/sample-rate must
+    not decode 100 TB of audio).  Returns ``(-1, -1, -1, -1)`` when
+    not a parseable WAVE."""
+    import struct
+
+    b = blob or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return -1, -1, -1, -1
+    ch = rate = bits = -1
+    data_len = -1
+    i = 12
+    while i + 8 <= len(b):
+        fourcc = b[i:i + 4]
+        clen = struct.unpack("<I", b[i + 4:i + 8])[0]
+        if fourcc == b"fmt " and i + 8 + 16 <= len(b):
+            ch, rate = struct.unpack("<HI", b[i + 10:i + 16])
+            bits = struct.unpack("<H", b[i + 22:i + 24])[0]
+        elif fourcc == b"data":
+            data_len = clen
+        i += 8 + clen + (clen & 1)  # RIFF pads odd chunks to even
+    if ch <= 0 or rate <= 0 or bits <= 0 or data_len < 0:
+        return -1, -1, -1, -1
+    return (int(ch), int(rate), int(bits),
+            int(data_len) * 8000 // (int(rate) * int(ch) * int(bits)))
+
+
+def wav_meta_batch(batch: pa.Table,
+                   binary_column: str = "payload") -> pa.Table:
+    """map_batches fn: attach ``(channels, sample_rate, bits,
+    duration_ms)`` via :func:`wav_meta`."""
+    payloads = batch.column(binary_column).to_pylist()
+    cols = {"channels": [], "sample_rate": [], "bits": [],
+            "duration_ms": []}
+    for b in payloads:
+        c, r, bt, d = wav_meta(b)
+        cols["channels"].append(c)
+        cols["sample_rate"].append(r)
+        cols["bits"].append(bt)
+        cols["duration_ms"].append(d)
+    out = {n: batch.column(n) for n in batch.column_names}
+    for k, v in cols.items():
+        out[k] = pa.array(v, pa.int64())
+    return pa.table(out)
+
+
 def image_dims_batch(batch: pa.Table,
                      binary_column: str = "payload") -> pa.Table:
     """map_batches fn: attach ``(fmt, width, height)`` via

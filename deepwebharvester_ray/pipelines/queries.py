@@ -5879,6 +5879,72 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_audio_meta(sf_dir: str):
+    """Codec-free audio metadata (audio_meta) — the WAV twin of
+    :func:`q_image_dims`: per doc a synthesized RIFF/WAVE container
+    (channels ``doc_id % 2 + 1``, sample rate from a 4-value table,
+    16-bit, an ODD-length junk chunk planted before ``fmt `` so the
+    walker must honor RIFF even-padding) parsed back through the real
+    chunk-walk rules (:func:`~deepwebharvester_ray.functions.
+    multimodal.wav_meta`); duration is the exact integer floor
+    ``data_bytes · 8000 // (rate·ch·bits)`` ms on both engines.  The
+    corpus filter on duration / sample rate runs without decoding a
+    byte of audio.  Two per-block maps, zero shuffle."""
+    import struct
+
+    from ..functions.multimodal import wav_meta_batch
+
+    ds = _docs(sf_dir, columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    rates = (8000, 16000, 22050, 44100)
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        blobs = []
+        for d in ids.tolist():
+            ch = d % 2 + 1
+            rate = rates[d % 4]
+            data = bytes((d + j) % 251 for j in range(d % 97 + 16))
+            junk = b"x" * 7  # odd length → even-padding exercised
+            fmt = struct.pack("<HHIIHH", 1, ch, rate,
+                              rate * ch * 2, ch * 2, 16)
+            body = (b"JUNK" + struct.pack("<I", len(junk)) + junk + b"\x00"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                    + (b"\x00" if len(data) & 1 else b""))
+            blobs.append(b"RIFF" + struct.pack("<I", 4 + len(body))
+                         + b"WAVE" + body)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(blobs, pa.binary()),
+        })
+
+    out = ds.map_batches(synth, batch_format="pyarrow", batch_size=None,
+                         runtime_env=runtime_env()).map_batches(
+        wav_meta_batch, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+    return out.select_columns(
+        ["doc_id", "channels", "sample_rate", "bits",
+         "duration_ms"]).sort("doc_id")
+
+
+_SQL_AUDIO_META = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+         CAST(([8000, 16000, 22050, 44100])[(doc_id % 4) + 1]
+              AS BIGINT) AS sample_rate,
+         CAST(doc_id % 97 + 16 AS BIGINT) AS data_bytes
+  FROM documents
+)
+SELECT doc_id, channels, sample_rate, CAST(16 AS BIGINT) AS bits,
+       CAST(data_bytes * 8000 // (sample_rate * channels * 16)
+            AS BIGINT) AS duration_ms
+FROM p ORDER BY doc_id
+"""
+
+
 _REBAL_MULT = 0x9E3779B97F4A7C15  # sinks._BUCKET_MULT — the layout hash
 _REBAL_OLD, _REBAL_NEW = 16, 20
 
@@ -19382,6 +19448,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "search_snippets": q_search_snippets,
         "shard_rebalance": q_shard_rebalance,
         "image_dims": q_image_dims,
+        "audio_meta": q_audio_meta,
         "skipgram_counts": q_skipgram_counts,
         "dedup_eval": q_dedup_eval,
         "source_modularity": q_source_modularity,
@@ -19604,6 +19671,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "search_snippets": _SQL_SEARCH_SNIPPETS,
         "shard_rebalance": _SQL_SHARD_REBALANCE,
         "image_dims": _SQL_IMAGE_DIMS,
+        "audio_meta": _SQL_AUDIO_META,
         "skipgram_counts": _sql_skipgram_counts(),
         "source_modularity": _sql_source_modularity(),
         "ks_test": _SQL_KS_TEST,

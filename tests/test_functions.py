@@ -3692,3 +3692,32 @@ def test_image_dims_header_parsing():
                       + b"\x08" + struct.pack(">HH", 7, 9)
                       + b"\x01\x01\x11\x00" + b"\xff\xd9")
     assert image_dims(jpeg_dht_first) == ("jpeg", 9, 7)
+
+
+def test_wav_meta_chunk_walk():
+    """RIFF walk: odd-chunk even-padding honored, fmt/data in either
+    order, truncation and non-WAVE rejected, exact integer duration."""
+    import struct
+
+    from deepwebharvester_ray.functions.multimodal import wav_meta
+
+    def wav(chunks):
+        body = b"".join(
+            four + struct.pack("<I", len(p)) + p
+            + (b"\x00" if len(p) & 1 else b"") for four, p in chunks)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    data = b"\x00" * 44100 * 4  # exactly 1 s of 44.1k stereo 16-bit
+    assert wav_meta(wav([(b"fmt ", fmt), (b"data", data)])) \
+        == (2, 44100, 16, 1000)
+    # data BEFORE fmt, with an odd-length junk chunk between
+    assert wav_meta(wav([(b"data", data), (b"JUNK", b"x" * 5),
+                         (b"fmt ", fmt)])) == (2, 44100, 16, 1000)
+    # floor duration: one sample short of a second
+    short = b"\x00" * (44100 * 4 - 4)
+    c, r, b_, d = wav_meta(wav([(b"fmt ", fmt), (b"data", short)]))
+    assert d == 999
+    assert wav_meta(b"RIFF\x00\x00\x00\x00AVI ") == (-1, -1, -1, -1)
+    assert wav_meta(b"") == (-1, -1, -1, -1)
+    assert wav_meta(wav([(b"data", data)])) == (-1, -1, -1, -1)  # no fmt

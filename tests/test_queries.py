@@ -103,6 +103,7 @@ SPOT_CHECKED = [
     "search_snippets",
     "shard_rebalance",
     "image_dims",
+    "audio_meta",
     "skipgram_counts",
     "source_modularity",
     "ks_test",
