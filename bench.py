@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "shard_rebalance",
     "image_dims",
     "audio_meta",
+    "video_meta",
     "dedup_eval",
     "source_modularity",
     "ks_test",

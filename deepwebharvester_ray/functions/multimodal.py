@@ -134,6 +134,84 @@ def wav_meta(blob: bytes):
             int(data_len) * 8000 // (int(rate) * int(ch) * int(bits)))
 
 
+def mp4_meta(blob: bytes):
+    """``(brand, timescale, duration_ms)`` from an ISO-BMFF (MP4)
+    container — the box WALK with NESTING: top-level boxes are
+    (u32be size-including-header, fourcc) records; ``moov`` is a
+    CONTAINER whose children walk recursively until ``mvhd``, whose
+    version-0 payload carries timescale u32be at offset 12 and
+    duration (in timescale units) u32be at 16 (version 1: u64be at
+    16/20 — both handled; the version byte is the classic miss).
+    ``size == 1`` means a u64be largesize follows the fourcc (the
+    >4 GiB convention — handled, the other classic miss).  Duration
+    is the exact floor ``duration · 1000 // timescale`` ms.  Pure
+    stdlib struct; the video twin of :func:`image_dims` /
+    :func:`wav_meta`.  Returns ``("", -1, -1)`` when not parseable."""
+    import struct
+
+    b = blob or b""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return "", -1, -1
+    brand = b[8:12].decode("ascii", errors="replace")
+
+    def find_mvhd(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = struct.unpack(">I", b[i:i + 4])[0]
+            four = b[i + 4:i + 8]
+            payload = i + 8
+            if size == 1:  # 64-bit largesize follows the fourcc
+                if i + 16 > hi:
+                    return None
+                size = struct.unpack(">Q", b[i + 8:i + 16])[0]
+                payload = i + 16
+            if size < 8 or i + size > hi:
+                return None
+            if four == b"moov":
+                found = find_mvhd(payload, i + size)
+                if found is not None:
+                    return found
+            elif four == b"mvhd":
+                version = b[payload]
+                if version == 1 and payload + 32 <= hi:
+                    ts = struct.unpack(">I", b[payload + 20:
+                                               payload + 24])[0]
+                    dur = struct.unpack(">Q", b[payload + 24:
+                                                payload + 32])[0]
+                    return ts, dur
+                if version == 0 and payload + 20 <= hi:
+                    ts, dur = struct.unpack(
+                        ">II", b[payload + 12:payload + 20])
+                    return ts, dur
+                return None
+            i += size
+        return None
+
+    found = find_mvhd(0, len(b))
+    if not found or found[0] <= 0:
+        return brand, -1, -1
+    ts, dur = found
+    return brand, int(ts), int(dur) * 1000 // int(ts)
+
+
+def mp4_meta_batch(batch: pa.Table,
+                   binary_column: str = "payload") -> pa.Table:
+    """map_batches fn: attach ``(brand, timescale, duration_ms)`` via
+    :func:`mp4_meta`."""
+    payloads = batch.column(binary_column).to_pylist()
+    brands, tss, durs = [], [], []
+    for b in payloads:
+        br, ts, d = mp4_meta(b)
+        brands.append(br)
+        tss.append(ts)
+        durs.append(d)
+    out = {n: batch.column(n) for n in batch.column_names}
+    out["brand"] = pa.array(brands, pa.string())
+    out["timescale"] = pa.array(tss, pa.int64())
+    out["duration_ms"] = pa.array(durs, pa.int64())
+    return pa.table(out)
+
+
 def wav_meta_batch(batch: pa.Table,
                    binary_column: str = "payload") -> pa.Table:
     """map_batches fn: attach ``(channels, sample_rate, bits,

@@ -5945,6 +5945,73 @@ FROM p ORDER BY doc_id
 """
 
 
+def q_video_meta(sf_dir: str):
+    """Codec-free video metadata (video_meta) — the ISO-BMFF (MP4)
+    member completing the multimodal container trio (image_dims = PNG/
+    GIF/JPEG, audio_meta = RIFF/WAV, this = the box walk WITH NESTING):
+    per doc a synthesized MP4 (ftyp + a ``free`` box planted before
+    ``moov`` + mvhd nested inside moov behind a sibling ``iods`` box,
+    mvhd version ``doc_id % 2`` so BOTH the u32 and u64 layouts parse)
+    pushed through :func:`~deepwebharvester_ray.functions.multimodal.
+    mp4_meta`; duration is the exact floor ``units · 1000 //
+    timescale`` ms on both engines.  Two per-block maps, zero
+    shuffle."""
+    import struct
+
+    from ..functions.multimodal import mp4_meta_batch
+
+    ds = _docs(sf_dir, columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    scales = (600, 1000, 90000, 48000)
+
+    def box(four: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + four + payload
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        blobs = []
+        for d in ids.tolist():
+            ts = scales[d % 4]
+            units = (d % 7919 + 1) * 37
+            if d % 2:
+                mvhd = (b"\x01\x00\x00\x00" + b"\x00" * 16
+                        + struct.pack(">I", ts)
+                        + struct.pack(">Q", units))
+            else:
+                mvhd = (b"\x00\x00\x00\x00" + b"\x00" * 8
+                        + struct.pack(">II", ts, units))
+            moov = box(b"iods", b"\x00" * 6) + box(b"mvhd", mvhd)
+            blobs.append(box(b"ftyp", b"isom\x00\x00\x02\x00")
+                         + box(b"free", b"\x00" * (d % 5))
+                         + box(b"moov", moov))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(blobs, pa.binary()),
+        })
+
+    out = ds.map_batches(synth, batch_format="pyarrow", batch_size=None,
+                         runtime_env=runtime_env()).map_batches(
+        mp4_meta_batch, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+    return out.select_columns(
+        ["doc_id", "brand", "timescale", "duration_ms"]).sort("doc_id")
+
+
+_SQL_VIDEO_META = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(([600, 1000, 90000, 48000])[(doc_id % 4) + 1]
+              AS BIGINT) AS timescale,
+         CAST((doc_id % 7919 + 1) * 37 AS BIGINT) AS units
+  FROM documents
+)
+SELECT doc_id, 'isom' AS brand, timescale,
+       CAST(units * 1000 // timescale AS BIGINT) AS duration_ms
+FROM p ORDER BY doc_id
+"""
+
+
 _REBAL_MULT = 0x9E3779B97F4A7C15  # sinks._BUCKET_MULT — the layout hash
 _REBAL_OLD, _REBAL_NEW = 16, 20
 
@@ -19449,6 +19516,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "shard_rebalance": q_shard_rebalance,
         "image_dims": q_image_dims,
         "audio_meta": q_audio_meta,
+        "video_meta": q_video_meta,
         "skipgram_counts": q_skipgram_counts,
         "dedup_eval": q_dedup_eval,
         "source_modularity": q_source_modularity,
@@ -19672,6 +19740,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "shard_rebalance": _SQL_SHARD_REBALANCE,
         "image_dims": _SQL_IMAGE_DIMS,
         "audio_meta": _SQL_AUDIO_META,
+        "video_meta": _SQL_VIDEO_META,
         "skipgram_counts": _sql_skipgram_counts(),
         "source_modularity": _sql_source_modularity(),
         "ks_test": _SQL_KS_TEST,

@@ -3721,3 +3721,37 @@ def test_wav_meta_chunk_walk():
     assert wav_meta(b"RIFF\x00\x00\x00\x00AVI ") == (-1, -1, -1, -1)
     assert wav_meta(b"") == (-1, -1, -1, -1)
     assert wav_meta(wav([(b"data", data)])) == (-1, -1, -1, -1)  # no fmt
+
+
+def test_mp4_meta_box_walk():
+    """ISO-BMFF walk: nesting into moov past sibling boxes, the
+    size==1 u64 largesize convention, both mvhd versions, floor
+    duration, rejection of non-MP4 and malformed sizes."""
+    import struct
+
+    from deepwebharvester_ray.functions.multimodal import mp4_meta
+
+    def box(four, payload):
+        return struct.pack(">I", 8 + len(payload)) + four + payload
+
+    mvhd0 = (b"\x00\x00\x00\x00" + b"\x00" * 8
+             + struct.pack(">II", 1000, 2500))
+    mvhd1 = (b"\x01\x00\x00\x00" + b"\x00" * 16
+             + struct.pack(">I", 90000) + struct.pack(">Q", 90000 * 3 + 1))
+    base = box(b"ftyp", b"mp42\x00\x00\x00\x00")
+
+    m = base + box(b"moov", box(b"iods", b"\x00" * 4) + box(b"mvhd", mvhd0))
+    assert mp4_meta(m) == ("mp42", 1000, 2500)
+    # version-1 mvhd: 3 s + 1 unit floors to 3000 ms
+    m = base + box(b"moov", box(b"mvhd", mvhd1))
+    assert mp4_meta(m) == ("mp42", 90000, 3000)
+    # largesize (size == 1, u64 follows fourcc) on the moov container
+    inner = box(b"mvhd", mvhd0)
+    large = (struct.pack(">I", 1) + b"moov"
+             + struct.pack(">Q", 16 + len(inner)) + inner)
+    assert mp4_meta(base + large) == ("mp42", 1000, 2500)
+    # malformed: inner size overruns the container → no crash, no dims
+    bad = base + box(b"moov", struct.pack(">I", 10 ** 6) + b"mvhd")
+    assert mp4_meta(bad) == ("mp42", -1, -1)
+    assert mp4_meta(b"") == ("", -1, -1)
+    assert mp4_meta(b"RIFFxxxxWAVE") == ("", -1, -1)

@@ -104,6 +104,7 @@ SPOT_CHECKED = [
     "shard_rebalance",
     "image_dims",
     "audio_meta",
+    "video_meta",
     "skipgram_counts",
     "source_modularity",
     "ks_test",
