@@ -253,6 +253,7 @@ BENCH_QUERIES = [
     "image_dims",
     "audio_meta",
     "video_meta",
+    "html_meta",
     "dedup_eval",
     "source_modularity",
     "ks_test",

@@ -227,3 +227,89 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         if name not in out and name != "html":
             out[name] = batch.column(name)
     return pa.table(out)
+
+
+_CHARSET_IN_CONTENT_RE = re.compile(r"charset\s*=\s*([^\s;]+)", re.I)
+
+
+class _MetaParser(HTMLParser):
+    """head-metadata collector: charset (both the HTML5 ``<meta
+    charset>`` form and the legacy ``http-equiv=Content-Type`` form),
+    the robots meta directives, and the canonical link.  html.parser
+    lowercases attribute NAMES and resolves single/double/un-quoted
+    values, so the quoting/case variants real pages ship never reach
+    this code — only the semantic rules live here: first occurrence
+    wins, ``rel`` is a space-separated token LIST (``rel="stylesheet
+    canonical"`` counts), robots directives are comma-separated
+    case-insensitive tokens where ``none`` ≡ ``noindex, nofollow``
+    (the Robots Meta Tag spec)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.charset: str | None = None
+        self.robots: str | None = None
+        self.canonical: str | None = None
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        a = dict(attrs)
+        if tag == "meta":
+            if self.charset is None and a.get("charset"):
+                self.charset = a["charset"].strip().lower()
+            elif (self.charset is None
+                  and (a.get("http-equiv") or "").lower()
+                  == "content-type"):
+                m = _CHARSET_IN_CONTENT_RE.search(a.get("content") or "")
+                if m:
+                    self.charset = m.group(1).strip().lower()
+            if (self.robots is None
+                    and (a.get("name") or "").lower() == "robots"):
+                self.robots = a.get("content") or ""
+        elif tag == "link":
+            rels = (a.get("rel") or "").lower().split()
+            if self.canonical is None and "canonical" in rels:
+                self.canonical = (a.get("href") or "").strip()
+
+
+def parse_html_meta(html: str):
+    """``(charset, noindex, nofollow, canonical)`` from a page's head
+    metadata — the crawl-POLICY surface robots.txt does not cover: a
+    page may opt out of indexing (``noindex``) or link following
+    (``nofollow``) via its own meta robots tag, and declare its
+    canonical URL (the dedup hint).  Absent values → ``("", False,
+    False, "")``."""
+    p = _MetaParser()
+    try:
+        p.feed(html or "")
+    except Exception:  # pragma: no cover - html.parser is lenient
+        pass
+    tokens = [t.strip() for t in (p.robots or "").lower().split(",")]
+    noindex = "noindex" in tokens or "none" in tokens
+    nofollow = "nofollow" in tokens or "none" in tokens
+    return (p.charset or "", noindex, nofollow, p.canonical or "")
+
+
+def html_meta_batch(batch: pa.Table,
+                    html_column: str = "html") -> pa.Table:
+    """map_batches fn: attach (charset, noindex, nofollow, canonical)
+    via :func:`parse_html_meta`; binary html decoded utf-8/replace
+    like :func:`extract_batch`."""
+    col = batch.column(html_column)
+    htmls = [
+        (h.decode("utf-8", errors="replace") if isinstance(h, bytes)
+         else (h or ""))
+        for h in col.to_pylist()
+    ]
+    cs, ni, nf, cn = [], [], [], []
+    for h in htmls:
+        a, b, c, d = parse_html_meta(h)
+        cs.append(a)
+        ni.append(b)
+        nf.append(c)
+        cn.append(d)
+    out = {n: batch.column(n) for n in batch.column_names
+           if n != html_column}
+    out["charset"] = pa.array(cs, pa.string())
+    out["noindex"] = pa.array([1 if v else 0 for v in ni], pa.int64())
+    out["nofollow"] = pa.array([1 if v else 0 for v in nf], pa.int64())
+    out["canonical"] = pa.array(cn, pa.string())
+    return pa.table(out)

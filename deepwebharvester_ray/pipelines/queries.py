@@ -5945,6 +5945,86 @@ FROM p ORDER BY doc_id
 """
 
 
+def q_html_meta(sf_dir: str):
+    """HTML head-metadata policy extraction (html_meta): per doc a
+    synthesized ``<head>`` exercising the quoting / case / attribute-
+    order variants real pages ship — uppercase tags, single / double /
+    UN-quoted attribute values, the HTML5 ``<meta charset>`` AND the
+    legacy ``http-equiv=Content-Type`` charset forms, robots
+    directives in mixed case with padding (including ``none`` ≡
+    ``noindex, nofollow`` per the Robots Meta Tag spec), and a
+    canonical link whose ``rel`` is a multi-token list — parsed by the
+    real crawl-policy extractor (:func:`~deepwebharvester_ray.extract.
+    parse_html_meta`).  This is the policy surface robots.txt does NOT
+    cover (a page opting out of indexing or link-following by itself,
+    plus the canonical-URL dedup hint); the oracle is the synthesis
+    arithmetic.  Two per-block maps, zero shuffle."""
+    from ..extract import html_meta_batch
+
+    ds = _docs(sf_dir, columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        htmls = []
+        for d in ids.tolist():
+            head = ["<html><head><title>t</title>"]
+            m = d % 4
+            if m == 0:
+                head.append("<META CHARSET='UTF-8'>")
+            elif m == 1:
+                head.append('<meta http-equiv="Content-Type" '
+                            'content="text/html; charset=ISO-8859-1">')
+            elif m == 2:
+                head.append("<meta charset=windows-1252>")
+            r = d % 5
+            if r == 0:
+                head.append('<meta name="robots" content="noindex">')
+            elif r == 1:
+                head.append("<meta content='NOFOLLOW' name=ROBOTS>")
+            elif r == 2:
+                head.append('<meta name=robots '
+                            'content="noindex, nofollow">')
+            elif r == 3:
+                head.append('<meta name="Robots" content=" None ">')
+            c = d % 3
+            if c == 0:
+                head.append(f'<link rel="canonical" '
+                            f'href="http://c.example/p/{d}">')
+            elif c == 1:
+                head.append(f"<link href='http://c.example/p/{d}' "
+                            f'rel="stylesheet CANONICAL">')
+            head.append("</head><body>x</body></html>")
+            htmls.append("".join(head))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "html": pa.array(htmls, pa.string()),
+        })
+
+    out = ds.map_batches(synth, batch_format="pyarrow", batch_size=None,
+                         runtime_env=runtime_env()).map_batches(
+        html_meta_batch, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+    return out.select_columns(
+        ["doc_id", "charset", "noindex", "nofollow",
+         "canonical"]).sort("doc_id")
+
+
+_SQL_HTML_META = """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+            WHEN 2 THEN 'windows-1252' ELSE '' END AS charset,
+       CAST(CASE WHEN doc_id % 5 IN (0, 2, 3) THEN 1 ELSE 0 END
+            AS BIGINT) AS noindex,
+       CAST(CASE WHEN doc_id % 5 IN (1, 2, 3) THEN 1 ELSE 0 END
+            AS BIGINT) AS nofollow,
+       CASE WHEN doc_id % 3 IN (0, 1)
+            THEN 'http://c.example/p/' || doc_id ELSE '' END AS canonical
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_video_meta(sf_dir: str):
     """Codec-free video metadata (video_meta) — the ISO-BMFF (MP4)
     member completing the multimodal container trio (image_dims = PNG/
@@ -19517,6 +19597,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "image_dims": q_image_dims,
         "audio_meta": q_audio_meta,
         "video_meta": q_video_meta,
+        "html_meta": q_html_meta,
         "skipgram_counts": q_skipgram_counts,
         "dedup_eval": q_dedup_eval,
         "source_modularity": q_source_modularity,
@@ -19741,6 +19822,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "image_dims": _SQL_IMAGE_DIMS,
         "audio_meta": _SQL_AUDIO_META,
         "video_meta": _SQL_VIDEO_META,
+        "html_meta": _SQL_HTML_META,
         "skipgram_counts": _sql_skipgram_counts(),
         "source_modularity": _sql_source_modularity(),
         "ks_test": _SQL_KS_TEST,

@@ -105,6 +105,7 @@ SPOT_CHECKED = [
     "image_dims",
     "audio_meta",
     "video_meta",
+    "html_meta",
     "skipgram_counts",
     "source_modularity",
     "ks_test",
