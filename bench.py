@@ -254,6 +254,7 @@ BENCH_QUERIES = [
     "audio_meta",
     "video_meta",
     "html_meta",
+    "http_policy",
     "dedup_eval",
     "source_modularity",
     "ks_test",

@@ -5945,6 +5945,97 @@ FROM p ORDER BY doc_id
 """
 
 
+def q_http_policy(sf_dir: str):
+    """HTTP response-header crawl policy (http_policy): the THIRD
+    robots surface — robots.txt rules files (robots_filter), the meta
+    robots tag rules one HTML page (html_meta), and ``X-Robots-Tag``
+    rules ANY response including non-HTML (PDFs, images — only the
+    header can opt those out) — plus the freshness hints a recrawl
+    scheduler consumes (``Cache-Control: max-age``, ``Retry-After``).
+    Synthesized header blocks exercise case-variant names, repeated
+    X-Robots-Tag lines that COMBINE, the agent-scoped form
+    (``googlebot: noindex``) that must be IGNORED by other agents —
+    the trap naive substring checks fail — ``none`` ≡ ``noindex,
+    nofollow``, and multi-directive Cache-Control values; parsed by
+    :func:`~deepwebharvester_ray.state.robots.parse_http_policy`.
+    Oracle = the synthesis arithmetic.  Two per-block maps, zero
+    shuffle."""
+    from ..state.robots import parse_http_policy
+
+    ds = _docs(sf_dir, columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        blocks = []
+        for d in ids.tolist():
+            lines = ["HTTP/1.1 200 OK", "Server: x"]
+            r = d % 5
+            if r == 0:
+                lines.append("X-Robots-Tag: noindex")
+            elif r == 1:
+                lines.append("x-robots-tag: NOFOLLOW")
+            elif r == 2:
+                # two lines that combine + a scoped line to ignore
+                lines.append("X-ROBOTS-TAG: googlebot: noindex")
+                lines.append("X-Robots-Tag: nofollow")
+                lines.append("X-Robots-Tag: noindex")
+            elif r == 3:
+                lines.append("X-Robots-Tag: none")
+            c = d % 3
+            if c == 0:
+                lines.append(f"Cache-Control: private, "
+                             f"max-age={d % 86400}, must-revalidate")
+            elif c == 1:
+                lines.append(f"CACHE-CONTROL: MAX-AGE={d % 3600}")
+            if d % 7 == 0:
+                lines.append(f"Retry-After: {d % 600 + 1}")
+            blocks.append("\r\n".join(lines) + "\r\n")
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "headers": pa.array(blocks, pa.string()),
+        })
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        cols = {"noindex": [], "nofollow": [], "max_age_s": [],
+                "retry_after_s": []}
+        for h in batch.column("headers").to_pylist():
+            p = parse_http_policy(h)
+            cols["noindex"].append(1 if p["noindex"] else 0)
+            cols["nofollow"].append(1 if p["nofollow"] else 0)
+            cols["max_age_s"].append(p["max_age_s"])
+            cols["retry_after_s"].append(p["retry_after_s"])
+        return pa.table({
+            "doc_id": ids,
+            "noindex": pa.array(cols["noindex"], pa.int64()),
+            "nofollow": pa.array(cols["nofollow"], pa.int64()),
+            "max_age_s": pa.array(cols["max_age_s"], pa.int64()),
+            "retry_after_s": pa.array(cols["retry_after_s"], pa.int64()),
+        })
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env()).map_batches(
+        parse, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env()).sort("doc_id")
+
+
+_SQL_HTTP_POLICY = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 5 IN (0, 2, 3) THEN 1 ELSE 0 END
+            AS BIGINT) AS noindex,
+       CAST(CASE WHEN doc_id % 5 IN (1, 2, 3) THEN 1 ELSE 0 END
+            AS BIGINT) AS nofollow,
+       CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 86400
+            WHEN 1 THEN doc_id % 3600 ELSE -1 END AS BIGINT)
+         AS max_age_s,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN doc_id % 600 + 1
+            ELSE -1 END AS BIGINT) AS retry_after_s
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_html_meta(sf_dir: str):
     """HTML head-metadata policy extraction (html_meta): per doc a
     synthesized ``<head>`` exercising the quoting / case / attribute-
@@ -19598,6 +19689,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "audio_meta": q_audio_meta,
         "video_meta": q_video_meta,
         "html_meta": q_html_meta,
+        "http_policy": q_http_policy,
         "skipgram_counts": q_skipgram_counts,
         "dedup_eval": q_dedup_eval,
         "source_modularity": q_source_modularity,
@@ -19823,6 +19915,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "audio_meta": _SQL_AUDIO_META,
         "video_meta": _SQL_VIDEO_META,
         "html_meta": _SQL_HTML_META,
+        "http_policy": _SQL_HTTP_POLICY,
         "skipgram_counts": _sql_skipgram_counts(),
         "source_modularity": _sql_source_modularity(),
         "ks_test": _SQL_KS_TEST,

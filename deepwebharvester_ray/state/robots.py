@@ -157,3 +157,64 @@ class RobotsTable:
 
     def blocked_set(self, urls: Iterable[str]) -> set:
         return {u for u in urls if not self.is_allowed(u)}
+
+
+_MAX_AGE_RE = re.compile(r"(?:^|[,\s])max-age\s*=\s*(\d+)", re.I)
+
+
+def parse_http_policy(headers_text: str, agent: str = "") -> dict:
+    """Crawl-policy fields from a raw HTTP response header block — the
+    THIRD robots surface (robots.txt rules files, the meta robots tag
+    rules one page, ``X-Robots-Tag`` rules any response INCLUDING
+    non-HTML: PDFs, images, API payloads — only the header can opt
+    those out), plus the freshness hints a recrawl scheduler consumes.
+
+    Rules implemented (RFC 9110 / Robots Meta Tag spec):
+
+    * header NAMES are case-insensitive; values of repeated
+      ``X-Robots-Tag`` lines COMBINE;
+    * an ``X-Robots-Tag: someagent: noindex`` value is scoped to that
+      user agent and must be IGNORED by everyone else (unscoped values
+      apply to all) — the trap naive substring checks fail;
+    * ``none`` ≡ ``noindex, nofollow``;
+    * ``Cache-Control: ..., max-age=N`` → recrawl TTL seconds;
+      ``Retry-After: N`` → politeness backoff seconds (the delta-
+      seconds form; HTTP-date form is out of scope and yields -1).
+
+    Returns ``{noindex, nofollow, max_age_s, retry_after_s}`` with -1
+    for absent numeric hints."""
+    robots_vals = []
+    max_age = -1
+    retry_after = -1
+    for raw in (headers_text or "").split("\n"):
+        line = raw.rstrip("\r")
+        if ":" not in line:
+            continue
+        name, _, value = line.partition(":")
+        name = name.strip().lower()
+        value = value.strip()
+        if name == "x-robots-tag":
+            robots_vals.append(value)
+        elif name == "cache-control":
+            m = _MAX_AGE_RE.search(value)
+            if m and max_age < 0:
+                max_age = int(m.group(1))
+        elif name == "retry-after":
+            if value.isdigit() and retry_after < 0:
+                retry_after = int(value)
+    tokens = []
+    me = (agent or "").lower()
+    for v in robots_vals:
+        # agent scoping: "agent: directives" — applies only to that
+        # agent; a directive list never contains ':', which is how the
+        # two forms are told apart
+        head, sep, rest = v.partition(":")
+        if sep and "," not in head and " " not in head.strip():
+            if head.strip().lower() != me:
+                continue
+            v = rest
+        tokens.extend(t.strip().lower() for t in v.split(","))
+    noindex = "noindex" in tokens or "none" in tokens
+    nofollow = "nofollow" in tokens or "none" in tokens
+    return {"noindex": noindex, "nofollow": nofollow,
+            "max_age_s": max_age, "retry_after_s": retry_after}

@@ -106,6 +106,7 @@ SPOT_CHECKED = [
     "audio_meta",
     "video_meta",
     "html_meta",
+    "http_policy",
     "skipgram_counts",
     "source_modularity",
     "ks_test",

@@ -110,3 +110,33 @@ def test_query_string_rules_enforced():
     assert not t.is_allowed("http://h.onion/page?print=1")
     assert t.is_allowed("http://h.onion/page")
     assert t.is_allowed("http://h.onion/page?x=2")
+
+
+def test_parse_http_policy_scoping_and_hints():
+    """X-Robots-Tag agent scoping (scoped lines ignored unless WE are
+    that agent), repeated-line combining, none expansion, first
+    max-age wins, HTTP-date Retry-After ignored."""
+    from deepwebharvester_ray.state.robots import parse_http_policy
+
+    h = ("HTTP/1.1 200 OK\r\n"
+         "X-ROBOTS-TAG: googlebot: noindex\r\n"
+         "x-robots-tag: NOFOLLOW\r\n"
+         "Cache-Control: private, max-age=3600, must-revalidate\r\n"
+         "cache-control: max-age=10\r\n"
+         "Retry-After: 120\r\n")
+    p = parse_http_policy(h)
+    assert (p["noindex"], p["nofollow"]) == (False, True)
+    assert p["max_age_s"] == 3600  # first max-age wins
+    assert p["retry_after_s"] == 120
+    # the scoped directive APPLIES when we are that agent
+    p = parse_http_policy(h, agent="Googlebot")
+    assert p["noindex"] is True
+    # none ≡ noindex, nofollow; HTTP-date Retry-After → -1
+    p = parse_http_policy("X-Robots-Tag: none\r\n"
+                          "Retry-After: Wed, 21 Oct 2015 07:28:00 GMT\r\n")
+    assert p["noindex"] and p["nofollow"] and p["retry_after_s"] == -1
+    # directive list containing a colon-free head of several words is
+    # NOT an agent scope ("max-snippet:-1"-style values stay unscoped)
+    p = parse_http_policy("X-Robots-Tag: noindex, nofollow\r\n")
+    assert p["noindex"] and p["nofollow"]
+    assert parse_http_policy("")["max_age_s"] == -1
