@@ -255,6 +255,7 @@ BENCH_QUERIES = [
     "video_meta",
     "html_meta",
     "http_policy",
+    "feed_roundtrip",
     "dedup_eval",
     "source_modularity",
     "ks_test",

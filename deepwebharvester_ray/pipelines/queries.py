@@ -5945,6 +5945,77 @@ FROM p ORDER BY doc_id
 """
 
 
+_FEED_WINDOW = 1000  # a feed is a bounded freshness window, not a dump
+_FEED_EPOCH_S = 1_700_000_000
+
+
+def q_feed_roundtrip(sf_dir: str):
+    """RSS/Atom feed round-trip (feed_roundtrip) — the FRESHNESS
+    discovery source beside the sitemap (sitemaps enumerate the URL
+    space; feeds announce what just changed): the corpus's newest
+    ``doc_id < 1000`` window published as one RSS 2.0 feed (odd ids —
+    pubDate in RFC 822 date form) and one Atom feed (even ids —
+    ISO 8601 ``updated``, the entry link as an href ATTRIBUTE behind a
+    planted ``rel="self"`` link the reader must skip), read back
+    through :func:`~deepwebharvester_ray.feeds.read_feeds` and emitted
+    with doc ids recovered from the timestamps by integer arithmetic.
+    Pins both public date grammars round-tripping exactly and the
+    rel-link selection rule.  The feed window is driver-built BY
+    DESIGN (a feed is the newest-N items — bounded; corpus-scale
+    publication is the sitemap sink's job); the read side is one task
+    per feed file."""
+    import shutil
+    import tempfile
+
+    from ..feeds import read_feeds, write_feed
+
+    ds = _docs(sf_dir, columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    ids = sorted(
+        r["doc_id"]
+        for r in ds.filter(expr=f"doc_id < {_FEED_WINDOW}").take_all())
+
+    out_dir = tempfile.mkdtemp(prefix="dwh_feed_rt_")
+    try:
+        write_feed(
+            [(f"http://feed.example/item/{d}", f"Item {d}",
+              (_FEED_EPOCH_S + d) * 1_000_000)
+             for d in ids if d % 2 == 1],
+            str(Path(out_dir) / "fresh.rss"), kind="rss")
+        write_feed(
+            [(f"http://feed.example/item/{d}", f"Item {d}",
+              (_FEED_EPOCH_S + d) * 1_000_000)
+             for d in ids if d % 2 == 0],
+            str(Path(out_dir) / "fresh.atom"), kind="atom")
+
+        def unpack(batch: pa.Table) -> pa.Table:
+            ts = batch.column("published_us").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "doc_id": pa.array(ts // 1_000_000 - _FEED_EPOCH_S,
+                                   pa.int64()),
+                "title": batch.column("title"),
+                "published_us": batch.column("published_us"),
+                "feed_kind": batch.column("feed_kind"),
+            })
+
+        back = read_feeds(out_dir).map_batches(
+            unpack, batch_format="pyarrow", batch_size=None,
+            runtime_env=runtime_env()).materialize()
+        return back.sort("doc_id")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+_SQL_FEED_ROUNDTRIP = f"""
+SELECT doc_id, 'Item ' || doc_id AS title,
+       CAST(({_FEED_EPOCH_S} + doc_id) * 1000000 AS BIGINT)
+         AS published_us,
+       CASE WHEN doc_id % 2 = 1 THEN 'rss' ELSE 'atom' END AS feed_kind
+FROM documents WHERE doc_id < {_FEED_WINDOW} ORDER BY doc_id
+"""
+
+
 def q_http_policy(sf_dir: str):
     """HTTP response-header crawl policy (http_policy): the THIRD
     robots surface — robots.txt rules files (robots_filter), the meta
@@ -19690,6 +19761,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "video_meta": q_video_meta,
         "html_meta": q_html_meta,
         "http_policy": q_http_policy,
+        "feed_roundtrip": q_feed_roundtrip,
         "skipgram_counts": q_skipgram_counts,
         "dedup_eval": q_dedup_eval,
         "source_modularity": q_source_modularity,
@@ -19916,6 +19988,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "video_meta": _SQL_VIDEO_META,
         "html_meta": _SQL_HTML_META,
         "http_policy": _SQL_HTTP_POLICY,
+        "feed_roundtrip": _SQL_FEED_ROUNDTRIP,
         "skipgram_counts": _sql_skipgram_counts(),
         "source_modularity": _sql_source_modularity(),
         "ks_test": _SQL_KS_TEST,

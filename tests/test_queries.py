@@ -107,6 +107,7 @@ SPOT_CHECKED = [
     "video_meta",
     "html_meta",
     "http_policy",
+    "feed_roundtrip",
     "skipgram_counts",
     "source_modularity",
     "ks_test",
