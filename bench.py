@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     "html_meta",
     "http_policy",
     "feed_roundtrip",
+    "url_normalize",
     "dedup_eval",
     "source_modularity",
     "ks_test",

@@ -5945,6 +5945,64 @@ FROM p ORDER BY doc_id
 """
 
 
+def q_url_normalize(sf_dir: str):
+    """RFC 3986 syntax-based URL normalization (url_normalize): messy
+    spellings of the same resource reduced to one canonical form by the
+    SPEC's own rules — percent-encoding normalization (§6.2.2:
+    unreserved triplets DECODE, ``%7e`` → ``~``; retained triplets
+    upper-hex, ``%2f`` → ``%2F``), dot-segment removal (§5.2.4, incl.
+    a leading ``..`` that cannot climb above root), default-port drop,
+    case normalization.  Two spellings that normalize apart get fetched
+    twice by the frontier — this is a dedup primitive, checked here
+    against arithmetic expectations for six planted variant families.
+    One per-block map over :func:`~deepwebharvester_ray.urlops.
+    normalize_url_rfc3986`, zero shuffle."""
+    from ..urlops import normalize_url_rfc3986
+
+    ds = _docs(sf_dir, columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        out = []
+        for d in ids.tolist():
+            host = f"h{d % 64}.example"
+            v = d % 6
+            if v == 0:
+                u = f"HTTP://{host.upper()}:80/a/b/{d}"
+            elif v == 1:
+                u = f"http://{host}/a/./b/../b/{d}"
+            elif v == 2:
+                u = f"http://{host}/a/b/%36%39{d}"
+            elif v == 3:
+                u = f"http://{host}/a/b/%7e{d}"
+            elif v == 4:
+                u = f"http://{host}/a/b/{d}?x=%2f"
+            else:
+                u = f"http://{host}/../a/b/{d}"
+            out.append(normalize_url_rfc3986(u))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "normalized": pa.array(out, pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env()).sort("doc_id")
+
+
+_SQL_URL_NORMALIZE = """
+SELECT doc_id,
+       'http://h' || (doc_id % 64) || '.example/a/b/' ||
+       CASE doc_id % 6
+            WHEN 2 THEN '69' || doc_id
+            WHEN 3 THEN '~' || doc_id
+            WHEN 4 THEN doc_id || '?x=%2F'
+            ELSE CAST(doc_id AS VARCHAR) END AS normalized
+FROM documents ORDER BY doc_id
+"""
+
+
 _FEED_WINDOW = 1000  # a feed is a bounded freshness window, not a dump
 _FEED_EPOCH_S = 1_700_000_000
 
@@ -19762,6 +19820,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "html_meta": q_html_meta,
         "http_policy": q_http_policy,
         "feed_roundtrip": q_feed_roundtrip,
+        "url_normalize": q_url_normalize,
         "skipgram_counts": q_skipgram_counts,
         "dedup_eval": q_dedup_eval,
         "source_modularity": q_source_modularity,
@@ -19989,6 +20048,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "html_meta": _SQL_HTML_META,
         "http_policy": _SQL_HTTP_POLICY,
         "feed_roundtrip": _SQL_FEED_ROUNDTRIP,
+        "url_normalize": _SQL_URL_NORMALIZE,
         "skipgram_counts": _sql_skipgram_counts(),
         "source_modularity": _sql_source_modularity(),
         "ks_test": _SQL_KS_TEST,

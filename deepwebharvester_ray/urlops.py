@@ -115,3 +115,77 @@ def batch_url_hash64(urls: Sequence[str]) -> np.ndarray:
 def batch_host(urls: Sequence[str]) -> List[str]:
     """Host (netloc) per URL."""
     return [urlparse(u).netloc.lower() for u in urls]
+
+
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~")
+_HEX = frozenset("0123456789abcdefABCDEF")
+
+
+def _norm_percent(s: str) -> str:
+    """RFC 3986 §6.2.2 percent-encoding normalization: decode triplets
+    for UNRESERVED characters (``%7E`` → ``~`` — two spellings of one
+    URL must compare equal), uppercase the hex of every triplet that
+    must stay encoded (``%2f`` → ``%2F``), and leave malformed ``%``
+    sequences untouched (lenient, like browsers)."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if (c == "%" and i + 2 < n and s[i + 1] in _HEX
+                and s[i + 2] in _HEX):
+            ch = chr(int(s[i + 1:i + 3], 16))
+            if ch in _UNRESERVED:
+                out.append(ch)
+            else:
+                out.append("%" + s[i + 1:i + 3].upper())
+            i += 3
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 — the output-stack algorithm verbatim:
+    ``/a/./b/../c`` → ``/a/c``, leading ``..`` segments at root are
+    dropped (cannot climb above root)."""
+    out = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+            continue
+        out.append(seg)
+    # preserve a trailing "/." or "/.." collapsing to a directory slash
+    if path.endswith(("/.", "/..")) and (not out or out[-1] != ""):
+        out.append("")
+    return "/".join(out)
+
+
+_DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+
+
+def normalize_url_rfc3986(url: str) -> str:
+    """Full RFC 3986 syntax-based normalization (§6.2.2–6.2.3) — the
+    SPEC-level normalizer beneath :func:`canonicalize_url`'s
+    reference-semantics cleanup: lowercase scheme/host, drop the
+    scheme's default port, percent-encoding normalization on path and
+    query (unreserved decoded, retained triplets upper-hexed), dot-
+    segment removal, empty path → ``/``.  Two spellings of the same
+    resource must hash to the same frontier key or the crawler fetches
+    it twice — this is a dedup primitive, not cosmetics."""
+    from urllib.parse import urlsplit, urlunsplit
+
+    p = urlsplit(url)
+    scheme = p.scheme.lower()
+    netloc = p.netloc.lower()
+    dp = _DEFAULT_PORTS.get(scheme)
+    if dp and netloc.endswith(dp):
+        netloc = netloc[: -len(dp)]
+    path = _remove_dot_segments(_norm_percent(p.path)) or "/"
+    if not path.startswith("/"):
+        path = "/" + path
+    return urlunsplit((scheme, netloc, path, _norm_percent(p.query), ""))

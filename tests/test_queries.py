@@ -108,6 +108,7 @@ SPOT_CHECKED = [
     "html_meta",
     "http_policy",
     "feed_roundtrip",
+    "url_normalize",
     "skipgram_counts",
     "source_modularity",
     "ks_test",

@@ -69,3 +69,25 @@ def test_url_hash_stable():
     arr = urlops.batch_url_hash64([VALID, VALID + "x"])
     assert arr.dtype == np.uint64
     assert int(arr[0]) == h1
+
+
+def test_normalize_url_rfc3986():
+    """Spec normalization: unreserved triplets decode, retained hex
+    uppercases, dot segments collapse (incl. root-climb clamp and the
+    directory-slash preservation), default ports drop, malformed %
+    left alone."""
+    from deepwebharvester_ray.urlops import normalize_url_rfc3986 as f
+
+    assert f("HTTP://Ex.COM:80/a/./b/../b/%7ex?q=%2f") \
+        == "http://ex.com/a/b/~x?q=%2F"
+    assert f("https://h:443/x") == "https://h/x"
+    assert f("https://h:8443/x") == "https://h:8443/x"  # non-default kept
+    assert f("http://h/../../a") == "http://h/a"
+    assert f("http://h/a/b/.") == "http://h/a/b/"
+    assert f("http://h/a/b/..") == "http://h/a/"
+    assert f("http://h") == "http://h/"
+    assert f("http://h/%41%5a%61") == "http://h/AZa"   # unreserved decode
+    assert f("http://h/%2fup") == "http://h/%2Fup"     # reserved stays
+    assert f("http://h/100%") == "http://h/100%"       # malformed % kept
+    assert f("http://h/a%2") == "http://h/a%2"
+    assert f("http://h/a#frag") == "http://h/a"        # fragment dropped
