@@ -257,6 +257,7 @@ BENCH_QUERIES = [
     "http_policy",
     "feed_roundtrip",
     "url_normalize",
+    "link_pagination",
     "dedup_eval",
     "source_modularity",
     "ks_test",

@@ -5945,6 +5945,70 @@ FROM p ORDER BY doc_id
 """
 
 
+def q_link_pagination(sf_dir: str):
+    """RFC 8288 Link-header pagination discovery (link_pagination):
+    the ``rel=next`` / ``rel=prev`` targets of synthesized Link headers
+    — how a crawler walks a paginated listing WITHOUT guessing URL
+    templates (the header is authoritative; url_templates is the
+    fallback heuristic).  The planted variants exercise the grammar
+    traps: quoted params containing commas (a naive split-on-comma
+    yields garbage targets), multi-token ``rel="next seealso"`` lists,
+    unquoted and case-variant rel, and non-pagination rels filtered
+    out.  One per-block parse map over :func:`~deepwebharvester_ray.
+    state.robots.parse_link_header`, zero shuffle; output one row per
+    (doc, pagination rel)."""
+    from ..state.robots import parse_link_header
+
+    ds = _docs(sf_dir, columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        out_id, out_rel, out_t = [], [], []
+        for d in ids.tolist():
+            v = d % 4
+            if v == 0:
+                hdr = f'<http://e/p/{d + 1}>; rel="next"'
+            elif v == 1:
+                hdr = (f"<http://e/p/{d + 1}>; rel=next, "
+                       f'<http://e/p/{d - 1}>; REL="prev"')
+            elif v == 2:
+                hdr = (f'<http://e/p/{d + 1}>; rel="next seealso"; '
+                       f'title="a, b"')
+            else:
+                hdr = f'<http://e/self/{d}>; rel="self"'
+            for target, rel in parse_link_header(hdr):
+                if rel in ("next", "prev"):
+                    out_id.append(d)
+                    out_rel.append(rel)
+                    out_t.append(target)
+        return pa.table({
+            "doc_id": pa.array(np.asarray(out_id, np.int64)),
+            "rel": pa.array(out_rel, pa.string()),
+            "target": pa.array(out_t, pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env()).sort(
+        ["doc_id", "rel"])
+
+
+_SQL_LINK_PAGINATION = """
+WITH n AS (
+  SELECT doc_id, 'next' AS rel,
+         'http://e/p/' || (doc_id + 1) AS target
+  FROM documents WHERE doc_id % 4 IN (0, 1, 2)
+),
+p AS (
+  SELECT doc_id, 'prev' AS rel,
+         'http://e/p/' || (doc_id - 1) AS target
+  FROM documents WHERE doc_id % 4 = 1
+)
+SELECT * FROM n UNION ALL SELECT * FROM p ORDER BY doc_id, rel
+"""
+
+
 def q_url_normalize(sf_dir: str):
     """RFC 3986 syntax-based URL normalization (url_normalize): messy
     spellings of the same resource reduced to one canonical form by the
@@ -19821,6 +19885,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "http_policy": q_http_policy,
         "feed_roundtrip": q_feed_roundtrip,
         "url_normalize": q_url_normalize,
+        "link_pagination": q_link_pagination,
         "skipgram_counts": q_skipgram_counts,
         "dedup_eval": q_dedup_eval,
         "source_modularity": q_source_modularity,
@@ -20049,6 +20114,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "http_policy": _SQL_HTTP_POLICY,
         "feed_roundtrip": _SQL_FEED_ROUNDTRIP,
         "url_normalize": _SQL_URL_NORMALIZE,
+        "link_pagination": _SQL_LINK_PAGINATION,
         "skipgram_counts": _sql_skipgram_counts(),
         "source_modularity": _sql_source_modularity(),
         "ks_test": _SQL_KS_TEST,

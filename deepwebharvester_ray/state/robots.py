@@ -218,3 +218,49 @@ def parse_http_policy(headers_text: str, agent: str = "") -> dict:
     nofollow = "nofollow" in tokens or "none" in tokens
     return {"noindex": noindex, "nofollow": nofollow,
             "max_age_s": max_age, "retry_after_s": retry_after}
+
+
+def parse_link_header(value: str) -> list:
+    """RFC 8288 ``Link`` header → ``[(target, rel), …]`` with one pair
+    per rel TOKEN (``rel="next prefetch"`` yields two pairs) — the
+    pagination-discovery primitive (``rel=next`` is how a crawler walks
+    a paginated listing without guessing URL templates).  Handles the
+    grammar traps: comma-separated link-values whose QUOTED params may
+    themselves contain commas/semicolons, unquoted rel tokens, params
+    other than rel ignored, case-insensitive rel comparison, whitespace
+    anywhere.  Malformed link-values are skipped (lenient)."""
+    out = []
+    s = value or ""
+    i, n = 0, len(s)
+    while i < n:
+        # find the <target>
+        lt = s.find("<", i)
+        if lt < 0:
+            break
+        gt = s.find(">", lt)
+        if gt < 0:
+            break
+        target = s[lt + 1:gt].strip()
+        # params run to the next top-level comma (quotes hide commas)
+        j = gt + 1
+        in_q = False
+        while j < n and (in_q or s[j] != ","):
+            if s[j] == '"':
+                in_q = not in_q
+            j += 1
+        params = s[gt + 1:j]
+        rels = []
+        for p in params.split(";"):
+            name, _, v = p.partition("=")
+            if name.strip().lower() != "rel":
+                continue
+            v = v.strip()
+            if v.startswith('"') and v.endswith('"') and len(v) >= 2:
+                v = v[1:-1]
+            rels = v.lower().split()
+            break  # RFC 8288: first rel param wins, rest ignored
+        for r in rels:
+            if target:
+                out.append((target, r))
+        i = j + 1
+    return out

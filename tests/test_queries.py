@@ -109,6 +109,7 @@ SPOT_CHECKED = [
     "http_policy",
     "feed_roundtrip",
     "url_normalize",
+    "link_pagination",
     "skipgram_counts",
     "source_modularity",
     "ks_test",

@@ -140,3 +140,19 @@ def test_parse_http_policy_scoping_and_hints():
     p = parse_http_policy("X-Robots-Tag: noindex, nofollow\r\n")
     assert p["noindex"] and p["nofollow"]
     assert parse_http_policy("")["max_age_s"] == -1
+
+
+def test_parse_link_header_grammar():
+    from deepwebharvester_ray.state.robots import parse_link_header
+
+    # quoted params hide commas; multi-token rel; case-variant rel name
+    got = parse_link_header(
+        '<http://e/p?a,b>; rel="next prefetch"; title="x, y", '
+        "<http://e/q>; REL=PREV, <malformed")
+    assert got == [("http://e/p?a,b", "next"),
+                   ("http://e/p?a,b", "prefetch"),
+                   ("http://e/q", "prev")]
+    # RFC 8288: only the FIRST rel param of a link-value counts
+    assert parse_link_header('<u>; rel="a"; rel="b"') == [("u", "a")]
+    assert parse_link_header("") == []
+    assert parse_link_header("<u>; title=no-rel") == []
