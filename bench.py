@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "feed_roundtrip",
     "url_normalize",
     "link_pagination",
+    "readability",
     "dedup_eval",
     "source_modularity",
     "ks_test",

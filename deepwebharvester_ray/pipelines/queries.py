@@ -5945,6 +5945,75 @@ FROM p ORDER BY doc_id
 """
 
 
+def q_readability(sf_dir: str):
+    """Flesch reading-ease readability (readability): the CLASSIC
+    formula member of the quality family (quality_scores = length/
+    punctuation ratios, ml_quality_score = trained scorer, this = the
+    published readability yardstick corpus curation has used since
+    1948) — kept EXACT-INTEGER so both engines agree to the last unit:
+    ``flesch_milli = 206835 − (1015·words)//sentences −
+    (84600·syllables)//words`` with the standard vowel-run syllable
+    heuristic (a run of ``[aeiouy]+`` ≈ one syllable — runs cannot
+    span words since separators break them, so the per-doc count
+    equals the per-word sum), sentences counted as ``[.!?]+`` runs,
+    and both denominators clamped to ≥ 1.  Floor-divisions of
+    positive integers are engine-identical; the float formula's last
+    ulp is not.
+
+    Distributed shape: three compiled-regex counts per doc in one
+    per-block map, zero shuffle."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    import re as _re
+
+    word_re = _re.compile(r"[a-z0-9]+")
+    syl_re = _re.compile(r"[aeiouy]+")
+    sent_re = _re.compile(r"[.!?]+")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        n_w, n_s, n_y, fm = [], [], [], []
+        for t in batch.column("text").to_pylist():
+            low = (t or "").lower()
+            w = len(word_re.findall(low))
+            s = len(sent_re.findall(low))
+            y = len(syl_re.findall(low))
+            wd, sd = max(w, 1), max(s, 1)
+            n_w.append(w)
+            n_s.append(s)
+            n_y.append(y)
+            fm.append(206835 - (1015 * w) // sd - (84600 * y) // wd)
+        return pa.table({
+            "doc_id": ids,
+            "n_words": pa.array(n_w, pa.int64()),
+            "n_sentences": pa.array(n_s, pa.int64()),
+            "n_syllables": pa.array(n_y, pa.int64()),
+            "flesch_milli": pa.array(fm, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env()).sort("doc_id")
+
+
+_SQL_READABILITY = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(lower(text), '[.!?]+'))
+              AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(206835 - (1015 * n_words) // greatest(n_sentences, 1)
+                   - (84600 * n_syllables) // greatest(n_words, 1)
+            AS BIGINT) AS flesch_milli
+FROM c ORDER BY doc_id
+"""
+
+
 def q_link_pagination(sf_dir: str):
     """RFC 8288 Link-header pagination discovery (link_pagination):
     the ``rel=next`` / ``rel=prev`` targets of synthesized Link headers
@@ -19886,6 +19955,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "feed_roundtrip": q_feed_roundtrip,
         "url_normalize": q_url_normalize,
         "link_pagination": q_link_pagination,
+        "readability": q_readability,
         "skipgram_counts": q_skipgram_counts,
         "dedup_eval": q_dedup_eval,
         "source_modularity": q_source_modularity,
@@ -20115,6 +20185,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "feed_roundtrip": _SQL_FEED_ROUNDTRIP,
         "url_normalize": _SQL_URL_NORMALIZE,
         "link_pagination": _SQL_LINK_PAGINATION,
+        "readability": _SQL_READABILITY,
         "skipgram_counts": _sql_skipgram_counts(),
         "source_modularity": _sql_source_modularity(),
         "ks_test": _SQL_KS_TEST,

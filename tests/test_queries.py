@@ -110,6 +110,7 @@ SPOT_CHECKED = [
     "feed_roundtrip",
     "url_normalize",
     "link_pagination",
+    "readability",
     "skipgram_counts",
     "source_modularity",
     "ks_test",
