@@ -392,3 +392,143 @@ def streaming_dedup(ds, id_column: str = "doc_id",
     if return_stats:
         return out, {"state_rows": max_state}
     return out
+
+
+class _IvShardState:
+    """Open view-WINDOW state for a streaming interval join shard:
+    arrays sorted by user.  On an event-time-ordered stream every view
+    whose window could contain a click arrives BEFORE that click (a
+    window opens at the view's own event ts), so clicks never buffer —
+    a batch ingests its views first, then matches its clicks against
+    the predicate ``start ≤ ts < end`` (a same-batch view with a later
+    start simply fails the predicate).  Watermark eviction is exactly
+    correct: once the watermark (max seen ts; the stream is ordered)
+    reaches ``end``, no future click can satisfy ``ts < end``."""
+
+    def __init__(self) -> None:
+        z = np.empty(0, np.int64)
+        self.user, self.vid = z.copy(), z.copy()
+        self.start, self.end = z.copy(), z.copy()
+
+    def ingest(self, vu, vi, vs, ve, cu, ci, ct, watermark: int):
+        if len(vu):
+            pos = np.searchsorted(self.user, vu)
+            self.user = np.insert(self.user, pos, vu)
+            self.vid = np.insert(self.vid, pos, vi)
+            self.start = np.insert(self.start, pos, vs)
+            self.end = np.insert(self.end, pos, ve)
+        if len(cu):
+            lo = np.searchsorted(self.user, cu, "left")
+            hi = np.searchsorted(self.user, cu, "right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if total:
+                base = np.repeat(lo, cnt)
+                offs = np.arange(total) - np.repeat(
+                    np.cumsum(cnt) - cnt, cnt)
+                idx = base + offs
+                cli = np.repeat(np.arange(len(cu)), cnt)
+                ok = ((self.start[idx] <= ct[cli])
+                      & (ct[cli] < self.end[idx]))
+                idx, cli = idx[ok], cli[ok]
+            else:
+                idx = cli = np.empty(0, np.int64)
+            out = pa.table({
+                "event_id": pa.array(ci[cli], pa.int64()),
+                "user_id": pa.array(cu[cli], pa.int64()),
+                "ts": pa.array(ct[cli], pa.int64()),
+                "view_id": pa.array(self.vid[idx], pa.int64()),
+                "view_start": pa.array(self.start[idx], pa.int64()),
+                "view_end": pa.array(self.end[idx], pa.int64()),
+            })
+        else:
+            out = pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.int64()),
+                "view_id": pa.array([], pa.int64()),
+                "view_start": pa.array([], pa.int64()),
+                "view_end": pa.array([], pa.int64()),
+            })
+        keep = self.end > watermark  # ts < end can never hold again
+        if not keep.all():
+            self.user, self.vid = self.user[keep], self.vid[keep]
+            self.start, self.end = self.start[keep], self.end[keep]
+        return out
+
+    def state_rows(self) -> int:
+        return len(self.user)
+
+
+def streaming_interval_join(ds, window_fn, n_shards: int = 4,
+                            micro_batch: int = 65536,
+                            return_stats: bool = False):
+    """Streaming interval (range) join — the arrival-order twin of
+    ``functions.interval.interval_join``: an event-time-ordered stream
+    of rows is split per micro-batch by ``window_fn(batch) → (views,
+    clicks)`` where views carry ``(user_id, view_id, view_start,
+    view_end)`` int64 µs columns and clicks ``(user_id, event_id,
+    ts)``; each click is emitted joined to EVERY open window of its
+    user containing it, continuously, with per-shard state bounded by
+    the windows still open under the watermark (max window span of
+    data, never the stream length).  On an ordered stream the emitted
+    set is row-identical to the batch interval join (shared SQL
+    oracle — the batch/stream plan-equivalence contract).
+
+    Topology is the streaming_dedup one: hash-route by user to shard
+    actors, per-micro-batch barrier preserving stream order, matched
+    rows flowing back incrementally."""
+    import ray
+
+    from ..sinks import _shard_of
+
+    Shard = ray.remote(num_cpus=0.5)(_IvShardState)
+    shards: List = [Shard.remote() for _ in range(n_shards)]
+    out: List[pa.Table] = []
+    max_state = 0
+
+    for chunk in ds.iter_batches(batch_size=micro_batch,
+                                 batch_format="pyarrow"):
+        if chunk.num_rows == 0:
+            continue
+        views, clicks = window_fn(chunk)
+        vu = views.column("user_id").to_numpy(zero_copy_only=False)
+        vi = views.column("view_id").to_numpy(zero_copy_only=False)
+        vs = views.column("view_start").to_numpy(zero_copy_only=False)
+        ve = views.column("view_end").to_numpy(zero_copy_only=False)
+        cu = clicks.column("user_id").to_numpy(zero_copy_only=False)
+        ci = clicks.column("event_id").to_numpy(zero_copy_only=False)
+        ct = clicks.column("ts").to_numpy(zero_copy_only=False)
+        wm = int(max(vs.max() if len(vs) else -2**62,
+                     ct.max() if len(ct) else -2**62))
+        vsh = _shard_of(vu, n_shards)
+        csh = _shard_of(cu, n_shards)
+        vo = np.argsort(vu, kind="stable")  # insert order: sorted users
+        vu, vi, vs, ve = vu[vo], vi[vo], vs[vo], ve[vo]
+        vsh = vsh[vo]
+        pend = []
+        for s in range(n_shards):
+            vm, cm = vsh == s, csh == s
+            if vm.any() or cm.any():
+                pend.append(shards[s].ingest.remote(
+                    vu[vm], vi[vm], vs[vm], ve[vm],
+                    cu[cm], ci[cm], ct[cm], wm))
+        out.extend(ray.get(pend))        # per-micro-batch barrier
+        if return_stats:
+            max_state = max(max_state,
+                            sum(ray.get([s.state_rows.remote()
+                                         for s in shards])))
+
+    for s in shards:
+        ray.kill(s)
+    res = (pa.concat_tables(out) if out else pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.int64()),
+        "view_id": pa.array([], pa.int64()),
+        "view_start": pa.array([], pa.int64()),
+        "view_end": pa.array([], pa.int64()),
+    }))
+    if return_stats:
+        return res, {"state_rows": max_state}
+    return res

@@ -2919,6 +2919,70 @@ ORDER BY c.event_id, v.view_id
 """
 
 
+def q_clicks_in_views_stream(sf_dir: str):
+    """Streaming interval join (clicks_in_views_stream): the
+    ARRIVAL-ORDER twin of :func:`q_clicks_in_views` — the same
+    click-in-view-window match computed over an event-time-ordered
+    micro-batch stream with BOUNDED state, emitted continuously.  The
+    batch/stream plan-equivalence contract: identical rows, SHARED SQL
+    oracle.  Per-shard state is the OPEN view windows only (a window
+    opens at the view's own ts, so on an ordered stream clicks never
+    buffer; watermark eviction of ``end ≤ watermark`` windows is
+    exactly correct because ``ts < end`` can never hold again) —
+    bounded by the max window span (14 days), never the stream length.
+    Topology: hash-route by user to shard actors, per-micro-batch
+    barrier, matched rows flow back incrementally
+    (:func:`~deepwebharvester_ray.functions.streaming.
+    streaming_interval_join`)."""
+    import pyarrow.compute as pc
+
+    from ..functions.interval import US_PER_DAY
+    from ..functions.streaming import streaming_interval_join
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+    stream = ev.sort("ts")  # the simulator's event-time-order contract
+
+    def window_fn(chunk: pa.Table):
+        ts_us = (chunk.column("ts").combine_chunks()
+                 .cast(pa.timestamp("us")).cast(pa.int64()))
+        chunk = chunk.set_column(
+            chunk.schema.get_field_index("ts"), "ts", ts_us)
+        v = chunk.filter(pc.equal(chunk.column("event_type"), "view"))
+        c = chunk.filter(pc.equal(chunk.column("event_type"), "click"))
+        eid = v.column("event_id").to_numpy(zero_copy_only=False)
+        vs = v.column("ts").to_numpy(zero_copy_only=False)
+        views = pa.table({
+            "user_id": v.column("user_id"),
+            "view_id": v.column("event_id"),
+            "view_start": pa.array(vs, pa.int64()),
+            "view_end": pa.array(vs + (1 + eid % 14) * US_PER_DAY,
+                                 pa.int64()),
+        })
+        clicks = pa.table({
+            "user_id": c.column("user_id"),
+            "event_id": c.column("event_id"),
+            "ts": c.column("ts"),
+        })
+        return views, clicks
+
+    res = streaming_interval_join(stream, window_fn, n_shards=4)
+    res = pa.table({
+        "event_id": res.column("event_id"),
+        "user_id": res.column("user_id"),
+        "ts": res.column("ts").cast(pa.timestamp("us")),
+        "view_id": res.column("view_id"),
+        "view_start": res.column("view_start").cast(pa.timestamp("us")),
+        "view_end": res.column("view_end").cast(pa.timestamp("us")),
+    })
+    import pyarrow.compute as _pc
+
+    return res.take(_pc.sort_indices(
+        res, sort_keys=[("event_id", "ascending"),
+                        ("view_id", "ascending")]))
+
+
 MAD_K = 5
 
 
@@ -19827,6 +19891,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "clicks_asof_views": q_clicks_asof_views,
         "clicks_asof_next": q_clicks_asof_next,
         "clicks_in_views": q_clicks_in_views,
+        "clicks_in_views_stream": q_clicks_in_views_stream,
         "split_assign": q_split_assign,
         "subsample_stability": q_subsample_stability,
         "forecast_baseline": q_forecast_baseline,
@@ -20087,6 +20152,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "clicks_asof_views": _SQL_CLICKS_ASOF_VIEWS,
         "clicks_asof_next": _SQL_CLICKS_ASOF_NEXT,
         "clicks_in_views": _SQL_CLICKS_IN_VIEWS,
+        "clicks_in_views_stream": _SQL_CLICKS_IN_VIEWS,
         "split_assign": _SQL_SPLIT_ASSIGN,
         "subsample_stability": _sql_subsample_stability(),
         "forecast_baseline": _SQL_FORECAST_BASELINE,

@@ -146,6 +146,7 @@ SPOT_CHECKED = [
     "local_supplier_revenue",
     "skewed_orders_join",
     "clicks_in_views",
+    "clicks_in_views_stream",
     "user_deltas",
     "event_transitions",
     "user_value_share",

@@ -221,3 +221,63 @@ def test_streaming_dedup_equals_batch_on_ordered_stream(ray_session):
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
+
+
+def test_streaming_interval_join_bounded_state(ray_session):
+    """Watermark eviction bounds shard state by the open-window span,
+    not the stream length: a 100-day ordered stream of 1-day windows
+    must never hold more than ~a few micro-batches' worth of views,
+    and the emitted rows equal the brute-force interval join."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.streaming import (
+        streaming_interval_join)
+
+    rng_n = 4000
+    day = 86_400_000_000
+    # deterministic interleaved stream: event i at ts = i hours
+    ts = np.arange(rng_n, dtype=np.int64) * 3_600_000_000
+    user = np.arange(rng_n, dtype=np.int64) % 10  # same user every 10 h
+    kind = np.where(np.arange(rng_n) % 3 == 0, "view", "click")
+    t = pa.table({"event_id": pa.array(np.arange(rng_n, dtype=np.int64)),
+                  "user_id": pa.array(user),
+                  "ts": pa.array(ts, pa.int64()),
+                  "event_type": pa.array(kind.tolist(), pa.string())})
+
+    def window_fn(chunk):
+        import pyarrow.compute as pc
+
+        v = chunk.filter(pc.equal(chunk.column("event_type"), "view"))
+        c = chunk.filter(pc.equal(chunk.column("event_type"), "click"))
+        vs = v.column("ts").to_numpy(zero_copy_only=False)
+        views = pa.table({"user_id": v.column("user_id"),
+                          "view_id": v.column("event_id"),
+                          "view_start": pa.array(vs, pa.int64()),
+                          "view_end": pa.array(vs + day, pa.int64())})
+        clicks = pa.table({"user_id": c.column("user_id"),
+                           "event_id": c.column("event_id"),
+                           "ts": c.column("ts")})
+        return views, clicks
+
+    ds = ray.data.from_arrow(t)
+    res, stats = streaming_interval_join(
+        ds, window_fn, n_shards=3, micro_batch=256, return_stats=True)
+
+    # brute-force truth
+    vi = np.arange(rng_n) % 3 == 0
+    ci = ~vi
+    truth = set()
+    for ve, vu, vt in zip(np.arange(rng_n)[vi], user[vi], ts[vi]):
+        for ce, cu, ct in zip(np.arange(rng_n)[ci], user[ci], ts[ci]):
+            if cu == vu and vt <= ct < vt + day:
+                truth.add((int(ce), int(ve)))
+    got = set(zip(res.column("event_id").to_pylist(),
+                  res.column("view_id").to_pylist()))
+    assert got == truth and len(truth) > 100
+    # 1-day windows at 1 event/hour: ≲ 24 open views + one batch slack;
+    # total stream holds 1334 views — state must be far below that
+    n_views = int(vi.sum())
+    assert stats["state_rows"] < n_views // 4
+    assert stats["state_rows"] <= 24 + 256
