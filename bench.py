@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "clicks_asof_next",
     "clicks_in_views",
     "clicks_in_views_stream",
+    "clicks_asof_stream",
     "split_assign",
     "subsample_stability",
     "forecast_baseline",

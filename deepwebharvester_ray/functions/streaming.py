@@ -487,10 +487,7 @@ def streaming_interval_join(ds, window_fn, n_shards: int = 4,
     out: List[pa.Table] = []
     max_state = 0
 
-    for chunk in ds.iter_batches(batch_size=micro_batch,
-                                 batch_format="pyarrow"):
-        if chunk.num_rows == 0:
-            continue
+    for chunk in _ts_aligned_batches(ds, micro_batch):
         views, clicks = window_fn(chunk)
         vu = views.column("user_id").to_numpy(zero_copy_only=False)
         vi = views.column("view_id").to_numpy(zero_copy_only=False)
@@ -532,3 +529,174 @@ def streaming_interval_join(ds, window_fn, n_shards: int = 4,
     if return_stats:
         return res, {"state_rows": max_state}
     return res
+
+
+class _AsofShardState:
+    """Latest-view-per-user state for a streaming BACKWARD as-of join:
+    two sorted-by-user arrays (user, last view ts).  On an event-time-
+    ordered stream every view at-or-before a click arrived in an
+    earlier batch (→ the state row) or earlier in THIS batch — the
+    in-batch candidate is found with a fully vectorized rebased-key
+    searchsorted (rank(user)·SPAN + (ts − base): one composite int64
+    key per row, overflow asserted), and since batch views are never
+    older than state views, the in-batch candidate wins whenever it
+    exists.  State is one row per user ever seen — the as-of join's
+    inherent floor (no window ⇒ no eviction), same class as streaming
+    dedup's distinct-hash state."""
+
+    def __init__(self) -> None:
+        self.user = np.empty(0, np.int64)
+        self.last = np.empty(0, np.int64)
+
+    def ingest(self, vu, vt, cu, ci, ct):
+        out_i, out_u, out_p = [], [], []
+        if len(cu):
+            # candidate from THIS batch's views (vu sorted, vt within)
+            cand = np.full(len(cu), np.int64(-(2 ** 62)))
+            have = np.zeros(len(cu), bool)
+            if len(vu):
+                uniq = np.unique(vu)
+                vrank = np.searchsorted(uniq, vu)
+                crank = np.searchsorted(uniq, cu)
+                crank_c = np.minimum(crank, len(uniq) - 1)
+                known = uniq[crank_c] == cu
+                base = min(int(vt.min()), int(ct.min()))
+                span = max(int(vt.max()), int(ct.max())) - base + 2
+                assert (len(uniq)) * span < 2 ** 62, "rebase overflow"
+                vkey = vrank * span + (vt - base) + 1
+                ckey = crank_c * span + (ct - base) + 1
+                pos = np.searchsorted(vkey, ckey, "right") - 1
+                ok = known & (pos >= 0)
+                pos_c = np.maximum(pos, 0)
+                ok &= vrank[pos_c] == crank_c
+                cand[ok] = vt[pos_c[ok]]
+                have |= ok
+            # fall back to the state row (always ≤ any current ts)
+            if len(self.user):
+                sp = np.searchsorted(self.user, cu)
+                sp_c = np.minimum(sp, len(self.user) - 1)
+                s_ok = (self.user[sp_c] == cu) & ~have
+                cand[s_ok] = self.last[sp_c[s_ok]]
+                have |= s_ok
+            out_i = ci[have]
+            out_u = cu[have]
+            out_p = cand[have]
+            out_g = ct[have] - cand[have]
+        else:
+            out_i = out_u = out_p = out_g = np.empty(0, np.int64)
+        # state update: last view per user in this batch replaces/joins
+        if len(vu):
+            u_last, idx_last = np.unique(vu[::-1], return_index=True)
+            t_last = vt[::-1][idx_last]  # last occurrence = max ts/user
+            pos = np.searchsorted(self.user, u_last)
+            if len(self.user):
+                pos_c = np.minimum(pos, len(self.user) - 1)
+                exists = self.user[pos_c] == u_last
+            else:
+                pos_c = pos
+                exists = np.zeros(len(u_last), bool)
+            if np.any(exists):
+                self.last[pos_c[exists]] = t_last[exists]
+            new = ~exists
+            if np.any(new):
+                self.user = np.insert(self.user, pos[new], u_last[new])
+                self.last = np.insert(self.last, pos[new], t_last[new])
+        return pa.table({
+            "event_id": pa.array(np.asarray(out_i, np.int64)),
+            "user_id": pa.array(np.asarray(out_u, np.int64)),
+            "prev_view_ts": pa.array(np.asarray(out_p, np.int64)),
+            "gap_us": pa.array(np.asarray(out_g, np.int64)),
+        })
+
+    def state_rows(self) -> int:
+        return len(self.user)
+
+
+def streaming_asof_join(ds, split_fn, n_shards: int = 4,
+                        micro_batch: int = 65536,
+                        return_stats: bool = False):
+    """Streaming backward as-of join — the arrival-order twin of
+    ``functions.asof.asof_join``: each click emitted with its user's
+    most recent view at-or-before it, continuously.  ``split_fn(batch)
+    → (views, clicks)`` with views ``(user_id, ts)`` and clicks
+    ``(user_id, event_id, ts)`` int64 µs columns; the stream must be
+    event-time ordered.  Emitted rows are identical to the batch as-of
+    join (shared SQL oracle).  State: ONE (user, last ts) row per user
+    per shard — the operator's inherent floor; no window, no
+    eviction."""
+    import ray
+
+    from ..sinks import _shard_of
+
+    Shard = ray.remote(num_cpus=0.5)(_AsofShardState)
+    shards: List = [Shard.remote() for _ in range(n_shards)]
+    out: List[pa.Table] = []
+    max_state = 0
+
+    for chunk in _ts_aligned_batches(ds, micro_batch):
+        views, clicks = split_fn(chunk)
+        vu = views.column("user_id").to_numpy(zero_copy_only=False)
+        vt = views.column("ts").to_numpy(zero_copy_only=False)
+        cu = clicks.column("user_id").to_numpy(zero_copy_only=False)
+        ci = clicks.column("event_id").to_numpy(zero_copy_only=False)
+        ct = clicks.column("ts").to_numpy(zero_copy_only=False)
+        vo = np.lexsort((vt, vu))  # per-shard slices stay (user, ts)-sorted
+        vu, vt = vu[vo], vt[vo]
+        vsh = _shard_of(vu, n_shards)
+        csh = _shard_of(cu, n_shards)
+        pend = []
+        for s in range(n_shards):
+            vm, cm = vsh == s, csh == s
+            if vm.any() or cm.any():
+                pend.append(shards[s].ingest.remote(
+                    vu[vm], vt[vm], cu[cm], ci[cm], ct[cm]))
+        out.extend(ray.get(pend))      # per-micro-batch barrier
+        if return_stats:
+            max_state = max(max_state,
+                            sum(ray.get([s.state_rows.remote()
+                                         for s in shards])))
+
+    for s in shards:
+        ray.kill(s)
+    res = (pa.concat_tables(out) if out else pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "prev_view_ts": pa.array([], pa.int64()),
+        "gap_us": pa.array([], pa.int64()),
+    }))
+    if return_stats:
+        return res, {"state_rows": max_state}
+    return res
+
+
+def _ts_aligned_batches(ds, micro_batch: int, ts_col: str = "ts"):
+    """Micro-batches that never split an event-time TIE across a
+    boundary: rows sharing the boundary timestamp are carried into the
+    next batch, so inclusive predicates (``view.ts ≤ click.ts``) see
+    tied rows together — otherwise a view tied with a click but landing
+    one batch later is silently missed by both streaming joins.  A tie
+    run longer than the batch size flushes whole (correctness first;
+    the stream contract makes monster tie runs a data bug)."""
+    import pyarrow.compute as pc
+
+    carry = None
+    for chunk in ds.iter_batches(batch_size=micro_batch,
+                                 batch_format="pyarrow"):
+        if chunk.num_rows == 0:
+            continue
+        if carry is not None:
+            chunk = pa.concat_tables([carry, chunk])
+            carry = None
+        ts = chunk.column(ts_col)
+        last = ts[chunk.num_rows - 1]
+        first_of_tie = pc.index(ts, last).as_py()
+        if first_of_tie > 0:
+            carry = chunk.slice(first_of_tie)
+            chunk = chunk.slice(0, first_of_tie)
+        else:
+            # the whole chunk is one tie run: flush it whole
+            pass
+        if chunk.num_rows:
+            yield chunk
+    if carry is not None and carry.num_rows:
+        yield carry

@@ -2919,6 +2919,55 @@ ORDER BY c.event_id, v.view_id
 """
 
 
+def q_clicks_asof_stream(sf_dir: str):
+    """Streaming backward as-of join (clicks_asof_stream): the
+    arrival-order twin of :func:`q_clicks_asof_views` under the
+    batch/stream plan-equivalence contract — identical rows, SHARED
+    SQL oracle.  Per-shard state is ONE (user, last view ts) row per
+    user (the as-of join's inherent floor: no window ⇒ no eviction —
+    contrast the interval join's watermark-bounded windows); the
+    in-batch at-or-before candidate is a fully vectorized rebased-key
+    searchsorted, and because batch views are never older than state
+    views on an ordered stream, it wins whenever it exists
+    (:func:`~deepwebharvester_ray.functions.streaming.
+    streaming_asof_join`)."""
+    import pyarrow.compute as pc
+
+    from ..functions.streaming import streaming_asof_join
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+    stream = ev.sort("ts")
+
+    def split_fn(chunk: pa.Table):
+        ts_us = (chunk.column("ts").combine_chunks()
+                 .cast(pa.timestamp("us")).cast(pa.int64()))
+        chunk = chunk.set_column(
+            chunk.schema.get_field_index("ts"), "ts", ts_us)
+        v = chunk.filter(pc.equal(chunk.column("event_type"), "view"))
+        c = chunk.filter(pc.equal(chunk.column("event_type"), "click"))
+        views = pa.table({"user_id": v.column("user_id"),
+                          "ts": v.column("ts")})
+        clicks = pa.table({"user_id": c.column("user_id"),
+                           "event_id": c.column("event_id"),
+                           "ts": c.column("ts")})
+        return views, clicks
+
+    res = streaming_asof_join(stream, split_fn, n_shards=4)
+    res = pa.table({
+        "event_id": res.column("event_id"),
+        "user_id": res.column("user_id"),
+        "prev_view_ts": res.column("prev_view_ts").cast(
+            pa.timestamp("us")),
+        "gap_us": res.column("gap_us"),
+    })
+    import pyarrow.compute as _pc
+
+    return res.take(_pc.sort_indices(
+        res, sort_keys=[("event_id", "ascending")]))
+
+
 def q_clicks_in_views_stream(sf_dir: str):
     """Streaming interval join (clicks_in_views_stream): the
     ARRIVAL-ORDER twin of :func:`q_clicks_in_views` — the same
@@ -19892,6 +19941,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "clicks_asof_next": q_clicks_asof_next,
         "clicks_in_views": q_clicks_in_views,
         "clicks_in_views_stream": q_clicks_in_views_stream,
+        "clicks_asof_stream": q_clicks_asof_stream,
         "split_assign": q_split_assign,
         "subsample_stability": q_subsample_stability,
         "forecast_baseline": q_forecast_baseline,
@@ -20153,6 +20203,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "clicks_asof_next": _SQL_CLICKS_ASOF_NEXT,
         "clicks_in_views": _SQL_CLICKS_IN_VIEWS,
         "clicks_in_views_stream": _SQL_CLICKS_IN_VIEWS,
+        "clicks_asof_stream": _SQL_CLICKS_ASOF_VIEWS,
         "split_assign": _SQL_SPLIT_ASSIGN,
         "subsample_stability": _sql_subsample_stability(),
         "forecast_baseline": _SQL_FORECAST_BASELINE,

@@ -147,6 +147,7 @@ SPOT_CHECKED = [
     "skewed_orders_join",
     "clicks_in_views",
     "clicks_in_views_stream",
+    "clicks_asof_stream",
     "user_deltas",
     "event_transitions",
     "user_value_share",

@@ -281,3 +281,64 @@ def test_streaming_interval_join_bounded_state(ray_session):
     n_views = int(vi.sum())
     assert stats["state_rows"] < n_views // 4
     assert stats["state_rows"] <= 24 + 256
+
+
+def test_streaming_joins_tie_at_batch_boundary(ray_session):
+    """A view and a click sharing one timestamp must match (inclusive
+    ≤) even when a naive fixed-size micro-batch would split the tie
+    across a boundary — the ts-aligned rebatcher carries tied rows
+    together.  micro_batch=2 forces boundaries everywhere."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.streaming import (
+        streaming_asof_join, streaming_interval_join)
+
+    # stream: filler, filler, then CLICK and VIEW tied at ts=100
+    # (click row first in stream order — the hazardous layout)
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+        "ts": pa.array([10, 20, 100, 100], pa.int64()),
+        "event_type": pa.array(["view", "view", "click", "view"]),
+    })
+
+    def split(chunk):
+        import pyarrow.compute as pc
+
+        v = chunk.filter(pc.equal(chunk.column("event_type"), "view"))
+        c = chunk.filter(pc.equal(chunk.column("event_type"), "click"))
+        views = pa.table({"user_id": v.column("user_id"),
+                          "ts": v.column("ts")})
+        clicks = pa.table({"user_id": c.column("user_id"),
+                           "event_id": c.column("event_id"),
+                           "ts": c.column("ts")})
+        return views, clicks
+
+    res = streaming_asof_join(ray.data.from_arrow(t), split,
+                              n_shards=2, micro_batch=2)
+    rows = {r["event_id"]: r["prev_view_ts"]
+            for r in res.to_pylist()}
+    assert rows == {3: 100}  # the TIED view wins, not ts=20
+
+    def window(chunk):
+        import pyarrow.compute as pc
+
+        v = chunk.filter(pc.equal(chunk.column("event_type"), "view"))
+        c = chunk.filter(pc.equal(chunk.column("event_type"), "click"))
+        vs = v.column("ts").to_numpy(zero_copy_only=False)
+        views = pa.table({"user_id": v.column("user_id"),
+                          "view_id": v.column("event_id"),
+                          "view_start": pa.array(vs, pa.int64()),
+                          "view_end": pa.array(vs + 50, pa.int64())})
+        clicks = pa.table({"user_id": c.column("user_id"),
+                           "event_id": c.column("event_id"),
+                           "ts": c.column("ts")})
+        return views, clicks
+
+    res = streaming_interval_join(ray.data.from_arrow(t), window,
+                                  n_shards=2, micro_batch=2)
+    pairs = set(zip(res.column("event_id").to_pylist(),
+                    res.column("view_id").to_pylist()))
+    assert pairs == {(3, 4)}  # start==ts inclusive, tied across boundary
