@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "warc_roundtrip",
     "sitemap_roundtrip",
     "robots_filter",
+    "policy_gate",
     "index_merge",
     "index_merge_purge",
     "phrase_search",

@@ -1,4 +1,18 @@
-"""Streaming (micro-batch) sessionization over a keyed actor-shard pool.
+"""Streaming (micro-batch) operators over keyed actor-shard pools.
+
+Five arrival-order twins of batch operators, each emitting continuously
+with BOUNDED state and proving plan equivalence against the batch
+answer (shared SQL oracles where one exists): gap sessionization
+(:func:`streaming_sessionize`), exact first-occurrence dedup
+(:func:`streaming_dedup`), Misra–Gries heavy hitters
+(:func:`streaming_topk`), the interval join
+(:func:`streaming_interval_join`, watermark-evicted open windows) and
+the backward as-of join (:func:`streaming_asof_join`, latest-view-per-
+user floor).  All share one topology, detailed below for the
+sessionizer and reused verbatim by the others; event-time ties at
+micro-batch boundaries are kept together by :func:`_ts_aligned_batches`
+(an inclusive-predicate tie split across batches is silently missed
+otherwise).
 
 The batch sessionizer (queries.q_event_sessions) needs the WHOLE event
 log before it can sort; a crawler/telemetry pipeline sees events as an

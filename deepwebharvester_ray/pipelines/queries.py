@@ -6253,6 +6253,118 @@ _FEED_WINDOW = 1000  # a feed is a bounded freshness window, not a dump
 _FEED_EPOCH_S = 1_700_000_000
 
 
+_ROBOTS_HOSTS = 16
+
+
+def q_policy_gate(sf_dir: str):
+    """The per-page crawl-policy DECISION (policy_gate): all three
+    robots surfaces composed into the triple every fetch pipeline
+    actually branches on — ``fetchable`` (robots.txt longest-match
+    allows the URL), ``indexable`` (fetchable AND neither the meta
+    robots tag nor X-Robots-Tag says noindex) and ``followable``
+    (fetchable AND no surface says nofollow).  Precedence is the
+    deployed-crawler rule: robots.txt gates the FETCH, so when it
+    denies, the page-level surfaces are never even seen (their values
+    are moot) — indexable/followable are ANDed under fetchable.
+
+    Per doc: the host's robots.txt (the robots_filter rule family —
+    tie pair, digit Disallow, a8 Allow carve-out), the html_meta robots
+    variants, and the http_policy X-Robots-Tag variants, each evaluated
+    by its REAL parser (RobotsTable / parse_html_meta /
+    parse_http_policy) — the composition is checked against pure
+    arithmetic, so a precedence bug in ANY surface breaks the oracle.
+    One per-block map over the three parsers + broadcast rule table,
+    zero shuffle."""
+    import ray
+
+    from ..extract import parse_html_meta
+    from ..state.robots import RobotsTable, parse_http_policy
+
+    texts = {}
+    for h in range(_ROBOTS_HOSTS):
+        a = h % 10
+        texts[f"h{h}.example"] = (
+            "User-agent: *\n"
+            "Allow: /p/\n"
+            "Disallow: /p/\n"
+            f"Disallow: /p/{a}\n"
+            f"Allow: /p/{a}8\n")
+    table_ref = ray.put(RobotsTable.from_texts(texts))
+
+    ds = _docs(sf_dir, columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        from ..broadcast import cached_get
+
+        tab = cached_get(table_ref)
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        fe, ix, fo = [], [], []
+        for d in ids.tolist():
+            url = f"http://h{d % _ROBOTS_HOSTS}.example/p/{d % 100}/x"
+            fetchable = tab.is_allowed(url)
+            r = d % 5
+            html = "<html><head>"
+            if r == 0:
+                html += '<meta name="robots" content="noindex">'
+            elif r == 1:
+                html += "<meta content='NOFOLLOW' name=ROBOTS>"
+            html += "</head><body>x</body></html>"
+            _, m_ni, m_nf, _ = parse_html_meta(html)
+            x = d % 4
+            hdrs = "HTTP/1.1 200 OK\r\n"
+            if x == 0:
+                hdrs += "X-Robots-Tag: noindex\r\n"
+            elif x == 1:
+                hdrs += "X-Robots-Tag: none\r\n"
+            hp = parse_http_policy(hdrs)
+            indexable = fetchable and not (m_ni or hp["noindex"])
+            followable = fetchable and not (m_nf or hp["nofollow"])
+            fe.append(1 if fetchable else 0)
+            ix.append(1 if indexable else 0)
+            fo.append(1 if followable else 0)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "fetchable": pa.array(fe, pa.int64()),
+            "indexable": pa.array(ix, pa.int64()),
+            "followable": pa.array(fo, pa.int64()),
+        })
+
+    return ds.map_batches(gate, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env()).sort("doc_id")
+
+
+_SQL_POLICY_GATE = f"""
+WITH g AS (
+  SELECT doc_id,
+         (doc_id % {_ROBOTS_HOSTS}) % 10 AS a,
+         CAST(doc_id % 100 AS VARCHAR) AS seg
+  FROM documents
+),
+f AS (
+  -- robots_filter's longest-match family: tie pair (allow wins) at
+  -- /p/, digit Disallow /p/a, Allow carve-out /p/a8
+  SELECT doc_id,
+         CASE WHEN ('/p/' || seg || '/x') LIKE ('/p/' || a || '8%')
+              THEN 1
+              WHEN ('/p/' || seg || '/x') LIKE ('/p/' || a || '%')
+              THEN 0 ELSE 1 END AS fetchable,
+         CAST(CASE WHEN doc_id % 5 = 0 OR doc_id % 4 IN (0, 1)
+              THEN 1 ELSE 0 END AS BIGINT) AS any_noindex,
+         CAST(CASE WHEN doc_id % 5 = 1 OR doc_id % 4 = 1
+              THEN 1 ELSE 0 END AS BIGINT) AS any_nofollow
+  FROM g
+)
+SELECT doc_id, CAST(fetchable AS BIGINT) AS fetchable,
+       CAST(CASE WHEN fetchable = 1 AND any_noindex = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS indexable,
+       CAST(CASE WHEN fetchable = 1 AND any_nofollow = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS followable
+FROM f ORDER BY doc_id
+"""
+
+
 def q_feed_roundtrip(sf_dir: str):
     """RSS/Atom feed round-trip (feed_roundtrip) — the FRESHNESS
     discovery source beside the sitemap (sitemaps enumerate the URL
@@ -15486,9 +15598,6 @@ FROM documents ORDER BY doc_id
 """
 
 
-_ROBOTS_HOSTS = 16
-
-
 def q_robots_filter(sf_dir: str):
     """Robots Exclusion Protocol policy filter at URL scale
     (robots_filter): per-host allowed/blocked counts of a synthesized
@@ -20056,6 +20165,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "warc_roundtrip": q_warc_roundtrip,
         "sitemap_roundtrip": q_sitemap_roundtrip,
         "robots_filter": q_robots_filter,
+        "policy_gate": q_policy_gate,
         "index_merge": q_index_merge,
         "index_merge_purge": q_index_merge_purge,
         "phrase_search": q_phrase_search,
@@ -20288,6 +20398,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
         "sitemap_roundtrip": _SQL_SITEMAP_ROUNDTRIP,
         "robots_filter": _SQL_ROBOTS_FILTER,
+        "policy_gate": _SQL_POLICY_GATE,
         "index_merge": _SQL_INDEX_MERGE,
         "index_merge_purge": _SQL_INDEX_MERGE_PURGE,
         "phrase_search": _SQL_PHRASE_SEARCH,

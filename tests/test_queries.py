@@ -96,6 +96,7 @@ SPOT_CHECKED = [
     "warc_roundtrip",
     "sitemap_roundtrip",
     "robots_filter",
+    "policy_gate",
     "index_merge",
     "index_merge_purge",
     "phrase_search",
