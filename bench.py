@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "local_supplier_revenue",
     "top_orders_q3",
     "lineitem_pricing",
+    "promo_revenue",
     "ann_ivf",
     "ann_pq",
     "ann_ivfpq",

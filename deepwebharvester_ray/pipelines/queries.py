@@ -1566,6 +1566,85 @@ def q_lineitem_pricing(sf_dir: str):
     )
 
 
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14-flavored promotion-revenue share (promo_revenue): the
+    fraction of lineitem revenue on PROMO-type parts — the first query
+    to exercise the ``part`` dimension table, and the canonical
+    fact⋈dimension broadcast shape: the dimension (p_partkey → is-promo
+    flag) is ``ray.put`` once as a sorted key array + boolean flags and
+    looked up per batch with one searchsorted — never a shuffle join
+    for a side this small ("broadcast small sides" made literal).
+    Revenue stays in exact integer cents with the repo's IEEE
+    expression order ``floor((ep·(1−disc))·100)``; the share is the
+    exact floor ppm.
+
+    Distributed shape: one broadcast + one vectorized map emitting
+    per-block (promo, total) partials (batch_size=None → O(#blocks)
+    rows), driver fold of those partials, single-row result."""
+    import ray
+
+    from ..broadcast import cached_get
+
+    pt = pq.read_table(str(Path(sf_dir) / "part.parquet"),
+                       columns=["p_partkey", "p_type"])
+    keys = pt.column("p_partkey").to_numpy(zero_copy_only=False)
+    promo = np.asarray(
+        [t == "PROMO" for t in pt.column("p_type").to_pylist()], bool)
+    order = np.argsort(keys)
+    dim_ref = ray.put((keys[order], promo[order]))
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"],
+               override_num_blocks=_shuffle_parts(sf_dir, "lineitem"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k, fl = cached_get(dim_ref)
+        pk = batch.column("l_partkey").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ep = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor((ep * (1.0 - disc)) * 100.0).astype(np.int64)
+        pos = np.searchsorted(k, pk)
+        pos[pos >= len(k)] = 0
+        is_promo = fl[pos] & (k[pos] == pk)
+        return pa.table({
+            "promo_cents": pa.array([int(cents[is_promo].sum())],
+                                    pa.int64()),
+            "total_cents": pa.array([int(cents.sum())], pa.int64()),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None,
+                          runtime_env=runtime_env()).take_all()
+    promo_c = sum(r["promo_cents"] for r in rows)
+    total_c = sum(r["total_cents"] for r in rows)
+    return pa.table({
+        "promo_cents": pa.array([promo_c], pa.int64()),
+        "total_cents": pa.array([total_c], pa.int64()),
+        "promo_ppm": pa.array(
+            [(1_000_000 * promo_c) // total_c if total_c else 0],
+            pa.int64()),
+    })
+
+
+_SQL_PROMO_REVENUE = """
+WITH l AS (
+  SELECT l_partkey,
+         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+              AS BIGINT) AS cents
+  FROM lineitem
+)
+SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN cents ELSE 0 END)
+            AS BIGINT) AS promo_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST((1000000 * sum(CASE WHEN p.p_type = 'PROMO' THEN cents
+                           ELSE 0 END)) // sum(cents)
+            AS BIGINT) AS promo_ppm
+FROM l JOIN part p ON p.p_partkey = l.l_partkey
+"""
+
+
 def q_lineitem_orders_join(sf_dir: str):
     """The LARGE×LARGE native hash-shuffle join: lineitem (6×) ⋈ orders on
     the orderkey — both sides exchange on the key, partitions sized from
@@ -20257,6 +20336,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "top_customers_q10": q_top_customers_q10,
         "big_order_customers": q_big_order_customers,
         "lineitem_pricing": q_lineitem_pricing,
+        "promo_revenue": q_promo_revenue,
         "risk_histogram": q_risk_histogram,
         "top_risk": q_top_risk,
         "diverse_top_risk": q_diverse_top_risk,
@@ -20497,6 +20577,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "top_customers_q10": _SQL_TOP_CUSTOMERS_Q10,
         "big_order_customers": _SQL_BIG_ORDER_CUSTOMERS,
         "lineitem_pricing": _SQL_LINEITEM_PRICING,
+        "promo_revenue": _SQL_PROMO_REVENUE,
         "risk_histogram": _sql_risk_histogram(),
         "top_risk": _sql_top_risk(),
         "diverse_top_risk": _sql_diverse_top_risk(),

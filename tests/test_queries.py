@@ -143,6 +143,7 @@ SPOT_CHECKED = [
     "random_walks",
     "top_passages",
     "lineitem_orders_join",
+    "promo_revenue",
     "runtime_filter_join",
     "local_supplier_revenue",
     "skewed_orders_join",
