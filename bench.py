@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "top_orders_q3",
     "lineitem_pricing",
     "promo_revenue",
+    "mv_join_refresh",
     "ann_ivf",
     "ann_pq",
     "ann_ivfpq",

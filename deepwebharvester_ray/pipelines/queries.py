@@ -1690,6 +1690,160 @@ def q_lineitem_orders_join(sf_dir: str):
     )
 
 
+def q_mv_join_refresh(sf_dir: str):
+    """Incremental JOIN-view maintenance (mv_join_refresh): the
+    delta-join identity every IVM engine (DBSP / differential-dataflow
+    / materialize-style) rests on — with both sides of a stored join
+    receiving deltas, ``(L∪ΔL)⋈(O∪ΔO) = L⋈O ∪ ΔL⋈O ∪ L⋈ΔO ∪ ΔL⋈ΔO`` —
+    maintained here for lineitem⋈orders and checked against the full
+    rebuild (the oracle).  mv_refresh proved the AGGREGATE case; this
+    is the JOIN case, where the refresh's cost is the point: the big×
+    big exchange was paid ONCE when the view was built, and a refresh
+    touches the deltas (a refresh interval's arrivals — small by
+    definition: ΔL = amended lineitems ``key%50==0 ∧ line%3==0``
+    ≈0.7 %, ΔO = new orders ``key%100==0`` = 1 %) plus two
+    BROADCAST-pruned scans: ΔL⋈O resolves ΔL's keys by filtering the
+    orders scan to a broadcast key set (matched rows ≤ |ΔL|), L⋈ΔO
+    attaches the broadcast ΔO dimension inside the lineitem scan, and
+    ΔL⋈ΔO is driver-side tiny.  No delta term re-shuffles a big
+    table."""
+    import ray
+
+    from ..broadcast import cached_get
+    from ..functions.partition import coalesce_nonempty
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey"]).materialize()
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice",
+                        "l_discount"],
+               override_num_blocks=_shuffle_parts(sf_dir, "lineitem")
+               ).materialize()
+
+    def li_prep(batch: pa.Table, keep_delta: bool) -> pa.Table:
+        k = batch.column("l_orderkey").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ln = batch.column("l_linenumber").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = (k % 50 == 0) & (ln % 3 == 0)
+        if not keep_delta:
+            m = ~m
+        ep = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor((ep * (1.0 - disc)) * 100.0).astype(np.int64)
+        return pa.table({
+            "l_orderkey": pa.array(k[m], pa.int64()),
+            "l_linenumber": pa.array(ln[m], pa.int64()),
+            "cents": pa.array(cents[m], pa.int64()),
+        })
+
+    def o_split(batch: pa.Table, keep_delta: bool) -> pa.Table:
+        k = batch.column("o_orderkey").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        m = (k % 100 == 0) if keep_delta else (k % 100 != 0)
+        return batch.filter(pa.array(m))
+
+    l_old = li.map_batches(lambda b: li_prep(b, False),
+                           batch_format="pyarrow", batch_size=None,
+                           runtime_env=runtime_env())
+    o_old = orders.map_batches(lambda b: o_split(b, False),
+                               batch_format="pyarrow", batch_size=None,
+                               runtime_env=runtime_env())
+
+    out_cols = ["l_orderkey", "l_linenumber", "o_custkey", "cents"]
+
+    # the STORED view: the one big×big exchange, paid at build time
+    lo, oo = coalesce_nonempty(l_old), coalesce_nonempty(o_old)
+    base = lo.join(oo, "inner",
+                   num_partitions=_shuffle_parts(sf_dir, "lineitem"),
+                   on=("l_orderkey",), right_on=("o_orderkey",)
+                   ).select_columns(out_cols)
+
+    # ΔL (driver-resident: a refresh interval's arrivals)
+    dl = pa.concat_tables(list(
+        li.map_batches(lambda b: li_prep(b, True),
+                       batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env())
+        .iter_batches(batch_format="pyarrow", batch_size=None))).combine_chunks()
+    dl_keys = np.unique(
+        dl.column("l_orderkey").to_numpy(zero_copy_only=False))
+    dlk_ref = ray.put(dl_keys)
+
+    def match_orders(batch: pa.Table) -> pa.Table:
+        wanted = cached_get(dlk_ref)
+        k = batch.column("o_orderkey").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        if not len(wanted):
+            return batch.slice(0, 0)
+        pos = np.searchsorted(wanted, k)
+        pos[pos >= len(wanted)] = 0
+        return batch.filter(pa.array(wanted[pos] == k))
+
+    # ΔL⋈O_old: broadcast-pruned orders scan → ≤ |ΔL keys| rows back
+    o_match = pa.concat_tables(list(
+        o_old.map_batches(match_orders, batch_format="pyarrow",
+                          batch_size=None, runtime_env=runtime_env())
+        .iter_batches(batch_format="pyarrow", batch_size=None))).combine_chunks()
+
+    def attach(left: pa.Table, ok: np.ndarray,
+               oc: np.ndarray) -> pa.Table:
+        k = left.column("l_orderkey").to_numpy(zero_copy_only=False)
+        if not len(ok):
+            return left.slice(0, 0).append_column(
+                "o_custkey", pa.array([], pa.int64()))
+        pos = np.searchsorted(ok, k)
+        pos[pos >= len(ok)] = 0
+        hit = ok[pos] == k
+        out = left.filter(pa.array(hit))
+        return pa.table({
+            "l_orderkey": out.column("l_orderkey"),
+            "l_linenumber": out.column("l_linenumber"),
+            "o_custkey": pa.array(oc[pos[hit]], pa.int64()),
+            "cents": out.column("cents"),
+        })
+
+    omk = o_match.column("o_orderkey").to_numpy(zero_copy_only=False)
+    omc = o_match.column("o_custkey").to_numpy(zero_copy_only=False)
+    oo_order = np.argsort(omk)
+    term_dl_o = attach(dl, omk[oo_order], omc[oo_order])
+
+    # L_old⋈ΔO: the broadcast ΔO dimension attached inside the L scan
+    d_o = pa.concat_tables(list(
+        orders.map_batches(lambda b: o_split(b, True),
+                           batch_format="pyarrow", batch_size=None,
+                           runtime_env=runtime_env())
+        .iter_batches(batch_format="pyarrow", batch_size=None))).combine_chunks()
+    dok = d_o.column("o_orderkey").to_numpy(zero_copy_only=False)
+    doc = d_o.column("o_custkey").to_numpy(zero_copy_only=False)
+    do_order = np.argsort(dok)
+    do_ref = ray.put((dok[do_order], doc[do_order]))
+
+    def attach_do(batch: pa.Table) -> pa.Table:
+        ok, oc = cached_get(do_ref)
+        return attach(batch, ok, oc)
+
+    term_l_do = l_old.map_batches(attach_do, batch_format="pyarrow",
+                                  batch_size=None,
+                                  runtime_env=runtime_env())
+
+    # ΔL⋈ΔO: tiny × tiny, driver-side
+    term_dl_do = attach(dl, dok[do_order], doc[do_order])
+
+    return (base.union(term_l_do)
+            .union(ray.data.from_arrow(term_dl_o))
+            .union(ray.data.from_arrow(term_dl_do)))
+
+
+_SQL_MV_JOIN_REFRESH = """
+SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+       o.o_custkey,
+       CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0)
+            AS BIGINT) AS cents
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+"""
+
+
 _SQL_LINEITEM_ORDERS_JOIN = """
 SELECT o.o_orderpriority, count(*) AS n_items,
        CAST(sum(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount))
@@ -20337,6 +20491,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "big_order_customers": q_big_order_customers,
         "lineitem_pricing": q_lineitem_pricing,
         "promo_revenue": q_promo_revenue,
+        "mv_join_refresh": q_mv_join_refresh,
         "risk_histogram": q_risk_histogram,
         "top_risk": q_top_risk,
         "diverse_top_risk": q_diverse_top_risk,
@@ -20578,6 +20733,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "big_order_customers": _SQL_BIG_ORDER_CUSTOMERS,
         "lineitem_pricing": _SQL_LINEITEM_PRICING,
         "promo_revenue": _SQL_PROMO_REVENUE,
+        "mv_join_refresh": _SQL_MV_JOIN_REFRESH,
         "risk_histogram": _sql_risk_histogram(),
         "top_risk": _sql_top_risk(),
         "diverse_top_risk": _sql_diverse_top_risk(),

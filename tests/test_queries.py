@@ -144,6 +144,7 @@ SPOT_CHECKED = [
     "top_passages",
     "lineitem_orders_join",
     "promo_revenue",
+    "mv_join_refresh",
     "runtime_filter_join",
     "local_supplier_revenue",
     "skewed_orders_join",
