@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "lineitem_pricing",
     "promo_revenue",
     "mv_join_refresh",
+    "clicks_nearest_view",
     "ann_ivf",
     "ann_pq",
     "ann_ivfpq",

@@ -1690,6 +1690,135 @@ def q_lineitem_orders_join(sf_dir: str):
     )
 
 
+def q_clicks_nearest_view(sf_dir: str):
+    """Nearest-in-time view per click, EITHER direction
+    (clicks_nearest_view): completes the temporal-join family —
+    clicks_asof_views looks backward, clicks_asof_next forward,
+    clicks_in_views containment; attribution systems also want the
+    CLOSEST touchpoint regardless of direction, ties to the earlier
+    one (prev wins at equal distance, and a view sharing the click's
+    timestamp is both prev and next with gap 0).  Clicks whose user
+    has no views drop (inner semantics).
+
+    Distributed shape: ONE single-key sort on user_id co-locates each
+    user's rows, then an in-block pass — lexsort, per-user view-ts
+    arrays, two searchsorted lookups per click run (prev = rightmost
+    ``≤``, next = leftmost ``≥``) and a vectorized tie-broken choose.
+    The SQL twin uses RANGE window frames (peers at the same ts are in
+    BOTH directions' frames — matching the inclusive searchsorted
+    semantics exactly)."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+    import pyarrow.compute as pc
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array(["click", "view"]))
+        batch = batch.filter(keep)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_us": batch.column("ts").combine_chunks()
+            .cast(pa.timestamp("us")).cast(pa.int64()),
+            "is_view": pa.array(
+                pc.equal(batch.column("event_type"), "view")
+                .combine_chunks().to_numpy(zero_copy_only=False)
+                .astype(np.int64), pa.int64()),
+        })
+
+    sorted_ds = ds.map_batches(prep, batch_format="pyarrow",
+                               batch_size=None,
+                               runtime_env=runtime_env()).sort("user_id")
+
+    def block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "nearest_view_ts_us": pa.array([], pa.int64()),
+                "gap_us": pa.array([], pa.int64()),
+            })
+        u = batch.column("user_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        t = batch.column("ts_us").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        e = batch.column("event_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v = batch.column("is_view").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(bool)
+        order = np.lexsort((t, u))
+        u, t, e, v = u[order], t[order], e[order], v[order]
+        # rebased composite keys: one searchsorted over the WHOLE block
+        # per direction — no per-user Python loop (the streaming-asof
+        # kernel)
+        uniq = np.unique(u)
+        rank = np.searchsorted(uniq, u)
+        base = int(t.min())
+        span = int(t.max()) - base + 2
+        assert len(uniq) * span < 2 ** 62, "rebase overflow"
+        key = rank * span + (t - base) + 1
+        vkey, vt_all, vrank = key[v], t[v], rank[v]
+        ckey, ct, ce, cu, crank = key[~v], t[~v], e[~v], u[~v], rank[~v]
+        if not len(vkey) or not len(ckey):
+            return block(batch.slice(0, 0))
+        prev_i = np.searchsorted(vkey, ckey, "right") - 1
+        next_i = np.searchsorted(vkey, ckey, "left")
+        prev_c = np.maximum(prev_i, 0)
+        next_c = np.minimum(next_i, len(vkey) - 1)
+        has_p = (prev_i >= 0) & (vrank[prev_c] == crank)
+        has_n = (next_i < len(vkey)) & (vrank[next_c] == crank)
+        keep = has_p | has_n
+        far = np.int64(2 ** 62)
+        gp = np.where(has_p, ct - vt_all[prev_c], far)
+        gn = np.where(has_n, vt_all[next_c] - ct, far)
+        use_prev = gp <= gn  # tie → the earlier (prev) view
+        nearest = np.where(use_prev, vt_all[prev_c], vt_all[next_c])
+        return pa.table({
+            "event_id": pa.array(ce[keep], pa.int64()),
+            "user_id": pa.array(cu[keep], pa.int64()),
+            "nearest_view_ts_us": pa.array(nearest[keep], pa.int64()),
+            "gap_us": pa.array((ct - nearest)[keep], pa.int64()),
+        })
+
+    return sorted_ds.map_batches(block, batch_format="pyarrow",
+                                 batch_size=None,
+                                 runtime_env=runtime_env()).sort(
+        "event_id")
+
+
+_SQL_CLICKS_NEAREST_VIEW = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+  FROM events WHERE event_type IN ('click', 'view')
+),
+w AS (
+  SELECT event_id, user_id, ts_us, event_type,
+    MAX(CASE WHEN event_type = 'view' THEN ts_us END) OVER
+      (PARTITION BY user_id ORDER BY ts_us
+       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    MIN(CASE WHEN event_type = 'view' THEN ts_us END) OVER
+      (PARTITION BY user_id ORDER BY ts_us
+       RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v
+  FROM e
+)
+SELECT event_id, user_id,
+  CAST(CASE WHEN next_v IS NULL THEN prev_v
+            WHEN prev_v IS NULL THEN next_v
+            WHEN (ts_us - prev_v) <= (next_v - ts_us) THEN prev_v
+            ELSE next_v END AS BIGINT) AS nearest_view_ts_us,
+  CAST(ts_us - (CASE WHEN next_v IS NULL THEN prev_v
+                     WHEN prev_v IS NULL THEN next_v
+                     WHEN (ts_us - prev_v) <= (next_v - ts_us)
+                     THEN prev_v ELSE next_v END)
+       AS BIGINT) AS gap_us
+FROM w
+WHERE event_type = 'click'
+  AND (prev_v IS NOT NULL OR next_v IS NOT NULL)
+ORDER BY event_id
+"""
+
+
 def q_mv_join_refresh(sf_dir: str):
     """Incremental JOIN-view maintenance (mv_join_refresh): the
     delta-join identity every IVM engine (DBSP / differential-dataflow
@@ -20492,6 +20621,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "lineitem_pricing": q_lineitem_pricing,
         "promo_revenue": q_promo_revenue,
         "mv_join_refresh": q_mv_join_refresh,
+        "clicks_nearest_view": q_clicks_nearest_view,
         "risk_histogram": q_risk_histogram,
         "top_risk": q_top_risk,
         "diverse_top_risk": q_diverse_top_risk,
@@ -20734,6 +20864,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "lineitem_pricing": _SQL_LINEITEM_PRICING,
         "promo_revenue": _SQL_PROMO_REVENUE,
         "mv_join_refresh": _SQL_MV_JOIN_REFRESH,
+        "clicks_nearest_view": _SQL_CLICKS_NEAREST_VIEW,
         "risk_histogram": _sql_risk_histogram(),
         "top_risk": _sql_top_risk(),
         "diverse_top_risk": _sql_diverse_top_risk(),

@@ -145,6 +145,7 @@ SPOT_CHECKED = [
     "lineitem_orders_join",
     "promo_revenue",
     "mv_join_refresh",
+    "clicks_nearest_view",
     "runtime_filter_join",
     "local_supplier_revenue",
     "skewed_orders_join",
