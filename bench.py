@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "skipgram_counts",
     "warc_roundtrip",
     "sitemap_roundtrip",
+    "cdx_diff",
     "robots_filter",
     "policy_gate",
     "index_merge",

@@ -15890,6 +15890,134 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_cdx_diff(sf_dir: str):
+    """Index-only crawl-snapshot diff (cdx_diff): what changed between
+    two archive snapshots decided ENTIRELY from their CDX indexes —
+    the content digests ride the index, so added / removed / changed /
+    same urls are known without touching a byte of either archive's
+    payloads (at 100 TB the diff reads megabytes of index, not the
+    archive).  Snapshot A = the corpus as WET shards; snapshot B = the
+    recrawl where docs ``%13==0`` disappeared and docs ``%7==0``
+    changed text (removal precedence on the overlap, the oracle's rule
+    too).  snapshot_diff proved the TABLE-diff shape; this is the
+    ARCHIVE-diff, content-addressed by the sink's sha1 digests.
+
+    Distributed shape: two sharded WARC exports (the snapshots —
+    already paid in a real pipeline), two index reads (one task per
+    .cdx file), then the diff itself: union of (urlkey, digest, side)
+    rows → ONE single-key urlkey sort co-locates each url's ≤ 2 rows →
+    vectorized in-block run classification.  Diff shuffle volume is
+    INDEX-sized."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    from ..warc import read_cdx, write_warc
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def snap(batch: pa.Table, which: str) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        urls, ts, out_t = [], [], []
+        for i, d in enumerate(ids.tolist()):
+            if which == "b" and d % 13 == 0:
+                continue  # removed in the recrawl
+            t = texts[i] or ""
+            if which == "b" and d % 7 == 0:
+                t = t + " [updated]"
+            urls.append(f"http://export.example/doc/{d}")
+            ts.append(d)
+            out_t.append(t)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(np.asarray(ts, np.int64) * 1_000_000,
+                                pa.int64()).cast(pa.timestamp("us")),
+            "text": pa.array(out_t, pa.string()),
+        })
+
+    tmp = tempfile.mkdtemp(prefix="dwh_cdx_diff_")
+    try:
+        for which in ("a", "b"):
+            write_warc(
+                ds.map_batches(lambda b, w=which: snap(b, w),
+                               batch_format="pyarrow", batch_size=None,
+                               runtime_env=runtime_env()),
+                str(Path(tmp) / which), record_type="conversion",
+                n_shards=8)
+
+        def tag(batch: pa.Table, side: int) -> pa.Table:
+            urls = batch.column("url").to_pylist()
+            return pa.table({
+                "doc_id": pa.array(
+                    [int(u.rsplit("/", 1)[-1]) for u in urls],
+                    pa.int64()),
+                "digest": batch.column("digest"),
+                "side": pa.array(np.full(batch.num_rows, side,
+                                         np.int64)),
+            })
+
+        both = (read_cdx(str(Path(tmp) / "a"))
+                .map_batches(lambda b: tag(b, 0),
+                             batch_format="pyarrow", batch_size=None,
+                             runtime_env=runtime_env())
+                .union(read_cdx(str(Path(tmp) / "b"))
+                       .map_batches(lambda b: tag(b, 1),
+                                    batch_format="pyarrow",
+                                    batch_size=None,
+                                    runtime_env=runtime_env())))
+
+        def classify(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "status": pa.array([], pa.string())})
+            d = batch.column("doc_id").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            s = batch.column("side").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            g = np.asarray(batch.column("digest").to_pylist(),
+                           dtype=object)
+            order = np.lexsort((s, d))
+            d, s, g = d[order], s[order], g[order]
+            from ..functions.dedup import _run_bounds
+
+            st, en = _run_bounds(d)
+            n = en - st
+            out_d = d[st]
+            status = np.empty(len(st), dtype=object)
+            pair = n == 2
+            one = ~pair
+            # singletons: side 0 → removed, side 1 → added
+            status[one] = np.where(s[st[one]] == 0, "removed", "added")
+            same = np.zeros(len(st), bool)
+            same[pair] = g[st[pair]] == g[st[pair] + 1]
+            status[pair & same] = "same"
+            status[pair & ~same] = "changed"
+            return pa.table({
+                "doc_id": pa.array(out_d, pa.int64()),
+                "status": pa.array(status.tolist(), pa.string()),
+            })
+
+        out = both.sort("doc_id").map_batches(
+            classify, batch_format="pyarrow", batch_size=None,
+            runtime_env=runtime_env()).materialize()
+        return out.sort("doc_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_CDX_DIFF = """
+SELECT doc_id,
+       CASE WHEN doc_id % 13 = 0 THEN 'removed'
+            WHEN doc_id % 7 = 0 THEN 'changed'
+            ELSE 'same' END AS status
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_sitemap_roundtrip(sf_dir: str):
     """Sitemap protocol round-trip (the SEED-FEED member of the
     interchange family): publish one ``<url>`` entry per document —
@@ -20526,6 +20654,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "warc_roundtrip": q_warc_roundtrip,
         "sitemap_roundtrip": q_sitemap_roundtrip,
+        "cdx_diff": q_cdx_diff,
         "robots_filter": q_robots_filter,
         "policy_gate": q_policy_gate,
         "index_merge": q_index_merge,
@@ -20762,6 +20891,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "jsonl_roundtrip": _SQL_JSONL_ROUNDTRIP,
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
         "sitemap_roundtrip": _SQL_SITEMAP_ROUNDTRIP,
+        "cdx_diff": _SQL_CDX_DIFF,
         "robots_filter": _SQL_ROBOTS_FILTER,
         "policy_gate": _SQL_POLICY_GATE,
         "index_merge": _SQL_INDEX_MERGE,

@@ -95,6 +95,7 @@ SPOT_CHECKED = [
     "jsonl_roundtrip",
     "warc_roundtrip",
     "sitemap_roundtrip",
+    "cdx_diff",
     "robots_filter",
     "policy_gate",
     "index_merge",
