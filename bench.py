@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "promo_revenue",
     "mv_join_refresh",
     "clicks_nearest_view",
+    "dlq_parse",
     "ann_ivf",
     "ann_pq",
     "ann_ivfpq",

@@ -2890,6 +2890,64 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_dlq_parse(sf_dir: str):
+    """Dead-letter-queue parse split (dlq_parse): the ingestion
+    contract every production pipeline needs and naive jobs get wrong
+    twice — a malformed record must neither CRASH the job (the
+    one-bad-row-kills-100-TB failure) nor VANISH silently (the
+    unauditable data loss); it lands labeled beside the good rows.
+    Events' ``props`` JSON is deterministically corrupted for
+    ``event_id % 11 == 0`` (trailing brace truncated) and every row
+    strict-parsed (``json.loads``): good rows emit their extracted
+    ``k``, bad rows quarantine with ``status='malformed'`` and k = −1.
+    The oracle derives status arithmetically and k via the regex twin
+    — so the engine's strict parser must accept exactly the uncorrupted
+    rows and agree on every parsed value.
+
+    Distributed shape: one per-block map (parsing is inherently
+    per-record; compiled path, tiny objects), zero shuffle."""
+    import json as _json
+
+    ds = _read(sf_dir, "events", columns=["event_id", "props"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        props = batch.column("props").to_pylist()
+        status, ks = [], []
+        for i, d in enumerate(ids.tolist()):
+            raw = props[i] or ""
+            if d % 11 == 0:
+                raw = raw.rstrip()[:-1]  # the corruption under test
+            try:
+                obj = _json.loads(raw)
+                ks.append(int(obj.get("k", 0)))
+                status.append("ok")
+            except (ValueError, TypeError, AttributeError):
+                ks.append(-1)
+                status.append("malformed")
+        return pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "status": pa.array(status, pa.string()),
+            "k": pa.array(ks, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env()).sort("event_id")
+
+
+_SQL_DLQ_PARSE = r"""
+SELECT event_id,
+       CASE WHEN event_id % 11 = 0 THEN 'malformed' ELSE 'ok' END
+         AS status,
+       CAST(CASE WHEN event_id % 11 = 0 THEN -1
+            ELSE CAST(coalesce(regexp_extract(props, '"k": ([0-9]+)', 1),
+                               '0') AS BIGINT) END AS BIGINT) AS k
+FROM events ORDER BY event_id
+"""
+
+
 def q_events_hourly(sf_dir: str):
     """Tumbling-window aggregate: events per (hour, event_type) with
     deterministic integer window keys (epoch-ms of the hour)."""
@@ -20756,6 +20814,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "diverse_top_risk": q_diverse_top_risk,
         "ioc_registry": q_ioc_registry,
         "props_k_stats": q_props_k_stats,
+        "dlq_parse": q_dlq_parse,
         "events_hourly": q_events_hourly,
         "corpus_prep": q_corpus_prep,
         "full_prep": q_full_prep,
@@ -21000,6 +21059,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "diverse_top_risk": _sql_diverse_top_risk(),
         "ioc_registry": _SQL_IOC_REGISTRY,
         "props_k_stats": _SQL_PROPS_K,
+        "dlq_parse": _SQL_DLQ_PARSE,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "corpus_prep": _sql_corpus_prep(),
         "full_prep": _SQL_FULL_PREP,

@@ -147,6 +147,7 @@ SPOT_CHECKED = [
     "promo_revenue",
     "mv_join_refresh",
     "clicks_nearest_view",
+    "dlq_parse",
     "runtime_filter_join",
     "local_supplier_revenue",
     "skewed_orders_join",
