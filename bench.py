@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "mv_join_refresh",
     "clicks_nearest_view",
     "dlq_parse",
+    "encoding_audit",
     "ann_ivf",
     "ann_pq",
     "ann_ivfpq",

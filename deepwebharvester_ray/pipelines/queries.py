@@ -2890,6 +2890,89 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_encoding_audit(sf_dir: str):
+    """Byte-encoding audit (encoding_audit): BOM detection (UTF-8 /
+    UTF-16LE / UTF-16BE — longest-match first: the UTF-16LE BOM is a
+    PREFIX of nothing but the UTF-8 BOM starts EF BB BF, and FF FE is
+    also how UTF-32LE starts, out of scope here) plus strict UTF-8
+    validity of the payload body — the gate a web-scale ingest runs
+    BEFORE any text op touches a binary column (feeding replacement
+    characters into dedup shingles silently changes every hash).
+    Synthesized per-doc payloads: ``doc_id % 4`` selects clean UTF-8 /
+    UTF-8-BOM-prefixed / UTF-16LE-BOM + UTF-16 bytes (not valid UTF-8)
+    / clean ASCII with one INVALID 0xFF byte planted.  The oracle is
+    the synthesis arithmetic; the engine proves the sniff + strict
+    decode agree.
+
+    Distributed shape: one synthesis map + one audit map, zero
+    shuffle."""
+    ds = _docs(sf_dir, columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        blobs = []
+        for d in ids.tolist():
+            body = f"document {d} — café".encode("utf-8")
+            m = d % 4
+            if m == 0:
+                blobs.append(body)
+            elif m == 1:
+                blobs.append(b"\xef\xbb\xbf" + body)
+            elif m == 2:
+                # the é makes the body INVALID UTF-8 (E9 00); an
+                # ASCII-only UTF-16LE body would be valid UTF-8 (nulls
+                # are legal U+0000) — the subtlety the audit must catch
+                blobs.append(b"\xff\xfe"
+                             + f"doc {d} é".encode("utf-16-le"))
+            else:
+                blobs.append(f"doc {d}".encode("ascii") + b"\xff")
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(blobs, pa.binary()),
+        })
+
+    def audit(batch: pa.Table) -> pa.Table:
+        boms, valid = [], []
+        for b in batch.column("payload").to_pylist():
+            b = b or b""
+            if b[:3] == b"\xef\xbb\xbf":
+                bom, body = "utf-8", b[3:]
+            elif b[:2] == b"\xff\xfe":
+                bom, body = "utf-16le", b[2:]
+            elif b[:2] == b"\xfe\xff":
+                bom, body = "utf-16be", b[2:]
+            else:
+                bom, body = "", b
+            boms.append(bom)
+            try:
+                body.decode("utf-8", errors="strict")
+                valid.append(1)
+            except UnicodeDecodeError:
+                valid.append(0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "bom": pa.array(boms, pa.string()),
+            "utf8_ok": pa.array(valid, pa.int64()),
+        })
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env()).map_batches(
+        audit, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env()).sort("doc_id")
+
+
+_SQL_ENCODING_AUDIT = """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 1 THEN 'utf-8' WHEN 2 THEN 'utf-16le'
+            ELSE '' END AS bom,
+       CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END
+            AS BIGINT) AS utf8_ok
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_dlq_parse(sf_dir: str):
     """Dead-letter-queue parse split (dlq_parse): the ingestion
     contract every production pipeline needs and naive jobs get wrong
@@ -20815,6 +20898,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "ioc_registry": q_ioc_registry,
         "props_k_stats": q_props_k_stats,
         "dlq_parse": q_dlq_parse,
+        "encoding_audit": q_encoding_audit,
         "events_hourly": q_events_hourly,
         "corpus_prep": q_corpus_prep,
         "full_prep": q_full_prep,
@@ -21060,6 +21144,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "ioc_registry": _SQL_IOC_REGISTRY,
         "props_k_stats": _SQL_PROPS_K,
         "dlq_parse": _SQL_DLQ_PARSE,
+        "encoding_audit": _SQL_ENCODING_AUDIT,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "corpus_prep": _sql_corpus_prep(),
         "full_prep": _SQL_FULL_PREP,

@@ -148,6 +148,7 @@ SPOT_CHECKED = [
     "mv_join_refresh",
     "clicks_nearest_view",
     "dlq_parse",
+    "encoding_audit",
     "runtime_filter_join",
     "local_supplier_revenue",
     "skewed_orders_join",
