@@ -351,10 +351,21 @@ class _DedupShardState:
     def state_rows(self) -> int:
         return len(self.seen)
 
+    def snapshot(self) -> list:
+        """Checkpoint: the shard's full state is its sorted seen-hash
+        array — returning it IS the exactly-once resume token (state
+        is deterministic given the prefix of the stream processed)."""
+        return self.seen.tolist()
+
+    def restore(self, seen: list) -> None:
+        self.seen = np.asarray(seen, dtype=object)
+
 
 def streaming_dedup(ds, id_column: str = "doc_id",
                     text_column: str = "text", n_shards: int = 4,
-                    micro_batch: int = 4096, return_stats: bool = False):
+                    micro_batch: int = 4096, return_stats: bool = False,
+                    resume_from: list | None = None,
+                    return_state: bool = False):
     """Streaming exact content dedup: the arrival-order twin of
     ``dedup.exact_dedup_ids`` — emit each distinct content's FIRST
     stream occurrence as ``(content_hash, doc_id)`` rows, continuously,
@@ -377,6 +388,13 @@ def streaming_dedup(ds, id_column: str = "doc_id",
 
     Shard = ray.remote(num_cpus=0.5)(_DedupShardState)
     shards: List = [Shard.remote() for _ in range(n_shards)]
+    if resume_from is not None:
+        # exactly-once resume: restore each shard's seen-set checkpoint
+        # BEFORE any batch flows — re-arrivals of already-emitted
+        # content are then rejected exactly as in the original run
+        assert len(resume_from) == n_shards, "snapshot/shard mismatch"
+        ray.get([s.restore.remote(snap)
+                 for s, snap in zip(shards, resume_from)])
     accepted: List[pa.Table] = []
     max_state = 0
 
@@ -398,14 +416,19 @@ def streaming_dedup(ds, id_column: str = "doc_id",
                             sum(ray.get([s.state_rows.remote()
                                          for s in shards])))
 
+    state = (ray.get([s.snapshot.remote() for s in shards])
+             if return_state else None)
     for s in shards:
         ray.kill(s)
     out = (pa.concat_tables(accepted) if accepted
            else pa.table({"content_hash": pa.array([], pa.string()),
                           "doc_id": pa.array([], pa.int64())}))
+    extras = ()
     if return_stats:
-        return out, {"state_rows": max_state}
-    return out
+        extras += ({"state_rows": max_state},)
+    if return_state:
+        extras += (state,)
+    return (out, *extras) if extras else out
 
 
 class _IvShardState:
