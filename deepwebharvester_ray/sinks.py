@@ -563,3 +563,82 @@ def read_wds_shards(out_dir: str, text_col: str = "text"):
 
     return files.map_batches(parse, batch_format="pyarrow",
                              batch_size=None, runtime_env=runtime_env())
+
+
+def retention_sweep(data_dir: str, partition_col: str, ts_col: str,
+                    cutoff_us: int) -> dict:
+    """Retention / TTL sweep over a hive-partitioned layout (the GDPR
+    "delete everything older than T" op a 100-TB store runs nightly):
+    partitions WHOLLY before the cutoff are dropped as METADATA-ONLY
+    directory removals (no data read, no rewrite — the reason
+    time-partitioned layouts exist), the single BOUNDARY partition
+    containing the cutoff is rewritten with only its surviving rows,
+    and partitions at-or-after the cutoff are untouched (verifiably:
+    their files are not replaced).  ``partition_col`` values must be
+    integers that ORDER WITH TIME (e.g. epoch days) and
+    ``cutoff_us // unit`` semantics are the caller's: this function
+    compares ``ts_col`` (int64 µs) row values only inside the boundary
+    partition.
+
+    Returns ``{dropped, rewritten, kept, rows_deleted}`` (partition
+    value lists / counts).  Crash-safe like the partitioned writer:
+    the boundary rewrite lands in a tmp dir and renames over."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    base = Path(data_dir)
+    parts = {}
+    for p in sorted(base.glob(f"{partition_col}=*")):
+        parts[int(p.name.split("=", 1)[1])] = p
+    if not parts:
+        return {"dropped": [], "rewritten": [], "kept": [],
+                "rows_deleted": 0}
+
+    # which partition holds the cutoff? callers partition by a
+    # time-derived integer; the boundary is the max partition whose
+    # MINIMUM row ts is below the cutoff while its max reaches it
+    dropped, rewritten, kept = [], [], []
+    rows_deleted = 0
+    for val, p in parts.items():
+        files = sorted(p.glob("*.parquet"))
+        mins, maxs = [], []
+        for f in files:  # footer statistics only — no data read
+            md = _pq.ParquetFile(str(f)).metadata
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(
+                    next(i for i in range(md.num_columns)
+                         if md.row_group(rg).column(i).path_in_schema
+                         == ts_col))
+                st = col.statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+        lo, hi = min(mins), max(maxs)
+        if hi < cutoff_us:  # wholly expired: metadata-only drop
+            rows_deleted += sum(
+                _pq.ParquetFile(str(f)).metadata.num_rows
+                for f in files)
+            shutil.rmtree(p)
+            dropped.append(val)
+        elif lo >= cutoff_us:  # wholly retained: untouched
+            kept.append(val)
+        else:  # the boundary: rewrite surviving rows only
+            t = _pq.read_table(str(p))
+            import pyarrow.compute as pc
+
+            keep_mask = pc.greater_equal(t.column(ts_col),
+                                         pa.scalar(cutoff_us))
+            survived = t.filter(keep_mask)
+            rows_deleted += t.num_rows - survived.num_rows
+            tmp = base / (p.name + ".tmp")
+            if tmp.exists():
+                shutil.rmtree(tmp)
+            tmp.mkdir()
+            _pq.write_table(survived, tmp / "part-0.parquet")
+            shutil.rmtree(p)
+            tmp.rename(p)
+            rewritten.append(val)
+    logger.info("retention sweep: %d dropped, %d rewritten, %d kept",
+                len(dropped), len(rewritten), len(kept))
+    return {"dropped": dropped, "rewritten": rewritten, "kept": kept,
+            "rows_deleted": rows_deleted}

@@ -371,3 +371,48 @@ def test_wds_shards_roundtrip_deterministic_resume(ray_session, tmp_path):
     assert s3["written"] == [victim]
     man_r = _json.loads((out_a / "manifest.json").read_text())
     assert man_r == man_a  # rewritten shard byte-identical again
+
+
+def test_retention_sweep_metadata_only_drops(ray_session, tmp_path):
+    """TTL sweep: wholly-expired partitions drop WITHOUT being read or
+    rewritten, wholly-retained partitions are untouched (same inode —
+    proof no rewrite happened), only the boundary partition rewrites,
+    and surviving rows are exactly ts >= cutoff."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from deepwebharvester_ray.sinks import retention_sweep
+
+    day = 86_400_000_000
+    base = tmp_path / "events"
+    rows_all = []
+    for d in range(5):  # 5 day-partitions, 10 rows each, hourly
+        p = base / f"day={d}"
+        p.mkdir(parents=True)
+        ts = [d * day + h * 3_600_000_000 for h in range(10)]
+        ids = [d * 100 + h for h in range(10)]
+        _pq.write_table(
+            pa.table({"event_id": pa.array(ids, pa.int64()),
+                      "ts_us": pa.array(ts, pa.int64())}),
+            p / "part-0.parquet")
+        rows_all += list(zip(ids, ts))
+
+    cutoff = 2 * day + 5 * 3_600_000_000  # mid-day-2
+    before = {f: f.stat().st_ino
+              for f in base.glob("day=*/[!.]*.parquet")}
+    res = retention_sweep(str(base), "day", "ts_us", cutoff)
+    assert res["dropped"] == [0, 1]
+    assert res["rewritten"] == [2]
+    assert res["kept"] == [3, 4]
+    assert res["rows_deleted"] == 25  # 2 full days + 5 boundary hours
+
+    got = sorted(
+        (r["event_id"], r["ts_us"])
+        for f in base.glob("day=*/[!.]*.parquet")
+        for r in _pq.read_table(str(f)).to_pylist())
+    want = sorted((i, t) for i, t in rows_all if t >= cutoff)
+    assert got == want
+    # kept partitions: identical inodes ⇒ genuinely untouched
+    for f, ino in before.items():
+        if f.parent.name in ("day=3", "day=4"):
+            assert f.exists() and f.stat().st_ino == ino
