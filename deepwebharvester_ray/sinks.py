@@ -642,3 +642,115 @@ def retention_sweep(data_dir: str, partition_col: str, ts_col: str,
                 len(dropped), len(rewritten), len(kept))
     return {"dropped": dropped, "rewritten": rewritten, "kept": kept,
             "rows_deleted": rows_deleted}
+
+
+def write_delete_file(layout_dir: str, key: str, keys) -> str:
+    """Merge-on-read DELETE (the Iceberg-style equality-delete half of
+    lakehouse mutation): deleting rows from an immutable columnar
+    layout writes a tiny sorted key file BESIDE the data — O(deleted
+    keys) I/O instead of rewriting terabytes — and readers subtract it
+    at scan time (:func:`read_with_deletes`) until a compaction
+    (:func:`apply_deletes`) folds it in physically.  Multiple delete
+    files accumulate (one per delete commit).  Returns the file path."""
+    import pyarrow.parquet as _pq
+
+    base = Path(layout_dir)
+    existing = sorted(base.glob("deletes-*.parquet"))
+    seq = (int(existing[-1].stem.split("-")[1]) + 1) if existing else 0
+    arr = np.unique(np.asarray(list(keys), np.int64))
+    path = base / f"deletes-{seq:04d}.parquet"
+    tmp = base / (path.name + ".tmp")
+    _pq.write_table(pa.table({key: pa.array(arr, pa.int64())}),
+                    str(tmp))
+    tmp.rename(path)
+    return str(path)
+
+
+def _delete_set(layout_dir: str, key: str) -> np.ndarray:
+    import pyarrow.parquet as _pq
+
+    base = Path(layout_dir)
+    parts = [
+        _pq.read_table(str(f), columns=[key]).column(key)
+        .to_numpy(zero_copy_only=False)
+        for f in sorted(base.glob("deletes-*.parquet"))
+    ]
+    return (np.unique(np.concatenate(parts)) if parts
+            else np.empty(0, np.int64))
+
+
+def read_with_deletes(layout_dir: str, key: str):
+    """The merge-on-read SCAN: data files minus the accumulated delete
+    files' keys — the union of delete keys broadcasts once (delete sets
+    are mutation-bounded, not data-bounded) and every batch subtracts
+    it with one searchsorted.  Returns a Dataset."""
+    import ray
+
+    from . import runtime_env
+    from .broadcast import cached_get
+
+    base = Path(layout_dir)
+    data_files = sorted(
+        str(f) for f in base.rglob("*.parquet")
+        if not f.name.startswith("deletes-"))
+    dels = _delete_set(layout_dir, key)
+    ds = ray.data.read_parquet(data_files)
+    if not len(dels):
+        return ds
+    ref = ray.put(dels)
+
+    def subtract(batch: pa.Table) -> pa.Table:
+        d = cached_get(ref)
+        k = batch.column(key).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(d, k)
+        pos[pos >= len(d)] = 0
+        return batch.filter(pa.array(d[pos] != k))
+
+    return ds.map_batches(subtract, batch_format="pyarrow",
+                          batch_size=None, runtime_env=runtime_env())
+
+
+def apply_deletes(layout_dir: str, key: str) -> dict:
+    """Delete compaction (merge-on-read → copy-on-write): physically
+    rewrite ONLY the data files whose footer key range intersects the
+    delete set (row-group min/max statistics — untouched files keep
+    their inodes, the no-rewrite proof), then remove the delete files.
+    Returns {rewritten, skipped, rows_deleted}."""
+    import pyarrow.parquet as _pq
+
+    base = Path(layout_dir)
+    dels = _delete_set(layout_dir, key)
+    rewritten, skipped = [], []
+    rows_deleted = 0
+    for f in sorted(base.rglob("*.parquet")):
+        if f.name.startswith("deletes-"):
+            continue
+        md = _pq.ParquetFile(str(f)).metadata
+        ki = next(i for i in range(md.num_columns)
+                  if md.row_group(0).column(i).path_in_schema == key)
+        lo = min(md.row_group(g).column(ki).statistics.min
+                 for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(ki).statistics.max
+                 for g in range(md.num_row_groups))
+        span = dels[(dels >= lo) & (dels <= hi)]
+        if not len(span):
+            skipped.append(str(f))
+            continue
+        t = _pq.read_table(str(f))
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(dels, k)
+        pos[pos >= len(dels)] = 0
+        keep = dels[pos] != k
+        survived = t.filter(pa.array(keep))
+        rows_deleted += t.num_rows - survived.num_rows
+        tmp = f.with_name(f.name + ".tmp")
+        _pq.write_table(survived, str(tmp))
+        tmp.rename(f)
+        rewritten.append(str(f))
+    for df in sorted(base.glob("deletes-*.parquet")):
+        df.unlink()
+    logger.info("delete compaction: %d rewritten, %d skipped, %d rows",
+                len(rewritten), len(skipped), rows_deleted)
+    return {"rewritten": rewritten, "skipped": skipped,
+            "rows_deleted": rows_deleted}

@@ -416,3 +416,54 @@ def test_retention_sweep_metadata_only_drops(ray_session, tmp_path):
     for f, ino in before.items():
         if f.parent.name in ("day=3", "day=4"):
             assert f.exists() and f.stat().st_ino == ino
+
+
+def test_merge_on_read_deletes(ray_session, tmp_path):
+    """Lakehouse-style equality deletes: (a) delete commits are tiny
+    key files beside the data, (b) the MOR scan equals full-minus-
+    deleted across multiple accumulated commits, (c) compaction
+    rewrites ONLY footer-range-intersecting files (others keep their
+    inode), removes the delete files, and leaves the physical state
+    equal to the MOR view."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from pathlib import Path
+
+    from deepwebharvester_ray.sinks import (apply_deletes,
+                                            read_with_deletes,
+                                            write_delete_file)
+
+    base = tmp_path / "tbl"
+    base.mkdir()
+    # 4 files with DISJOINT key ranges (footer pruning is meaningful)
+    for f in range(4):
+        ids = list(range(f * 100, f * 100 + 100))
+        _pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "v": pa.array([i * 3 for i in ids], pa.int64())}),
+            base / f"data-{f}.parquet")
+
+    write_delete_file(str(base), "doc_id", [5, 17, 150])
+    write_delete_file(str(base), "doc_id", [150, 199, 23])  # overlap ok
+    deleted = {5, 17, 23, 150, 199}
+
+    mor = sorted(r["doc_id"]
+                 for r in read_with_deletes(str(base), "doc_id")
+                 .take_all())
+    assert mor == sorted(set(range(400)) - deleted)
+
+    before = {f.name: f.stat().st_ino
+              for f in base.glob("data-*.parquet")}
+    res = apply_deletes(str(base), "doc_id")
+    assert res["rows_deleted"] == 5
+    assert sorted(Path(p).name for p in res["rewritten"]) == \
+        ["data-0.parquet", "data-1.parquet"]
+    # files 2 and 3 hold keys 200-399: no delete intersects → untouched
+    for name in ("data-2.parquet", "data-3.parquet"):
+        assert (base / name).stat().st_ino == before[name]
+    assert not list(base.glob("deletes-*.parquet"))
+    phys = sorted(r["doc_id"]
+                  for f in base.glob("data-*.parquet")
+                  for r in _pq.read_table(str(f)).to_pylist())
+    assert phys == mor
