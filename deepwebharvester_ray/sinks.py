@@ -754,3 +754,57 @@ def apply_deletes(layout_dir: str, key: str) -> dict:
                 len(rewritten), len(skipped), rows_deleted)
     return {"rewritten": rewritten, "skipped": skipped,
             "rows_deleted": rows_deleted}
+
+
+def read_evolved(layout_dir: str, defaults: Dict[str, object] | None
+                 = None):
+    """Schema-evolution-on-read: one Dataset over a layout whose files
+    were written under DIFFERENT schema versions (the lake reality —
+    a column added in March exists only in files written since March).
+    File footers are grouped by schema signature (metadata-only), each
+    group gets ONE ``read_parquet``, missing columns are filled with
+    the caller's typed default (or null) inside a per-batch map, and
+    the groups union into a single uniform-schema Dataset — columns
+    ordered canonically so downstream schema checks are stable.
+
+    ``defaults`` maps column name → fill value for files predating the
+    column; columns absent from it fill with nulls.  Types come from
+    the newest file that HAS the column."""
+    import pyarrow.parquet as _pq
+    import ray
+
+    from . import runtime_env
+
+    files = sorted(str(f) for f in Path(layout_dir).rglob("*.parquet")
+                   if not f.name.startswith("deletes-"))
+    groups: Dict[tuple, list] = {}
+    field_types: Dict[str, pa.DataType] = {}
+    for f in files:  # footers only — no data read
+        sch = _pq.ParquetFile(f).schema_arrow
+        sig = tuple(sorted(sch.names))
+        groups.setdefault(sig, []).append(f)
+        for name in sch.names:
+            field_types[name] = sch.field(name).type  # newest wins
+    all_cols = sorted(field_types)
+    defaults = defaults or {}
+
+    def widen(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in all_cols:
+            if name in batch.column_names:
+                cols[name] = batch.column(name)
+            else:
+                fill = defaults.get(name)
+                cols[name] = pa.array(
+                    [fill] * batch.num_rows, field_types[name])
+        return pa.table(cols)
+
+    parts = []
+    for sig, fs in sorted(groups.items()):
+        parts.append(ray.data.read_parquet(fs).map_batches(
+            widen, batch_format="pyarrow", batch_size=None,
+            runtime_env=runtime_env()))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

@@ -467,3 +467,40 @@ def test_merge_on_read_deletes(ray_session, tmp_path):
                   for f in base.glob("data-*.parquet")
                   for r in _pq.read_table(str(f)).to_pylist())
     assert phys == mor
+
+
+def test_read_evolved_mixed_schemas(ray_session, tmp_path):
+    """Schema evolution on read: v1 files (doc_id, text) and v2 files
+    (+lang, +score) read as ONE uniform Dataset — v1 rows fill lang
+    with the declared default and score with null; column order
+    canonical; grouping is footer-metadata-only."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from deepwebharvester_ray.sinks import read_evolved
+
+    base = tmp_path / "tbl"
+    base.mkdir()
+    for f in range(2):  # v1: two files
+        ids = list(range(f * 10, f * 10 + 10))
+        _pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([f"t{i}" for i in ids], pa.string())}),
+            base / f"v1-{f}.parquet")
+    ids = list(range(20, 30))  # v2: one file with two new columns
+    _pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([f"t{i}" for i in ids], pa.string()),
+        "lang": pa.array(["en"] * 10, pa.string()),
+        "score": pa.array([i * 2 for i in ids], pa.int64())}),
+        base / "v2-0.parquet")
+
+    ds = read_evolved(str(base), defaults={"lang": "und"})
+    assert ds.schema().names == ["doc_id", "lang", "score", "text"]
+    rows = sorted(ds.take_all(), key=lambda r: r["doc_id"])
+    assert len(rows) == 30
+    assert all(r["lang"] == "und" and r["score"] is None
+               for r in rows[:20])
+    assert all(r["lang"] == "en" and r["score"] == 2 * r["doc_id"]
+               for r in rows[20:])
+    assert [r["text"] for r in rows] == [f"t{i}" for i in range(30)]
