@@ -377,3 +377,96 @@ def test_size_grouped_index_partitions_runs(sizes):
             seen.append((int(row[0]), m))
     expect = sorted((int(s), int(n)) for s, n in zip(starts, sz))
     assert sorted(seen) == expect
+
+
+# ── round-2 parser layer ─────────────────────────────────────────────────────
+
+
+@settings(max_examples=200, deadline=None)
+@given(URLS)
+def test_rfc3986_normalize_idempotent(url):
+    from deepwebharvester_ray.urlops import normalize_url_rfc3986 as f
+
+    n1 = f(url)
+    assert f(n1) == n1
+    # dot segments never survive, paths always rooted
+    path = n1.split("://", 1)[-1].split("?", 1)[0]
+    path = path[path.find("/"):] if "/" in path else "/"
+    assert "/../" not in path + "/" and "/./" not in path + "/"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=300))
+def test_norm_percent_idempotent_on_junk(b):
+    from deepwebharvester_ray.urlops import _norm_percent
+
+    s = b.decode("latin-1")
+    n1 = _norm_percent(s)
+    assert _norm_percent(n1) == n1
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(
+    st.from_regex(r"http://[a-z0-9.]{1,15}/[a-z0-9/]{0,20}",
+                  fullmatch=True),
+    st.integers(min_value=0, max_value=2**50),
+    st.binary(max_size=200)), max_size=8))
+def test_warc_record_roundtrip_property(rows):
+    """write ∘ parse is the identity for ARBITRARY payload bytes and
+    timestamps — the WARC framing must never be confused by payloads
+    containing CRLF pairs, WARC/1.1 magic, or header-like lines."""
+    from deepwebharvester_ray.warc import _parse_records, _record_bytes
+
+    blob = b"".join(_record_bytes(u, ts, payload, "conversion")
+                    for u, ts, payload in rows)
+    got = _parse_records(blob)
+    assert [(g[0], g[1]) for g in got] == [(u, ts) for u, ts, _ in rows]
+    assert [g[5] for g in got] == [
+        p.decode("utf-8", errors="replace") for _, _, p in rows]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_container_parsers_never_crash(b):
+    """Fuzz: the image/audio/video header parsers must reject or parse
+    arbitrary bytes — never raise (the quarantine path depends on
+    that)."""
+    from deepwebharvester_ray.functions.multimodal import (image_dims,
+                                                           mp4_meta,
+                                                           wav_meta)
+
+    for fn in (image_dims, wav_meta, mp4_meta):
+        out = fn(b)
+        assert isinstance(out, tuple)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+               max_size=300))
+def test_policy_parsers_never_crash(s):
+    from deepwebharvester_ray.extract import parse_html_meta
+    from deepwebharvester_ray.state.robots import (parse_http_policy,
+                                                   parse_link_header)
+
+    cs, ni, nf, cn = parse_html_meta(s)
+    assert isinstance(cs, str) and isinstance(cn, str)
+    p = parse_http_policy(s)
+    assert set(p) == {"noindex", "nofollow", "max_age_s",
+                      "retry_after_s"}
+    for tgt, rel in parse_link_header(s):
+        assert isinstance(tgt, str) and isinstance(rel, str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.from_regex(r"https?://[A-Za-z0-9.\-]{1,20}(:[0-9]{1,4})?"
+                     r"(/[A-Za-z0-9._~%\-]{0,8}){0,4}(\?[a-z=&%0-9]{0,12})?",
+                     fullmatch=True))
+def test_surt_deterministic_and_sortable(url):
+    from deepwebharvester_ray.warc import surt
+
+    k = surt(url)
+    assert surt(url) == k          # deterministic
+    assert ")" in k                # host/path separator always present
+    # same-host urls share the key prefix up to ')'
+    host_part = k.split(")", 1)[0]
+    assert host_part == host_part.lower()
