@@ -87,3 +87,47 @@ def test_unknown_config_key_raises(tmp_path):
         return
     with pytest.raises(ValueError, match="unknown crawler setting"):
         load_settings(config_path=str(cfgf))
+
+
+def test_export_cli_warc_and_diff(ray_session, tmp_path):
+    """The export CLI end to end: WET export → CDX diff of an archive
+    against itself (all 'same'), WebDataset + sitemap exports produce
+    their manifests."""
+    import json as _json
+
+    from deepwebharvester_ray import corpus
+    from deepwebharvester_ray.export import main as export_main
+
+    cdir = corpus.corpus_from_documents("/root/testdata/sf0.001")
+
+    out_a = tmp_path / "arch_a"
+    rc = export_main(["warc", "--corpus", cdir, "--out", str(out_a),
+                      "--shards", "4", "--wet"])
+    assert rc == 0 and (out_a / "manifest.json").exists()
+    assert len(list(out_a.glob("shard-*.warc.gz"))) == 4
+    assert len(list(out_a.glob("shard-*.cdx"))) == 4
+
+    out_b = tmp_path / "arch_b"
+    export_main(["warc", "--corpus", cdir, "--out", str(out_b),
+                 "--shards", "4", "--wet"])
+    # diff an archive against its twin: everything 'same'
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = export_main(["cdx-diff", "--old", str(out_a),
+                          "--new", str(out_b)])
+    assert rc == 0
+    counts = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert counts["same"] == 500 and counts["changed"] == 0
+    assert counts["added"] == 0 and counts["removed"] == 0
+
+    out_w = tmp_path / "wds"
+    rc = export_main(["wds", "--corpus", cdir, "--out", str(out_w),
+                      "--shards", "4"])
+    assert rc == 0 and (out_w / "manifest.json").exists()
+
+    out_s = tmp_path / "sm"
+    rc = export_main(["sitemap", "--corpus", cdir, "--out", str(out_s)])
+    assert rc == 0 and (out_s / "sitemap_index.xml").exists()
