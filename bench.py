@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "clicks_nearest_view",
     "dlq_parse",
     "encoding_audit",
+    "script_profile",
     "ann_ivf",
     "ann_pq",
     "ann_ivfpq",

@@ -2890,6 +2890,90 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_script_profile(sf_dir: str):
+    """Unicode-SCRIPT composition per doc (script_profile): counts of
+    Latin / Cyrillic / CJK letters and the dominant script — the
+    routing statistic a multilingual corpus needs BEFORE language ID
+    (script ≠ language: lang_id's n-gram tables assume a script; a
+    Han-dominant doc must never reach the Latin trigram model, and
+    mixed-script docs are their own quality signal).  Synthesized
+    per-doc text mixes the three scripts by doc-id arithmetic; both
+    engines count over EXPLICIT codepoint ranges (basic Latin a–z,
+    Cyrillic а–я U+0430–044F, CJK U+4E00–4E0F here) — range classes,
+    not ``\\p{Script}`` properties, so RE2's script-extension tables
+    can never diverge from the numpy range checks.
+
+    Distributed shape: codepoints via numpy over the UTF-32 view (one
+    frombuffer per doc, three vectorized range masks), zero shuffle."""
+    ds = _docs(sf_dir, columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    cyr = "абвгдежзик"
+    cjk = "一丁丂七丄丅丆万丈三"
+
+    def synth_and_count(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        n_lat, n_cyr, n_cjk, dom = [], [], [], []
+        for d in ids.tolist():
+            a, b, c = d % 7 + 1, d % 5, d % 3
+            text = ("word " * a) + (cyr[:b] + " ") * b + (cjk[:c]) * c
+            cp = np.frombuffer(
+                text.encode("utf-32-le"), dtype=np.uint32)
+            lat = int(((cp >= 0x61) & (cp <= 0x7A)).sum())
+            cy = int(((cp >= 0x430) & (cp <= 0x44F)).sum())
+            cj = int(((cp >= 0x4E00) & (cp <= 0x4E0F)).sum())
+            n_lat.append(lat)
+            n_cyr.append(cy)
+            n_cjk.append(cj)
+            # dominance with the deterministic tie order lat>cyr>cjk
+            if lat >= cy and lat >= cj:
+                dom.append("latin")
+            elif cy >= cj:
+                dom.append("cyrillic")
+            else:
+                dom.append("cjk")
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_latin": pa.array(n_lat, pa.int64()),
+            "n_cyrillic": pa.array(n_cyr, pa.int64()),
+            "n_cjk": pa.array(n_cjk, pa.int64()),
+            "dominant": pa.array(dom, pa.string()),
+        })
+
+    return ds.map_batches(synth_and_count, batch_format="pyarrow",
+                          batch_size=None,
+                          runtime_env=runtime_env()).sort("doc_id")
+
+
+_SQL_SCRIPT_PROFILE = """
+WITH t AS (
+  SELECT doc_id,
+         repeat('word ', doc_id % 7 + 1)
+           || repeat(substr('абвгдежзик', 1, doc_id % 5) || ' ',
+                     doc_id % 5)
+           || repeat(substr('一丁丂七丄丅丆万丈三', 1, doc_id % 3),
+                     doc_id % 3) AS text
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-z]')) AS BIGINT)
+           AS n_latin,
+         CAST(len(regexp_extract_all(text, '[а-я]'))
+              AS BIGINT) AS n_cyrillic,
+         CAST(len(regexp_extract_all(text, '[一-丏]'))
+              AS BIGINT) AS n_cjk
+  FROM t
+)
+SELECT doc_id, n_latin, n_cyrillic, n_cjk,
+       CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk
+            THEN 'latin'
+            WHEN n_cyrillic >= n_cjk THEN 'cyrillic'
+            ELSE 'cjk' END AS dominant
+FROM c ORDER BY doc_id
+"""
+
+
 def q_encoding_audit(sf_dir: str):
     """Byte-encoding audit (encoding_audit): BOM detection (UTF-8 /
     UTF-16LE / UTF-16BE — longest-match first: the UTF-16LE BOM is a
@@ -20899,6 +20983,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "props_k_stats": q_props_k_stats,
         "dlq_parse": q_dlq_parse,
         "encoding_audit": q_encoding_audit,
+        "script_profile": q_script_profile,
         "events_hourly": q_events_hourly,
         "corpus_prep": q_corpus_prep,
         "full_prep": q_full_prep,
@@ -21145,6 +21230,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "props_k_stats": _SQL_PROPS_K,
         "dlq_parse": _SQL_DLQ_PARSE,
         "encoding_audit": _SQL_ENCODING_AUDIT,
+        "script_profile": _SQL_SCRIPT_PROFILE,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "corpus_prep": _sql_corpus_prep(),
         "full_prep": _SQL_FULL_PREP,

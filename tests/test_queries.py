@@ -149,6 +149,7 @@ SPOT_CHECKED = [
     "clicks_nearest_view",
     "dlq_parse",
     "encoding_audit",
+    "script_profile",
     "runtime_filter_join",
     "local_supplier_revenue",
     "skewed_orders_join",
