@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "dlq_parse",
     "encoding_audit",
     "script_profile",
+    "homoglyph_hosts",
     "ann_ivf",
     "ann_pq",
     "ann_ivfpq",

@@ -2890,6 +2890,63 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_homoglyph_hosts(sf_dir: str):
+    """Mixed-script (homoglyph / IDN-spoofing) host screen
+    (homoglyph_hosts): flag hostnames whose label mixes Latin and
+    Cyrillic letters — the ``exаmple.com`` attack where the Cyrillic
+    ``а`` (U+0430) is visually identical to Latin ``a``; the rule real
+    registries and browsers apply is exactly this one (a PURE-Cyrillic
+    label is a legitimate IDN and must NOT flag — only the mix is
+    spoofing), which is why the planted cases cover pure-Latin,
+    one-substituted-letter, and pure-Cyrillic hosts.  A crawler runs
+    this screen on every DISCOVERED host before trusting links.
+    Same explicit-range parity discipline as script_profile.
+
+    One vectorized-range map per block, zero shuffle."""
+    ds = _docs(sf_dir, columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        hosts, mixed = [], []
+        for d in ids.tolist():
+            v = d % 3
+            if v == 0:
+                h = f"example{d}.com"
+            elif v == 1:
+                h = f"exаmple{d}.com"  # Cyrillic а planted
+            else:
+                h = f"пример{d}.com"        # pure Cyrillic: legit IDN
+            label = h.split(".", 1)[0]
+            cp = np.frombuffer(label.encode("utf-32-le"),
+                               dtype=np.uint32)
+            has_lat = bool(((cp >= 0x61) & (cp <= 0x7A)).any())
+            has_cyr = bool(((cp >= 0x430) & (cp <= 0x44F)).any())
+            hosts.append(h)
+            mixed.append(1 if (has_lat and has_cyr) else 0)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "host": pa.array(hosts, pa.string()),
+            "mixed_script": pa.array(mixed, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env()).sort("doc_id")
+
+
+_SQL_HOMOGLYPH_HOSTS = """
+SELECT doc_id,
+       CASE doc_id % 3
+            WHEN 0 THEN 'example' || doc_id || '.com'
+            WHEN 1 THEN 'ex' || chr(1072) || 'mple' || doc_id || '.com'
+            ELSE 'пример' || doc_id || '.com' END AS host,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS BIGINT)
+         AS mixed_script
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_script_profile(sf_dir: str):
     """Unicode-SCRIPT composition per doc (script_profile): counts of
     Latin / Cyrillic / CJK letters and the dominant script — the
@@ -20984,6 +21041,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "dlq_parse": q_dlq_parse,
         "encoding_audit": q_encoding_audit,
         "script_profile": q_script_profile,
+        "homoglyph_hosts": q_homoglyph_hosts,
         "events_hourly": q_events_hourly,
         "corpus_prep": q_corpus_prep,
         "full_prep": q_full_prep,
@@ -21231,6 +21289,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "dlq_parse": _SQL_DLQ_PARSE,
         "encoding_audit": _SQL_ENCODING_AUDIT,
         "script_profile": _SQL_SCRIPT_PROFILE,
+        "homoglyph_hosts": _SQL_HOMOGLYPH_HOSTS,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "corpus_prep": _sql_corpus_prep(),
         "full_prep": _SQL_FULL_PREP,

@@ -150,6 +150,7 @@ SPOT_CHECKED = [
     "dlq_parse",
     "encoding_audit",
     "script_profile",
+    "homoglyph_hosts",
     "runtime_filter_join",
     "local_supplier_revenue",
     "skewed_orders_join",
