@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "encoding_audit",
     "script_profile",
     "homoglyph_hosts",
+    "idn_decode",
     "ann_ivf",
     "ann_pq",
     "ann_ivfpq",

@@ -2890,6 +2890,61 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_idn_decode(sf_dir: str):
+    """Punycode / IDN host decoding (idn_decode): hostnames arrive on
+    the wire ACE-encoded (RFC 3492 ``xn--`` labels) and every
+    Unicode-level host analysis — the homoglyph screen above, script
+    routing, display — needs the DECODED form; this decodes each
+    label through the stdlib punycode codec, leaving non-``xn--``
+    labels untouched and flagging which hosts were IDN at all.
+    Per-family decoded forms are pinned against independently-known
+    literals in the oracle (the codec is validated against published
+    pairs, e.g. ``xn--e1afmkfd`` ⇄ ``пример``), while the per-doc
+    ASCII label exercises the pass-through path on every row.
+
+    One per-block map (label split + codec), zero shuffle."""
+    ds = _docs(sf_dir, columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    fams = ("xn--e1afmkfd", "xn--80akhbyknj4f", "xn--j1ail", "plain")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        hosts, is_idn = [], []
+        for d in ids.tolist():
+            wire = f"{fams[d % 4]}.d{d}.com"
+            out, idn = [], 0
+            for label in wire.split("."):
+                if label.startswith("xn--"):
+                    idn = 1
+                    out.append(label[4:].encode("ascii")
+                               .decode("punycode"))
+                else:
+                    out.append(label)
+            hosts.append(".".join(out))
+            is_idn.append(idn)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "host_decoded": pa.array(hosts, pa.string()),
+            "is_idn": pa.array(is_idn, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env()).sort("doc_id")
+
+
+_SQL_IDN_DECODE = """
+SELECT doc_id,
+       (CASE doc_id % 4 WHEN 0 THEN 'пример'
+             WHEN 1 THEN 'испытание' WHEN 2 THEN 'кто'
+             ELSE 'plain' END) || '.d' || doc_id || '.com'
+         AS host_decoded,
+       CAST(CASE WHEN doc_id % 4 < 3 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_idn
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_homoglyph_hosts(sf_dir: str):
     """Mixed-script (homoglyph / IDN-spoofing) host screen
     (homoglyph_hosts): flag hostnames whose label mixes Latin and
@@ -21042,6 +21097,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "encoding_audit": q_encoding_audit,
         "script_profile": q_script_profile,
         "homoglyph_hosts": q_homoglyph_hosts,
+        "idn_decode": q_idn_decode,
         "events_hourly": q_events_hourly,
         "corpus_prep": q_corpus_prep,
         "full_prep": q_full_prep,
@@ -21290,6 +21346,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "encoding_audit": _SQL_ENCODING_AUDIT,
         "script_profile": _SQL_SCRIPT_PROFILE,
         "homoglyph_hosts": _SQL_HOMOGLYPH_HOSTS,
+        "idn_decode": _SQL_IDN_DECODE,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "corpus_prep": _sql_corpus_prep(),
         "full_prep": _SQL_FULL_PREP,

@@ -151,6 +151,7 @@ SPOT_CHECKED = [
     "encoding_audit",
     "script_profile",
     "homoglyph_hosts",
+    "idn_decode",
     "runtime_filter_join",
     "local_supplier_revenue",
     "skewed_orders_join",
