@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "script_profile",
     "homoglyph_hosts",
     "idn_decode",
+    "data_uri_images",
     "ann_ivf",
     "ann_pq",
     "ann_ivfpq",

@@ -2890,6 +2890,74 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_data_uri_images(sf_dir: str):
+    """Inline data-URI image harvest (data_uri_images): pages embed
+    images as ``data:image/png;base64,…`` URIs, and a crawler can
+    harvest those multimodal assets WITHOUT a single extra fetch —
+    extract the URI from the html, base64-decode the payload, and run
+    the codec-free container parse (:func:`~deepwebharvester_ray.
+    functions.multimodal.image_dims`) for per-image dimensions.  Three
+    session layers composed: html extraction → transfer decoding →
+    container metadata.  Per doc a synthesized page embeds one PNG
+    data-URI with doc-id-arithmetic dimensions (standard base64 WITH
+    padding; the media-type parameter list is skipped to the comma per
+    RFC 2397); docs ``%5==4`` embed none and must emit nothing.
+
+    One per-block map (compiled regex + b64decode + header parse),
+    zero shuffle."""
+    import base64
+    import re as _re
+    import struct
+
+    from ..functions.multimodal import image_dims
+
+    ds = _docs(sf_dir, columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    uri_re = _re.compile(
+        r'src="data:image/[a-z]+;base64,([A-Za-z0-9+/=]+)"')
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        out_d, out_f, out_w, out_h = [], [], [], []
+        for d in ids.tolist():
+            if d % 5 == 4:
+                html = f"<html><body>no image {d}</body></html>"
+            else:
+                w, h = d % 320 + 1, d % 200 + 1
+                png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13)
+                       + b"IHDR" + struct.pack(">II", w, h)
+                       + b"\x08\x06\x00\x00\x00" + b"\x00" * 4)
+                b64 = base64.b64encode(png).decode("ascii")
+                html = (f'<html><body><img src="data:image/png;'
+                        f'base64,{b64}"></body></html>')
+            m = uri_re.search(html)
+            if not m:
+                continue
+            fmt, w, h = image_dims(base64.b64decode(m.group(1)))
+            out_d.append(d)
+            out_f.append(fmt)
+            out_w.append(w)
+            out_h.append(h)
+        return pa.table({
+            "doc_id": pa.array(np.asarray(out_d, np.int64)),
+            "fmt": pa.array(out_f, pa.string()),
+            "width": pa.array(np.asarray(out_w, np.int64)),
+            "height": pa.array(np.asarray(out_h, np.int64)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env()).sort("doc_id")
+
+
+_SQL_DATA_URI_IMAGES = """
+SELECT doc_id, 'png' AS fmt,
+       CAST(doc_id % 320 + 1 AS BIGINT) AS width,
+       CAST(doc_id % 200 + 1 AS BIGINT) AS height
+FROM documents WHERE doc_id % 5 <> 4 ORDER BY doc_id
+"""
+
+
 def q_idn_decode(sf_dir: str):
     """Punycode / IDN host decoding (idn_decode): hostnames arrive on
     the wire ACE-encoded (RFC 3492 ``xn--`` labels) and every
@@ -21098,6 +21166,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "script_profile": q_script_profile,
         "homoglyph_hosts": q_homoglyph_hosts,
         "idn_decode": q_idn_decode,
+        "data_uri_images": q_data_uri_images,
         "events_hourly": q_events_hourly,
         "corpus_prep": q_corpus_prep,
         "full_prep": q_full_prep,
@@ -21347,6 +21416,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "script_profile": _SQL_SCRIPT_PROFILE,
         "homoglyph_hosts": _SQL_HOMOGLYPH_HOSTS,
         "idn_decode": _SQL_IDN_DECODE,
+        "data_uri_images": _SQL_DATA_URI_IMAGES,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "corpus_prep": _sql_corpus_prep(),
         "full_prep": _SQL_FULL_PREP,

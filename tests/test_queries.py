@@ -152,6 +152,7 @@ SPOT_CHECKED = [
     "script_profile",
     "homoglyph_hosts",
     "idn_decode",
+    "data_uri_images",
     "runtime_filter_join",
     "local_supplier_revenue",
     "skewed_orders_join",
