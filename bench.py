@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "homoglyph_hosts",
     "idn_decode",
     "data_uri_images",
+    "hreflang_map",
     "ann_ivf",
     "ann_pq",
     "ann_ivfpq",

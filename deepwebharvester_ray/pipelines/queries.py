@@ -2890,6 +2890,96 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_hreflang_map(sf_dir: str):
+    """hreflang alternate-language mapping (hreflang_map): the
+    multilingual discovery surface — ``<link rel="alternate"
+    hreflang="…" href="…">`` declares a page's language VARIANTS, and
+    a multilingual crawl uses the map to fetch each variant once
+    instead of re-discovering them by links (and to route each to its
+    language pipeline).  One page → MANY (lang, href) pairs — the
+    one-to-many sibling of the canonical link (html_meta).  Parsed
+    with the html.parser discipline (attribute order / quoting / case
+    handled by the parser; ``rel`` token-list membership, the
+    ``x-default`` pseudo-locale kept verbatim); per doc the variant
+    set and langs derive from doc-id arithmetic, with a
+    non-alternate link planted that must NOT emit.
+
+    One per-block parse map, zero shuffle; output one row per
+    (doc, lang)."""
+    from html.parser import HTMLParser
+
+    ds = _docs(sf_dir, columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    langs = ("en", "de", "fr", "ja")
+
+    class _Alt(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.pairs = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag != "link":
+                return
+            a = dict(attrs)
+            rels = (a.get("rel") or "").lower().split()
+            if "alternate" in rels and a.get("hreflang"):
+                self.pairs.append((a["hreflang"].strip().lower(),
+                                   (a.get("href") or "").strip()))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        out_d, out_l, out_h = [], [], []
+        for d in ids.tolist():
+            n = d % 4 + 1  # 1..4 variants
+            parts = ["<html><head>",
+                     f'<link rel="stylesheet" href="http://s/{d}.css">']
+            for i in range(n):
+                lg = langs[i]
+                parts.append(
+                    f"<LINK HREFLANG='{lg.upper()}' "
+                    f"href=http://{lg}.example/p/{d} rel=alternate>")
+            if d % 2 == 0:
+                parts.append(f'<link rel="alternate" '
+                             f'hreflang="x-default" '
+                             f'href="http://www.example/p/{d}">')
+            parts.append("</head><body>x</body></html>")
+            p = _Alt()
+            p.feed("".join(parts))
+            for lg, href in p.pairs:
+                out_d.append(d)
+                out_l.append(lg)
+                out_h.append(href)
+        return pa.table({
+            "doc_id": pa.array(np.asarray(out_d, np.int64)),
+            "hreflang": pa.array(out_l, pa.string()),
+            "href": pa.array(out_h, pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env()).sort(
+        ["doc_id", "hreflang"])
+
+
+_SQL_HREFLANG_MAP = """
+WITH v AS (
+  SELECT d.doc_id, l.lang,
+         'http://' || l.lang || '.example/p/' || d.doc_id AS href
+  FROM documents d
+  JOIN (VALUES ('en', 0), ('de', 1), ('fr', 2), ('ja', 3))
+       AS l(lang, i) ON l.i <= d.doc_id % 4
+),
+x AS (
+  SELECT doc_id, 'x-default' AS lang,
+         'http://www.example/p/' || doc_id AS href
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT doc_id, lang AS hreflang, href
+FROM (SELECT * FROM v UNION ALL SELECT * FROM x)
+ORDER BY doc_id, hreflang
+"""
+
+
 def q_data_uri_images(sf_dir: str):
     """Inline data-URI image harvest (data_uri_images): pages embed
     images as ``data:image/png;base64,…`` URIs, and a crawler can
@@ -21167,6 +21257,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "homoglyph_hosts": q_homoglyph_hosts,
         "idn_decode": q_idn_decode,
         "data_uri_images": q_data_uri_images,
+        "hreflang_map": q_hreflang_map,
         "events_hourly": q_events_hourly,
         "corpus_prep": q_corpus_prep,
         "full_prep": q_full_prep,
@@ -21417,6 +21508,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "homoglyph_hosts": _SQL_HOMOGLYPH_HOSTS,
         "idn_decode": _SQL_IDN_DECODE,
         "data_uri_images": _SQL_DATA_URI_IMAGES,
+        "hreflang_map": _SQL_HREFLANG_MAP,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "corpus_prep": _sql_corpus_prep(),
         "full_prep": _SQL_FULL_PREP,

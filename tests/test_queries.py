@@ -153,6 +153,7 @@ SPOT_CHECKED = [
     "homoglyph_hosts",
     "idn_decode",
     "data_uri_images",
+    "hreflang_map",
     "runtime_filter_join",
     "local_supplier_revenue",
     "skewed_orders_join",
