@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "idn_decode",
     "data_uri_images",
     "hreflang_map",
+    "jsonld_types",
     "ann_ivf",
     "ann_pq",
     "ann_ivfpq",

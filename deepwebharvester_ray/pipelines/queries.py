@@ -2890,6 +2890,89 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_jsonld_types(sf_dir: str):
+    """JSON-LD structured-data extraction (jsonld_types): pages
+    declare machine-readable entities in ``<script
+    type="application/ld+json">`` blocks (schema.org — what rich
+    results and content classification consume); emit one row per
+    declared entity with its ``@type``.  The grammar wrinkle the spec
+    allows and naive extractors miss: the block's payload may be a
+    single object OR an ARRAY of objects (both planted — docs
+    ``%4==2`` carry a two-entity array, ``%4==3`` no block at all and
+    must emit nothing); malformed JSON would flow to the DLQ path, not
+    crash (the parse is guarded).
+
+    One per-block map (compiled non-greedy regex + json.loads), zero
+    shuffle."""
+    import json as _json
+    import re as _re
+
+    ds = _docs(sf_dir, columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    block_re = _re.compile(
+        r'<script type="application/ld\+json">(.*?)</script>', _re.S)
+    types = ("Article", "Product", "Event", "Person")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        out_d, out_t = [], []
+        for d in ids.tolist():
+            v = d % 4
+            if v == 3:
+                html = f"<html><body>plain {d}</body></html>"
+            elif v == 2:
+                payload = _json.dumps([
+                    {"@type": types[d % 2], "name": f"a{d}"},
+                    {"@type": "Person", "name": f"b{d}"}])
+                html = (f'<html><head><script type="application/'
+                        f'ld+json">{payload}</script></head></html>')
+            else:
+                payload = _json.dumps(
+                    {"@type": types[v], "name": f"n{d}"})
+                html = (f'<html><head><script type="application/'
+                        f'ld+json">{payload}</script></head></html>')
+            for m in block_re.finditer(html):
+                try:
+                    obj = _json.loads(m.group(1))
+                except ValueError:
+                    continue  # malformed blocks are DLQ material
+                objs = obj if isinstance(obj, list) else [obj]
+                for o in objs:
+                    t = o.get("@type") if isinstance(o, dict) else None
+                    if t:
+                        out_d.append(d)
+                        out_t.append(t)
+        return pa.table({
+            "doc_id": pa.array(np.asarray(out_d, np.int64)),
+            "jsonld_type": pa.array(out_t, pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env()).sort(
+        ["doc_id", "jsonld_type"])
+
+
+_SQL_JSONLD_TYPES = """
+WITH single AS (
+  SELECT doc_id,
+         (['Article', 'Product', 'Event', 'Person'])[(doc_id % 4) + 1]
+           AS jsonld_type
+  FROM documents WHERE doc_id % 4 IN (0, 1)
+),
+arr AS (
+  SELECT doc_id,
+         (['Article', 'Product'])[(doc_id % 2) + 1] AS jsonld_type
+  FROM documents WHERE doc_id % 4 = 2
+  UNION ALL
+  SELECT doc_id, 'Person' FROM documents WHERE doc_id % 4 = 2
+)
+SELECT doc_id, jsonld_type
+FROM (SELECT * FROM single UNION ALL SELECT * FROM arr)
+ORDER BY doc_id, jsonld_type
+"""
+
+
 def q_hreflang_map(sf_dir: str):
     """hreflang alternate-language mapping (hreflang_map): the
     multilingual discovery surface — ``<link rel="alternate"
@@ -21258,6 +21341,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "idn_decode": q_idn_decode,
         "data_uri_images": q_data_uri_images,
         "hreflang_map": q_hreflang_map,
+        "jsonld_types": q_jsonld_types,
         "events_hourly": q_events_hourly,
         "corpus_prep": q_corpus_prep,
         "full_prep": q_full_prep,
@@ -21509,6 +21593,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "idn_decode": _SQL_IDN_DECODE,
         "data_uri_images": _SQL_DATA_URI_IMAGES,
         "hreflang_map": _SQL_HREFLANG_MAP,
+        "jsonld_types": _SQL_JSONLD_TYPES,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "corpus_prep": _sql_corpus_prep(),
         "full_prep": _SQL_FULL_PREP,

@@ -154,6 +154,7 @@ SPOT_CHECKED = [
     "idn_decode",
     "data_uri_images",
     "hreflang_map",
+    "jsonld_types",
     "runtime_filter_join",
     "local_supplier_revenue",
     "skewed_orders_join",
