@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "data_uri_images",
     "hreflang_map",
     "jsonld_types",
+    "og_cards",
     "ann_ivf",
     "ann_pq",
     "ann_ivfpq",

@@ -2890,6 +2890,80 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_og_cards(sf_dir: str):
+    """Open Graph social-card extraction (og_cards): ``og:title`` /
+    ``og:type`` / ``og:image`` from meta tags — the card every share
+    preview renders, and a content-classification input.  The trap
+    this pins: Open Graph uses the ``property`` ATTRIBUTE, not
+    ``name`` (a ``<meta name="og:title">`` is NOT an OG tag per the
+    protocol — one is planted and must be ignored), and first
+    occurrence wins for duplicated properties.  Case/quoting/order
+    variants handled by the html.parser discipline.
+
+    One per-block parse map, zero shuffle."""
+    from html.parser import HTMLParser
+
+    ds = _docs(sf_dir, columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    og_types = ("article", "website", "video.other")
+
+    class _OG(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.vals = {}
+
+        def handle_starttag(self, tag, attrs):
+            if tag != "meta":
+                return
+            a = dict(attrs)
+            prop = (a.get("property") or "").lower()
+            if prop.startswith("og:") and prop not in self.vals:
+                self.vals[prop] = (a.get("content") or "").strip()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        t_, ty_, im_ = [], [], []
+        for d in ids.tolist():
+            parts = ["<html><head>",
+                     # the name= decoy: NOT an OG tag, must be ignored
+                     f'<meta name="og:title" content="DECOY {d}">',
+                     f"<META PROPERTY='og:title' content='Title {d}'>",
+                     f'<meta property="og:title" content="dup {d}">',
+                     f'<meta property="OG:TYPE" '
+                     f'content="{og_types[d % 3]}">']
+            if d % 2 == 0:
+                parts.append(f'<meta property="og:image" '
+                             f'content="http://i.example/{d}.jpg">')
+            parts.append("</head><body>x</body></html>")
+            p = _OG()
+            p.feed("".join(parts))
+            t_.append(p.vals.get("og:title", ""))
+            ty_.append(p.vals.get("og:type", ""))
+            im_.append(p.vals.get("og:image", ""))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "og_title": pa.array(t_, pa.string()),
+            "og_type": pa.array(ty_, pa.string()),
+            "og_image": pa.array(im_, pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env()).sort("doc_id")
+
+
+_SQL_OG_CARDS = """
+SELECT doc_id,
+       'Title ' || doc_id AS og_title,
+       (['article', 'website', 'video.other'])[(doc_id % 3) + 1]
+         AS og_type,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'http://i.example/' || doc_id || '.jpg'
+            ELSE '' END AS og_image
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_jsonld_types(sf_dir: str):
     """JSON-LD structured-data extraction (jsonld_types): pages
     declare machine-readable entities in ``<script
@@ -21342,6 +21416,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "data_uri_images": q_data_uri_images,
         "hreflang_map": q_hreflang_map,
         "jsonld_types": q_jsonld_types,
+        "og_cards": q_og_cards,
         "events_hourly": q_events_hourly,
         "corpus_prep": q_corpus_prep,
         "full_prep": q_full_prep,
@@ -21594,6 +21669,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "data_uri_images": _SQL_DATA_URI_IMAGES,
         "hreflang_map": _SQL_HREFLANG_MAP,
         "jsonld_types": _SQL_JSONLD_TYPES,
+        "og_cards": _SQL_OG_CARDS,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "corpus_prep": _sql_corpus_prep(),
         "full_prep": _SQL_FULL_PREP,

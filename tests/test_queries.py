@@ -155,6 +155,7 @@ SPOT_CHECKED = [
     "data_uri_images",
     "hreflang_map",
     "jsonld_types",
+    "og_cards",
     "runtime_filter_join",
     "local_supplier_revenue",
     "skewed_orders_join",
