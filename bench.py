@@ -468,6 +468,9 @@ def main() -> None:
                         help="print the machine parallel-ceiling control")
     parser.add_argument("--only", nargs="+", default=None,
                         help="bench only these query names (skips headline)")
+    parser.add_argument("--stats", metavar="QUERY", default=None,
+                        help="run one query and dump its per-stage Ray "
+                        "Data stats (tuning aid)")
     args = parser.parse_args()
 
     if args.control_only:
@@ -574,6 +577,17 @@ def main() -> None:
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
                  logging_level="ERROR", log_to_driver=False)
     try:
+        if args.stats:
+            from deepwebharvester_ray.pipelines.queries import build_queries
+
+            res = build_queries()[args.stats](sf_dir)
+            if hasattr(res, "materialize"):
+                print(res.materialize().stats())
+            else:
+                print(f"(driver-side result; no Dataset stats) "
+                      f"{type(res).__name__} rows="
+                      f"{getattr(res, 'num_rows', 'n/a')}")
+            return
         if args.only:
             timings = run_queries(sf_dir, only=args.only)
             print(json.dumps({"queries": timings, "sf": sf_dir,
