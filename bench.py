@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "hreflang_map",
     "jsonld_types",
     "og_cards",
+    "geo_rollup",
     "ann_ivf",
     "ann_pq",
     "ann_ivfpq",

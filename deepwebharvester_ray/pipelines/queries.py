@@ -2890,6 +2890,117 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_geo_rollup(sf_dir: str):
+    """Snowflake-chain geography rollup (geo_rollup): order revenue by
+    (region, nation) plus per-region subtotals and a grand total — the
+    4-table snowflake join (orders → customer → nation → region) that
+    every star-schema warehouse runs, expressed the broadcast way: the
+    THREE dimension tables are folded driver-side into ONE
+    custkey → (region, nation) map (dimensions are small by
+    definition — that's what makes them dimensions), ``ray.put`` once,
+    and the fact scan resolves the whole chain with a single
+    searchsorted per batch — zero joins, zero shuffles beyond the
+    final combiner grouped_agg at (region, nation) cardinality.
+    Subtotal rows use the GROUPING-SETS convention (``nation = ''``
+    for the region level, both ``''`` for the grand total) so one
+    result table carries all three levels.
+
+    local_supplier_revenue exercises the supplier-side chain with
+    native joins; this is the customer-side chain on the broadcast
+    plan — the two canonical physical strategies, one per side."""
+    import ray
+
+    from ..broadcast import cached_get
+    from ..functions.agg import grouped_agg
+
+    region = pq.read_table(str(Path(sf_dir) / "region.parquet"))
+    nation = pq.read_table(str(Path(sf_dir) / "nation.parquet"))
+    cust = pq.read_table(str(Path(sf_dir) / "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    rmap = dict(zip(region.column("r_regionkey").to_pylist(),
+                    region.column("r_name").to_pylist()))
+    nmap = {
+        nk: (rmap[rk], nm)
+        for nk, nm, rk in zip(nation.column("n_nationkey").to_pylist(),
+                              nation.column("n_name").to_pylist(),
+                              nation.column("n_regionkey").to_pylist())
+    }
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    cn = cust.column("c_nationkey").to_numpy(zero_copy_only=False)
+    order = np.argsort(ck)
+    ck, cn = ck[order], cn[order]
+    regions = np.asarray([nmap[n][0] for n in cn.tolist()],
+                         dtype=object)
+    nations = np.asarray([nmap[n][1] for n in cn.tolist()],
+                         dtype=object)
+    dim_ref = ray.put((ck, regions, nations))
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_totalprice"],
+               override_num_blocks=_shuffle_parts(sf_dir, "orders"))
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        k, reg, nat = cached_get(dim_ref)
+        keys = batch.column("o_custkey").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        tp = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(tp * 100.0).astype(np.int64)
+        pos = np.searchsorted(k, keys)
+        pos[pos >= len(k)] = 0
+        hit = k[pos] == keys
+        return pa.table({
+            "region": pa.array(reg[pos[hit]].tolist(), pa.string()),
+            "nation": pa.array(nat[pos[hit]].tolist(), pa.string()),
+            "revenue_cents": pa.array(cents[hit], pa.int64()),
+        })
+
+    detail = grouped_agg(
+        ds.map_batches(resolve, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["region", "nation"],
+        [("revenue_cents", "revenue_cents", "sum"),
+         ("n_orders", "", "count")],
+    ).materialize()
+
+    rows = detail.take_all()  # ≤ |regions|·|nations| — dimension-sized
+    by_region: dict = {}
+    total_c = total_n = 0
+    for r in rows:
+        rc = by_region.setdefault(r["region"], [0, 0])
+        rc[0] += r["revenue_cents"]
+        rc[1] += r["n_orders"]
+        total_c += r["revenue_cents"]
+        total_n += r["n_orders"]
+    out = [(r["region"], r["nation"], r["revenue_cents"],
+            r["n_orders"]) for r in rows]
+    out += [(reg, "", c, n) for reg, (c, n) in by_region.items()]
+    out.append(("", "", total_c, total_n))
+    out.sort()
+    return pa.table({
+        "region": pa.array([o[0] for o in out], pa.string()),
+        "nation": pa.array([o[1] for o in out], pa.string()),
+        "revenue_cents": pa.array([o[2] for o in out], pa.int64()),
+        "n_orders": pa.array([o[3] for o in out], pa.int64()),
+    })
+
+
+_SQL_GEO_ROLLUP = """
+WITH f AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(floor(o.o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+)
+SELECT COALESCE(region, '') AS region, COALESCE(nation, '') AS nation,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM f GROUP BY ROLLUP (region, nation)
+ORDER BY region, nation
+"""
+
+
 def q_og_cards(sf_dir: str):
     """Open Graph social-card extraction (og_cards): ``og:title`` /
     ``og:type`` / ``og:image`` from meta tags — the card every share
@@ -21417,6 +21528,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "hreflang_map": q_hreflang_map,
         "jsonld_types": q_jsonld_types,
         "og_cards": q_og_cards,
+        "geo_rollup": q_geo_rollup,
         "events_hourly": q_events_hourly,
         "corpus_prep": q_corpus_prep,
         "full_prep": q_full_prep,
@@ -21670,6 +21782,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "hreflang_map": _SQL_HREFLANG_MAP,
         "jsonld_types": _SQL_JSONLD_TYPES,
         "og_cards": _SQL_OG_CARDS,
+        "geo_rollup": _SQL_GEO_ROLLUP,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "corpus_prep": _sql_corpus_prep(),
         "full_prep": _SQL_FULL_PREP,

@@ -156,6 +156,7 @@ SPOT_CHECKED = [
     "hreflang_map",
     "jsonld_types",
     "og_cards",
+    "geo_rollup",
     "runtime_filter_join",
     "local_supplier_revenue",
     "skewed_orders_join",
