@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "value_ntile",
     "orders_rollup",
     "events_pivot",
+    "dynamic_pivot",
     "distinct_users_by_type",
     "value_stats",
     "orders_with_late_items",

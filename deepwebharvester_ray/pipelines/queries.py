@@ -6237,6 +6237,67 @@ ORDER BY l_orderkey, l_linenumber, measure
 """
 
 
+def q_dynamic_pivot(sf_dir: str):
+    """Dynamic pivot (dynamic_pivot): :func:`q_events_pivot` hardcodes
+    its column list — the real engine problem is the SCHEMA ISN'T
+    KNOWN until the data is read; the two-pass plan every dynamic
+    PIVOT implementation runs: pass 1 discovers the distinct pivot
+    keys (a combiner distinct at key cardinality — tiny, shipped into
+    the closure sorted so the output column ORDER is deterministic),
+    pass 2 spreads indicators into exactly those columns and runs ONE
+    grouped sum.  Column names derive from the data (``n_<type>``);
+    the oracle hardcodes them — which is itself the check that
+    discovery found exactly the true key set (a missed or phantom key
+    breaks the schema comparison, not just values).
+
+    One discovery aggregate + one indicator map + one combiner
+    grouped_agg on user_id."""
+    from ..functions.agg import grouped_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events")
+               ).materialize()
+
+    types = sorted(
+        r["event_type"]
+        for r in grouped_agg(ds.select_columns(["event_type"]),
+                             ["event_type"], [("n", "", "count")],
+                             sorted_output=False)
+        .select_columns(["event_type"]).take_all())
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(),
+                        dtype=object)
+        cols = {"user_id": batch.column("user_id")}
+        for t in types:
+            cols[f"n_{t}"] = pa.array((et == t).astype(np.int64),
+                                      pa.int64())
+        return pa.table(cols)
+
+    return grouped_agg(
+        ds.map_batches(indicators, batch_format="pyarrow",
+                       batch_size=None, runtime_env=runtime_env()),
+        ["user_id"],
+        [(f"n_{t}", f"n_{t}", "sum") for t in types],
+    )
+
+
+_SQL_DYNAMIC_PIVOT = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_events_pivot(sf_dir: str):
     """Pivot (conditional aggregation): per-user event counts spread into
     one column per event type, plus total value cents.  The pivot is a
@@ -21480,6 +21541,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "orders_rollup": q_orders_rollup,
         "orders_cube": q_orders_cube,
         "events_pivot": q_events_pivot,
+        "dynamic_pivot": q_dynamic_pivot,
         "lineitem_unpivot": q_lineitem_unpivot,
         "user_moving_sum": q_user_moving_sum,
         "user_hourly_fill": q_user_hourly_fill,
@@ -21734,6 +21796,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "orders_rollup": _SQL_ORDERS_ROLLUP,
         "orders_cube": _SQL_ORDERS_CUBE,
         "events_pivot": _SQL_EVENTS_PIVOT,
+        "dynamic_pivot": _SQL_DYNAMIC_PIVOT,
         "lineitem_unpivot": _SQL_LINEITEM_UNPIVOT,
         "user_moving_sum": _SQL_USER_MOVING_SUM,
         "user_hourly_fill": _SQL_USER_HOURLY_FILL,

@@ -171,6 +171,7 @@ SPOT_CHECKED = [
     "orders_rollup",
     "orders_cube",
     "events_pivot",
+    "dynamic_pivot",
     "lineitem_unpivot",
     "user_moving_sum",
     "top_orders_q3",
