@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "orders_rollup",
     "events_pivot",
     "dynamic_pivot",
+    "above_avg_orders",
     "distinct_users_by_type",
     "value_stats",
     "orders_with_late_items",

@@ -6237,6 +6237,94 @@ ORDER BY l_orderkey, l_linenumber, measure
 """
 
 
+def q_above_avg_orders(sf_dir: str):
+    """Decorrelated correlated subquery (above_avg_orders): orders
+    priced above THEIR OWN customer's average — the textbook correlated
+    subquery (``WHERE price > (SELECT avg … WHERE custkey = outer)``)
+    flattened into the aggregate-then-rejoin plan every optimizer
+    rewrites it to: ONE combiner grouped_agg to per-customer
+    (n, Σcents), the tiny aggregate broadcast back into the fact scan
+    (sorted-key searchsorted; the size-gated join switch applies at
+    web scale), and the comparison decided by INTEGER CROSS-
+    MULTIPLICATION ``cents·n > Σcents`` — the mean is never computed,
+    so no division ever crosses an engine boundary.
+
+    One aggregate + one broadcast-attach map, no fact shuffle."""
+    import ray
+
+    from ..broadcast import cached_get
+    from ..functions.agg import grouped_agg
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"],
+               override_num_blocks=_shuffle_parts(sf_dir, "orders"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        tp = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_custkey": batch.column("o_custkey"),
+            "cents": pa.array(np.floor(tp * 100.0).astype(np.int64),
+                              pa.int64()),
+        })
+
+    fact = ds.map_batches(prep, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env()).materialize()
+    agg = grouped_agg(
+        fact.select_columns(["o_custkey", "cents"]), ["o_custkey"],
+        [("n_orders", "", "count"), ("sum_cents", "cents", "sum")],
+        sorted_output=False,
+    ).take_all()  # customer-cardinality — the broadcast side
+    keys = np.asarray([r["o_custkey"] for r in agg], np.int64)
+    order = np.argsort(keys)
+    keys = keys[order]
+    ns = np.asarray([r["n_orders"] for r in agg], np.int64)[order]
+    sums = np.asarray([r["sum_cents"] for r in agg], np.int64)[order]
+    ref = ray.put((keys, ns, sums))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        k, n, s = cached_get(ref)
+        ck = batch.column("o_custkey").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cents = batch.column("cents").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(k, ck)
+        pos[pos >= len(k)] = 0
+        hit = k[pos] == ck
+        # the decorrelated predicate, division-free
+        keep = hit & (cents * n[pos] > s[pos])
+        out = batch.filter(pa.array(keep))
+        return pa.table({
+            "o_orderkey": out.column("o_orderkey"),
+            "o_custkey": out.column("o_custkey"),
+            "cents": out.column("cents"),
+            "n_orders": pa.array(n[pos[keep]], pa.int64()),
+            "sum_cents": pa.array(s[pos[keep]], pa.int64()),
+        })
+
+    return fact.map_batches(pick, batch_format="pyarrow",
+                            batch_size=None,
+                            runtime_env=runtime_env()).sort("o_orderkey")
+
+
+_SQL_ABOVE_AVG_ORDERS = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+),
+s AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM o GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey, o.cents, s.n_orders, s.sum_cents
+FROM o JOIN s USING (o_custkey)
+WHERE o.cents * s.n_orders > s.sum_cents
+ORDER BY o_orderkey
+"""
+
+
 def q_dynamic_pivot(sf_dir: str):
     """Dynamic pivot (dynamic_pivot): :func:`q_events_pivot` hardcodes
     its column list — the real engine problem is the SCHEMA ISN'T
@@ -21542,6 +21630,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "orders_cube": q_orders_cube,
         "events_pivot": q_events_pivot,
         "dynamic_pivot": q_dynamic_pivot,
+        "above_avg_orders": q_above_avg_orders,
         "lineitem_unpivot": q_lineitem_unpivot,
         "user_moving_sum": q_user_moving_sum,
         "user_hourly_fill": q_user_hourly_fill,
@@ -21797,6 +21886,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "orders_cube": _SQL_ORDERS_CUBE,
         "events_pivot": _SQL_EVENTS_PIVOT,
         "dynamic_pivot": _SQL_DYNAMIC_PIVOT,
+        "above_avg_orders": _SQL_ABOVE_AVG_ORDERS,
         "lineitem_unpivot": _SQL_LINEITEM_UNPIVOT,
         "user_moving_sum": _SQL_USER_MOVING_SUM,
         "user_hourly_fill": _SQL_USER_HOURLY_FILL,

@@ -172,6 +172,7 @@ SPOT_CHECKED = [
     "orders_cube",
     "events_pivot",
     "dynamic_pivot",
+    "above_avg_orders",
     "lineitem_unpivot",
     "user_moving_sum",
     "top_orders_q3",
