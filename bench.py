@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "events_pivot",
     "dynamic_pivot",
     "above_avg_orders",
+    "tree_depth",
     "distinct_users_by_type",
     "value_stats",
     "orders_with_late_items",

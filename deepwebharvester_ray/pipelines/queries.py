@@ -6237,6 +6237,76 @@ ORDER BY l_orderkey, l_linenumber, measure
 """
 
 
+_TREE_MULT = 2654435761  # Knuth's 32-bit multiplicative constant
+
+
+def q_tree_depth(sf_dir: str):
+    """Hierarchy resolution by pointer doubling, ORACLE-CHECKED
+    (tree_depth): every node of an irregular synthetic forest
+    (``parent(k) = (k·2654435761 mod 2³²) mod k`` — strictly
+    decreasing ⇒ acyclic, hash-irregular ⇒ no closed form, so the
+    traversal is genuinely forced) resolved to its (root, depth) via
+    :func:`~deepwebharvester_ray.functions.graph.resolve_pointers`
+    (Wyllie doubling — ceil(log₂ depth) rounds).  The milestone: every
+    other fixpoint in the catalog is rows-only because iteration has
+    no non-recursive SQL form — this one is held to a DuckDB
+    ``WITH RECURSIVE`` twin, putting the pointer-doubling machinery
+    itself under the driver's value-hash gate.
+
+    Shape: one edge-synthesis map, the size-gated doubling fixpoint
+    (broadcast state below 2 M rows, native join above), the root row
+    appended."""
+    import ray
+
+    from ..functions.graph import resolve_pointers
+
+    ds = _docs(sf_dir, columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def edges(batch: pa.Table) -> pa.Table:
+        k = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        k = k[k >= 1]
+        with np.errstate(over="ignore"):
+            h = (k.astype(np.uint64) * np.uint64(_TREE_MULT)) \
+                % np.uint64(2 ** 32)
+        parent = (h % k.astype(np.uint64)).astype(np.int64)
+        return pa.table({"src": pa.array(k, pa.int64()),
+                         "dst": pa.array(parent, pa.int64())})
+
+    resolved = resolve_pointers(
+        ds.map_batches(edges, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()))
+    out = resolved.map_batches(
+        lambda b: pa.table({"doc_id": b.column("id"),
+                            "root": b.column("final_id"),
+                            "depth": b.column("hops")}),
+        batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+    root_row = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "root": pa.array([0], pa.int64()),
+        "depth": pa.array([0], pa.int64()),
+    }))
+    return out.union(root_row).sort("doc_id")
+
+
+_SQL_TREE_DEPTH = f"""
+WITH RECURSIVE walk AS (
+  SELECT doc_id AS node, doc_id AS cur, 0 AS depth FROM documents
+  UNION ALL
+  SELECT node,
+         CAST((CAST(cur AS HUGEINT) * {_TREE_MULT} % 4294967296) % cur
+              AS BIGINT),
+         depth + 1
+  FROM walk WHERE cur > 0
+)
+SELECT node AS doc_id, CAST(0 AS BIGINT) AS root,
+       CAST(depth AS BIGINT) AS depth
+FROM walk WHERE cur = 0 ORDER BY node
+"""
+
+
 def q_above_avg_orders(sf_dir: str):
     """Decorrelated correlated subquery (above_avg_orders): orders
     priced above THEIR OWN customer's average — the textbook correlated
@@ -21631,6 +21701,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "events_pivot": q_events_pivot,
         "dynamic_pivot": q_dynamic_pivot,
         "above_avg_orders": q_above_avg_orders,
+        "tree_depth": q_tree_depth,
         "lineitem_unpivot": q_lineitem_unpivot,
         "user_moving_sum": q_user_moving_sum,
         "user_hourly_fill": q_user_hourly_fill,
@@ -21887,6 +21958,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "events_pivot": _SQL_EVENTS_PIVOT,
         "dynamic_pivot": _SQL_DYNAMIC_PIVOT,
         "above_avg_orders": _SQL_ABOVE_AVG_ORDERS,
+        "tree_depth": _SQL_TREE_DEPTH,
         "lineitem_unpivot": _SQL_LINEITEM_UNPIVOT,
         "user_moving_sum": _SQL_USER_MOVING_SUM,
         "user_hourly_fill": _SQL_USER_HOURLY_FILL,

@@ -173,6 +173,7 @@ SPOT_CHECKED = [
     "events_pivot",
     "dynamic_pivot",
     "above_avg_orders",
+    "tree_depth",
     "lineitem_unpivot",
     "user_moving_sum",
     "top_orders_q3",
