@@ -16417,22 +16417,49 @@ def q_source_modularity(sf_dir: str):
     crosses engines; per-community rows plus the global pair.
 
     Distributed shape: NO iteration (modularity of a given partition
-    is pure aggregation): canonical-edge dedup combiner, ONE broadcast
-    (doc_id → source-code) sorted-array attach (the pagerank
-    discipline; hash-join beyond the cutoff), then two combiner
-    grouped_aggs — intra-edge counts per source and degree sums per
-    source — and a tiny driver assembly at community cardinality."""
+    is pure aggregation): canonical-edge dedup combiner, then the
+    doc_id → source-code attach runs through the size-gated
+    :func:`attach_id_labels` (broadcast sorted arrays below the
+    cutoff, native hash join above — the pagerank discipline; the
+    label table is the (doc_id, code) projection, never a driver
+    pull), then one combiner grouped_agg at code×code cardinality and
+    a tiny driver assembly at community cardinality.  Only
+    community-sized tables ever reach the driver."""
     import ray
 
     from ..broadcast import cached_get
+    from ..functions.dedup import attach_id_labels
 
     docs = _docs(sf_dir, columns=["doc_id", "source"],
                  override_num_blocks=_shuffle_parts(sf_dir))
-    rows = docs.take_all()
-    rows.sort(key=lambda r: r["doc_id"])
-    ids = np.array([r["doc_id"] for r in rows], np.int64)
-    srcs = np.asarray([r["source"] for r in rows])
-    ref = ray.put((ids, srcs))
+
+    # Distinct sources = the community list — bounded by definition
+    # (community-detection output cardinality), safe to pull.
+    src_rows = grouped_agg(docs, ["source"],
+                           [("__n", "", "count")]).take_all()
+    sources = sorted(r["source"] for r in src_rows)
+    code_of = {s: i for i, s in enumerate(sources)}
+    code_ref = ray.put(code_of)
+
+    def codes(batch: pa.Table) -> pa.Table:
+        m = cached_get(code_ref)
+        col = batch.column("source").combine_chunks()
+        d = col.dictionary_encode()
+        vals = np.array([m[s] for s in d.dictionary.to_pylist()],
+                        np.int64)
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        c = vals[idx] if len(vals) else np.empty(0, np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "su_code": pa.array(c, pa.int64()),
+            "sv_code": pa.array(c, pa.int64()),
+        })
+
+    # Materialize once: attach_id_labels sizes the label table with a
+    # count() and then reads it again — a 3-int projection held
+    # distributed in the object store, never on the driver.
+    labels = docs.map_batches(codes, batch_format="pyarrow",
+                              runtime_env=runtime_env()).materialize()
 
     _, edges = _corpus_link_edges(sf_dir)
 
@@ -16449,26 +16476,18 @@ def q_source_modularity(sf_dir: str):
     ue = grouped_agg(
         edges.map_batches(canon, batch_format="pyarrow",
                           runtime_env=runtime_env()),
-        ["u", "v"], [("__n", "", "count")],
+        ["u", "v"], [("__n", "", "count")], sorted_output=False,
     )
 
-    def attach(batch: pa.Table, _ref=ref) -> pa.Table:
-        sids, ssrc = cached_get(_ref)
-        u = batch.column("u").combine_chunks().to_numpy(
-            zero_copy_only=False)
-        v = batch.column("v").combine_chunks().to_numpy(
-            zero_copy_only=False)
-        su = ssrc[np.searchsorted(sids, u)]
-        sv = ssrc[np.searchsorted(sids, v)]
-        return pa.table({
-            "su": pa.array(su.tolist(), pa.string()),
-            "sv": pa.array(sv.tolist(), pa.string()),
-        })
-
+    lab_u = attach_id_labels(ue, labels, id_column="u",
+                             label_id_column="doc_id",
+                             label_column="su_code")
+    lab_uv = attach_id_labels(lab_u, labels, id_column="v",
+                              label_id_column="doc_id",
+                              label_column="sv_code")
     lab = grouped_agg(
-        ue.map_batches(attach, batch_format="pyarrow",
-                       batch_size=None, runtime_env=runtime_env()),
-        ["su", "sv"], [("n", "", "count")],
+        lab_uv.select_columns(["su_code", "sv_code"]),
+        ["su_code", "sv_code"], [("n", "", "count")],
     ).take_all()   # ≤ communities² rows
 
     m = sum(int(r["n"]) for r in lab)
@@ -16476,12 +16495,14 @@ def q_source_modularity(sf_dir: str):
     deg: Dict[str, int] = {}
     for r in lab:
         n = int(r["n"])
-        if r["su"] == r["sv"]:
-            intra[r["su"]] = intra.get(r["su"], 0) + n
-            deg[r["su"]] = deg.get(r["su"], 0) + 2 * n
+        su = sources[int(r["su_code"])]
+        sv = sources[int(r["sv_code"])]
+        if su == sv:
+            intra[su] = intra.get(su, 0) + n
+            deg[su] = deg.get(su, 0) + 2 * n
         else:
-            deg[r["su"]] = deg.get(r["su"], 0) + n
-            deg[r["sv"]] = deg.get(r["sv"], 0) + n
+            deg[su] = deg.get(su, 0) + n
+            deg[sv] = deg.get(sv, 0) + n
     comms = sorted(deg)
     q_num = sum(4 * m * intra.get(c, 0) - deg[c] ** 2 for c in comms)
     q_den = 4 * m * m
