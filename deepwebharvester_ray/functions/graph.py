@@ -1159,6 +1159,113 @@ def _mis_priority(ids: np.ndarray) -> np.ndarray:
         return ids.astype(np.uint64) * _MIS_MULT
 
 
+def _mis_select_large(nodes_ds, live_edges, max_rounds: int):
+    """Large-graph path of :func:`mis_select`: identical fixed-priority
+    Luby rounds (hence bit-identical output — the lexicographically-first
+    MIS under ascending (priority(id), id)), but every per-round set
+    (winners, killed neighborhoods, the shrinking live edge table) stays
+    a Dataset and membership runs through the size-gated
+    :func:`~.dedup.subtract_ids` / :func:`~.dedup.semi_join_ids`
+    primitives — broadcast sorted-array probes while a round's dead set
+    is below the 2M cutoff, hash anti/semi joins above it, so nothing is
+    unconditionally driver-resident (the connected-components
+    large-graph discipline the broadcast path's error message used to
+    name).  ``live_edges`` must already be symmetrized, self-loop-free
+    and materialized."""
+    from .agg import grouped_agg
+    from .dedup import semi_join_ids, subtract_ids
+
+    def rename(ds, old, new):
+        return ds.map_batches(
+            lambda b: b.rename_columns(
+                [new if c == old else c for c in b.column_names]),
+            batch_format="pyarrow", runtime_env=runtime_env())
+
+    def min_nbr(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "u": batch.column("u"),
+            "pv": pa.array(_mis_priority(v), pa.uint64()),
+        })
+
+    def winners_fn(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pu = _mis_priority(u)
+        mp = batch.column("min_pv").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        return pa.table({"id": pa.array(u[pu < mp], pa.int64())})
+
+    mis_acc = None   # Dataset (id): MIS members found so far
+    dead_acc = None  # Dataset (id): settled (winner or killed) vertices
+    converged = False
+    for _ in range(max_rounds):
+        if live_edges.count() == 0:
+            converged = True
+            break
+        mins = grouped_agg(
+            live_edges.map_batches(min_nbr, batch_format="pyarrow",
+                                   batch_size=None,
+                                   runtime_env=runtime_env()),
+            ["u"], [("min_pv", "pv", "min")], sorted_output=False,
+        )
+        winners = mins.map_batches(
+            winners_fn, batch_format="pyarrow",
+            runtime_env=runtime_env()).materialize()
+        # fixed priorities guarantee >=1 winner per round (the global
+        # min-priority live vertex always wins), so progress is certain
+        nbrs = rename(
+            semi_join_ids(live_edges, winners, id_column="u",
+                          keep_column="id").select_columns(["v"]),
+            "v", "id")
+        round_dead = grouped_agg(
+            winners.union(nbrs), ["id"], [("__n", "", "count")],
+            sorted_output=False,
+        ).select_columns(["id"]).materialize()
+        mis_acc = (winners if mis_acc is None
+                   else mis_acc.union(winners))
+        dead_acc = (round_dead if dead_acc is None
+                    else dead_acc.union(round_dead))
+        live_edges = subtract_ids(
+            subtract_ids(live_edges, round_dead, id_column="u",
+                         drop_column="id"),
+            round_dead, id_column="v", drop_column="id",
+        ).materialize()
+    if not converged:
+        raise RuntimeError(
+            f"mis_select did not converge within {max_rounds} rounds "
+            "(pathological priority chain); raise max_rounds"
+        )
+
+    # still-live after the loop == isolated == in the MIS
+    if dead_acc is None:
+        in_set = nodes_ds.select_columns(["id"])
+    else:
+        alive = subtract_ids(nodes_ds.select_columns(["id"]), dead_acc,
+                             id_column="id", drop_column="id")
+        in_set = (alive if mis_acc is None
+                  else mis_acc.union(alive)).materialize()
+
+    def tag(flag: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column("id")
+            return pa.table({
+                "doc_id": ids,
+                "in_mis": pa.array(
+                    np.full(len(ids), flag, np.int64), pa.int64()),
+            })
+        return fn
+
+    ones = semi_join_ids(nodes_ds.select_columns(["id"]), in_set,
+                         id_column="id", keep_column="id").map_batches(
+        tag(1), batch_format="pyarrow", runtime_env=runtime_env())
+    zeros = subtract_ids(nodes_ds.select_columns(["id"]), in_set,
+                         id_column="id", drop_column="id").map_batches(
+        tag(0), batch_format="pyarrow", runtime_env=runtime_env())
+    return ones.union(zeros)
+
+
 def mis_select(nodes_ds, edges_ds, max_rounds: int = 128,
                broadcast_below: int = 2_000_000):
     """Maximal independent set of the undirected graph — Luby's parallel
@@ -1181,8 +1288,12 @@ def mis_select(nodes_ds, edges_ds, max_rounds: int = 128,
     Driver state is O(newly-dead ids) per round (the winner/neighbor
     membership arrays broadcast for the live-set filter; Σ over rounds =
     O(n)) — the same broadcast-propagation envelope as
-    :func:`connected_components`, with the hash-anti-join variant the
-    documented path beyond ``broadcast_below`` live nodes.
+    :func:`connected_components`.  Beyond ``broadcast_below`` live
+    edges the identical rounds run through
+    :func:`_mis_select_large` — all membership via the size-gated
+    anti/semi-join primitives, nothing unconditionally driver-resident
+    — producing a bit-identical result (same fixed priorities, same
+    round semantics).
 
     ``nodes_ds``: (id); ``edges_ds``: (src, dst) directed or undirected
     — symmetrized and self-loop-stripped here.  Returns (id, in_mis).
@@ -1207,11 +1318,10 @@ def mis_select(nodes_ds, edges_ds, max_rounds: int = 128,
         symmetrize, batch_format="pyarrow", runtime_env=runtime_env()
     ).materialize()
     if live_edges.count() >= broadcast_below:
-        raise NotImplementedError(
-            "mis_select broadcast path is sized for graphs below "
-            f"{broadcast_below} live edges; wire the hash-anti-join "
-            "variant (connected_components' large-graph path) first"
-        )
+        # Same rounds, same fixed priorities — bit-identical result —
+        # but all membership through the size-gated anti/semi-join
+        # primitives; nothing unconditionally driver-resident.
+        return _mis_select_large(nodes_ds, live_edges, max_rounds)
 
     def min_nbr(batch: pa.Table) -> pa.Table:
         v = batch.column("v").combine_chunks().to_numpy(

@@ -2811,6 +2811,45 @@ def test_mis_select_matches_sequential_greedy(ray_session):
     assert {76, 77, 78, 79} <= got
 
 
+def test_mis_select_large_path_matches_greedy_and_broadcast(ray_session):
+    """Force the large-graph (anti/semi-join) path with broadcast_below=1
+    and pin it against BOTH the sequential greedy reference and the
+    broadcast path — the two paths must be bit-identical (same fixed
+    priorities, same round semantics)."""
+    import ray
+
+    from deepwebharvester_ray.functions.graph import mis_select
+
+    rng = np.random.default_rng(517)
+    n = 120
+    edges = [(int(s), int(d)) for s, d in
+             zip(rng.integers(0, n, 300), rng.integers(0, n, 300))]
+    edges += [(0, 1), (1, 2), (2, 0), (100, 101)]
+    ref = _mis_greedy_ref(n, edges)
+
+    edges_ds = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in edges]
+    ).repartition(9).materialize()
+    nodes_ds = ray.data.from_items([{"id": i} for i in range(n)])
+
+    out = mis_select(nodes_ds, edges_ds, broadcast_below=1).take_all()
+    got = {r["doc_id"] for r in out if r["in_mis"]}
+    assert got == ref
+    assert len(out) == n and len({r["doc_id"] for r in out}) == n
+    # bit-identical to the broadcast path
+    bc = mis_select(nodes_ds, edges_ds).take_all()
+    assert (sorted((r["doc_id"], r["in_mis"]) for r in out)
+            == sorted((r["doc_id"], r["in_mis"]) for r in bc))
+    # independence + maximality on the large path's own output
+    adj = {i: set() for i in range(n)}
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    assert not any(s in got and d in got for s, d in edges if s != d)
+    assert all(adj[v] & got for v in range(n) if v not in got)
+
+
 def test_mis_select_edgeless_and_determinism(ray_session):
     import ray
 
