@@ -101,9 +101,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             ids = np.asarray(
                 [url_hash64(u) for u in
                  batch.column("url").to_pylist()],
-                np.uint64).astype(np.int64)
+                np.uint64)
+            # clear the sign bit (NOT np.abs: abs folds x/-x together,
+            # halving the keyspace, and abs(int64.min) stays negative,
+            # breaking the fixed-width {rid:012d} stem)
+            ids = (ids & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
             return pa.table({
-                "doc_id": pa.array(np.abs(ids), pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
                 "text": batch.column("text"),
                 "url": batch.column("url"),
                 "lang": batch.column("lang"),

@@ -543,10 +543,13 @@ def streaming_interval_join(ds, window_fn, n_shards: int = 4,
         pend = []
         for s in range(n_shards):
             vm, cm = vsh == s, csh == s
-            if vm.any() or cm.any():
-                pend.append(shards[s].ingest.remote(
-                    vu[vm], vi[vm], vs[vm], ve[vm],
-                    cu[cm], ci[cm], ct[cm], wm))
+            # every shard sees every watermark (an empty ingest costs
+            # one RPC inside the existing barrier): an idle shard must
+            # still evict expired windows, or the documented peak-state
+            # bound loosens on skewed streams
+            pend.append(shards[s].ingest.remote(
+                vu[vm], vi[vm], vs[vm], ve[vm],
+                cu[cm], ci[cm], ct[cm], wm))
         out.extend(ray.get(pend))        # per-micro-batch barrier
         if return_stats:
             max_state = max(max_state,
@@ -713,10 +716,13 @@ def _ts_aligned_batches(ds, micro_batch: int, ts_col: str = "ts"):
     tied rows together — otherwise a view tied with a click but landing
     one batch later is silently missed by both streaming joins.  A tie
     run longer than the batch size flushes whole (correctness first;
-    the stream contract makes monster tie runs a data bug)."""
+    the stream contract makes monster tie runs a data bug — and a tie
+    run that SPANS a whole-chunk flush raises rather than silently
+    dropping inclusive-predicate matches)."""
     import pyarrow.compute as pc
 
     carry = None
+    flushed_tie = None   # ts of a tie run flushed whole last chunk
     for chunk in ds.iter_batches(batch_size=micro_batch,
                                  batch_format="pyarrow"):
         if chunk.num_rows == 0:
@@ -725,14 +731,26 @@ def _ts_aligned_batches(ds, micro_batch: int, ts_col: str = "ts"):
             chunk = pa.concat_tables([carry, chunk])
             carry = None
         ts = chunk.column(ts_col)
+        if flushed_tie is not None:
+            if ts[0].as_py() == flushed_tie:
+                raise ValueError(
+                    f"_ts_aligned_batches: event-time tie at "
+                    f"{ts_col}={flushed_tie} exceeds the micro-batch "
+                    f"size ({micro_batch}) and was already flushed — "
+                    "tied rows would be split across micro-batches, "
+                    "silently losing inclusive-predicate join matches; "
+                    "raise micro_batch above the largest tie run"
+                )
+            flushed_tie = None
         last = ts[chunk.num_rows - 1]
         first_of_tie = pc.index(ts, last).as_py()
         if first_of_tie > 0:
             carry = chunk.slice(first_of_tie)
             chunk = chunk.slice(0, first_of_tie)
         else:
-            # the whole chunk is one tie run: flush it whole
-            pass
+            # the whole chunk is one tie run: flush it whole, but fail
+            # loudly if the same timestamp continues into the next chunk
+            flushed_tie = last.as_py()
         if chunk.num_rows:
             yield chunk
     if carry is not None and carry.num_rows:

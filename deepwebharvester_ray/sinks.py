@@ -611,8 +611,15 @@ def retention_sweep(data_dir: str, partition_col: str, ts_col: str,
                          if md.row_group(rg).column(i).path_in_schema
                          == ts_col))
                 st = col.statistics
-                mins.append(st.min)
-                maxs.append(st.max)
+                if st is None:   # stats-disabled writer: range unknown
+                    # degrade to the boundary rewrite (filter is
+                    # correct regardless of the true range) instead of
+                    # crashing mid-sweep after partitions were dropped
+                    mins.append(-(2 ** 62))
+                    maxs.append(2 ** 62)
+                else:
+                    mins.append(st.min)
+                    maxs.append(st.max)
         lo, hi = min(mins), max(maxs)
         if hi < cutoff_us:  # wholly expired: metadata-only drop
             rows_deleted += sum(
@@ -729,11 +736,17 @@ def apply_deletes(layout_dir: str, key: str) -> dict:
         md = _pq.ParquetFile(str(f)).metadata
         ki = next(i for i in range(md.num_columns)
                   if md.row_group(0).column(i).path_in_schema == key)
-        lo = min(md.row_group(g).column(ki).statistics.min
-                 for g in range(md.num_row_groups))
-        hi = max(md.row_group(g).column(ki).statistics.max
-                 for g in range(md.num_row_groups))
-        span = dels[(dels >= lo) & (dels <= hi)]
+        sts = [md.row_group(g).column(ki).statistics
+               for g in range(md.num_row_groups)]
+        if any(st is None for st in sts):
+            # stats-disabled writer: cannot prune by footer range —
+            # rewrite unconditionally (the subtract is correct either
+            # way) instead of crashing on st.min
+            span = dels
+        else:
+            lo = min(st.min for st in sts)
+            hi = max(st.max for st in sts)
+            span = dels[(dels >= lo) & (dels <= hi)]
         if not len(span):
             skipped.append(str(f))
             continue

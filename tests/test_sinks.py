@@ -418,6 +418,43 @@ def test_retention_sweep_metadata_only_drops(ray_session, tmp_path):
             assert f.exists() and f.stat().st_ino == ino
 
 
+def test_retention_sweep_statless_files_degrade_to_rewrite(
+        ray_session, tmp_path):
+    """Files written with statistics DISABLED have no footer min/max:
+    the sweep must degrade those partitions to a boundary rewrite
+    (correct regardless of the true range) instead of crashing on
+    col.statistics.min mid-sweep."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from deepwebharvester_ray.sinks import retention_sweep
+
+    day = 86_400_000_000
+    base = tmp_path / "events"
+    for d in range(2):
+        p = base / f"day={d}"
+        p.mkdir(parents=True)
+        ts = [d * day + h * 3_600_000_000 for h in range(10)]
+        _pq.write_table(
+            pa.table({"event_id": pa.array(
+                [d * 100 + h for h in range(10)], pa.int64()),
+                "ts_us": pa.array(ts, pa.int64())}),
+            p / "part-0.parquet", write_statistics=False)
+
+    cutoff = 1 * day + 5 * 3_600_000_000  # mid-day-1
+    res = retention_sweep(str(base), "day", "ts_us", cutoff)
+    # without stats nothing can be metadata-only dropped or kept:
+    # every partition rewrites, but survivors are exactly ts >= cutoff
+    assert res["dropped"] == [] and res["kept"] == []
+    assert sorted(res["rewritten"]) == [0, 1]
+    assert res["rows_deleted"] == 15
+    got = sorted(
+        r["ts_us"]
+        for f in base.glob("day=*/[!.]*.parquet")
+        for r in _pq.read_table(str(f)).to_pylist())
+    assert got == [1 * day + h * 3_600_000_000 for h in range(5, 10)]
+
+
 def test_merge_on_read_deletes(ray_session, tmp_path):
     """Lakehouse-style equality deletes: (a) delete commits are tiny
     key files beside the data, (b) the MOR scan equals full-minus-

@@ -283,6 +283,63 @@ def test_streaming_interval_join_bounded_state(ray_session):
     assert stats["state_rows"] <= 24 + 256
 
 
+def test_streaming_interval_join_idle_shard_evicts(ray_session):
+    """A shard that stops receiving rows must still see the advancing
+    watermark and evict its expired windows (empty ingest per
+    micro-batch): after user A goes silent, later micro-batches of
+    user B (a different shard) must not leave A's dead window counted
+    in state_rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.streaming import (
+        streaming_interval_join)
+    from deepwebharvester_ray.sinks import _shard_of
+
+    ua = 1
+    ub = next(u for u in range(2, 64)
+              if _shard_of(np.array([u], np.int64), 2)[0]
+              != _shard_of(np.array([ua], np.int64), 2)[0])
+
+    # micro_batch=2 → batch 1: user A opens window [0, 10); batches
+    # 2..3: user B views at ts ≥ 100 (short windows, ≤1 open at once).
+    # With idle-shard watermark advance, peak state = 1; without it,
+    # A's expired window lingers and the peak reads 2.
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "user_id": pa.array([ua, ua, ub, ub, ub, ub], pa.int64()),
+        "ts": pa.array([0, 5, 100, 105, 200, 205], pa.int64()),
+        "event_type": pa.array(
+            ["view", "click", "view", "click", "view", "click"]),
+    })
+
+    def window_fn(chunk):
+        import pyarrow.compute as pc
+
+        v = chunk.filter(pc.equal(chunk.column("event_type"), "view"))
+        c = chunk.filter(pc.equal(chunk.column("event_type"), "click"))
+        vs = v.column("ts").to_numpy(zero_copy_only=False)
+        views = pa.table({"user_id": v.column("user_id"),
+                          "view_id": v.column("event_id"),
+                          "view_start": pa.array(vs, pa.int64()),
+                          "view_end": pa.array(vs + 10, pa.int64())})
+        clicks = pa.table({"user_id": c.column("user_id"),
+                           "event_id": c.column("event_id"),
+                           "ts": c.column("ts")})
+        return views, clicks
+
+    res, stats = streaming_interval_join(
+        ray.data.from_arrow(t), window_fn, n_shards=2, micro_batch=2,
+        return_stats=True)
+    pairs = set(zip(res.column("event_id").to_pylist(),
+                    res.column("view_id").to_pylist()))
+    assert pairs == {(2, 1), (4, 3), (6, 5)}
+    # peak = 1 open window; a lingering expired window on the idle
+    # shard would read 2
+    assert stats["state_rows"] == 1
+
+
 def test_streaming_joins_tie_at_batch_boundary(ray_session):
     """A view and a click sharing one timestamp must match (inclusive
     ≤) even when a naive fixed-size micro-batch would split the tie
@@ -342,6 +399,35 @@ def test_streaming_joins_tie_at_batch_boundary(ray_session):
     pairs = set(zip(res.column("event_id").to_pylist(),
                     res.column("view_id").to_pylist()))
     assert pairs == {(3, 4)}  # start==ts inclusive, tied across boundary
+
+
+def test_ts_aligned_batches_raises_on_tie_spanning_flush(ray_session):
+    """A tie run longer than the micro-batch flushes whole; if the SAME
+    timestamp then continues into the next chunk the rebatcher must
+    fail loudly (tied rows split across micro-batches silently lose
+    inclusive-predicate join matches) — and a tie run that merely ENDS
+    at a chunk boundary must still pass."""
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from deepwebharvester_ray.functions.streaming import (
+        _ts_aligned_batches)
+
+    # 6 rows all ts=5, micro_batch=3: chunk 1 is one whole tie run,
+    # chunk 2 starts with the same ts -> must raise
+    t = pa.table({"ts": pa.array([5] * 6, pa.int64()),
+                  "event_id": pa.array(range(6), pa.int64())})
+    with pytest.raises(ValueError, match="tie"):
+        list(_ts_aligned_batches(ray.data.from_arrow(t), 3))
+
+    # tie run exactly filling chunk 1, new ts in chunk 2: fine, and no
+    # row is lost or duplicated
+    t2 = pa.table({"ts": pa.array([5, 5, 5, 6, 7, 7], pa.int64()),
+                   "event_id": pa.array(range(6), pa.int64())})
+    got = [eid for c in _ts_aligned_batches(ray.data.from_arrow(t2), 3)
+           for eid in c.column("event_id").to_pylist()]
+    assert got == list(range(6))
 
 
 def test_streaming_dedup_checkpoint_resume(ray_session):
