@@ -89,7 +89,18 @@ def _write_delta(path: str, keys: List[str]) -> None:
 
 
 def _read_delta(path: str) -> List[str]:
-    return pq.read_table(path).column("key").to_pylist()
+    """Read a seen-set checkpoint delta: either a single file (driver
+    path) or per-replay-shard files ``<path>.shard<k>`` (data-plane
+    path writes them from the replay tasks)."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(path + ".shard*"))
+    if not files:
+        files = [path] if Path(path).exists() else []
+    keys: List[str] = []
+    for f in files:
+        keys.extend(pq.read_table(f).column("key").to_pylist())
+    return keys
 
 
 # The frontier is broadcast as a SORTED uint64 array of url_hash64 values
@@ -149,40 +160,37 @@ def fetch_extract_task(
     return out
 
 
-def _push_links_dataplane(fetched_ds, expand, frontier) -> int:
-    """Expand propagated pages' links INSIDE the data plane (SURVEY §4:
-    "frontier kept columnar, never a Python set" — the 10^10-frontier
-    path).
-
-    ``expand`` is [(url, seed_id, next_depth)] for this generation's
-    propagated pages.  It is broadcast as CSR arrays keyed by sorted url
-    hash; each fetch block finds its propagated rows with one vectorized
-    searchsorted, builds (seed_id, depth, link) entries, and ``stage()``s
-    them straight onto the owning frontier shard — link bytes flow
-    worker→shard, never through the driver, which sees only per-block
-    counts.  ``commit_staged()`` then applies every shard's staged
-    entries in canonical sorted order (deterministic regardless of task
-    interleaving — see ShardedFrontierQueue docstring)."""
+def _finalize_accepted(batch: pa.Table, acc_ref=None) -> pa.Table:
+    """Accepted-row filter for the results write: broadcast PARALLEL
+    ARRAYS sorted by url hash — membership and (seed_id, depth) lookup
+    are one vectorized searchsorted per batch (same idiom as
+    fetch_extract_task; a 64-bit hash collision between a fetched-but-
+    rejected and an accepted URL is the only way to misroute a row —
+    negligible and bounded)."""
     import numpy as np
-    import ray
 
+    from ..broadcast import cached_get
     from ..urlops import batch_url_hash64
 
-    by_url: Dict[str, List[Tuple[int, int]]] = {}
-    for u, sid, nd in expand:
-        by_url.setdefault(u, []).append((sid, nd))
-    urls = list(by_url)
-    h = batch_url_hash64(urls)
-    order = np.argsort(h)
-    counts = np.array([len(by_url[urls[i]]) for i in order], np.int64)
-    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    sids = np.array(
-        [s for i in order for s, _ in by_url[urls[i]]], np.int64
-    )
-    deps = np.array(
-        [d for i in order for _, d in by_url[urls[i]]], np.int64
-    )
-    ref = ray.put((h[order], starts, counts, sids, deps))
+    h, sids, depths = cached_get(acc_ref)
+    bh = batch_url_hash64(batch.column("url").to_pylist())
+    idx = np.searchsorted(h, bh)
+    idx[idx >= len(h)] = max(len(h) - 1, 0)
+    mask = (h[idx] == bh) if len(h) else np.zeros(len(bh), bool)
+    kept = batch.filter(pa.array(mask)).drop_columns(["links"])
+    sel = idx[mask]
+    kept = kept.append_column("depth", pa.array(depths[sel], pa.int32()))
+    kept = kept.append_column("seed_id", pa.array(sids[sel], pa.int32()))
+    return kept
+
+
+def _push_links_csr(fetched_ds, ref, frontier) -> int:
+    """Stage link expansion onto the frontier shards from a prebuilt CSR
+    broadcast ``ref`` — see :func:`_push_links_dataplane` (which builds
+    the CSR driver-side for the legacy call shape; the data-plane
+    control path builds it in a task from propagate-table refs)."""
+    import ray
+
     handles = frontier.shard_handles
     n_sh = frontier.n_shards
 
@@ -228,6 +236,43 @@ def _push_links_dataplane(fetched_ds, expand, frontier) -> int:
     total = sum(r["n_links"] for r in counts_ds.take_all())
     frontier.commit_staged()
     return total
+
+
+def _push_links_dataplane(fetched_ds, expand, frontier) -> int:
+    """Expand propagated pages' links INSIDE the data plane (SURVEY §4:
+    "frontier kept columnar, never a Python set" — the 10^10-frontier
+    path).
+
+    ``expand`` is [(url, seed_id, next_depth)] for this generation's
+    propagated pages.  It is broadcast as CSR arrays keyed by sorted url
+    hash; each fetch block finds its propagated rows with one vectorized
+    searchsorted, builds (seed_id, depth, link) entries, and ``stage()``s
+    them straight onto the owning frontier shard — link bytes flow
+    worker→shard, never through the driver, which sees only per-block
+    counts.  ``commit_staged()`` then applies every shard's staged
+    entries in canonical sorted order (deterministic regardless of task
+    interleaving — see ShardedFrontierQueue docstring)."""
+    import numpy as np
+    import ray
+
+    from ..urlops import batch_url_hash64
+
+    by_url: Dict[str, List[Tuple[int, int]]] = {}
+    for u, sid, nd in expand:
+        by_url.setdefault(u, []).append((sid, nd))
+    urls = list(by_url)
+    h = batch_url_hash64(urls)
+    order = np.argsort(h)
+    counts = np.array([len(by_url[urls[i]]) for i in order], np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    sids = np.array(
+        [s for i in order for s, _ in by_url[urls[i]]], np.int64
+    )
+    deps = np.array(
+        [d for i in order for _, d in by_url[urls[i]]], np.int64
+    )
+    ref = ray.put((h[order], starts, counts, sids, deps))
+    return _push_links_csr(fetched_ds, ref, frontier)
 
 
 @dataclass
@@ -306,6 +351,229 @@ def _corpus_paths_for_hosts(corpus_dir: str, hosts: Set[str]) -> List[str]:
         if p.exists():
             paths.extend(sorted(str(f) for f in p.rglob("*.parquet")))
     return paths
+
+
+def _checkpoint_generation(
+    frontier,
+    use_sharded: bool,
+    state_root: Path,
+    manifest: dict,
+    manifest_path: Path,
+    metrics: List["GenerationMetrics"],
+    states: Dict[int, SeedState],
+    gm: "GenerationMetrics",
+    gen: int,
+    fetch_digest: str,
+) -> None:
+    """Per-generation checkpoint: frontier snapshot (per-shard files on
+    the sharded queue — frontier bytes never transit the driver) + the
+    O(1)-per-generation lineage manifest entry, atomically renamed.
+    Seen-set deltas are written separately by whichever path ran the
+    replay (driver loop or the data-plane replay tasks)."""
+    frontier.snapshot_parquet(str(state_root / f"frontier_gen{gen}.parquet"))
+    manifest["generations"] = [
+        g for g in manifest["generations"] if g["generation"] < gen
+    ]
+    manifest["generations"].append(
+        {
+            "generation": gen,
+            "complete": True,
+            # lineage: exactly which URLs this generation's partition
+            # was built from (digest of the scheduled fetch set)
+            "fetch_digest": fetch_digest,
+            "counts": gm.as_dict(),
+            "seed_states": {str(k): v.as_dict() for k, v in states.items()},
+            "frontier_size": len(frontier),
+            "frontier_dropped": (
+                frontier.dropped() if use_sharded else frontier.dropped
+            ),
+        }
+    )
+    manifest["metrics"] = [m.as_dict() for m in metrics]
+    tmp = manifest_path.with_suffix(".tmp")
+    tmp.write_text(json.dumps(manifest, indent=1))
+    tmp.rename(manifest_path)
+
+
+def _generation_dataplane(
+    corpus_dir: str,
+    cfg: CrawlSettings,
+    frontier,
+    marks_pool: SeenSetPool,
+    hash_pool: SeenSetPool,
+    states: Dict[int, SeedState],
+    seed_delays: Dict[int, float],
+    blacklist,
+    robots: RobotsTable,
+    gm: GenerationMetrics,
+    gen: int,
+    results_root: Path,
+    state_root: Path,
+    with_intel: bool,
+    on_page_crawled,
+    track_fetched_urls: bool,
+    fetched_urls_per_gen: List[Set[str]],
+    purged_pre: int,
+) -> str:
+    """One generation on the sharded (data-plane control) path.
+
+    The driver materializes only counters, per-seed states, and the
+    bounded pruning info (distinct hosts; the fetch URL list only below
+    the scanner-filter cap) — popped entries, mark keys, fetched
+    metadata, replay candidates, accepted/propagate rows and checkpoint
+    delta keys all flow between tasks and shard actors as ObjectRefs
+    (see pipelines/crawl_plane.py).  Returns the fetch-set digest for
+    the lineage manifest.  Decision semantics are bit-identical to the
+    driver path (same ``replay_generation`` core in the tasks, same
+    canonical order; pinned by test_crawl's sharded-vs-driver and
+    oracle conformance tests)."""
+    import glob as _glob
+
+    import numpy as np
+    import ray
+
+    from .crawl_plane import _remote_tasks
+
+    tasks = _remote_tasks()
+
+    inactive = frozenset(
+        sid for sid, st in states.items()
+        if st.exhausted or st.pages >= cfg.max_pages
+    )
+    pop_refs = frontier.pop_budget_refs(cfg.max_fetch_per_gen)
+    info_ref, cand_ref, hashes_ref = tasks["prep"].remote(
+        blacklist, robots, inactive, marks_pool.shard_handles,
+        100_000, *pop_refs)
+    info = ray.get(info_ref)
+    gm.already = info["already"]
+    gm.candidates = info["n_candidates"]
+
+    gen_results_dir = results_root / f"gen={gen}"
+    if gen_results_dir.exists():
+        shutil.rmtree(gen_results_dir)  # idempotent partition overwrite
+
+    fetched_ds = None
+    if info["n_fetch"]:
+        paths = _corpus_paths_for_hosts(corpus_dir, set(info["hosts"]))
+        if paths:
+            import pyarrow.compute as _pc
+
+            read_kwargs = {}
+            if info["fetch_urls_small"] is not None:
+                read_kwargs["filter"] = _pc.field("url").isin(
+                    info["fetch_urls_small"])
+            ds = ray.data.read_parquet(
+                paths, columns=["url", "html"], **read_kwargs
+            )
+            fetched_ds = ds.map_batches(
+                fetch_extract_task,
+                fn_kwargs={"hashes_ref": hashes_ref},
+                batch_format="pyarrow",
+                batch_size=cfg.extract_batch_size,
+                runtime_env=runtime_env(),
+            ).materialize()
+
+    if fetched_ds is not None:
+        meta_blocks = fetched_ds.select_columns(
+            ["url", "content_hash"]).to_arrow_refs()
+        meta_ref, n_fetched_ref, urls_ref = tasks["meta"].remote(
+            *meta_blocks)
+        gm.fetched = ray.get(n_fetched_ref)
+    else:
+        meta_ref = ray.put((np.empty(0, np.uint64), np.empty(0, object)))
+        urls_ref = None
+        gm.fetched = 0
+    if track_fetched_urls:
+        # O(total pages) driver memory — conformance/test aid only,
+        # gated on the flag (never on the production path)
+        fetched_urls_per_gen.append(
+            set(ray.get(urls_ref)) if urls_ref is not None else set())
+
+    # replay claims chain over contiguous seed ranges (chain order ==
+    # canonical order; each link starts when its predecessor's claims
+    # arrive — state/scheduler.py's sharded-replay discipline, as tasks)
+    for stale in _glob.glob(
+            str(state_root / f"*_delta_gen{gen}.parquet.shard*")):
+        Path(stale).unlink()  # a longer previous run's shards
+    n_replay = max(1, cfg.replay_shards or 1)
+    seed_ids = sorted(states)
+    chunk = ((len(seed_ids) + n_replay - 1) // n_replay
+             if seed_ids else 1)
+    ranges = [frozenset(seed_ids[i * chunk:(i + 1) * chunk])
+              for i in range(n_replay)]
+    claims_ref = ray.put(set())
+    counter_futs, state_futs, acc_refs, prop_refs = [], [], [], []
+    for k, sids_k in enumerate(ranges):
+        sub_states = {sid: states[sid] for sid in sids_k}
+        sub_delays = {
+            sid: seed_delays[sid] for sid in sids_k
+            if sid in seed_delays
+        } or None
+        c_ref, st_ref, a_ref, p_ref, claims_ref = tasks["replay"].remote(
+            cand_ref, meta_ref, claims_ref, sub_states, cfg, sub_delays,
+            sids_k, hash_pool.shard_handles, marks_pool.shard_handles,
+            str(state_root / f"marks_delta_gen{gen}.parquet.shard{k}"),
+            str(state_root / f"hashes_delta_gen{gen}.parquet.shard{k}"),
+        )
+        counter_futs.append(c_ref)
+        state_futs.append(st_ref)
+        acc_refs.append(a_ref)
+        prop_refs.append(p_ref)
+
+    agg: Dict[str, int] = {}
+    for c in ray.get(counter_futs):
+        for key, v in c.items():
+            agg[key] = agg.get(key, 0) + v
+    for st_map in ray.get(state_futs):
+        states.update(st_map)
+    gm.success = agg.get("success", 0)
+    gm.failed = agg.get("failed", 0)
+    gm.dup = agg.get("dup", 0)
+    gm.robots_blocked = agg.get("robots_blocked", 0)
+    gm.blacklisted = agg.get("blacklisted", 0) - gm.robots_blocked
+    gm.abandoned = (agg.get("abandoned", 0) + info["aband_pre"]
+                    + purged_pre)
+
+    if on_page_crawled is not None:
+        # per-record callback contract (reference crawler.py:96): a
+        # documented driver pull, gated on the hook being installed
+        rows = []
+        for t in ray.get(acc_refs):
+            rows.extend(zip(
+                t.column("sid").to_pylist(),
+                t.column("url").to_pylist(),
+                t.column("depth").to_pylist(),
+                t.column("content_hash").to_pylist(),
+            ))
+        for sid, u, d, h in sorted(rows):
+            on_page_crawled({
+                "url": u, "seed_id": sid, "depth": d,
+                "content_hash": h,
+            })
+
+    if gm.success and fetched_ds is not None:
+        acc_arrays_ref = tasks["accept"].remote(*acc_refs)
+        out_ds = fetched_ds.map_batches(
+            _finalize_accepted,
+            fn_kwargs={"acc_ref": acc_arrays_ref},
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+            runtime_env=runtime_env(),
+        )
+        if with_intel:
+            out_ds = out_ds.map_batches(
+                intelligence_batch,
+                batch_format="pyarrow",
+                batch_size=cfg.extract_batch_size,
+                runtime_env=runtime_env(),
+            )
+        out_ds.write_parquet(str(gen_results_dir))
+
+    csr_ref, n_exp_ref = tasks["expand"].remote(
+        cfg.max_depth, *prop_refs)
+    if ray.get(n_exp_ref) and fetched_ds is not None:
+        _push_links_csr(fetched_ds, csr_ref, frontier)
+    return info["fetch_digest"]
 
 
 def run_crawl(
@@ -481,6 +749,26 @@ def run_crawl(
             if st.exhausted or st.pages >= cfg.max_pages
         ]
         purged_pre = frontier.drop_seeds(ex_sids) if ex_sids else 0
+
+        if use_sharded:
+            # data-plane control: the driver sees only counters/states;
+            # candidates, metadata, replay rows and delta keys flow as
+            # ObjectRefs between tasks and shard actors
+            fetch_digest = _generation_dataplane(
+                corpus_dir, cfg, frontier, marks_pool, hash_pool,
+                states, seed_delays, blacklist, robots, gm, gen,
+                results_root, state_root, with_intel, on_page_crawled,
+                track_fetched_urls, fetched_urls_per_gen, purged_pre,
+            )
+            gm.deferred = len(frontier)
+            gm.wall_time_s = time.monotonic() - t_gen
+            metrics.append(gm)
+            _checkpoint_generation(
+                frontier, use_sharded, state_root, manifest,
+                manifest_path, metrics, states, gm, gen, fetch_digest)
+            gen += 1
+            continue
+
         popped = frontier.pop_budget(cfg.max_fetch_per_gen)
 
         # prior-mark filter (pop-check, crawler.py:240)
@@ -536,25 +824,16 @@ def run_crawl(
                     batch_size=cfg.extract_batch_size,
                     runtime_env=runtime_env(),
                 ).materialize()
-                # control-plane metadata pull: url → content hash (NOT
-                # text/html) — the replay needs the hash for dedup
-                # semantics.  Links stay OUT of the driver on the sharded
-                # path (they flow data-plane → frontier shards below);
-                # the driver path pulls them for its local queue.
-                meta_cols = (
-                    ["url", "content_hash"]
-                    if use_sharded
-                    else ["url", "content_hash", "links"]
-                )
-                meta = fetched_ds.select_columns(meta_cols).take_all()
+                # control-plane metadata pull: the driver-queue path
+                # replays in driver memory by design (small runs below
+                # the frontier-sharding cutoff; the sharded path above
+                # took the _generation_dataplane branch instead)
+                meta = fetched_ds.select_columns(
+                    ["url", "content_hash", "links"]).take_all()
                 extracted = {
                     r["url"]: {
                         "content_hash": r["content_hash"],
-                        **(
-                            {}
-                            if use_sharded
-                            else {"links": list(r["links"])}
-                        ),
+                        "links": list(r["links"]),
                     }
                     for r in meta
                 }
@@ -646,29 +925,9 @@ def run_crawl(
                 )
             )
 
-            def _finalize(batch: pa.Table, *, _ref=acc_ref) -> pa.Table:
-                import numpy as np
-
-                from ..broadcast import cached_get
-                from ..urlops import batch_url_hash64
-
-                h, sids, depths = cached_get(_ref)
-                bh = batch_url_hash64(batch.column("url").to_pylist())
-                idx = np.searchsorted(h, bh)
-                idx[idx >= len(h)] = max(len(h) - 1, 0)
-                mask = (h[idx] == bh) if len(h) else np.zeros(len(bh), bool)
-                kept = batch.filter(pa.array(mask)).drop_columns(["links"])
-                sel = idx[mask]
-                kept = kept.append_column(
-                    "depth", pa.array(depths[sel], pa.int32())
-                )
-                kept = kept.append_column(
-                    "seed_id", pa.array(sids[sel], pa.int32())
-                )
-                return kept
-
             out_ds = fetched_ds.map_batches(
-                _finalize,
+                _finalize_accepted,
+                fn_kwargs={"acc_ref": acc_ref},
                 batch_format="pyarrow",
                 batch_size=cfg.extract_batch_size,
                 runtime_env=runtime_env(),
@@ -683,31 +942,22 @@ def run_crawl(
             out_ds.write_parquet(str(gen_results_dir))
 
         # ── next-generation frontier (enqueue guard depth < max_depth) ────
-        if use_sharded:
-            expand = [
-                (u, sid, cand_depth[(sid, u)] + 1)
-                for sid, u in sorted(replay.propagate)
-                if cand_depth[(sid, u)] < cfg.max_depth
-            ]
-            if expand and fetched_ds is not None:
-                _push_links_dataplane(fetched_ds, expand, frontier)
-        else:
-            # collect, then push in canonical (sid, depth, url) order — the
-            # queue's first-push-wins dedup must see the SHALLOWEST
-            # discovery of a url first (BFS invariant).  Iterating parents
-            # by (sid, url) could push a deep parent's link before a
-            # shallow parent's in budget mode (mixed-depth generations),
-            # permanently recording the deeper depth and diverging from
-            # the sharded path, whose commit() sorts staged entries.
-            entries = []
-            for sid, u in sorted(replay.propagate):
-                d = cand_depth[(sid, u)]
-                if d < cfg.max_depth:
-                    entries.extend(
-                        (sid, d + 1, link) for link in extracted[u]["links"]
-                    )
-            entries.sort()
-            frontier.push(entries)
+        # collect, then push in canonical (sid, depth, url) order — the
+        # queue's first-push-wins dedup must see the SHALLOWEST
+        # discovery of a url first (BFS invariant).  Iterating parents
+        # by (sid, url) could push a deep parent's link before a
+        # shallow parent's in budget mode (mixed-depth generations),
+        # permanently recording the deeper depth and diverging from
+        # the sharded path, whose commit() sorts staged entries.
+        entries = []
+        for sid, u in sorted(replay.propagate):
+            d = cand_depth[(sid, u)]
+            if d < cfg.max_depth:
+                entries.extend(
+                    (sid, d + 1, link) for link in extracted[u]["links"]
+                )
+        entries.sort()
+        frontier.push(entries)
         gm.deferred = len(frontier)
         gm.wall_time_s = time.monotonic() - t_gen
         metrics.append(gm)
@@ -718,6 +968,7 @@ def run_crawl(
         # I/O is O(new keys) per generation, not O(all keys) — at a 10^10
         # frontier a full-set snapshot per generation would be the
         # dominant cost.  Resume replays deltas 0..K into the pools.
+        # (On the data-plane path the replay TASKS write these files.)
         _write_delta(
             str(state_root / f"marks_delta_gen{gen}.parquet"),
             [_mark_key(s_, u_) for s_, u_ in replay.new_marks],
@@ -726,33 +977,11 @@ def run_crawl(
             str(state_root / f"hashes_delta_gen{gen}.parquet"),
             list(replay.new_hashes),
         )
-        # Frontier snapshot as parquet (columnar, O(frontier)); the JSON
-        # manifest stays O(1) per generation.
-        frontier.snapshot_parquet(str(state_root / f"frontier_gen{gen}.parquet"))
-        manifest["generations"] = [
-            g for g in manifest["generations"] if g["generation"] < gen
-        ]
-        manifest["generations"].append(
-            {
-                "generation": gen,
-                "complete": True,
-                # lineage: exactly which URLs this generation's partition
-                # was built from (digest of the scheduled fetch set)
-                "fetch_digest": hashlib.sha256(
-                    "\n".join(fetch_urls).encode()
-                ).hexdigest()[:16],
-                "counts": gm.as_dict(),
-                "seed_states": {str(k): v.as_dict() for k, v in states.items()},
-                "frontier_size": len(frontier),
-                "frontier_dropped": (
-                    frontier.dropped() if use_sharded else frontier.dropped
-                ),
-            }
+        _checkpoint_generation(
+            frontier, use_sharded, state_root, manifest, manifest_path,
+            metrics, states, gm, gen,
+            hashlib.sha256("\n".join(fetch_urls).encode()).hexdigest()[:16],
         )
-        manifest["metrics"] = [m.as_dict() for m in metrics]
-        tmp = manifest_path.with_suffix(".tmp")
-        tmp.write_text(json.dumps(manifest, indent=1))
-        tmp.rename(manifest_path)
 
         gen += 1
 

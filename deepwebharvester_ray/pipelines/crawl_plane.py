@@ -1,0 +1,368 @@
+"""Data-plane generation control for the sharded crawl path.
+
+The driver-queue path (pipelines/crawl.py, small runs) replays the
+reference control flow (crawler.py:237-265 semantics) in driver memory —
+fine below the frontier-sharding cutoff, a driver OOM at a 10^10
+frontier, where one BFS generation is billions of URLs.  This module
+moves the whole per-generation control plane into Ray tasks + the
+existing shard actors so the driver holds only O(seeds) state and
+per-generation COUNTERS:
+
+* ``pop`` stays on the frontier shard actors; their popped entries are
+  handed to :func:`prep_candidates` as ObjectRefs (never ``ray.get`` on
+  the driver).
+* :func:`prep_candidates` (one task per generation) sorts candidates
+  canonically, runs the mark filter against the seen-shard actors, the
+  blacklist/robots checks, and emits the candidate table + the fetch
+  hash broadcast as ObjectRefs; the driver receives a counters dict and
+  the (bounded, host-cardinality) pruning info.
+* :func:`replay_shard_task` — the seed-range claims chain of
+  ``state.scheduler.replay_generation_sharded``, as tasks whose
+  candidate/meta inputs and accepted/propagate outputs are ObjectRefs;
+  each shard inserts its own new marks/hashes into the seen pools and
+  writes its checkpoint delta file, so neither keys nor rows transit
+  the driver.  Output is bit-identical to the driver replay (same
+  ``replay_generation`` core, same canonical order).
+* :func:`build_accept_arrays` / :func:`build_expand_csr` assemble the
+  broadcast structures for the finalize filter and the data-plane link
+  expansion from those refs, in tasks.
+
+The driver's per-generation residency is: counters, per-seed states,
+the distinct-host list for partition pruning (bounded by corpus host
+cardinality), and — only below the scanner-filter cap — the fetch URL
+list for the parquet reader's ``isin`` pushdown.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import CrawlSettings
+from ..state.scheduler import (
+    BLACKLISTED,
+    Candidate,
+    replay_generation,
+)
+from ..urlops import batch_url_hash64, get_host, is_blacklisted, url_hash64
+
+
+# ── task-side seen-pool access (same routing rule as SeenSetPool) ────────────
+
+
+def pool_contains(handles, keys: Sequence[str]) -> np.ndarray:
+    """Batched membership query against seen-shard actor handles from
+    INSIDE a task — one RPC per shard, same ``url_hash64(k) % n``
+    routing as ``SeenSetPool._route``."""
+    import ray
+
+    if not len(keys):
+        return np.zeros(0, bool)
+    n = len(handles)
+    groups: Dict[int, List[int]] = {}
+    for i, k in enumerate(keys):
+        groups.setdefault(url_hash64(k) % n, []).append(i)
+    futs = {
+        s: handles[s].contains.remote([keys[i] for i in idxs])
+        for s, idxs in groups.items()
+    }
+    out = np.zeros(len(keys), bool)
+    for s, fut in futs.items():
+        for i, v in zip(groups[s], ray.get(fut)):
+            out[i] = v
+    return out
+
+
+def pool_insert(handles, keys: Sequence[str]) -> None:
+    import ray
+
+    if not len(keys):
+        return
+    n = len(handles)
+    groups: Dict[int, List[int]] = {}
+    for i, k in enumerate(keys):
+        groups.setdefault(url_hash64(k) % n, []).append(i)
+    ray.get([
+        handles[s].insert.remote([keys[i] for i in idxs])
+        for s, idxs in groups.items()
+    ])
+
+
+# ── generation tasks ─────────────────────────────────────────────────────────
+
+
+def _prep_candidates(
+    blacklist,
+    robots,
+    inactive_sids: frozenset,
+    marks_handles,
+    scanner_cap: int,
+    *pop_parts,
+):
+    """Candidate preparation for one generation (runs as a Ray task).
+
+    Inputs are the frontier shards' popped entry lists (auto-resolved
+    ObjectRefs).  Returns ``(info, cand_table, fetch_hashes)`` via
+    ``num_returns=3`` so the driver materializes only ``info``:
+
+    * info: counters (popped/already/aband_pre), the sorted distinct
+      HOST list (partition pruning; bounded by corpus host
+      cardinality), the fetch-set digest, and — iff the fetch set is
+      at most ``scanner_cap`` URLs — the URL list for the reader's
+      ``isin`` pushdown.
+    * cand_table: canonical-order active candidates
+      (sid, depth, url, black, robots) — stays in the object store.
+    * fetch_hashes: the sorted uint64 url-hash broadcast consumed by
+      ``fetch_extract_task`` (its ObjectRef IS the broadcast ref).
+    """
+    import hashlib
+
+    entries = sorted(
+        (e for part in pop_parts for e in part)
+    )  # canonical (sid, depth, url)
+    n_popped = len(entries)
+
+    keys = [f"{sid}|{u}" for sid, _, u in entries]
+    marked = pool_contains(marks_handles, keys)
+    already = int(marked.sum())
+    cands = [e for e, m in zip(entries, marked) if not m]
+
+    active = [e for e in cands if e[0] not in inactive_sids]
+    aband_pre = len(cands) - len(active)
+
+    black_flags = [is_blacklisted(u, blacklist) for _, _, u in active]
+    robots_hits = robots.blocked_set(
+        {e[2] for e, b in zip(active, black_flags) if not b})
+    robots_flags = [
+        (not b) and (u in robots_hits)
+        for (_, _, u), b in zip(active, black_flags)
+    ]
+
+    fetch_urls = sorted({
+        u for (_, _, u), b, r in zip(active, black_flags, robots_flags)
+        if not b and not r
+    })
+    info = {
+        "n_popped": n_popped,
+        "already": already,
+        "aband_pre": aband_pre,
+        "n_candidates": len(cands),
+        "n_active": len(active),
+        "n_fetch": len(fetch_urls),
+        "hosts": sorted({get_host(u) for u in fetch_urls}),
+        "fetch_digest": hashlib.sha256(
+            "\n".join(fetch_urls).encode()
+        ).hexdigest()[:16],
+        "fetch_urls_small": (
+            fetch_urls if len(fetch_urls) <= scanner_cap else None
+        ),
+    }
+    cand_table = pa.table({
+        "sid": pa.array([e[0] for e in active], pa.int32()),
+        "depth": pa.array([e[1] for e in active], pa.int32()),
+        "url": pa.array([e[2] for e in active], pa.string()),
+        "black": pa.array(black_flags, pa.bool_()),
+        "robots": pa.array(robots_flags, pa.bool_()),
+    })
+    fetch_hashes = np.sort(batch_url_hash64(fetch_urls))
+    return info, cand_table, fetch_hashes
+
+
+def _build_meta(*blocks):
+    """(url, content_hash) lookup arrays, hash-sorted, from the fetched
+    dataset's metadata blocks.  Returns ``(meta, n_fetched, urls)`` —
+    the driver materializes only ``n_fetched`` (``urls`` only for the
+    documented test aids)."""
+    tbls = [b for b in blocks if b.num_rows]
+    if not tbls:
+        empty = (np.empty(0, np.uint64), np.empty(0, object))
+        return empty, 0, []
+    t = pa.concat_tables(tbls)
+    urls = t.column("url").to_pylist()
+    hashes = np.asarray(t.column("content_hash").to_pylist(), object)
+    h = batch_url_hash64(urls)
+    order = np.argsort(h)
+    return (h[order], hashes[order]), len(urls), urls
+
+
+def _replay_shard(
+    cand_table: pa.Table,
+    meta,
+    claims: Set[str],
+    shard_states: dict,
+    cfg: CrawlSettings,
+    delays: Optional[Dict[int, float]],
+    shard_sids: frozenset,
+    hash_handles,
+    marks_handles,
+    marks_delta_path: str,
+    hashes_delta_path: str,
+):
+    """One seed-range link of the replay claims chain (Ray task).
+
+    Slices its seeds' candidates from the shared candidate table,
+    attaches fetch outcomes from the meta lookup, queries prior-
+    generation content hashes from the hash pool, runs the UNCHANGED
+    ``replay_generation`` core, then inserts its new marks/hashes into
+    the pools and writes its checkpoint delta files — the driver gets
+    back ``(counters, shard_states, accepted, propagate, claims_out)``
+    via ``num_returns=5`` and materializes only the first two
+    (counters + O(seeds/shard) states)."""
+    from .crawl import _write_delta
+
+    sids = cand_table.column("sid").to_numpy(zero_copy_only=False)
+    mask = np.isin(sids, np.fromiter(shard_sids, np.int64)
+                   if shard_sids else np.empty(0, np.int64))
+    sub = cand_table.filter(pa.array(mask))
+
+    urls = sub.column("url").to_pylist()
+    h_meta, hash_meta = meta
+    bh = batch_url_hash64(urls)
+    idx = np.searchsorted(h_meta, bh)
+    idx[idx >= len(h_meta)] = max(len(h_meta) - 1, 0)
+    fetched = (
+        (h_meta[idx] == bh) if len(h_meta) else np.zeros(len(bh), bool)
+    )
+
+    sub_sids = sub.column("sid").to_pylist()
+    sub_depths = sub.column("depth").to_pylist()
+    black = sub.column("black").to_pylist()
+    robots = sub.column("robots").to_pylist()
+    cands = [
+        Candidate(
+            seed_id=s,
+            url=u,
+            depth=d,
+            blacklisted=b or r,
+            fetched=bool(f) and not (b or r),
+            content_hash=(
+                str(hash_meta[i]) if (f and not (b or r)) else None
+            ),
+        )
+        for s, d, u, b, r, f, i in zip(
+            sub_sids, sub_depths, urls, black, robots, fetched, idx
+        )
+    ]
+
+    cand_hashes = sorted({c.content_hash for c in cands if c.content_hash})
+    known = pool_contains(hash_handles, cand_hashes)
+    known_hashes = {
+        h for h, k in zip(cand_hashes, known) if k
+    } | set(claims)
+
+    res = replay_generation(cands, shard_states, known_hashes, cfg, delays)
+
+    mark_keys = [f"{s}|{u}" for s, u in res.new_marks]
+    pool_insert(marks_handles, mark_keys)
+    pool_insert(hash_handles, res.new_hashes)
+    _write_delta(marks_delta_path, mark_keys)
+    _write_delta(hashes_delta_path, list(res.new_hashes))
+
+    counters = {
+        st: res.status.count(st)
+        for st in set(res.status)
+    }
+    # robots split: BLACKLISTED status whose flag source was robots
+    rob = {c.url for c, r in zip(cands, robots) if r}
+    counters["robots_blocked"] = sum(
+        1 for c, st in zip(cands, res.status)
+        if st == BLACKLISTED and c.url in rob
+    )
+
+    cand_depth = {(c.seed_id, c.url): c.depth for c in cands}
+    cand_hash = {(c.seed_id, c.url): c.content_hash for c in cands}
+    acc = sorted(res.accepted)
+    accepted_t = pa.table({
+        "sid": pa.array([s for s, _ in acc], pa.int32()),
+        "url": pa.array([u for _, u in acc], pa.string()),
+        "depth": pa.array(
+            [cand_depth[k] for k in acc], pa.int32()),
+        "content_hash": pa.array(
+            [cand_hash[k] for k in acc], pa.string()),
+    })
+    prop = sorted(res.propagate)
+    propagate_t = pa.table({
+        "sid": pa.array([s for s, _ in prop], pa.int32()),
+        "url": pa.array([u for _, u in prop], pa.string()),
+        "depth": pa.array([cand_depth[k] for k in prop], pa.int32()),
+    })
+    claims_out = set(claims) | set(res.new_hashes)
+    return counters, shard_states, accepted_t, propagate_t, claims_out
+
+
+def _build_accept_arrays(*acc_tables):
+    """Broadcast arrays for the finalize filter: (url-hash sorted,
+    seed_id, depth) parallel arrays from the replay shards' accepted
+    tables (ObjectRefs; the result ref feeds ``_finalize`` directly)."""
+    tbls = [t for t in acc_tables if t.num_rows]
+    if not tbls:
+        return (np.empty(0, np.uint64), np.empty(0, np.int32),
+                np.empty(0, np.int32))
+    t = pa.concat_tables(tbls)
+    urls = t.column("url").to_pylist()
+    h = batch_url_hash64(urls)
+    order = np.argsort(h)
+    return (
+        h[order],
+        t.column("sid").to_numpy(zero_copy_only=False).astype(
+            np.int32)[order],
+        t.column("depth").to_numpy(zero_copy_only=False).astype(
+            np.int32)[order],
+    )
+
+
+def _build_expand_csr(max_depth: int, *prop_tables):
+    """CSR broadcast arrays for the data-plane link expansion (the
+    exact structure ``_push_links_dataplane``'s expand_task consumes),
+    built from the replay shards' propagate tables.  Returns
+    ``(csr, n_expand)`` — the driver materializes only the count."""
+    rows: List[Tuple[str, int, int]] = []
+    for t in prop_tables:
+        for s, u, d in zip(
+            t.column("sid").to_pylist(),
+            t.column("url").to_pylist(),
+            t.column("depth").to_pylist(),
+        ):
+            if d < max_depth:
+                rows.append((u, s, d + 1))
+    if not rows:
+        empty = (np.empty(0, np.uint64), np.empty(0, np.int64),
+                 np.empty(0, np.int64), np.empty(0, np.int64),
+                 np.empty(0, np.int64))
+        return empty, 0
+    by_url: Dict[str, List[Tuple[int, int]]] = {}
+    for u, sid, nd in rows:
+        by_url.setdefault(u, []).append((sid, nd))
+    urls = list(by_url)
+    h = batch_url_hash64(urls)
+    order = np.argsort(h)
+    counts = np.array([len(by_url[urls[i]]) for i in order], np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    sids = np.array(
+        [s for i in order for s, _ in by_url[urls[i]]], np.int64)
+    deps = np.array(
+        [d for i in order for _, d in by_url[urls[i]]], np.int64)
+    return (h[order], starts, counts, sids, deps), len(rows)
+
+
+def _remote_tasks():
+    """Ray-remote wrappers, created lazily (module import must not
+    require an initialized Ray)."""
+    import ray
+
+    from .. import runtime_env
+
+    env = runtime_env()
+    return {
+        "prep": ray.remote(num_cpus=0, num_returns=3,
+                           runtime_env=env)(_prep_candidates),
+        "meta": ray.remote(num_cpus=0, num_returns=3,
+                           runtime_env=env)(_build_meta),
+        "replay": ray.remote(num_cpus=0, num_returns=5,
+                             runtime_env=env)(_replay_shard),
+        "accept": ray.remote(num_cpus=0, runtime_env=env)(
+            _build_accept_arrays),
+        "expand": ray.remote(num_cpus=0, num_returns=2,
+                             runtime_env=env)(_build_expand_csr),
+    }

@@ -289,6 +289,13 @@ class ShardedFrontierQueue:
         out.sort()
         return out
 
+    def pop_budget_refs(self, budget_per_seed: Optional[int] = None):
+        """Per-shard budgeted pops as ObjectRefs — the data-plane control
+        path: popped entries never transit the driver; downstream tasks
+        receive the refs and Ray resolves them in place."""
+        return [s.pop_budget.remote(budget_per_seed)
+                for s in self._shards]
+
     def drop_seeds(self, sids: Iterable[int]) -> int:
         import ray
 

@@ -153,6 +153,13 @@ class SeenSetPool:
             actor_cls.remote(mode, capacity_per_shard) for _ in range(num_shards)
         ]
 
+    @property
+    def shard_handles(self):
+        """Actor handles for data-plane tasks to query/insert directly
+        (route by ``url_hash64(key) % len(handles)`` — the same rule as
+        :meth:`_route`; see ``pipelines.crawl_plane.pool_contains``)."""
+        return list(self._shards)
+
     def _route(self, keys: Sequence[str]) -> Dict[int, List[int]]:
         groups: Dict[int, List[int]] = {}
         for i, k in enumerate(keys):

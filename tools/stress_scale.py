@@ -72,14 +72,15 @@ def run_minhash(dup: int, sf_dir: str) -> dict:
     }
 
 
-def run_frontier(seeds: int, shards: int | None, sf_dir: str) -> dict:
+def run_frontier(seeds: int, shards: int | None, sf_dir: str,
+                 factor: int = 4) -> dict:
     import shutil
 
     from deepwebharvester_ray.config import CrawlSettings
     from deepwebharvester_ray.corpus import corpus_from_documents, seed_urls
     from deepwebharvester_ray.pipelines.crawl import run_crawl
 
-    corpus_dir = corpus_from_documents(sf_dir, factor=4)
+    corpus_dir = corpus_from_documents(sf_dir, factor=factor)
     cfg = CrawlSettings(
         max_depth=2, max_pages=1_000_000, seen_shards=8,
         frontier_shards=shards,
@@ -92,7 +93,7 @@ def run_frontier(seeds: int, shards: int | None, sf_dir: str) -> dict:
     wall = time.monotonic() - t0
     shutil.rmtree(run_dir, ignore_errors=True)
     return {
-        "case": "frontier", "seeds": seeds,
+        "case": "frontier", "seeds": seeds, "factor": factor,
         "frontier_shards": shards, "pages": run.stats["pages_crawled"],
         "generations": run.generations,
         "wall_s": round(wall, 2),
@@ -1038,6 +1039,8 @@ def main() -> None:
     p.add_argument("--driver", action="store_true",
                    help="frontier: use the driver-local queue")
     p.add_argument("--n", type=int, default=10_000_000)
+    p.add_argument("--factor", type=int, default=4,
+                   help="frontier: corpus duplication factor (pages = docs x factor)")
     p.add_argument("--join", action="store_true",
                    help="pagerank: force the hash-join propagation path")
     p.add_argument("--plain", action="store_true",
@@ -1054,8 +1057,8 @@ def main() -> None:
         if args.case == "minhash":
             out = run_minhash(args.dup, args.sf)
         elif args.case == "frontier":
-            shards = None if args.driver else (args.shards or 8)
-            out = run_frontier(args.seeds, shards, args.sf)
+            shards = 0 if args.driver else (args.shards or 8)
+            out = run_frontier(args.seeds, shards, args.sf, args.factor)
         elif args.case == "interval":
             out = run_interval(args.dup, args.sf)
         elif args.case == "pagerank":
