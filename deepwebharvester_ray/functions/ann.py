@@ -202,6 +202,13 @@ def lsh_topk(
 
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     dim = dim or queries.shape[1]
+    if index_dir is not None:
+        # build-once / probe-many split: materialize the hive index,
+        # then answer this call through the pure probe path
+        lsh_build_index(ds, index_dir, n_bits=n_bits,
+                        id_column=id_column, vec_column=vec_column,
+                        dim=dim)
+        return lsh_probe_index(index_dir, queries, k=k, n_probe=n_probe)
     rng = np.random.default_rng(_HYPERPLANE_SEED)
     planes = rng.standard_normal((n_bits, dim))
     planes_ref = ray.put(planes)
@@ -248,23 +255,6 @@ def lsh_topk(
         for qs in qsigs
     ]
 
-    if index_dir is not None:
-        from pathlib import Path
-
-        from .partition import coalesce_by_bytes
-
-        def with_cell(batch: pa.Table) -> pa.Table:
-            return batch.append_column("cell", batch.column("bucket"))
-
-        coalesce_by_bytes(bucketed.map_batches(
-            with_cell, batch_format="pyarrow", runtime_env=runtime_env()
-        )).write_parquet(index_dir, partition_cols=["cell"])
-        np.savez(str(Path(index_dir) / "planes.npz"), planes=planes)
-        paths = _cell_paths(index_dir, np.concatenate(qbuckets))
-        if not paths:
-            return _merge_topk([], len(queries), k)
-        bucketed = ray.data.read_parquet(paths)
-
     qbuckets_ref = ray.put(qbuckets)
     qref = ray.put(queries)
 
@@ -276,6 +266,144 @@ def lsh_topk(
         runtime_env=runtime_env(),
     ).take_all()
 
+    return _merge_topk(partials, len(queries), k)
+
+
+def _write_index_manifest(index_dir: str, meta: dict) -> None:
+    import json
+    from pathlib import Path
+
+    p = Path(index_dir) / "manifest.json"
+    tmp = p.with_suffix(".tmp")
+    tmp.write_text(json.dumps(meta, sort_keys=True))
+    tmp.rename(p)
+
+
+def _read_index_manifest(index_dir: str) -> dict:
+    import json
+    from pathlib import Path
+
+    return json.loads((Path(index_dir) / "manifest.json").read_text())
+
+
+def lsh_build_index(
+    ds,
+    index_dir: str,
+    n_bits: int = 8,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    dim: Optional[int] = None,
+) -> dict:
+    """Build a PERSISTENT LSH index: bucket every vector by its
+    random-hyperplane signature and write the assignment hive-partitioned
+    by ``cell`` (one directory per bucket) plus the hyperplanes
+    (``planes.npz``) and a ``manifest.json`` — the build-once /
+    probe-many contract every retrieval pipeline needs at 100 TB: a
+    later session calls :func:`lsh_probe_index` with only the directory,
+    and each probe physically reads ONLY the probed buckets' files.
+
+    The directory is cleared first (idempotent rebuild).  Returns the
+    manifest dict."""
+    import shutil as _shutil
+    from pathlib import Path
+
+    import ray
+
+    from .partition import coalesce_by_bytes
+
+    if dim is None:
+        first = ds.take(1)
+        if not first:
+            dim = 2  # empty dataset: any plane dim works
+        else:
+            dim = len(first[0][vec_column])
+    rng = np.random.default_rng(_HYPERPLANE_SEED)
+    planes = rng.standard_normal((n_bits, dim))
+    planes_ref = ray.put(planes)
+
+    def sig_cell(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "id": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+                vec_column: pa.array(
+                    [], batch.schema.field(vec_column).type),
+                "cell": pa.array([], pa.int64()),
+            })
+        pl = cached_get(planes_ref)
+        mat = _vec_matrix(batch.column(vec_column))
+        sig = _signatures(_normalize(mat), pl)
+        return pa.table({
+            "id": batch.column(id_column),
+            "bucket": pa.array(sig, pa.int64()),
+            vec_column: batch.column(vec_column),
+            # "cell" duplicates "bucket": partition_cols strips the
+            # partition column from the data files
+            "cell": pa.array(sig, pa.int64()),
+        })
+
+    if Path(index_dir).exists():
+        _shutil.rmtree(index_dir)
+    coalesce_by_bytes(ds.map_batches(
+        sig_cell, batch_format="pyarrow", runtime_env=runtime_env()
+    )).write_parquet(index_dir, partition_cols=["cell"])
+    np.savez(str(Path(index_dir) / "planes.npz"), planes=planes)
+    meta = {"kind": "lsh", "n_bits": n_bits, "dim": dim,
+            "vec_column": vec_column}
+    _write_index_manifest(index_dir, meta)
+    return meta
+
+
+def lsh_probe_index(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+) -> pa.Table:
+    """Probe a prebuilt :func:`lsh_build_index` directory: load the
+    hyperplanes + manifest, compute each query's ``n_probe`` nearest
+    buckets by signature hamming distance, and score ONLY those buckets'
+    parquet files (:func:`_cell_paths` — non-probed cells never leave
+    storage).  No training, no full scan; safe to call many times
+    against one build."""
+    from pathlib import Path
+
+    import ray
+
+    meta = _read_index_manifest(index_dir)
+    assert meta["kind"] == "lsh", meta
+    planes = np.load(str(Path(index_dir) / "planes.npz"))["planes"]
+    n_bits = int(meta["n_bits"])
+    vec_column = meta["vec_column"]
+
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    qsigs = _signatures(_normalize(queries), planes)
+    qbuckets = [
+        np.sort(
+            np.asarray(
+                sorted(
+                    range(1 << n_bits),
+                    key=lambda b: (bin(b ^ int(qs)).count("1"), b),
+                )[:n_probe],
+                dtype=np.int64,
+            )
+        )
+        for qs in qsigs
+    ]
+    paths = _cell_paths(index_dir, np.concatenate(qbuckets))
+    if not paths:
+        return _merge_topk([], len(queries), k)
+    bucketed = ray.data.read_parquet(paths)
+
+    qbuckets_ref = ray.put(qbuckets)
+    qref = ray.put(queries)
+    partials = bucketed.map_batches(
+        _probe_score_task,
+        fn_kwargs={"qbuckets_ref": qbuckets_ref, "qref": qref, "k": k,
+                   "vec_column": vec_column},
+        batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    ).take_all()
     return _merge_topk(partials, len(queries), k)
 
 
@@ -574,6 +702,17 @@ def ivf_topk(
 
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
 
+    if index_dir is not None:
+        # build-once / probe-many split: materialize the hive index,
+        # then answer this call through the pure probe path
+        meta = ivf_build_index(ds, index_dir, n_cells=n_cells,
+                               train_sample=train_sample,
+                               id_column=id_column,
+                               vec_column=vec_column)
+        if meta is None:  # empty dataset: empty result, not a crash
+            return _merge_topk([], len(queries), k)
+        return ivf_probe_index(index_dir, queries, k=k, n_probe=n_probe)
+
     cents = train_centroids(ds, n_cells, train_sample, id_column, vec_column)
     if cents is None:  # empty / fully-filtered dataset: empty, not a crash
         return _merge_topk([], len(queries), k)
@@ -610,29 +749,6 @@ def ivf_topk(
     qbuckets = [np.sort(qcells[qi].astype(np.int64))
                 for qi in range(len(queries))]
 
-    if index_dir is not None:
-        from pathlib import Path
-
-        # build: hive-partitioned materialization of the cell assignment
-        # ("cell" duplicates "bucket" because partition_cols strips the
-        # partition column from the data files); centroids persist beside
-        # it so a later session can probe without re-training
-        from .partition import coalesce_by_bytes
-
-        def with_cell(batch: pa.Table) -> pa.Table:
-            return batch.append_column("cell", batch.column("bucket"))
-
-        coalesce_by_bytes(assigned.map_batches(
-            with_cell, batch_format="pyarrow", runtime_env=runtime_env()
-        )).write_parquet(index_dir, partition_cols=["cell"])
-        np.savez(str(Path(index_dir) / "centroids.npz"), cents=cents)
-
-        # query: read ONLY the probed cells' partitions
-        paths = _cell_paths(index_dir, np.concatenate(qbuckets))
-        if not paths:
-            return _merge_topk([], len(queries), k)
-        assigned = ray.data.read_parquet(paths)
-
     qbuckets_ref = ray.put(qbuckets)
     qref = ray.put(queries)
 
@@ -644,6 +760,108 @@ def ivf_topk(
         runtime_env=runtime_env(),
     ).take_all()
 
+    return _merge_topk(partials, len(queries), k)
+
+
+def ivf_build_index(
+    ds,
+    index_dir: str,
+    n_cells: int = 16,
+    train_sample: int = 2048,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+) -> Optional[dict]:
+    """Build a PERSISTENT IVF index: train the spherical-k-means coarse
+    quantizer on a deterministic hash-rank sample, assign every vector
+    to its nearest centroid cell, and write the assignment
+    hive-partitioned by ``cell`` plus ``centroids.npz`` and a
+    ``manifest.json`` — build once, probe many times via
+    :func:`ivf_probe_index` (each probe reads ONLY probed cells' files;
+    non-probed data never leaves storage).  The directory is cleared
+    first (idempotent rebuild).  Returns the manifest dict, or None on
+    an empty dataset (nothing written)."""
+    import shutil as _shutil
+    from pathlib import Path
+
+    import ray
+
+    from .partition import coalesce_by_bytes
+
+    cents = train_centroids(ds, n_cells, train_sample, id_column,
+                            vec_column)
+    if cents is None:
+        return None
+    cents_ref = ray.put(cents)
+
+    def assign_cell(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "id": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+                vec_column: pa.array(
+                    [], batch.schema.field(vec_column).type),
+                "cell": pa.array([], pa.int64()),
+            })
+        c = cached_get(cents_ref)
+        mat = _normalize(_vec_matrix(batch.column(vec_column)))
+        cell = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        return pa.table({
+            "id": batch.column(id_column),
+            "bucket": pa.array(cell, pa.int64()),
+            vec_column: batch.column(vec_column),
+            "cell": pa.array(cell, pa.int64()),
+        })
+
+    if Path(index_dir).exists():
+        _shutil.rmtree(index_dir)
+    coalesce_by_bytes(ds.map_batches(
+        assign_cell, batch_format="pyarrow", runtime_env=runtime_env()
+    )).write_parquet(index_dir, partition_cols=["cell"])
+    np.savez(str(Path(index_dir) / "centroids.npz"), cents=cents)
+    meta = {"kind": "ivf", "n_cells": int(len(cents)),
+            "vec_column": vec_column}
+    _write_index_manifest(index_dir, meta)
+    return meta
+
+
+def ivf_probe_index(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+) -> pa.Table:
+    """Probe a prebuilt :func:`ivf_build_index` directory: load the
+    centroids + manifest, pick each query's ``n_probe`` nearest cells,
+    and score ONLY those cells' parquet files.  No re-training, no full
+    scan; safe to call many times against one build."""
+    from pathlib import Path
+
+    import ray
+
+    meta = _read_index_manifest(index_dir)
+    assert meta["kind"] == "ivf", meta
+    cents = np.load(str(Path(index_dir) / "centroids.npz"))["cents"]
+    vec_column = meta["vec_column"]
+
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    qn = _normalize(queries)
+    qcells = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]
+    qbuckets = [np.sort(qcells[qi].astype(np.int64))
+                for qi in range(len(queries))]
+    paths = _cell_paths(index_dir, np.concatenate(qbuckets))
+    if not paths:
+        return _merge_topk([], len(queries), k)
+    assigned = ray.data.read_parquet(paths)
+
+    qbuckets_ref = ray.put(qbuckets)
+    qref = ray.put(queries)
+    partials = assigned.map_batches(
+        _probe_score_task,
+        fn_kwargs={"qbuckets_ref": qbuckets_ref, "qref": qref, "k": k,
+                   "vec_column": vec_column},
+        batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    ).take_all()
     return _merge_topk(partials, len(queries), k)
 
 

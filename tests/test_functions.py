@@ -243,6 +243,50 @@ def test_lsh_index_physical_pruning(emb_ds, tmp_path):
     assert (tmp_path / "lsh_index" / "planes.npz").exists()
 
 
+def test_ann_persistent_build_then_probe(emb_ds, tmp_path):
+    """Build-once / probe-many contract: a PREBUILT index directory is
+    probed by a later caller with only the path (no dataset, no
+    re-training), repeated probes are deterministic and identical to
+    the build-and-query call, and a probe reads ONLY probed-cell files
+    — proven by corrupting every non-probed cell's parquet after the
+    build: the probe must still succeed."""
+    rows = emb_ds.take(1)
+    q = np.array(rows[0]["embedding"], dtype=np.float64)
+
+    # IVF
+    idx = str(tmp_path / "ivf")
+    meta = ann.ivf_build_index(emb_ds, idx, n_cells=8)
+    assert meta["kind"] == "ivf" and (tmp_path / "ivf" / "manifest.json").exists()
+    combined = ann.ivf_topk(emb_ds, q, k=10, n_cells=8, n_probe=4,
+                            index_dir=str(tmp_path / "ivf2"))
+    p1 = ann.ivf_probe_index(idx, q, k=10, n_probe=4)
+    p2 = ann.ivf_probe_index(idx, q, k=10, n_probe=4)
+    assert p1.equals(p2) and p1.equals(combined)
+
+    # which cells does this query probe?
+    cents = np.load(str(tmp_path / "ivf" / "centroids.npz"))["cents"]
+    qn = np.atleast_2d(q) / np.linalg.norm(q)
+    probed = set(np.argsort(-(qn @ cents.T), axis=1)[0, :4].tolist())
+    # corrupt every NON-probed cell's files: a full-scan probe would crash
+    n_corrupted = 0
+    for cdir in (tmp_path / "ivf").glob("cell=*"):
+        if int(cdir.name.split("=")[1]) not in probed:
+            for f in cdir.glob("*.parquet"):
+                f.write_bytes(b"not parquet at all")
+                n_corrupted += 1
+    assert n_corrupted > 0  # the corpus spans more cells than one probe
+    p3 = ann.ivf_probe_index(idx, q, k=10, n_probe=4)
+    assert p3.equals(p1)
+
+    # LSH: same contract
+    lidx = str(tmp_path / "lsh")
+    lmeta = ann.lsh_build_index(emb_ds, lidx, n_bits=6)
+    assert lmeta["kind"] == "lsh"
+    l1 = ann.lsh_probe_index(lidx, q, k=10, n_probe=8)
+    l2 = ann.lsh_probe_index(lidx, q, k=10, n_probe=8)
+    assert l1.equals(l2) and l1.num_rows > 0
+
+
 # ── multimodal ───────────────────────────────────────────────────────────────
 
 
