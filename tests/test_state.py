@@ -30,6 +30,46 @@ def test_cuckoo_fp_rate():
     assert fps / len(absent) < 0.005
 
 
+def test_cuckoo_vectorized_matches_scalar():
+    """_mix_vec is bit-identical to _mix; bulk_add places every key
+    retrievably (no false negatives) with the same membership answers
+    as scalar adds; contains_batch equals per-key contains including
+    near-full filters with a populated stash."""
+    from deepwebharvester_ray.state.cuckoo import _mix, _mix_vec
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 2**63, 5_000, dtype=np.uint64)
+    assert [_mix(int(k)) for k in keys[:200]] == \
+        _mix_vec(keys[:200]).astype(object).tolist()
+
+    # bulk vs scalar filters over the same keys
+    bulk = CuckooFilter(capacity=6_000)
+    failed = bulk.bulk_add(keys)
+    assert failed == 0
+    assert bulk.contains_batch(keys).all()
+    scalar = CuckooFilter(capacity=6_000)
+    for k in keys:
+        assert scalar.add(int(k))
+    probe = rng.integers(0, 2**63, 5_000, dtype=np.uint64)
+    # identical membership answers on a fresh probe set (both filters
+    # hold exactly `keys`; fingerprint/bucket derivation is shared)
+    assert (bulk.contains_batch(probe)
+            == scalar.contains_batch(probe)).all()
+    assert [bulk.contains(int(k)) for k in probe[:300]] == \
+        bulk.contains_batch(probe[:300]).tolist()
+
+    # overfilled filter: bulk_add reports the spill count, everything
+    # it DID accept stays retrievable (no false negatives ever)
+    tiny = CuckooFilter(capacity=1_000)
+    many = rng.integers(0, 2**63, 20_000, dtype=np.uint64)
+    n_failed = tiny.bulk_add(many)
+    assert n_failed > 0
+    got = tiny.contains_batch(many)
+    # at least everything counted as inserted must answer True; the
+    # failed ones are the caller's exact-spill responsibility
+    assert int(got.sum()) >= len(many) - n_failed
+
+
 def test_cuckoo_delete_and_snapshot():
     cf = CuckooFilter(capacity=1000)
     cf.add(42)

@@ -101,6 +101,92 @@ def run_frontier(seeds: int, shards: int | None, sf_dir: str,
     }
 
 
+def run_seen(n: int, shards: int = 8) -> dict:
+    """North-rule seen-set memory envelope: load n (default 10^8)
+    distinct url hashes across cuckoo shard actors via the vectorized
+    bulk path, record bytes/key, load factor, spill/stash counts,
+    check-and-insert throughput, and the measured FP rate on a fresh
+    disjoint key range (keys = bijective splitmix of arange, so ranges
+    never collide)."""
+    import numpy as np
+    import ray
+
+    n_per = n // shards
+
+    @ray.remote(num_cpus=1)
+    class Shard:
+        def __init__(self, cap: int):
+            from deepwebharvester_ray.state.cuckoo import CuckooFilter
+
+            self.f = CuckooFilter(cap)
+            self.spilled = 0  # exact-set analog: keys the filter refused
+
+        def load(self, start: int, count: int,
+                 batch: int = 2_000_000) -> dict:
+            from deepwebharvester_ray.state.cuckoo import _mix_vec
+
+            t0 = time.monotonic()
+            for off in range(0, count, batch):
+                m = min(batch, count - off)
+                keys = _mix_vec(np.arange(start + off, start + off + m,
+                                          dtype=np.uint64))
+                self.spilled += self.f.bulk_add(keys)
+            return {
+                "wall_s": time.monotonic() - t0,
+                "inserted": len(self.f),
+                "spilled": self.spilled,
+                "stash": len(self.f._stash),
+                "load_factor": self.f.load_factor,
+                "table_bytes": int(self.f._table.nbytes),
+            }
+
+        def check(self, start: int, count: int) -> dict:
+            from deepwebharvester_ray.state.cuckoo import _mix_vec
+
+            keys = _mix_vec(np.arange(start, start + count,
+                                      dtype=np.uint64))
+            t0 = time.monotonic()
+            hits = int(self.f.contains_batch(keys).sum())
+            return {"wall_s": time.monotonic() - t0, "hits": hits,
+                    "n": count}
+
+    actors = [Shard.remote(n_per) for _ in range(shards)]
+    t0 = time.monotonic()
+    loads = ray.get([a.load.remote(i * n_per, n_per)
+                     for i, a in enumerate(actors)])
+    load_wall = time.monotonic() - t0
+
+    # positive checks (throughput) on a sample of inserted keys
+    pos = ray.get([a.check.remote(i * n_per, min(n_per, 2_000_000))
+                   for i, a in enumerate(actors)])
+    # FP rate: fresh disjoint range (beyond every inserted range)
+    neg = ray.get([a.check.remote(n + i * 2_000_000, 2_000_000)
+                   for i, a in enumerate(actors)])
+
+    total_inserted = sum(ld["inserted"] for ld in loads)
+    total_spilled = sum(ld["spilled"] for ld in loads)
+    table_bytes = sum(ld["table_bytes"] for ld in loads)
+    neg_n = sum(x["n"] for x in neg)
+    neg_hits = sum(x["hits"] for x in neg)
+    pos_n = sum(x["n"] for x in pos)
+    pos_missing = sum(x["n"] - x["hits"] for x in pos)
+    return {
+        "case": "seen", "keys": n, "shards": shards,
+        "inserted": total_inserted, "spilled": total_spilled,
+        "stash_total": sum(ld["stash"] for ld in loads),
+        "load_factor": round(
+            sum(ld["load_factor"] for ld in loads) / shards, 4),
+        "bytes_per_key": round(table_bytes / max(total_inserted, 1), 3),
+        "insert_keys_per_s": int(n / load_wall),
+        "check_keys_per_s": int(
+            pos_n / max(max(x["wall_s"] for x in pos), 1e-9)),
+        "false_negatives": pos_missing,  # must be 0
+        "fp_rate": round(neg_hits / neg_n, 7),
+        "wall_s": round(load_wall, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
 def run_highcard(n: int) -> dict:
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -1025,7 +1111,8 @@ def run_sdedup(n: int, distinct: int) -> dict:
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("case", choices=["minhash", "frontier", "highcard",
+    p.add_argument("case", choices=["seen",
+                                    "minhash", "frontier", "highcard",
                                     "interval", "pagerank", "semdedup",
                                     "passage", "skewjoin", "bpe",
                                     "stream", "skewagg", "bloomjoin",
@@ -1054,7 +1141,9 @@ def main() -> None:
     ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
              logging_level="ERROR", log_to_driver=False)
     try:
-        if args.case == "minhash":
+        if args.case == "seen":
+            out = run_seen(args.n, args.shards or 8)
+        elif args.case == "minhash":
             out = run_minhash(args.dup, args.sf)
         elif args.case == "frontier":
             shards = 0 if args.driver else (args.shards or 8)
