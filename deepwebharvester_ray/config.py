@@ -52,6 +52,15 @@ class CrawlSettings:
     # Bounded per-seed frontier capacity; worst-first deterministic drops,
     # counted in queue.dropped.  None → unbounded (reference deque).
     frontier_max_per_seed: Optional[int] = None
+    # Politeness-paced generations (SURVEY §4: "tokens = generation
+    # wallclock / crawl_delay").  When set, each seed's per-generation
+    # pop budget becomes max(1, floor(gen_wallclock_s / crawl_delay)) —
+    # robots Crawl-delay overrides the default per host — enforced AT
+    # POP TIME inside the frontier queue (per shard actor on the
+    # sharded path, zero driver involvement), so a slow-delay host is
+    # paced while fast hosts proceed.  min-combines with
+    # max_fetch_per_gen.  None → uniform max_fetch_per_gen only.
+    gen_wallclock_s: Optional[float] = None
     # Control-plane replay sharding: None → sequential driver replay;
     # N → seed-sharded Ray-actor claims chain (state/scheduler.py,
     # bit-identical output — the cluster path).

@@ -414,6 +414,7 @@ def _generation_dataplane(
     track_fetched_urls: bool,
     fetched_urls_per_gen: List[Set[str]],
     purged_pre: int,
+    pop_budget=None,
 ) -> str:
     """One generation on the sharded (data-plane control) path.
 
@@ -440,7 +441,7 @@ def _generation_dataplane(
         sid for sid, st in states.items()
         if st.exhausted or st.pages >= cfg.max_pages
     )
-    pop_refs = frontier.pop_budget_refs(cfg.max_fetch_per_gen)
+    pop_refs = frontier.pop_budget_refs(pop_budget)
     info_ref, cand_ref, hashes_ref = tasks["prep"].remote(
         blacklist, robots, inactive, marks_pool.shard_handles,
         100_000, *pop_refs)
@@ -732,7 +733,21 @@ def run_crawl(
     # Without a per-generation fetch budget, generation index == BFS depth
     # and the loop ends at max_depth exactly as the reference does; with a
     # budget, deferred entries extend the run (hard safety cap only).
-    gen_cap = cfg.max_depth if cfg.max_fetch_per_gen is None else 1_000_000
+    budgeted = (cfg.max_fetch_per_gen is not None
+                or cfg.gen_wallclock_s is not None)
+    gen_cap = 1_000_000 if budgeted else cfg.max_depth
+    # Politeness token budgets (per-seed pop caps enforced inside the
+    # frontier — shard actors on the sharded path): a host with
+    # crawl-delay D schedules ⌊gen_wallclock_s / D⌋ fetches/generation.
+    if cfg.gen_wallclock_s is not None:
+        pop_budget: object = {}
+        for _sid, _delay in seed_delays.items():
+            _b = max(1, int(cfg.gen_wallclock_s // max(_delay, 1e-9)))
+            if cfg.max_fetch_per_gen is not None:
+                _b = min(_b, cfg.max_fetch_per_gen)
+            pop_budget[_sid] = _b
+    else:
+        pop_budget = cfg.max_fetch_per_gen
     gen = start_gen
     while len(frontier) and gen <= gen_cap:
         t_gen = time.monotonic()
@@ -759,6 +774,7 @@ def run_crawl(
                 states, seed_delays, blacklist, robots, gm, gen,
                 results_root, state_root, with_intel, on_page_crawled,
                 track_fetched_urls, fetched_urls_per_gen, purged_pre,
+                pop_budget,
             )
             gm.deferred = len(frontier)
             gm.wall_time_s = time.monotonic() - t_gen
@@ -769,7 +785,7 @@ def run_crawl(
             gen += 1
             continue
 
-        popped = frontier.pop_budget(cfg.max_fetch_per_gen)
+        popped = frontier.pop_budget(pop_budget)
 
         # prior-mark filter (pop-check, crawler.py:240)
         keys = [_mark_key(sid, u) for sid, _, u in popped]

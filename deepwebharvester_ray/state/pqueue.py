@@ -91,13 +91,24 @@ class FrontierQueue:
                 self._members.discard((sid, u))
             self.dropped += len(drop)
 
-    def pop_budget(self, budget_per_seed: Optional[int] = None) -> List[Entry]:
+    def pop_budget(
+        self, budget_per_seed: Optional[int] | Dict[int, int] = None
+    ) -> List[Entry]:
         """Pop up to *budget_per_seed* entries per seed (all if None), in
-        canonical (seed_id, depth, url) order."""
+        canonical (seed_id, depth, url) order.
+
+        A ``dict`` budget maps seed_id → that seed's budget (politeness
+        tokens: a host with crawl-delay D gets ⌊generation_wallclock/D⌋
+        scheduled fetches per generation — SURVEY §4); seeds absent from
+        the map are unbudgeted.  The budget is enforced HERE, at pop
+        time, so on the sharded queue each shard actor paces its own
+        hosts without any driver involvement."""
         out: List[Entry] = []
+        is_map = isinstance(budget_per_seed, dict)
         for sid in sorted(self._heaps):
             heap = self._heaps[sid]
-            n = len(heap) if budget_per_seed is None else min(budget_per_seed, len(heap))
+            b = budget_per_seed.get(sid) if is_map else budget_per_seed
+            n = len(heap) if b is None else min(b, len(heap))
             for _ in range(n):
                 depth, url = heapq.heappop(heap)
                 self._members.discard((sid, url))
@@ -279,22 +290,42 @@ class ShardedFrontierQueue:
         routed = self._route(entries)
         ray.get([self._shards[i].push.remote(es) for i, es in routed.items()])
 
-    def pop_budget(self, budget_per_seed: Optional[int] = None) -> List[Entry]:
+    def _split_budget(self, budget):
+        """Route a per-seed budget map to owning shards (whole scalar /
+        None passes through) so each RPC carries only its shard's
+        entries."""
+        if not isinstance(budget, dict):
+            return [budget] * self._n
+        parts: List[Dict[int, int]] = [{} for _ in range(self._n)]
+        for sid, b in budget.items():
+            parts[sid % self._n][sid] = b
+        return parts
+
+    def pop_budget(
+        self, budget_per_seed: Optional[int] | Dict[int, int] = None
+    ) -> List[Entry]:
         import ray
 
+        split = self._split_budget(budget_per_seed)
         parts = ray.get(
-            [s.pop_budget.remote(budget_per_seed) for s in self._shards]
+            [s.pop_budget.remote(b)
+             for s, b in zip(self._shards, split)]
         )
         out = [tuple(e) for part in parts for e in part]
         out.sort()
         return out
 
-    def pop_budget_refs(self, budget_per_seed: Optional[int] = None):
+    def pop_budget_refs(
+        self, budget_per_seed: Optional[int] | Dict[int, int] = None
+    ):
         """Per-shard budgeted pops as ObjectRefs — the data-plane control
         path: popped entries never transit the driver; downstream tasks
-        receive the refs and Ray resolves them in place."""
-        return [s.pop_budget.remote(budget_per_seed)
-                for s in self._shards]
+        receive the refs and Ray resolves them in place.  Per-seed
+        budget maps (politeness tokens) are enforced INSIDE each shard
+        actor."""
+        split = self._split_budget(budget_per_seed)
+        return [s.pop_budget.remote(b)
+                for s, b in zip(self._shards, split)]
 
     def drop_seeds(self, sids: Iterable[int]) -> int:
         import ray

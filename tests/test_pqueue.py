@@ -128,3 +128,86 @@ def test_bounded_overflow_batch_trim_equals_per_push():
     # dropped urls can re-enter later
     q.push([(0, 9, "http://h.onion/e")])
     assert len(q) == 1
+
+
+def test_per_seed_budget_map_pops():
+    """A dict budget paces each seed independently (politeness tokens):
+    seed 0 capped at 1/pop, seed 1 at 3, seed 2 unbudgeted."""
+    q = FrontierQueue()
+    q.push([(s, 1, f"http://h{s}/p{i}") for s in range(3)
+            for i in range(5)])
+    got = q.pop_budget({0: 1, 1: 3})
+    by_seed = {}
+    for sid, _, _ in got:
+        by_seed[sid] = by_seed.get(sid, 0) + 1
+    assert by_seed == {0: 1, 1: 3, 2: 5}
+    assert len(q) == 4 + 2  # deferred remainders of seeds 0 and 1
+    # next generation continues the pace
+    got2 = q.pop_budget({0: 1, 1: 3})
+    by2 = {}
+    for sid, _, _ in got2:
+        by2[sid] = by2.get(sid, 0) + 1
+    assert by2 == {0: 1, 1: 2}
+
+
+def test_sharded_per_seed_budget_enforced_in_shards(ray_session):
+    """The budget map routes to owning shard actors and is enforced AT
+    POP TIME inside them — pop_budget and pop_budget_refs agree."""
+    import ray
+
+    q = ShardedFrontierQueue(3)
+    q.push([(s, 1, f"http://h{s}/p{i}") for s in range(6)
+            for i in range(4)])
+    budgets = {0: 2, 1: 1, 2: 3, 3: 4, 4: 1}  # seed 5 unbudgeted
+    got = q.pop_budget(budgets)
+    by_seed = {}
+    for sid, _, _ in got:
+        by_seed[sid] = by_seed.get(sid, 0) + 1
+    assert by_seed == {0: 2, 1: 1, 2: 3, 3: 4, 4: 1, 5: 4}
+
+    q2 = ShardedFrontierQueue(3)
+    q2.push([(s, 1, f"http://h{s}/p{i}") for s in range(6)
+             for i in range(4)])
+    parts = ray.get(q2.pop_budget_refs(budgets))
+    got2 = sorted(tuple(e) for p in parts for e in p)
+    assert got2 == sorted(got)
+
+
+def test_politeness_tokens_pace_sharded_pops(ray_session, smoke_corpus,
+                                             tmp_path):
+    """gen_wallclock_s politeness tokens: a host with a robots
+    Crawl-delay of 30 s schedules ⌊35/30⌋ = 1 fetch/generation while
+    default-delay (7 s) hosts schedule ⌊35/7⌋ = 5 — enforced at pop
+    time inside the sharded frontier's actors; pacing changes WHEN
+    pages are crawled, never WHAT."""
+    from deepwebharvester_ray.config import CrawlSettings
+    from deepwebharvester_ray.corpus import seed_urls
+    from deepwebharvester_ray.pipelines.crawl import run_crawl
+    from deepwebharvester_ray.urlops import get_host
+
+    seeds = seed_urls(4)
+    slow = get_host(seeds[0])
+    robots = {slow: "User-agent: *\nCrawl-delay: 30\n"}
+    base = dict(max_depth=2, seen_shards=2, frontier_shards=2,
+                robots_rules=robots)
+    full = run_crawl(smoke_corpus, seeds, CrawlSettings(**base),
+                     run_dir=str(tmp_path / "full"))
+    paced = run_crawl(smoke_corpus, seeds,
+                      CrawlSettings(**base, gen_wallclock_s=35.0),
+                      run_dir=str(tmp_path / "paced"))
+    assert paced.generations > full.generations  # pacing stretched it
+    # aggregate per-generation schedule bound: 1 (slow) + 5 × 3 (fast)
+    for m in paced.metrics:
+        assert m.candidates <= 1 + 5 * 3
+    # Pacing reorders cross-seed content-dedup CLAIMS (a duplicate
+    # page's winning seed can legitimately change — exactly as the
+    # reference's thread timings would), so compare the invariants:
+    # the same distinct CONTENT is crawled, the same number of pages,
+    # and every aggregate counter matches.
+    ref_t = full.results_table().select(["content_hash"])
+    got_t = paced.results_table().select(["content_hash"])
+    assert (set(got_t.column("content_hash").to_pylist())
+            == set(ref_t.column("content_hash").to_pylist()))
+    assert got_t.num_rows == ref_t.num_rows
+    assert paced.stats == full.stats | {
+        "generations": paced.stats["generations"]}
