@@ -259,24 +259,44 @@ class DecodeStage:
     Real deployments plug a codec (PIL/ffmpeg/torchvision) into
     ``_decode``; in this container the codec is absent, so:
 
-    * ``fake=False`` (default) → ``NotImplementedError`` at decode time
-      (clearly marked stub).
+    * ``fake=False`` (default) → gate on import: if PIL is installed
+      (a later environment), images decode for real — grayscale
+      N_FEATURES-bin pixel-intensity histogram, loaded ONCE per actor
+      in ``__init__``; otherwise ``NotImplementedError`` at decode
+      time (clearly marked stub — this container ships no codec).
     * ``fake=True`` → deterministic 16-bin byte histogram, L1-normalized,
-      as the "feature vector" — exercises the full actor-pool plumbing.
+      as the "feature vector" — exercises the full actor-pool plumbing
+      and is the test path in codec-less environments.
     """
 
     def __init__(self, binary_column: str = "payload", fake: bool = False) -> None:
         self._col = binary_column
         self._fake = fake
-        # real codecs would be loaded HERE, once per actor
+        # real codecs load HERE, once per actor (import-gated)
+        self._pil = None
+        if not fake:
+            try:
+                from PIL import Image  # noqa: F401
+
+                self._pil = Image
+            except ImportError:
+                self._pil = None
         self._bins = np.linspace(0, 256, N_FEATURES + 1)
 
     def _decode(self, payload: bytes) -> np.ndarray:
         if not self._fake:
-            raise NotImplementedError(
-                "codec decode not available in this environment; "
-                "construct DecodeStage(fake=True) for the deterministic stub"
-            )
+            if self._pil is None:
+                raise NotImplementedError(
+                    "codec decode not available in this environment; "
+                    "construct DecodeStage(fake=True) for the "
+                    "deterministic stub"
+                )
+            import io
+
+            img = self._pil.open(io.BytesIO(payload)).convert("L")
+            arr = np.asarray(img, dtype=np.uint8).ravel()
+            hist, _ = np.histogram(arr, bins=self._bins)
+            return (hist / max(1, hist.sum())).astype(np.float32)
         arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
         hist, _ = np.histogram(arr, bins=self._bins)
         total = max(1, hist.sum())
