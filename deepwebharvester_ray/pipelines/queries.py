@@ -21506,6 +21506,266 @@ FROM b, g ORDER BY b.doc_id
 """
 
 
+BOOTSTRAP_B = 64            # Poisson-bootstrap resamples
+BOOTSTRAP_WMAX = 8          # truncation of the per-row Poisson(1) weight
+BOOTSTRAP_M1 = 6364136223846793005
+BOOTSTRAP_M2 = 1442695040888963407
+BOOTSTRAP_C = 11400714819323198485
+
+
+def _bootstrap_thresholds():
+    """Cumulative Poisson(1) CDF scaled to 2^64, as INTEGER constants.
+    The floats exist only to mint these shared integers once — both
+    engines compare the same integers, so cross-engine exactness does
+    not depend on float arithmetic."""
+    import math
+
+    term = math.exp(-1.0)
+    cdf = 0.0
+    out = []
+    for i in range(BOOTSTRAP_WMAX):
+        cdf += term
+        out.append(min(int(cdf * 2.0 ** 64), 2 ** 64 - 1))
+        term /= (i + 1)
+    return out
+
+
+BOOTSTRAP_THRESH = _bootstrap_thresholds()
+
+
+def q_bootstrap_means(sf_dir: str):
+    """Distributed Poisson bootstrap of total order value
+    (bootstrap_means): the canonical map-reduce bootstrap (Chamandy et
+    al. 2012, "Estimating uncertainty for massive data streams" —
+    public method): classic bootstrap resampling is random-access by
+    row index (impossible in one streaming pass over 100 TB), the
+    Poisson bootstrap replaces it with an independent per-row
+    Poisson(1) replication weight per resample — ONE pass, B counters
+    per row, no shuffle of the fact table.
+
+    Determinism contract: the per-row randomness is the repo's shared
+    md5 idiom (md5(o_orderkey) parsed to a 60-bit integer identically
+    in hashlib and DuckDB), expanded to B resample draws by an affine
+    map mod 2^64 in HUGEINT/uint64 arithmetic, and thresholded against
+    PRECOMPUTED integer Poisson-CDF constants — integer comparisons
+    end to end, no float ever crosses an engine boundary (weights
+    truncate at 8, identically both sides).  Output: one row per
+    resample (b, n_rows, sum_cents) — the bootstrap distribution of
+    the total/mean, from which any CI is a driver-side percentile.
+
+    Distributed shape: per-batch B-vector partial sums (the md5 loop
+    is per ROW — the established dsir parity idiom — and the B-way
+    expansion is vectorized), then ONE combiner grouped_agg at
+    resample cardinality (B=64 groups): shuffle volume is B rows per
+    block regardless of table size."""
+    import hashlib
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice"],
+               override_num_blocks=_shuffle_parts(sf_dir, "orders"))
+    T = np.array(BOOTSTRAP_THRESH, np.uint64)
+    b_arr = np.arange(BOOTSTRAP_B, dtype=np.uint64)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_orderkey").to_pylist()
+        tp = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(tp * 100.0).astype(np.int64)
+        m = np.array(
+            [int(hashlib.md5(str(int(k)).encode()).hexdigest()[:15], 16)
+             for k in keys], np.uint64)
+        with np.errstate(over="ignore"):
+            u = (m[:, None] * np.uint64(BOOTSTRAP_M1)
+                 + b_arr[None, :] * np.uint64(BOOTSTRAP_M2)
+                 + np.uint64(BOOTSTRAP_C))
+        w = np.searchsorted(T, u.ravel(), side="right").reshape(
+            u.shape).astype(np.int64)
+        return pa.table({
+            "b": pa.array(np.arange(BOOTSTRAP_B, dtype=np.int64),
+                          pa.int64()),
+            "n_rows": pa.array(w.sum(axis=0), pa.int64()),
+            "sum_cents": pa.array((w * cents[:, None]).sum(axis=0),
+                                  pa.int64()),
+        })
+
+    return grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow",
+                       batch_size=None, runtime_env=runtime_env()),
+        ["b"], [("n_rows", "n_rows", "sum"),
+                ("sum_cents", "sum_cents", "sum")],
+    )
+
+
+def _sql_bootstrap_means() -> str:
+    cases = "\n".join(
+        f"      WHEN u < {t} THEN {i}"
+        for i, t in enumerate(BOOTSTRAP_THRESH))
+    return f"""
+WITH b AS (SELECT unnest(generate_series(0, {BOOTSTRAP_B - 1})) AS b),
+m AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS m
+  FROM orders
+),
+u AS (
+  SELECT b.b, m.cents,
+         (CAST(m.m AS HUGEINT) * {BOOTSTRAP_M1}
+          + CAST(b.b AS HUGEINT) * {BOOTSTRAP_M2}
+          + {BOOTSTRAP_C}) % 18446744073709551616 AS u
+  FROM m CROSS JOIN b
+),
+w AS (
+  SELECT b, cents,
+    CASE
+{cases}
+      ELSE {BOOTSTRAP_WMAX}
+    END AS w
+  FROM u
+)
+SELECT CAST(b AS BIGINT) AS b,
+       CAST(sum(w) AS BIGINT) AS n_rows,
+       CAST(sum(w * cents) AS BIGINT) AS sum_cents
+FROM w GROUP BY b ORDER BY b
+"""
+
+
+POLITENESS_WALLCLOCK_S = 60   # virtual seconds per generation
+POLITENESS_DELAYS = 7         # delay rule: 5 + (host % 7) * 5 seconds
+
+
+def q_politeness_budget(sf_dir: str):
+    """Per-host politeness token budget (politeness_budget): given each
+    host's crawl-delay (deterministic rule ``5 + (host_idx % 7)·5``
+    virtual seconds — hosts span 5..35 s, the spread robots Crawl-delay
+    overrides produce in practice), the tokens a generation of
+    POLITENESS_WALLCLOCK_S grants (⌊wallclock/delay⌋, floor ≥ 1 — the
+    exact rule the frontier shard actors enforce at pop time,
+    state/pqueue.py per-seed budget maps) and the generations needed
+    to drain the host's page count at that pace (⌈n/tokens⌉).  The
+    SQL-expressible twin of the engine's pop-time pacing (the pacing
+    itself is pinned by test_pqueue's sharded politeness test; this
+    puts the BUDGET ARITHMETIC under the driver's value-hash gate).
+
+    Shape: ONE combiner grouped_agg at host cardinality; the
+    token/drain arithmetic is integer floor/ceil division on the
+    host-sized aggregate."""
+    from ..corpus import HOSTS
+
+    ds = _docs(sf_dir, columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "host_idx": pa.array(ids % HOSTS, pa.int64()),
+        })
+
+    per_host = grouped_agg(
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        ["host_idx"], [("n_pages", "", "count")],
+    )
+
+    def budget(batch: pa.Table) -> pa.Table:
+        h = batch.column("host_idx").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        n = batch.column("n_pages").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        delay = 5 + (h % POLITENESS_DELAYS) * 5
+        tokens = np.maximum(POLITENESS_WALLCLOCK_S // delay, 1)
+        drain = -(-n // tokens)   # ceil division, integer
+        return pa.table({
+            "host_idx": pa.array(h, pa.int64()),
+            "n_pages": pa.array(n, pa.int64()),
+            "delay_s": pa.array(delay, pa.int64()),
+            "tokens_per_gen": pa.array(tokens, pa.int64()),
+            "gens_to_drain": pa.array(drain, pa.int64()),
+        })
+
+    return per_host.map_batches(budget, batch_format="pyarrow",
+                                batch_size=None,
+                                runtime_env=runtime_env())
+
+
+def _sql_politeness_budget() -> str:
+    from ..corpus import HOSTS
+
+    return f"""
+WITH per_host AS (
+  SELECT doc_id % {HOSTS} AS host_idx,
+         CAST(count(*) AS BIGINT) AS n_pages
+  FROM documents GROUP BY 1
+)
+SELECT CAST(host_idx AS BIGINT) AS host_idx, n_pages,
+       CAST(5 + (host_idx % {POLITENESS_DELAYS}) * 5 AS BIGINT)
+         AS delay_s,
+       CAST(greatest({POLITENESS_WALLCLOCK_S}
+                     // (5 + (host_idx % {POLITENESS_DELAYS}) * 5), 1)
+            AS BIGINT) AS tokens_per_gen,
+       CAST(ceil(CAST(n_pages AS DOUBLE)
+                 / greatest({POLITENESS_WALLCLOCK_S}
+                            // (5 + (host_idx % {POLITENESS_DELAYS}) * 5),
+                            1)) AS BIGINT) AS gens_to_drain
+FROM per_host ORDER BY host_idx
+"""
+
+
+def q_ann_prebuilt(sf_dir: str):
+    """Build-once / probe-many retrieval (ann_prebuilt): builds the
+    hive-partitioned IVF index into a per-corpus /tmp directory via
+    :func:`functions.ann.ivf_build_index` (assignment parquet
+    partitioned by cell + centroids.npz + manifest.json), then answers
+    the standard 3-query probe purely from the DIRECTORY PATH with
+    :func:`functions.ann.ivf_probe_index` — no dataset handle, no
+    retraining, only probed cells' files read — and probes twice to
+    pin probe determinism.  Rows-only (ANN scores are approximate
+    floats; the physical-pruning proof is the corrupt-non-probed-cells
+    test in test_functions)."""
+    import hashlib
+
+    from ..functions.ann import ivf_build_index, ivf_probe_index
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = np.array([r["embedding"] for r in ds.take(3)], np.float64)
+    idx = ("/tmp/dwh_ann_prebuilt_"
+           + hashlib.sha256(sf_dir.encode()).hexdigest()[:12])
+    ivf_build_index(ds, idx, n_cells=8)
+    out = ivf_probe_index(idx, q, k=10, n_probe=4)
+    again = ivf_probe_index(idx, q, k=10, n_probe=4)
+    assert out.equals(again), "probe must be deterministic"
+    return out
+
+
+def q_crawl_paced(sf_dir: str):
+    """Politeness-paced BFS crawl trace (crawl_paced): the generation
+    loop with ``gen_wallclock_s`` politeness tokens — a robots
+    Crawl-delay-30 seed is paced to ⌊35/30⌋ = 1 scheduled fetch per
+    generation while default-delay (7 s) seeds run ⌊35/7⌋ = 5,
+    enforced AT POP TIME inside the sharded frontier's actors
+    (state/pqueue.py per-seed budget maps), with the run's
+    per-generation integer metrics as the trace table.  Rows-only
+    (iterative engine replay; what-vs-when equivalence to the unpaced
+    run is pinned by test_pqueue's politeness test)."""
+    from ..urlops import get_host
+
+    corpus = corpus_from_documents(sf_dir)
+    seeds = seed_urls(4)
+    robots = {get_host(seeds[0]): "User-agent: *\nCrawl-delay: 30\n"}
+    cfg = CrawlSettings(max_depth=2, max_pages=10, seen_shards=2,
+                        frontier_shards=2, robots_rules=robots,
+                        gen_wallclock_s=35.0)
+    run = run_crawl(corpus, seeds, cfg=cfg)
+    rows = [m.as_dict() for m in run.metrics]
+    cols = ["generation", "candidates", "fetched", "success", "failed",
+            "blacklisted", "dup", "robots_blocked", "deferred",
+            "abandoned", "already"]
+    return pa.table({
+        c: pa.array([int(r[c]) for r in rows], pa.int64())
+        for c in cols
+    })
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -21561,6 +21821,10 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "host_dup_stats": q_host_dup_stats,
         "source_overlap": q_source_overlap,
         "politeness_audit": q_politeness_audit,
+        "politeness_budget": q_politeness_budget,
+        "bootstrap_means": q_bootstrap_means,
+        "ann_prebuilt": q_ann_prebuilt,
+        "crawl_paced": q_crawl_paced,
         "host_freshness": q_host_freshness,
         "cluster_sizes": q_cluster_sizes,
         "snapshot_diff": q_snapshot_diff,
@@ -21841,6 +22105,8 @@ def build_oracle_sql() -> Dict[str, str]:
         "host_dup_stats": _sql_host_dup_stats(),
         "source_overlap": _sql_source_overlap(),
         "politeness_audit": _sql_politeness_audit(),
+        "politeness_budget": _sql_politeness_budget(),
+        "bootstrap_means": _sql_bootstrap_means(),
         "host_freshness": _sql_host_freshness(),
         "cluster_sizes": _SQL_CLUSTER_SIZES,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
@@ -22051,4 +22317,5 @@ ROWS_ONLY: List[str] = [
     "dedup_eval",
     "mmr_topk", "embedding_pca",
     "compressibility", "streaming_heavy_tokens", "cdc_dedup",
+    "ann_prebuilt", "crawl_paced",
 ]

@@ -47,6 +47,8 @@ SPOT_CHECKED = [
     "host_dup_stats",
     "source_overlap",
     "politeness_audit",
+    "politeness_budget",
+    "bootstrap_means",
     "host_freshness",
     "cluster_sizes",
     "snapshot_diff",
