@@ -24,6 +24,7 @@ expected title/text/content-hash from ``documents`` alone.
 """
 from __future__ import annotations
 
+import re
 from pathlib import Path
 from typing import Callable, Dict, List
 
@@ -21766,6 +21767,150 @@ def q_crawl_paced(sf_dir: str):
     })
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+# identical pattern STRINGS compiled by python re and DuckDB RE2 — the
+# token_counts parity idiom extended to the whole rule set
+GOPHER_PAT_WORD = r"\S+"
+GOPHER_PAT_SYMBOL = r"#|\.\.\."
+GOPHER_PAT_BULLET = r"(?m)^[•\-\*]"
+GOPHER_PAT_ELLIPSIS = r"(?m)(?:\.\.\.|…)$"
+GOPHER_PAT_ALPHA = r"\S*[A-Za-z]\S*"
+
+
+def q_gopher_rules(sf_dir: str):
+    """Gopher quality-filter ruleset (gopher_rules): the published
+    document-level quality rules from Rae et al. 2021 ("Scaling
+    Language Models: ... Gopher", §A1.1 — public method), the filter
+    battery most large webtext pipelines run verbatim: word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio, bullet-line
+    and ellipsis-line fractions, alphabetic-word fraction, and
+    required-stopword presence.  Complements ``repetition_filter``
+    (the same paper's OTHER half) and ``quality_scores`` (generic
+    heuristics) with the named, citable rule set.
+
+    Determinism contract: every raw statistic is an INTEGER count from
+    a pattern string shared verbatim between python ``re`` and DuckDB
+    RE2 (the token_counts parity idiom), and every ratio rule is
+    decided by integer CROSS-MULTIPLICATION (``10·symbols ≤ words``
+    for the 0.1 ratio, etc.) — no float ever crosses an engine
+    boundary.  Stopword presence uses first-occurrence regex existence
+    (RE2 has no lookarounds; presence, unlike counting, is unaffected
+    by match consumption).
+
+    Distributed shape: one stateless vectorized-per-doc map (compiled
+    regexes at module import, zero per-batch setup), no shuffle at
+    all — the embarrassingly-parallel shape a 100-TB filter pass
+    needs.  Output: per-doc integer stats + the 7 rule flags +
+    ``gopher_ok``."""
+    pats = {
+        "word": re.compile(GOPHER_PAT_WORD),
+        "symbol": re.compile(GOPHER_PAT_SYMBOL),
+        "bullet": re.compile(GOPHER_PAT_BULLET),
+        "ellipsis": re.compile(GOPHER_PAT_ELLIPSIS),
+        "alpha": re.compile(GOPHER_PAT_ALPHA),
+    }
+    stop_pats = [
+        re.compile(r"(?:^|\s)" + w + r"(?:\s|$)")
+        for w in GOPHER_STOPWORDS
+    ]
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        cols = {k: np.zeros(n, np.int64) for k in (
+            "n_words", "word_chars", "n_symbols", "n_lines",
+            "n_bullet", "n_ellipsis", "n_alpha_words", "n_stop")}
+        for i, t in enumerate(texts):
+            t = t or ""
+            words = pats["word"].findall(t)
+            cols["n_words"][i] = len(words)
+            cols["word_chars"][i] = sum(len(w) for w in words)
+            cols["n_symbols"][i] = len(pats["symbol"].findall(t))
+            cols["n_lines"][i] = t.count("\n") + 1
+            cols["n_bullet"][i] = len(pats["bullet"].findall(t))
+            cols["n_ellipsis"][i] = len(pats["ellipsis"].findall(t))
+            cols["n_alpha_words"][i] = len(pats["alpha"].findall(t))
+            low = t.lower()
+            cols["n_stop"][i] = sum(
+                1 for p in stop_pats if p.search(low))
+        w = cols["n_words"]
+        ln = cols["n_lines"]
+        flags = {
+            "f_words": (50 <= w) & (w <= 100_000),
+            "f_meanlen": (3 * w <= cols["word_chars"])
+            & (cols["word_chars"] <= 10 * w),
+            "f_symbol": 10 * cols["n_symbols"] <= w,
+            "f_bullet": 10 * cols["n_bullet"] <= 9 * ln,
+            "f_ellipsis": 10 * cols["n_ellipsis"] <= 3 * ln,
+            "f_alpha": 5 * cols["n_alpha_words"] >= 4 * w,
+            "f_stop": cols["n_stop"] >= 2,
+        }
+        ok = np.ones(n, bool)
+        for f in flags.values():
+            ok &= f
+        out = {"doc_id": batch.column("doc_id")}
+        out.update({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+        out.update({k: pa.array(v.astype(np.int64), pa.int64())
+                    for k, v in flags.items()})
+        out["gopher_ok"] = pa.array(ok.astype(np.int64), pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(stats, batch_format="pyarrow",
+                          batch_size=None,
+                          runtime_env=runtime_env()).sort("doc_id")
+
+
+def _sql_gopher_rules() -> str:
+    stops = " + ".join(
+        f"CAST(len(regexp_extract_all(lower(text), "
+        f"'(?:^|\\s){w}(?:\\s|$)')) > 0 AS BIGINT)"
+        for w in GOPHER_STOPWORDS)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{GOPHER_PAT_WORD}'))
+         AS BIGINT) AS n_words,
+    CAST(COALESCE(list_aggregate(
+           list_transform(regexp_extract_all(text, '{GOPHER_PAT_WORD}'),
+                          w -> len(w)), 'sum'), 0)
+         AS BIGINT) AS word_chars,
+    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+         AS BIGINT) AS n_symbols,
+    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+    CAST(len(regexp_extract_all(text, '(?m)^[•\\-\\*]'))
+         AS BIGINT) AS n_bullet,
+    CAST(len(regexp_extract_all(text, '(?m)(?:\\.\\.\\.|…)$'))
+         AS BIGINT) AS n_ellipsis,
+    CAST(len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*'))
+         AS BIGINT) AS n_alpha_words,
+    CAST({stops} AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_words, word_chars, n_symbols, n_lines, n_bullet,
+       n_ellipsis, n_alpha_words, n_stop,
+       CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS f_words,
+       CAST(3 * n_words <= word_chars AND word_chars <= 10 * n_words
+            AS BIGINT) AS f_meanlen,
+       CAST(10 * n_symbols <= n_words AS BIGINT) AS f_symbol,
+       CAST(10 * n_bullet <= 9 * n_lines AS BIGINT) AS f_bullet,
+       CAST(10 * n_ellipsis <= 3 * n_lines AS BIGINT) AS f_ellipsis,
+       CAST(5 * n_alpha_words >= 4 * n_words AS BIGINT) AS f_alpha,
+       CAST(n_stop >= 2 AS BIGINT) AS f_stop,
+       CAST(n_words >= 50 AND n_words <= 100000
+            AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+            AND 10 * n_symbols <= n_words
+            AND 10 * n_bullet <= 9 * n_lines
+            AND 10 * n_ellipsis <= 3 * n_lines
+            AND 5 * n_alpha_words >= 4 * n_words
+            AND n_stop >= 2 AS BIGINT) AS gopher_ok
+FROM s ORDER BY doc_id
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -21822,6 +21967,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "source_overlap": q_source_overlap,
         "politeness_audit": q_politeness_audit,
         "politeness_budget": q_politeness_budget,
+        "gopher_rules": q_gopher_rules,
         "bootstrap_means": q_bootstrap_means,
         "ann_prebuilt": q_ann_prebuilt,
         "crawl_paced": q_crawl_paced,
@@ -22106,6 +22252,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "source_overlap": _sql_source_overlap(),
         "politeness_audit": _sql_politeness_audit(),
         "politeness_budget": _sql_politeness_budget(),
+        "gopher_rules": _sql_gopher_rules(),
         "bootstrap_means": _sql_bootstrap_means(),
         "host_freshness": _sql_host_freshness(),
         "cluster_sizes": _SQL_CLUSTER_SIZES,

@@ -48,6 +48,7 @@ SPOT_CHECKED = [
     "source_overlap",
     "politeness_audit",
     "politeness_budget",
+    "gopher_rules",
     "bootstrap_means",
     "host_freshness",
     "cluster_sizes",
