@@ -21911,6 +21911,116 @@ FROM s ORDER BY doc_id
 """
 
 
+C4_LINE_END = r'[.!?"]$'     # terminal-punctuation line rule
+C4_MIN_LINE_WORDS = 3
+C4_MIN_SENTENCES = 5
+
+
+def q_c4_filters(sf_dir: str):
+    """C4 cleaning rules (c4_filters): the published line- and
+    page-level cleanup from Raffel et al. 2020 ("Exploring the Limits
+    of Transfer Learning...", §2.2 — public method) that produced C4
+    from Common Crawl: keep only lines ending in terminal punctuation
+    with ≥3 words and no "javascript"; drop pages with <5 sentences,
+    any "lorem ipsum", or a ``{``.  The third member of the published
+    filter trio (gopher_rules = Gopher §A1.1, repetition_filter =
+    Gopher's repetition half).
+
+    The cleaned text itself is pinned, not just counted: the
+    kept-lines join is hashed with the repo's shared md5→BIGINT idiom,
+    so a single line kept or dropped differently in either engine
+    breaks the value hash — the oracle checks the TRANSFORM, not a
+    summary of it.  All other outputs are integer counts/flags.
+
+    Distributed shape: one stateless per-doc map (list_filter ↔
+    compiled-regex loop), zero shuffle — the 100-TB filter-pass
+    shape."""
+    import hashlib
+
+    end_re = re.compile(C4_LINE_END)
+    word_re = re.compile(r"\S+")
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        n_lines = np.zeros(n, np.int64)
+        n_kept = np.zeros(n, np.int64)
+        clean_hash = np.zeros(n, np.int64)
+        n_sent = np.zeros(n, np.int64)
+        has_lorem = np.zeros(n, np.int64)
+        has_brace = np.zeros(n, np.int64)
+        for i, t in enumerate(texts):
+            t = t or ""
+            lines = t.split("\n")
+            kept = [
+                ln for ln in lines
+                if end_re.search(ln)
+                and len(word_re.findall(ln)) >= C4_MIN_LINE_WORDS
+                and "javascript" not in ln.lower()
+            ]
+            clean = "\n".join(kept)
+            n_lines[i] = len(lines)
+            n_kept[i] = len(kept)
+            clean_hash[i] = int(
+                hashlib.md5(clean.encode()).hexdigest()[:15], 16)
+            n_sent[i] = clean.count(".") + clean.count("!") \
+                + clean.count("?")
+            low = t.lower()
+            has_lorem[i] = int("lorem ipsum" in low)
+            has_brace[i] = int("{" in t)
+        keep = ((n_sent >= C4_MIN_SENTENCES) & (has_lorem == 0)
+                & (has_brace == 0)).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "clean_hash": pa.array(clean_hash, pa.int64()),
+            "n_sentences": pa.array(n_sent, pa.int64()),
+            "has_lorem": pa.array(has_lorem, pa.int64()),
+            "has_brace": pa.array(has_brace, pa.int64()),
+            "c4_keep": pa.array(keep, pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow",
+                          batch_size=None,
+                          runtime_env=runtime_env()).sort("doc_id")
+
+
+def _sql_c4_filters() -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, text,
+    string_split(text, chr(10)) AS lines,
+    list_filter(string_split(text, chr(10)),
+      l -> regexp_matches(l, '{C4_LINE_END.replace("'", "''")}')
+           AND len(regexp_extract_all(l, '\\S+')) >= {C4_MIN_LINE_WORDS}
+           AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lines, kept,
+    COALESCE(array_to_string(kept, chr(10)), '') AS clean,
+    text
+  FROM s
+)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept,
+  CAST(concat('0x', substr(md5(clean), 1, 15)) AS BIGINT) AS clean_hash,
+  CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT)
+    AS n_sentences,
+  CAST(contains(lower(text), 'lorem ipsum') AS BIGINT) AS has_lorem,
+  CAST(contains(text, '{{') AS BIGINT) AS has_brace,
+  CAST(len(regexp_extract_all(clean, '[.!?]')) >= {C4_MIN_SENTENCES}
+       AND NOT contains(lower(text), 'lorem ipsum')
+       AND NOT contains(text, '{{') AS BIGINT) AS c4_keep
+FROM c ORDER BY doc_id
+"""
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -21968,6 +22078,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "politeness_audit": q_politeness_audit,
         "politeness_budget": q_politeness_budget,
         "gopher_rules": q_gopher_rules,
+        "c4_filters": q_c4_filters,
         "bootstrap_means": q_bootstrap_means,
         "ann_prebuilt": q_ann_prebuilt,
         "crawl_paced": q_crawl_paced,
@@ -22253,6 +22364,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "politeness_audit": _sql_politeness_audit(),
         "politeness_budget": _sql_politeness_budget(),
         "gopher_rules": _sql_gopher_rules(),
+        "c4_filters": _sql_c4_filters(),
         "bootstrap_means": _sql_bootstrap_means(),
         "host_freshness": _sql_host_freshness(),
         "cluster_sizes": _SQL_CLUSTER_SIZES,

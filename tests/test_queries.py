@@ -49,6 +49,7 @@ SPOT_CHECKED = [
     "politeness_audit",
     "politeness_budget",
     "gopher_rules",
+    "c4_filters",
     "bootstrap_means",
     "host_freshness",
     "cluster_sizes",
