@@ -132,6 +132,12 @@ BENCH_QUERIES = [
     "dynamic_pivot",
     "above_avg_orders",
     "tree_depth",
+    "bootstrap_means",
+    "politeness_budget",
+    "gopher_rules",
+    "c4_filters",
+    "ann_prebuilt",
+    "crawl_paced",
     "distinct_users_by_type",
     "value_stats",
     "orders_with_late_items",
