@@ -441,13 +441,52 @@ def _generation_dataplane(
         sid for sid, st in states.items()
         if st.exhausted or st.pages >= cfg.max_pages
     )
+    # replay seed ranges first: prep tasks split candidates by range
+    n_replay = max(1, cfg.replay_shards or 1)
+    seed_ids = sorted(states)
+    chunk = ((len(seed_ids) + n_replay - 1) // n_replay
+             if seed_ids else 1)
+    ranges = [frozenset(seed_ids[i * chunk:(i + 1) * chunk])
+              for i in range(n_replay)]
+
+    # one parallel prep task PER FRONTIER SHARD (a single
+    # whole-generation prep would itself be the bottleneck at scale)
     pop_refs = frontier.pop_budget_refs(pop_budget)
-    info_ref, cand_ref, hashes_ref = tasks["prep"].remote(
-        blacklist, robots, inactive, marks_pool.shard_handles,
-        100_000, *pop_refs)
-    info = ray.get(info_ref)
-    gm.already = info["already"]
-    gm.candidates = info["n_candidates"]
+    info_refs, shard_hash_refs = [], []
+    range_refs: List[list] = [[] for _ in range(n_replay)]
+    for pref in pop_refs:
+        outs = tasks["prep"].options(num_returns=2 + n_replay).remote(
+            blacklist, robots, inactive, marks_pool.shard_handles,
+            100_000, ranges, pref)
+        info_refs.append(outs[0])
+        shard_hash_refs.append(outs[1])
+        for k in range(n_replay):
+            range_refs[k].append(outs[2 + k])
+    hashes_ref = tasks["mergeh"].remote(*shard_hash_refs)
+
+    import hashlib as _hl
+
+    info_list = ray.get(info_refs)
+    gm.already = sum(i["already"] for i in info_list)
+    gm.candidates = sum(i["n_candidates"] for i in info_list)
+    small_lists = [i["fetch_urls_small"] for i in info_list]
+    union_small = (sorted({u for lst in small_lists for u in lst})
+                   if all(x is not None for x in small_lists)
+                   else None)
+    info = {
+        "n_fetch": sum(i["n_fetch"] for i in info_list),
+        "aband_pre": sum(i["aband_pre"] for i in info_list),
+        "hosts": sorted({h for i in info_list for h in i["hosts"]}),
+        # generation digest = digest of per-shard fetch-set digests
+        # (shard order) — lineage identity without a global URL gather
+        "fetch_digest": _hl.sha256(
+            "".join(i["fetch_digest"] for i in info_list).encode()
+        ).hexdigest()[:16],
+        "fetch_urls_small": (
+            union_small
+            if union_small is not None and len(union_small) <= 100_000
+            else None),
+    }
 
     gen_results_dir = results_root / f"gen={gen}"
     if gen_results_dir.exists():
@@ -490,18 +529,14 @@ def _generation_dataplane(
         fetched_urls_per_gen.append(
             set(ray.get(urls_ref)) if urls_ref is not None else set())
 
-    # replay claims chain over contiguous seed ranges (chain order ==
-    # canonical order; each link starts when its predecessor's claims
-    # arrive — state/scheduler.py's sharded-replay discipline, as tasks)
+    # replay claims chain over the contiguous seed ranges (chain order
+    # == canonical order; each link starts when its predecessor's
+    # claims arrive — state/scheduler.py's sharded-replay discipline,
+    # as tasks; each link's candidates arrive pre-split per frontier
+    # shard from the prep tasks)
     for stale in _glob.glob(
             str(state_root / f"*_delta_gen{gen}.parquet.shard*")):
         Path(stale).unlink()  # a longer previous run's shards
-    n_replay = max(1, cfg.replay_shards or 1)
-    seed_ids = sorted(states)
-    chunk = ((len(seed_ids) + n_replay - 1) // n_replay
-             if seed_ids else 1)
-    ranges = [frozenset(seed_ids[i * chunk:(i + 1) * chunk])
-              for i in range(n_replay)]
     claims_ref = ray.put(set())
     counter_futs, state_futs, acc_refs, prop_refs = [], [], [], []
     for k, sids_k in enumerate(ranges):
@@ -511,10 +546,11 @@ def _generation_dataplane(
             if sid in seed_delays
         } or None
         c_ref, st_ref, a_ref, p_ref, claims_ref = tasks["replay"].remote(
-            cand_ref, meta_ref, claims_ref, sub_states, cfg, sub_delays,
-            sids_k, hash_pool.shard_handles, marks_pool.shard_handles,
+            meta_ref, claims_ref, sub_states, cfg, sub_delays,
+            hash_pool.shard_handles, marks_pool.shard_handles,
             str(state_root / f"marks_delta_gen{gen}.parquet.shard{k}"),
             str(state_root / f"hashes_delta_gen{gen}.parquet.shard{k}"),
+            *range_refs[k],
         )
         counter_futs.append(c_ref)
         state_futs.append(st_ref)

@@ -92,35 +92,42 @@ def pool_insert(handles, keys: Sequence[str]) -> None:
 # ── generation tasks ─────────────────────────────────────────────────────────
 
 
-def _prep_candidates(
+def _prep_shard(
     blacklist,
     robots,
     inactive_sids: frozenset,
     marks_handles,
     scanner_cap: int,
-    *pop_parts,
+    seed_ranges,
+    pop_part,
 ):
-    """Candidate preparation for one generation (runs as a Ray task).
+    """Per-FRONTIER-SHARD candidate preparation (one parallel task per
+    shard — a single whole-generation prep task would itself be the
+    memory/straggler bottleneck at a 10^10 frontier).  Takes this
+    shard's popped entry list (auto-resolved ObjectRef), runs the mark
+    filter against the seen-shard actors plus the blacklist/robots
+    flags, and SPLITS the surviving candidates by replay seed range so
+    each replay-chain link later receives exactly its seeds' rows.
 
-    Inputs are the frontier shards' popped entry lists (auto-resolved
-    ObjectRefs).  Returns ``(info, cand_table, fetch_hashes)`` via
-    ``num_returns=3`` so the driver materializes only ``info``:
+    Returns ``(info, fetch_hashes, *range_tables)`` via
+    ``num_returns = 2 + len(seed_ranges)``; the driver materializes
+    only ``info``:
 
-    * info: counters (popped/already/aband_pre), the sorted distinct
-      HOST list (partition pruning; bounded by corpus host
-      cardinality), the fetch-set digest, and — iff the fetch set is
-      at most ``scanner_cap`` URLs — the URL list for the reader's
-      ``isin`` pushdown.
-    * cand_table: canonical-order active candidates
-      (sid, depth, url, black, robots) — stays in the object store.
-    * fetch_hashes: the sorted uint64 url-hash broadcast consumed by
-      ``fetch_extract_task`` (its ObjectRef IS the broadcast ref).
+    * info: this shard's counters (popped/already/aband_pre), its
+      distinct HOST list (partition pruning; bounded by host
+      cardinality), a shard fetch-set digest (the generation digest is
+      the driver's digest-of-shard-digests), and — iff ≤
+      ``scanner_cap`` — this shard's fetch URL list for the reader's
+      ``isin`` pushdown (the driver uses the union only when every
+      shard stayed under the cap).
+    * fetch_hashes: this shard's sorted uint64 url hashes (merged
+      across shards by :func:`_merge_hashes` into the broadcast).
+    * range_tables: per-seed-range candidate tables
+      (sid, depth, url, black, robots), each sorted canonically.
     """
     import hashlib
 
-    entries = sorted(
-        (e for part in pop_parts for e in part)
-    )  # canonical (sid, depth, url)
+    entries = sorted(pop_part)  # canonical (sid, depth, url)
     n_popped = len(entries)
 
     keys = [f"{sid}|{u}" for sid, _, u in entries]
@@ -158,15 +165,35 @@ def _prep_candidates(
             fetch_urls if len(fetch_urls) <= scanner_cap else None
         ),
     }
-    cand_table = pa.table({
-        "sid": pa.array([e[0] for e in active], pa.int32()),
-        "depth": pa.array([e[1] for e in active], pa.int32()),
-        "url": pa.array([e[2] for e in active], pa.string()),
-        "black": pa.array(black_flags, pa.bool_()),
-        "robots": pa.array(robots_flags, pa.bool_()),
-    })
+    range_tables = []
+    for sids_k in seed_ranges:
+        rows = [
+            (e, b, r)
+            for e, b, r in zip(active, black_flags, robots_flags)
+            if e[0] in sids_k
+        ]
+        range_tables.append(pa.table({
+            "sid": pa.array([e[0] for e, _, _ in rows], pa.int32()),
+            "depth": pa.array([e[1] for e, _, _ in rows], pa.int32()),
+            "url": pa.array([e[2] for e, _, _ in rows], pa.string()),
+            "black": pa.array([b for _, b, _ in rows], pa.bool_()),
+            "robots": pa.array([r for _, _, r in rows], pa.bool_()),
+        }))
     fetch_hashes = np.sort(batch_url_hash64(fetch_urls))
-    return info, cand_table, fetch_hashes
+    return (info, fetch_hashes, *range_tables)
+
+
+def _merge_hashes(*arrays):
+    """One sorted uint64 broadcast array from the per-shard fetch-hash
+    arrays (duplicates across shards are harmless to searchsorted
+    membership).  Linear in the generation's FETCH set — which is
+    bounded by the politeness token budgets (hosts × tokens), not the
+    frontier — and 8 bytes/URL, the SURVEY §4 columnar frontier
+    representation."""
+    if not arrays:
+        return np.empty(0, np.uint64)
+    return np.sort(np.concatenate([np.asarray(a, np.uint64)
+                                   for a in arrays]))
 
 
 def _build_meta(*blocks):
@@ -187,34 +214,44 @@ def _build_meta(*blocks):
 
 
 def _replay_shard(
-    cand_table: pa.Table,
     meta,
     claims: Set[str],
     shard_states: dict,
     cfg: CrawlSettings,
     delays: Optional[Dict[int, float]],
-    shard_sids: frozenset,
     hash_handles,
     marks_handles,
     marks_delta_path: str,
     hashes_delta_path: str,
+    *cand_tables,
 ):
     """One seed-range link of the replay claims chain (Ray task).
 
-    Slices its seeds' candidates from the shared candidate table,
-    attaches fetch outcomes from the meta lookup, queries prior-
-    generation content hashes from the hash pool, runs the UNCHANGED
-    ``replay_generation`` core, then inserts its new marks/hashes into
-    the pools and writes its checkpoint delta files — the driver gets
-    back ``(counters, shard_states, accepted, propagate, claims_out)``
+    Receives its seeds' candidate tables (one piece per frontier
+    shard, pre-split by :func:`_prep_shard`), restores the canonical
+    (sid, depth, url) order across pieces, attaches fetch outcomes
+    from the meta lookup, queries prior-generation content hashes from
+    the hash pool, runs the UNCHANGED ``replay_generation`` core, then
+    inserts its new marks/hashes into the pools and writes its
+    checkpoint delta files — the driver gets back
+    ``(counters, shard_states, accepted, propagate, claims_out)``
     via ``num_returns=5`` and materializes only the first two
     (counters + O(seeds/shard) states)."""
     from .crawl import _write_delta
 
-    sids = cand_table.column("sid").to_numpy(zero_copy_only=False)
-    mask = np.isin(sids, np.fromiter(shard_sids, np.int64)
-                   if shard_sids else np.empty(0, np.int64))
-    sub = cand_table.filter(pa.array(mask))
+    pieces = [t for t in cand_tables if t.num_rows]
+    if pieces:
+        sub = pa.concat_tables(pieces).sort_by(
+            [("sid", "ascending"), ("depth", "ascending"),
+             ("url", "ascending")])
+    else:
+        sub = cand_tables[0] if cand_tables else pa.table({
+            "sid": pa.array([], pa.int32()),
+            "depth": pa.array([], pa.int32()),
+            "url": pa.array([], pa.string()),
+            "black": pa.array([], pa.bool_()),
+            "robots": pa.array([], pa.bool_()),
+        })
 
     urls = sub.column("url").to_pylist()
     h_meta, hash_meta = meta
@@ -355,8 +392,11 @@ def _remote_tasks():
 
     env = runtime_env()
     return {
-        "prep": ray.remote(num_cpus=0, num_returns=3,
-                           runtime_env=env)(_prep_candidates),
+        # prep's num_returns is 2 + n_replay — set per call via
+        # .options(num_returns=...)
+        "prep": ray.remote(num_cpus=0, runtime_env=env)(_prep_shard),
+        "mergeh": ray.remote(num_cpus=0, runtime_env=env)(
+            _merge_hashes),
         "meta": ray.remote(num_cpus=0, num_returns=3,
                            runtime_env=env)(_build_meta),
         "replay": ray.remote(num_cpus=0, num_returns=5,
