@@ -354,33 +354,40 @@ def _build_expand_csr(max_depth: int, *prop_tables):
     exact structure ``_push_links_dataplane``'s expand_task consumes),
     built from the replay shards' propagate tables.  Returns
     ``(csr, n_expand)`` — the driver materializes only the count."""
-    rows: List[Tuple[str, int, int]] = []
-    for t in prop_tables:
-        for s, u, d in zip(
-            t.column("sid").to_pylist(),
-            t.column("url").to_pylist(),
-            t.column("depth").to_pylist(),
-        ):
-            if d < max_depth:
-                rows.append((u, s, d + 1))
-    if not rows:
+    tbls = [t for t in prop_tables if t.num_rows]
+    if not tbls:
         empty = (np.empty(0, np.uint64), np.empty(0, np.int64),
                  np.empty(0, np.int64), np.empty(0, np.int64),
                  np.empty(0, np.int64))
         return empty, 0
-    by_url: Dict[str, List[Tuple[int, int]]] = {}
-    for u, sid, nd in rows:
-        by_url.setdefault(u, []).append((sid, nd))
-    urls = list(by_url)
-    h = batch_url_hash64(urls)
-    order = np.argsort(h)
-    counts = np.array([len(by_url[urls[i]]) for i in order], np.int64)
-    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    sids = np.array(
-        [s for i in order for s, _ in by_url[urls[i]]], np.int64)
-    deps = np.array(
-        [d for i in order for _, d in by_url[urls[i]]], np.int64)
-    return (h[order], starts, counts, sids, deps), len(rows)
+    t = pa.concat_tables(tbls)
+    depths = t.column("depth").to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    keep = depths < max_depth
+    if not keep.any():
+        empty = (np.empty(0, np.uint64), np.empty(0, np.int64),
+                 np.empty(0, np.int64), np.empty(0, np.int64),
+                 np.empty(0, np.int64))
+        return empty, 0
+    kept = t.filter(pa.array(keep))
+    sids_all = kept.column("sid").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    deps_all = kept.column("depth").to_numpy(
+        zero_copy_only=False).astype(np.int64) + 1
+    h_all = batch_url_hash64(kept.column("url").to_pylist())
+    # group by url HASH (the key expand_task probes): one argsort, run
+    # boundaries, CSR starts/counts — fully vectorized, and hash-keyed
+    # grouping means a 64-bit collision merges buckets instead of
+    # shadowing the second one behind searchsorted's first match
+    order = np.argsort(h_all, kind="stable")
+    h_s = h_all[order]
+    sids = sids_all[order]
+    deps = deps_all[order]
+    run_start = np.flatnonzero(
+        np.concatenate(([True], h_s[1:] != h_s[:-1])))
+    counts = np.diff(np.concatenate((run_start, [len(h_s)])))
+    return (h_s[run_start], run_start.astype(np.int64),
+            counts.astype(np.int64), sids, deps), int(len(h_s))
 
 
 def _remote_tasks():
