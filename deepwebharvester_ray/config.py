@@ -117,6 +117,7 @@ def load_settings(
         "DWH_CRAWL_DELAY": ("crawl_delay", float),
         "DWH_SEEN_SHARDS": ("seen_shards", int),
         "DWH_SEEN_MODE": ("seen_mode", str),
+        "DWH_GEN_WALLCLOCK_S": ("gen_wallclock_s", float),
     }
     env_overrides = {}
     for env, (name, cast) in env_map.items():

@@ -8,22 +8,24 @@ moves the whole per-generation control plane into Ray tasks + the
 existing shard actors so the driver holds only O(seeds) state and
 per-generation COUNTERS:
 
-* ``pop`` stays on the frontier shard actors; their popped entries are
-  handed to :func:`prep_candidates` as ObjectRefs (never ``ray.get`` on
-  the driver).
-* :func:`prep_candidates` (one task per generation) sorts candidates
-  canonically, runs the mark filter against the seen-shard actors, the
-  blacklist/robots checks, and emits the candidate table + the fetch
-  hash broadcast as ObjectRefs; the driver receives a counters dict and
-  the (bounded, host-cardinality) pruning info.
-* :func:`replay_shard_task` — the seed-range claims chain of
+* ``pop`` stays on the frontier shard actors; each shard's popped
+  entries are handed to its own :func:`_prep_shard` task as an
+  ObjectRef (never ``ray.get`` on the driver).
+* :func:`_prep_shard` (one PARALLEL task per frontier shard — a
+  single whole-generation prep would itself be the bottleneck at
+  scale) runs the mark filter against the seen-shard actors plus the
+  blacklist/robots checks, and splits survivors by replay seed range;
+  the driver receives only the small per-shard info dicts and combines
+  counters/hosts/digests; :func:`_merge_hashes` builds the fetch-hash
+  broadcast from the per-shard arrays in a task.
+* :func:`_replay_shard` — the seed-range claims chain of
   ``state.scheduler.replay_generation_sharded``, as tasks whose
   candidate/meta inputs and accepted/propagate outputs are ObjectRefs;
-  each shard inserts its own new marks/hashes into the seen pools and
+  each link inserts its own new marks/hashes into the seen pools and
   writes its checkpoint delta file, so neither keys nor rows transit
   the driver.  Output is bit-identical to the driver replay (same
   ``replay_generation`` core, same canonical order).
-* :func:`build_accept_arrays` / :func:`build_expand_csr` assemble the
+* :func:`_build_accept_arrays` / :func:`_build_expand_csr` assemble the
   broadcast structures for the finalize filter and the data-plane link
   expansion from those refs, in tasks.
 
@@ -200,7 +202,13 @@ def _build_meta(*blocks):
     """(url, content_hash) lookup arrays, hash-sorted, from the fetched
     dataset's metadata blocks.  Returns ``(meta, n_fetched, urls)`` —
     the driver materializes only ``n_fetched`` (``urls`` only for the
-    documented test aids)."""
+    documented test aids).
+
+    Scale bound: the FETCHED set, like the scheduled set, is bounded
+    per generation by the politeness token budgets (hosts x tokens),
+    never by the frontier — the same envelope as the fetch-hash
+    broadcast (:func:`_merge_hashes`), which is what makes this a
+    broadcast-side structure rather than a join."""
     tbls = [b for b in blocks if b.num_rows]
     if not tbls:
         empty = (np.empty(0, np.uint64), np.empty(0, object))
