@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "c4_filters",
     "ann_prebuilt",
     "crawl_paced",
+    "link_bridges",
     "distinct_users_by_type",
     "value_stats",
     "orders_with_late_items",

@@ -1438,6 +1438,350 @@ def mis_select(nodes_ds, edges_ds, max_rounds: int = 128,
     )
 
 
+_BRIDGE_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bridge_edge_hashes(u: np.ndarray, v: np.ndarray):
+    """Two independent 32-bit nonzero hashes per canonical edge (u<v),
+    derived from the packed pair by the splitmix-style finalizer."""
+    with np.errstate(over="ignore"):
+        h = (u.astype(np.uint64) * np.uint64(2654435761)
+             + v.astype(np.uint64)) * _BRIDGE_MULT
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(29)
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.int64) | 1
+    h2 = ((h >> np.uint64(32)) & np.uint64(0xFFFFFFFF)).astype(
+        np.int64) | 1
+    return h1, h2
+
+
+def _bridges_sequential(u: np.ndarray, v: np.ndarray):
+    """Iterative Tarjan low-link bridge finder over canonical (u<v)
+    edge arrays — the exact small-graph path."""
+    ids = np.unique(np.concatenate([u, v]))
+    idx = {int(x): i for i, x in enumerate(ids)}
+    n = len(ids)
+    adj: list = [[] for _ in range(n)]
+    for e, (a, b) in enumerate(zip(u, v)):
+        ai, bi = idx[int(a)], idx[int(b)]
+        adj[ai].append((bi, e))
+        adj[bi].append((ai, e))
+    disc = [-1] * n
+    low = [0] * n
+    out_u, out_v = [], []
+    timer = 0
+    for s in range(n):
+        if disc[s] != -1:
+            continue
+        stack = [(s, -1, iter(adj[s]))]
+        disc[s] = low[s] = timer
+        timer += 1
+        while stack:
+            x, pe, it = stack[-1]
+            advanced = False
+            for w, eidx in it:
+                if eidx == pe:
+                    continue
+                if disc[w] == -1:
+                    disc[w] = low[w] = timer
+                    timer += 1
+                    stack.append((w, eidx, iter(adj[w])))
+                    advanced = True
+                    break
+                low[x] = min(low[x], disc[w])
+            if not advanced:
+                stack.pop()
+                if stack:
+                    p = stack[-1][0]
+                    low[p] = min(low[p], low[x])
+                    if low[x] > disc[p]:
+                        a, b = int(ids[p]), int(ids[x])
+                        out_u.append(min(a, b))
+                        out_v.append(max(a, b))
+    return out_u, out_v
+
+
+def bridge_edges(nodes_ds, edges_ds, max_rounds: int = 64,
+                 broadcast_below: int = 2_000_000):
+    """Bridges (cut edges) of the undirected graph — the 2-edge-
+    connectivity member of the connectivity family (components = CC,
+    strong = SCC, cohesion = k-core/k-truss; this finds the SINGLE
+    POINTS OF FAILURE: the links whose loss disconnects discovery,
+    what a crawl scheduler re-fetches first and an archive snapshots
+    redundantly).
+
+    Size gate: below ``broadcast_below`` canonical edges the edge list
+    is pulled ONCE (the same ≤-cutoff envelope every broadcast join
+    uses — ~16 MB at the 2M default) and the exact sequential Tarjan
+    low-link pass answers in milliseconds; both bridge phases of the
+    distributed path are diameter-bound rounds, so ~40 scheduling
+    floors on a sliver-sized graph would be pure overhead.  Above the
+    cutoff the distributed forest+covering path below takes over
+    (pinned equal to the sequential path in tests via
+    ``broadcast_below=1``).
+
+    Distributed shape — spanning-forest covering with signed hashes
+    (the classic XOR-covering bridge technique, carried in the signed-
+    sum group so plain grouped SUM works): build a BFS forest rooted
+    at each component's min id (parents = grouped-MIN over the
+    frontier, rounds = diameter); every NON-tree edge contributes
+    +hash at its min endpoint and −hash at its max endpoint, so a
+    subtree's sum cancels edges fully inside it and keeps exactly the
+    COVERING edges; subtree sums fold bottom-up one depth layer per
+    round (size-gated semi-join/attach + ONE combiner grouped sum per
+    round — the connected_components envelope).  A tree edge
+    (parent, c) is a bridge iff subtree(c)'s sum is zero on BOTH
+    independent 32-bit hash channels (a false bridge needs a signed
+    collision on both — probability ≈ 2⁻⁶⁴ per edge; false NON-bridges
+    never occur).  Non-tree edges are never bridges (they close a
+    cycle by construction).
+
+    ``nodes_ds``: (id); ``edges_ds``: (src, dst) directed or
+    undirected.  Returns canonical bridge edges (u, v), u < v.
+    Rows-only (no non-recursive SQL form); pinned against a sequential
+    Tarjan reference in tests."""
+    import ray
+
+    from .agg import grouped_agg
+    from .dedup import attach_id_labels, semi_join_ids, subtract_ids
+
+    def rename(ds, old, new):
+        return ds.map_batches(
+            lambda b: b.rename_columns(
+                [new if c == old else c for c in b.column_names]),
+            batch_format="pyarrow", runtime_env=runtime_env())
+
+    # canonical undirected edge set (u < v, deduped, self-loop-free)
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"u": pa.array(np.minimum(s, d), pa.int64()),
+                         "v": pa.array(np.maximum(s, d), pa.int64())})
+
+    ue = grouped_agg(
+        edges_ds.map_batches(canon, batch_format="pyarrow",
+                             runtime_env=runtime_env()),
+        ["u", "v"], [("__n", "", "count")], sorted_output=False,
+    ).select_columns(["u", "v"]).materialize()
+
+    if ue.count() < broadcast_below:
+        tbls = ray.get(ue.to_arrow_refs())
+        uu = np.concatenate(
+            [t.column("u").combine_chunks().to_numpy(
+                zero_copy_only=False) for t in tbls if t.num_rows]
+            or [np.empty(0, np.int64)])
+        vv = np.concatenate(
+            [t.column("v").combine_chunks().to_numpy(
+                zero_copy_only=False) for t in tbls if t.num_rows]
+            or [np.empty(0, np.int64)])
+        out_u, out_v = _bridges_sequential(uu, vv)
+        return ray.data.from_arrow(pa.table({
+            "u": pa.array(out_u, pa.int64()),
+            "v": pa.array(out_v, pa.int64()),
+        }))
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v = batch.column("v").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(np.concatenate([u, v]), pa.int64()),
+            "v": pa.array(np.concatenate([v, u]), pa.int64()),
+        })
+
+    sym = ue.map_batches(symmetrize, batch_format="pyarrow",
+                         runtime_env=runtime_env()).materialize()
+
+    # component roots (min id per component) seed the BFS forest
+    cc = connected_components(
+        rename(rename(ue, "u", "id_a"), "v", "id_b"))
+    roots = grouped_agg(
+        rename(cc.select_columns(["cluster_id"]), "cluster_id", "id"),
+        ["id"], [("__n", "", "count")], sorted_output=False,
+    ).select_columns(["id"])
+    # isolated nodes (no edges) are their own roots too — harmless:
+    # they produce no tree edges
+    touched = grouped_agg(rename(sym.select_columns(["u"]), "u", "id"),
+                          ["id"], [("__n", "", "count")],
+                          sorted_output=False).select_columns(["id"])
+    iso = subtract_ids(nodes_ds.select_columns(["id"]), touched,
+                       id_column="id", drop_column="id")
+    frontier = roots.union(iso).materialize()
+
+    def with_parent_depth(ds, parent, depth):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "id": batch.column("id"),
+                "parent": pa.array(
+                    np.full(n, parent, np.int64), pa.int64()),
+                "depth": pa.array(
+                    np.full(n, depth, np.int64), pa.int64()),
+            })
+        return ds.map_batches(fn, batch_format="pyarrow",
+                              runtime_env=runtime_env())
+
+    visited = with_parent_depth(frontier, -1, 0).materialize()
+    depth = 0
+    for _ in range(max_rounds):
+        if frontier.count() == 0:
+            break
+        depth += 1
+        cand = rename(
+            semi_join_ids(sym, frontier, id_column="u",
+                          keep_column="id"), "v", "id")
+        fresh = subtract_ids(cand, visited, id_column="id",
+                             drop_column="id")
+        newly = grouped_agg(
+            fresh.select_columns(["id", "u"]),
+            ["id"], [("parent", "u", "min")], sorted_output=False,
+        )
+
+        def stamp(batch: pa.Table, _d=depth) -> pa.Table:
+            return batch.append_column(
+                "depth", pa.array(
+                    np.full(batch.num_rows, _d, np.int64), pa.int64()))
+
+        newly = newly.map_batches(stamp, batch_format="pyarrow",
+                                  runtime_env=runtime_env()
+                                  ).materialize()
+        if newly.count() == 0:
+            frontier = newly.select_columns(["id"])
+            break
+        visited = visited.union(newly).materialize()
+        frontier = newly.select_columns(["id"]).materialize()
+    else:
+        raise RuntimeError(
+            f"bridge_edges: BFS forest not settled in {max_rounds} "
+            "rounds (diameter exceeds bound); raise max_rounds")
+    max_depth = depth
+
+    # non-tree edges: canonical edges minus {canonical(parent, child)}
+    PACK = np.int64(1) << np.int64(32)
+
+    def pack_cols(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        assert (hi < (1 << 31)).all(), "bridge_edges: ids exceed pack"
+        return lo * PACK + hi
+
+    def key_edges(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v = batch.column("v").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "key": pa.array(pack_cols(u, v), pa.int64()),
+            "u": batch.column("u"), "v": batch.column("v"),
+        })
+
+    def key_tree(batch: pa.Table) -> pa.Table:
+        c = batch.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        p = batch.column("parent").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = p >= 0
+        c, p = c[keep], p[keep]
+        return pa.table({"key": pa.array(pack_cols(p, c), pa.int64())})
+
+    keyed = ue.map_batches(key_edges, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+    tree_keys = visited.map_batches(key_tree, batch_format="pyarrow",
+                                    runtime_env=runtime_env())
+    nontree = subtract_ids(keyed, tree_keys, id_column="key",
+                           drop_column="key").materialize()
+
+    # signed hash contributions: +h at min endpoint, −h at max endpoint
+    def contrib(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v = batch.column("v").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        h1, h2 = _bridge_edge_hashes(u, v)
+        return pa.table({
+            "id": pa.array(np.concatenate([u, v]), pa.int64()),
+            "s1": pa.array(np.concatenate([h1, -h1]), pa.int64()),
+            "s2": pa.array(np.concatenate([h2, -h2]), pa.int64()),
+        })
+
+    acc = grouped_agg(
+        nontree.map_batches(contrib, batch_format="pyarrow",
+                            runtime_env=runtime_env()),
+        ["id"], [("s1", "s1", "sum"), ("s2", "s2", "sum")],
+        sorted_output=False,
+    ).materialize()
+
+    # bottom-up subtree folding, one depth layer per round
+    tree = visited.materialize()
+
+    def depth_eq(batch: pa.Table, d: int = 0) -> pa.Table:
+        dep = batch.column("depth").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return batch.filter(pa.array(dep == d)).select(["id"])
+
+    for d in range(max_depth, 0, -1):
+        layer_ids = tree.map_batches(
+            depth_eq, fn_kwargs={"d": d}, batch_format="pyarrow",
+            runtime_env=runtime_env())
+        layer_acc = semi_join_ids(acc, layer_ids, id_column="id",
+                                  keep_column="id")
+        contribs = rename(
+            attach_id_labels(
+                layer_acc, tree, id_column="id",
+                label_id_column="id", label_column="parent",
+            ).select_columns(["parent", "s1", "s2"]), "parent", "id")
+        acc = grouped_agg(
+            acc.union(contribs), ["id"],
+            [("s1", "s1", "sum"), ("s2", "s2", "sum")],
+            sorted_output=False,
+        ).materialize()
+
+    # bridge test: tree edge (parent, c) with zero subtree sum on both
+    # channels
+    def zeros_only(batch: pa.Table) -> pa.Table:
+        s1 = batch.column("s1").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        s2 = batch.column("s2").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return batch.filter(
+            pa.array((s1 == 0) & (s2 == 0))).select(["id"])
+
+    def nonroot(batch: pa.Table) -> pa.Table:
+        p = batch.column("parent").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return batch.filter(pa.array(p >= 0))
+
+    zero_ids = acc.map_batches(zeros_only, batch_format="pyarrow",
+                               runtime_env=runtime_env())
+    cand_tree = tree.map_batches(nonroot, batch_format="pyarrow",
+                                 runtime_env=runtime_env())
+    # nodes with NO accumulator row (no non-tree edge anywhere below)
+    # also have zero subtree sum — their tree edge is a bridge
+    acc_ids = acc.select_columns(["id"])
+    no_acc = subtract_ids(cand_tree, acc_ids, id_column="id",
+                          drop_column="id")
+    zero_tree = semi_join_ids(cand_tree, zero_ids, id_column="id",
+                              keep_column="id").union(no_acc)
+
+    def out(batch: pa.Table) -> pa.Table:
+        c = batch.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        p = batch.column("parent").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(np.minimum(p, c), pa.int64()),
+            "v": pa.array(np.maximum(p, c), pa.int64()),
+        })
+
+    return zero_tree.map_batches(out, batch_format="pyarrow",
+                                 runtime_env=runtime_env())
+
+
 def ktruss_edges(edges_ds, k: int, max_rounds: int = 64):
     """k-truss of the undirected graph: the maximal subgraph in which
     EVERY edge closes ≥ k−2 triangles (within the subgraph) — the

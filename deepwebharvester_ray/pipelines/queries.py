@@ -22021,6 +22021,83 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_link_bridges(sf_dir: str):
+    """Bridges (cut edges) of the crawl link graph — the 2-edge-
+    connectivity member of the connectivity family (link_scc = strong,
+    link_kcore/ktruss = cohesion): the single links whose loss
+    disconnects discovery, the edges a crawl scheduler re-fetches
+    first and an archive snapshots redundantly.
+
+    Scope: the 6-hop-horizon subgraph around the fixed 8-seed pivot
+    set (the link_distances/link_stress discipline) — BOTH bridge
+    phases are diameter-bound (forest build + bottom-up fold, one
+    round per depth layer), and the synthetic cyclic-shift link graph
+    has diameter ≈ n/128, so the unbounded graph would cost O(n)
+    rounds at any scale; real web graphs are shallow, and the horizon
+    subgraph is the region a snapshot/archival pass actually analyzes.
+
+    Distributed shape: 6 undirected BFS rounds for the horizon
+    (size-gated semi/subtract per round), induced-edge restriction,
+    then :func:`functions.graph.bridge_edges` — BFS spanning forest
+    (grouped-MIN parents), signed-hash covering (every non-tree edge
+    contributes ±hash at its endpoints so a subtree's sum cancels
+    internal edges and keeps exactly the covering ones; fold one depth
+    layer per round), bridge iff the child subtree sums to zero on
+    BOTH independent 32-bit channels (false-bridge ≈ 2⁻⁶⁴/edge; false
+    non-bridges never).  Rows-only (no non-recursive SQL form); the
+    operator is pinned against a sequential Tarjan reference in
+    test_functions."""
+    import ray
+
+    from ..functions.agg import grouped_agg as _gagg
+    from ..functions.dedup import semi_join_ids, subtract_ids
+    from ..functions.graph import bridge_edges
+
+    nodes, edges = _corpus_link_edges(sf_dir)
+    edges = edges.materialize()
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(np.concatenate([s, d]), pa.int64()),
+            "v": pa.array(np.concatenate([d, s]), pa.int64()),
+        })
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow",
+                            runtime_env=runtime_env()).materialize()
+    seeds = ray.data.from_arrow(pa.table({
+        "id": pa.array(
+            [s * STRESS_SEED_MOD for s in range(STRESS_SEED_K)],
+            pa.int64()),
+    }))
+    reached = seeds.materialize()
+    frontier = reached
+    for _ in range(STRESS_DEPTH):
+        nbrs = semi_join_ids(sym, frontier, id_column="u",
+                             keep_column="id").select_columns(["v"])
+        nbrs = nbrs.map_batches(
+            lambda b: b.rename_columns(["id"]),
+            batch_format="pyarrow", runtime_env=runtime_env())
+        fresh = _gagg(
+            subtract_ids(nbrs, reached, id_column="id",
+                         drop_column="id"),
+            ["id"], [("__n", "", "count")], sorted_output=False,
+        ).select_columns(["id"]).materialize()
+        if fresh.count() == 0:
+            break
+        reached = reached.union(fresh).materialize()
+        frontier = fresh
+
+    induced = semi_join_ids(
+        semi_join_ids(edges, reached, id_column="src",
+                      keep_column="id"),
+        reached, id_column="dst", keep_column="id")
+    return bridge_edges(reached, induced).sort(["u", "v"])
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -22108,6 +22185,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "cheapest_paths": q_cheapest_paths,
         "link_scc": q_link_scc,
         "link_mis": q_link_mis,
+        "link_bridges": q_link_bridges,
         "link_stress": q_link_stress,
         "link_harmonic": q_link_harmonic,
         "link_mst": q_link_mst,
@@ -22570,6 +22648,7 @@ ROWS_ONLY: List[str] = [
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
     "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
     "link_kcore", "link_scc", "link_mis", "link_ktruss", "link_coloring",
+    "link_bridges",
     "reach_profile", "link_stress", "link_mst", "link_densest",
     "link_bowtie", "link_harmonic",
     "raking_weights",

@@ -3838,3 +3838,86 @@ def test_mp4_meta_box_walk():
     assert mp4_meta(bad) == ("mp42", -1, -1)
     assert mp4_meta(b"") == ("", -1, -1)
     assert mp4_meta(b"RIFFxxxxWAVE") == ("", -1, -1)
+
+
+def _bridges_ref(n, edges):
+    """Sequential bridge finder (iterative Tarjan low-link)."""
+    adj = {i: [] for i in range(n)}
+    E = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    for idx, (a, b) in enumerate(E):
+        adj[a].append((b, idx))
+        adj[b].append((a, idx))
+    disc = [-1] * n
+    low = [0] * n
+    bridges = set()
+    timer = [0]
+    for s in range(n):
+        if disc[s] != -1:
+            continue
+        stack = [(s, -1, iter(adj[s]))]
+        disc[s] = low[s] = timer[0]
+        timer[0] += 1
+        while stack:
+            v, pe, it = stack[-1]
+            advanced = False
+            for w, eidx in it:
+                if eidx == pe:
+                    continue
+                if disc[w] == -1:
+                    disc[w] = low[w] = timer[0]
+                    timer[0] += 1
+                    stack.append((w, eidx, iter(adj[w])))
+                    advanced = True
+                    break
+                low[v] = min(low[v], disc[w])
+            if not advanced:
+                stack.pop()
+                if stack:
+                    u = stack[-1][0]
+                    low[u] = min(low[u], low[v])
+                    if low[v] > disc[u]:
+                        bridges.add((min(u, v), max(u, v)))
+    return bridges
+
+
+def test_bridge_edges_matches_tarjan(ray_session):
+    """bridge_edges equals a sequential Tarjan reference on planted
+    shapes (chain of triangles joined by single links → exactly the
+    links; a pure cycle → none; a pendant tree → every tree edge) plus
+    a random graph, including isolated nodes and multi-components."""
+    import ray
+
+    from deepwebharvester_ray.functions.graph import bridge_edges
+
+    edges = []
+    # 3 triangles (0-2, 10-12, 20-22) joined by single links
+    for base in (0, 10, 20):
+        edges += [(base, base + 1), (base + 1, base + 2),
+                  (base + 2, base)]
+    edges += [(2, 10), (12, 20)]            # the two bridges
+    # pendant tree off node 22: all bridges
+    edges += [(22, 30), (30, 31), (30, 32)]
+    # a separate pure cycle component 40..44: no bridges
+    edges += [(40 + i, 40 + (i + 1) % 5) for i in range(5)]
+    # random component over 50..79
+    rng = np.random.default_rng(97)
+    edges += [(int(a), int(b)) for a, b in zip(
+        rng.integers(50, 80, 60), rng.integers(50, 80, 60))]
+    # noise: self-loops and duplicate/reversed edges
+    edges += [(5, 5), (0, 1), (1, 0)]
+
+    n = 85  # includes isolated nodes 80..84
+    ref = _bridges_ref(n, edges)
+    nodes_ds = ray.data.from_items([{"id": i} for i in range(n)])
+    edges_ds = ray.data.from_items(
+        [{"src": a, "dst": b} for a, b in edges]).repartition(
+        7).materialize()
+    out = bridge_edges(nodes_ds, edges_ds).take_all()
+    got = {(r["u"], r["v"]) for r in out}
+    assert got == ref
+    assert {(2, 10), (12, 20), (22, 30), (30, 31), (30, 32)} <= got
+    assert not any(40 <= u <= 44 for u, _ in got)
+    # force the DISTRIBUTED forest+covering path and pin it to the
+    # sequential path's answer
+    dist = bridge_edges(nodes_ds, edges_ds, broadcast_below=1).take_all()
+    assert {(r["u"], r["v"]) for r in dist} == ref
