@@ -21723,18 +21723,24 @@ def q_ann_prebuilt(sf_dir: str):
     pin probe determinism.  Rows-only (ANN scores are approximate
     floats; the physical-pruning proof is the corrupt-non-probed-cells
     test in test_functions)."""
-    import hashlib
+    import shutil
+    import tempfile
 
     from ..functions.ann import ivf_build_index, ivf_probe_index
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q = np.array([r["embedding"] for r in ds.take(3)], np.float64)
-    idx = ("/tmp/dwh_ann_prebuilt_"
-           + hashlib.sha256(sf_dir.encode()).hexdigest()[:12])
-    ivf_build_index(ds, idx, n_cells=8)
-    out = ivf_probe_index(idx, q, k=10, n_probe=4)
-    again = ivf_probe_index(idx, q, k=10, n_probe=4)
-    assert out.equals(again), "probe must be deterministic"
+    # per-call directory: concurrent runs (driver check + bench) must
+    # not race a shared path's rmtree/probe; output determinism does
+    # not depend on the directory name
+    idx = tempfile.mkdtemp(prefix="dwh_ann_prebuilt_")
+    try:
+        ivf_build_index(ds, idx, n_cells=8)
+        out = ivf_probe_index(idx, q, k=10, n_probe=4)
+        again = ivf_probe_index(idx, q, k=10, n_probe=4)
+        assert out.equals(again), "probe must be deterministic"
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
     return out
 
 
