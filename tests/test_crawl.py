@@ -375,3 +375,50 @@ def test_sharded_frontier_resume(smoke_corpus, tmp_path):
     resumed = run_crawl(smoke_corpus, seeds, shallow, run_dir=part_dir,
                         resume=True, track_fetched_urls=True)
     assert resumed.stats["pages_crawled"] >= 0  # resume completed cleanly
+
+
+def test_dataplane_writes_per_shard_deltas(smoke_corpus, tmp_path):
+    """The sharded (data-plane) path's replay TASKS write per-shard
+    seen-set delta files; _read_delta must read that layout back
+    identically to the driver path's single files."""
+    from pathlib import Path
+
+    from deepwebharvester_ray.pipelines.crawl import _read_delta
+
+    seeds = corpus.seed_urls(4)
+    cfg = CrawlSettings(max_depth=1, seen_shards=2, frontier_shards=2,
+                        replay_shards=2)
+    run_dir = tmp_path / "run"
+    run_crawl(smoke_corpus, seeds, cfg, run_dir=str(run_dir))
+    state = run_dir / "state"
+    shard_files = sorted(state.glob("marks_delta_gen0.parquet.shard*"))
+    assert len(shard_files) == 2  # one per replay-chain link
+    assert not (state / "marks_delta_gen0.parquet").exists()
+    keys = _read_delta(str(state / "marks_delta_gen0.parquet"))
+    assert keys and all("|" in k for k in keys)
+
+    # driver path writes the single-file layout; both read back equal
+    drv = run_crawl(smoke_corpus, seeds,
+                    CrawlSettings(max_depth=1, seen_shards=2),
+                    run_dir=str(tmp_path / "drv"))
+    assert drv.stats["pages_crawled"] > 0
+    dkeys = _read_delta(
+        str(tmp_path / "drv" / "state" / "marks_delta_gen0.parquet"))
+    assert sorted(keys) == sorted(dkeys)
+
+
+def test_pool_task_side_routing_matches_pool(ray_session):
+    """crawl_plane.pool_contains/pool_insert (task-side access via raw
+    shard handles) agree with SeenSetPool's own routed methods."""
+    from deepwebharvester_ray.pipelines.crawl_plane import (
+        pool_contains, pool_insert)
+    from deepwebharvester_ray.state.seen import SeenSetPool
+
+    pool = SeenSetPool(3, "exact")
+    keys = [f"k{i}" for i in range(50)]
+    pool_insert(pool.shard_handles, keys[:30])
+    got = pool_contains(pool.shard_handles, keys)
+    want = pool.contains(keys)
+    assert got.tolist() == want.tolist()
+    assert got[:30].all() and not got[30:].any()
+    assert pool.size() == 30
