@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "ann_prebuilt",
     "crawl_paced",
     "link_bridges",
+    "events_hourly_stream",
     "distinct_users_by_type",
     "value_stats",
     "orders_with_late_items",

@@ -1,14 +1,15 @@
 """Streaming (micro-batch) operators over keyed actor-shard pools.
 
-Five arrival-order twins of batch operators, each emitting continuously
+Six arrival-order twins of batch operators, each emitting continuously
 with BOUNDED state and proving plan equivalence against the batch
 answer (shared SQL oracles where one exists): gap sessionization
 (:func:`streaming_sessionize`), exact first-occurrence dedup
 (:func:`streaming_dedup`), Misra–Gries heavy hitters
 (:func:`streaming_topk`), the interval join
-(:func:`streaming_interval_join`, watermark-evicted open windows) and
-the backward as-of join (:func:`streaming_asof_join`, latest-view-per-
-user floor).  All share one topology, detailed below for the
+(:func:`streaming_interval_join`, watermark-evicted open windows), the
+backward as-of join (:func:`streaming_asof_join`, latest-view-per-user
+floor) and the tumbling-window aggregate
+(:func:`streaming_tumbling_agg`, watermark-closed hourly windows).  All share one topology, detailed below for the
 sessionizer and reused verbatim by the others; event-time ties at
 micro-batch boundaries are kept together by :func:`_ts_aligned_batches`
 (an inclusive-predicate tie split across batches is silently missed
@@ -755,3 +756,151 @@ def _ts_aligned_batches(ds, micro_batch: int, ts_col: str = "ts"):
             yield chunk
     if carry is not None and carry.num_rows:
         yield carry
+
+
+US_PER_HOUR = 3_600_000_000
+MS_PER_HOUR = 3_600_000
+
+
+class _TumblingShardState:
+    """Open tumbling-window aggregates for one streaming shard:
+    {(event_type, hour_ms): [n, cents]}.  On an event-time-ordered
+    stream a window closes as soon as the watermark reaches its end
+    (an event AT the boundary belongs to the next hour, so
+    ``hour_end ≤ watermark`` can never lose a row) — each (type, hour)
+    lives on exactly one shard and is emitted exactly once; state is
+    bounded by types × open hours (≈ types on an ordered stream),
+    never by stream length."""
+
+    def __init__(self) -> None:
+        self.open: dict = {}
+
+    def ingest(self, types, hours, ns, cents, watermark_us: int):
+        for t, h, n, c in zip(types, hours, ns, cents):
+            key = (t, int(h))
+            acc = self.open.get(key)
+            if acc is None:
+                self.open[key] = [int(n), int(c)]
+            else:
+                acc[0] += int(n)
+                acc[1] += int(c)
+        closed = [k for k in self.open
+                  if (k[1] + MS_PER_HOUR) * 1000 <= watermark_us]
+        return self._emit(closed)
+
+    def flush(self):
+        return self._emit(sorted(self.open))
+
+    def _emit(self, keys) -> pa.Table:
+        rows = [(k, self.open.pop(k)) for k in keys]
+        return pa.table({
+            "hour_ms": pa.array([k[1] for k, _ in rows], pa.int64()),
+            "event_type": pa.array([k[0] for k, _ in rows],
+                                   pa.string()),
+            "n_events": pa.array([a[0] for _, a in rows], pa.int64()),
+            "total_cents": pa.array([a[1] for _, a in rows],
+                                    pa.int64()),
+        })
+
+    def state_rows(self) -> int:
+        return len(self.open)
+
+
+def streaming_tumbling_agg(ds, n_shards: int = 4,
+                           micro_batch: int = 65536,
+                           return_stats: bool = False):
+    """Streaming TUMBLING-WINDOW aggregate — the arrival-order twin of
+    the batch hourly rollup (events per (hour, type) with integer
+    cents): each micro-batch is pre-aggregated to (type, hour)
+    partials IN the batch (one vectorized ``pyarrow`` group-by — the
+    combiner discipline applied to a stream: shard RPCs carry window
+    partials, never rows), partials hash-route by event type to shard
+    actors, and the advancing watermark closes finished windows
+    continuously — per-shard state is the OPEN windows only (types ×
+    ~1 open hour on an ordered stream, never stream length).  Every
+    shard sees every watermark (empty ingests included — the
+    idle-shard eviction lesson from the interval join).
+
+    On an event-time-ordered stream the emitted windows are exactly
+    the batch aggregate's rows (shared SQL oracle — the batch/stream
+    plan-equivalence contract; window assignment at the boundary is
+    half-open, so ties never straddle a window).  ``ds`` needs
+    columns (ts, event_type, value).  Returns a Dataset sorted by
+    (hour_ms, event_type); with ``return_stats``, also
+    {"state_rows": peak open windows}."""
+    import ray
+
+    from .. import runtime_env
+    from ..urlops import url_hash64
+    from .agg import grouped_agg
+
+    Shard = ray.remote(num_cpus=0.5)(_TumblingShardState)
+    shards: List = [Shard.remote() for _ in range(n_shards)]
+    emitted: List = []
+    max_state = 0
+
+    stream = ds.sort("ts")
+    for chunk in stream.iter_batches(batch_size=micro_batch,
+                                     batch_format="pyarrow"):
+        if chunk.num_rows == 0:
+            continue
+        ts = chunk.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        vals = chunk.column("value").to_numpy(zero_copy_only=False)
+        part = pa.table({
+            "event_type": chunk.column("event_type"),
+            "hour_ms": pa.array(
+                (us // US_PER_HOUR) * MS_PER_HOUR, pa.int64()),
+            "n": pa.array(np.ones(len(us), np.int64), pa.int64()),
+            "cents": pa.array(
+                np.floor(vals * 100.0).astype(np.int64), pa.int64()),
+        }).group_by(["event_type", "hour_ms"]).aggregate(
+            [("n", "sum"), ("cents", "sum")])
+        types = part.column("event_type").to_pylist()
+        hours = part.column("hour_ms").to_numpy(zero_copy_only=False)
+        ns = part.column("n_sum").to_numpy(zero_copy_only=False)
+        cs = part.column("cents_sum").to_numpy(zero_copy_only=False)
+        sh = np.array([url_hash64(t) % n_shards for t in types],
+                      np.int64)
+        wm = int(us.max())
+        pend = []
+        for s in range(n_shards):
+            m = sh == s
+            # every shard sees every watermark: idle shards must still
+            # close their finished windows
+            pend.append(shards[s].ingest.remote(
+                [t for t, k in zip(types, m) if k],
+                hours[m], ns[m], cs[m], wm))
+        emitted.extend(pend)
+        if return_stats:
+            max_state = max(max_state,
+                            sum(ray.get([s.state_rows.remote()
+                                         for s in shards])))
+
+    emitted.extend([s.flush.remote() for s in shards])
+    tables = [t for t in ray.get(emitted) if t.num_rows]
+    for s in shards:
+        ray.kill(s)
+    if not tables:
+        out = ray.data.from_arrow(pa.table({
+            "hour_ms": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64()),
+            "total_cents": pa.array([], pa.int64()),
+        }))
+    else:
+        # windows close exactly once, but the final grouped sum makes
+        # the result robust to any emission split and returns the
+        # canonical sorted shape in one step
+        out = grouped_agg(
+            ray.data.from_arrow(tables),
+            ["hour_ms", "event_type"],
+            [("n_events", "n_events", "sum"),
+             ("total_cents", "total_cents", "sum")],
+        )
+    if return_stats:
+        return out, {"state_rows": max_state}
+    return out

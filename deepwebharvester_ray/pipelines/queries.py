@@ -22104,6 +22104,28 @@ def q_link_bridges(sf_dir: str):
     return bridge_edges(reached, induced).sort(["u", "v"])
 
 
+def q_events_hourly_stream(sf_dir: str):
+    """The STREAMING twin of events_hourly: the same (hour, type)
+    tumbling aggregate computed incrementally over an event-time-
+    ordered micro-batch stream
+    (:func:`functions.streaming.streaming_tumbling_agg`) — each
+    micro-batch pre-aggregates to (type, hour) partials with one
+    vectorized group-by (the combiner discipline applied to a stream:
+    shard RPCs carry window partials, never rows), partials hash-route
+    by type to shard actors, and the advancing watermark closes
+    finished windows continuously; per-shard state is the OPEN windows
+    only (types × ~1 open hour, never stream length).  Checked against
+    the IDENTICAL SQL oracle as the batch operator — the batch/stream
+    plan-equivalence contract, extended from dedup/sessionize/joins to
+    the aggregate family."""
+    from ..functions.streaming import streaming_tumbling_agg
+
+    ds = _read(sf_dir, "events",
+               columns=["ts", "event_type", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+    return streaming_tumbling_agg(ds)
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -22378,6 +22400,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "og_cards": q_og_cards,
         "geo_rollup": q_geo_rollup,
         "events_hourly": q_events_hourly,
+        "events_hourly_stream": q_events_hourly_stream,
         "corpus_prep": q_corpus_prep,
         "full_prep": q_full_prep,
         # rows-only
@@ -22639,6 +22662,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "og_cards": _SQL_OG_CARDS,
         "geo_rollup": _SQL_GEO_ROLLUP,
         "events_hourly": _SQL_EVENTS_HOURLY,
+        "events_hourly_stream": _SQL_EVENTS_HOURLY,
         "corpus_prep": _sql_corpus_prep(),
         "full_prep": _SQL_FULL_PREP,
     }

@@ -468,3 +468,45 @@ def test_streaming_dedup_checkpoint_resume(ray_session):
     # and phase 2 emitted ONLY content unseen in phase 1
     seen1 = set(p1.column("content_hash").to_pylist())
     assert not (seen1 & set(p2.column("content_hash").to_pylist()))
+
+
+def test_streaming_tumbling_agg_bounded_state_and_equality(ray_session):
+    """The tumbling-aggregate twin: emitted windows equal the batch
+    group-by exactly, and peak open-window state is bounded by
+    types × ~1 open hour — never the stream length."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.streaming import (
+        streaming_tumbling_agg)
+
+    n = 20_000
+    rng = np.random.default_rng(5)
+    ts = np.sort(rng.integers(0, 200 * 3_600_000_000, n))
+    types = np.array(["a", "b", "c", "d"])[
+        rng.integers(0, 4, n)]
+    vals = rng.integers(0, 10_000, n) / 100.0
+    t = pa.table({
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array(types.tolist(), pa.string()),
+        "value": pa.array(vals, pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(8).materialize()
+    out, stats = streaming_tumbling_agg(
+        ds, n_shards=3, micro_batch=1024, return_stats=True)
+    got = {(r["hour_ms"], r["event_type"]):
+           (r["n_events"], r["total_cents"])
+           for r in out.take_all()}
+
+    hours = (ts // 3_600_000_000) * 3_600_000
+    cents = np.floor(vals * 100.0).astype(np.int64)
+    want: dict = {}
+    for h, ty, c in zip(hours, types, cents):
+        k = (int(h), str(ty))
+        n0, c0 = want.get(k, (0, 0))
+        want[k] = (n0 + 1, c0 + int(c))
+    assert got == want
+    assert len(want) > 500
+    # 4 types × at most ~2 concurrently-open hours across shards
+    assert stats["state_rows"] <= 4 * 2
