@@ -422,3 +422,52 @@ def test_pool_task_side_routing_matches_pool(ray_session):
     assert got.tolist() == want.tolist()
     assert got[:30].all() and not got[30:].any()
     assert pool.size() == 30
+
+
+def test_resume_after_midgeneration_crash_dataplane(smoke_corpus,
+                                                    tmp_path):
+    """The same mid-generation-crash resume contract on the SHARDED
+    (data-plane control) path: partial gen partition + stale per-shard
+    delta files for the incomplete generation must be overwritten
+    idempotently, converging to the uninterrupted run."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    seeds = corpus.seed_urls(4)
+    cfg = CrawlSettings(max_depth=2, seen_shards=2, frontier_shards=2,
+                        replay_shards=2)
+
+    full = run_crawl(smoke_corpus, seeds, cfg,
+                     run_dir=str(tmp_path / "full"))
+
+    part_dir = str(tmp_path / "part")
+    run_crawl(smoke_corpus, seeds, cfg, run_dir=part_dir)
+    mpath = Path(part_dir) / "manifest.json"
+    manifest = json.loads(mpath.read_text())
+    manifest["generations"] = [
+        g for g in manifest["generations"] if g["generation"] <= 0
+    ]
+    mpath.write_text(json.dumps(manifest))
+    gen1 = Path(part_dir, "results", "gen=1")
+    files = sorted(gen1.rglob("*.parquet"))
+    for f in files[1:]:
+        f.unlink()
+    shutil.rmtree(Path(part_dir, "results", "gen=2"),
+                  ignore_errors=True)
+    # the incomplete generation's per-shard delta files linger on disk
+    state = Path(part_dir, "state")
+    assert list(state.glob("marks_delta_gen1.parquet.shard*"))
+
+    resumed = run_crawl(smoke_corpus, seeds, cfg, run_dir=part_dir,
+                        resume=True)
+    assert resumed.stats == full.stats
+    t_full = sorted(
+        (r["seed_id"], r["url"], r["content_hash"])
+        for r in full.results_table().to_pylist()
+    )
+    t_res = sorted(
+        (r["seed_id"], r["url"], r["content_hash"])
+        for r in resumed.results_table().to_pylist()
+    )
+    assert t_full == t_res
