@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "crawl_paced",
     "link_bridges",
     "events_hourly_stream",
+    "events_hopping_stream",
     "distinct_users_by_type",
     "value_stats",
     "orders_with_late_items",

@@ -762,21 +762,31 @@ US_PER_HOUR = 3_600_000_000
 MS_PER_HOUR = 3_600_000
 
 
-class _TumblingShardState:
-    """Open tumbling-window aggregates for one streaming shard:
-    {(event_type, hour_ms): [n, cents]}.  On an event-time-ordered
-    stream a window closes as soon as the watermark reaches its end
-    (an event AT the boundary belongs to the next hour, so
-    ``hour_end ≤ watermark`` can never lose a row) — each (type, hour)
-    lives on exactly one shard and is emitted exactly once; state is
-    bounded by types × open hours (≈ types on an ordered stream),
-    never by stream length."""
+class _WindowShardState:
+    """Open window aggregates for one streaming shard:
+    {(event_type, window_start_ms): [n, cents]}.  On an event-time-
+    ordered stream a window closes as soon as the watermark reaches
+    its end (an event AT the boundary belongs to the next window, so
+    ``window_end ≤ watermark`` can never lose a row) — each
+    (type, window) lives on exactly one shard and is emitted exactly
+    once; state is bounded by types × concurrently-open windows
+    (1 for tumbling, window/hop for hopping), never stream length.
+    Parametric over the window length, the output key name and
+    whether a cents sum rides along (tumbling carries it, the hopping
+    count twin does not)."""
 
-    def __init__(self) -> None:
+    def __init__(self, window_ms: int = MS_PER_HOUR,
+                 key_name: str = "hour_ms",
+                 with_cents: bool = True) -> None:
+        self.window_ms = window_ms
+        self.key_name = key_name
+        self.with_cents = with_cents
         self.open: dict = {}
 
-    def ingest(self, types, hours, ns, cents, watermark_us: int):
-        for t, h, n, c in zip(types, hours, ns, cents):
+    def ingest(self, types, wins, ns, cents, watermark_us: int):
+        if cents is None:
+            cents = [0] * len(ns)
+        for t, h, n, c in zip(types, wins, ns, cents):
             key = (t, int(h))
             acc = self.open.get(key)
             if acc is None:
@@ -785,7 +795,7 @@ class _TumblingShardState:
                 acc[0] += int(n)
                 acc[1] += int(c)
         closed = [k for k in self.open
-                  if (k[1] + MS_PER_HOUR) * 1000 <= watermark_us]
+                  if (k[1] + self.window_ms) * 1000 <= watermark_us]
         return self._emit(closed)
 
     def flush(self):
@@ -793,17 +803,24 @@ class _TumblingShardState:
 
     def _emit(self, keys) -> pa.Table:
         rows = [(k, self.open.pop(k)) for k in keys]
-        return pa.table({
-            "hour_ms": pa.array([k[1] for k, _ in rows], pa.int64()),
+        out = {
+            self.key_name: pa.array([k[1] for k, _ in rows],
+                                    pa.int64()),
             "event_type": pa.array([k[0] for k, _ in rows],
                                    pa.string()),
             "n_events": pa.array([a[0] for _, a in rows], pa.int64()),
-            "total_cents": pa.array([a[1] for _, a in rows],
-                                    pa.int64()),
-        })
+        }
+        if self.with_cents:
+            out["total_cents"] = pa.array(
+                [a[1] for _, a in rows], pa.int64())
+        return pa.table(out)
 
     def state_rows(self) -> int:
         return len(self.open)
+
+
+# backward-compatible alias (the tumbling twin's original name)
+_TumblingShardState = _WindowShardState
 
 
 def streaming_tumbling_agg(ds, n_shards: int = 4,
@@ -900,6 +917,96 @@ def streaming_tumbling_agg(ds, n_shards: int = 4,
             ["hour_ms", "event_type"],
             [("n_events", "n_events", "sum"),
              ("total_cents", "total_cents", "sum")],
+        )
+    if return_stats:
+        return out, {"state_rows": max_state}
+    return out
+
+
+def streaming_hopping_agg(ds, window_ms: int, hop_ms: int,
+                          n_shards: int = 4, micro_batch: int = 65536,
+                          return_stats: bool = False):
+    """Streaming HOPPING-window count — the arrival-order twin of the
+    batch overlapping-window aggregate: each event expands to its
+    ``window_ms / hop_ms`` overlapping windows INSIDE the micro-batch
+    (vectorized repeat/tile, exactly the batch operator's flat-map),
+    partials collapse to (type, window) rows with one vectorized
+    group-by, route by type to shard actors, and the watermark closes
+    each window at its end — per-shard state is the open windows only
+    (types × window/hop concurrently-open, never stream length).
+    Every shard sees every watermark (idle-shard eviction lesson).
+
+    Emitted rows equal the batch aggregate exactly on an event-time-
+    ordered stream (shared SQL oracle).  ``ds`` needs columns
+    (ts, event_type).  Returns a Dataset (win_ms, event_type,
+    n_events) sorted by keys; with ``return_stats`` also
+    {"state_rows": peak}."""
+    import ray
+
+    from ..urlops import url_hash64
+    from .agg import grouped_agg
+
+    assert window_ms % hop_ms == 0, "window must be a hop multiple"
+    k_hops = window_ms // hop_ms
+    Shard = ray.remote(num_cpus=0.5)(_WindowShardState)
+    shards: List = [Shard.remote(window_ms, "win_ms", False)
+                    for _ in range(n_shards)]
+    emitted: List = []
+    max_state = 0
+
+    stream = ds.sort("ts")
+    for chunk in stream.iter_batches(batch_size=micro_batch,
+                                     batch_format="pyarrow"):
+        if chunk.num_rows == 0:
+            continue
+        ts = chunk.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n = len(us)
+        hop_idx = us // (hop_ms * 1000)
+        ks = np.tile(np.arange(k_hops, dtype=np.int64), n)
+        win_ms = (np.repeat(hop_idx, k_hops) - ks) * hop_ms
+        etypes = chunk.column("event_type").combine_chunks()
+        part = pa.table({
+            "event_type": etypes.take(
+                pa.array(np.repeat(np.arange(n), k_hops))),
+            "win_ms": pa.array(win_ms, pa.int64()),
+            "n": pa.array(np.ones(n * k_hops, np.int64), pa.int64()),
+        }).group_by(["event_type", "win_ms"]).aggregate([("n", "sum")])
+        types = part.column("event_type").to_pylist()
+        wins = part.column("win_ms").to_numpy(zero_copy_only=False)
+        ns = part.column("n_sum").to_numpy(zero_copy_only=False)
+        sh = np.array([url_hash64(t) % n_shards for t in types],
+                      np.int64)
+        wm = int(us.max())
+        pend = []
+        for s in range(n_shards):
+            m = sh == s
+            pend.append(shards[s].ingest.remote(
+                [t for t, keep in zip(types, m) if keep],
+                wins[m], ns[m], None, wm))
+        emitted.extend(pend)
+        if return_stats:
+            max_state = max(max_state,
+                            sum(ray.get([s.state_rows.remote()
+                                         for s in shards])))
+
+    emitted.extend([s.flush.remote() for s in shards])
+    tables = [t for t in ray.get(emitted) if t.num_rows]
+    for s in shards:
+        ray.kill(s)
+    if not tables:
+        out = ray.data.from_arrow(pa.table({
+            "win_ms": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64()),
+        }))
+    else:
+        out = grouped_agg(
+            ray.data.from_arrow(tables), ["win_ms", "event_type"],
+            [("n_events", "n_events", "sum")],
         )
     if return_stats:
         return out, {"state_rows": max_state}

@@ -22126,6 +22126,27 @@ def q_events_hourly_stream(sf_dir: str):
     return streaming_tumbling_agg(ds)
 
 
+def q_events_hopping_stream(sf_dir: str):
+    """The STREAMING twin of events_hopping: the same overlapping
+    1-hour/15-minute hopping-window counts computed incrementally over
+    the event-time-ordered stream
+    (:func:`functions.streaming.streaming_hopping_agg`) — each event
+    expands to its 4 overlapping windows inside the micro-batch
+    (the batch operator's vectorized flat-map), partials collapse to
+    (type, window) rows before any RPC, and the watermark closes each
+    window at its end; per-shard state is the open windows only
+    (types × window/hop).  Checked against the IDENTICAL SQL oracle as
+    the batch operator — with events_hourly_stream, both tumbling and
+    hopping members of the aggregate family now carry the batch/stream
+    plan-equivalence contract."""
+    from ..functions.streaming import streaming_hopping_agg
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+    return streaming_hopping_agg(ds, window_ms=HOP_MS * HOPS_PER_WINDOW,
+                                 hop_ms=HOP_MS)
+
+
 # ── registry ─────────────────────────────────────────────────────────────────
 
 
@@ -22401,6 +22422,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "geo_rollup": q_geo_rollup,
         "events_hourly": q_events_hourly,
         "events_hourly_stream": q_events_hourly_stream,
+        "events_hopping_stream": q_events_hopping_stream,
         "corpus_prep": q_corpus_prep,
         "full_prep": q_full_prep,
         # rows-only
@@ -22663,6 +22685,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "geo_rollup": _SQL_GEO_ROLLUP,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "events_hourly_stream": _SQL_EVENTS_HOURLY,
+        "events_hopping_stream": _SQL_EVENTS_HOPPING,
         "corpus_prep": _sql_corpus_prep(),
         "full_prep": _SQL_FULL_PREP,
     }

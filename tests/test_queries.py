@@ -19,7 +19,8 @@ SPOT_CHECKED = [
     "extract_pages", "exact_dedup", "token_counts", "threat_scores",
     "lang_id", "events_by_type", "event_sessions",
     "event_sessions_stream",
-    "events_hourly_stream", "ann_topk",
+    "events_hourly_stream",
+    "events_hopping_stream", "ann_topk",
     "knn_graph",
     "ngram_overlap",
     "containment_pairs",

@@ -510,3 +510,41 @@ def test_streaming_tumbling_agg_bounded_state_and_equality(ray_session):
     assert len(want) > 500
     # 4 types × at most ~2 concurrently-open hours across shards
     assert stats["state_rows"] <= 4 * 2
+
+
+def test_streaming_hopping_agg_bounded_state_and_equality(ray_session):
+    """The hopping twin: emitted overlapping windows equal the batch
+    expansion exactly; peak open state bounded by types × window/hop."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.streaming import (
+        streaming_hopping_agg)
+
+    W, H = 3_600_000, 900_000        # 1 h window, 15 min hop
+    n = 10_000
+    rng = np.random.default_rng(13)
+    ts = np.sort(rng.integers(0, 100 * 3_600_000_000, n))
+    types = np.array(["x", "y", "z"])[rng.integers(0, 3, n)]
+    t = pa.table({
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array(types.tolist(), pa.string()),
+    })
+    ds = ray.data.from_arrow(t).repartition(6).materialize()
+    out, stats = streaming_hopping_agg(
+        ds, window_ms=W, hop_ms=H, n_shards=3, micro_batch=777,
+        return_stats=True)
+    got = {(r["win_ms"], r["event_type"]): r["n_events"]
+           for r in out.take_all()}
+
+    want: dict = {}
+    for u, ty in zip(ts, types):
+        hop_idx = u // (H * 1000)
+        for k in range(W // H):
+            key = (int((hop_idx - k) * H), str(ty))
+            want[key] = want.get(key, 0) + 1
+    assert got == want
+    assert len(want) > 1000
+    # 3 types × 4 hops/window × ~2 open spans
+    assert stats["state_rows"] <= 3 * (W // H) * 2
