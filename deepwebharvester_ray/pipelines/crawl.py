@@ -720,15 +720,32 @@ def run_crawl(
         if complete:
             last = complete[-1]
             start_gen = last["generation"] + 1
-            # replay per-generation seen-set deltas 0..last (O(total keys)
-            # once at resume, O(delta) per checkpoint during the run)
-            for g in range(start_gen):
-                marks_pool.insert(
-                    _read_delta(str(state_root / f"marks_delta_gen{g}.parquet"))
-                )
-                hash_pool.insert(
-                    _read_delta(str(state_root / f"hashes_delta_gen{g}.parquet"))
-                )
+            # replay per-generation seen-set deltas 0..last.  Sharded
+            # path: one restore TASK per (kind, generation) reads its
+            # delta file(s) and inserts straight into the pool actors —
+            # keys never transit the driver (at a 10^10 frontier the
+            # cumulative delta set is the frontier itself).  Driver
+            # path keeps the in-process insert (small runs by
+            # definition).
+            if use_sharded:
+                from .crawl_plane import _remote_tasks as _rt
+
+                _restore = _rt()["restore"]
+                ray.get([
+                    _restore.remote(
+                        handles,
+                        str(state_root / f"{kind}_delta_gen{g}.parquet"))
+                    for g in range(start_gen)
+                    for kind, handles in (
+                        ("marks", marks_pool.shard_handles),
+                        ("hashes", hash_pool.shard_handles))
+                ])
+            else:
+                for g in range(start_gen):
+                    marks_pool.insert(_read_delta(
+                        str(state_root / f"marks_delta_gen{g}.parquet")))
+                    hash_pool.insert(_read_delta(
+                        str(state_root / f"hashes_delta_gen{g}.parquet")))
             states = {
                 int(k): SeedState.from_dict(v)
                 for k, v in last["seed_states"].items()

@@ -398,6 +398,19 @@ def _build_expand_csr(max_depth: int, *prop_tables):
             counts.astype(np.int64), sids, deps), int(len(h_s))
 
 
+def _restore_delta(handles, path: str) -> int:
+    """Resume-side delta restore (runs as a Ray task): read one
+    generation's seen-set delta file(s) — single-file or per-shard
+    layout — and insert the keys straight into the pool actors.  Keys
+    never transit the driver; the driver holds only file paths and
+    per-task counts."""
+    from .crawl import _read_delta
+
+    keys = _read_delta(path)
+    pool_insert(handles, keys)
+    return len(keys)
+
+
 def _remote_tasks():
     """Ray-remote wrappers, created lazily (module import must not
     require an initialized Ray)."""
@@ -420,4 +433,6 @@ def _remote_tasks():
             _build_accept_arrays),
         "expand": ray.remote(num_cpus=0, num_returns=2,
                              runtime_env=env)(_build_expand_csr),
+        "restore": ray.remote(num_cpus=0, runtime_env=env)(
+            _restore_delta),
     }
