@@ -470,3 +470,78 @@ def test_surt_deterministic_and_sortable(url):
     # same-host urls share the key prefix up to ')'
     host_part = k.split(")", 1)[0]
     assert host_part == host_part.lower()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=1, max_size=400, unique=True))
+def test_cuckoo_bulk_add_never_false_negative(keys):
+    """bulk_add's vectorized placement: every key it accepts answers
+    True afterwards (via BOTH contains and contains_batch), and the
+    membership answers agree with a scalar-built filter over the same
+    keys."""
+    import numpy as np
+
+    arr = np.array(keys, np.uint64)
+    bulk = CuckooFilter(capacity=1024)
+    failed = bulk.bulk_add(arr)
+    hits = bulk.contains_batch(arr)
+    assert int(hits.sum()) >= len(arr) - failed
+    for k, hit in zip(keys, hits):
+        assert bulk.contains(int(k)) == bool(hit)
+    if failed == 0:
+        scalar = CuckooFilter(capacity=1024)
+        for k in keys:
+            assert scalar.add(int(k))
+        probe = np.array(
+            [(k * 0x9E3779B97F4A7C15) % 2**64 for k in keys[:100]],
+            np.uint64)
+        assert (bulk.contains_batch(probe)
+                == scalar.contains_batch(probe)).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                          st.integers(min_value=0, max_value=20)),
+                min_size=1, max_size=120),
+       st.integers(min_value=1, max_value=10))
+def test_window_shard_state_partition_invariance(events, n_chunks):
+    """_WindowShardState: any micro-batch partitioning of an event-time
+    ordered (type, hour) stream emits the same closed+flushed window
+    multiset as one batch fold — the plan-equivalence kernel behind
+    the tumbling/hopping twins."""
+    import pyarrow as pa
+
+    from deepwebharvester_ray.functions.streaming import (
+        _WindowShardState)
+
+    events = sorted(events, key=lambda e: e[1])
+
+    def run(chunks):
+        st_ = _WindowShardState(window_ms=1, key_name="w",
+                                with_cents=False)
+        got = {}
+        for chunk in chunks:
+            if not chunk:
+                continue
+            wm_us = max(h for _, h in chunk) * 1000
+            types = [t for t, _ in chunk]
+            hours = [h for _, h in chunk]
+            ns = [1] * len(chunk)
+            out = st_.ingest(types, hours, ns, None, wm_us)
+            for r in out.to_pylist():
+                k = (r["event_type"], r["w"])
+                got[k] = got.get(k, 0) + r["n_events"]
+        for r in st_.flush().to_pylist():
+            k = (r["event_type"], r["w"])
+            got[k] = got.get(k, 0) + r["n_events"]
+        return got
+
+    one = run([events])
+    size = max(1, len(events) // n_chunks)
+    many = run([events[i:i + size]
+                for i in range(0, len(events), size)])
+    want = {}
+    for t, h in events:
+        want[(t, h)] = want.get((t, h), 0) + 1
+    assert one == want and many == want
