@@ -22027,6 +22027,9 @@ FROM c ORDER BY doc_id
 """
 
 
+BRIDGE_HORIZON_DEPTH = 3   # see q_link_bridges docstring
+
+
 def q_link_bridges(sf_dir: str):
     """Bridges (cut edges) of the crawl link graph — the 2-edge-
     connectivity member of the connectivity family (link_scc = strong,
@@ -22034,15 +22037,19 @@ def q_link_bridges(sf_dir: str):
     disconnects discovery, the edges a crawl scheduler re-fetches
     first and an archive snapshots redundantly.
 
-    Scope: the 6-hop-horizon subgraph around the fixed 8-seed pivot
+    Scope: the 3-hop-horizon subgraph around the fixed 8-seed pivot
     set (the link_distances/link_stress discipline) — BOTH bridge
     phases are diameter-bound (forest build + bottom-up fold, one
     round per depth layer), and the synthetic cyclic-shift link graph
     has diameter ≈ n/128, so the unbounded graph would cost O(n)
     rounds at any scale; real web graphs are shallow, and the horizon
     subgraph is the region a snapshot/archival pass actually analyzes.
+    3 hops (vs link_stress's 6) keeps the region's BOUNDARY thin
+    enough that genuine cut edges exist at every corpus scale — at
+    depth ≥ 4 the wrap-around graph's region closes into a single
+    2-edge-connected block and the answer degenerates to empty.
 
-    Distributed shape: 6 undirected BFS rounds for the horizon
+    Distributed shape: 3 undirected BFS rounds for the horizon
     (size-gated semi/subtract per round), induced-edge restriction,
     then :func:`functions.graph.bridge_edges` — BFS spanning forest
     (grouped-MIN parents), signed-hash covering (every non-tree edge
@@ -22081,7 +22088,7 @@ def q_link_bridges(sf_dir: str):
     }))
     reached = seeds.materialize()
     frontier = reached
-    for _ in range(STRESS_DEPTH):
+    for _ in range(BRIDGE_HORIZON_DEPTH):
         nbrs = semi_join_ids(sym, frontier, id_column="u",
                              keep_column="id").select_columns(["v"])
         nbrs = nbrs.map_batches(
