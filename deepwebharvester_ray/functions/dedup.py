@@ -2352,6 +2352,250 @@ def passage_dup_profile(
     )
 
 
+def remove_dup_spans(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    k: int = 8,
+    shuffle_partitions: int | None = None,
+    broadcast_cutoff: int | None = None,
+    num_partitions: int = 8,
+):
+    """Exact-substring dedup as a TRANSFORM (ExactSubstr, Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" §4.1,
+    public method): every exact ``k``-token window that occurs in ≥2
+    distinct docs keeps exactly ONE canonical occurrence — the globally
+    first by ``(doc_id, pos)`` — and every OTHER occurrence's token span
+    is excised; each doc is rewritten from its surviving tokens.
+    :func:`passage_dup_profile` measures how much of each doc is
+    duplicated; this is the operator that actually removes it.  Returns
+    ``(doc_id, text_clean, tokens_total, tokens_removed)`` for every
+    input doc (``text_clean`` is the surviving tokens re-joined with
+    single spaces — a token-sequence-level rewrite, whitespace-normalized
+    by contract).
+
+    Scale shape: one map emits positional 128-bit window keys; ONE
+    all-to-all sort on the key; the run pass marks every non-canonical
+    occurrence of a cross-doc gram via per-run min≠max + first-row drop —
+    O(run) per run with NO pair emission, so boilerplate shared by
+    millions of docs costs O(m), not O(m²); a second much smaller sort on
+    the doc id groups marked starts into ONE ``large_binary`` positions
+    blob per doc (the acero LIST-payload discipline); the blob table
+    attaches back to the docs size-gated — broadcast sorted
+    (ids, offsets, positions) arrays below the cutoff, native left-outer
+    hash join above (both inputs through ``coalesce_nonempty``) — and the
+    rewrite is a pure per-batch map.  Text crosses the wire exactly once
+    (the final attach on the join path; never on the broadcast path)."""
+    import ray
+
+    from .partition import coalesce_nonempty
+    from .textops import TOKEN_RE
+
+    _empty_keys = pa.table({
+        "h1": pa.array([], pa.uint64()),
+        "h2": pa.array([], pa.uint64()),
+        "id": pa.array([], pa.int64()),
+        "pos": pa.array([], pa.int32()),
+    })
+
+    def keys_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_keys
+        ids_in = batch.column(id_column).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_column).to_pylist()
+        h1s, h2s, ids, poss = [], [], [], []
+        for i, t in enumerate(texts):
+            toks = TOKEN_RE.findall(t or "")
+            u1 = _word_hashes(toks)
+            with np.errstate(over="ignore"):
+                h1, h2 = _gram_hashes(u1, k)
+            n_win = len(h1)
+            if n_win == 0:
+                continue
+            h1s.append(h1)
+            h2s.append(h2)
+            ids.append(np.full(n_win, ids_in[i], np.int64))
+            poss.append(np.arange(n_win, dtype=np.int32))
+        if not h1s:
+            return _empty_keys
+        return pa.table({
+            "h1": pa.array(np.concatenate(h1s), pa.uint64()),
+            "h2": pa.array(np.concatenate(h2s), pa.uint64()),
+            "id": pa.array(np.concatenate(ids), pa.int64()),
+            "pos": pa.array(np.concatenate(poss), pa.int32()),
+        })
+
+    keyed = ds.map_batches(
+        keys_batch, batch_format="pyarrow", runtime_env=runtime_env()
+    )
+    if shuffle_partitions:
+        keyed = keyed.repartition(shuffle_partitions)
+
+    _empty_marked = pa.table({
+        "id": pa.array([], pa.int64()), "pos": pa.array([], pa.int32()),
+    })
+
+    def marked_occurrences(batch: pa.Table) -> pa.Table:
+        # sorted globally on (h1, h2) — the FULL run key, so equal keys
+        # co-locate in one block; the in-block lexsort adds (id, pos)
+        # order so the first row of each run IS the global canonical
+        if batch.num_rows == 0:
+            return _empty_marked
+        h1 = batch.column("h1").combine_chunks().to_numpy(zero_copy_only=False)
+        h2 = batch.column("h2").combine_chunks().to_numpy(zero_copy_only=False)
+        ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        pos = batch.column("pos").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, ids, h2, h1))
+        h1, h2, ids, pos = h1[order], h2[order], ids[order], pos[order]
+        starts, ends = _run_bounds(h1, h2)
+        cross = (np.minimum.reduceat(ids, starts)
+                 != np.maximum.reduceat(ids, starts))
+        keep = np.repeat(cross, ends - starts)
+        keep[starts] = False          # canonical first occurrence survives
+        if not keep.any():
+            return _empty_marked
+        return pa.table({
+            "id": pa.array(ids[keep], pa.int64()),
+            "pos": pa.array(pos[keep], pa.int32()),
+        })
+
+    marked = keyed.sort(["h1", "h2"]).map_batches(
+        marked_occurrences, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )
+    if shuffle_partitions:
+        marked = marked.repartition(max(2, shuffle_partitions // 4))
+
+    _empty_blob = pa.table({
+        "__span_id": pa.array([], pa.int64()),
+        "__span_pos": pa.array([], pa.large_binary()),
+    })
+
+    def blob_batch(batch: pa.Table) -> pa.Table:
+        # single-key id sort ⇒ each doc's marked rows land in one block;
+        # pos ordered by an in-block lexsort (the passage_dup_profile rule)
+        if batch.num_rows == 0:
+            return _empty_blob
+        ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        pos = batch.column("pos").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, ids))
+        ids, pos = ids[order], pos[order]
+        starts, ends = _run_bounds(ids)
+        return pa.table({
+            "__span_id": pa.array(ids[starts], pa.int64()),
+            "__span_pos": pa.array(
+                [pos[s:e].astype("<i4").tobytes()
+                 for s, e in zip(starts, ends)], pa.large_binary()),
+        })
+
+    def _rewrite_rows(ids_np, texts, pos_arrays):
+        out_clean, out_total, out_removed = [], [], []
+        for t, p in zip(texts, pos_arrays):
+            toks = TOKEN_RE.findall(t or "")
+            n = len(toks)
+            if p is None or len(p) == 0:
+                out_clean.append(" ".join(toks))
+                out_total.append(n)
+                out_removed.append(0)
+                continue
+            diff = np.zeros(n + 1, np.int32)
+            np.add.at(diff, p, 1)
+            np.add.at(diff, np.minimum(p.astype(np.int64) + k, n), -1)
+            covered = np.cumsum(diff[:n]) > 0
+            out_clean.append(
+                " ".join(w for w, c in zip(toks, covered) if not c))
+            out_total.append(n)
+            out_removed.append(int(covered.sum()))
+        return pa.table({
+            "doc_id": pa.array(ids_np, pa.int64()),
+            "text_clean": pa.array(out_clean, pa.string()),
+            "tokens_total": pa.array(out_total, pa.int64()),
+            "tokens_removed": pa.array(out_removed, pa.int64()),
+        })
+
+    _empty_out = _rewrite_rows(np.empty(0, np.int64), [], [])
+
+    # single-key id sort ⇒ ONE blob row per doc (equal ids co-locate;
+    # a (id, pos) composite key could split a doc across blocks)
+    blob_nz = coalesce_nonempty(marked.sort("id").map_batches(
+        blob_batch, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env()))
+
+    cutoff = (SUBTRACT_BROADCAST_CUTOFF if broadcast_cutoff is None
+              else broadcast_cutoff)
+    if blob_nz is None or blob_nz.count() <= cutoff:
+        if blob_nz is None:
+            ref = ray.put((np.empty(0, np.int64),
+                           np.zeros(1, np.int64), np.empty(0, np.int32)))
+        else:
+            tbls = ray.get(blob_nz.to_arrow_refs())
+            sids, blobs = [], []
+            for t in tbls:
+                if t.num_rows:
+                    sids.append(t.column("__span_id").combine_chunks()
+                                .to_numpy(zero_copy_only=False))
+                    blobs.extend(t.column("__span_pos").to_pylist())
+            sids = (np.concatenate(sids) if sids else np.empty(0, np.int64))
+            order = np.argsort(sids, kind="stable")
+            sids = sids[order]
+            pos_all = [np.frombuffer(blobs[j], dtype="<i4") for j in order]
+            offsets = np.zeros(len(pos_all) + 1, np.int64)
+            if pos_all:
+                offsets[1:] = np.cumsum([len(p) for p in pos_all])
+                pos_cat = (np.concatenate(pos_all) if offsets[-1]
+                           else np.empty(0, np.int32))
+            else:
+                pos_cat = np.empty(0, np.int32)
+            ref = ray.put((sids, offsets, pos_cat))
+
+        def rewrite_bcast(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty_out
+            sids, offsets, pos_cat = cached_get(ref)
+            bids = batch.column(id_column).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            texts = batch.column(text_column).to_pylist()
+            if len(sids):
+                loc = np.searchsorted(sids, bids)
+                loc[loc == len(sids)] = 0
+                hit = sids[loc] == bids
+            else:
+                loc = np.zeros(len(bids), np.int64)
+                hit = np.zeros(len(bids), bool)
+            pos_arrays = [
+                (pos_cat[offsets[j]:offsets[j + 1]] if h else None)
+                for j, h in zip(loc, hit)]
+            return _rewrite_rows(bids, texts, pos_arrays)
+
+        return ds.map_batches(rewrite_bcast, batch_format="pyarrow",
+                              runtime_env=runtime_env())
+
+    ds_nz = coalesce_nonempty(ds.select_columns([id_column, text_column]))
+    if ds_nz is None:
+        return ds.limit(0).map_batches(
+            lambda b: _empty_out, batch_format="pyarrow",
+            runtime_env=runtime_env())
+    joined = ds_nz.join(
+        blob_nz, "left_outer", num_partitions=num_partitions,
+        on=(id_column,), right_on=("__span_id",),
+    )
+
+    def rewrite_joined(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_out
+        bids = batch.column(id_column).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        texts = batch.column(text_column).to_pylist()
+        blobs = batch.column("__span_pos").to_pylist()
+        pos_arrays = [
+            (np.frombuffer(b, dtype="<i4") if b is not None else None)
+            for b in blobs]
+        return _rewrite_rows(bids, texts, pos_arrays)
+
+    return joined.map_batches(rewrite_joined, batch_format="pyarrow",
+                              runtime_env=runtime_env())
+
+
 # ── size-gated id anti-filter (corpus purge) ─────────────────────────────────
 
 # Below this many drop-ids the anti-filter broadcasts one sorted uint64

@@ -12897,6 +12897,70 @@ ORDER BY x.doc_id
 """
 
 
+def q_dedup_spans(sf_dir: str):
+    """Exact-substring dedup as a TRANSFORM (ExactSubstr, Lee et al.
+    2021 §4.1): every 8-token window occurring in ≥2 distinct docs keeps
+    only its globally-first (doc_id, pos) occurrence; all other
+    occurrences' spans are excised and each doc is REWRITTEN from the
+    surviving tokens
+    (:func:`~deepwebharvester_ray.functions.dedup.remove_dup_spans`).
+    passage_profile MEASURES the duplicated fraction; this produces the
+    deduplicated corpus itself — the value-hash pins the rewritten TEXT,
+    not just counts.  Run-scan marking (min≠max per gram run, first-row
+    canonical — no pair emission, boilerplate-hot-bucket immune), one
+    large_binary positions blob per affected doc, size-gated
+    broadcast/left-outer-join attach, pure per-batch rewrite."""
+    from ..functions.dedup import remove_dup_spans
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    out = remove_dup_spans(ds, k=8,
+                           shuffle_partitions=_shuffle_parts(sf_dir))
+    return out.sort("doc_id")
+
+
+_SQL_DEDUP_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g(i)
+  WHERE len(t) >= 8
+),
+canon AS (
+  SELECT gram, min(doc_id * 4294967296 + i) AS first_key
+  FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+marked AS (
+  SELECT g.doc_id, g.i
+  FROM grams g JOIN canon c ON g.gram = c.gram
+  WHERE g.doc_id * 4294967296 + g.i <> c.first_key
+),
+cover AS (
+  SELECT DISTINCT m.doc_id, p.p
+  FROM marked m, LATERAL (SELECT unnest(generate_series(m.i, m.i+7)) AS p) p(p)
+),
+kept AS (
+  SELECT e.doc_id,
+         string_agg(e.tok, ' ' ORDER BY e.i) AS text_clean,
+         count(*) AS n_kept
+  FROM (SELECT doc_id, i, t[i] AS tok
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s(i)) e
+  LEFT JOIN cover c ON e.doc_id = c.doc_id AND e.i = c.p
+  WHERE c.p IS NULL
+  GROUP BY e.doc_id
+)
+SELECT x.doc_id,
+       COALESCE(kp.text_clean, '') AS text_clean,
+       CAST(len(x.t) AS BIGINT) AS tokens_total,
+       CAST(len(x.t) - COALESCE(kp.n_kept, 0) AS BIGINT) AS tokens_removed
+FROM toks x
+LEFT JOIN kept kp ON x.doc_id = kp.doc_id
+ORDER BY x.doc_id
+"""
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF ANN with PHYSICAL partition pruning: the cell assignment is
     materialized hive-partitioned by cell and only the probed cells'
@@ -22182,6 +22246,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "training_pairs": q_training_pairs,
         "containment_pairs": q_containment_pairs,
         "passage_profile": q_passage_profile,
+        "dedup_spans": q_dedup_spans,
         "clean_text": q_clean_text,
         "price_quantiles": q_price_quantiles,
         "value_outliers": q_value_outliers,
@@ -22471,6 +22536,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "training_pairs": _SQL_TRAINING_PAIRS,
         "containment_pairs": _SQL_CONTAINMENT_PAIRS,
         "passage_profile": _SQL_PASSAGE_PROFILE,
+        "dedup_spans": _SQL_DEDUP_SPANS,
         "clean_text": _SQL_CLEAN_TEXT,
         "price_quantiles": _SQL_PRICE_QUANTILES,
         "value_outliers": _SQL_VALUE_OUTLIERS,

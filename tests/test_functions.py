@@ -488,6 +488,107 @@ def test_passage_dup_profile_boilerplate_is_linear():
     assert all(r["tokens_dup"] == 7 and r["tokens_total"] == 8 for r in out)
 
 
+def _brute_remove_spans(docs, k):
+    """Sequential ExactSubstr reference: mark every non-first occurrence
+    of a cross-doc k-gram, excise the interval union, rejoin tokens."""
+    import re
+
+    import numpy as np
+
+    tok_re = re.compile(r"\S+")
+    toks = {i: tok_re.findall(t or "") for i, t in docs.items()}
+    occ = {}
+    for i, ts in sorted(toks.items()):
+        for p in range(len(ts) - k + 1):
+            occ.setdefault(" ".join(ts[p:p + k]), []).append((i, p))
+    marked = {}
+    for g, os_ in occ.items():
+        if len({i for i, _ in os_}) >= 2:
+            first = min(os_)
+            for o in os_:
+                if o != first:
+                    marked.setdefault(o[0], []).append(o[1])
+    out = {}
+    for i, ts in toks.items():
+        cov = np.zeros(len(ts), bool)
+        for p in marked.get(i, []):
+            cov[p:p + k] = True
+        out[i] = (" ".join(w for w, c in zip(ts, cov) if not c),
+                  len(ts), int(cov.sum()))
+    return out
+
+
+def test_remove_dup_spans_semantics():
+    """ExactSubstr transform contract: the globally-first occurrence of a
+    cross-doc window SURVIVES, every later occurrence (other docs AND
+    later repeats in any doc) is excised; same-doc-only repeats are NOT
+    cross-doc and stay; short/empty docs pass through rejoined."""
+    import ray
+
+    docs = {
+        1: "a b c d e f g h tail1 unique1",       # canonical (1, 0)
+        2: "x y a b c d e f g h tail2",           # dup at (2, 2) → cut
+        3: "short doc",
+        4: "",
+        5: "a b c d e f g h a b c d e f g h",     # both halves cut
+        6: "p q r s t u v w p q r s t u v w z6",  # self-repeat only
+    }
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in docs.items()])
+    got = {r["doc_id"]: (r["text_clean"], r["tokens_total"],
+                         r["tokens_removed"])
+           for r in dedup.remove_dup_spans(ds, k=8).take_all()}
+    assert got == _brute_remove_spans(docs, 8)
+    assert got[1][0] == docs[1]          # canonical doc untouched
+    assert got[2] == ("x y tail2", 11, 8)   # span [2, 10) excised
+    assert got[5] == ("", 16, 16)
+    assert got[6][2] == 0                # same-doc repeat: not cross-doc
+
+
+def test_remove_dup_spans_paths_agree():
+    """Broadcast attach and forced left-outer-join attach produce the
+    identical rewrite on a random corpus with planted duplicate spans."""
+    import random
+
+    import ray
+
+    rng = random.Random(7)
+    shared = ["s%d" % j for j in range(10)]
+    docs = {}
+    for i in range(40):
+        words = ["d%d_%d" % (i, j) for j in range(rng.randrange(3, 20))]
+        if i % 3 == 0:  # plant the shared passage at a random offset
+            at = rng.randrange(0, len(words))
+            words[at:at] = shared
+        docs[i] = " ".join(words)
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in docs.items()]).repartition(5)
+    exp = _brute_remove_spans(docs, 6)
+    for cutoff in (None, 0):
+        got = {r["doc_id"]: (r["text_clean"], r["tokens_total"],
+                             r["tokens_removed"])
+               for r in dedup.remove_dup_spans(
+                   ds, k=6, broadcast_cutoff=cutoff).take_all()}
+        assert got == exp
+    assert sum(v[2] > 0 for v in exp.values()) >= 12  # test is substantive
+
+
+def test_remove_dup_spans_boilerplate_is_linear():
+    """A window shared by EVERY doc: run-scan marking, no pair emission —
+    exactly one doc keeps the boilerplate, all others lose it."""
+    import ray
+
+    boiler = "terms of service apply to all pages"
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": f"u{i} {boiler}"} for i in range(50)])
+    out = dedup.remove_dup_spans(ds, k=7).take_all()
+    assert len(out) == 50
+    kept = [r for r in out if r["tokens_removed"] == 0]
+    assert len(kept) == 1 and kept[0]["doc_id"] == 0
+    assert all(r["text_clean"] == f"u{r['doc_id']}"
+               for r in out if r["doc_id"] > 0)
+
+
 def test_grouped_quantiles_percentile_disc_semantics():
     import ray
 
