@@ -2596,6 +2596,239 @@ def remove_dup_spans(
                               runtime_env=runtime_env())
 
 
+# ── persistent exact-dedup index (build once, probe per delta batch) ─────────
+
+
+def _fp60_batch(texts) -> np.ndarray:
+    """60-bit md5 text fingerprints as int64 — THE engine/DuckDB parity
+    hash (``CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)``)."""
+    import hashlib
+
+    return np.asarray(
+        [int(hashlib.md5((t or "").encode()).hexdigest()[:15], 16)
+         for t in texts], dtype=np.int64)
+
+
+def dedup_index_build(ds, index_dir: str, id_column: str = "doc_id",
+                      text_column: str = "text",
+                      n_buckets: int = 16) -> dict:
+    """Persist the corpus content-fingerprint index so later delta
+    batches dedup against 100 TB WITHOUT re-reading it: one
+    ``(fp, base_doc_id)`` row per doc, hash-BUCKETED by fingerprint via
+    :func:`~deepwebharvester_ray.sinks.write_bucketed_parquet` — the
+    build-once/probe-many contract the persistent ANN index follows
+    (``functions/ann.py``), applied to exact dedup.  A probe touches
+    only the bucket directories its delta fingerprints hash into."""
+    from ..sinks import write_bucketed_parquet
+
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "fp": pa.array(_fp60_batch(batch.column(text_column).to_pylist()),
+                           pa.int64()),
+            "base_doc_id": pa.array(ids, pa.int64()),
+        })
+
+    fp_ds = ds.map_batches(fp_batch, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+    return write_bucketed_parquet(fp_ds, index_dir, key="fp",
+                                  n_buckets=n_buckets)
+
+
+def dedup_index_probe(delta_ds, index_dir: str, id_column: str = "doc_id",
+                      text_column: str = "text",
+                      broadcast_cutoff: int | None = None,
+                      num_partitions: int = 8):
+    """Dedup a delta batch against a PREBUILT corpus fingerprint index:
+    returns ``(doc_id, is_dup, base_doc_id)`` per delta doc
+    (``base_doc_id`` = MIN base id sharing the fingerprint, ``-1`` when
+    new; delta-internal duplicates are NOT folded — the incremental
+    contract dedups against the corpus, the delta itself then joins it).
+
+    Scale shape: delta fingerprints materialize ONCE (feeds the bucket
+    census and the final attach); the census is a per-block distinct-
+    bucket map pulled to the driver (≤ blocks × n_buckets rows); ONLY
+    the touched bucket directories are read back — the probe's I/O is
+    delta-proportional, never index-proportional.  Membership is
+    size-gated on the DELTA (the small side by construction): below the
+    cutoff its sorted fingerprint array broadcasts and a vectorized
+    searchsorted filter prunes index rows map-side before a combiner
+    grouped-MIN at matched-fingerprint cardinality; above it, native
+    hash joins keep everything off the driver."""
+    import glob as _glob
+    import os
+
+    import ray
+
+    from ..sinks import _shard_of
+    from .agg import grouped_agg
+    from .partition import coalesce_nonempty
+
+    _empty_out = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "is_dup": pa.array([], pa.int64()),
+        "base_doc_id": pa.array([], pa.int64()),
+    })
+
+    n_buckets = len(_glob.glob(os.path.join(index_dir, "bucket=*")))
+    if n_buckets == 0:
+        raise FileNotFoundError(
+            f"dedup_index_probe: no bucket=* directories under "
+            f"{index_dir} — run dedup_index_build first")
+
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "fp": pa.array(_fp60_batch(batch.column(text_column).to_pylist()),
+                           pa.int64()),
+        })
+
+    fp_ds = delta_ds.map_batches(fp_batch, batch_format="pyarrow",
+                                 runtime_env=runtime_env()).materialize()
+
+    def block_buckets(batch: pa.Table) -> pa.Table:
+        fps = batch.column("fp").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({"bucket": pa.array(
+            np.unique(_shard_of(fps, n_buckets)), pa.int64())})
+
+    touched = sorted({r["bucket"] for r in fp_ds.map_batches(
+        block_buckets, batch_format="pyarrow",
+        runtime_env=runtime_env()).take_all()})
+    touched_dirs = [d for d in
+                    (os.path.join(index_dir, f"bucket={b}") for b in touched)
+                    if os.path.isdir(d)]
+    if not touched_dirs:
+        return fp_ds.map_batches(
+            lambda b: pa.table({
+                "doc_id": b.column("doc_id"),
+                "is_dup": pa.array(np.zeros(b.num_rows, np.int64)),
+                "base_doc_id": pa.array(np.full(b.num_rows, -1, np.int64)),
+            }), batch_format="pyarrow", runtime_env=runtime_env())
+
+    touched_files = sorted(
+        f for d in touched_dirs
+        for f in _glob.glob(os.path.join(d, "*.parquet")))
+    base = ray.data.read_parquet(touched_files, columns=["fp", "base_doc_id"])
+    cutoff = (SUBTRACT_BROADCAST_CUTOFF if broadcast_cutoff is None
+              else broadcast_cutoff)
+
+    if fp_ds.count() <= cutoff:
+        tbls = ray.get(fp_ds.to_arrow_refs())
+        probe_fps = np.unique(np.concatenate(
+            [t.column("fp").combine_chunks().to_numpy(zero_copy_only=False)
+             for t in tbls if t.num_rows] or [np.empty(0, np.int64)]))
+        pref = ray.put(probe_fps)
+
+        def hit_filter(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            pf = cached_get(pref)
+            fps = batch.column("fp").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            if not len(pf):
+                return batch.slice(0, 0)
+            loc = np.searchsorted(pf, fps)
+            loc[loc == len(pf)] = 0
+            return batch.filter(pa.array(pf[loc] == fps))
+
+        matched = grouped_agg(
+            base.map_batches(hit_filter, batch_format="pyarrow",
+                             runtime_env=runtime_env()),
+            ["fp"], [("base_doc_id", "base_doc_id", "min")])
+        mtbls = ray.get(matched.to_arrow_refs())
+        mfp, mid = [], []
+        for t in mtbls:
+            if t.num_rows:
+                mfp.append(t.column("fp").combine_chunks().to_numpy(
+                    zero_copy_only=False))
+                mid.append(t.column("base_doc_id").combine_chunks().to_numpy(
+                    zero_copy_only=False))
+        mfp = np.concatenate(mfp) if mfp else np.empty(0, np.int64)
+        mid = np.concatenate(mid) if mid else np.empty(0, np.int64)
+        order = np.argsort(mfp, kind="stable")
+        mref = ray.put((mfp[order], mid[order]))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty_out
+            sfp, sid = cached_get(mref)
+            fps = batch.column("fp").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            if len(sfp):
+                loc = np.searchsorted(sfp, fps)
+                loc[loc == len(sfp)] = 0
+                hit = sfp[loc] == fps
+            else:
+                loc = np.zeros(len(fps), np.int64)
+                hit = np.zeros(len(fps), bool)
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "is_dup": pa.array(hit.astype(np.int64), pa.int64()),
+                "base_doc_id": pa.array(
+                    np.where(hit, sid[loc], np.int64(-1)), pa.int64()),
+            })
+
+        return fp_ds.map_batches(attach, batch_format="pyarrow",
+                                 runtime_env=runtime_env())
+
+    # delta above the cutoff: native hash joins, nothing driver-resident
+    base_nz = coalesce_nonempty(base)
+    fp_nz = coalesce_nonempty(fp_ds)
+    if fp_nz is None:
+        return ray.data.from_arrow(_empty_out)
+    probe_keys = grouped_agg(fp_nz.map_batches(
+        lambda b: pa.table({"__p_fp": b.column("fp")}),
+        batch_format="pyarrow", runtime_env=runtime_env()),
+        ["__p_fp"], [("__n", "", "count")])
+    if base_nz is not None:
+        hits = base_nz.join(
+            coalesce_nonempty(probe_keys), "inner",
+            num_partitions=num_partitions,
+            on=("fp",), right_on=("__p_fp",))
+        matched = grouped_agg(hits, ["fp"],
+                              [("base_doc_id", "base_doc_id", "min")])
+        matched = coalesce_nonempty(matched.map_batches(
+            lambda b: pa.table({"__m_fp": b.column("fp"),
+                                "__m_id": b.column("base_doc_id")}),
+            batch_format="pyarrow", runtime_env=runtime_env()))
+    else:
+        matched = None
+    if matched is None:
+        return fp_nz.map_batches(
+            lambda b: pa.table({
+                "doc_id": b.column("doc_id"),
+                "is_dup": pa.array(np.zeros(b.num_rows, np.int64)),
+                "base_doc_id": pa.array(np.full(b.num_rows, -1, np.int64)),
+            }), batch_format="pyarrow", runtime_env=runtime_env())
+    joined = fp_nz.join(matched, "left_outer",
+                        num_partitions=num_partitions,
+                        on=("fp",), right_on=("__m_fp",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_out
+        mid = batch.column("__m_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        if mid.dtype.kind == "f":     # nulls present → float64 + NaN
+            hit = ~np.isnan(mid)
+            mid_i = np.where(hit, np.nan_to_num(mid), -1.0).astype(np.int64)
+        else:                         # no nulls in this block → all hits
+            hit = np.ones(len(mid), bool)
+            mid_i = mid.astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "is_dup": pa.array(hit.astype(np.int64), pa.int64()),
+            "base_doc_id": pa.array(mid_i, pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              runtime_env=runtime_env())
+
+
 # ── size-gated id anti-filter (corpus purge) ─────────────────────────────────
 
 # Below this many drop-ids the anti-filter broadcasts one sorted uint64

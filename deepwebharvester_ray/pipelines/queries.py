@@ -12961,6 +12961,77 @@ ORDER BY x.doc_id
 """
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental (delta-vs-corpus) exact dedup against a PERSISTED
+    fingerprint index — the build-once/probe-many contract
+    (:func:`~deepwebharvester_ray.functions.dedup.dedup_index_build` /
+    :func:`~deepwebharvester_ray.functions.dedup.dedup_index_probe`):
+    the corpus's 60-bit md5 fingerprints are written hash-bucketed ONCE;
+    a later delta batch reads back ONLY the buckets its own fingerprints
+    touch (delta-proportional I/O, never corpus-proportional — how a
+    daily crawl increment dedups against a 100-TB archive).  Delta here
+    is the exact_dedup re-keyed-mirror idiom split: even source ids keep
+    their text (exact dups of the corpus), odd ids append a marker token
+    (genuinely new content).  Output (doc_id, is_dup, base_doc_id) per
+    delta doc; probed-buckets-only physical pruning is pinned in
+    test_functions by corrupting every untouched bucket."""
+    import shutil
+    import tempfile
+
+    from ..functions.dedup import dedup_index_build, dedup_index_probe
+
+    nblocks = _shuffle_parts(sf_dir)
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=nblocks)
+    n = pq.ParquetFile(str(Path(sf_dir) / "documents.parquet")).metadata.num_rows
+
+    def mk_delta(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids + n, pa.int64()),
+            "text": pa.array(
+                [t if i % 2 == 0 else (t or "") + " DELTA"
+                 for i, t in zip(ids, texts)], pa.string()),
+        })
+
+    delta = ds.map_batches(mk_delta, batch_format="pyarrow",
+                           runtime_env=runtime_env())
+    idx = tempfile.mkdtemp(prefix="dwh_dedup_idx_", dir="/tmp")
+    try:
+        dedup_index_build(ds, idx, n_buckets=16)
+        # materialize before the index dir is removed (lazy probe)
+        return dedup_index_probe(delta, idx).sort("doc_id").materialize()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+_SQL_DEDUP_INCREMENTAL = """
+WITH n_tab AS (SELECT count(*) AS n FROM documents),
+base AS (
+  SELECT CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp,
+         min(doc_id) AS base_doc_id
+  FROM documents GROUP BY fp
+),
+delta AS (
+  SELECT doc_id + (SELECT n FROM n_tab) AS doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN text ELSE text || ' DELTA' END AS text
+  FROM documents
+),
+dh AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp
+  FROM delta
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN b.fp IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
+       CAST(COALESCE(b.base_doc_id, -1) AS BIGINT) AS base_doc_id
+FROM dh d LEFT JOIN base b ON d.fp = b.fp
+ORDER BY d.doc_id
+"""
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF ANN with PHYSICAL partition pruning: the cell assignment is
     materialized hive-partitioned by cell and only the probed cells'
@@ -22247,6 +22318,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "containment_pairs": q_containment_pairs,
         "passage_profile": q_passage_profile,
         "dedup_spans": q_dedup_spans,
+        "dedup_incremental": q_dedup_incremental,
         "clean_text": q_clean_text,
         "price_quantiles": q_price_quantiles,
         "value_outliers": q_value_outliers,
@@ -22537,6 +22609,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "containment_pairs": _SQL_CONTAINMENT_PAIRS,
         "passage_profile": _SQL_PASSAGE_PROFILE,
         "dedup_spans": _SQL_DEDUP_SPANS,
+        "dedup_incremental": _SQL_DEDUP_INCREMENTAL,
         "clean_text": _SQL_CLEAN_TEXT,
         "price_quantiles": _SQL_PRICE_QUANTILES,
         "value_outliers": _SQL_VALUE_OUTLIERS,

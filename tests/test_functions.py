@@ -573,6 +573,73 @@ def test_remove_dup_spans_paths_agree():
     assert sum(v[2] > 0 for v in exp.values()) >= 12  # test is substantive
 
 
+def test_dedup_index_build_probe():
+    """Build-once/probe-many exact-dedup index: delta docs classify as
+    dup (with the MIN base id) or new, identically through the broadcast
+    and forced-native-join membership paths; delta-internal duplicates
+    are NOT folded (the incremental contract)."""
+    import tempfile
+
+    import ray
+
+    from deepwebharvester_ray.functions.dedup import (dedup_index_build,
+                                                      dedup_index_probe)
+
+    base = [(i, f"base text number {i} with words {i * 7 % 13}")
+            for i in range(200)]
+    delta = [(1000, base[5][1]), (1001, base[17][1]),
+             (1002, "totally new text zz"), (1003, base[5][1])]
+    bds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in base]).repartition(4)
+    dds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in delta]).repartition(2)
+    with tempfile.TemporaryDirectory(dir="/tmp") as idx:
+        info = dedup_index_build(bds, idx, n_buckets=8)
+        assert info["rows"] == 200
+        exp = {1000: (1, 5), 1001: (1, 17), 1002: (0, -1), 1003: (1, 5)}
+        for cutoff in (None, 0):
+            got = {r["doc_id"]: (r["is_dup"], r["base_doc_id"])
+                   for r in dedup_index_probe(
+                       dds, idx, broadcast_cutoff=cutoff).take_all()}
+            assert got == exp, cutoff
+
+
+def test_dedup_index_probe_reads_only_touched_buckets():
+    """Physical pruning contract: corrupting every bucket the delta does
+    NOT touch leaves the probe working — its I/O is delta-proportional,
+    never index-proportional."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    import numpy as np
+    import ray
+
+    from deepwebharvester_ray.functions.dedup import (dedup_index_build,
+                                                      dedup_index_probe)
+    from deepwebharvester_ray.sinks import _shard_of
+
+    base = [(i, f"page body {i} {i * 31 % 17}") for i in range(100)]
+    bds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in base]).repartition(4)
+    with tempfile.TemporaryDirectory(dir="/tmp") as idx:
+        dedup_index_build(bds, idx, n_buckets=8)
+        fp = np.asarray(
+            [int(hashlib.md5(base[5][1].encode()).hexdigest()[:15], 16)],
+            np.int64)
+        touched = os.path.join(idx, f"bucket={_shard_of(fp, 8)[0]}")
+        for d in glob.glob(os.path.join(idx, "bucket=*")):
+            if d != touched:
+                for f in glob.glob(os.path.join(d, "*")):
+                    with open(f, "wb") as fh:
+                        fh.write(b"CORRUPTED NOT PARQUET")
+        one = ray.data.from_items([{"doc_id": 2000, "text": base[5][1]}])
+        res = dedup_index_probe(one, idx).take_all()
+        assert len(res) == 1
+        assert res[0]["is_dup"] == 1 and res[0]["base_doc_id"] == 5
+
+
 def test_remove_dup_spans_boilerplate_is_linear():
     """A window shared by EVERY doc: run-scan marking, no pair emission —
     exactly one doc keeps the boilerplate, all others lose it."""
