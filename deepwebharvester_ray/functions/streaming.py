@@ -1011,3 +1011,116 @@ def streaming_hopping_agg(ds, window_ms: int, hop_ms: int,
     if return_stats:
         return out, {"state_rows": max_state}
     return out
+
+
+class _DDRegisterShardState:
+    """Disjoint DDSketch bucket-count registers for one streaming shard
+    (buckets hash-route by id, so no bucket lives on two shards).  Each
+    ingest folds a micro-batch's (bucket, count) partials in with one
+    concatenate + unique + exact int64 scatter-add; state is bounded by
+    the BUCKET DOMAIN (log_gamma(max/min) ≈ a few thousand rows
+    regardless of stream length) — the one streaming twin that needs no
+    watermark: registers never close, they just stay small."""
+
+    def __init__(self) -> None:
+        self.buckets = np.empty(0, np.int64)
+        self.counts = np.empty(0, np.int64)
+
+    def ingest(self, buckets: np.ndarray, counts: np.ndarray) -> int:
+        if len(buckets):
+            allb = np.concatenate([self.buckets, buckets])
+            allc = np.concatenate([self.counts, counts])
+            ub, inv = np.unique(allb, return_inverse=True)
+            nc = np.zeros(len(ub), np.int64)
+            np.add.at(nc, inv, allc)     # exact int64 (never bincount)
+            self.buckets, self.counts = ub, nc
+        return len(self.buckets)
+
+    def state_rows(self) -> int:
+        return len(self.buckets)
+
+    def flush(self) -> pa.Table:
+        return pa.table({
+            "bucket": pa.array(self.buckets, pa.int64()),
+            "n": pa.array(self.counts, pa.int64()),
+        })
+
+
+def streaming_dd_quantiles(ds, value_column: str, ps, alpha: float = 0.01,
+                           n_shards: int = 4, micro_batch: int = 65536,
+                           order_by: str | None = "ts",
+                           return_stats: bool = False):
+    """Streaming DDSketch quantiles — the arrival-order twin of the
+    batch :func:`~deepwebharvester_ray.functions.sketch.dd_quantiles`:
+    each micro-batch pre-aggregates to (bucket, count) partials IN the
+    batch (np.unique — the combiner-on-a-stream discipline: shard RPCs
+    carry register deltas, never rows), partials hash-route by BUCKET id
+    to shard actors holding disjoint register subsets, and the final
+    quantile walk merges the disjoint registers with one sort + cumsum.
+
+    Register addition is commutative, so the emitted sketch — and the
+    picked quantiles — are BIT-EQUAL to the batch operator's under ANY
+    arrival order or micro-batch split (pinned in tests): plan
+    equivalence holds without a watermark, because per-shard state is
+    bounded by the bucket domain, not stream length.  ``order_by``
+    sorts the stream simulation in event time like the other twins
+    (pass None to consume raw block order — the answer is identical).
+    Returns the same one-row {q_<p>} table as the batch op; with
+    ``return_stats`` also {"state_rows": peak total registers}."""
+    import ray
+
+    from .sketch import dd_bucket_indices, dd_bucket_value
+
+    Shard = ray.remote(num_cpus=0.5)(_DDRegisterShardState)
+    shards: List = [Shard.remote() for _ in range(n_shards)]
+    max_state = 0
+
+    stream = ds.sort(order_by) if order_by else ds
+    for chunk in stream.iter_batches(batch_size=micro_batch,
+                                     batch_format="pyarrow"):
+        if chunk.num_rows == 0:
+            continue
+        v = chunk.column(value_column).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        u, c = np.unique(dd_bucket_indices(v, alpha), return_counts=True)
+        sh = u % n_shards                 # numpy mod: non-negative
+        pend = []
+        for s in range(n_shards):
+            m = sh == s
+            if m.any():
+                pend.append(shards[s].ingest.remote(
+                    u[m], c[m].astype(np.int64)))
+        ray.get(pend)                     # per-micro-batch barrier
+        if return_stats:
+            max_state = max(max_state,
+                            sum(ray.get([s.state_rows.remote()
+                                         for s in shards])))
+
+    tables = [t for t in ray.get([s.flush.remote() for s in shards])
+              if t.num_rows]
+    for s in shards:
+        ray.kill(s)
+    if tables:
+        merged = pa.concat_tables(tables)
+        buckets = merged.column("bucket").to_numpy(zero_copy_only=False)
+        counts = merged.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(buckets, kind="stable")  # shards are disjoint
+        buckets, counts = buckets[order], counts[order]
+    else:
+        buckets = np.empty(0, np.int64)
+        counts = np.empty(0, np.int64)
+    cum = np.cumsum(counts)
+    total = cum[-1] if len(cum) else 0
+    cols = {}
+    for p in ps:
+        if total == 0:
+            cols[f"q_{p}"] = [float("nan")]
+            continue
+        i = int(np.searchsorted(cum, p * total, side="left"))
+        i = min(i, len(buckets) - 1)
+        cols[f"q_{p}"] = [float(dd_bucket_value(
+            np.asarray([buckets[i]]), alpha)[0])]
+    out = pa.table({k: pa.array(vv, pa.float64()) for k, vv in cols.items()})
+    if return_stats:
+        return out, {"state_rows": max_state}
+    return out

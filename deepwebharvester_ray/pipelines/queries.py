@@ -12690,6 +12690,25 @@ def q_value_quantiles_sketch(sf_dir: str):
     return dd_quantiles(ds, "value", [0.5, 0.9, 0.99], alpha=0.01)
 
 
+def q_value_quantiles_stream(sf_dir: str):
+    """Streaming twin of value_quantiles_sketch: the same DDSketch
+    registers built from an event-time-ordered micro-batch stream —
+    (bucket, count) partials per micro-batch hash-route by bucket id to
+    shard actors holding DISJOINT register subsets
+    (:func:`~deepwebharvester_ray.functions.streaming.streaming_dd_quantiles`).
+    Register addition commutes, so the result is BIT-EQUAL to the batch
+    sketch under any arrival order or micro-batch split (pinned in
+    test_streaming) — the one twin that needs no watermark: state is
+    bounded by the bucket domain, never stream length.  Rows-only
+    (intentionally approximate, like its batch twin)."""
+    from ..functions.streaming import streaming_dd_quantiles
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+    return streaming_dd_quantiles(ds, "value", [0.5, 0.9, 0.99],
+                                  alpha=0.01)
+
+
 def q_vocab_hll(sf_dir: str):
     """Approximate vocabulary size via a mergeable HyperLogLog sketch
     (p=12, ~1.6 % rel. error) — the distinct-count path for cardinalities
@@ -22371,6 +22390,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "bpe_token_counts": q_bpe_token_counts,
         "token_freq_cms": q_token_freq_cms,
         "value_quantiles_sketch": q_value_quantiles_sketch,
+        "value_quantiles_stream": q_value_quantiles_stream,
         "events_hopping": q_events_hopping,
         "neardup_clusters": q_neardup_clusters,
         "pagerank": q_pagerank,
@@ -22845,6 +22865,7 @@ ROWS_ONLY: List[str] = [
     "multimodal_features", "vocab_hll", "neardup_embeddings_lsh",
     "semdedup_prune",
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
+    "value_quantiles_stream",
     "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
     "link_kcore", "link_scc", "link_mis", "link_ktruss", "link_coloring",
     "link_bridges",

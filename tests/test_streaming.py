@@ -548,3 +548,70 @@ def test_streaming_hopping_agg_bounded_state_and_equality(ray_session):
     assert len(want) > 1000
     # 3 types × 4 hops/window × ~2 open spans
     assert stats["state_rows"] <= 3 * (W // H) * 2
+
+
+def test_streaming_dd_quantiles_bit_equal_to_batch(ray_session):
+    """The register stream is commutative: streaming DDSketch quantiles
+    are BIT-EQUAL to the batch dd_quantiles under event-time order, a
+    permuted arrival order, and different micro-batch sizes; total
+    register state is bounded by the bucket domain."""
+    import ray
+
+    from deepwebharvester_ray.functions.sketch import dd_quantiles
+    from deepwebharvester_ray.functions.streaming import (
+        streaming_dd_quantiles)
+
+    n = 20_000
+    rng = np.random.default_rng(31)
+    vals = np.concatenate([
+        rng.lognormal(3.0, 2.0, n // 2),          # heavy positive tail
+        -rng.lognormal(1.0, 1.5, n // 4),         # negatives
+        np.zeros(n // 4),                          # zero bucket
+    ])
+    ts = np.arange(len(vals), dtype=np.int64) * 1_000_000
+    ps = [0.1, 0.5, 0.9, 0.99]
+    t = pa.table({
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        "value": pa.array(vals, pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(7).materialize()
+    batch = dd_quantiles(ds, "value", ps, alpha=0.01).to_pylist()[0]
+
+    out, stats = streaming_dd_quantiles(
+        ds, "value", ps, alpha=0.01, n_shards=3, micro_batch=1234,
+        return_stats=True)
+    assert out.to_pylist()[0] == batch           # bit-equal, not approx
+    assert 0 < stats["state_rows"] < 5000        # bucket domain, not n
+
+    # permuted arrival + different micro-batch: same registers
+    perm = rng.permutation(len(vals))
+    t2 = pa.table({
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        "value": pa.array(vals[perm], pa.float64()),
+    })
+    ds2 = ray.data.from_arrow(t2).repartition(4).materialize()
+    out2 = streaming_dd_quantiles(ds2, "value", ps, alpha=0.01,
+                                  n_shards=2, micro_batch=333)
+    assert out2.to_pylist()[0] == batch
+
+    # relative-error guarantee vs the exact quantiles (positive tail)
+    import numpy as _np
+    exact = _np.quantile(vals, 0.9)
+    assert abs(batch["q_0.9"] - exact) <= 0.03 * abs(exact)
+
+
+def test_streaming_dd_quantiles_empty_stream(ray_session):
+    import math
+
+    import ray
+
+    from deepwebharvester_ray.functions.streaming import (
+        streaming_dd_quantiles)
+
+    t = pa.table({
+        "ts": pa.array([], pa.int64()).cast(pa.timestamp("us")),
+        "value": pa.array([], pa.float64()),
+    })
+    ds = ray.data.from_arrow(t)
+    out = streaming_dd_quantiles(ds, "value", [0.5], alpha=0.01)
+    assert math.isnan(out.to_pylist()[0]["q_0.5"])
