@@ -3161,6 +3161,189 @@ def contaminated_ids(
     )
 
 
+def contamination_profile(
+    corpus_ds,
+    bench_ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    k: int = 8,
+    shuffle_partitions: int | None = None,
+):
+    """Per-BENCHMARK-doc token-level contamination fraction (the Llama 2
+    decontamination rule, Touvron et al. 2023 §A.6 — public method): for
+    every benchmark doc, how many of its token positions are covered by
+    at least one exact ``k``-token window that also appears ANYWHERE in
+    the training corpus.  :func:`contaminated_ids` answers the binary
+    screen (which corpus docs touch the eval set); this grades each EVAL
+    item — the number reported as "% clean / % contaminated" in model
+    cards, where an item is flagged once its covered fraction crosses a
+    threshold.  Returns ``(doc_id, tokens_total, tokens_contaminated)``
+    for every bench doc.
+
+    Scale shape: :func:`passage_dup_profile`'s plan with a side flag —
+    positional window keys for the bench side (+ one per-doc sentinel
+    carrying the token count), positionless keys for the corpus side;
+    ONE all-to-all sort on the 128-bit gram key; the run pass emits
+    bench positions in runs containing ≥1 corpus row (O(run), no pair
+    emission — corpus boilerplate costs O(m)); a second, bench-sized
+    sort turns marked starts into the exact interval-union coverage.
+    Shuffle volume is O(windows) fixed-width rows — text never moves."""
+    from .agg import grouped_agg
+    from .textops import TOKEN_RE
+
+    _empty_keys = pa.table({
+        "h1": pa.array([], pa.uint64()),
+        "h2": pa.array([], pa.uint64()),
+        "id": pa.array([], pa.int64()),
+        "pos": pa.array([], pa.int32()),
+        "n_tok": pa.array([], pa.int32()),
+        "bench": pa.array([], pa.int8()),
+    })
+
+    def keyer(bench_flag: int):
+        def keys_batch(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty_keys
+            ids_in = batch.column(id_column).to_numpy(zero_copy_only=False)
+            texts = batch.column(text_column).to_pylist()
+            h1s, h2s, ids, poss, ntoks = [], [], [], [], []
+            for i, t in enumerate(texts):
+                toks = TOKEN_RE.findall(t or "")
+                u1 = _word_hashes(toks)
+                with np.errstate(over="ignore"):
+                    h1, h2 = _gram_hashes(u1, k)
+                    sent1 = np.uint64(ids_in[i]) * _PROF_S1
+                    sent2 = np.uint64(ids_in[i]) * _PROF_S2
+                n_win = len(h1)
+                if bench_flag:
+                    # sentinel row carries the token count (singleton
+                    # run: never marks)
+                    h1s.append(np.append(h1, sent1).astype(np.uint64))
+                    h2s.append(np.append(h2, sent2).astype(np.uint64))
+                    ids.append(np.full(n_win + 1, ids_in[i], np.int64))
+                    poss.append(np.append(
+                        np.arange(n_win, dtype=np.int32), np.int32(-1)))
+                    ntoks.append(np.append(np.zeros(n_win, np.int32),
+                                           np.int32(len(toks))))
+                elif n_win:
+                    h1s.append(h1)
+                    h2s.append(h2)
+                    ids.append(np.full(n_win, ids_in[i], np.int64))
+                    poss.append(np.zeros(n_win, np.int32))
+                    ntoks.append(np.zeros(n_win, np.int32))
+            if not h1s:
+                return _empty_keys
+            n = sum(len(a) for a in h1s)
+            return pa.table({
+                "h1": pa.array(np.concatenate(h1s), pa.uint64()),
+                "h2": pa.array(np.concatenate(h2s), pa.uint64()),
+                "id": pa.array(np.concatenate(ids), pa.int64()),
+                "pos": pa.array(np.concatenate(poss), pa.int32()),
+                "n_tok": pa.array(np.concatenate(ntoks), pa.int32()),
+                "bench": pa.array(
+                    np.full(n, bench_flag, np.int8), pa.int8()),
+            })
+
+        return keys_batch
+
+    keyed = corpus_ds.map_batches(
+        keyer(0), batch_format="pyarrow", runtime_env=runtime_env()
+    ).union(bench_ds.map_batches(
+        keyer(1), batch_format="pyarrow", runtime_env=runtime_env()))
+    if shuffle_partitions:
+        keyed = keyed.repartition(shuffle_partitions)
+    # materialized ONCE: feeds both the gram sort and the counts filter
+    keyed = keyed.materialize()
+
+    _empty_dup = pa.table({
+        "id": pa.array([], pa.int64()), "pos": pa.array([], pa.int32()),
+    })
+
+    def hit_windows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_dup
+        h1 = batch.column("h1").combine_chunks().to_numpy(zero_copy_only=False)
+        h2 = batch.column("h2").combine_chunks().to_numpy(zero_copy_only=False)
+        ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        pos = batch.column("pos").combine_chunks().to_numpy(zero_copy_only=False)
+        bench = batch.column("bench").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        starts, ends = _run_bounds(h1, h2)
+        # run contains ≥1 corpus row ⟺ per-run min(bench) == 0; the
+        # sentinel rows are singleton bench runs and never qualify
+        has_corpus = np.minimum.reduceat(bench, starts) == 0
+        keep = (np.repeat(has_corpus, ends - starts)
+                & (bench == 1) & (pos >= 0))
+        if not keep.any():
+            return _empty_dup
+        return pa.table({
+            "id": pa.array(ids[keep], pa.int64()),
+            "pos": pa.array(pos[keep], pa.int32()),
+        })
+
+    hits = keyed.sort(["h1", "h2"]).map_batches(
+        hit_windows, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )
+    if shuffle_partitions:
+        hits = hits.repartition(max(2, shuffle_partitions // 4))
+
+    _empty_prof = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "tokens_total": pa.array([], pa.int64()),
+        "tokens_contaminated": pa.array([], pa.int64()),
+    })
+
+    def cover_batch(batch: pa.Table) -> pa.Table:
+        # single-key id sort + in-block (id, pos) lexsort — the
+        # passage_dup_profile interval-union kernel
+        if batch.num_rows == 0:
+            return _empty_prof
+        ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        pos = batch.column("pos").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((pos, ids))
+        ids, pos = ids[order], pos[order]
+        starts, _ = _run_bounds(ids)
+        d = np.zeros(len(ids), np.int64)
+        d[starts] = k
+        if len(ids) > 1:
+            inner = np.minimum(pos[1:] - pos[:-1], k)
+            nonstart = np.ones(len(ids), bool)
+            nonstart[starts] = False
+            idx = np.nonzero(nonstart)[0]
+            d[idx] = inner[idx - 1]
+        return pa.table({
+            "doc_id": pa.array(ids[starts], pa.int64()),
+            "tokens_total": pa.array(np.zeros(len(starts), np.int64)),
+            "tokens_contaminated": pa.array(
+                np.add.reduceat(d, starts), pa.int64()),
+        })
+
+    covered = hits.sort("id").map_batches(
+        cover_batch, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env(),
+    )
+
+    def tag_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_prof
+        n = batch.num_rows
+        return pa.table({
+            "doc_id": batch.column("id"),
+            "tokens_total": batch.column("n_tok").cast(pa.int64()),
+            "tokens_contaminated": pa.array(np.zeros(n, np.int64)),
+        })
+
+    counts = keyed.filter(expr="pos < 0").map_batches(
+        tag_counts, batch_format="pyarrow", runtime_env=runtime_env())
+    return grouped_agg(
+        counts.union(covered), ["doc_id"],
+        [("tokens_total", "tokens_total", "sum"),
+         ("tokens_contaminated", "tokens_contaminated", "sum")],
+    )
+
+
 # ── content-defined chunking (CDC) storage dedup ─────────────────────────────
 
 CDC_WINDOW = 16

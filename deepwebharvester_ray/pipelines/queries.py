@@ -11059,6 +11059,85 @@ ORDER BY doc_id
 """
 
 
+def q_contamination_profile(sf_dir: str):
+    """Per-benchmark-item token-level contamination fraction (the
+    Llama 2 decontamination rule, Touvron et al. 2023 §A.6): for each
+    eval doc (the doc_id % 10 == 0 slice), the count and ppm of its
+    token positions covered by an exact 8-token window that appears
+    anywhere in the training corpus
+    (:func:`~deepwebharvester_ray.functions.dedup.contamination_profile`).
+    contamination answers the binary corpus-side screen; this grades
+    each EVAL item — the "% clean" model-card number.  passage_profile's
+    run-scan + interval-union plan with a side flag; ppm is exact
+    integer floor division."""
+    from ..functions.dedup import contamination_profile
+
+    parts = _shuffle_parts(sf_dir)
+    docs = _docs(sf_dir, columns=["doc_id", "text"],
+                 override_num_blocks=parts)
+
+    def side(want_bench: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            is_bench = ids % CONTAM_BENCH_MOD == 0
+            return batch.filter(pa.array(is_bench == want_bench))
+
+        return fn
+
+    corpus = docs.map_batches(side(False), batch_format="pyarrow",
+                              runtime_env=runtime_env())
+    bench = docs.map_batches(side(True), batch_format="pyarrow",
+                             runtime_env=runtime_env())
+    prof = contamination_profile(corpus, bench, k=8,
+                                 shuffle_partitions=parts)
+
+    def add_ppm(batch: pa.Table) -> pa.Table:
+        tot = batch.column("tokens_total").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cov = batch.column("tokens_contaminated").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ppm = np.where(tot > 0, 1_000_000 * cov // np.maximum(tot, 1),
+                       np.int64(0))
+        return batch.append_column(
+            "contam_ppm", pa.array(ppm.astype(np.int64), pa.int64()))
+
+    return prof.map_batches(add_ppm, batch_format="pyarrow",
+                            runtime_env=runtime_env()).sort("doc_id")
+
+
+_SQL_CONTAMINATION_PROFILE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i) g(i)
+  WHERE len(t) >= 8
+),
+corpus_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {CONTAM_BENCH_MOD} != 0
+),
+bench_cover AS (
+  SELECT DISTINCT g.doc_id, p.p
+  FROM grams g JOIN corpus_grams c USING (gram),
+       LATERAL (SELECT unnest(generate_series(g.i, g.i+7)) AS p) p(p)
+  WHERE g.doc_id % {CONTAM_BENCH_MOD} = 0
+)
+SELECT x.doc_id,
+       CAST(len(x.t) AS BIGINT) AS tokens_total,
+       CAST(COALESCE(cv.n, 0) AS BIGINT) AS tokens_contaminated,
+       CAST(CASE WHEN len(x.t) = 0 THEN 0
+            ELSE 1000000 * COALESCE(cv.n, 0) // len(x.t) END
+            AS BIGINT) AS contam_ppm
+FROM toks x
+LEFT JOIN (SELECT doc_id, count(*) AS n FROM bench_cover GROUP BY doc_id) cv
+  ON x.doc_id = cv.doc_id
+WHERE x.doc_id % {CONTAM_BENCH_MOD} = 0
+ORDER BY x.doc_id
+"""
+
+
 def q_full_prep(sf_dir: str):
     """The COMPLETE modern training-corpus prep chain in one pipeline —
     Gopher repetition gate → exact dedup (combiner ids + size-gated
@@ -22338,6 +22417,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "passage_profile": q_passage_profile,
         "dedup_spans": q_dedup_spans,
         "dedup_incremental": q_dedup_incremental,
+        "contamination_profile": q_contamination_profile,
         "clean_text": q_clean_text,
         "price_quantiles": q_price_quantiles,
         "value_outliers": q_value_outliers,
@@ -22630,6 +22710,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "passage_profile": _SQL_PASSAGE_PROFILE,
         "dedup_spans": _SQL_DEDUP_SPANS,
         "dedup_incremental": _SQL_DEDUP_INCREMENTAL,
+        "contamination_profile": _SQL_CONTAMINATION_PROFILE,
         "clean_text": _SQL_CLEAN_TEXT,
         "price_quantiles": _SQL_PRICE_QUANTILES,
         "value_outliers": _SQL_VALUE_OUTLIERS,

@@ -640,6 +640,36 @@ def test_dedup_index_probe_reads_only_touched_buckets():
         assert res[0]["is_dup"] == 1 and res[0]["base_doc_id"] == 5
 
 
+def test_contamination_profile_llama2_rule():
+    """Per-eval-item coverage vs hand-computed truth: overlapping
+    corpus-shared windows union, clean and short bench docs report 0,
+    fully-leaked items hit 100 %; corpus docs never appear in the
+    output."""
+    import ray
+
+    from deepwebharvester_ray.functions.dedup import contamination_profile
+
+    corpus = {
+        1: "a b c d e f g h corpus tail words here",
+        2: "x y z 1 2 3 4 5",
+    }
+    bench = {
+        10: "a b c d e f g h",                # fully leaked → 8/8
+        11: "pre a b c d e f g h post",       # middle leak → 8/10
+        12: "clean eval item nothing shared at all",
+        13: "tiny",                           # < k tokens → 0/1
+        14: "x y z 1 2 3 4 5 a b c d e f g h",  # two leaked regions
+    }
+    cds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in corpus.items()])
+    bds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in bench.items()])
+    got = {r["doc_id"]: (r["tokens_total"], r["tokens_contaminated"])
+           for r in contamination_profile(cds, bds, k=8).take_all()}
+    assert got == {10: (8, 8), 11: (10, 8), 12: (7, 0), 13: (1, 0),
+                   14: (16, 16)}
+
+
 def test_remove_dup_spans_boilerplate_is_linear():
     """A window shared by EVERY doc: run-scan marking, no pair emission —
     exactly one doc keeps the boilerplate, all others lose it."""
