@@ -11059,6 +11059,85 @@ ORDER BY doc_id
 """
 
 
+def q_mixture_weights(sf_dir: str):
+    """Temperature-smoothed domain-mixture sampling weights (the
+    multilingual/multi-source exponential-smoothing rule of
+    mBERT/XLM-R — Conneau et al. 2020 §3.1, p_s ∝ (n_s)^α — at α = 0.5
+    so both engines stay INTEGER-exact via isqrt: floor(sqrt(n)) equals
+    the correctly-rounded double sqrt's floor for every n < 2^52):
+    per source, its whitespace-token count, natural share ppm, smoothed
+    weight w = isqrt(n_tokens) and smoothed sampling share ppm — the
+    table domain_mix/domain_upsample consume as their rate input.
+    ONE combiner grouped_agg at source cardinality; the share columns
+    need every source's total, computed in the single merged block
+    (final_mode='single' — sources are file-scale metadata)."""
+    import math
+
+    from ..functions.textops import TOKEN_RE
+
+    ds = _docs(sf_dir, columns=["source", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = pa.array([len(TOKEN_RE.findall(t or "")) for t in texts],
+                     pa.int64())
+        return pa.table({"source": batch.column("source"), "n_tokens": n})
+
+    agg = grouped_agg(
+        ds.map_batches(tok_partial, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        ["source"], [("n_tokens", "n_tokens", "sum")],
+        final_mode="single",
+    )
+
+    def shares(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "source": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "nat_ppm": pa.array([], pa.int64()),
+                "w_smooth": pa.array([], pa.int64()),
+                "samp_ppm": pa.array([], pa.int64()),
+            })
+        n = batch.column("n_tokens").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        w = np.asarray([math.isqrt(int(v)) for v in n], np.int64)
+        tot_n = int(n.sum())
+        tot_w = int(w.sum())
+        return pa.table({
+            "source": batch.column("source"),
+            "n_tokens": pa.array(n, pa.int64()),
+            "nat_ppm": pa.array(1_000_000 * n // max(tot_n, 1), pa.int64()),
+            "w_smooth": pa.array(w, pa.int64()),
+            "samp_ppm": pa.array(1_000_000 * w // max(tot_w, 1), pa.int64()),
+        })
+
+    return agg.map_batches(shares, batch_format="pyarrow", batch_size=None,
+                           runtime_env=runtime_env()).sort("source")
+
+
+_SQL_MIXTURE_WEIGHTS = r"""
+WITH tok AS (
+  SELECT source, len(regexp_extract_all(text, '\S+')) AS n FROM documents
+),
+agg AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens FROM tok GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tn,
+         CAST(SUM(CAST(floor(sqrt(n_tokens)) AS BIGINT)) AS BIGINT) AS tw
+  FROM agg
+)
+SELECT source, n_tokens,
+       CAST(1000000 * n_tokens // (SELECT tn FROM tot) AS BIGINT) AS nat_ppm,
+       CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w_smooth,
+       CAST(1000000 * CAST(floor(sqrt(n_tokens)) AS BIGINT)
+            // (SELECT tw FROM tot) AS BIGINT) AS samp_ppm
+FROM agg ORDER BY source
+"""
+
+
 def q_contamination_profile(sf_dir: str):
     """Per-benchmark-item token-level contamination fraction (the
     Llama 2 decontamination rule, Touvron et al. 2023 §A.6): for each
@@ -22418,6 +22497,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "dedup_spans": q_dedup_spans,
         "dedup_incremental": q_dedup_incremental,
         "contamination_profile": q_contamination_profile,
+        "mixture_weights": q_mixture_weights,
         "clean_text": q_clean_text,
         "price_quantiles": q_price_quantiles,
         "value_outliers": q_value_outliers,
@@ -22711,6 +22791,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "dedup_spans": _SQL_DEDUP_SPANS,
         "dedup_incremental": _SQL_DEDUP_INCREMENTAL,
         "contamination_profile": _SQL_CONTAMINATION_PROFILE,
+        "mixture_weights": _SQL_MIXTURE_WEIGHTS,
         "clean_text": _SQL_CLEAN_TEXT,
         "price_quantiles": _SQL_PRICE_QUANTILES,
         "value_outliers": _SQL_VALUE_OUTLIERS,
