@@ -11059,6 +11059,86 @@ ORDER BY doc_id
 """
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style quality bucketing (Wenzek et al. 2020 §4.2, public
+    method): rank every doc by the integer rare-bigram rarity score (the
+    repo's LM-perplexity stand-in, shared with rare_bigram_rate) and
+    split the corpus into head / middle / tail at the exact tertile
+    ranks ``r_k = ceil(k·n/3)`` — CCNet's per-language perplexity
+    terciles, integer end to end.  The cutoffs come from a VALUE-DOMAIN
+    histogram (rarity_sc ∈ [0, 10^6] ⇒ ≤ 10^6 + 1 histogram rows
+    regardless of corpus size — the price_quantiles discipline), never
+    a global sort on the score; assignment is a second pure map over
+    the materialized score table.  Returns (doc_id, rarity_sc,
+    bucket)."""
+    rate = q_rare_bigram_rate(sf_dir).select_columns(
+        ["doc_id", "rarity_sc"]).materialize()  # feeds histogram + assign
+    hist = grouped_agg(rate, ["rarity_sc"],
+                       [("n", "", "count")]).take_all()  # ≤ scale+1 rows
+    if not hist:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "rarity_sc": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.string()),
+        }))
+    vals = np.fromiter((r["rarity_sc"] for r in hist), np.int64, len(hist))
+    cnts = np.fromiter((r["n"] for r in hist), np.int64, len(hist))
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    r1, r2 = (n + 2) // 3, (2 * n + 2) // 3
+    t1 = int(vals[np.searchsorted(cum, r1, side="left")])
+    t2 = int(vals[np.searchsorted(cum, r2, side="left")])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        sc = batch.column("rarity_sc").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        bucket = np.where(sc <= t1, "head",
+                          np.where(sc <= t2, "middle", "tail"))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "rarity_sc": pa.array(sc, pa.int64()),
+            "bucket": pa.array(bucket.tolist(), pa.string()),
+        })
+
+    return rate.map_batches(assign, batch_format="pyarrow",
+                            runtime_env=runtime_env()).sort("doc_id")
+
+
+_SQL_CCNET_BUCKETS = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_SQL_RE}') AS ts
+  FROM documents
+),
+big AS (
+  SELECT doc_id, ts[i.i] AS a, ts[i.i + 1] AS b
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i) i
+),
+bc AS (SELECT a, b, count(*) AS n FROM big GROUP BY a, b),
+rate AS (
+  SELECT big.doc_id,
+         CAST(count(*) FILTER (bc.n < {_RARE_BIGRAM_CUTOFF})
+              * {_RARITY_SCALE} // count(*) AS BIGINT) AS rarity_sc
+  FROM big JOIN bc USING (a, b) GROUP BY big.doc_id
+),
+nn AS (SELECT count(*) AS n FROM rate),
+ranked AS (
+  SELECT rarity_sc, row_number() OVER (ORDER BY rarity_sc) AS rn FROM rate
+),
+cuts AS (
+  SELECT
+    (SELECT rarity_sc FROM ranked
+      WHERE rn = (SELECT (n + 2) // 3 FROM nn)) AS t1,
+    (SELECT rarity_sc FROM ranked
+      WHERE rn = (SELECT (2 * n + 2) // 3 FROM nn)) AS t2
+)
+SELECT r.doc_id, r.rarity_sc,
+       CASE WHEN r.rarity_sc <= (SELECT t1 FROM cuts) THEN 'head'
+            WHEN r.rarity_sc <= (SELECT t2 FROM cuts) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM rate r ORDER BY r.doc_id
+"""
+
+
 def q_mixture_weights(sf_dir: str):
     """Temperature-smoothed domain-mixture sampling weights (the
     multilingual/multi-source exponential-smoothing rule of
@@ -22498,6 +22578,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "dedup_incremental": q_dedup_incremental,
         "contamination_profile": q_contamination_profile,
         "mixture_weights": q_mixture_weights,
+        "ccnet_buckets": q_ccnet_buckets,
         "clean_text": q_clean_text,
         "price_quantiles": q_price_quantiles,
         "value_outliers": q_value_outliers,
@@ -22792,6 +22873,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "dedup_incremental": _SQL_DEDUP_INCREMENTAL,
         "contamination_profile": _SQL_CONTAMINATION_PROFILE,
         "mixture_weights": _SQL_MIXTURE_WEIGHTS,
+        "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "clean_text": _SQL_CLEAN_TEXT,
         "price_quantiles": _SQL_PRICE_QUANTILES,
         "value_outliers": _SQL_VALUE_OUTLIERS,
