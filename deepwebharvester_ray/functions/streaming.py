@@ -1124,3 +1124,95 @@ def streaming_dd_quantiles(ds, value_column: str, ps, alpha: float = 0.01,
     if return_stats:
         return out, {"state_rows": max_state}
     return out
+
+
+class _MinKHashShardState:
+    """k smallest (hash, id) pairs seen by one streaming shard — min-k
+    of a set is arrival-order-free and mergeable, so state is k rows per
+    shard FOREVER and the merged answer is bit-equal to the batch
+    two-level partial-top-k plan (the sample_k operator)."""
+
+    def __init__(self, k: int) -> None:
+        self.k = k
+        self.hv = np.empty(0, np.uint64)
+        self.ids = np.empty(0, np.int64)
+
+    def ingest(self, hv: np.ndarray, ids: np.ndarray) -> int:
+        if len(hv):
+            allh = np.concatenate([self.hv, hv])
+            alli = np.concatenate([self.ids, ids])
+            # distinct ids ⇒ distinct hashes (odd multiplier is a
+            # bijection mod 2^64); the id tiebreak only guards dup rows
+            order = np.lexsort((alli, allh))[:self.k]
+            self.hv, self.ids = allh[order], alli[order]
+        return len(self.hv)
+
+    def state_rows(self) -> int:
+        return len(self.hv)
+
+    def flush(self) -> pa.Table:
+        return pa.table({
+            "hv": pa.array(self.hv, pa.uint64()),
+            "doc_id": pa.array(self.ids, pa.int64()),
+        })
+
+
+def streaming_sample_k(ds, id_column: str = "doc_id", k: int = 100,
+                       mult: int = 0x9E3779B97F4A7C15,
+                       n_shards: int = 4, micro_batch: int = 65536,
+                       return_stats: bool = False):
+    """Streaming fixed-size uniform sample — the arrival-order twin of
+    the batch k-smallest-multiplicative-hash sample (q_sample_k, SHARED
+    SQL oracle): each micro-batch hashes its ids, pre-prunes to its own
+    k smallest per shard route (combiner discipline: RPCs carry ≤ k
+    rows), shard actors keep their local k smallest forever (min-k is
+    order-free and mergeable — no watermark, state k·shards rows), and
+    the final merge picks the global k.  Bit-equal to the batch sample
+    under ANY arrival order, micro-batch split or shard count; the
+    subset-chain-in-k property carries over unchanged.  Returns the
+    sampled ids sorted ascending; with ``return_stats`` also
+    {"state_rows": k·shards}."""
+    import ray
+
+    Shard = ray.remote(num_cpus=0.5)(_MinKHashShardState)
+    shards: List = [Shard.remote(k) for _ in range(n_shards)]
+    max_state = 0
+
+    for chunk in ds.iter_batches(batch_size=micro_batch,
+                                 batch_format="pyarrow"):
+        if chunk.num_rows == 0:
+            continue
+        ids = chunk.column(id_column).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            hv = ids.astype(np.uint64) * np.uint64(mult)
+        sh = hv % np.uint64(n_shards)
+        pend = []
+        for s in range(n_shards):
+            m = sh == s
+            if m.any():
+                hs, is_ = hv[m], ids[m]
+                keep = np.lexsort((is_, hs))[:k]   # in-batch pre-prune
+                pend.append(shards[s].ingest.remote(hs[keep], is_[keep]))
+        ray.get(pend)
+        if return_stats:
+            max_state = max(max_state,
+                            sum(ray.get([s.state_rows.remote()
+                                         for s in shards])))
+
+    tables = [t for t in ray.get([s.flush.remote() for s in shards])
+              if t.num_rows]
+    for s in shards:
+        ray.kill(s)
+    if tables:
+        merged = pa.concat_tables(tables)
+        hv = merged.column("hv").to_numpy(zero_copy_only=False)
+        ids = merged.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, hv))[:k]
+        out_ids = np.sort(ids[order])
+    else:
+        out_ids = np.empty(0, np.int64)
+    out = pa.table({"doc_id": pa.array(out_ids, pa.int64())})
+    if return_stats:
+        return out, {"state_rows": max_state}
+    return out

@@ -5200,6 +5200,21 @@ def q_sample_k(sf_dir: str):
     return picked.select_columns(["doc_id"]).sort("doc_id")
 
 
+def q_sample_k_stream(sf_dir: str):
+    """Streaming twin of sample_k (SHARED SQL oracle): the k smallest
+    multiplicative id-hashes maintained incrementally — min-k of a set
+    is arrival-order-free and mergeable, so shard actors hold k rows
+    FOREVER (no watermark) and the merged sample is bit-equal to the
+    batch two-level partial-top-k plan under any arrival order,
+    micro-batch split or shard count
+    (:func:`~deepwebharvester_ray.functions.streaming.streaming_sample_k`).
+    The subset-chain-in-k property carries over unchanged."""
+    from ..functions.streaming import streaming_sample_k
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+    return streaming_sample_k(ds, k=SAMPLE_K, mult=_SAMPLE_MULT)
+
+
 _SQL_SAMPLE_K = f"""
 SELECT doc_id FROM (
   SELECT doc_id,
@@ -22594,6 +22609,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "forecast_baseline": q_forecast_baseline,
         "median_micros": q_median_micros,
         "sample_k": q_sample_k,
+        "sample_k_stream": q_sample_k_stream,
         "top_tokens": q_top_tokens,
         "top_tokens_by_source": q_top_tokens_by_source,
         "trending_tokens": q_trending_tokens,
@@ -22889,6 +22905,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "forecast_baseline": _SQL_FORECAST_BASELINE,
         "median_micros": _SQL_MEDIAN_MICROS,
         "sample_k": _SQL_SAMPLE_K,
+        "sample_k_stream": _SQL_SAMPLE_K,
         "top_tokens": _SQL_TOP_TOKENS,
         "top_tokens_by_source": _SQL_TOP_TOKENS_BY_SOURCE,
         "trending_tokens": _sql_trending_tokens(),

@@ -615,3 +615,40 @@ def test_streaming_dd_quantiles_empty_stream(ray_session):
     ds = ray.data.from_arrow(t)
     out = streaming_dd_quantiles(ds, "value", [0.5], alpha=0.01)
     assert math.isnan(out.to_pylist()[0]["q_0.5"])
+
+
+def test_streaming_sample_k_bit_equal_and_order_free(ray_session):
+    """Min-k-hash sample: streaming result equals the batch two-level
+    plan under ordered AND shuffled arrival; subset chain in k; state
+    is k rows per shard forever."""
+    import ray
+
+    from deepwebharvester_ray.functions.streaming import streaming_sample_k
+
+    MULT = 0xC2B2AE3D27D4EB4F
+    ids = np.arange(1, 5001, dtype=np.int64)
+
+    def batch_ref(k):
+        with np.errstate(over="ignore"):
+            hv = ids.astype(np.uint64) * np.uint64(MULT)
+        return np.sort(ids[np.argsort(hv, kind="stable")[:k]])
+
+    rng = np.random.default_rng(5)
+    for arrival in (ids, rng.permutation(ids)):
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(arrival, pa.int64())})
+        ).repartition(6).materialize()
+        out, stats = streaming_sample_k(
+            ds, k=50, mult=MULT, n_shards=3, micro_batch=617,
+            return_stats=True)
+        got = out.column("doc_id").to_numpy()
+        assert np.array_equal(got, batch_ref(50))
+        assert stats["state_rows"] <= 3 * 50
+    # subset chain: k=20 sample ⊂ k=50 sample
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64())})).repartition(4)
+    s20 = set(streaming_sample_k(ds, k=20, mult=MULT).column(
+        "doc_id").to_pylist())
+    s50 = set(streaming_sample_k(ds, k=50, mult=MULT).column(
+        "doc_id").to_pylist())
+    assert s20 <= s50 and len(s20) == 20 and len(s50) == 50
