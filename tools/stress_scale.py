@@ -1016,6 +1016,67 @@ def run_aa(n: int) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_xsubstr(dup: int, sf_dir: str) -> dict:
+    """remove_dup_spans on a ``dup``×-replicated corpus — with dup > 1
+    EVERY window of every replica sits in a cross-doc run (the
+    all-boilerplate worst case that would be O(m²) for pair emitters;
+    the run pass stays O(m) — marking is reduceats + a first-row drop).
+    Exactness at scale shape: every SHIFTED replica with ≥ k tokens must
+    come back FULLY excised (its every window loses to the original's
+    canonical occurrence), asserted over the whole output; wall should
+    grow ~linearly in dup with a flat driver (only per-block scalar
+    rollups are pulled)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from deepwebharvester_ray import runtime_env
+    from deepwebharvester_ray.functions.dedup import remove_dup_spans
+
+    def shift(batch: pa.Table, off: int) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(batch.column("doc_id"), off))
+
+    parts = []
+    for j in range(dup):
+        dsk = ray.data.read_parquet(
+            str(Path(sf_dir) / "documents.parquet"),
+            columns=["doc_id", "text"])
+        if j:
+            dsk = dsk.map_batches(shift, fn_kwargs={"off": j * 1_000_000},
+                                  batch_format="pyarrow",
+                                  runtime_env=runtime_env())
+        parts.append(dsk)
+    ds = parts[0] if dup == 1 else parts[0].union(*parts[1:])
+    t0 = time.monotonic()
+    out = remove_dup_spans(ds, k=8, shuffle_partitions=8)
+
+    def rollup(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        tot = b.column("tokens_total").to_numpy(zero_copy_only=False)
+        rem = b.column("tokens_removed").to_numpy(zero_copy_only=False)
+        rep = ids >= 1_000_000            # shifted replicas
+        bad = int((rep & (tot >= 8) & (rem != tot)).sum())
+        return pa.table({
+            "rows": pa.array([len(ids)], pa.int64()),
+            "removed": pa.array([int(rem.sum())], pa.int64()),
+            "bad_replica": pa.array([bad], pa.int64()),
+        })
+
+    agg = out.map_batches(rollup, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env()).take_all()
+    rows = sum(r["rows"] for r in agg)
+    bad = sum(r["bad_replica"] for r in agg)
+    assert bad == 0, f"{bad} replicas not fully excised"
+    return {
+        "case": "xsubstr", "dup": dup, "rows": rows,
+        "tokens_removed": sum(r["removed"] for r in agg),
+        "wall_s": round(time.monotonic() - t0, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
 def run_spans(n: int) -> dict:
     """quote_span_pairs over a synthetic n-doc corpus where every 10th
     doc shares a 40-token verbatim run with its neighbor: pairs = n/10
@@ -1119,7 +1180,7 @@ def main() -> None:
                                     "containment", "knn", "fuzzy",
                                     "skyline", "cosine", "gscan",
                                     "sdedup", "aa", "spans",
-                                    "resolve"])
+                                    "xsubstr", "resolve"])
     p.add_argument("--dup", type=int, default=1)
     p.add_argument("--seeds", type=int, default=10_000)
     p.add_argument("--shards", type=int, default=None)
@@ -1184,6 +1245,8 @@ def main() -> None:
             out = run_resolve(args.n, args.join)
         elif args.case == "spans":
             out = run_spans(args.n)
+        elif args.case == "xsubstr":
+            out = run_xsubstr(args.dup, args.sf)
         elif args.case == "cosine":
             out = run_cosine(args.n)
         else:
