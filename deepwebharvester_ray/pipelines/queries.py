@@ -17301,6 +17301,80 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_warc_revisit(sf_dir: str):
+    """Recrawl snapshot export with ISO 28500 §6.7.2 REVISIT dedup
+    (:func:`~deepwebharvester_ray.warc.write_warc_delta`): snapshot A =
+    the corpus as response WARC shards; snapshot B = the recrawl where
+    docs ``%7 == 0`` changed text — B is written AGAINST A's CDX index,
+    so unchanged pages become header-only revisit records
+    (identical-payload-digest profile, WARC-Refers-To* at the base
+    record) and only changed pages carry payload bytes.  The base is
+    consulted through its index only (never its payloads); output is
+    the delta archive's per-record-type census read back from ITS index
+    — the SQL oracle pins the classification the whole
+    export→index→read chain must reproduce.  Chained deltas, digest
+    preservation and both lookup paths are pinned in test_warc."""
+    import shutil
+    import tempfile
+
+    from ..warc import read_cdx, write_warc, write_warc_delta
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def snap(batch: pa.Table, which: str) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out_t = []
+        for d, t in zip(ids.tolist(), texts):
+            t = t or ""
+            if which == "b" and d % 7 == 0:
+                t = t + " [updated]"
+            out_t.append(t.encode("utf-8"))
+        return pa.table({
+            "url": pa.array(
+                [f"http://export.example/doc/{d}" for d in ids.tolist()],
+                pa.string()),
+            "warc_ts": pa.array(
+                ids * 1_000_000 + (10 ** 15 if which == "b" else 0),
+                pa.int64()).cast(pa.timestamp("us")),
+            "html": pa.array(out_t, pa.binary()),
+        })
+
+    tmp = tempfile.mkdtemp(prefix="dwh_warc_revisit_")
+    try:
+        write_warc(
+            ds.map_batches(lambda b: snap(b, "a"),
+                           batch_format="pyarrow", batch_size=None,
+                           runtime_env=runtime_env()),
+            str(Path(tmp) / "base"), record_type="response", n_shards=8)
+        write_warc_delta(
+            ds.map_batches(lambda b: snap(b, "b"),
+                           batch_format="pyarrow", batch_size=None,
+                           runtime_env=runtime_env()),
+            str(Path(tmp) / "delta"), str(Path(tmp) / "base"),
+            n_shards=8)
+        census = grouped_agg(
+            read_cdx(str(Path(tmp) / "delta")).select_columns(["rtype"]),
+            ["rtype"], [("n", "", "count")])
+        return census.sort("rtype").materialize()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_WARC_REVISIT = """
+SELECT 'response' AS rtype,
+       CAST(count(*) FILTER (doc_id % 7 = 0) AS BIGINT) AS n
+FROM documents
+UNION ALL
+SELECT 'revisit' AS rtype,
+       CAST(count(*) FILTER (doc_id % 7 != 0) AS BIGINT) AS n
+FROM documents
+ORDER BY rtype
+"""
+
+
 def q_cdx_diff(sf_dir: str):
     """Index-only crawl-snapshot diff (cdx_diff): what changed between
     two archive snapshots decided ENTIRELY from their CDX indexes —
@@ -22594,6 +22668,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "contamination_profile": q_contamination_profile,
         "mixture_weights": q_mixture_weights,
         "ccnet_buckets": q_ccnet_buckets,
+        "warc_revisit": q_warc_revisit,
         "clean_text": q_clean_text,
         "price_quantiles": q_price_quantiles,
         "value_outliers": q_value_outliers,
@@ -22890,6 +22965,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "contamination_profile": _SQL_CONTAMINATION_PROFILE,
         "mixture_weights": _SQL_MIXTURE_WEIGHTS,
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
+        "warc_revisit": _SQL_WARC_REVISIT,
         "clean_text": _SQL_CLEAN_TEXT,
         "price_quantiles": _SQL_PRICE_QUANTILES,
         "value_outliers": _SQL_VALUE_OUTLIERS,

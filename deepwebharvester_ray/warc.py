@@ -100,11 +100,22 @@ def _ts14(ts_us: int) -> str:
         ts_us / 1_000_000, tz=timezone.utc).strftime("%Y%m%d%H%M%S")
 
 
+_REVISIT_PROFILE = b"http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+
+
 def _record_bytes(url: str, ts_us: int, payload: bytes,
-                  record_type: str) -> bytes:
+                  record_type: str,
+                  refers_to_url: str | None = None,
+                  refers_to_ts_us: int | None = None,
+                  payload_digest: str | None = None) -> bytes:
     """One WARC/1.1 record.  ``response`` wraps the payload in a minimal
     HTTP/1.1 200 envelope (the msgtype the spec mandates for responses);
-    ``conversion`` carries it raw (the WET convention)."""
+    ``conversion`` carries it raw (the WET convention); ``revisit``
+    (ISO 28500 §6.7.2, identical-payload-digest profile) carries NO
+    payload — only the digest and the WARC-Refers-To* pointers at the
+    record it duplicates (the recrawl storage-dedup mechanism real
+    archives use; the referred record id is reconstructible because the
+    writer's ids are uuid5(url))."""
     if record_type == "response":
         http = (b"HTTP/1.1 200 OK" + _CRLF
                 + b"Content-Type: text/html; charset=utf-8" + _CRLF
@@ -113,6 +124,8 @@ def _record_bytes(url: str, ts_us: int, payload: bytes,
         body, ctype = http, b"application/http; msgtype=response"
     elif record_type == "conversion":
         body, ctype = payload, b"text/plain"
+    elif record_type == "revisit":
+        body, ctype = b"", b"application/http; msgtype=response"
     else:  # pragma: no cover - caller validates
         raise ValueError(f"unsupported record_type {record_type!r}")
     rid = uuid.uuid5(uuid.NAMESPACE_URL, url)
@@ -121,10 +134,21 @@ def _record_bytes(url: str, ts_us: int, payload: bytes,
             + b"WARC-Record-ID: <urn:uuid:" + str(rid).encode() + b">"
             + _CRLF
             + b"WARC-Date: " + _warc_date(ts_us).encode() + _CRLF
-            + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
-            + b"Content-Type: " + ctype + _CRLF
-            + b"Content-Length: " + str(len(body)).encode() + _CRLF
-            + _CRLF)
+            + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF)
+    if record_type == "revisit":
+        ref_id = uuid.uuid5(uuid.NAMESPACE_URL, refers_to_url or url)
+        head += (b"WARC-Profile: " + _REVISIT_PROFILE + _CRLF
+                 + b"WARC-Payload-Digest: sha1:"
+                 + (payload_digest or "").encode() + _CRLF
+                 + b"WARC-Refers-To: <urn:uuid:" + str(ref_id).encode()
+                 + b">" + _CRLF
+                 + b"WARC-Refers-To-Target-URI: "
+                 + (refers_to_url or url).encode("utf-8") + _CRLF
+                 + b"WARC-Refers-To-Date: "
+                 + _warc_date(refers_to_ts_us or ts_us).encode() + _CRLF)
+    head += (b"Content-Type: " + ctype + _CRLF
+             + b"Content-Length: " + str(len(body)).encode() + _CRLF
+             + _CRLF)
     return head + body + _CRLF + _CRLF
 
 
@@ -152,13 +176,17 @@ def _parse_records(raw: bytes) -> list:
         body = raw[head_end + 4:head_end + 4 + length]
         pos = head_end + 4 + length
         rtype = headers.get(b"warc-type", b"").decode()
-        if rtype not in ("response", "conversion"):
+        if rtype not in ("response", "conversion", "revisit"):
             continue
         url = headers.get(b"warc-target-uri", b"").decode("utf-8")
         ts_us = _parse_warc_date(headers.get(b"warc-date",
                                              b"1970-01-01T00:00:00Z")
                                  .decode())
-        if rtype == "response":
+        if rtype == "revisit":
+            # payload lives in the referred record (fetch_records on the
+            # base archive resolves it); the row carries only identity
+            out.append((url, ts_us, rtype, 0, b"", ""))
+        elif rtype == "response":
             split = body.find(b"\r\n\r\n")
             http_head = body[:max(split, 0)]
             status = 0
@@ -320,6 +348,224 @@ def write_warc(ds, out_dir: str, record_type: str = "response",
             "n_samples": sum(int(r["n_samples"]) for r in rows)}
 
 
+def write_warc_delta(ds, out_dir: str, base_dir: str,
+                     n_shards: int = 16, gzip_records: bool = True,
+                     broadcast_cutoff: int = 2_000_000,
+                     num_partitions: int = 8) -> dict:
+    """Snapshot export with ISO 28500 §6.7.2 REVISIT dedup against a
+    BASE archive: pages whose payload sha1 equals the base CDX digest
+    for the same URL are written as header-only ``WARC-Type: revisit``
+    records (identical-payload-digest profile, WARC-Refers-To* pointing
+    at the base record); changed/new pages are full response records —
+    how a recrawl snapshot of a 100-TB archive stores only its deltas.
+
+    The base is consulted through its CDX INDEX only (url → digest,
+    ts14) — index-sized I/O, never base payload bytes; the lookup is
+    size-gated (broadcast url→(digest, ts) map below the cutoff, native
+    left-outer hash join on the url key above).  Delta CDX lines keep
+    ``digest`` = the PAYLOAD digest for revisit records too, so a
+    second delta against THIS archive still dedups (chained-delta
+    contract, pinned in tests); each line also carries ``rtype``.
+    Same byte-determinism discipline as :func:`write_warc`.  The base
+    CDX must be url-unique (the write_warc contract: one record per
+    url per export).  Returns {written, n_shards, n_samples,
+    n_revisit, n_response}."""
+    import calendar
+
+    import pyarrow.compute as pc
+    import ray
+
+    from . import runtime_env
+    from .broadcast import cached_get
+    from .sinks import _shard_of
+    from .urlops import url_hash64
+
+    base = Path(out_dir)
+    base.mkdir(parents=True, exist_ok=True)
+    suffix = ".warc.gz" if gzip_records else ".warc"
+    for pat in ("shard-*.warc*", "shard-*.cdx"):
+        for stale in base.glob(pat):
+            stale.unlink()
+
+    def _ts14_to_us(ts14: str) -> int:
+        import time as _time
+
+        st = _time.strptime(ts14, "%Y%m%d%H%M%S")
+        return calendar.timegm(st) * 1_000_000
+
+    idx = read_cdx(base_dir)
+
+    def digest_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column("html").to_pylist()
+        payloads = [(t.encode("utf-8") if isinstance(t, str) else (t or b""))
+                    for t in texts]
+        return pa.table({
+            "url": batch.column("url"),
+            "ts_us": batch.column("warc_ts").combine_chunks()
+            .cast(pa.timestamp("us")).cast(pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "digest": pa.array(
+                [hashlib.sha1(p).hexdigest() for p in payloads],
+                pa.string()),
+        })
+
+    pages = ds.map_batches(digest_rows, batch_format="pyarrow",
+                           batch_size=None, runtime_env=runtime_env())
+
+    n_idx = idx.count()
+    if n_idx <= broadcast_cutoff:
+        tbls = ray.get(idx.to_arrow_refs())
+        lut = {}
+        for t in tbls:
+            if t.num_rows == 0:   # schema-less empty blocks exist
+                continue
+            for u, d, ts14 in zip(t.column("url").to_pylist(),
+                                  t.column("digest").to_pylist(),
+                                  t.column("ts14").to_pylist()):
+                lut[u] = (d, _ts14_to_us(ts14))
+        ref = ray.put(lut)
+
+        def classify(batch: pa.Table) -> pa.Table:
+            table = cached_get(ref)
+            urls = batch.column("url").to_pylist()
+            digs = batch.column("digest").to_pylist()
+            hits = [table.get(u) for u in urls]
+            revisit = [h is not None and h[0] == d
+                       for h, d in zip(hits, digs)]
+            return pa.table({
+                "url": batch.column("url"),
+                "ts_us": batch.column("ts_us"),
+                "payload": batch.column("payload"),
+                "digest": batch.column("digest"),
+                "revisit": pa.array(revisit, pa.bool_()),
+                "ref_ts_us": pa.array(
+                    [(h[1] if r else 0)
+                     for h, r in zip(hits, revisit)], pa.int64()),
+            })
+
+        classified = pages.map_batches(classify, batch_format="pyarrow",
+                                       runtime_env=runtime_env())
+    else:
+        from .functions.partition import coalesce_nonempty
+
+        marker = idx.map_batches(
+            lambda b: pa.table({
+                "__b_url": b.column("url"),
+                "__b_digest": b.column("digest"),
+                "__b_ts14": b.column("ts14"),
+            }), batch_format="pyarrow", runtime_env=runtime_env())
+        pages_nz = coalesce_nonempty(pages)
+        if pages_nz is None:
+            classified = None
+        else:
+            joined = pages_nz.join(
+                coalesce_nonempty(marker), "left_outer",
+                num_partitions=num_partitions,
+                on=("url",), right_on=("__b_url",))
+
+            def classify_joined(batch: pa.Table) -> pa.Table:
+                bd = batch.column("__b_digest").to_pylist()
+                bt = batch.column("__b_ts14").to_pylist()
+                digs = batch.column("digest").to_pylist()
+                revisit = [b is not None and b == d
+                           for b, d in zip(bd, digs)]
+                return pa.table({
+                    "url": batch.column("url"),
+                    "ts_us": batch.column("ts_us"),
+                    "payload": batch.column("payload"),
+                    "digest": batch.column("digest"),
+                    "revisit": pa.array(revisit, pa.bool_()),
+                    "ref_ts_us": pa.array(
+                        [(_ts14_to_us(t) if r else 0)
+                         for t, r in zip(bt, revisit)], pa.int64()),
+                })
+
+            classified = joined.map_batches(
+                classify_joined, batch_format="pyarrow",
+                runtime_env=runtime_env())
+    if classified is None:
+        (base / "manifest.json").write_text(json.dumps({}, sort_keys=True,
+                                                       indent=1))
+        return {"written": [], "n_shards": n_shards, "n_samples": 0,
+                "n_revisit": 0, "n_response": 0}
+
+    def tag(batch: pa.Table) -> pa.Table:
+        hv = np.asarray(
+            [url_hash64(u) for u in batch.column("url").to_pylist()],
+            np.uint64).astype(np.int64)
+        return batch.append_column(
+            "_shard", pa.array(_shard_of(hv, n_shards), pa.int64()))
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        sh = int(group.column("_shard")[0].as_py())
+        group = group.take(
+            pc.sort_indices(group, sort_keys=[("url", "ascending")]))
+        fname = f"shard-{sh:05d}{suffix}"
+        buf = io.BytesIO()
+        index = []
+        n_rev = 0
+        for url, ts_us, payload, digest, revisit, ref_ts in zip(
+                group.column("url").to_pylist(),
+                group.column("ts_us").to_pylist(),
+                group.column("payload").to_pylist(),
+                group.column("digest").to_pylist(),
+                group.column("revisit").to_pylist(),
+                group.column("ref_ts_us").to_pylist()):
+            if revisit:
+                rec = _record_bytes(url, ts_us, b"", "revisit",
+                                    refers_to_url=url,
+                                    refers_to_ts_us=ref_ts,
+                                    payload_digest=digest)
+                n_rev += 1
+            else:
+                rec = _record_bytes(url, ts_us, payload or b"", "response")
+            off = buf.tell()
+            buf.write(gzip.compress(rec, mtime=0) if gzip_records else rec)
+            index.append(
+                f"{surt(url)} {_ts14(ts_us)} " + json.dumps(
+                    {"url": url, "filename": fname, "offset": off,
+                     "length": buf.tell() - off, "digest": digest,
+                     "rtype": "revisit" if revisit else "response"},
+                    sort_keys=True, separators=(",", ":")))
+        raw = buf.getvalue()
+        tmp = base / (fname + ".tmp")
+        tmp.write_bytes(raw)
+        tmp.rename(base / fname)
+        cdx = base / f"shard-{sh:05d}.cdx"
+        cdx_tmp = base / (cdx.name + ".tmp")
+        cdx_tmp.write_text("\n".join(sorted(index)) + "\n")
+        cdx_tmp.rename(cdx)
+        return pa.table({
+            "shard": pa.array([sh], pa.int64()),
+            "file": pa.array([fname], pa.string()),
+            "n_samples": pa.array([group.num_rows], pa.int64()),
+            "n_revisit": pa.array([n_rev], pa.int64()),
+            "bytes": pa.array([len(raw)], pa.int64()),
+            "sha256": pa.array([hashlib.sha256(raw).hexdigest()],
+                               pa.string()),
+        })
+
+    rows = (classified.map_batches(tag, batch_format="pyarrow",
+                                   batch_size=None,
+                                   runtime_env=runtime_env())
+            .groupby("_shard")
+            .map_groups(write_shard, batch_format="pyarrow")
+            .take_all())  # ≤ n_shards summary rows
+    manifest = {str(r["shard"]): {
+        "file": r["file"], "n_samples": int(r["n_samples"]),
+        "bytes": int(r["bytes"]), "sha256": r["sha256"]} for r in rows}
+    (base / "manifest.json").write_text(json.dumps(
+        manifest, sort_keys=True, indent=1))
+    n_samples = sum(int(r["n_samples"]) for r in rows)
+    n_revisit = sum(int(r["n_revisit"]) for r in rows)
+    logger.info("warc delta export: %d shards, %d/%d revisit → %s",
+                len(rows), n_revisit, n_samples, base)
+    return {"written": sorted(int(r["shard"]) for r in rows),
+            "n_shards": n_shards, "n_samples": n_samples,
+            "n_revisit": n_revisit,
+            "n_response": n_samples - n_revisit}
+
+
 def read_cdx(path: str):
     """Every ``shard-*.cdx`` under ``path`` as a Dataset of
     ``(urlkey, ts14, url, filename, offset, length, digest)`` rows —
@@ -341,6 +587,7 @@ def read_cdx(path: str):
         "offset": pa.array([], pa.int64()),
         "length": pa.array([], pa.int64()),
         "digest": pa.array([], pa.string()),
+        "rtype": pa.array([], pa.string()),
     })
     if not paths:
         return ray.data.from_arrow(empty)
@@ -361,6 +608,8 @@ def read_cdx(path: str):
                 cols["offset"].append(meta["offset"])
                 cols["length"].append(meta["length"])
                 cols["digest"].append(meta["digest"])
+                # pre-revisit archives carry no rtype field
+                cols["rtype"].append(meta.get("rtype", "response"))
         return pa.table({
             "urlkey": pa.array(cols["urlkey"], pa.string()),
             "ts14": pa.array(cols["ts14"], pa.string()),
@@ -369,6 +618,7 @@ def read_cdx(path: str):
             "offset": pa.array(cols["offset"], pa.int64()),
             "length": pa.array(cols["length"], pa.int64()),
             "digest": pa.array(cols["digest"], pa.string()),
+            "rtype": pa.array(cols["rtype"], pa.string()),
         })
 
     return files.map_batches(parse, batch_format="pyarrow",

@@ -201,3 +201,97 @@ def test_surt_keys():
     ks = sorted([surt("http://a.example/x"), surt("http://b.other/y"),
                  surt("http://a.example/z")])
     assert ks[0].startswith("example,a)") and ks[1].startswith("example,a)")
+
+
+def test_warc_revisit_delta_export(ray_session, tmp_path):
+    """ISO 28500 §6.7.2 revisit dedup: unchanged pages become
+    header-only revisit records (identical-payload-digest profile)
+    through BOTH lookup paths; changed pages round-trip their new
+    payload; delta CDX preserves the payload digest so a CHAINED delta
+    against the delta archive still dedups; the base resolves point
+    lookups for unchanged content."""
+    import ray
+
+    from deepwebharvester_ray.warc import (fetch_records, read_cdx,
+                                           read_warc, write_warc,
+                                           write_warc_delta)
+
+    urls = [f"http://site{i % 3}.onion/p{i}" for i in range(10)]
+    ts0 = 1_700_000_000_000_000
+    base_tbl = pa.table({
+        "url": pa.array(urls),
+        "warc_ts": pa.array([ts0 + i * 1_000_000 for i in range(10)],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array([f"<html>body {i}</html>".encode()
+                          for i in range(10)], pa.binary()),
+    })
+    new_html = [(f"<html>CHANGED {i}</html>".encode() if i % 3 == 0
+                 else f"<html>body {i}</html>".encode())
+                for i in range(10)]
+    delta_tbl = pa.table({
+        "url": pa.array(urls),
+        "warc_ts": pa.array([ts0 + 10 ** 9 + i * 1_000_000
+                             for i in range(10)],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array(new_html, pa.binary()),
+    })
+    bd, dd, dd2 = (str(tmp_path / d) for d in ("base", "delta", "delta2"))
+    write_warc(ray.data.from_arrow(base_tbl).repartition(3), bd,
+               n_shards=4)
+    for cutoff in (2_000_000, 0):   # broadcast, then forced join path
+        info = write_warc_delta(
+            ray.data.from_arrow(delta_tbl).repartition(2), dd, bd,
+            n_shards=4, broadcast_cutoff=cutoff)
+        assert info["n_revisit"] == 6 and info["n_response"] == 4
+
+    rows = read_warc(dd).take_all()
+    types = {r["url"]: r["record_type"] for r in rows}
+    assert sum(1 for t in types.values() if t == "revisit") == 6
+    got = {r["url"]: r["html"] for r in rows
+           if r["record_type"] == "response"}
+    for i in (0, 3, 6, 9):
+        assert got[urls[i]] == new_html[i]
+
+    bidx = {r["url"]: r["digest"] for r in read_cdx(bd).take_all()}
+    didx = {r["url"]: (r["digest"], r["rtype"])
+            for r in read_cdx(dd).take_all()}
+    for i in range(10):
+        d, rt = didx[urls[i]]
+        if i % 3 == 0:
+            assert rt == "response" and d != bidx[urls[i]]
+        else:
+            assert rt == "revisit" and d == bidx[urls[i]]
+
+    # chained delta: C identical to B → all revisit against the DELTA
+    c_tbl = delta_tbl.set_column(
+        delta_tbl.schema.get_field_index("warc_ts"), "warc_ts",
+        pa.array([ts0 + 2 * 10 ** 9 + i * 1_000_000 for i in range(10)],
+                 pa.int64()).cast(pa.timestamp("us")))
+    info2 = write_warc_delta(ray.data.from_arrow(c_tbl), dd2, dd,
+                             n_shards=4)
+    assert info2["n_revisit"] == 10 and info2["n_response"] == 0
+
+    fr = fetch_records(bd, [urls[1]]).take_all()
+    assert fr and b"body 1" in fr[0]["html"]
+
+
+def test_warc_revisit_record_headers(ray_session, tmp_path):
+    """The revisit record bytes carry the spec's profile, digest and
+    WARC-Refers-To* headers, and its Refers-To id equals the base
+    record's uuid5(url) id."""
+    import uuid
+
+    from deepwebharvester_ray.warc import (_REVISIT_PROFILE,
+                                           _record_bytes)
+
+    rec = _record_bytes("http://a.onion/x", 1_700_000_000_000_000, b"",
+                        "revisit", refers_to_url="http://a.onion/x",
+                        refers_to_ts_us=1_600_000_000_000_000,
+                        payload_digest="ab" * 20)
+    assert b"WARC-Type: revisit" in rec
+    assert b"WARC-Profile: " + _REVISIT_PROFILE in rec
+    assert b"WARC-Payload-Digest: sha1:" + b"ab" * 20 in rec
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, "http://a.onion/x")
+    assert f"WARC-Refers-To: <urn:uuid:{rid}>".encode() in rec
+    assert b"WARC-Refers-To-Date: 2020-09-13" in rec
+    assert b"Content-Length: 0" in rec
