@@ -1216,3 +1216,68 @@ def streaming_sample_k(ds, id_column: str = "doc_id", k: int = 100,
     if return_stats:
         return out, {"state_rows": max_state}
     return out
+
+
+class _HLLShardState:
+    """One shard's slice of the HyperLogLog register array: registers
+    are position-addressed, so shard s owns range [lo, hi) and merges
+    incoming slices with an elementwise max — idempotent and
+    commutative, CONSTANT state (its share of the 2^p bytes) forever."""
+
+    def __init__(self, lo: int, hi: int) -> None:
+        self.lo, self.hi = lo, hi
+        self.regs = np.zeros(hi - lo, np.uint8)
+
+    def ingest(self, regs_slice: bytes) -> int:
+        self.regs = np.maximum(
+            self.regs, np.frombuffer(regs_slice, dtype=np.uint8))
+        return len(self.regs)
+
+    def state_rows(self) -> int:
+        return len(self.regs)
+
+    def flush(self) -> bytes:
+        return self.regs.tobytes()
+
+
+def streaming_hll_distinct(ds, extract, label: str = "n_distinct_est",
+                           n_shards: int = 4, micro_batch: int = 65536,
+                           return_stats: bool = False):
+    """Streaming HyperLogLog distinct count — the register-stream twin
+    of the batch :func:`~deepwebharvester_ray.functions.sketch.hll_distinct`
+    (same ``extract`` contract): each micro-batch collapses to one
+    2^p-byte register array (the combiner discipline — RPCs carry
+    registers, never values), register POSITION ranges partition across
+    shard actors, and each shard folds its slice with an elementwise
+    max.  Max is idempotent and commutative, so the merged registers —
+    and the estimate — are BIT-EQUAL to the batch sketch under any
+    arrival order or micro-batch split, with CONSTANT total state
+    (2^p bytes across all shards, forever).  Returns the same one-row
+    {label} table; with ``return_stats`` also {"state_rows": 2^p}."""
+    import ray
+
+    from .sketch import _M, _hash64, hll_estimate, hll_registers
+
+    bounds = np.linspace(0, _M, n_shards + 1).astype(int)
+    Shard = ray.remote(num_cpus=0.5)(_HLLShardState)
+    shards: List = [Shard.remote(int(bounds[s]), int(bounds[s + 1]))
+                    for s in range(n_shards)]
+
+    for chunk in ds.iter_batches(batch_size=micro_batch,
+                                 batch_format="pyarrow"):
+        if chunk.num_rows == 0:
+            continue
+        regs = hll_registers(_hash64(set(extract(chunk))))
+        ray.get([shards[s].ingest.remote(
+            regs[bounds[s]:bounds[s + 1]].tobytes())
+            for s in range(n_shards)])
+
+    slices = ray.get([s.flush.remote() for s in shards])
+    for s in shards:
+        ray.kill(s)
+    merged = np.frombuffer(b"".join(slices), dtype=np.uint8)
+    out = pa.table({label: pa.array([int(round(hll_estimate(merged)))],
+                                    pa.int64())})
+    if return_stats:
+        return out, {"state_rows": int(_M)}
+    return out

@@ -12977,6 +12977,26 @@ def q_vocab_hll(sf_dir: str):
     return hll_distinct(ds, batch_word_tokens, label="n_distinct_est")
 
 
+def q_vocab_hll_stream(sf_dir: str):
+    """Streaming twin of vocab_hll: the same HyperLogLog registers built
+    from a micro-batched document stream — per-batch register arrays
+    route by register POSITION range to shard actors folding an
+    elementwise max
+    (:func:`~deepwebharvester_ray.functions.streaming.streaming_hll_distinct`).
+    Max is idempotent and commutative, so the estimate is BIT-EQUAL to
+    the batch sketch under any arrival order (pinned in test_streaming)
+    with CONSTANT total state (2^p registers forever) — the third
+    register-stream twin beside the DDSketch quantiles and the min-k
+    sample.  Rows-only like its batch twin."""
+    from ..functions.streaming import streaming_hll_distinct
+    from ..functions.textops import batch_word_tokens
+
+    ds = _docs(sf_dir, columns=["text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    return streaming_hll_distinct(ds, batch_word_tokens,
+                                  label="n_distinct_est")
+
+
 def q_ngram_overlap(sf_dir: str):
     """Exact k-token-window (passage) overlap pairs — doc pairs sharing at
     least one exact 8-token window (the passage-level extension of the
@@ -22716,6 +22736,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "weighted_sample": q_weighted_sample,
         "oov_rate": q_oov_rate,
         "vocab_hll": q_vocab_hll,
+        "vocab_hll_stream": q_vocab_hll_stream,
         "approx_users_by_type": q_approx_users_by_type,
         "heavy_tokens_mg": q_heavy_tokens_mg,
         "streaming_heavy_tokens": q_streaming_heavy_tokens,
@@ -23199,7 +23220,8 @@ ROWS_ONLY: List[str] = [
     "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq",
     "embedding_clusters", "kmeans_refine",
     "binary_metadata",
-    "multimodal_features", "vocab_hll", "neardup_embeddings_lsh",
+    "multimodal_features", "vocab_hll", "vocab_hll_stream",
+    "neardup_embeddings_lsh",
     "semdedup_prune",
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
     "value_quantiles_stream",

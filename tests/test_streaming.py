@@ -652,3 +652,36 @@ def test_streaming_sample_k_bit_equal_and_order_free(ray_session):
     s50 = set(streaming_sample_k(ds, k=50, mult=MULT).column(
         "doc_id").to_pylist())
     assert s20 <= s50 and len(s20) == 20 and len(s50) == 50
+
+
+def test_streaming_hll_bit_equal_to_batch(ray_session):
+    """Register-position-sharded streaming HLL: estimate bit-equal to
+    the batch sketch under ordered and permuted arrival and different
+    micro-batch/shard counts; total state constant at 2^p registers."""
+    import ray
+
+    from deepwebharvester_ray.functions.sketch import hll_distinct
+    from deepwebharvester_ray.functions.streaming import (
+        streaming_hll_distinct)
+
+    def extract(batch):
+        return [t for t in batch.column("tok").to_pylist()]
+
+    rng = np.random.default_rng(11)
+    toks = [f"w{v}" for v in rng.integers(0, 3000, 30_000)]
+    t = pa.table({"tok": pa.array(toks, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(5).materialize()
+    batch_est = hll_distinct(ds, extract).to_pylist()[0]["n_distinct_est"]
+
+    out, stats = streaming_hll_distinct(
+        ds, extract, n_shards=3, micro_batch=1777, return_stats=True)
+    assert out.to_pylist()[0]["n_distinct_est"] == batch_est
+    assert stats["state_rows"] == 4096        # p=12: constant, not n
+
+    perm = pa.table({"tok": pa.array(
+        [toks[i] for i in rng.permutation(len(toks))], pa.string())})
+    ds2 = ray.data.from_arrow(perm).repartition(2).materialize()
+    out2 = streaming_hll_distinct(ds2, extract, n_shards=5,
+                                  micro_batch=433)
+    assert out2.to_pylist()[0]["n_distinct_est"] == batch_est
+    assert abs(batch_est - 3000) / 3000 < 0.05
