@@ -148,6 +148,95 @@ def extract_links(base_url: str, hrefs: List[str]) -> List[str]:
     return sorted(links)
 
 
+class _AnchorParser(HTMLParser):
+    """Minimal single-pass ``<a href>`` + inner-text collector for the
+    anchor-text aggregation stage.  Deliberately separate from
+    :class:`_PageParser` (whose segment/title behavior is byte-pinned by
+    the content-hash oracle): one open anchor at a time (nested anchors
+    are invalid HTML — a new ``<a href>`` implicitly closes a dangling
+    one, matching browser tree-building), text whitespace-collapsed."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.pairs: List[Tuple[str, str]] = []
+        self._href: str | None = None
+        self._buf: List[str] = []
+
+    def _emit(self) -> None:
+        if self._href is not None:
+            self.pairs.append(
+                (self._href, " ".join("".join(self._buf).split())))
+        self._href, self._buf = None, []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            self._emit()
+            for name, value in attrs:
+                if name == "href" and value is not None:
+                    self._href = value
+                    self._buf = []
+                    break
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None:
+            self._buf.append(data)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._emit()
+
+    def close(self) -> None:
+        super().close()
+        self._emit()
+
+
+def extract_anchors(base_url: str, html: str) -> List[Tuple[str, str]]:
+    """Per-ELEMENT (canonical target url, anchor text) pairs of a page —
+    the same resolve/filter/canonicalize steps as :func:`extract_links`
+    but keeping every anchor occurrence (anchor text votes are counted
+    per element, not per distinct target; Brin & Page 1998 §2.2 — anchor
+    text describes the TARGET page, the signal link-based indexing and
+    link-context training data mine)."""
+    parser = _AnchorParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass
+    out: List[Tuple[str, str]] = []
+    for href, text in parser.pairs:
+        href = href.strip()
+        if not href or href.startswith(("#", "javascript:", "mailto:")):
+            continue
+        full_url = urljoin(base_url, href).split("#")[0]
+        if is_valid_onion_url(full_url):
+            out.append((canonicalize_url(full_url), text))
+    return out
+
+
+def anchor_pairs_batch(batch: pa.Table) -> pa.Table:
+    """map_batches fn: ``(url, html)`` → one row per anchor element
+    ``(dst_url, anchor)``."""
+    urls = batch.column("url").to_pylist()
+    html_col = batch.column("html")
+    if pa.types.is_binary(html_col.type) or pa.types.is_large_binary(
+            html_col.type):
+        htmls = [(b.decode("utf-8", errors="replace") if b is not None
+                  else "") for b in html_col.to_pylist()]
+    else:
+        htmls = [(h if h is not None else "") for h in html_col.to_pylist()]
+    dsts: List[str] = []
+    texts: List[str] = []
+    for url, html in zip(urls, htmls):
+        for dst, text in extract_anchors(url, html):
+            dsts.append(dst)
+            texts.append(text)
+    return pa.table({
+        "dst_url": pa.array(dsts, pa.string()),
+        "anchor": pa.array(texts, pa.string()),
+    })
+
+
 def extract_content(html: str, url: str) -> Tuple[str, str, str, List[str]]:
     """Parse *html* → ``(title, text, content_hash, links)``.
 

@@ -190,6 +190,140 @@ ORDER BY doc_id
 """
 
 
+def q_anchor_stats(sf_dir: str):
+    """Per-target anchor-text aggregation (Brin & Page 1998 §2.2 —
+    anchor text describes the TARGET page; the signal link-based
+    indexing and link-context training data mine): for every corpus
+    page, its in-link count, distinct anchor-text count and most
+    frequent anchor (ties broken lexicographically) harvested from the
+    REAL page HTML (:func:`~deepwebharvester_ray.extract.extract_anchors`
+    — per-element pairs, same resolve/filter/canonicalize steps as the
+    link harvester).
+
+    Distributed shape: one parse map to (dst_url, anchor) rows, targets
+    resolved to corpus doc ids via the size-gated
+    :func:`~deepwebharvester_ray.functions.dedup.attach_id_labels` on
+    the url hash (inner semantics = the "indexed pages only" semi-join
+    — login/missing/off-host links drop here), ONE combiner grouped
+    count at (dst, anchor) cardinality, then a single-key dst sort with
+    an in-block Arrow multi-key sort + run scan for the per-target
+    rollup.  The SQL oracle re-derives the link structure from the
+    corpus generator's arithmetic (the extract_pages idiom)."""
+    import ray
+
+    from ..extract import anchor_pairs_batch
+    from ..functions.dedup import _run_bounds, attach_id_labels
+    from ..urlops import url_hash64
+
+    corpus = corpus_from_documents(sf_dir)
+    pages = ray.data.read_parquet(corpus, columns=["url", "html"])
+    pairs = pages.map_batches(anchor_pairs_batch, batch_format="pyarrow",
+                              batch_size=256, runtime_env=runtime_env())
+
+    def key_pairs(batch: pa.Table) -> pa.Table:
+        hv = np.asarray(
+            [url_hash64(u) for u in batch.column("dst_url").to_pylist()],
+            np.uint64).astype(np.int64)
+        return pa.table({"__key": pa.array(hv, pa.int64()),
+                         "anchor": batch.column("anchor")})
+
+    def key_labels(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        hv = np.asarray([url_hash64(u) for u in urls],
+                        np.uint64).astype(np.int64)
+        return pa.table({
+            "__key": pa.array(hv, pa.int64()),
+            "dst_doc_id": pa.array(
+                [int(u.rsplit("/", 1)[1]) for u in urls], pa.int64()),
+        })
+
+    labels = ray.data.read_parquet(corpus, columns=["url"]).map_batches(
+        key_labels, batch_format="pyarrow", runtime_env=runtime_env())
+    resolved = attach_id_labels(
+        pairs.map_batches(key_pairs, batch_format="pyarrow",
+                          runtime_env=runtime_env()),
+        labels, id_column="__key", label_id_column="__key",
+        label_column="dst_doc_id",
+    ).map_batches(
+        lambda b: b.select(["dst_doc_id", "anchor"]),
+        batch_format="pyarrow", runtime_env=runtime_env())
+
+    agg = grouped_agg(resolved, ["dst_doc_id", "anchor"],
+                      [("n", "", "count")])
+
+    _empty = pa.table({
+        "dst_doc_id": pa.array([], pa.int64()),
+        "n_inlinks": pa.array([], pa.int64()),
+        "n_anchors": pa.array([], pa.int64()),
+        "top_anchor": pa.array([], pa.string()),
+    })
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return _empty
+        t = batch.take(pc.sort_indices(batch, sort_keys=[
+            ("dst_doc_id", "ascending"), ("n", "descending"),
+            ("anchor", "ascending")]))
+        d = t.column("dst_doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cnt = t.column("n").combine_chunks().to_numpy(zero_copy_only=False)
+        starts, ends = _run_bounds(d)
+        return pa.table({
+            "dst_doc_id": pa.array(d[starts], pa.int64()),
+            "n_inlinks": pa.array(np.add.reduceat(cnt, starts), pa.int64()),
+            "n_anchors": pa.array((ends - starts).astype(np.int64),
+                                  pa.int64()),
+            "top_anchor": t.column("anchor").combine_chunks().take(
+                pa.array(starts, pa.int64())),
+        })
+
+    return agg.sort("dst_doc_id").map_batches(
+        rollup, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env()).sort("dst_doc_id")
+
+
+def _sql_anchor_stats() -> str:
+    from ..corpus import HOSTS
+
+    t1, t2, t3 = LINK_OFFSETS
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+e AS (
+  SELECT doc_id,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS eff
+  FROM documents
+),
+pairs AS (
+  SELECT (eff + {t1}) % c AS dst, 'L' || ((eff + {t1}) % c) AS anchor
+  FROM e CROSS JOIN n
+  UNION ALL
+  SELECT (eff + {t1}) % c, 'F' || ((eff + {t1}) % c) FROM e CROSS JOIN n
+  UNION ALL
+  SELECT (eff + {t2}) % c, 'L' || ((eff + {t2}) % c) FROM e CROSS JOIN n
+  UNION ALL
+  SELECT (eff + {t3}) % c, 'L' || ((eff + {t3}) % c) FROM e CROSS JOIN n
+  WHERE ((eff + {t3}) % c) % {HOSTS} = doc_id % {HOSTS}
+),
+agg AS (SELECT dst, anchor, count(*) AS cnt FROM pairs GROUP BY dst, anchor),
+roll AS (
+  SELECT dst, CAST(sum(cnt) AS BIGINT) AS n_inlinks,
+         CAST(count(*) AS BIGINT) AS n_anchors
+  FROM agg GROUP BY dst
+),
+top AS (
+  SELECT dst, anchor AS top_anchor FROM agg
+  QUALIFY row_number() OVER (PARTITION BY dst
+                             ORDER BY cnt DESC, anchor) = 1
+)
+SELECT r.dst AS dst_doc_id, r.n_inlinks, r.n_anchors, t.top_anchor
+FROM roll r JOIN top t USING (dst)
+ORDER BY dst_doc_id
+"""
+
+
 def q_exact_dedup(sf_dir: str):
     """D1 exact dedup: documents ∪ re-keyed mirror copy → hash-partitioned
     groupby(content_hash) keep-min-id (crawler.py:184-191 semantics)."""
@@ -22661,6 +22795,7 @@ def q_events_hopping_stream(sf_dir: str):
 def build_queries() -> Dict[str, Callable[[str], object]]:
     return {
         "extract_pages": q_extract_pages,
+        "anchor_stats": q_anchor_stats,
         "exact_dedup": q_exact_dedup,
         "exact_dedup_stream": q_exact_dedup_stream,
         "token_counts": q_token_counts,
@@ -22962,6 +23097,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
 def build_oracle_sql() -> Dict[str, str]:
     return {
         "extract_pages": _sql_extract_pages(),
+        "anchor_stats": _sql_anchor_stats(),
         "exact_dedup": _SQL_EXACT_DEDUP,
         "exact_dedup_stream": _SQL_EXACT_DEDUP,
         "token_counts": _SQL_TOKEN_COUNTS,

@@ -130,3 +130,31 @@ def test_self_closing_noise_tag_does_not_mute_page():
         "<html><body><script/><p>visible</p></body></html>", "http://x.onion/"
     )
     assert "visible" in text
+
+
+def test_extract_anchors_per_element():
+    """Anchor pairs keep every element (two anchors to one canonical
+    target), apply the harvester's filters, collapse whitespace, and an
+    unclosed <a> is implicitly closed by the next one."""
+    from deepwebharvester_ray.extract import extract_anchors
+
+    host = "a" * 56 + ".onion"
+    html = (
+        f'<a href="http://{host}/x">First  Link</a>'
+        f'<a href="http://{host}/x#frag"> First\nLink </a>'
+        f'<a href="/rel">Rel</a>'
+        '<a href="javascript:void(0)">JS</a>'
+        '<a href="#">Top</a>'
+        '<a href="mailto:u@e">Mail</a>'
+        '<a href="https://clear.example/p">Ext</a>'
+        f'<a href="http://{host}/open">Dangling'
+        f'<a href="http://{host}/y">Y</a>'
+    )
+    got = extract_anchors(f"http://{host}/base", html)
+    assert got == [
+        (f"http://{host}/x", "First Link"),
+        (f"http://{host}/x", "First Link"),
+        (f"http://{host}/rel", "Rel"),
+        (f"http://{host}/open", "Dangling"),
+        (f"http://{host}/y", "Y"),
+    ]
