@@ -3529,3 +3529,245 @@ def harmonic_centrality(edges_ds, seeds: "np.ndarray", max_depth: int,
 
     return state.map_batches(fold, batch_format="pyarrow",
                              batch_size=None, runtime_env=runtime_env())
+
+
+def opic(edges_ds, nodes_ds, rounds: int = 4, budget: int | None = None,
+         scale: int = 10**12, broadcast_below: int = 2_000_000,
+         shuffle_partitions: int | None = None):
+    """Budgeted synchronous OPIC — Adaptive On-line Page Importance
+    Computation (Abiteboul, Preda & Cobéna, WWW 2003; public method):
+    the importance estimator a crawler maintains WHILE crawling, without
+    waiting for pagerank's full power iterations.  Every page holds
+    ``cash`` and ``hist``; each round the ``budget`` pages with the most
+    cash "fire" — exactly the pages a cash-greedy crawler fetches next,
+    tie-broken (cash DESC, id ASC) — banking their cash into their
+    history and distributing ``⌊cash/outdeg⌋`` along each out-edge;
+    floor-division residue and dangling-page cash bank in a virtual
+    root pool redistributed ``⌊R/n⌋`` per page next round (mass is
+    conserved exactly).  Importance estimate after any round =
+    ``cash + hist``; pagerank scores the limit, OPIC scores the
+    crawl-so-far.  Integer end-to-end — bit-identical across engines
+    and summation orders (the pagerank determinism rule), so the
+    fixed-round run unrolls into SQL.
+
+    Returns ``(id, cash, hist)`` for every node.
+
+    Scale shape: out-degrees attach to edges ONCE (size-gated broadcast
+    below ``broadcast_below``, native hash join above — the pagerank
+    discipline); per round the fired set is an exact two-level partial
+    top-B (O(blocks × B) rows — the fired rows ARE the crawler's fetch
+    list, so B driver rows is the operator's contract, not a leak), one
+    broadcast of B (id, cash) pairs, one edge map + combiner grouped
+    sum at in-linked-node cardinality, one state map, one grouped merge
+    at node cardinality.  The root pool is two driver integers."""
+    import ray
+
+    from ..broadcast import cached_get
+    from .agg import grouped_agg
+    from .partition import coalesce_nonempty
+
+    n_parts = shuffle_partitions or max(
+        2, int(ray.cluster_resources().get("CPU", 8)))
+
+    n_nodes = nodes_ds.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(pa.table({
+            "id": pa.array([], pa.int64()),
+            "cash": pa.array([], pa.int64()),
+            "hist": pa.array([], pa.int64()),
+        }))
+    B = budget if budget is not None else max(1, n_nodes // 4)
+
+    deg = grouped_agg(edges_ds, ["src"], [("outdeg", "", "count")])
+    deg_nz = coalesce_nonempty(deg)
+
+    # outdeg onto nodes (LEFT semantics: no out-edges → 0) and onto
+    # edges (every edge's src has outdeg ≥ 1 by construction)
+    n_deg = 0 if deg_nz is None else deg_nz.count()
+    if deg_nz is None or n_deg <= broadcast_below:
+        tbls = [] if deg_nz is None else ray.get(deg_nz.to_arrow_refs())
+        srcs = np.concatenate(
+            [t.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+             for t in tbls if t.num_rows] or [np.empty(0, np.int64)])
+        degs = np.concatenate(
+            [t.column("outdeg").combine_chunks().to_numpy(
+                zero_copy_only=False)
+             for t in tbls if t.num_rows] or [np.empty(0, np.int64)])
+        order = np.argsort(srcs, kind="stable")
+        dref = ray.put((srcs[order], degs[order]))
+
+        def _lookup_deg(ids: np.ndarray) -> np.ndarray:
+            ss, dd = cached_get(dref)
+            if not len(ss):
+                return np.zeros(len(ids), np.int64)
+            pos = np.searchsorted(ss, ids)
+            pos[pos == len(ss)] = 0
+            hit = ss[pos] == ids
+            return np.where(hit, dd[pos], np.int64(0))
+
+        def node_init(batch: pa.Table) -> pa.Table:
+            ids = batch.column("id").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "id": pa.array(ids, pa.int64()),
+                "cash": pa.array(
+                    np.full(len(ids), scale // n_nodes, np.int64)),
+                "hist": pa.array(np.zeros(len(ids), np.int64)),
+                "outdeg": pa.array(_lookup_deg(ids), pa.int64()),
+            })
+
+        state = nodes_ds.map_batches(node_init, batch_format="pyarrow",
+                                     runtime_env=runtime_env())
+
+        def edge_deg(batch: pa.Table) -> pa.Table:
+            src = batch.column("src").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "src": pa.array(src, pa.int64()),
+                "dst": batch.column("dst"),
+                "outdeg": pa.array(_lookup_deg(src), pa.int64()),
+            })
+
+        edges_deg = edges_ds.map_batches(
+            edge_deg, batch_format="pyarrow", runtime_env=runtime_env())
+    else:
+        marker = deg_nz.map_batches(
+            lambda b: pa.table({"__d_src": b.column("src"),
+                                "outdeg": b.column("outdeg")}),
+            batch_format="pyarrow", runtime_env=runtime_env())
+        nodes_nz = coalesce_nonempty(nodes_ds)
+        nj = nodes_nz.join(marker, "left_outer", num_partitions=n_parts,
+                           on=("id",), right_on=("__d_src",))
+
+        def node_init_j(batch: pa.Table) -> pa.Table:
+            ids = batch.column("id").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            od = batch.column("outdeg").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            od = (np.nan_to_num(od).astype(np.int64)
+                  if od.dtype.kind == "f" else od.astype(np.int64))
+            return pa.table({
+                "id": pa.array(ids, pa.int64()),
+                "cash": pa.array(
+                    np.full(len(ids), scale // n_nodes, np.int64)),
+                "hist": pa.array(np.zeros(len(ids), np.int64)),
+                "outdeg": pa.array(od, pa.int64()),
+            })
+
+        state = nj.map_batches(node_init_j, batch_format="pyarrow",
+                               runtime_env=runtime_env())
+        ej = coalesce_nonempty(edges_ds).join(
+            marker, "inner", num_partitions=n_parts,
+            on=("src",), right_on=("__d_src",))
+        edges_deg = ej.map_batches(
+            lambda b: b.select(["src", "dst", "outdeg"]),
+            batch_format="pyarrow", runtime_env=runtime_env())
+
+    state = state.materialize()
+    edges_deg = edges_deg.materialize()
+    root = scale - n_nodes * (scale // n_nodes)
+
+    def block_topb(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "id": pa.array([], pa.int64()),
+                "cash": pa.array([], pa.int64()),
+                "outdeg": pa.array([], pa.int64()),
+            })
+        ids = batch.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cash = batch.column("cash").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        od = batch.column("outdeg").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        top = np.lexsort((ids, -cash))[:B]
+        return pa.table({
+            "id": pa.array(ids[top], pa.int64()),
+            "cash": pa.array(cash[top], pa.int64()),
+            "outdeg": pa.array(od[top], pa.int64()),
+        })
+
+    for _ in range(rounds):
+        fired_rows = (state.map_batches(
+            block_topb, batch_format="pyarrow", batch_size=None,
+            runtime_env=runtime_env())
+            .repartition(1)
+            .map_batches(block_topb, batch_format="pyarrow",
+                         batch_size=None, runtime_env=runtime_env())
+            .take_all())  # exactly B rows: the round's fetch list
+        f_ids = np.asarray([r["id"] for r in fired_rows], np.int64)
+        f_cash = np.asarray([r["cash"] for r in fired_rows], np.int64)
+        f_deg = np.asarray([r["outdeg"] for r in fired_rows], np.int64)
+        order = np.argsort(f_ids, kind="stable")
+        f_ids, f_cash, f_deg = f_ids[order], f_cash[order], f_deg[order]
+
+        share = root // n_nodes
+        residue = np.where(f_deg > 0,
+                           f_cash - f_deg * (f_cash // np.maximum(f_deg, 1)),
+                           f_cash)
+        root = root - n_nodes * share + int(residue.sum())
+        fref = ray.put((f_ids, f_cash))
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            fids, fcash = cached_get(fref)
+            src = batch.column("src").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            dst = batch.column("dst").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            od = batch.column("outdeg").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            if not len(fids):
+                hit = np.zeros(len(src), bool)
+                pos = np.zeros(len(src), np.int64)
+            else:
+                pos = np.searchsorted(fids, src)
+                pos[pos == len(fids)] = 0
+                hit = fids[pos] == src
+            c = fcash[pos] // np.maximum(od, 1)
+            return pa.table({
+                "id": pa.array(dst[hit], pa.int64()),
+                "cash": pa.array(c[hit], pa.int64()),
+                "hist": pa.array(np.zeros(int(hit.sum()), np.int64)),
+                "outdeg": pa.array(np.zeros(int(hit.sum()), np.int64)),
+            })
+
+        inc = edges_deg.map_batches(contrib, batch_format="pyarrow",
+                                    runtime_env=runtime_env())
+
+        def fire(batch: pa.Table, sh=share) -> pa.Table:
+            fids, _ = cached_get(fref)
+            ids = batch.column("id").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            cash = batch.column("cash").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            hist = batch.column("hist").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            od = batch.column("outdeg").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            if len(fids):
+                pos = np.searchsorted(fids, ids)
+                pos[pos == len(fids)] = 0
+                fired = fids[pos] == ids
+            else:
+                fired = np.zeros(len(ids), bool)
+            return pa.table({
+                "id": pa.array(ids, pa.int64()),
+                "cash": pa.array(
+                    np.where(fired, 0, cash) + sh, pa.int64()),
+                "hist": pa.array(hist + np.where(fired, cash, 0),
+                                 pa.int64()),
+                "outdeg": pa.array(od, pa.int64()),
+            })
+
+        kept = state.map_batches(fire, batch_format="pyarrow",
+                                 runtime_env=runtime_env())
+        state = grouped_agg(
+            kept.union(inc), ["id"],
+            [("cash", "cash", "sum"), ("hist", "hist", "sum"),
+             ("outdeg", "outdeg", "max")],
+            sorted_output=False,
+        ).materialize()
+
+    return state.map_batches(
+        lambda b: b.select(["id", "cash", "hist"]),
+        batch_format="pyarrow", runtime_env=runtime_env())

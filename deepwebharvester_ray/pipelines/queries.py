@@ -9437,6 +9437,99 @@ def q_pagerank(sf_dir: str):
     return _rename(scores, {"id": "doc_id"})
 
 
+_OPIC_ROUNDS = 4
+_OPIC_SCALE = 10**12
+
+
+def q_opic_scores(sf_dir: str):
+    """Budgeted synchronous OPIC over the crawl link graph (Abiteboul,
+    Preda & Cobéna, WWW 2003): the page-importance estimate a crawler
+    maintains WHILE crawling — each round the budget = ⌈n/4⌉ richest
+    pages fire (the cash-greedy fetch list, ties (cash DESC, id ASC)),
+    banking cash into history and distributing ⌊cash/outdeg⌋ along
+    out-links; residue + dangling cash bank in a virtual root pool
+    redistributed ⌊R/n⌋ per page next round — mass conserved exactly
+    (Σcash + root == scale at every round, pinned in tests).  pagerank
+    scores the limit; OPIC scores the crawl-so-far
+    (:func:`~deepwebharvester_ray.functions.graph.opic` — integer
+    end-to-end, so the 4-round run unrolls into the SQL twin)."""
+    from ..functions.graph import opic
+
+    nodes, edges = _corpus_link_edges(sf_dir)
+    scores = opic(edges, nodes, rounds=_OPIC_ROUNDS, scale=_OPIC_SCALE,
+                  shuffle_partitions=_shuffle_parts(sf_dir))
+    return _rename(scores, {"id": "doc_id"}).sort("doc_id")
+
+
+def _sql_opic() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    sc = _OPIC_SCALE
+    head = f"""
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+n_tab AS (SELECT count(*) AS n FROM documents),
+b_tab AS (SELECT GREATEST(1, n // 4) AS b FROM n_tab),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+s0 AS (
+  SELECT id, {sc} // (SELECT n FROM n_tab) AS cash,
+         CAST(0 AS BIGINT) AS hist
+  FROM nodes
+),
+r0 AS (SELECT {sc} - (SELECT n FROM n_tab)
+              * ({sc} // (SELECT n FROM n_tab)) AS r)"""
+    its = []
+    for k in range(_OPIC_ROUNDS):
+        its.append(f""",
+f{k} AS (
+  SELECT id, cash FROM s{k}
+  QUALIFY row_number() OVER (ORDER BY cash DESC, id)
+          <= (SELECT b FROM b_tab)
+),
+g{k} AS (
+  SELECT CAST(COALESCE(SUM(
+           CASE WHEN d.outdeg IS NULL THEN f.cash
+                ELSE f.cash - d.outdeg * (f.cash // d.outdeg) END), 0)
+         AS BIGINT) AS g
+  FROM f{k} f LEFT JOIN deg d ON d.src = f.id
+),
+sh{k} AS (SELECT (SELECT r FROM r{k}) // (SELECT n FROM n_tab) AS sh),
+r{k + 1} AS (
+  SELECT (SELECT r FROM r{k})
+         - (SELECT n FROM n_tab) * (SELECT sh FROM sh{k})
+         + (SELECT g FROM g{k}) AS r
+),
+inc{k} AS (
+  SELECT e.dst AS id, CAST(SUM(f.cash // d.outdeg) AS BIGINT) AS c
+  FROM edges e
+  JOIN deg d ON d.src = e.src
+  JOIN f{k} f ON f.id = e.src
+  GROUP BY e.dst
+),
+s{k + 1} AS (
+  SELECT s.id,
+         CAST(CASE WHEN f.id IS NOT NULL THEN 0 ELSE s.cash END
+              + COALESCE(i.c, 0) + (SELECT sh FROM sh{k}) AS BIGINT)
+             AS cash,
+         CAST(s.hist + CASE WHEN f.id IS NOT NULL THEN s.cash ELSE 0 END
+              AS BIGINT) AS hist
+  FROM s{k} s
+  LEFT JOIN f{k} f ON f.id = s.id
+  LEFT JOIN inc{k} i ON i.id = s.id
+)""")
+    return (head + "".join(its)
+            + f"\nSELECT id AS doc_id, cash, hist FROM s{_OPIC_ROUNDS} "
+              "ORDER BY doc_id")
+
+
 _HITS_ITERS = 2
 _HITS_SCALE = 10**9
 
@@ -22882,6 +22975,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "events_hopping": q_events_hopping,
         "neardup_clusters": q_neardup_clusters,
         "pagerank": q_pagerank,
+        "opic_scores": q_opic_scores,
         "link_distances": q_link_distances,
         "cheapest_paths": q_cheapest_paths,
         "link_scc": q_link_scc,
@@ -23169,6 +23263,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "events_hopping": _SQL_EVENTS_HOPPING,
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,
         "pagerank": _sql_pagerank(),
+        "opic_scores": _sql_opic(),
         "link_distances": _sql_link_distances(),
         "cheapest_paths": _sql_cheapest_paths(),
         "hits_scores": _sql_hits_scores(),

@@ -4119,3 +4119,85 @@ def test_bridge_edges_matches_tarjan(ray_session):
     # sequential path's answer
     dist = bridge_edges(nodes_ds, edges_ds, broadcast_below=1).take_all()
     assert {(r["u"], r["v"]) for r in dist} == ref
+
+
+def _seq_opic(n, edges, rounds, budget, scale):
+    """Sequential budgeted synchronous OPIC reference."""
+    out = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    cash = {i: scale // n for i in range(n)}
+    hist = {i: 0 for i in range(n)}
+    root = scale - n * (scale // n)
+    for _ in range(rounds):
+        fired = sorted(range(n), key=lambda i: (-cash[i], i))[:budget]
+        share = root // n
+        root -= n * share
+        inc = {i: 0 for i in range(n)}
+        for u in fired:
+            c = cash[u]
+            hist[u] += c
+            nb = out.get(u, [])
+            if nb:
+                q = c // len(nb)
+                for v in nb:
+                    inc[v] += q
+                root += c - len(nb) * q
+            else:
+                root += c
+            cash[u] = 0
+        for i in range(n):
+            cash[i] += inc[i] + share
+    return {i: (cash[i], hist[i]) for i in range(n)}, root
+
+
+def test_opic_matches_reference_both_paths(ray_session):
+    """Budgeted synchronous OPIC equals the sequential reference exactly
+    through the broadcast and forced-join outdeg attaches, including
+    dangling pages (cash banks in the virtual root) and exact mass
+    conservation (Σcash + root == scale every run)."""
+    import numpy as np
+    import ray
+
+    from deepwebharvester_ray.functions.graph import opic
+
+    rng = np.random.default_rng(3)
+    n = 60
+    edges = list({(int(a), int(b))
+                  for a, b in rng.integers(0, n, (150, 2)) if a != b})
+    edges = [(u, v) for u, v in edges if u < 57]  # 57..59 dangling
+    B, R, S = 15, 4, 10 ** 12
+    exp, exp_root = _seq_opic(n, edges, R, B, S)
+
+    nodes = ray.data.from_items(
+        [{"id": i} for i in range(n)]).repartition(4)
+    eds = ray.data.from_items(
+        [{"src": u, "dst": v} for u, v in edges]).repartition(3)
+    for cutoff in (2_000_000, 0):
+        got = {r["id"]: (r["cash"], r["hist"])
+               for r in opic(eds, nodes, rounds=R, budget=B, scale=S,
+                             broadcast_below=cutoff).take_all()}
+        assert got == exp, cutoff
+    assert sum(c for c, _ in exp.values()) + exp_root == S
+    assert any(h > 0 for _, h in exp.values())
+
+
+def test_opic_no_edges(ray_session):
+    """All-dangling graph: every fired page's cash banks in the root and
+    redistributes uniformly — history still accumulates."""
+    import ray
+
+    from deepwebharvester_ray.functions.graph import opic
+
+    import pyarrow as pa
+
+    nodes = ray.data.from_items([{"id": i} for i in range(8)])
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([], pa.int64()),
+        "dst": pa.array([], pa.int64()),
+    }))
+    exp, _ = _seq_opic(8, [], 3, 2, 10 ** 6)
+    got = {r["id"]: (r["cash"], r["hist"])
+           for r in opic(edges, nodes, rounds=3, budget=2,
+                         scale=10 ** 6).take_all()}
+    assert got == exp
