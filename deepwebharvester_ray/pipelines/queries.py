@@ -9437,6 +9437,106 @@ def q_pagerank(sf_dir: str):
     return _rename(scores, {"id": "doc_id"})
 
 
+_REVISIT_EPOCHS = 8   # observed snapshot epochs 0..7 (0 = baseline fetch)
+_REVISIT_MAX_I = 8
+
+
+def q_adaptive_revisit(sf_dir: str):
+    """Adaptive revisit-interval policy replay (the Heritrix
+    adaptive-revisiting AIMD rule — Sigurðsson, IWAW 2005; public
+    method): per page, an 8-epoch change history is replayed against
+    the multiplicative policy — a due visit that finds the page CHANGED
+    halves the interval (floor, min 1), an unchanged visit doubles it
+    (cap 8) — yielding the schedule statistics a recrawl planner feeds
+    on: visits made, dirty visits, change epochs MISSED between visits,
+    and the converged interval.  Page d changes at epoch e iff
+    ``(e + d) % (1 + d % 5) == 0`` (its natural change period —
+    deterministic and shared with the oracle); within an epoch the
+    content changes first, then a due visit observes.
+
+    The whole replay is per-row state (each page's series derives from
+    its id alone): ONE vectorized map over 7 epochs of numpy state
+    arrays, ZERO shuffle — the degenerate-scale member of the crawl-
+    scheduling family (recrawl_schedule picks WHO, politeness_budget
+    paces WHEN, this adapts HOW OFTEN)."""
+    ds = _docs(sf_dir, columns=["doc_id"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def replay(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        f = 1 + d % 5
+        interval = np.full(len(d), 2, np.int64)
+        due = np.full(len(d), 2, np.int64)
+        dirty = np.zeros(len(d), bool)
+        n_visits = np.ones(len(d), np.int64)   # baseline fetch at e=0
+        n_dirty = np.zeros(len(d), np.int64)
+        n_chg = np.zeros(len(d), np.int64)
+        for e in range(1, _REVISIT_EPOCHS):
+            changed = (e + d) % f == 0
+            n_chg += changed
+            dirty |= changed
+            visit = due == e
+            shrink = np.maximum(1, interval // 2)
+            grow = np.minimum(_REVISIT_MAX_I, interval * 2)
+            interval = np.where(visit, np.where(dirty, shrink, grow),
+                                interval)
+            due = np.where(visit, e + interval, due)
+            n_visits += visit
+            n_dirty += visit & dirty
+            dirty &= ~visit
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "n_visits": pa.array(n_visits, pa.int64()),
+            "n_dirty": pa.array(n_dirty, pa.int64()),
+            "n_missed": pa.array(n_chg - n_dirty, pa.int64()),
+            "final_interval": pa.array(interval, pa.int64()),
+        })
+
+    return ds.map_batches(replay, batch_format="pyarrow",
+                          runtime_env=runtime_env()).sort("doc_id")
+
+
+def _sql_adaptive_revisit() -> str:
+    head = """
+WITH s0 AS (
+  SELECT doc_id, 1 + doc_id % 5 AS f,
+         CAST(2 AS BIGINT) AS i, CAST(2 AS BIGINT) AS due,
+         FALSE AS dirty, CAST(1 AS BIGINT) AS nv,
+         CAST(0 AS BIGINT) AS nd, CAST(0 AS BIGINT) AS nchg
+  FROM documents
+)"""
+    its = []
+    for e in range(1, _REVISIT_EPOCHS):
+        its.append(f""",
+s{e} AS (
+  SELECT doc_id, f,
+         CASE WHEN due = {e}
+              THEN CASE WHEN (dirty OR ({e} + doc_id) % f = 0)
+                        THEN GREATEST(1, i // 2)
+                        ELSE LEAST({_REVISIT_MAX_I}, i * 2) END
+              ELSE i END AS i,
+         CASE WHEN due = {e}
+              THEN {e} + (CASE WHEN (dirty OR ({e} + doc_id) % f = 0)
+                               THEN GREATEST(1, i // 2)
+                               ELSE LEAST({_REVISIT_MAX_I}, i * 2) END)
+              ELSE due END AS due,
+         (dirty OR ({e} + doc_id) % f = 0) AND NOT (due = {e}) AS dirty,
+         nv + CASE WHEN due = {e} THEN 1 ELSE 0 END AS nv,
+         nd + CASE WHEN due = {e} AND (dirty OR ({e} + doc_id) % f = 0)
+              THEN 1 ELSE 0 END AS nd,
+         nchg + CASE WHEN ({e} + doc_id) % f = 0 THEN 1 ELSE 0 END AS nchg
+  FROM s{e - 1}
+)""")
+    return (head + "".join(its) + f"""
+SELECT doc_id, CAST(nv AS BIGINT) AS n_visits,
+       CAST(nd AS BIGINT) AS n_dirty,
+       CAST(nchg - nd AS BIGINT) AS n_missed,
+       CAST(i AS BIGINT) AS final_interval
+FROM s{_REVISIT_EPOCHS - 1} ORDER BY doc_id
+""")
+
+
 _OPIC_ROUNDS = 4
 _OPIC_SCALE = 10**12
 
@@ -22976,6 +23076,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "neardup_clusters": q_neardup_clusters,
         "pagerank": q_pagerank,
         "opic_scores": q_opic_scores,
+        "adaptive_revisit": q_adaptive_revisit,
         "link_distances": q_link_distances,
         "cheapest_paths": q_cheapest_paths,
         "link_scc": q_link_scc,
@@ -23264,6 +23365,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,
         "pagerank": _sql_pagerank(),
         "opic_scores": _sql_opic(),
+        "adaptive_revisit": _sql_adaptive_revisit(),
         "link_distances": _sql_link_distances(),
         "cheapest_paths": _sql_cheapest_paths(),
         "hits_scores": _sql_hits_scores(),

@@ -2013,3 +2013,24 @@ def test_forecast_baseline_hand_series(ray_session, tmp_path):
     assert row["n_eval"] == len(exp_hours)
     assert (row["sae_naive"], row["sae_seasonal"]) == (e1, e24)
     assert row["better"] == ("seasonal" if e24 < e1 else "naive")
+
+
+def test_adaptive_revisit_policy_convergence(ray_session):
+    """AIMD semantics pinned by hand: a page changing every epoch
+    (f = 1) converges to interval 1 with zero missed changes after
+    warm-up; the schedule columns are internally consistent."""
+    from deepwebharvester_ray.pipelines.queries import q_adaptive_revisit
+
+    rows = {r["doc_id"]: r for r in
+            q_adaptive_revisit("/root/testdata/sf0.001").take_all()}
+    # doc 5: f = 1 + 5 % 5 = 1 → changes EVERY epoch; visits at
+    # e=2 (dirty, i 2→1), then every epoch from 3 on, all dirty
+    r5 = rows[5]
+    assert r5["final_interval"] == 1
+    assert r5["n_visits"] == 1 + 6        # baseline + e=2..7
+    assert r5["n_dirty"] == 6
+    assert r5["n_missed"] == 7 - 6        # change at e=1 preceded visit 1
+    for r in rows.values():
+        assert r["n_missed"] >= 0
+        assert 1 <= r["final_interval"] <= 8
+        assert r["n_dirty"] <= r["n_visits"]
