@@ -9437,6 +9437,186 @@ def q_pagerank(sf_dir: str):
     return _rename(scores, {"id": "doc_id"})
 
 
+def q_sitemap_stale(sf_dir: str):
+    """Sitemap-driven recrawl staleness — the glue between the sitemap
+    source and the archive index (sitemaps.org lastmod is the
+    publisher's change signal; the CDX warc_ts is what we actually
+    hold): publish the corpus as REAL sitemap shards (lastmod = one day
+    after the archived fetch for docs %3 == 0, one day before
+    otherwise), export the archive as REAL WARC shards, read BOTH
+    artifacts back and classify ``stale = lastmod > archived ts`` per
+    url — the refetch list a scheduler feeds straight into the
+    frontier.  The whole comparison is format-roundtrip honest: both
+    timestamps survive their wire formats (sitemap lastmod parses to
+    exact epoch µs, CDX ts14 is second-precision — fetch times are
+    whole seconds by construction).  Join is the size-gated url-hash
+    attach on index-scale rows (never payload bytes)."""
+    import shutil
+    import tempfile
+
+    from ..functions.dedup import attach_id_labels
+    from ..sitemap import read_sitemaps, write_sitemaps
+    from ..urlops import url_hash64
+    from ..warc import read_cdx, write_warc
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    _DAY = 86_400 * 1_000_000
+
+    def pages(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "url": pa.array(
+                [f"http://export.example/doc/{i}" for i in d.tolist()],
+                pa.string()),
+            "warc_ts": pa.array(d * 1_000_000, pa.int64()).cast(
+                pa.timestamp("us")),
+            "html": pa.array([(t or "").encode() for t in texts],
+                             pa.binary()),
+        })
+
+    def maps(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        lastmod = d * 1_000_000 + np.where(d % 3 == 0, _DAY, -_DAY)
+        return pa.table({
+            "url": pa.array(
+                [f"http://export.example/doc/{i}" for i in d.tolist()],
+                pa.string()),
+            "lastmod_us": pa.array(lastmod, pa.int64()),
+        })
+
+    tmp = tempfile.mkdtemp(prefix="dwh_sitemap_stale_")
+    try:
+        write_warc(ds.map_batches(pages, batch_format="pyarrow",
+                                  batch_size=None,
+                                  runtime_env=runtime_env()),
+                   str(Path(tmp) / "archive"), n_shards=8)
+        write_sitemaps(ds.map_batches(maps, batch_format="pyarrow",
+                                      batch_size=None,
+                                      runtime_env=runtime_env()),
+                       str(Path(tmp) / "maps"), n_shards=4)
+
+        def key_map(batch: pa.Table) -> pa.Table:
+            urls = batch.column("url").to_pylist()
+            hv = np.asarray([url_hash64(u) for u in urls],
+                            np.uint64).astype(np.int64)
+            return pa.table({
+                "__key": pa.array(hv, pa.int64()),
+                "doc_id": pa.array(
+                    [int(u.rsplit("/", 1)[1]) for u in urls], pa.int64()),
+                "lastmod_us": batch.column("lastmod_us"),
+            })
+
+        def key_cdx(batch: pa.Table) -> pa.Table:
+            import calendar
+            import time as _time
+
+            urls = batch.column("url").to_pylist()
+            hv = np.asarray([url_hash64(u) for u in urls],
+                            np.uint64).astype(np.int64)
+            ts = [calendar.timegm(_time.strptime(t, "%Y%m%d%H%M%S"))
+                  * 1_000_000 for t in batch.column("ts14").to_pylist()]
+            return pa.table({
+                "__key": pa.array(hv, pa.int64()),
+                "warc_us": pa.array(ts, pa.int64()),
+            })
+
+        sm = read_sitemaps(str(Path(tmp) / "maps")).map_batches(
+            key_map, batch_format="pyarrow", runtime_env=runtime_env())
+        cdx = read_cdx(str(Path(tmp) / "archive")).map_batches(
+            key_cdx, batch_format="pyarrow", runtime_env=runtime_env())
+        joined = attach_id_labels(sm, cdx, id_column="__key",
+                                  label_id_column="__key",
+                                  label_column="warc_us")
+
+        def classify(batch: pa.Table) -> pa.Table:
+            lm = batch.column("lastmod_us").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            wt = batch.column("warc_us").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "stale": pa.array((lm > wt).astype(np.int64), pa.int64()),
+            })
+
+        return joined.map_batches(
+            classify, batch_format="pyarrow",
+            runtime_env=runtime_env()).sort("doc_id").materialize()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SQL_SITEMAP_STALE = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS stale
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_activity_gini(sf_dir: str):
+    """Exact integer Gini coefficient of per-user event activity — the
+    inequality statistic behind load-skew and crawl-fairness audits
+    (is the event volume spread across users or concentrated in a hot
+    few — the same question a frontier asks of pages-per-host).
+    ``G_ppm = 10⁶·(2·Σ i·x₍ᵢ₎ − (n+1)·S) // (n·S)`` over counts sorted
+    ascending (1-based ranks; the textbook discrete formula, ties in
+    any order — rank sums over an equal-value run are
+    order-invariant).
+
+    Scale shape: per-user counts via ONE combiner grouped_agg at user
+    cardinality, then a VALUE-DOMAIN histogram over the count domain
+    (bounded by max-events-per-user, never user cardinality — the
+    price_quantiles/ccnet discipline) whose cumulative offsets yield
+    Σ i·x₍ᵢ₎ exactly per distinct value: ``v·(m·c + m(m+1)/2)`` —
+    no global sort on the per-user table."""
+    ds = _read(sf_dir, "events", columns=["user_id"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+    per_user = grouped_agg(ds, ["user_id"], [("n", "", "count")])
+    hist = grouped_agg(per_user.select_columns(["n"]), ["n"],
+                       [("m", "", "count")]).take_all()  # count-domain rows
+    if not hist:
+        return pa.table({"n_users": pa.array([0], pa.int64()),
+                         "total_events": pa.array([0], pa.int64()),
+                         "gini_ppm": pa.array([0], pa.int64())})
+    v = np.fromiter((r["n"] for r in hist), np.int64, len(hist))
+    m = np.fromiter((r["m"] for r in hist), np.int64, len(hist))
+    order = np.argsort(v, kind="stable")   # ascending count values
+    v, m = v[order], m[order]
+    c = np.concatenate([[0], np.cumsum(m)[:-1]])   # ranks before each run
+    n = int(m.sum())
+    s = int((v * m).sum())
+    rank_sum = int((v * (m * c + m * (m + 1) // 2)).sum())
+    gini_ppm = ((2 * rank_sum - (n + 1) * s) * 1_000_000) // (n * s) \
+        if n and s else 0
+    return pa.table({
+        "n_users": pa.array([n], pa.int64()),
+        "total_events": pa.array([s], pa.int64()),
+        "gini_ppm": pa.array([int(gini_ppm)], pa.int64()),
+    })
+
+
+_SQL_ACTIVITY_GINI = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n, user_id) AS i FROM per_user
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS nu, CAST(SUM(n) AS BIGINT) AS s,
+         CAST(SUM(CAST(i AS HUGEINT) * n) AS HUGEINT) AS ranksum
+  FROM ranked
+)
+SELECT nu AS n_users, s AS total_events,
+       CAST((2 * ranksum - (nu + 1) * s) * 1000000 // (nu * s) AS BIGINT)
+           AS gini_ppm
+FROM tot
+"""
+
+
 _REVISIT_EPOCHS = 8   # observed snapshot epochs 0..7 (0 = baseline fetch)
 _REVISIT_MAX_I = 8
 
@@ -23077,6 +23257,8 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "pagerank": q_pagerank,
         "opic_scores": q_opic_scores,
         "adaptive_revisit": q_adaptive_revisit,
+        "activity_gini": q_activity_gini,
+        "sitemap_stale": q_sitemap_stale,
         "link_distances": q_link_distances,
         "cheapest_paths": q_cheapest_paths,
         "link_scc": q_link_scc,
@@ -23366,6 +23548,8 @@ def build_oracle_sql() -> Dict[str, str]:
         "pagerank": _sql_pagerank(),
         "opic_scores": _sql_opic(),
         "adaptive_revisit": _sql_adaptive_revisit(),
+        "activity_gini": _SQL_ACTIVITY_GINI,
+        "sitemap_stale": _SQL_SITEMAP_STALE,
         "link_distances": _sql_link_distances(),
         "cheapest_paths": _sql_cheapest_paths(),
         "hits_scores": _sql_hits_scores(),
