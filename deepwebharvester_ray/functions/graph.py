@@ -3771,3 +3771,211 @@ def opic(edges_ds, nodes_ds, rounds: int = 4, budget: int | None = None,
     return state.map_batches(
         lambda b: b.select(["id", "cash", "hist"]),
         batch_format="pyarrow", runtime_env=runtime_env())
+
+
+def random_walks(edges_ds, seeds_ds, steps: int = 4,
+                 broadcast_below: int = 2_000_000,
+                 shuffle_partitions: int | None = None):
+    """Deterministic unbiased random-walk corpus (DeepWalk — Perozzi et
+    al., KDD 2014; public method): one walk per seed node, ``steps``
+    hops, the step-s choice from node u being out-edge rank
+    ``md5int(f"{walk_id}-{s}") % outdeg(u)`` — the repo's shared
+    engine/SQL parity hash, so the walk table is bit-identical across
+    engines and is SQL-unrollable.  Walks terminate early at dangling
+    nodes (the classic convention).  Returns ``(walk_id, step, node)``
+    — the sequence corpus skip-gram graph-embedding training consumes.
+
+    Scale shape: the out-edge RANK table is built once — ONE single-key
+    src sort, in-block (src, dst) lexsort + run arithmetic (tied
+    duplicate edges get distinct ranks but identical dst, so the chosen
+    node is tie-order-free); each round attaches outdeg and the chosen
+    edge to the walk frontier, size-gated (both tables broadcast as
+    sorted arrays below ``broadcast_below`` — rank lookups are one
+    packed-key searchsorted — native hash joins above); frontier rows
+    are one per live walk, materialized per round."""
+    import ray
+
+    from ..broadcast import cached_get
+    from .agg import grouped_agg
+    from .partition import coalesce_nonempty
+
+    n_parts = shuffle_partitions or max(
+        2, int(ray.cluster_resources().get("CPU", 8)))
+
+    def _md5_choice(walk_ids: np.ndarray, step: int) -> np.ndarray:
+        import hashlib
+
+        return np.asarray(
+            [int(hashlib.md5(f"{int(w)}-{step}".encode())
+                 .hexdigest()[:15], 16) for w in walk_ids], np.int64)
+
+    # out-edge rank table: (src, rank, dst)
+    def rank_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "src": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+            })
+        src = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        dst = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], src[1:] != src[:-1]]))
+        rank = np.arange(len(src), dtype=np.int64)
+        rank -= np.repeat(rank[starts], np.diff(
+            np.append(starts, len(src))))
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "rank": pa.array(rank, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+        })
+
+    er = edges_ds.sort("src").map_batches(
+        rank_block, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env()).materialize()
+    deg = grouped_agg(edges_ds, ["src"], [("outdeg", "", "count")])
+    er_nz = coalesce_nonempty(er)
+    deg_nz = coalesce_nonempty(deg)
+    n_edges = 0 if er_nz is None else er_nz.count()
+
+    frontier = seeds_ds.map_batches(
+        lambda b: pa.table({
+            "walk_id": b.column("id"),
+            "node": b.column("id"),
+        }), batch_format="pyarrow", runtime_env=runtime_env(),
+    ).materialize()
+    out_parts = [frontier.map_batches(
+        lambda b: pa.table({
+            "walk_id": b.column("walk_id"),
+            "step": pa.array(np.zeros(b.num_rows, np.int64)),
+            "node": b.column("node"),
+        }), batch_format="pyarrow", runtime_env=runtime_env())]
+
+    if n_edges and n_edges <= broadcast_below:
+        tbls = ray.get(er_nz.to_arrow_refs())
+        srcs = np.concatenate(
+            [t.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+             for t in tbls if t.num_rows])
+        rnks = np.concatenate(
+            [t.column("rank").combine_chunks().to_numpy(
+                zero_copy_only=False) for t in tbls if t.num_rows])
+        dsts = np.concatenate(
+            [t.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+             for t in tbls if t.num_rows])
+        # pack (src, rank) — rank < outdeg ≤ 2^20 asserted
+        assert int(rnks.max(initial=0)) < (1 << 20), "outdeg beyond pack"
+        key = srcs * (1 << 20) + rnks
+        order = np.argsort(key, kind="stable")
+        key, dsts_s = key[order], dsts[order]
+        # outdeg per src as a sorted lookup too
+        dtbls = [] if deg_nz is None else ray.get(deg_nz.to_arrow_refs())
+        dsrc = np.concatenate(
+            [t.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+             for t in dtbls if t.num_rows] or [np.empty(0, np.int64)])
+        ddeg = np.concatenate(
+            [t.column("outdeg").combine_chunks().to_numpy(
+                zero_copy_only=False)
+             for t in dtbls if t.num_rows] or [np.empty(0, np.int64)])
+        dorder = np.argsort(dsrc, kind="stable")
+        ref = ray.put((key, dsts_s, dsrc[dorder], ddeg[dorder]))
+
+        for s in range(1, steps + 1):
+            def hop(batch: pa.Table, step=s) -> pa.Table:
+                if batch.num_rows == 0:
+                    return pa.table({
+                        "walk_id": pa.array([], pa.int64()),
+                        "node": pa.array([], pa.int64()),
+                    })
+                key_s, dsts_l, dsrc_l, ddeg_l = cached_get(ref)
+                w = batch.column("walk_id").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                cur = batch.column("node").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                if len(dsrc_l):
+                    pos = np.searchsorted(dsrc_l, cur)
+                    pos[pos == len(dsrc_l)] = 0
+                    hit = dsrc_l[pos] == cur
+                    od = np.where(hit, ddeg_l[pos], np.int64(0))
+                else:
+                    od = np.zeros(len(cur), np.int64)
+                live = od > 0           # dangling → walk terminates
+                if not live.any():
+                    return pa.table({
+                        "walk_id": pa.array([], pa.int64()),
+                        "node": pa.array([], pa.int64()),
+                    })
+                w, cur, od = w[live], cur[live], od[live]
+                r = _md5_choice(w, step) % od
+                k = cur * (1 << 20) + r
+                loc = np.searchsorted(key_s, k)
+                nxt = dsts_l[loc]       # rank < outdeg ⇒ always present
+                return pa.table({
+                    "walk_id": pa.array(w, pa.int64()),
+                    "node": pa.array(nxt, pa.int64()),
+                })
+
+            frontier = frontier.map_batches(
+                hop, batch_format="pyarrow",
+                runtime_env=runtime_env()).materialize()
+            out_parts.append(frontier.map_batches(
+                lambda b, step=s: pa.table({
+                    "walk_id": b.column("walk_id"),
+                    "step": pa.array(np.full(b.num_rows, step, np.int64)),
+                    "node": b.column("node"),
+                }), batch_format="pyarrow", runtime_env=runtime_env()))
+    else:
+        deg_marker = deg_nz.map_batches(
+            lambda b: pa.table({"__d_src": b.column("src"),
+                                "outdeg": b.column("outdeg")}),
+            batch_format="pyarrow", runtime_env=runtime_env())
+        er_marker = er_nz.map_batches(
+            lambda b: pa.table({"__e_src": b.column("src"),
+                                "__e_rank": b.column("rank"),
+                                "__e_dst": b.column("dst")}),
+            batch_format="pyarrow", runtime_env=runtime_env())
+        for s in range(1, steps + 1):
+            f_nz = coalesce_nonempty(frontier)
+            if f_nz is None:
+                break
+            wd = f_nz.join(deg_marker, "inner", num_partitions=n_parts,
+                           on=("node",), right_on=("__d_src",))
+
+            def pick(batch: pa.Table, step=s) -> pa.Table:
+                w = batch.column("walk_id").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                od = batch.column("outdeg").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                return pa.table({
+                    "walk_id": pa.array(w, pa.int64()),
+                    "node": batch.column("node"),
+                    "__r": pa.array(_md5_choice(w, step) % od, pa.int64()),
+                })
+
+            wd = coalesce_nonempty(wd.map_batches(
+                pick, batch_format="pyarrow", runtime_env=runtime_env()))
+            if wd is None:
+                break
+            hopd = wd.join(er_marker, "inner", num_partitions=n_parts,
+                           on=("node", "__r"),
+                           right_on=("__e_src", "__e_rank"))
+            frontier = hopd.map_batches(
+                lambda b: pa.table({
+                    "walk_id": b.column("walk_id"),
+                    "node": b.column("__e_dst"),
+                }), batch_format="pyarrow",
+                runtime_env=runtime_env()).materialize()
+            out_parts.append(frontier.map_batches(
+                lambda b, step=s: pa.table({
+                    "walk_id": b.column("walk_id"),
+                    "step": pa.array(np.full(b.num_rows, step, np.int64)),
+                    "node": b.column("node"),
+                }), batch_format="pyarrow", runtime_env=runtime_env()))
+
+    out = out_parts[0]
+    if len(out_parts) > 1:
+        out = out.union(*out_parts[1:])
+    return out

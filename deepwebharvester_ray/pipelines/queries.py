@@ -9717,6 +9717,78 @@ FROM s{_REVISIT_EPOCHS - 1} ORDER BY doc_id
 """)
 
 
+_WALK_STEPS = 4
+_WALK_SEED_MOD = 25
+
+
+def q_random_walks(sf_dir: str):
+    """Deterministic random-walk corpus over the crawl link graph
+    (DeepWalk, Perozzi et al. KDD 2014): one 4-hop walk per seed page
+    (docs % 25 == 0), step choice = out-edge rank
+    ``md5int(walk_id-step) % outdeg`` — the shared engine/SQL parity
+    hash, so the walk TABLE is bit-identical across engines
+    (:func:`~deepwebharvester_ray.functions.graph.random_walks`).  The
+    (walk_id, step, node) sequences are the skip-gram input of graph
+    embeddings — the graph family's training-data export.  Edge-rank
+    table built once (one src sort + run arithmetic); per hop one
+    size-gated attach of outdeg + chosen edge (broadcast sorted packed
+    keys below the cutoff, native two-key hash join above)."""
+    from ..functions.graph import random_walks
+
+    nodes, edges = _corpus_link_edges(sf_dir)
+    seeds = nodes.map_batches(
+        lambda b: b.filter(pa.array(
+            b.column("id").combine_chunks().to_numpy(
+                zero_copy_only=False) % _WALK_SEED_MOD == 0)),
+        batch_format="pyarrow", runtime_env=runtime_env())
+    walks = random_walks(edges, seeds, steps=_WALK_STEPS,
+                         shuffle_partitions=_shuffle_parts(sf_dir))
+    return walks.sort(["walk_id", "step"])
+
+
+def _sql_random_walks() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    head = f"""
+WITH n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+),
+er AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk
+  FROM edges
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+w0 AS (
+  SELECT doc_id AS walk_id, doc_id AS node FROM documents
+  WHERE doc_id % {_WALK_SEED_MOD} = 0
+)"""
+    its = []
+    for s in range(1, _WALK_STEPS + 1):
+        its.append(f""",
+w{s} AS (
+  SELECT w.walk_id, er.dst AS node
+  FROM w{s - 1} w
+  JOIN deg d ON d.src = w.node
+  JOIN er ON er.src = w.node
+   AND er.rnk = CAST(concat('0x', substr(
+         md5(w.walk_id || '-' || {s}), 1, 15)) AS BIGINT) % d.outdeg
+)""")
+    selects = ["SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0"]
+    selects += [f"SELECT walk_id, CAST({s} AS BIGINT) AS step, node "
+                f"FROM w{s}" for s in range(1, _WALK_STEPS + 1)]
+    return (head + "".join(its) + "\n"
+            + "\nUNION ALL\n".join(selects)
+            + "\nORDER BY walk_id, step")
+
+
 _OPIC_ROUNDS = 4
 _OPIC_SCALE = 10**12
 
@@ -23256,6 +23328,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "neardup_clusters": q_neardup_clusters,
         "pagerank": q_pagerank,
         "opic_scores": q_opic_scores,
+        "random_walks": q_random_walks,
         "adaptive_revisit": q_adaptive_revisit,
         "activity_gini": q_activity_gini,
         "sitemap_stale": q_sitemap_stale,
@@ -23547,6 +23620,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,
         "pagerank": _sql_pagerank(),
         "opic_scores": _sql_opic(),
+        "random_walks": _sql_random_walks(),
         "adaptive_revisit": _sql_adaptive_revisit(),
         "activity_gini": _SQL_ACTIVITY_GINI,
         "sitemap_stale": _SQL_SITEMAP_STALE,

@@ -4201,3 +4201,51 @@ def test_opic_no_edges(ray_session):
            for r in opic(edges, nodes, rounds=3, budget=2,
                          scale=10 ** 6).take_all()}
     assert got == exp
+
+
+def test_random_walks_matches_reference_both_paths(ray_session):
+    """Deterministic DeepWalk corpus equals a sequential reference
+    exactly through the broadcast and forced-join hop attaches,
+    including duplicate multi-edges (distinct ranks, same dst) and
+    dangling-node early termination."""
+    import hashlib
+
+    import numpy as np
+    import ray
+
+    from deepwebharvester_ray.functions.graph import random_walks
+
+    rng = np.random.default_rng(9)
+    n = 50
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, (140, 2))]
+    edges += [(3, 7), (3, 7)]                     # duplicate multi-edge
+    edges = [(u, v) for u, v in edges if u < 46]  # 46..49 dangling
+    seeds = list(range(0, n, 5))
+
+    out = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    for u in out:
+        out[u].sort()
+    exp = []
+    for w in seeds:
+        cur = w
+        exp.append((w, 0, cur))
+        for s in range(1, 5):
+            nb = out.get(cur, [])
+            if not nb:
+                break
+            r = int(hashlib.md5(f"{w}-{s}".encode()).hexdigest()[:15],
+                    16) % len(nb)
+            cur = nb[r]
+            exp.append((w, s, cur))
+    exp.sort()
+
+    nodes = ray.data.from_items([{"id": i} for i in seeds]).repartition(3)
+    eds = ray.data.from_items(
+        [{"src": u, "dst": v} for u, v in edges]).repartition(4)
+    for cutoff in (2_000_000, 0):
+        got = sorted((r["walk_id"], r["step"], r["node"]) for r in
+                     random_walks(eds, nodes, steps=4,
+                                  broadcast_below=cutoff).take_all())
+        assert got == exp, cutoff
