@@ -9746,7 +9746,7 @@ def q_random_walks(sf_dir: str):
     return walks.sort(["walk_id", "step"])
 
 
-def _sql_random_walks() -> str:
+def _sql_walks_cte() -> str:
     offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
     head = f"""
 WITH n_tab AS (SELECT count(*) AS n FROM documents),
@@ -9784,9 +9784,85 @@ w{s} AS (
     selects = ["SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0"]
     selects += [f"SELECT walk_id, CAST({s} AS BIGINT) AS step, node "
                 f"FROM w{s}" for s in range(1, _WALK_STEPS + 1)]
-    return (head + "".join(its) + "\n"
-            + "\nUNION ALL\n".join(selects)
-            + "\nORDER BY walk_id, step")
+    return (head + "".join(its) + ",\nwalks AS (\n"
+            + "\nUNION ALL\n".join(selects) + "\n)")
+
+
+def _sql_random_walks() -> str:
+    return (_sql_walks_cte()
+            + "\nSELECT walk_id, step, node FROM walks "
+              "ORDER BY walk_id, step")
+
+
+_WALK_WINDOW = 2
+
+
+def q_walk_pairs(sf_dir: str):
+    """Skip-gram (center, context) pair counts from the random-walk
+    corpus — the DeepWalk step 2 (window ``w`` co-occurrence within
+    each walk, both directions, exactly what word2vec consumes).
+    Walks are ≤ steps+1 rows each, so pair emission is one single-key
+    walk sort + an in-block shifted-array comparison per window offset
+    (never a self-join of the walk table); one combiner grouped count
+    at (center, context) cardinality ends the pipeline."""
+    from ..functions.graph import random_walks
+
+    nodes, edges = _corpus_link_edges(sf_dir)
+    seeds = nodes.map_batches(
+        lambda b: b.filter(pa.array(
+            b.column("id").combine_chunks().to_numpy(
+                zero_copy_only=False) % _WALK_SEED_MOD == 0)),
+        batch_format="pyarrow", runtime_env=runtime_env())
+    walks = random_walks(edges, seeds, steps=_WALK_STEPS,
+                         shuffle_partitions=_shuffle_parts(sf_dir))
+
+    _empty = pa.table({"center": pa.array([], pa.int64()),
+                       "context": pa.array([], pa.int64())})
+
+    def emit_pairs(batch: pa.Table) -> pa.Table:
+        # single-key walk_id sort ⇒ whole walks co-locate; steps are
+        # contiguous from 0, ordered by the in-block lexsort
+        if batch.num_rows == 0:
+            return _empty
+        w = batch.column("walk_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        st = batch.column("step").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        nd = batch.column("node").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((st, w))
+        w, st, nd = w[order], st[order], nd[order]
+        cs, xs = [], []
+        for d in range(1, _WALK_WINDOW + 1):
+            if len(w) <= d:
+                break
+            m = (w[d:] == w[:-d]) & (st[d:] - st[:-d] == d)
+            a, b = nd[:-d][m], nd[d:][m]
+            cs.extend((a, b))
+            xs.extend((b, a))
+        if not cs:
+            return _empty
+        return pa.table({
+            "center": pa.array(np.concatenate(cs), pa.int64()),
+            "context": pa.array(np.concatenate(xs), pa.int64()),
+        })
+
+    pairs = walks.sort("walk_id").map_batches(
+        emit_pairs, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())
+    return grouped_agg(pairs, ["center", "context"],
+                       [("n", "", "count")])
+
+
+def _sql_walk_pairs() -> str:
+    return (_sql_walks_cte() + f"""
+SELECT a.node AS center, b.node AS context, CAST(count(*) AS BIGINT) AS n
+FROM walks a
+JOIN walks b ON a.walk_id = b.walk_id AND a.step <> b.step
+            AND abs(a.step - b.step) <= {_WALK_WINDOW}
+GROUP BY a.node, b.node
+ORDER BY center, context
+""")
 
 
 _OPIC_ROUNDS = 4
@@ -23329,6 +23405,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "pagerank": q_pagerank,
         "opic_scores": q_opic_scores,
         "random_walks": q_random_walks,
+        "walk_pairs": q_walk_pairs,
         "adaptive_revisit": q_adaptive_revisit,
         "activity_gini": q_activity_gini,
         "sitemap_stale": q_sitemap_stale,
@@ -23354,6 +23431,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "cocitation": q_cocitation,
         "bibcoupling": q_bibcoupling,
         "random_walks": q_random_walks,
+        "walk_pairs": q_walk_pairs,
         "top_passages": q_top_passages,
         "rank_agreement": q_rank_agreement,
         "rank_fusion": q_rank_fusion,
@@ -23621,6 +23699,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "pagerank": _sql_pagerank(),
         "opic_scores": _sql_opic(),
         "random_walks": _sql_random_walks(),
+        "walk_pairs": _sql_walk_pairs(),
         "adaptive_revisit": _sql_adaptive_revisit(),
         "activity_gini": _SQL_ACTIVITY_GINI,
         "sitemap_stale": _SQL_SITEMAP_STALE,
@@ -23633,6 +23712,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "cocitation": _sql_cocitation(),
         "bibcoupling": _sql_bibcoupling(),
         "random_walks": _sql_random_walks(),
+        "walk_pairs": _sql_walk_pairs(),
         "top_passages": _SQL_TOP_PASSAGES,
         "rank_agreement": _sql_rank_agreement(),
         "rank_fusion": _sql_rank_fusion(),
