@@ -9796,6 +9796,243 @@ def _sql_random_walks() -> str:
 
 _WALK_WINDOW = 2
 
+_LP_HOLDOUT_MOD = 5   # 20 % of distinct edges held out as test positives
+_LP_TRIES = 3         # deterministic negative-sampling attempts
+
+
+def q_linkpred_dataset(sf_dir: str):
+    """Link-prediction dataset export — the graph-ML training-data op
+    (edge holdout + negative sampling, the GraphSAGE/node2vec eval
+    protocol; public method): distinct edges split 80/20 by the shared
+    md5 parity hash, and each TEST positive (u, v) draws ONE negative
+    (u, v′) as the first of {_LP_TRIES} deterministic candidates
+    ``v′_j = md5int(u-v-j) % n`` that is NOT a true out-edge of u (a
+    positive whose every try collides yields no negative — the
+    documented bounded-tries contract, never a silent loop).  Output
+    ``(src, dst, label, split)`` rows: train/test positives + test
+    negatives.
+
+    Scale shape: distinct edges via one combiner grouped count;
+    candidate validity is a size-gated membership check on packed
+    (src, dst) keys (broadcast sorted array below the cutoff, left-
+    outer hash join + null filter above); first-valid-try selection is
+    a grouped MIN over packed (try, cand) — lexicographic by
+    construction."""
+    return _q_linkpred_dataset_impl(sf_dir)
+
+
+def _q_linkpred_dataset_impl(sf_dir: str, broadcast_cutoff=None):
+    import hashlib
+
+    import ray
+
+    from ..broadcast import cached_get
+    from ..functions.dedup import SUBTRACT_BROADCAST_CUTOFF
+    from ..functions.partition import coalesce_nonempty
+
+    _, edges = _corpus_link_edges(sf_dir)
+    n_docs = pq.ParquetFile(
+        str(Path(sf_dir) / "documents.parquet")).metadata.num_rows
+    assert n_docs < (1 << 40)
+    dist = grouped_agg(edges, ["src", "dst"], [("__n", "", "count")],
+                       sorted_output=False).select_columns(["src", "dst"])
+    dist = dist.materialize()   # feeds split map + membership keys
+
+    def md5i(strs):
+        return np.asarray(
+            [int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+             for s in strs], np.int64)
+
+    def tag_split(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        h = md5i([f"{a}-{b}" for a, b in zip(s.tolist(), d.tolist())])
+        return pa.table({
+            "src": pa.array(s, pa.int64()),
+            "dst": pa.array(d, pa.int64()),
+            "is_test": pa.array(h % _LP_HOLDOUT_MOD == 0, pa.bool_()),
+        })
+
+    tagged = dist.map_batches(tag_split, batch_format="pyarrow",
+                              runtime_env=runtime_env()).materialize()
+
+    def cands(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column("is_test"))
+        s = t.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+        d = t.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+        ss, dd, jj, cc = [], [], [], []
+        for j in range(_LP_TRIES):
+            cand = md5i([f"{a}-{b}-{j}"
+                         for a, b in zip(s.tolist(), d.tolist())]) % n_docs
+            ss.append(s)
+            dd.append(d)
+            jj.append(np.full(len(s), j, np.int64))
+            cc.append(cand)
+        if not ss:
+            return pa.table({
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "cand": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "src": pa.array(np.concatenate(ss), pa.int64()),
+            "dst": pa.array(np.concatenate(dd), pa.int64()),
+            "j": pa.array(np.concatenate(jj), pa.int64()),
+            "cand": pa.array(np.concatenate(cc), pa.int64()),
+        })
+
+    cand_ds = tagged.map_batches(cands, batch_format="pyarrow",
+                                 runtime_env=runtime_env())
+    cutoff = (SUBTRACT_BROADCAST_CUTOFF if broadcast_cutoff is None
+              else broadcast_cutoff)
+    n_edges = dist.count()
+    if n_edges <= cutoff:
+        tbls = ray.get(dist.to_arrow_refs())
+        keys = np.sort(np.concatenate(
+            [(t.column("src").combine_chunks().to_numpy(
+                zero_copy_only=False) << 40)
+             + t.column("dst").combine_chunks().to_numpy(
+                 zero_copy_only=False)
+             for t in tbls if t.num_rows] or [np.empty(0, np.int64)]))
+        kref = ray.put(keys)
+
+        def drop_true(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            ks = cached_get(kref)
+            k = (batch.column("src").combine_chunks().to_numpy(
+                zero_copy_only=False) << 40) \
+                + batch.column("cand").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+            if not len(ks):
+                return batch
+            pos = np.searchsorted(ks, k)
+            pos[pos == len(ks)] = 0
+            return batch.filter(pa.array(ks[pos] != k))
+
+        valid = cand_ds.map_batches(drop_true, batch_format="pyarrow",
+                                    runtime_env=runtime_env())
+    else:
+        marker = dist.map_batches(
+            lambda b: pa.table({
+                "__t_src": b.column("src"), "__t_dst": b.column("dst"),
+                "__hit": pa.array(np.ones(b.num_rows, np.int8)),
+            }), batch_format="pyarrow", runtime_env=runtime_env())
+        cand_nz = coalesce_nonempty(cand_ds)
+        if cand_nz is None:
+            valid = cand_ds
+        else:
+            j = cand_nz.join(coalesce_nonempty(marker), "left_outer",
+                             num_partitions=max(2, _shuffle_parts(sf_dir)),
+                             on=("src", "cand"),
+                             right_on=("__t_src", "__t_dst"))
+
+            def keep_miss(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                keep = pc.is_null(batch.column("__hit"))
+                return batch.filter(keep).select(
+                    ["src", "dst", "j", "cand"])
+
+            valid = j.map_batches(keep_miss, batch_format="pyarrow",
+                                  runtime_env=runtime_env())
+
+    def pack(batch: pa.Table) -> pa.Table:
+        jj = batch.column("j").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cc = batch.column("cand").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "src": batch.column("src"),
+            "dst": batch.column("dst"),
+            "pk": pa.array((jj << 40) + cc, pa.int64()),
+        })
+
+    first = grouped_agg(
+        valid.map_batches(pack, batch_format="pyarrow",
+                          runtime_env=runtime_env()),
+        ["src", "dst"], [("pk", "pk", "min")], sorted_output=False)
+
+    def neg_rows(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "src": batch.column("src"),
+            "dst": pa.array(pk & ((1 << 40) - 1), pa.int64()),
+            "label": pa.array(np.zeros(len(pk), np.int64)),
+            "split": pa.array(["test"] * len(pk), pa.string()),
+        })
+
+    def pos_rows(batch: pa.Table) -> pa.Table:
+        t = batch.column("is_test").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "src": batch.column("src"),
+            "dst": batch.column("dst"),
+            "label": pa.array(np.ones(batch.num_rows, np.int64)),
+            "split": pa.array(np.where(t, "test", "train").tolist(),
+                              pa.string()),
+        })
+
+    out = tagged.map_batches(pos_rows, batch_format="pyarrow",
+                             runtime_env=runtime_env()).union(
+        first.map_batches(neg_rows, batch_format="pyarrow",
+                          runtime_env=runtime_env()))
+    return out.sort(["split", "label", "src", "dst"])
+
+
+def _sql_linkpred() -> str:
+    offs = ", ".join(f"({o})" for o in LINK_OFFSETS)
+    tries = ", ".join(f"({j})" for j in range(_LP_TRIES))
+    return f"""
+WITH n_tab AS (SELECT count(*) AS n FROM documents),
+eff AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % {DUP_MOD} = {DUP_REMAINDER}
+              THEN doc_id - 1 ELSE doc_id END AS e
+  FROM documents
+),
+edges AS (
+  SELECT src, CAST((e + off) % (SELECT n FROM n_tab) AS BIGINT) AS dst
+  FROM eff, (VALUES {offs}) AS t(off)
+),
+dist AS (SELECT DISTINCT src, dst FROM edges),
+tagged AS (
+  SELECT src, dst,
+         CAST(concat('0x', substr(md5(src || '-' || dst), 1, 15))
+              AS BIGINT) % {_LP_HOLDOUT_MOD} = 0 AS is_test
+  FROM dist
+),
+cand AS (
+  SELECT t.src, t.dst, j.j,
+         CAST(concat('0x', substr(
+             md5(t.src || '-' || t.dst || '-' || j.j), 1, 15))
+              AS BIGINT) % (SELECT n FROM n_tab) AS cand
+  FROM tagged t, (VALUES {tries}) AS j(j)
+  WHERE t.is_test
+),
+valid AS (
+  SELECT c.src, c.dst, c.j, c.cand FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM dist d
+                    WHERE d.src = c.src AND d.dst = c.cand)
+),
+firstneg AS (
+  SELECT src, cand FROM valid
+  QUALIFY row_number() OVER (PARTITION BY src, dst
+                             ORDER BY j, cand) = 1
+)
+SELECT src, dst, CAST(1 AS BIGINT) AS label,
+       CASE WHEN is_test THEN 'test' ELSE 'train' END AS split
+FROM tagged
+UNION ALL
+SELECT src, cand AS dst, CAST(0 AS BIGINT) AS label, 'test' AS split
+FROM firstneg
+ORDER BY split, label, src, dst
+"""
+
 
 def q_walk_pairs(sf_dir: str):
     """Skip-gram (center, context) pair counts from the random-walk
@@ -23406,6 +23643,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "opic_scores": q_opic_scores,
         "random_walks": q_random_walks,
         "walk_pairs": q_walk_pairs,
+        "linkpred_dataset": q_linkpred_dataset,
         "adaptive_revisit": q_adaptive_revisit,
         "activity_gini": q_activity_gini,
         "sitemap_stale": q_sitemap_stale,
@@ -23432,6 +23670,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "bibcoupling": q_bibcoupling,
         "random_walks": q_random_walks,
         "walk_pairs": q_walk_pairs,
+        "linkpred_dataset": q_linkpred_dataset,
         "top_passages": q_top_passages,
         "rank_agreement": q_rank_agreement,
         "rank_fusion": q_rank_fusion,
@@ -23700,6 +23939,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "opic_scores": _sql_opic(),
         "random_walks": _sql_random_walks(),
         "walk_pairs": _sql_walk_pairs(),
+        "linkpred_dataset": _sql_linkpred(),
         "adaptive_revisit": _sql_adaptive_revisit(),
         "activity_gini": _SQL_ACTIVITY_GINI,
         "sitemap_stale": _SQL_SITEMAP_STALE,
@@ -23713,6 +23953,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "bibcoupling": _sql_bibcoupling(),
         "random_walks": _sql_random_walks(),
         "walk_pairs": _sql_walk_pairs(),
+        "linkpred_dataset": _sql_linkpred(),
         "top_passages": _SQL_TOP_PASSAGES,
         "rank_agreement": _sql_rank_agreement(),
         "rank_fusion": _sql_rank_fusion(),

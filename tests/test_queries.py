@@ -2034,3 +2034,25 @@ def test_adaptive_revisit_policy_convergence(ray_session):
         assert r["n_missed"] >= 0
         assert 1 <= r["final_interval"] <= 8
         assert r["n_dirty"] <= r["n_visits"]
+
+
+def test_linkpred_dataset_contract(ray_session):
+    """Negative samples never collide with true edges, each test
+    positive yields at most one negative, the split is the md5 rule,
+    and the forced-join membership path equals the broadcast path."""
+    from deepwebharvester_ray.pipelines.queries import (
+        _q_linkpred_dataset_impl)
+
+    sf = "/root/testdata/sf0.001"
+    rows = _q_linkpred_dataset_impl(sf).take_all()
+    rows_j = _q_linkpred_dataset_impl(sf, broadcast_cutoff=0).take_all()
+    key = lambda r: (r["split"], r["label"], r["src"], r["dst"])
+    assert sorted(map(key, rows)) == sorted(map(key, rows_j))
+
+    pos = {(r["src"], r["dst"]) for r in rows if r["label"] == 1}
+    negs = [(r["src"], r["dst"]) for r in rows if r["label"] == 0]
+    assert negs and not (set(negs) & pos)
+    n_test_pos = sum(1 for r in rows
+                     if r["label"] == 1 and r["split"] == "test")
+    assert len(negs) <= n_test_pos
+    assert all(r["split"] == "test" for r in rows if r["label"] == 0)
