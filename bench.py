@@ -44,6 +44,23 @@ FACTOR = int(os.environ.get("DWH_BENCH_FACTOR", "4"))
 # see cosine_pairs_exact's degenerate-input note).  Both are oracle-checked
 # at sf0.01 instead; measured once at sf0.1 for the record: 39 s / 151 s.
 BENCH_QUERIES = [
+    "activity_gini",
+    "adaptive_revisit",
+    "anchor_stats",
+    "ccnet_buckets",
+    "contamination_profile",
+    "dedup_incremental",
+    "dedup_spans",
+    "linkpred_dataset",
+    "mixture_weights",
+    "opic_scores",
+    "graph_walks",
+    "sample_k_stream",
+    "sitemap_stale",
+    "value_quantiles_stream",
+    "vocab_hll_stream",
+    "walk_pairs",
+    "warc_revisit",
     "extract_pages",
     "exact_dedup",
     "token_counts",

@@ -9721,8 +9721,8 @@ _WALK_STEPS = 4
 _WALK_SEED_MOD = 25
 
 
-def q_random_walks(sf_dir: str):
-    """Deterministic random-walk corpus over the crawl link graph
+def q_graph_walks(sf_dir: str):
+    """Deterministic random-walk corpus over a MATERIALIZED edge table
     (DeepWalk, Perozzi et al. KDD 2014): one 4-hop walk per seed page
     (docs % 25 == 0), step choice = out-edge rank
     ``md5int(walk_id-step) % outdeg`` — the shared engine/SQL parity
@@ -9788,7 +9788,7 @@ w{s} AS (
             + "\nUNION ALL\n".join(selects) + "\n)")
 
 
-def _sql_random_walks() -> str:
+def _sql_graph_walks() -> str:
     return (_sql_walks_cte()
             + "\nSELECT walk_id, step, node FROM walks "
               "ORDER BY walk_id, step")
@@ -23641,7 +23641,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "neardup_clusters": q_neardup_clusters,
         "pagerank": q_pagerank,
         "opic_scores": q_opic_scores,
-        "random_walks": q_random_walks,
+        "graph_walks": q_graph_walks,
         "walk_pairs": q_walk_pairs,
         "linkpred_dataset": q_linkpred_dataset,
         "adaptive_revisit": q_adaptive_revisit,
@@ -23937,7 +23937,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "neardup_clusters": _SQL_NEARDUP_CLUSTERS,
         "pagerank": _sql_pagerank(),
         "opic_scores": _sql_opic(),
-        "random_walks": _sql_random_walks(),
+        "graph_walks": _sql_graph_walks(),
         "walk_pairs": _sql_walk_pairs(),
         "linkpred_dataset": _sql_linkpred(),
         "adaptive_revisit": _sql_adaptive_revisit(),

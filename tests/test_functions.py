@@ -4213,7 +4213,7 @@ def test_random_walks_matches_reference_both_paths(ray_session):
     import numpy as np
     import ray
 
-    from deepwebharvester_ray.functions.graph import random_walks
+    from deepwebharvester_ray.functions.graph import random_walks  # the graph_walks library op
 
     rng = np.random.default_rng(9)
     n = 50
