@@ -11978,18 +11978,27 @@ def q_ccnet_buckets(sf_dir: str):
     a global sort on the score; assignment is a second pure map over
     the materialized score table.  Returns (doc_id, rarity_sc,
     bucket)."""
+    import ray as _ray
+
     rate = q_rare_bigram_rate(sf_dir).select_columns(
         ["doc_id", "rarity_sc"]).materialize()  # feeds histogram + assign
-    hist = grouped_agg(rate, ["rarity_sc"],
-                       [("n", "", "count")]).take_all()  # ≤ scale+1 rows
-    if not hist:
-        return ray.data.from_arrow(pa.table({
+    # histogram pulled as ARROW blocks → numpy (≤ value-domain rows;
+    # never per-row python dicts)
+    htbls = [t for t in _ray.get(grouped_agg(
+        rate, ["rarity_sc"], [("n", "", "count")]).to_arrow_refs())
+        if t.num_rows]
+    if not htbls:
+        return _ray.data.from_arrow(pa.table({
             "doc_id": pa.array([], pa.int64()),
             "rarity_sc": pa.array([], pa.int64()),
             "bucket": pa.array([], pa.string()),
         }))
-    vals = np.fromiter((r["rarity_sc"] for r in hist), np.int64, len(hist))
-    cnts = np.fromiter((r["n"] for r in hist), np.int64, len(hist))
+    vals = np.concatenate([t.column("rarity_sc").combine_chunks()
+                           .to_numpy(zero_copy_only=False) for t in htbls])
+    cnts = np.concatenate([t.column("n").combine_chunks()
+                           .to_numpy(zero_copy_only=False) for t in htbls])
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
     cum = np.cumsum(cnts)
     n = int(cum[-1])
     r1, r2 = (n + 2) // 3, (2 * n + 2) // 3

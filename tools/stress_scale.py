@@ -1077,6 +1077,56 @@ def run_xsubstr(dup: int, sf_dir: str) -> dict:
     }
 
 
+def run_incdedup(n: int) -> dict:
+    """dedup_index build/probe at a ``n``-doc base: build the bucketed
+    fingerprint index once, then probe a FIXED 2 000-doc delta (half
+    dups, half new) — the evidence that probe wall is delta-
+    proportional, not base-proportional (run with --n 100000 and --n
+    400000: build wall grows ~linearly, probe wall stays ~flat)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import ray
+
+    from deepwebharvester_ray.functions.dedup import (dedup_index_build,
+                                                      dedup_index_probe)
+
+    texts = pa.array([f"page body {i} {(i * 31) % 977} filler words"
+                      for i in range(n)], pa.string())
+    base = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()), "text": texts,
+    })).repartition(16).materialize()
+    d_ids = list(range(n, n + 20))
+    d_txt = [(f"page body {i - n} {((i - n) * 31) % 977} filler words"
+              if (i % 2 == 0) else f"fresh delta content {i}")
+             for i in d_ids]
+    delta = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(d_ids, pa.int64()),
+        "text": pa.array(d_txt, pa.string()),
+    })).materialize()
+
+    idx = tempfile.mkdtemp(prefix="dwh_incdedup_", dir="/tmp")
+    try:
+        t0 = time.monotonic()
+        dedup_index_build(base, idx, n_buckets=512)
+        build_s = time.monotonic() - t0
+        t0 = time.monotonic()
+        out = dedup_index_probe(delta, idx).take_all()
+        probe_s = time.monotonic() - t0
+        n_dup = sum(r["is_dup"] for r in out)
+        assert len(out) == 20 and n_dup == 10, (len(out), n_dup)
+        return {
+            "case": "incdedup", "base_docs": n, "delta_docs": 20,
+            "n_dup": n_dup,
+            "build_s": round(build_s, 2), "probe_s": round(probe_s, 2),
+            "wall_s": round(build_s + probe_s, 2),
+            "driver_rss_mb": round(_rss_mb(), 1),
+        }
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def run_spans(n: int) -> dict:
     """quote_span_pairs over a synthetic n-doc corpus where every 10th
     doc shares a 40-token verbatim run with its neighbor: pairs = n/10
@@ -1180,7 +1230,7 @@ def main() -> None:
                                     "containment", "knn", "fuzzy",
                                     "skyline", "cosine", "gscan",
                                     "sdedup", "aa", "spans",
-                                    "xsubstr", "resolve"])
+                                    "xsubstr", "incdedup", "resolve"])
     p.add_argument("--dup", type=int, default=1)
     p.add_argument("--seeds", type=int, default=10_000)
     p.add_argument("--shards", type=int, default=None)
@@ -1247,6 +1297,8 @@ def main() -> None:
             out = run_spans(args.n)
         elif args.case == "xsubstr":
             out = run_xsubstr(args.dup, args.sf)
+        elif args.case == "incdedup":
+            out = run_incdedup(args.n)
         elif args.case == "cosine":
             out = run_cosine(args.n)
         else:
