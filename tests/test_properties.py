@@ -545,3 +545,127 @@ def test_window_shard_state_partition_invariance(events, n_chunks):
     for t, h in events:
         want[(t, h)] = want.get((t, h), 0) + 1
     assert one == want and many == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(0, 2**63 - 1), min_size=0, max_size=300),
+       st.integers(1, 30), st.data())
+def test_min_k_hash_shard_state_partition_invariant(vals, k, data):
+    """_MinKHashShardState: folding ANY micro-batch partitioning of a
+    value stream yields the same k-smallest state as one batch fold —
+    the plan-equivalence kernel behind the sample_k streaming twin."""
+    import numpy as np
+
+    from deepwebharvester_ray.functions.streaming import _MinKHashShardState
+
+    ids = np.asarray(vals, np.int64)
+    with np.errstate(over="ignore"):
+        hv = ids.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+
+    whole = _MinKHashShardState(k)
+    whole.ingest(hv, ids)
+
+    split = _MinKHashShardState(k)
+    i = 0
+    while i < len(ids):
+        j = i + data.draw(st.integers(1, max(1, len(ids) - i)),
+                          label="chunk")
+        split.ingest(hv[i:j], ids[i:j])
+        i = j
+    assert np.array_equal(whole.hv, split.hv)
+    assert np.array_equal(whole.ids, split.ids)
+    assert len(split.hv) <= k              # state never exceeds k
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                          min_value=-1e12, max_value=1e12),
+                min_size=0, max_size=400),
+       st.data())
+def test_dd_register_shard_state_partition_invariant(vals, data):
+    """_DDRegisterShardState: register addition commutes — any
+    micro-batch split and any shard routing reproduce the single-fold
+    bucket counts exactly (the streaming-DDSketch equivalence
+    kernel)."""
+    import numpy as np
+
+    from deepwebharvester_ray.functions.sketch import dd_bucket_indices
+    from deepwebharvester_ray.functions.streaming import (
+        _DDRegisterShardState)
+
+    v = np.asarray(vals, np.float64)
+    idx = dd_bucket_indices(v, 0.01)
+    u, c = np.unique(idx, return_counts=True)
+
+    whole = _DDRegisterShardState()
+    whole.ingest(u, c.astype(np.int64))
+
+    split = _DDRegisterShardState()
+    i = 0
+    while i < len(v):
+        j = i + data.draw(st.integers(1, max(1, len(v) - i)),
+                          label="chunk")
+        su, sc = np.unique(dd_bucket_indices(v[i:j], 0.01),
+                           return_counts=True)
+        split.ingest(su, sc.astype(np.int64))
+        i = j
+    assert np.array_equal(whole.buckets, split.buckets)
+    assert np.array_equal(whole.counts, split.counts)
+    assert int(split.counts.sum()) == len(v)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(st.characters(min_codepoint=97, max_codepoint=102),
+                        min_size=1, max_size=3),
+                min_size=0, max_size=60),
+       st.lists(st.text(st.characters(min_codepoint=97, max_codepoint=102),
+                        min_size=1, max_size=3),
+                min_size=0, max_size=60),
+       st.integers(2, 4))
+def test_remove_dup_spans_rewrite_kernel(tok_a, tok_b, k):
+    """The ExactSubstr rewrite math (mark every non-first occurrence of
+    a cross-doc window → interval union via the diff/cumsum kernel →
+    excise) on a two-doc corpus over a tiny alphabet (dense window
+    collisions): the operator's vectorized kernel equals a brute
+    per-position reference."""
+    import numpy as np
+
+    docs = {0: tok_a, 1: tok_b}
+
+    def brute(docs):
+        occ = {}
+        for i, ts in sorted(docs.items()):
+            for q in range(len(ts) - k + 1):
+                occ.setdefault(tuple(ts[q:q + k]), []).append((i, q))
+        out = {}
+        for i, ts in docs.items():
+            cov = np.zeros(len(ts), bool)
+            for g, os_ in occ.items():
+                if len({a for a, _ in os_}) >= 2:
+                    first = min(os_)
+                    for a, q in os_:
+                        if a == i and (a, q) != first:
+                            cov[q:q + k] = True
+            out[i] = ([w for w, c in zip(ts, cov) if not c],
+                      int(cov.sum()))
+        return out
+
+    exp = brute(docs)
+    occ = {}
+    for i, ts in sorted(docs.items()):
+        for q in range(len(ts) - k + 1):
+            occ.setdefault(tuple(ts[q:q + k]), []).append((i, q))
+    for i, ts in docs.items():
+        marked = sorted(q for g, os_ in occ.items()
+                        if len({a for a, _ in os_}) >= 2
+                        for a, q in os_
+                        if a == i and (a, q) != min(os_))
+        n = len(ts)
+        diff = np.zeros(n + 1, np.int32)
+        p = np.asarray(marked, np.int64)
+        if len(p):
+            np.add.at(diff, p, 1)
+            np.add.at(diff, np.minimum(p + k, n), -1)
+        covered = np.cumsum(diff[:n]) > 0
+        kept = [w for w, c in zip(ts, covered) if not c]
+        assert (kept, int(covered.sum())) == exp[i]
