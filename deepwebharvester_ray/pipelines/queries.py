@@ -9437,6 +9437,121 @@ def q_pagerank(sf_dir: str):
     return _rename(scores, {"id": "doc_id"})
 
 
+_DICT_GRAMS = 64      # dictionary = top-64 word 5-grams
+_DICT_GRAM_K = 5
+
+
+def q_dict_compression(sf_dir: str):
+    """Shared-dictionary compression audit (the zstd/Brotli dictionary
+    technique via stdlib zlib ``zdict`` — public method): small
+    documents compress poorly alone because the window never warms; a
+    corpus-trained dictionary of the most frequent word 5-grams primes
+    the compressor, and this op measures the per-source savings —
+    (source, n_docs, bytes_raw, bytes_zlib, bytes_zdict, saved_ppm) —
+    the sizing statistic a small-page archive store runs before
+    enabling dictionary compression.
+
+    Distributed shape: dictionary candidates via the heavy-hitters
+    discipline (per-block unique 5-gram counts → combiner grouped sum →
+    exact two-level top-64, least-frequent-first concatenation — zlib
+    wants the most useful bytes at the END); the bounded dictionary
+    broadcasts once; per-doc compression is one C-speed map; per-source
+    rollup is one combiner grouped_agg.  Rows-only: compressed sizes
+    are a zlib artifact (the compressibility precedent) — determinism,
+    reshard-stability and savings-on-templated-docs are pinned in
+    tests."""
+    import ray
+    import zlib
+
+    from ..broadcast import cached_get
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["source", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def gram_counts(batch: pa.Table) -> pa.Table:
+        grams = []
+        for t in batch.column("text").to_pylist():
+            toks = WORD_RE.findall((t or "").lower())
+            grams.extend(" ".join(toks[i:i + _DICT_GRAM_K])
+                         for i in range(len(toks) - _DICT_GRAM_K + 1))
+        if not grams:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uniq, counts = np.unique(np.asarray(grams, object),
+                                 return_counts=True)
+        return pa.table({
+            "gram": pa.array(uniq.tolist(), pa.string()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    merged = grouped_agg(
+        ds.map_batches(gram_counts, batch_format="pyarrow",
+                       batch_size=None, runtime_env=runtime_env()),
+        ["gram"], [("n", "n", "sum")])
+
+    def topk(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        g = np.asarray(batch.column("gram").to_pylist(), object)
+        order = np.lexsort((g, -n))[:_DICT_GRAMS]
+        return pa.table({
+            "gram": pa.array(g[order].tolist(), pa.string()),
+            "n": pa.array(n[order], pa.int64()),
+        })
+
+    top = (merged.map_batches(topk, batch_format="pyarrow",
+                              batch_size=None, runtime_env=runtime_env())
+           .repartition(1)
+           .map_batches(topk, batch_format="pyarrow", batch_size=None,
+                        runtime_env=runtime_env()).take_all())
+    # least frequent first: zlib zdict favors bytes near the END
+    ordered = sorted(top, key=lambda r: (r["n"], r["gram"]))
+    zdict = "\n".join(r["gram"] for r in ordered).encode("utf-8")
+    dref = ray.put(zdict)
+
+    def compress(batch: pa.Table) -> pa.Table:
+        zd = cached_get(dref)
+        srcs = batch.column("source")
+        raws, plains, dicts = [], [], []
+        for t in batch.column("text").to_pylist():
+            b = (t or "").encode("utf-8")
+            raws.append(len(b))
+            plains.append(len(zlib.compress(b, 6)))
+            co = zlib.compressobj(6, zlib.DEFLATED, zlib.MAX_WBITS,
+                                  zlib.DEF_MEM_LEVEL, zlib.Z_DEFAULT_STRATEGY,
+                                  zd)
+            dicts.append(len(co.compress(b) + co.flush()))
+        return pa.table({
+            "source": srcs,
+            "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+            "bytes_raw": pa.array(raws, pa.int64()),
+            "bytes_zlib": pa.array(plains, pa.int64()),
+            "bytes_zdict": pa.array(dicts, pa.int64()),
+        })
+
+    agg = grouped_agg(
+        ds.map_batches(compress, batch_format="pyarrow",
+                       runtime_env=runtime_env()),
+        ["source"],
+        [("n_docs", "n_docs", "sum"), ("bytes_raw", "bytes_raw", "sum"),
+         ("bytes_zlib", "bytes_zlib", "sum"),
+         ("bytes_zdict", "bytes_zdict", "sum")])
+
+    def ppm(batch: pa.Table) -> pa.Table:
+        zp = batch.column("bytes_zlib").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        zdt = batch.column("bytes_zdict").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        saved = np.where(zp > 0, 1_000_000 * (zp - zdt)
+                         // np.maximum(zp, 1), np.int64(0))
+        return batch.append_column(
+            "saved_ppm", pa.array(saved.astype(np.int64), pa.int64()))
+
+    return agg.map_batches(ppm, batch_format="pyarrow",
+                           runtime_env=runtime_env()).sort("source")
+
+
 def q_sitemap_stale(sf_dir: str):
     """Sitemap-driven recrawl staleness — the glue between the sitemap
     source and the archive index (sitemaps.org lastmod is the
@@ -23656,6 +23771,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "adaptive_revisit": q_adaptive_revisit,
         "activity_gini": q_activity_gini,
         "sitemap_stale": q_sitemap_stale,
+        "dict_compression": q_dict_compression,
         "link_distances": q_link_distances,
         "cheapest_paths": q_cheapest_paths,
         "link_scc": q_link_scc,
@@ -24155,5 +24271,5 @@ ROWS_ONLY: List[str] = [
     "dedup_eval",
     "mmr_topk", "embedding_pca",
     "compressibility", "streaming_heavy_tokens", "cdc_dedup",
-    "ann_prebuilt", "crawl_paced",
+    "ann_prebuilt", "crawl_paced", "dict_compression",
 ]

@@ -2056,3 +2056,22 @@ def test_linkpred_dataset_contract(ray_session):
                      if r["label"] == 1 and r["split"] == "test")
     assert len(negs) <= n_test_pos
     assert all(r["split"] == "test" for r in rows if r["label"] == 0)
+
+
+def test_dict_compression_contract(ray_session):
+    """Shared-dictionary compression: the corpus-trained zdict beats
+    plain zlib on every source of the templated corpus, totals are
+    internally consistent, and the whole table is reshard-stable
+    (deterministic dictionary + deterministic zlib)."""
+    from deepwebharvester_ray.pipelines.queries import q_dict_compression
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_dict_compression(sf).take_all()
+    assert rows
+    for r in rows:
+        assert 0 < r["bytes_zdict"] < r["bytes_zlib"] <= r["bytes_raw"]
+        assert r["saved_ppm"] == (1_000_000
+                                  * (r["bytes_zlib"] - r["bytes_zdict"])
+                                  // r["bytes_zlib"])
+    again = q_dict_compression(sf).take_all()
+    assert rows == again
