@@ -1281,3 +1281,73 @@ def streaming_hll_distinct(ds, extract, label: str = "n_distinct_est",
     if return_stats:
         return out, {"state_rows": int(_M)}
     return out
+
+
+class _CMSShardState:
+    """One shard's COLUMN slice [lo, hi) of the Count-Min matrix:
+    incoming micro-batch partials arrive pre-sliced, fold with exact
+    int64 addition (commutative ⇒ bit-equal to the batch matrix under
+    any split); state is the shard's share of depth × width counters,
+    CONSTANT forever."""
+
+    def __init__(self, depth: int, lo: int, hi: int) -> None:
+        self.lo, self.hi = lo, hi
+        self.mat = np.zeros((depth, hi - lo), np.int64)
+
+    def ingest(self, blob: bytes) -> int:
+        self.mat += np.frombuffer(blob, np.int64).reshape(self.mat.shape)
+        return self.mat.size
+
+    def state_rows(self) -> int:
+        return self.mat.size
+
+    def flush(self) -> bytes:
+        return self.mat.tobytes()
+
+
+def streaming_cms(ds, value_column: str, width: int = 1 << 14,
+                  n_shards: int = 4, micro_batch: int = 65536,
+                  return_stats: bool = False) -> np.ndarray:
+    """Streaming Count-Min sketch — the register-stream twin of the
+    batch :func:`~deepwebharvester_ray.functions.sketch.cms_build`:
+    each micro-batch collapses to one (depth × width) partial matrix
+    (the combiner discipline), COLUMN ranges partition across shard
+    actors folding exact int64 adds.  Addition commutes, so the merged
+    matrix — and every estimate — is BIT-EQUAL to the batch sketch
+    under any arrival order or micro-batch split, with CONSTANT total
+    state (depth × width counters).  Completes the register-twin family
+    (HLL max-registers, DDSketch count-registers, min-k sample, CMS
+    count-matrix).  Returns the merged numpy matrix; with
+    ``return_stats`` also {"state_rows": depth × width}."""
+    import ray
+
+    from .sketch import CMS_DEPTH, _cms_positions, _hash64
+
+    bounds = np.linspace(0, width, n_shards + 1).astype(int)
+    Shard = ray.remote(num_cpus=0.5)(_CMSShardState)
+    shards: List = [Shard.remote(CMS_DEPTH, int(bounds[s]),
+                                 int(bounds[s + 1]))
+                    for s in range(n_shards)]
+
+    for chunk in ds.iter_batches(batch_size=micro_batch,
+                                 batch_format="pyarrow"):
+        if chunk.num_rows == 0:
+            continue
+        mat = np.zeros((CMS_DEPTH, width), np.int64)
+        vals = chunk.column(value_column).to_pylist()
+        if vals:
+            pos = _cms_positions(_hash64(vals), width)
+            for d in range(CMS_DEPTH):
+                np.add.at(mat[d], pos[d], 1)
+        ray.get([shards[s].ingest.remote(
+            mat[:, bounds[s]:bounds[s + 1]].copy().tobytes())
+            for s in range(n_shards)])
+
+    slices = [np.frombuffer(b, np.int64).reshape(CMS_DEPTH, -1)
+              for b in ray.get([s.flush.remote() for s in shards])]
+    for s in shards:
+        ray.kill(s)
+    merged = np.concatenate(slices, axis=1)
+    if return_stats:
+        return merged, {"state_rows": int(CMS_DEPTH * width)}
+    return merged

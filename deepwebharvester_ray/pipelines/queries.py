@@ -13946,6 +13946,38 @@ def q_token_freq_cms(sf_dir: str):
     )
 
 
+def q_token_freq_cms_stream(sf_dir: str):
+    """Streaming twin of token_freq_cms: the same Count-Min matrix
+    built from a micro-batched token stream — per-batch partial
+    matrices COLUMN-partition across shard actors folding exact int64
+    adds (:func:`~deepwebharvester_ray.functions.streaming.streaming_cms`).
+    Addition commutes, so the probe estimates are BIT-EQUAL to the
+    batch sketch under any arrival order (pinned in test_streaming)
+    with constant total state — the fourth register-stream twin.
+    Rows-only like its batch twin."""
+    from ..functions.sketch import cms_estimate
+    from ..functions.streaming import streaming_cms
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = []
+        for t in batch.column("text").to_pylist():
+            toks.extend(WORD_RE.findall((t or "").lower()))
+        return pa.table({"token": pa.array(toks, pa.string())})
+
+    mat = streaming_cms(
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()), "token")
+    est = cms_estimate(mat, _CMS_PROBE_TOKENS)
+    return pa.table({
+        "token": pa.array(list(_CMS_PROBE_TOKENS), pa.string()),
+        "est_n": pa.array(est, pa.int64()),
+    })
+
+
 def q_value_quantiles_sketch(sf_dir: str):
     """Approximate event-value quantiles via the mergeable DDSketch-style
     log histogram (relative error ≤ 1 %) — the unbounded-domain twin of
@@ -23761,6 +23793,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "token_freq_cms": q_token_freq_cms,
         "value_quantiles_sketch": q_value_quantiles_sketch,
         "value_quantiles_stream": q_value_quantiles_stream,
+        "token_freq_cms_stream": q_token_freq_cms_stream,
         "events_hopping": q_events_hopping,
         "neardup_clusters": q_neardup_clusters,
         "pagerank": q_pagerank,
@@ -24261,7 +24294,7 @@ ROWS_ONLY: List[str] = [
     "neardup_embeddings_lsh",
     "semdedup_prune",
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
-    "value_quantiles_stream",
+    "value_quantiles_stream", "token_freq_cms_stream",
     "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
     "link_kcore", "link_scc", "link_mis", "link_ktruss", "link_coloring",
     "link_bridges",

@@ -685,3 +685,38 @@ def test_streaming_hll_bit_equal_to_batch(ray_session):
                                   micro_batch=433)
     assert out2.to_pylist()[0]["n_distinct_est"] == batch_est
     assert abs(batch_est - 3000) / 3000 < 0.05
+
+
+def test_streaming_cms_bit_equal_to_batch(ray_session):
+    """Column-sharded streaming CMS matrix equals the batch build
+    exactly under ordered and permuted arrival; estimates never
+    underestimate true counts."""
+    import ray
+
+    from deepwebharvester_ray.functions.sketch import (cms_build,
+                                                       cms_estimate)
+    from deepwebharvester_ray.functions.streaming import streaming_cms
+
+    rng = np.random.default_rng(21)
+    toks = [f"t{v}" for v in rng.zipf(1.6, 20_000) if v < 5_000]
+    t = pa.table({"token": pa.array(toks, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(5).materialize()
+    batch_mat = cms_build(ds, "token", width=1 << 10)
+
+    got, stats = streaming_cms(ds, "token", width=1 << 10, n_shards=3,
+                               micro_batch=999, return_stats=True)
+    assert np.array_equal(got, batch_mat)
+    assert stats["state_rows"] == 5 * (1 << 10)
+
+    perm = pa.table({"token": pa.array(
+        [toks[i] for i in rng.permutation(len(toks))], pa.string())})
+    ds2 = ray.data.from_arrow(perm).repartition(2).materialize()
+    got2 = streaming_cms(ds2, "token", width=1 << 10, n_shards=5,
+                         micro_batch=333)
+    assert np.array_equal(got2, batch_mat)
+
+    import collections
+    true = collections.Counter(toks)
+    probe = list(true)[:50]
+    est = cms_estimate(got, probe)
+    assert all(e >= true[p] for e, p in zip(est, probe))
