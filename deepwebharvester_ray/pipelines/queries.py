@@ -9437,6 +9437,101 @@ def q_pagerank(sf_dir: str):
     return _rename(scores, {"id": "doc_id"})
 
 
+_TOKEXP_VOCAB = 50257   # GPT-2-sized hashed vocab for the export demo
+
+
+def q_token_export(sf_dir: str):
+    """Indexed binary token-shard export roundtrip (the Megatron-LM
+    .bin/.idx SHAPE — the format a training loader memory-maps and
+    random-accesses without parsing): docs tokenize to hashed int32
+    ids (md5 parity hash % vocab — the deterministic stand-in for a
+    trained tokenizer; BPEEncodeStage plugs in unchanged), export via
+    :func:`~deepwebharvester_ray.sinks.write_token_shards`
+    (deterministic bytes: multiply-shift shard membership, sorted-id
+    samples, tmp+rename, sha256 manifest), read back via
+    :func:`~deepwebharvester_ray.sinks.read_token_shards` and VERIFY
+    per-doc blob equality distributed-side; output = per-shard
+    (shard, n_samples, n_tokens) from the manifest plus the roundtrip
+    verdict.  Rows-only (shard membership is the non-SQL multiply-shift
+    hash); byte-determinism across block layouts is pinned in
+    test_sinks."""
+    import hashlib
+    import json
+    import shutil
+    import tempfile
+
+    from ..functions.dedup import attach_id_labels
+    from ..functions.textops import TOKEN_RE
+    from ..sinks import read_token_shards, write_token_shards
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        blobs = []
+        for t in batch.column("text").to_pylist():
+            toks = TOKEN_RE.findall(t or "")
+            tid = np.asarray(
+                [int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+                 % _TOKEXP_VOCAB for w in toks], "<i4")
+            blobs.append(tid.tobytes())
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "token_ids": pa.array(blobs, pa.large_binary()),
+        })
+
+    enc = ds.map_batches(encode, batch_format="pyarrow",
+                         runtime_env=runtime_env()).materialize()
+    tmp = tempfile.mkdtemp(prefix="dwh_tokexp_")
+    try:
+        info = write_token_shards(enc, tmp, n_shards=8)
+        back = read_token_shards(tmp).map_batches(
+            lambda b: pa.table({
+                "doc_id": b.column("doc_id"),
+                "__rt": b.column("token_ids"),
+            }), batch_format="pyarrow", runtime_env=runtime_env())
+        joined = attach_id_labels(
+            enc, back.map_batches(
+                lambda b: pa.table({
+                    "doc_id": b.column("doc_id"),
+                    "__rt": pa.array(
+                        [int(hashlib.md5(x).hexdigest()[:15], 16)
+                         for x in b.column("__rt").to_pylist()],
+                        pa.int64()),
+                }), batch_format="pyarrow", runtime_env=runtime_env()),
+            id_column="doc_id", label_id_column="doc_id",
+            label_column="__rt")
+
+        def verify(batch: pa.Table) -> pa.Table:
+            ok = [int(hashlib.md5(x).hexdigest()[:15], 16) == h
+                  for x, h in zip(batch.column("token_ids").to_pylist(),
+                                  batch.column("__rt").to_pylist())]
+            return pa.table({
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "n_ok": pa.array([int(sum(ok))], pa.int64()),
+            })
+
+        vr = joined.map_batches(verify, batch_format="pyarrow",
+                                runtime_env=runtime_env()).take_all()
+        n = sum(r["n"] for r in vr)
+        n_ok = sum(r["n_ok"] for r in vr)
+        man = json.loads((Path(tmp) / "manifest.json").read_text())
+        return pa.table({
+            "shard": pa.array([int(k) for k in sorted(man)], pa.int64()),
+            "n_samples": pa.array(
+                [man[k]["n_samples"] for k in sorted(man)], pa.int64()),
+            "n_tokens": pa.array(
+                [man[k]["n_tokens"] for k in sorted(man)], pa.int64()),
+            "roundtrip_ok": pa.array(
+                [int(n == n_ok == info["n_samples"])] * len(man),
+                pa.int64()),
+        })
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _DICT_GRAMS = 64      # dictionary = top-64 word 5-grams
 _DICT_GRAM_K = 5
 
@@ -23805,6 +23900,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "activity_gini": q_activity_gini,
         "sitemap_stale": q_sitemap_stale,
         "dict_compression": q_dict_compression,
+        "token_export": q_token_export,
         "link_distances": q_link_distances,
         "cheapest_paths": q_cheapest_paths,
         "link_scc": q_link_scc,
@@ -24304,5 +24400,5 @@ ROWS_ONLY: List[str] = [
     "dedup_eval",
     "mmr_topk", "embedding_pca",
     "compressibility", "streaming_heavy_tokens", "cdc_dedup",
-    "ann_prebuilt", "crawl_paced", "dict_compression",
+    "ann_prebuilt", "crawl_paced", "dict_compression", "token_export",
 ]

@@ -821,3 +821,160 @@ def read_evolved(layout_dir: str, defaults: Dict[str, object] | None
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+# ── indexed binary token-shard export (Megatron-style .bin/.idx) ─────────────
+
+_TOKIDX_MAGIC = b"DWHIDX01"
+
+
+def write_token_shards(ds, out_dir: str, id_column: str = "doc_id",
+                       tokens_column: str = "token_ids",
+                       n_shards: int = 8,
+                       skip_existing: bool = True) -> dict:
+    """Training-export sink in the Megatron-LM indexed-dataset SHAPE
+    (public format family: one ``.bin`` of concatenated token-id arrays
+    + one ``.idx`` of per-sample offsets, so a loader memory-maps the
+    ``.bin`` and random-accesses sample i as
+    ``bin[4·off[i] : 4·off[i+1]]`` without parsing): ``tokens_column``
+    is a ``large_binary`` blob of little-endian int32 ids per doc (the
+    LIST-free exchange discipline).  ``.idx`` layout:
+    magic ``DWHIDX01`` + int64 n_samples + int64 doc_ids[n] +
+    int64 element_offsets[n+1].
+
+    Deterministic-bytes sink discipline (write_wds_shards): shard
+    membership = multiply-shift hash of the id (reshard/resume-stable),
+    samples in sorted-id order, tmp-write + atomic rename, committed
+    shards pruned at the scan, sha256 manifest per file.  ONE
+    groupby(shard) exchange; only summary rows reach the driver.
+    Returns {written, n_shards, n_samples, n_tokens}."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from . import runtime_env
+
+    base = Path(out_dir)
+    base.mkdir(parents=True, exist_ok=True)
+    man_path = base / "manifest.json"
+    manifest = {}
+    if man_path.exists():
+        manifest = {int(k): v for k, v in
+                    json.loads(man_path.read_text()).items()}
+    for p in list(base.glob("shard-*.bin.tmp")) + list(
+            base.glob("shard-*.idx.tmp")):
+        p.unlink()
+    committed = {s for s, v in manifest.items()
+                 if (base / v["file_bin"]).exists()
+                 and (base / v["file_idx"]).exists()} \
+        if skip_existing else set()
+    for p in list(base.glob("shard-*.bin")) + list(base.glob("shard-*.idx")):
+        s = int(p.stem.split("-", 1)[1].split(".")[0])
+        if s not in committed:
+            p.unlink()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        sh = _shard_of(ids, n_shards)
+        batch = batch.append_column("_shard", pa.array(sh, pa.int64()))
+        if committed:
+            keep = ~np.isin(sh, np.fromiter(committed, np.int64))
+            batch = batch.filter(pa.array(keep))
+        return batch
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        sh = int(group.column("_shard")[0].as_py())
+        group = group.take(pc.sort_indices(
+            group, sort_keys=[(id_column, "ascending")]))
+        ids = group.column(id_column).to_pylist()
+        blobs = group.column(tokens_column).to_pylist()
+        lens = np.asarray([len(b) // 4 for b in blobs], np.int64)
+        offs = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        bin_bytes = b"".join(blobs)
+        idx_bytes = (_TOKIDX_MAGIC
+                     + np.int64(len(ids)).tobytes()
+                     + np.asarray(ids, "<i8").tobytes()
+                     + offs.astype("<i8").tobytes())
+        fbin, fidx = f"shard-{sh:05d}.bin", f"shard-{sh:05d}.idx"
+        for fname, data in ((fbin, bin_bytes), (fidx, idx_bytes)):
+            tmp = base / (fname + ".tmp")
+            tmp.write_bytes(data)
+            tmp.rename(base / fname)
+        return pa.table({
+            "shard": pa.array([sh], pa.int64()),
+            "file_bin": pa.array([fbin], pa.string()),
+            "file_idx": pa.array([fidx], pa.string()),
+            "n_samples": pa.array([len(ids)], pa.int64()),
+            "n_tokens": pa.array([int(lens.sum())], pa.int64()),
+            "sha256_bin": pa.array(
+                [hashlib.sha256(bin_bytes).hexdigest()], pa.string()),
+            "sha256_idx": pa.array(
+                [hashlib.sha256(idx_bytes).hexdigest()], pa.string()),
+        })
+
+    rows = (ds.map_batches(tag, batch_format="pyarrow", batch_size=None,
+                           runtime_env=runtime_env())
+            .groupby("_shard")
+            .map_groups(write_shard, batch_format="pyarrow")
+            .take_all())  # ≤ n_shards summary rows
+    for r in rows:
+        manifest[int(r["shard"])] = {
+            "file_bin": r["file_bin"], "file_idx": r["file_idx"],
+            "n_samples": int(r["n_samples"]),
+            "n_tokens": int(r["n_tokens"]),
+            "sha256_bin": r["sha256_bin"], "sha256_idx": r["sha256_idx"],
+        }
+    man_path.write_text(json.dumps(
+        {str(k): v for k, v in sorted(manifest.items())},
+        sort_keys=True, indent=1))
+    logger.info("token-shard export: %d shards → %s", len(rows), base)
+    return {
+        "written": sorted(int(r["shard"]) for r in rows),
+        "n_shards": n_shards,
+        "n_samples": sum(v["n_samples"] for v in manifest.values()),
+        "n_tokens": sum(v["n_tokens"] for v in manifest.values()),
+    }
+
+
+def read_token_shards(out_dir: str):
+    """A :func:`write_token_shards` layout back as a Dataset of
+    ``(doc_id, token_ids)`` rows (blob of little-endian int32 ids per
+    doc) — one task per shard, pure per-file parse, no shuffle; the
+    random-access contract (idx offsets into the bin) is exercised by
+    slicing per sample rather than bulk-splitting."""
+    import ray
+
+    from . import runtime_env
+
+    pairs = sorted(str(f) for f in Path(out_dir).glob("shard-*.idx"))
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "token_ids": pa.array([], pa.large_binary()),
+    })
+    if not pairs:
+        return ray.data.from_arrow(empty)
+    files = ray.data.read_binary_files(pairs, include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        out_id, out_tok = [], []
+        for path, idx in zip(batch.column("path").to_pylist(),
+                             batch.column("bytes").to_pylist()):
+            assert idx[:8] == _TOKIDX_MAGIC, f"bad idx magic in {path}"
+            n = int(np.frombuffer(idx, "<i8", 1, 8)[0])
+            ids = np.frombuffer(idx, "<i8", n, 16)
+            offs = np.frombuffer(idx, "<i8", n + 1, 16 + 8 * n)
+            bin_bytes = Path(path[:-4] + ".bin").read_bytes()
+            for i in range(n):
+                out_id.append(int(ids[i]))
+                out_tok.append(bin_bytes[4 * offs[i]:4 * offs[i + 1]])
+        if not out_id:
+            return empty
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "token_ids": pa.array(out_tok, pa.large_binary()),
+        })
+
+    return files.map_batches(parse, batch_format="pyarrow",
+                             batch_size=None, runtime_env=runtime_env())

@@ -541,3 +541,44 @@ def test_read_evolved_mixed_schemas(ray_session, tmp_path):
     assert all(r["lang"] == "en" and r["score"] == 2 * r["doc_id"]
                for r in rows[20:])
     assert [r["text"] for r in rows] == [f"t{i}" for i in range(30)]
+
+
+def test_token_shards_roundtrip_and_determinism(ray_session, tmp_path):
+    """Indexed token-shard export: byte-identical manifests across
+    block layouts (shard membership is the id hash, samples sorted),
+    lossless roundtrip incl. empty docs, and committed shards are
+    skipped on re-run."""
+    import json
+
+    import numpy as np
+    import ray
+
+    from deepwebharvester_ray.sinks import (read_token_shards,
+                                            write_token_shards)
+
+    rng = np.random.default_rng(17)
+    rows = [{"doc_id": i,
+             "token_ids": rng.integers(0, 50000, rng.integers(0, 40),
+                                       dtype=np.int32)
+             .astype("<i4").tobytes()}
+            for i in range(120)]
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    info = write_token_shards(
+        ray.data.from_items(rows).repartition(3), a, n_shards=4)
+    write_token_shards(
+        ray.data.from_items(rows).repartition(7), b, n_shards=4)
+    ma = json.loads((tmp_path / "a" / "manifest.json").read_text())
+    mb = json.loads((tmp_path / "b" / "manifest.json").read_text())
+    assert ma == mb                       # layout-independent bytes
+    assert info["n_samples"] == 120
+    assert info["n_tokens"] == sum(len(r["token_ids"]) // 4 for r in rows)
+
+    got = {r["doc_id"]: r["token_ids"]
+           for r in read_token_shards(a).take_all()}
+    assert got == {r["doc_id"]: r["token_ids"] for r in rows}
+
+    # committed shards are pruned at the scan on re-run
+    info2 = write_token_shards(
+        ray.data.from_items(rows).repartition(2), a, n_shards=4)
+    assert info2["written"] == []
+    assert info2["n_samples"] == 120
