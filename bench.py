@@ -45,6 +45,9 @@ FACTOR = int(os.environ.get("DWH_BENCH_FACTOR", "4"))
 # at sf0.01 instead; measured once at sf0.1 for the record: 39 s / 151 s.
 BENCH_QUERIES = [
     "activity_gini",
+    "dict_compression",
+    "token_export",
+    "token_freq_cms_stream",
     "adaptive_revisit",
     "anchor_stats",
     "ccnet_buckets",
