@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "linkpred_dataset",
     "mixture_weights",
     "opic_scores",
+    "proximity_search",
     "graph_walks",
     "sample_k_stream",
     "sitemap_stale",

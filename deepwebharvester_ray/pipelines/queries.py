@@ -7300,6 +7300,84 @@ GROUP BY a.doc_id ORDER BY a.doc_id
 """
 
 
+_PROX_SLOP = 5
+
+
+def q_proximity_search(sf_dir: str):
+    """Proximity (NEAR/k) search — the SLOP member of the search family
+    (inverted_index = doc postings, doc_search = conjunctive,
+    bm25_search = ranked, phrase_search = exact adjacency, this = terms
+    within ``k`` positions in either order — the NEAR operator classic
+    retrieval engines expose): docs where the two query terms co-occur
+    with position distance ≤ _PROX_SLOP = 5, with the qualifying pair count and
+    the minimum distance per doc.
+
+    Distributed shape: the phrase_search discipline — tokenize per
+    block keeping only the two terms' position arrays, pair counts as
+    two vectorized ``searchsorted`` range probes per doc (never a
+    per-pair loop), min-distance via the same probes' nearest
+    neighbors; zero shuffle.  The SQL twin is the positions self-join
+    with ``abs(Δp) ≤ k``."""
+    from ..functions.textops import WORD_RE
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"],
+               override_num_blocks=_shuffle_parts(sf_dir))
+    w_a, w_b = _PHRASE
+
+    def hits(batch: pa.Table) -> pa.Table:
+        ids_in = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_n, out_d = [], [], []
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            toks = np.asarray(WORD_RE.findall((t or "").lower()),
+                              dtype=object)
+            pos_a = np.flatnonzero(toks == w_a)
+            if not len(pos_a):
+                continue
+            pos_b = np.flatnonzero(toks == w_b)
+            if not len(pos_b):
+                continue
+            lo = np.searchsorted(pos_b, pos_a - _PROX_SLOP, "left")
+            hi = np.searchsorted(pos_b, pos_a + _PROX_SLOP, "right")
+            n = int((hi - lo).sum())
+            if n == 0:
+                continue
+            # nearest pos_b to each pos_a (insertion-point neighbors)
+            ins = np.searchsorted(pos_b, pos_a)
+            right = pos_b[np.minimum(ins, len(pos_b) - 1)] - pos_a
+            left = pos_a - pos_b[np.maximum(ins - 1, 0)]
+            dmin = int(np.minimum(np.abs(right), np.abs(left)).min())
+            out_id.append(ids_in[i])
+            out_n.append(n)
+            out_d.append(dmin)
+        return pa.table({
+            "doc_id": pa.array(np.asarray(out_id, np.int64)),
+            "n_pairs": pa.array(np.asarray(out_n, np.int64)),
+            "min_dist": pa.array(np.asarray(out_d, np.int64)),
+        })
+
+    return ds.map_batches(hits, batch_format="pyarrow", batch_size=None,
+                          runtime_env=runtime_env()).sort("doc_id")
+
+
+_SQL_PROXIMITY_SEARCH = f"""
+WITH wl AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '{_TOKEN_SQL_RE}') AS l
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS p, unnest(l) AS tok
+  FROM wl
+)
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(abs(a.p - b.p)) AS BIGINT) AS min_dist
+FROM pos a JOIN pos b ON b.doc_id = a.doc_id
+                     AND abs(a.p - b.p) <= {_PROX_SLOP}
+WHERE a.tok = '{_PHRASE[0]}' AND b.tok = '{_PHRASE[1]}'
+GROUP BY a.doc_id ORDER BY a.doc_id
+"""
+
+
 def q_doc_search(sf_dir: str):
     """Conjunctive (AND) token search — the index-FREE scan path: a pure
     per-batch map checks every query term's membership in the doc's
@@ -23984,6 +24062,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "index_merge": q_index_merge,
         "index_merge_purge": q_index_merge_purge,
         "phrase_search": q_phrase_search,
+        "proximity_search": q_proximity_search,
         "doc_search_indexed": q_doc_search_indexed,
         "search_snippets": q_search_snippets,
         "shard_rebalance": q_shard_rebalance,
@@ -24257,6 +24336,7 @@ def build_oracle_sql() -> Dict[str, str]:
         "index_merge": _SQL_INDEX_MERGE,
         "index_merge_purge": _SQL_INDEX_MERGE_PURGE,
         "phrase_search": _SQL_PHRASE_SEARCH,
+        "proximity_search": _SQL_PROXIMITY_SEARCH,
         "doc_search_indexed": _SQL_DOC_SEARCH_INDEXED,
         "search_snippets": _SQL_SEARCH_SNIPPETS,
         "shard_rebalance": _SQL_SHARD_REBALANCE,
