@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "dict_compression",
     "token_export",
     "token_freq_cms_stream",
+    "value_quantiles_by_type",
     "adaptive_revisit",
     "anchor_stats",
     "ccnet_buckets",

@@ -425,3 +425,95 @@ def mg_topk(ds, value_column: str, k: int = 64) -> pa.Table:
         "n_total": pa.array(np.full(len(toks2), total_w, np.int64),
                             pa.int64()),
     })
+
+
+def grouped_dd_quantiles(ds, key_column: str, value_column: str, ps,
+                         alpha: float = 0.01):
+    """Per-GROUP approximate quantiles with relative error ≤ ``alpha``
+    — the grouped member of the DDSketch family
+    (:func:`dd_quantiles` is global; ``agg.grouped_quantiles`` is exact
+    but assumes a bounded integer value domain like cents; this serves
+    unbounded float domains per group).  Returns one row per key with
+    a ``q_<p>`` column per requested quantile.
+
+    Scale shape: per-block (key, bucket, count) partials (one
+    vectorized lexsort + reduceat — never per-group Python), ONE
+    combiner grouped sum at key×bucket cardinality (each group
+    contributes ≤ log_gamma(max/min) bucket rows regardless of its row
+    count), a single-key sort on the group key, and an in-block
+    per-group cumsum pick (the encoded bucket order == value order, so
+    the lexsort secondary key IS the quantile walk)."""
+    from .agg import grouped_agg
+    from .. import runtime_env
+
+    _empty = pa.table({
+        key_column: pa.array([], pa.string()),
+        "bucket": pa.array([], pa.int64()),
+        "n": pa.array([], pa.int64()),
+    })
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty
+        keys = np.asarray(batch.column(key_column).to_pylist(), object)
+        v = batch.column(value_column).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        idx = dd_bucket_indices(v, alpha)
+        order = np.lexsort((idx, keys))
+        keys, idx = keys[order], idx[order]
+        change = np.ones(len(keys), bool)
+        change[1:] = (keys[1:] != keys[:-1]) | (idx[1:] != idx[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(keys))
+        return pa.table({
+            key_column: pa.array(keys[starts].tolist(), pa.string()),
+            "bucket": pa.array(idx[starts], pa.int64()),
+            "n": pa.array((ends - starts).astype(np.int64), pa.int64()),
+        })
+
+    hist = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None,
+                       runtime_env=runtime_env()),
+        [key_column, "bucket"], [("n", "n", "sum")],
+        sorted_output=False,
+    )
+
+    out_cols = [f"q_{p}" for p in ps]
+    _empty_out = pa.table(
+        {key_column: pa.array([], pa.string()),
+         **{c: pa.array([], pa.float64()) for c in out_cols}})
+
+    def pick(batch: pa.Table) -> pa.Table:
+        # single-key sort on the group key ⇒ whole groups co-locate;
+        # the in-block lexsort orders buckets (encoded order == value
+        # order) for the cumulative walk
+        if batch.num_rows == 0:
+            return _empty_out
+        keys = np.asarray(batch.column(key_column).to_pylist(), object)
+        bkt = batch.column("bucket").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        cnt = batch.column("n").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((bkt, keys))
+        keys, bkt, cnt = keys[order], bkt[order], cnt[order]
+        change = np.ones(len(keys), bool)
+        change[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(keys))
+        cols = {key_column: pa.array(keys[starts].tolist(), pa.string())}
+        outs = {c: [] for c in out_cols}
+        for s, e in zip(starts, ends):
+            cum = np.cumsum(cnt[s:e])
+            total = cum[-1]
+            for p, c in zip(ps, out_cols):
+                i = min(int(np.searchsorted(cum, p * total, "left")),
+                        e - s - 1)
+                outs[c].append(float(dd_bucket_value(
+                    np.asarray([bkt[s + i]]), alpha)[0]))
+        for c in out_cols:
+            cols[c] = pa.array(outs[c], pa.float64())
+        return pa.table(cols)
+
+    return hist.sort(key_column).map_batches(
+        pick, batch_format="pyarrow", batch_size=None,
+        runtime_env=runtime_env())

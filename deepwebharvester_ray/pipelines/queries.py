@@ -14183,6 +14183,23 @@ def q_value_quantiles_stream(sf_dir: str):
                                   alpha=0.01)
 
 
+def q_value_quantiles_by_type(sf_dir: str):
+    """Per-event-type approximate value quantiles (p50/p90/p99, rel.
+    error ≤ 1 %) via the grouped DDSketch
+    (:func:`~deepwebharvester_ray.functions.sketch.grouped_dd_quantiles`)
+    — the GROUPED member of the sketch family: dd_quantiles is global,
+    grouped_quantiles is exact-but-bounded-domain; this serves
+    unbounded float domains per group with key×bucket-cardinality
+    shuffle volume.  Rows-only (approximate by design); per-group
+    relative-error and partition-invariance are pinned in tests."""
+    from ..functions.sketch import grouped_dd_quantiles
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"],
+               override_num_blocks=_shuffle_parts(sf_dir, "events"))
+    return grouped_dd_quantiles(ds, "event_type", "value",
+                                [0.5, 0.9, 0.99], alpha=0.01)
+
+
 def q_vocab_hll(sf_dir: str):
     """Approximate vocabulary size via a mergeable HyperLogLog sketch
     (p=12, ~1.6 % rel. error) — the distinct-count path for cardinalities
@@ -23965,6 +23982,7 @@ def build_queries() -> Dict[str, Callable[[str], object]]:
         "bpe_token_counts": q_bpe_token_counts,
         "token_freq_cms": q_token_freq_cms,
         "value_quantiles_sketch": q_value_quantiles_sketch,
+        "value_quantiles_by_type": q_value_quantiles_by_type,
         "value_quantiles_stream": q_value_quantiles_stream,
         "token_freq_cms_stream": q_token_freq_cms_stream,
         "events_hopping": q_events_hopping,
@@ -24470,6 +24488,7 @@ ROWS_ONLY: List[str] = [
     "neardup_embeddings_lsh",
     "semdedup_prune",
     "approx_users_by_type", "token_freq_cms", "value_quantiles_sketch",
+    "value_quantiles_by_type",
     "value_quantiles_stream", "token_freq_cms_stream",
     "heavy_tokens_mg", "bpe_token_counts", "weighted_sample",
     "link_kcore", "link_scc", "link_mis", "link_ktruss", "link_coloring",

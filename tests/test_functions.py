@@ -4249,3 +4249,37 @@ def test_random_walks_matches_reference_both_paths(ray_session):
                      random_walks(eds, nodes, steps=4,
                                   broadcast_below=cutoff).take_all())
         assert got == exp, cutoff
+
+
+def test_grouped_dd_quantiles_accuracy_and_invariance(ray_session):
+    """Grouped DDSketch: every per-group quantile is within the alpha
+    relative-error bound of the exact value, and the result is
+    identical under resharding (register addition commutes)."""
+    import numpy as np
+    import ray
+
+    from deepwebharvester_ray.functions.sketch import grouped_dd_quantiles
+
+    rng = np.random.default_rng(23)
+    keys, vals = [], []
+    truth = {}
+    for g, mu, n in (("a", 2.0, 4000), ("b", 5.0, 2500), ("c", 0.5, 800)):
+        v = rng.lognormal(mu, 1.0, n)
+        keys += [g] * n
+        vals.append(v)
+        truth[g] = v
+    import pyarrow as pa
+    t = pa.table({"k": pa.array(keys, pa.string()),
+                  "v": pa.array(np.concatenate(vals), pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(6).materialize()
+    rows = {r["k"]: r for r in grouped_dd_quantiles(
+        ds, "k", "v", [0.5, 0.99], alpha=0.01).take_all()}
+    assert set(rows) == {"a", "b", "c"}
+    for g, v in truth.items():
+        for p in (0.5, 0.99):
+            exact = float(np.quantile(v, p))
+            got = rows[g][f"q_{p}"]
+            assert abs(got - exact) <= 0.03 * exact, (g, p, got, exact)
+    rows2 = {r["k"]: r for r in grouped_dd_quantiles(
+        ds.repartition(2), "k", "v", [0.5, 0.99], alpha=0.01).take_all()}
+    assert rows == rows2
