@@ -889,6 +889,10 @@ def write_token_shards(ds, out_dir: str, id_column: str = "doc_id",
             group, sort_keys=[(id_column, "ascending")]))
         ids = group.column(id_column).to_pylist()
         blobs = group.column(tokens_column).to_pylist()
+        bad = [i for i, b in zip(ids, blobs) if len(b) % 4]
+        assert not bad, (
+            f"write_token_shards: token blobs must be little-endian "
+            f"int32 (length % 4 == 0); offending ids: {bad[:5]}")
         lens = np.asarray([len(b) // 4 for b in blobs], np.int64)
         offs = np.zeros(len(lens) + 1, np.int64)
         np.cumsum(lens, out=offs[1:])
