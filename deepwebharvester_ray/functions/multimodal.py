@@ -1,12 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video travel as ``binary`` columns with metadata columns
-alongside.  The actual codec decode is STUBBED (image/audio libraries are
-not available in this container): ``DecodeStage`` raises
-``NotImplementedError`` unless constructed with ``fake=True``, in which
-case it emits a deterministic byte-histogram "feature vector" so the Ray
-plumbing — schema, small batch sizes for large payloads, actor signature,
-output layout — is real and tested end-to-end.
+alongside.  PNG and WAV decode are REAL and pure-stdlib here —
+:func:`png_decode` (chunk walk → zlib inflate → scanline unfilter) and
+:func:`wav_decode` (RIFF walk → PCM samples) — so ``DecodeStage`` /
+``ResizeStage`` process real byte streams with no codec dependency.
+Formats needing a true codec (JPEG, MP3, MP4 video) stay gated: PIL if
+installed, else ``NotImplementedError``; ``fake=True`` keeps the
+deterministic byte-histogram stub for codec-free plumbing tests.
 
 Scale notes: binary payloads are MBs per row → run these stages with small
 ``batch_size`` (16-64) so batch × concurrency fits worker heaps, and let
@@ -250,23 +251,239 @@ def image_dims_batch(batch: pa.Table,
     return pa.table(out)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+_PNG_CTYPE = {1: 0, 3: 2, 2: 4, 4: 6}
+
+
+def _png_chunk(four: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + four + data
+            + struct.pack(">I", zlib.crc32(four + data) & 0xFFFFFFFF))
+
+
+def png_encode(img: np.ndarray, filters=None) -> bytes:
+    """Encode an ``(h, w)`` or ``(h, w, c)`` uint8 raster as a real,
+    spec-conformant PNG — pure stdlib (zlib deflate + CRC32), 8-bit,
+    non-interlaced, color type from the channel count (1→gray, 2→gray+
+    alpha, 3→RGB, 4→RGBA).  ``filters`` optionally gives the per-row
+    filter type (int, sequence, or ``f(y) -> 0..4``); default 0 (None).
+    Varying the filter per row is the point for tests: a decoder must
+    invert Sub/Up/Average/Paeth, not just memcpy."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    bpp = ch  # 8-bit samples → bytes-per-pixel == channels
+    pick = (filters if callable(filters)
+            else (lambda y: filters[y]) if hasattr(filters, "__getitem__")
+            else (lambda y: int(filters)) if filters is not None
+            else (lambda y: 0))
+    lines = []
+    prev = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int32)
+        f = int(pick(y))
+        if f == 0:
+            enc = cur
+        elif f == 1:  # Sub: x - a
+            a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            enc = cur - a
+        elif f == 2:  # Up: x - b
+            enc = cur - prev
+        elif f == 3:  # Average: x - (a + b)//2
+            a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            enc = cur - (a + prev) // 2
+        elif f == 4:  # Paeth
+            a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            c = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            p = a + prev - c
+            pa_, pb_, pc_ = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where((pa_ <= pb_) & (pa_ <= pc_), a,
+                            np.where(pb_ <= pc_, prev, c))
+            enc = cur - pred
+        else:
+            raise ValueError(f"bad filter {f}")
+        lines.append(bytes([f]) + (enc & 255).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_CTYPE[ch], 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + _png_chunk(b"IEND", b""))
+
+
+def png_decode(blob: bytes) -> np.ndarray:
+    """REAL PNG decode, pure stdlib: chunk walk → zlib inflate →
+    per-scanline UNfilter (None/Sub/Up/Average/Paeth — the spec's §9
+    recurrences on the ints-then-mod-256 rule) → ``(h, w, c)`` uint8.
+    Supports 8-bit depth, color types 0/2/4/6, non-interlaced — the
+    shapes a training-data corpus normalizes to anyway; anything else
+    raises ``NotImplementedError`` (palette/16-bit/interlace), bad
+    signature/structure raises ``ValueError``.  Sub is vectorized as a
+    per-channel cumsum; Average/Paeth keep the inherently sequential
+    intra-row dependency as a per-PIXEL (not per-byte) loop over
+    channel vectors — the stage parallelizes across dataset rows via
+    the actor pool, not within one image."""
+    import struct
+    import zlib
+
+    b = blob or b""
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    w = h = depth = ctype = interlace = None
+    idat = []
+    i = 8
+    while i + 8 <= len(b):
+        clen = struct.unpack(">I", b[i:i + 4])[0]
+        four = b[i + 4:i + 8]
+        data = b[i + 8:i + 8 + clen]
+        if four == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+        elif four == b"IDAT":
+            idat.append(data)
+        elif four == b"IEND":
+            break
+        i += 12 + clen
+    if w is None:
+        raise ValueError("no IHDR")
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"png depth={depth} ctype={ctype} interlace={interlace}")
+    ch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("IDAT length mismatch")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: per-channel prefix sum mod 256
+            cur = np.cumsum(line.reshape(w, ch), axis=0).reshape(-1) & 255
+        elif f == 2:  # Up
+            cur = (line + prev) & 255
+        elif f == 3:  # Average — sequential in a, vector over channels
+            cur = line
+            a = np.zeros(ch, np.int32)
+            pv = prev.reshape(w, ch)
+            cw = cur.reshape(w, ch)
+            for x in range(w):
+                a = (cw[x] + (a + pv[x]) // 2) & 255
+                cw[x] = a
+        elif f == 4:  # Paeth
+            cur = line
+            a = np.zeros(ch, np.int32)
+            c = np.zeros(ch, np.int32)
+            pv = prev.reshape(w, ch)
+            cw = cur.reshape(w, ch)
+            for x in range(w):
+                bb = pv[x]
+                p = a + bb - c
+                pa_, pb_, pc_ = np.abs(p - a), np.abs(p - bb), np.abs(p - c)
+                pred = np.where((pa_ <= pb_) & (pa_ <= pc_), a,
+                                np.where(pb_ <= pc_, bb, c))
+                a = (cw[x] + pred) & 255
+                cw[x] = a
+                c = bb
+        else:
+            raise ValueError(f"bad filter byte {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur.astype(np.int32)
+    return out.reshape(h, w, ch)
+
+
+def png_luma(img: np.ndarray) -> np.ndarray:
+    """Deterministic integer luma for a decoded raster: gray planes pass
+    through; RGB(A) uses the exact BT.601 integer rule
+    ``(299·R + 587·G + 114·B) // 1000`` (alpha ignored)."""
+    if img.ndim == 2:
+        return img
+    c = img.shape[2]
+    if c <= 2:
+        return img[:, :, 0]
+    r = img[:, :, 0].astype(np.int64)
+    g = img[:, :, 1].astype(np.int64)
+    b = img[:, :, 2].astype(np.int64)
+    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
+
+def wav_encode(samples: np.ndarray, rate: int, channels: int = 1) -> bytes:
+    """Encode int16 PCM as a real RIFF/WAVE container — ``samples`` is
+    flat interleaved (frame-major) int16; pure stdlib struct."""
+    import struct
+
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def wav_decode(blob: bytes):
+    """REAL WAV decode, pure stdlib: the :func:`wav_meta` chunk walk
+    plus the ``data`` payload parsed to samples.  Returns ``(samples,
+    rate, channels)`` with ``samples`` a flat interleaved numpy array —
+    int16 for 16-bit PCM, uint8 for 8-bit.  Raises ``ValueError`` on a
+    non-WAVE container, ``NotImplementedError`` for non-PCM or other
+    bit depths."""
+    import struct
+
+    b = blob or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE")
+    ch = rate = bits = audio_fmt = -1
+    data = None
+    i = 12
+    while i + 8 <= len(b):
+        fourcc = b[i:i + 4]
+        clen = struct.unpack("<I", b[i + 4:i + 8])[0]
+        if fourcc == b"fmt " and i + 8 + 16 <= len(b):
+            audio_fmt, ch, rate = struct.unpack("<HHI", b[i + 8:i + 16])
+            bits = struct.unpack("<H", b[i + 22:i + 24])[0]
+        elif fourcc == b"data":
+            data = b[i + 8:i + 8 + clen]
+        i += 8 + clen + (clen & 1)
+    if data is None or ch <= 0 or rate <= 0:
+        raise ValueError("missing fmt /data chunk")
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(f"wav fmt={audio_fmt} bits={bits}")
+    if bits == 16:
+        samples = np.frombuffer(data[:len(data) & ~1], dtype="<i2")
+    else:
+        samples = np.frombuffer(data, dtype=np.uint8)
+    return samples, int(rate), int(ch)
+
+
 N_FEATURES = 16
 
 
 class DecodeStage:
     """Actor-pool decode / feature-extract stage for binary payloads.
 
-    Real deployments plug a codec (PIL/ffmpeg/torchvision) into
-    ``_decode``; in this container the codec is absent, so:
-
-    * ``fake=False`` (default) → gate on import: if PIL is installed
-      (a later environment), images decode for real — grayscale
-      N_FEATURES-bin pixel-intensity histogram, loaded ONCE per actor
-      in ``__init__``; otherwise ``NotImplementedError`` at decode
-      time (clearly marked stub — this container ships no codec).
+    * ``fake=False`` (default) → REAL decode: PNG payloads run the
+      pure-stdlib :func:`png_decode` (zlib inflate + scanline unfilter)
+      → integer luma → N_FEATURES-bin pixel-intensity histogram;
+      RIFF/WAVE payloads run :func:`wav_decode` → int16 PCM mapped to
+      8-bit amplitude → the same histogram.  Other formats fall through
+      to PIL if installed (a richer environment; the handle is loaded
+      ONCE per actor in ``__init__``), else ``NotImplementedError``
+      (JPEG/MP3 codecs are not shipped here).
     * ``fake=True`` → deterministic 16-bin byte histogram, L1-normalized,
       as the "feature vector" — exercises the full actor-pool plumbing
-      and is the test path in codec-less environments.
+      without paying for decode.
     """
 
     def __init__(self, binary_column: str = "payload", fake: bool = False) -> None:
@@ -283,24 +500,32 @@ class DecodeStage:
                 self._pil = None
         self._bins = np.linspace(0, 256, N_FEATURES + 1)
 
-    def _decode(self, payload: bytes) -> np.ndarray:
-        if not self._fake:
-            if self._pil is None:
-                raise NotImplementedError(
-                    "codec decode not available in this environment; "
-                    "construct DecodeStage(fake=True) for the "
-                    "deterministic stub"
-                )
-            import io
-
-            img = self._pil.open(io.BytesIO(payload)).convert("L")
-            arr = np.asarray(img, dtype=np.uint8).ravel()
-            hist, _ = np.histogram(arr, bins=self._bins)
-            return (hist / max(1, hist.sum())).astype(np.float32)
-        arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    def _hist(self, arr: np.ndarray) -> np.ndarray:
         hist, _ = np.histogram(arr, bins=self._bins)
-        total = max(1, hist.sum())
-        return (hist / total).astype(np.float32)
+        return (hist / max(1, hist.sum())).astype(np.float32)
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if self._fake:
+            return self._hist(np.frombuffer(payload or b"\x00",
+                                            dtype=np.uint8))
+        b = payload or b""
+        if b[:8] == _PNG_SIG:
+            return self._hist(png_luma(png_decode(b)).ravel())
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            samples, _rate, _ch = wav_decode(b)
+            if samples.dtype != np.uint8:  # int16 → 8-bit amplitude
+                samples = ((samples.astype(np.int32) + 32768) >> 8)
+            return self._hist(samples.astype(np.uint8))
+        if self._pil is None:
+            raise NotImplementedError(
+                "no stdlib decoder for this format (PNG/WAV supported) "
+                "and no codec library installed; construct "
+                "DecodeStage(fake=True) for the deterministic stub"
+            )
+        import io
+
+        img = self._pil.open(io.BytesIO(b)).convert("L")
+        return self._hist(np.asarray(img, dtype=np.uint8).ravel())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = [self._decode(b) for b in batch.column(self._col).to_pylist()]
@@ -410,13 +635,13 @@ class ResizeStage:
 
     Contract: binary "image" column in → ``pixels`` (``large_binary``,
     the resized ``out_h × out_w`` uint8 raster) + ``src_h``/``src_w``
-    metadata out.  Only the codec DECODE is stubbed (``fake=False``
-    raises, as DecodeStage): with ``fake=True`` the payload bytes are
-    reinterpreted as a square-ish uint8 grayscale raster.  The RESIZE
-    itself — nearest-neighbor via two integer index gathers — is real,
-    vectorized math, identical to what runs after a real ``PIL.Image``
-    decode, so the actor plumbing, batch sizing, and output layout are
-    all production-shaped."""
+    metadata out.  With ``fake=False`` (default) PNG payloads decode
+    for REAL via the pure-stdlib :func:`png_decode` → integer luma;
+    other formats raise ``NotImplementedError`` (no JPEG codec here).
+    With ``fake=True`` the payload bytes are reinterpreted as a
+    square-ish uint8 grayscale raster (the codec-free plumbing path).
+    The RESIZE itself — nearest-neighbor via two integer index gathers
+    — is identical either way."""
 
     def __init__(self, binary_column: str = "payload", out_h: int = 16,
                  out_w: int = 16, fake: bool = False) -> None:
@@ -429,8 +654,11 @@ class ResizeStage:
 
     def _decode(self, payload: bytes) -> np.ndarray:
         if not self._fake:
+            b = payload or b""
+            if b[:8] == _PNG_SIG:
+                return png_luma(png_decode(b))
             raise NotImplementedError(
-                "image decode not available in this environment; "
+                "no stdlib decoder for this format (PNG supported); "
                 "construct ResizeStage(fake=True) for the raw-raster stub"
             )
         buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
