@@ -98,12 +98,21 @@ def bloom_build(ds, key_column: str, n_bits: int = 1 << 23, k: int = 7
         partial, batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
     )
-    acc = np.zeros(n_words, dtype=np.uint64)
-    # sequential OR-reduce: two bitmaps resident at a time (tree-merge
-    # per node at cluster scale — OR is associative)
-    for row in parts.iter_rows():
-        acc |= np.frombuffer(row["bm"], dtype=np.uint64)
-    return acc
+
+    def merge(blobs):
+        acc = np.frombuffer(blobs[0], dtype=np.uint64).copy()
+        for b in blobs[1:]:
+            acc |= np.frombuffer(b, dtype=np.uint64)
+        return acc.tobytes()
+
+    # associative tree OR-reduce: fanin bitmaps per task, log-depth —
+    # the driver only ever folds the final ≤fanin blobs
+    from .partition import tree_merge_blobs
+
+    blob = tree_merge_blobs(parts, "bm", merge)
+    if blob is None:
+        return np.zeros(n_words, dtype=np.uint64)
+    return np.frombuffer(blob, dtype=np.uint64).copy()
 
 
 def bloom_probe(words: np.ndarray, keys: np.ndarray, k: int = 7

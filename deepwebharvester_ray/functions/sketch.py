@@ -195,9 +195,9 @@ def _cms_positions(hashes: np.ndarray, width: int) -> np.ndarray:
 def cms_build(ds, value_column: str, width: int = 1 << 14) -> np.ndarray:
     """(depth, width) int64 Count-Min matrix over a string column's
     OCCURRENCES.  Combiner shape: per-block partial matrices summed —
-    addition is associative, so the merge order (here a sequential
-    driver reduce over O(#blocks) rows, a tree at cluster scale) is
-    irrelevant.  Overestimate bound: est ≤ true + e/width · N with
+    addition is associative, so the merge order (a log-depth parallel
+    tree, fanin matrices per task) is irrelevant and results are
+    bit-identical to any fold.  Overestimate bound: est ≤ true + e/width · N with
     probability 1 - e^-depth per query; never underestimates."""
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -209,16 +209,26 @@ def cms_build(ds, value_column: str, width: int = 1 << 14) -> np.ndarray:
                 np.add.at(mat[d], pos[d], 1)
         return pa.table({"m": pa.array([mat.tobytes()], pa.large_binary())})
 
-    acc = np.zeros((CMS_DEPTH, width), dtype=np.int64)
     parts = ds.map_batches(
         partial, batch_format="pyarrow", batch_size=None,
         runtime_env=runtime_env(),
     )
-    for row in parts.iter_rows():
-        acc += np.frombuffer(row["m"], dtype=np.int64).reshape(
-            CMS_DEPTH, width
-        )
-    return acc
+
+    def merge(blobs):
+        acc = np.frombuffer(blobs[0], dtype=np.int64).copy()
+        for b in blobs[1:]:
+            acc += np.frombuffer(b, dtype=np.int64)
+        return acc.tobytes()
+
+    # associative tree sum-reduce (partition.tree_merge_blobs): fanin
+    # matrices per task, log-depth; driver folds only the last ≤fanin
+    from .partition import tree_merge_blobs
+
+    blob = tree_merge_blobs(parts, "m", merge)
+    if blob is None:
+        return np.zeros((CMS_DEPTH, width), dtype=np.int64)
+    return np.frombuffer(blob, dtype=np.int64).reshape(
+        CMS_DEPTH, width).copy()
 
 
 def cms_estimate(mat: np.ndarray, values) -> np.ndarray:

@@ -14837,18 +14837,23 @@ def q_ann_lsh(sf_dir: str):
 
 def q_binary_metadata(sf_dir: str):
     """Multimodal plumbing: opaque-binary metadata over the corpus html
-    column (byte length, sha256 prefix, magic sniff)."""
+    column (byte length, magic sniff).  One fused map — the metadata
+    attach and the html drop happen in the same task (a separate
+    ``select_columns`` stage doubled the task count over the corpus's
+    many small blocks, the r03 regression), and ``batch_size=1024``
+    coalesces tiny read blocks so the stage is work-bound, not
+    scheduling-bound."""
     import ray
 
     corpus = corpus_from_documents(sf_dir)
     ds = ray.data.read_parquet(corpus, columns=["url", "html"])
-    out = ds.map_batches(
-        lambda b: binary_metadata_batch(b, binary_column="html"),
-        batch_format="pyarrow",
-        runtime_env=runtime_env(),
-    )
-    keep = [c for c in out.schema().names if c != "html"]
-    return out.select_columns(keep)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return binary_metadata_batch(
+            batch, binary_column="html").drop_columns(["html"])
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=1024,
+                          runtime_env=runtime_env())
 
 
 GROUPED_HH_K = 10
