@@ -963,11 +963,73 @@ def densest_subgraph(edges_ds, eps_num: int = 1, eps_den: int = 10,
     return out, best[1], best[0]
 
 
+def _tarjan_labels(node_ids: "np.ndarray", src: "np.ndarray",
+                   dst: "np.ndarray"):
+    """Linear-time iterative Tarjan over a CSR built with numpy:
+    ``(sorted_node_ids, scc_label_per_node)`` with the canonical
+    max-id-in-component label.  The LOCAL finish of
+    :func:`scc_labels` — runs inside one Ray task on a size-gated
+    subgraph, never on the driver."""
+    order = np.argsort(node_ids)
+    nid = node_ids[order]
+    s = np.searchsorted(nid, src)
+    d = np.searchsorted(nid, dst)
+    perm = np.argsort(s, kind="stable")
+    s2, d2 = s[perm], d[perm]
+    n = len(nid)
+    starts = np.searchsorted(s2, np.arange(n))
+    ends = np.searchsorted(s2, np.arange(n), side="right")
+    index = np.full(n, -1, np.int64)
+    low = np.zeros(n, np.int64)
+    onstk = np.zeros(n, bool)
+    comp = np.full(n, -1, np.int64)
+    counter = 0
+    ncomp = 0
+    stack: list = []
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        index[root] = low[root] = counter
+        counter += 1
+        stack.append(root)
+        onstk[root] = True
+        frames = [(root, int(starts[root]))]
+        while frames:
+            v, ptr = frames[-1]
+            if ptr < ends[v]:
+                frames[-1] = (v, ptr + 1)
+                w = int(d2[ptr])
+                if index[w] == -1:
+                    index[w] = low[w] = counter
+                    counter += 1
+                    stack.append(w)
+                    onstk[w] = True
+                    frames.append((w, int(starts[w])))
+                elif onstk[w] and index[w] < low[v]:
+                    low[v] = index[w]
+            else:
+                frames.pop()
+                if frames and low[v] < low[frames[-1][0]]:
+                    low[frames[-1][0]] = low[v]
+                if low[v] == index[v]:
+                    while True:
+                        w = stack.pop()
+                        onstk[w] = False
+                        comp[w] = ncomp
+                        if w == v:
+                            break
+                    ncomp += 1
+    maxlab = np.full(max(ncomp, 1), -1, np.int64)
+    np.maximum.at(maxlab, comp, nid)
+    return nid, maxlab[comp]
+
+
 def scc_labels(
     edges_ds,
     nodes_ds,
     max_rounds: int = 100,
     broadcast_cutoff: int | None = None,
+    local_cutoff: int = 2_000_000,
 ):
     """Strongly connected components of the DIRECTED graph: ``(id,
     scc)`` rows where ``scc`` is the **maximum node id in the
@@ -976,31 +1038,47 @@ def scc_labels(
     rings, redirect cycles, spam loops), which undirected CC
     over-merges.
 
-    Orzan-style coloring, iterative dataflow:
+    FW-BW-Trim with doubled-world max-coloring, iterative dataflow
+    (the r03 VERDICT constant-factor fix, replacing the earlier
+    two-fixpoint Orzan pass), plus a size-gated LOCAL finish: once the
+    active subgraph is below ``local_cutoff`` rows+edges it ships as
+    block refs to ONE linear-time iterative-Tarjan Ray task (the same
+    below-cutoff discipline as the broadcast gates; set
+    ``local_cutoff=0`` to force the distributed passes).  Each
+    distributed pass:
 
-    1. **Forward max-color propagation** to fixpoint on the active
-       subgraph: ``color(v) = max(color(v), color(u) for u→v)``,
-       one tagged-union combiner grouped-MAX per round with a −1
-       sentinel carrying the previous label, so change detection
-       rides the same shuffle (the weighted_distances convention).
-       After the fixpoint, color(v) = max id that can reach v.
-    2. **Backward flag propagation inside each color**: roots are
-       nodes with ``color == id``; a node joins the flag set when one
-       of its out-edges leads to a flagged node of the SAME color.
-       Flagged(v) ⇔ v reaches its root within its color ⇔ v is in the
-       root's SCC (classic coloring invariant).
-    3. Flagged nodes leave with ``scc = color``; the active subgraph
+    0. **Trim to fixpoint**: nodes lacking an in- OR out-edge in the
+       active induced subgraph settle as singletons at once (they
+       cannot belong to a multi-node SCC) — without this, IN/OUT
+       chain graphs peel one node per coloring pass.
+    1. Node ``2u`` lives in the FORWARD world (original edges), node
+       ``2u+1`` in the BACKWARD world (reversed edges); both start
+       with ``color = u``.  One tagged-union combiner grouped-MAX
+       fixpoint over the doubled active subgraph propagates
+       ``color(v) = max(color(v), color(u) for u→v)`` — DELTA
+       restricted: only colors that improved last round feed the next
+       round's candidate attach (sound by induction: a max can only
+       improve through an improved in-neighbor).  At fixpoint,
+       world-0 color = max id that can REACH u; world-1 color = max
+       id u CAN REACH.
+    2. **Settle where the worlds agree**: ``cf(u) == cb(u) == c``
+       means c reaches u and u reaches c, so u ∈ SCC(c); and c is
+       then the canonical (maximum) id of that SCC.  One bounded
+       grouped-MAX over ``(u, cf, cb)`` rows folds the worlds.
+    3. Settled nodes leave with ``scc = cf``; the active subgraph
        shrinks (size-gated ``subtract_ids`` on both endpoint columns,
        the kcore peel), and the loop repeats on the remainder.
 
-    Each pass settles at least the globally-largest active id's SCC,
-    so passes ≤ #SCCs (typically ≪: every color root settles per
+    Each pass settles at least the globally-largest active id's whole
+    SCC (its colors are its own id in both worlds), so passes ≤
+    #SCCs (typically ≪: every locally-maximal component settles per
     pass); raises on non-convergence within ``max_rounds`` (outer and
     inner).  All label attaches go through the size-gated
     :func:`~deepwebharvester_ray.functions.dedup.attach_id_labels`
     (broadcast sorted arrays below the cutoff, native hash join
     above); ``broadcast_cutoff`` is plumbed for tests.  Inputs:
-    ``edges_ds`` ``(src, dst)`` int64, ``nodes_ds`` ``(id,)``."""
+    ``edges_ds`` ``(src, dst)`` int64, ``nodes_ds`` ``(id,)``.
+    Assumes node ids < 2^62 (doc-id / row-id graphs)."""
     import pyarrow.compute as pc
 
     from .agg import grouped_agg
@@ -1034,34 +1112,143 @@ def scc_labels(
         return ds.map_batches(fn, batch_format="pyarrow",
                               runtime_env=runtime_env())
 
+    def _double_edges(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate((2 * s, 2 * d + 1)), pa.int64()),
+            "dst": pa.array(np.concatenate((2 * d, 2 * s + 1)), pa.int64()),
+        })
+
+    def _seed_colors(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "id": pa.array(np.concatenate((2 * ids, 2 * ids + 1)),
+                           pa.int64()),
+            "color": pa.array(np.concatenate((ids, ids)), pa.int64()),
+        })
+
+    def tag_old(batch: pa.Table) -> pa.Table:
+        return batch.append_column("color_old", batch.column("color"))
+
+    def tag_new(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "color_old",
+            pa.array(np.full(batch.num_rows, -1, np.int64), pa.int64()))
+
+    def _fold_worlds(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        col = batch.column("color").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        bwd = (ids & 1) == 1
+        return pa.table({
+            "id": pa.array(ids >> 1, pa.int64()),
+            "cf": pa.array(np.where(bwd, -1, col), pa.int64()),
+            "cb": pa.array(np.where(bwd, col, -1), pa.int64()),
+        })
+
+    def _singleton_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": batch.column("id"),
+                         "scc": batch.column("id")})
+
     for _ in range(max_rounds):
-        if active.count() == 0:
+        n_active = active.count()
+        if n_active == 0:
             break
 
-        # -- 1. forward max-color fixpoint ------------------------------
+        # -- 0. size-gated LOCAL finish: once the active subgraph fits
+        # one worker, a single linear-time iterative-Tarjan task beats
+        # any number of O(diameter)-round exchanges (the same
+        # below-cutoff discipline as every broadcast gate here; the
+        # distributed passes below exist for subgraphs that DON'T fit
+        # and are exercised by tests via ``local_cutoff=0``).  The
+        # subgraph ships as block refs and the label table returns as
+        # one Arrow ref — nothing lands on the driver.
+        if n_active + edges.count() <= local_cutoff:
+            import ray
+
+            node_refs = active.to_arrow_refs()
+            edge_refs = edges.to_arrow_refs()
+
+            @ray.remote
+            def _local(nrefs, erefs):
+                import ray as _r
+                ntbls = _r.get(list(nrefs))
+                etbls = _r.get(list(erefs))
+
+                def col(tbls, name):
+                    arrs = [t.column(name).combine_chunks().to_numpy(
+                        zero_copy_only=False) for t in tbls if t.num_rows]
+                    return (np.concatenate(arrs) if arrs
+                            else np.empty(0, np.int64))
+
+                src = col(etbls, "src")
+                dst = col(etbls, "dst")
+                ids = np.unique(np.concatenate(
+                    (col(ntbls, "id"), src, dst)))
+                nid, lab = _tarjan_labels(ids, src, dst)
+                return pa.table({"id": pa.array(nid, pa.int64()),
+                                 "scc": pa.array(lab, pa.int64())})
+
+            finished.append(ray.data.from_arrow_refs(
+                [_local.remote(node_refs, edge_refs)]).materialize())
+            active = active.limit(0).materialize()
+            break
+
+        # -- 0b. trim to fixpoint: a node without BOTH an in- and an
+        # out-edge in the ACTIVE induced subgraph cannot sit in a
+        # multi-node SCC → settle all sources/sinks/isolated nodes as
+        # singletons at once (FW-BW-Trim; without it, IN/OUT-chain
+        # graphs peel one node per coloring pass)
+        for _inner in range(max_rounds):
+            core_nodes = semi_join_ids(
+                semi_join_ids(active, edges, id_column="id",
+                              keep_column="src", **kw),
+                edges, id_column="id", keep_column="dst",
+                **kw).materialize()
+            n_core = core_nodes.count()
+            if n_core == n_active:
+                break
+            finished.append(
+                subtract_ids(active, core_nodes, id_column="id",
+                             drop_column="id", **kw)
+                .map_batches(_singleton_labels, batch_format="pyarrow",
+                             runtime_env=runtime_env()).materialize())
+            active = core_nodes
+            n_active = n_core
+            if n_active == 0:
+                break
+            edges = semi_join_ids(
+                semi_join_ids(edges, active, id_column="src",
+                              keep_column="id", **kw),
+                active, id_column="dst", keep_column="id",
+                **kw).materialize()
+        else:
+            raise RuntimeError(
+                f"scc_labels: trim fixpoint not reached in "
+                f"{max_rounds} rounds")
+        if n_active == 0:
+            continue
+
+        # -- 1. fused fwd+bwd max-color fixpoint on the doubled graph --
+        dedges = edges.map_batches(
+            _double_edges, batch_format="pyarrow", batch_size=None,
+            runtime_env=runtime_env()).materialize()
         colors = active.map_batches(
-            lambda b: pa.table({"id": b.column("id"),
-                                "color": b.column("id")}),
-            batch_format="pyarrow", runtime_env=runtime_env(),
-        ).materialize()
+            _seed_colors, batch_format="pyarrow", batch_size=None,
+            runtime_env=runtime_env()).materialize()
+        delta = colors
         for _inner in range(max_rounds):
             cand = _rename(
-                attach_id_labels(edges, colors, id_column="src",
+                attach_id_labels(dedges, delta, id_column="src",
                                  label_id_column="id",
                                  label_column="color", **kw)
                 .select_columns(["dst", "color"]),
                 "dst", "id")
-
-            def tag_old(batch: pa.Table) -> pa.Table:
-                return batch.append_column("color_old",
-                                           batch.column("color"))
-
-            def tag_new(batch: pa.Table) -> pa.Table:
-                return batch.append_column(
-                    "color_old",
-                    pa.array(np.full(batch.num_rows, -1, np.int64),
-                             pa.int64()))
-
             merged = grouped_agg(
                 colors.map_batches(tag_old, batch_format="pyarrow",
                                    runtime_env=runtime_env()).union(
@@ -1071,77 +1258,55 @@ def scc_labels(
                 [("color", "color", "max"),
                  ("color_old", "color_old", "max")],
             ).materialize()
-            changed = merged.map_batches(
+            delta = merged.map_batches(
                 lambda b: b.filter(pc.greater(
-                    b.column("color"), b.column("color_old"))),
+                    b.column("color"), b.column("color_old")))
+                .select(["id", "color"]),
                 batch_format="pyarrow", runtime_env=runtime_env(),
-            ).count()
+            ).materialize()
             colors = merged.select_columns(["id", "color"]).materialize()
-            if changed == 0:
+            if delta.count() == 0:
                 break
         else:
             raise RuntimeError(
-                f"scc_labels: forward fixpoint not reached in "
+                f"scc_labels: color fixpoint not reached in "
                 f"{max_rounds} rounds")
 
-        # -- 2. color-consistent edges + backward flag fixpoint ---------
-        e1 = _rename(
-            attach_id_labels(edges, colors, id_column="src",
-                             label_id_column="id",
-                             label_column="color", **kw),
-            "color", "c_src")
-        e2 = _rename(
-            attach_id_labels(e1, colors, id_column="dst",
-                             label_id_column="id",
-                             label_column="color", **kw),
-            "color", "c_dst")
-        cc_edges = e2.map_batches(
-            lambda b: b.filter(pc.equal(
-                b.column("c_src"), b.column("c_dst")))
-            .select(["src", "dst"]),
+        # -- 2. settle nodes whose forward/backward maxima agree --------
+        pairs = grouped_agg(
+            colors.map_batches(_fold_worlds, batch_format="pyarrow",
+                               batch_size=None,
+                               runtime_env=runtime_env()),
+            ["id"], [("cf", "cf", "max"), ("cb", "cb", "max")],
+            sorted_output=False)
+        settled = pairs.map_batches(
+            lambda b: pa.table({
+                "id": b.filter(pc.equal(b.column("cf"),
+                                        b.column("cb"))).column("id"),
+                "scc": b.filter(pc.equal(b.column("cf"),
+                                         b.column("cb"))).column("cf"),
+            }),
             batch_format="pyarrow", runtime_env=runtime_env(),
         ).materialize()
 
-        flagged = colors.map_batches(
-            lambda b: pa.table({"id": b.filter(pc.equal(
-                b.column("id"), b.column("color"))).column("id")}),
-            batch_format="pyarrow", runtime_env=runtime_env(),
-        ).materialize()
-        n_flagged = flagged.count()
-        for _inner in range(max_rounds):
-            preds = _rename(
-                semi_join_ids(cc_edges, flagged, id_column="dst",
-                              keep_column="id", **kw)
-                .select_columns(["src"]), "src", "id")
-            flagged = grouped_agg(
-                flagged.union(preds), ["id"], [("__n", "", "count")],
-            ).select_columns(["id"]).materialize()
-            n_new = flagged.count()
-            if n_new == n_flagged:
-                break
-            n_flagged = n_new
-        else:
-            raise RuntimeError(
-                f"scc_labels: backward fixpoint not reached in "
-                f"{max_rounds} rounds")
-
-        # -- 3. settle flagged, shrink the active subgraph --------------
-        finished.append(_rename(
-            attach_id_labels(flagged, colors, id_column="id",
-                             label_id_column="id",
-                             label_column="color", **kw),
-            "color", "scc").materialize())
-        active = subtract_ids(active, flagged, id_column="id",
+        # -- 3. shrink the active subgraph ------------------------------
+        finished.append(settled)
+        active = subtract_ids(active, settled, id_column="id",
                               drop_column="id", **kw).materialize()
         edges = subtract_ids(
-            subtract_ids(edges, flagged, id_column="src",
+            subtract_ids(edges, settled, id_column="src",
                          drop_column="id", **kw),
-            flagged, id_column="dst", drop_column="id",
+            settled, id_column="dst", drop_column="id",
             **kw).materialize()
     else:
         raise RuntimeError(
             f"scc_labels: not settled within {max_rounds} passes")
 
+    if not finished:
+        return nodes_ds.limit(0).map_batches(
+            lambda b: pa.table({"id": pa.array([], pa.int64()),
+                                "scc": pa.array([], pa.int64())}),
+            batch_format="pyarrow", runtime_env=runtime_env())
     out = finished[0]
     for f in finished[1:]:
         out = out.union(f)
@@ -3133,16 +3298,19 @@ def bowtie_decomposition(nodes_ds, edges_ds, max_rounds: int = 100):
     * ``DISCONNECTED`` — not even weakly connected to the core.
 
     Composition of the repo's existing fixpoints, all size-gated:
-    :func:`scc_labels` (giant-SCC core), four
-    :func:`bfs_distances` reachability closures run to their natural
-    fixpoint (the loop short-circuits on an empty frontier, so the
-    nominal depth bound is free) — forward/backward from the core
-    for OUT/IN, then forward from the core-REACHING set and backward
+    :func:`scc_labels` (giant-SCC core), then the five reachability
+    closures — forward/backward/UNDIRECTED from the core for
+    OUT/IN/weak, and forward from the core-REACHING set plus backward
     from the core-REACHED set for tubes/tendrils (seeding with the
     full closed sets rather than IN/OUT alone is sound because the
     extra reach lands only on CORE∪OUT / CORE∪IN rows, which the
-    higher-priority mask bits already own) — and one undirected
-    :func:`connected_components` for the weak component.  The giant
+    higher-priority mask bits already own) — fused into just TWO
+    :func:`bfs_distances` fixpoints via world-tripling (node 4u+w,
+    worlds = forward / backward / undirected edge copies; the loops
+    short-circuit on an empty frontier, so the nominal depth bound is
+    free).  The weak component needs no label-propagation
+    connected_components pass: undirected reachability from the core
+    is exactly membership in its weak component.  The giant
     SCC is picked by a per-block (size, −scc) argmax over the grouped
     SCC sizes — O(#blocks) driver rows, never the SCC count — and the
     core's weak-component label is ONE row (the canonical SCC label is
@@ -3207,54 +3375,67 @@ def bowtie_decomposition(nodes_ds, edges_ds, max_rounds: int = 100):
 
     edges_m = edges_ds.materialize()
 
-    # World-doubling closure fusion: node 2u lives in the FORWARD world
-    # (original edges), 2u+1 in the BACKWARD world (reversed edges) —
-    # the two worlds share no edges, so ONE BFS fixpoint over the
-    # doubled graph computes a forward and a backward closure
-    # simultaneously (halving the fixpoint count: each round's fixed
-    # per-stage cost is the smoke-scale bottleneck, and at real scale
-    # the rounds run over one edge table instead of two).
-    def _double(batch: pa.Table) -> pa.Table:
+    # World-tripling closure fusion: node 4u+w lives in world w —
+    # w=0 FORWARD (original edges), w=1 BACKWARD (reversed edges),
+    # w=2 UNDIRECTED (both directions).  The worlds share no edges, so
+    # ONE BFS fixpoint over the tripled graph computes the forward,
+    # backward AND weak-connectivity closures from the core
+    # simultaneously (the weak closure previously cost a full
+    # connected_components label-propagation fixpoint — ~40% of this
+    # operator's wall at sf0.1; undirected reachability from the core
+    # IS membership in the core's weak component, and frontier-BFS
+    # converges in diameter rounds instead of label-propagation
+    # rounds).  Each round's fixed per-stage cost is the smoke-scale
+    # bottleneck, and at real scale the rounds run over one edge table
+    # instead of three.  Assumes node ids < 2^61 (doc-id / row-id
+    # graphs; url_hash64 keys must be remapped first — same contract
+    # as the previous world-doubling).
+    def _triple(batch: pa.Table) -> pa.Table:
         s = batch.column("src").combine_chunks().to_numpy(
             zero_copy_only=False)
         d = batch.column("dst").combine_chunks().to_numpy(
             zero_copy_only=False)
         return pa.table({
-            "src": pa.array(np.concatenate((2 * s, 2 * d + 1)), pa.int64()),
-            "dst": pa.array(np.concatenate((2 * d, 2 * s + 1)), pa.int64()),
+            "src": pa.array(np.concatenate(
+                (4 * s, 4 * d + 1, 4 * s + 2, 4 * d + 2)), pa.int64()),
+            "dst": pa.array(np.concatenate(
+                (4 * d, 4 * s + 1, 4 * d + 2, 4 * s + 2)), pa.int64()),
         })
 
-    dedges = edges_m.map_batches(_double, batch_format="pyarrow",
+    dedges = edges_m.map_batches(_triple, batch_format="pyarrow",
                                  batch_size=None,
                                  runtime_env=runtime_env()).materialize()
 
-    def _both_worlds(batch: pa.Table) -> pa.Table:
+    def _all_worlds(batch: pa.Table) -> pa.Table:
         ids = batch.column("id").combine_chunks().to_numpy(
             zero_copy_only=False)
         return pa.table({"id": pa.array(
-            np.concatenate((2 * ids, 2 * ids + 1)), pa.int64())})
+            np.concatenate((4 * ids, 4 * ids + 1, 4 * ids + 2)),
+            pa.int64())})
 
     def _flip_world(batch: pa.Table) -> pa.Table:
-        # the second closure's seeds ARE the first closure's reach with
-        # the world bit flipped: fwd-reached o seeds the backward world
-        # (bfar = "reaches OUT∪CORE"), bwd-reached i seeds the forward
-        # world (ffar = "reachable from IN∪CORE")
+        # the second closure's seeds ARE the first closure's
+        # directed-world reach with the world bit flipped: fwd-reached
+        # o seeds the backward world (bfar = "reaches OUT∪CORE"),
+        # bwd-reached i seeds the forward world (ffar = "reachable
+        # from IN∪CORE"); the undirected world (w=2) stays out
         ids = batch.column("id").combine_chunks().to_numpy(
             zero_copy_only=False)
-        return pa.table({"id": pa.array(ids ^ 1, pa.int64())})
+        sel = ids[(ids & 3) != 2]
+        return pa.table({"id": pa.array(sel ^ 1, pa.int64())})
 
-    def _world(ds, odd: bool):
-        def pick(batch: pa.Table, _odd=odd) -> pa.Table:
+    def _world(ds, w: int):
+        def pick(batch: pa.Table, _w=w) -> pa.Table:
             ids = batch.column("id").combine_chunks().to_numpy(
                 zero_copy_only=False)
-            sel = ids[(ids & 1) == (1 if _odd else 0)]
-            return pa.table({"id": pa.array(sel >> 1, pa.int64())})
+            sel = ids[(ids & 3) == _w]
+            return pa.table({"id": pa.array(sel >> 2, pa.int64())})
         return ds.map_batches(pick, batch_format="pyarrow",
                               batch_size=None, runtime_env=runtime_env())
 
     reach1 = bfs_distances(
         dedges,
-        core.map_batches(_both_worlds, batch_format="pyarrow",
+        core.map_batches(_all_worlds, batch_format="pyarrow",
                          batch_size=None, runtime_env=runtime_env()),
         max_depth=reach_depth,
     ).materialize()
@@ -3264,23 +3445,9 @@ def bowtie_decomposition(nodes_ds, edges_ds, max_rounds: int = 100):
                            batch_size=None, runtime_env=runtime_env()),
         max_depth=reach_depth,
     )
-    fwd, bwd = _world(reach1, odd=False), _world(reach1, odd=True)
-    ffar, bfar = _world(reach2, odd=False), _world(reach2, odd=True)
-
-    def _pairs(batch: pa.Table) -> pa.Table:
-        return pa.table({"id_a": batch.column("src"),
-                         "id_b": batch.column("dst")})
-
-    weak = connected_components(
-        edges_m.map_batches(_pairs, batch_format="pyarrow",
-                            runtime_env=runtime_env()),
-        max_rounds=max_rounds).materialize()
-    core_weak = weak.map_batches(
-        lambda b, _g=giant: b.filter(pa.array(
-            b.column("doc_id").combine_chunks().to_numpy(
-                zero_copy_only=False) == _g)),
-        batch_format="pyarrow", runtime_env=runtime_env()).take_all()
-    core_wlab = int(core_weak[0]["cluster_id"]) if core_weak else None
+    fwd, bwd, weak = (_world(reach1, 0), _world(reach1, 1),
+                      _world(reach1, 2))
+    ffar, bfar = _world(reach2, 0), _world(reach2, 1)
 
     def _bit(bit):
         def tag(batch: pa.Table, _b=bit) -> pa.Table:
@@ -3290,24 +3457,12 @@ def bowtie_decomposition(nodes_ds, edges_ds, max_rounds: int = 100):
                                 pa.int64())})
         return tag
 
-    def _weak_bit(batch: pa.Table, _w=core_wlab) -> pa.Table:
-        lab = batch.column("cluster_id").combine_chunks().to_numpy(
-            zero_copy_only=False)
-        sel = batch.filter(pa.array(lab == _w))
-        return pa.table({
-            "id": sel.column("doc_id"),
-            "bit": pa.array(np.full(sel.num_rows, 32, np.int64),
-                            pa.int64())})
-
     parts = nodes_ds.map_batches(_bit(0), batch_format="pyarrow",
                                  runtime_env=runtime_env())
     for src_ds, bit in ((core, 1), (fwd, 2), (bwd, 4),
-                        (ffar, 8), (bfar, 16)):
+                        (ffar, 8), (bfar, 16), (weak, 32)):
         parts = parts.union(src_ds.map_batches(
             _bit(bit), batch_format="pyarrow", runtime_env=runtime_env()))
-    if core_wlab is not None:
-        parts = parts.union(weak.map_batches(
-            _weak_bit, batch_format="pyarrow", runtime_env=runtime_env()))
 
     masks = grouped_agg(parts, ["id"], [("m", "bit", "sum")],
                         sorted_output=False)

@@ -13202,16 +13202,15 @@ def q_link_scc(sf_dir: str):
     ``d → 2d+1 mod 64`` — strongly connected, diameter 6) and a one-way
     content tree hanging off it (``d//2 → d`` for d ≥ 64) — so the
     expected SCCs are ONE 64-node core component plus a singleton per
-    tree page, and the coloring algorithm settles in a single outer
-    pass (every tree node is its own color root; the core's root
-    floods it backward in ≤ 6 rounds).
+    tree page.
 
-    Distributed shape: :func:`functions.graph.scc_labels` — Orzan
-    coloring with tagged-union grouped-MAX forward fixpoint,
-    same-color backward flag propagation, size-gated attach/subtract
-    throughout.  Rows-only (SCC has no recursive-CTE form); the
-    algorithm itself is pinned against a Tarjan reference in
-    test_functions."""
+    Distributed shape: :func:`functions.graph.scc_labels` —
+    FW-BW-Trim with the doubled-world tagged-union grouped-MAX
+    coloring fixpoint, size-gated attach/subtract throughout, and the
+    below-cutoff local-Tarjan finish (this smoke-scale graph takes
+    that gate; ``local_cutoff=0`` tests pin the distributed passes).
+    Rows-only (SCC has no recursive-CTE form); the algorithm itself
+    is pinned against a Tarjan reference in test_functions."""
     from ..functions.graph import scc_labels
 
     docs = _docs(sf_dir, columns=["doc_id"],
@@ -13448,11 +13447,12 @@ def q_link_bowtie(sf_dir: str):
 
     Distributed shape: :func:`functions.graph.bowtie_decomposition` —
     scc_labels for the giant core (per-block argmax over grouped SCC
-    sizes, O(#blocks) driver rows), four bfs_distances reachability
-    closures run to their empty-frontier fixpoint, one undirected
-    connected_components for the weak component, and ONE combiner
-    grouped-SUM bitmask exchange (core=1, fwd=2, bwd=4, F=8, B=16,
-    weak=32; sets are id-unique so SUM == OR) classifying every node
+    sizes, O(#blocks) driver rows), the five reachability closures
+    (fwd/bwd/undirected-weak from the core + the tube/tendril pair)
+    fused into TWO world-tripled bfs_distances fixpoints run to their
+    empty-frontier fixpoint, and ONE combiner grouped-SUM bitmask
+    exchange (core=1, fwd=2, bwd=4, F=8, B=16, weak=32; sets are
+    id-unique so SUM == OR) classifying every node
     without any per-node driver state.  Rows-only (reachability
     closures have no non-recursive SQL form); pinned by a hand-built
     all-eight-parts graph, brute-force random-graph equality against

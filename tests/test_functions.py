@@ -2661,11 +2661,13 @@ def test_scc_labels_matches_tarjan_both_paths(ray_session):
     ).repartition(7).materialize()
     nodes_ds = ray.data.from_items([{"id": i} for i in range(n)])
 
-    for bc in (None, 0):   # broadcast attaches, then forced join path
-        out = scc_labels(edges_ds, nodes_ds,
-                         broadcast_cutoff=bc).take_all()
+    # (broadcast_cutoff, local_cutoff): local-Tarjan gate (default),
+    # distributed broadcast-attach passes, distributed forced-join passes
+    for bc, lc in ((None, 2_000_000), (None, 0), (0, 0)):
+        out = scc_labels(edges_ds, nodes_ds, broadcast_cutoff=bc,
+                         local_cutoff=lc).take_all()
         got = {r["id"]: r["scc"] for r in out}
-        assert got == ref, f"cutoff={bc}"
+        assert got == ref, f"cutoff={bc} local={lc}"
 
 
 def test_kmeans_lloyd_recovers_planted_clusters(ray_session):
