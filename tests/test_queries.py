@@ -289,6 +289,41 @@ def test_registry_consistency(entrymod):
     assert not (set(oracles) & set(ROWS_ONLY))
 
 
+def test_prefix_sample_spans_families(entrymod):
+    """Any driver prefix-sample of queries() must cover the operator
+    families (VERDICT r03 item 5): the first 50 entries contain at
+    least one member of each of ≥8 families."""
+    first50 = list(entrymod.queries())[:50]
+    families = {
+        "crawl": {"crawl_bfs", "crawl_intel"},
+        "extract": {"extract_pages", "anchor_stats"},
+        "intel": {"ioc_counts", "threat_scores"},
+        "dedup": {"exact_dedup", "minhash_pairs", "dedup_spans"},
+        "ann": {"ann_topk", "knn_graph", "neardup_embeddings"},
+        "graph": {"pagerank", "link_scc", "link_bowtie"},
+        "sketch": {"vocab_hll", "token_freq_cms",
+                   "value_quantiles_sketch"},
+        "streaming": {"events_hourly_stream", "exact_dedup_stream",
+                      "sample_k_stream"},
+        "join": {"orders_join_native", "lineitem_orders_join",
+                 "runtime_filter_join"},
+        "asof": {"clicks_asof_views", "clicks_in_views",
+                 "clicks_asof_next"},
+        "sink_roundtrip": {"jsonl_roundtrip", "warc_roundtrip",
+                           "sitemap_roundtrip"},
+        "search": {"doc_search", "bm25_search", "inverted_index"},
+        "multimodal": {"png_roundtrip", "wav_roundtrip",
+                       "binary_metadata"},
+        "mixture": {"mixture_weights", "ccnet_buckets", "domain_mix"},
+    }
+    covered = {f for f, names in families.items()
+               if names & set(first50)}
+    assert len(covered) >= 8, covered
+    # stronger pin: every family above is represented
+    missing = set(families) - covered
+    assert not missing, missing
+
+
 @pytest.mark.parametrize("name", SPOT_CHECKED)
 def test_query_matches_oracle(ray_session, entrymod, duck, name):
     qs = entrymod.queries()
