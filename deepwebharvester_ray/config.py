@@ -79,6 +79,14 @@ class CrawlSettings:
     frontier_shards: Optional[int] = None
     extract_batch_size: int = 128   # pages per Arrow batch in the extract stage
     extract_concurrency: Optional[int] = None  # None → Ray decides (task pool)
+    # Fault injection (chaos tests only): path to a marker file.  The
+    # FIRST sharded replay task to find it absent creates it atomically
+    # and SIGKILLs its own worker process mid-generation — AFTER the
+    # seen/hash pool inserts, BEFORE its checkpoint delta writes — the
+    # nastiest window; Ray's task retry must heal the generation with
+    # no re-fetches and an unchanged trace (pinned in test_crawl).
+    # None (default) → no injection.
+    chaos_kill_marker: Optional[str] = None
 
 
 def load_settings(

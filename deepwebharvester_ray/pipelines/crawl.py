@@ -539,13 +539,15 @@ def _generation_dataplane(
         Path(stale).unlink()  # a longer previous run's shards
     claims_ref = ray.put(set())
     counter_futs, state_futs, acc_refs, prop_refs = [], [], [], []
+    commit_futs: list = []
     for k, sids_k in enumerate(ranges):
         sub_states = {sid: states[sid] for sid in sids_k}
         sub_delays = {
             sid: seed_delays[sid] for sid in sids_k
             if sid in seed_delays
         } or None
-        c_ref, st_ref, a_ref, p_ref, claims_ref = tasks["replay"].remote(
+        (c_ref, st_ref, a_ref, p_ref, claims_ref,
+         mk_ref, nh_ref) = tasks["replay"].remote(
             meta_ref, claims_ref, sub_states, cfg, sub_delays,
             hash_pool.shard_handles, marks_pool.shard_handles,
             str(state_root / f"marks_delta_gen{gen}.parquet.shard{k}"),
@@ -556,11 +558,20 @@ def _generation_dataplane(
         state_futs.append(st_ref)
         acc_refs.append(a_ref)
         prop_refs.append(p_ref)
+        # pool commit runs as its own task AFTER this generation's
+        # replay (claims_ref of the LAST link gates nothing here — the
+        # commit's inputs are this link's own outputs, which exist only
+        # once the link completed; no same-generation read can observe
+        # the inserts, so a killed-and-retried commit is idempotent)
+        commit_futs.append(tasks["commit"].remote(
+            cfg, marks_pool.shard_handles, hash_pool.shard_handles,
+            mk_ref, nh_ref))
 
     agg: Dict[str, int] = {}
     for c in ray.get(counter_futs):
         for key, v in c.items():
             agg[key] = agg.get(key, 0) + v
+    ray.get(commit_futs)  # pools updated before the next generation reads
     for st_map in ray.get(state_futs):
         states.update(st_map)
     gm.success = agg.get("success", 0)

@@ -21,10 +21,13 @@ per-generation COUNTERS:
 * :func:`_replay_shard` — the seed-range claims chain of
   ``state.scheduler.replay_generation_sharded``, as tasks whose
   candidate/meta inputs and accepted/propagate outputs are ObjectRefs;
-  each link inserts its own new marks/hashes into the seen pools and
-  writes its checkpoint delta file, so neither keys nor rows transit
-  the driver.  Output is bit-identical to the driver replay (same
-  ``replay_generation`` core, same canonical order).
+  each link writes its checkpoint delta file and hands its new
+  marks/hashes as refs to a per-shard :func:`_commit_shard` task that
+  inserts them into the seen pools after the generation's replay
+  completes, so neither keys nor rows transit the driver and a
+  killed-and-retried link stays idempotent.  Output is bit-identical
+  to the driver replay (same ``replay_generation`` core, same
+  canonical order).
 * :func:`_build_accept_arrays` / :func:`_build_expand_csr` assemble the
   broadcast structures for the finalize filter and the data-plane link
   expansion from those refs, in tasks.
@@ -239,12 +242,15 @@ def _replay_shard(
     shard, pre-split by :func:`_prep_shard`), restores the canonical
     (sid, depth, url) order across pieces, attaches fetch outcomes
     from the meta lookup, queries prior-generation content hashes from
-    the hash pool, runs the UNCHANGED ``replay_generation`` core, then
-    inserts its new marks/hashes into the pools and writes its
-    checkpoint delta files — the driver gets back
-    ``(counters, shard_states, accepted, propagate, claims_out)``
-    via ``num_returns=5`` and materializes only the first two
-    (counters + O(seeds/shard) states)."""
+    the hash pool, runs the UNCHANGED ``replay_generation`` core, and
+    writes its checkpoint delta files — the driver gets back
+    ``(counters, shard_states, accepted, propagate, claims_out,
+    mark_keys, new_hashes)`` via ``num_returns=7`` and materializes
+    only the first two (counters + O(seeds/shard) states); the
+    mark/hash key refs feed :func:`_commit_shard` tasks that insert
+    into the pools AFTER the whole generation's replay completes
+    (keeping a killed-and-retried replay task idempotent — its own
+    inserts can never masquerade as prior-generation dups)."""
     from .crawl import _write_delta
 
     pieces = [t for t in cand_tables if t.num_rows]
@@ -299,8 +305,22 @@ def _replay_shard(
     res = replay_generation(cands, shard_states, known_hashes, cfg, delays)
 
     mark_keys = [f"{s}|{u}" for s, u in res.new_marks]
-    pool_insert(marks_handles, mark_keys)
-    pool_insert(hash_handles, res.new_hashes)
+    # pool inserts do NOT happen here: a replay task killed after
+    # inserting would poison its own Ray retry (the re-run's
+    # pool_contains would see the dead attempt's hashes as
+    # prior-generation dups — the exact failure the chaos test pins).
+    # Intra-generation dedup is fully carried by the claims chain;
+    # pools only need the new keys before the NEXT generation's
+    # prep/replay reads, so the inserts run in :func:`_commit_shard`
+    # tasks after this generation's replay links all complete.
+    if cfg.chaos_kill_marker:
+        # fault injection (chaos tests): exactly one replay task dies
+        # by SIGKILL here — AFTER computing its results, BEFORE its
+        # checkpoint delta writes.  Ray's task retry re-runs the link
+        # from its unchanged input refs; the delta rewrite is
+        # deterministic, so the healed generation must be
+        # bit-identical (test_crawl pins it).
+        _chaos_kill_once(cfg.chaos_kill_marker + ".replay")
     _write_delta(marks_delta_path, mark_keys)
     _write_delta(hashes_delta_path, list(res.new_hashes))
 
@@ -333,7 +353,41 @@ def _replay_shard(
         "depth": pa.array([cand_depth[k] for k in prop], pa.int32()),
     })
     claims_out = set(claims) | set(res.new_hashes)
-    return counters, shard_states, accepted_t, propagate_t, claims_out
+    return (counters, shard_states, accepted_t, propagate_t, claims_out,
+            mark_keys, list(res.new_hashes))
+
+
+def _chaos_kill_once(marker_path: str) -> None:
+    """Fault injection for chaos tests: atomically create the marker
+    and SIGKILL this worker process — exactly once per marker across
+    all parallel tasks (O_EXCL)."""
+    import os
+    import signal
+
+    try:
+        os.close(os.open(marker_path,
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        os.kill(os.getpid(), signal.SIGKILL)
+    except FileExistsError:
+        pass
+
+
+def _commit_shard(cfg: CrawlSettings, marks_handles, hash_handles,
+                  mark_keys, new_hashes) -> int:
+    """Post-replay pool commit for one replay shard (Ray task): insert
+    the generation's new marks/hashes into the seen pools.  Runs AFTER
+    every replay link of the generation has returned, so no
+    same-generation read can observe these inserts — which makes a
+    SIGKILL-and-retry of this task safe: set-inserts are idempotent
+    and nothing consults the pools again until the next generation's
+    prep/replay tasks (all gated on this task's completion)."""
+    pool_insert(marks_handles, mark_keys)
+    pool_insert(hash_handles, new_hashes)
+    if cfg.chaos_kill_marker:
+        # the nastiest window: pools mutated, commit unacknowledged —
+        # the retry re-inserts the same keys (idempotent) and returns
+        _chaos_kill_once(cfg.chaos_kill_marker + ".commit")
+    return len(mark_keys) + len(new_hashes)
 
 
 def _build_accept_arrays(*acc_tables):
@@ -427,8 +481,10 @@ def _remote_tasks():
             _merge_hashes),
         "meta": ray.remote(num_cpus=0, num_returns=3,
                            runtime_env=env)(_build_meta),
-        "replay": ray.remote(num_cpus=0, num_returns=5,
+        "replay": ray.remote(num_cpus=0, num_returns=7,
                              runtime_env=env)(_replay_shard),
+        "commit": ray.remote(num_cpus=0, runtime_env=env)(
+            _commit_shard),
         "accept": ray.remote(num_cpus=0, runtime_env=env)(
             _build_accept_arrays),
         "expand": ray.remote(num_cpus=0, num_returns=2,
