@@ -25,17 +25,56 @@ import pyarrow as pa
 from .. import runtime_env
 
 
+def _unionfind_labels(a: "np.ndarray", b: "np.ndarray"):
+    """Linear-ish-time union-find over int64 edge endpoint arrays:
+    ``(sorted_ids, min_id_of_component)`` — the LOCAL finish of
+    :func:`connected_components`, run inside one Ray task on a
+    size-gated graph."""
+    ids = np.unique(np.concatenate((a, b)))
+    ai = np.searchsorted(ids, a)
+    bi = np.searchsorted(ids, b)
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(ai.tolist(), bi.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by MIN root index: ids is sorted, so the root with
+            # the smaller index has the smaller id — the component's
+            # final label falls out of the union rule directly
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    roots = np.array([find(x) for x in range(len(ids))], np.int64)
+    return ids, ids[roots]
+
+
 def connected_components(
-    pairs_ds, max_rounds: int = 50, broadcast_below: int = 2_000_000
+    pairs_ds, max_rounds: int = 50, broadcast_below: int = 2_000_000,
+    local_cutoff: int = 2_000_000,
 ):
     """(id, cluster_id=min id in component) for every id appearing in the
     ``(id_a, id_b)`` pair dataset.
 
-    When the label table is small (< ``broadcast_below`` nodes — the
-    common case: near-dup graphs are a sliver of the corpus), each round
-    propagates via a broadcast (id → label) lookup inside ``map_batches``
-    over the distributed edges — no join shuffle at all.  Larger graphs
-    fall back to the native hash-shuffle join per round."""
+    Size-gated LOCAL finish first: below ``local_cutoff`` pair rows the
+    edge blocks ship as refs to ONE union-find task (linear time; the
+    same below-cutoff discipline as every broadcast gate here — a
+    min-label round costs O(diameter) exchanges that a subgraph fitting
+    one worker never needs; ``local_cutoff=0`` forces the distributed
+    rounds, which tests pin).  Above it: when the label table is small
+    (< ``broadcast_below`` nodes — the common case: near-dup graphs are
+    a sliver of the corpus), each round propagates via a broadcast
+    (id → label) lookup inside ``map_batches`` over the distributed
+    edges — no join shuffle at all.  Larger graphs fall back to the
+    native hash-shuffle join per round."""
     import ray
     import ray.data.aggregate as agg_mod
 
@@ -54,6 +93,26 @@ def connected_components(
     edges = pairs_ds.map_batches(
         to_edges, batch_format="pyarrow", runtime_env=runtime_env()
     ).materialize()
+
+    if edges.count() <= 2 * local_cutoff:  # edges carry both directions
+        edge_refs = edges.to_arrow_refs()
+
+        @ray.remote
+        def _local(erefs):
+            import ray as _r
+            etbls = _r.get(list(erefs))
+
+            def col(name):
+                arrs = [t.column(name).combine_chunks().to_numpy(
+                    zero_copy_only=False) for t in etbls if t.num_rows]
+                return (np.concatenate(arrs) if arrs
+                        else np.empty(0, np.int64))
+
+            ids, labels = _unionfind_labels(col("u"), col("v"))
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "cluster_id": pa.array(labels, pa.int64())})
+
+        return ray.data.from_arrow_refs([_local.remote(edge_refs)])
 
     def min_labels(ds):
         # (id, label) -> one row per id with the min label; only the

@@ -998,9 +998,12 @@ def test_connected_components():
         {"id_a": 5, "id_b": 7},
         {"id_a": 10, "id_b": 11},
     ])
-    out = {r["doc_id"]: r["cluster_id"]
-           for r in connected_components(pairs).take_all()}
-    assert out == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5, 10: 10, 11: 10}
+    for lc in (2_000_000, 0):  # local union-find gate, then the
+        out = {r["doc_id"]: r["cluster_id"]  # distributed min-label rounds
+               for r in connected_components(
+                   pairs, local_cutoff=lc).take_all()}
+        assert out == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5,
+                       10: 10, 11: 10}, lc
 
 
 def test_connected_components_nonconvergence_raises():
@@ -1012,9 +1015,10 @@ def test_connected_components_nonconvergence_raises():
         [{"id_a": i, "id_b": i + 1} for i in range(4)]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_rounds=1)
+        connected_components(chain, max_rounds=1, local_cutoff=0)
     out = {r["doc_id"]: r["cluster_id"]
-           for r in connected_components(chain, max_rounds=10).take_all()}
+           for r in connected_components(chain, max_rounds=10,
+                                         local_cutoff=0).take_all()}
     assert set(out.values()) == {0}
 
 

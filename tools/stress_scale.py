@@ -430,6 +430,47 @@ def run_semdedup(dup: int, sf_dir: str) -> dict:
     }
 
 
+def run_embedlsh(dup: int, sf_dir: str) -> dict:
+    """embedding_neardup_lsh on a ``dup``×-replicated embedding table
+    (shifted ids → every vector gains dup-1 exact cos-1.0 copies).
+    Candidate pairs grow O(dup²) per clone group BY CONSTRUCTION; the
+    evidence is a flat driver — banding is a per-block map, buckets
+    co-locate via one sort, and the exact verify runs size-gated over
+    candidates only (never all-pairs)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from deepwebharvester_ray import runtime_env
+    from deepwebharvester_ray.functions.dedup import embedding_neardup_lsh
+
+    def shift(batch: pa.Table, off: int) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(batch.column("vec_id"), off))
+
+    parts = []
+    for k in range(dup):
+        dsk = ray.data.read_parquet(
+            str(Path(sf_dir) / "embeddings.parquet"),
+            columns=["vec_id", "embedding"])
+        if k:
+            dsk = dsk.map_batches(shift, fn_kwargs={"off": k * 1_000_000},
+                                  batch_format="pyarrow",
+                                  runtime_env=runtime_env())
+        parts.append(dsk)
+    ds = parts[0] if dup == 1 else parts[0].union(*parts[1:])
+    t0 = time.monotonic()
+    pairs = embedding_neardup_lsh(ds, threshold=0.95,
+                                  shuffle_partitions=8)
+    n_pairs = pairs.count()
+    return {
+        "case": "embedlsh", "dup": dup, "pairs": n_pairs,
+        "wall_s": round(time.monotonic() - t0, 2),
+        "driver_rss_mb": round(_rss_mb(), 1),
+    }
+
+
 def run_passage(dup: int, sf_dir: str) -> dict:
     """passage_dup_profile on a ``dup``×-replicated corpus — with dup>1
     EVERY window sits in a cross-doc run (the all-boilerplate worst
@@ -1230,7 +1271,8 @@ def main() -> None:
                                     "containment", "knn", "fuzzy",
                                     "skyline", "cosine", "gscan",
                                     "sdedup", "aa", "spans",
-                                    "xsubstr", "incdedup", "resolve"])
+                                    "xsubstr", "incdedup", "resolve",
+                                    "embedlsh"])
     p.add_argument("--dup", type=int, default=1)
     p.add_argument("--seeds", type=int, default=10_000)
     p.add_argument("--shards", type=int, default=None)
@@ -1299,6 +1341,8 @@ def main() -> None:
             out = run_xsubstr(args.dup, args.sf)
         elif args.case == "incdedup":
             out = run_incdedup(args.n)
+        elif args.case == "embedlsh":
+            out = run_embedlsh(args.dup, args.sf)
         elif args.case == "cosine":
             out = run_cosine(args.n)
         else:
