@@ -195,6 +195,217 @@ def mp4_meta(blob: bytes):
     return brand, int(ts), int(dur) * 1000 // int(ts)
 
 
+def _mp4_box(four: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + four + payload
+
+
+def _mp4_full(four: bytes, version: int, flags: int,
+              payload: bytes) -> bytes:
+    import struct
+
+    return _mp4_box(four, struct.pack(">B", version)
+                    + struct.pack(">I", flags)[1:] + payload)
+
+
+def mp4_encode_samples(samples, timescale: int = 1000,
+                       sample_delta: int = 40,
+                       chunk_size: int = 3,
+                       handler: bytes = b"vide",
+                       uniform_stsz: bool = False,
+                       use_co64: bool = False) -> bytes:
+    """Encode sample payloads as a REAL unfragmented MP4 — pure stdlib
+    struct: ``ftyp`` + ``mdat`` (samples concatenated in chunk order) +
+    ``moov/trak/mdia/minf/stbl`` with a correct sample table —
+    variable-size ``stsz``, run-length ``stsc`` (samples grouped into
+    chunks of ``chunk_size``, so the demux must honor the
+    sample-to-chunk mapping, not assume one sample per chunk), and
+    absolute ``stco`` file offsets.  The duration lands in ``mvhd`` /
+    ``mdhd`` so :func:`mp4_meta` reads it back."""
+    import struct
+
+    n = len(samples)
+    duration = n * sample_delta
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512)
+                    + b"isomiso2mp41")
+    mdat = _mp4_box(b"mdat", b"".join(samples))
+    chunks = [samples[i:i + chunk_size]
+              for i in range(0, n, chunk_size)] or [[]]
+    off = len(ftyp) + 8  # mdat payload begins here
+    stco_offsets = []
+    for ch in chunks:
+        stco_offsets.append(off)
+        off += sum(len(s) for s in ch)
+    stsc_entries = []
+    for i, ch in enumerate(chunks):
+        if not stsc_entries or stsc_entries[-1][1] != len(ch):
+            stsc_entries.append((i + 1, len(ch)))
+    stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1)
+                     + _mp4_box(b"mp4v", b"\x00" * 78))
+    stts = _mp4_full(b"stts", 0, 0, struct.pack(">I", 0) if n == 0
+                     else struct.pack(">III", 1, n, sample_delta))
+    stsc = _mp4_full(b"stsc", 0, 0, struct.pack(">I", len(stsc_entries))
+                     + b"".join(struct.pack(">III", fc, spc, 1)
+                                for fc, spc in stsc_entries))
+    if uniform_stsz:
+        usz = {len(s) for s in samples} or {0}
+        assert len(usz) == 1, "uniform_stsz requires equal-size samples"
+        stsz = _mp4_full(b"stsz", 0, 0,
+                         struct.pack(">II", usz.pop(), n))
+    else:
+        stsz = _mp4_full(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                         + b"".join(struct.pack(">I", len(s))
+                                    for s in samples))
+    if use_co64:
+        stco = _mp4_full(b"co64", 0, 0,
+                         struct.pack(">I", len(stco_offsets))
+                         + b"".join(struct.pack(">Q", o)
+                                    for o in stco_offsets))
+    else:
+        stco = _mp4_full(b"stco", 0, 0,
+                         struct.pack(">I", len(stco_offsets))
+                         + b"".join(struct.pack(">I", o)
+                                    for o in stco_offsets))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dinf = _mp4_box(b"dinf", _mp4_full(b"dref", 0, 0,
+                                       struct.pack(">I", 1)
+                                       + _mp4_full(b"url ", 0, 1, b"")))
+    vmhd = _mp4_full(b"vmhd", 0, 1, b"\x00" * 8)
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    hdlr = _mp4_full(b"hdlr", 0, 0, b"\x00" * 4 + handler
+                     + b"\x00" * 12 + b"h\x00")
+    mdhd = _mp4_full(b"mdhd", 0, 0,
+                     struct.pack(">IIII", 0, 0, timescale, duration)
+                     + struct.pack(">HH", 0x55C4, 0))
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _mp4_full(b"tkhd", 0, 7, struct.pack(">III", 0, 0, 1)
+                     + b"\x00" * 4 + struct.pack(">I", duration)
+                     + b"\x00" * 52)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    mvhd = _mp4_full(b"mvhd", 0, 0,
+                     struct.pack(">IIII", 0, 0, timescale, duration)
+                     + struct.pack(">I", 0x00010000) + b"\x00" * 76)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _mp4_iter_boxes(b: bytes, lo: int, hi: int):
+    import struct
+
+    i = lo
+    while i + 8 <= hi:
+        size = struct.unpack(">I", b[i:i + 4])[0]
+        four = b[i + 4:i + 8]
+        payload = i + 8
+        if size == 1:  # 64-bit largesize follows the fourcc
+            if i + 16 > hi:
+                return
+            size = struct.unpack(">Q", b[i + 8:i + 16])[0]
+            payload = i + 16
+        elif size == 0:  # box extends to the end of the scope
+            size = hi - i
+        if size < 8 or i + size > hi:
+            return
+        yield four, payload, i + size
+        i += size
+
+
+def _mp4_find(b: bytes, lo: int, hi: int, four: bytes):
+    for f, plo, phi in _mp4_iter_boxes(b, lo, hi):
+        if f == four:
+            return plo, phi
+    return None
+
+
+def mp4_samples(blob: bytes, prefer_handler: bytes = b"vide"):
+    """REAL MP4 demux, pure stdlib: per-sample ``(offset, size)`` byte
+    ranges of the preferred track via the full sample-table walk —
+    ``stsz`` sizes (uniform or per-sample), ``stsc`` run-length
+    sample-to-chunk mapping (1-based first_chunk runs — the part naive
+    demuxers skip), and ``stco``/``co64`` chunk offsets; samples lay
+    consecutively within a chunk.  Track selection prefers the first
+    ``hdlr`` handler match (``vide``), else the first trak.  This is a
+    container DEMUX, not a codec: frame/sample BYTES come out, pixel
+    decode stays behind the codec gate — exactly what uniform temporal
+    frame sampling over 100 TB of video needs (read the stbl, seek the
+    sampled ranges, never touch the rest).  Raises ``ValueError`` when
+    not parseable ISO-BMFF."""
+    import struct
+
+    b = blob or b""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file")
+    moov = _mp4_find(b, 0, len(b), b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    traks = [(plo, phi) for f, plo, phi in _mp4_iter_boxes(b, *moov)
+             if f == b"trak"]
+    if not traks:
+        raise ValueError("no trak box")
+
+    def handler_of(tlo, thi):
+        mdia = _mp4_find(b, tlo, thi, b"mdia")
+        if mdia is None:
+            return b""
+        hdlr = _mp4_find(b, *mdia, b"hdlr")
+        return b[hdlr[0] + 8:hdlr[0] + 12] if hdlr else b""
+
+    pick = next(((lo, hi) for lo, hi in traks
+                 if handler_of(lo, hi) == prefer_handler), traks[0])
+    mdia = _mp4_find(b, *pick, b"mdia")
+    minf = _mp4_find(b, *mdia, b"minf") if mdia else None
+    stbl = _mp4_find(b, *minf, b"stbl") if minf else None
+    if stbl is None:
+        raise ValueError("no stbl box")
+    stsz = _mp4_find(b, *stbl, b"stsz")
+    stsc = _mp4_find(b, *stbl, b"stsc")
+    stco = _mp4_find(b, *stbl, b"stco")
+    width = 4
+    if stco is None:
+        stco = _mp4_find(b, *stbl, b"co64")
+        width = 8
+    if stsz is None or stsc is None or stco is None:
+        raise ValueError("incomplete sample table")
+
+    z = stsz[0]
+    uniform, count = struct.unpack(">II", b[z + 4:z + 12])
+    if uniform:
+        sizes = np.full(count, uniform, np.int64)
+    else:
+        sizes = np.frombuffer(b, ">u4", count, z + 12).astype(np.int64)
+
+    c = stco[0]
+    n_chunks = struct.unpack(">I", b[c + 4:c + 8])[0]
+    dt = ">u4" if width == 4 else ">u8"
+    offsets = np.frombuffer(b, dt, n_chunks, c + 8).astype(np.int64)
+
+    s = stsc[0]
+    n_runs = struct.unpack(">I", b[s + 4:s + 8])[0]
+    runs = np.frombuffer(b, ">u4", n_runs * 3, s + 8).astype(
+        np.int64).reshape(n_runs, 3)
+
+    spc = np.empty(n_chunks, np.int64)
+    for r in range(n_runs):
+        first = int(runs[r, 0]) - 1
+        last = int(runs[r + 1, 0]) - 1 if r + 1 < n_runs else n_chunks
+        spc[first:last] = runs[r, 1]
+
+    out = []
+    si = 0
+    for ci in range(n_chunks):
+        off = int(offsets[ci])
+        for _ in range(int(spc[ci])):
+            if si >= count:
+                break
+            out.append((off, int(sizes[si])))
+            off += int(sizes[si])
+            si += 1
+    if si != count:
+        raise ValueError(f"sample table mismatch: {si} != {count}")
+    return out
+
+
 def mp4_meta_batch(batch: pa.Table,
                    binary_column: str = "payload") -> pa.Table:
     """map_batches fn: attach ``(brand, timescale, duration_ms)`` via
@@ -560,14 +771,13 @@ class FrameSampleStage:
 
     Contract: binary "video" column in → ``frames`` (``list<binary>``,
     ≤ ``n_frames`` uniformly-spaced samples), ``n_total_frames`` and
-    ``frame_indices`` out.  Only the CONTAINER parse is stubbed: with
-    ``fake=False`` (default) it raises ``NotImplementedError`` (no video
-    codec here); with ``fake=True`` the payload is treated as a
-    fixed-size-frame container (``frame_bytes`` per frame, trailing
-    partial frame dropped) — so the sampling arithmetic, the per-actor
-    setup, the list<binary> output layout and the small-batch sizing are
-    all real and tested, and a real deployment only replaces
-    ``_split_frames`` with a demuxer."""
+    ``frame_indices`` out.  With ``fake=False`` (default) MP4 payloads
+    demux for REAL via the pure-stdlib :func:`mp4_samples` sample-table
+    walk (stsz/stsc/stco) — frame BYTES, no codec decode — and other
+    formats raise ``NotImplementedError``.  With ``fake=True`` the
+    payload is treated as a fixed-size-frame container (``frame_bytes``
+    per frame, trailing partial frame dropped) — the codec-free
+    plumbing path."""
 
     def __init__(self, binary_column: str = "payload", n_frames: int = 4,
                  frame_bytes: int = 256, fake: bool = False) -> None:
@@ -580,8 +790,11 @@ class FrameSampleStage:
 
     def _split_frames(self, payload: bytes) -> list:
         if not self._fake:
+            b = payload or b""
+            if len(b) >= 12 and b[4:8] == b"ftyp":
+                return [b[o:o + s] for o, s in mp4_samples(b)]
             raise NotImplementedError(
-                "video demux not available in this environment; "
+                "no stdlib demux for this format (MP4 supported); "
                 "construct FrameSampleStage(fake=True) for the "
                 "fixed-size-frame stub"
             )
