@@ -629,6 +629,192 @@ def png_luma(img: np.ndarray) -> np.ndarray:
     return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
 
 
+def _gif_lzw_encode(indices: "np.ndarray", min_code_size: int) -> bytes:
+    """GIF-flavor LZW: variable code width starting at
+    ``min_code_size+1``, LSB-first bit packing, CLEAR emitted at start
+    and on a full (4096-entry) dictionary — the standard width-bump
+    rule (grow when the next assignable code reaches ``1<<width``)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 255)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table: dict = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    w: tuple = ()
+    for k in indices.tolist():
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = (k,)
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 255)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of :func:`_gif_lzw_encode` — including the KwKwK rule
+    (a code equal to the next assignable entry expands to
+    ``prev + prev[0]``) and the deferred-clear reset."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # truncated stream: best-effort
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table) and (code < clear or code > eoi):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            # EARLY width bump: the decoder's table lags the encoder's
+            # by one entry (the encoder assigns after every emitted
+            # code, the decoder appends from the second code on), so
+            # the width grows when the ENCODER's count — len(table)+1 —
+            # reaches 1<<width.  The classic off-by-one every naive
+            # GIF decoder hits.
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+
+
+def gif_encode(img: np.ndarray, palette: "np.ndarray | None" = None
+               ) -> bytes:
+    """Encode an ``(h, w)`` uint8 index raster as a real GIF89a —
+    pure stdlib + the LZW above; 256-entry color table (default
+    grayscale identity palette), non-interlaced."""
+    import struct
+
+    h, w = img.shape
+    if palette is None:
+        g = np.arange(256, dtype=np.uint8)
+        palette = np.stack([g, g, g], axis=1)
+    pal = np.zeros((256, 3), np.uint8)
+    pal[:len(palette)] = palette[:256]
+    lzw = _gif_lzw_encode(np.ascontiguousarray(img, np.uint8).reshape(-1),
+                          8)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (b"GIF89a" + struct.pack("<HH", w, h)
+            + b"\xf7\x00\x00"          # GCT present, 256 entries
+            + pal.tobytes()
+            + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+            + b"\x08" + bytes(blocks)  # min code size 8
+            + b"\x3b")                 # trailer
+
+
+def gif_decode(blob: bytes):
+    """REAL GIF decode, pure stdlib: header + color tables + extension
+    skip + the first image descriptor's LZW stream →
+    ``(indices (h, w) uint8, palette (n, 3) uint8)``.  Non-interlaced
+    8-bit images (the shape a training corpus normalizes to);
+    interlaced images raise ``NotImplementedError``, non-GIF bytes
+    ``ValueError``."""
+    import struct
+
+    b = blob or b""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags = struct.unpack("<HHB", b[6:11])
+    i = 13
+    palette = np.zeros((256, 3), np.uint8)
+    if flags & 0x80:  # global color table
+        n = 2 << (flags & 7)
+        palette[:n] = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
+        i += n * 3
+    while i < len(b):
+        marker = b[i]
+        if marker == 0x21:  # extension: skip sub-blocks
+            i += 2
+            while i < len(b) and b[i]:
+                i += 1 + b[i]
+            i += 1
+        elif marker == 0x2C:  # image descriptor
+            _l, _t, w, h, iflags = struct.unpack("<HHHHB", b[i + 1:i + 10])
+            i += 10
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            if iflags & 0x80:  # local color table overrides
+                n = 2 << (iflags & 7)
+                palette[:n] = np.frombuffer(
+                    b, np.uint8, n * 3, i).reshape(n, 3)
+                i += n * 3
+            mcs = b[i]
+            i += 1
+            data = bytearray()
+            while i < len(b) and b[i]:
+                ln = b[i]
+                data += b[i + 1:i + 1 + ln]
+                i += 1 + ln
+            i += 1
+            idx = np.frombuffer(
+                _gif_lzw_decode(bytes(data), mcs), np.uint8)
+            if len(idx) < h * w:
+                raise ValueError("GIF pixel data truncated")
+            return idx[:h * w].reshape(h, w), palette
+        elif marker == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block marker {marker:#x}")
+    raise ValueError("no image descriptor")
+
+
 def wav_encode(samples: np.ndarray, rate: int, channels: int = 1) -> bytes:
     """Encode int16 PCM as a real RIFF/WAVE container — ``samples`` is
     flat interleaved (frame-major) int16; pure stdlib struct."""
@@ -722,6 +908,12 @@ class DecodeStage:
         b = payload or b""
         if b[:8] == _PNG_SIG:
             return self._hist(png_luma(png_decode(b)).ravel())
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            idx, pal = gif_decode(b)
+            p = pal.astype(np.int64)  # uint8 products overflow (NEP 50)
+            lum = ((299 * p[:, 0] + 587 * p[:, 1] + 114 * p[:, 2])
+                   // 1000).astype(np.uint8)
+            return self._hist(lum[idx.ravel()])
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             samples, _rate, _ch = wav_decode(b)
             if samples.dtype != np.uint8:  # int16 → 8-bit amplitude

@@ -412,6 +412,52 @@ def test_frame_sample_stub_raises():
         stage(pa.table({"video": pa.array([b"x"], pa.binary())}))
 
 
+def test_gif_codec_roundtrip():
+    """Hand-built rasters through the REAL pure-stdlib GIF LZW codec:
+    random and run-heavy data (KwKwK + width growth + 4096-dict
+    reset), custom palettes, container parse under image_dims, and the
+    interlace/bad-input gates."""
+    rng = np.random.RandomState(4)
+    for h, w in ((1, 1), (2, 3), (40, 40), (150, 150)):
+        img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+        blob = multimodal.gif_encode(img)
+        idx, pal = multimodal.gif_decode(blob)
+        assert np.array_equal(idx, img), (h, w)
+        assert multimodal.image_dims(blob) == ("gif", w, h)
+        assert pal[17].tolist() == [17, 17, 17]  # grayscale identity
+    # run-heavy: exercises KwKwK and the dictionary reset at 4096
+    img = np.repeat(np.arange(200) % 5, 900).astype(np.uint8).reshape(
+        300, -1)
+    assert np.array_equal(
+        multimodal.gif_decode(multimodal.gif_encode(img))[0], img)
+    # custom palette round-trips
+    pal_in = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+    _, pal = multimodal.gif_decode(
+        multimodal.gif_encode(np.zeros((2, 2), np.uint8),
+                              palette=pal_in))
+    assert np.array_equal(pal, pal_in)
+    with pytest.raises(ValueError):
+        multimodal.gif_decode(b"JFIF not a gif")
+    # interlace flag gates honestly
+    blob = bytearray(multimodal.gif_encode(np.zeros((2, 2), np.uint8)))
+    desc = 13 + 768  # header+LSD, then the 256-entry GCT
+    assert blob[desc] == 0x2C
+    blob[desc + 9] |= 0x40  # set interlace bit in the image descriptor
+    with pytest.raises(NotImplementedError):
+        multimodal.gif_decode(bytes(blob))
+
+
+def test_decode_stage_real_gif():
+    """DecodeStage(fake=False) decodes a real GIF via the stdlib LZW
+    codec: features are the palette-luma histogram."""
+    img = np.full((5, 5), 200, np.uint8)  # gray palette → luma 200
+    stage = multimodal.DecodeStage(fake=False)
+    out = stage(pa.table({"payload": pa.array(
+        [multimodal.gif_encode(img)], pa.binary())}))
+    feats = out.column("features").to_pylist()[0]
+    assert feats[12] == pytest.approx(1.0)  # bin 200//16
+
+
 def test_mp4_demux_roundtrip():
     """Hand-built MP4s through the REAL sample-table demux: variable
     stsz, multi-run stsc (chunk sizes 1/3/7), uniform stsz, co64
