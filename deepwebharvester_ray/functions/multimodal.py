@@ -1062,8 +1062,14 @@ class ResizeStage:
             b = payload or b""
             if b[:8] == _PNG_SIG:
                 return png_luma(png_decode(b))
+            if b[:6] in (b"GIF87a", b"GIF89a"):
+                idx, pal = gif_decode(b)
+                p = pal.astype(np.int64)
+                lum = ((299 * p[:, 0] + 587 * p[:, 1] + 114 * p[:, 2])
+                       // 1000).astype(np.uint8)
+                return lum[idx]
             raise NotImplementedError(
-                "no stdlib decoder for this format (PNG supported); "
+                "no stdlib decoder for this format (PNG/GIF supported); "
                 "construct ResizeStage(fake=True) for the raw-raster stub"
             )
         buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
