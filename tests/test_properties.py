@@ -669,3 +669,59 @@ def test_remove_dup_spans_rewrite_kernel(tok_a, tok_b, k):
         covered = np.cumsum(diff[:n]) > 0
         kept = [w for w, c in zip(ts, covered) if not c]
         assert (kept, int(covered.sum())) == exp[i]
+
+
+# ── multimodal codec round-trip properties ──────────────────────────────────
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 9), st.integers(1, 9),
+    st.sampled_from([1, 2, 3, 4]),
+    st.lists(st.integers(0, 4), min_size=1, max_size=9),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_roundtrip_property(h, w, ch, filters, seed):
+    """Any raster × any per-row filter sequence round-trips bit-exact
+    through the pure-stdlib PNG codec."""
+    import numpy as np
+
+    from deepwebharvester_ray.functions.multimodal import (
+        png_decode, png_encode,
+    )
+
+    rng = np.random.RandomState(seed % (2**32))
+    img = rng.randint(0, 256, (h, w, ch), dtype=np.uint8)
+    blob = png_encode(img, filters=lambda y: filters[y % len(filters)])
+    assert np.array_equal(png_decode(blob), img)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=4000))
+def test_gif_lzw_roundtrip_property(data):
+    """Arbitrary byte strings survive the GIF-flavor LZW codec —
+    including width growth, KwKwK phrases and pathological runs."""
+    import numpy as np
+
+    from deepwebharvester_ray.functions.multimodal import (
+        _gif_lzw_decode, _gif_lzw_encode,
+    )
+
+    arr = np.frombuffer(data, np.uint8)
+    assert _gif_lzw_decode(_gif_lzw_encode(arr, 8), 8) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=50), min_size=1,
+                max_size=30),
+       st.integers(1, 8))
+def test_mp4_demux_roundtrip_property(frames, chunk_size):
+    """Any sample list × any chunk grouping round-trips byte-exact
+    through the MP4 sample-table encode/demux pair."""
+    from deepwebharvester_ray.functions.multimodal import (
+        mp4_encode_samples, mp4_samples,
+    )
+
+    blob = mp4_encode_samples(frames, chunk_size=chunk_size)
+    got = [blob[o:o + s] for o, s in mp4_samples(blob)]
+    assert got == frames
