@@ -2006,7 +2006,30 @@ def bridge_edges(nodes_ds, edges_ds, max_rounds: int = 64,
                                  runtime_env=runtime_env())
 
 
-def ktruss_edges(edges_ds, k: int, max_rounds: int = 64):
+def _ktruss_local(u: "np.ndarray", v: "np.ndarray", min_sup: int):
+    """LOCAL k-truss peel (one Ray task, size-gated): simultaneous
+    removal of every edge with triangle support < min_sup until
+    fixpoint.  The k-truss is the UNIQUE maximal subgraph with the
+    property, so any peel order — this one, or the distributed
+    wedge-join rounds — converges to the same edge set."""
+    edges = set(zip(u.tolist(), v.tolist()))
+    while True:
+        nbrs: dict = {}
+        for a, b in edges:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        drop = [e for e in edges
+                if len(nbrs[e[0]] & nbrs[e[1]]) < min_sup]
+        if not drop:
+            break
+        edges -= set(drop)
+    out = sorted(edges)
+    return (np.array([a for a, _ in out], np.int64),
+            np.array([b for _, b in out], np.int64))
+
+
+def ktruss_edges(edges_ds, k: int, max_rounds: int = 64,
+                 local_cutoff: int = 2_000_000):
     """k-truss of the undirected graph: the maximal subgraph in which
     EVERY edge closes ≥ k−2 triangles (within the subgraph) — the
     edge-cohesion strengthening of the k-core (degree can be faked by a
@@ -2048,6 +2071,33 @@ def ktruss_edges(edges_ds, k: int, max_rounds: int = 64):
     ).materialize()
     n_edges = ue.count()
     min_sup = k - 2
+
+    # size-gated LOCAL finish (the scc_labels / connected_components
+    # discipline): below the cutoff the canonical edge set ships as
+    # block refs to one peel task — the k-truss is unique, so the
+    # result is identical to the distributed rounds, which stay
+    # pinned by ``local_cutoff=0`` forced-path tests.
+    if n_edges <= local_cutoff:
+        import ray
+
+        edge_refs = ue.to_arrow_refs()
+
+        @ray.remote
+        def _local(erefs, _ms=min_sup):
+            import ray as _r
+            tbls = _r.get(list(erefs))
+
+            def col(name):
+                arrs = [t.column(name).combine_chunks().to_numpy(
+                    zero_copy_only=False) for t in tbls if t.num_rows]
+                return (np.concatenate(arrs) if arrs
+                        else np.empty(0, np.int64))
+
+            uu, vv = _ktruss_local(col("u"), col("v"), _ms)
+            return pa.table({"u": pa.array(uu, pa.int64()),
+                             "v": pa.array(vv, pa.int64())})
+
+        return ray.data.from_arrow_refs([_local.remote(edge_refs)])
 
     for _ in range(max_rounds):
         if n_edges == 0:
@@ -2250,7 +2300,8 @@ _MSF_MASK = np.int64((1 << 31) - 1)
 
 
 def boruvka_msf(edges_ds, weight_col: str | None = None,
-                broadcast_below: int = 2_000_000, max_rounds: int = 40):
+                broadcast_below: int = 2_000_000, max_rounds: int = 40,
+                local_cutoff: int = 2_000_000):
     """Minimum spanning FOREST by Borůvka rounds (Borůvka 1926; the
     component-hooking formulation of Awerbuch–Shiloach): ``(src, dst)``
     edges (directions/parallels/self-loops tolerated — canonicalized,
@@ -2340,6 +2391,59 @@ def boruvka_msf(edges_ds, weight_col: str | None = None,
     state = dedup.map_batches(decode, batch_format="pyarrow",
                               batch_size=None,
                               runtime_env=runtime_env()).materialize()
+
+    # size-gated LOCAL finish (scc_labels / connected_components /
+    # ktruss discipline): under the strict (w, ukey) total order the
+    # MSF is unique, so a one-task Kruskal over the deduped canonical
+    # edges returns exactly what the Borůvka rounds return (which stay
+    # pinned by ``local_cutoff=0`` forced-path tests).
+    if state.count() <= local_cutoff:
+        edge_refs = state.to_arrow_refs()
+
+        @ray.remote
+        def _local_kruskal(erefs):
+            import ray as _r
+            tbls = _r.get(list(erefs))
+
+            def col(name):
+                arrs = [t.column(name).combine_chunks().to_numpy(
+                    zero_copy_only=False) for t in tbls if t.num_rows]
+                return (np.concatenate(arrs) if arrs
+                        else np.empty(0, np.int64))
+
+            ukey = col("ukey")
+            w = col("w")
+            order = np.lexsort((ukey, w))  # strict (w, ukey)
+            u = ukey >> _MSF_B
+            v = ukey & _MSF_MASK
+            ids = np.unique(np.concatenate((u, v)))
+            ui = np.searchsorted(ids, u)
+            vi = np.searchsorted(ids, v)
+            parent = np.arange(len(ids), dtype=np.int64)
+
+            def find(x: int) -> int:
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:
+                    parent[x], x = root, parent[x]
+                return root
+
+            keep = []
+            for e in order.tolist():
+                ra, rb = find(int(ui[e])), find(int(vi[e]))
+                if ra != rb:
+                    parent[rb] = ra
+                    keep.append(e)
+            keep = np.asarray(keep, np.int64)
+            return pa.table({
+                "src": pa.array(u[keep], pa.int64()),
+                "dst": pa.array(v[keep], pa.int64()),
+                "weight": pa.array(w[keep], pa.int64()),
+            })
+
+        return ray.data.from_arrow_refs(
+            [_local_kruskal.remote(edge_refs)])
 
     empty_msf = pa.table({"src": pa.array([], pa.int64()),
                           "dst": pa.array([], pa.int64()),

@@ -3387,9 +3387,13 @@ def test_ktruss_edges_matches_brute_force(ray_session):
 
     for k in (3, 4):
         ref = _ktruss_ref(edges, k)
-        got = {(r["u"], r["v"])
-               for r in ktruss_edges(edges_ds, k=k).take_all()}
-        assert got == ref, f"k={k}"
+        # local-peel gate (default), then the distributed wedge-join
+        # rounds forced via local_cutoff=0
+        for lc in (2_000_000, 0):
+            got = {(r["u"], r["v"])
+                   for r in ktruss_edges(edges_ds, k=k,
+                                         local_cutoff=lc).take_all()}
+            assert got == ref, f"k={k} local={lc}"
     # K5 must survive k=4 regardless of the random noise
     got4 = {(r["u"], r["v"])
             for r in ktruss_edges(edges_ds, k=4).take_all()}
@@ -3759,13 +3763,17 @@ def test_boruvka_msf_matches_kruskal(ray_session):
         dst = rng.integers(0, n, m).astype(np.int64)
         edges = ray.data.from_arrow(pa.table({
             "src": pa.array(src), "dst": pa.array(dst)})).repartition(4)
-        got = sorted((r["src"], r["dst"], r["weight"])
-                     for r in boruvka_msf(edges).take_all())
         a, b = np.minimum(src, dst), np.maximum(src, dst)
         ukey = (a << np.int64(31)) | b
         w = (_splitmix64(ukey.view(np.uint64)) >> np.uint64(1)) \
             .astype(np.int64)
-        assert got == _kruskal_ref(src, dst, w, n)
+        ref = _kruskal_ref(src, dst, w, n)
+        # local-Kruskal gate (default), then forced Borůvka rounds
+        for lc in (2_000_000, 0):
+            got = sorted((r["src"], r["dst"], r["weight"])
+                         for r in boruvka_msf(
+                             edges, local_cutoff=lc).take_all())
+            assert got == ref, lc
 
 
 def test_boruvka_msf_ties_join_path_empty(ray_session):
@@ -3792,8 +3800,8 @@ def test_boruvka_msf_ties_join_path_empty(ray_session):
     assert got == ref
     got_join = sorted(
         (r["src"], r["dst"], r["weight"])
-        for r in boruvka_msf(edges, weight_col="w",
-                             broadcast_below=0).take_all())
+        for r in boruvka_msf(edges, weight_col="w", broadcast_below=0,
+                             local_cutoff=0).take_all())
     assert got_join == ref
     empty = ray.data.from_arrow(pa.table({
         "src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}))
