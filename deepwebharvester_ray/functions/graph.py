@@ -220,6 +220,7 @@ def pagerank(
     broadcast_below: int = 2_000_000,
     shuffle_partitions: int | None = None,
     seed_ids=None,
+    local_cutoff: int = 2_000_000,
 ):
     """Integer-deterministic PageRank over an ``(src, dst)`` edge dataset:
     ``(id, score)`` for every node in ``nodes_ds`` (column ``id``) after a
@@ -320,6 +321,60 @@ def pagerank(
     # below (CLAUDE.md empty-block rule); non-None by construction here
     # (edges_nz is non-empty and every src has a degree row)
     edges_w = coalesce_nonempty(edges_w) or edges_w
+
+    # size-gated LOCAL finish (scc/cc/ktruss/msf discipline): the
+    # integer update is bit-identical in any execution, so below the
+    # cutoff ONE task runs the whole power iteration over numpy arrays
+    # instead of paying iters × (join + grouped-sum) exchanges.  The
+    # distributed rounds stay pinned by local_cutoff=0 forced-path
+    # tests AND by the SQL oracle (pagerank is hash-checked).
+    if n_nodes + edges_w.count() <= local_cutoff:
+        node_refs = zeros.to_arrow_refs()
+        edge_refs = edges_w.to_arrow_refs()
+        seeds_arr = None if seed_ref is None else seeds_sorted
+
+        @ray.remote
+        def _local(nrefs, erefs, _seeds=seeds_arr, _iters=iters,
+                   _damp=damping_pct, _init=init, _sinit=seed_init):
+            import ray as _r
+            ntbls = _r.get(list(nrefs))
+            etbls = _r.get(list(erefs))
+
+            def col(tbls, name):
+                arrs = [t.column(name).combine_chunks().to_numpy(
+                    zero_copy_only=False) for t in tbls if t.num_rows]
+                return (np.concatenate(arrs) if arrs
+                        else np.empty(0, np.int64))
+
+            src = col(etbls, "src")
+            dst = col(etbls, "dst")
+            odeg = col(etbls, "outdeg")
+            # distributed semantics: score rows exist for nodes ∪ dsts
+            # (the contribution union); srcs are nodes by contract
+            ids = np.unique(np.concatenate((col(ntbls, "id"), dst)))
+            si = np.searchsorted(ids, src)
+            di = np.searchsorted(ids, dst)
+            if _seeds is None:
+                iv = np.full(len(ids), _init, np.int64)
+            elif len(_seeds):
+                pos = np.minimum(np.searchsorted(_seeds, ids),
+                                 len(_seeds) - 1)
+                iv = np.where(_seeds[pos] == ids, _sinit, 0).astype(
+                    np.int64)
+            else:
+                iv = np.zeros(len(ids), np.int64)
+            base_v = (100 - _damp) * iv
+            s = iv.copy()
+            for _ in range(_iters):
+                csum = np.zeros(len(ids), np.int64)
+                if len(src):
+                    np.add.at(csum, di, s[si] // odeg)
+                s = (base_v + _damp * csum) // 100
+            return pa.table({"id": pa.array(ids, pa.int64()),
+                             "score": pa.array(s, pa.int64())})
+
+        return ray.data.from_arrow_refs(
+            [_local.remote(node_refs, edge_refs)])
 
     small = n_nodes < broadcast_below
 

@@ -1918,12 +1918,14 @@ def test_pagerank_matches_reference_both_paths(ray_session):
     ).repartition(8)
     nodes_ds = ray.data.from_items([{"id": i} for i in range(n)])
 
-    for bb in (2_000_000, 0):   # broadcast path, then forced join path
-        out = pagerank(edges_ds, nodes_ds, iters=5,
-                       broadcast_below=bb).take_all()
+    # (broadcast_below, local_cutoff): one-task local power iteration
+    # (default gate), distributed broadcast rounds, forced join rounds
+    for bb, lc in ((2_000_000, 2_000_000), (2_000_000, 0), (0, 0)):
+        out = pagerank(edges_ds, nodes_ds, iters=5, broadcast_below=bb,
+                       local_cutoff=lc).take_all()
         got = {r["id"]: r["score"] for r in out}
         assert len(got) == n
-        assert all(got[i] == ref[i] for i in range(n)), f"path bb={bb}"
+        assert all(got[i] == ref[i] for i in range(n)), f"bb={bb} lc={lc}"
 
 
 def test_knn_graph_multiblock_exact(ray_session):
