@@ -288,6 +288,10 @@ BENCH_QUERIES = [
     "lateness_audit",
     "frequent_pairs",
     "link_ktruss",
+    "png_roundtrip",
+    "gif_roundtrip",
+    "wav_roundtrip",
+    "mp4_frame_sample",
     "jsonl_roundtrip",
     "skipgram_counts",
     "warc_roundtrip",
