@@ -290,6 +290,8 @@ BENCH_QUERIES = [
     "link_ktruss",
     "png_roundtrip",
     "gif_roundtrip",
+    "image_dhash",
+    "audio_spectral",
     "wav_roundtrip",
     "mp4_frame_sample",
     "jsonl_roundtrip",

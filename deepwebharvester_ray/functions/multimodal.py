@@ -864,6 +864,81 @@ def wav_decode(blob: bytes):
     return samples, int(rate), int(ch)
 
 
+def dhash64(img: np.ndarray):
+    """64-bit DIFFERENCE HASH (perceptual image fingerprint, the
+    standard near-dup-image bucketing key): pixel-center
+    nearest-neighbor resample of the luma raster to 8 rows × 9 cols
+    with the PURE-INTEGER index rule ``ry = min((2r+1)·h // 16, h−1)``
+    / ``rx = min((2c+1)·w // 18, w−1)`` (integer end to end so a SQL
+    engine reproduces it exactly — no float resize), then bit
+    ``(r, c) = 1 iff px[r,c] < px[r,c+1]``, packed row-major at bit
+    index ``r·8 + c``.  Returns ``(hi, lo)`` int64 halves (bits 32-63
+    / 0-31) — two signed columns instead of one overflowing uint64.
+    Invariant to uniform brightness shifts (no clipping) and to any
+    resize that preserves the 8×9 sample grid's orderings."""
+    h, w = img.shape[:2]
+    if img.ndim == 3:
+        img = png_luma(img)
+    ry = np.minimum((2 * np.arange(8, dtype=np.int64) + 1) * h // 16,
+                    h - 1)
+    rx = np.minimum((2 * np.arange(9, dtype=np.int64) + 1) * w // 18,
+                    w - 1)
+    g = img[np.ix_(ry, rx)].astype(np.int64)
+    bits = (g[:, :-1] < g[:, 1:]).astype(np.uint64)
+    idx = (np.arange(8, dtype=np.uint64)[:, None] * np.uint64(8)
+           + np.arange(8, dtype=np.uint64)[None, :])
+    packed = int((bits << idx).sum(dtype=np.uint64))
+    return (packed >> 32) & 0xFFFFFFFF, packed & 0xFFFFFFFF
+
+
+class SpectrogramStage:
+    """Actor-pool audio spectral-feature stage — REAL DSP, no stub:
+    WAV payloads decode via the stdlib :func:`wav_decode`, channel 0
+    frames into non-overlapping (default) rectangular windows of
+    ``n_fft`` samples, and each frame's magnitude spectrum is
+    ``|rfft|``; the emitted features are the frame count, the dominant
+    bin of the mean magnitude spectrum, and its frequency in Hz
+    (``bin · rate // n_fft``, exact integer).  The rectangular window
+    keeps exact-bin tones leakage-free, so a pure tone at
+    ``k · rate / n_fft`` Hz lands its dominant bin at exactly ``k`` —
+    what the SQL oracle of the audio_spectral query pins (the FFT
+    itself has no SQL form; the BIN of a planted exact-bin tone
+    does)."""
+
+    def __init__(self, binary_column: str = "payload",
+                 n_fft: int = 512, hop: int | None = None) -> None:
+        self._col = binary_column
+        self._n = n_fft
+        self._hop = hop or n_fft
+
+    def _features(self, payload: bytes):
+        samples, rate, ch = wav_decode(payload)
+        mono = samples.reshape(-1, ch)[:, 0].astype(np.float64)
+        n = self._n
+        if len(mono) < n:
+            return 0, -1, -1
+        n_frames = 1 + (len(mono) - n) // self._hop
+        starts = np.arange(n_frames) * self._hop
+        frames = mono[starts[:, None] + np.arange(n)[None, :]]
+        mag = np.abs(np.fft.rfft(frames, axis=1)).mean(axis=0)
+        dominant = int(mag.argmax())
+        return n_frames, dominant, dominant * rate // n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nf, db, dh = [], [], []
+        for b in batch.column(self._col).to_pylist():
+            a, bb, c = self._features(b)
+            nf.append(a)
+            db.append(bb)
+            dh.append(c)
+        out = {n: batch.column(n) for n in batch.column_names
+               if n != self._col}
+        out["n_frames"] = pa.array(nf, pa.int64())
+        out["dominant_bin"] = pa.array(db, pa.int64())
+        out["dominant_hz"] = pa.array(dh, pa.int64())
+        return pa.table(out)
+
+
 N_FEATURES = 16
 
 

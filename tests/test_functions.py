@@ -458,6 +458,53 @@ def test_decode_stage_real_gif():
     assert feats[12] == pytest.approx(1.0)  # bin 200//16
 
 
+def test_dhash64_invariances():
+    """The 64-bit difference hash: duplicate images collide, uniform
+    brightness shifts (no clipping) collide, a decoded-PNG round trip
+    collides with the raw raster, and the single-pixel degenerate
+    image hashes to zero."""
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 200, (12, 14), np.uint8)
+    h1 = multimodal.dhash64(img)
+    assert multimodal.dhash64(img.copy()) == h1
+    shifted = np.clip(img.astype(np.int64) + 10, 0, 255).astype(np.uint8)
+    assert multimodal.dhash64(shifted) == h1
+    assert multimodal.dhash64(
+        multimodal.png_luma(multimodal.png_decode(
+            multimodal.png_encode(img)))) == h1
+    assert multimodal.dhash64(np.array([[5]], np.uint8)) == (0, 0)
+    # halves stay in 32-bit signed range (two int64 SQL columns)
+    assert 0 <= h1[0] < 1 << 32 and 0 <= h1[1] < 1 << 32
+
+
+def test_spectrogram_stage_exact_bin_tone():
+    """SpectrogramStage: an exact-bin pure tone's dominant bin is its
+    cycle count (rectangular window, leakage-free), frames count
+    matches the hop arithmetic, and short payloads degrade to the
+    (0, -1, -1) sentinel."""
+    rate, n_fft, k = 8000, 512, 37
+    j = np.arange(4 * n_fft)
+    s = np.round(20000 * np.sin(2 * np.pi * k * j / n_fft)).astype(
+        np.int16)
+    stage = multimodal.SpectrogramStage(n_fft=n_fft)
+    out = stage(pa.table({"payload": pa.array(
+        [multimodal.wav_encode(s, rate, 1)], pa.binary())}))
+    row = out.to_pylist()[0]
+    assert (row["n_frames"], row["dominant_bin"],
+            row["dominant_hz"]) == (4, k, k * rate // n_fft)
+    # stereo: channel 0 carries the tone, channel 1 silence
+    st = np.zeros(2 * len(s), np.int16)
+    st[0::2] = s
+    row = stage(pa.table({"payload": pa.array(
+        [multimodal.wav_encode(st, rate, 2)], pa.binary())})).to_pylist()[0]
+    assert row["dominant_bin"] == k
+    # payload shorter than one window
+    row = stage(pa.table({"payload": pa.array(
+        [multimodal.wav_encode(s[:100], rate, 1)],
+        pa.binary())})).to_pylist()[0]
+    assert (row["n_frames"], row["dominant_bin"]) == (0, -1)
+
+
 def test_mp4_demux_roundtrip():
     """Hand-built MP4s through the REAL sample-table demux: variable
     stsz, multi-run stsc (chunk sizes 1/3/7), uniform stsz, co64
