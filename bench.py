@@ -292,6 +292,8 @@ BENCH_QUERIES = [
     "gif_roundtrip",
     "image_dhash",
     "audio_spectral",
+    "image_neardup",
+    "video_neardup",
     "wav_roundtrip",
     "mp4_frame_sample",
     "jsonl_roundtrip",
