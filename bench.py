@@ -294,6 +294,7 @@ BENCH_QUERIES = [
     "audio_spectral",
     "image_neardup",
     "video_neardup",
+    "audio_neardup",
     "wav_roundtrip",
     "mp4_frame_sample",
     "jsonl_roundtrip",

@@ -906,33 +906,51 @@ class SpectrogramStage:
     does)."""
 
     def __init__(self, binary_column: str = "payload",
-                 n_fft: int = 512, hop: int | None = None) -> None:
+                 n_fft: int = 512, hop: int | None = None,
+                 per_frame: bool = False) -> None:
         self._col = binary_column
         self._n = n_fft
         self._hop = hop or n_fft
+        self._per_frame = per_frame
 
-    def _features(self, payload: bytes):
+    def _spectra(self, payload: bytes):
         samples, rate, ch = wav_decode(payload)
         mono = samples.reshape(-1, ch)[:, 0].astype(np.float64)
         n = self._n
         if len(mono) < n:
-            return 0, -1, -1
+            return None, rate
         n_frames = 1 + (len(mono) - n) // self._hop
         starts = np.arange(n_frames) * self._hop
         frames = mono[starts[:, None] + np.arange(n)[None, :]]
-        mag = np.abs(np.fft.rfft(frames, axis=1)).mean(axis=0)
-        dominant = int(mag.argmax())
-        return n_frames, dominant, dominant * rate // n
+        return np.abs(np.fft.rfft(frames, axis=1)), rate
+
+    def _features(self, payload: bytes):
+        mags, rate = self._spectra(payload)
+        if mags is None:
+            return 0, -1, -1
+        dominant = int(mags.mean(axis=0).argmax())
+        return len(mags), dominant, dominant * rate // self._n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {n: batch.column(n) for n in batch.column_names
+               if n != self._col}
+        if self._per_frame:
+            # per-frame dominant bins: the spectral FINGERPRINT column
+            # (audio near-dup bucketing; amplitude-invariant)
+            bins_out = []
+            for b in batch.column(self._col).to_pylist():
+                mags, _rate = self._spectra(b)
+                bins_out.append(
+                    [] if mags is None
+                    else mags.argmax(axis=1).astype(np.int64).tolist())
+            out["frame_bins"] = pa.array(bins_out, pa.list_(pa.int64()))
+            return pa.table(out)
         nf, db, dh = [], [], []
         for b in batch.column(self._col).to_pylist():
             a, bb, c = self._features(b)
             nf.append(a)
             db.append(bb)
             dh.append(c)
-        out = {n: batch.column(n) for n in batch.column_names
-               if n != self._col}
         out["n_frames"] = pa.array(nf, pa.int64())
         out["dominant_bin"] = pa.array(db, pa.int64())
         out["dominant_hz"] = pa.array(dh, pa.int64())

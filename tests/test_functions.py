@@ -503,6 +503,22 @@ def test_spectrogram_stage_exact_bin_tone():
         [multimodal.wav_encode(s[:100], rate, 1)],
         pa.binary())})).to_pylist()[0]
     assert (row["n_frames"], row["dominant_bin"]) == (0, -1)
+    # per-frame fingerprint mode: a 3-tone chirp yields its bin
+    # sequence, amplitude-invariant (the audio_neardup key)
+    jj = np.arange(n_fft)
+    segs = [np.round(a * np.sin(2 * np.pi * kk * jj / n_fft))
+            for a, kk in ((20000, 11), (20000, 80), (20000, 7))]
+    chirp = np.concatenate(segs).astype(np.int16)
+    pf = multimodal.SpectrogramStage(n_fft=n_fft, per_frame=True)
+    row = pf(pa.table({"payload": pa.array(
+        [multimodal.wav_encode(chirp, rate, 1)],
+        pa.binary())})).to_pylist()[0]
+    assert row["frame_bins"] == [11, 80, 7]
+    half = (chirp.astype(np.int64) // 2).astype(np.int16)
+    row2 = pf(pa.table({"payload": pa.array(
+        [multimodal.wav_encode(half, rate, 1)],
+        pa.binary())})).to_pylist()[0]
+    assert row2["frame_bins"] == [11, 80, 7]
 
 
 def test_mp4_demux_roundtrip():
