@@ -628,6 +628,7 @@ def bfs_distances(
     seeds_ds,
     max_depth: int,
     broadcast_below: int = 2_000_000,
+    local_cutoff: int = 2_000_000,
 ):
     """Multi-source BFS: ``(id, dist)`` — the minimum hop distance from
     any seed to every node reachable within ``max_depth`` hops (the
@@ -677,6 +678,66 @@ def bfs_distances(
     # loops), and Ray 2.49's num_blocks() raises on lazy datasets
     edges_m = edges_ds.materialize()
     edges_nz = coalesce_nonempty(edges_m)  # None ⇔ 0-row edge table
+
+    # size-gated LOCAL finish (scc/cc/ktruss/msf/pagerank discipline):
+    # hop distances are integers, so one CSR BFS task is bit-identical
+    # to the per-round grouped-MIN exchanges; below the cutoff the
+    # whole fixpoint collapses into it.  Distributed rounds stay
+    # pinned by local_cutoff=0 forced-path tests and the callers'
+    # reference pins (bowtie's sequential-equality test rides this).
+    if settled.count() + edges_m.count() <= local_cutoff:
+        import ray as _ray
+
+        seed_refs = settled.to_arrow_refs()
+        edge_refs = edges_m.to_arrow_refs()
+
+        @_ray.remote
+        def _local(srefs, erefs, _depth=max_depth):
+            import ray as _r
+            stbls = _r.get(list(srefs))
+            etbls = _r.get(list(erefs))
+
+            def col(tbls, name):
+                arrs = [t.column(name).combine_chunks().to_numpy(
+                    zero_copy_only=False) for t in tbls if t.num_rows]
+                return (np.concatenate(arrs) if arrs
+                        else np.empty(0, np.int64))
+
+            seeds = np.unique(col(stbls, "id"))
+            src = col(etbls, "src")
+            dst = col(etbls, "dst")
+            ids = np.unique(np.concatenate((seeds, src, dst)))
+            si = np.searchsorted(ids, src)
+            di = np.searchsorted(ids, dst)
+            order = np.argsort(si, kind="stable")
+            s2, d2 = si[order], di[order]
+            starts = np.searchsorted(s2, np.arange(len(ids)))
+            ends = np.searchsorted(s2, np.arange(len(ids)),
+                                   side="right")
+            dist = np.full(len(ids), -1, np.int64)
+            frontier = np.searchsorted(ids, seeds)
+            dist[frontier] = 0
+            for k in range(1, _depth + 1):
+                if not len(frontier):
+                    break
+                # all out-neighbors of the frontier, vectorized gather
+                spans = [d2[starts[v]:ends[v]] for v in frontier.tolist()]
+                if spans:
+                    nbrs = np.unique(np.concatenate(spans)
+                                     if spans else np.empty(0, np.int64))
+                else:
+                    nbrs = np.empty(0, np.int64)
+                new = nbrs[dist[nbrs] == -1] if len(nbrs) else nbrs
+                dist[new] = k
+                frontier = new
+            reached = dist >= 0
+            return pa.table({
+                "id": pa.array(ids[reached], pa.int64()),
+                "dist": pa.array(dist[reached], pa.int64()),
+            })
+
+        return ray.data.from_arrow_refs(
+            [_local.remote(seed_refs, edge_refs)])
 
     for k in range(1, max_depth + 1):
         n_frontier = frontier.count()
@@ -752,6 +813,7 @@ def weighted_distances(
     seeds_ds,
     rounds: int,
     broadcast_below: int = 2_000_000,
+    local_cutoff: int = 2_000_000,
 ):
     """Bounded multi-source WEIGHTED shortest paths: ``(id, cost)`` —
     the minimum total edge weight over paths of **at most** ``rounds``
@@ -794,6 +856,56 @@ def weighted_distances(
     edges_nz = coalesce_nonempty(edges_m)
     if edges_nz is None:
         return labels
+
+    # size-gated LOCAL finish (the bfs_distances discipline): the
+    # hop-bounded Bellman-Ford labels are integers and the relaxation
+    # is a pure min-fold, so ``rounds`` vectorized np.minimum.at
+    # sweeps in one task are bit-identical to the per-round
+    # grouped-MIN exchanges (delta restriction is an optimization,
+    # not a semantic); distributed rounds stay pinned by
+    # local_cutoff=0 forced-path tests.
+    if labels.count() + edges_m.count() <= local_cutoff:
+        seed_refs = labels.to_arrow_refs()
+        edge_refs = edges_m.to_arrow_refs()
+
+        @ray.remote
+        def _local(srefs, erefs, _rounds=rounds):
+            import ray as _r
+            stbls = _r.get(list(srefs))
+            etbls = _r.get(list(erefs))
+
+            def col(tbls, name):
+                arrs = [t.column(name).combine_chunks().to_numpy(
+                    zero_copy_only=False) for t in tbls if t.num_rows]
+                return (np.concatenate(arrs) if arrs
+                        else np.empty(0, np.int64))
+
+            seeds = np.unique(col(stbls, "id"))
+            src = col(etbls, "src")
+            dst = col(etbls, "dst")
+            w = col(etbls, "w")
+            ids = np.unique(np.concatenate((seeds, src, dst)))
+            si = np.searchsorted(ids, src)
+            di = np.searchsorted(ids, dst)
+            INF = np.int64(2**62)
+            d = np.full(len(ids), INF, np.int64)
+            d[np.searchsorted(ids, seeds)] = 0
+            for _ in range(_rounds):
+                nd = d.copy()
+                live = d[si] < INF
+                if live.any():
+                    np.minimum.at(nd, di[live], d[si[live]] + w[live])
+                if np.array_equal(nd, d):
+                    break
+                d = nd
+            reached = d < INF
+            return pa.table({
+                "id": pa.array(ids[reached], pa.int64()),
+                "cost": pa.array(d[reached], pa.int64()),
+            })
+
+        return ray.data.from_arrow_refs(
+            [_local.remote(seed_refs, edge_refs)])
 
     for _ in range(rounds):
         n_frontier = frontier.count()
@@ -3715,7 +3827,8 @@ _MSD_INF = np.int64(2**62)  # unreached sentinel; min-safe, never summed
 
 
 def multi_source_distances(edges_ds, seeds: "np.ndarray", max_depth: int,
-                           broadcast_below: int = 2_000_000):
+                           broadcast_below: int = 2_000_000,
+                           local_cutoff: int = 2_000_000):
     """Per-seed hop distances from K fixed seeds in ONE fixpoint:
     ``(id, d0..d{K-1})`` rows with ``dk`` = hop distance from
     ``seeds[k]`` (``_MSD_INF`` sentinel when unreached within
@@ -3749,6 +3862,57 @@ def multi_source_distances(edges_ds, seeds: "np.ndarray", max_depth: int,
 
     edges_m = edges_ds.materialize()
     edges_nz = coalesce_nonempty(edges_m)
+
+    # size-gated LOCAL finish (the bfs_distances discipline): K CSR
+    # BFS passes in one task — integer hops, bit-identical to the
+    # per-round grouped-MIN exchanges, which stay pinned by
+    # local_cutoff=0 forced-path tests
+    if K + edges_m.count() <= local_cutoff:
+        edge_refs = edges_m.to_arrow_refs()
+
+        @ray.remote
+        def _local(erefs, _seeds=seeds, _depth=max_depth, _K=K):
+            import ray as _r
+            etbls = _r.get(list(erefs))
+
+            def col(name):
+                arrs = [t.column(name).combine_chunks().to_numpy(
+                    zero_copy_only=False) for t in etbls if t.num_rows]
+                return (np.concatenate(arrs) if arrs
+                        else np.empty(0, np.int64))
+
+            src = col("src")
+            dst = col("dst")
+            ids = np.unique(np.concatenate((_seeds, src, dst)))
+            si = np.searchsorted(ids, src)
+            di = np.searchsorted(ids, dst)
+            order = np.argsort(si, kind="stable")
+            s2, d2 = si[order], di[order]
+            starts = np.searchsorted(s2, np.arange(len(ids)))
+            ends = np.searchsorted(s2, np.arange(len(ids)),
+                                   side="right")
+            dists = np.full((_K, len(ids)), _MSD_INF, np.int64)
+            for k in range(_K):
+                root = int(np.searchsorted(ids, _seeds[k]))
+                dists[k, root] = 0
+                frontier = [root]
+                for r in range(1, _depth + 1):
+                    if not frontier:
+                        break
+                    spans = [d2[starts[v]:ends[v]] for v in frontier]
+                    nbrs = (np.unique(np.concatenate(spans))
+                            if spans else np.empty(0, np.int64))
+                    new = nbrs[dists[k, nbrs] == _MSD_INF] \
+                        if len(nbrs) else nbrs
+                    dists[k, new] = r
+                    frontier = new.tolist()
+            reached = (dists < _MSD_INF).any(axis=0)
+            out = {"id": pa.array(ids[reached], pa.int64())}
+            for k in range(_K):
+                out[f"d{k}"] = pa.array(dists[k, reached], pa.int64())
+            return pa.table(out)
+
+        return ray.data.from_arrow_refs([_local.remote(edge_refs)])
 
     init = {}
     for k in range(K):

@@ -2648,11 +2648,14 @@ def test_bfs_distances_matches_reference_both_paths(ray_session):
     ).repartition(8).materialize()
     seeds_ds = ray.data.from_items([{"id": s} for s in seeds])
 
-    for bb in (2_000_000, 0):   # broadcast path, then forced join path
+    # (broadcast_below, local_cutoff): one-task local CSR BFS (default
+    # gate), distributed broadcast rounds, forced join rounds
+    for bb, lc in ((2_000_000, 2_000_000), (2_000_000, 0), (0, 0)):
         out = bfs_distances(edges_ds, seeds_ds, max_depth=4,
-                            broadcast_below=bb).take_all()
+                            broadcast_below=bb,
+                            local_cutoff=lc).take_all()
         got = {r["id"]: r["dist"] for r in out}
-        assert got == ref, f"path bb={bb}"
+        assert got == ref, f"bb={bb} lc={lc}"
 
 
 def test_bfs_distances_empty_frontier_short_circuit(ray_session):
@@ -2716,11 +2719,13 @@ def test_weighted_distances_matches_reference_both_paths(ray_session):
     ).repartition(8).materialize()
     seeds_ds = ray.data.from_items([{"id": s} for s in seeds])
 
-    for bb in (2_000_000, 0):   # broadcast path, then forced join path
+    # local relaxation gate (default), broadcast rounds, forced join
+    for bb, lc in ((2_000_000, 2_000_000), (2_000_000, 0), (0, 0)):
         out = weighted_distances(edges_ds, seeds_ds, rounds=4,
-                                 broadcast_below=bb).take_all()
+                                 broadcast_below=bb,
+                                 local_cutoff=lc).take_all()
         got = {r["id"]: r["cost"] for r in out}
-        assert got == ref, f"path bb={bb}"
+        assert got == ref, f"bb={bb} lc={lc}"
 
 
 def test_weighted_distances_all_unit_weights_equals_bfs(ray_session):
@@ -4161,9 +4166,11 @@ def test_multi_source_distances_matches_sequential(ray_session):
         refs = [_bfs_seq(adj, int(s), depth) for s in seeds]
         e = ray.data.from_arrow(pa.table({
             "src": pa.array(src), "dst": pa.array(dst)})).repartition(4)
-        for bb in (2_000_000, 0):   # broadcast, then forced join path
+        # local CSR gate (default), broadcast rounds, forced join rounds
+        for bb, lc in ((2_000_000, 2_000_000), (2_000_000, 0), (0, 0)):
             state = multi_source_distances(e, seeds, depth,
-                                           broadcast_below=bb).take_all()
+                                           broadcast_below=bb,
+                                           local_cutoff=lc).take_all()
             got = {r["id"]: [r[f"d{k}"] for k in range(len(seeds))]
                    for r in state}
             # every (node, seed) either matches the BFS distance or is
