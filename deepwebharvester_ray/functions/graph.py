@@ -3096,7 +3096,8 @@ def _anf_estimate(regs: np.ndarray) -> np.ndarray:
 
 
 def neighborhood_function(nodes_ds, edges_ds, rounds: int,
-                          broadcast_below: int = 2_000_000):
+                          broadcast_below: int = 2_000_000,
+                          local_cutoff: int = 2_000_000):
     """HyperANF (Boldi–Rosa–Vigna 2011) — the approximate NEIGHBORHOOD
     FUNCTION of a directed graph: for r = 0..rounds, N(r) ≈ the number
     of (source, reachable-node) pairs within ≤ r hops, from which the
@@ -3154,6 +3155,57 @@ def neighborhood_function(nodes_ds, edges_ds, rounds: int,
         runtime_env=runtime_env()).sum("s"))]
 
     n_nodes = state.count()
+
+    # size-gated LOCAL finish (bfs-family discipline): the register
+    # merge is an idempotent per-register MAX, so one task iterates
+    # the whole HyperANF recurrence over an (n, m) uint8 matrix —
+    # registers bit-identical to the grouped-MAX rounds (the curve's
+    # float SUM may differ in final ulps from the blockwise
+    # distributed sum; the estimator's error is ~18 %, and the
+    # operator is rows-only by contract).  Distributed rounds stay
+    # pinned by local_cutoff=0 forced-path tests.
+    if n_nodes + edges_m.count() <= local_cutoff:
+        state_refs = state.to_arrow_refs()
+        edge_refs = edges_m.to_arrow_refs()
+
+        @ray.remote
+        def _local(srefs, erefs, _rounds=rounds):
+            import ray as _r
+            stbls = [t for t in _r.get(list(srefs)) if t.num_rows]
+            etbls = [t for t in _r.get(list(erefs)) if t.num_rows]
+
+            def col(tbls, name, dt):
+                arrs = [t.column(name).combine_chunks().to_numpy(
+                    zero_copy_only=False) for t in tbls]
+                return (np.concatenate(arrs) if arrs
+                        else np.empty(0, dt))
+
+            ids = col(stbls, "id", np.int64)
+            regs = (np.column_stack([col(stbls, c, np.uint8)
+                                     for c in _ANF_COLS])
+                    if len(ids) else np.zeros((0, _ANF_M), np.uint8))
+            order = np.argsort(ids)
+            ids, regs = ids[order], regs[order]
+            src = col(etbls, "src", np.int64)
+            dst = col(etbls, "dst", np.int64)
+            si = np.searchsorted(ids, src)
+            di = np.searchsorted(ids, dst)
+            rs = [0]
+            ests = [float(np.sum(_anf_estimate(regs)))]
+            for r in range(1, _rounds + 1):
+                new = regs.copy()
+                if len(si):
+                    np.maximum.at(new, di, regs[si])
+                regs = new
+                rs.append(r)
+                ests.append(float(np.sum(_anf_estimate(regs))))
+            return pa.table({
+                "r": pa.array(rs, pa.int64()),
+                "reach_est": pa.array(ests, pa.float64()),
+            })
+
+        return ray.get(_local.remote(state_refs, edge_refs))
+
     for r in range(1, rounds + 1):
         if n_nodes < broadcast_below:
             rows = state.take_all()
@@ -3217,7 +3269,8 @@ _STRESS_DINF = 63               # unreached distance sentinel (6 bits)
 
 
 def stress_centrality(edges_ds, seeds: "np.ndarray", max_depth: int,
-                      broadcast_below: int = 2_000_000):
+                      broadcast_below: int = 2_000_000,
+                      local_cutoff: int = 2_000_000):
     """Sampled stress centrality (Shimbel 1953 / the integer-exact
     member of the Brandes pivot family, Brandes–Pich 2007): for every
     node v, the NUMBER of shortest-path triples (s, t, π) with s in the
@@ -3297,6 +3350,70 @@ def stress_centrality(edges_ds, seeds: "np.ndarray", max_depth: int,
 
     edges_m = edges_ds.materialize()
     edges_nz = coalesce_nonempty(edges_m)
+
+    # size-gated LOCAL finish (the bfs-family discipline): both
+    # Brandes phases are exact-integer layer recurrences, so one task
+    # runs them per seed over raw edge arrays (multi-edge
+    # multiplicities preserved — the distributed grouped-SUM counts
+    # every edge row) bit-identically; distributed rounds stay pinned
+    # by local_cutoff=0 forced-path tests and the sequential-reference
+    # equality tests.
+    if K + edges_m.count() <= local_cutoff:
+        edge_refs = edges_m.to_arrow_refs()
+
+        @ray.remote
+        def _local(erefs, _seeds=seeds, _depth=max_depth, _K=K):
+            import ray as _r
+            etbls = _r.get(list(erefs))
+
+            def col(name):
+                arrs = [t.column(name).combine_chunks().to_numpy(
+                    zero_copy_only=False) for t in etbls if t.num_rows]
+                return (np.concatenate(arrs) if arrs
+                        else np.empty(0, np.int64))
+
+            src = col("src")
+            dst = col("dst")
+            ids = np.unique(np.concatenate((_seeds, src, dst)))
+            si = np.searchsorted(ids, src)
+            di = np.searchsorted(ids, dst)
+            n = len(ids)
+            INF = np.int64(2**62)
+            stress = np.zeros(n, np.int64)
+            reached_any = np.zeros(n, bool)
+            for k in range(_K):
+                d = np.full(n, INF, np.int64)
+                sig = np.zeros(n, np.int64)
+                root = int(np.searchsorted(ids, _seeds[k]))
+                d[root] = 0
+                sig[root] = 1
+                for r in range(1, _depth + 1):
+                    mask = d[si] == r - 1
+                    if not mask.any():
+                        break
+                    cand = np.zeros(n, np.int64)
+                    np.add.at(cand, di[mask], sig[si[mask]])
+                    new = (d == INF) & (cand > 0)
+                    d[new] = r
+                    sig[new] = cand[new]
+                # backward: P(v) = Σ_{(v,w): d(w)=d(v)+1} (1 + P(w)),
+                # deepest layer first
+                P = np.zeros(n, np.int64)
+                top = int(d[d < INF].max()) if (d < INF).any() else 0
+                for r in range(top - 1, -1, -1):
+                    mask = (d[si] == r) & (d[di] == r + 1)
+                    if mask.any():
+                        np.add.at(P, si[mask], 1 + P[di[mask]])
+                term = sig * P
+                term[root] = 0                 # endpoint exclusion
+                stress += term
+                reached_any |= d < INF
+            return pa.table({
+                "id": pa.array(ids[reached_any], pa.int64()),
+                "stress": pa.array(stress[reached_any], pa.int64()),
+            })
+
+        return ray.data.from_arrow_refs([_local.remote(edge_refs)])
 
     # ---- forward: seed rows (d=0, sigma=1) for each seed's own column
     init_cols = {}

@@ -3671,11 +3671,19 @@ def test_neighborhood_function_join_path_agrees(ray_session):
          zip(rng.integers(0, n, 80), rng.integers(0, n, 80))]
     ).repartition(4).materialize()
     nodes_ds = ray.data.from_items([{"id": i} for i in range(n)])
-    a = neighborhood_function(nodes_ds, edges_ds, rounds=3)
+    a = neighborhood_function(nodes_ds, edges_ds, rounds=3,
+                              local_cutoff=0)  # distributed broadcast
     b = neighborhood_function(nodes_ds, edges_ds, rounds=3,
-                              broadcast_below=0)  # forced join path
+                              broadcast_below=0,
+                              local_cutoff=0)  # forced join path
     assert a.column("reach_est").to_pylist() == \
         b.column("reach_est").to_pylist()
+    # the local-gate registers are bit-identical; the curve's float
+    # SUM may differ only in final ulps from the blockwise sums
+    c = neighborhood_function(nodes_ds, edges_ds, rounds=3)
+    for x, y in zip(a.column("reach_est").to_pylist(),
+                    c.column("reach_est").to_pylist()):
+        assert x == pytest.approx(y, rel=1e-9)
 
 
 def _stress_ref(edges, seeds, max_depth):
@@ -3775,11 +3783,12 @@ def test_stress_centrality_join_path_agrees(ray_session):
         [{"src": s, "dst": d} for s, d in edges]).repartition(5)
     a = {r["id"]: r["stress"]
          for r in stress_centrality(edges_ds, np.array(seeds),
-                                    max_depth=5).take_all()}
+                                    max_depth=5,
+                                    local_cutoff=0).take_all()}
     b = {r["id"]: r["stress"]
          for r in stress_centrality(edges_ds, np.array(seeds),
-                                    max_depth=5,
-                                    broadcast_below=0).take_all()}
+                                    max_depth=5, broadcast_below=0,
+                                    local_cutoff=0).take_all()}
     assert {v: c for v, c in a.items() if c} == \
         {v: c for v, c in b.items() if c}
     assert {v: c for v, c in a.items() if c} == \
