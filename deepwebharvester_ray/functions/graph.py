@@ -3940,6 +3940,75 @@ def bowtie_decomposition(nodes_ds, edges_ds, max_rounds: int = 100):
                           pa.int64())})
 
 
+def triangle_tallies_local(ue_ds, local_cutoff: int = 2_000_000):
+    """Below-cutoff branch for the ordered-wedge triangle family
+    (triangle_count / local_clustering): ONE task computes per-node
+    ``(node, deg, tri)`` and the global triangle count from a
+    materialized canonical ``u<v`` edge Dataset — each triangle found
+    once at its lowest edge via higher-neighbor sorted-array
+    intersections, exactly the u<v<w wedge-join semantics.  Returns a
+    ``(per_node_dataset, n_triangles)`` pair, or ``None`` above the
+    cutoff (callers fall through to the distributed wedge plan, which
+    stays pinned by the shared SQL oracles)."""
+    import ray
+
+    if ue_ds.count() > local_cutoff:
+        return None
+    edge_refs = ue_ds.to_arrow_refs()
+
+    @ray.remote
+    def _local(erefs):
+        import ray as _r
+        etbls = _r.get(list(erefs))
+
+        def col(name):
+            arrs = [t.column(name).combine_chunks().to_numpy(
+                zero_copy_only=False) for t in etbls if t.num_rows]
+            return (np.concatenate(arrs) if arrs
+                    else np.empty(0, np.int64))
+
+        u = col("u")
+        v = col("v")
+        ids = np.unique(np.concatenate((u, v)))
+        ui = np.searchsorted(ids, u)
+        vi = np.searchsorted(ids, v)
+        n = len(ids)
+        deg = np.zeros(n, np.int64)
+        np.add.at(deg, ui, 1)
+        np.add.at(deg, vi, 1)
+        # higher-neighbor adjacency: N+(x) = sorted {w index : (x, w)}
+        order = np.argsort(ui, kind="stable")
+        s2, d2 = ui[order], vi[order]
+        starts = np.searchsorted(s2, np.arange(n))
+        ends = np.searchsorted(s2, np.arange(n), side="right")
+        nbr = [np.sort(d2[starts[x]:ends[x]]) for x in range(n)]
+        tri = np.zeros(n, np.int64)
+        total = 0
+        for a, b in zip(ui.tolist(), vi.tolist()):
+            common = np.intersect1d(nbr[a], nbr[b],
+                                    assume_unique=True)
+            if len(common):
+                tri[a] += len(common)
+                tri[b] += len(common)
+                np.add.at(tri, common, 1)
+                total += len(common)
+        return pa.table({
+            "node": pa.array(ids, pa.int64()),
+            "deg": pa.array(deg, pa.int64()),
+            "tri": pa.array(tri, pa.int64()),
+            "n_total": pa.array(np.full(n, total, np.int64), pa.int64()),
+        })
+
+    ref = _local.remote(edge_refs)
+    ds = ray.data.from_arrow_refs([ref])
+    # total rides every row; read it from the first block's metadata-
+    # free single row only when the caller needs the scalar
+    first = ray.get(ref)
+    total = int(first.column("n_total")[0].as_py()) if first.num_rows \
+        else 0
+    return ds.drop_columns(["n_total"]), total
+
+
 _MSD_INF = np.int64(2**62)  # unreached sentinel; min-safe, never summed
 
 
