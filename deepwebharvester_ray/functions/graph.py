@@ -2173,26 +2173,117 @@ def bridge_edges(nodes_ds, edges_ds, max_rounds: int = 64,
                                  runtime_env=runtime_env())
 
 
+def _concat_aranges(counts: "np.ndarray") -> "np.ndarray":
+    """``[0..c0-1, 0..c1-1, ...]`` concatenated — the offset vector for
+    vectorized CSR slice gathers (one arange + one repeat, no loop)."""
+    total = int(counts.sum())
+    out = np.arange(total, dtype=np.int64)
+    if len(counts):
+        starts = np.cumsum(counts) - counts
+        out -= np.repeat(starts, counts)
+    return out
+
+
+def _enumerate_triangles(u: "np.ndarray", v: "np.ndarray",
+                         chunk_wedges: int = 20_000_000):
+    """Every triangle ``a<b<c`` of a DEDUPED canonical ``u<v`` edge
+    list, fully vectorized (no per-edge Python loop): wedge expansion
+    on the middle vertex (for edge (a,b), candidates c ∈ N+(b)) plus
+    one sorted-edge-key searchsorted membership probe per wedge — the
+    same u<v<w ordered-wedge semantics as the distributed plan, so
+    each triangle is found exactly once.  Edges are processed in
+    chunks so the wedge expansion never materializes more than
+    ~``chunk_wedges`` rows at a time (bounds the task's memory on
+    skewed graphs near the local cutoff).
+
+    Returns ``(ids, ui, vi, ta, tb, tc)``: compacted node ids, the
+    edge endpoints as indices into ``ids``, and one (a,b,c) index
+    triple per triangle."""
+    ids = np.unique(np.concatenate((u, v))) if len(u) else np.empty(
+        0, np.int64)
+    ui = np.searchsorted(ids, u)
+    vi = np.searchsorted(ids, v)
+    n = len(ids)
+    empty = np.empty(0, np.int64)
+    if not len(ui):
+        return ids, ui, vi, empty, empty, empty
+    order = np.argsort(ui, kind="stable")
+    s2, d2 = ui[order], vi[order]
+    starts = np.searchsorted(s2, np.arange(n))
+    cnt = np.searchsorted(s2, np.arange(n), side="right") - starts
+    ekeys = np.sort(ui.astype(np.uint64) * np.uint64(n)
+                    + vi.astype(np.uint64))
+    m_all = cnt[vi]
+    cum = np.cumsum(m_all)
+    tas, tbs, tcs = [], [], []
+    lo = 0
+    while lo < len(ui):
+        base = int(cum[lo - 1]) if lo else 0
+        hi = int(np.searchsorted(cum, base + chunk_wedges)) + 1
+        hi = min(max(hi, lo + 1), len(ui))
+        a, b, m = ui[lo:hi], vi[lo:hi], m_all[lo:hi]
+        off = np.repeat(starts[b], m) + _concat_aranges(m)
+        wc = d2[off]
+        wa = np.repeat(a, m)
+        keys = wa.astype(np.uint64) * np.uint64(n) + wc.astype(np.uint64)
+        pos = np.searchsorted(ekeys, keys)
+        pos[pos >= len(ekeys)] = len(ekeys) - 1
+        closed = ekeys[pos] == keys
+        tas.append(wa[closed])
+        tbs.append(np.repeat(b, m)[closed])
+        tcs.append(wc[closed])
+        lo = hi
+    return (ids, ui, vi, np.concatenate(tas), np.concatenate(tbs),
+            np.concatenate(tcs))
+
+
 def _ktruss_local(u: "np.ndarray", v: "np.ndarray", min_sup: int):
     """LOCAL k-truss peel (one Ray task, size-gated): simultaneous
     removal of every edge with triangle support < min_sup until
     fixpoint.  The k-truss is the UNIQUE maximal subgraph with the
     property, so any peel order — this one, or the distributed
-    wedge-join rounds — converges to the same edge set."""
-    edges = set(zip(u.tolist(), v.tolist()))
+    wedge-join rounds — converges to the same edge set.
+
+    Vectorized (no per-round Python set rebuild): the triangle list is
+    enumerated once (:func:`_enumerate_triangles`), each triangle is
+    mapped to its three edge ids, and the peel maintains per-edge
+    support incrementally — a killed edge retires its triangles and
+    decrements the surviving edges' support via ``np.bincount``, so
+    total peel work is O(triangles + rounds·edges) numpy, not
+    O(rounds·E·deg) Python."""
+    if not len(u):
+        return u.astype(np.int64), v.astype(np.int64)
+    ids, ui, vi, ta, tb, tc = _enumerate_triangles(u, v)
+    n = len(ids)
+    E = len(ui)
+    ekeys = ui.astype(np.uint64) * np.uint64(n) + vi.astype(np.uint64)
+    eorder = np.argsort(ekeys)
+    ekeys_s = ekeys[eorder]
+
+    def eid(x, y):  # edge index of (x, y), x < y — always present here
+        return eorder[np.searchsorted(ekeys_s, x.astype(np.uint64)
+                                      * np.uint64(n)
+                                      + y.astype(np.uint64))]
+
+    e1, e2, e3 = eid(ta, tb), eid(ta, tc), eid(tb, tc)
+    alive_e = np.ones(E, bool)
+    tri_alive = np.ones(len(ta), bool)
+    sup = (np.bincount(e1, minlength=E) + np.bincount(e2, minlength=E)
+           + np.bincount(e3, minlength=E))
     while True:
-        nbrs: dict = {}
-        for a, b in edges:
-            nbrs.setdefault(a, set()).add(b)
-            nbrs.setdefault(b, set()).add(a)
-        drop = [e for e in edges
-                if len(nbrs[e[0]] & nbrs[e[1]]) < min_sup]
-        if not drop:
+        kill = alive_e & (sup < min_sup)
+        if not kill.any():
             break
-        edges -= set(drop)
-    out = sorted(edges)
-    return (np.array([a for a, _ in out], np.int64),
-            np.array([b for _, b in out], np.int64))
+        alive_e &= ~kill
+        dead_t = tri_alive & ~(alive_e[e1] & alive_e[e2] & alive_e[e3])
+        if dead_t.any():
+            retired = np.concatenate([e1[dead_t], e2[dead_t], e3[dead_t]])
+            sup -= np.bincount(retired, minlength=E)
+            tri_alive &= ~dead_t
+    keep = np.flatnonzero(alive_e)
+    order = np.lexsort((vi[keep], ui[keep]))
+    keep = keep[order]
+    return ids[ui[keep]], ids[vi[keep]]
 
 
 def ktruss_edges(edges_ds, k: int, max_rounds: int = 64,
@@ -3956,7 +4047,7 @@ def triangle_tallies_local(ue_ds, local_cutoff: int = 2_000_000):
         return None
     edge_refs = ue_ds.to_arrow_refs()
 
-    @ray.remote
+    @ray.remote(num_returns=2)
     def _local(erefs):
         import ray as _r
         etbls = _r.get(list(erefs))
@@ -3969,44 +4060,26 @@ def triangle_tallies_local(ue_ds, local_cutoff: int = 2_000_000):
 
         u = col("u")
         v = col("v")
-        ids = np.unique(np.concatenate((u, v)))
-        ui = np.searchsorted(ids, u)
-        vi = np.searchsorted(ids, v)
+        ids, ui, vi, ta, tb, tc = _enumerate_triangles(u, v)
         n = len(ids)
-        deg = np.zeros(n, np.int64)
-        np.add.at(deg, ui, 1)
-        np.add.at(deg, vi, 1)
-        # higher-neighbor adjacency: N+(x) = sorted {w index : (x, w)}
-        order = np.argsort(ui, kind="stable")
-        s2, d2 = ui[order], vi[order]
-        starts = np.searchsorted(s2, np.arange(n))
-        ends = np.searchsorted(s2, np.arange(n), side="right")
-        nbr = [np.sort(d2[starts[x]:ends[x]]) for x in range(n)]
-        tri = np.zeros(n, np.int64)
-        total = 0
-        for a, b in zip(ui.tolist(), vi.tolist()):
-            common = np.intersect1d(nbr[a], nbr[b],
-                                    assume_unique=True)
-            if len(common):
-                tri[a] += len(common)
-                tri[b] += len(common)
-                np.add.at(tri, common, 1)
-                total += len(common)
-        return pa.table({
+        deg = (np.bincount(ui, minlength=n)
+               + np.bincount(vi, minlength=n)).astype(np.int64)
+        tri = (np.bincount(ta, minlength=n)
+               + np.bincount(tb, minlength=n)
+               + np.bincount(tc, minlength=n)).astype(np.int64)
+        tbl = pa.table({
             "node": pa.array(ids, pa.int64()),
             "deg": pa.array(deg, pa.int64()),
             "tri": pa.array(tri, pa.int64()),
-            "n_total": pa.array(np.full(n, total, np.int64), pa.int64()),
         })
+        return tbl, len(ta)
 
-    ref = _local.remote(edge_refs)
-    ds = ray.data.from_arrow_refs([ref])
-    # total rides every row; read it from the first block's metadata-
-    # free single row only when the caller needs the scalar
-    first = ray.get(ref)
-    total = int(first.column("n_total")[0].as_py()) if first.num_rows \
-        else 0
-    return ds.drop_columns(["n_total"]), total
+    # two returns: the per-node block stays in the object store (it
+    # feeds the Dataset directly); only the scalar triangle count is
+    # ray.get-ed on the driver — never the table (ADVICE r4).
+    tbl_ref, total_ref = _local.remote(edge_refs)
+    ds = ray.data.from_arrow_refs([tbl_ref])
+    return ds, int(ray.get(total_ref))
 
 
 _MSD_INF = np.int64(2**62)  # unreached sentinel; min-safe, never summed

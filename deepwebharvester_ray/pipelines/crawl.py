@@ -539,7 +539,7 @@ def _generation_dataplane(
         Path(stale).unlink()  # a longer previous run's shards
     claims_ref = ray.put(set())
     counter_futs, state_futs, acc_refs, prop_refs = [], [], [], []
-    commit_futs: list = []
+    commit_key_refs: list = []
     for k, sids_k in enumerate(ranges):
         sub_states = {sid: states[sid] for sid in sids_k}
         sub_delays = {
@@ -558,14 +558,19 @@ def _generation_dataplane(
         state_futs.append(st_ref)
         acc_refs.append(a_ref)
         prop_refs.append(p_ref)
-        # pool commit runs as its own task AFTER this generation's
-        # replay (claims_ref of the LAST link gates nothing here — the
-        # commit's inputs are this link's own outputs, which exist only
-        # once the link completed; no same-generation read can observe
-        # the inserts, so a killed-and-retried commit is idempotent)
-        commit_futs.append(tasks["commit"].remote(
+        commit_key_refs.append((mk_ref, nh_ref))
+    # pool commits launch only now, each gated on the chain's FINAL
+    # claims_ref (an ordering-only argument): Ray cannot schedule any
+    # commit until every replay link has returned, so no
+    # same-generation pool_contains read can observe the inserts — the
+    # invariant _commit_shard's retry-safety argument documents, made
+    # structural.  A killed-and-retried commit stays idempotent.
+    commit_futs = [
+        tasks["commit"].remote(
             cfg, marks_pool.shard_handles, hash_pool.shard_handles,
-            mk_ref, nh_ref))
+            mk_ref, nh_ref, claims_ref)
+        for mk_ref, nh_ref in commit_key_refs
+    ]
 
     agg: Dict[str, int] = {}
     for c in ray.get(counter_futs):

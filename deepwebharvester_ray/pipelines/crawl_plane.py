@@ -373,14 +373,23 @@ def _chaos_kill_once(marker_path: str) -> None:
 
 
 def _commit_shard(cfg: CrawlSettings, marks_handles, hash_handles,
-                  mark_keys, new_hashes) -> int:
+                  mark_keys, new_hashes, _all_links_done=None) -> int:
     """Post-replay pool commit for one replay shard (Ray task): insert
-    the generation's new marks/hashes into the seen pools.  Runs AFTER
-    every replay link of the generation has returned, so no
-    same-generation read can observe these inserts — which makes a
-    SIGKILL-and-retry of this task safe: set-inserts are idempotent
+    the generation's new marks/hashes into the seen pools.
+
+    ``_all_links_done`` is an ordering dependency only — the caller
+    passes the generation's FINAL claims ref, so Ray cannot schedule
+    any commit until every replay link of the generation has returned
+    (the claims chain completes in link order).  That enforces the
+    invariant the safety argument rests on: no same-generation
+    pool_contains read can observe these inserts, which makes a
+    SIGKILL-and-retry of this task safe — set-inserts are idempotent
     and nothing consults the pools again until the next generation's
-    prep/replay tasks (all gated on this task's completion)."""
+    prep/replay tasks (all gated on this task's completion).  Even
+    without the gate the decisions would be unchanged (each link's
+    known_hashes is pool ∪ claims, and the claims chain already
+    carries every same-generation hash), but the gate makes the
+    documented ordering structural rather than incidental."""
     pool_insert(marks_handles, mark_keys)
     pool_insert(hash_handles, new_hashes)
     if cfg.chaos_kill_marker:
