@@ -78,6 +78,16 @@ class CrawlSettings:
     # order (equivalence pinned by test_crawl).
     frontier_shards: Optional[int] = None
     extract_batch_size: int = 128   # pages per Arrow batch in the extract stage
+    # Fetch-membership broadcast cutoff: a generation whose scheduled
+    # fetch set exceeds this many URLs stops ray.put-ing ONE sorted
+    # hash array (every worker would deserialize the whole set) and
+    # instead co-partitions the hashes with the corpus's host_bucket
+    # layout — each per-bucket read gets only ITS bucket's hash ref,
+    # a partitioned semi-join on the partitioning key the corpus
+    # already has (per-worker memory O(fetch/buckets)).  None →
+    # pipelines.crawl.FETCH_BROADCAST_CUTOFF; 0 forces the bucketed
+    # path (tests).
+    fetch_broadcast_cutoff: Optional[int] = None
     extract_concurrency: Optional[int] = None  # None → Ray decides (task pool)
     # Fault injection (chaos tests only): path to a marker file.  The
     # FIRST sharded replay task to find it absent creates it atomically

@@ -125,6 +125,68 @@ def broadcast_frontier_hashes(urls) -> "object":
     return ray.put(np.sort(batch_url_hash64(list(urls))))
 
 
+# Above this many scheduled fetch URLs per generation, the membership
+# filter stops broadcasting ONE hash array (every worker deserializes
+# the whole set — ~8 bytes/URL each, but per-WORKER) and co-partitions
+# the hashes with the corpus's host_bucket layout instead: each
+# per-bucket read ships only its bucket's sorted hash ref — a
+# partitioned semi-join on the partitioning key the corpus already has
+# (the VERIFY_BROADCAST_CUTOFF idiom, functions/dedup.py).  Per-worker
+# memory drops to O(fetch / N_BUCKETS); results are identical (same
+# searchsorted membership, just against the only hashes that can match
+# the bucket's rows).
+FETCH_BROADCAST_CUTOFF = 2_000_000
+
+
+def _fetch_cutoff(cfg: CrawlSettings) -> int:
+    return (FETCH_BROADCAST_CUTOFF if cfg.fetch_broadcast_cutoff is None
+            else cfg.fetch_broadcast_cutoff)
+
+
+def _fetch_extract_bucketed(
+    corpus_dir: str,
+    bucket_refs: Dict[int, "object"],
+    cfg: CrawlSettings,
+    bucket_filter_urls: Optional[Dict[int, List[str]]] = None,
+):
+    """Per-host-bucket fetch+extract: one pruned read per bucket, each
+    carrying only ITS bucket's sorted-hash ref (``bucket_refs``), the
+    per-bucket datasets unioned into one.  ``bucket_filter_urls``
+    optionally pushes the bucket's URL list into the Arrow scanner
+    (same ≤100k cap semantics as the single-broadcast path).  Returns
+    the materialized fetched dataset, or None when no bucket has
+    corpus files."""
+    import pyarrow.compute as _pc
+    import ray
+
+    parts = []
+    for b, ref in sorted(bucket_refs.items()):
+        root = Path(corpus_dir) / f"host_bucket={b}"
+        if not root.exists():
+            continue
+        paths = sorted(str(f) for f in root.rglob("*.parquet"))
+        if not paths:
+            continue
+        read_kwargs = {}
+        if bucket_filter_urls is not None and b in bucket_filter_urls:
+            read_kwargs["filter"] = _pc.field("url").isin(
+                bucket_filter_urls[b])
+        ds_b = ray.data.read_parquet(
+            paths, columns=["url", "html"], **read_kwargs
+        ).map_batches(
+            fetch_extract_task,
+            fn_kwargs={"hashes_ref": ref},
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+            runtime_env=runtime_env(),
+        )
+        parts.append(ds_b)
+    if not parts:
+        return None
+    ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    return ds.materialize()
+
+
 def fetch_extract_task(
     batch: pa.Table, hashes_ref=None, with_intel: bool = False,
     drop_links: bool = False,
@@ -462,7 +524,6 @@ def _generation_dataplane(
         shard_hash_refs.append(outs[1])
         for k in range(n_replay):
             range_refs[k].append(outs[2 + k])
-    hashes_ref = tasks["mergeh"].remote(*shard_hash_refs)
 
     import hashlib as _hl
 
@@ -493,7 +554,29 @@ def _generation_dataplane(
         shutil.rmtree(gen_results_dir)  # idempotent partition overwrite
 
     fetched_ds = None
-    if info["n_fetch"]:
+    if info["n_fetch"] and info["n_fetch"] > _fetch_cutoff(cfg):
+        # size-gated bucketed membership (FETCH_BROADCAST_CUTOFF): the
+        # per-shard (hash, bucket) pairs split into per-host-bucket
+        # sorted arrays IN A TASK, each bucket's pruned read carrying
+        # only its own ref — per-worker memory O(fetch / buckets)
+        buckets = sorted({host_bucket_of(h) for h in info["hosts"]})
+        if buckets:
+            refs = tasks["splith"].options(
+                num_returns=len(buckets)).remote(
+                buckets, *shard_hash_refs)
+            if len(buckets) == 1:
+                refs = [refs]
+            filt = None
+            if info["fetch_urls_small"] is not None:
+                filt = {}
+                for u in info["fetch_urls_small"]:
+                    filt.setdefault(
+                        host_bucket_of(get_host(u)), []).append(u)
+            fetched_ds = _fetch_extract_bucketed(
+                corpus_dir, dict(zip(buckets, refs)), cfg,
+                bucket_filter_urls=filt)
+    elif info["n_fetch"]:
+        hashes_ref = tasks["mergeh"].remote(*shard_hash_refs)
         paths = _corpus_paths_for_hosts(corpus_dir, set(info["hosts"]))
         if paths:
             import pyarrow.compute as _pc
@@ -886,7 +969,25 @@ def run_crawl(
         if fetch_urls:
             hosts = {get_host(u) for u in fetch_urls}
             paths = _corpus_paths_for_hosts(corpus_dir, hosts)
-            if paths:
+            if paths and len(fetch_urls) > _fetch_cutoff(cfg):
+                # size-gated bucketed membership (FETCH_BROADCAST_CUTOFF):
+                # hashes co-partitioned with the corpus host_bucket layout,
+                # each bucket's read carrying only its own hash ref
+                from ..urlops import batch_url_hash64 as _bh64
+                import numpy as _np
+
+                by_bucket: Dict[int, List[str]] = {}
+                for u in fetch_urls:
+                    by_bucket.setdefault(
+                        host_bucket_of(get_host(u)), []).append(u)
+                bucket_refs = {
+                    b: ray.put(_np.sort(_bh64(us)))
+                    for b, us in by_bucket.items()
+                }
+                filt = (by_bucket if len(fetch_urls) <= 100_000 else None)
+                fetched_ds = _fetch_extract_bucketed(
+                    corpus_dir, bucket_refs, cfg, bucket_filter_urls=filt)
+            elif paths:
                 hashes_ref = broadcast_frontier_hashes(fetch_urls)
                 # For modest frontiers, push the membership filter into the
                 # Arrow scanner: non-frontier rows are dropped before their
@@ -909,6 +1010,9 @@ def run_crawl(
                     batch_size=cfg.extract_batch_size,
                     runtime_env=runtime_env(),
                 ).materialize()
+            else:
+                fetched_ds = None
+            if fetched_ds is not None:
                 # control-plane metadata pull: the driver-queue path
                 # replays in driver memory by design (small runs below
                 # the frontier-sharding cutoff; the sharded path above
@@ -922,8 +1026,6 @@ def run_crawl(
                     }
                     for r in meta
                 }
-            else:
-                fetched_ds = None
         else:
             fetched_ds = None
         gm.fetched = len(extracted)

@@ -184,21 +184,47 @@ def _prep_shard(
             "black": pa.array([b for _, b, _ in rows], pa.bool_()),
             "robots": pa.array([r for _, _, r in rows], pa.bool_()),
         }))
-    fetch_hashes = np.sort(batch_url_hash64(fetch_urls))
-    return (info, fetch_hashes, *range_tables)
+    from ..corpus import host_bucket_of
+
+    h = batch_url_hash64(fetch_urls)
+    order = np.argsort(h)
+    bks = np.array([host_bucket_of(get_host(u)) for u in fetch_urls],
+                   np.int32)
+    # (sorted hashes, aligned host buckets): the merge task consumes
+    # the hashes; the bucket-split task (above the fetch-broadcast
+    # cutoff) consumes both
+    fetch_hb = (h[order], bks[order])
+    return (info, fetch_hb, *range_tables)
 
 
-def _merge_hashes(*arrays):
-    """One sorted uint64 broadcast array from the per-shard fetch-hash
-    arrays (duplicates across shards are harmless to searchsorted
-    membership).  Linear in the generation's FETCH set — which is
-    bounded by the politeness token budgets (hosts × tokens), not the
-    frontier — and 8 bytes/URL, the SURVEY §4 columnar frontier
-    representation."""
-    if not arrays:
+def _merge_hashes(*pairs):
+    """One sorted uint64 broadcast array from the per-shard
+    (hashes, buckets) pairs (duplicates across shards are harmless to
+    searchsorted membership).  Linear in the generation's FETCH set —
+    which is bounded by the politeness token budgets (hosts × tokens),
+    not the frontier — and 8 bytes/URL, the SURVEY §4 columnar
+    frontier representation."""
+    if not pairs:
         return np.empty(0, np.uint64)
-    return np.sort(np.concatenate([np.asarray(a, np.uint64)
-                                   for a in arrays]))
+    return np.sort(np.concatenate([np.asarray(p[0], np.uint64)
+                                   for p in pairs]))
+
+
+def _split_hashes_by_bucket(buckets, *pairs):
+    """Per-host-bucket sorted hash arrays from the per-shard
+    (hashes, buckets) pairs — the above-cutoff fetch-membership
+    structure (pipelines.crawl.FETCH_BROADCAST_CUTOFF): each corpus
+    bucket's read ships only its own array, so per-worker membership
+    memory is O(fetch / buckets), not O(fetch).  Called with
+    ``num_returns=len(buckets)``; returns one array per entry of
+    *buckets* (same order)."""
+    if not pairs:
+        out = [np.empty(0, np.uint64) for _ in buckets]
+        return out[0] if len(buckets) == 1 else tuple(out)
+    h = np.concatenate([np.asarray(p[0], np.uint64) for p in pairs])
+    b = np.concatenate([np.asarray(p[1], np.int32) for p in pairs])
+    out = [np.sort(h[b == bk]) for bk in buckets]
+    return out[0] if len(buckets) == 1 else tuple(out)
 
 
 def _build_meta(*blocks):
@@ -488,6 +514,9 @@ def _remote_tasks():
         "prep": ray.remote(num_cpus=0, runtime_env=env)(_prep_shard),
         "mergeh": ray.remote(num_cpus=0, runtime_env=env)(
             _merge_hashes),
+        # num_returns is len(buckets) — set per call via .options(...)
+        "splith": ray.remote(num_cpus=0, runtime_env=env)(
+            _split_hashes_by_bucket),
         "meta": ray.remote(num_cpus=0, num_returns=3,
                            runtime_env=env)(_build_meta),
         "replay": ray.remote(num_cpus=0, num_returns=7,

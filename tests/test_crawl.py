@@ -441,6 +441,37 @@ def test_sharded_frontier_matches_driver_queue(smoke_corpus, tmp_path):
     assert dt == st
 
 
+@pytest.mark.parametrize("frontier_shards", [0, 2])
+def test_bucketed_fetch_membership_forced(smoke_corpus, tmp_path,
+                                          frontier_shards):
+    """fetch_broadcast_cutoff=0 forces the bucketed fetch-membership
+    path (per-host-bucket hash refs instead of ONE broadcast array) on
+    both the driver-queue and sharded-frontier paths: identical
+    per-generation fetch sets, stats, results rows and lineage digests
+    vs the default single-broadcast run."""
+    import json as _json
+    from pathlib import Path as _P
+
+    seeds = corpus.seed_urls(5)
+    base = dict(max_depth=2, max_pages=8, seen_shards=2,
+                frontier_shards=frontier_shards)
+    a = run_crawl(smoke_corpus, seeds, CrawlSettings(**base),
+                  run_dir=str(tmp_path / "bc"), track_fetched_urls=True)
+    b = run_crawl(smoke_corpus, seeds,
+                  CrawlSettings(**base, fetch_broadcast_cutoff=0),
+                  run_dir=str(tmp_path / "bk"), track_fetched_urls=True)
+    assert a.fetched_urls_per_gen == b.fetched_urls_per_gen
+    assert any(a.fetched_urls_per_gen)  # the forced path actually fetched
+    assert a.stats == b.stats
+    rows = lambda r: sorted(
+        (x["seed_id"], x["url"], x["depth"], x["content_hash"])
+        for x in r.results_table().to_pylist())
+    assert rows(a) == rows(b)
+    dig = lambda d: [g["fetch_digest"] for g in _json.loads(
+        (_P(d) / "manifest.json").read_text())["generations"]]
+    assert dig(a.run_dir) == dig(b.run_dir)
+
+
 def test_sharded_frontier_resume(smoke_corpus, tmp_path):
     """Checkpoint/resume with per-shard frontier snapshots."""
     seeds = corpus.seed_urls(3)
