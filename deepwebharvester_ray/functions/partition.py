@@ -207,6 +207,15 @@ def salted_repartition(
     return salted
 
 
+# Below this many FACT rows (the census total — measured, no extra
+# pass) the cold half routes through the sort-merge join instead of
+# the native hash join: one range-partitioned sort, no per-query
+# aggregator-actor ramp (~1-3 s per native join at small scale,
+# CLAUDE.md).  Above it, the hash exchange amortizes its ramp and
+# avoids the sort.
+SKEW_COLD_MERGE_CUTOFF = 20_000_000
+
+
 def skew_join(
     left,
     right,
@@ -214,6 +223,7 @@ def skew_join(
     right_key: str,
     hot_fraction: float = 0.01,
     num_partitions: int = 8,
+    cold_strategy: str = "auto",
 ):
     """INNER equi-join of a fact table against a UNIQUE-KEYED dimension,
     robust to hot fact keys (the web-scale reality: one mega-host /
@@ -230,8 +240,12 @@ def skew_join(
       rows, since the dimension is unique-keyed) broadcast once and
       attach via vectorized ``searchsorted`` inside ``map_batches`` —
       the hot share never enters a shuffle;
-    * COLD rows go through the native hash-shuffle join (inputs routed
-      through ``coalesce_nonempty`` per the empty-block join rule);
+    * COLD rows join by a size-gated strategy (``cold_strategy``):
+      ``"auto"`` picks the sort-merge join below
+      :data:`SKEW_COLD_MERGE_CUTOFF` measured fact rows (no
+      aggregator-actor ramp) and the native hash-shuffle join above
+      (inputs routed through ``coalesce_nonempty`` per the empty-block
+      join rule); ``"merge"`` / ``"hash"`` force a path (tests);
     * union of the two halves, schemas aligned by column selection.
 
     The dimension must be unique on ``right_key`` (asserted against the
@@ -326,8 +340,25 @@ def skew_join(
 
     cl = coalesce_nonempty(cold_left)
     cr = coalesce_nonempty(right)
+    use_merge = (cold_strategy == "merge"
+                 or (cold_strategy == "auto"
+                     and total <= SKEW_COLD_MERGE_CUTOFF))
     if cl is None or cr is None:
         cold_half = None
+    elif use_merge:
+        from .mergejoin import merge_join
+
+        rr = cr
+        if right_key != left_key:
+            rr = cr.map_batches(
+                lambda b: b.rename_columns([
+                    left_key if c == right_key else c
+                    for c in b.column_names]),
+                batch_format="pyarrow", runtime_env=runtime_env())
+        lcols = [c for c in left.schema().names if c != left_key]
+        rcols = [c for c in right.schema().names if c != right_key]
+        cold_half = merge_join(cl, rr, left_key, lcols, rcols,
+                               shuffle_partitions=num_partitions)
     else:
         cold_half = cl.join(cr, "inner", num_partitions=num_partitions,
                             on=(left_key,), right_on=(right_key,))

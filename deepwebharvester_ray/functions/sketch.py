@@ -23,35 +23,70 @@ from .dedup import _word_hashes  # canonical blake2b->uint64 (memoized)
 
 HLL_P = 12
 _M = 1 << HLL_P
+_HLL_REST_BITS = 60 - HLL_P          # 48 value bits below the register index
+_HLL_RHO_SCALE = _HLL_REST_BITS + 1  # rho ∈ 1..49; S in units of 2^-49
 
 
 def _hash64(values: Iterable[str]) -> np.ndarray:
     return _word_hashes(list(values))
 
 
+# ── md5-derived 60-bit hash: the engine↔SQL parity hash (CLAUDE.md
+# idiom — DuckDB parses md5 hex to the identical integer) used by the
+# HLL and CMS sketches so their register state is SQL-reproducible
+# (vocab_hll / approx_users_by_type / token_freq_cms oracles).  The
+# MG / streaming-dedup shard routing keeps the blake2b ``_hash64``.
+
+_MD5_MEMO: dict = {}
+_MD5_MEMO_CAP = 1 << 20
+
+
+def _md5_hash60(w: str) -> int:
+    import hashlib
+
+    h = _MD5_MEMO.get(w)
+    if h is None:
+        h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        if len(_MD5_MEMO) >= _MD5_MEMO_CAP:
+            _MD5_MEMO.clear()
+        _MD5_MEMO[w] = h
+    return h
+
+
+def _hash60(values: Iterable[str]) -> np.ndarray:
+    vals = list(values)
+    return np.fromiter((_md5_hash60(v) for v in vals), dtype=np.uint64,
+                       count=len(vals))
+
+
 def hll_registers(hashes: np.ndarray) -> np.ndarray:
-    """(2^p,) uint8 register array from 64-bit hashes, vectorized."""
+    """(2^p,) uint8 register array from md5-derived 60-bit hashes
+    (:func:`_hash60`), vectorized: register = top ``p`` of the 60 bits,
+    rho = leading zeros of the remaining 48 + 1 (∈ 1..49).  Bit length
+    via ``np.frexp`` — exact, the 48-bit rest is < 2^53."""
     regs = np.zeros(_M, dtype=np.uint8)
     if not len(hashes):
         return regs
-    idx = (hashes >> np.uint64(64 - HLL_P)).astype(np.int64)
-    rest = (hashes << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
-    # rho = leading zeros of the remaining bits + 1
-    rho = np.zeros(len(hashes), dtype=np.uint8)
-    cur = rest
-    for shift in (32, 16, 8, 4, 2, 1):  # branchless clz on uint64 lanes
-        mask = cur < (np.uint64(1) << np.uint64(64 - shift))
-        rho[mask] += shift
-        cur = np.where(mask, cur << np.uint64(shift), cur)
-    rho += 1
+    idx = (hashes >> np.uint64(_HLL_REST_BITS)).astype(np.int64)
+    rest = hashes & np.uint64((1 << _HLL_REST_BITS) - 1)
+    bitlen = np.frexp(rest.astype(np.float64))[1]  # 0 for rest == 0
+    rho = (_HLL_RHO_SCALE - bitlen).astype(np.uint8)
     np.maximum.at(regs, idx, rho)
     return regs
 
 
 def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with linear-counting small-range fallback.
+    The harmonic sum is EXACT integer arithmetic (every 2^-rho is a
+    dyadic rational — summed in units of 2^-49 the total fits int64),
+    so the whole finish is one float division + the same literal
+    expression order as the SQL oracle (vocab_hll): bit-identical
+    across engines."""
     m = float(_M)
     alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    s_int = int((np.int64(1) << (np.int64(_HLL_RHO_SCALE)
+                                 - regs.astype(np.int64))).sum())
+    est = alpha * m * m * float(1 << _HLL_RHO_SCALE) / float(s_int)
     zeros = int(np.count_nonzero(regs == 0))
     if est <= 2.5 * m and zeros:
         return m * np.log(m / zeros)  # linear counting, small range
@@ -66,7 +101,7 @@ def hll_distinct(ds, extract, label: str = "n_distinct_est") -> pa.Table:
         # registers depend only on DISTINCT values (max is idempotent) —
         # dedupe before hashing so cost is per-batch vocabulary, not
         # occurrences
-        regs = hll_registers(_hash64(set(extract(batch))))
+        regs = hll_registers(_hash60(set(extract(batch))))
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
     rows = ds.map_batches(
@@ -76,7 +111,7 @@ def hll_distinct(ds, extract, label: str = "n_distinct_est") -> pa.Table:
     merged = np.zeros(_M, dtype=np.uint8)
     for r in rows:
         merged = np.maximum(merged, np.frombuffer(r["regs"], dtype=np.uint8))
-    return pa.table({label: pa.array([int(round(hll_estimate(merged)))],
+    return pa.table({label: pa.array([int(np.floor(hll_estimate(merged) + 0.5))],
                                      pa.int64())})
 
 
@@ -115,7 +150,7 @@ def grouped_hll_distinct(ds, key_column: str, value_column: str,
         keys, vals = keys[order], vals[order]
         starts, ends = _run_bounds(keys)
         blobs = [
-            hll_registers(_hash64(set(vals[s:e]))).tobytes()
+            hll_registers(_hash60(set(vals[s:e]))).tobytes()
             for s, e in zip(starts, ends)
         ]
         return pa.table(
@@ -148,7 +183,7 @@ def grouped_hll_distinct(ds, key_column: str, value_column: str,
                     regs, np.frombuffer(blobs[i], dtype=np.uint8)
                 )
             out_keys.append(keys[s])
-            out_est.append(int(round(hll_estimate(regs))))
+            out_est.append(int(np.floor(hll_estimate(regs) + 0.5)))
         return pa.table(
             {
                 key_column: pa.array(out_keys, type=_key_type(batch)),
@@ -165,29 +200,27 @@ def grouped_hll_distinct(ds, key_column: str, value_column: str,
 # ── Count-Min sketch (frequency estimation) ──────────────────────────────────
 
 CMS_DEPTH = 5
-_CMS_SEEDS = np.arange(CMS_DEPTH, dtype=np.uint64) * np.uint64(
-    0xA24BAED4963EE407
-)
-
-
-def _cms_mix(x: np.ndarray) -> np.ndarray:
-    with np.errstate(over="ignore"):
-        x = x.copy()
-        x ^= x >> np.uint64(30)
-        x *= np.uint64(0xBF58476D1CE4E5B9)
-        x ^= x >> np.uint64(27)
-        x *= np.uint64(0x94D049BB133111EB)
-        x ^= x >> np.uint64(31)
-    return x
+_CMS_A = np.array([
+    0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB,
+    0xD6E8FEB86659FD93, 0xA24BAED4963EE407,
+], dtype=np.uint64)
+_CMS_B = np.array([
+    0x243F6A8885A308D3, 0x13198A2E03707344, 0xA4093822299F31D0,
+    0x082EFA98EC4E6C89, 0x452821E638D01377,
+], dtype=np.uint64)
 
 
 def _cms_positions(hashes: np.ndarray, width: int) -> np.ndarray:
-    """(depth, n) column indices — independent mix per row."""
+    """(depth, n) column indices: an AFFINE map mod 2^64 per depth over
+    the md5-derived 60-bit hash — uint64 wraparound on the engine,
+    HUGEINT ``((a*h + b) % 2^64) % width`` in SQL (the bootstrap_means
+    parity idiom), so every cell index is SQL-reproducible."""
     with np.errstate(over="ignore"):
         return np.stack(
             [
-                (_cms_mix(hashes ^ s) % np.uint64(width)).astype(np.int64)
-                for s in _CMS_SEEDS
+                ((_CMS_A[d] * hashes + _CMS_B[d])
+                 % np.uint64(width)).astype(np.int64)
+                for d in range(CMS_DEPTH)
             ]
         )
 
@@ -204,7 +237,7 @@ def cms_build(ds, value_column: str, width: int = 1 << 14) -> np.ndarray:
         mat = np.zeros((CMS_DEPTH, width), dtype=np.int64)
         vals = batch.column(value_column).to_pylist()
         if vals:
-            pos = _cms_positions(_hash64(vals), width)
+            pos = _cms_positions(_hash60(vals), width)
             for d in range(CMS_DEPTH):
                 np.add.at(mat[d], pos[d], 1)
         return pa.table({"m": pa.array([mat.tobytes()], pa.large_binary())})
@@ -236,7 +269,7 @@ def cms_estimate(mat: np.ndarray, values) -> np.ndarray:
     values = list(values)
     if not values:
         return np.zeros(0, dtype=np.int64)
-    pos = _cms_positions(_hash64(values), mat.shape[1])
+    pos = _cms_positions(_hash60(values), mat.shape[1])
     return np.min(
         np.stack([mat[d, pos[d]] for d in range(mat.shape[0])]), axis=0
     )

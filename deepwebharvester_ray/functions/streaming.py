@@ -1256,7 +1256,7 @@ def streaming_hll_distinct(ds, extract, label: str = "n_distinct_est",
     {label} table; with ``return_stats`` also {"state_rows": 2^p}."""
     import ray
 
-    from .sketch import _M, _hash64, hll_estimate, hll_registers
+    from .sketch import _M, _hash60, hll_estimate, hll_registers
 
     bounds = np.linspace(0, _M, n_shards + 1).astype(int)
     Shard = ray.remote(num_cpus=0.5)(_HLLShardState)
@@ -1267,7 +1267,7 @@ def streaming_hll_distinct(ds, extract, label: str = "n_distinct_est",
                                  batch_format="pyarrow"):
         if chunk.num_rows == 0:
             continue
-        regs = hll_registers(_hash64(set(extract(chunk))))
+        regs = hll_registers(_hash60(set(extract(chunk))))
         ray.get([shards[s].ingest.remote(
             regs[bounds[s]:bounds[s + 1]].tobytes())
             for s in range(n_shards)])
@@ -1276,7 +1276,7 @@ def streaming_hll_distinct(ds, extract, label: str = "n_distinct_est",
     for s in shards:
         ray.kill(s)
     merged = np.frombuffer(b"".join(slices), dtype=np.uint8)
-    out = pa.table({label: pa.array([int(round(hll_estimate(merged)))],
+    out = pa.table({label: pa.array([int(np.floor(hll_estimate(merged) + 0.5))],
                                     pa.int64())})
     if return_stats:
         return out, {"state_rows": int(_M)}
@@ -1321,7 +1321,7 @@ def streaming_cms(ds, value_column: str, width: int = 1 << 14,
     ``return_stats`` also {"state_rows": depth × width}."""
     import ray
 
-    from .sketch import CMS_DEPTH, _cms_positions, _hash64
+    from .sketch import CMS_DEPTH, _cms_positions, _hash60
 
     bounds = np.linspace(0, width, n_shards + 1).astype(int)
     Shard = ray.remote(num_cpus=0.5)(_CMSShardState)
@@ -1336,7 +1336,7 @@ def streaming_cms(ds, value_column: str, width: int = 1 << 14,
         mat = np.zeros((CMS_DEPTH, width), np.int64)
         vals = chunk.column(value_column).to_pylist()
         if vals:
-            pos = _cms_positions(_hash64(vals), width)
+            pos = _cms_positions(_hash60(vals), width)
             for d in range(CMS_DEPTH):
                 np.add.at(mat[d], pos[d], 1)
         ray.get([shards[s].ingest.remote(

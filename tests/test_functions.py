@@ -1133,7 +1133,7 @@ def test_hll_distinct_accuracy_and_merge():
     assert abs(est - 50_000) / 50_000 < 0.05
 
     # partial merge == whole-stream registers (mergeability)
-    h = sketch._hash64([f"x{i}" for i in range(10_000)])
+    h = sketch._hash60([f"x{i}" for i in range(10_000)])
     whole = sketch.hll_registers(h)
     merged = np.maximum(sketch.hll_registers(h[:3000]),
                         sketch.hll_registers(h[3000:]))
@@ -2320,9 +2320,14 @@ def test_skew_join_matches_plain_join():
 
     got = skew_join(fact, dim, "k", "dk", hot_fraction=0.05).take_all()
     assert sorted((r["k"], r["v"], r["name"]) for r in got) == expected()
-    # hot_fraction=1.0 → nothing hot → pure native join path, same rows
-    cold_only = skew_join(fact, dim, "k", "dk", hot_fraction=1.0).take_all()
-    assert sorted((r["k"], r["v"], r["name"]) for r in cold_only) == expected()
+    # hot_fraction=1.0 → nothing hot → pure cold path, same rows —
+    # forced on BOTH cold strategies (auto picks merge at this size;
+    # "hash" keeps the native hash-shuffle path pinned)
+    for strategy in ("merge", "hash"):
+        cold_only = skew_join(fact, dim, "k", "dk", hot_fraction=1.0,
+                              cold_strategy=strategy).take_all()
+        assert sorted((r["k"], r["v"], r["name"])
+                      for r in cold_only) == expected(), strategy
 
 
 def test_skew_join_rejects_duplicate_dimension():
