@@ -289,6 +289,7 @@ BENCH_QUERIES = [
     "frequent_pairs",
     "link_ktruss",
     "png_roundtrip",
+    "jpeg_roundtrip",
     "gif_roundtrip",
     "image_dhash",
     "audio_spectral",

@@ -1,11 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video travel as ``binary`` columns with metadata columns
-alongside.  PNG and WAV decode are REAL and pure-stdlib here —
-:func:`png_decode` (chunk walk → zlib inflate → scanline unfilter) and
-:func:`wav_decode` (RIFF walk → PCM samples) — so ``DecodeStage`` /
-``ResizeStage`` process real byte streams with no codec dependency.
-Formats needing a true codec (JPEG, MP3, MP4 video) stay gated: PIL if
+alongside.  PNG, GIF, WAV and baseline JPEG decode are REAL and
+pure-stdlib here — :func:`png_decode` (chunk walk → zlib inflate →
+scanline unfilter), :func:`wav_decode` (RIFF walk → PCM samples), the
+GIF LZW decoder, and :func:`functions.jpeg.jpeg_decode` (huffman +
+dequant + IDCT) — so ``DecodeStage`` / ``ResizeStage`` process real
+byte streams with no codec dependency.  Formats still needing a true
+codec (progressive JPEG, MP3, MP4 video pixels) stay gated: PIL if
 installed, else ``NotImplementedError``; ``fake=True`` keeps the
 deterministic byte-histogram stub for codec-free plumbing tests.
 
@@ -1012,11 +1014,24 @@ class DecodeStage:
             if samples.dtype != np.uint8:  # int16 → 8-bit amplitude
                 samples = ((samples.astype(np.int32) + 32768) >> 8)
             return self._hist(samples.astype(np.uint8))
+        if b[:2] == b"\xff\xd8":
+            # baseline sequential JPEG decodes for real (functions.jpeg);
+            # progressive/arithmetic frames raise NotImplementedError
+            # from the codec itself — the honest gate moves down a level
+            from .jpeg import jpeg_decode
+
+            arr = jpeg_decode(b)
+            if arr.ndim == 3:  # RGB → integer luma (the GIF-path rule)
+                p = arr.astype(np.int64)
+                arr = ((299 * p[..., 0] + 587 * p[..., 1]
+                        + 114 * p[..., 2]) // 1000).astype(np.uint8)
+            return self._hist(arr.ravel())
         if self._pil is None:
             raise NotImplementedError(
-                "no stdlib decoder for this format (PNG/WAV supported) "
-                "and no codec library installed; construct "
-                "DecodeStage(fake=True) for the deterministic stub"
+                "no stdlib decoder for this format (PNG/GIF/WAV/baseline "
+                "JPEG supported) and no codec library installed; "
+                "construct DecodeStage(fake=True) for the deterministic "
+                "stub"
             )
         import io
 

@@ -394,6 +394,83 @@ def test_decode_stage_real_png_wav():
     assert f_wav[8] == pytest.approx(1.0)
 
 
+def test_jpeg_codec_roundtrip():
+    """Baseline JPEG encode→decode: exact for constant rasters with a
+    uniform quant table, bounded error (±1 gray, ±3 RGB through the
+    YCbCr integer round-trips) at quant=1 on arbitrary content, and
+    correct shapes/channels for gray, RGB 4:4:4 and RGB 4:2:0."""
+    from deepwebharvester_ray.functions.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    ones = np.ones((8, 8), np.int64)
+
+    # constant gray: exact
+    img = np.full((16, 24), 137, np.uint8)
+    assert np.array_equal(jpeg_decode(jpeg_encode(img, quant_luma=ones)),
+                          img)
+    # arbitrary gray at quant=1: IDCT rounding only
+    img = rng.integers(0, 256, (24, 17), np.uint8)  # non-multiple dims
+    dec = jpeg_decode(jpeg_encode(img, quant_luma=ones))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+    # RGB 4:4:4 at quant=1: + YCbCr integer round-trip error
+    img3 = rng.integers(0, 256, (20, 21, 3), np.uint8)
+    dec3 = jpeg_decode(jpeg_encode(img3, quant_luma=ones,
+                                   quant_chroma=ones))
+    assert dec3.shape == img3.shape
+    # ±0.5 per YCbCr rounding × up to 1.772 chroma gain + IDCT ±1 → ≤ 4
+    assert np.abs(dec3.astype(int) - img3.astype(int)).max() <= 4
+    # RGB 4:2:0: shape preserved; constant color survives subsampling
+    flat = np.zeros((16, 16, 3), np.uint8)
+    flat[..., 0], flat[..., 1], flat[..., 2] = 200, 30, 90
+    d420 = jpeg_decode(jpeg_encode(flat, subsampling="420",
+                                   quant_luma=ones, quant_chroma=ones))
+    assert d420.shape == flat.shape
+    assert np.abs(d420.astype(int) - flat.astype(int)).max() <= 3
+    assert len(np.unique(d420.reshape(-1, 3), axis=0)) == 1
+    # default Annex K tables: decodes, stays in range
+    dec = jpeg_decode(jpeg_encode(img3))
+    assert dec.shape == img3.shape and dec.dtype == np.uint8
+
+
+def test_jpeg_codec_gates():
+    """Honest capability gates: progressive frames and restart
+    intervals raise NotImplementedError; garbage raises ValueError."""
+    from deepwebharvester_ray.functions.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    blob = bytearray(jpeg_encode(np.full((8, 8), 7, np.uint8)))
+    sof = bytes(blob).find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        jpeg_decode(bytes(blob))
+    with pytest.raises(ValueError):
+        jpeg_decode(b"not a jpeg")
+    with pytest.raises(NotImplementedError):
+        jpeg_encode(np.zeros((8, 8, 3), np.uint8), subsampling="422")
+
+
+def test_decode_stage_real_jpeg():
+    """DecodeStage(fake=False) decodes real baseline JPEG payloads: a
+    constant-gray image (uniform quant → exact) lands its whole luma
+    histogram in one bin."""
+    from deepwebharvester_ray.functions.jpeg import jpeg_encode
+
+    ones = np.ones((8, 8), np.int64)
+    img = np.full((8, 8), 200, np.uint8)  # luma 200 → bin 12
+    blob = jpeg_encode(img, quant_luma=ones)
+    stage = multimodal.DecodeStage(fake=False)
+    out = stage(pa.table({"id": [1],
+                          "payload": pa.array([blob], pa.binary())}))
+    feats = out.column("features").to_pylist()[0]
+    assert feats[12] == pytest.approx(1.0)
+
+
 def test_resize_stage_real_png():
     """ResizeStage(fake=False) decodes a real PNG and resizes its luma
     raster with the pinned nearest-neighbor rule."""
