@@ -65,7 +65,11 @@ def merge_join(
                 out[c] = batch.column(c)
             for c, t in other_types.items():
                 out[c] = pa.nulls(batch.num_rows, type=t)
-            return pa.table(out)
+            # canonical column ORDER on both sides — a union of
+            # differently-ordered schemas trips Ray's RefBundle schema
+            # check and is a latent hazard for downstream consumers
+            order = [key, "__side"] + left_cols + right_cols
+            return pa.table({c: out[c] for c in order})
         return fn
 
     lt = left_ds.map_batches(tag(0, left_cols, r_types),
