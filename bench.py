@@ -605,6 +605,12 @@ def main() -> None:
     parser.add_argument("--scaling", action="store_true")
     parser.add_argument("--scaling-nodes", action="store_true",
                         help="N vs 4N simulated NODES (ray.cluster_utils)")
+    parser.add_argument("--scaling-nodes-wide", action="store_true",
+                        help="1-vs-4-node scaling over SHUFFLE-HEAVY "
+                        "operators (groupby / iterative join rounds / "
+                        "band shuffle / skew join) via stress_scale "
+                        "--nodes — VERDICT r4 item 2: cross-node "
+                        "exchange cost measured, not assumed")
     parser.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
     parser.add_argument("--cpus", type=int, default=None)
     parser.add_argument("--nodes", type=int, default=0,
@@ -628,6 +634,58 @@ def main() -> None:
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling_nodes_wide:
+        # Shuffle-heavy representatives, sized so useful work dominates
+        # the fixed session/actor ramp at 8 CPUs (calibrated walls in
+        # the 25-110 s range single-node):
+        #   highcard  — 8M-key high-cardinality grouped count (the
+        #               exact-dedup / distinct shuffle shape)
+        #   pagerank  — 1M-node, 3 distributed hash-join propagation
+        #               rounds forced (--join), the iterative-exchange
+        #               shape
+        #   minhash   — dup-16 corpus: band shuffle + verify join
+        #   skewjoin  — 20M-row fact with a planted mega-key, hot path
+        #               map-side + cold hash join
+        tool = str(Path(__file__).resolve().parent / "tools"
+                   / "stress_scale.py")
+        cases = {
+            "highcard_groupby": ["highcard", "--n", "8000000"],
+            "pagerank_join_rounds": ["pagerank", "--join", "--n",
+                                     "1000000"],
+            "minhash_lsh": ["minhash", "--dup", "16", "--sf", sf_dir],
+            "skew_join": ["skewjoin", "--n", "20000000"],
+        }
+        control = _parallel_control()
+        results = {}
+        for name, argv in cases.items():
+            walls = {}
+            for nodes in (1, 4):
+                proc = subprocess.run(
+                    [sys.executable, tool, *argv, "--cpus", "8",
+                     "--nodes", str(nodes)],
+                    capture_output=True, text=True, timeout=1800,
+                )
+                lines = [l for l in proc.stdout.splitlines()
+                         if l.startswith("{")]
+                if not lines:
+                    raise RuntimeError(
+                        f"{name} nodes={nodes}: {proc.stderr[-2000:]}")
+                walls[nodes] = json.loads(lines[-1])["wall_s"]
+            results[name] = {
+                "wall_1node_s": walls[1],
+                "wall_4node_s": walls[4],
+                "speedup": round(walls[1] / walls[4], 3),
+                "efficiency_1_to_4": round(walls[1] / (4.0 * walls[4]),
+                                           4),
+            }
+        print(json.dumps({
+            "metric": "shuffle-heavy 1→4-node scaling (8 CPUs/node, "
+                      "simulated cluster, fixed input per case)",
+            "cases": results,
+            "control_parallel_efficiency": control,
+        }))
+        return
 
     if args.scaling_nodes:
         # The literal north-rule shape: the SAME job on an N-node and a

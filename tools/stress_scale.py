@@ -1287,12 +1287,34 @@ def main() -> None:
                    help="skewjoin: use the plain native hash join")
     p.add_argument("--sf", default="/root/testdata/sf0.01")
     p.add_argument("--cpus", type=int, default=16)
+    p.add_argument("--nodes", type=int, default=0,
+                   help="simulated multi-node cluster (ray.cluster_utils): "
+                   "N nodes x --cpus CPUs each, own raylet + object "
+                   "store per node so cross-node transfer is real "
+                   "(loopback network) - the bench.py --scaling-nodes "
+                   "idiom for shuffle-heavy operators")
     args = p.parse_args()
 
     import ray
 
-    ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
-             logging_level="ERROR", log_to_driver=False)
+    cluster = None
+    if args.nodes > 0:
+        from ray.cluster_utils import Cluster
+
+        store = 4 * 1024**3
+        cluster = Cluster(
+            initialize_head=True,
+            head_node_args={"num_cpus": args.cpus,
+                            "object_store_memory": store},
+        )
+        for _ in range(args.nodes - 1):
+            cluster.add_node(num_cpus=args.cpus, object_store_memory=store)
+        ray.init(address=cluster.address, include_dashboard=False,
+                 logging_level="ERROR", log_to_driver=False)
+    else:
+        ray.init(address="local", num_cpus=args.cpus,
+                 include_dashboard=False,
+                 logging_level="ERROR", log_to_driver=False)
     try:
         if args.case == "seen":
             out = run_seen(args.n, args.shards or 8)
@@ -1349,6 +1371,8 @@ def main() -> None:
             out = run_highcard(args.n)
     finally:
         ray.shutdown()
+        if cluster is not None:
+            cluster.shutdown()
     print(json.dumps(out))
 
 
