@@ -652,9 +652,9 @@ def main() -> None:
         cases = {
             "highcard_groupby": ["highcard", "--n", "8000000"],
             "pagerank_join_rounds": ["pagerank", "--join", "--n",
-                                     "1000000"],
-            "minhash_lsh": ["minhash", "--dup", "16", "--sf", sf_dir],
-            "skew_join": ["skewjoin", "--n", "20000000"],
+                                     "2000000"],
+            "minhash_lsh": ["minhash", "--dup", "32", "--sf", sf_dir],
+            "skew_join": ["skewjoin", "--n", "40000000"],
         }
         control = _parallel_control()
         results = {}
@@ -679,6 +679,8 @@ def main() -> None:
                 "efficiency_1_to_4": round(walls[1] / (4.0 * walls[4]),
                                            4),
             }
+            print(f"# {name}: {results[name]}", file=sys.stderr,
+                  flush=True)
         print(json.dumps({
             "metric": "shuffle-heavy 1→4-node scaling (8 CPUs/node, "
                       "simulated cluster, fixed input per case)",

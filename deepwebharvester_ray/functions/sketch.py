@@ -292,22 +292,38 @@ def cms_estimate(mat: np.ndarray, values) -> np.ndarray:
 _DD_POS_BASE = 1 << 41  # |log_gamma| indices stay < 2^40 for any float64
 
 
+def _libm_log(vals: np.ndarray) -> np.ndarray:
+    """Elementwise ``math.log`` (glibc libm): numpy's SIMD ``np.log``
+    differs from libm — and therefore from DuckDB's ``ln`` — by 1 ulp
+    on ~23% of inputs (measured over the events table), which would
+    make the DDSketch bucket state engine-dependent.  The scalar loop
+    is ~20 ms per 100k values — irrelevant next to the shuffle."""
+    import math
+
+    return np.fromiter((math.log(x) for x in vals), np.float64,
+                       count=len(vals))
+
+
 def dd_bucket_indices(vals: np.ndarray, alpha: float) -> np.ndarray:
-    """Geometric bucket index per value (vectorized), encoded so that
+    """Geometric bucket index per value, encoded so that
     ENCODED order == VALUE order: negatives map to ``-BASE - c``
     (< 0 for every magnitude), zero to the reserved bucket 0, positives
     to ``BASE + c`` (> 0 for every magnitude), with
     ``c = ceil(log_gamma |v|)``.  An unshifted positive index would
     collide with the zero bucket for v ∈ (1/gamma, 1] (c == 0) and sort
     sub-unit positives (c < 0) BEFORE zero, breaking the cumulative
-    quantile walk."""
+    quantile walk.  All float ops are libm scalars so the bucket state
+    is bit-identical to the SQL oracle (value_quantiles_sketch)."""
+    import math
+
     gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = math.log(gamma)
     out = np.zeros(len(vals), dtype=np.int64)
     pos = vals > 0
-    out[pos] = (np.ceil(np.log(vals[pos]) / np.log(gamma)).astype(np.int64)
+    out[pos] = (np.ceil(_libm_log(vals[pos]) / lg).astype(np.int64)
                 + _DD_POS_BASE)
     neg = vals < 0
-    out[neg] = (-np.ceil(np.log(-vals[neg]) / np.log(gamma)).astype(np.int64)
+    out[neg] = (-np.ceil(_libm_log(-vals[neg]) / lg).astype(np.int64)
                 - _DD_POS_BASE)
     return out
 
@@ -315,16 +331,24 @@ def dd_bucket_indices(vals: np.ndarray, alpha: float) -> np.ndarray:
 def dd_bucket_value(idx: np.ndarray, alpha: float) -> np.ndarray:
     """Representative value of each bucket (geometric midpoint;
     ``2·gamma^c/(1+gamma)`` is within relative error alpha of every
-    value in bucket c)."""
+    value in bucket c).  ``math.pow`` not ``**``: numpy's pow differs
+    from libm/DuckDB by 1 ulp on some inputs (same class as
+    :func:`_libm_log`); the arrays here are quantile-pick sized."""
+    import math
+
     gamma = (1.0 + alpha) / (1.0 - alpha)
     out = np.zeros(len(idx), dtype=np.float64)
     pos = idx > 0
-    out[pos] = (2.0 * gamma ** (idx[pos] - _DD_POS_BASE).astype(np.float64)
-                / (1.0 + gamma))
+    out[pos] = np.fromiter(
+        (2.0 * math.pow(gamma, float(c)) / (1.0 + gamma)
+         for c in (idx[pos] - _DD_POS_BASE)),
+        np.float64, count=int(pos.sum()))
     neg = idx < 0
     if neg.any():
-        raw = (-idx[neg] - _DD_POS_BASE).astype(np.float64)
-        out[neg] = -(2.0 * gamma ** raw / (1.0 + gamma))
+        out[neg] = np.fromiter(
+            (-(2.0 * math.pow(gamma, float(c)) / (1.0 + gamma))
+             for c in (-idx[neg] - _DD_POS_BASE)),
+            np.float64, count=int(neg.sum()))
     return out
 
 

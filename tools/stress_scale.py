@@ -1301,7 +1301,7 @@ def main() -> None:
     if args.nodes > 0:
         from ray.cluster_utils import Cluster
 
-        store = 4 * 1024**3
+        store = 8 * 1024**3
         cluster = Cluster(
             initialize_head=True,
             head_node_args={"num_cpus": args.cpus,
