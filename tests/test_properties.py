@@ -122,7 +122,7 @@ def test_hll_merge_property(values, split):
 
     from deepwebharvester_ray.functions import sketch
 
-    h = sketch._hash64(values)
+    h = sketch._hash60(values)
     whole = sketch.hll_registers(h)
     split = min(split, len(h))
     merged = np.maximum(sketch.hll_registers(h[:split]),
