@@ -26,6 +26,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _rss_mb() -> float:
+    """Peak driver RSS.  /proc VmHWM preferred: ru_maxrss is NOT reset
+    by execve on Linux, so a subprocess launched from a fat parent
+    (bench.py's sf1_smokes after a full query suite) inherits the
+    parent's high-water mark and reports it as its own (observed:
+    four cases all 'peaking' at exactly the parent's 540 MB).  VmHWM
+    belongs to the post-exec mm and measures THIS process."""
+    try:
+        for line in open("/proc/self/status"):
+            if line.startswith("VmHWM"):
+                return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
 
