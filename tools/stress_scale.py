@@ -49,34 +49,33 @@ def run_minhash(dup: int, sf_dir: str) -> dict:
 
     import pyarrow as pa
 
-    def shift_ids(batch: pa.Table, off: int) -> pa.Table:
+    def replicate(batch: pa.Table, n: int) -> pa.Table:
+        # dup replicas synthesized IN ONE MAP over one read: the
+        # previous 32-branch read+shift+union materialized 2048 tiny
+        # blocks (the read splits the file into ~78-row pieces per
+        # branch) and spent ~27 s of pure task-scheduling overhead
+        # before any shingle ran — the many-tiny-blocks hazard
+        # CLAUDE.md documents, planted by the harness itself
         import pyarrow.compute as pc
 
-        return batch.set_column(
-            batch.schema.get_field_index("doc_id"), "doc_id",
-            pc.add(batch.column("doc_id"), off),
-        )
+        i = batch.schema.get_field_index("doc_id")
+        return pa.concat_tables([
+            batch.set_column(i, "doc_id",
+                             pc.add(batch.column("doc_id"),
+                                    k * 1_000_000))
+            for k in range(n)
+        ])
 
-    parts = []
-    for k in range(dup):
-        dsk = ray.data.read_parquet(
-            str(Path(sf_dir) / "documents.parquet"), columns=["doc_id", "text"]
-        )
-        if k:
-            dsk = dsk.map_batches(
-                shift_ids, fn_kwargs={"off": k * 1_000_000},
-                batch_format="pyarrow", runtime_env=runtime_env(),
-            )
-        parts.append(dsk)
-    ds = parts[0] if dup == 1 else parts[0].union(*parts[1:])
+    ds = ray.data.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(replicate, fn_kwargs={"n": dup},
+                  batch_format="pyarrow", runtime_env=runtime_env())
     import ray as _ray
 
     width = max(8, int(_ray.cluster_resources().get("CPU", 8)))
-    # split the dup-union INPUT to ≥4 tasks/core BEFORE the shingle map:
-    # the union arrives as one block per replica, and per-block shingle
-    # work (~9 ms/doc of Python+regex) is the pipeline's dominant cost —
-    # 32 coarse tasks cap the whole run at 32-way no matter how many
-    # nodes the cluster has (measured: flat 1→4-node wall before this)
+    # split the replicated INPUT to ≥4 tasks/core before the shingle
+    # map (per-block Python+regex work is the pipeline's dominant
+    # cost; coarse blocks cap parallelism, tiny blocks pay scheduling)
     ds = ds.repartition(width * 4)
 
     t0 = time.monotonic()
