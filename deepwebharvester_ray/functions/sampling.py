@@ -20,18 +20,26 @@ import numpy as np
 import pyarrow as pa
 
 from .. import runtime_env
-from .dedup import _word_hashes
 
 
 def _es_keys(ids: np.ndarray, weights: np.ndarray, seed: int) -> np.ndarray:
     """log-space Efraimidis–Spirakis keys: log(u)/w (keep the LARGEST,
     i.e. closest to 0) — log-space avoids u^(1/w) underflow for big
-    weights and is order-isomorphic to the textbook key."""
-    h = _word_hashes([f"{seed}|{i}" for i in ids])
-    # uniform in (0,1): map the 64-bit hash into the open interval
-    u = (h.astype(np.float64) + 0.5) / 2.0 ** 64
+    weights and is order-isomorphic to the textbook key.
+
+    SQL-reproducible by construction (the weighted_sample oracle): u
+    derives from the md5-60-bit parity hash of ``"{seed}|{id}"`` and
+    the log runs libm scalars (numpy's SIMD log differs from
+    libm/DuckDB by 1 ulp on ~23% of inputs — the
+    sketch.dd_bucket_indices finding), so engine and DuckDB rank the
+    identical key vector."""
+    from .sketch import _hash60, _libm_log
+
+    h = _hash60([f"{seed}|{i}" for i in ids])
+    # uniform in (0,1): map the 60-bit hash into the open interval
+    u = (h.astype(np.float64) + 0.5) / 2.0 ** 60
     w = np.maximum(weights.astype(np.float64), 1e-300)
-    return np.log(u) / w
+    return _libm_log(u) / w
 
 
 def weighted_sample_k(ds, k: int, id_column: str, weight_column: str,
