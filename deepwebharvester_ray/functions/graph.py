@@ -97,7 +97,7 @@ def connected_components(
     if edges.count() <= 2 * local_cutoff:  # edges carry both directions
         edge_refs = edges.to_arrow_refs()
 
-        @ray.remote
+        @ray.remote(runtime_env=runtime_env())
         def _local(erefs):
             import ray as _r
             etbls = _r.get(list(erefs))
@@ -333,7 +333,7 @@ def pagerank(
         edge_refs = edges_w.to_arrow_refs()
         seeds_arr = None if seed_ref is None else seeds_sorted
 
-        @ray.remote
+        @ray.remote(runtime_env=runtime_env())
         def _local(nrefs, erefs, _seeds=seeds_arr, _iters=iters,
                    _damp=damping_pct, _init=init, _sinit=seed_init):
             import ray as _r
@@ -868,7 +868,7 @@ def weighted_distances(
         seed_refs = labels.to_arrow_refs()
         edge_refs = edges_m.to_arrow_refs()
 
-        @ray.remote
+        @ray.remote(runtime_env=runtime_env())
         def _local(srefs, erefs, _rounds=rounds):
             import ray as _r
             stbls = _r.get(list(srefs))
@@ -1400,7 +1400,7 @@ def scc_labels(
             node_refs = active.to_arrow_refs()
             edge_refs = edges.to_arrow_refs()
 
-            @ray.remote
+            @ray.remote(runtime_env=runtime_env())
             def _local(nrefs, erefs):
                 import ray as _r
                 ntbls = _r.get(list(nrefs))
@@ -2340,7 +2340,7 @@ def ktruss_edges(edges_ds, k: int, max_rounds: int = 64,
 
         edge_refs = ue.to_arrow_refs()
 
-        @ray.remote
+        @ray.remote(runtime_env=runtime_env())
         def _local(erefs, _ms=min_sup):
             import ray as _r
             tbls = _r.get(list(erefs))
@@ -2658,7 +2658,7 @@ def boruvka_msf(edges_ds, weight_col: str | None = None,
     if state.count() <= local_cutoff:
         edge_refs = state.to_arrow_refs()
 
-        @ray.remote
+        @ray.remote(runtime_env=runtime_env())
         def _local_kruskal(erefs):
             import ray as _r
             tbls = _r.get(list(erefs))
@@ -3259,7 +3259,7 @@ def neighborhood_function(nodes_ds, edges_ds, rounds: int,
         state_refs = state.to_arrow_refs()
         edge_refs = edges_m.to_arrow_refs()
 
-        @ray.remote
+        @ray.remote(runtime_env=runtime_env())
         def _local(srefs, erefs, _rounds=rounds):
             import ray as _r
             stbls = [t for t in _r.get(list(srefs)) if t.num_rows]
@@ -3452,7 +3452,7 @@ def stress_centrality(edges_ds, seeds: "np.ndarray", max_depth: int,
     if K + edges_m.count() <= local_cutoff:
         edge_refs = edges_m.to_arrow_refs()
 
-        @ray.remote
+        @ray.remote(runtime_env=runtime_env())
         def _local(erefs, _seeds=seeds, _depth=max_depth, _K=K):
             import ray as _r
             etbls = _r.get(list(erefs))
@@ -4047,7 +4047,7 @@ def triangle_tallies_local(ue_ds, local_cutoff: int = 2_000_000):
         return None
     edge_refs = ue_ds.to_arrow_refs()
 
-    @ray.remote(num_returns=2)
+    @ray.remote(num_returns=2, runtime_env=runtime_env())
     def _local(erefs):
         import ray as _r
         etbls = _r.get(list(erefs))
@@ -4129,7 +4129,7 @@ def multi_source_distances(edges_ds, seeds: "np.ndarray", max_depth: int,
     if K + edges_m.count() <= local_cutoff:
         edge_refs = edges_m.to_arrow_refs()
 
-        @ray.remote
+        @ray.remote(runtime_env=runtime_env())
         def _local(erefs, _seeds=seeds, _depth=max_depth, _K=K):
             import ray as _r
             etbls = _r.get(list(erefs))

@@ -51,6 +51,8 @@ from typing import List, Tuple
 import numpy as np
 import pyarrow as pa
 
+from .. import runtime_env
+
 SESSION_GAP_US = 1800 * 1_000_000  # 30 virtual minutes, as the batch op
 
 
@@ -165,7 +167,7 @@ def streaming_sessionize(ds, gap_us: int = SESSION_GAP_US,
     from .. import runtime_env
     from .agg import grouped_agg
 
-    Shard = ray.remote(num_cpus=0.5)(_ShardState)
+    Shard = ray.remote(num_cpus=0.5, runtime_env=runtime_env())(_ShardState)
     shards: List = [Shard.remote(gap_us) for _ in range(n_shards)]
     # emitted partials are held as OBJECT REFS, never materialized on
     # the driver — actor returns live in the (spillable) object store,
@@ -280,7 +282,7 @@ def streaming_topk(ds, text_column: str = "text", top_n: int = 50,
 
     from .textops import WORD_RE
 
-    Shard = ray.remote(num_cpus=0.5)(_MGShardState)
+    Shard = ray.remote(num_cpus=0.5, runtime_env=runtime_env())(_MGShardState)
     shards: List = [Shard.remote(k_per_shard) for _ in range(n_shards)]
     max_state = 0
 
@@ -387,7 +389,7 @@ def streaming_dedup(ds, id_column: str = "doc_id",
     from .dedup import add_content_hash
     from .sketch import _hash64
 
-    Shard = ray.remote(num_cpus=0.5)(_DedupShardState)
+    Shard = ray.remote(num_cpus=0.5, runtime_env=runtime_env())(_DedupShardState)
     shards: List = [Shard.remote() for _ in range(n_shards)]
     if resume_from is not None:
         # exactly-once resume: restore each shard's seen-set checkpoint
@@ -520,7 +522,7 @@ def streaming_interval_join(ds, window_fn, n_shards: int = 4,
 
     from ..sinks import _shard_of
 
-    Shard = ray.remote(num_cpus=0.5)(_IvShardState)
+    Shard = ray.remote(num_cpus=0.5, runtime_env=runtime_env())(_IvShardState)
     shards: List = [Shard.remote() for _ in range(n_shards)]
     out: List[pa.Table] = []
     max_state = 0
@@ -669,7 +671,7 @@ def streaming_asof_join(ds, split_fn, n_shards: int = 4,
 
     from ..sinks import _shard_of
 
-    Shard = ray.remote(num_cpus=0.5)(_AsofShardState)
+    Shard = ray.remote(num_cpus=0.5, runtime_env=runtime_env())(_AsofShardState)
     shards: List = [Shard.remote() for _ in range(n_shards)]
     out: List[pa.Table] = []
     max_state = 0
@@ -851,7 +853,7 @@ def streaming_tumbling_agg(ds, n_shards: int = 4,
     from ..urlops import url_hash64
     from .agg import grouped_agg
 
-    Shard = ray.remote(num_cpus=0.5)(_TumblingShardState)
+    Shard = ray.remote(num_cpus=0.5, runtime_env=runtime_env())(_TumblingShardState)
     shards: List = [Shard.remote() for _ in range(n_shards)]
     emitted: List = []
     max_state = 0
@@ -948,7 +950,7 @@ def streaming_hopping_agg(ds, window_ms: int, hop_ms: int,
 
     assert window_ms % hop_ms == 0, "window must be a hop multiple"
     k_hops = window_ms // hop_ms
-    Shard = ray.remote(num_cpus=0.5)(_WindowShardState)
+    Shard = ray.remote(num_cpus=0.5, runtime_env=runtime_env())(_WindowShardState)
     shards: List = [Shard.remote(window_ms, "win_ms", False)
                     for _ in range(n_shards)]
     emitted: List = []
@@ -1071,7 +1073,7 @@ def streaming_dd_quantiles(ds, value_column: str, ps, alpha: float = 0.01,
 
     from .sketch import dd_bucket_indices, dd_bucket_value
 
-    Shard = ray.remote(num_cpus=0.5)(_DDRegisterShardState)
+    Shard = ray.remote(num_cpus=0.5, runtime_env=runtime_env())(_DDRegisterShardState)
     shards: List = [Shard.remote() for _ in range(n_shards)]
     max_state = 0
 
@@ -1174,7 +1176,7 @@ def streaming_sample_k(ds, id_column: str = "doc_id", k: int = 100,
     {"state_rows": k·shards}."""
     import ray
 
-    Shard = ray.remote(num_cpus=0.5)(_MinKHashShardState)
+    Shard = ray.remote(num_cpus=0.5, runtime_env=runtime_env())(_MinKHashShardState)
     shards: List = [Shard.remote(k) for _ in range(n_shards)]
     max_state = 0
 
@@ -1259,7 +1261,7 @@ def streaming_hll_distinct(ds, extract, label: str = "n_distinct_est",
     from .sketch import _M, _hash60, hll_estimate, hll_registers
 
     bounds = np.linspace(0, _M, n_shards + 1).astype(int)
-    Shard = ray.remote(num_cpus=0.5)(_HLLShardState)
+    Shard = ray.remote(num_cpus=0.5, runtime_env=runtime_env())(_HLLShardState)
     shards: List = [Shard.remote(int(bounds[s]), int(bounds[s + 1]))
                     for s in range(n_shards)]
 
@@ -1324,7 +1326,7 @@ def streaming_cms(ds, value_column: str, width: int = 1 << 14,
     from .sketch import CMS_DEPTH, _cms_positions, _hash60
 
     bounds = np.linspace(0, width, n_shards + 1).astype(int)
-    Shard = ray.remote(num_cpus=0.5)(_CMSShardState)
+    Shard = ray.remote(num_cpus=0.5, runtime_env=runtime_env())(_CMSShardState)
     shards: List = [Shard.remote(CMS_DEPTH, int(bounds[s]),
                                  int(bounds[s + 1]))
                     for s in range(n_shards)]

@@ -177,7 +177,9 @@ class ShardedFrontierQueue:
     def __init__(self, n_shards: int = 2, max_per_seed: Optional[int] = None) -> None:
         import ray
 
-        @ray.remote(num_cpus=0)
+        from .. import runtime_env
+
+        @ray.remote(num_cpus=0, runtime_env=runtime_env())
         class _Shard:
             def __init__(self, max_per_seed):
                 self._q = FrontierQueue(max_per_seed)

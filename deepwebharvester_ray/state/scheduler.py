@@ -217,13 +217,15 @@ def replay_generation_sharded(
         set(seed_ids[i * chunk : (i + 1) * chunk]) for i in range(n_shards)
     ]
 
-    @ray.remote(num_cpus=0)
+    from .. import runtime_env
+
+    @ray.remote(num_cpus=0, runtime_env=runtime_env())
     def _shard_replay(cands, shard_states, claims, cfg, delays):
         res = replay_generation(cands, shard_states, claims, cfg, delays)
         claims_out = set(claims) | set(res.new_hashes)
         return res, shard_states, claims_out
 
-    @ray.remote(num_cpus=0)
+    @ray.remote(num_cpus=0, runtime_env=runtime_env())
     def _claims_of(result):
         return result[2]
 
